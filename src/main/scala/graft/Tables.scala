@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+  * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a raw
+  * Long of epoch nanos). The reference keeps nanosecond integers as
+  * first-class columns for the same reason (reference:
+  * src/querier/src/query/ir_planner.rs:70-74 compares trace times as i64
+  * nanos), so we canonicalize: `ts` stays Long nanos, and a derived
+  * microsecond `ts_us` TimestampType column is added for calendar ops and
+  * ordering. DuckDB (the correctness oracle) truncates the same column to
+  * microseconds, so every oracle-visible timestamp derives from `ts_us`.
+  */
+object Tables {
+  /** Epoch seconds for 2024-01-01T00:00:00Z — start of the events range. */
+  val EventsEpochStart: Long = 1704067200L
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Runtime conf; required before any scan that touches TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  /** events with `ts` as Long nanos plus derived `ts_us` (µs timestamp,
+    * identical to what DuckDB sees) and `ts_sec` (epoch seconds, Long). */
+  def events(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+}

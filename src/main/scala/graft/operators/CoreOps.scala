@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.8) expressed over
+  * the driver testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules used throughout (so hash-compares are exact):
+  *  - money-ish double sums go through DECIMAL(30,4) then cast back to
+  *    double — exact and aggregation-order-independent;
+  *  - every LIMIT / row_number has a total tie-break order;
+  *  - all timestamp ordering/derivation uses the µs-truncated `ts_us`
+  *    (what DuckDB sees), never raw nanos.
+  */
+object CoreOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum of a double expression: decimal-accumulate,
+    * then present as double. Oracle twin: `dsumSql`. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 4))).cast(DoubleType)
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,4))) AS DOUBLE)"
+
+  /** Epoch-second tumbling bucket of the events `ts` (Long nanos) column —
+    * the `date_bin` analog (reference: src/querier/src/query/metrics.rs:2703
+    * fixed step-aligned buckets, origin 0). */
+  private def bucketExpr(stepSec: Long): Column =
+    expr(s"(ts div 1000000000) div $stepSec * $stepSec")
+  private def bucketSql(stepSec: Long): String =
+    s"(epoch_ns(ts)//1000000000//$stepSec)*$stepSec"
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 IR aggregate stage: grouped count/sum/avg (TPC-H Q1 shape)
+    "q01_agg_basic" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1995-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.2 curated projection + predicate pushdown to parquet
+    "q02_projection_filter" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000 && col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    }),
+
+    // §2.2 time-window filter on i64-nanos time column
+    "q03_time_window" -> ((s, dir) => {
+      val t0 = 1704412800L * 1000000000L // 2024-01-05T00:00:00Z
+      val t1 = 1705017600L * 1000000000L // 2024-01-12T00:00:00Z
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit(t0) && col("ts") < lit(t1))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // §2.6 sort + limit with total-order tie-break (LogQL line-query shape)
+    "q04_sort_limit" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(50)
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // §2.7 PromQL `and` = left-semi join on series identity
+    "q05_semi_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // §2.7 PromQL `unless` = left-anti join
+    "q06_anti_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // §2.7 PromQL `or` = union + dedup
+    "q07_union_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select(col("user_id"))
+        .unionByName(ev.filter(col("event_type") === "signup").select(col("user_id")))
+        .distinct()
+    }),
+
+    // §2.4 distinct discovery (label values)
+    "q08_distinct_labels" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_type")).distinct()),
+
+    // §2.4 date_bin tumbling bucket + grouped agg (6h step)
+    "q09_date_bin_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(bucketExpr(21600).as("bucket_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // §2.3 PromQL vector binary op = inner equi join of two series on bucket
+    "q10_binary_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val day = bucketExpr(86400).as("day")
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(day).agg(count(lit(1)).as("n_err"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(day).agg(count(lit(1)).as("n_pur"))
+      e.join(p, Seq("day"), "inner")
+        .withColumn("ratio", col("n_err").cast(DoubleType) / col("n_pur"))
+    }),
+
+    // §2.6 topk-per-bucket: window rank within time bucket
+    "q11_topk_per_bucket" -> ((s, dir) => {
+      val w = Window.partitionBy(col("day")).orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("day", bucketExpr(86400))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("day"), col("event_id"), col("value"), col("rn"))
+    }),
+
+    // §2.4 counter first/last per (series, bucket) — rate/increase shape
+    "q12_first_last_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("wk"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("wk", bucketExpr(604800))
+        .withColumn("first_v", first(col("value")).over(w))
+        .withColumn("last_v", last(col("value")).over(w))
+        .select(col("wk"), col("event_type"), col("first_v"), col("last_v"))
+        .distinct()
+        .withColumn("delta", col("last_v") - col("first_v"))
+    }),
+
+    // §2.8 calendar functions (UTC)
+    "q13_calendar" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          year(col("ts_us")).as("y"),
+          month(col("ts_us")).as("m"),
+          dayofweek(col("ts_us")).as("dow"),
+          hour(col("ts_us")).as("h"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.8 / §2.10 JSON field extraction (ir_extract json path)
+    "q14_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // §2.8 math scalar family (PromQL ValueOp; exactly-rounded ops only)
+    "q15_math_scalar" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        abs(col("value") - 100.0).as("abs_v"),
+        ceil(col("value")).cast(LongType).as("ceil_v"),
+        floor(col("value")).cast(LongType).as("floor_v"),
+        sqrt(abs(col("value"))).as("sqrt_v"),
+        signum(col("value") - 100.0).cast(DoubleType).as("sign_v"),
+        greatest(least(col("value"), lit(150.0)), lit(50.0)).as("clamp_v"),
+        pmod(col("event_id"), lit(7)).as("mod_v"))
+    }),
+
+    // §2.4 count_values: histogram of bucketed values
+    "q16_count_values" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy((floor(col("value") / 50.0) * 50).cast(LongType).as("value_bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.2 regex + IN predicate (LogQL label matcher / line filter shapes)
+    "q17_regex_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("text").rlike("join .* merge") && col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_basic" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1995-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_projection_filter" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_totalprice > 150000 AND o_orderstatus = 'O'""".stripMargin,
+
+    "q03_time_window" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
+
+    "q04_sort_limit" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 50""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_union_dedup" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'signup')""".stripMargin,
+
+    "q08_distinct_labels" -> "SELECT DISTINCT event_type FROM events",
+
+    "q09_date_bin_agg" ->
+      s"""SELECT ${bucketSql(21600)} AS bucket_start, event_type,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q10_binary_join" ->
+      s"""WITH e AS (
+         |  SELECT ${bucketSql(86400)} AS day, COUNT(*) AS n_err
+         |  FROM events WHERE event_type = 'error' GROUP BY 1),
+         |p AS (
+         |  SELECT ${bucketSql(86400)} AS day, COUNT(*) AS n_pur
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT e.day AS day, n_err, n_pur, CAST(n_err AS DOUBLE)/n_pur AS ratio
+         |FROM e JOIN p ON e.day = p.day""".stripMargin,
+
+    "q11_topk_per_bucket" ->
+      s"""SELECT day, event_id, value, rn FROM (
+         |  SELECT ${bucketSql(86400)} AS day, event_id, value,
+         |    row_number() OVER (PARTITION BY ${bucketSql(86400)}
+         |                       ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "q12_first_last_delta" ->
+      s"""SELECT DISTINCT wk, event_type, first_v, last_v, last_v - first_v AS delta
+         |FROM (
+         |  SELECT ${bucketSql(604800)} AS wk, event_type,
+         |    first_value(value) OVER w AS first_v,
+         |    last_value(value) OVER w AS last_v
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY ${bucketSql(604800)}, event_type
+         |               ORDER BY ts ASC, event_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))""".stripMargin,
+
+    "q13_calendar" ->
+      """SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS y,
+        |  CAST(EXTRACT(month FROM ts) AS INTEGER) AS m,
+        |  CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q14_json_extract" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q15_math_scalar" ->
+      """SELECT event_id,
+        |  ABS(value - 100.0) AS abs_v,
+        |  CAST(CEIL(value) AS BIGINT) AS ceil_v,
+        |  CAST(FLOOR(value) AS BIGINT) AS floor_v,
+        |  SQRT(ABS(value)) AS sqrt_v,
+        |  CAST(SIGN(value - 100.0) AS DOUBLE) AS sign_v,
+        |  GREATEST(LEAST(value, 150.0), 50.0) AS clamp_v,
+        |  event_id % 7 AS mod_v
+        |FROM events""".stripMargin,
+
+    "q16_count_values" ->
+      """SELECT CAST(FLOOR(value/50.0)*50 AS BIGINT) AS value_bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q17_regex_filter" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE regexp_matches(text, 'join .* merge') AND lang IN ('en','de')""".stripMargin
+  )
+}
