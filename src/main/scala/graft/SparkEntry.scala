@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.CoreOps.queries, operators.CoreOps.oracles)
+      (operators.CoreOps.queries, operators.CoreOps.oracles),
+      (operators.PipelineOps.queries, operators.PipelineOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

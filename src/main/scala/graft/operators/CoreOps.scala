@@ -125,7 +125,7 @@ object CoreOps {
         .withColumn("day", bucketExpr(86400))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("day"), col("event_id"), col("value"), col("rn"))
+        .select(col("day"), col("event_id"), col("value"), col("rn").cast(LongType).as("rn"))
     }),
 
     // §2.4 counter first/last per (series, bucket) — rate/increase shape

@@ -1,0 +1,500 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Training-data pipeline operators over the `documents`, `embeddings` and
+  * `events` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force cosine top-k and LSH-bucketed
+  * ANN), text analysis (language-ID, quality scoring, token counting,
+  * winnowing fingerprints) and sessionization.
+  *
+  * Scale notes (100 TB design intent):
+  *  - every pairwise step goes through an equi-join on a bucket/shingle key
+  *    (shuffle on the key, never a cartesian product);
+  *  - MinHash/LSH candidate generation is the scale path for near-dup
+  *    (bounded candidates per band bucket), with exact Jaccard verification
+  *    only on candidates;
+  *  - all floating aggregation is exact (integer-quantized dot products,
+  *    integer counts) so results are partition/order independent — required
+  *    both for the DuckDB hash-compare and for run-to-run determinism on a
+  *    real cluster.
+  *
+  * Determinism across engines: "random" hash families derive from md5 hex
+  * strings (identical in Spark and DuckDB); minima are taken over md5
+  * strings lexicographically; embeddings are quantized to 1e-6 integers so
+  * dot products are exact BIGINT sums.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 18))).cast(DoubleType)
+
+  // ---- shared text shapes ----------------------------------------------
+
+  /** tokens = whitespace split; Spark array indexing is 0-based. */
+  private val toksExpr = "split(text, ' ')"
+
+  /** word 3-shingles, joined by spaces; empty if <3 tokens. */
+  private val shinglesExpr =
+    s"""CASE WHEN size($toksExpr) >= 3 THEN
+       |  transform(sequence(0, size($toksExpr) - 3),
+       |            i -> concat_ws(' ', $toksExpr[i], $toksExpr[i+1], $toksExpr[i+2]))
+       |ELSE array() END""".stripMargin
+
+  /** DuckDB twin (1-based list indexing, range(a,b) exclusive). */
+  private val shinglesSql =
+    """CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      |  [concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
+      |              string_split(text,' ')[i+2])
+      |   FOR i IN range(1, len(string_split(text,' ')) - 1)]
+      |ELSE [] END""".stripMargin
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .distinct()
+
+  private val docShinglesSql =
+    s"""SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents"""
+
+  // ---- queries ----------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+
+    // Sessionization: split each user's event stream on >1h gaps
+    // (window lag + running sum — SURVEY §2.5 analytic shape).
+    "q18_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("tus", unix_micros(col("ts_us")))
+        .withColumn("prev_ts", lag(col("tus"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull || col("tus") - col("prev_ts") > 3600L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tus")).as("t_start"),
+          max(col("tus")).as("t_end"))
+    }),
+
+    // resets/changes (PromQL counter analysis): per user ordered by time,
+    // count value decreases and value changes.
+    "q19_resets_changes" -> ((s, dir) => {
+      // order in the µs domain (what DuckDB sees) with event_id tie-break
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts_us")).asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("prev_v", lag(col("value"), 1).over(byUser))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("prev_v").isNotNull && col("value") < col("prev_v"), 1).otherwise(0)).as("resets"),
+          sum(when(col("prev_v").isNotNull && col("value") =!= col("prev_v"), 1).otherwise(0)).as("changes"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Exact dedup: content-hash group, canonical = min doc_id.
+    "q20_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
+    }),
+
+    // n-gram Jaccard near-dup: pairs sharing word-3-shingles, exact Jaccard
+    // over distinct shingle sets, threshold 0.5. Equi-join on shingle.
+    "q21_near_dup_jaccard" -> ((s, dir) => {
+      val ds = docShingles(s, dir).cache()
+      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = ds.as("a")
+        .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // MinHash + LSH: 8 md5-salted min-hashes, 4 bands × 2 rows; candidate
+    // pairs share a band bucket; verified with exact Jaccard ≥ 0.4.
+    // The band-bucket equi-join is the 100 TB scale path: candidates are
+    // generated per bucket, never all-pairs.
+    "q22_minhash_lsh" -> ((s, dir) => {
+      val ds = docShingles(s, dir).cache()
+      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      // minhash_i = lexicographic min of md5(i || '|' || shingle)
+      val mhAggs = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+      val mh = ds.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = mh.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val shared = cand.join(ds.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+        .join(ds.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+        .filter(col("sha") === col("shb"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // SimHash fingerprint: 32-bit signature; bit k = majority vote over
+    // distinct tokens of the high bit of md5 hex nibble k. Emitted as a
+    // 32-char bitstring (engine-portable); equal signatures = near-dup
+    // cluster key.
+    "q23_simhash" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val votes = (0 until 32).map { k =>
+        sum(when(expr(s"substring(h, ${k + 1}, 1)").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)).as(s"v$k")
+      }
+      tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          concat((0 until 32).map(k => when(col(s"v$k") >= 0, "1").otherwise("0")): _*).as("simhash"))
+    }),
+
+    // Brute-force cosine top-k (ANN baseline): query vectors = vec_id%100==0,
+    // candidates = all others; vectors quantized to 1e-6 integers so dot
+    // products are exact BIGINT sums (order-independent, engine-portable);
+    // top-5 per query.
+    "q24_ann_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vq", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+      val norms = e.groupBy(col("vec_id")).agg(sum(col("vq") * col("vq")).as("nrm"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv"))
+      val dots = q.join(e.select(col("vec_id").as("n_id"), col("pos"), col("vq").as("nv")), Seq("pos"))
+        .filter(col("q_id") =!= col("n_id"))
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      val cos = dots
+        .join(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("nrm", "qn"), "q_id")
+        .join(norms.withColumnRenamed("vec_id", "n_id").withColumnRenamed("nrm", "nn"), "n_id")
+        .withColumn("cos",
+          col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cos.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): 12 deterministic random hyperplanes
+    // (weight ±1 from md5 nibble high-bit of "plane_dim"); 8-bit signature bucket
+    // equi-join; exact cosine only within buckets; top-3 per query.
+    "q25_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vq", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+      // plane weights: w(j, pos) = +1 if first md5 nibble of "j_pos" >= 8
+      val planes = (0 until 8)
+      val projAggs = planes.map { j =>
+        sum(col("vq") * when(
+          expr(s"substring(md5(concat('$j','_', cast(pos as string))), 1, 1)")
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L)).as(s"p$j")
+      }
+      val proj = e.groupBy(col("vec_id")).agg(projAggs.head, projAggs.tail: _*)
+      val sig = proj.select(col("vec_id"),
+        concat(planes.map(j => when(col(s"p$j") >= 0, "1").otherwise("0")): _*).as("sig"))
+      val norms = e.groupBy(col("vec_id")).agg(sum(col("vq") * col("vq")).as("nrm"))
+      val q = sig.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("q_id"), col("sig"))
+      val cand = q.join(sig.select(col("vec_id").as("n_id"), col("sig")), Seq("sig"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+      val dots = cand
+        .join(e.select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv")), Seq("q_id"))
+        .join(e.select(col("vec_id").as("n_id"), col("pos"), col("vq").as("nv")), Seq("n_id", "pos"))
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      val cos = dots
+        .join(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("nrm", "qn"), "q_id")
+        .join(norms.withColumnRenamed("vec_id", "n_id").withColumnRenamed("nrm", "nn"), "n_id")
+        .withColumn("cos",
+          col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cos.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
+    // Language-ID heuristic: stopword ratio over tokens.
+    "q26_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, t -> t IN ('a','the','of','and','to','in'))")))
+        .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tok"))
+        .withColumn("pred_lang", when(col("stop_ratio") >= 0.05, "en").otherwise("unk"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("stop_ratio"), col("pred_lang"))
+    }),
+
+    // Quality scoring: length, mean token length, type-token ratio,
+    // stopword ratio → weighted score (decimal-exact weights).
+    "q27_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .withColumn("n_chars2", length(col("text")).cast(LongType))
+        .withColumn("mean_tok_len",
+          (col("n_chars2") - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok"))
+        .withColumn("ttr", size(expr("array_distinct(toks)")).cast(DoubleType) / col("n_tok"))
+        .withColumn("stop_ratio",
+          size(expr("filter(toks, t -> t IN ('a','the','of','and','to','in'))")).cast(DoubleType) / col("n_tok"))
+        .withColumn("score",
+          col("ttr") * 50 + col("stop_ratio") * 25
+            + when(col("n_tok").between(20, 200), lit(25.0)).otherwise(lit(0.0)))
+        .select(col("doc_id"), col("n_tok"), col("mean_tok_len"), col("ttr"),
+          col("stop_ratio"), col("score"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish subword estimate
+    // (ceil(len/4) per token, min 1).
+    "q28_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .withColumn("n_subword", expr(
+          "aggregate(toks, 0L, (acc, t) -> acc + greatest(CAST(ceil(length(t)/4.0) AS LONG), 1L))"))
+        .select(col("doc_id"), col("n_tok"), col("n_subword"))
+    }),
+
+    // Winnowing fingerprint: md5 per word-3-shingle in position order;
+    // sliding min over window of 4; fingerprint = md5 of the sorted
+    // distinct selected hashes.
+    "q29_fingerprint_winnow" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("pos", "sh")))
+        .withColumn("h", md5(col("sh")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+        .rowsBetween(Window.currentRow, 3)
+      sh.withColumn("minh", min(col("h")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(md5(array_join(array_sort(collect_set(col("minh"))), "")).as("fingerprint"))
+    })
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q18_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(3600 AS BIGINT)*1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(tus) AS t_start, MAX(tus) AS t_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q19_resets_changes" ->
+      """WITH g AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_v
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_v IS NOT NULL AND value < prev_v THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+        |  CAST(SUM(CASE WHEN prev_v IS NOT NULL AND value <> prev_v THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+        |  COUNT(*) AS n
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_near_dup_jaccard" ->
+      s"""WITH ds AS ($docShinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5""".stripMargin,
+
+    "q22_minhash_lsh" ->
+      s"""WITH ds AS ($docShinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+         |mh AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i => s"MIN(md5(concat('$i|', sh))) AS mh$i").mkString(", ")}
+         |  FROM ds GROUP BY 1),
+         |bands AS (
+         |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(concat(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM mh")
+            .mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+         |  FROM cand c
+         |  JOIN ds a ON a.doc_id = c.doc_a
+         |  JOIN ds b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b,
+         |  CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
+         |FROM shared s
+         |JOIN sizes sa ON sa.doc_id = s.doc_a
+         |JOIN sizes sb ON sb.doc_id = s.doc_b
+         |WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= 0.4""".stripMargin,
+
+    "q23_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |v AS (
+         |  SELECT doc_id,
+         |    ${(0 until 32).map(k =>
+            s"SUM(CASE WHEN substr(h, ${k + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$k")
+            .mkString(", ")}
+         |  FROM h GROUP BY 1)
+         |SELECT doc_id,
+         |  concat(${(0 until 32).map(k => s"CASE WHEN v$k >= 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+         |FROM v""".stripMargin,
+
+    "q24_ann_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |dots AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM e q JOIN e n ON q.pos = n.pos AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id % 100 = 0
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM cos) WHERE rank <= 5""".stripMargin,
+
+    "q25_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, i AS pos,
+         |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+         |  FROM embeddings, range(0, 64) r(i)),
+         |proj AS (
+         |  SELECT vec_id,
+         |    ${(0 until 8).map(j =>
+            s"SUM(vq * (CASE WHEN substr(md5(concat('$j','_', CAST(pos AS VARCHAR))), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) AS p$j")
+            .mkString(", ")}
+         |  FROM e GROUP BY 1),
+         |sig AS (
+         |  SELECT vec_id,
+         |    concat(${(0 until 8).map(j => s"CASE WHEN p$j >= 0 THEN '1' ELSE '0' END").mkString(", ")}) AS sig
+         |  FROM proj),
+         |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM sig q JOIN sig n ON q.sig = n.sig AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id % 100 = 0),
+         |dots AS (
+         |  SELECT c.q_id, c.n_id, SUM(eq.vq * en.vq) AS dot
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.q_id
+         |  JOIN e en ON en.vec_id = c.n_id AND en.pos = eq.pos
+         |  GROUP BY 1, 2),
+         |cos AS (
+         |  SELECT d.q_id, d.n_id,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.q_id
+         |  JOIN norms nn ON nn.vec_id = d.n_id)
+         |SELECT q_id, n_id, cos, rank FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM cos) WHERE rank <= 3""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tok,
+        |  CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CASE WHEN CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
+        |    / len(toks) >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+        |FROM t""".stripMargin,
+
+    "q27_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chars2,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(n_chars2 - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len,
+        |  ttr, stop_ratio,
+        |  ttr * 50 + stop_ratio * 25 +
+        |    CASE WHEN n_tok BETWEEN 20 AND 200 THEN 25.0 ELSE 0.0 END AS score
+        |FROM m""".stripMargin,
+
+    "q28_token_count" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(list_sum(list_transform(toks,
+        |    t -> greatest(CAST(ceil(length(t)/4.0) AS BIGINT), 1))) AS BIGINT) AS n_subword
+        |FROM t""".stripMargin,
+
+    "q29_fingerprint_winnow" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, i - 1 AS pos, md5(s[i]) AS h
+         |  FROM (SELECT doc_id, $shinglesSql AS s FROM documents), range(1, 2000) r(i)
+         |  WHERE i <= len(s)),
+         |mins AS (
+         |  SELECT doc_id,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ASC
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+         |  FROM sh)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(list(minh))), '')) AS fingerprint
+         |FROM mins GROUP BY doc_id""".stripMargin
+  )
+}
