@@ -17,7 +17,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.CoreOps.queries, operators.CoreOps.oracles),
-      (operators.PipelineOps.queries, operators.PipelineOps.oracles)
+      (operators.PipelineOps.queries, operators.PipelineOps.oracles),
+      (operators.LogQLOps.queries, operators.LogQLOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

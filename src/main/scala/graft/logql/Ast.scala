@@ -1,0 +1,101 @@
+package graft.logql
+
+/** LogQL AST — the subset the reference supports (reference:
+  * src/logql/src/ast.rs:184-228, docs/users/logql-reference.md).
+  * Out-of-subset constructs parse into explicit errors, never silently
+  * unfiltered results (reference: src/querier/src/query/search_filter.rs:6-9).
+  */
+object Ast {
+
+  sealed trait MatchOp
+  object MatchOp {
+    case object Eq extends MatchOp  // =
+    case object Neq extends MatchOp // !=
+    case object Re extends MatchOp  // =~  (fully anchored, like Loki)
+    case object Nre extends MatchOp // !~
+  }
+
+  /** `{label op "value"}` */
+  final case class LabelMatcher(label: String, op: MatchOp, value: String)
+
+  final case class Selector(matchers: Seq[LabelMatcher])
+
+  /** Pipeline stages after the selector. */
+  sealed trait Stage
+  object Stage {
+    /** `|= "s"` / `!= "s"` / `|~ "re"` / `!~ "re"` on body. */
+    final case class LineFilter(op: LineOp, needle: String) extends Stage
+    /** `| json` — subsequent labels resolve from the body JSON. */
+    case object Json extends Stage
+    /** `| logfmt` — subsequent labels resolve from logfmt pairs in body. */
+    case object Logfmt extends Stage
+    /** `| <pred>` label-filter expression. */
+    final case class LabelFilter(pred: LabelPredicate) extends Stage
+    /** `| unwrap lbl` — sample value for the metric family. */
+    final case class Unwrap(label: String) extends Stage
+  }
+
+  sealed trait LineOp
+  object LineOp {
+    case object Contains extends LineOp    // |=
+    case object NotContains extends LineOp // !=
+    case object Regex extends LineOp       // |~  (unanchored search)
+    case object NotRegex extends LineOp    // !~
+  }
+
+  /** Label-filter predicate tree (`and`/`or`/`,` over comparisons). */
+  sealed trait LabelPredicate
+  object LabelPredicate {
+    final case class And(l: LabelPredicate, r: LabelPredicate) extends LabelPredicate
+    final case class Or(l: LabelPredicate, r: LabelPredicate) extends LabelPredicate
+    /** String comparison: = != =~ !~ (regex anchored). */
+    final case class StrCmp(label: String, op: MatchOp, value: String) extends LabelPredicate
+    /** Numeric comparison: == != > >= < <= with numeric coercion
+      * (reference: src/querier/src/query/ir_planner.rs:740-776). */
+    final case class NumCmp(label: String, op: CmpOp, value: Double) extends LabelPredicate
+  }
+
+  sealed trait CmpOp
+  object CmpOp {
+    case object Eq extends CmpOp
+    case object Neq extends CmpOp
+    case object Gt extends CmpOp
+    case object Gte extends CmpOp
+    case object Lt extends CmpOp
+    case object Lte extends CmpOp
+  }
+
+  /** `{...} stages...` — a log (line) query. */
+  final case class LogQuery(selector: Selector, stages: Seq[Stage]) {
+    def unwrapLabel: Option[String] =
+      stages.collectFirst { case Stage.Unwrap(l) => l }
+  }
+
+  /** Range aggregation `func(inner[range])`; `param` for quantile_over_time. */
+  final case class RangeAgg(
+      func: String,
+      inner: LogQuery,
+      rangeSec: Long,
+      param: Option[Double])
+
+  /** Outer vector aggregation `func[(k,)](range_agg) by/without (...)`. */
+  final case class VectorAgg(
+      func: String,
+      param: Option[Double],
+      inner: RangeAgg,
+      by: Seq[String],
+      without: Seq[String])
+
+  sealed trait Query
+  final case class LineQuery(q: LogQuery) extends Query
+  final case class MetricQuery(expr: MetricExpr) extends Query
+
+  sealed trait MetricExpr
+  final case class RangeExpr(agg: RangeAgg) extends MetricExpr
+  final case class VectorExpr(agg: VectorAgg) extends MetricExpr
+
+  /** Raised for parseable-but-unsupported constructs — explicit, like the
+    * reference's Unsupported errors (search_filter.rs:6-9). */
+  final case class Unsupported(msg: String) extends RuntimeException(msg)
+  final case class ParseError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")
+}

@@ -1,0 +1,239 @@
+package graft.logql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import Ast._
+
+/** LogQL → DataFrame lowering (reference: src/querier/src/query/logql.rs
+  * label/line lowering, logql_metric.rs metric planning — re-expressed as
+  * declarative Spark plans; never SQL strings, reference logs.rs:8-9).
+  *
+  * Semantics carried over:
+  *  - Kleene/NULL parity: a comparison on an absent label is NULL, so the
+  *    row is dropped under both `p` and `not p` (reference
+  *    query_ir/value.rs:342-346) — exactly Spark's `WHERE`.
+  *  - `=~`/`!~` label matchers are FULLY ANCHORED (Loki semantics); line
+  *    filters `|~` are unanchored search.
+  *  - metric buckets are fixed step-aligned tumbling windows with origin 0,
+  *    step = range (documented approximation, reference
+  *    logql_metric.rs:11-15, exact when step == range).
+  *  - stddev/stdvar lower to the exact sum/sumsq formula so results are
+  *    aggregation-order independent (cluster-deterministic).
+  */
+object Lowering {
+
+  /** A logs-shaped table: `timestamp` is Long epoch-nanos, `body` string;
+    * `promoted` label → physical column; everything else resolves from the
+    * `log_attributes` map column if present.
+    * `seriesLabels` define stream identity for metric queries.
+    */
+  final case class LogsTable(
+      df: DataFrame,
+      promoted: Map[String, String],
+      seriesLabels: Seq[String],
+      hasAttrMap: Boolean = false,
+      /** extra columns appended to ORDER BY for a total (deterministic) order */
+      tieBreak: Seq[String] = Seq.empty)
+
+  /** Label resolution context; `| json` / `| logfmt` add extraction scopes
+    * (reference AttrContext, logql.rs:44-56; SchemaResolver promotion
+    * invariance, ir_planner.rs:152-225). */
+  private final case class Ctx(table: LogsTable, jsonParsed: Boolean, logfmtParsed: Boolean) {
+    def resolve(label: String): Column =
+      table.promoted.get(label) match {
+        case Some(phys) => col(phys)
+        case None if jsonParsed =>
+          get_json_object(col("body"), s"$$.$label")
+        case None if logfmtParsed =>
+          // logfmt k=v extraction: first match of `label=<bare-or-quoted>`
+          regexp_extract(col("body"), s"(?:^|\\s)${java.util.regex.Pattern.quote(label)}=(\"[^\"]*\"|\\S+)", 1)
+        case None if table.hasAttrMap => element_at(col("log_attributes"), label)
+        case None =>
+          throw Unsupported(s"label '$label' is not resolvable on this table")
+      }
+  }
+
+  private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  private def matcherCol(c: Ctx, m: LabelMatcher): Column = {
+    val l = c.resolve(m.label)
+    m.op match {
+      case MatchOp.Eq  => l === m.value
+      case MatchOp.Neq => l =!= m.value
+      case MatchOp.Re  => l.rlike(anchored(m.value))
+      case MatchOp.Nre => !l.rlike(anchored(m.value))
+    }
+  }
+
+  private def predCol(c: Ctx, p: LabelPredicate): Column = p match {
+    case LabelPredicate.And(a, b) => predCol(c, a) && predCol(c, b)
+    case LabelPredicate.Or(a, b)  => predCol(c, a) || predCol(c, b)
+    case LabelPredicate.StrCmp(label, op, v) =>
+      matcherCol(c, LabelMatcher(label, op, v))
+    case LabelPredicate.NumCmp(label, op, v) =>
+      // numeric coercion: unpromoted labels are strings; cast to double so
+      // promoted/unpromoted compare identically (ir_planner.rs:740-776)
+      val l = c.resolve(label).cast(DoubleType)
+      op match {
+        case CmpOp.Eq  => l === v
+        case CmpOp.Neq => l =!= v
+        case CmpOp.Gt  => l > v
+        case CmpOp.Gte => l >= v
+        case CmpOp.Lt  => l < v
+        case CmpOp.Lte => l <= v
+      }
+  }
+
+  private def lineFilterCol(f: Stage.LineFilter): Column = f.op match {
+    case LineOp.Contains    => col("body").contains(f.needle)
+    case LineOp.NotContains => !col("body").contains(f.needle)
+    case LineOp.Regex       => col("body").rlike(f.needle)
+    case LineOp.NotRegex    => !col("body").rlike(f.needle)
+  }
+
+  /** Lower a log query to a filtered DataFrame (no projection/sort). */
+  def lowerFilter(table: LogsTable, q: LogQuery): DataFrame = {
+    var ctx = Ctx(table, jsonParsed = false, logfmtParsed = false)
+    var df = table.df
+    for (m <- q.selector.matchers) df = df.filter(matcherCol(ctx, m))
+    for (st <- q.stages) st match {
+      case f: Stage.LineFilter => df = df.filter(lineFilterCol(f))
+      case Stage.Json          => ctx = ctx.copy(jsonParsed = true)
+      case Stage.Logfmt        => ctx = ctx.copy(logfmtParsed = true)
+      case Stage.LabelFilter(p) => df = df.filter(predCol(ctx, p))
+      case Stage.Unwrap(_)      => () // consumed by the metric layer
+    }
+    df
+  }
+
+  /** LogQL line query: filter, newest-first (or oldest) order, limit, with
+    * the curated LOG_COLUMNS projection (reference logs.rs:49,638-673). */
+  def lowerLineQuery(
+      table: LogsTable,
+      q: LogQuery,
+      limit: Int,
+      newestFirst: Boolean = true,
+      projection: Seq[String] = Seq("timestamp", "service_name", "severity_text", "body")): DataFrame = {
+    val base = lowerFilter(table, q).select(projection.map(col): _*)
+    val tsOrd = if (newestFirst) col("timestamp").desc else col("timestamp").asc
+    // total order: remaining projected columns break timestamp ties so the
+    // LIMIT boundary is deterministic
+    val tie = projection.filterNot(_ == "timestamp").map(col(_).asc)
+    base.orderBy(tsOrd +: tie: _*).limit(limit)
+  }
+
+  /** step-aligned bucket (epoch seconds), origin 0 — integer division so
+    * the key is exact (mirrors date_bin, reference metrics.rs:2703). */
+  private def bucketCol(stepSec: Long): Column =
+    expr(s"(timestamp div 1000000000) div $stepSec * $stepSec")
+
+  /** Lower a metric expression. Output: (bucket_start, <labels…>, value). */
+  def lowerMetric(table: LogsTable, expr: MetricExpr): DataFrame = expr match {
+    case RangeExpr(agg)  => lowerRange(table, agg, table.seriesLabels)
+    case VectorExpr(vagg) => lowerVector(table, vagg)
+  }
+
+  private def varPopCols(v: Column): (Column, Column, Column) =
+    (sum(v), sum(v * v), count(lit(1)).cast(DoubleType))
+
+  /** Range aggregation grouped by (bucket, groupLabels). */
+  private def lowerRange(table: LogsTable, agg: RangeAgg, groupLabels: Seq[String]): DataFrame = {
+    val ctx = Ctx(table,
+      jsonParsed = agg.inner.stages.contains(Stage.Json),
+      logfmtParsed = agg.inner.stages.contains(Stage.Logfmt))
+    val filtered = lowerFilter(table, agg.inner)
+    val bucket = bucketCol(agg.rangeSec).as("bucket_start")
+    val keys = bucket +: groupLabels.map(col)
+    val rangeSecs = lit(agg.rangeSec.toDouble)
+
+    def uw: Column = agg.inner.unwrapLabel match {
+      case Some(l) => ctx.resolve(l).cast(DoubleType)
+      case None    => throw Unsupported(s"${agg.func} requires | unwrap")
+    }
+
+    agg.func match {
+      case "count_over_time" =>
+        filtered.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
+      case "rate" =>
+        filtered.groupBy(keys: _*).agg((count(lit(1)) / rangeSecs).as("value"))
+      case "bytes_over_time" =>
+        filtered.groupBy(keys: _*).agg(sum(length(col("body"))).cast(DoubleType).as("value"))
+      case "bytes_rate" =>
+        filtered.groupBy(keys: _*).agg((sum(length(col("body"))) / rangeSecs).as("value"))
+      case "sum_over_time" =>
+        filtered.groupBy(keys: _*).agg(sum(uw).as("value"))
+      case "avg_over_time" =>
+        filtered.groupBy(keys: _*).agg(avg(uw).as("value"))
+      case "min_over_time" =>
+        filtered.groupBy(keys: _*).agg(min(uw).as("value"))
+      case "max_over_time" =>
+        filtered.groupBy(keys: _*).agg(max(uw).as("value"))
+      case "quantile_over_time" =>
+        // exact interpolated percentile (matches quantile_cont semantics)
+        val phi = agg.param.getOrElse(throw Unsupported("quantile_over_time needs φ"))
+        filtered.groupBy(keys: _*).agg(percentile(uw, lit(phi)).as("value"))
+      case "stdvar_over_time" | "stddev_over_time" =>
+        val (s1, s2, n) = varPopCols(uw)
+        filtered.groupBy(keys: _*).agg(s1.as("_s1"), s2.as("_s2"), n.as("_n"))
+          .withColumn("value",
+            (col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"))
+          .withColumn("value", if (agg.func == "stddev_over_time") sqrt(col("value")) else col("value"))
+          .drop("_s1", "_s2", "_n")
+      case "first_over_time" | "last_over_time" =>
+        val asc = agg.func == "first_over_time"
+        val ord = (if (asc) col("timestamp").asc else col("timestamp").desc) +:
+          table.tieBreak.map(c => if (asc) col(c).asc else col(c).desc)
+        val w = Window.partitionBy(col("bucket_start") +: groupLabels.map(col): _*).orderBy(ord: _*)
+        filtered
+          .withColumn("bucket_start", bucketCol(agg.rangeSec))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .withColumn("value", uw)
+          .select((col("bucket_start") +: groupLabels.map(col)) :+ col("value"): _*)
+      case other => throw Unsupported(s"range function $other")
+    }
+  }
+
+  /** Vector aggregation over the range result.
+    *
+    * The inner range agg always groups by the full series identity
+    * (`table.seriesLabels`); the outer agg regroups per (bucket, by-labels)
+    * — two chained groupBys, both shuffle on their keys (SURVEY §2.4).
+    */
+  private def lowerVector(table: LogsTable, vagg: VectorAgg): DataFrame = {
+    val by =
+      if (vagg.by.nonEmpty) vagg.by
+      else if (vagg.without.nonEmpty) table.seriesLabels.filterNot(vagg.without.contains)
+      else Seq.empty
+    val inner = lowerRange(table, vagg.inner, table.seriesLabels)
+    val keys = col("bucket_start") +: by.map(col)
+    val v = col("value")
+    vagg.func match {
+      case "sum"   => inner.groupBy(keys: _*).agg(sum(v).as("value"))
+      case "avg"   => inner.groupBy(keys: _*).agg(avg(v).as("value"))
+      case "min"   => inner.groupBy(keys: _*).agg(min(v).as("value"))
+      case "max"   => inner.groupBy(keys: _*).agg(max(v).as("value"))
+      case "count" => inner.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
+      case "stddev" | "stdvar" =>
+        val (s1, s2, n) = varPopCols(v)
+        inner.groupBy(keys: _*).agg(s1.as("_s1"), s2.as("_s2"), n.as("_n"))
+          .withColumn("value",
+            (col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"))
+          .withColumn("value", if (vagg.func == "stddev") sqrt(col("value")) else col("value"))
+          .drop("_s1", "_s2", "_n")
+      case "topk" | "bottomk" =>
+        val k = vagg.param.getOrElse(throw Unsupported(s"${vagg.func} needs k")).toInt
+        // keep k highest/lowest series PER BUCKET (reference metrics.rs:2608)
+        val ord = (if (vagg.func == "topk") v.desc else v.asc) +:
+          table.seriesLabels.map(col(_).asc)
+        val w = Window.partitionBy(col("bucket_start")).orderBy(ord: _*)
+        inner.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .drop("_rn")
+      case other => throw Unsupported(s"vector aggregation $other")
+    }
+  }
+}

@@ -1,0 +1,271 @@
+package graft.logql
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent LogQL parser (reference grammar:
+  * src/logql/src/parser.rs — fresh implementation, same language subset).
+  *
+  * Grammar:
+  * {{{
+  * query      := metricExpr | logQuery
+  * metricExpr := vecFunc [ "(" num "," ] "(" rangeAgg ")" [byWithout]
+  *             | vecFunc byWithout "(" rangeAgg ")"
+  *             | rangeAgg
+  * rangeAgg   := rangeFunc "(" [num ","] logQuery "[" dur "]" ")"
+  * logQuery   := selector stage*
+  * selector   := "{" [matcher ("," matcher)*] "}"
+  * matcher    := ident ("=" | "!=" | "=~" | "!~") string
+  * stage      := "|=" str | "!=" str | "|~" str | "!~" str
+  *             | "|" ("json" | "logfmt" | "unwrap" ident | labelPred)
+  * labelPred  := labelAnd (("or") labelAnd)*
+  * labelAnd   := labelCmp (("and" | ",") labelCmp)*
+  * labelCmp   := ident strOp string | ident numOp number | "(" labelPred ")"
+  * }}}
+  */
+object Parser {
+
+  private val vectorFuncs =
+    Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "topk", "bottomk")
+  private val rangeFuncs = Set(
+    "count_over_time", "rate", "bytes_over_time", "bytes_rate",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "first_over_time", "last_over_time", "quantile_over_time",
+    "stddev_over_time", "stdvar_over_time")
+
+  def parse(input: String): Query = {
+    val p = new P(Lexer.tokenize(input))
+    val q = p.query()
+    p.expectEof()
+    q
+  }
+
+  /** Parse a line query only (selector + stages). */
+  def parseLogQuery(input: String): LogQuery = {
+    val p = new P(Lexer.tokenize(input))
+    val q = p.logQuery()
+    p.expectEof()
+    q
+  }
+
+  private final class P(toks: Vector[Tok]) {
+    private var i = 0
+    private def cur: Tok = toks(i)
+    private def advance(): Tok = { val t = cur; i += 1; t }
+    private def isOp(s: String): Boolean = cur match {
+      case TOp(o, _) => o == s
+      case _         => false
+    }
+    private def eatOp(s: String): Unit =
+      if (isOp(s)) i += 1 else throw ParseError(s"expected '$s'", cur.pos)
+    private def identOpt: Option[String] = cur match {
+      case TIdent(s, _) => Some(s)
+      case _            => None
+    }
+
+    def expectEof(): Unit = cur match {
+      case TEof(_) => ()
+      case t       => throw ParseError("trailing input", t.pos)
+    }
+
+    def query(): Query = cur match {
+      case TIdent(name, _) if vectorFuncs.contains(name) || rangeFuncs.contains(name) =>
+        MetricQuery(metricExpr())
+      case TOp("{", _) => LineQuery(logQuery())
+      case t           => throw ParseError("expected '{' or function", t.pos)
+    }
+
+    def metricExpr(): MetricExpr = cur match {
+      case TIdent(name, _) if vectorFuncs.contains(name) =>
+        advance()
+        var by = Seq.empty[String]
+        var without = Seq.empty[String]
+        var param: Option[Double] = None
+        // leading by/without
+        if (identOpt.contains("by") || identOpt.contains("without")) {
+          val (b, w) = byWithout()
+          by = b; without = w
+        }
+        eatOp("(")
+        cur match {
+          case TNum(v, _) if Set("topk", "bottomk", "quantile").contains(name) =>
+            advance(); eatOp(","); param = Some(v)
+          case _ => ()
+        }
+        val inner = rangeAgg()
+        eatOp(")")
+        if (by.isEmpty && without.isEmpty &&
+          (identOpt.contains("by") || identOpt.contains("without"))) {
+          val (b, w) = byWithout()
+          by = b; without = w
+        }
+        VectorExpr(VectorAgg(name, param, inner, by, without))
+      case TIdent(name, _) if rangeFuncs.contains(name) =>
+        RangeExpr(rangeAgg())
+      case t => throw ParseError("expected aggregation function", t.pos)
+    }
+
+    private def byWithout(): (Seq[String], Seq[String]) = {
+      val kind = advance() match {
+        case TIdent(k, _) => k
+        case t            => throw ParseError("expected by/without", t.pos)
+      }
+      eatOp("(")
+      val labels = Seq.newBuilder[String]
+      var first = true
+      while (!isOp(")")) {
+        if (!first) eatOp(",")
+        first = false
+        advance() match {
+          case TIdent(l, _) => labels += l
+          case t            => throw ParseError("expected label", t.pos)
+        }
+      }
+      eatOp(")")
+      if (kind == "by") (labels.result(), Seq.empty) else (Seq.empty, labels.result())
+    }
+
+    def rangeAgg(): RangeAgg = {
+      val name = advance() match {
+        case TIdent(f, _) if rangeFuncs.contains(f) => f
+        case t => throw ParseError("expected range function", t.pos)
+      }
+      eatOp("(")
+      var param: Option[Double] = None
+      cur match {
+        case TNum(v, _) if name == "quantile_over_time" =>
+          advance(); eatOp(","); param = Some(v)
+        case _ => ()
+      }
+      val q = logQuery()
+      val dur = cur match {
+        case TOp("[", _) =>
+          advance()
+          val d = advance() match {
+            case TDur(sec, _) => sec
+            case t            => throw ParseError("expected duration", t.pos)
+          }
+          eatOp("]")
+          d
+        case t => throw ParseError("expected '[range]'", t.pos)
+      }
+      eatOp(")")
+      RangeAgg(name, q, dur, param)
+    }
+
+    def logQuery(): LogQuery = {
+      val sel = selector()
+      val stages = Seq.newBuilder[Stage]
+      var done = false
+      while (!done) {
+        cur match {
+          case TOp("|=", _) => advance(); stages += Stage.LineFilter(LineOp.Contains, str())
+          case TOp("!=", _) => advance(); stages += Stage.LineFilter(LineOp.NotContains, str())
+          case TOp("|~", _) => advance(); stages += Stage.LineFilter(LineOp.Regex, str())
+          case TOp("!~", _) => advance(); stages += Stage.LineFilter(LineOp.NotRegex, str())
+          case TOp("|", _) =>
+            advance()
+            cur match {
+              case TIdent("json", _)   => advance(); stages += Stage.Json
+              case TIdent("logfmt", _) => advance(); stages += Stage.Logfmt
+              case TIdent("unwrap", _) =>
+                advance()
+                advance() match {
+                  case TIdent(l, _) => stages += Stage.Unwrap(l)
+                  case t            => throw ParseError("expected label after unwrap", t.pos)
+                }
+              case TIdent("ip", _) => throw Unsupported("ip() matcher is not supported")
+              case _               => stages += Stage.LabelFilter(labelPred())
+            }
+          case _ => done = true
+        }
+      }
+      LogQuery(sel, stages.result())
+    }
+
+    def selector(): Selector = {
+      eatOp("{")
+      val ms = Seq.newBuilder[LabelMatcher]
+      var first = true
+      while (!isOp("}")) {
+        if (!first) eatOp(",")
+        first = false
+        val label = advance() match {
+          case TIdent(l, _) => l
+          case t            => throw ParseError("expected label name", t.pos)
+        }
+        val op = advance() match {
+          case TOp("=", _)  => MatchOp.Eq
+          case TOp("!=", _) => MatchOp.Neq
+          case TOp("=~", _) => MatchOp.Re
+          case TOp("!~", _) => MatchOp.Nre
+          case t            => throw ParseError("expected matcher op", t.pos)
+        }
+        ms += LabelMatcher(label, op, str())
+      }
+      eatOp("}")
+      Selector(ms.result())
+    }
+
+    private def str(): String = advance() match {
+      case TStr(s, _) => s
+      case t          => throw ParseError("expected string", t.pos)
+    }
+
+    def labelPred(): LabelPredicate = {
+      var left = labelAnd()
+      while (identOpt.contains("or")) {
+        advance()
+        left = LabelPredicate.Or(left, labelAnd())
+      }
+      left
+    }
+
+    private def labelAnd(): LabelPredicate = {
+      var left = labelCmp()
+      var more = true
+      while (more) {
+        if (identOpt.contains("and")) { advance(); left = LabelPredicate.And(left, labelCmp()) }
+        else if (isOp(",")) { advance(); left = LabelPredicate.And(left, labelCmp()) }
+        else more = false
+      }
+      left
+    }
+
+    private def labelCmp(): LabelPredicate = {
+      if (isOp("(")) {
+        advance()
+        val p = labelPred()
+        eatOp(")")
+        return p
+      }
+      val label = advance() match {
+        case TIdent(l, _) => l
+        case t            => throw ParseError("expected label", t.pos)
+      }
+      val opTok = advance() match {
+        case TOp(o, _) => o
+        case t         => throw ParseError("expected comparison op", t.pos)
+      }
+      (opTok, cur) match {
+        case ("=", TStr(v, _))  => advance(); LabelPredicate.StrCmp(label, MatchOp.Eq, v)
+        case ("!=", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Neq, v)
+        case ("=~", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Re, v)
+        case ("!~", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Nre, v)
+        case (_, TNum(v, _)) =>
+          advance()
+          val op = opTok match {
+            case "==" | "=" => CmpOp.Eq
+            case "!="       => CmpOp.Neq
+            case ">"        => CmpOp.Gt
+            case ">="       => CmpOp.Gte
+            case "<"        => CmpOp.Lt
+            case "<="       => CmpOp.Lte
+            case o          => throw ParseError(s"bad numeric op '$o'", cur.pos)
+          }
+          LabelPredicate.NumCmp(label, op, v)
+        case (_, t) => throw ParseError("expected string or number", t.pos)
+      }
+    }
+  }
+}

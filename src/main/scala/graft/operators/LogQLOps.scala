@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SignalViews
+import graft.logql.{Lowering, Parser}
+import graft.logql.Ast._
+
+/** LogQL end-to-end entries: every query here goes through the REAL
+  * tokenizer → parser → lowering (graft.logql), over the logs view of the
+  * driver `events` table, and is oracle-checked against hand-written SQL
+  * with the same denotation (SURVEY §2.2/§2.4/§2.6).
+  */
+object LogQLOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def line(q: String, limit: Int): Q = (s, dir) => {
+    val t = SignalViews.logsTable(s, dir)
+    Parser.parse(q) match {
+      case LineQuery(lq) => Lowering.lowerLineQuery(t, lq, limit)
+      case _             => throw Unsupported("expected line query")
+    }
+  }
+
+  private def metric(q: String): Q = (s, dir) => {
+    val t = SignalViews.logsTable(s, dir)
+    Parser.parse(q) match {
+      case MetricQuery(m) => Lowering.lowerMetric(t, m)
+      case _              => throw Unsupported("expected metric query")
+    }
+  }
+
+  private val V = SignalViews.logsViewSql
+  private def bkt(step: Long) = s"(timestamp//1000000000//$step)*$step"
+
+  val queries: Map[String, Q] = Map(
+    // §2.2 label matchers + line contains filter; newest-first + limit
+    "q30_logql_line" ->
+      line("""{service_name="svc-3", severity_text!="debug"} |= "\"k\": 8"""", 200),
+
+    // §2.2 anchored regex matcher + | json numeric label filter
+    "q31_logql_json_filter" ->
+      line("""{service_name=~"svc-[0-3]"} | json | k >= 50""", 300),
+
+    // §2.4 count_over_time folded into sum by service
+    "q32_logql_count" ->
+      metric("""sum by (service_name) (count_over_time({severity_text="error"}[1d]))"""),
+
+    // §2.4 rate as bare range expr (grouped by full series identity)
+    "q33_logql_rate" ->
+      metric("""rate({service_name="svc-1"}[6h])"""),
+
+    // §2.4 unwrap sum with by() over a json-extracted label
+    "q34_logql_unwrap_sum" ->
+      metric("""sum by (event_type) (sum_over_time({severity_text="info"} | json | unwrap k [1w]))"""),
+
+    // §2.6 topk-per-bucket over series counts
+    "q35_logql_topk" ->
+      metric("""topk(2, count_over_time({severity_text="error"}[1d]))"""),
+
+    // §2.4 exact interpolated quantile over unwrapped values
+    "q36_logql_quantile" ->
+      metric("""quantile_over_time(0.5, {event_type="click"} | json | unwrap k [1w])"""),
+
+    // §2.4 bytes_over_time + regex matcher, sum by service
+    "q37_logql_bytes" ->
+      metric("""sum by (service_name) (bytes_over_time({severity_text=~"err.*|info"}[1d]))"""),
+
+    // §2.2 line regex + negated contains + label filter chain
+    "q38_logql_line_regex" ->
+      line("""{service_name="svc-2"} |~ "\"k\": [0-4][0-9]" != "3" | severity_text != "debug"""", 500),
+
+    // §2.4 stdvar via the exact sum/sumsq formula
+    "q39_logql_stdvar" ->
+      metric("""stdvar_over_time({severity_text="info"} | json | unwrap k [1w])"""),
+
+    // §2.4 last_over_time via deterministic per-(bucket,series) ordering
+    "q40_logql_last" ->
+      metric("""last_over_time({event_type="purchase"} | json | unwrap k [1d])""")
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_logql_line" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE service_name = 'svc-3' AND severity_text <> 'debug'
+         |  AND contains(body, '"k": 8')
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 200""".stripMargin,
+
+    "q31_logql_json_filter" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE regexp_full_match(service_name, 'svc-[0-3]')
+         |  AND CAST(json_extract_string(body, '$$.k') AS DOUBLE) >= 50
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 300""".stripMargin,
+
+    "q32_logql_count" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'error' GROUP BY 1, 2""".stripMargin,
+
+    "q33_logql_rate" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(21600)} AS bucket_start, service_name, severity_text,
+         |  event_type, COUNT(*) / 21600.0 AS value
+         |FROM logs WHERE service_name = 'svc-1' GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q34_logql_unwrap_sum" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(604800)} AS bucket_start, event_type,
+         |  CAST(SUM(CAST(json_extract_string(body, '$$.k') AS DOUBLE)) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'info' GROUP BY 1, 2""".stripMargin,
+
+    "q35_logql_topk" ->
+      s"""WITH logs AS ($V),
+         |inner_agg AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, severity_text,
+         |    event_type, CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM logs WHERE severity_text = 'error' GROUP BY 1, 2, 3, 4)
+         |SELECT bucket_start, service_name, severity_text, event_type, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+         |    ORDER BY value DESC, service_name ASC, severity_text ASC, event_type ASC) AS rn
+         |  FROM inner_agg) WHERE rn <= 2""".stripMargin,
+
+    "q36_logql_quantile" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(604800)} AS bucket_start, service_name, severity_text,
+         |  event_type,
+         |  quantile_cont(CAST(json_extract_string(body, '$$.k') AS DOUBLE), 0.5) AS value
+         |FROM logs WHERE event_type = 'click' GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q37_logql_bytes" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  CAST(SUM(length(body)) AS DOUBLE) AS value
+         |FROM logs WHERE regexp_full_match(severity_text, 'err.*|info')
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q38_logql_line_regex" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE service_name = 'svc-2'
+         |  AND regexp_matches(body, '"k": [0-4][0-9]')
+         |  AND NOT contains(body, '3')
+         |  AND severity_text <> 'debug'
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 500""".stripMargin,
+
+    "q39_logql_stdvar" ->
+      s"""WITH logs AS ($V),
+         |m AS (
+         |  SELECT ${bkt(604800)} AS bucket_start, service_name, severity_text,
+         |    event_type,
+         |    SUM(CAST(json_extract_string(body, '$$.k') AS DOUBLE)) AS s1,
+         |    SUM(CAST(json_extract_string(body, '$$.k') AS DOUBLE)
+         |        * CAST(json_extract_string(body, '$$.k') AS DOUBLE)) AS s2,
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM logs WHERE severity_text = 'info' GROUP BY 1, 2, 3, 4)
+         |SELECT bucket_start, service_name, severity_text, event_type,
+         |  (s2 - s1 * s1 / n) / n AS value
+         |FROM m""".stripMargin,
+
+    "q40_logql_last" ->
+      s"""WITH logs AS ($V),
+         |r AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, severity_text,
+         |    event_type,
+         |    CAST(json_extract_string(body, '$$.k') AS DOUBLE) AS value,
+         |    row_number() OVER (PARTITION BY ${bkt(86400)}, service_name,
+         |      severity_text, event_type
+         |      ORDER BY timestamp DESC, event_id DESC) AS rn
+         |  FROM logs WHERE event_type = 'purchase')
+         |SELECT bucket_start, service_name, severity_text, event_type, value
+         |FROM r WHERE rn = 1""".stripMargin
+  )
+}
