@@ -18,7 +18,8 @@ object SparkEntry {
     Seq(
       (operators.CoreOps.queries, operators.CoreOps.oracles),
       (operators.PipelineOps.queries, operators.PipelineOps.oracles),
-      (operators.LogQLOps.queries, operators.LogQLOps.oracles)
+      (operators.LogQLOps.queries, operators.LogQLOps.oracles),
+      (operators.PromQLOps.queries, operators.PromQLOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -14,7 +14,7 @@ object Lexer {
   final case class TEof(pos: Int) extends Tok
 
   private val multiOps = List("|=", "|~", "!=", "!~", "=~", ">=", "<=", "==")
-  private val singleOps = "{}(),[]|=<>".toSet
+  private val singleOps = "{}(),[]|=<>+-*/%^@".toSet
 
   def tokenize(in: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -46,13 +46,12 @@ object Lexer {
         }
         if (!closed) throw Ast.ParseError("unterminated string", start)
         out += TStr(sb.toString, start)
-      } else if (c.isDigit || (c == '-' && i + 1 < n && in(i + 1).isDigit)) {
+      } else if (c.isDigit) {
         val start = i
-        if (c == '-') i += 1
         while (i < n && (in(i).isDigit || in(i) == '.')) i += 1
         val numStr = in.substring(start, i)
-        // duration suffix? (only for non-negative integers: 5m, 1h30m not supported)
-        if (i < n && "smhdw".contains(in(i)) && !numStr.contains('.') && !numStr.startsWith("-")) {
+        // duration suffix? (only integers: 5m; compound 1h30m not supported)
+        if (i < n && "smhdw".contains(in(i)) && !numStr.contains('.')) {
           val unit = in(i); i += 1
           val mult = unit match {
             case 's' => 1L; case 'm' => 60L; case 'h' => 3600L

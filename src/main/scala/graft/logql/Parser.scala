@@ -247,13 +247,22 @@ object Parser {
         case TOp(o, _) => o
         case t         => throw ParseError("expected comparison op", t.pos)
       }
+      // unary minus on numeric literals
+      val neg = cur match {
+        case TOp("-", _) => advance(); true
+        case _           => false
+      }
+      def signed(v: Double): Double = if (neg) -v else v
       (opTok, cur) match {
+        case (_, TStr(_, _)) if neg =>
+          throw ParseError("'-' before string", cur.pos)
         case ("=", TStr(v, _))  => advance(); LabelPredicate.StrCmp(label, MatchOp.Eq, v)
         case ("!=", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Neq, v)
         case ("=~", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Re, v)
         case ("!~", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Nre, v)
-        case (_, TNum(v, _)) =>
+        case (_, TNum(v0, _)) =>
           advance()
+          val v = signed(v0)
           val op = opTok match {
             case "==" | "=" => CmpOp.Eq
             case "!="       => CmpOp.Neq

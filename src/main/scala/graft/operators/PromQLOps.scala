@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SignalViews
+import graft.promql.{Eval, Parser}
+import graft.promql.Eval.TimeRange
+
+/** PromQL end-to-end entries: real parse → Eval lowering over the metrics
+  * view of the driver events table (SURVEY §2.3/§2.4/§2.7/§2.8).
+  *
+  * Oracle determinism rule: no cross-series SUM/AVG over non-integer
+  * doubles (aggregation order is engine-dependent at 1 ulp); min/max/count,
+  * per-series first/last arithmetic, joins, and window ranks are exact.
+  */
+object PromQLOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Jan 2024 (events span Jan 1–30); end Feb 1 so one empty trailing
+    * bucket exercises absent(). */
+  private val T0 = 1704067200L
+  private val T1 = 1706745600L
+
+  private def q(query: String, stepSec: Long): Q = (s, dir) => {
+    val t = SignalViews.metricsTable(s, dir)
+    Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
+  }
+
+  private def qh(query: String, stepSec: Long): Q = (s, dir) => {
+    val t = SignalViews.histTable(s, dir)
+    Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
+  }
+
+  private val V = SignalViews.metricsViewSql
+  private val HV = SignalViews.histViewSql
+  private def bkt(step: Long) = s"(timestamp//1000000000//$step)*$step"
+  private def win(step: Long) =
+    s"timestamp >= ${T0 * 1000000000L} AND timestamp < ${T1 * 1000000000L}"
+
+  val queries: Map[String, Q] = Map(
+    // bare selector = last sample per (bucket, series) (reference `Last`)
+    "q41_promql_instant" -> q("""purchase{service_name="svc-1"}""", 86400),
+
+    // rate = (last-first)/range per (bucket, series)
+    "q42_promql_rate" -> q("""rate(click[1d])""", 86400),
+
+    // cross-series max of increase (order-independent outer agg)
+    "q43_promql_max_increase" -> q("""max(increase(purchase[1d]))""", 86400),
+
+    // vector binary op = inner equi join on (bucket, shared labels)
+    "q44_promql_ratio" -> q("""error / view""", 86400),
+
+    // series set algebra: and = semi join
+    "q45_promql_and" -> q("""error and purchase""", 86400),
+
+    // unless = anti join, or = union with left priority
+    "q46_promql_unless_or" -> q("""(error unless purchase) or click""", 86400),
+
+    // topk over an aggregated vector, per bucket
+    "q47_promql_topk" -> q("""topk(2, max by (service_name) (increase(click[1w])))""", 604800),
+
+    // scalar math chain + bool comparison
+    "q48_promql_math_bool" -> q("""clamp(abs(view - 100), 10, 80) > bool 50""", 86400),
+
+    // absent: data-independent spine anti-joined with data
+    "q49_promql_absent" -> q("""absent(purchase{service_name="svc-1"})""", 86400),
+
+    // label_replace with capture group
+    "q50_promql_label_replace" ->
+      q("""label_replace(purchase{service_name=~"svc-[0-2]"}, "env", "e$1", "service_name", "svc-(.*)")""", 86400),
+
+    // histogram_quantile over cumulative le series
+    "q51_promql_hist_quantile" ->
+      qh("""histogram_quantile(0.9, sum by (service_name, le) (sum_over_time(sample_bucket[1w])))""", 604800),
+
+    // irate: last two samples per (bucket, series)
+    "q52_promql_irate" -> q("""irate(view[1d])""", 86400),
+
+    // calendar function over the generated time spine
+    "q53_promql_day_of_week" -> q("""day_of_week(time())""", 86400),
+
+    // count_values over scalar-bucketed values
+    "q54_promql_count_values" -> q("""count_values("vb", floor(purchase / 50) * 50)""", 86400)
+  )
+
+  private def lastPerBucket(metricFilter: String, step: Long): String =
+    s"""SELECT * FROM (
+       |  SELECT ${bkt(step)} AS bucket_start, service_name, CAST(value AS DOUBLE) AS value,
+       |    row_number() OVER (PARTITION BY ${bkt(step)}, service_name
+       |      ORDER BY timestamp DESC, event_id DESC) AS rn
+       |  FROM m WHERE $metricFilter AND ${win(step)}) WHERE rn = 1""".stripMargin
+
+  private def firstLast(metricFilter: String, step: Long): String =
+    s"""SELECT ${bkt(step)} AS bucket_start, service_name,
+       |    MAX(CASE WHEN rnd = 1 THEN value END) AS lastv,
+       |    MAX(CASE WHEN rna = 1 THEN value END) AS firstv
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ${bkt(step)}, service_name
+       |        ORDER BY timestamp DESC, event_id DESC) AS rnd,
+       |      row_number() OVER (PARTITION BY ${bkt(step)}, service_name
+       |        ORDER BY timestamp ASC, event_id ASC) AS rna
+       |    FROM m WHERE $metricFilter AND ${win(step)})
+       |  GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q41_promql_instant" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'purchase' AND service_name = 'svc-1'", 86400)})
+         |SELECT bucket_start, service_name, value FROM l""".stripMargin,
+
+    "q42_promql_rate" ->
+      s"""WITH m AS ($V),
+         |fl AS (${firstLast("metric_name = 'click'", 86400)})
+         |SELECT bucket_start, service_name,
+         |  (lastv - firstv) / 86400.0 AS value FROM fl""".stripMargin,
+
+    "q43_promql_max_increase" ->
+      s"""WITH m AS ($V),
+         |fl AS (${firstLast("metric_name = 'purchase'", 86400)})
+         |SELECT bucket_start, MAX(lastv - firstv) AS value
+         |FROM fl GROUP BY 1""".stripMargin,
+
+    "q44_promql_ratio" ->
+      s"""WITH m AS ($V),
+         |e AS (${lastPerBucket("metric_name = 'error'", 86400)}),
+         |v AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT e.bucket_start AS bucket_start, e.service_name AS service_name,
+         |  e.value / v.value AS value
+         |FROM e JOIN v ON e.bucket_start = v.bucket_start
+         |  AND e.service_name = v.service_name""".stripMargin,
+
+    "q45_promql_and" ->
+      s"""WITH m AS ($V),
+         |e AS (${lastPerBucket("metric_name = 'error'", 86400)}),
+         |p AS (${lastPerBucket("metric_name = 'purchase'", 86400)})
+         |SELECT e.bucket_start, e.service_name, e.value FROM e
+         |WHERE EXISTS (SELECT 1 FROM p
+         |  WHERE p.bucket_start = e.bucket_start
+         |    AND p.service_name = e.service_name)""".stripMargin,
+
+    "q46_promql_unless_or" ->
+      s"""WITH m AS ($V),
+         |e AS (${lastPerBucket("metric_name = 'error'", 86400)}),
+         |p AS (${lastPerBucket("metric_name = 'purchase'", 86400)}),
+         |c AS (${lastPerBucket("metric_name = 'click'", 86400)}),
+         |u AS (
+         |  SELECT e.bucket_start, e.service_name, e.value FROM e
+         |  WHERE NOT EXISTS (SELECT 1 FROM p
+         |    WHERE p.bucket_start = e.bucket_start
+         |      AND p.service_name = e.service_name))
+         |SELECT bucket_start, service_name, value FROM u
+         |UNION ALL
+         |SELECT c.bucket_start, c.service_name, c.value FROM c
+         |WHERE NOT EXISTS (SELECT 1 FROM u
+         |  WHERE u.bucket_start = c.bucket_start
+         |    AND u.service_name = c.service_name)""".stripMargin,
+
+    "q47_promql_topk" ->
+      s"""WITH m AS ($V),
+         |fl AS (${firstLast("metric_name = 'click'", 604800)}),
+         |inc AS (SELECT bucket_start, service_name, lastv - firstv AS value FROM fl),
+         |mx AS (SELECT bucket_start, service_name, MAX(value) AS value
+         |       FROM inc GROUP BY 1, 2)
+         |SELECT bucket_start, service_name, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+         |    ORDER BY value DESC, service_name ASC) AS rn
+         |  FROM mx) WHERE rn <= 2""".stripMargin,
+
+    "q48_promql_math_bool" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT bucket_start, service_name,
+         |  CASE WHEN least(greatest(abs(value - 100), 10), 80) > 50
+         |       THEN 1.0 ELSE 0.0 END AS value
+         |FROM l""".stripMargin,
+
+    "q49_promql_absent" ->
+      s"""WITH m AS ($V),
+         |spine AS (
+         |  SELECT ${T0} + i * 86400 AS bucket_start
+         |  FROM range(0, ${(T1 - T0) / 86400}) r(i)),
+         |present AS (
+         |  SELECT DISTINCT ${bkt(86400)} AS bucket_start FROM m
+         |  WHERE metric_name = 'purchase' AND service_name = 'svc-1'
+         |    AND ${win(86400)})
+         |SELECT s.bucket_start, 1.0 AS value FROM spine s
+         |WHERE NOT EXISTS (SELECT 1 FROM present p
+         |  WHERE p.bucket_start = s.bucket_start)""".stripMargin,
+
+    "q50_promql_label_replace" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'purchase' AND regexp_full_match(service_name, 'svc-[0-2]')", 86400)})
+         |SELECT bucket_start, service_name,
+         |  regexp_replace(service_name, '^(?:svc-(.*))$$', 'e\\1') AS env, value
+         |FROM l""".stripMargin,
+
+    "q51_promql_hist_quantile" ->
+      s"""WITH h AS ($HV),
+         |agg AS (
+         |  SELECT ${bkt(604800)} AS bucket_start, service_name, le,
+         |    CAST(SUM(value) AS DOUBLE) AS cum
+         |  FROM h WHERE ${win(604800)} GROUP BY 1, 2, 3),
+         |x AS (
+         |  SELECT *,
+         |    CASE WHEN le = '+Inf' THEN 'inf'::DOUBLE ELSE CAST(le AS DOUBLE) END AS le_n
+         |  FROM agg),
+         |y AS (
+         |  SELECT *,
+         |    lag(le_n, 1, 0.0) OVER w AS prev_le,
+         |    lag(cum, 1, 0.0) OVER w AS prev_cum,
+         |    MAX(CASE WHEN le = '+Inf' THEN cum END)
+         |      OVER (PARTITION BY bucket_start, service_name) AS total,
+         |    MAX(CASE WHEN le <> '+Inf' THEN le_n END)
+         |      OVER (PARTITION BY bucket_start, service_name) AS maxfinite
+         |  FROM x
+         |  WINDOW w AS (PARTITION BY bucket_start, service_name ORDER BY le_n ASC)),
+         |hit AS (
+         |  SELECT *, 0.9 * total AS rank_,
+         |    row_number() OVER (PARTITION BY bucket_start, service_name
+         |                       ORDER BY le_n ASC) AS rn
+         |  FROM y WHERE total > 0 AND cum >= 0.9 * total)
+         |SELECT bucket_start, service_name,
+         |  CASE WHEN le = '+Inf' THEN maxfinite
+         |       ELSE prev_le + (le_n - prev_le) * (rank_ - prev_cum) / (cum - prev_cum)
+         |  END AS value
+         |FROM hit WHERE rn = 1""".stripMargin,
+
+    "q52_promql_irate" ->
+      s"""WITH m AS ($V),
+         |r AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, value, timestamp,
+         |    row_number() OVER (PARTITION BY ${bkt(86400)}, service_name
+         |      ORDER BY timestamp DESC, event_id DESC) AS rn
+         |  FROM m WHERE metric_name = 'view' AND ${win(86400)}),
+         |g AS (
+         |  SELECT bucket_start, service_name,
+         |    MAX(CASE WHEN rn = 1 THEN value END) AS v1,
+         |    MAX(CASE WHEN rn = 2 THEN value END) AS v2,
+         |    MAX(CASE WHEN rn = 1 THEN timestamp END) AS t1,
+         |    MAX(CASE WHEN rn = 2 THEN timestamp END) AS t2,
+         |    COUNT(*) FILTER (rn <= 2) AS n
+         |  FROM r GROUP BY 1, 2)
+         |SELECT bucket_start, service_name,
+         |  (v1 - v2) / (CAST(t1 - t2 AS DOUBLE) / 1e9) AS value
+         |FROM g WHERE n = 2""".stripMargin,
+
+    "q53_promql_day_of_week" ->
+      s"""SELECT ${T0} + i * 86400 AS bucket_start,
+         |  CAST(dayofweek(to_timestamp(${T0} + i * 86400)) AS DOUBLE) AS value
+         |FROM range(0, ${(T1 - T0) / 86400}) r(i)""".stripMargin,
+
+    "q54_promql_count_values" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'purchase'", 86400)})
+         |SELECT bucket_start, CAST(floor(value / 50) * 50 AS VARCHAR) AS vb,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM l GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft.promql
+
+/** PromQL AST subset (reference surface: src/querier/src/query/promql.rs
+  * — specs at :46-66 aggregations, :161-184 value ops, :277-306 label ops /
+  * calendar; parsing there is outsourced to the promql-parser crate, ours is
+  * a fresh recursive-descent parser over the same language subset).
+  */
+object Ast {
+
+  sealed trait MatchOp
+  object MatchOp {
+    case object Eq extends MatchOp
+    case object Neq extends MatchOp
+    case object Re extends MatchOp
+    case object Nre extends MatchOp
+  }
+  final case class LabelMatcher(label: String, op: MatchOp, value: String)
+
+  sealed trait Expr
+  final case class NumLit(v: Double) extends Expr
+  final case class StrLit(s: String) extends Expr
+
+  /** `metric{matchers}[range]` — instant if `rangeSec` empty. */
+  final case class Selector(
+      metric: Option[String],
+      matchers: Seq[LabelMatcher],
+      rangeSec: Option[Long]) extends Expr
+
+  /** Function call: rate, increase, irate, abs, clamp, absent,
+    * histogram_quantile, label_replace, … */
+  final case class Call(func: String, args: Seq[Expr]) extends Expr
+
+  /** Aggregation operator with grouping. */
+  final case class Agg(
+      op: String,
+      param: Option[Expr],
+      expr: Expr,
+      by: Seq[String],
+      without: Seq[String]) extends Expr
+
+  /** Binary op; `bool` for comparison operators. */
+  final case class Binary(op: String, lhs: Expr, rhs: Expr, bool: Boolean) extends Expr
+
+  final case class Unsupported(msg: String) extends RuntimeException(msg)
+  final case class ParseError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")
+
+  val aggOps: Set[String] = Set(
+    "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
+    "topk", "bottomk", "quantile", "count_values")
+
+  val rangeFuncs: Set[String] = Set(
+    "rate", "increase", "delta", "irate", "idelta", "deriv",
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "stddev_over_time",
+    "stdvar_over_time", "quantile_over_time", "absent_over_time")
+
+  val scalarFuncs: Set[String] = Set(
+    "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
+    "sgn", "clamp", "clamp_min", "clamp_max")
+
+  val otherFuncs: Set[String] = Set(
+    "absent", "histogram_quantile", "label_replace", "label_join",
+    "scalar", "vector", "time", "timestamp", "sort", "sort_desc",
+    "day_of_week", "day_of_month", "day_of_year", "days_in_month",
+    "hour", "minute", "month", "year")
+}

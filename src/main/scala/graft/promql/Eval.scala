@@ -1,0 +1,501 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import Ast._
+
+/** PromQL evaluation → DataFrame plans (reference:
+  * src/querier/src/query/metrics.rs eval_plan and friends — but where the
+  * reference post-processes collected matrices in Rust (binary ops, topk,
+  * label ops, metrics.rs:415-909,1813-2691), we lower EVERYTHING into
+  * DataFrame joins/windows so no driver-side map ever materializes a
+  * matrix; the reference tracks this as desirable itself (#951,
+  * metrics.rs:60-78). At 100 TB that is the difference between a
+  * cardinality guard and a shuffle.)
+  *
+  * Model: a vector expression evaluates to rows (bucket_start, labels…,
+  * value) over step-aligned tumbling buckets, origin 0 (date_bin parity,
+  * metrics.rs:2703-2727). Range windows are approximated by the step
+  * bucket — exact when range == step (documented, logql_metric.rs:11-15);
+  * range seconds still drive rate denominators (metrics.rs:939-1046).
+  */
+object Eval {
+
+  /** metrics-shaped table: timestamp Long nanos, metric_name, value double,
+    * label columns; tieBreak gives deterministic sample order. */
+  final case class MetricsTable(
+      df: DataFrame,
+      seriesLabels: Seq[String],
+      tieBreak: Seq[String] = Seq.empty)
+
+  final case class TimeRange(startSec: Long, endSec: Long, stepSec: Long)
+
+  /** A lowered vector: df columns = bucket_start :: labels ::: value. */
+  final case class Vec(df: DataFrame, labels: Seq[String])
+
+  sealed trait Value
+  final case class VecV(v: Vec) extends Value
+  final case class ScalV(d: Double) extends Value
+
+  def evalVector(e: Expr, t: MetricsTable, tr: TimeRange): Vec =
+    eval(e, t, tr) match {
+      case VecV(v)  => v
+      case ScalV(d) => spine(t, tr, lit(d))
+    }
+
+  private def bucket: Column = col("bucket_start")
+
+  private def bucketExpr(stepSec: Long): Column =
+    expr(s"(timestamp div 1000000000) div $stepSec * $stepSec")
+
+  /** data-independent step spine (for scalar-only exprs, absent, time()) —
+    * sequence+explode, no table scan (SURVEY §2.4 absent). */
+  private def spine(t: MetricsTable, tr: TimeRange, v: Column): Vec = {
+    val s0 = tr.startSec / tr.stepSec * tr.stepSec
+    val s1 = (tr.endSec - 1) / tr.stepSec * tr.stepSec
+    val df = t.df.sparkSession.range(1)
+      .select(explode(sequence(lit(s0), lit(s1), lit(tr.stepSec))).as("bucket_start"))
+      .withColumn("value", v.cast(DoubleType))
+    Vec(df, Seq.empty)
+  }
+
+  def eval(e: Expr, t: MetricsTable, tr: TimeRange): Value = e match {
+    case NumLit(v) => ScalV(v)
+    case StrLit(_) => throw Unsupported("bare string is not a vector")
+
+    case sel @ Selector(_, _, None) => VecV(instant(sel, t, tr))
+    case Selector(_, _, Some(_)) =>
+      throw Unsupported("range selector outside a range function")
+
+    case Call(f, args) => call(f, args, t, tr)
+
+    case Agg(op, param, inner, by, without) =>
+      VecV(agg(op, param, evalVector(inner, t, tr), by, without, t, tr))
+
+    case Binary(op, l, r, boolMode) => binary(op, l, r, boolMode, t, tr)
+  }
+
+  // ---- selectors --------------------------------------------------------
+
+  private def baseFilter(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
+    var df = t.df.filter(
+      col("timestamp") >= lit(tr.startSec * 1000000000L) &&
+        col("timestamp") < lit(tr.endSec * 1000000000L))
+    sel.metric.foreach(m => df = df.filter(col("metric_name") === m))
+    for (m <- sel.matchers) {
+      val c = col(m.label)
+      df = df.filter(m.op match {
+        case MatchOp.Eq  => c === m.value
+        case MatchOp.Neq => c =!= m.value
+        case MatchOp.Re  => c.rlike("^(?:" + m.value + ")$")
+        case MatchOp.Nre => !c.rlike("^(?:" + m.value + ")$")
+      })
+    }
+    df
+  }
+
+  /** bare selector = LAST sample per (bucket, series) — reference `Last`
+    * (promql.rs:46-66), deterministic via tieBreak ordering. */
+  private def instant(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+    val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
+    val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
+    Vec(
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(bucket +: t.seriesLabels.map(col) :+ col("value").cast(DoubleType).as("value"): _*),
+      t.seriesLabels)
+  }
+
+  // ---- functions --------------------------------------------------------
+
+  private def rangeSel(args: Seq[Expr], f: String): Selector = args match {
+    case Seq(s @ Selector(_, _, Some(_))) => s
+    case _ => throw Unsupported(s"$f expects a range selector")
+  }
+
+  private def call(f: String, args: Seq[Expr], t: MetricsTable, tr: TimeRange): Value = f match {
+    // counter-window reducers: ordered first/last per (bucket, series)
+    // (reference metrics.rs:939-1046)
+    case "rate" | "increase" | "delta" =>
+      val sel = rangeSel(args, f)
+      val rs = sel.rangeSec.get
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+      val keys = bucket +: t.seriesLabels.map(col)
+      // deterministic first/last: max_by/min_by over (timestamp, tieBreak)
+      val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
+      val d = df.groupBy(keys: _*).agg(
+        max_by(col("value"), ordStruct).as("_last"),
+        min_by(col("value"), ordStruct).as("_first"))
+      val delta = col("_last") - col("_first")
+      val v = if (f == "rate") delta / lit(rs.toDouble) else delta
+      VecV(Vec(d.withColumn("value", v.cast(DoubleType)).drop("_first", "_last"),
+        t.seriesLabels))
+
+    case "irate" | "idelta" =>
+      val sel = rangeSel(args, f)
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+      val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
+      val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
+      val last2 = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 2)
+      val keys = bucket +: t.seriesLabels.map(col)
+      val g = last2.groupBy(keys: _*).agg(
+        max_by(col("value"), col("_rn") * -1).as("_v1"), // rn=1 → latest
+        min_by(col("value"), col("_rn") * -1).as("_v2"),
+        max_by(col("timestamp"), col("_rn") * -1).as("_t1"),
+        min_by(col("timestamp"), col("_rn") * -1).as("_t2"),
+        count(lit(1)).as("_n"))
+        .filter(col("_n") === 2)
+      val dv = col("_v1") - col("_v2")
+      val v = if (f == "idelta") dv
+        else dv / ((col("_t1") - col("_t2")).cast(DoubleType) / lit(1e9))
+      VecV(Vec(g.withColumn("value", v.cast(DoubleType))
+        .drop("_v1", "_v2", "_t1", "_t2", "_n"), t.seriesLabels))
+
+    case "deriv" =>
+      val sel = rangeSel(args, f)
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+      val keys = bucket +: t.seriesLabels.map(col)
+      val secs = (col("timestamp").cast(DoubleType)) / lit(1e9)
+      VecV(Vec(
+        df.groupBy(keys: _*).agg(regr_slope(col("value"), secs).as("value")),
+        t.seriesLabels))
+
+    case "sum_over_time" | "avg_over_time" | "min_over_time" | "max_over_time" |
+        "count_over_time" | "last_over_time" | "stddev_over_time" |
+        "stdvar_over_time" | "quantile_over_time" =>
+      overTime(f, args, t, tr)
+
+    case "absent" | "absent_over_time" =>
+      val inner = args match {
+        case Seq(s: Selector) => s.copy(rangeSec = None)
+        case _                => throw Unsupported(s"$f expects a selector")
+      }
+      val present = instant(inner, t, tr).df.select(bucket).distinct()
+      val sp = spine(t, tr, lit(1.0))
+      VecV(Vec(sp.df.join(present, Seq("bucket_start"), "left_anti"), Seq.empty))
+
+    case "time" =>
+      VecV(spine(t, tr, bucket.cast(DoubleType)))
+
+    case "timestamp" =>
+      val v = evalVector(args.head, t, tr)
+      VecV(Vec(v.df.withColumn("value", bucket.cast(DoubleType)), v.labels))
+
+    case "vector" =>
+      args.head match {
+        case NumLit(d) => VecV(spine(t, tr, lit(d)))
+        case _         => throw Unsupported("vector() expects a scalar")
+      }
+
+    case "scalar" =>
+      val v = evalVector(args.head, t, tr)
+      val g = v.df.groupBy(bucket)
+        .agg(count(lit(1)).as("_n"), max(col("value")).as("_v"))
+        .withColumn("value",
+          when(col("_n") === 1, col("_v")).otherwise(lit(Double.NaN)))
+        .select(bucket, col("value"))
+      VecV(Vec(g, Seq.empty))
+
+    case "abs" | "ceil" | "floor" | "round" | "sqrt" | "exp" | "ln" | "log2" |
+        "log10" | "sgn" =>
+      val v = evalVector(args.head, t, tr)
+      val x = col("value")
+      val fx = f match {
+        case "abs"   => abs(x)
+        case "ceil"  => ceil(x).cast(DoubleType)
+        case "floor" => floor(x).cast(DoubleType)
+        case "round" => round(x, 0).cast(DoubleType)
+        case "sqrt"  => sqrt(x)
+        case "exp"   => exp(x)
+        case "ln"    => log(x)
+        case "log2"  => log2(x)
+        case "log10" => log10(x)
+        case "sgn"   => signum(x)
+      }
+      VecV(Vec(v.df.withColumn("value", fx), v.labels))
+
+    case "clamp" | "clamp_min" | "clamp_max" =>
+      val v = evalVector(args.head, t, tr)
+      def num(i: Int): Double = args(i) match {
+        case NumLit(d) => d
+        case _         => throw Unsupported(s"$f bounds must be scalars")
+      }
+      val x = col("value")
+      val fx = f match {
+        case "clamp"     => least(greatest(x, lit(num(1))), lit(num(2)))
+        case "clamp_min" => greatest(x, lit(num(1)))
+        case "clamp_max" => least(x, lit(num(1)))
+      }
+      VecV(Vec(v.df.withColumn("value", fx), v.labels))
+
+    case "day_of_week" | "day_of_month" | "day_of_year" | "days_in_month" |
+        "hour" | "minute" | "month" | "year" =>
+      val v = args.headOption.map(a => evalVector(a, t, tr))
+        .getOrElse(spine(t, tr, bucket.cast(DoubleType)))
+      val ts = timestamp_seconds(col("value"))
+      val fx = f match {
+        case "day_of_week"   => dayofweek(ts) - 1 // Prometheus: 0=Sunday
+        case "day_of_month"  => dayofmonth(ts)
+        case "day_of_year"   => dayofyear(ts)
+        case "days_in_month" => dayofmonth(last_day(ts))
+        case "hour"          => hour(ts)
+        case "minute"        => minute(ts)
+        case "month"         => month(ts)
+        case "year"          => year(ts)
+      }
+      VecV(Vec(v.df.withColumn("value", fx.cast(DoubleType)), v.labels))
+
+    case "label_replace" =>
+      (args: @unchecked) match {
+        case Seq(e1, StrLit(dst), StrLit(repl), StrLit(src), StrLit(regex)) =>
+          val v = evalVector(e1, t, tr)
+          val anchored = "^(?:" + regex + ")$"
+          val srcCol = if (v.labels.contains(src)) col(src) else lit("")
+          val newVal = when(srcCol.rlike(anchored),
+            regexp_replace(srcCol, anchored, repl))
+            .otherwise(if (v.labels.contains(dst)) col(dst) else lit(""))
+          val df = v.df.withColumn(dst, newVal)
+          VecV(Vec(df, if (v.labels.contains(dst)) v.labels else v.labels :+ dst))
+      }
+
+    case "label_join" =>
+      (args: @unchecked) match {
+        case Seq(e1, StrLit(dst), StrLit(sep), srcs @ _*) =>
+          val v = evalVector(e1, t, tr)
+          val parts = srcs.map { case StrLit(s) => col(s); case _ => throw Unsupported("label_join sources must be strings") }
+          val df = v.df.withColumn(dst, concat_ws(sep, parts: _*))
+          VecV(Vec(df, if (v.labels.contains(dst)) v.labels else v.labels :+ dst))
+      }
+
+    case "sort" | "sort_desc" =>
+      val v = evalVector(args.head, t, tr)
+      val ord = if (f == "sort") col("value").asc else col("value").desc
+      VecV(Vec(v.df.orderBy(ord +: v.labels.map(col(_).asc): _*), v.labels))
+
+    case "histogram_quantile" =>
+      val phi = args.head match {
+        case NumLit(d) => d
+        case _         => throw Unsupported("histogram_quantile needs scalar φ")
+      }
+      val v = evalVector(args(1), t, tr)
+      VecV(histogramQuantile(phi, v))
+
+    case other => throw Unsupported(s"function $other")
+  }
+
+  private def overTime(f: String, args: Seq[Expr], t: MetricsTable, tr: TimeRange): Value = {
+    val sel = rangeSel(args.lastOption.toSeq, f) // quantile has (phi, sel)
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+    val keys = bucket +: t.seriesLabels.map(col)
+    val x = col("value").cast(DoubleType)
+    val out = f match {
+      case "sum_over_time"   => df.groupBy(keys: _*).agg(sum(x).as("value"))
+      case "avg_over_time"   => df.groupBy(keys: _*).agg(avg(x).as("value"))
+      case "min_over_time"   => df.groupBy(keys: _*).agg(min(x).as("value"))
+      case "max_over_time"   => df.groupBy(keys: _*).agg(max(x).as("value"))
+      case "count_over_time" => df.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
+      case "last_over_time" =>
+        val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
+        df.groupBy(keys: _*).agg(max_by(x, ordStruct).as("value"))
+      case "stddev_over_time" | "stdvar_over_time" =>
+        val g = df.groupBy(keys: _*)
+          .agg(sum(x).as("_s1"), sum(x * x).as("_s2"), count(lit(1)).cast(DoubleType).as("_n"))
+          .withColumn("value", (col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"))
+        (if (f == "stddev_over_time") g.withColumn("value", sqrt(col("value"))) else g)
+          .drop("_s1", "_s2", "_n")
+      case "quantile_over_time" =>
+        val phi = args.head match {
+          case NumLit(d) => d
+          case _         => throw Unsupported("quantile_over_time needs φ")
+        }
+        df.groupBy(keys: _*).agg(percentile(x, lit(phi)).as("value"))
+    }
+    VecV(Vec(out, t.seriesLabels))
+  }
+
+  /** Prometheus histogram_quantile over cumulative `le` series
+    * (reference metrics.rs:1061-1224,2363): per (bucket, labels∖le) find the
+    * first bucket whose cumulative count ≥ φ·total and linearly
+    * interpolate; +Inf picks the highest finite bound. */
+  private def histogramQuantile(phi: Double, v: Vec): Vec = {
+    if (!v.labels.contains("le"))
+      throw Unsupported("histogram_quantile input must carry an 'le' label")
+    val groupLabels = v.labels.filterNot(_ == "le")
+    val leNum = when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+      .otherwise(col("le").cast(DoubleType))
+    val keys = bucket +: groupLabels.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("_le").asc)
+    val df = v.df
+      .withColumn("_le", leNum)
+      .withColumn("_prev_le", lag(col("_le"), 1, 0.0).over(w))
+      .withColumn("_prev_cum", lag(col("value"), 1, 0.0).over(w))
+      .withColumn("_total", max(when(col("_le") === Double.PositiveInfinity, col("value"))).over(
+        Window.partitionBy(keys: _*)))
+      .withColumn("_maxfinite", max(when(col("_le") =!= Double.PositiveInfinity, col("_le"))).over(
+        Window.partitionBy(keys: _*)))
+      .withColumn("_rank", lit(phi) * col("_total"))
+    val hit = df
+      .filter(col("_total") > 0 && col("value") >= col("_rank"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val interp = when(col("_le") === Double.PositiveInfinity, col("_maxfinite"))
+      .otherwise(
+        col("_prev_le") + (col("_le") - col("_prev_le")) *
+          (col("_rank") - col("_prev_cum")) / (col("value") - col("_prev_cum")))
+    Vec(
+      hit.withColumn("value", interp)
+        .select(bucket +: groupLabels.map(col) :+ col("value"): _*),
+      groupLabels)
+  }
+
+  // ---- aggregations -----------------------------------------------------
+
+  private def agg(op: String, param: Option[Expr], v: Vec, by: Seq[String],
+      without: Seq[String], t: MetricsTable, tr: TimeRange): Vec = {
+    val outLabels =
+      if (by.nonEmpty) by
+      else if (without.nonEmpty) v.labels.filterNot(without.contains)
+      else Seq.empty
+    val keys = bucket +: outLabels.map(col)
+    val x = col("value")
+    op match {
+      case "sum"   => Vec(v.df.groupBy(keys: _*).agg(sum(x).as("value")), outLabels)
+      case "avg"   => Vec(v.df.groupBy(keys: _*).agg(avg(x).as("value")), outLabels)
+      case "min"   => Vec(v.df.groupBy(keys: _*).agg(min(x).as("value")), outLabels)
+      case "max"   => Vec(v.df.groupBy(keys: _*).agg(max(x).as("value")), outLabels)
+      case "count" => Vec(v.df.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value")), outLabels)
+      case "group" => Vec(v.df.groupBy(keys: _*).agg(lit(1.0).as("value")), outLabels)
+      case "stddev" | "stdvar" =>
+        val g = v.df.groupBy(keys: _*)
+          .agg(sum(x).as("_s1"), sum(x * x).as("_s2"), count(lit(1)).cast(DoubleType).as("_n"))
+          .withColumn("value", (col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"))
+        Vec((if (op == "stddev") g.withColumn("value", sqrt(col("value"))) else g)
+          .drop("_s1", "_s2", "_n"), outLabels)
+      case "quantile" =>
+        val phi = param match {
+          case Some(NumLit(d)) => d
+          case _               => throw Unsupported("quantile needs scalar φ")
+        }
+        Vec(v.df.groupBy(keys: _*).agg(percentile(x, lit(phi)).as("value")), outLabels)
+      case "topk" | "bottomk" =>
+        val k = param match {
+          case Some(NumLit(d)) => d.toInt
+          case _               => throw Unsupported(s"$op needs k")
+        }
+        // top/bottom k series PER BUCKET (reference metrics.rs:2608-2691);
+        // label ascending tie-break keeps the cut deterministic
+        val ord = (if (op == "topk") x.desc else x.asc) +: v.labels.map(col(_).asc)
+        val w = Window.partitionBy(bucket).orderBy(ord: _*)
+        Vec(v.df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn"),
+          v.labels)
+      case "count_values" =>
+        val lbl = param match {
+          case Some(StrLit(s)) => s
+          case _               => throw Unsupported("count_values needs a label name")
+        }
+        val df = v.df.withColumn(lbl, x.cast(StringType))
+          .groupBy(bucket +: (outLabels :+ lbl).map(col): _*)
+          .agg(count(lit(1)).cast(DoubleType).as("value"))
+        Vec(df, outLabels :+ lbl)
+      case other => throw Unsupported(s"aggregation $other")
+    }
+  }
+
+  // ---- binary operators -------------------------------------------------
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case _   => throw Unsupported(s"operator $op")
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case ">"  => l > r
+    case "<"  => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case "==" => l === r
+    case "!=" => l =!= r
+  }
+
+  private val cmpSet = Set(">", "<", ">=", "<=", "==", "!=")
+
+  private def binary(op: String, le: Expr, re: Expr, boolMode: Boolean,
+      t: MetricsTable, tr: TimeRange): Value = {
+    (eval(le, t, tr), eval(re, t, tr)) match {
+      case (ScalV(a), ScalV(b)) =>
+        if (cmpSet(op)) throw Unsupported("scalar comparison needs bool")
+        else ScalV(op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+          case "%" => a % b
+        })
+
+      case (VecV(v), ScalV(s)) =>
+        val c = lit(s)
+        if (cmpSet(op)) {
+          val kept =
+            if (boolMode)
+              v.df.withColumn("value",
+                when(cmp(op, col("value"), c), 1.0).otherwise(0.0))
+            else v.df.filter(cmp(op, col("value"), c))
+          VecV(Vec(kept, v.labels))
+        } else VecV(Vec(v.df.withColumn("value", arith(op, col("value"), c)), v.labels))
+
+      case (ScalV(s), VecV(v)) =>
+        val c = lit(s)
+        if (cmpSet(op)) {
+          val kept =
+            if (boolMode)
+              v.df.withColumn("value",
+                when(cmp(op, c, col("value")), 1.0).otherwise(0.0))
+            else v.df.filter(cmp(op, c, col("value")))
+          VecV(Vec(kept, v.labels))
+        } else VecV(Vec(v.df.withColumn("value", arith(op, c, col("value"))), v.labels))
+
+      case (VecV(l), VecV(r)) =>
+        val shared = l.labels.intersect(r.labels)
+        val joinKeys = "bucket_start" +: shared
+        op match {
+          case "and" =>
+            // semi-join on series identity (reference metrics.rs:570-659)
+            VecV(Vec(l.df.join(r.df.select(joinKeys.map(col): _*).distinct(),
+              joinKeys, "left_semi"), l.labels))
+          case "unless" =>
+            VecV(Vec(l.df.join(r.df.select(joinKeys.map(col): _*).distinct(),
+              joinKeys, "left_anti"), l.labels))
+          case "or" =>
+            if (l.labels != r.labels)
+              throw Unsupported("or requires identical label sets")
+            // union with left priority: right rows only for missing keys
+            val rOnly = r.df.join(l.df.select(joinKeys.map(col): _*).distinct(),
+              joinKeys, "left_anti")
+            VecV(Vec(l.df.unionByName(rOnly), l.labels))
+          case _ =>
+            // one-to-one vector match on (bucket, shared labels) — a real
+            // equi join, not a collect-side hash map
+            val lf = l.df.withColumnRenamed("value", "_lv")
+            val rf = r.df.select((joinKeys :+ "value").map(col): _*)
+              .withColumnRenamed("value", "_rv")
+            val j = lf.join(rf, joinKeys, "inner")
+            val out =
+              if (cmpSet(op)) {
+                if (boolMode)
+                  j.withColumn("value",
+                    when(cmp(op, col("_lv"), col("_rv")), 1.0).otherwise(0.0))
+                else j.filter(cmp(op, col("_lv"), col("_rv")))
+                  .withColumn("value", col("_lv"))
+              } else j.withColumn("value", arith(op, col("_lv"), col("_rv")))
+            VecV(Vec(out.drop("_lv", "_rv"), l.labels))
+        }
+    }
+  }
+}

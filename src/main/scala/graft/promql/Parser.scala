@@ -1,0 +1,209 @@
+package graft.promql
+
+import Ast._
+import graft.logql.Lexer
+import graft.logql.Lexer._
+
+/** Recursive-descent PromQL parser with precedence climbing.
+  *
+  * Precedence (loosest → tightest), per the Prometheus spec:
+  * or | unless/and | comparisons | +,- | *,/,% | ^ | unary | atom.
+  * Reuses the LogQL tokenizer (same token shapes).
+  */
+object Parser {
+
+  def parse(input: String): Expr = {
+    val p = new P(Lexer.tokenize(input))
+    val e = p.expr()
+    p.expectEof()
+    e
+  }
+
+  private final class P(toks: Vector[Tok]) {
+    private var i = 0
+    private def cur: Tok = toks(i)
+    private def advance(): Tok = { val t = cur; i += 1; t }
+    private def isOp(s: String): Boolean = cur match {
+      case TOp(o, _) => o == s
+      case _         => false
+    }
+    private def isIdent(s: String): Boolean = cur match {
+      case TIdent(o, _) => o == s
+      case _            => false
+    }
+    private def eatOp(s: String): Unit =
+      if (isOp(s)) i += 1 else throw ParseError(s"expected '$s'", cur.pos)
+
+    def expectEof(): Unit = cur match {
+      case TEof(_) => ()
+      case t       => throw ParseError("trailing input", t.pos)
+    }
+
+    def expr(): Expr = orExpr()
+
+    private def orExpr(): Expr = {
+      var l = setExpr()
+      while (isIdent("or")) { advance(); l = Binary("or", l, setExpr(), bool = false) }
+      l
+    }
+
+    private def setExpr(): Expr = {
+      var l = cmpExpr()
+      var go = true
+      while (go) {
+        if (isIdent("and")) { advance(); l = Binary("and", l, cmpExpr(), bool = false) }
+        else if (isIdent("unless")) { advance(); l = Binary("unless", l, cmpExpr(), bool = false) }
+        else go = false
+      }
+      l
+    }
+
+    private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+    private def cmpExpr(): Expr = {
+      var l = addExpr()
+      var go = true
+      while (go) {
+        cur match {
+          case TOp(o, _) if cmpOps(o) =>
+            advance()
+            val bool = if (isIdent("bool")) { advance(); true } else false
+            l = Binary(o, l, addExpr(), bool)
+          case _ => go = false
+        }
+      }
+      l
+    }
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var go = true
+      while (go) {
+        cur match {
+          case TOp(o, _) if o == "+" || o == "-" =>
+            advance(); l = Binary(o, l, mulExpr(), bool = false)
+          case _ => go = false
+        }
+      }
+      l
+    }
+
+    private def mulExpr(): Expr = {
+      var l = unary()
+      var go = true
+      while (go) {
+        cur match {
+          case TOp(o, _) if o == "*" || o == "/" || o == "%" =>
+            advance(); l = Binary(o, l, unary(), bool = false)
+          case _ => go = false
+        }
+      }
+      l
+    }
+
+    private def unary(): Expr = cur match {
+      case TOp("-", _) => advance(); Binary("-", NumLit(0), unary(), bool = false)
+      case _           => atom()
+    }
+
+    private def atom(): Expr = cur match {
+      case TNum(v, _) => advance(); NumLit(v)
+      case TStr(s, _) => advance(); StrLit(s)
+      case TOp("(", _) =>
+        advance(); val e = expr(); eatOp(")"); e
+      case TOp("{", _) => selector(None)
+      case TIdent(name, _) if aggOps(name) =>
+        advance()
+        var by = Seq.empty[String]
+        var without = Seq.empty[String]
+        if (isIdent("by") || isIdent("without")) {
+          val (b, w) = byWithout(); by = b; without = w
+        }
+        eatOp("(")
+        var param: Option[Expr] = None
+        if (Set("topk", "bottomk", "quantile", "count_values").contains(name)) {
+          param = Some(expr()); eatOp(",")
+        }
+        val inner = expr()
+        eatOp(")")
+        if (by.isEmpty && without.isEmpty && (isIdent("by") || isIdent("without"))) {
+          val (b, w) = byWithout(); by = b; without = w
+        }
+        Agg(name, param, inner, by, without)
+      case TIdent(name, _) if rangeFuncs(name) || scalarFuncs(name) || otherFuncs(name) =>
+        // function call — or a metric that shadows a func name when not
+        // followed by '('
+        if (toks(i + 1) match { case TOp("(", _) => true; case _ => false }) {
+          advance(); advance() // name (
+          val args = Seq.newBuilder[Expr]
+          if (!isOp(")")) {
+            args += expr()
+            while (isOp(",")) { advance(); args += expr() }
+          }
+          eatOp(")")
+          Call(name, args.result())
+        } else selector(Some(advance().asInstanceOf[TIdent].s))
+      case TIdent(_, _) => selector(Some(advance().asInstanceOf[TIdent].s))
+      case t            => throw ParseError("unexpected token", t.pos)
+    }
+
+    private def selector(metric: Option[String]): Expr = {
+      var matchers = Seq.empty[LabelMatcher]
+      if (isOp("{")) {
+        advance()
+        var first = true
+        val ms = Seq.newBuilder[LabelMatcher]
+        while (!isOp("}")) {
+          if (!first) eatOp(",")
+          first = false
+          val l = advance() match {
+            case TIdent(s, _) => s
+            case t            => throw ParseError("expected label", t.pos)
+          }
+          val op = advance() match {
+            case TOp("=", _)  => MatchOp.Eq
+            case TOp("!=", _) => MatchOp.Neq
+            case TOp("=~", _) => MatchOp.Re
+            case TOp("!~", _) => MatchOp.Nre
+            case t            => throw ParseError("expected matcher op", t.pos)
+          }
+          val v = advance() match {
+            case TStr(s, _) => s
+            case t          => throw ParseError("expected string", t.pos)
+          }
+          ms += LabelMatcher(l, op, v)
+        }
+        eatOp("}")
+        matchers = ms.result()
+      }
+      var range: Option[Long] = None
+      if (isOp("[")) {
+        advance()
+        range = advance() match {
+          case TDur(s, _) => Some(s)
+          case t          => throw ParseError("expected duration", t.pos)
+        }
+        eatOp("]")
+      }
+      if (isIdent("offset") || isOp("@"))
+        throw Unsupported("offset/@ modifiers not supported yet")
+      Selector(metric, matchers, range)
+    }
+
+    private def byWithout(): (Seq[String], Seq[String]) = {
+      val kind = advance().asInstanceOf[TIdent].s
+      eatOp("(")
+      val labels = Seq.newBuilder[String]
+      var first = true
+      while (!isOp(")")) {
+        if (!first) eatOp(",")
+        first = false
+        advance() match {
+          case TIdent(l, _) => labels += l
+          case t            => throw ParseError("expected label", t.pos)
+        }
+      }
+      eatOp(")")
+      if (kind == "by") (labels.result(), Seq.empty) else (Seq.empty, labels.result())
+    }
+  }
+}
