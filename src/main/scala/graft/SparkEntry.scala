@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.CoreOps.queries, operators.CoreOps.oracles),
       (operators.PipelineOps.queries, operators.PipelineOps.oracles),
       (operators.LogQLOps.queries, operators.LogQLOps.oracles),
-      (operators.PromQLOps.queries, operators.PromQLOps.oracles)
+      (operators.PromQLOps.queries, operators.PromQLOps.oracles),
+      (operators.IROps.queries, operators.IROps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
