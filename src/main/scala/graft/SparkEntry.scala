@@ -20,7 +20,8 @@ object SparkEntry {
       (operators.PipelineOps.queries, operators.PipelineOps.oracles),
       (operators.LogQLOps.queries, operators.LogQLOps.oracles),
       (operators.PromQLOps.queries, operators.PromQLOps.oracles),
-      (operators.IROps.queries, operators.IROps.oracles)
+      (operators.IROps.queries, operators.IROps.oracles),
+      (operators.TraceOps.queries, operators.TraceOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.traceql.TraceQL
+
+/** Trace search operators (reference: src/querier/src/query/trace.rs —
+  * two-phase trace fetch :66-273, search + newest-first deterministic
+  * truncation :602-644, span-per-trace clamp :720-747).
+  *
+  * Traces view over events: trace_id groups a user's events per day;
+  * span_id = event_id; duration from value. At 100 TB the two-phase shape
+  * is the point: phase 1 reduces to a small set of trace ids (aggregate +
+  * limit), phase 2 is a semi join that Spark can broadcast.
+  */
+object TraceOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tracesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      col("event_id").as("span_id"),
+      concat(lit("tr-"), col("user_id"), lit("-"),
+        expr("(unix_micros(ts_us) div 1000000) div 86400")).as("trace_id"),
+      col("event_type").as("span_name"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      when(col("event_type") === "error", "ERROR").otherwise("OK").as("status_code"),
+      (col("value") * 1000000).cast(LongType).as("duration_nanos"),
+      map(lit("k"), get_json_object(col("props"), "$.k")).as("span_attributes"),
+      map(lit("service.version"), concat(lit("v"), pmod(col("user_id"), lit(3))))
+        .as("resource_attributes"))
+
+  private val tracesViewSql: String =
+    """SELECT epoch_ns(ts) AS timestamp, event_id AS span_id,
+      |  concat('tr-', user_id, '-', (epoch_us(ts)//1000000)//86400) AS trace_id,
+      |  event_type AS span_name,
+      |  concat('svc-', user_id % 8) AS service_name,
+      |  CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'OK' END AS status_code,
+      |  CAST(value * 1000000 AS BIGINT) AS duration_nanos,
+      |  json_extract_string(props, '$.k') AS attr_k,
+      |  concat('v', user_id % 3) AS attr_version
+      |FROM events""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Two-phase trace fetch: find matching trace ids (newest-first,
+    // deterministic truncation), then fetch ALL their spans via semi join.
+    "q59_trace_two_phase" -> ((s, dir) => {
+      val spans = tracesDf(s, dir)
+      val matching = spans
+        .filter(col("span_name") === "error" && col("duration_nanos") >= 100L * 1000000L)
+        .groupBy(col("trace_id")).agg(max(col("timestamp")).as("_maxts"))
+        .orderBy(col("_maxts").desc, col("trace_id").asc)
+        .limit(20)
+        .select(col("trace_id"))
+      spans.join(matching, Seq("trace_id"), "left_semi")
+        .select(col("trace_id"), col("span_id"), col("timestamp"),
+          col("span_name"), col("duration_nanos"))
+    }),
+
+    // TraceQL subset end-to-end: parse → conditions → Column filter,
+    // plus span-per-trace clamp via row_number.
+    "q60_traceql_search" -> ((s, dir) => {
+      val conds = TraceQL.parse(
+        """{ resource.service.name = "svc-2" && span.k != "7" && duration > 50ms }""")
+      val spans = tracesDf(s, dir).filter(TraceQL.lower(conds))
+      val w = Window.partitionBy(col("trace_id"))
+        .orderBy(col("timestamp").asc, col("span_id").asc)
+      spans.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3) // span-per-trace clamp (trace.rs:720-747)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
+    // Tempo tags logfmt search → equality conditions
+    "q61_tempo_tags" -> ((s, dir) => {
+      val conds = TraceQL.parseTags("""service.name=svc-3 name=purchase""")
+      tracesDf(s, dir).filter(TraceQL.lower(conds))
+        .select(col("trace_id"), col("span_id"), col("timestamp"),
+          col("status_code"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q59_trace_two_phase" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |matching AS (
+         |  SELECT trace_id FROM (
+         |    SELECT trace_id, MAX(timestamp) AS maxts
+         |    FROM spans
+         |    WHERE span_name = 'error' AND duration_nanos >= 100000000
+         |    GROUP BY 1)
+         |  ORDER BY maxts DESC, trace_id ASC LIMIT 20)
+         |SELECT s.trace_id, s.span_id, s.timestamp, s.span_name, s.duration_nanos
+         |FROM spans s WHERE EXISTS (
+         |  SELECT 1 FROM matching m WHERE m.trace_id = s.trace_id)""".stripMargin,
+
+    "q60_traceql_search" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |f AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) AS rn
+         |  FROM spans
+         |  WHERE service_name = 'svc-2' AND attr_k <> '7'
+         |    AND duration_nanos > 50000000)
+         |SELECT trace_id, span_id, span_name, duration_nanos FROM f WHERE rn <= 3""".stripMargin,
+
+    "q61_tempo_tags" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT trace_id, span_id, timestamp, status_code FROM spans
+         |WHERE service_name = 'svc-3' AND span_name = 'purchase'""".stripMargin
+  )
+}

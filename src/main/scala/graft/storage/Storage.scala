@@ -1,0 +1,128 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical table layout + maintenance jobs (reference:
+  * docs/architecture/storage-layout.md:43-57 — `{base}/{tenant}/{dataset}/
+  * {table}/`; hour partitioning src/common/src/iceberg/schemas.rs:75-105;
+  * bloom filters + zstd src/common/src/schema/mod.rs:40-152,173; sorted
+  * compaction rewrite src/compactor/src/rewriter.rs:162-280,591-616;
+  * retention src/compactor/src/retention/).
+  *
+  * 100 TB notes: partition layout is Hive-style `date_day=…/hour=…` so
+  * Catalyst prunes directories from every time-window filter; bloom
+  * filters on trace_id/span_id/attr_tokens make point lookups prune at
+  * the row-group level; compaction rewrites each closed hour partition
+  * sorted so min/max stats tighten.
+  */
+object Storage {
+
+  final case class TableLayout(basePath: String, tenant: String, dataset: String) {
+    def path(table: String): String = s"$basePath/$tenant/$dataset/$table"
+  }
+
+  /** per-table sort keys for compaction (rewriter.rs:591-616) */
+  val compactionSort: Map[String, Seq[String]] = Map(
+    "traces" -> Seq("timestamp", "trace_id"),
+    "logs" -> Seq("timestamp", "service_name", "severity_text"),
+    "metrics_gauge" -> Seq("timestamp", "metric_name", "service_name"),
+    "metrics_sum" -> Seq("timestamp", "metric_name", "service_name"))
+
+  /** bloom-filtered columns per table (schema/mod.rs:69-105,40-53) */
+  val bloomColumns: Map[String, Seq[String]] = Map(
+    "traces" -> Seq("trace_id", "span_id"),
+    "logs" -> Seq("trace_id", "span_id", "attr_tokens.list.element"))
+
+  /** derived partition columns from a Long-nanos `timestamp` column. */
+  def withPartitionCols(df: DataFrame): DataFrame = {
+    val ts = timestamp_micros(expr("timestamp div 1000"))
+    df.withColumn("date_day", to_date(ts))
+      .withColumn("hour", hour(ts))
+  }
+
+  /** `attr_tokens` = k=v tokens over the attribute maps, for bloom-filtered
+    * containment (schema/mod.rs:40-53; equality predicates add an
+    * array_contains conjunct to engage it, logql.rs:471-524). */
+  def attrTokens(mapCols: Seq[String]): Column =
+    flatten(array(mapCols.map(m =>
+      transform(map_entries(col(m)), e => concat(e("key"), lit("="), e("value")))): _*))
+
+  /** append a batch, hour-partitioned, zstd, with per-table bloom filters. */
+  def append(df: DataFrame, layout: TableLayout, table: String): Unit = {
+    var w = withPartitionCols(df).write
+      .mode(SaveMode.Append)
+      .partitionBy("date_day", "hour")
+      .option("compression", "zstd")
+    for (c <- bloomColumns.getOrElse(table, Seq.empty)) {
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "50000")
+    }
+    w.parquet(layout.path(table))
+  }
+
+  /** rewrite one closed (date_day, hour) partition: merge small files,
+    * sort, atomically replace via dynamic partition overwrite. */
+  def compactPartition(spark: SparkSession, layout: TableLayout, table: String,
+      dateDay: String, hourOfDay: Int, targetFiles: Int = 1): Unit = {
+    val p = layout.path(table)
+    val part = spark.read.parquet(p)
+      .filter(col("date_day") === lit(dateDay) && col("hour") === hourOfDay)
+    val sortCols = compactionSort.getOrElse(table, Seq("timestamp"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      part
+        .repartition(targetFiles)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("date_day", "hour")
+        .option("compression", "zstd")
+        .parquet(p)
+    } finally prev.foreach(v =>
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+  }
+
+  /** hour partitions whose (small-)file count exceeds the threshold —
+    * the compaction planner's pick rule (planner.rs:1-40). */
+  def partitionsNeedingCompaction(spark: SparkSession, layout: TableLayout,
+      table: String, minFiles: Int = 2): Seq[(String, Int)] = {
+    val fs = new Path(layout.path(table))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(layout.path(table)))) return Seq.empty
+    val days = fs.listStatus(new Path(layout.path(table)))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date_day="))
+    days.flatMap { d =>
+      fs.listStatus(d.getPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("hour="))
+        .flatMap { h =>
+          val files = fs.listStatus(h.getPath)
+            .count(f => f.getPath.getName.endsWith(".parquet"))
+          if (files >= minFiles)
+            Some((d.getPath.getName.stripPrefix("date_day="),
+              h.getPath.getName.stripPrefix("hour=").toInt))
+          else None
+        }
+    }.toSeq
+  }
+
+  /** retention: drop whole day partitions older than the cutoff
+    * (partition-level delete, no row rewrite). */
+  def applyRetention(spark: SparkSession, layout: TableLayout, table: String,
+      cutoffDay: String): Seq[String] = {
+    val root = new Path(layout.path(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val dropped = Seq.newBuilder[String]
+    for (d <- fs.listStatus(root)
+        if d.isDirectory && d.getPath.getName.startsWith("date_day=")) {
+      val day = d.getPath.getName.stripPrefix("date_day=")
+      if (day < cutoffDay) {
+        fs.delete(d.getPath, true)
+        dropped += day
+      }
+    }
+    dropped.result()
+  }
+}

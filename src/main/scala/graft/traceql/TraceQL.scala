@@ -1,0 +1,89 @@
+package graft.traceql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** TraceQL subset + Tempo `tags` logfmt parser (reference:
+  * src/querier/src/query/search_filter.rs — selector enum :33-47,
+  * TraceQL subset :234-320, tags logfmt :184-232; everything outside the
+  * subset is an explicit Unsupported error, :6-9).
+  *
+  * Supported: `{ sel = "v" && sel != "v" && duration > 100ms ... }` where
+  * sel ∈ name | status | service.name | span.<attr> | resource.<attr> |
+  * .<attr>; conjunctions only.
+  */
+object TraceQL {
+
+  final case class Unsupported(msg: String) extends RuntimeException(msg)
+
+  sealed trait Cond
+  final case class StrEq(selector: String, value: String, negated: Boolean) extends Cond
+  final case class DurCmp(op: String, nanos: Long) extends Cond
+
+  /** parse `{ ... }` conjunctive form. */
+  def parse(q: String): Seq[Cond] = {
+    val t = q.trim
+    if (!t.startsWith("{") || !t.endsWith("}"))
+      throw Unsupported("TraceQL: expected { ... }")
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) return Seq.empty
+    if (body.contains("||")) throw Unsupported("TraceQL: disjunction not supported")
+    body.split("&&").toSeq.map(_.trim).map(parseCond)
+  }
+
+  private val durRe = """^duration\s*(>=|<=|>|<)\s*(\d+)(ns|us|ms|s|m|h)$""".r
+  private val eqRe = """^([\w.]+|\.[\w.]+)\s*(=|!=)\s*"((?:[^"\\]|\\.)*)"$""".r
+
+  private def parseCond(s: String): Cond = s match {
+    case durRe(op, n, unit) =>
+      val mult = unit match {
+        case "ns" => 1L; case "us" => 1000L; case "ms" => 1000000L
+        case "s" => 1000000000L; case "m" => 60L * 1000000000L
+        case "h" => 3600L * 1000000000L
+      }
+      DurCmp(op, n.toLong * mult)
+    case eqRe(sel, op, v) =>
+      StrEq(sel, v.replace("\\\"", "\""), negated = op == "!=")
+    case other => throw Unsupported(s"TraceQL: unsupported condition '$other'")
+  }
+
+  /** Tempo `tags` logfmt: `key=value key2="quoted"` → equality conditions
+    * (search_filter.rs:184-232). */
+  def parseTags(tags: String): Seq[Cond] =
+    """(\S+?)=("((?:[^"\\]|\\.)*)"|\S+)""".r.findAllMatchIn(tags).map { m =>
+      val v = Option(m.group(3)).getOrElse(m.group(2))
+      StrEq(m.group(1), v, negated = false)
+    }.toSeq
+
+  /** Lower conditions onto a traces-shaped DataFrame. Intrinsics map to
+    * promoted columns; `span./resource./.` attrs go to the attribute maps
+    * (search_filter.rs:70-117). */
+  def lower(conds: Seq[Cond]): Column =
+    conds.map(condCol).reduceOption(_ && _).getOrElse(lit(true))
+
+  private def selectorCol(sel: String): Column = sel match {
+    case "name" | "span.name"              => col("span_name")
+    case "status" | "status.code"          => col("status_code")
+    case "service.name" | "resource.service.name" => col("service_name")
+    case s if s.startsWith("span.")        => element_at(col("span_attributes"), s.stripPrefix("span."))
+    case s if s.startsWith("resource.")    => element_at(col("resource_attributes"), s.stripPrefix("resource."))
+    case s if s.startsWith(".") =>
+      coalesce(element_at(col("span_attributes"), s.stripPrefix(".")),
+        element_at(col("resource_attributes"), s.stripPrefix(".")))
+    case other => throw Unsupported(s"TraceQL: unknown selector '$other'")
+  }
+
+  private def condCol(c: Cond): Column = c match {
+    case StrEq(sel, v, false) => selectorCol(sel) === v
+    case StrEq(sel, v, true)  => selectorCol(sel) =!= v
+    case DurCmp(op, n) =>
+      val d = col("duration_nanos")
+      op match {
+        case ">"  => d > n
+        case ">=" => d >= n
+        case "<"  => d < n
+        case "<=" => d <= n
+      }
+  }
+}

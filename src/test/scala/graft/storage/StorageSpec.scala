@@ -1,0 +1,122 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.Storage.TableLayout
+import graft.streaming.IngestSink
+
+class StorageSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def logsBatch(n: Int, startNs: Long) = {
+    import spark.implicits._
+    spark.range(n).select(
+      (lit(startNs) + col("id") * 60L * 1000000000L).as("timestamp"),
+      concat(lit("svc-"), pmod(col("id"), lit(3))).as("service_name"),
+      lit("info").as("severity_text"),
+      concat(lit("line "), col("id")).as("body"),
+      map(lit("k"), col("id").cast("string")).as("log_attributes"))
+      .withColumn("attr_tokens", Storage.attrTokens(Seq("log_attributes")))
+  }
+
+  private val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+
+  test("append partitions by date_day/hour and prunes on read") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    Storage.append(logsBatch(180, t0), layout, "logs") // spans 3 hours
+    val root = new java.io.File(s"$dir/acme/prod/logs/date_day=2024-01-01")
+    assert(root.exists)
+    assert(root.list().count(_.startsWith("hour=")) == 3)
+    // partition pruning: filter on the partition column reads one dir
+    val pruned = spark.read.parquet(s"$dir/acme/prod/logs")
+      .filter(col("hour") === 1)
+    assert(pruned.count() == 60)
+    // the filter must reach the scan as a partition filter (directory
+    // pruning), not a post-scan predicate
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(hour"),
+      s"expected partition pruning in scan, got:\n$plan")
+  }
+
+  test("attr_tokens derives k=v tokens for bloom containment") {
+    import spark.implicits._
+    val df = Seq((Map("a" -> "1", "b" -> "2"))).toDF("m")
+      .select(Storage.attrTokens(Seq("m")).as("toks"))
+    assert(df.head.getSeq[String](0).sorted == Seq("a=1", "b=2"))
+  }
+
+  test("compaction merges small files and sorts the partition") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // three small appends into the same hour
+    Storage.append(logsBatch(10, t0), layout, "logs")
+    Storage.append(logsBatch(10, t0 + 1000000L), layout, "logs")
+    Storage.append(logsBatch(10, t0 + 2000000L), layout, "logs")
+    val need = Storage.partitionsNeedingCompaction(spark, layout, "logs", minFiles = 2)
+    assert(need.contains(("2024-01-01", 0)))
+    val hourDir = new java.io.File(s"$dir/acme/prod/logs/date_day=2024-01-01/hour=0")
+    assert(hourDir.list().count(_.endsWith(".parquet")) >= 3)
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0)
+    assert(hourDir.list().count(_.endsWith(".parquet")) == 1)
+    // row count preserved; other partitions untouched
+    val all = spark.read.parquet(s"$dir/acme/prod/logs")
+    assert(all.count() == 30)
+    assert(Storage.partitionsNeedingCompaction(spark, layout, "logs", 2).isEmpty)
+  }
+
+  test("retention drops whole day partitions before the cutoff") {
+    val dir = Files.createTempDirectory("graft-retention").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    Storage.append(logsBatch(5, t0), layout, "logs")                       // Jan 1
+    Storage.append(logsBatch(5, t0 + 86400L * 1000000000L * 5), layout, "logs") // Jan 6
+    val dropped = Storage.applyRetention(spark, layout, "logs", "2024-01-03")
+    assert(dropped == Seq("2024-01-01"))
+    val remaining = spark.read.parquet(s"$dir/acme/prod/logs")
+    assert(remaining.count() == 5)
+    assert(remaining.select("date_day").distinct().head.get(0).toString == "2024-01-06")
+  }
+
+  test("ingest replay is idempotent via batch markers") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val batch = logsBatch(7, t0)
+    IngestSink.appendBatch(layout, "logs")(batch, 42L)
+    IngestSink.appendBatch(layout, "logs")(batch, 42L) // replay — must no-op
+    assert(spark.read.parquet(s"$dir/acme/prod/logs").count() == 7)
+    IngestSink.appendBatch(layout, "logs")(batch, 43L) // new batch appends
+    assert(spark.read.parquet(s"$dir/acme/prod/logs").count() == 14)
+  }
+
+  test("streaming ingest end-to-end with availableNow trigger") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    input.addData(0L until 25L: _*)
+    val stream = input.toDF().select(
+      (lit(t0) + col("value") * 1000000000L).as("timestamp"),
+      lit("svc-0").as("service_name"),
+      lit("info").as("severity_text"),
+      concat(lit("m"), col("value")).as("body"),
+      map(lit("k"), col("value").cast("string")).as("log_attributes"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(IngestSink.appendBatch(layout, "logs") _)
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/acme/prod/logs").count() == 25)
+  }
+}
