@@ -13,11 +13,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional filter (substring) + iteration count for profiling:
+    //   sbt "runMain graft.Bench q31" / SPARK_GRAFT_ITERS=3
+    val filter = args.headOption.getOrElse("")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    // warmup: touch every table once so the first timed query doesn't pay
+    // file listing + codegen init
+    for (t <- Seq("lineitem", "orders", "customer", "events", "documents", "embeddings"))
+      try graft.Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
+    // interleaved passes (min per query): a transient machine stall in one
+    // pass hits different queries than in the next, so the min filters it
+    val sel = SparkEntry.queries.toSeq.sortBy(_._1).filter(_._1.contains(filter))
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to iters; (name, fn) <- sel) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] pass$pass $name%-28s $sec%8.2fs")
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    val results = best.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

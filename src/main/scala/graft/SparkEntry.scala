@@ -21,7 +21,9 @@ object SparkEntry {
       (operators.LogQLOps.queries, operators.LogQLOps.oracles),
       (operators.PromQLOps.queries, operators.PromQLOps.oracles),
       (operators.IROps.queries, operators.IROps.oracles),
-      (operators.TraceOps.queries, operators.TraceOps.oracles)
+      (operators.TraceOps.queries, operators.TraceOps.oracles),
+      (operators.ProfileOps.queries, operators.ProfileOps.oracles),
+      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

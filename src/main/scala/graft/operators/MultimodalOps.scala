@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRow
+
+/** Multimodal pipeline entries: the media view treats document text bytes
+  * as an opaque payload; features flow through the real mapPartitions
+  * plumbing with the stubbed decode (md5-nibble features — mirrored
+  * exactly in the DuckDB oracle, so the batch path is oracle-checked
+  * end-to-end even though the codec is fake).
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def mediaDs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("bytes"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+      .as[MediaRow]
+  }
+
+  val queries: Map[String, Q] = Map(
+    // batch feature extraction through mapPartitions + stub decode
+    "q64_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(mediaDs(s, dir)).toDF()),
+
+    // binary frame sampling: n_frames per media by kind
+    "q65_multimodal_framesample" -> ((s, dir) => {
+      val media = mediaDs(s, dir).toDF()
+      Multimodal.frameSample(media, stride = 4)
+        .select(col("media_id"), col("kind"),
+          length(col("bytes")).cast("long").as("n_bytes"), col("n_frames"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q64_multimodal_features" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    text, length(text) AS n_bytes, md5(text) AS h
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  (strpos('0123456789abcdef', substr(h,1,1))-1)/15.0 AS f0,
+        |  (strpos('0123456789abcdef', substr(h,2,1))-1)/15.0 AS f1,
+        |  (strpos('0123456789abcdef', substr(h,3,1))-1)/15.0 AS f2,
+        |  (strpos('0123456789abcdef', substr(h,4,1))-1)/15.0 AS f3,
+        |  (strpos('0123456789abcdef', substr(h,5,1))-1)/15.0 AS f4,
+        |  (strpos('0123456789abcdef', substr(h,6,1))-1)/15.0 AS f5,
+        |  (strpos('0123456789abcdef', substr(h,7,1))-1)/15.0 AS f6,
+        |  (strpos('0123456789abcdef', substr(h,8,1))-1)/15.0 AS f7
+        |FROM media""".stripMargin,
+
+    "q65_multimodal_framesample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    length(text) AS n_bytes
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(ceil(ceil(n_bytes / 16.0) / 4.0) AS INTEGER) AS n_frames
+        |FROM media""".stripMargin
+  )
+}

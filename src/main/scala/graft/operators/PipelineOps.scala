@@ -54,10 +54,19 @@ object PipelineOps {
       |   FOR i IN range(1, len(string_split(text,' ')) - 1)]
       |ELSE [] END""".stripMargin
 
+  /** shingles from a pre-split `toks` column — split(text) runs ONCE per
+    * row instead of once per lambda element (O(len) not O(len²) CPU). */
+  private val shinglesFromToks =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(0, size(toks) - 3),
+      |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |ELSE array() END""".stripMargin
+
   /** (doc_id, shingle) distinct pairs. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
       .distinct()
 
   private val docShinglesSql =
@@ -282,12 +291,17 @@ object PipelineOps {
     }),
 
     // Winnowing fingerprint: md5 per word-3-shingle in position order;
-    // sliding min over window of 4; fingerprint = md5 of the sorted
-    // distinct selected hashes.
+    // sliding min over windows of 4; fingerprint = md5 of the sorted
+    // distinct selected hashes. posexplode + window min: tokens split once
+    // per row (a pure per-row array formulation is a trap here — Catalyst
+    // collapses the array projection into every lambda element, going
+    // O(n²) in md5 calls).
     "q29_fingerprint_winnow" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("pos", "sh")))
-        .withColumn("h", md5(col("sh")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform($shinglesFromToks, x -> md5(x))"))
+            .as(Seq("pos", "h")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
         .rowsBetween(Window.currentRow, 3)
       sh.withColumn("minh", min(col("h")).over(w))
@@ -484,17 +498,18 @@ object PipelineOps {
         |FROM t""".stripMargin,
 
     "q29_fingerprint_winnow" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, i - 1 AS pos, md5(s[i]) AS h
-         |  FROM (SELECT doc_id, $shinglesSql AS s FROM documents), range(1, 2000) r(i)
-         |  WHERE i <= len(s)),
-         |mins AS (
-         |  SELECT doc_id,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ASC
-         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
-         |  FROM sh)
-         |SELECT doc_id,
-         |  md5(array_to_string(list_sort(list_distinct(list(minh))), '')) AS fingerprint
-         |FROM mins GROUP BY doc_id""".stripMargin
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |       FOR i IN range(1, len(toks) - 1)]
+        |    ELSE [] END AS hs
+        |  FROM t)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    [list_min(hs[i:least(i+3, len(hs))]) FOR i IN range(1, len(hs) + 1)])),
+        |    '')) AS fingerprint
+        |FROM h WHERE len(hs) >= 1""".stripMargin
   )
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Flamegraph operators (reference: src/common/src/profile/aggregation.rs —
+  * fold stack samples into a prefix tree; diff flamegraph; called from
+  * src/querier/src/query/profile.rs:495-529).
+  *
+  * Instead of a driver-side trie fold, the prefix tree is RELATIONAL: each
+  * stack [a,b,c] explodes into its prefixes [a], [a,b], [a,b,c]; a groupBy
+  * on the prefix path aggregates node totals. That is a shuffle-parallel
+  * flamegraph merge — at 100 TB the tree build distributes instead of
+  * collecting samples to one node.
+  */
+object ProfileOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** profiles view over events: a deterministic 3-frame stack per event. */
+  private def samplesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      array(
+        lit("app"),
+        col("event_type"),
+        concat(lit("fn_"), pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4))))
+        .as("stack"),
+      lit(1L).as("value"))
+
+  private val samplesViewSql: String =
+    """SELECT epoch_ns(ts) AS timestamp,
+      |  concat('svc-', user_id % 8) AS service_name,
+      |  ['app', event_type,
+      |   concat('fn_', CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)] AS stack,
+      |  1 AS value
+      |FROM events""".stripMargin
+
+  /** explode a stack into its prefixes with depth. */
+  private def prefixes(df: DataFrame): DataFrame =
+    df.select(col("service_name"), col("timestamp"), col("value"),
+      explode(expr(
+        "transform(sequence(1, size(stack)), d -> array_join(slice(stack, 1, d), ';'))"))
+        .as("path"))
+      .withColumn("depth", size(split(col("path"), ";")))
+
+  val queries: Map[String, Q] = Map(
+    // flamegraph fold: prefix-tree node totals per service
+    "q62_flamegraph_fold" -> ((s, dir) => {
+      prefixes(samplesDf(s, dir))
+        .groupBy(col("service_name"), col("path"), col("depth"))
+        .agg(sum(col("value")).as("total"))
+    }),
+
+    // diff flamegraph: totals of two halves of the month, full outer on path
+    "q63_flamegraph_diff" -> ((s, dir) => {
+      val cut = 1705276800L * 1000000000L // 2024-01-15
+      val p = prefixes(samplesDf(s, dir))
+      val a = p.filter(col("timestamp") < cut)
+        .groupBy(col("path"), col("depth")).agg(sum(col("value")).as("total_a"))
+      val b = p.filter(col("timestamp") >= cut)
+        .groupBy(col("path"), col("depth")).agg(sum(col("value")).as("total_b"))
+      a.join(b, Seq("path", "depth"), "full_outer")
+        .select(col("path"), col("depth"),
+          coalesce(col("total_a"), lit(0L)).as("total_a"),
+          coalesce(col("total_b"), lit(0L)).as("total_b"))
+        .withColumn("delta", col("total_b") - col("total_a"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q62_flamegraph_fold" ->
+      s"""WITH samples AS ($samplesViewSql),
+         |pfx AS (
+         |  SELECT service_name,
+         |    array_to_string(stack[1:d], ';') AS path, d AS depth, value
+         |  FROM samples, range(1, 4) r(d)
+         |  WHERE d <= len(stack))
+         |SELECT service_name, path, CAST(depth AS INTEGER) AS depth,
+         |  CAST(SUM(value) AS BIGINT) AS total
+         |FROM pfx GROUP BY 1, 2, 3""".stripMargin,
+
+    "q63_flamegraph_diff" ->
+      s"""WITH samples AS ($samplesViewSql),
+         |pfx AS (
+         |  SELECT timestamp,
+         |    array_to_string(stack[1:d], ';') AS path, d AS depth, value
+         |  FROM samples, range(1, 4) r(d)
+         |  WHERE d <= len(stack)),
+         |a AS (SELECT path, depth, CAST(SUM(value) AS BIGINT) AS total_a
+         |      FROM pfx WHERE timestamp < ${1705276800L * 1000000000L}
+         |      GROUP BY 1, 2),
+         |b AS (SELECT path, depth, CAST(SUM(value) AS BIGINT) AS total_b
+         |      FROM pfx WHERE timestamp >= ${1705276800L * 1000000000L}
+         |      GROUP BY 1, 2)
+         |SELECT coalesce(a.path, b.path) AS path,
+         |  CAST(coalesce(a.depth, b.depth) AS INTEGER) AS depth,
+         |  coalesce(total_a, 0) AS total_a, coalesce(total_b, 0) AS total_b,
+         |  coalesce(total_b, 0) - coalesce(total_a, 0) AS delta
+         |FROM a FULL OUTER JOIN b ON a.path = b.path AND a.depth = b.depth""".stripMargin
+  )
+}

@@ -29,7 +29,7 @@ object TraceOps {
       col("event_type").as("span_name"),
       concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
       when(col("event_type") === "error", "ERROR").otherwise("OK").as("status_code"),
-      (col("value") * 1000000).cast(LongType).as("duration_nanos"),
+      round(col("value") * 1000000).cast(LongType).as("duration_nanos"),
       map(lit("k"), get_json_object(col("props"), "$.k")).as("span_attributes"),
       map(lit("service.version"), concat(lit("v"), pmod(col("user_id"), lit(3))))
         .as("resource_attributes"))
@@ -40,7 +40,7 @@ object TraceOps {
       |  event_type AS span_name,
       |  concat('svc-', user_id % 8) AS service_name,
       |  CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'OK' END AS status_code,
-      |  CAST(value * 1000000 AS BIGINT) AS duration_nanos,
+      |  CAST(round(value * 1000000) AS BIGINT) AS duration_nanos,
       |  json_extract_string(props, '$.k') AS attr_k,
       |  concat('v', user_id % 3) AS attr_version
       |FROM events""".stripMargin

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the reference asserts projection minimality
+  * and partition-bound injection at plan level, trace.rs:1005-1093; here:
+  * filter pushdown to parquet, column pruning, broadcast of the two-phase
+  * trace-id set, whole-stage codegen presence).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filters push down to the parquet scan") {
+    val df = operators.CoreOps.queries("q02_projection_filter")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(o_totalprice"),
+      s"o_totalprice filter did not reach the scan:\n$plan")
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val df = operators.CoreOps.queries("q02_projection_filter")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // ReadSchema must not include unprojected columns like o_orderpriority
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && !readSchema.contains("o_orderpriority"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("two-phase trace fetch broadcasts the matching-id side") {
+    val df = operators.TraceOps.queries("q59_trace_two_phase")(spark, dir)
+    // AQE converts the semi join to broadcast once the limit(20) side is
+    // seen to be tiny; check the final adaptive plan after execution
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast semi join for 20 trace ids:\n$plan")
+  }
+
+  test("aggregation plans keep whole-stage codegen") {
+    val df = operators.CoreOps.queries("q01_agg_basic")(spark, dir)
+    df.collect() // finalize THIS adaptive plan (count() would plan anew)
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"no codegen span:\n$plan")
+  }
+
+  test("logql line query is a filter+sort+limit with no shuffle-heavy ops") {
+    val t = SignalViews.logsTable(spark, dir)
+    val q = logql.Parser.parseLogQuery("""{service_name="svc-1"} |= "k"""")
+    val df = logql.Lowering.lowerLineQuery(t, q, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (global top-n without full sort):\n$plan")
+  }
+
+  test("sql surface answers joins over registered views") {
+    val run = sql.SqlSurface.session(spark, dir)
+    val n = run(
+      """SELECT c.c_mktsegment, count(*) n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin).count()
+    assert(n > 0)
+  }
+}
