@@ -23,7 +23,8 @@ object SparkEntry {
       (operators.IROps.queries, operators.IROps.oracles),
       (operators.TraceOps.queries, operators.TraceOps.oracles),
       (operators.ProfileOps.queries, operators.ProfileOps.oracles),
-      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles)
+      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
+      (operators.DiscoveryOps.queries, operators.DiscoveryOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -14,7 +14,7 @@ object Lexer {
   final case class TEof(pos: Int) extends Tok
 
   private val multiOps = List("|=", "|~", "!=", "!~", "=~", ">=", "<=", "==")
-  private val singleOps = "{}(),[]|=<>+-*/%^@".toSet
+  private val singleOps = "{}(),[]|=<>+-*/%^@:".toSet
 
   def tokenize(in: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

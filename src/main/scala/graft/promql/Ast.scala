@@ -20,11 +20,16 @@ object Ast {
   final case class NumLit(v: Double) extends Expr
   final case class StrLit(s: String) extends Expr
 
-  /** `metric{matchers}[range]` — instant if `rangeSec` empty. */
+  /** `metric{matchers}[range] offset d` — instant if `rangeSec` empty. */
   final case class Selector(
       metric: Option[String],
       matchers: Seq[LabelMatcher],
-      rangeSec: Option[Long]) extends Expr
+      rangeSec: Option[Long],
+      offsetSec: Long = 0) extends Expr
+
+  /** `expr[range:res]` — inner evaluated at resolution `resSec`, then
+    * re-reduced per outer step by an _over_time function. */
+  final case class Subquery(expr: Expr, rangeSec: Long, resSec: Long) extends Expr
 
   /** Function call: rate, increase, irate, abs, clamp, absent,
     * histogram_quantile, label_replace, … */

@@ -51,6 +51,12 @@ object Eval {
   private def bucketExpr(stepSec: Long): Column =
     expr(s"(timestamp div 1000000000) div $stepSec * $stepSec")
 
+  /** bucket on the query grid for an offset selector: shift the sample
+    * time forward by the offset before bucketing. */
+  private def bucketExprFor(sel: Selector, stepSec: Long): Column =
+    if (sel.offsetSec == 0) bucketExpr(stepSec)
+    else expr(s"((timestamp + ${sel.offsetSec * 1000000000L}) div 1000000000) div $stepSec * $stepSec")
+
   /** data-independent step spine (for scalar-only exprs, absent, time()) —
     * sequence+explode, no table scan (SURVEY §2.4 absent). */
   private def spine(t: MetricsTable, tr: TimeRange, v: Column): Vec = {
@@ -66,9 +72,11 @@ object Eval {
     case NumLit(v) => ScalV(v)
     case StrLit(_) => throw Unsupported("bare string is not a vector")
 
-    case sel @ Selector(_, _, None) => VecV(instant(sel, t, tr))
-    case Selector(_, _, Some(_)) =>
+    case sel @ Selector(_, _, None, _) => VecV(instant(sel, t, tr))
+    case Selector(_, _, Some(_), _) =>
       throw Unsupported("range selector outside a range function")
+    case Subquery(_, _, _) =>
+      throw Unsupported("subquery outside an _over_time function")
 
     case Call(f, args) => call(f, args, t, tr)
 
@@ -80,10 +88,14 @@ object Eval {
 
   // ---- selectors --------------------------------------------------------
 
+  /** window filter honoring `offset d`: data shifts back by the offset;
+    * bucket labels stay on the query grid (reference offset handling,
+    * metrics.rs:2703-2727 — date_bin origin shifting). */
   private def baseFilter(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
+    val off = sel.offsetSec * 1000000000L
     var df = t.df.filter(
-      col("timestamp") >= lit(tr.startSec * 1000000000L) &&
-        col("timestamp") < lit(tr.endSec * 1000000000L))
+      col("timestamp") >= lit(tr.startSec * 1000000000L - off) &&
+        col("timestamp") < lit(tr.endSec * 1000000000L - off))
     sel.metric.foreach(m => df = df.filter(col("metric_name") === m))
     for (m <- sel.matchers) {
       val c = col(m.label)
@@ -100,7 +112,7 @@ object Eval {
   /** bare selector = LAST sample per (bucket, series) — reference `Last`
     * (promql.rs:46-66), deterministic via tieBreak ordering. */
   private def instant(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
     val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
     val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
     Vec(
@@ -112,7 +124,7 @@ object Eval {
   // ---- functions --------------------------------------------------------
 
   private def rangeSel(args: Seq[Expr], f: String): Selector = args match {
-    case Seq(s @ Selector(_, _, Some(_))) => s
+    case Seq(s @ Selector(_, _, Some(_), _)) => s
     case _ => throw Unsupported(s"$f expects a range selector")
   }
 
@@ -122,7 +134,7 @@ object Eval {
     case "rate" | "increase" | "delta" =>
       val sel = rangeSel(args, f)
       val rs = sel.rangeSec.get
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
       val keys = bucket +: t.seriesLabels.map(col)
       // deterministic first/last: max_by/min_by over (timestamp, tieBreak)
       val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
@@ -136,7 +148,7 @@ object Eval {
 
     case "irate" | "idelta" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
       val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
       val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
       val last2 = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 2)
@@ -156,7 +168,7 @@ object Eval {
 
     case "deriv" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
       val keys = bucket +: t.seriesLabels.map(col)
       val secs = (col("timestamp").cast(DoubleType)) / lit(1e9)
       VecV(Vec(
@@ -287,8 +299,28 @@ object Eval {
   }
 
   private def overTime(f: String, args: Seq[Expr], t: MetricsTable, tr: TimeRange): Value = {
+    // subquery form: evaluate inner at resolution, then re-reduce the
+    // resolution buckets per outer step (reference metrics.rs:829-909)
+    args.last match {
+      case Subquery(inner, _, res) =>
+        val innerVec = evalVector(inner, t, tr.copy(stepSec = res))
+        val step = tr.stepSec
+        val reKey = (col("bucket_start").divide(lit(step))).cast("long") * lit(step)
+        val keys = reKey.as("bucket_start") +: innerVec.labels.map(col)
+        val x = col("value").cast(DoubleType)
+        val out = f match {
+          case "sum_over_time"   => innerVec.df.groupBy(keys: _*).agg(sum(x).as("value"))
+          case "avg_over_time"   => innerVec.df.groupBy(keys: _*).agg(avg(x).as("value"))
+          case "min_over_time"   => innerVec.df.groupBy(keys: _*).agg(min(x).as("value"))
+          case "max_over_time"   => innerVec.df.groupBy(keys: _*).agg(max(x).as("value"))
+          case "count_over_time" => innerVec.df.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
+          case other             => throw Unsupported(s"$other over a subquery")
+        }
+        return VecV(Vec(out, innerVec.labels))
+      case _ => ()
+    }
     val sel = rangeSel(args.lastOption.toSeq, f) // quantile has (phi, sel)
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExpr(tr.stepSec))
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
     val keys = bucket +: t.seriesLabels.map(col)
     val x = col("value").cast(DoubleType)
     val out = f match {

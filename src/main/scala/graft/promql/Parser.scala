@@ -102,8 +102,28 @@ object Parser {
 
     private def unary(): Expr = cur match {
       case TOp("-", _) => advance(); Binary("-", NumLit(0), unary(), bool = false)
-      case _           => atom()
+      case _           => postfix(atom())
     }
+
+    /** subquery suffix `[range:res]` on any expression (selectors consume
+      * their own plain `[range]` first). */
+    private def postfix(e: Expr): Expr =
+      if (isOp("[")) {
+        advance()
+        val r = advance() match {
+          case TDur(d, _) => d
+          case t          => throw ParseError("expected duration", t.pos)
+        }
+        val res = if (isOp(":")) {
+          advance()
+          advance() match {
+            case TDur(d, _) => d
+            case t          => throw ParseError("expected resolution", t.pos)
+          }
+        } else throw ParseError("expected ':' in subquery", cur.pos)
+        eatOp("]")
+        postfix(Subquery(e, r, res))
+      } else e
 
     private def atom(): Expr = cur match {
       case TNum(v, _) => advance(); NumLit(v)
@@ -176,7 +196,13 @@ object Parser {
         matchers = ms.result()
       }
       var range: Option[Long] = None
-      if (isOp("[")) {
+      // `[dur]` is a range selector; `[dur:dur]` is a subquery suffix and
+      // belongs to postfix() — look ahead before consuming
+      val isSubquery = isOp("[") && (toks(i + 2) match {
+        case TOp(":", _) => true
+        case _           => false
+      })
+      if (isOp("[") && !isSubquery) {
         advance()
         range = advance() match {
           case TDur(s, _) => Some(s)
@@ -184,9 +210,16 @@ object Parser {
         }
         eatOp("]")
       }
-      if (isIdent("offset") || isOp("@"))
-        throw Unsupported("offset/@ modifiers not supported yet")
-      Selector(metric, matchers, range)
+      var offset = 0L
+      if (isIdent("offset")) {
+        advance()
+        offset = advance() match {
+          case TDur(d, _) => d
+          case t          => throw ParseError("expected duration after offset", t.pos)
+        }
+      }
+      if (isOp("@")) throw Unsupported("@ modifier not supported yet")
+      Selector(metric, matchers, range, offset)
     }
 
     private def byWithout(): (Seq[String], Seq[String]) = {
