@@ -24,7 +24,8 @@ object SparkEntry {
       (operators.TraceOps.queries, operators.TraceOps.oracles),
       (operators.ProfileOps.queries, operators.ProfileOps.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
-      (operators.DiscoveryOps.queries, operators.DiscoveryOps.oracles)
+      (operators.DiscoveryOps.queries, operators.DiscoveryOps.oracles),
+      (operators.HistogramOps.queries, operators.HistogramOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

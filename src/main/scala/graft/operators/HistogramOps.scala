@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+import graft.Tables
+import graft.promql.Eval
+import graft.promql.Eval.Vec
+
+/** Stored-histogram query path (reference: metrics_histogram rows carry a
+  * whole OTLP histogram as JSON array strings — schemas.toml:141-169;
+  * quantile machinery metrics.rs:1061-1224,2273-2455: element-wise-sum the
+  * bucket_counts arrays per (bucket, series), then interpolate φ from
+  * explicit_bounds).
+  *
+  * The histogram view synthesizes one OTLP histogram row per event
+  * (bounds [50,100,150], counts = one-hot bin + overflow); queries parse
+  * the JSON arrays with from_json and aggregate element-wise via
+  * posexplode + groupBy — array summation as a shuffle, not a UDAF.
+  */
+object HistogramOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events → metrics_histogram-shaped rows. */
+  private def histRowsDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      col("event_id"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      lit("request_size").as("metric_name"),
+      lit(1L).as("count"),
+      col("value").as("sum"),
+      // non-cumulative OTLP bins for bounds [50,100,150] + overflow
+      concat(lit("["),
+        when(col("value") <= 50, "1").otherwise("0"), lit(","),
+        when(col("value") > 50 && col("value") <= 100, "1").otherwise("0"), lit(","),
+        when(col("value") > 100 && col("value") <= 150, "1").otherwise("0"), lit(","),
+        when(col("value") > 150, "1").otherwise("0"), lit("]")).as("bucket_counts"),
+      lit("[50.0,100.0,150.0]").as("explicit_bounds"))
+
+  private val histRowsSql: String =
+    """SELECT epoch_ns(ts) AS timestamp, event_id,
+      |  concat('svc-', user_id % 8) AS service_name,
+      |  'request_size' AS metric_name, 1 AS count, value AS sum,
+      |  concat('[',
+      |    CASE WHEN value <= 50 THEN '1' ELSE '0' END, ',',
+      |    CASE WHEN value > 50 AND value <= 100 THEN '1' ELSE '0' END, ',',
+      |    CASE WHEN value > 100 AND value <= 150 THEN '1' ELSE '0' END, ',',
+      |    CASE WHEN value > 150 THEN '1' ELSE '0' END, ']') AS bucket_counts,
+      |  '[50.0,100.0,150.0]' AS explicit_bounds
+      |FROM events""".stripMargin
+
+  private val step = 604800L
+
+  /** parse + element-wise sum per (bucket, service), as cumulative le rows. */
+  private def cumulativeLe(s: SparkSession, dir: String): DataFrame = {
+    val rows = histRowsDf(s, dir)
+      .withColumn("bucket_start", expr(s"(timestamp div 1000000000) div $step * $step"))
+      .withColumn("counts", from_json(col("bucket_counts"), ArrayType(LongType)))
+    val binSums = rows
+      .select(col("bucket_start"), col("service_name"),
+        posexplode(col("counts")).as(Seq("bin", "c")))
+      .groupBy(col("bucket_start"), col("service_name"), col("bin"))
+      .agg(sum(col("c")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_start"), col("service_name"))
+      .orderBy(col("bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    binSums
+      .withColumn("cum", sum(col("n")).over(w).cast(DoubleType))
+      .withColumn("le", element_at(
+        typedLit(Seq("50", "100", "150", "+Inf")), col("bin") + 1))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // histogram_quantile over STORED histogram rows (json arrays)
+    "q72_hist_native_quantile" -> ((s, dir) => {
+      val le = cumulativeLe(s, dir)
+        .select(col("bucket_start"), col("service_name"), col("le"),
+          col("cum").as("value"))
+      Eval.histogramQuantile(0.9, Vec(le, Seq("service_name", "le"))).df
+    }),
+
+    // histogram_count + histogram_fraction (observations ≤ 100)
+    "q73_hist_count_fraction" -> ((s, dir) => {
+      val le = cumulativeLe(s, dir)
+      val total = le.filter(col("le") === "+Inf")
+        .select(col("bucket_start"), col("service_name"), col("cum").as("total"))
+      val at100 = le.filter(col("le") === "100")
+        .select(col("bucket_start"), col("service_name"), col("cum").as("cum100"))
+      total.join(at100, Seq("bucket_start", "service_name"))
+        .withColumn("count", col("total").cast(LongType))
+        .withColumn("fraction_le_100", col("cum100") / col("total"))
+        .select(col("bucket_start"), col("service_name"), col("count"),
+          col("fraction_le_100"))
+    })
+  )
+
+  private val cumulativeLeSql: String =
+    s"""hist AS ($histRowsSql),
+       |bins AS (
+       |  SELECT (timestamp//1000000000//$step)*$step AS bucket_start,
+       |    service_name, u.i - 1 AS bin,
+       |    CAST(CAST(json_extract(bucket_counts, concat('$$[', u.i - 1, ']')) AS VARCHAR) AS BIGINT) AS c
+       |  FROM hist, (SELECT unnest(range(1, 5)) AS i) u),
+       |binsums AS (
+       |  SELECT bucket_start, service_name, bin, SUM(c) AS n
+       |  FROM bins GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(SUM(n) OVER (PARTITION BY bucket_start, service_name
+       |      ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+       |    (['50','100','150','+Inf'])[bin + 1] AS le
+       |  FROM binsums)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q72_hist_native_quantile" ->
+      s"""WITH $cumulativeLeSql,
+         |x AS (
+         |  SELECT *,
+         |    CASE WHEN le = '+Inf' THEN 'inf'::DOUBLE ELSE CAST(le AS DOUBLE) END AS le_n
+         |  FROM cum),
+         |y AS (
+         |  SELECT *,
+         |    lag(le_n, 1, 0.0) OVER w AS prev_le,
+         |    lag(cum, 1, 0.0) OVER w AS prev_cum,
+         |    MAX(CASE WHEN le = '+Inf' THEN cum END)
+         |      OVER (PARTITION BY bucket_start, service_name) AS total,
+         |    MAX(CASE WHEN le <> '+Inf' THEN le_n END)
+         |      OVER (PARTITION BY bucket_start, service_name) AS maxfinite
+         |  FROM x
+         |  WINDOW w AS (PARTITION BY bucket_start, service_name ORDER BY le_n ASC)),
+         |hit AS (
+         |  SELECT *, 0.9 * total AS rank_,
+         |    row_number() OVER (PARTITION BY bucket_start, service_name
+         |                       ORDER BY le_n ASC) AS rn
+         |  FROM y WHERE total > 0 AND cum >= 0.9 * total)
+         |SELECT bucket_start, service_name,
+         |  CASE WHEN le = '+Inf' THEN maxfinite
+         |       ELSE prev_le + (le_n - prev_le) * (rank_ - prev_cum) / (cum - prev_cum)
+         |  END AS value
+         |FROM hit WHERE rn = 1""".stripMargin,
+
+    "q73_hist_count_fraction" ->
+      s"""WITH $cumulativeLeSql
+         |SELECT t.bucket_start AS bucket_start, t.service_name AS service_name,
+         |  CAST(t.cum AS BIGINT) AS count, h.cum / t.cum AS fraction_le_100
+         |FROM cum t JOIN cum h
+         |  ON t.bucket_start = h.bucket_start AND t.service_name = h.service_name
+         |WHERE t.le = '+Inf' AND h.le = '100'""".stripMargin
+  )
+}

@@ -87,7 +87,12 @@ object PromQLOps {
     "q70_promql_offset" -> q("""purchase / purchase offset 1d""", 86400),
 
     // subquery: re-reduce 6h-resolution rates per 1d step
-    "q71_promql_subquery" -> q("""max_over_time(rate(click[6h])[1d:6h])""", 86400)
+    "q71_promql_subquery" -> q("""max_over_time(rate(click[6h])[1d:6h])""", 86400),
+
+    // on() vector matching over a rewritten label
+    "q74_promql_on_matching" -> q(
+      """label_replace(error, "env", "e$1", "service_name", "svc-(.*)") / on(env) label_replace(purchase, "env", "e$1", "service_name", "svc-(.*)")""",
+      86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -289,6 +294,17 @@ object PromQLOps {
          |l AS (${lastPerBucket("metric_name = 'purchase'", 86400)})
          |SELECT bucket_start, CAST(floor(value / 50) * 50 AS VARCHAR) AS vb,
          |  CAST(COUNT(*) AS DOUBLE) AS value
-         |FROM l GROUP BY 1, 2""".stripMargin
+         |FROM l GROUP BY 1, 2""".stripMargin,
+
+    "q74_promql_on_matching" ->
+      s"""WITH m AS ($V),
+         |e AS (${lastPerBucket("metric_name = 'error'", 86400)}),
+         |p AS (${lastPerBucket("metric_name = 'purchase'", 86400)})
+         |SELECT e.bucket_start AS bucket_start,
+         |  regexp_replace(e.service_name, '^(?:svc-(.*))$$', 'e\\1') AS env,
+         |  e.value / p.value AS value
+         |FROM e JOIN p ON e.bucket_start = p.bucket_start
+         |  AND regexp_replace(e.service_name, '^(?:svc-(.*))$$', 'e\\1')
+         |    = regexp_replace(p.service_name, '^(?:svc-(.*))$$', 'e\\1')""".stripMargin
   )
 }

@@ -43,8 +43,10 @@ object Ast {
       by: Seq[String],
       without: Seq[String]) extends Expr
 
-  /** Binary op; `bool` for comparison operators. */
-  final case class Binary(op: String, lhs: Expr, rhs: Expr, bool: Boolean) extends Expr
+  /** Binary op; `bool` for comparison operators; on/ignoring restrict the
+    * vector-match key set. */
+  final case class Binary(op: String, lhs: Expr, rhs: Expr, bool: Boolean,
+      on: Seq[String] = Seq.empty, ignoring: Seq[String] = Seq.empty) extends Expr
 
   final case class Unsupported(msg: String) extends RuntimeException(msg)
   final case class ParseError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")

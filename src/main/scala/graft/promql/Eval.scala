@@ -83,7 +83,7 @@ object Eval {
     case Agg(op, param, inner, by, without) =>
       VecV(agg(op, param, evalVector(inner, t, tr), by, without, t, tr))
 
-    case Binary(op, l, r, boolMode) => binary(op, l, r, boolMode, t, tr)
+    case Binary(op, l, r, boolMode, on, ig) => binary(op, l, r, boolMode, on, ig, t, tr)
   }
 
   // ---- selectors --------------------------------------------------------
@@ -352,7 +352,7 @@ object Eval {
     * (reference metrics.rs:1061-1224,2363): per (bucket, labels∖le) find the
     * first bucket whose cumulative count ≥ φ·total and linearly
     * interpolate; +Inf picks the highest finite bound. */
-  private def histogramQuantile(phi: Double, v: Vec): Vec = {
+  def histogramQuantile(phi: Double, v: Vec): Vec = {
     if (!v.labels.contains("le"))
       throw Unsupported("histogram_quantile input must carry an 'le' label")
     val groupLabels = v.labels.filterNot(_ == "le")
@@ -444,6 +444,7 @@ object Eval {
     case "*" => l * r
     case "/" => l / r
     case "%" => l % r
+    case "^" => pow(l, r)
     case _   => throw Unsupported(s"operator $op")
   }
 
@@ -459,6 +460,7 @@ object Eval {
   private val cmpSet = Set(">", "<", ">=", "<=", "==", "!=")
 
   private def binary(op: String, le: Expr, re: Expr, boolMode: Boolean,
+      on: Seq[String], ignoring: Seq[String],
       t: MetricsTable, tr: TimeRange): Value = {
     (eval(le, t, tr), eval(re, t, tr)) match {
       case (ScalV(a), ScalV(b)) =>
@@ -469,6 +471,7 @@ object Eval {
           case "*" => a * b
           case "/" => a / b
           case "%" => a % b
+          case "^" => math.pow(a, b)
         })
 
       case (VecV(v), ScalV(s)) =>
@@ -494,7 +497,12 @@ object Eval {
         } else VecV(Vec(v.df.withColumn("value", arith(op, c, col("value"))), v.labels))
 
       case (VecV(l), VecV(r)) =>
-        val shared = l.labels.intersect(r.labels)
+        // vector matching: default all shared labels; on() restricts to the
+        // listed labels; ignoring() removes labels from the key set
+        // (reference logs.rs match_key, :906-1100)
+        val shared =
+          if (on.nonEmpty) on
+          else l.labels.intersect(r.labels).filterNot(ignoring.contains)
         val joinKeys = "bucket_start" +: shared
         op match {
           case "and" =>
@@ -526,7 +534,10 @@ object Eval {
                 else j.filter(cmp(op, col("_lv"), col("_rv")))
                   .withColumn("value", col("_lv"))
               } else j.withColumn("value", arith(op, col("_lv"), col("_rv")))
-            VecV(Vec(out.drop("_lv", "_rv"), l.labels))
+            // with on(): result label set = the match keys (one-to-one)
+            val outLabels = if (on.nonEmpty) shared else l.labels
+            val proj = ("bucket_start" +: outLabels :+ "value").distinct.map(col)
+            VecV(Vec(out.select(proj: _*), outLabels))
         }
     }
   }

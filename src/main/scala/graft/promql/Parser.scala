@@ -43,7 +43,10 @@ object Parser {
 
     private def orExpr(): Expr = {
       var l = setExpr()
-      while (isIdent("or")) { advance(); l = Binary("or", l, setExpr(), bool = false) }
+      while (isIdent("or")) {
+        advance(); val (on, ig) = matchMods()
+        l = Binary("or", l, setExpr(), bool = false, on, ig)
+      }
       l
     }
 
@@ -51,8 +54,13 @@ object Parser {
       var l = cmpExpr()
       var go = true
       while (go) {
-        if (isIdent("and")) { advance(); l = Binary("and", l, cmpExpr(), bool = false) }
-        else if (isIdent("unless")) { advance(); l = Binary("unless", l, cmpExpr(), bool = false) }
+        if (isIdent("and")) {
+          advance(); val (on, ig) = matchMods()
+          l = Binary("and", l, cmpExpr(), bool = false, on, ig)
+        } else if (isIdent("unless")) {
+          advance(); val (on, ig) = matchMods()
+          l = Binary("unless", l, cmpExpr(), bool = false, on, ig)
+        }
         else go = false
       }
       l
@@ -67,7 +75,8 @@ object Parser {
           case TOp(o, _) if cmpOps(o) =>
             advance()
             val bool = if (isIdent("bool")) { advance(); true } else false
-            l = Binary(o, l, addExpr(), bool)
+            val (on, ig) = matchMods()
+            l = Binary(o, l, addExpr(), bool, on, ig)
           case _ => go = false
         }
       }
@@ -80,7 +89,9 @@ object Parser {
       while (go) {
         cur match {
           case TOp(o, _) if o == "+" || o == "-" =>
-            advance(); l = Binary(o, l, mulExpr(), bool = false)
+            advance()
+            val (on, ig) = matchMods()
+            l = Binary(o, l, mulExpr(), bool = false, on, ig)
           case _ => go = false
         }
       }
@@ -88,17 +99,45 @@ object Parser {
     }
 
     private def mulExpr(): Expr = {
-      var l = unary()
+      var l = powExpr()
       var go = true
       while (go) {
         cur match {
           case TOp(o, _) if o == "*" || o == "/" || o == "%" =>
-            advance(); l = Binary(o, l, unary(), bool = false)
+            advance()
+            val (on, ig) = matchMods()
+            l = Binary(o, l, powExpr(), bool = false, on, ig)
           case _ => go = false
         }
       }
       l
     }
+
+    /** `^` — right-associative. */
+    private def powExpr(): Expr = {
+      val base = unary()
+      if (isOp("^")) { advance(); Binary("^", base, powExpr(), bool = false) }
+      else base
+    }
+
+    /** optional `on(l, …)` / `ignoring(l, …)` after a binary operator. */
+    private def matchMods(): (Seq[String], Seq[String]) =
+      if (isIdent("on") || isIdent("ignoring")) {
+        val kind = advance().asInstanceOf[TIdent].s
+        eatOp("(")
+        val ls = Seq.newBuilder[String]
+        var first = true
+        while (!isOp(")")) {
+          if (!first) eatOp(",")
+          first = false
+          advance() match {
+            case TIdent(l, _) => ls += l
+            case t            => throw ParseError("expected label", t.pos)
+          }
+        }
+        eatOp(")")
+        if (kind == "on") (ls.result(), Seq.empty) else (Seq.empty, ls.result())
+      } else (Seq.empty, Seq.empty)
 
     private def unary(): Expr = cur match {
       case TOp("-", _) => advance(); Binary("-", NumLit(0), unary(), bool = false)
