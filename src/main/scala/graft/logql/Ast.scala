@@ -33,6 +33,10 @@ object Ast {
     final case class LabelFilter(pred: LabelPredicate) extends Stage
     /** `| unwrap lbl` — sample value for the metric family. */
     final case class Unwrap(label: String) extends Stage
+    /** `| line_format "tmpl"` — rewrite body from a {{.label}} template. */
+    final case class LineFormat(template: String) extends Stage
+    /** `| label_format dst=src` or `dst="tmpl"` — rename / templated label. */
+    final case class LabelFormat(assignments: Seq[(String, Either[String, String])]) extends Stage
   }
 
   sealed trait LineOp

@@ -41,8 +41,14 @@ object Lowering {
   /** Label resolution context; `| json` / `| logfmt` add extraction scopes
     * (reference AttrContext, logql.rs:44-56; SchemaResolver promotion
     * invariance, ir_planner.rs:152-225). */
-  private final case class Ctx(table: LogsTable, jsonParsed: Boolean, logfmtParsed: Boolean) {
+  private final case class Ctx(table: LogsTable, jsonParsed: Boolean, logfmtParsed: Boolean,
+      overrides: Map[String, Column] = Map.empty) {
     def resolve(label: String): Column =
+      overrides.get(label) match {
+        case Some(c) => c
+        case None    => resolvePhysical(label)
+      }
+    private def resolvePhysical(label: String): Column =
       table.promoted.get(label) match {
         case Some(phys) => col(phys)
         case None if jsonParsed =>
@@ -94,6 +100,20 @@ object Lowering {
     case LineOp.NotRegex    => !col("body").rlike(f.needle)
   }
 
+  /** render a `{{.label}}` template into a concat of literals + labels. */
+  private def templateCol(c: Ctx, tmpl: String): Column = {
+    val parts = Seq.newBuilder[Column]
+    val re = "\\{\\{\\s*\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
+    var last = 0
+    for (m <- re.findAllMatchIn(tmpl)) {
+      if (m.start > last) parts += lit(tmpl.substring(last, m.start))
+      parts += coalesce(c.resolve(m.group(1)).cast("string"), lit(""))
+      last = m.end
+    }
+    if (last < tmpl.length) parts += lit(tmpl.substring(last))
+    concat(parts.result(): _*)
+  }
+
   /** Lower a log query to a filtered DataFrame (no projection/sort). */
   def lowerFilter(table: LogsTable, q: LogQuery): DataFrame = {
     var ctx = Ctx(table, jsonParsed = false, logfmtParsed = false)
@@ -105,6 +125,17 @@ object Lowering {
       case Stage.Logfmt        => ctx = ctx.copy(logfmtParsed = true)
       case Stage.LabelFilter(p) => df = df.filter(predCol(ctx, p))
       case Stage.Unwrap(_)      => () // consumed by the metric layer
+      case Stage.LineFormat(tmpl) =>
+        // subsequent line filters see the rewritten body
+        df = df.withColumn("body", templateCol(ctx, tmpl))
+      case Stage.LabelFormat(assigns) =>
+        for ((dst, spec) <- assigns) {
+          val v = spec match {
+            case Left(src)   => ctx.resolve(src)
+            case Right(tmpl) => templateCol(ctx, tmpl)
+          }
+          ctx = ctx.copy(overrides = ctx.overrides + (dst -> v))
+        }
     }
     df
   }

@@ -174,6 +174,27 @@ object Parser {
                   case TIdent(l, _) => stages += Stage.Unwrap(l)
                   case t            => throw ParseError("expected label after unwrap", t.pos)
                 }
+              case TIdent("line_format", _) =>
+                advance()
+                stages += Stage.LineFormat(str())
+              case TIdent("label_format", _) =>
+                advance()
+                val assigns = Seq.newBuilder[(String, Either[String, String])]
+                var more = true
+                while (more) {
+                  val dst = advance() match {
+                    case TIdent(l, _) => l
+                    case t            => throw ParseError("expected label", t.pos)
+                  }
+                  eatOp("=")
+                  cur match {
+                    case TStr(tmpl, _) => advance(); assigns += (dst -> Right(tmpl))
+                    case TIdent(src, _) => advance(); assigns += (dst -> Left(src))
+                    case t => throw ParseError("expected label or template", t.pos)
+                  }
+                  if (isOp(",")) advance() else more = false
+                }
+                stages += Stage.LabelFormat(assigns.result())
               case TIdent("ip", _) => throw Unsupported("ip() matcher is not supported")
               case _               => stages += Stage.LabelFilter(labelPred())
             }

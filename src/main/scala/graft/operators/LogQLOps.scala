@@ -76,7 +76,15 @@ object LogQLOps {
 
     // §2.4 last_over_time via deterministic per-(bucket,series) ordering
     "q40_logql_last" ->
-      metric("""last_over_time({event_type="purchase"} | json | unwrap k [1d])""")
+      metric("""last_over_time({event_type="purchase"} | json | unwrap k [1d])"""),
+
+    // line_format: rewrite body from a template; later filters see it
+    "q75_logql_line_format" ->
+      line("""{service_name="svc-0"} | json | line_format "k={{.k}} sev={{.severity_text}}" |= "sev=info"""", 400),
+
+    // label_format: renamed label usable in later filters
+    "q76_logql_label_format" ->
+      line("""{severity_text="info"} | label_format svc2=service_name | svc2 = "svc-3"""", 400)
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +170,25 @@ object LogQLOps {
          |SELECT bucket_start, service_name, severity_text, event_type,
          |  (s2 - s1 * s1 / n) / n AS value
          |FROM m""".stripMargin,
+
+    "q75_logql_line_format" ->
+      s"""WITH logs AS ($V),
+         |f AS (
+         |  SELECT timestamp, service_name, severity_text,
+         |    concat('k=', coalesce(json_extract_string(body, '$$.k'), ''),
+         |           ' sev=', severity_text) AS body
+         |  FROM logs WHERE service_name = 'svc-0')
+         |SELECT timestamp, service_name, severity_text, body FROM f
+         |WHERE contains(body, 'sev=info')
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q76_logql_label_format" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE severity_text = 'info' AND service_name = 'svc-3'
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
 
     "q40_logql_last" ->
       s"""WITH logs AS ($V),
