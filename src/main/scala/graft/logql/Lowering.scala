@@ -214,16 +214,14 @@ object Lowering {
           .withColumn("value", if (agg.func == "stddev_over_time") sqrt(col("value")) else col("value"))
           .drop("_s1", "_s2", "_n")
       case "first_over_time" | "last_over_time" =>
-        val asc = agg.func == "first_over_time"
-        val ord = (if (asc) col("timestamp").asc else col("timestamp").desc) +:
-          table.tieBreak.map(c => if (asc) col(c).asc else col(c).desc)
-        val w = Window.partitionBy(col("bucket_start") +: groupLabels.map(col): _*).orderBy(ord: _*)
-        filtered
-          .withColumn("bucket_start", bucketCol(agg.rangeSec))
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
-          .withColumn("value", uw)
-          .select((col("bucket_start") +: groupLabels.map(col)) :+ col("value"): _*)
+        // one hash aggregate (min_by/max_by over the (timestamp, tieBreak)
+        // struct) — no sort, partial agg map-side, same shape as promql
+        // Eval.instant
+        val ordStruct = struct(col("timestamp") +: table.tieBreak.map(col): _*)
+        val pick =
+          if (agg.func == "first_over_time") min_by(uw, ordStruct)
+          else max_by(uw, ordStruct)
+        filtered.groupBy(keys: _*).agg(pick.as("value"))
       case other => throw Unsupported(s"range function $other")
     }
   }

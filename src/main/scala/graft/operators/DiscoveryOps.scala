@@ -34,20 +34,26 @@ object DiscoveryOps {
         .groupBy(col("service_name"), col("severity_text"), col("event_type"))
         .agg(count(lit(1)).as("n_rows"))),
 
-    // detected fields: sample ≤1000 docs, infer the type of each body json
-    // attr, cap distinct values (reference detected_fields)
+    // detected fields: sample ≤1000 docs (deterministic lowest-event_id
+    // predicate), explode EVERY body json key, infer each field's type and
+    // cap its distinct count (reference detected_fields, logs.rs:483-575).
+    // The sample cap bounds the exact-distinct work, so the result is
+    // oracle-checkable — and at 100 TB the cost is fixed by the cap, not
+    // the table size.
     "q68_detected_fields" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{MapType, StringType}
       val sample = SignalViews.logsDf(s, dir)
         .orderBy(col("event_id").asc).limit(SampleN)
-      val vals = sample.select(
-        get_json_object(col("body"), "$.k").as("v")).filter(col("v").isNotNull)
-      vals.agg(
-        lit("k").as("field"),
-        count(lit(1)).as("n_present"),
-        least(approx_count_distinct(col("v"), 0.01), lit(1000)).as("approx_ndv_capped"),
-        max(col("v").cast(LongType).isNotNull).as("all_int"))
-        .withColumn("inferred_type", when(col("all_int"), "int").otherwise("string"))
-        .drop("all_int")
+      val fields = sample
+        .select(explode(from_json(col("body"), MapType(StringType, StringType))).as(Seq("field", "v")))
+        .filter(col("v").isNotNull)
+      fields.groupBy(col("field"))
+        .agg(
+          count(lit(1)).as("n_present"),
+          least(countDistinct(col("v")), lit(1000L)).as("ndv_capped"),
+          bool_and(col("v").cast(LongType).isNotNull).as("_all_int"))
+        .withColumn("inferred_type", when(col("_all_int"), "int").otherwise("string"))
+        .drop("_all_int")
     }),
 
     // attr promotion advisor: presence ratio × cardinality budget × demand
@@ -62,15 +68,20 @@ object DiscoveryOps {
           when(pmod(col("user_id"), lit(4)) === 0, col("user_id").cast("string")).as("v")),
         struct(lit("e").as("attr"), col("event_type").as("v")))).as("a"))
         .select(col("a.attr"), col("a.v"))
-      val total = ev.count()
+      // total row count as a 1-row broadcast cross join — keeps plan
+      // building lazy and scans events once, instead of an eager driver
+      // `count()` (the collect-in-plan-builder smell)
+      val totals = ev.agg(count(lit(1)).as("_total"))
       val demanded = Seq("k", "e") // query-demand counters (attr_demand.rs)
       attrs.groupBy(col("attr"))
         .agg(count(col("v")).as("n_present"),
           countDistinct(col("v")).as("ndv"))
-        .withColumn("presence_ratio", col("n_present").cast(DoubleType) / lit(total))
+        .crossJoin(broadcast(totals))
+        .withColumn("presence_ratio", col("n_present").cast(DoubleType) / col("_total"))
         .withColumn("demanded", col("attr").isin(demanded: _*))
         .withColumn("promote",
           col("presence_ratio") >= 0.5 && col("ndv") <= 100 && col("demanded"))
+        .drop("_total")
     })
   )
 
@@ -85,11 +96,19 @@ object DiscoveryOps {
          |SELECT service_name, severity_text, event_type, COUNT(*) AS n_rows
          |FROM logs GROUP BY 1, 2, 3""".stripMargin,
 
-    // approx_count_distinct is approximate → oracle checks the exact parts
-    // and recomputes the cap over exact ndv only when counts are small
-    // enough to agree (k has ≤101 distinct values, far under HLL error at
-    // this size — still, compare via the exact distinct count)
-    "q68_detected_fields" -> null, // rows-only check (approximate op)
+    // exact because the deterministic ≤1000-row sample bounds distinct work
+    "q68_detected_fields" ->
+      s"""WITH logs AS ($V),
+         |sample AS (SELECT event_id, body FROM logs ORDER BY event_id ASC LIMIT 1000),
+         |f AS (
+         |  SELECT t.field AS field,
+         |    json_extract_string(body, '$$.' || t.field) AS v
+         |  FROM sample, unnest(json_keys(body)) AS t(field))
+         |SELECT field, COUNT(*) AS n_present,
+         |  least(COUNT(DISTINCT v), 1000) AS ndv_capped,
+         |  CASE WHEN bool_and(TRY_CAST(v AS BIGINT) IS NOT NULL)
+         |       THEN 'int' ELSE 'string' END AS inferred_type
+         |FROM f WHERE v IS NOT NULL GROUP BY field""".stripMargin,
 
     "q69_attr_promotion" ->
       """WITH attrs AS (

@@ -54,18 +54,17 @@ object ProfileOps {
         .agg(sum(col("value")).as("total"))
     }),
 
-    // diff flamegraph: totals of two halves of the month, full outer on path
+    // diff flamegraph: totals of two halves of the month. ONE pass: a
+    // conditional aggregate per half over a single prefix explosion — no
+    // second scan and no full-outer join (a (path,depth) group with rows in
+    // only one half gets 0 for the other, exactly the join's coalesce).
     "q63_flamegraph_diff" -> ((s, dir) => {
       val cut = 1705276800L * 1000000000L // 2024-01-15
-      val p = prefixes(samplesDf(s, dir))
-      val a = p.filter(col("timestamp") < cut)
-        .groupBy(col("path"), col("depth")).agg(sum(col("value")).as("total_a"))
-      val b = p.filter(col("timestamp") >= cut)
-        .groupBy(col("path"), col("depth")).agg(sum(col("value")).as("total_b"))
-      a.join(b, Seq("path", "depth"), "full_outer")
-        .select(col("path"), col("depth"),
-          coalesce(col("total_a"), lit(0L)).as("total_a"),
-          coalesce(col("total_b"), lit(0L)).as("total_b"))
+      prefixes(samplesDf(s, dir))
+        .groupBy(col("path"), col("depth"))
+        .agg(
+          coalesce(sum(when(col("timestamp") < cut, col("value"))), lit(0L)).as("total_a"),
+          coalesce(sum(when(col("timestamp") >= cut, col("value"))), lit(0L)).as("total_b"))
         .withColumn("delta", col("total_b") - col("total_a"))
     })
   )

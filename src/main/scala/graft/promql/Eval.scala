@@ -110,14 +110,17 @@ object Eval {
   }
 
   /** bare selector = LAST sample per (bucket, series) — reference `Last`
-    * (promql.rs:46-66), deterministic via tieBreak ordering. */
+    * (promql.rs:46-66), deterministic via tieBreak ordering. One hash
+    * aggregate (`max_by` over the (timestamp, tieBreak) struct) instead of
+    * a sort + row_number window: no per-partition sort, partial agg
+    * map-side — the shape that survives 1 M series per bucket. */
   private def instant(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
     val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
-    val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
-    val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
+    val keys = bucket +: t.seriesLabels.map(col)
+    val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
     Vec(
-      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(bucket +: t.seriesLabels.map(col) :+ col("value").cast(DoubleType).as("value"): _*),
+      df.groupBy(keys: _*)
+        .agg(max_by(col("value").cast(DoubleType), ordStruct).as("value")),
       t.seriesLabels)
   }
 
