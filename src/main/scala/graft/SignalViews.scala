@@ -102,4 +102,92 @@ object SignalViews {
       seriesLabels = Seq("service_name", "severity_text", "event_type"),
       hasAttrMap = false,
       tieBreak = Seq("event_id"))
+
+  // ---- generation-2 logs: map-typed attribute containers -----------------
+
+  /** events → generation-2 logs, the FULL `Schemas.logs` shape (reference
+    * iceberg/schemas.rs:55-72): only service_name/severity_text are
+    * promoted; everything else lives in the map-typed attribute containers
+    * and resolves via element_at with cross-container coalesce. The
+    * mapping is a pure function of events columns, mirrored in
+    * `gen2ViewSql` (the oracle resolves the same label VALUES directly).
+    *
+    * Attribute containers:
+    *  - log_attributes:      k (json k), event_type, region (r0..r2),
+    *                         plan (SPARSE — only user_id%4==0 rows)
+    *  - resource_attributes: host (host-0..4), env (prod/dev)
+    *  - scope_attributes:    empty
+    * `attr_tokens` holds k=v tokens over log+resource attrs for the
+    * bloom-filtered containment conjunct (reference schema/mod.rs:40-53).
+    */
+  def logsGen2Df(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val ts = unix_micros(col("ts_us")) * 1000
+    val traceId = md5(col("event_id").cast("string"))
+    val logAttrs = map_filter(
+      map(
+        lit("k"), get_json_object(col("props"), "$.k"),
+        lit("event_type"), col("event_type"),
+        lit("region"), concat(lit("r"), pmod(col("user_id"), lit(3))),
+        lit("plan"), when(pmod(col("user_id"), lit(4)) === 0,
+          concat(lit("pro-"), pmod(expr("user_id div 4"), lit(2))))),
+      (_, v) => v.isNotNull)
+    val resAttrs = map(
+      lit("host"), concat(lit("host-"), pmod(col("user_id"), lit(5))),
+      lit("env"), when(pmod(col("user_id"), lit(2)) === 0, "prod").otherwise("dev"))
+    Tables.events(s, dir).select(
+      ts.as("timestamp"),
+      ts.as("observed_timestamp"),
+      traceId.as("trace_id"),
+      substring(traceId, 1, 16).as("span_id"),
+      lit(0).as("trace_flags"),
+      when(col("event_type") === "error", "error")
+        .when(col("event_type").isin("purchase", "signup"), "info")
+        .otherwise("debug").as("severity_text"),
+      when(col("event_type") === "error", 17)
+        .when(col("event_type").isin("purchase", "signup"), 9)
+        .otherwise(5).as("severity_number"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      col("props").as("body"),
+      resAttrs.as("resource_attributes"),
+      typedLit(Map.empty[String, String]).as("scope_attributes"),
+      logAttrs.as("log_attributes"),
+      lit("graft").as("scope_name"),
+      lit("1").as("scope_version"))
+      .withColumn("attr_tokens",
+        graft.storage.Storage.attrTokens(Seq("log_attributes", "resource_attributes")))
+  }
+
+  /** The gen-2 label VALUES as a DuckDB CTE body over `events` — the
+    * oracle never builds maps; it resolves each label to its defining
+    * expression (promotion invariance is exactly this equality). */
+  val gen2ViewSql: String =
+    """SELECT epoch_ns(ts) AS timestamp,
+      |  md5(CAST(event_id AS VARCHAR)) AS trace_id,
+      |  concat('svc-', user_id % 8) AS service_name,
+      |  CASE WHEN event_type = 'error' THEN 'error'
+      |       WHEN event_type IN ('purchase','signup') THEN 'info'
+      |       ELSE 'debug' END AS severity_text,
+      |  props AS body,
+      |  json_extract_string(props, '$.k') AS k,
+      |  event_type,
+      |  concat('r', user_id % 3) AS region,
+      |  CASE WHEN user_id % 4 = 0 THEN concat('pro-', (user_id // 4) % 2) END AS plan,
+      |  concat('host-', user_id % 5) AS host,
+      |  CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS env
+      |FROM events""".stripMargin
+
+  /** gen-2 LogsTable: map-attr resolution on, cross-container coalesce in
+    * priority order, trace_id tie-break (unique per row). */
+  def logsGen2Table(s: SparkSession, dir: String): LogsTable =
+    LogsTable(
+      df = logsGen2Df(s, dir),
+      promoted = Map(
+        "service_name" -> "service_name",
+        "severity_text" -> "severity_text",
+        "body" -> "body"),
+      seriesLabels = Seq("service_name", "severity_text"),
+      hasAttrMap = true,
+      attrMapCols = Seq("log_attributes", "resource_attributes", "scope_attributes"),
+      tieBreak = Seq("trace_id"))
 }

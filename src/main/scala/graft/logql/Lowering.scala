@@ -27,7 +27,7 @@ object Lowering {
 
   /** A logs-shaped table: `timestamp` is Long epoch-nanos, `body` string;
     * `promoted` label → physical column; everything else resolves from the
-    * `log_attributes` map column if present.
+    * attribute map columns if present (generation-2 storage).
     * `seriesLabels` define stream identity for metric queries.
     */
   final case class LogsTable(
@@ -35,8 +35,16 @@ object Lowering {
       promoted: Map[String, String],
       seriesLabels: Seq[String],
       hasAttrMap: Boolean = false,
+      /** attribute containers in resolution-priority order — an unpromoted
+        * label coalesces across them (record-level wins, reference
+        * ir_planner.rs:152-225 SchemaResolver) */
+      attrMapCols: Seq[String] = Seq("log_attributes"),
       /** extra columns appended to ORDER BY for a total (deterministic) order */
-      tieBreak: Seq[String] = Seq.empty)
+      tieBreak: Seq[String] = Seq.empty) {
+    /** `attr_tokens` present → equality matchers on unpromoted labels can
+      * add a bloom-eligible containment conjunct (schema/mod.rs:40-53). */
+    def hasAttrTokens: Boolean = hasAttrMap && df.columns.contains("attr_tokens")
+  }
 
   /** Label resolution context; `| json` / `| logfmt` add extraction scopes
     * (reference AttrContext, logql.rs:44-56; SchemaResolver promotion
@@ -56,10 +64,22 @@ object Lowering {
         case None if logfmtParsed =>
           // logfmt k=v extraction: first match of `label=<bare-or-quoted>`
           regexp_extract(col("body"), s"(?:^|\\s)${java.util.regex.Pattern.quote(label)}=(\"[^\"]*\"|\\S+)", 1)
-        case None if table.hasAttrMap => element_at(col("log_attributes"), label)
+        case None if table.hasAttrMap =>
+          // generation-2 path: coalesce across attribute containers in
+          // priority order (record attrs shadow resource/scope attrs)
+          val present = table.attrMapCols.filter(table.df.columns.contains)
+          if (present.isEmpty)
+            throw Unsupported(s"label '$label' is not resolvable on this table")
+          coalesce(present.map(m => element_at(col(m), label)): _*)
         case None =>
           throw Unsupported(s"label '$label' is not resolvable on this table")
       }
+    /** true when an equality on `label` may add the `attr_tokens`
+      * containment conjunct: label resolves from the attribute maps (not a
+      * promoted column, not a parser extraction, not a format override). */
+    def tokenEligible(label: String): Boolean =
+      table.hasAttrTokens && !overrides.contains(label) &&
+        !table.promoted.contains(label) && !jsonParsed && !logfmtParsed
   }
 
   private def anchored(re: String): String = "^(?:" + re + ")$"
@@ -114,11 +134,45 @@ object Lowering {
     concat(parts.result(): _*)
   }
 
+  /** time-window filter on Long-nanos `timestamp`, mirrored onto the
+    * date_day/hour partition columns when present so Catalyst prunes
+    * directories — at 100 TB every query must prune by partition, not just
+    * by row-group stats (reference iceberg/schemas.rs:75-105 Hour
+    * transform; partition-bound mirroring is what makes it engage). */
+  def timeWindowFilter(df: DataFrame, startNanos: Long, endNanos: Long): DataFrame = {
+    var out = df.filter(
+      col("timestamp") >= startNanos && col("timestamp") < endNanos)
+    if (df.columns.contains("date_day")) {
+      val d0 = java.time.LocalDate.ofEpochDay(startNanos / 86400000000000L)
+      val d1 = java.time.LocalDate.ofEpochDay((endNanos - 1) / 86400000000000L)
+      out = out.filter(
+        col("date_day") >= lit(java.sql.Date.valueOf(d0)) &&
+          col("date_day") <= lit(java.sql.Date.valueOf(d1)))
+      if (d0 == d1 && df.columns.contains("hour")) {
+        val h0 = startNanos / 3600000000000L % 24
+        val h1 = (endNanos - 1) / 3600000000000L % 24
+        out = out.filter(col("hour") >= h0 && col("hour") <= h1)
+      }
+    }
+    out
+  }
+
   /** Lower a log query to a filtered DataFrame (no projection/sort). */
-  def lowerFilter(table: LogsTable, q: LogQuery): DataFrame = {
+  def lowerFilter(table: LogsTable, q: LogQuery,
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
     var ctx = Ctx(table, jsonParsed = false, logfmtParsed = false)
     var df = table.df
-    for (m <- q.selector.matchers) df = df.filter(matcherCol(ctx, m))
+    for ((s0, s1) <- timeRange) df = timeWindowFilter(df, s0, s1)
+    for (m <- q.selector.matchers) {
+      var c = matcherCol(ctx, m)
+      // equality on a map-resolved label also asserts attr_tokens
+      // containment: semantically redundant, but the array_contains
+      // conjunct is what engages the parquet bloom filter on attr_tokens
+      // (reference logql.rs:471-524)
+      if (m.op == MatchOp.Eq && ctx.tokenEligible(m.label))
+        c = c && array_contains(col("attr_tokens"), s"${m.label}=${m.value}")
+      df = df.filter(c)
+    }
     for (st <- q.stages) st match {
       case f: Stage.LineFilter => df = df.filter(lineFilterCol(f))
       case Stage.Json          => ctx = ctx.copy(jsonParsed = true)
@@ -147,8 +201,9 @@ object Lowering {
       q: LogQuery,
       limit: Int,
       newestFirst: Boolean = true,
-      projection: Seq[String] = Seq("timestamp", "service_name", "severity_text", "body")): DataFrame = {
-    val base = lowerFilter(table, q).select(projection.map(col): _*)
+      projection: Seq[String] = Seq("timestamp", "service_name", "severity_text", "body"),
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
+    val base = lowerFilter(table, q, timeRange).select(projection.map(col): _*)
     val tsOrd = if (newestFirst) col("timestamp").desc else col("timestamp").asc
     // total order: remaining projected columns break timestamp ties so the
     // LIMIT boundary is deterministic
@@ -177,7 +232,9 @@ object Lowering {
       logfmtParsed = agg.inner.stages.contains(Stage.Logfmt))
     val filtered = lowerFilter(table, agg.inner)
     val bucket = bucketCol(agg.rangeSec).as("bucket_start")
-    val keys = bucket +: groupLabels.map(col)
+    // group keys resolve through the attr context, so a map-resolved label
+    // (gen-2 tables) can participate in grouping just like a promoted one
+    val keys = bucket +: groupLabels.map(l => ctx.resolve(l).as(l))
     val rangeSecs = lit(agg.rangeSec.toDouble)
 
     def uw: Column = agg.inner.unwrapLabel match {
@@ -237,7 +294,10 @@ object Lowering {
       if (vagg.by.nonEmpty) vagg.by
       else if (vagg.without.nonEmpty) table.seriesLabels.filterNot(vagg.without.contains)
       else Seq.empty
-    val inner = lowerRange(table, vagg.inner, table.seriesLabels)
+    // extracted/map labels named in by() join the inner series identity —
+    // Loki's label set includes parsed labels; the inner range agg must
+    // carry them for the outer regroup to see them
+    val inner = lowerRange(table, vagg.inner, (table.seriesLabels ++ by).distinct)
     val keys = col("bucket_start") +: by.map(col)
     val v = col("value")
     vagg.func match {

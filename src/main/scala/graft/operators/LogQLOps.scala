@@ -30,7 +30,29 @@ object LogQLOps {
     }
   }
 
+  /** gen-2 variants: same parser/lowering, but over the map-typed table —
+    * every unpromoted label resolves via element_at + cross-container
+    * coalesce (reference ir_planner.rs:152-225). */
+  private def lineGen2(q: String, limit: Int,
+      timeRange: Option[(Long, Long)] = None, stored: Boolean = false): Q = (s, dir) => {
+    val t = if (stored) graft.SignalTables.storedLogsTable(s, dir)
+            else SignalViews.logsGen2Table(s, dir)
+    Parser.parse(q) match {
+      case LineQuery(lq) => Lowering.lowerLineQuery(t, lq, limit, timeRange = timeRange)
+      case _             => throw Unsupported("expected line query")
+    }
+  }
+
+  private def metricGen2(q: String): Q = (s, dir) => {
+    val t = SignalViews.logsGen2Table(s, dir)
+    Parser.parse(q) match {
+      case MetricQuery(m) => Lowering.lowerMetric(t, m)
+      case _              => throw Unsupported("expected metric query")
+    }
+  }
+
   private val V = SignalViews.logsViewSql
+  private val V2 = SignalViews.gen2ViewSql
   private def bkt(step: Long) = s"(timestamp//1000000000//$step)*$step"
 
   val queries: Map[String, Q] = Map(
@@ -84,7 +106,34 @@ object LogQLOps {
 
     // label_format: renamed label usable in later filters
     "q76_logql_label_format" ->
-      line("""{severity_text="info"} | label_format svc2=service_name | svc2 = "svc-3"""", 400)
+      line("""{severity_text="info"} | label_format svc2=service_name | svc2 = "svc-3"""", 400),
+
+    // ---- generation-2 map-attr path (reference logql.rs:44-56) ----------
+
+    // matcher on a map attr (adds the attr_tokens conjunct) + label filter
+    // on a SPARSE attr (absent ⇒ NULL ⇒ dropped under both p and ¬p)
+    "q77_gen2_attr_filter" ->
+      lineGen2("""{service_name="svc-4", region="r1"} | plan = "pro-1"""", 300),
+
+    // cross-container coalesce: env lives in resource_attributes, region in
+    // log_attributes — both resolve through the same label syntax
+    "q78_gen2_env_coalesce" ->
+      lineGen2("""{env="prod"} | region != "r0" |= "\"k\": 9"""", 400),
+
+    // metric grouped BY a map-resolved label (unwrap also map-resolved)
+    "q79_gen2_metric_by_region" ->
+      metricGen2("""sum by (region) (sum_over_time({severity_text="info"} | unwrap k [1w]))"""),
+
+    // matcher on log_attributes + grouping by two resource_attributes
+    "q80_gen2_count_by_env_host" ->
+      metricGen2("""sum by (env, host) (count_over_time({region="r2"}[1d]))"""),
+
+    // STORED gen-2 table: hour-partitioned + bloom parquet written via
+    // Storage.append, queried with a time window that prunes partitions
+    "q81_gen2_stored_window" ->
+      lineGen2("""{service_name="svc-2", region="r2"}""", 500,
+        timeRange = Some((1704844800000000000L, 1705708800000000000L)),
+        stored = true)
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +238,40 @@ object LogQLOps {
          |WHERE severity_text = 'info' AND service_name = 'svc-3'
          |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
          |LIMIT 400""".stripMargin,
+
+    "q77_gen2_attr_filter" ->
+      s"""WITH logs AS ($V2)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE service_name = 'svc-4' AND region = 'r1' AND plan = 'pro-1'
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 300""".stripMargin,
+
+    "q78_gen2_env_coalesce" ->
+      s"""WITH logs AS ($V2)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE env = 'prod' AND region <> 'r0' AND contains(body, '"k": 9')
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q79_gen2_metric_by_region" ->
+      s"""WITH logs AS ($V2)
+         |SELECT ${bkt(604800)} AS bucket_start, region,
+         |  CAST(SUM(CAST(k AS DOUBLE)) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'info' GROUP BY 1, 2""".stripMargin,
+
+    "q80_gen2_count_by_env_host" ->
+      s"""WITH logs AS ($V2)
+         |SELECT ${bkt(86400)} AS bucket_start, env, host,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE region = 'r2' GROUP BY 1, 2, 3""".stripMargin,
+
+    "q81_gen2_stored_window" ->
+      s"""WITH logs AS ($V2)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE timestamp >= 1704844800000000000 AND timestamp < 1705708800000000000
+         |  AND service_name = 'svc-2' AND region = 'r2'
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 500""".stripMargin,
 
     "q40_logql_last" ->
       s"""WITH logs AS ($V),

@@ -49,9 +49,13 @@ object Storage {
     flatten(array(mapCols.map(m =>
       transform(map_entries(col(m)), e => concat(e("key"), lit("="), e("value")))): _*))
 
-  /** append a batch, hour-partitioned, zstd, with per-table bloom filters. */
-  def append(df: DataFrame, layout: TableLayout, table: String): Unit = {
-    var w = withPartitionCols(df).write
+  /** append a batch, hour-partitioned, zstd, with per-table bloom filters.
+    * `alreadyPartitioned` skips the derive step when the caller added (and
+    * possibly repartitioned by) date_day/hour itself. */
+  def append(df: DataFrame, layout: TableLayout, table: String,
+      alreadyPartitioned: Boolean = false): Unit = {
+    val part = if (alreadyPartitioned) df else withPartitionCols(df)
+    var w = part.write
       .mode(SaveMode.Append)
       .partitionBy("date_day", "hour")
       .option("compression", "zstd")
