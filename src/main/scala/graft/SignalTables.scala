@@ -20,16 +20,17 @@ object SignalTables {
   private val cache = scala.collection.concurrent.TrieMap[(String, String), String]()
 
   private def materialize(s: SparkSession, dir: String, table: String,
-      df: => DataFrame): String =
+      df: => DataFrame,
+      partitionCols: Seq[String] = Seq("date_day", "hour")): String =
     cache.getOrElseUpdate((dir, table), {
       val base = java.nio.file.Files.createTempDirectory(s"graft_store_").toString
       val layout = Storage.TableLayout(base, "tenant0", "default")
-      // one file per (date_day, hour) partition: repartition by the
-      // partition keys so each directory gets a single sorted file —
-      // the compacted shape, not a small-files spray
+      // one file per partition: repartition by the partition keys so each
+      // directory gets a single file — the compacted shape, not a
+      // small-files spray
       Storage.append(
-        df.repartition(col("date_day"), col("hour")),
-        layout, table, alreadyPartitioned = true)
+        df.repartition(partitionCols.map(col): _*),
+        layout, table, alreadyPartitioned = true, partitionCols = partitionCols)
       layout.path(table)
     })
 
@@ -46,4 +47,57 @@ object SignalTables {
     * time-window partition-bound mirror prunes directories. */
   def storedLogsTable(s: SparkSession, dir: String): graft.logql.Lowering.LogsTable =
     SignalViews.logsGen2Table(s, dir).copy(df = storedLogs(s, dir))
+
+  /** stored traces, 256-way `prefix=XX` Hive-sharded on the first two hex
+    * chars of trace_id, with bloom filters on trace_id/span_id — the
+    * reference's benchmark-proven point-lookup layout
+    * (tests-integration/benches/trace_index_scaling.rs:1-10). A lookup
+    * prunes 255/256 directories, then bloom-skips row groups. */
+  def storedTracesPath(s: SparkSession, dir: String): String =
+    materialize(s, dir, "traces",
+      SignalViews.tracesGen2Df(s, dir)
+        .withColumn("prefix", substring(col("trace_id"), 1, 2)),
+      partitionCols = Seq("prefix"))
+
+  def storedTraces(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(storedTracesPath(s, dir))
+
+  /** trace-by-id point lookup: prefix prunes to one shard directory, the
+    * trace_id equality pushes into the parquet scan (bloom + min/max). */
+  def traceById(s: SparkSession, dir: String, traceId: String): DataFrame =
+    storedTraces(s, dir)
+      .filter(col("prefix") === traceId.substring(0, 2) &&
+        col("trace_id") === traceId)
+
+  /** PromQL scan over the STORED per-kind metric tables: project each to
+    * the fixed common column set, then unionByName — the reference's
+    * gauge+sum multi-table scan (metrics.rs:42-52,1444). Selectors on
+    * metric_name push down into BOTH parquet scans; untouched kinds
+    * (histogram etc.) are never read. */
+  def storedMetricsUnion(s: SparkSession, dir: String): DataFrame = {
+    val gaugePath = materialize(s, dir, "metrics_gauge",
+      Storage.withPartitionCols(SignalViews.metricsGaugeDf(s, dir)))
+    val sumPath = materialize(s, dir, "metrics_sum",
+      Storage.withPartitionCols(SignalViews.metricsSumDf(s, dir)))
+    val proj = Seq("timestamp", "metric_name", "service_name", "value",
+      "attributes", "date_day")
+    s.read.parquet(gaugePath).select(proj.map(col): _*)
+      .unionByName(s.read.parquet(sumPath).select(proj.map(col): _*))
+  }
+
+  /** MetricsTable over the stored union. `dayBounds` is the partition-bound
+    * mirror of the query time window: a filter on the Hive partition column
+    * so Catalyst prunes day directories before any row is read (SURVEY §2.2
+    * row 11 — at 100 TB every query must prune by date_day). */
+  def storedMetricsTable(s: SparkSession, dir: String,
+      dayBounds: Option[(String, String)] = None): graft.promql.Eval.MetricsTable = {
+    var df = storedMetricsUnion(s, dir)
+    dayBounds.foreach { case (lo, hi) =>
+      df = df.filter(col("date_day") >= lo && col("date_day") <= hi)
+    }
+    graft.promql.Eval.MetricsTable(
+      df.withColumn("event_id", element_at(col("attributes"), "eid").cast("long")),
+      seriesLabels = Seq("service_name"),
+      tieBreak = Seq("event_id"))
+  }
 }

@@ -177,6 +177,73 @@ object SignalViews {
       |  CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS env
       |FROM events""".stripMargin
 
+  // ---- generation-2 traces: hex ids for prefix sharding -------------------
+
+  /** events → trace spans with HEX trace ids (md5 of the logical trace
+    * key), so the stored layout can shard on the first two hex chars —
+    * the reference's 256-way `prefix=XX` point-lookup layout
+    * (tests-integration/benches/trace_index_scaling.rs:1-10). */
+  def tracesGen2Df(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val rawId = concat(lit("tr-"), col("user_id"), lit("-"),
+      expr("(unix_micros(ts_us) div 1000000) div 86400"))
+    Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      col("event_id").cast("string").as("span_id"),
+      md5(rawId).as("trace_id"),
+      col("event_type").as("span_name"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      when(col("event_type") === "error", "ERROR").otherwise("OK").as("status_code"),
+      round(col("value") * 1000000).cast(LongType).as("duration_nanos"))
+  }
+
+  val tracesGen2ViewSql: String =
+    """SELECT epoch_ns(ts) AS timestamp, CAST(event_id AS VARCHAR) AS span_id,
+      |  md5(concat('tr-', user_id, '-', (epoch_us(ts)//1000000)//86400)) AS trace_id,
+      |  event_type AS span_name,
+      |  concat('svc-', user_id % 8) AS service_name,
+      |  CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'OK' END AS status_code,
+      |  CAST(round(value * 1000000) AS BIGINT) AS duration_nanos
+      |FROM events""".stripMargin
+
+  // ---- generation-2 metrics: per-kind typed tables ------------------------
+
+  /** events → the common metric column set (Schemas.metricCommon,
+    * reference iceberg/schemas.rs:189-258). The deterministic tie-break
+    * (event_id) rides inside `attributes` so the stored schema stays the
+    * reference's; readers restore it as a column. */
+  private def metricsGen2Base(s: SparkSession, dir: String): DataFrame = {
+    val ts = unix_micros(col("ts_us")) * 1000
+    Tables.events(s, dir).select(
+      ts.as("timestamp"),
+      ts.as("start_timestamp"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      col("event_type").as("metric_name"),
+      lit("").as("metric_description"),
+      lit("").as("metric_unit"),
+      map(lit("host"), concat(lit("host-"), pmod(col("user_id"), lit(5))))
+        .as("resource_attributes"),
+      typedLit(Map.empty[String, String]).as("scope_attributes"),
+      map(lit("eid"), col("event_id").cast("string")).as("attributes"),
+      lit(0).as("flags"),
+      lit("[]").as("exemplars"),
+      col("value"))
+  }
+
+  /** point-in-time series land in the gauge table… */
+  val gaugeMetricNames: Seq[String] = Seq("view", "click")
+
+  /** full Schemas.metricsGauge shape. */
+  def metricsGaugeDf(s: SparkSession, dir: String): DataFrame =
+    metricsGen2Base(s, dir).filter(col("metric_name").isin(gaugeMetricNames: _*))
+
+  /** …counter-ish series land in the sum table, with temporality flags
+    * (Schemas.metricsSum; reference iceberg/schemas.rs:226-258). */
+  def metricsSumDf(s: SparkSession, dir: String): DataFrame =
+    metricsGen2Base(s, dir).filter(!col("metric_name").isin(gaugeMetricNames: _*))
+      .withColumn("aggregation_temporality", lit(2))
+      .withColumn("is_monotonic", lit(true))
+
   /** gen-2 LogsTable: map-attr resolution on, cross-container coalesce in
     * priority order, trace_id tie-break (unique per row). */
   def logsGen2Table(s: SparkSession, dir: String): LogsTable =

@@ -37,6 +37,9 @@ object Ast {
     final case class LineFormat(template: String) extends Stage
     /** `| label_format dst=src` or `dst="tmpl"` — rename / templated label. */
     final case class LabelFormat(assignments: Seq[(String, Either[String, String])]) extends Stage
+    /** `| pattern "<p>"` — positional capture extraction from body
+      * (reference ast.rs:65 `Pattern`). */
+    final case class Pattern(pattern: String) extends Stage
   }
 
   sealed trait LineOp
@@ -97,6 +100,16 @@ object Ast {
   sealed trait MetricExpr
   final case class RangeExpr(agg: RangeAgg) extends MetricExpr
   final case class VectorExpr(agg: VectorAgg) extends MetricExpr
+
+  /** binary op between LogQL metric exprs (reference logs.rs:906-1100
+    * join_binary/join_compare/join_logical): arithmetic, comparison
+    * (`bool` mode), and/or/unless, with on()/ignoring() match keys. */
+  final case class BinaryExpr(op: String, lhs: MetricExpr, rhs: MetricExpr,
+      bool: Boolean, on: Seq[String] = Seq.empty,
+      ignoring: Seq[String] = Seq.empty) extends MetricExpr
+
+  /** scalar literal operand of a BinaryExpr. */
+  final case class LiteralExpr(v: Double) extends MetricExpr
 
   /** Raised for parseable-but-unsupported constructs — explicit, like the
     * reference's Unsupported errors (search_filter.rs:6-9). */

@@ -84,6 +84,31 @@ object Lowering {
 
   private def anchored(re: String): String = "^(?:" + re + ")$"
 
+  /** compile a `| pattern` expression — literals plus `<name>` / `<_>`
+    * captures (reference ast.rs:65). Start-anchored; a capture is
+    * non-greedy up to the next literal; a trailing capture takes the rest
+    * of the line. Escaping is metachar-by-metachar so the SAME regex runs
+    * under Java (Spark) and RE2 (the DuckDB oracle). Returns (regex,
+    * capture names in group order — `<_>` compiles to a non-capturing
+    * group so indices line up). */
+  private[logql] def compilePattern(p: String): (String, Seq[String]) = {
+    def esc(s: String): String =
+      s.flatMap(c => if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString)
+    val capRe = "<([A-Za-z_][A-Za-z0-9_]*)>".r
+    val sb = new StringBuilder("^")
+    val names = Seq.newBuilder[String]
+    var last = 0
+    for (m <- capRe.findAllMatchIn(p)) {
+      if (m.start > last) sb ++= esc(p.substring(last, m.start))
+      val body = if (m.end == p.length) ".*" else ".*?"
+      if (m.group(1) == "_") sb ++= s"(?:$body)"
+      else { names += m.group(1); sb ++= s"($body)" }
+      last = m.end
+    }
+    if (last < p.length) sb ++= esc(p.substring(last))
+    (sb.toString, names.result())
+  }
+
   private def matcherCol(c: Ctx, m: LabelMatcher): Column = {
     val l = c.resolve(m.label)
     m.op match {
@@ -190,8 +215,42 @@ object Lowering {
           }
           ctx = ctx.copy(overrides = ctx.overrides + (dst -> v))
         }
+      case Stage.Pattern(p) => ctx = withPatternOverrides(ctx, p)
     }
     df
+  }
+
+  /** an unmatched line carries NO captured label (Loki semantics), so the
+    * empty-string non-match from regexp_extract becomes NULL — dropped
+    * under both `p` and `not p`, like any absent label. */
+  private def withPatternOverrides(ctx: Ctx, p: String): Ctx = {
+    val (re, names) = compilePattern(p)
+    names.zipWithIndex.foldLeft(ctx) { case (c, (n, i)) =>
+      val x = regexp_extract(col("body"), re, i + 1)
+      c.copy(overrides = c.overrides + (n -> when(x =!= "", x)))
+    }
+  }
+
+  /** the label-resolution context AFTER all stages — what metric group
+    * keys and `unwrap` see (parser flags + label_format/pattern overrides,
+    * without re-running the filters). */
+  private def finalCtx(table: LogsTable, stages: Seq[Stage]): Ctx = {
+    var ctx = Ctx(table,
+      jsonParsed = stages.contains(Stage.Json),
+      logfmtParsed = stages.contains(Stage.Logfmt))
+    for (st <- stages) st match {
+      case Stage.LabelFormat(assigns) =>
+        for ((dst, spec) <- assigns) {
+          val v = spec match {
+            case Left(src)   => ctx.resolve(src)
+            case Right(tmpl) => templateCol(ctx, tmpl)
+          }
+          ctx = ctx.copy(overrides = ctx.overrides + (dst -> v))
+        }
+      case Stage.Pattern(p) => ctx = withPatternOverrides(ctx, p)
+      case _ => ()
+    }
+    ctx
   }
 
   /** LogQL line query: filter, newest-first (or oldest) order, limit, with
@@ -217,9 +276,40 @@ object Lowering {
     expr(s"(timestamp div 1000000000) div $stepSec * $stepSec")
 
   /** Lower a metric expression. Output: (bucket_start, <labels…>, value). */
-  def lowerMetric(table: LogsTable, expr: MetricExpr): DataFrame = expr match {
-    case RangeExpr(agg)  => lowerRange(table, agg, table.seriesLabels)
-    case VectorExpr(vagg) => lowerVector(table, vagg)
+  def lowerMetric(table: LogsTable, expr: MetricExpr): DataFrame =
+    lowerMetricVec(table, expr).df
+
+  /** Lower to the shared vector shape (df + label set). Binary metric
+    * exprs reuse the SAME join algebra as PromQL (graft.promql.Eval) —
+    * the reference shares its binary eval between the two languages the
+    * same way (logs.rs:906-1100 ↔ metrics.rs:415-909). */
+  private def lowerMetricVec(table: LogsTable, expr: MetricExpr): graft.promql.Eval.Vec = {
+    import graft.promql.Eval
+    expr match {
+      case RangeExpr(agg) =>
+        Eval.Vec(lowerRange(table, agg, table.seriesLabels), table.seriesLabels)
+      case VectorExpr(vagg) =>
+        val labels =
+          if (vagg.by.nonEmpty) vagg.by
+          else if (vagg.without.nonEmpty) table.seriesLabels.filterNot(vagg.without.contains)
+          else if (vagg.func == "topk" || vagg.func == "bottomk")
+            (table.seriesLabels ++ vagg.by).distinct
+          else Seq.empty
+        Eval.Vec(lowerVector(table, vagg), labels)
+      case LiteralExpr(_) =>
+        throw Unsupported("a bare scalar is not a LogQL metric query")
+      case BinaryExpr(op, lhs, rhs, bool, on, ig) =>
+        (lhs, rhs) match {
+          case (LiteralExpr(_), LiteralExpr(_)) =>
+            throw Unsupported("scalar-only binary expression")
+          case (LiteralExpr(a), r) =>
+            Eval.vecScalar(op, lowerMetricVec(table, r), a, bool, scalarOnLeft = true)
+          case (l, LiteralExpr(b)) =>
+            Eval.vecScalar(op, lowerMetricVec(table, l), b, bool, scalarOnLeft = false)
+          case (l, r) =>
+            Eval.binaryVec(op, lowerMetricVec(table, l), lowerMetricVec(table, r), bool, on, ig)
+        }
+    }
   }
 
   private def varPopCols(v: Column): (Column, Column, Column) =
@@ -227,9 +317,7 @@ object Lowering {
 
   /** Range aggregation grouped by (bucket, groupLabels). */
   private def lowerRange(table: LogsTable, agg: RangeAgg, groupLabels: Seq[String]): DataFrame = {
-    val ctx = Ctx(table,
-      jsonParsed = agg.inner.stages.contains(Stage.Json),
-      logfmtParsed = agg.inner.stages.contains(Stage.Logfmt))
+    val ctx = finalCtx(table, agg.inner.stages)
     val filtered = lowerFilter(table, agg.inner)
     val bucket = bucketCol(agg.rangeSec).as("bucket_start")
     // group keys resolve through the attr context, so a map-resolved label

@@ -71,11 +71,121 @@ object Parser {
     def query(): Query = cur match {
       case TIdent(name, _) if vectorFuncs.contains(name) || rangeFuncs.contains(name) =>
         MetricQuery(metricExpr())
+      case TOp("(", _) | TNum(_, _) => MetricQuery(metricExpr())
       case TOp("{", _) => LineQuery(logQuery())
       case t           => throw ParseError("expected '{' or function", t.pos)
     }
 
-    def metricExpr(): MetricExpr = cur match {
+    // ---- metric expressions with binary operators -----------------------
+    // precedence (loosest → tightest), same ladder as PromQL:
+    // or | and,unless | comparisons | +,- | *,/,% | ^ | atom
+
+    def metricExpr(): MetricExpr = orMetric()
+
+    private def orMetric(): MetricExpr = {
+      var l = andMetric()
+      while (identOpt.contains("or")) {
+        advance(); val (on, ig) = matchMods()
+        l = BinaryExpr("or", l, andMetric(), bool = false, on, ig)
+      }
+      l
+    }
+
+    private def andMetric(): MetricExpr = {
+      var l = cmpMetric()
+      var go = true
+      while (go) {
+        if (identOpt.contains("and")) {
+          advance(); val (on, ig) = matchMods()
+          l = BinaryExpr("and", l, cmpMetric(), bool = false, on, ig)
+        } else if (identOpt.contains("unless")) {
+          advance(); val (on, ig) = matchMods()
+          l = BinaryExpr("unless", l, cmpMetric(), bool = false, on, ig)
+        } else go = false
+      }
+      l
+    }
+
+    private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+    private def cmpMetric(): MetricExpr = {
+      var l = addMetric()
+      var go = true
+      while (go) {
+        cur match {
+          case TOp(o, _) if cmpOps(o) =>
+            advance()
+            val bool = if (identOpt.contains("bool")) { advance(); true } else false
+            val (on, ig) = matchMods()
+            l = BinaryExpr(o, l, addMetric(), bool, on, ig)
+          case _ => go = false
+        }
+      }
+      l
+    }
+
+    private def addMetric(): MetricExpr = {
+      var l = mulMetric()
+      var go = true
+      while (go) {
+        cur match {
+          case TOp(o, _) if o == "+" || o == "-" =>
+            advance(); val (on, ig) = matchMods()
+            l = BinaryExpr(o, l, mulMetric(), bool = false, on, ig)
+          case _ => go = false
+        }
+      }
+      l
+    }
+
+    private def mulMetric(): MetricExpr = {
+      var l = powMetric()
+      var go = true
+      while (go) {
+        cur match {
+          case TOp(o, _) if o == "*" || o == "/" || o == "%" =>
+            advance(); val (on, ig) = matchMods()
+            l = BinaryExpr(o, l, powMetric(), bool = false, on, ig)
+          case _ => go = false
+        }
+      }
+      l
+    }
+
+    private def powMetric(): MetricExpr = {
+      val base = metricAtom()
+      if (isOp("^")) {
+        advance(); val (on, ig) = matchMods()
+        BinaryExpr("^", base, powMetric(), bool = false, on, ig)
+      } else base
+    }
+
+    /** `on(l, …)` / `ignoring(l, …)` after a binary operator. */
+    private def matchMods(): (Seq[String], Seq[String]) =
+      if (identOpt.contains("on") || identOpt.contains("ignoring")) {
+        val kind = advance().asInstanceOf[TIdent].s
+        eatOp("(")
+        val ls = Seq.newBuilder[String]
+        var first = true
+        while (!isOp(")")) {
+          if (!first) eatOp(",")
+          first = false
+          advance() match {
+            case TIdent(l, _) => ls += l
+            case t            => throw ParseError("expected label", t.pos)
+          }
+        }
+        eatOp(")")
+        if (kind == "on") (ls.result(), Seq.empty) else (Seq.empty, ls.result())
+      } else (Seq.empty, Seq.empty)
+
+    private def metricAtom(): MetricExpr = cur match {
+      case TNum(v, _) => advance(); LiteralExpr(v)
+      case TOp("(", _) =>
+        advance(); val e = metricExpr(); eatOp(")"); e
+      case _ => metricAggExpr()
+    }
+
+    private def metricAggExpr(): MetricExpr = cur match {
       case TIdent(name, _) if vectorFuncs.contains(name) =>
         advance()
         var by = Seq.empty[String]
@@ -177,6 +287,9 @@ object Parser {
               case TIdent("line_format", _) =>
                 advance()
                 stages += Stage.LineFormat(str())
+              case TIdent("pattern", _) =>
+                advance()
+                stages += Stage.Pattern(str())
               case TIdent("label_format", _) =>
                 advance()
                 val assigns = Seq.newBuilder[(String, Either[String, String])]

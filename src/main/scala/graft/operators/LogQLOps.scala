@@ -133,7 +133,38 @@ object LogQLOps {
     "q81_gen2_stored_window" ->
       lineGen2("""{service_name="svc-2", region="r2"}""", 500,
         timeRange = Some((1704844800000000000L, 1705708800000000000L)),
-        stored = true)
+        stored = true),
+
+    // ---- binary ops between metric exprs (reference logs.rs:906-1100) ---
+
+    // arithmetic ratio with explicit on() match key — an equi join per
+    // (bucket, service), never a collect-side map
+    "q82_logql_binary_ratio" ->
+      metric("""sum by (service_name) (count_over_time({severity_text="error"}[1d]))
+                / on(service_name)
+                sum by (service_name) (count_over_time({severity_text="info"}[1d]))"""),
+
+    // vector comparison (filter semantics): keep error-count series whose
+    // value exceeds the click-count series of the same service
+    "q83_logql_binary_cmp" ->
+      metric("""sum by (service_name) (count_over_time({event_type="click"}[1d]))
+                > sum by (service_name) (count_over_time({event_type="view"}[1d]))"""),
+
+    // logical set op with a nested scalar comparison on the rhs:
+    // error series unless the service also has >17 info lines that day
+    "q84_logql_binary_unless" ->
+      metric("""sum by (service_name) (count_over_time({severity_text="error"}[1d]))
+                unless (sum by (service_name) (count_over_time({severity_text="info"}[1d])) > 17)"""),
+
+    // ---- | pattern stage (reference ast.rs:65) --------------------------
+
+    // positional capture + numeric label filter on the captured value
+    "q89_logql_pattern" ->
+      line("""{service_name="svc-6"} | pattern "{\"k\": <kv>}" | kv >= 70""", 300),
+
+    // pattern capture as a metric group key (finalCtx resolution)
+    "q90_logql_pattern_metric" ->
+      metric("""sum by (kv) (count_over_time({event_type="signup"} | pattern "{\"k\": <kv>}" [1w]))""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,6 +303,58 @@ object LogQLOps {
          |  AND service_name = 'svc-2' AND region = 'r2'
          |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
          |LIMIT 500""".stripMargin,
+
+    "q82_logql_binary_ratio" ->
+      s"""WITH logs AS ($V),
+         |a AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE severity_text = 'error' GROUP BY 1, 2),
+         |b AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE severity_text = 'info' GROUP BY 1, 2)
+         |SELECT a.bucket_start, a.service_name, a.v / b.v AS value
+         |FROM a JOIN b USING (bucket_start, service_name)""".stripMargin,
+
+    "q83_logql_binary_cmp" ->
+      s"""WITH logs AS ($V),
+         |a AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE event_type = 'click' GROUP BY 1, 2),
+         |b AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE event_type = 'view' GROUP BY 1, 2)
+         |SELECT a.bucket_start, a.service_name, a.v AS value
+         |FROM a JOIN b USING (bucket_start, service_name)
+         |WHERE a.v > b.v""".stripMargin,
+
+    "q84_logql_binary_unless" ->
+      s"""WITH logs AS ($V),
+         |a AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(COUNT(*) AS DOUBLE) AS value
+         |      FROM logs WHERE severity_text = 'error' GROUP BY 1, 2),
+         |b AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE severity_text = 'info' GROUP BY 1, 2)
+         |SELECT a.bucket_start, a.service_name, a.value FROM a
+         |WHERE NOT EXISTS (SELECT 1 FROM b
+         |  WHERE b.bucket_start = a.bucket_start
+         |    AND b.service_name = a.service_name AND b.v > 17)""".stripMargin,
+
+    "q89_logql_pattern" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE service_name = 'svc-6'
+         |  AND TRY_CAST(nullif(regexp_extract(body, '^\\{"k": (.*?)\\}', 1), '') AS DOUBLE) >= 70
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 300""".stripMargin,
+
+    "q90_logql_pattern_metric" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(604800)} AS bucket_start,
+         |  nullif(regexp_extract(body, '^\\{"k": (.*?)\\}', 1), '') AS kv,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE event_type = 'signup'
+         |GROUP BY 1, 2""".stripMargin,
 
     "q40_logql_last" ->
       s"""WITH logs AS ($V),

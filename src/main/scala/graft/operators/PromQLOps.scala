@@ -31,6 +31,15 @@ object PromQLOps {
     Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
   }
 
+  /** over the STORED gauge+sum union, with the query window mirrored onto
+    * the date_day partition column so day directories prune at the scan. */
+  private def qu(query: String, stepSec: Long): Q = (s, dir) => {
+    val lo = java.time.LocalDate.ofEpochDay(T0 / 86400).toString
+    val hi = java.time.LocalDate.ofEpochDay((T1 - 1) / 86400).toString
+    val t = graft.SignalTables.storedMetricsTable(s, dir, Some((lo, hi)))
+    Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
+  }
+
   private val V = SignalViews.metricsViewSql
   private val HV = SignalViews.histViewSql
   private def bkt(step: Long) = s"(timestamp//1000000000//$step)*$step"
@@ -92,7 +101,24 @@ object PromQLOps {
     // on() vector matching over a rewritten label
     "q74_promql_on_matching" -> q(
       """label_replace(error, "env", "e$1", "service_name", "svc-(.*)") / on(env) label_replace(purchase, "env", "e$1", "service_name", "svc-(.*)")""",
-      86400)
+      86400),
+
+    // @ pinning: one fixed bucket (Jan 4), replicated across the grid by a
+    // broadcast of the bucket spine (reference promql.rs:257-269)
+    "q85_promql_at" -> q(
+      """max_over_time(purchase{service_name=~"svc-[0-4]"}[1d] @ 1704326400)""", 86400),
+
+    // @ start() joined against the un-pinned series: growth vs day 1
+    "q86_promql_at_start" -> q(
+      """purchase / on(service_name) (purchase @ start())""", 86400),
+
+    // sort_desc: value ordering (check normalizes row order; this pins the
+    // value/row set through the sort operator)
+    "q87_promql_sort_desc" -> q("""sort_desc(view)""", 86400),
+
+    // stored gauge+sum union scan: purchase lives in metrics_sum, view in
+    // metrics_gauge; one query reads both tables (reference metrics.rs:42-52)
+    "q88_promql_union_scan" -> qu("""purchase / on(service_name) view""", 86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -295,6 +321,49 @@ object PromQLOps {
          |SELECT bucket_start, CAST(floor(value / 50) * 50 AS VARCHAR) AS vb,
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM l GROUP BY 1, 2""".stripMargin,
+
+    "q85_promql_at" ->
+      s"""WITH m AS ($V),
+         |pin AS (
+         |  SELECT service_name, MAX(CAST(value AS DOUBLE)) AS value
+         |  FROM m WHERE metric_name = 'purchase'
+         |    AND regexp_full_match(service_name, 'svc-[0-4]')
+         |    AND timestamp >= ${1704326400L * 1000000000L}
+         |    AND timestamp < ${1704412800L * 1000000000L}
+         |  GROUP BY 1),
+         |spine AS (
+         |  SELECT ${T0} + i * 86400 AS bucket_start
+         |  FROM range(0, ${(T1 - T0) / 86400}) r(i))
+         |SELECT s.bucket_start, p.service_name, p.value
+         |FROM spine s CROSS JOIN pin p""".stripMargin,
+
+    "q86_promql_at_start" ->
+      s"""WITH m AS ($V),
+         |today AS (${lastPerBucket("metric_name = 'purchase'", 86400)}),
+         |day1 AS (
+         |  SELECT service_name, value FROM (
+         |    SELECT service_name, CAST(value AS DOUBLE) AS value,
+         |      row_number() OVER (PARTITION BY service_name
+         |        ORDER BY timestamp DESC, event_id DESC) AS rn
+         |    FROM m WHERE metric_name = 'purchase'
+         |      AND timestamp >= ${T0 * 1000000000L}
+         |      AND timestamp < ${(T0 + 86400) * 1000000000L}) WHERE rn = 1)
+         |SELECT t.bucket_start, t.service_name, t.value / d.value AS value
+         |FROM today t JOIN day1 d USING (service_name)""".stripMargin,
+
+    "q87_promql_sort_desc" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT bucket_start, service_name, value FROM l""".stripMargin,
+
+    "q88_promql_union_scan" ->
+      s"""WITH m AS ($V),
+         |p AS (${lastPerBucket("metric_name = 'purchase'", 86400)}),
+         |v AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT p.bucket_start AS bucket_start, p.service_name AS service_name,
+         |  p.value / v.value AS value
+         |FROM p JOIN v ON p.bucket_start = v.bucket_start
+         |  AND p.service_name = v.service_name""".stripMargin,
 
     "q74_promql_on_matching" ->
       s"""WITH m AS ($V),

@@ -20,12 +20,22 @@ object Ast {
   final case class NumLit(v: Double) extends Expr
   final case class StrLit(s: String) extends Expr
 
-  /** `metric{matchers}[range] offset d` — instant if `rangeSec` empty. */
+  /** `@` pinning: evaluate the selector at one fixed time instead of per
+    * step (reference promql.rs:257-269; eval metrics.rs:1746-1810). */
+  sealed trait AtMod
+  object AtMod {
+    case object Start extends AtMod
+    case object End extends AtMod
+    final case class Time(sec: Long) extends AtMod
+  }
+
+  /** `metric{matchers}[range] offset d @ t` — instant if `rangeSec` empty. */
   final case class Selector(
       metric: Option[String],
       matchers: Seq[LabelMatcher],
       rangeSec: Option[Long],
-      offsetSec: Long = 0) extends Expr
+      offsetSec: Long = 0,
+      at: Option[AtMod] = None) extends Expr
 
   /** `expr[range:res]` — inner evaluated at resolution `resSec`, then
     * re-reduced per outer step by an _over_time function. */

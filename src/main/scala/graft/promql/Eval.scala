@@ -51,11 +51,35 @@ object Eval {
   private def bucketExpr(stepSec: Long): Column =
     expr(s"(timestamp div 1000000000) div $stepSec * $stepSec")
 
+  /** resolve `@` to its pinned bucket on the query grid; `end()` pins to
+    * the LAST grid bucket (endSec is exclusive), matching spine(). */
+  private def pinBucket(sel: Selector, tr: TimeRange): Option[Long] = sel.at.map {
+    case AtMod.Start   => tr.startSec / tr.stepSec * tr.stepSec
+    case AtMod.End     => (tr.endSec - 1) / tr.stepSec * tr.stepSec
+    case AtMod.Time(s) => s / tr.stepSec * tr.stepSec
+  }
+
   /** bucket on the query grid for an offset selector: shift the sample
-    * time forward by the offset before bucketing. */
-  private def bucketExprFor(sel: Selector, stepSec: Long): Column =
-    if (sel.offsetSec == 0) bucketExpr(stepSec)
-    else expr(s"((timestamp + ${sel.offsetSec * 1000000000L}) div 1000000000) div $stepSec * $stepSec")
+    * time forward by the offset before bucketing. A pinned (`@`) selector
+    * has exactly one bucket — a constant. */
+  private def bucketExprFor(sel: Selector, tr: TimeRange): Column =
+    pinBucket(sel, tr) match {
+      case Some(pb)                   => lit(pb)
+      case None if sel.offsetSec == 0 => bucketExpr(tr.stepSec)
+      case None =>
+        expr(s"((timestamp + ${sel.offsetSec * 1000000000L}) div 1000000000) div ${tr.stepSec} * ${tr.stepSec}")
+    }
+
+  /** a pinned selector evaluates at ONE bucket; replicate its rows across
+    * the query grid with a broadcast of the tiny bucket spine — no shuffle
+    * (reference metrics.rs:1746-1810 re-stamps the pinned matrix the same
+    * way, driver-side; ours stays a plan). */
+  private def spread(sel: Selector, v: Vec, t: MetricsTable, tr: TimeRange): Vec =
+    if (sel.at.isEmpty) v
+    else {
+      val buckets = spine(t, tr, lit(0.0)).df.select("bucket_start")
+      Vec(v.df.drop("bucket_start").crossJoin(broadcast(buckets)), v.labels)
+    }
 
   /** data-independent step spine (for scalar-only exprs, absent, time()) —
     * sequence+explode, no table scan (SURVEY §2.4 absent). */
@@ -72,8 +96,8 @@ object Eval {
     case NumLit(v) => ScalV(v)
     case StrLit(_) => throw Unsupported("bare string is not a vector")
 
-    case sel @ Selector(_, _, None, _) => VecV(instant(sel, t, tr))
-    case Selector(_, _, Some(_), _) =>
+    case sel @ Selector(_, _, None, _, _) => VecV(instant(sel, t, tr))
+    case Selector(_, _, Some(_), _, _) =>
       throw Unsupported("range selector outside a range function")
     case Subquery(_, _, _) =>
       throw Unsupported("subquery outside an _over_time function")
@@ -93,9 +117,11 @@ object Eval {
     * metrics.rs:2703-2727 — date_bin origin shifting). */
   private def baseFilter(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
     val off = sel.offsetSec * 1000000000L
-    var df = t.df.filter(
-      col("timestamp") >= lit(tr.startSec * 1000000000L - off) &&
-        col("timestamp") < lit(tr.endSec * 1000000000L - off))
+    val (lo, hi) = pinBucket(sel, tr) match {
+      case Some(pb) => (pb * 1000000000L - off, (pb + tr.stepSec) * 1000000000L - off)
+      case None     => (tr.startSec * 1000000000L - off, tr.endSec * 1000000000L - off)
+    }
+    var df = t.df.filter(col("timestamp") >= lit(lo) && col("timestamp") < lit(hi))
     sel.metric.foreach(m => df = df.filter(col("metric_name") === m))
     for (m <- sel.matchers) {
       val c = col(m.label)
@@ -115,19 +141,19 @@ object Eval {
     * a sort + row_number window: no per-partition sort, partial agg
     * map-side — the shape that survives 1 M series per bucket. */
   private def instant(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
     val keys = bucket +: t.seriesLabels.map(col)
     val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
-    Vec(
+    spread(sel, Vec(
       df.groupBy(keys: _*)
         .agg(max_by(col("value").cast(DoubleType), ordStruct).as("value")),
-      t.seriesLabels)
+      t.seriesLabels), t, tr)
   }
 
   // ---- functions --------------------------------------------------------
 
   private def rangeSel(args: Seq[Expr], f: String): Selector = args match {
-    case Seq(s @ Selector(_, _, Some(_), _)) => s
+    case Seq(s @ Selector(_, _, Some(_), _, _)) => s
     case _ => throw Unsupported(s"$f expects a range selector")
   }
 
@@ -137,7 +163,7 @@ object Eval {
     case "rate" | "increase" | "delta" =>
       val sel = rangeSel(args, f)
       val rs = sel.rangeSec.get
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
       val keys = bucket +: t.seriesLabels.map(col)
       // deterministic first/last: max_by/min_by over (timestamp, tieBreak)
       val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
@@ -146,12 +172,12 @@ object Eval {
         min_by(col("value"), ordStruct).as("_first"))
       val delta = col("_last") - col("_first")
       val v = if (f == "rate") delta / lit(rs.toDouble) else delta
-      VecV(Vec(d.withColumn("value", v.cast(DoubleType)).drop("_first", "_last"),
-        t.seriesLabels))
+      VecV(spread(sel, Vec(d.withColumn("value", v.cast(DoubleType)).drop("_first", "_last"),
+        t.seriesLabels), t, tr))
 
     case "irate" | "idelta" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
       val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
       val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
       val last2 = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 2)
@@ -166,17 +192,17 @@ object Eval {
       val dv = col("_v1") - col("_v2")
       val v = if (f == "idelta") dv
         else dv / ((col("_t1") - col("_t2")).cast(DoubleType) / lit(1e9))
-      VecV(Vec(g.withColumn("value", v.cast(DoubleType))
-        .drop("_v1", "_v2", "_t1", "_t2", "_n"), t.seriesLabels))
+      VecV(spread(sel, Vec(g.withColumn("value", v.cast(DoubleType))
+        .drop("_v1", "_v2", "_t1", "_t2", "_n"), t.seriesLabels), t, tr))
 
     case "deriv" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
       val keys = bucket +: t.seriesLabels.map(col)
       val secs = (col("timestamp").cast(DoubleType)) / lit(1e9)
-      VecV(Vec(
+      VecV(spread(sel, Vec(
         df.groupBy(keys: _*).agg(regr_slope(col("value"), secs).as("value")),
-        t.seriesLabels))
+        t.seriesLabels), t, tr))
 
     case "sum_over_time" | "avg_over_time" | "min_over_time" | "max_over_time" |
         "count_over_time" | "last_over_time" | "stddev_over_time" |
@@ -323,7 +349,7 @@ object Eval {
       case _ => ()
     }
     val sel = rangeSel(args.lastOption.toSeq, f) // quantile has (phi, sel)
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr.stepSec))
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
     val keys = bucket +: t.seriesLabels.map(col)
     val x = col("value").cast(DoubleType)
     val out = f match {
@@ -348,7 +374,7 @@ object Eval {
         }
         df.groupBy(keys: _*).agg(percentile(x, lit(phi)).as("value"))
     }
-    VecV(Vec(out, t.seriesLabels))
+    VecV(spread(sel, Vec(out, t.seriesLabels), t, tr))
   }
 
   /** Prometheus histogram_quantile over cumulative `le` series
@@ -477,71 +503,74 @@ object Eval {
           case "^" => math.pow(a, b)
         })
 
-      case (VecV(v), ScalV(s)) =>
-        val c = lit(s)
-        if (cmpSet(op)) {
-          val kept =
-            if (boolMode)
-              v.df.withColumn("value",
-                when(cmp(op, col("value"), c), 1.0).otherwise(0.0))
-            else v.df.filter(cmp(op, col("value"), c))
-          VecV(Vec(kept, v.labels))
-        } else VecV(Vec(v.df.withColumn("value", arith(op, col("value"), c)), v.labels))
+      case (VecV(v), ScalV(s)) => VecV(vecScalar(op, v, s, boolMode, scalarOnLeft = false))
+      case (ScalV(s), VecV(v)) => VecV(vecScalar(op, v, s, boolMode, scalarOnLeft = true))
+      case (VecV(l), VecV(r))  => VecV(binaryVec(op, l, r, boolMode, on, ignoring))
+    }
+  }
 
-      case (ScalV(s), VecV(v)) =>
-        val c = lit(s)
-        if (cmpSet(op)) {
-          val kept =
-            if (boolMode)
-              v.df.withColumn("value",
-                when(cmp(op, c, col("value")), 1.0).otherwise(0.0))
-            else v.df.filter(cmp(op, c, col("value")))
-          VecV(Vec(kept, v.labels))
-        } else VecV(Vec(v.df.withColumn("value", arith(op, c, col("value"))), v.labels))
+  /** vector ⋄ scalar (or scalar ⋄ vector when `scalarOnLeft`). Public so
+    * the LogQL metric layer reuses the same algebra (reference
+    * logs.rs:906-1100 shares eval with promql the same way). */
+  def vecScalar(op: String, v: Vec, s: Double, boolMode: Boolean,
+      scalarOnLeft: Boolean): Vec = {
+    val c = lit(s)
+    def ordered(f: (Column, Column) => Column): Column =
+      if (scalarOnLeft) f(c, col("value")) else f(col("value"), c)
+    if (cmpSet(op)) {
+      val kept =
+        if (boolMode)
+          v.df.withColumn("value", when(ordered(cmp(op, _, _)), 1.0).otherwise(0.0))
+        else v.df.filter(ordered(cmp(op, _, _)))
+      Vec(kept, v.labels)
+    } else Vec(v.df.withColumn("value", ordered(arith(op, _, _))), v.labels)
+  }
 
-      case (VecV(l), VecV(r)) =>
-        // vector matching: default all shared labels; on() restricts to the
-        // listed labels; ignoring() removes labels from the key set
-        // (reference logs.rs match_key, :906-1100)
-        val shared =
-          if (on.nonEmpty) on
-          else l.labels.intersect(r.labels).filterNot(ignoring.contains)
-        val joinKeys = "bucket_start" +: shared
-        op match {
-          case "and" =>
-            // semi-join on series identity (reference metrics.rs:570-659)
-            VecV(Vec(l.df.join(r.df.select(joinKeys.map(col): _*).distinct(),
-              joinKeys, "left_semi"), l.labels))
-          case "unless" =>
-            VecV(Vec(l.df.join(r.df.select(joinKeys.map(col): _*).distinct(),
-              joinKeys, "left_anti"), l.labels))
-          case "or" =>
-            if (l.labels != r.labels)
-              throw Unsupported("or requires identical label sets")
-            // union with left priority: right rows only for missing keys
-            val rOnly = r.df.join(l.df.select(joinKeys.map(col): _*).distinct(),
-              joinKeys, "left_anti")
-            VecV(Vec(l.df.unionByName(rOnly), l.labels))
-          case _ =>
-            // one-to-one vector match on (bucket, shared labels) — a real
-            // equi join, not a collect-side hash map
-            val lf = l.df.withColumnRenamed("value", "_lv")
-            val rf = r.df.select((joinKeys :+ "value").map(col): _*)
-              .withColumnRenamed("value", "_rv")
-            val j = lf.join(rf, joinKeys, "inner")
-            val out =
-              if (cmpSet(op)) {
-                if (boolMode)
-                  j.withColumn("value",
-                    when(cmp(op, col("_lv"), col("_rv")), 1.0).otherwise(0.0))
-                else j.filter(cmp(op, col("_lv"), col("_rv")))
-                  .withColumn("value", col("_lv"))
-              } else j.withColumn("value", arith(op, col("_lv"), col("_rv")))
-            // with on(): result label set = the match keys (one-to-one)
-            val outLabels = if (on.nonEmpty) shared else l.labels
-            val proj = ("bucket_start" +: outLabels :+ "value").distinct.map(col)
-            VecV(Vec(out.select(proj: _*), outLabels))
-        }
+  /** vector ⋄ vector with matching. Default match key: all shared labels;
+    * on() restricts to the listed labels; ignoring() removes labels from
+    * the key set (reference logs.rs match_key, :906-1100). Set ops are
+    * semi/anti joins; arithmetic/comparison are inner equi joins — never
+    * collect-side maps. */
+  def binaryVec(op: String, l: Vec, r: Vec, boolMode: Boolean,
+      on: Seq[String], ignoring: Seq[String]): Vec = {
+    val shared =
+      if (on.nonEmpty) on
+      else l.labels.intersect(r.labels).filterNot(ignoring.contains)
+    val joinKeys = "bucket_start" +: shared
+    op match {
+      case "and" =>
+        // semi-join on series identity (reference metrics.rs:570-659)
+        Vec(l.df.join(r.df.select(joinKeys.map(col): _*).distinct(),
+          joinKeys, "left_semi"), l.labels)
+      case "unless" =>
+        Vec(l.df.join(r.df.select(joinKeys.map(col): _*).distinct(),
+          joinKeys, "left_anti"), l.labels)
+      case "or" =>
+        if (l.labels != r.labels)
+          throw Unsupported("or requires identical label sets")
+        // union with left priority: right rows only for missing keys
+        val rOnly = r.df.join(l.df.select(joinKeys.map(col): _*).distinct(),
+          joinKeys, "left_anti")
+        Vec(l.df.unionByName(rOnly), l.labels)
+      case _ =>
+        // one-to-one vector match on (bucket, shared labels) — a real
+        // equi join, not a collect-side hash map
+        val lf = l.df.withColumnRenamed("value", "_lv")
+        val rf = r.df.select((joinKeys :+ "value").map(col): _*)
+          .withColumnRenamed("value", "_rv")
+        val j = lf.join(rf, joinKeys, "inner")
+        val out =
+          if (cmpSet(op)) {
+            if (boolMode)
+              j.withColumn("value",
+                when(cmp(op, col("_lv"), col("_rv")), 1.0).otherwise(0.0))
+            else j.filter(cmp(op, col("_lv"), col("_rv")))
+              .withColumn("value", col("_lv"))
+          } else j.withColumn("value", arith(op, col("_lv"), col("_rv")))
+        // with on(): result label set = the match keys (one-to-one)
+        val outLabels = if (on.nonEmpty) shared else l.labels
+        val proj = ("bucket_start" +: outLabels :+ "value").distinct.map(col)
+        Vec(out.select(proj: _*), outLabels)
     }
   }
 }

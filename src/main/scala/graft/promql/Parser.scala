@@ -249,16 +249,28 @@ object Parser {
         }
         eatOp("]")
       }
+      // `offset d` and `@ t` may appear in either order
       var offset = 0L
-      if (isIdent("offset")) {
-        advance()
-        offset = advance() match {
-          case TDur(d, _) => d
-          case t          => throw ParseError("expected duration after offset", t.pos)
-        }
+      var at: Option[AtMod] = None
+      var go = true
+      while (go) {
+        if (isIdent("offset")) {
+          advance()
+          offset = advance() match {
+            case TDur(d, _) => d
+            case t          => throw ParseError("expected duration after offset", t.pos)
+          }
+        } else if (isOp("@")) {
+          advance()
+          at = Some(cur match {
+            case TNum(v, _)         => advance(); AtMod.Time(v.toLong)
+            case TIdent("start", _) => advance(); eatOp("("); eatOp(")"); AtMod.Start
+            case TIdent("end", _)   => advance(); eatOp("("); eatOp(")"); AtMod.End
+            case t => throw ParseError("expected timestamp, start() or end() after @", t.pos)
+          })
+        } else go = false
       }
-      if (isOp("@")) throw Unsupported("@ modifier not supported yet")
-      Selector(metric, matchers, range, offset)
+      Selector(metric, matchers, range, offset, at)
     }
 
     private def byWithout(): (Seq[String], Seq[String]) = {

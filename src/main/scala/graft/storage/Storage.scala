@@ -49,15 +49,18 @@ object Storage {
     flatten(array(mapCols.map(m =>
       transform(map_entries(col(m)), e => concat(e("key"), lit("="), e("value")))): _*))
 
-  /** append a batch, hour-partitioned, zstd, with per-table bloom filters.
-    * `alreadyPartitioned` skips the derive step when the caller added (and
-    * possibly repartitioned by) date_day/hour itself. */
+  /** append a batch, zstd, with per-table bloom filters. Default layout is
+    * hour-partitioned; `partitionCols` overrides it (e.g. the 256-way
+    * `prefix` shard for traces). `alreadyPartitioned` skips the derive
+    * step when the caller added (and possibly repartitioned by) the
+    * partition columns itself. */
   def append(df: DataFrame, layout: TableLayout, table: String,
-      alreadyPartitioned: Boolean = false): Unit = {
+      alreadyPartitioned: Boolean = false,
+      partitionCols: Seq[String] = Seq("date_day", "hour")): Unit = {
     val part = if (alreadyPartitioned) df else withPartitionCols(df)
     var w = part.write
       .mode(SaveMode.Append)
-      .partitionBy("date_day", "hour")
+      .partitionBy(partitionCols: _*)
       .option("compression", "zstd")
     for (c <- bloomColumns.getOrElse(table, Seq.empty)) {
       w = w.option(s"parquet.bloom.filter.enabled#$c", "true")

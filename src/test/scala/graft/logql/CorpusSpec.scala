@@ -1,0 +1,95 @@
+package graft.logql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Ast._
+
+/** Parser breadth corpus (reference idea: src/logql/tests/corpus.rs — a
+  * harvested query list split into must-parse and pinned-unsupported).
+  * Every supported query must round through tokenize → parse without
+  * throwing; every pinned query must fail EXPLICITLY (Unsupported or
+  * ParseError), never silently mis-parse.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  private val supported = Seq(
+    // line queries: matchers, filters, parsers, formats
+    """{job="api"}""",
+    """{job="api", env!="dev"}""",
+    """{job=~"api|web", pod!~"canary-.*"}""",
+    """{job="api"} |= "error" != "timeout"""",
+    """{job="api"} |~ "5\\d\\d" !~ "healthz"""",
+    """{job="api"} | json""",
+    """{job="api"} | logfmt""",
+    """{job="api"} | json | status >= 500""",
+    """{job="api"} | json | status >= 500 and method = "POST"""",
+    """{job="api"} | json | code == 200 or code == 204""",
+    """{job="api"} | json | d > -1.5""",
+    """{job="api"} | label_format lvl=severity_text""",
+    """{job="api"} | label_format msg="{{.method}} {{.path}}"""",
+    """{job="api"} | line_format "{{.status}}"""",
+    """{job="api"} | pattern "<ip> - <user> <_> \"<method> <path>\""""",
+    """{job="api"} | pattern "{\"k\": <kv>}" | kv >= 70""",
+    // metric queries: range + vector aggs
+    """count_over_time({job="api"}[5m])""",
+    """rate({job="api"} |= "error" [1m])""",
+    """bytes_over_time({job="api"}[1h])""",
+    """bytes_rate({job="api"}[30s])""",
+    """sum(count_over_time({job="api"}[5m]))""",
+    """sum by (job) (rate({job=~".+"}[5m]))""",
+    """max without (pod) (count_over_time({job="api"}[1d]))""",
+    """topk(5, count_over_time({job="api"}[1h]))""",
+    """bottomk(3, rate({job="api"}[5m]))""",
+    """avg_over_time({job="api"} | json | unwrap latency [5m])""",
+    """sum_over_time({job="api"} | logfmt | unwrap bytes [1m])""",
+    """min_over_time({job="api"} | json | unwrap v [1h])""",
+    """max_over_time({job="api"} | json | unwrap v [1h])""",
+    """first_over_time({job="api"} | json | unwrap v [1h])""",
+    """last_over_time({job="api"} | json | unwrap v [1h])""",
+    """stddev_over_time({job="api"} | json | unwrap v [1h])""",
+    """stdvar_over_time({job="api"} | json | unwrap v [1h])""",
+    """quantile_over_time(0.95, {job="api"} | json | unwrap v [5m])""",
+    // binary metric expressions
+    """sum by (job) (rate({job="a"}[5m])) / sum by (job) (rate({job="b"}[5m]))""",
+    """sum(rate({job="a"}[5m])) > 10""",
+    """count_over_time({a="1"}[1m]) + count_over_time({b="2"}[1m])""",
+    """sum by (s) (count_over_time({a="1"}[1d])) unless (sum by (s) (count_over_time({b="2"}[1d])) > 17)""",
+    """sum by (s) (rate({a="1"}[5m])) / on(s) sum by (s) (rate({b="2"}[5m]))""",
+    """sum by (s, p) (rate({a="1"}[5m])) * ignoring(p) sum by (s, p) (rate({b="2"}[5m]))""",
+    """sum(rate({a="1"}[5m])) > bool 0.5""",
+    """2 * sum(rate({a="1"}[5m]))""",
+    """sum by (s) (count_over_time({a="1"}[1h])) % 10""")
+
+  private val pinnedUnsupported = Seq(
+    """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
+    """{job="api"} | decolorize""",              // not in subset
+    """{job="api"} | unpack""",                  // not in subset
+    """{job="api"} | keep job""",                // not in subset
+    """{job="api"} | drop pod""",                // not in subset
+    """vector(5)""",                             // LogQL vector() literal not in subset
+    """label_replace(rate({a="1"}[5m]), "d", "$1", "s", "(.*)")""")
+
+  for ((q, i) <- supported.zipWithIndex)
+    test(f"corpus supported #$i%02d: ${q.take(60)}") {
+      Parser.parse(q) // must not throw
+    }
+
+  for ((q, i) <- pinnedUnsupported.zipWithIndex)
+    test(f"corpus pinned-unsupported #$i%02d: ${q.take(60)}") {
+      val thrown = intercept[RuntimeException](Parser.parse(q))
+      assert(thrown.isInstanceOf[Unsupported] || thrown.isInstanceOf[ParseError],
+        s"expected an explicit rejection, got $thrown")
+    }
+
+  test("pattern compile: literals escape, <_> skips a group, trailing capture greedy") {
+    val (re, names) = Lowering.compilePattern("""<ip> - <_> "{<m>}" <rest>""")
+    assert(names == Seq("ip", "m", "rest"))
+    assert(re == """^(.*?) - (?:.*?) "\{(.*?)\}" (.*)""")
+    val jm = java.util.regex.Pattern.compile(re)
+      .matcher("""1.2.3.4 - bob "{GET}" /x 200""")
+    assert(jm.find())
+    assert(jm.group(1) == "1.2.3.4")
+    assert(jm.group(2) == "GET")
+    assert(jm.group(3) == "/x 200")
+  }
+}

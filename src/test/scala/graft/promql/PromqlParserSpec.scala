@@ -7,7 +7,7 @@ import Ast._
 class PromqlParserSpec extends AnyFunSuite {
 
   test("selector with matchers and range") {
-    val Selector(Some("http_requests"), ms, Some(300), 0) =
+    val Selector(Some("http_requests"), ms, Some(300), 0, None) =
       Parser.parse("""http_requests{job="api", code=~"5.."}[5m]"""): @unchecked
     assert(ms == Seq(
       LabelMatcher("job", MatchOp.Eq, "api"),
@@ -15,14 +15,14 @@ class PromqlParserSpec extends AnyFunSuite {
   }
 
   test("offset modifier") {
-    val Selector(Some("m"), _, None, 86400) =
+    val Selector(Some("m"), _, None, 86400, None) =
       Parser.parse("m offset 1d"): @unchecked
   }
 
   test("subquery vs range selector brackets") {
     val Subquery(Call("rate", _), 604800, 21600) =
       Parser.parse("rate(m[6h])[1w:6h]"): @unchecked
-    val Subquery(Selector(Some("m"), _, None, 0), 3600, 60) =
+    val Subquery(Selector(Some("m"), _, None, 0, None), 3600, 60) =
       Parser.parse("m[1h:1m]"): @unchecked
   }
 
@@ -63,16 +63,23 @@ class PromqlParserSpec extends AnyFunSuite {
   }
 
   test("unary minus and scalar folding shapes") {
-    val Binary("-", NumLit(0), Selector(Some("m"), _, _, _), _, _, _) =
+    val Binary("-", NumLit(0), Selector(Some("m"), _, _, _, _), _, _, _) =
       Parser.parse("-m"): @unchecked
   }
 
-  test("unsupported @ is an explicit error") {
-    assertThrows[Unsupported](Parser.parse("m @ 1609746000"))
+  test("@ modifier: unix timestamp, start()/end(), either order with offset") {
+    val Selector(Some("m"), _, None, 0, Some(AtMod.Time(1609746000))) =
+      Parser.parse("m @ 1609746000"): @unchecked
+    val Selector(Some("m"), _, Some(300), 0, Some(AtMod.Start)) =
+      Parser.parse("m[5m] @ start()"): @unchecked
+    val Selector(Some("m"), _, None, 3600, Some(AtMod.End)) =
+      Parser.parse("m @ end() offset 1h"): @unchecked
+    val Selector(Some("m"), _, None, 3600, Some(AtMod.Time(5))) =
+      Parser.parse("m offset 1h @ 5"): @unchecked
   }
 
   test("metric names that shadow function names parse as selectors") {
-    val Selector(Some("rate"), _, None, 0) = Parser.parse("rate"): @unchecked
+    val Selector(Some("rate"), _, None, 0, None) = Parser.parse("rate"): @unchecked
     val Call("rate", _) = Parser.parse("rate(m[1m])"): @unchecked
   }
 }
