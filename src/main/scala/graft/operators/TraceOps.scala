@@ -81,8 +81,25 @@ object TraceOps {
       tracesDf(s, dir).filter(TraceQL.lower(conds))
         .select(col("trace_id"), col("span_id"), col("timestamp"),
           col("status_code"))
+    }),
+
+    // Point lookup over the STORED prefix-sharded trace table: 255/256
+    // directories prune, the id equality bloom-skips row groups
+    // (reference trace_index_scaling.rs:1-10 — O(1) in table size)
+    "q91_trace_point_lookup" -> ((s, dir) => {
+      graft.SignalTables.traceById(s, dir, pointLookupId)
+        .select(col("trace_id"), col("span_id"), col("timestamp"),
+          col("span_name"), col("duration_nanos"))
     })
   )
+
+  /** deterministic existing trace: user 0 on 2024-01-01 (day 19723) — the
+    * md5 hex id matches the stored table's gen-2 id derivation. */
+  private val pointLookupId: String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("tr-0-19723".getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
 
   val oracles: Map[String, String] = Map(
     "q59_trace_two_phase" ->
@@ -111,6 +128,11 @@ object TraceOps {
     "q61_tempo_tags" ->
       s"""WITH spans AS ($tracesViewSql)
          |SELECT trace_id, span_id, timestamp, status_code FROM spans
-         |WHERE service_name = 'svc-3' AND span_name = 'purchase'""".stripMargin
+         |WHERE service_name = 'svc-3' AND span_name = 'purchase'""".stripMargin,
+
+    "q91_trace_point_lookup" ->
+      s"""WITH spans AS (${graft.SignalViews.tracesGen2ViewSql})
+         |SELECT trace_id, span_id, timestamp, span_name, duration_nanos
+         |FROM spans WHERE trace_id = '$pointLookupId'""".stripMargin
   )
 }

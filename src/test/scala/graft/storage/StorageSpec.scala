@@ -49,6 +49,28 @@ class StorageSpec extends AnyFunSuite {
       s"expected partition pruning in scan, got:\n$plan")
   }
 
+  test("trace point lookup prunes via the prefix shard and pushes the id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-traces").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val spans = spark.range(64).select(
+      md5(concat(lit("tr-"), (col("id") % 16).cast("string"))).as("trace_id"),
+      col("id").cast("string").as("span_id"),
+      (lit(t0) + col("id") * 1000000000L).as("timestamp"))
+      .withColumn("prefix", substring(col("trace_id"), 1, 2))
+    Storage.append(spans, layout, "traces",
+      alreadyPartitioned = true, partitionCols = Seq("prefix"))
+    val tid = spans.filter(col("span_id") === "3").head.getString(0)
+    val got = spark.read.parquet(s"$dir/acme/prod/traces")
+      .filter(col("prefix") === tid.substring(0, 2) && col("trace_id") === tid)
+    assert(got.count() == 4) // ids 3, 19, 35, 51 share trace 3
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(prefix"),
+      s"expected prefix shard pruning, got:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(trace_id"),
+      s"expected trace_id pushdown (bloom-eligible), got:\n$plan")
+  }
+
   test("attr_tokens derives k=v tokens for bloom containment") {
     import spark.implicits._
     val df = Seq((Map("a" -> "1", "b" -> "2"))).toDF("m")
