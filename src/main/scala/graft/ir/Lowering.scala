@@ -93,6 +93,10 @@ object Lowering {
   }
 
   def lower(doc: Document, t: IrTable): DataFrame = {
+    // boundary validation: relation-type inference + stage legality — a
+    // malformed pipeline fails here, not deep inside Spark analysis
+    // (reference validate.rs; see graft.ir.Validate)
+    Validate.validate(doc, t)
     var df = t.df.filter(
       col(t.timeField) >= lit(doc.range.startNs) &&
         col(t.timeField) < lit(doc.range.endNs))
