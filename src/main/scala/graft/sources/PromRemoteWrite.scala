@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Prometheus remote_write → typed metric tables (reference:
+  * src/acceptor/src/handler/prometheus_handler.rs protocol shell;
+  * src/common/src/flight/conversion/conversion_prometheus/to_otel.rs —
+  * resource grouping by job/instance :138-163, __name__ classification
+  * :303-475, histogram reassembly from _bucket/_count/_sum :477-610).
+  *
+  * The protobuf+snappy transport is out of local scope; the COMPUTABLE
+  * half is the row conversion: remote_write-shaped rows
+  * `(labels Map[String,String], timestamp_ms Long, value Double)` become
+  * the per-kind stored tables from graft.schema.Schemas. All transforms
+  * are per-row narrow ops except histogram reassembly, which is one hash
+  * aggregate per (series, timestamp) — no shuffle beyond it, scales
+  * linearly at ingest.
+  *
+  * Mapping (OpenTelemetry Prometheus-compat spec, as the reference):
+  *  - `job` → service_name, `instance` → resource_attributes; both leave
+  *    the attribute set
+  *  - `__name__` ending `_total` → metrics_sum (monotonic, cumulative),
+  *    suffix stripped
+  *  - `__name__` ending `_bucket` with an `le` label → reassembled into
+  *    metrics_histogram rows (bucket_counts + explicit_bounds JSON, count
+  *    from the +Inf bucket, sum joined from the `_sum` series)
+  *  - everything else → metrics_gauge
+  */
+object PromRemoteWrite {
+
+  private val reserved = Seq("__name__", "job", "instance")
+
+  /** the common column set from a remote_write row (labels → typed cols). */
+  private def common(df: DataFrame, name: org.apache.spark.sql.Column): DataFrame =
+    df.select(
+      (col("timestamp_ms") * 1000000L).as("timestamp"),
+      (col("timestamp_ms") * 1000000L).as("start_timestamp"),
+      coalesce(element_at(col("labels"), "job"), lit("")).as("service_name"),
+      name.as("metric_name"),
+      lit("").as("metric_description"),
+      lit("").as("metric_unit"),
+      map_filter(
+        map(lit("service.instance.id"), element_at(col("labels"), "instance")),
+        (_, v) => v.isNotNull).as("resource_attributes"),
+      typedLit(Map.empty[String, String]).as("scope_attributes"),
+      map_filter(col("labels"),
+        (k, _) => !k.isin(reserved.map(lit(_)): _*)).as("attributes"),
+      lit(0).as("flags"),
+      lit("[]").as("exemplars"),
+      col("value"))
+
+  private def nameCol = element_at(col("labels"), "__name__")
+
+  /** gauge rows: neither a counter nor a histogram component. */
+  def toGauge(df: DataFrame): DataFrame =
+    common(
+      df.filter(!nameCol.endsWith("_total") && !nameCol.endsWith("_bucket") &&
+        !nameCol.endsWith("_count") && !nameCol.endsWith("_sum")),
+      nameCol)
+
+  /** monotonic counters: `_total` stripped, cumulative temporality. */
+  def toSum(df: DataFrame): DataFrame =
+    common(
+      df.filter(nameCol.endsWith("_total")),
+      regexp_replace(nameCol, "_total$", ""))
+      .withColumn("aggregation_temporality", lit(2).cast(IntegerType))
+      .withColumn("is_monotonic", lit(true))
+
+  /** histogram series reassembly: one OTEL histogram row per
+    * (series-attrs, timestamp) from the `_bucket`/`_count`/`_sum` triplet
+    * (reference to_otel.rs:477-610). The `le` label orders the buckets;
+    * counts stay CUMULATIVE in prometheus, so bucket_counts here are the
+    * de-accumulated per-bucket values. */
+  def toHistogram(df: DataFrame): DataFrame = {
+    val base = regexp_replace(nameCol, "_(bucket|count|sum)$", "")
+    val attrsNoLe = map_filter(col("labels"),
+      (k, _) => !k.isin((reserved :+ "le").map(lit(_)): _*))
+    val tagged = df
+      .filter(nameCol.rlike("_(bucket|count|sum)$"))
+      .select(
+        base.as("_base"),
+        coalesce(element_at(col("labels"), "job"), lit("")).as("service_name"),
+        element_at(col("labels"), "instance").as("_instance"),
+        attrsNoLe.as("attributes"),
+        col("timestamp_ms"),
+        when(nameCol.endsWith("_bucket"), element_at(col("labels"), "le")).as("_le"),
+        when(nameCol.endsWith("_bucket"), col("value")).as("_bucket_v"),
+        when(nameCol.endsWith("_count"), col("value")).as("_count_v"),
+        when(nameCol.endsWith("_sum"), col("value")).as("_sum_v"))
+    val leNum = when(col("_le") === "+Inf", lit(Double.PositiveInfinity))
+      .otherwise(col("_le").cast(DoubleType))
+    val g = tagged
+      .withColumn("_le_n", leNum)
+      .groupBy(col("_base"), col("service_name"), col("_instance"),
+        col("attributes"), col("timestamp_ms"))
+      .agg(
+        sort_array(collect_list(when(col("_le").isNotNull,
+          struct(col("_le_n"), col("_bucket_v"))))).as("_buckets"),
+        max(col("_count_v")).as("_count"),
+        max(col("_sum_v")).as("_sum"))
+    // cumulative → per-bucket: c[i] - c[i-1]; bounds exclude +Inf
+    val perBucket = expr(
+      """transform(_buckets, (b, i) ->
+        |  CAST(round(b._bucket_v - CASE WHEN i = 0 THEN 0.0
+        |    ELSE _buckets[i-1]._bucket_v END) AS BIGINT))""".stripMargin)
+    val bounds = expr(
+      "transform(filter(_buckets, b -> b._le_n != cast('Infinity' as double)), b -> b._le_n)")
+    g.select(
+      (col("timestamp_ms") * 1000000L).as("timestamp"),
+      (col("timestamp_ms") * 1000000L).as("start_timestamp"),
+      col("service_name"),
+      col("_base").as("metric_name"),
+      lit("").as("metric_description"),
+      lit("").as("metric_unit"),
+      map_filter(map(lit("service.instance.id"), col("_instance")),
+        (_, v) => v.isNotNull).as("resource_attributes"),
+      typedLit(Map.empty[String, String]).as("scope_attributes"),
+      col("attributes"),
+      lit(0).as("flags"),
+      lit("[]").as("exemplars"),
+      round(coalesce(col("_count"),
+        element_at(col("_buckets"), -1)("_bucket_v"))).cast(LongType).as("count"),
+      coalesce(col("_sum"), lit(0.0)).as("sum"),
+      lit(null).cast(DoubleType).as("min"),
+      lit(null).cast(DoubleType).as("max"),
+      to_json(perBucket).as("bucket_counts"),
+      to_json(bounds).as("explicit_bounds"),
+      lit(2).cast(IntegerType).as("aggregation_temporality"))
+  }
+
+  /** full conversion: one remote_write batch → the per-kind tables. */
+  def convert(df: DataFrame): Map[String, DataFrame] = Map(
+    "metrics_gauge" -> toGauge(df),
+    "metrics_sum" -> toSum(df),
+    "metrics_histogram" -> toHistogram(df))
+}

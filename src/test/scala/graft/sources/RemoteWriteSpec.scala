@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.Schemas
+
+/** remote_write conversion tests (reference conversion_prometheus/
+  * to_otel.rs): classification by __name__, resource extraction from
+  * job/instance, histogram reassembly, and exact Schemas.* conformance.
+  */
+class RemoteWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def batch = {
+    import spark.implicits._
+    Seq(
+      (Map("__name__" -> "http_requests_total", "job" -> "api",
+        "instance" -> "i1", "code" -> "200"), 1704067200000L, 5.0),
+      (Map("__name__" -> "queue_depth", "job" -> "api", "instance" -> "i1"),
+        1704067200000L, 7.5),
+      (Map("__name__" -> "lat_bucket", "job" -> "api", "le" -> "0.1"),
+        1704067200000L, 1.0),
+      (Map("__name__" -> "lat_bucket", "job" -> "api", "le" -> "1"),
+        1704067200000L, 3.0),
+      (Map("__name__" -> "lat_bucket", "job" -> "api", "le" -> "+Inf"),
+        1704067200000L, 4.0),
+      (Map("__name__" -> "lat_count", "job" -> "api"), 1704067200000L, 4.0),
+      (Map("__name__" -> "lat_sum", "job" -> "api"), 1704067200000L, 2.2))
+      .toDF("labels", "timestamp_ms", "value")
+  }
+
+  test("converted frames conform to the stored Schemas exactly") {
+    val out = PromRemoteWrite.convert(batch)
+    for ((table, df) <- out) {
+      val got = df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      val want = Schemas.all(table).fields
+        .filterNot(f => f.name == "date_day" || f.name == "hour")
+        .map(f => (f.name, f.dataType.simpleString)).toSeq
+      assert(got == want, s"$table schema drift:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("counter: _total stripped, monotonic, labels → attributes") {
+    val r = PromRemoteWrite.toSum(batch).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("metric_name") == "http_requests")
+    assert(row.getAs[String]("service_name") == "api")
+    assert(row.getAs[Map[String, String]]("attributes") == Map("code" -> "200"))
+    assert(row.getAs[Map[String, String]]("resource_attributes") ==
+      Map("service.instance.id" -> "i1"))
+    assert(row.getAs[Boolean]("is_monotonic"))
+    assert(row.getAs[Long]("timestamp") == 1704067200000L * 1000000L)
+  }
+
+  test("gauge: plain series only, histogram components excluded") {
+    val r = PromRemoteWrite.toGauge(batch).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("metric_name") == "queue_depth")
+    assert(r.head.getAs[Double]("value") == 7.5)
+  }
+
+  test("histogram reassembly: de-accumulated buckets, bounds, count, sum") {
+    val r = PromRemoteWrite.toHistogram(batch).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("metric_name") == "lat")
+    assert(row.getAs[Long]("count") == 4L)
+    assert(row.getAs[Double]("sum") == 2.2)
+    assert(row.getAs[String]("bucket_counts") == "[1,2,1]")
+    assert(row.getAs[String]("explicit_bounds") == "[0.1,1.0]")
+  }
+}
