@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Result-envelope shaping: the JSON bodies Grafana consumes (reference:
+  * src/router/src/endpoints/logql.rs Loki streams envelope,
+  * promql.rs Prometheus matrix envelope, tempo.rs trace search envelope).
+  *
+  * The heavy lifting — grouping rows into streams/series and ordering
+  * values — happens DISTRIBUTED (groupBy + sort_array + to_json); the
+  * driver only concatenates per-stream JSON fragments of the final,
+  * already-limited result set. That is the same materialization boundary
+  * the reference router sits on: envelopes are response-sized by
+  * construction (post-limit), never raw-scan-sized.
+  */
+object ApiJson {
+
+  /** Loki query_range "streams" envelope from line-query rows
+    * (timestamp Long nanos, label cols…, body). One stream per distinct
+    * label set; values newest-first as [ns-string, line] pairs. */
+  def lokiStreams(df: DataFrame, labelCols: Seq[String]): String = {
+    val streamObj = to_json(map_from_arrays(
+      array(labelCols.map(lit(_)): _*),
+      array(labelCols.map(c => col(c).cast("string")): _*)))
+    val entries = df
+      .groupBy(streamObj.as("_stream"))
+      .agg(sort_array(collect_list(struct(
+        (lit(Long.MaxValue) - col("timestamp")).as("_ord"),
+        col("timestamp").cast("string").as("ts"),
+        col("body").as("line"))), asc = true).as("_vs"))
+      .select(col("_stream"),
+        to_json(expr("transform(_vs, v -> array(v.ts, v.line))")).as("_values"))
+      .orderBy(col("_stream"))
+      .collect()
+    val streams = entries.map { r =>
+      s"""{"stream":${r.getString(0)},"values":${r.getString(1)}}"""
+    }
+    s"""{"status":"success","data":{"resultType":"streams","result":[${streams.mkString(",")}]}}"""
+  }
+
+  /** Prometheus query_range "matrix" envelope from vector rows
+    * (bucket_start, label cols…, value). Values are [sec, "v"] pairs in
+    * time order; series ordered by metric label set. */
+  def promMatrix(df: DataFrame, labelCols: Seq[String]): String = {
+    val metricObj = to_json(map_from_arrays(
+      array(labelCols.map(lit(_)): _*),
+      array(labelCols.map(c => col(c).cast("string")): _*)))
+    val entries = df
+      .groupBy(metricObj.as("_metric"))
+      .agg(sort_array(collect_list(struct(
+        col("bucket_start").cast("long").as("t"),
+        col("value").cast("string").as("v"))), asc = true).as("_vs"))
+      .select(col("_metric"),
+        to_json(expr("transform(_vs, x -> array(cast(x.t as string), x.v))")).as("_values"))
+      .orderBy(col("_metric"))
+      .collect()
+    val series = entries.map { r =>
+      // prometheus value pairs are [number, "string"]: strip the quotes
+      // the string-array detour added around the timestamp
+      val vals = r.getString(1).replaceAll("""\["(\-?\d+)",""", "[$1,")
+      s"""{"metric":${r.getString(0)},"values":$vals}"""
+    }
+    s"""{"status":"success","data":{"resultType":"matrix","result":[${series.mkString(",")}]}}"""
+  }
+
+  /** Tempo search envelope from span rows (trace_id, span rows with
+    * timestamp Long nanos, service_name, duration_nanos): one entry per
+    * trace, newest-first. */
+  def tempoSearch(df: DataFrame, limit: Int = 20): String = {
+    val traces = df
+      .groupBy(col("trace_id"))
+      .agg(
+        min(col("timestamp")).as("_start"),
+        ((max(col("timestamp")) - min(col("timestamp"))) / lit(1000000L))
+          .cast("long").as("_durationMs"),
+        min_by(col("service_name"), col("timestamp")).as("_rootService"))
+      .orderBy(col("_start").desc, col("trace_id").asc)
+      .limit(limit)
+      .collect()
+    val entries = traces.map { r =>
+      s"""{"traceID":"${r.getString(0)}","rootServiceName":"${r.getString(3)}",""" +
+        s""""startTimeUnixNano":"${r.getLong(1)}","durationMs":${r.getLong(2)}}"""
+    }
+    s"""{"traces":[${entries.mkString(",")}]}"""
+  }
+}

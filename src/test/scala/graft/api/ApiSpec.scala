@@ -1,0 +1,60 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Envelope-shaping tests (reference router endpoint bodies): exact JSON
+  * for small inputs, deterministic stream/series/value ordering.
+  */
+class ApiSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("loki streams envelope: one stream per label set, newest first") {
+    import spark.implicits._
+    val df = Seq(
+      (1000000000L, "svc-a", "info", "l1"),
+      (3000000000L, "svc-a", "info", "l3"),
+      (2000000000L, "svc-b", "info", "l2"))
+      .toDF("timestamp", "service_name", "severity_text", "body")
+    val got = ApiJson.lokiStreams(df, Seq("service_name", "severity_text"))
+    assert(got ==
+      """{"status":"success","data":{"resultType":"streams","result":[""" +
+        """{"stream":{"service_name":"svc-a","severity_text":"info"},""" +
+        """"values":[["3000000000","l3"],["1000000000","l1"]]},""" +
+        """{"stream":{"service_name":"svc-b","severity_text":"info"},""" +
+        """"values":[["2000000000","l2"]]}]}}""")
+  }
+
+  test("prometheus matrix envelope: [sec, \"v\"] pairs in time order") {
+    import spark.implicits._
+    val df = Seq(
+      (60L, "svc-a", 1.5),
+      (0L, "svc-a", 1.0),
+      (0L, "svc-b", 2.0))
+      .toDF("bucket_start", "service_name", "value")
+    val got = ApiJson.promMatrix(df, Seq("service_name"))
+    assert(got ==
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"service_name":"svc-a"},"values":[[0,"1.0"],[60,"1.5"]]},""" +
+        """{"metric":{"service_name":"svc-b"},"values":[[0,"2.0"]]}]}}""")
+  }
+
+  test("tempo search envelope: per-trace rollup, newest first, limited") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", 1000000000L, "svc-a", 5L),
+      ("t1", 3000000000L, "svc-b", 5L),
+      ("t2", 9000000000L, "svc-c", 7L))
+      .toDF("trace_id", "timestamp", "service_name", "duration_nanos")
+    val got = ApiJson.tempoSearch(df, limit = 5)
+    assert(got ==
+      """{"traces":[""" +
+        """{"traceID":"t2","rootServiceName":"svc-c","startTimeUnixNano":"9000000000","durationMs":0},""" +
+        """{"traceID":"t1","rootServiceName":"svc-a","startTimeUnixNano":"1000000000","durationMs":2000}]}""")
+  }
+}
