@@ -82,7 +82,21 @@ object Lowering {
         !table.promoted.contains(label) && !jsonParsed && !logfmtParsed
   }
 
-  private def anchored(re: String): String = "^(?:" + re + ")$"
+  /** bounded regex guard (reference ir_planner.rs:1105): reject oversized
+    * or syntactically-invalid patterns at plan time with an explicit
+    * error, never inside a running executor task. */
+  private def guardRegex(re: String): String = {
+    if (re.length > 1024)
+      throw Unsupported(s"regex exceeds the 1024-char bound (${re.length})")
+    try java.util.regex.Pattern.compile(re)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw Unsupported(s"invalid regex: ${e.getDescription}")
+    }
+    re
+  }
+
+  private def anchored(re: String): String = "^(?:" + guardRegex(re) + ")$"
 
   /** compile a `| pattern` expression — literals plus `<name>` / `<_>`
     * captures (reference ast.rs:65). Start-anchored; a capture is
@@ -141,8 +155,8 @@ object Lowering {
   private def lineFilterCol(f: Stage.LineFilter): Column = f.op match {
     case LineOp.Contains    => col("body").contains(f.needle)
     case LineOp.NotContains => !col("body").contains(f.needle)
-    case LineOp.Regex       => col("body").rlike(f.needle)
-    case LineOp.NotRegex    => !col("body").rlike(f.needle)
+    case LineOp.Regex       => col("body").rlike(guardRegex(f.needle))
+    case LineOp.NotRegex    => !col("body").rlike(guardRegex(f.needle))
   }
 
   /** render a `{{.label}}` template into a concat of literals + labels. */

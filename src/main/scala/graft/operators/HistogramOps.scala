@@ -74,7 +74,73 @@ object HistogramOps {
         typedLit(Seq("50", "100", "150", "+Inf")), col("bin") + 1))
   }
 
+  /** events → metrics_exponential_histogram-shaped rows (reference
+    * iceberg/schemas.rs:322-378): scale=2 (4 sub-buckets per octave),
+    * offset 0, 8 positive buckets with deterministic integer counts. */
+  private def expHistRowsDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      lit("latency_exp").as("metric_name"),
+      lit(2).as("scale"),
+      lit(0L).as("zero_count"),
+      lit(0).as("positive_offset"),
+      to_json(expr(
+        "transform(sequence(0, 7), i -> (cast(floor(value) as bigint) + i) % 3)"))
+        .as("positive_bucket_counts"))
+
+  /** events → metrics_summary-shaped rows (schemas.rs:380-414):
+    * quantile_values carries pre-computed sketch quantiles as JSON;
+    * integer-rendered so the oracle round-trips exactly. */
+  private def summaryRowsDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      lit("latency_summary").as("metric_name"),
+      concat(lit("""[{"q":0.5,"v":"""),
+        round(col("value")).cast(LongType), lit("""},{"q":0.99,"v":"""),
+        round(col("value") * 3).cast(LongType), lit("}]")).as("quantile_values"))
+
   val queries: Map[String, Q] = Map(
+    // exponential-histogram quantile: parse counts JSON, element-wise sum
+    // per (day, service), cumulative walk to φ=0.9, result in the EXACT
+    // log2 domain ((idx+1)/2^scale — dyadic rational, engine-portable;
+    // the linear bound is pow(2, log2_ub))
+    "q92_exphist_quantile" -> ((s, dir) => {
+      val rows = expHistRowsDf(s, dir)
+        .withColumn("bucket_start", expr("(timestamp div 1000000000) div 86400 * 86400"))
+        .withColumn("counts", from_json(col("positive_bucket_counts"), ArrayType(LongType)))
+      val binSums = rows
+        .select(col("bucket_start"), col("service_name"),
+          posexplode(col("counts")).as(Seq("idx", "c")))
+        .groupBy(col("bucket_start"), col("service_name"), col("idx"))
+        .agg(sum(col("c")).as("n"))
+      val part = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket_start"), col("service_name"))
+      val run = part.orderBy(col("idx").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      binSums
+        .withColumn("cum", sum(col("n")).over(run))
+        .withColumn("total", sum(col("n")).over(part))
+        .filter(col("total") > 0 && col("cum") >= lit(0.9) * col("total"))
+        .withColumn("rn", row_number().over(part.orderBy(col("idx").asc)))
+        .filter(col("rn") === 1)
+        .select(col("bucket_start"), col("service_name"),
+          col("idx").cast(LongType).as("bucket_idx"),
+          ((col("idx") + 1).cast(DoubleType) / 4.0).as("log2_ub"))
+    }),
+
+    // summary quantile extraction: sketch p99 straight from the stored
+    // quantile_values JSON, max per (day, service)
+    "q93_summary_quantile" -> ((s, dir) => {
+      summaryRowsDf(s, dir)
+        .withColumn("bucket_start", expr("(timestamp div 1000000000) div 86400 * 86400"))
+        .withColumn("p99", get_json_object(col("quantile_values"), "$[1].v").cast(LongType))
+        .groupBy(col("bucket_start"), col("service_name"))
+        .agg(max(col("p99")).as("p99_max"), count(lit(1)).as("n"))
+    }),
+
     // histogram_quantile over STORED histogram rows (json arrays)
     "q72_hist_native_quantile" -> ((s, dir) => {
       val le = cumulativeLe(s, dir)
@@ -116,6 +182,37 @@ object HistogramOps {
        |  FROM binsums)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q92_exphist_quantile" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) AS timestamp, concat('svc-', user_id % 8) AS service_name,
+        |    CAST(floor(value) AS BIGINT) AS fv
+        |  FROM events),
+        |bins AS (
+        |  SELECT (timestamp//1000000000//86400)*86400 AS bucket_start, service_name,
+        |    u.i AS idx, SUM((fv + u.i) % 3) AS n
+        |  FROM e, (SELECT unnest(range(0, 8)) AS i) u
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT *,
+        |    SUM(n) OVER (PARTITION BY bucket_start, service_name
+        |      ORDER BY idx ASC ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER (PARTITION BY bucket_start, service_name) AS total
+        |  FROM bins),
+        |hit AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket_start, service_name
+        |    ORDER BY idx ASC) AS rn
+        |  FROM cum WHERE total > 0 AND cum >= 0.9 * total)
+        |SELECT bucket_start, service_name, idx AS bucket_idx,
+        |  (idx + 1) / 4.0 AS log2_ub
+        |FROM hit WHERE rn = 1""".stripMargin,
+
+    "q93_summary_quantile" ->
+      """SELECT (epoch_ns(ts)//1000000000//86400)*86400 AS bucket_start,
+        |  concat('svc-', user_id % 8) AS service_name,
+        |  MAX(CAST(round(value * 3) AS BIGINT)) AS p99_max,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q72_hist_native_quantile" ->
       s"""WITH $cumulativeLeSql,
          |x AS (

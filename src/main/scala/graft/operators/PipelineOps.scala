@@ -119,7 +119,10 @@ object PipelineOps {
     // n-gram Jaccard near-dup: pairs sharing word-3-shingles, exact Jaccard
     // over distinct shingle sets, threshold 0.5. Equi-join on shingle.
     "q21_near_dup_jaccard" -> ((s, dir) => {
-      val ds = docShingles(s, dir).cache()
+      // no cache(): at 100 TB pinning the exploded shingle set is itself
+      // the memory hazard; the narrow scan+split+explode chain recomputes
+      // per use and costs less than the eviction pressure (VERDICT r1)
+      val ds = docShingles(s, dir)
       val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val pairs = ds.as("a")
         .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -139,7 +142,7 @@ object PipelineOps {
     // The band-bucket equi-join is the 100 TB scale path: candidates are
     // generated per bucket, never all-pairs.
     "q22_minhash_lsh" -> ((s, dir) => {
-      val ds = docShingles(s, dir).cache()
+      val ds = docShingles(s, dir) // no cache() — see q21 note
       val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       // minhash_i = lexicographic min of md5(i || '|' || shingle)
       val mhAggs = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
