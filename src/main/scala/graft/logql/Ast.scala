@@ -106,7 +106,8 @@ object Ast {
     * (`bool` mode), and/or/unless, with on()/ignoring() match keys. */
   final case class BinaryExpr(op: String, lhs: MetricExpr, rhs: MetricExpr,
       bool: Boolean, on: Seq[String] = Seq.empty,
-      ignoring: Seq[String] = Seq.empty) extends MetricExpr
+      ignoring: Seq[String] = Seq.empty,
+      group: Option[(Boolean, Seq[String])] = None) extends MetricExpr
 
   /** scalar literal operand of a BinaryExpr. */
   final case class LiteralExpr(v: Double) extends MetricExpr

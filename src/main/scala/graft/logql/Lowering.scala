@@ -312,7 +312,7 @@ object Lowering {
         Eval.Vec(lowerVector(table, vagg), labels)
       case LiteralExpr(_) =>
         throw Unsupported("a bare scalar is not a LogQL metric query")
-      case BinaryExpr(op, lhs, rhs, bool, on, ig) =>
+      case BinaryExpr(op, lhs, rhs, bool, on, ig, grp) =>
         (lhs, rhs) match {
           case (LiteralExpr(_), LiteralExpr(_)) =>
             throw Unsupported("scalar-only binary expression")
@@ -321,7 +321,7 @@ object Lowering {
           case (l, LiteralExpr(b)) =>
             Eval.vecScalar(op, lowerMetricVec(table, l), b, bool, scalarOnLeft = false)
           case (l, r) =>
-            Eval.binaryVec(op, lowerMetricVec(table, l), lowerMetricVec(table, r), bool, on, ig)
+            Eval.binaryVec(op, lowerMetricVec(table, l), lowerMetricVec(table, r), bool, on, ig, grp)
         }
     }
   }

@@ -85,8 +85,8 @@ object Parser {
     private def orMetric(): MetricExpr = {
       var l = andMetric()
       while (identOpt.contains("or")) {
-        advance(); val (on, ig) = matchMods()
-        l = BinaryExpr("or", l, andMetric(), bool = false, on, ig)
+        advance(); val (on, ig, grp) = matchMods()
+        l = BinaryExpr("or", l, andMetric(), bool = false, on, ig, grp)
       }
       l
     }
@@ -96,11 +96,11 @@ object Parser {
       var go = true
       while (go) {
         if (identOpt.contains("and")) {
-          advance(); val (on, ig) = matchMods()
-          l = BinaryExpr("and", l, cmpMetric(), bool = false, on, ig)
+          advance(); val (on, ig, grp) = matchMods()
+          l = BinaryExpr("and", l, cmpMetric(), bool = false, on, ig, grp)
         } else if (identOpt.contains("unless")) {
-          advance(); val (on, ig) = matchMods()
-          l = BinaryExpr("unless", l, cmpMetric(), bool = false, on, ig)
+          advance(); val (on, ig, grp) = matchMods()
+          l = BinaryExpr("unless", l, cmpMetric(), bool = false, on, ig, grp)
         } else go = false
       }
       l
@@ -115,8 +115,8 @@ object Parser {
           case TOp(o, _) if cmpOps(o) =>
             advance()
             val bool = if (identOpt.contains("bool")) { advance(); true } else false
-            val (on, ig) = matchMods()
-            l = BinaryExpr(o, l, addMetric(), bool, on, ig)
+            val (on, ig, grp) = matchMods()
+            l = BinaryExpr(o, l, addMetric(), bool, on, ig, grp)
           case _ => go = false
         }
       }
@@ -129,8 +129,8 @@ object Parser {
       while (go) {
         cur match {
           case TOp(o, _) if o == "+" || o == "-" =>
-            advance(); val (on, ig) = matchMods()
-            l = BinaryExpr(o, l, mulMetric(), bool = false, on, ig)
+            advance(); val (on, ig, grp) = matchMods()
+            l = BinaryExpr(o, l, mulMetric(), bool = false, on, ig, grp)
           case _ => go = false
         }
       }
@@ -143,8 +143,8 @@ object Parser {
       while (go) {
         cur match {
           case TOp(o, _) if o == "*" || o == "/" || o == "%" =>
-            advance(); val (on, ig) = matchMods()
-            l = BinaryExpr(o, l, powMetric(), bool = false, on, ig)
+            advance(); val (on, ig, grp) = matchMods()
+            l = BinaryExpr(o, l, powMetric(), bool = false, on, ig, grp)
           case _ => go = false
         }
       }
@@ -154,29 +154,46 @@ object Parser {
     private def powMetric(): MetricExpr = {
       val base = metricAtom()
       if (isOp("^")) {
-        advance(); val (on, ig) = matchMods()
-        BinaryExpr("^", base, powMetric(), bool = false, on, ig)
+        advance(); val (on, ig, grp) = matchMods()
+        BinaryExpr("^", base, powMetric(), bool = false, on, ig, grp)
       } else base
     }
 
-    /** `on(l, …)` / `ignoring(l, …)` after a binary operator. */
-    private def matchMods(): (Seq[String], Seq[String]) =
+    private def labelList(): Seq[String] = {
+      eatOp("(")
+      val ls = Seq.newBuilder[String]
+      var first = true
+      while (!isOp(")")) {
+        if (!first) eatOp(",")
+        first = false
+        advance() match {
+          case TIdent(l, _) => ls += l
+          case t            => throw ParseError("expected label", t.pos)
+        }
+      }
+      eatOp(")")
+      ls.result()
+    }
+
+    /** `on(l, …)` / `ignoring(l, …)` then optional `group_left[(l, …)]` /
+      * `group_right[(l, …)]` after a binary operator (same grammar as the
+      * PromQL side). */
+    private def matchMods(): (Seq[String], Seq[String], Option[(Boolean, Seq[String])]) = {
+      var on = Seq.empty[String]
+      var ig = Seq.empty[String]
       if (identOpt.contains("on") || identOpt.contains("ignoring")) {
         val kind = advance().asInstanceOf[TIdent].s
-        eatOp("(")
-        val ls = Seq.newBuilder[String]
-        var first = true
-        while (!isOp(")")) {
-          if (!first) eatOp(",")
-          first = false
-          advance() match {
-            case TIdent(l, _) => ls += l
-            case t            => throw ParseError("expected label", t.pos)
-          }
-        }
-        eatOp(")")
-        if (kind == "on") (ls.result(), Seq.empty) else (Seq.empty, ls.result())
-      } else (Seq.empty, Seq.empty)
+        val ls = labelList()
+        if (kind == "on") on = ls else ig = ls
+      }
+      var group: Option[(Boolean, Seq[String])] = None
+      if (identOpt.contains("group_left") || identOpt.contains("group_right")) {
+        val leftMany = advance().asInstanceOf[TIdent].s == "group_left"
+        val include = if (isOp("(")) labelList() else Seq.empty
+        group = Some((leftMany, include))
+      }
+      (on, ig, group)
+    }
 
     private def metricAtom(): MetricExpr = cur match {
       case TNum(v, _) => advance(); LiteralExpr(v)

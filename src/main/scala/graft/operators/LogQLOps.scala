@@ -164,7 +164,15 @@ object LogQLOps {
 
     // pattern capture as a metric group key (finalCtx resolution)
     "q90_logql_pattern_metric" ->
-      metric("""sum by (kv) (count_over_time({event_type="signup"} | pattern "{\"k\": <kv>}" [1w]))""")
+      metric("""sum by (kv) (count_over_time({event_type="signup"} | pattern "{\"k\": <kv>}" [1w]))"""),
+
+    // many-to-one matching: per-service share of its severity's total —
+    // group_left joins 8 services against 1 row per severity (the
+    // reference only parse-accepts group_left, promql.rs:417-419)
+    "q94_logql_group_left" ->
+      metric("""sum by (service_name, severity_text) (count_over_time({event_type=~"error|view"}[1d]))
+                / on(severity_text) group_left
+                sum by (severity_text) (count_over_time({event_type=~"error|view"}[1d]))""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,6 +363,18 @@ object LogQLOps {
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM logs WHERE event_type = 'signup'
          |GROUP BY 1, 2""".stripMargin,
+
+    "q94_logql_group_left" ->
+      s"""WITH logs AS ($V),
+         |a AS (SELECT ${bkt(86400)} AS bucket_start, service_name, severity_text,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE event_type IN ('error','view') GROUP BY 1, 2, 3),
+         |b AS (SELECT ${bkt(86400)} AS bucket_start, severity_text,
+         |        CAST(COUNT(*) AS DOUBLE) AS v
+         |      FROM logs WHERE event_type IN ('error','view') GROUP BY 1, 2)
+         |SELECT a.bucket_start, a.service_name, a.severity_text,
+         |  a.v / b.v AS value
+         |FROM a JOIN b USING (bucket_start, severity_text)""".stripMargin,
 
     "q40_logql_last" ->
       s"""WITH logs AS ($V),

@@ -118,7 +118,15 @@ object PromQLOps {
 
     // stored gauge+sum union scan: purchase lives in metrics_sum, view in
     // metrics_gauge; one query reads both tables (reference metrics.rs:42-52)
-    "q88_promql_union_scan" -> qu("""purchase / on(service_name) view""", 86400)
+    "q88_promql_union_scan" -> qu("""purchase / on(service_name) view""", 86400),
+
+    // group_right: one max-per-group row joined against the many per-service
+    // rows (svc-0..3 get their own group via label_replace; the rest share "")
+    "q95_promql_group_right" -> q(
+      """max by (grp) (label_replace(purchase, "grp", "g$1", "service_name", "svc-([0-3])"))
+        |/ on(grp) group_right
+        |label_replace(purchase, "grp", "g$1", "service_name", "svc-([0-3])")""".stripMargin,
+      86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -350,6 +358,18 @@ object PromQLOps {
          |      AND timestamp < ${(T0 + 86400) * 1000000000L}) WHERE rn = 1)
          |SELECT t.bucket_start, t.service_name, t.value / d.value AS value
          |FROM today t JOIN day1 d USING (service_name)""".stripMargin,
+
+    "q95_promql_group_right" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'purchase'", 86400)}),
+         |g AS (SELECT *,
+         |        CASE WHEN regexp_full_match(service_name, 'svc-([0-3])')
+         |          THEN regexp_replace(service_name, '^(?:svc-([0-3]))$$', 'g\\1')
+         |          ELSE '' END AS grp
+         |      FROM l),
+         |mx AS (SELECT bucket_start, grp, MAX(value) AS mv FROM g GROUP BY 1, 2)
+         |SELECT g.bucket_start, g.service_name, g.grp, mx.mv / g.value AS value
+         |FROM g JOIN mx USING (bucket_start, grp)""".stripMargin,
 
     "q87_promql_sort_desc" ->
       s"""WITH m AS ($V),

@@ -54,9 +54,13 @@ object Ast {
       without: Seq[String]) extends Expr
 
   /** Binary op; `bool` for comparison operators; on/ignoring restrict the
-    * vector-match key set. */
+    * vector-match key set. `group` = Some((leftIsMany, includeLabels)) for
+    * group_left/group_right many-to-one matching — the reference only
+    * parse-accepts these without lowering them (promql.rs:417-419); we
+    * lower them as real joins. */
   final case class Binary(op: String, lhs: Expr, rhs: Expr, bool: Boolean,
-      on: Seq[String] = Seq.empty, ignoring: Seq[String] = Seq.empty) extends Expr
+      on: Seq[String] = Seq.empty, ignoring: Seq[String] = Seq.empty,
+      group: Option[(Boolean, Seq[String])] = None) extends Expr
 
   final case class Unsupported(msg: String) extends RuntimeException(msg)
   final case class ParseError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")

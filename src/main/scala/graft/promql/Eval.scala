@@ -107,7 +107,8 @@ object Eval {
     case Agg(op, param, inner, by, without) =>
       VecV(agg(op, param, evalVector(inner, t, tr), by, without, t, tr))
 
-    case Binary(op, l, r, boolMode, on, ig) => binary(op, l, r, boolMode, on, ig, t, tr)
+    case Binary(op, l, r, boolMode, on, ig, grp) =>
+      binary(op, l, r, boolMode, on, ig, grp, t, tr)
   }
 
   // ---- selectors --------------------------------------------------------
@@ -490,6 +491,7 @@ object Eval {
 
   private def binary(op: String, le: Expr, re: Expr, boolMode: Boolean,
       on: Seq[String], ignoring: Seq[String],
+      group: Option[(Boolean, Seq[String])],
       t: MetricsTable, tr: TimeRange): Value = {
     (eval(le, t, tr), eval(re, t, tr)) match {
       case (ScalV(a), ScalV(b)) =>
@@ -505,7 +507,7 @@ object Eval {
 
       case (VecV(v), ScalV(s)) => VecV(vecScalar(op, v, s, boolMode, scalarOnLeft = false))
       case (ScalV(s), VecV(v)) => VecV(vecScalar(op, v, s, boolMode, scalarOnLeft = true))
-      case (VecV(l), VecV(r))  => VecV(binaryVec(op, l, r, boolMode, on, ignoring))
+      case (VecV(l), VecV(r))  => VecV(binaryVec(op, l, r, boolMode, on, ignoring, group))
     }
   }
 
@@ -532,11 +534,36 @@ object Eval {
     * semi/anti joins; arithmetic/comparison are inner equi joins — never
     * collect-side maps. */
   def binaryVec(op: String, l: Vec, r: Vec, boolMode: Boolean,
-      on: Seq[String], ignoring: Seq[String]): Vec = {
+      on: Seq[String], ignoring: Seq[String],
+      group: Option[(Boolean, Seq[String])] = None): Vec = {
     val shared =
       if (on.nonEmpty) on
       else l.labels.intersect(r.labels).filterNot(ignoring.contains)
     val joinKeys = "bucket_start" +: shared
+    group match {
+      case Some((leftMany, include)) if !Set("and", "or", "unless")(op) =>
+        // many-to-one matching (group_left/group_right): the reference
+        // only parse-accepts these (promql.rs:417-419); here they are a
+        // real equi join — the "one" side projected to its match keys +
+        // value + included labels, result labels from the many side
+        val (many, one) = if (leftMany) (l, r) else (r, l)
+        val inc = include.filter(one.labels.contains).filterNot(many.labels.contains)
+        val oneProj = one.df
+          .select((joinKeys ++ inc :+ "value").distinct.map(col): _*)
+          .withColumnRenamed("value", "_ov")
+        val j = many.df.withColumnRenamed("value", "_mv").join(oneProj, joinKeys, "inner")
+        val (lv, rv) = if (leftMany) (col("_mv"), col("_ov")) else (col("_ov"), col("_mv"))
+        val out =
+          if (cmpSet(op)) {
+            if (boolMode)
+              j.withColumn("value", when(cmp(op, lv, rv), 1.0).otherwise(0.0))
+            else j.filter(cmp(op, lv, rv)).withColumn("value", lv)
+          } else j.withColumn("value", arith(op, lv, rv))
+        val outLabels = (many.labels ++ inc).distinct
+        return Vec(out.select(("bucket_start" +: outLabels :+ "value").distinct.map(col): _*),
+          outLabels)
+      case _ => ()
+    }
     op match {
       case "and" =>
         // semi-join on series identity (reference metrics.rs:570-659)

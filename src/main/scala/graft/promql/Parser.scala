@@ -44,8 +44,8 @@ object Parser {
     private def orExpr(): Expr = {
       var l = setExpr()
       while (isIdent("or")) {
-        advance(); val (on, ig) = matchMods()
-        l = Binary("or", l, setExpr(), bool = false, on, ig)
+        advance(); val (on, ig, grp) = matchMods()
+        l = Binary("or", l, setExpr(), bool = false, on, ig, grp)
       }
       l
     }
@@ -55,11 +55,11 @@ object Parser {
       var go = true
       while (go) {
         if (isIdent("and")) {
-          advance(); val (on, ig) = matchMods()
-          l = Binary("and", l, cmpExpr(), bool = false, on, ig)
+          advance(); val (on, ig, grp) = matchMods()
+          l = Binary("and", l, cmpExpr(), bool = false, on, ig, grp)
         } else if (isIdent("unless")) {
-          advance(); val (on, ig) = matchMods()
-          l = Binary("unless", l, cmpExpr(), bool = false, on, ig)
+          advance(); val (on, ig, grp) = matchMods()
+          l = Binary("unless", l, cmpExpr(), bool = false, on, ig, grp)
         }
         else go = false
       }
@@ -75,8 +75,8 @@ object Parser {
           case TOp(o, _) if cmpOps(o) =>
             advance()
             val bool = if (isIdent("bool")) { advance(); true } else false
-            val (on, ig) = matchMods()
-            l = Binary(o, l, addExpr(), bool, on, ig)
+            val (on, ig, grp) = matchMods()
+            l = Binary(o, l, addExpr(), bool, on, ig, grp)
           case _ => go = false
         }
       }
@@ -90,8 +90,8 @@ object Parser {
         cur match {
           case TOp(o, _) if o == "+" || o == "-" =>
             advance()
-            val (on, ig) = matchMods()
-            l = Binary(o, l, mulExpr(), bool = false, on, ig)
+            val (on, ig, grp) = matchMods()
+            l = Binary(o, l, mulExpr(), bool = false, on, ig, grp)
           case _ => go = false
         }
       }
@@ -105,8 +105,8 @@ object Parser {
         cur match {
           case TOp(o, _) if o == "*" || o == "/" || o == "%" =>
             advance()
-            val (on, ig) = matchMods()
-            l = Binary(o, l, powExpr(), bool = false, on, ig)
+            val (on, ig, grp) = matchMods()
+            l = Binary(o, l, powExpr(), bool = false, on, ig, grp)
           case _ => go = false
         }
       }
@@ -120,24 +120,42 @@ object Parser {
       else base
     }
 
-    /** optional `on(l, …)` / `ignoring(l, …)` after a binary operator. */
-    private def matchMods(): (Seq[String], Seq[String]) =
+    private def labelList(): Seq[String] = {
+      eatOp("(")
+      val ls = Seq.newBuilder[String]
+      var first = true
+      while (!isOp(")")) {
+        if (!first) eatOp(",")
+        first = false
+        advance() match {
+          case TIdent(l, _) => ls += l
+          case t            => throw ParseError("expected label", t.pos)
+        }
+      }
+      eatOp(")")
+      ls.result()
+    }
+
+    /** optional `on(l, …)` / `ignoring(l, …)` then optional
+      * `group_left[(l, …)]` / `group_right[(l, …)]` after a binary
+      * operator. A '(' directly after group_left/right is its include
+      * list (Prometheus grammar), never a parenthesized operand. */
+    private def matchMods(): (Seq[String], Seq[String], Option[(Boolean, Seq[String])]) = {
+      var on = Seq.empty[String]
+      var ig = Seq.empty[String]
       if (isIdent("on") || isIdent("ignoring")) {
         val kind = advance().asInstanceOf[TIdent].s
-        eatOp("(")
-        val ls = Seq.newBuilder[String]
-        var first = true
-        while (!isOp(")")) {
-          if (!first) eatOp(",")
-          first = false
-          advance() match {
-            case TIdent(l, _) => ls += l
-            case t            => throw ParseError("expected label", t.pos)
-          }
-        }
-        eatOp(")")
-        if (kind == "on") (ls.result(), Seq.empty) else (Seq.empty, ls.result())
-      } else (Seq.empty, Seq.empty)
+        val ls = labelList()
+        if (kind == "on") on = ls else ig = ls
+      }
+      var group: Option[(Boolean, Seq[String])] = None
+      if (isIdent("group_left") || isIdent("group_right")) {
+        val leftMany = advance().asInstanceOf[TIdent].s == "group_left"
+        val include = if (isOp("(")) labelList() else Seq.empty
+        group = Some((leftMany, include))
+      }
+      (on, ig, group)
+    }
 
     private def unary(): Expr = cur match {
       case TOp("-", _) => advance(); Binary("-", NumLit(0), unary(), bool = false)

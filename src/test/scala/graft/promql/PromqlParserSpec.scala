@@ -27,20 +27,27 @@ class PromqlParserSpec extends AnyFunSuite {
   }
 
   test("precedence: or loosest, then and/unless, cmp, add, mul, pow") {
-    val Binary("or", Binary("and", _, _, _, _, _), _, _, _, _) =
+    val Binary("or", Binary("and", _, _, _, _, _, _), _, _, _, _, _) =
       Parser.parse("a and b or c"): @unchecked
-    val Binary("+", _, Binary("*", _, _, _, _, _), _, _, _) =
+    val Binary("+", _, Binary("*", _, _, _, _, _, _), _, _, _, _) =
       Parser.parse("a + b * c"): @unchecked
-    val Binary("*", _, Binary("^", _, Binary("^", _, _, _, _, _), _, _, _), _, _, _) =
+    val Binary("*", _, Binary("^", _, Binary("^", _, _, _, _, _, _), _, _, _, _), _, _, _, _) =
       Parser.parse("a * b ^ c ^ d"): @unchecked // ^ right-assoc
-    val Binary(">", _, _, true, _, _) =
+    val Binary(">", _, _, true, _, _, _) =
       Parser.parse("a > bool 1"): @unchecked
   }
 
+  test("group_left/group_right many-to-one modifiers") {
+    val Binary("*", _, _, _, Seq("service"), _, Some((true, Seq()))) =
+      Parser.parse("a * on(service) group_left b"): @unchecked
+    val Binary("/", _, _, _, _, Seq("pod"), Some((false, Seq("role")))) =
+      Parser.parse("a / ignoring(pod) group_right(role) b"): @unchecked
+  }
+
   test("on/ignoring matching modifiers") {
-    val Binary("/", _, _, _, Seq("env"), Seq()) =
+    val Binary("/", _, _, _, Seq("env"), Seq(), None) =
       Parser.parse("a / on(env) b"): @unchecked
-    val Binary("+", _, _, _, Seq(), Seq("pod")) =
+    val Binary("+", _, _, _, Seq(), Seq("pod"), None) =
       Parser.parse("a + ignoring(pod) b"): @unchecked
   }
 
@@ -63,7 +70,7 @@ class PromqlParserSpec extends AnyFunSuite {
   }
 
   test("unary minus and scalar folding shapes") {
-    val Binary("-", NumLit(0), Selector(Some("m"), _, _, _, _), _, _, _) =
+    val Binary("-", NumLit(0), Selector(Some("m"), _, _, _, _), _, _, _, _) =
       Parser.parse("-m"): @unchecked
   }
 
