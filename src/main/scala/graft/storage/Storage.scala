@@ -92,23 +92,35 @@ object Storage {
   }
 
   /** hour partitions whose (small-)file count exceeds the threshold —
-    * the compaction planner's pick rule (planner.rs:1-40). */
+    * the compaction planner's pick rule (planner.rs:1-40). Planning only
+    * ever selects CLOSED partitions: when `nowNanos` is given, an hour is
+    * eligible only after it has ended AND its lateness allowance has
+    * elapsed (planner.rs:7-10 — the executor rewrites one partition per
+    * job, so a partition still receiving late data must not be picked). */
   def partitionsNeedingCompaction(spark: SparkSession, layout: TableLayout,
-      table: String, minFiles: Int = 2): Seq[(String, Int)] = {
+      table: String, minFiles: Int = 2,
+      nowNanos: Option[Long] = None, latenessSec: Long = 600): Seq[(String, Int)] = {
     val fs = new Path(layout.path(table))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(layout.path(table)))) return Seq.empty
+    def closed(day: String, hour: Int): Boolean = nowNanos match {
+      case None => true
+      case Some(now) =>
+        val hourEndSec = java.time.LocalDate.parse(day).toEpochDay * 86400L +
+          (hour + 1) * 3600L
+        (hourEndSec + latenessSec) * 1000000000L <= now
+    }
     val days = fs.listStatus(new Path(layout.path(table)))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date_day="))
     days.flatMap { d =>
       fs.listStatus(d.getPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("hour="))
         .flatMap { h =>
+          val day = d.getPath.getName.stripPrefix("date_day=")
+          val hour = h.getPath.getName.stripPrefix("hour=").toInt
           val files = fs.listStatus(h.getPath)
             .count(f => f.getPath.getName.endsWith(".parquet"))
-          if (files >= minFiles)
-            Some((d.getPath.getName.stripPrefix("date_day="),
-              h.getPath.getName.stripPrefix("hour=").toInt))
+          if (files >= minFiles && closed(day, hour)) Some((day, hour))
           else None
         }
     }.toSeq

@@ -97,6 +97,24 @@ class StorageSpec extends AnyFunSuite {
     assert(Storage.partitionsNeedingCompaction(spark, layout, "logs", 2).isEmpty)
   }
 
+  test("compaction planning only selects closed hours past the lateness allowance") {
+    val dir = Files.createTempDirectory("graft-closed").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // two small-file hours: hour 0 and hour 1 of Jan 1
+    for (off <- Seq(0L, 1L))
+      for (_ <- 1 to 2)
+        Storage.append(logsBatch(3, t0 + off * 3600L * 1000000000L), layout, "logs")
+    // "now" = 01:15 — hour 0 ended 15 min ago (> 10 min lateness) so it is
+    // closed; hour 1 has not even ended yet
+    val now = t0 + (3600L + 900L) * 1000000000L
+    val picked = Storage.partitionsNeedingCompaction(spark, layout, "logs",
+      minFiles = 2, nowNanos = Some(now), latenessSec = 600)
+    assert(picked == Seq(("2024-01-01", 0)))
+    // without the gate both qualify on file count
+    assert(Storage.partitionsNeedingCompaction(spark, layout, "logs", 2)
+      .toSet == Set(("2024-01-01", 0), ("2024-01-01", 1)))
+  }
+
   test("retention drops whole day partitions before the cutoff") {
     val dir = Files.createTempDirectory("graft-retention").toString
     val layout = TableLayout(dir, "acme", "prod")
