@@ -56,6 +56,16 @@ object DiscoveryOps {
         .drop("_all_int")
     }),
 
+    // label-names discovery over the gen-2 attribute maps: a key is
+    // reported iff some row carries it (sparse attrs included via any
+    // row's map; reference labels endpoint, logs.rs:372-430)
+    "q96_gen2_label_names" -> ((s, dir) =>
+      SignalViews.logsGen2Df(s, dir)
+        .select(explode(concat(
+          map_keys(col("log_attributes")),
+          map_keys(col("resource_attributes")))).as("label"))
+        .distinct()),
+
     // attr promotion advisor: presence ratio × cardinality budget × demand
     // (attr_promotion.rs decision inputs; hysteresis/demand counters are
     // constants here, wired per-deployment)
@@ -109,6 +119,22 @@ object DiscoveryOps {
          |  CASE WHEN bool_and(TRY_CAST(v AS BIGINT) IS NOT NULL)
          |       THEN 'int' ELSE 'string' END AS inferred_type
          |FROM f WHERE v IS NOT NULL GROUP BY field""".stripMargin,
+
+    // a key is listed iff ANY row resolves it non-null — exactly the
+    // map_filter presence semantics of the gen-2 view
+    "q96_gen2_label_names" ->
+      s"""WITH v AS (${SignalViews.gen2ViewSql})
+         |SELECT 'k' AS label WHERE EXISTS (SELECT 1 FROM v WHERE k IS NOT NULL)
+         |UNION ALL
+         |SELECT 'event_type' WHERE EXISTS (SELECT 1 FROM v WHERE event_type IS NOT NULL)
+         |UNION ALL
+         |SELECT 'region' WHERE EXISTS (SELECT 1 FROM v WHERE region IS NOT NULL)
+         |UNION ALL
+         |SELECT 'plan' WHERE EXISTS (SELECT 1 FROM v WHERE plan IS NOT NULL)
+         |UNION ALL
+         |SELECT 'host' WHERE EXISTS (SELECT 1 FROM v WHERE host IS NOT NULL)
+         |UNION ALL
+         |SELECT 'env' WHERE EXISTS (SELECT 1 FROM v WHERE env IS NOT NULL)""".stripMargin,
 
     "q69_attr_promotion" ->
       """WITH attrs AS (

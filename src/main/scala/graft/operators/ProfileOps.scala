@@ -18,11 +18,15 @@ import graft.Tables
 object ProfileOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** profiles view over events: a deterministic 3-frame stack per event. */
+  /** profiles view over events: a deterministic 3-frame stack per event,
+    * carrying the gen-2 trace_id (Schemas.profiles has trace_id/span_id —
+    * the trace↔profile correlation key, reference profile.rs). */
   private def samplesDf(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       (unix_micros(col("ts_us")) * 1000).as("timestamp"),
       concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+      md5(concat(lit("tr-"), col("user_id"), lit("-"),
+        expr("(unix_micros(ts_us) div 1000000) div 86400"))).as("trace_id"),
       array(
         lit("app"),
         col("event_type"),
@@ -33,6 +37,7 @@ object ProfileOps {
   private val samplesViewSql: String =
     """SELECT epoch_ns(ts) AS timestamp,
       |  concat('svc-', user_id % 8) AS service_name,
+      |  md5(concat('tr-', user_id, '-', (epoch_us(ts)//1000000)//86400)) AS trace_id,
       |  ['app', event_type,
       |   concat('fn_', CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)] AS stack,
       |  1 AS value
@@ -66,6 +71,15 @@ object ProfileOps {
           coalesce(sum(when(col("timestamp") < cut, col("value"))), lit(0L)).as("total_a"),
           coalesce(sum(when(col("timestamp") >= cut, col("value"))), lit(0L)).as("total_b"))
         .withColumn("delta", col("total_b") - col("total_a"))
+    }),
+
+    // trace ↔ profile correlation: the flamegraph of ONE trace's samples,
+    // keyed by the same gen-2 trace_id the stored trace table shards on
+    "q97_profile_by_trace" -> ((s, dir) => {
+      prefixes(samplesDf(s, dir)
+        .filter(col("trace_id") === TraceOps.pointLookupId))
+        .groupBy(col("path"), col("depth"))
+        .agg(sum(col("value")).as("total"))
     })
   )
 
@@ -80,6 +94,16 @@ object ProfileOps {
          |SELECT service_name, path, CAST(depth AS INTEGER) AS depth,
          |  CAST(SUM(value) AS BIGINT) AS total
          |FROM pfx GROUP BY 1, 2, 3""".stripMargin,
+
+    "q97_profile_by_trace" ->
+      s"""WITH samples AS ($samplesViewSql),
+         |pfx AS (
+         |  SELECT array_to_string(stack[1:d], ';') AS path, d AS depth, value
+         |  FROM samples, range(1, 4) r(d)
+         |  WHERE d <= len(stack) AND trace_id = '${TraceOps.pointLookupId}')
+         |SELECT path, CAST(depth AS INTEGER) AS depth,
+         |  CAST(SUM(value) AS BIGINT) AS total
+         |FROM pfx GROUP BY 1, 2""".stripMargin,
 
     "q63_flamegraph_diff" ->
       s"""WITH samples AS ($samplesViewSql),

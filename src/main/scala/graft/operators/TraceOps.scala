@@ -95,7 +95,7 @@ object TraceOps {
 
   /** deterministic existing trace: user 0 on 2024-01-01 (day 19723) — the
     * md5 hex id matches the stored table's gen-2 id derivation. */
-  private val pointLookupId: String = {
+  private[operators] val pointLookupId: String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest("tr-0-19723".getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString

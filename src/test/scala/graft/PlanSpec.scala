@@ -16,6 +16,8 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // plan assertions read PushedFilters verbatim — don't truncate them
+    .config("spark.sql.maxMetadataStringLength", "4000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -27,6 +29,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters:") &&
       plan.contains("GreaterThan(o_totalprice"),
       s"o_totalprice filter did not reach the scan:\n$plan")
+  }
+
+  test("union-scan selectors push metric_name into BOTH stored tables") {
+    val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // each selector filters over the gauge+sum union: the equality must
+    // reach every parquet scan, so untouched metric kinds never read rows
+    assert(plan.contains("EqualTo(metric_name,purchase)") &&
+      plan.contains("EqualTo(metric_name,view)"),
+      s"metric_name pushdown missing from the union scan:\n$plan")
+    // and the date_day partition-bound mirror prunes day directories
+    assert(plan.contains("PartitionFilters") && plan.contains("date_day"),
+      s"no date_day partition filters on the stored metric scan:\n$plan")
   }
 
   test("projection prunes the read schema to selected columns") {
