@@ -420,8 +420,15 @@ object Lowering {
         // keep k highest/lowest series PER BUCKET (reference metrics.rs:2608)
         val ord = (if (vagg.func == "topk") v.desc else v.asc) +:
           table.seriesLabels.map(col(_).asc)
+        // salted local top-k first — the global per-bucket rank sees
+        // ≤ 32·k rows, not the full series set (skew-safe at 1 M series)
+        val salt = pmod(hash(table.seriesLabels.map(col): _*), lit(32))
+        val w1 = Window.partitionBy(col("bucket_start"), col("_salt")).orderBy(ord: _*)
+        val pruned = inner.withColumn("_salt", salt)
+          .withColumn("_rn1", row_number().over(w1))
+          .filter(col("_rn1") <= k).drop("_salt", "_rn1")
         val w = Window.partitionBy(col("bucket_start")).orderBy(ord: _*)
-        inner.withColumn("_rn", row_number().over(w))
+        pruned.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= k)
           .drop("_rn")
       case other => throw Unsupported(s"vector aggregation $other")

@@ -98,6 +98,10 @@ object PromQLOps {
     // subquery: re-reduce 6h-resolution rates per 1d step
     "q71_promql_subquery" -> q("""max_over_time(rate(click[6h])[1d:6h])""", 86400),
 
+    // exact interpolated quantile over subquery resolution points
+    "q98_promql_subquery_quantile" ->
+      q("""quantile_over_time(0.5, rate(click[6h])[1d:6h])""", 86400),
+
     // on() vector matching over a rewritten label
     "q74_promql_on_matching" -> q(
       """label_replace(error, "env", "e$1", "service_name", "svc-(.*)") / on(env) label_replace(purchase, "env", "e$1", "service_name", "svc-(.*)")""",
@@ -320,6 +324,16 @@ object PromQLOps {
          |        (lastv - firstv) / 21600.0 AS value FROM fl),
          |re AS (SELECT (bucket_start//86400)*86400 AS bucket_start, service_name,
          |        MAX(value) AS value
+         |       FROM r GROUP BY 1, 2)
+         |SELECT bucket_start, service_name, value FROM re""".stripMargin,
+
+    "q98_promql_subquery_quantile" ->
+      s"""WITH m AS ($V),
+         |fl AS (${firstLast("metric_name = 'click'", 21600)}),
+         |r AS (SELECT bucket_start, service_name,
+         |        (lastv - firstv) / 21600.0 AS value FROM fl),
+         |re AS (SELECT (bucket_start//86400)*86400 AS bucket_start, service_name,
+         |        quantile_cont(value, 0.5) AS value
          |       FROM r GROUP BY 1, 2)
          |SELECT bucket_start, service_name, value FROM re""".stripMargin,
 

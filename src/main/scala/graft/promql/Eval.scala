@@ -344,7 +344,26 @@ object Eval {
           case "min_over_time"   => innerVec.df.groupBy(keys: _*).agg(min(x).as("value"))
           case "max_over_time"   => innerVec.df.groupBy(keys: _*).agg(max(x).as("value"))
           case "count_over_time" => innerVec.df.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
-          case other             => throw Unsupported(s"$other over a subquery")
+          case "last_over_time" =>
+            // the inner eval yields one row per (resolution bucket, series),
+            // so the resolution bucket IS the deterministic order
+            innerVec.df.groupBy(keys: _*)
+              .agg(max_by(x, col("bucket_start")).as("value"))
+          case "quantile_over_time" =>
+            val phi = args.head match {
+              case NumLit(d) => d
+              case _         => throw Unsupported("quantile_over_time needs φ")
+            }
+            innerVec.df.groupBy(keys: _*).agg(percentile(x, lit(phi)).as("value"))
+          case "stddev_over_time" | "stdvar_over_time" =>
+            val g = innerVec.df.groupBy(keys: _*)
+              .agg(sum(x).as("_s1"), sum(x * x).as("_s2"),
+                count(lit(1)).cast(DoubleType).as("_n"))
+              .withColumn("value",
+                (col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"))
+            (if (f == "stddev_over_time") g.withColumn("value", sqrt(col("value"))) else g)
+              .drop("_s1", "_s2", "_n")
+          case other => throw Unsupported(s"$other over a subquery")
         }
         return VecV(Vec(out, innerVec.labels))
       case _ => ()
@@ -450,8 +469,21 @@ object Eval {
         // top/bottom k series PER BUCKET (reference metrics.rs:2608-2691);
         // label ascending tie-break keeps the cut deterministic
         val ord = (if (op == "topk") x.desc else x.asc) +: v.labels.map(col(_).asc)
+        // two-stage rank: a salted local top-k first, so the global
+        // per-bucket window ranks ≤ 32·k rows instead of the bucket's
+        // whole series set — at 1 M series per bucket the single-task
+        // final sort is the skew bottleneck (VERDICT r1 scale audit)
+        val pruned =
+          if (v.labels.isEmpty) v.df
+          else {
+            val salt = pmod(hash(v.labels.map(col): _*), lit(32))
+            val w1 = Window.partitionBy(bucket, col("_salt")).orderBy(ord: _*)
+            v.df.withColumn("_salt", salt)
+              .withColumn("_rn1", row_number().over(w1))
+              .filter(col("_rn1") <= k).drop("_salt", "_rn1")
+          }
         val w = Window.partitionBy(bucket).orderBy(ord: _*)
-        Vec(v.df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn"),
+        Vec(pruned.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn"),
           v.labels)
       case "count_values" =>
         val lbl = param match {
