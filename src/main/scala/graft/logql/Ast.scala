@@ -31,8 +31,10 @@ object Ast {
     case object Logfmt extends Stage
     /** `| <pred>` label-filter expression. */
     final case class LabelFilter(pred: LabelPredicate) extends Stage
-    /** `| unwrap lbl` — sample value for the metric family. */
-    final case class Unwrap(label: String) extends Stage
+    /** `| unwrap lbl` / `| unwrap duration(lbl)` / `| unwrap bytes(lbl)` —
+      * sample value for the metric family, optionally converted
+      * (reference ast.rs:85,169-175). */
+    final case class Unwrap(label: String, conversion: Option[String] = None) extends Stage
     /** `| line_format "tmpl"` — rewrite body from a {{.label}} template. */
     final case class LineFormat(template: String) extends Stage
     /** `| label_format dst=src` or `dst="tmpl"` — rename / templated label. */
@@ -75,7 +77,7 @@ object Ast {
   /** `{...} stages...` — a log (line) query. */
   final case class LogQuery(selector: Selector, stages: Seq[Stage]) {
     def unwrapLabel: Option[String] =
-      stages.collectFirst { case Stage.Unwrap(l) => l }
+      stages.collectFirst { case Stage.Unwrap(l, _) => l }
   }
 
   /** Range aggregation `func(inner[range])`; `param` for quantile_over_time. */

@@ -217,7 +217,7 @@ object Lowering {
       case Stage.Json          => ctx = ctx.copy(jsonParsed = true)
       case Stage.Logfmt        => ctx = ctx.copy(logfmtParsed = true)
       case Stage.LabelFilter(p) => df = df.filter(predCol(ctx, p))
-      case Stage.Unwrap(_)      => () // consumed by the metric layer
+      case Stage.Unwrap(_, _)   => () // consumed by the metric layer
       case Stage.LineFormat(tmpl) =>
         // subsequent line filters see the rewritten body
         df = df.withColumn("body", templateCol(ctx, tmpl))
@@ -326,6 +326,38 @@ object Lowering {
     }
   }
 
+  /** unwrap conversions (reference ast.rs:169-175): duration strings →
+    * seconds, byte-size strings → bytes. Single-unit subset (compound Go
+    * durations like "1h30m" are out of subset); a non-matching value is
+    * NULL — dropped by the aggregate, like any absent label. */
+  private def unwrapValue(c: Column, conversion: Option[String]): Column =
+    conversion match {
+      case None => c.cast(DoubleType)
+      case Some("duration") | Some("duration_seconds") =>
+        val re = "^([0-9.]+)(ns|us|µs|ms|s|m|h)$"
+        val num = regexp_extract(c, re, 1)
+        val unit = regexp_extract(c, re, 2)
+        when(num =!= "", num.cast(DoubleType) *
+          when(unit === "ns", 1e-9)
+            .when(unit === "us" || unit === "µs", 1e-6)
+            .when(unit === "ms", 1e-3)
+            .when(unit === "s", 1.0)
+            .when(unit === "m", 60.0)
+            .otherwise(3600.0))
+      case Some("bytes") =>
+        val re = "^([0-9.]+)(B|KB|MB|GB|TB|KiB|MiB|GiB|TiB)$"
+        val num = regexp_extract(c, re, 1)
+        val unit = regexp_extract(c, re, 2)
+        when(num =!= "", num.cast(DoubleType) *
+          when(unit === "B", 1.0)
+            .when(unit === "KB", 1e3).when(unit === "MB", 1e6)
+            .when(unit === "GB", 1e9).when(unit === "TB", 1e12)
+            .when(unit === "KiB", 1024.0).when(unit === "MiB", 1024.0 * 1024)
+            .when(unit === "GiB", math.pow(1024.0, 3))
+            .otherwise(math.pow(1024.0, 4)))
+      case Some(other) => throw Unsupported(s"unwrap conversion '$other'")
+    }
+
   private def varPopCols(v: Column): (Column, Column, Column) =
     (sum(v), sum(v * v), count(lit(1)).cast(DoubleType))
 
@@ -339,9 +371,9 @@ object Lowering {
     val keys = bucket +: groupLabels.map(l => ctx.resolve(l).as(l))
     val rangeSecs = lit(agg.rangeSec.toDouble)
 
-    def uw: Column = agg.inner.unwrapLabel match {
-      case Some(l) => ctx.resolve(l).cast(DoubleType)
-      case None    => throw Unsupported(s"${agg.func} requires | unwrap")
+    def uw: Column = agg.inner.stages.collectFirst { case u: Stage.Unwrap => u } match {
+      case Some(Stage.Unwrap(l, conv)) => unwrapValue(ctx.resolve(l), conv)
+      case None => throw Unsupported(s"${agg.func} requires | unwrap")
     }
 
     agg.func match {

@@ -298,6 +298,15 @@ object Parser {
               case TIdent("unwrap", _) =>
                 advance()
                 advance() match {
+                  case TIdent(conv, _) if isOp("(") &&
+                      Set("duration", "duration_seconds", "bytes").contains(conv) =>
+                    advance() // (
+                    val l = advance() match {
+                      case TIdent(x, _) => x
+                      case t => throw ParseError("expected label in unwrap conversion", t.pos)
+                    }
+                    eatOp(")")
+                    stages += Stage.Unwrap(l, Some(conv))
                   case TIdent(l, _) => stages += Stage.Unwrap(l)
                   case t            => throw ParseError("expected label after unwrap", t.pos)
                 }

@@ -172,7 +172,19 @@ object LogQLOps {
     "q94_logql_group_left" ->
       metric("""sum by (service_name, severity_text) (count_over_time({event_type=~"error|view"}[1d]))
                 / on(severity_text) group_left
-                sum by (severity_text) (count_over_time({event_type=~"error|view"}[1d]))""")
+                sum by (severity_text) (count_over_time({event_type=~"error|view"}[1d]))"""),
+
+    // ---- unwrap conversion functions (reference ast.rs:85,169-175) ------
+
+    // duration(): "Nms" strings → seconds; max is order-independent
+    "q99_logql_unwrap_duration" ->
+      metric("""max by (service_name) (max_over_time({event_type="click"} | json
+                | label_format dur="{{.k}}ms" | unwrap duration(dur) [1w]))"""),
+
+    // bytes(): "NKiB" strings → bytes; integer-valued so sum stays exact
+    "q100_logql_unwrap_bytes" ->
+      metric("""sum by (service_name) (sum_over_time({event_type="view"} | json
+                | label_format sz="{{.k}}KiB" | unwrap bytes(sz) [1w]))""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,6 +359,20 @@ object LogQLOps {
          |WHERE NOT EXISTS (SELECT 1 FROM b
          |  WHERE b.bucket_start = a.bucket_start
          |    AND b.service_name = a.service_name AND b.v > 17)""".stripMargin,
+
+    "q99_logql_unwrap_duration" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(604800)} AS bucket_start, service_name,
+         |  MAX(CAST(json_extract_string(body, '$$.k') AS DOUBLE) * 0.001) AS value
+         |FROM logs WHERE event_type = 'click'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q100_logql_unwrap_bytes" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(604800)} AS bucket_start, service_name,
+         |  SUM(CAST(json_extract_string(body, '$$.k') AS DOUBLE) * 1024.0) AS value
+         |FROM logs WHERE event_type = 'view'
+         |GROUP BY 1, 2""".stripMargin,
 
     "q89_logql_pattern" ->
       s"""WITH logs AS ($V)
