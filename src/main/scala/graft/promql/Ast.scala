@@ -77,7 +77,9 @@ object Ast {
 
   val scalarFuncs: Set[String] = Set(
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
-    "sgn", "clamp", "clamp_min", "clamp_max")
+    "sgn", "clamp", "clamp_min", "clamp_max",
+    "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    "deg", "rad", "pi", "predict_linear")
 
   val otherFuncs: Set[String] = Set(
     "absent", "histogram_quantile", "label_replace", "label_join",

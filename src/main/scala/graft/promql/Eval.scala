@@ -242,7 +242,8 @@ object Eval {
       VecV(Vec(g, Seq.empty))
 
     case "abs" | "ceil" | "floor" | "round" | "sqrt" | "exp" | "ln" | "log2" |
-        "log10" | "sgn" =>
+        "log10" | "sgn" | "sin" | "cos" | "tan" | "asin" | "acos" | "atan" |
+        "sinh" | "cosh" | "tanh" | "deg" | "rad" =>
       val v = evalVector(args.head, t, tr)
       val x = col("value")
       val fx = f match {
@@ -256,8 +257,49 @@ object Eval {
         case "log2"  => log2(x)
         case "log10" => log10(x)
         case "sgn"   => signum(x)
+        case "sin"   => sin(x)
+        case "cos"   => cos(x)
+        case "tan"   => tan(x)
+        case "asin"  => asin(x)
+        case "acos"  => acos(x)
+        case "atan"  => atan(x)
+        case "sinh"  => sinh(x)
+        case "cosh"  => cosh(x)
+        case "tanh"  => tanh(x)
+        case "deg"   => degrees(x)
+        case "rad"   => radians(x)
       }
       VecV(Vec(v.df.withColumn("value", fx), v.labels))
+
+    case "pi" => ScalV(math.Pi)
+
+    // predict_linear(v[range], t): least-squares slope over the window
+    // extrapolated t seconds past the LAST sample (reference promql.rs
+    // function table; same window grouping as deriv)
+    case "predict_linear" =>
+      val sel = args.head match {
+        case s @ Selector(_, _, Some(_), _, _) => s
+        case _ => throw Unsupported("predict_linear expects a range selector")
+      }
+      val tSec = args(1) match {
+        case NumLit(d) => d
+        case _         => throw Unsupported("predict_linear needs a scalar t")
+      }
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val keys = bucket +: t.seriesLabels.map(col)
+      val secs = (col("timestamp").cast(DoubleType)) / lit(1e9)
+      val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
+      val g = df.groupBy(keys: _*).agg(
+        regr_slope(col("value"), secs).as("_slope"),
+        regr_intercept(col("value"), secs).as("_icept"),
+        max(col("timestamp")).cast(DoubleType).divide(lit(1e9)).as("_lastt"),
+        max_by(col("value").cast(DoubleType), ordStruct).as("_lastv"))
+      // single-sample windows have no slope — Prometheus drops them
+      val v = g.filter(col("_slope").isNotNull)
+        .withColumn("value",
+          col("_icept") + col("_slope") * (col("_lastt") + lit(tSec)))
+        .drop("_slope", "_icept", "_lastt", "_lastv")
+      VecV(spread(sel, Vec(v, t.seriesLabels), t, tr))
 
     case "clamp" | "clamp_min" | "clamp_max" =>
       val v = evalVector(args.head, t, tr)

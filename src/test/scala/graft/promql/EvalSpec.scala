@@ -1,0 +1,66 @@
+package graft.promql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import Eval.{MetricsTable, TimeRange}
+
+/** Engine-level eval tests for functions whose floating-point oracles
+  * would be engine-dependent (trig via libm, regression accumulation):
+  * exact inputs make the expected outputs exact.
+  */
+class EvalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def table(rows: Seq[(Long, String, Double)]): MetricsTable = {
+    import spark.implicits._
+    MetricsTable(
+      rows.toDF("timestamp", "service_name", "value")
+        .withColumn("metric_name", lit("m")),
+      seriesLabels = Seq("service_name"))
+  }
+
+  private def run(q: String, t: MetricsTable, tr: TimeRange): Seq[(Long, Double)] =
+    Eval.evalVector(Parser.parse(q), t, tr).df
+      .select("bucket_start", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+
+  test("predict_linear extrapolates the fitted line past the last sample") {
+    // exactly linear series v = 2·t + 1 over t = 0..3 s: slope 2 and
+    // intercept 1 are exact (centered sums of exact halves), so the
+    // prediction at last+10 s is exactly 27.0
+    val t = table(Seq(
+      (0L, "a", 1.0), (1000000000L, "a", 3.0),
+      (2000000000L, "a", 5.0), (3000000000L, "a", 7.0)))
+    val got = run("predict_linear(m[4s], 10)", t, TimeRange(0, 4, 4))
+    assert(got == Seq((0L, 27.0)))
+  }
+
+  test("predict_linear drops single-sample windows (no slope)") {
+    val t = table(Seq((0L, "a", 1.0)))
+    assert(run("predict_linear(m[4s], 10)", t, TimeRange(0, 4, 4)).isEmpty)
+  }
+
+  test("trig family applies java.lang.Math semantics per value") {
+    val t = table(Seq((0L, "a", 0.5)))
+    val tr = TimeRange(0, 4, 4)
+    assert(run("sin(m)", t, tr) == Seq((0L, math.sin(0.5))))
+    assert(run("cos(m)", t, tr) == Seq((0L, math.cos(0.5))))
+    assert(run("atan(m)", t, tr) == Seq((0L, math.atan(0.5))))
+    assert(run("tanh(m)", t, tr) == Seq((0L, math.tanh(0.5))))
+    assert(run("deg(m)", t, tr) == Seq((0L, math.toDegrees(0.5))))
+    assert(run("rad(m)", t, tr) == Seq((0L, math.toRadians(0.5))))
+  }
+
+  test("pi() is a scalar spread over the grid") {
+    val t = table(Seq((0L, "a", 1.0)))
+    assert(run("pi()", t, TimeRange(0, 8, 4)) ==
+      Seq((0L, math.Pi), (4L, math.Pi)))
+  }
+}
