@@ -219,6 +219,40 @@ object Eval {
       val sp = spine(t, tr, lit(1.0))
       VecV(Vec(sp.df.join(present, Seq("bucket_start"), "left_anti"), Seq.empty))
 
+    // double exponential smoothing per (bucket, series): collect the
+    // window's samples SORTED (bounded by samples-per-bucket), then one
+    // linear fold inside a higher-order aggregate() — the iterative
+    // smoother runs as a single expression, no driver loop, no UDAF
+    case "holt_winters" =>
+      val sel = rangeSel(args.take(1), f)
+      def hwNum(i: Int): Double = args(i) match {
+        case NumLit(d) => d
+        case _         => throw Unsupported("holt_winters needs scalar sf, tf")
+      }
+      val sfv = hwNum(1)
+      val tfv = hwNum(2)
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val keys = bucket +: t.seriesLabels.map(col)
+      val sampleStruct = struct(
+        (col("timestamp") +: t.tieBreak.map(col)) :+
+          col("value").cast(DoubleType).as("v"): _*)
+      val g = df.groupBy(keys: _*)
+        .agg(array_sort(collect_list(sampleStruct)).as("_xs"))
+      // Prometheus smoother: s=v0, b=v1-v0, fold v1..v(n-1); emit s
+      val smoothed = expr(
+        s"""aggregate(slice(_xs, 2, size(_xs) - 1),
+           |  named_struct('s', CAST(_xs[0].v AS DOUBLE),
+           |               'b', CAST(_xs[1].v - _xs[0].v AS DOUBLE)),
+           |  (acc, x) -> named_struct(
+           |    's', $sfv * x.v + (1 - $sfv) * (acc.s + acc.b),
+           |    'b', $tfv * (($sfv * x.v + (1 - $sfv) * (acc.s + acc.b)) - acc.s)
+           |         + (1 - $tfv) * acc.b),
+           |  acc -> acc.s)""".stripMargin)
+      VecV(spread(sel, Vec(
+        g.filter(size(col("_xs")) >= 2)
+          .withColumn("value", smoothed).drop("_xs"),
+        t.seriesLabels), t, tr))
+
     case "time" =>
       VecV(spine(t, tr, bucket.cast(DoubleType)))
 

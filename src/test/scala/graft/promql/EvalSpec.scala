@@ -58,6 +58,18 @@ class EvalSpec extends AnyFunSuite {
     assert(run("rad(m)", t, tr) == Seq((0L, math.toRadians(0.5))))
   }
 
+  test("holt_winters runs the exact Prometheus smoother per window") {
+    // sf = tf = 0.5 over samples 1, 2, 4: s=1 b=1 → (v=2) s=2 b=1 →
+    // (v=4) s=3.5 — all exact binary fractions
+    val t = table(Seq(
+      (0L, "a", 1.0), (1000000000L, "a", 2.0), (2000000000L, "a", 4.0)))
+    assert(run("holt_winters(m[4s], 0.5, 0.5)", t, TimeRange(0, 4, 4)) ==
+      Seq((0L, 3.5)))
+    // single-sample windows drop
+    val t1 = table(Seq((0L, "a", 1.0)))
+    assert(run("holt_winters(m[4s], 0.5, 0.5)", t1, TimeRange(0, 4, 4)).isEmpty)
+  }
+
   test("pi() is a scalar spread over the grid") {
     val t = table(Seq((0L, "a", 1.0)))
     assert(run("pi()", t, TimeRange(0, 8, 4)) ==
