@@ -80,12 +80,14 @@ object Ast {
       stages.collectFirst { case Stage.Unwrap(l, _) => l }
   }
 
-  /** Range aggregation `func(inner[range])`; `param` for quantile_over_time. */
+  /** Range aggregation `func(inner[range]) [offset d]`; `param` for
+    * quantile_over_time; trailing offset per reference parser.rs:898. */
   final case class RangeAgg(
       func: String,
       inner: LogQuery,
       rangeSec: Long,
-      param: Option[Double])
+      param: Option[Double],
+      offsetSec: Long = 0)
 
   /** Outer vector aggregation `func[(k,)](range_agg) by/without (...)`. */
   final case class VectorAgg(

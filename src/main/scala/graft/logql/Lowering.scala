@@ -289,19 +289,27 @@ object Lowering {
   private def bucketCol(stepSec: Long): Column =
     expr(s"(timestamp div 1000000000) div $stepSec * $stepSec")
 
-  /** Lower a metric expression. Output: (bucket_start, <labels…>, value). */
-  def lowerMetric(table: LogsTable, expr: MetricExpr): DataFrame =
-    lowerMetricVec(table, expr).df
+  /** Lower a metric expression. Output: (bucket_start, <labels…>, value).
+    * `timeRange` (epoch-nanos) bounds the evaluation — required by
+    * absent_over_time (the empty-bucket spine needs explicit bounds) and
+    * honored by every other aggregation. */
+  def lowerMetric(table: LogsTable, expr: MetricExpr,
+      timeRange: Option[(Long, Long)] = None): DataFrame =
+    lowerMetricVec(table, expr, timeRange).df
 
   /** Lower to the shared vector shape (df + label set). Binary metric
     * exprs reuse the SAME join algebra as PromQL (graft.promql.Eval) —
     * the reference shares its binary eval between the two languages the
     * same way (logs.rs:906-1100 ↔ metrics.rs:415-909). */
-  private def lowerMetricVec(table: LogsTable, expr: MetricExpr): graft.promql.Eval.Vec = {
+  private def lowerMetricVec(table: LogsTable, expr: MetricExpr,
+      timeRange: Option[(Long, Long)] = None): graft.promql.Eval.Vec = {
     import graft.promql.Eval
     expr match {
       case RangeExpr(agg) =>
-        Eval.Vec(lowerRange(table, agg, table.seriesLabels), table.seriesLabels)
+        val labels =
+          if (agg.func == "absent_over_time") Seq.empty[String]
+          else table.seriesLabels
+        Eval.Vec(lowerRange(table, agg, table.seriesLabels, timeRange), labels)
       case VectorExpr(vagg) =>
         val labels =
           if (vagg.by.nonEmpty) vagg.by
@@ -309,7 +317,7 @@ object Lowering {
           else if (vagg.func == "topk" || vagg.func == "bottomk")
             (table.seriesLabels ++ vagg.by).distinct
           else Seq.empty
-        Eval.Vec(lowerVector(table, vagg), labels)
+        Eval.Vec(lowerVector(table, vagg, timeRange), labels)
       case LiteralExpr(_) =>
         throw Unsupported("a bare scalar is not a LogQL metric query")
       case BinaryExpr(op, lhs, rhs, bool, on, ig, grp) =>
@@ -317,11 +325,12 @@ object Lowering {
           case (LiteralExpr(_), LiteralExpr(_)) =>
             throw Unsupported("scalar-only binary expression")
           case (LiteralExpr(a), r) =>
-            Eval.vecScalar(op, lowerMetricVec(table, r), a, bool, scalarOnLeft = true)
+            Eval.vecScalar(op, lowerMetricVec(table, r, timeRange), a, bool, scalarOnLeft = true)
           case (l, LiteralExpr(b)) =>
-            Eval.vecScalar(op, lowerMetricVec(table, l), b, bool, scalarOnLeft = false)
+            Eval.vecScalar(op, lowerMetricVec(table, l, timeRange), b, bool, scalarOnLeft = false)
           case (l, r) =>
-            Eval.binaryVec(op, lowerMetricVec(table, l), lowerMetricVec(table, r), bool, on, ig, grp)
+            Eval.binaryVec(op, lowerMetricVec(table, l, timeRange),
+              lowerMetricVec(table, r, timeRange), bool, on, ig, grp)
         }
     }
   }
@@ -361,11 +370,34 @@ object Lowering {
   private def varPopCols(v: Column): (Column, Column, Column) =
     (sum(v), sum(v * v), count(lit(1)).cast(DoubleType))
 
-  /** Range aggregation grouped by (bucket, groupLabels). */
-  private def lowerRange(table: LogsTable, agg: RangeAgg, groupLabels: Seq[String]): DataFrame = {
+  /** Range aggregation grouped by (bucket, groupLabels). A trailing
+    * `offset d` shifts the data window back and relabels buckets onto the
+    * query grid (same model as the PromQL side). */
+  private def lowerRange(table: LogsTable, agg: RangeAgg, groupLabels: Seq[String],
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
     val ctx = finalCtx(table, agg.inner.stages)
-    val filtered = lowerFilter(table, agg.inner)
-    val bucket = bucketCol(agg.rangeSec).as("bucket_start")
+    val offNs = agg.offsetSec * 1000000000L
+    val filtered = lowerFilter(table, agg.inner,
+      timeRange.map { case (s0, s1) => (s0 - offNs, s1 - offNs) })
+    val bucket =
+      (if (offNs == 0) bucketCol(agg.rangeSec)
+       else expr(s"((timestamp + $offNs) div 1000000000) div ${agg.rangeSec} * ${agg.rangeSec}"))
+        .as("bucket_start")
+
+    if (agg.func == "absent_over_time") {
+      // 1 for every query-grid bucket with NO matching line (reference
+      // metric.rs absent; same spine anti-join as PromQL absent)
+      val (s0, s1) = timeRange.getOrElse(
+        throw Unsupported("absent_over_time requires an explicit time range"))
+      val step = agg.rangeSec
+      val b0 = s0 / 1000000000L / step * step
+      val b1 = (s1 / 1000000000L - 1) / step * step
+      val spine = table.df.sparkSession.range(1)
+        .select(explode(sequence(lit(b0), lit(b1), lit(step))).as("bucket_start"))
+      val present = filtered.select(bucket).distinct()
+      return spine.join(present, Seq("bucket_start"), "left_anti")
+        .withColumn("value", lit(1.0))
+    }
     // group keys resolve through the attr context, so a map-resolved label
     // (gen-2 tables) can participate in grouping just like a promoted one
     val keys = bucket +: groupLabels.map(l => ctx.resolve(l).as(l))
@@ -423,7 +455,8 @@ object Lowering {
     * (`table.seriesLabels`); the outer agg regroups per (bucket, by-labels)
     * — two chained groupBys, both shuffle on their keys (SURVEY §2.4).
     */
-  private def lowerVector(table: LogsTable, vagg: VectorAgg): DataFrame = {
+  private def lowerVector(table: LogsTable, vagg: VectorAgg,
+      timeRange: Option[(Long, Long)] = None): DataFrame = {
     val by =
       if (vagg.by.nonEmpty) vagg.by
       else if (vagg.without.nonEmpty) table.seriesLabels.filterNot(vagg.without.contains)
@@ -431,7 +464,7 @@ object Lowering {
     // extracted/map labels named in by() join the inner series identity —
     // Loki's label set includes parsed labels; the inner range agg must
     // carry them for the outer regroup to see them
-    val inner = lowerRange(table, vagg.inner, (table.seriesLabels ++ by).distinct)
+    val inner = lowerRange(table, vagg.inner, (table.seriesLabels ++ by).distinct, timeRange)
     val keys = col("bucket_start") +: by.map(col)
     val v = col("value")
     vagg.func match {

@@ -31,7 +31,7 @@ object Parser {
     "count_over_time", "rate", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "first_over_time", "last_over_time", "quantile_over_time",
-    "stddev_over_time", "stdvar_over_time")
+    "stddev_over_time", "stdvar_over_time", "absent_over_time")
 
   def parse(input: String): Query = {
     val p = new P(Lexer.tokenize(input))
@@ -277,7 +277,16 @@ object Parser {
         case t => throw ParseError("expected '[range]'", t.pos)
       }
       eatOp(")")
-      RangeAgg(name, q, dur, param)
+      // `offset` may trail the aggregation (reference parser.rs:898)
+      var offset = 0L
+      if (identOpt.contains("offset")) {
+        advance()
+        offset = advance() match {
+          case TDur(d, _) => d
+          case t          => throw ParseError("expected duration after offset", t.pos)
+        }
+      }
+      RangeAgg(name, q, dur, param, offset)
     }
 
     def logQuery(): LogQuery = {

@@ -30,6 +30,15 @@ object LogQLOps {
     }
   }
 
+  /** metric query with an explicit evaluation range (epoch nanos). */
+  private def metricT(q: String, range: (Long, Long)): Q = (s, dir) => {
+    val t = SignalViews.logsTable(s, dir)
+    Parser.parse(q) match {
+      case MetricQuery(m) => Lowering.lowerMetric(t, m, Some(range))
+      case _              => throw Unsupported("expected metric query")
+    }
+  }
+
   /** gen-2 variants: same parser/lowering, but over the map-typed table —
     * every unpromoted label resolves via element_at + cross-container
     * coalesce (reference ir_planner.rs:152-225). */
@@ -184,7 +193,18 @@ object LogQLOps {
     // bytes(): "NKiB" strings → bytes; integer-valued so sum stays exact
     "q100_logql_unwrap_bytes" ->
       metric("""sum by (service_name) (sum_over_time({event_type="view"} | json
-                | label_format sz="{{.k}}KiB" | unwrap bytes(sz) [1w]))""")
+                | label_format sz="{{.k}}KiB" | unwrap bytes(sz) [1w]))"""),
+
+    // absent_over_time: 1 for every grid bucket with NO matching line
+    // (spine anti-join; needs the explicit query range)
+    "q101_logql_absent" ->
+      metricT("""absent_over_time({service_name="svc-0", severity_text="error"}[1d])""",
+        (1704067200000000000L, 1706745600000000000L)),
+
+    // trailing offset on a range aggregation (reference parser.rs:898):
+    // yesterday's error counts on today's bucket grid
+    "q102_logql_offset" ->
+      metric("""sum by (service_name) (count_over_time({severity_text="error"}[1d]) offset 1d)""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,6 +379,27 @@ object LogQLOps {
          |WHERE NOT EXISTS (SELECT 1 FROM b
          |  WHERE b.bucket_start = a.bucket_start
          |    AND b.service_name = a.service_name AND b.v > 17)""".stripMargin,
+
+    "q101_logql_absent" ->
+      s"""WITH logs AS ($V),
+         |spine AS (
+         |  SELECT 1704067200 + i * 86400 AS bucket_start
+         |  FROM range(0, 31) r(i)),
+         |present AS (
+         |  SELECT DISTINCT ${bkt(86400)} AS bucket_start FROM logs
+         |  WHERE service_name = 'svc-0' AND severity_text = 'error'
+         |    AND timestamp >= 1704067200000000000
+         |    AND timestamp < 1706745600000000000)
+         |SELECT s.bucket_start, 1.0 AS value FROM spine s
+         |WHERE NOT EXISTS (SELECT 1 FROM present p
+         |  WHERE p.bucket_start = s.bucket_start)""".stripMargin,
+
+    "q102_logql_offset" ->
+      s"""WITH logs AS ($V)
+         |SELECT ((timestamp//1000000000 + 86400)//86400)*86400 AS bucket_start,
+         |  service_name, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'error'
+         |GROUP BY 1, 2""".stripMargin,
 
     "q99_logql_unwrap_duration" ->
       s"""WITH logs AS ($V)

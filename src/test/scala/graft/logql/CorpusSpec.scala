@@ -58,7 +58,11 @@ class CorpusSpec extends AnyFunSuite {
     """sum by (s, p) (rate({a="1"}[5m])) * ignoring(p) sum by (s, p) (rate({b="2"}[5m]))""",
     """sum(rate({a="1"}[5m])) > bool 0.5""",
     """2 * sum(rate({a="1"}[5m]))""",
-    """sum by (s) (count_over_time({a="1"}[1h])) % 10""")
+    """sum by (s) (count_over_time({a="1"}[1h])) % 10""",
+    """absent_over_time({job="api"}[5m])""",
+    """sum by (s) (count_over_time({a="1"}[1d]) offset 1d)""",
+    """avg_over_time({job="api"} | json | unwrap duration(lat) [5m])""",
+    """sum_over_time({job="api"} | logfmt | unwrap bytes(sz) [1m])""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
