@@ -24,4 +24,17 @@ object SqlSurface {
       Tables.load(spark, dir, n).createOrReplaceTempView(s"$prefix$n")
     (q: String) => spark.sql(q)
   }
+
+  /** additionally register the SIGNAL views — the same surfaces the
+    * language frontends lower to — so a SQL user joins logs against
+    * metrics against traces directly (the reference's raw-SQL surface
+    * exposes its signal tables the same way, flight.rs:1196). */
+  def signalSession(spark: SparkSession, dir: String,
+      prefix: String = ""): String => DataFrame = {
+    graft.SignalViews.logsDf(spark, dir).createOrReplaceTempView(s"${prefix}logs")
+    graft.SignalViews.metricsDf(spark, dir).createOrReplaceTempView(s"${prefix}metrics")
+    graft.SignalViews.logsGen2Df(spark, dir).createOrReplaceTempView(s"${prefix}logs_gen2")
+    graft.SignalViews.tracesGen2Df(spark, dir).createOrReplaceTempView(s"${prefix}traces")
+    session(spark, dir, prefix)
+  }
 }
