@@ -263,6 +263,54 @@ object PipelineOps {
         .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
     }),
 
+    // IVF-bucketed ANN (the second scale path, alongside q25's LSH):
+    // a 16-cell coarse quantizer assigns every vector to its nearest
+    // centroid (broadcast codebook — O(N·K) narrow work); each query
+    // probes its nprobe=4 nearest cells and ranks exact cosine ONLY over
+    // those cells' members. Centroids here are the 16 lowest vec_ids, a
+    // deterministic training-free stand-in for an offline k-means
+    // codebook — the query-path shape (broadcast assign → cell equi-join
+    // → in-cell exact rank) is the real IVF plan.
+    "q103_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vq", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+      val norms = e.groupBy(col("vec_id")).agg(sum(col("vq") * col("vq")).as("nrm"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("pos"), col("vq").as("cv"))
+      val cnorms = norms.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("nrm").as("cn"))
+      val ccos = e.join(broadcast(cents), Seq("pos"))
+        .groupBy(col("vec_id"), col("c_id")).agg(sum(col("vq") * col("cv")).as("cdot"))
+        .join(broadcast(cnorms), "c_id")
+        .join(norms, "vec_id")
+        .withColumn("ccos",
+          col("cdot").cast(DoubleType) / sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
+      val ranked = ccos.withColumn("_crn", row_number().over(wAssign))
+      val assign = ranked.filter(col("_crn") === 1)
+        .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+      val probes = ranked.filter(col("vec_id") % 100 === 0 && col("_crn") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      val cand = probes.join(assign, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id")).distinct()
+      val dots = cand
+        .join(e.select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv")), Seq("q_id"))
+        .join(e.select(col("vec_id").as("n_id"), col("pos"), col("vq").as("nv")), Seq("n_id", "pos"))
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      val cos = dots
+        .join(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("nrm", "qn"), "q_id")
+        .join(norms.withColumnRenamed("vec_id", "n_id").withColumnRenamed("nrm", "nn"), "n_id")
+        .withColumn("cos",
+          col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cos.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -417,6 +465,50 @@ object PipelineOps {
          |SELECT doc_id,
          |  concat(${(0 until 32).map(k => s"CASE WHEN v$k >= 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
          |FROM v""".stripMargin,
+
+    "q103_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |ccos AS (
+        |  SELECT v.vec_id, c.vec_id AS c_id,
+        |    CAST(SUM(v.vq * c.vq) AS DOUBLE)
+        |      / sqrt(CAST(cn.nrm AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN e c ON c.pos = v.pos AND c.vec_id < 16
+        |  JOIN norms cn ON cn.vec_id = c.vec_id
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  GROUP BY 1, 2, cn.nrm, vn.nrm),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id ASC) AS crn
+        |  FROM ccos),
+        |assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_id AS cell FROM ranked
+        |  WHERE vec_id % 100 = 0 AND crn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE p.q_id <> a.n_id),
+        |dots AS (
+        |  SELECT c.q_id, c.n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.n_id AND n.pos = q.pos
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM cos) WHERE rank <= 3""".stripMargin,
 
     "q24_ann_cosine_topk" ->
       """WITH e AS (
