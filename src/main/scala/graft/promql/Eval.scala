@@ -224,6 +224,8 @@ object Eval {
     // linear fold inside a higher-order aggregate() — the iterative
     // smoother runs as a single expression, no driver loop, no UDAF
     case "holt_winters" =>
+      if (args.length != 3)
+        throw Unsupported(s"holt_winters expects (range-vector, sf, tf), got ${args.length} args")
       val sel = rangeSel(args.take(1), f)
       def hwNum(i: Int): Double = args(i) match {
         case NumLit(d) => d
@@ -231,6 +233,9 @@ object Eval {
       }
       val sfv = hwNum(1)
       val tfv = hwNum(2)
+      // Prometheus requires both smoothing factors strictly inside (0,1)
+      if (!(sfv > 0 && sfv < 1 && tfv > 0 && tfv < 1))
+        throw Unsupported(s"holt_winters smoothing factors must be in (0,1): sf=$sfv tf=$tfv")
       val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
       val keys = bucket +: t.seriesLabels.map(col)
       val sampleStruct = struct(
@@ -308,8 +313,9 @@ object Eval {
     case "pi" => ScalV(math.Pi)
 
     // predict_linear(v[range], t): least-squares slope over the window
-    // extrapolated t seconds past the LAST sample (reference promql.rs
-    // function table; same window grouping as deriv)
+    // extrapolated t seconds past the EVALUATION timestamp (the bucket
+    // end, matching Prometheus — not the last sample's timestamp; same
+    // window grouping as deriv)
     case "predict_linear" =>
       val sel = args.head match {
         case s @ Selector(_, _, Some(_), _, _) => s
@@ -326,13 +332,13 @@ object Eval {
       val g = df.groupBy(keys: _*).agg(
         regr_slope(col("value"), secs).as("_slope"),
         regr_intercept(col("value"), secs).as("_icept"),
-        max(col("timestamp")).cast(DoubleType).divide(lit(1e9)).as("_lastt"),
         max_by(col("value").cast(DoubleType), ordStruct).as("_lastv"))
       // single-sample windows have no slope — Prometheus drops them
       val v = g.filter(col("_slope").isNotNull)
         .withColumn("value",
-          col("_icept") + col("_slope") * (col("_lastt") + lit(tSec)))
-        .drop("_slope", "_icept", "_lastt", "_lastv")
+          col("_icept") + col("_slope") *
+            (bucket.cast(DoubleType) + lit(tr.stepSec.toDouble) + lit(tSec)))
+        .drop("_slope", "_icept", "_lastv")
       VecV(spread(sel, Vec(v, t.seriesLabels), t, tr))
 
     case "clamp" | "clamp_min" | "clamp_max" =>
@@ -656,9 +662,18 @@ object Eval {
         // value + included labels, result labels from the many side
         val (many, one) = if (leftMany) (l, r) else (r, l)
         val inc = include.filter(one.labels.contains).filterNot(many.labels.contains)
+        // Prometheus errors with "multiple matches for labels" when the
+        // 'one' side is not unique per match key — without this guard the
+        // inner join would silently multiply the many side. Enforced
+        // distributed (window count + raise_error), no driver action.
+        val dupW = Window.partitionBy(joinKeys.map(col): _*)
         val oneProj = one.df
           .select((joinKeys ++ inc :+ "value").distinct.map(col): _*)
           .withColumnRenamed("value", "_ov")
+          .withColumn("_ov",
+            when(count(lit(1)).over(dupW) > 1,
+              raise_error(lit("group_left/group_right: multiple matches for labels on the 'one' side")))
+              .otherwise(col("_ov")))
         val j = many.df.withColumnRenamed("value", "_mv").join(oneProj, joinKeys, "inner")
         val (lv, rv) = if (leftMany) (col("_mv"), col("_ov")) else (col("_ov"), col("_mv"))
         val out =

@@ -55,6 +55,10 @@ object AttrPromotion {
       partitionCols: Seq[String] = Seq("date_day", "hour")): Unit = {
     val path = layout.path(table)
     val promoted = promote(spark.read.parquet(path), keys)
+    // tmp lives under the table's parent so the final swap is a same-
+    // filesystem rename; the old directory is moved aside (not deleted)
+    // until the new data is in place, so a crash at any point leaves
+    // either the old or the new table fully intact.
     val tmp = path + "_promoting"
     promoted.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
@@ -62,7 +66,15 @@ object AttrPromotion {
       .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    def mv(from: String, to: String): Unit = {
+      val ok = fs.rename(new org.apache.hadoop.fs.Path(from), new org.apache.hadoop.fs.Path(to))
+      if (!ok) throw new java.io.IOException(s"rename $from -> $to failed (cross-filesystem or target exists)")
+    }
+    val old = path + "_old"
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    mv(path, old)
+    try mv(tmp, path)
+    catch { case e: Throwable => mv(old, path); throw e } // roll back to the original
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
   }
 }

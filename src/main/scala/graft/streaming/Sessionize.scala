@@ -39,15 +39,22 @@ object Sessionize {
           closed += Session(userId, s.startSec, s.lastSec, s.nEvents)
           cur = Some(SessionState(e.tsSec, e.tsSec, 1))
         case Some(s) =>
-          cur = Some(SessionState(s.startSec, math.max(s.lastSec, e.tsSec), s.nEvents + 1))
+          // a cross-batch late event may precede the stored session start —
+          // extend the session backwards too, not only forwards
+          cur = Some(SessionState(math.min(s.startSec, e.tsSec),
+            math.max(s.lastSec, e.tsSec), s.nEvents + 1))
         case None =>
           cur = Some(SessionState(e.tsSec, e.tsSec, 1))
       }
     }
     for (s <- cur) {
       state.update(s)
-      // close via event-time timeout once the watermark passes the gap
-      state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000L)
+      // close via event-time timeout once the watermark passes the gap.
+      // Spark rejects a timeout at or below the current watermark (the
+      // batch may deliver events only slightly above it), so clamp to
+      // watermark+1ms — the session then closes on the next batch.
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm + 1L, (s.lastSec + gapSec) * 1000L))
     }
     closed.result().iterator
   }

@@ -31,15 +31,16 @@ class EvalSpec extends AnyFunSuite {
       .select("bucket_start", "value").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
 
-  test("predict_linear extrapolates the fitted line past the last sample") {
+  test("predict_linear extrapolates the fitted line past the eval timestamp") {
     // exactly linear series v = 2·t + 1 over t = 0..3 s: slope 2 and
-    // intercept 1 are exact (centered sums of exact halves), so the
-    // prediction at last+10 s is exactly 27.0
+    // intercept 1 are exact (centered sums of exact halves). The eval
+    // timestamp is the bucket end (4 s, Prometheus semantics), so the
+    // prediction at 4+10 s is exactly 1 + 2·14 = 29.0
     val t = table(Seq(
       (0L, "a", 1.0), (1000000000L, "a", 3.0),
       (2000000000L, "a", 5.0), (3000000000L, "a", 7.0)))
     val got = run("predict_linear(m[4s], 10)", t, TimeRange(0, 4, 4))
-    assert(got == Seq((0L, 27.0)))
+    assert(got == Seq((0L, 29.0)))
   }
 
   test("predict_linear drops single-sample windows (no slope)") {
@@ -68,6 +69,40 @@ class EvalSpec extends AnyFunSuite {
     // single-sample windows drop
     val t1 = table(Seq((0L, "a", 1.0)))
     assert(run("holt_winters(m[4s], 0.5, 0.5)", t1, TimeRange(0, 4, 4)).isEmpty)
+  }
+
+  test("holt_winters rejects bad arity and out-of-range smoothing factors") {
+    val t = table(Seq((0L, "a", 1.0), (1000000000L, "a", 2.0)))
+    val tr = TimeRange(0, 4, 4)
+    intercept[Ast.Unsupported](run("holt_winters(m[4s])", t, tr))
+    intercept[Ast.Unsupported](run("holt_winters(m[4s], 1.5, 0.5)", t, tr))
+    intercept[Ast.Unsupported](run("holt_winters(m[4s], 0.5, 0.0)", t, tr))
+  }
+
+  test("group_left fails loudly when the one side is not unique per match key") {
+    import spark.implicits._
+    // many side keyed by (service, pod); one side has TWO rows for
+    // service=a → Prometheus raises "multiple matches for labels"
+    val many = Eval.Vec(
+      Seq((0L, "a", "p1", 10.0), (0L, "a", "p2", 20.0))
+        .toDF("bucket_start", "service_name", "pod", "value"),
+      Seq("service_name", "pod"))
+    val oneDup = Eval.Vec(
+      Seq((0L, "a", 1.0), (0L, "a", 2.0)).toDF("bucket_start", "service_name", "value"),
+      Seq("service_name"))
+    val joined = Eval.binaryVec("*", many, oneDup, boolMode = false,
+      on = Seq("service_name"), ignoring = Nil, group = Some((true, Nil)))
+    val e = intercept[Exception](joined.df.collect())
+    assert(e.getMessage.contains("multiple matches") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple matches")))
+    // unique one side still joins cleanly
+    val oneOk = Eval.Vec(
+      Seq((0L, "a", 3.0)).toDF("bucket_start", "service_name", "value"),
+      Seq("service_name"))
+    val ok = Eval.binaryVec("*", many, oneOk, boolMode = false,
+      on = Seq("service_name"), ignoring = Nil, group = Some((true, Nil)))
+    assert(ok.df.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(30.0, 60.0))
   }
 
   test("pi() is a scalar spread over the grid") {
