@@ -42,6 +42,32 @@ object Ast {
     /** `| pattern "<p>"` — positional capture extraction from body
       * (reference ast.rs:65 `Pattern`). */
     final case class Pattern(pattern: String) extends Stage
+    /** `| json lbl="path.to[0].field", other` — targeted JSON extraction:
+      * ONLY the listed labels are extracted (Loki semantics; reference
+      * ast.rs:59 `Json(Vec<LabelExtraction>)`). A bare item extracts the
+      * path equal to its own name. */
+    final case class JsonPath(extractions: Seq[(String, String)]) extends Stage
+    /** `| logfmt lbl="src", other` — targeted logfmt extraction
+      * (reference ast.rs:62 `Logfmt(LogfmtStage)`). */
+    final case class LogfmtExtract(extractions: Seq[(String, String)]) extends Stage
+    /** `| regexp "(?P<name>re)"` — named-capture extraction from body
+      * (reference ast.rs:64 `Regexp`). */
+    final case class Regexp(pattern: String) extends Stage
+    /** `| unpack` — the line is a packed JSON object: `_entry` is the real
+      * line, every other key is a label (reference ast.rs:68). */
+    case object Unpack extends Stage
+    /** `| decolorize` — strip ANSI color escapes from body
+      * (reference ast.rs:70). */
+    case object Decolorize extends Stage
+    /** `| drop a, method="GET"` — remove labels, optionally only where the
+      * matcher holds (reference ast.rs:79). */
+    final case class DropLabels(items: Seq[(String, Option[(MatchOp, String)])]) extends Stage
+    /** `| keep a, method="GET"` — keep ONLY these labels (reference
+      * ast.rs:81). */
+    final case class KeepLabels(items: Seq[(String, Option[(MatchOp, String)])]) extends Stage
+    /** `| distinct a, b` — first line per distinct combination of the
+      * label values (reference ast.rs:84). */
+    final case class Distinct(labels: Seq[String]) extends Stage
   }
 
   sealed trait LineOp

@@ -302,8 +302,34 @@ object Parser {
           case TOp("|", _) =>
             advance()
             cur match {
-              case TIdent("json", _)   => advance(); stages += Stage.Json
-              case TIdent("logfmt", _) => advance(); stages += Stage.Logfmt
+              case TIdent("json", _) =>
+                advance()
+                val ex = extractionList()
+                stages += (if (ex.isEmpty) Stage.Json else Stage.JsonPath(ex))
+              case TIdent("logfmt", _) =>
+                advance()
+                val ex = extractionList()
+                stages += (if (ex.isEmpty) Stage.Logfmt else Stage.LogfmtExtract(ex))
+              case TIdent("regexp", _) =>
+                advance(); stages += Stage.Regexp(str())
+              case TIdent("unpack", _)     => advance(); stages += Stage.Unpack
+              case TIdent("decolorize", _) => advance(); stages += Stage.Decolorize
+              case TIdent("drop", _) =>
+                advance(); stages += Stage.DropLabels(labelItemList())
+              case TIdent("keep", _) =>
+                advance(); stages += Stage.KeepLabels(labelItemList())
+              case TIdent("distinct", _) =>
+                advance()
+                val ls = Seq.newBuilder[String]
+                var more = true
+                while (more) {
+                  advance() match {
+                    case TIdent(l, _) => ls += l
+                    case t            => throw ParseError("expected label after distinct", t.pos)
+                  }
+                  if (isOp(",")) advance() else more = false
+                }
+                stages += Stage.Distinct(ls.result())
               case TIdent("unwrap", _) =>
                 advance()
                 advance() match {
@@ -350,6 +376,45 @@ object Parser {
         }
       }
       LogQuery(sel, stages.result())
+    }
+
+    /** `lbl="json.path"` / bare `lbl` items after `| json` / `| logfmt` —
+      * empty when the next token starts a new stage (the bare-parser
+      * form). A bare item extracts the path equal to its own name. */
+    private def extractionList(): Seq[(String, String)] = {
+      val ex = Seq.newBuilder[(String, String)]
+      var more = identOpt.isDefined
+      while (more) {
+        val name = advance().asInstanceOf[TIdent].s
+        if (isOp("=")) { advance(); ex += (name -> str()) }
+        else ex += (name -> name)
+        if (isOp(",")) { advance(); if (identOpt.isEmpty) throw ParseError("expected label", cur.pos) }
+        else more = false
+        if (more && identOpt.isEmpty) more = false
+      }
+      ex.result()
+    }
+
+    /** `lbl` / `lbl="v"` / `lbl=~"re"` items for `| drop` / `| keep`. */
+    private def labelItemList(): Seq[(String, Option[(MatchOp, String)])] = {
+      val items = Seq.newBuilder[(String, Option[(MatchOp, String)])]
+      var more = true
+      while (more) {
+        val name = advance() match {
+          case TIdent(l, _) => l
+          case t            => throw ParseError("expected label", t.pos)
+        }
+        val matcher = cur match {
+          case TOp("=", _)  => advance(); Some((MatchOp.Eq, str()))
+          case TOp("!=", _) => advance(); Some((MatchOp.Neq, str()))
+          case TOp("=~", _) => advance(); Some((MatchOp.Re, str()))
+          case TOp("!~", _) => advance(); Some((MatchOp.Nre, str()))
+          case _            => None
+        }
+        items += (name -> matcher)
+        if (isOp(",")) advance() else more = false
+      }
+      items.result()
     }
 
     def selector(): Selector = {
