@@ -50,20 +50,37 @@ object Lowering {
     * (reference AttrContext, logql.rs:44-56; SchemaResolver promotion
     * invariance, ir_planner.rs:152-225). */
   private final case class Ctx(table: LogsTable, jsonParsed: Boolean, logfmtParsed: Boolean,
-      overrides: Map[String, Column] = Map.empty) {
-    def resolve(label: String): Column =
-      overrides.get(label) match {
+      overrides: Map[String, Column] = Map.empty,
+      /** `| unpack` ran: labels resolve from the packed JSON entry kept in
+        * the `_packed` column (reference ast.rs:69). */
+      unpacked: Boolean = false,
+      /** `| keep` gate: when set, only the listed labels survive — an item
+        * with a matcher keeps the label only on rows where it holds. */
+      keep: Option[Seq[(String, Option[(MatchOp, String)])]] = None) {
+    def resolve(label: String): Column = {
+      val base = overrides.get(label) match {
         case Some(c) => c
         case None    => resolvePhysical(label)
       }
+      keep match {
+        case None => base
+        case Some(items) => items.find(_._1 == label) match {
+          case None                     => lit(null).cast("string")
+          case Some((_, None))          => base
+          case Some((_, Some((op, v)))) => when(itemMatches(base, op, v), base)
+        }
+      }
+    }
     private def resolvePhysical(label: String): Column =
       table.promoted.get(label) match {
         case Some(phys) => col(phys)
+        case None if unpacked =>
+          // pack format: every key except `_entry` is a label
+          get_json_object(col("_packed"), s"$$.$label")
         case None if jsonParsed =>
           get_json_object(col("body"), s"$$.$label")
         case None if logfmtParsed =>
-          // logfmt k=v extraction: first match of `label=<bare-or-quoted>`
-          regexp_extract(col("body"), s"(?:^|\\s)${java.util.regex.Pattern.quote(label)}=(\"[^\"]*\"|\\S+)", 1)
+          logfmtExtractCol(label)
         case None if table.hasAttrMap =>
           // generation-2 path: coalesce across attribute containers in
           // priority order (record attrs shadow resource/scope attrs)
@@ -79,7 +96,22 @@ object Lowering {
       * promoted column, not a parser extraction, not a format override). */
     def tokenEligible(label: String): Boolean =
       table.hasAttrTokens && !overrides.contains(label) &&
-        !table.promoted.contains(label) && !jsonParsed && !logfmtParsed
+        !table.promoted.contains(label) && !jsonParsed && !logfmtParsed &&
+        !unpacked && keep.isEmpty
+  }
+
+  /** logfmt k=v extraction: first match of `key=<bare-or-quoted>`. */
+  private def logfmtExtractCol(key: String): Column =
+    regexp_extract(col("body"),
+      s"(?:^|\\s)${java.util.regex.Pattern.quote(key)}=(\"[^\"]*\"|\\S+)", 1)
+
+  /** drop/keep item matcher over the label's current value (absent ⇒ NULL
+    * ⇒ the conditional falls through, like every other label predicate). */
+  private def itemMatches(cur: Column, op: MatchOp, v: String): Column = op match {
+    case MatchOp.Eq  => cur === v
+    case MatchOp.Neq => cur =!= v
+    case MatchOp.Re  => cur.rlike(anchored(v))
+    case MatchOp.Nre => !cur.rlike(anchored(v))
   }
 
   /** bounded regex guard (reference ir_planner.rs:1105): reject oversized
@@ -121,6 +153,94 @@ object Lowering {
     }
     if (last < p.length) sb ++= esc(p.substring(last))
     (sb.toString, names.result())
+  }
+
+  /** compile a `| regexp` pattern (reference ast.rs:64): rewrite Go/RE2
+    * `(?P<name>…)` named groups to plain groups and return each name with
+    * its capture index — the SAME rewritten regex and index drive both
+    * Spark's regexp_extract and the DuckDB oracle. Unnamed groups still
+    * occupy indices; `(?…)` constructs and char classes don't. */
+  private[logql] def compileNamedRegexp(p: String): (String, Seq[(String, Int)]) = {
+    if (p.length > 1024)
+      throw Unsupported(s"regex exceeds the 1024-char bound (${p.length})")
+    val sb = new StringBuilder
+    val names = Seq.newBuilder[(String, Int)]
+    var i = 0
+    var groupIdx = 0
+    var inClass = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) { sb += c += p.charAt(i + 1); i += 2 }
+      else if (inClass) { if (c == ']') inClass = false; sb += c; i += 1 }
+      else if (c == '[') { inClass = true; sb += c; i += 1 }
+      else if (c == '(' && p.startsWith("(?P<", i)) {
+        val end = p.indexOf('>', i + 4)
+        if (end < 0) throw Unsupported("unterminated (?P<name> group")
+        groupIdx += 1
+        names += (p.substring(i + 4, end) -> groupIdx)
+        sb += '('; i = end + 1
+      }
+      else if (c == '(' && !p.startsWith("(?", i)) { groupIdx += 1; sb += c; i += 1 }
+      else { sb += c; i += 1 }
+    }
+    val re = sb.toString
+    guardRegex(re)
+    val out = names.result()
+    if (out.isEmpty)
+      throw Unsupported("| regexp requires at least one (?P<name>…) capture")
+    (re, out)
+  }
+
+  /** `| regexp "(?P<name>re)"` — named-capture extraction over the line.
+    * An unmatched line (or empty capture) carries NO label, like
+    * `| pattern` (Loki parser-stage semantics). */
+  private def withRegexpOverrides(ctx: Ctx, p: String): Ctx = {
+    val (re, names) = compileNamedRegexp(p)
+    names.foldLeft(ctx) { case (c, (n, idx)) =>
+      val x = regexp_extract(col("body"), re, idx)
+      c.copy(overrides = c.overrides + (n -> when(x =!= "", x)))
+    }
+  }
+
+  /** ctx-only stage application shared by the filter pass and `finalCtx`
+    * (parser extractions, format/drop/keep overrides — everything a later
+    * label reference can observe without touching rows). */
+  private def applyCtxStage(ctx: Ctx, st: Stage): Ctx = st match {
+    case Stage.Json   => ctx.copy(jsonParsed = true)
+    case Stage.Logfmt => ctx.copy(logfmtParsed = true)
+    case Stage.JsonPath(ex) =>
+      // `| json lbl="path"` — only the listed labels are extracted
+      ex.foldLeft(ctx) { case (c, (lbl, path)) =>
+        c.copy(overrides = c.overrides +
+          (lbl -> get_json_object(col("body"), s"$$.$path")))
+      }
+    case Stage.LogfmtExtract(ex) =>
+      ex.foldLeft(ctx) { case (c, (lbl, src)) =>
+        c.copy(overrides = c.overrides + (lbl -> logfmtExtractCol(src)))
+      }
+    case Stage.Regexp(p) => withRegexpOverrides(ctx, p)
+    case Stage.Unpack    => ctx.copy(unpacked = true)
+    case Stage.Pattern(p) => withPatternOverrides(ctx, p)
+    case Stage.LabelFormat(assigns) =>
+      assigns.foldLeft(ctx) { case (c, (dst, spec)) =>
+        val v = spec match {
+          case Left(src)   => c.resolve(src)
+          case Right(tmpl) => templateCol(c, tmpl)
+        }
+        c.copy(overrides = c.overrides + (dst -> v))
+      }
+    case Stage.DropLabels(items) =>
+      // a matcher-gated drop nulls the label only where the matcher holds
+      items.foldLeft(ctx) { case (c, (name, m)) =>
+        val cur = c.resolve(name)
+        val nv = m match {
+          case None          => lit(null).cast("string")
+          case Some((op, v)) => when(!itemMatches(cur, op, v), cur)
+        }
+        c.copy(overrides = c.overrides + (name -> nv))
+      }
+    case Stage.KeepLabels(items) => ctx.copy(keep = Some(items))
+    case _ => ctx
   }
 
   private def matcherCol(c: Ctx, m: LabelMatcher): Column = {
@@ -213,23 +333,32 @@ object Lowering {
       df = df.filter(c)
     }
     for (st <- q.stages) st match {
-      case f: Stage.LineFilter => df = df.filter(lineFilterCol(f))
-      case Stage.Json          => ctx = ctx.copy(jsonParsed = true)
-      case Stage.Logfmt        => ctx = ctx.copy(logfmtParsed = true)
+      case f: Stage.LineFilter  => df = df.filter(lineFilterCol(f))
       case Stage.LabelFilter(p) => df = df.filter(predCol(ctx, p))
       case Stage.Unwrap(_, _)   => () // consumed by the metric layer
       case Stage.LineFormat(tmpl) =>
         // subsequent line filters see the rewritten body
         df = df.withColumn("body", templateCol(ctx, tmpl))
-      case Stage.LabelFormat(assigns) =>
-        for ((dst, spec) <- assigns) {
-          val v = spec match {
-            case Left(src)   => ctx.resolve(src)
-            case Right(tmpl) => templateCol(ctx, tmpl)
-          }
-          ctx = ctx.copy(overrides = ctx.overrides + (dst -> v))
-        }
-      case Stage.Pattern(p) => ctx = withPatternOverrides(ctx, p)
+      case Stage.Unpack =>
+        // pack format (reference ast.rs:69): keep the packed object for
+        // label resolution; the `_entry` key becomes the line (a line
+        // without one is unchanged)
+        df = df.withColumn("_packed", col("body"))
+          .withColumn("body",
+            coalesce(get_json_object(col("_packed"), "$._entry"), col("body")))
+        ctx = applyCtxStage(ctx, st)
+      case Stage.Decolorize =>
+        // strip ANSI SGR escape sequences from the line (ast.rs:71)
+        df = df.withColumn("body",
+          regexp_replace(col("body"), "\u001B\\[[0-9;]*m", ""))
+      case Stage.Distinct(labels) =>
+        // first line per distinct label combination — oldest-first with
+        // the table tie-break so the survivor is deterministic (ast.rs:83)
+        val w = Window.partitionBy(labels.map(ctx.resolve): _*)
+          .orderBy(col("timestamp").asc +: ctx.table.tieBreak.map(col(_).asc): _*)
+        df = df.withColumn("_rn_distinct", row_number().over(w))
+          .filter(col("_rn_distinct") === 1).drop("_rn_distinct")
+      case other => ctx = applyCtxStage(ctx, other)
     }
     df
   }
@@ -248,24 +377,8 @@ object Lowering {
   /** the label-resolution context AFTER all stages — what metric group
     * keys and `unwrap` see (parser flags + label_format/pattern overrides,
     * without re-running the filters). */
-  private def finalCtx(table: LogsTable, stages: Seq[Stage]): Ctx = {
-    var ctx = Ctx(table,
-      jsonParsed = stages.contains(Stage.Json),
-      logfmtParsed = stages.contains(Stage.Logfmt))
-    for (st <- stages) st match {
-      case Stage.LabelFormat(assigns) =>
-        for ((dst, spec) <- assigns) {
-          val v = spec match {
-            case Left(src)   => ctx.resolve(src)
-            case Right(tmpl) => templateCol(ctx, tmpl)
-          }
-          ctx = ctx.copy(overrides = ctx.overrides + (dst -> v))
-        }
-      case Stage.Pattern(p) => ctx = withPatternOverrides(ctx, p)
-      case _ => ()
-    }
-    ctx
-  }
+  private def finalCtx(table: LogsTable, stages: Seq[Stage]): Ctx =
+    stages.foldLeft(Ctx(table, jsonParsed = false, logfmtParsed = false))(applyCtxStage)
 
   /** LogQL line query: filter, newest-first (or oldest) order, limit, with
     * the curated LOG_COLUMNS projection (reference logs.rs:49,638-673). */

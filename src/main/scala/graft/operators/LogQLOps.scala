@@ -204,7 +204,42 @@ object LogQLOps {
     // trailing offset on a range aggregation (reference parser.rs:898):
     // yesterday's error counts on today's bucket grid
     "q102_logql_offset" ->
-      metric("""sum by (service_name) (count_over_time({severity_text="error"}[1d]) offset 1d)""")
+      metric("""sum by (service_name) (count_over_time({severity_text="error"}[1d]) offset 1d)"""),
+
+    // ---- parser stages beyond json/logfmt/pattern (reference ast.rs:55-88)
+
+    // | regexp "(?P<name>…)": named-capture extraction + numeric filter
+    "q104_logql_regexp" ->
+      line("""{service_name="svc-5"} | regexp "\"k\": (?P<kv>[0-9]+)" | kv >= 55""", 300),
+
+    // | json with explicit extraction args (only the listed labels extract)
+    "q105_logql_json_arg" ->
+      line("""{severity_text="info"} | json kv="k" | kv > 40""", 400),
+
+    // | logfmt with extraction args over a line_format-rewritten body
+    "q106_logql_logfmt_arg" ->
+      line("""{service_name="svc-1"} | json | line_format "kk={{.k}} sev={{.severity_text}}" | logfmt kv="kk" | kv >= 30""", 400),
+
+    // | unpack: the packed `_entry` becomes the line, other keys labels
+    "q107_logql_unpack" ->
+      line("""{severity_text="error"} | json | line_format "{\"_entry\": \"k={{.k}}\", \"svc\": \"{{.service_name}}\"}" | unpack | svc =~ "svc-[0-2]"""", 400),
+
+    // | decolorize: ANSI SGR codes injected by line_format are stripped
+    "q108_logql_decolorize" ->
+      line("{severity_text=\"info\"} | json | line_format \"\u001B[31m{{.severity_text}}\u001B[0m k={{.k}}\" | decolorize |= \"k=4\"", 400),
+
+    // | drop with a matcher: the label is nulled only where it holds
+    "q109_logql_drop" ->
+      metricGen2("""sum by (region) (count_over_time({env="prod"} | drop region="r1" [1w]))"""),
+
+    // | keep: every unlisted label (host) leaves the stream identity
+    "q110_logql_keep" ->
+      metricGen2("""sum by (region, host) (count_over_time({env="prod"} | keep region [1d]))"""),
+
+    // | distinct: first line per distinct label combination (deterministic
+    // oldest-first survivor)
+    "q111_logql_distinct" ->
+      line("""{severity_text="info"} | distinct service_name, event_type""", 100)
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,6 +489,82 @@ object LogQLOps {
          |      ORDER BY timestamp DESC, event_id DESC) AS rn
          |  FROM logs WHERE event_type = 'purchase')
          |SELECT bucket_start, service_name, severity_text, event_type, value
-         |FROM r WHERE rn = 1""".stripMargin
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q104_logql_regexp" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE service_name = 'svc-5'
+         |  AND TRY_CAST(nullif(regexp_extract(body, '"k": ([0-9]+)', 1), '') AS DOUBLE) >= 55
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 300""".stripMargin,
+
+    "q105_logql_json_arg" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE severity_text = 'info'
+         |  AND TRY_CAST(json_extract_string(body, '$$.k') AS DOUBLE) > 40
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q106_logql_logfmt_arg" ->
+      s"""WITH logs AS ($V),
+         |f AS (
+         |  SELECT timestamp, service_name, severity_text,
+         |    concat('kk=', coalesce(json_extract_string(body, '$$.k'), ''),
+         |           ' sev=', severity_text) AS body
+         |  FROM logs WHERE service_name = 'svc-1')
+         |SELECT timestamp, service_name, severity_text, body FROM f
+         |WHERE TRY_CAST(nullif(regexp_extract(body,
+         |    '(?:^|\\s)kk=("[^"]*"|\\S+)', 1), '') AS DOUBLE) >= 30
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q107_logql_unpack" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text,
+         |  concat('k=', coalesce(json_extract_string(body, '$$.k'), '')) AS body
+         |FROM logs
+         |WHERE severity_text = 'error'
+         |  AND regexp_full_match(service_name, 'svc-[0-2]')
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q108_logql_decolorize" ->
+      s"""WITH logs AS ($V),
+         |f AS (
+         |  SELECT timestamp, service_name, severity_text,
+         |    concat('info k=', coalesce(json_extract_string(body, '$$.k'), '')) AS body
+         |  FROM logs WHERE severity_text = 'info')
+         |SELECT timestamp, service_name, severity_text, body FROM f
+         |WHERE contains(body, 'k=4')
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q109_logql_drop" ->
+      s"""WITH logs AS ($V2)
+         |SELECT ${bkt(604800)} AS bucket_start,
+         |  CASE WHEN region = 'r1' THEN NULL ELSE region END AS region,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE env = 'prod' GROUP BY 1, 2""".stripMargin,
+
+    "q110_logql_keep" ->
+      s"""WITH logs AS ($V2)
+         |SELECT ${bkt(86400)} AS bucket_start, region,
+         |  CAST(NULL AS VARCHAR) AS host,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE env = 'prod' GROUP BY 1, 2, 3""".stripMargin,
+
+    "q111_logql_distinct" ->
+      s"""WITH logs AS ($V),
+         |r AS (
+         |  SELECT timestamp, service_name, severity_text, body,
+         |    row_number() OVER (PARTITION BY service_name, event_type
+         |      ORDER BY timestamp ASC, event_id ASC) AS rn
+         |  FROM logs WHERE severity_text = 'info')
+         |SELECT timestamp, service_name, severity_text, body FROM r
+         |WHERE rn = 1
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 100""".stripMargin
   )
 }

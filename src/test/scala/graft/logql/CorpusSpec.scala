@@ -62,14 +62,21 @@ class CorpusSpec extends AnyFunSuite {
     """absent_over_time({job="api"}[5m])""",
     """sum by (s) (count_over_time({a="1"}[1d]) offset 1d)""",
     """avg_over_time({job="api"} | json | unwrap duration(lat) [5m])""",
-    """sum_over_time({job="api"} | logfmt | unwrap bytes(sz) [1m])""")
+    """sum_over_time({job="api"} | logfmt | unwrap bytes(sz) [1m])""",
+    // parser/reshape stages lowered for real since round 4 (ast.rs:55-88)
+    """{job="api"} | decolorize""",
+    """{job="api"} | unpack""",
+    """{job="api"} | keep job""",
+    """{job="api"} | drop pod""",
+    """{job="api"} | regexp "lvl=(?P<lvl>\\w+)" | lvl = "err"""",
+    """{job="api"} | json lat="latency.ms" | lat > 10""",
+    """{job="api"} | logfmt sz="size" | sz >= 1""",
+    """{job="api"} | distinct pod""",
+    """{job="api"} | keep job, pod="p.*"""",
+    """{job="api"} | drop pod=~"p[0-9]+", job""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
-    """{job="api"} | decolorize""",              // not in subset
-    """{job="api"} | unpack""",                  // not in subset
-    """{job="api"} | keep job""",                // not in subset
-    """{job="api"} | drop pod""",                // not in subset
     """vector(5)""",                             // LogQL vector() literal not in subset
     """label_replace(rate({a="1"}[5m]), "d", "$1", "s", "(.*)")""")
 
@@ -95,5 +102,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(jm.group(1) == "1.2.3.4")
     assert(jm.group(2) == "GET")
     assert(jm.group(3) == "/x 200")
+  }
+
+  test("named-regexp compile: (?P<n>…) → plain groups with correct indices") {
+    // unnamed group shifts indices; (?:…) and char-class '(' do not
+    val (re, names) = Lowering.compileNamedRegexp(
+      """(a|b) (?:x|y) [(] (?P<m>\w+) (?P<n>[0-9]+)""")
+    assert(re == """(a|b) (?:x|y) [(] (\w+) ([0-9]+)""")
+    assert(names == Seq("m" -> 2, "n" -> 3))
+    val jm = java.util.regex.Pattern.compile(re).matcher("a x ( GET 200")
+    assert(jm.find() && jm.group(2) == "GET" && jm.group(3) == "200")
+    // no named captures → explicit Unsupported, not a silent no-op
+    assertThrows[Unsupported](Lowering.compileNamedRegexp("""plain (group)"""))
   }
 }
