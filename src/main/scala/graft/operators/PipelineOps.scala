@@ -34,6 +34,33 @@ object PipelineOps {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 18))).cast(DoubleType)
 
+  // ---- shared embedding shapes (array-native, never per-dimension rows) --
+
+  /** embeddings quantized to 1e-6 BIGINT arrays + the squared norm — one
+    * per-row array fold, so dot products stay exact integer sums without
+    * ever exploding to (vec, pos) rows. */
+  private def embArr(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast(DoubleType) * 1000000).cast(LongType)).as("vq"))
+      .withColumn("nrm", aggregate(col("vq"), lit(0L), (a, x) => a + x * x))
+
+  /** exact integer dot product of two quantized arrays (whole-stage
+    * codegen fold; order-independent by construction). */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** hyperplane weights for LSH plane `j`: ±1 from the md5 high bit of
+    * "j_pos" — same family the DuckDB oracle derives in SQL, computed once
+    * at plan build (256 ≥ any embedding dim here; sliced to size at use). */
+  private def planeWeights(j: Int): Seq[Long] =
+    (0 until 256).map { p =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$p".getBytes("UTF-8"))
+      if ((d(0) & 0x80) != 0) 1L else -1L
+    }
+
   // ---- shared text shapes ----------------------------------------------
 
   /** tokens = whitespace split; Spark array indexing is 0-based. */
@@ -202,21 +229,18 @@ object PipelineOps {
     // Brute-force cosine top-k (ANN baseline): query vectors = vec_id%100==0,
     // candidates = all others; vectors quantized to 1e-6 integers so dot
     // products are exact BIGINT sums (order-independent, engine-portable);
-    // top-5 per query.
+    // top-5 per query. Array-native: the dot product is a per-row
+    // zip_with/aggregate fold over the embedding arrays (codegen, no
+    // per-dimension explode), and the small query side broadcasts — at
+    // 100 TB this is a map-side scan of the corpus with one shuffle for
+    // the per-query top-k, not a (pos)-keyed shuffle of N·dim rows.
     "q24_ann_cosine_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("vq", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
-      val norms = e.groupBy(col("vec_id")).agg(sum(col("vq") * col("vq")).as("nrm"))
+      val e = embArr(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv"))
-      val dots = q.join(e.select(col("vec_id").as("n_id"), col("pos"), col("vq").as("nv")), Seq("pos"))
-        .filter(col("q_id") =!= col("n_id"))
-        .groupBy(col("q_id"), col("n_id"))
-        .agg(sum(col("qv") * col("nv")).as("dot"))
-      val cos = dots
-        .join(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("nrm", "qn"), "q_id")
-        .join(norms.withColumnRenamed("vec_id", "n_id").withColumnRenamed("nrm", "nn"), "n_id")
+        .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("nrm").as("qn"))
+      val n = e.select(col("vec_id").as("n_id"), col("vq").as("nv"), col("nrm").as("nn"))
+      val cos = n.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
         .withColumn("cos",
           col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
@@ -225,36 +249,26 @@ object PipelineOps {
         .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (the scale path): 12 deterministic random hyperplanes
-    // (weight ±1 from md5 nibble high-bit of "plane_dim"); 8-bit signature bucket
-    // equi-join; exact cosine only within buckets; top-3 per query.
+    // LSH-bucketed ANN (the scale path): 8 deterministic random hyperplanes
+    // (weight ±1 from the md5 high bit of "plane_pos" — computed ONCE at
+    // plan build as literal weight arrays, not re-hashed per row); 8-bit
+    // signature bucket equi-join; exact cosine only within buckets; top-3
+    // per query. Signatures and norms are per-row array folds — no
+    // explode, no groupBy; the arrays ride through the bucket join so the
+    // verification needs no re-join against the corpus.
     "q25_ann_lsh" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("vq", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
-      // plane weights: w(j, pos) = +1 if first md5 nibble of "j_pos" >= 8
-      val planes = (0 until 8)
-      val projAggs = planes.map { j =>
-        sum(col("vq") * when(
-          expr(s"substring(md5(concat('$j','_', cast(pos as string))), 1, 1)")
-            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L)).as(s"p$j")
-      }
-      val proj = e.groupBy(col("vec_id")).agg(projAggs.head, projAggs.tail: _*)
-      val sig = proj.select(col("vec_id"),
-        concat(planes.map(j => when(col(s"p$j") >= 0, "1").otherwise("0")): _*).as("sig"))
-      val norms = e.groupBy(col("vec_id")).agg(sum(col("vq") * col("vq")).as("nrm"))
-      val q = sig.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("q_id"), col("sig"))
-      val cand = q.join(sig.select(col("vec_id").as("n_id"), col("sig")), Seq("sig"))
+      val e = embArr(s, dir)
+      val sig = e.withColumn("sig",
+        concat((0 until 8).map { j =>
+          val w = slice(typedLit(planeWeights(j)), lit(1), size(col("vq")))
+          when(dotCol(col("vq"), w) >= 0, "1").otherwise("0")
+        }: _*))
+      val q = sig.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("sig"), col("vq").as("qv"), col("nrm").as("qn"))
+      val n = sig.select(col("vec_id").as("n_id"), col("sig"), col("vq").as("nv"), col("nrm").as("nn"))
+      val cos = n.join(broadcast(q), "sig")
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"))
-      val dots = cand
-        .join(e.select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv")), Seq("q_id"))
-        .join(e.select(col("vec_id").as("n_id"), col("pos"), col("vq").as("nv")), Seq("n_id", "pos"))
-        .groupBy(col("q_id"), col("n_id"))
-        .agg(sum(col("qv") * col("nv")).as("dot"))
-      val cos = dots
-        .join(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("nrm", "qn"), "q_id")
-        .join(norms.withColumnRenamed("vec_id", "n_id").withColumnRenamed("nrm", "nn"), "n_id")
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
         .withColumn("cos",
           col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
@@ -272,37 +286,28 @@ object PipelineOps {
     // codebook — the query-path shape (broadcast assign → cell equi-join
     // → in-cell exact rank) is the real IVF plan.
     "q103_ann_ivf" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("vq", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
-      val norms = e.groupBy(col("vec_id")).agg(sum(col("vq") * col("vq")).as("nrm"))
+      val e = embArr(s, dir)
       val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("pos"), col("vq").as("cv"))
-      val cnorms = norms.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("nrm").as("cn"))
-      val ccos = e.join(broadcast(cents), Seq("pos"))
-        .groupBy(col("vec_id"), col("c_id")).agg(sum(col("vq") * col("cv")).as("cdot"))
-        .join(broadcast(cnorms), "c_id")
-        .join(norms, "vec_id")
+        .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
+      // cell assignment: broadcast the 16-entry codebook and fold the dot
+      // per (vector, centroid) row — N·K narrow rows, no (pos) shuffle
+      val ccos = e.crossJoin(broadcast(cents))
+        .withColumn("cdot", dotCol(col("vq"), col("cv")))
         .withColumn("ccos",
           col("cdot").cast(DoubleType) / sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
       val ranked = ccos.withColumn("_crn", row_number().over(wAssign))
       val assign = ranked.filter(col("_crn") === 1)
-        .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+        .select(col("vec_id").as("n_id"), col("c_id").as("cell"),
+          col("vq").as("nv"), col("nrm").as("nn"))
       val probes = ranked.filter(col("vec_id") % 100 === 0 && col("_crn") <= 4)
-        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-      val cand = probes.join(assign, Seq("cell"))
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
+          col("vq").as("qv"), col("nrm").as("qn"))
+      // nprobe=4 probing: small probe side broadcasts; each pair is unique
+      // (a vector lives in exactly one cell) so no dedup pass is needed
+      val cos = assign.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id")).distinct()
-      val dots = cand
-        .join(e.select(col("vec_id").as("q_id"), col("pos"), col("vq").as("qv")), Seq("q_id"))
-        .join(e.select(col("vec_id").as("n_id"), col("pos"), col("vq").as("nv")), Seq("n_id", "pos"))
-        .groupBy(col("q_id"), col("n_id"))
-        .agg(sum(col("qv") * col("nv")).as("dot"))
-      val cos = dots
-        .join(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("nrm", "qn"), "q_id")
-        .join(norms.withColumnRenamed("vec_id", "n_id").withColumnRenamed("nrm", "nn"), "n_id")
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
         .withColumn("cos",
           col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
