@@ -375,6 +375,73 @@ object PipelineOps {
       sh.withColumn("minh", min(col("h")).over(w))
         .groupBy(col("doc_id"))
         .agg(md5(array_join(array_sort(collect_set(col("minh"))), "")).as("fingerprint"))
+    }),
+
+    // Gopher-style repetition signals: fraction of bigram mass taken by
+    // the single most frequent bigram, and by bigrams occurring more than
+    // once — per-doc hash aggregates, no pairwise work, scales linearly.
+    "q112_repetition_signals" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |            i -> concat_ws(' ', toks[i], toks[i+1]))
+            |ELSE array() END""".stripMargin)).as("bg"))
+      val cnt = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"),
+        (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast(DoubleType) /
+          sum(col("c"))).as("dup_bigram_frac"))
+    }),
+
+    // PII redaction: email → ip → phone regexp_replace chain (the same
+    // RE2-compatible patterns run in the oracle). PII is injected
+    // deterministically so the rules provably fire; per-row, scales.
+    "q113_pii_redact" -> ((s, dir) => {
+      val raw = concat(
+        lit("user"), col("doc_id"), lit("@mail.example.com said: "),
+        substring(col("text"), 1, 40),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.99 call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" or 192.168.1.1"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+          "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+    }),
+
+    // Benchmark-contamination check: distinct 3-shingle overlap of every
+    // corpus doc against a small eval set (doc_id < 5) — the eval side is
+    // tiny and broadcasts; the corpus side is one shuffle on doc_id.
+    "q114_contamination" -> ((s, dir) => {
+      val sh = docShinglesStored(s, dir)
+      val bench = sh.filter(col("doc_id") < 5).select(col("sh")).distinct()
+        .withColumn("hit", lit(1L))
+      sh.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+        .filter(col("n_contaminated") > 0)
+    }),
+
+    // Deterministic stratified sampling: ~20% per (lang, source) stratum
+    // selected by an md5 prefix of the key — reproducible across engines,
+    // executors and reruns (no RNG state), the property a training-data
+    // sampling pass actually needs.
+    "q115_stratified_sample" -> ((s, dir) => {
+      val st = Window.partitionBy(col("lang"), col("source"))
+      Tables.documents(s, dir)
+        .withColumn("n_stratum", count(lit(1)).over(st))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "34")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_stratum"))
     })
   )
 
@@ -622,6 +689,55 @@ object PipelineOps {
         |  md5(array_to_string(list_sort(list_distinct(
         |    [list_min(hs[i:least(i+3, len(hs))]) FOR i IN range(1, len(hs) + 1)])),
         |    '')) AS fingerprint
-        |FROM h WHERE len(hs) >= 1""".stripMargin
+        |FROM h WHERE len(hs) >= 1""".stripMargin,
+
+    "q112_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg
+        |  FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac,
+        |  CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS DOUBLE)
+        |    / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q113_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat('user', doc_id, '@mail.example.com said: ',
+        |               substring(text, 1, 40),
+        |               ' from 10.', doc_id % 256, '.0.99 call +1-555-',
+        |               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |               ' or 192.168.1.1'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q114_contamination" ->
+      s"""WITH sh AS ($docShinglesSql),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5),
+         |c AS (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |    CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         |      AS n_contaminated
+         |  FROM sh s LEFT JOIN bench b USING (sh)
+         |  WHERE s.doc_id >= 5 GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_contaminated,
+         |  CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+         |FROM c WHERE n_contaminated > 0""".stripMargin,
+
+    "q115_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_stratum FROM d WHERE hk < '34'""".stripMargin
   )
 }
