@@ -130,7 +130,16 @@ object PromQLOps {
       """max by (grp) (label_replace(purchase, "grp", "g$1", "service_name", "svc-([0-3])"))
         |/ on(grp) group_right
         |label_replace(purchase, "grp", "g$1", "service_name", "svc-([0-3])")""".stripMargin,
-      86400)
+      86400),
+
+    // present_over_time: 1 for every (bucket, series) with ≥1 sample —
+    // the reference folds it into the Group reducer (promql.rs:1296-1298)
+    "q116_promql_present" ->
+      q("""present_over_time(error{service_name=~"svc-[0-5]"}[1d])""", 86400),
+
+    // group aggregation: 1 per group regardless of member values
+    "q117_promql_group" ->
+      q("""group by (service_name) (click)""", 86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -408,6 +417,20 @@ object PromQLOps {
          |  e.value / p.value AS value
          |FROM e JOIN p ON e.bucket_start = p.bucket_start
          |  AND regexp_replace(e.service_name, '^(?:svc-(.*))$$', 'e\\1')
-         |    = regexp_replace(p.service_name, '^(?:svc-(.*))$$', 'e\\1')""".stripMargin
+         |    = regexp_replace(p.service_name, '^(?:svc-(.*))$$', 'e\\1')""".stripMargin,
+
+    "q116_promql_present" ->
+      s"""WITH m AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name, 1.0 AS value
+         |FROM m
+         |WHERE metric_name = 'error' AND regexp_full_match(service_name, 'svc-[0-5]')
+         |  AND ${win(86400)}
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q117_promql_group" ->
+      s"""WITH m AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name, 1.0 AS value
+         |FROM m WHERE metric_name = 'click' AND ${win(86400)}
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -207,7 +207,7 @@ object Eval {
 
     case "sum_over_time" | "avg_over_time" | "min_over_time" | "max_over_time" |
         "count_over_time" | "last_over_time" | "stddev_over_time" |
-        "stdvar_over_time" | "quantile_over_time" =>
+        "stdvar_over_time" | "quantile_over_time" | "present_over_time" =>
       overTime(f, args, t, tr)
 
     case "absent" | "absent_over_time" =>
@@ -426,6 +426,9 @@ object Eval {
           case "min_over_time"   => innerVec.df.groupBy(keys: _*).agg(min(x).as("value"))
           case "max_over_time"   => innerVec.df.groupBy(keys: _*).agg(max(x).as("value"))
           case "count_over_time" => innerVec.df.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
+          // 1 per bucket with ≥1 sample; empty buckets yield no row —
+          // exactly present_over_time (reference promql.rs:1296-1298)
+          case "present_over_time" => innerVec.df.groupBy(keys: _*).agg(lit(1.0).as("value"))
           case "last_over_time" =>
             // the inner eval yields one row per (resolution bucket, series),
             // so the resolution bucket IS the deterministic order
@@ -460,6 +463,7 @@ object Eval {
       case "min_over_time"   => df.groupBy(keys: _*).agg(min(x).as("value"))
       case "max_over_time"   => df.groupBy(keys: _*).agg(max(x).as("value"))
       case "count_over_time" => df.groupBy(keys: _*).agg(count(lit(1)).cast(DoubleType).as("value"))
+      case "present_over_time" => df.groupBy(keys: _*).agg(lit(1.0).as("value"))
       case "last_over_time" =>
         val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
         df.groupBy(keys: _*).agg(max_by(x, ordStruct).as("value"))

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OTLP wire-decode tests: requests are hand-encoded with a minimal
+  * protobuf writer (the same public wire format the decoder reads), so
+  * the round trip proves the decoder against independently-constructed
+  * bytes — no generated code on either side.
+  */
+class OtlpSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- minimal protobuf writer ------------------------------------------
+
+  private final class Pb {
+    val out = new ByteArrayOutputStream()
+    def varint(v: Long): Pb = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): Pb = varint((field << 3) | wire)
+    def fixed64(field: Int, v: Long): Pb = {
+      tag(field, 1)
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
+      this
+    }
+    def double(field: Int, v: Double): Pb =
+      fixed64(field, java.lang.Double.doubleToLongBits(v))
+    def fixed32(field: Int, v: Int): Pb = {
+      tag(field, 5)
+      var i = 0
+      while (i < 4) { out.write((v >>> (8 * i)) & 0xFF); i += 1 }
+      this
+    }
+    def vint(field: Int, v: Long): Pb = { tag(field, 0); varint(v) }
+    def bytes(field: Int, b: Array[Byte]): Pb = {
+      tag(field, 2); varint(b.length); out.write(b); this
+    }
+    def str(field: Int, s: String): Pb = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int)(f: Pb => Unit): Pb = {
+      val inner = new Pb; f(inner); bytes(field, inner.out.toByteArray)
+    }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  private def strVal(p: Pb, field: Int, s: String): Unit =
+    p.msg(field)(_.str(1, s)) // AnyValue{string_value=1}
+
+  private def kv(p: Pb, field: Int, k: String, v: String): Unit =
+    p.msg(field) { x => x.str(1, k); strVal(x, 2, v) }
+
+  // ---- fixtures ----------------------------------------------------------
+
+  private def logsRequest: Array[Byte] = {
+    val req = new Pb
+    req.msg(1) { rl => // ResourceLogs
+      rl.msg(1) { res => // Resource
+        kv(res, 1, "service.name", "svc-9")
+        kv(res, 1, "host.name", "h-1")
+      }
+      rl.msg(2) { sl => // ScopeLogs
+        sl.msg(1) { sc => // InstrumentationScope
+          sc.str(1, "graft-test"); sc.str(2, "0.1")
+          kv(sc, 3, "scope.k", "sv")
+        }
+        sl.msg(2) { lr => // LogRecord #1
+          lr.fixed64(1, 1704067200000000001L)
+          lr.vint(2, 17) // SEVERITY_NUMBER_ERROR
+          lr.str(3, "error")
+          lr.msg(5)(_.str(1, "boom"))
+          kv(lr, 6, "k", "42")
+          lr.fixed32(8, 1)
+          lr.bytes(9, Array.tabulate[Byte](16)(i => i.toByte))
+          lr.bytes(10, Array.tabulate[Byte](8)(i => (i + 16).toByte))
+          lr.fixed64(11, 1704067200000000002L)
+        }
+        sl.msg(2) { lr => // LogRecord #2: int body, no observed ts
+          lr.fixed64(1, 1704067200000000005L)
+          lr.vint(2, 9)
+          lr.str(3, "info")
+          lr.msg(5)(_.vint(3, 7)) // AnyValue{int_value=3}
+        }
+      }
+    }
+    req.result
+  }
+
+  private def metricsRequest: Array[Byte] = {
+    val req = new Pb
+    req.msg(1) { rm => // ResourceMetrics
+      rm.msg(1)(res => kv(res, 1, "service.name", "svc-m"))
+      rm.msg(2) { sm => // ScopeMetrics
+        sm.msg(1)(_.str(1, "graft-test"))
+        sm.msg(2) { m => // Metric: gauge, double point
+          m.str(1, "queue_depth"); m.str(3, "items")
+          m.msg(5) { g => // Gauge
+            g.msg(1) { p => // NumberDataPoint
+              p.fixed64(2, 1704067200000000000L)
+              p.fixed64(3, 1704067260000000000L)
+              p.double(4, 7.5)
+              kv(p, 7, "shard", "s1")
+            }
+          }
+        }
+        sm.msg(2) { m => // Metric: monotonic cumulative sum, int point
+          m.str(1, "requests")
+          m.msg(7) { s => // Sum
+            s.msg(1) { p =>
+              p.fixed64(3, 1704067260000000000L)
+              p.tag(6, 1); (0 until 8).foreach(i => p.out.write(((123L >>> (8 * i)) & 0xFF).toInt))
+            }
+            s.vint(2, 2) // AGGREGATION_TEMPORALITY_CUMULATIVE
+            s.vint(3, 1) // is_monotonic
+          }
+        }
+      }
+    }
+    req.result
+  }
+
+  // ---- tests -------------------------------------------------------------
+
+  test("logs request decodes to gen-2 rows (ids hex, attrs flattened)") {
+    val rows = Otlp.decodeLogsRequest(logsRequest)
+    assert(rows.length == 2)
+    val r1 = rows.head
+    assert(r1.timestamp == 1704067200000000001L)
+    assert(r1.observed_timestamp == 1704067200000000002L)
+    assert(r1.trace_id == "000102030405060708090a0b0c0d0e0f")
+    assert(r1.span_id == "1011121314151617")
+    assert(r1.trace_flags == 1)
+    assert(r1.severity_text == "error" && r1.severity_number == 17)
+    assert(r1.service_name == "svc-9")
+    assert(r1.body == "boom")
+    assert(r1.resource_attributes == Map("service.name" -> "svc-9", "host.name" -> "h-1"))
+    assert(r1.scope_attributes == Map("scope.k" -> "sv"))
+    assert(r1.log_attributes == Map("k" -> "42"))
+    assert(r1.scope_name == "graft-test" && r1.scope_version == "0.1")
+    val r2 = rows(1)
+    assert(r2.body == "7") // int AnyValue flattens to its decimal string
+    assert(r2.observed_timestamp == r2.timestamp) // defaulted
+    assert(r2.trace_id == "" && r2.log_attributes.isEmpty)
+  }
+
+  test("metrics request decodes to gauge and sum points") {
+    val rows = Otlp.decodeMetricsRequest(metricsRequest)
+    assert(rows.length == 2)
+    val g = rows.find(_.kind == "gauge").get
+    assert(g.metric_name == "queue_depth" && g.metric_unit == "items")
+    assert(g.value == 7.5)
+    assert(g.timestamp == 1704067260000000000L)
+    assert(g.start_timestamp == 1704067200000000000L)
+    assert(g.attributes == Map("shard" -> "s1"))
+    assert(g.service_name == "svc-m")
+    val s = rows.find(_.kind == "sum").get
+    assert(s.metric_name == "requests" && s.value == 123.0)
+    assert(s.aggregation_temporality == 2 && s.is_monotonic)
+  }
+
+  test("unknown fields are skipped, truncated input fails at the boundary") {
+    // append an unknown field (200, varint) at the request level
+    val extra = new Pb
+    extra.out.write(logsRequest)
+    extra.vint(200, 9999)
+    assert(Otlp.decodeLogsRequest(extra.result).length == 2)
+    val cut = logsRequest.dropRight(3)
+    assertThrows[IllegalArgumentException](Otlp.decodeLogsRequest(cut))
+  }
+
+  test("Spark integration: payload column flatMaps to typed rows") {
+    import spark.implicits._
+    val payloads = Seq(logsRequest, logsRequest).toDF("payload")
+    val df = Otlp.logs(payloads)
+    assert(df.count() == 4)
+    assert(df.columns.contains("log_attributes"))
+    assert(df.filter(df("severity_text") === "error").count() == 2)
+    val (gauge, sum) = Otlp.metrics(Seq(metricsRequest).toDF("payload"))
+    assert(gauge.count() == 1 && sum.count() == 1)
+    assert(sum.columns.contains("aggregation_temporality"))
+  }
+}
