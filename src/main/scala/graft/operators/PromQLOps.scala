@@ -139,7 +139,17 @@ object PromQLOps {
 
     // group aggregation: 1 per group regardless of member values
     "q117_promql_group" ->
-      q("""group by (service_name) (click)""", 86400)
+      q("""group by (service_name) (click)""", 86400),
+
+    // scalar(): a 1-series vector becomes a per-bucket scalar (NaN when
+    // cardinality ≠ 1), then joins every click series on the bucket alone
+    "q118_promql_scalar" ->
+      q("""click * scalar(purchase{service_name="svc-1"})""", 86400),
+
+    // vector(): a literal spread over the bucket spine, joined as a
+    // label-less vector (reference promql.rs vector())
+    "q119_promql_vector" ->
+      q("""view + vector(100)""", 86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -431,6 +441,20 @@ object PromQLOps {
       s"""WITH m AS ($V)
          |SELECT ${bkt(86400)} AS bucket_start, service_name, 1.0 AS value
          |FROM m WHERE metric_name = 'click' AND ${win(86400)}
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q118_promql_scalar" ->
+      s"""WITH m AS ($V),
+         |c AS (${lastPerBucket("metric_name = 'click'", 86400)}),
+         |p AS (${lastPerBucket("metric_name = 'purchase' AND service_name = 'svc-1'", 86400)})
+         |SELECT c.bucket_start AS bucket_start, c.service_name AS service_name,
+         |  c.value * p.value AS value
+         |FROM c JOIN p ON c.bucket_start = p.bucket_start""".stripMargin,
+
+    "q119_promql_vector" ->
+      s"""WITH m AS ($V),
+         |v AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT bucket_start, service_name, value + 100.0 AS value
+         |FROM v""".stripMargin
   )
 }

@@ -144,4 +144,45 @@ object Storage {
     }
     dropped.result()
   }
+
+  /** orphan GC (reference: the maintenance job family next to retention —
+    * snapshot expiry / orphan-file removal): delete leftovers that no
+    * reader references — aborted `_promoting` staging dirs, `_old` swap
+    * residue from a crashed promotion rewrite, and Spark's `_temporary`
+    * job-attempt dirs inside the table. Age-gated so an IN-FLIGHT rewrite
+    * or write job is never collected; listing is one level deep per
+    * table, O(partitions), driver-side metadata only. */
+  def gcOrphans(spark: SparkSession, layout: TableLayout, table: String,
+      olderThanMs: Long = 24L * 3600 * 1000,
+      nowMs: Option[Long] = None): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tablePath = new Path(layout.path(table))
+    val fs = tablePath.getFileSystem(conf)
+    val now = nowMs.getOrElse(System.currentTimeMillis())
+    val removed = Seq.newBuilder[String]
+    def old(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - s.getModificationTime >= olderThanMs
+    // sibling staging/backup dirs from AttrPromotion.rewriteTable
+    val parent = tablePath.getParent
+    if (parent != null && fs.exists(parent)) {
+      for (s <- fs.listStatus(parent); n = s.getPath.getName
+          if s.isDirectory && old(s) &&
+            (n == s"${tablePath.getName}_promoting" || n == s"${tablePath.getName}_old")) {
+        fs.delete(s.getPath, true)
+        removed += s.getPath.toString
+      }
+    }
+    // _temporary attempt dirs inside the table and its partitions
+    if (fs.exists(tablePath)) {
+      def sweep(dir: Path, depth: Int): Unit =
+        for (s <- fs.listStatus(dir) if s.isDirectory) {
+          if (s.getPath.getName == "_temporary") {
+            if (old(s)) { fs.delete(s.getPath, true); removed += s.getPath.toString }
+          } else if (depth > 0 && s.getPath.getName.contains("="))
+            sweep(s.getPath, depth - 1)
+        }
+      sweep(tablePath, 2) // table → date_day= → hour=
+    }
+    removed.result()
+  }
 }

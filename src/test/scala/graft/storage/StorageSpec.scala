@@ -127,6 +127,30 @@ class StorageSpec extends AnyFunSuite {
     assert(remaining.select("date_day").distinct().head.get(0).toString == "2024-01-06")
   }
 
+  test("orphan GC removes aged staging/backup/_temporary dirs, keeps fresh ones") {
+    val dir = Files.createTempDirectory("graft-gc").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    Storage.append(logsBatch(5, t0), layout, "logs")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table = layout.path("logs")
+    // crashed-promotion residue + a Spark attempt dir inside a partition
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table + "_promoting"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table + "_old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$table/date_day=2024-01-01/hour=0/_temporary"))
+    // age-gate: "now" far in the future collects all three; a fresh now none
+    assert(Storage.gcOrphans(spark, layout, "logs",
+      nowMs = Some(System.currentTimeMillis())).isEmpty)
+    val removed = Storage.gcOrphans(spark, layout, "logs",
+      nowMs = Some(System.currentTimeMillis() + 48L * 3600 * 1000))
+    assert(removed.size == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "_promoting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "_old")))
+    // data untouched
+    assert(spark.read.parquet(table).count() == 5)
+  }
+
   test("ingest replay is idempotent via batch markers") {
     val dir = Files.createTempDirectory("graft-ingest").toString
     val layout = TableLayout(dir, "acme", "prod")
