@@ -487,6 +487,15 @@ object Parser {
         case _           => false
       }
       def signed(v: Double): Double = if (neg) -v else v
+      def numOp(o: String, pos: Int): CmpOp = o match {
+        case "==" | "=" => CmpOp.Eq
+        case "!="       => CmpOp.Neq
+        case ">"        => CmpOp.Gt
+        case ">="       => CmpOp.Gte
+        case "<"        => CmpOp.Lt
+        case "<="       => CmpOp.Lte
+        case other      => throw ParseError(s"bad numeric op '$other'", pos)
+      }
       (opTok, cur) match {
         case (_, TStr(_, _)) if neg =>
           throw ParseError("'-' before string", cur.pos)
@@ -496,17 +505,23 @@ object Parser {
         case ("!~", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Nre, v)
         case (_, TNum(v0, _)) =>
           advance()
-          val v = signed(v0)
-          val op = opTok match {
-            case "==" | "=" => CmpOp.Eq
-            case "!="       => CmpOp.Neq
-            case ">"        => CmpOp.Gt
-            case ">="       => CmpOp.Gte
-            case "<"        => CmpOp.Lt
-            case "<="       => CmpOp.Lte
-            case o          => throw ParseError(s"bad numeric op '$o'", cur.pos)
+          // a bytes-unit suffix makes it a bytes literal: compared by raw
+          // byte count, as the write path serializes (reference
+          // logql.rs:290-298 numeric_value)
+          val byteUnits = Map(
+            "B" -> 1d, "KB" -> 1e3, "MB" -> 1e6, "GB" -> 1e9, "TB" -> 1e12,
+            "KiB" -> 1024d, "MiB" -> 1024d * 1024, "GiB" -> math.pow(1024, 3),
+            "TiB" -> math.pow(1024, 4))
+          val scaled = cur match {
+            case TIdent(u, _) if byteUnits.contains(u) => advance(); v0 * byteUnits(u)
+            case _                                     => v0
           }
-          LabelPredicate.NumCmp(label, op, v)
+          LabelPredicate.NumCmp(label, numOp(opTok, cur.pos), signed(scaled))
+        case (_, TDur(sec, _)) =>
+          // duration literal: compared in NANOS (reference numeric_value —
+          // durations serialize as nanoseconds)
+          advance()
+          LabelPredicate.NumCmp(label, numOp(opTok, cur.pos), signed(sec.toDouble * 1e9))
         case (_, t) => throw ParseError("expected string or number", t.pos)
       }
     }

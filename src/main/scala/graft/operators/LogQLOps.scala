@@ -239,7 +239,16 @@ object LogQLOps {
     // | distinct: first line per distinct label combination (deterministic
     // oldest-first survivor)
     "q111_logql_distinct" ->
-      line("""{severity_text="info"} | distinct service_name, event_type""", 100)
+      line("""{severity_text="info"} | distinct service_name, event_type""", 100),
+
+    // duration literal in a label filter: compared in nanos (reference
+    // logql.rs numeric_value — durations serialize as nanoseconds)
+    "q120_logql_duration_filter" ->
+      line("""{event_type="click"} | json | label_format lat="{{.k}}00000000" | lat <= 3s""", 400),
+
+    // bytes literal in a label filter: compared by raw byte count
+    "q121_logql_bytes_filter" ->
+      line("""{event_type="view"} | json | label_format sz="{{.k}}000" | sz >= 20KB""", 400)
   )
 
   val oracles: Map[String, String] = Map(
@@ -565,6 +574,24 @@ object LogQLOps {
          |SELECT timestamp, service_name, severity_text, body FROM r
          |WHERE rn = 1
          |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+
+    "q120_logql_duration_filter" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE event_type = 'click'
+         |  AND TRY_CAST(concat(json_extract_string(body, '$$.k'), '00000000') AS DOUBLE)
+         |    <= 3000000000
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin,
+
+    "q121_logql_bytes_filter" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE event_type = 'view'
+         |  AND TRY_CAST(concat(json_extract_string(body, '$$.k'), '000') AS DOUBLE)
+         |    >= 20000
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 400""".stripMargin
   )
 }

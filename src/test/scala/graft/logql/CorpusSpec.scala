@@ -73,7 +73,11 @@ class CorpusSpec extends AnyFunSuite {
     """{job="api"} | logfmt sz="size" | sz >= 1""",
     """{job="api"} | distinct pod""",
     """{job="api"} | keep job, pod="p.*"""",
-    """{job="api"} | drop pod=~"p[0-9]+", job""")
+    """{job="api"} | drop pod=~"p[0-9]+", job""",
+    // duration/bytes literals in label filters (logql.rs numeric_value)
+    """{job="api"} | logfmt | lat > 1s""",
+    """{job="api"} | logfmt | sz >= 20KB""",
+    """{job="api"} | json | took <= 5m""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
