@@ -75,12 +75,22 @@ object SignalTables {
     * metric_name push down into BOTH parquet scans; untouched kinds
     * (histogram etc.) are never read. */
   def storedMetricsUnion(s: SparkSession, dir: String): DataFrame = {
+    // the deterministic tie-break (eid) is PROMOTED at write time —
+    // the reference's attr-promotion shape (label_<key> materialized
+    // column) — so the hot query path scans a flat column and never
+    // deserializes the attributes map
+    def promoted(df: DataFrame): DataFrame =
+      graft.storage.AttrPromotion.promote(
+        Storage.withPartitionCols(df), Seq("eid"), Seq("attributes"))
+    // metrics prune by DAY (the PromQL partition-bound mirror is date_day)
+    // — day-level dirs keep the file count and the write shuffle 24×
+    // smaller than the logs' hour layout, with identical pruning power
     val gaugePath = materialize(s, dir, "metrics_gauge",
-      Storage.withPartitionCols(SignalViews.metricsGaugeDf(s, dir)))
+      promoted(SignalViews.metricsGaugeDf(s, dir)), partitionCols = Seq("date_day"))
     val sumPath = materialize(s, dir, "metrics_sum",
-      Storage.withPartitionCols(SignalViews.metricsSumDf(s, dir)))
+      promoted(SignalViews.metricsSumDf(s, dir)), partitionCols = Seq("date_day"))
     val proj = Seq("timestamp", "metric_name", "service_name", "value",
-      "attributes", "date_day")
+      "label_eid", "date_day")
     s.read.parquet(gaugePath).select(proj.map(col): _*)
       .unionByName(s.read.parquet(sumPath).select(proj.map(col): _*))
   }
@@ -96,7 +106,7 @@ object SignalTables {
       df = df.filter(col("date_day") >= lo && col("date_day") <= hi)
     }
     graft.promql.Eval.MetricsTable(
-      df.withColumn("event_id", element_at(col("attributes"), "eid").cast("long")),
+      df.withColumn("event_id", col("label_eid").cast("long")),
       seriesLabels = Seq("service_name"),
       tieBreak = Seq("event_id"))
   }

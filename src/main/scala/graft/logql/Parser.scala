@@ -308,6 +308,23 @@ object Parser {
                 stages += (if (ex.isEmpty) Stage.Json else Stage.JsonPath(ex))
               case TIdent("logfmt", _) =>
                 advance()
+                // `--strict` / `--keep-empty` flags (reference ast.rs
+                // LogfmtStage.flags): parse-accepted; like the reference's
+                // stage lowering they don't change filter semantics
+                while (isOp("-")) {
+                  advance(); if (isOp("-")) advance()
+                  cur match {
+                    case TIdent("strict", _) => advance()
+                    case TIdent("keep", _) =>
+                      advance()
+                      if (isOp("-")) { advance() }
+                      cur match {
+                        case TIdent("empty", _) => advance()
+                        case t => throw ParseError("expected 'empty' after keep-", t.pos)
+                      }
+                    case t => throw ParseError("unknown logfmt flag", t.pos)
+                  }
+                }
                 val ex = extractionList()
                 stages += (if (ex.isEmpty) Stage.Logfmt else Stage.LogfmtExtract(ex))
               case TIdent("regexp", _) =>

@@ -132,10 +132,17 @@ object HistogramOps {
       val idxCol = (0 until 8).foldRight(lit(7): org.apache.spark.sql.Column) {
         (i, els) => when(cums(i) >= rank, i).otherwise(els)
       }
+      // linear-domain upper bound 2^((idx+1)/scale·…): the 8 possible
+      // values are inlined as Java-computed literals in BOTH the plan and
+      // the oracle SQL, so no cross-engine pow() ulp drift can leak in
+      val ubCol = (0 until 8).foldRight(lit(expHistUb(7)): org.apache.spark.sql.Column) {
+        (i, els) => when(idxCol === i, expHistUb(i)).otherwise(els)
+      }
       sums.filter(total > 0)
         .select(col("bucket_start"), col("service_name"),
           idxCol.cast(LongType).as("bucket_idx"),
-          ((idxCol + 1).cast(DoubleType) / 4.0).as("log2_ub"))
+          ((idxCol + 1).cast(DoubleType) / 4.0).as("log2_ub"),
+          ubCol.as("ub"))
     }),
 
     // summary quantile extraction: sketch p99 straight from the stored
@@ -188,9 +195,18 @@ object HistogramOps {
        |    (['50','100','150','+Inf'])[bin + 1] AS le
        |  FROM binsums)""".stripMargin
 
+  /** exponential-histogram upper bound for bin idx at scale 2 (base
+    * 2^(1/4)): 2^((idx+1)/4), computed once in Java and inlined as the
+    * SAME literal into the plan and the oracle SQL. */
+  private def expHistUb(idx: Int): Double = math.pow(2.0, (idx + 1) / 4.0)
+
+  private def expHistUbSql: String =
+    (0 until 8).map(i => s"WHEN ${i} THEN CAST(${expHistUb(i)} AS DOUBLE)")
+      .mkString("CASE idx ", " ", " END")
+
   val oracles: Map[String, String] = Map(
     "q92_exphist_quantile" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT epoch_ns(ts) AS timestamp, concat('svc-', user_id % 8) AS service_name,
         |    CAST(floor(value) AS BIGINT) AS fv
         |  FROM events),
@@ -210,7 +226,8 @@ object HistogramOps {
         |    ORDER BY idx ASC) AS rn
         |  FROM cum WHERE total > 0 AND cum >= 0.9 * total)
         |SELECT bucket_start, service_name, idx AS bucket_idx,
-        |  (idx + 1) / 4.0 AS log2_ub
+        |  (idx + 1) / 4.0 AS log2_ub,
+        |  $expHistUbSql AS ub
         |FROM hit WHERE rn = 1""".stripMargin,
 
     "q93_summary_quantile" ->

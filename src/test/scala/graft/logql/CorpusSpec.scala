@@ -77,7 +77,10 @@ class CorpusSpec extends AnyFunSuite {
     // duration/bytes literals in label filters (logql.rs numeric_value)
     """{job="api"} | logfmt | lat > 1s""",
     """{job="api"} | logfmt | sz >= 20KB""",
-    """{job="api"} | json | took <= 5m""")
+    """{job="api"} | json | took <= 5m""",
+    // logfmt flags (ast.rs LogfmtStage.flags)
+    """{job="api"} | logfmt --strict lvl="level" | lvl = "err"""",
+    """{job="api"} | logfmt --keep-empty --strict""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
