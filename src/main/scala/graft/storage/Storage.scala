@@ -145,6 +145,32 @@ object Storage {
     dropped.result()
   }
 
+  /** absence-aware table resolution (reference table_lookup.rs:29-43):
+    * a registered tenant/dataset need not hold every signal table — an
+    * absent table is "no data" (an EMPTY frame with the signal's schema,
+    * so downstream plans resolve columns normally), while an unknown
+    * tenant/dataset stays an error. Keyed on the filesystem the same way
+    * the reference keys on the catalog lookup, never on error-text
+    * matching. */
+  def optionalTable(spark: SparkSession,
+      layout: TableLayout, table: String,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val base = new Path(s"${layout.basePath}/${layout.tenant}/${layout.dataset}")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base))
+      throw new IllegalArgumentException(
+        s"unknown tenant/dataset '${layout.tenant}/${layout.dataset}'")
+    val path = new Path(layout.path(table))
+    if (!fs.exists(path)) None
+    else Some(spark.read.schema(schema).parquet(path.toString))
+  }
+
+  /** the common caller shape: absent ⇒ empty frame with `schema`. */
+  def tableOrEmpty(spark: SparkSession, layout: TableLayout, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    optionalTable(spark, layout, table, schema).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
   /** orphan GC (reference: the maintenance job family next to retention —
     * snapshot expiry / orphan-file removal): delete leftovers that no
     * reader references — aborted `_promoting` staging dirs, `_old` swap

@@ -127,6 +127,27 @@ class StorageSpec extends AnyFunSuite {
     assert(remaining.select("date_day").distinct().head.get(0).toString == "2024-01-06")
   }
 
+  test("absent table reads as an empty typed frame; unknown tenant errors") {
+    val dir = Files.createTempDirectory("graft-optional").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    Storage.append(logsBatch(3, t0), layout, "logs") // provisions acme/prod
+    // absent signal table → None / empty frame with the requested schema,
+    // still queryable (reference table_lookup.rs: absence is "no data")
+    assert(Storage.optionalTable(spark, layout, "traces",
+      graft.schema.Schemas.traces).isEmpty)
+    val empty = Storage.tableOrEmpty(spark, layout, "traces",
+      graft.schema.Schemas.traces)
+    assert(empty.schema == graft.schema.Schemas.traces)
+    assert(empty.filter(empty("trace_id") === "t").count() == 0)
+    // present table resolves normally
+    assert(Storage.optionalTable(spark, layout, "logs",
+      spark.read.parquet(layout.path("logs")).schema).get.count() == 3)
+    // unknown tenant/dataset is an ERROR, not "no data"
+    assertThrows[IllegalArgumentException](
+      Storage.optionalTable(spark, TableLayout(dir, "ghost", "prod"), "logs",
+        graft.schema.Schemas.traces))
+  }
+
   test("orphan GC removes aged staging/backup/_temporary dirs, keeps fresh ones") {
     val dir = Files.createTempDirectory("graft-gc").toString
     val layout = TableLayout(dir, "acme", "prod")
