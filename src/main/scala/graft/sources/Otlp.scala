@@ -287,6 +287,164 @@ object Otlp {
     out.result()
   }
 
+  /** one decoded OTLP span, aligned with Schemas.traces (minus partition
+    * cols; `timestamp` = start time for the hour layout). */
+  final case class TraceRow(
+      trace_id: String,
+      span_id: String,
+      parent_span_id: String,
+      span_name: String,
+      service_name: String,
+      start_time_unix_nano: Long,
+      end_time_unix_nano: Long,
+      duration_nanos: Long,
+      span_kind: String,
+      status_code: String,
+      status_message: String,
+      is_root: Boolean,
+      span_attributes: Map[String, String],
+      resource_attributes: Map[String, String],
+      scope_attributes: Map[String, String],
+      events: String,
+      links: String,
+      trace_state: String,
+      scope_name: String,
+      scope_version: String,
+      timestamp: Long)
+
+  // ---- traces ------------------------------------------------------------
+
+  /** ExportTraceServiceRequest bytes → span rows. Kind/status strings and
+    * the saturating duration mirror the reference's conversion exactly
+    * (conversion_traces.rs:140-174,260-275). */
+  def decodeTracesRequest(bytes: Array[Byte]): Seq[TraceRow] = {
+    val out = Seq.newBuilder[TraceRow]
+    val req = reader(bytes)
+    while (req.hasNext) {
+      val (f, w) = req.readTag()
+      if (f == 1 && w == 2) { // ResourceSpans
+        val rs = req.readSlice()
+        var resMap = Map.empty[String, String]
+        val scopeSpans = Seq.newBuilder[Reader]
+        while (rs.hasNext) {
+          val (rf, rw) = rs.readTag()
+          (rf, rw) match {
+            case (1, 2) => resMap = keyValues(rs.readSlice(), 1).toMap
+            case (2, 2) => scopeSpans += rs.readSlice()
+            case _      => rs.skip(rw)
+          }
+        }
+        val serviceName = resMap.getOrElse("service.name", "")
+        for (ss <- scopeSpans.result()) {
+          var scopeName = ""
+          var scopeVersion = ""
+          var scopeAttrs = Map.empty[String, String]
+          val spans = Seq.newBuilder[Reader]
+          while (ss.hasNext) {
+            val (sf, sw) = ss.readTag()
+            (sf, sw) match {
+              case (1, 2) =>
+                val sc = ss.readSlice()
+                while (sc.hasNext) {
+                  val (cf, cw) = sc.readTag()
+                  (cf, cw) match {
+                    case (1, 2) => scopeName = sc.readString()
+                    case (2, 2) => scopeVersion = sc.readString()
+                    case (3, 2) => scopeAttrs = scopeAttrs + oneKeyValue(sc.readSlice())
+                    case _      => sc.skip(cw)
+                  }
+                }
+              case (2, 2) => spans += ss.readSlice()
+              case _      => ss.skip(sw)
+            }
+          }
+          for (sp <- spans.result()) {
+            var traceId = ""; var spanId = ""; var parentId = ""
+            var traceState = ""; var name = ""
+            var kind = 0
+            var startNs = 0L; var endNs = 0L
+            var attrs = Seq.empty[(String, String)]
+            var statusCode = "Unspecified"; var statusMsg = ""
+            val events = Seq.newBuilder[String]
+            val links = Seq.newBuilder[String]
+            while (sp.hasNext) {
+              val (pf, pw) = sp.readTag()
+              (pf, pw) match {
+                case (1, 2)  => traceId = sp.readBytesHex()
+                case (2, 2)  => spanId = sp.readBytesHex()
+                case (3, 2)  => traceState = sp.readString()
+                case (4, 2)  => parentId = sp.readBytesHex()
+                case (5, 2)  => name = sp.readString()
+                case (6, 0)  => kind = sp.readVarint().toInt
+                case (7, 1)  => startNs = sp.readFixed64()
+                case (8, 1)  => endNs = sp.readFixed64()
+                case (9, 2)  => attrs = attrs :+ oneKeyValue(sp.readSlice())
+                case (11, 2) => // Event { time=1 fixed64, name=2, attributes=3 }
+                  val ev = sp.readSlice()
+                  var eTime = 0L; var eName = ""
+                  var eAttrs = Seq.empty[(String, String)]
+                  while (ev.hasNext) {
+                    val (ef, ew) = ev.readTag()
+                    (ef, ew) match {
+                      case (1, 1) => eTime = ev.readFixed64()
+                      case (2, 2) => eName = ev.readString()
+                      case (3, 2) => eAttrs = eAttrs :+ oneKeyValue(ev.readSlice())
+                      case _      => ev.skip(ew)
+                    }
+                  }
+                  events += s"""{"name":${jsonQuote(eName)},"time_unix_nano":$eTime,""" +
+                    s""""attributes":${eAttrs.map { case (k, v) =>
+                      s"${jsonQuote(k)}:${jsonQuoteIfNeeded(v)}" }.mkString("{", ",", "}")}}"""
+                case (13, 2) => // Link { trace_id=1 bytes, span_id=2 bytes }
+                  val lk = sp.readSlice()
+                  var lTrace = ""; var lSpan = ""
+                  while (lk.hasNext) {
+                    val (lf, lw) = lk.readTag()
+                    (lf, lw) match {
+                      case (1, 2) => lTrace = lk.readBytesHex()
+                      case (2, 2) => lSpan = lk.readBytesHex()
+                      case _      => lk.skip(lw)
+                    }
+                  }
+                  links += s"""{"trace_id":${jsonQuote(lTrace)},"span_id":${jsonQuote(lSpan)}}"""
+                case (15, 2) => // Status { message=2, code=3 }
+                  val st = sp.readSlice()
+                  while (st.hasNext) {
+                    val (tf, tw) = st.readTag()
+                    (tf, tw) match {
+                      case (2, 2) => statusMsg = st.readString()
+                      case (3, 0) => statusCode = st.readVarint() match {
+                        case 1 => "Ok"
+                        case 2 => "Error"
+                        case _ => "Unspecified"
+                      }
+                      case _ => st.skip(tw)
+                    }
+                  }
+                case _ => sp.skip(pw)
+              }
+            }
+            // kind string table as the reference writes it
+            val kindStr = kind match {
+              case 1 => "Server"
+              case 2 => "Client"
+              case 3 => "Producer"
+              case 4 => "Consumer"
+              case _ => "Internal"
+            }
+            out += TraceRow(traceId, spanId, parentId, name, serviceName,
+              startNs, endNs, math.max(0L, endNs - startNs), kindStr,
+              statusCode, statusMsg, parentId.isEmpty, attrs.toMap, resMap,
+              scopeAttrs, events.result().mkString("[", ",", "]"),
+              links.result().mkString("[", ",", "]"), traceState,
+              scopeName, scopeVersion, startNs)
+          }
+        }
+      } else req.skip(w)
+    }
+    out.result()
+  }
+
   // ---- metrics -----------------------------------------------------------
 
   /** ExportMetricsServiceRequest bytes → gauge/sum data-point rows
@@ -398,6 +556,14 @@ object Otlp {
     implicit val enc = Encoders.product[LogRow]
     payloads.select(col("payload")).as(Encoders.BINARY)
       .flatMap(decodeLogsRequest _)
+      .toDF()
+  }
+
+  /** payloads (one OTLP trace request per row) → span rows. */
+  def traces(payloads: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[TraceRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeTracesRequest _)
       .toDF()
   }
 

@@ -128,6 +128,39 @@ class OtlpSpec extends AnyFunSuite {
     req.result
   }
 
+  private def tracesRequest: Array[Byte] = {
+    val req = new Pb
+    req.msg(1) { rs => // ResourceSpans
+      rs.msg(1)(res => kv(res, 1, "service.name", "svc-t"))
+      rs.msg(2) { ss => // ScopeSpans
+        ss.msg(1)(_.str(1, "graft-test"))
+        ss.msg(2) { sp => // root Server span with an event and a status
+          sp.bytes(1, Array.tabulate[Byte](16)(_.toByte))
+          sp.bytes(2, Array.tabulate[Byte](8)(_.toByte))
+          sp.str(5, "GET /x")
+          sp.vint(6, 1) // Server (reference kind table)
+          sp.fixed64(7, 1704067200000000000L)
+          sp.fixed64(8, 1704067200500000000L)
+          kv(sp, 9, "http.status", "500")
+          sp.msg(11) { ev => // Event
+            ev.fixed64(1, 1704067200100000000L); ev.str(2, "exception")
+            kv(ev, 3, "msg", "boom")
+          }
+          sp.msg(15) { st => st.str(2, "went wrong"); st.vint(3, 2) } // Error
+        }
+        ss.msg(2) { sp => // child span, clock-skewed end < start
+          sp.bytes(1, Array.tabulate[Byte](16)(_.toByte))
+          sp.bytes(2, Array.tabulate[Byte](8)(i => (i + 8).toByte))
+          sp.bytes(4, Array.tabulate[Byte](8)(_.toByte)) // parent
+          sp.str(5, "child")
+          sp.fixed64(7, 1704067200200000000L)
+          sp.fixed64(8, 1704067200100000000L)
+        }
+      }
+    }
+    req.result
+  }
+
   // ---- tests -------------------------------------------------------------
 
   test("logs request decodes to gen-2 rows (ids hex, attrs flattened)") {
@@ -165,6 +198,30 @@ class OtlpSpec extends AnyFunSuite {
     val s = rows.find(_.kind == "sum").get
     assert(s.metric_name == "requests" && s.value == 123.0)
     assert(s.aggregation_temporality == 2 && s.is_monotonic)
+  }
+
+  test("traces request decodes spans with reference kind/status/duration semantics") {
+    val rows = Otlp.decodeTracesRequest(tracesRequest)
+    assert(rows.length == 2)
+    val root = rows.head
+    assert(root.span_name == "GET /x" && root.service_name == "svc-t")
+    assert(root.span_kind == "Server" && root.status_code == "Error")
+    assert(root.status_message == "went wrong")
+    assert(root.is_root && root.parent_span_id == "")
+    assert(root.duration_nanos == 500000000L)
+    assert(root.span_attributes == Map("http.status" -> "500"))
+    assert(root.events.contains("\"name\":\"exception\"") &&
+      root.events.contains("\"msg\":\"boom\""))
+    val child = rows(1)
+    assert(!child.is_root && child.parent_span_id == root.span_id)
+    assert(child.duration_nanos == 0L) // clock-skew clamps, never negative
+    assert(child.span_kind == "Internal") // kind absent → reference default
+    assert(child.status_code == "Unspecified")
+    // Spark side: binary payloads flatMap to the Schemas.traces row shape
+    import spark.implicits._
+    val df = Otlp.traces(Seq(tracesRequest).toDF("payload"))
+    assert(df.count() == 2)
+    assert(df.columns.contains("duration_nanos") && df.columns.contains("is_root"))
   }
 
   test("unknown fields are skipped, truncated input fails at the boundary") {
