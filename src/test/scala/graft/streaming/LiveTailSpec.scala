@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logql.Ast.Unsupported
+import graft.logql.Lowering.LogsTable
+
+// file-level so Spark can build its encoder without an outer scope
+final case class Line(timestamp: Long, service_name: String,
+    severity_text: String, body: String)
+
+class LiveTailSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("tail applies the LogQL pipeline to a stream, appending matches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Line](spark)
+    val table = LogsTable(
+      df = in.toDF(),
+      promoted = Map("service_name" -> "service_name",
+        "severity_text" -> "severity_text", "body" -> "body"),
+      seriesLabels = Seq("service_name", "severity_text"))
+    val q = LiveTail.start(table,
+      """{service_name="svc-1"} |= "err" | severity_text != "debug"""",
+      "tail_t1")
+    try {
+      in.addData(
+        Line(1L, "svc-1", "error", "err one"),
+        Line(2L, "svc-1", "debug", "err hidden"), // severity filtered
+        Line(3L, "svc-2", "error", "err other"),  // matcher filtered
+        Line(4L, "svc-1", "info", "all good"))    // line filtered
+      q.processAllAvailable()
+      val got = spark.table("tail_t1").as[Line].collect().toSeq
+      assert(got == Seq(Line(1L, "svc-1", "error", "err one")))
+      in.addData(Line(5L, "svc-1", "error", "err two"))
+      q.processAllAvailable()
+      assert(spark.table("tail_t1").count() == 2)
+    } finally q.stop()
+  }
+
+  test("order-dependent stages and non-line queries are rejected up front") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Line](spark)
+    val table = LogsTable(in.toDF(),
+      promoted = Map("service_name" -> "service_name", "body" -> "body"),
+      seriesLabels = Seq("service_name"))
+    assertThrows[Unsupported](
+      LiveTail.start(table, """{service_name="a"} | distinct service_name""", "tail_t2"))
+    assertThrows[Unsupported](
+      LiveTail.start(table, """count_over_time({service_name="a"}[1m])""", "tail_t3"))
+  }
+}
