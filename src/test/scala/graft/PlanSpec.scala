@@ -63,6 +63,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast semi join for 20 trace ids:\n$plan")
   }
 
+  test("ANN plans broadcast the query side and never explode dimensions") {
+    // LSH: bucket equi-join must be a broadcast hash join on sig, and the
+    // plan must carry arrays (no posexplode → no per-dimension shuffle)
+    val lsh = operators.PipelineOps.queries("q25_ann_lsh")(spark, dir)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(lshPlan.contains("BroadcastHashJoin") && lshPlan.contains("sig"),
+      s"LSH bucket join is not a broadcast hash join:\n$lshPlan")
+    assert(!lshPlan.contains("Generate posexplode"),
+      s"LSH plan still explodes embedding dimensions:\n$lshPlan")
+    // brute-force baseline: non-equi pairing is a broadcast nested loop of
+    // the small query side, never a cartesian of two large sides
+    val bf = operators.PipelineOps.queries("q24_ann_cosine_topk")(spark, dir)
+    val bfPlan = bf.queryExecution.executedPlan.toString
+    assert(bfPlan.contains("BroadcastNestedLoopJoin"),
+      s"brute-force pairing does not broadcast the query side:\n$bfPlan")
+  }
+
+  test("stored-union scan reads only flat columns (promoted tie-break)") {
+    val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // the eid tie-break is promoted at write time: the hot path must scan
+    // label_eid, never deserialize the attributes map
+    assert(readSchemas.contains("label_eid") && !readSchemas.contains("attributes:map"),
+      s"stored metric scan still reads the attributes map: $readSchemas")
+  }
+
   test("aggregation plans keep whole-stage codegen") {
     val df = operators.CoreOps.queries("q01_agg_basic")(spark, dir)
     df.collect() // finalize THIS adaptive plan (count() would plan anew)
