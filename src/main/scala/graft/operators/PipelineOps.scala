@@ -316,6 +316,55 @@ object PipelineOps {
         .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
     }),
 
+    // IVF with a TRAINED codebook — one distributed Lloyd step refines
+    // the seed centroids before probing: assign to seeds, new centroid =
+    // per-dimension QUANTIZED MEAN of the members (round(sum/count) —
+    // exact integers end-to-end, so the refined codebook is bit-identical
+    // across engines, partitionings and reruns; a float k-means would
+    // drift by summation order). The training explode is O(N·dim) once,
+    // the query path stays the broadcast assign → cell join → in-cell
+    // exact rank shape of q103.
+    "q122_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      def assign(cents: DataFrame): DataFrame = {
+        val cc = e.crossJoin(broadcast(cents))
+          .withColumn("ccos", dotCol(col("vq"), col("cv")).cast(DoubleType) /
+            sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
+        cc.withColumn("_crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)))
+      }
+      val seeds = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
+      val members = assign(seeds).filter(col("_crn") === 1)
+        .select(col("vec_id"), col("vq"), col("c_id").as("cell"))
+      val refined = members
+        .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i", round(col("s").cast(DoubleType) / col("cnt")).cast(LongType))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+          x => x.getField("cv_i")).as("cv"))
+        .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+        .select(col("cell").as("c_id"), col("cv"), col("cn"))
+      val ranked = assign(refined)
+      val assigned = ranked.filter(col("_crn") === 1)
+        .select(col("vec_id").as("n_id"), col("c_id").as("cell"),
+          col("vq").as("nv"), col("nrm").as("nn"))
+      val probes = ranked.filter(col("vec_id") % 100 === 0 && col("_crn") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
+          col("vq").as("qv"), col("nrm").as("qn"))
+      val cos = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos",
+          col("dot").cast(DoubleType) / sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cos.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -557,6 +606,70 @@ object PipelineOps {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY ccos DESC, c_id ASC) AS crn
         |  FROM ccos),
+        |assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_id AS cell FROM ranked
+        |  WHERE vec_id % 100 = 0 AND crn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE p.q_id <> a.n_id),
+        |dots AS (
+        |  SELECT c.q_id, c.n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.n_id AND n.pos = q.pos
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM cos) WHERE rank <= 3""".stripMargin,
+
+    "q122_ann_ivf_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |ccos0 AS (
+        |  SELECT v.vec_id, c.vec_id AS c_id,
+        |    CAST(SUM(v.vq * c.vq) AS DOUBLE)
+        |      / sqrt(CAST(cn.nrm AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN e c ON c.pos = v.pos AND c.vec_id < 16
+        |  JOIN norms cn ON cn.vec_id = c.vec_id
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  GROUP BY 1, 2, cn.nrm, vn.nrm),
+        |members AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn
+        |    FROM ccos0) WHERE crn = 1),
+        |cents AS (
+        |  SELECT m.cell, v.pos,
+        |    CAST(round(CAST(SUM(v.vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM members m JOIN e v ON v.vec_id = m.vec_id
+        |  GROUP BY 1, 2),
+        |cnorms AS (SELECT cell, SUM(cv*cv) AS cn FROM cents GROUP BY 1),
+        |ccos1 AS (
+        |  SELECT v.vec_id, c.cell AS c_id,
+        |    CAST(SUM(v.vq * c.cv) AS DOUBLE)
+        |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN cents c ON c.pos = v.pos
+        |  JOIN cnorms cn ON cn.cell = c.cell
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  GROUP BY 1, 2, cn.cn, vn.nrm),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id ASC) AS crn
+        |  FROM ccos1),
         |assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),
         |probes AS (
         |  SELECT vec_id AS q_id, c_id AS cell FROM ranked
