@@ -141,6 +141,9 @@ object Ast {
 
   /** scalar literal operand of a BinaryExpr. */
   final case class LiteralExpr(v: Double) extends MetricExpr
+  /** label_replace over a metric expr (reference logs.rs:1102-1188). */
+  final case class LabelReplaceExpr(inner: MetricExpr, dst: String,
+      repl: String, src: String, regex: String) extends MetricExpr
 
   /** Raised for parseable-but-unsupported constructs — explicit, like the
     * reference's Unsupported errors (search_filter.rs:6-9). */

@@ -433,6 +433,8 @@ object Lowering {
         Eval.Vec(lowerVector(table, vagg, timeRange), labels)
       case LiteralExpr(_) =>
         throw Unsupported("a bare scalar is not a LogQL metric query")
+      case LabelReplaceExpr(inner, dst, repl, src, regex) =>
+        Eval.labelReplace(lowerMetricVec(table, inner, timeRange), dst, repl, src, regex)
       case BinaryExpr(op, lhs, rhs, bool, on, ig, grp) =>
         (lhs, rhs) match {
           case (LiteralExpr(_), LiteralExpr(_)) =>

@@ -69,7 +69,8 @@ object Parser {
     }
 
     def query(): Query = cur match {
-      case TIdent(name, _) if vectorFuncs.contains(name) || rangeFuncs.contains(name) =>
+      case TIdent(name, _) if vectorFuncs.contains(name) || rangeFuncs.contains(name) ||
+          name == "label_replace" =>
         MetricQuery(metricExpr())
       case TOp("(", _) | TNum(_, _) => MetricQuery(metricExpr())
       case TOp("{", _) => LineQuery(logQuery())
@@ -203,6 +204,15 @@ object Parser {
     }
 
     private def metricAggExpr(): MetricExpr = cur match {
+      case TIdent("label_replace", _) =>
+        advance(); eatOp("(")
+        val inner = metricExpr(); eatOp(",")
+        val dst = str(); eatOp(",")
+        val repl = str(); eatOp(",")
+        val src = str(); eatOp(",")
+        val regex = str()
+        eatOp(")")
+        LabelReplaceExpr(inner, dst, repl, src, regex)
       case TIdent(name, _) if vectorFuncs.contains(name) =>
         advance()
         var by = Seq.empty[String]

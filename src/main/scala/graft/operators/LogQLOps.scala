@@ -248,7 +248,12 @@ object LogQLOps {
 
     // bytes literal in a label filter: compared by raw byte count
     "q121_logql_bytes_filter" ->
-      line("""{event_type="view"} | json | label_format sz="{{.k}}000" | sz >= 20KB""", 400)
+      line("""{event_type="view"} | json | label_format sz="{{.k}}000" | sz >= 20KB""", 400),
+
+    // label_replace over a LogQL metric expr (reference logs.rs:1102-1188)
+    "q123_logql_label_replace" ->
+      metric("""label_replace(sum by (service_name) (count_over_time({severity_text="error"}[1d])),
+                "env", "e$1", "service_name", "svc-(.*)")""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -592,6 +597,14 @@ object LogQLOps {
          |  AND TRY_CAST(concat(json_extract_string(body, '$$.k'), '000') AS DOUBLE)
          |    >= 20000
          |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
-         |LIMIT 400""".stripMargin
+         |LIMIT 400""".stripMargin,
+
+    "q123_logql_label_replace" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  regexp_replace(service_name, '^(?:svc-(.*))$$', 'e\\1') AS env,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'error'
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -375,14 +375,7 @@ object Eval {
     case "label_replace" =>
       (args: @unchecked) match {
         case Seq(e1, StrLit(dst), StrLit(repl), StrLit(src), StrLit(regex)) =>
-          val v = evalVector(e1, t, tr)
-          val anchored = "^(?:" + regex + ")$"
-          val srcCol = if (v.labels.contains(src)) col(src) else lit("")
-          val newVal = when(srcCol.rlike(anchored),
-            regexp_replace(srcCol, anchored, repl))
-            .otherwise(if (v.labels.contains(dst)) col(dst) else lit(""))
-          val df = v.df.withColumn(dst, newVal)
-          VecV(Vec(df, if (v.labels.contains(dst)) v.labels else v.labels :+ dst))
+          VecV(labelReplace(evalVector(e1, t, tr), dst, repl, src, regex))
       }
 
     case "label_join" =>
@@ -644,6 +637,21 @@ object Eval {
         else v.df.filter(ordered(cmp(op, _, _)))
       Vec(kept, v.labels)
     } else Vec(v.df.withColumn("value", ordered(arith(op, _, _))), v.labels)
+  }
+
+  /** label_replace over a lowered vector — shared by PromQL and the LogQL
+    * metric layer (reference logs.rs:1102-1188 mirrors the metrics
+    * implementation the same way). Anchored regex; non-match leaves dst
+    * unchanged (empty when absent). */
+  def labelReplace(v: Vec, dst: String, repl: String, src: String,
+      regex: String): Vec = {
+    val anchored = "^(?:" + regex + ")$"
+    val srcCol = if (v.labels.contains(src)) col(src) else lit("")
+    val newVal = when(srcCol.rlike(anchored),
+      regexp_replace(srcCol, anchored, repl))
+      .otherwise(if (v.labels.contains(dst)) col(dst) else lit(""))
+    Vec(v.df.withColumn(dst, newVal),
+      if (v.labels.contains(dst)) v.labels else v.labels :+ dst)
   }
 
   /** vector ⋄ vector with matching. Default match key: all shared labels;

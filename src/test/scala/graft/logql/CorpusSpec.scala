@@ -80,12 +80,14 @@ class CorpusSpec extends AnyFunSuite {
     """{job="api"} | json | took <= 5m""",
     // logfmt flags (ast.rs LogfmtStage.flags)
     """{job="api"} | logfmt --strict lvl="level" | lvl = "err"""",
-    """{job="api"} | logfmt --keep-empty --strict""")
+    """{job="api"} | logfmt --keep-empty --strict""",
+    // label_replace over metric exprs (reference logs.rs:1102-1188)
+    """label_replace(rate({a="1"}[5m]), "d", "$1", "s", "(.*)")""",
+    """label_replace(sum by (s) (count_over_time({a="1"}[1d])), "d", "x$1", "s", "(.+)") / on(d) label_replace(sum by (s) (count_over_time({b="2"}[1d])), "d", "x$1", "s", "(.+)")""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
-    """vector(5)""",                             // LogQL vector() literal not in subset
-    """label_replace(rate({a="1"}[5m]), "d", "$1", "s", "(.*)")""")
+    """vector(5)""")                             // LogQL vector() literal not in subset
 
   for ((q, i) <- supported.zipWithIndex)
     test(f"corpus supported #$i%02d: ${q.take(60)}") {
