@@ -39,6 +39,18 @@ object ApiJson {
     s"""{"status":"success","data":{"resultType":"streams","result":[${streams.mkString(",")}]}}"""
   }
 
+  /** Loki tail frame from one micro-batch of tailed lines — the same
+    * streams shape as query_range minus the outer status envelope
+    * (`{"streams":[…]}`), which is what the WebSocket tail protocol sends
+    * per push. Pairs with streaming.LiveTail: poll the memory sink, frame
+    * the delta, send. */
+  def lokiTailFrame(df: DataFrame, labelCols: Seq[String]): String = {
+    val inner = lokiStreams(df, labelCols)
+    val result = inner.substring(inner.indexOf("\"result\":") + "\"result\":".length,
+      inner.lastIndexOf("}}"))
+    s"""{"streams":$result}"""
+  }
+
   /** Prometheus query_range "matrix" envelope from vector rows
     * (bucket_start, label cols…, value). Values are [sec, "v"] pairs in
     * time order; series ordered by metric label set. */

@@ -30,6 +30,15 @@ class ApiSpec extends AnyFunSuite {
         """"values":[["2000000000","l2"]]}]}}""")
   }
 
+  test("loki tail frame: streams array without the query envelope") {
+    import spark.implicits._
+    val df = Seq((1000000000L, "svc-a", "info", "l1"))
+      .toDF("timestamp", "service_name", "severity_text", "body")
+    assert(ApiJson.lokiTailFrame(df, Seq("service_name", "severity_text")) ==
+      """{"streams":[{"stream":{"service_name":"svc-a","severity_text":"info"},""" +
+        """"values":[["1000000000","l1"]]}]}""")
+  }
+
   test("prometheus matrix envelope: [sec, \"v\"] pairs in time order") {
     import spark.implicits._
     val df = Seq(
