@@ -90,7 +90,10 @@ object HistogramOps {
       concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
       lit("latency_exp").as("metric_name"),
       lit(2).as("scale"),
-      lit(0L).as("zero_count"),
+      // deterministic nonzero zero-bucket mass so the zero bucket is a
+      // REAL stop on the quantile walk (q124), not schema filler
+      when(pmod(expr("cast(floor(value) as bigint)"), lit(4)) === 0, 3L)
+        .otherwise(0L).as("zero_count"),
       lit(0).as("positive_offset"),
       to_json(expr(
         "transform(sequence(0, 7), i -> (cast(floor(value) as bigint) + i) % 3)"))
@@ -143,6 +146,35 @@ object HistogramOps {
           idxCol.cast(LongType).as("bucket_idx"),
           ((idxCol + 1).cast(DoubleType) / 4.0).as("log2_ub"),
           ubCol.as("ub"))
+    }),
+
+    // exponential-histogram quantile WITH the zero bucket: native-
+    // histogram layout orders counts zero-bucket → positive buckets, so a
+    // rank that lands inside the zero mass resolves to the zero threshold
+    // (bucket_idx -1, ub 0) before the positive walk begins
+    "q124_exphist_zero_bucket" -> ((s, dir) => {
+      val rows = expHistRowsDf(s, dir)
+        .withColumn("bucket_start", expr("(timestamp div 1000000000) div 86400 * 86400"))
+        .withColumn("counts", from_json(col("positive_bucket_counts"), ArrayType(LongType)))
+      val binAggs = sum(col("zero_count")).as("_zc") +:
+        (0 until 8).map(i => sum(element_at(col("counts"), i + 1)).as(s"_c$i"))
+      val sums = rows.groupBy(col("bucket_start"), col("service_name"))
+        .agg(binAggs.head, binAggs.tail: _*)
+      val zc = col("_zc")
+      val cums = (0 until 8).map(i => (0 to i).map(j => col(s"_c$j")).reduce(_ + _))
+      val total = zc + cums(7)
+      val rank = lit(0.25) * total
+      val posIdx = (0 until 8).foldRight(lit(7): org.apache.spark.sql.Column) {
+        (i, els) => when(zc + cums(i) >= rank, i).otherwise(els)
+      }
+      val idxCol = when(zc >= rank, -1).otherwise(posIdx)
+      val ubCol = when(idxCol === -1, 0.0).otherwise(
+        (0 until 8).foldRight(lit(expHistUb(7)): org.apache.spark.sql.Column) {
+          (i, els) => when(idxCol === i, expHistUb(i)).otherwise(els)
+        })
+      sums.filter(total > 0)
+        .select(col("bucket_start"), col("service_name"),
+          idxCol.cast(LongType).as("bucket_idx"), ubCol.as("ub"))
     }),
 
     // summary quantile extraction: sketch p99 straight from the stored
@@ -228,6 +260,40 @@ object HistogramOps {
         |SELECT bucket_start, service_name, idx AS bucket_idx,
         |  (idx + 1) / 4.0 AS log2_ub,
         |  $expHistUbSql AS ub
+        |FROM hit WHERE rn = 1""".stripMargin,
+
+    "q124_exphist_zero_bucket" ->
+      s"""WITH e AS (
+        |  SELECT (epoch_ns(ts)//1000000000//86400)*86400 AS bucket_start,
+        |    concat('svc-', user_id % 8) AS service_name,
+        |    CAST(floor(value) AS BIGINT) AS fv
+        |  FROM events),
+        |z AS (
+        |  SELECT bucket_start, service_name,
+        |    CAST(SUM(CASE WHEN fv % 4 = 0 THEN 3 ELSE 0 END) AS BIGINT) AS zc
+        |  FROM e GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT bucket_start, service_name, u.i AS idx, SUM((fv + u.i) % 3) AS n
+        |  FROM e, (SELECT unnest(range(0, 8)) AS i) u
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT b.bucket_start, b.service_name, b.idx, z.zc,
+        |    SUM(n) OVER (PARTITION BY b.bucket_start, b.service_name
+        |      ORDER BY idx ASC ROWS UNBOUNDED PRECEDING) AS pcum,
+        |    SUM(n) OVER (PARTITION BY b.bucket_start, b.service_name) AS ptotal
+        |  FROM bins b
+        |  JOIN z ON z.bucket_start = b.bucket_start
+        |    AND z.service_name = b.service_name),
+        |hit AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket_start, service_name
+        |    ORDER BY idx ASC) AS rn
+        |  FROM cum
+        |  WHERE zc + ptotal > 0 AND zc + pcum >= 0.25 * (zc + ptotal))
+        |SELECT bucket_start, service_name,
+        |  CASE WHEN zc >= 0.25 * (zc + ptotal)
+        |       THEN CAST(-1 AS BIGINT) ELSE CAST(idx AS BIGINT) END AS bucket_idx,
+        |  CASE WHEN zc >= 0.25 * (zc + ptotal) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE $expHistUbSql END AS ub
         |FROM hit WHERE rn = 1""".stripMargin,
 
     "q93_summary_quantile" ->
