@@ -120,21 +120,7 @@ object PipelineOps {
 
     // Sessionization: split each user's event stream on >1h gaps
     // (window lag + running sum — SURVEY §2.5 analytic shape).
-    "q18_sessionize" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus").asc, col("event_id").asc)
-      Tables.events(s, dir)
-        .withColumn("tus", unix_micros(col("ts_us")))
-        .withColumn("prev_ts", lag(col("tus"), 1).over(byUser))
-        .withColumn("new_s",
-          when(col("prev_ts").isNull || col("tus") - col("prev_ts") > 3600L * 1000000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_s")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("tus")).as("t_start"),
-          max(col("tus")).as("t_end"))
-    }),
+    "q18_sessionize" -> ((s, dir) => sessionIntervals(s, dir)),
 
     // resets/changes (PromQL counter analysis): per user ordered by time,
     // count value decreases and value changes.
@@ -491,8 +477,119 @@ object PipelineOps {
         .withColumn("n_stratum", count(lit(1)).over(st))
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "34")
         .select(col("doc_id"), col("lang"), col("source"), col("n_stratum"))
+    }),
+
+    // Near-dup clustering: connected components over the exact-Jaccard
+    // edge set (q21's pairs), via iterative min-label propagation. Each
+    // round is one shuffle join + hash agg over only the docs that appear
+    // in some near-dup pair — a vanishing fraction of the corpus — and
+    // localCheckpoint truncates the lineage so the plan does not grow
+    // with the iteration count. Rounds needed = component diameter;
+    // near-dup components are clique-like, so a handful converge. The
+    // driver-side loop is Pregel-style orchestration (the convergence
+    // probe is an isEmpty on the tiny label frame, not a data collect).
+    // 100 TB upgrade path: large-star/small-star two-hop contraction,
+    // O(log n) rounds; the per-round join shape is identical.
+    "q127_dedup_components" -> ((s, dir) => {
+      val ds = docShinglesStored(s, dir)
+      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = ds.as("a")
+        .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .filter(col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v").localCheckpoint()
+      var lbl = edges.select(col("u").as("id")).distinct()
+        .withColumn("component", col("id")).localCheckpoint()
+      var converged = false
+      var round = 0
+      while (!converged && round < 20) {
+        val nbr = edges.join(lbl.select(col("id").as("v"), col("component").as("nc")), "v")
+          .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
+        val next = lbl.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          .localCheckpoint()
+        converged = next.join(lbl.withColumnRenamed("component", "prev"), "id")
+          .filter(col("component") < col("prev")).isEmpty
+        lbl = next
+        round += 1
+      }
+      lbl.select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // As-of join: attach to every purchase the same user's most recent
+    // click at-or-before it. One union + one per-user ordered running
+    // window (a single shuffle on user_id) instead of a per-row range
+    // probe or an exploded inequality join — the sorted-merge shape an
+    // as-of join compiles to at 100 TB. Clicks are pre-deduped per
+    // (user, ts) with max event_id so equal-timestamp ties are
+    // deterministic across engines; a click at exactly the purchase
+    // timestamp counts (>= semantics), which the side ordering encodes.
+    "q128_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts_us")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("tus")).agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("tus"), lit(0).as("side"), col("click_id"),
+          lit(null).cast(LongType).as("purchase_id"), lit(null).cast(DoubleType).as("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("side"),
+          lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"),
+          col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").asc, col("side").asc, col("purchase_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("purchase_id"), col("user_id"), col("tus").as("purchase_tus"),
+          col("value"), col("last_click_id"))
+    }),
+
+    // Interval attribution (range join): each purchase joins the SAME
+    // user's session interval that contains it. The equi-join on user_id
+    // carries the containment predicate, so the fan-out is per user
+    // (that user's sessions × that user's purchases), never across
+    // users — the bounded shape a 100 TB range join needs. Per-user
+    // session intervals are disjoint by construction, so each purchase
+    // matches exactly one session (the general unkeyed form buckets the
+    // time axis and equi-joins on bucket instead).
+    "q129_range_join" -> ((s, dir) => {
+      val sess = sessionIntervals(s, dir)
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts_us")).as("tus"))
+      purchases
+        .join(sess, purchases("p_user") === sess("user_id") &&
+          purchases("tus").between(sess("t_start"), sess("t_end")))
+        .select(col("purchase_id"), col("user_id"), col("session_id"),
+          col("t_start"), col("n_events"))
     })
   )
+
+  /** q18's per-user gap sessionization (1 h gap), shared with the range
+    * join: (user_id, session_id, n_events, t_start, t_end) in epoch µs. */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("tus", unix_micros(col("ts_us")))
+      .withColumn("prev_ts", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("tus") - col("prev_ts") > 3600L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("t_start"),
+        max(col("tus")).as("t_end"))
+  }
 
   // ---- oracles ----------------------------------------------------------
 
@@ -851,6 +948,73 @@ object PipelineOps {
         |    COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum,
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk
         |  FROM documents)
-        |SELECT doc_id, lang, source, n_stratum FROM d WHERE hk < '34'""".stripMargin
+        |SELECT doc_id, lang, source, n_stratum FROM d WHERE hk < '34'""".stripMargin,
+
+    // transitive closure of the q21 edge set; min reachable doc_id is the
+    // component label — the same fixed point min-label propagation reaches
+    "q127_dedup_components" ->
+      s"""WITH RECURSIVE ds AS ($docShinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM e0
+         |  UNION ALL SELECT doc_b, doc_a FROM e0),
+         |reach(u, lbl) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u""".stripMargin,
+
+    "q128_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, tus, 0 AS side, click_id,
+        |    CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS value
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 1, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *, LAST_VALUE(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY tus ASC, side ASC, purchase_id ASC NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS last_click_id
+        |  FROM u)
+        |SELECT purchase_id, user_id, tus AS purchase_tus, value, last_click_id
+        |FROM w WHERE side = 1""".stripMargin,
+
+    "q129_range_join" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(3600 AS BIGINT)*1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(tus) AS t_start, MAX(tus) AS t_end
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT p.event_id AS purchase_id, sess.user_id, sess.session_id,
+        |  sess.t_start, sess.n_events
+        |FROM events p
+        |JOIN sess ON p.user_id = sess.user_id
+        |  AND epoch_us(p.ts) BETWEEN sess.t_start AND sess.t_end
+        |WHERE p.event_type = 'purchase'""".stripMargin
   )
 }

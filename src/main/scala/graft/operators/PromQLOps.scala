@@ -149,7 +149,12 @@ object PromQLOps {
     // vector(): a literal spread over the bucket spine, joined as a
     // label-less vector (reference promql.rs vector())
     "q119_promql_vector" ->
-      q("""view + vector(100)""", 86400)
+      q("""view + vector(100)""", 86400),
+
+    // changes/resets: adjacent-sample comparison per (bucket, series)
+    // (reference metrics.rs:1279-1391)
+    "q125_promql_changes" -> q("""changes(click[1d])""", 86400),
+    "q126_promql_resets" -> q("""resets(view[1d])""", 86400)
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -455,6 +460,28 @@ object PromQLOps {
       s"""WITH m AS ($V),
          |v AS (${lastPerBucket("metric_name = 'view'", 86400)})
          |SELECT bucket_start, service_name, value + 100.0 AS value
-         |FROM v""".stripMargin
+         |FROM v""".stripMargin,
+
+    "q125_promql_changes" ->
+      s"""WITH m AS ($V),
+         |l AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, value,
+         |    lag(value) OVER (PARTITION BY ${bkt(86400)}, service_name
+         |      ORDER BY timestamp ASC, event_id ASC) AS prev
+         |  FROM m WHERE metric_name = 'click' AND ${win(86400)})
+         |SELECT bucket_start, service_name,
+         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS DOUBLE) AS value
+         |FROM l GROUP BY 1, 2""".stripMargin,
+
+    "q126_promql_resets" ->
+      s"""WITH m AS ($V),
+         |l AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, value,
+         |    lag(value) OVER (PARTITION BY ${bkt(86400)}, service_name
+         |      ORDER BY timestamp ASC, event_id ASC) AS prev
+         |  FROM m WHERE metric_name = 'view' AND ${win(86400)})
+         |SELECT bucket_start, service_name,
+         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS DOUBLE) AS value
+         |FROM l GROUP BY 1, 2""".stripMargin
   )
 }

@@ -71,6 +71,7 @@ object Ast {
 
   val rangeFuncs: Set[String] = Set(
     "rate", "increase", "delta", "irate", "idelta", "deriv",
+    "changes", "resets",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "quantile_over_time", "absent_over_time",

@@ -205,6 +205,23 @@ object Eval {
         df.groupBy(keys: _*).agg(regr_slope(col("value"), secs).as("value")),
         t.seriesLabels), t, tr))
 
+    // changes/resets: adjacent-sample comparison per (bucket, series)
+    // (reference metrics.rs:1279-1391). lag window partitioned by the
+    // series key — each task sorts only one series-bucket's samples, so
+    // the shape survives 1 M series; partial agg folds the flags map-side.
+    case "changes" | "resets" =>
+      val sel = rangeSel(args, f)
+      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val ord = col("timestamp").asc +: t.tieBreak.map(col(_).asc)
+      val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
+      val prev = lag(col("value"), 1).over(w)
+      val hit = if (f == "resets") col("value") < prev else col("value") =!= prev
+      val flag = when(prev.isNotNull && hit, 1).otherwise(0)
+      val keys = bucket +: t.seriesLabels.map(col)
+      val g = df.withColumn("_chg", flag)
+        .groupBy(keys: _*).agg(sum(col("_chg")).cast(DoubleType).as("value"))
+      VecV(spread(sel, Vec(g, t.seriesLabels), t, tr))
+
     case "sum_over_time" | "avg_over_time" | "min_over_time" | "max_over_time" |
         "count_over_time" | "last_over_time" | "stddev_over_time" |
         "stdvar_over_time" | "quantile_over_time" | "present_over_time" =>
