@@ -28,7 +28,12 @@ object SignalViews {
         .otherwise("debug").as("severity_text"),
       col("event_type"),
       col("props").as("body"),
-      col("value"))
+      col("value"),
+      // deterministic synthetic client address so ip() has a label to
+      // match (10.<user_id%32>.<event_id%256>.<(user_id+event_id)%256>)
+      concat(lit("10."), pmod(col("user_id"), lit(32)), lit("."),
+        pmod(col("event_id"), lit(256)), lit("."),
+        pmod(col("user_id") + col("event_id"), lit(256))).as("client_ip"))
 
   /** The same mapping as a DuckDB CTE body over `events`. */
   val logsViewSql: String =
@@ -37,7 +42,9 @@ object SignalViews {
       |  CASE WHEN event_type = 'error' THEN 'error'
       |       WHEN event_type IN ('purchase','signup') THEN 'info'
       |       ELSE 'debug' END AS severity_text,
-      |  event_type, props AS body, value
+      |  event_type, props AS body, value,
+      |  concat('10.', user_id % 32, '.', event_id % 256, '.',
+      |         (user_id + event_id) % 256) AS client_ip
       |FROM events""".stripMargin
 
   /** events → metrics: metric_name = event_type, one service label. */
@@ -98,7 +105,8 @@ object SignalViews {
         "severity_text" -> "severity_text",
         "event_type" -> "event_type",
         "body" -> "body",
-        "value" -> "value"),
+        "value" -> "value",
+        "client_ip" -> "client_ip"),
       seriesLabels = Seq("service_name", "severity_text", "event_type"),
       hasAttrMap = false,
       tieBreak = Seq("event_id"))

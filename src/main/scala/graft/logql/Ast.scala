@@ -68,6 +68,11 @@ object Ast {
     /** `| distinct a, b` — first line per distinct combination of the
       * label values (reference ast.rs:84). */
     final case class Distinct(labels: Seq[String]) extends Stage
+    /** `|= ip("...")` / `!= ip("...")` — keep/drop lines containing an
+      * IPv4 in the exact/range/CIDR pattern. IMPLEMENTED beyond the
+      * reference, which parses ip() but rejects it at execution
+      * (logql.rs:674); IPv6 stays unsupported. */
+    final case class LineIpFilter(contains: Boolean, pattern: String) extends Stage
   }
 
   sealed trait LineOp
@@ -88,6 +93,12 @@ object Ast {
     /** Numeric comparison: == != > >= < <= with numeric coercion
       * (reference: src/querier/src/query/ir_planner.rs:740-776). */
     final case class NumCmp(label: String, op: CmpOp, value: Double) extends LabelPredicate
+    /** `lbl = ip("...")` / `lbl != ip("...")` — IPv4 exact/range/CIDR
+      * membership. IMPLEMENTED beyond the reference (rejected at
+      * execution there, logql.rs:674). Both forms require the value to
+      * parse as an IPv4: `!=` means "is an IPv4 outside the pattern",
+      * not "is not an IPv4 in the pattern". */
+    final case class IpCmp(label: String, eq: Boolean, pattern: String) extends LabelPredicate
   }
 
   sealed trait CmpOp

@@ -270,6 +270,12 @@ object Lowering {
         case CmpOp.Lt  => l < v
         case CmpOp.Lte => l <= v
       }
+    case LabelPredicate.IpCmp(label, eq, pattern) =>
+      // membership of the label's IPv4 value in the pattern range; a
+      // non-IPv4 value is NULL and drops under either polarity
+      val (lo, hi) = ipv4Range(pattern)
+      val n = ipv4Num(c.resolve(label).cast("string"))
+      if (eq) n.between(lo, hi) else !n.between(lo, hi)
   }
 
   private def lineFilterCol(f: Stage.LineFilter): Column = f.op match {
@@ -277,6 +283,68 @@ object Lowering {
     case LineOp.NotContains => !col("body").contains(f.needle)
     case LineOp.Regex       => col("body").rlike(guardRegex(f.needle))
     case LineOp.NotRegex    => !col("body").rlike(guardRegex(f.needle))
+  }
+
+  // ---- ip() — IPv4 exact / a-b range / CIDR ------------------------------
+  // Implemented beyond the reference, which parses ip() but rejects it at
+  // execution (logql.rs:674). IPv4 only; IPv6 stays Unsupported. All
+  // plan-time: the pattern compiles to a [lo, hi] numeric range, the value
+  // side to a codegen'd split/fold — no UDF.
+
+  private val ipv4Re = "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
+
+  /** dotted-quad column → numeric value; NULL when not a valid IPv4 (so
+    * filters drop the row under both the predicate and its negation —
+    * the same Kleene rule every other label comparison follows). */
+  private def ipv4Num(c: Column): Column = {
+    val parts = split(c, "\\.")
+    when(c.rlike(ipv4Re) && forall(parts, p => p.cast(LongType) <= 255),
+      aggregate(parts, lit(0L), (acc, x) => acc * 256 + x.cast(LongType)))
+  }
+
+  /** `ip("…")` pattern → inclusive numeric [lo, hi], resolved at plan
+    * time: "a.b.c.d" exact, "a-b" range, "base/len" CIDR. */
+  private def ipv4Range(pattern: String): (Long, Long) = {
+    def parse(s: String): Long = {
+      val t = s.trim
+      if (!t.matches(ipv4Re.drop(1).dropRight(1))) // strip ^$ for matches()
+        throw Unsupported(s"ip(): '$t' is not an IPv4 address (IPv6 unsupported)")
+      val o = t.split("\\.").map(_.toLong)
+      if (o.exists(_ > 255)) throw Unsupported(s"ip(): octet out of range in '$t'")
+      o.reduce(_ * 256 + _)
+    }
+    pattern match {
+      case p if p.contains('/') =>
+        val Array(base, len) = p.split("/", 2)
+        val bits = try len.trim.toInt catch {
+          case _: NumberFormatException => throw Unsupported(s"ip(): bad CIDR length '$len'")
+        }
+        if (bits < 0 || bits > 32) throw Unsupported(s"ip(): CIDR length $bits out of [0,32]")
+        val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+        val lo = parse(base) & mask
+        (lo, lo | (~mask & 0xFFFFFFFFL))
+      case p if p.contains('-') =>
+        val Array(a, b) = p.split("-", 2)
+        val (lo, hi) = (parse(a), parse(b))
+        if (lo > hi) throw Unsupported(s"ip(): inverted range '$p'")
+        (lo, hi)
+      case p =>
+        val v = parse(p); (v, v)
+    }
+  }
+
+  /** `|= ip(...)` / `!= ip(...)`: does the line contain ANY IPv4 token in
+    * the pattern? Candidate tokens come from one regexp_extract_all pass;
+    * the membership test is an array `exists` — per-row, codegen, no
+    * join. (Tokens are matched without word boundaries, like Loki's
+    * substring line filters.) */
+  private def lineIpCol(f: Stage.LineIpFilter): Column = {
+    val (lo, hi) = ipv4Range(f.pattern)
+    val hitsAny = exists(
+      regexp_extract_all(col("body"),
+        lit("([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"), lit(1)),
+      tok => ipv4Num(tok).between(lo, hi))
+    if (f.contains) hitsAny else !hitsAny
   }
 
   /** render a `{{.label}}` template into a concat of literals + labels. */
@@ -334,6 +402,7 @@ object Lowering {
     }
     for (st <- q.stages) st match {
       case f: Stage.LineFilter  => df = df.filter(lineFilterCol(f))
+      case f: Stage.LineIpFilter => df = df.filter(lineIpCol(f))
       case Stage.LabelFilter(p) => df = df.filter(predCol(ctx, p))
       case Stage.Unwrap(_, _)   => () // consumed by the metric layer
       case Stage.LineFormat(tmpl) =>

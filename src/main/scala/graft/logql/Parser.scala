@@ -305,10 +305,10 @@ object Parser {
       var done = false
       while (!done) {
         cur match {
-          case TOp("|=", _) => advance(); stages += Stage.LineFilter(LineOp.Contains, str())
-          case TOp("!=", _) => advance(); stages += Stage.LineFilter(LineOp.NotContains, str())
-          case TOp("|~", _) => advance(); stages += Stage.LineFilter(LineOp.Regex, str())
-          case TOp("!~", _) => advance(); stages += Stage.LineFilter(LineOp.NotRegex, str())
+          case TOp("|=", _) => advance(); stages += lineNeedle(LineOp.Contains)
+          case TOp("!=", _) => advance(); stages += lineNeedle(LineOp.NotContains)
+          case TOp("|~", _) => advance(); stages += lineNeedle(LineOp.Regex)
+          case TOp("!~", _) => advance(); stages += lineNeedle(LineOp.NotRegex)
           case TOp("|", _) =>
             advance()
             cur match {
@@ -396,13 +396,27 @@ object Parser {
                   if (isOp(",")) advance() else more = false
                 }
                 stages += Stage.LabelFormat(assigns.result())
-              case TIdent("ip", _) => throw Unsupported("ip() matcher is not supported")
-              case _               => stages += Stage.LabelFilter(labelPred())
+              case _ => stages += Stage.LabelFilter(labelPred())
             }
           case _ => done = true
         }
       }
       LogQuery(sel, stages.result())
+    }
+
+    /** line-filter needle: a string, or `ip("...")` (Loki allows the ip
+      * form only with `|=` / `!=`). */
+    private def lineNeedle(op: LineOp): Stage = cur match {
+      case TIdent("ip", _) =>
+        advance(); eatOp("(")
+        val pat = str()
+        eatOp(")")
+        op match {
+          case LineOp.Contains    => Stage.LineIpFilter(contains = true, pat)
+          case LineOp.NotContains => Stage.LineIpFilter(contains = false, pat)
+          case _ => throw Unsupported("ip() line filter supports only |= and !=")
+        }
+      case _ => Stage.LineFilter(op, str())
     }
 
     /** `lbl="json.path"` / bare `lbl` items after `| json` / `| logfmt` —
@@ -526,6 +540,15 @@ object Parser {
       (opTok, cur) match {
         case (_, TStr(_, _)) if neg =>
           throw ParseError("'-' before string", cur.pos)
+        case (o, TIdent("ip", _)) =>
+          advance(); eatOp("(")
+          val pat = str()
+          eatOp(")")
+          o match {
+            case "="  => LabelPredicate.IpCmp(label, eq = true, pat)
+            case "!=" => LabelPredicate.IpCmp(label, eq = false, pat)
+            case other => throw Unsupported(s"ip() supports only = and !=, got '$other'")
+          }
         case ("=", TStr(v, _))  => advance(); LabelPredicate.StrCmp(label, MatchOp.Eq, v)
         case ("!=", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Neq, v)
         case ("=~", TStr(v, _)) => advance(); LabelPredicate.StrCmp(label, MatchOp.Re, v)

@@ -253,7 +253,18 @@ object LogQLOps {
     // label_replace over a LogQL metric expr (reference logs.rs:1102-1188)
     "q123_logql_label_replace" ->
       metric("""label_replace(sum by (service_name) (count_over_time({severity_text="error"}[1d])),
-                "env", "e$1", "service_name", "svc-(.*)")""")
+                "env", "e$1", "service_name", "svc-(.*)")"""),
+
+    // ip() label filter — CIDR membership of the client_ip label,
+    // implemented beyond the reference (rejected at execution there,
+    // logql.rs:674): 10.4.0.0/14 covers second octet 4..7
+    "q130_logql_ip_cidr" ->
+      line("""{event_type="click"} | client_ip = ip("10.4.0.0/14")""", 300),
+
+    // ip() range form under a metric aggregation, negated polarity
+    "q131_logql_ip_range_metric" ->
+      metric("""sum by (service_name) (count_over_time({severity_text="error"}
+                | client_ip != ip("10.0.0.0-10.6.255.255") [1d]))""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,6 +616,25 @@ object LogQLOps {
          |  regexp_replace(service_name, '^(?:svc-(.*))$$', 'e\\1') AS env,
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM logs WHERE severity_text = 'error'
+         |GROUP BY 1, 2""".stripMargin,
+
+    // 10.4.0.0/14 = [10.4.0.0, 10.7.255.255] — second octet 4..7
+    "q130_logql_ip_cidr" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE event_type = 'click'
+         |  AND CAST(string_split(client_ip, '.')[2] AS BIGINT) BETWEEN 4 AND 7
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 300""".stripMargin,
+
+    // outside [10.0.0.0, 10.6.255.255]: the view only emits 10.<0..31>.*,
+    // so the complement is second octet >= 7
+    "q131_logql_ip_range_metric" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'error'
+         |  AND CAST(string_split(client_ip, '.')[2] AS BIGINT) >= 7
          |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -83,10 +83,16 @@ class CorpusSpec extends AnyFunSuite {
     """{job="api"} | logfmt --keep-empty --strict""",
     // label_replace over metric exprs (reference logs.rs:1102-1188)
     """label_replace(rate({a="1"}[5m]), "d", "$1", "s", "(.*)")""",
-    """label_replace(sum by (s) (count_over_time({a="1"}[1d])), "d", "x$1", "s", "(.+)") / on(d) label_replace(sum by (s) (count_over_time({b="2"}[1d])), "d", "x$1", "s", "(.+)")""")
+    """label_replace(sum by (s) (count_over_time({a="1"}[1d])), "d", "x$1", "s", "(.+)") / on(d) label_replace(sum by (s) (count_over_time({b="2"}[1d])), "d", "x$1", "s", "(.+)")""",
+    // ip() exact / range / CIDR — implemented beyond the reference
+    // (which rejects at execution, logql.rs:674)
+    """{job="api"} | addr = ip("10.0.0.1")""",
+    """{job="api"} | addr != ip("10.0.0.1-10.0.0.200")""",
+    """{job="api"} |= ip("192.168.0.0/16")""")
 
   private val pinnedUnsupported = Seq(
-    """{job="api"} | ip "10.0.0.0/8"""",         // ip() — reference logql.rs:674 also rejects
+    """{job="api"} | ip "10.0.0.0/8"""",         // standalone ip stage is not LogQL
+    """{job="api"} | addr >= ip("10.0.0.1")""",  // ip() only with = / !=
     """vector(5)""")                             // LogQL vector() literal not in subset
 
   for ((q, i) <- supported.zipWithIndex)

@@ -88,8 +88,26 @@ class ParserSpec extends AnyFunSuite {
     assert(q.unwrapLabel.contains("k"))
   }
 
-  test("ip() is an explicit Unsupported, not silence") {
-    assertThrows[Unsupported](Parser.parse("""{a="x"} | ip "10.0.0.0/8""""))
+  test("ip() label filter parses to IpCmp (= and != only)") {
+    val LineQuery(q) = Parser.parse("""{a="x"} | addr = ip("10.0.0.0/8")"""): @unchecked
+    assert(q.stages.collect {
+      case Stage.LabelFilter(LabelPredicate.IpCmp("addr", true, "10.0.0.0/8")) => ()
+    }.nonEmpty)
+    val LineQuery(qn) = Parser.parse("""{a="x"} | addr != ip("10.0.0.1-10.0.0.9")"""): @unchecked
+    assert(qn.stages.collect {
+      case Stage.LabelFilter(LabelPredicate.IpCmp("addr", false, _)) => ()
+    }.nonEmpty)
+    assertThrows[Unsupported](Parser.parse("""{a="x"} | addr =~ ip("10.0.0.0/8")"""))
+  }
+
+  test("ip() line filter parses for |= and !=, rejects |~") {
+    val LineQuery(q) = Parser.parse("""{a="x"} |= ip("192.168.0.0/16")"""): @unchecked
+    assert(q.stages.contains(Stage.LineIpFilter(contains = true, "192.168.0.0/16")))
+    assertThrows[Unsupported](Parser.parse("""{a="x"} |~ ip("10.0.0.0/8")"""))
+  }
+
+  test("standalone | ip stage stays invalid") {
+    assertThrows[RuntimeException](Parser.parse("""{a="x"} | ip "10.0.0.0/8""""))
   }
 
   test("parse errors carry position") {
