@@ -501,26 +501,10 @@ object PipelineOps {
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .filter(col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("u", "v").localCheckpoint()
-      var lbl = edges.select(col("u").as("id")).distinct()
-        .withColumn("component", col("id")).localCheckpoint()
-      var converged = false
-      var round = 0
-      while (!converged && round < 20) {
-        val nbr = edges.join(lbl.select(col("id").as("v"), col("component").as("nc")), "v")
-          .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
-        val next = lbl.join(nbr, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-          .localCheckpoint()
-        converged = next.join(lbl.withColumnRenamed("component", "prev"), "id")
-          .filter(col("component") < col("prev")).isEmpty
-        lbl = next
-        round += 1
-      }
-      lbl.select(col("id").as("doc_id"), col("component"))
+      connectedComponents(
+        pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("u", "v"))
+        .select(col("id").as("doc_id"), col("component"))
     }),
 
     // As-of join: attach to every purchase the same user's most recent
@@ -572,6 +556,36 @@ object PipelineOps {
           col("t_start"), col("n_events"))
     })
   )
+
+  /** Connected components by iterative min-label propagation over a
+    * DIRECTED edge frame `(u, v)` (pass both directions for an undirected
+    * graph): returns `(id, component)` with component = min vertex id
+    * reachable. Each round is one shuffle join + hash agg; localCheckpoint
+    * truncates lineage so the plan stays flat across rounds; the
+    * convergence probe is an isEmpty on the label frame (Pregel-style
+    * orchestration, not a data collect). Rounds = component diameter,
+    * capped defensively; near-dup graphs are clique-like so a handful
+    * converge. 100 TB upgrade path: large-star/small-star contraction. */
+  def connectedComponents(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    var lbl = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbr = edges.join(lbl.select(col("id").as("v"), col("component").as("nc")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
+      val next = lbl.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = next.join(lbl.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") < col("prev")).isEmpty
+      lbl = next
+      round += 1
+    }
+    lbl
+  }
 
   /** q18's per-user gap sessionization (1 h gap), shared with the range
     * join: (user_id, session_id, n_events, t_start, t_end) in epoch µs. */

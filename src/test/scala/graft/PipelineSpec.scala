@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PipelineOps
+
+/** Pipeline-operator invariants that the oracle gate can't see directly:
+  * the connected-components loop must converge past diameter 1 (the
+  * testdata near-dup graphs are clique-like, so only a crafted path graph
+  * exercises multi-round propagation). */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connectedComponents converges on a path graph (diameter > 1)") {
+    import spark.implicits._
+    // path 10-11-12-13-14-15 (diameter 5), triangle 20-21-22, pair 30-31
+    val und = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("u", "v")
+    val got = PipelineOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents respects the round cap") {
+    import spark.implicits._
+    // a 4-node path needs 3 propagation rounds to pull 43 down to 40;
+    // with maxRounds=1 the far end must still hold an intermediate label
+    val edges = Seq((40L, 41L), (41L, 42L), (42L, 43L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    val capped = PipelineOps.connectedComponents(edges, maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped(43L) == 42L) // one hop of propagation only
+    val full = PipelineOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full.values.toSet == Set(40L))
+  }
+}
