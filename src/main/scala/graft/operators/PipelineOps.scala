@@ -535,6 +535,35 @@ object PipelineOps {
           col("value"), col("last_click_id"))
     }),
 
+    // Semantic dedup: embedding near-dup pairs → clusters. Candidates
+    // come from the LSH signature bucket (never all-pairs — Σ_bucket
+    // |b|² work, tuned by signature width), survive an exact
+    // integer-quantized cosine ≥ 0.3, and the surviving edge set
+    // collapses to components via the same min-label propagation as
+    // q127. Output: every clustered vector with its canonical (min)
+    // vec_id — the drop list a semantic-dedup pass feeds downstream.
+    "q132_semantic_dedup" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      val sig = e.withColumn("sig",
+        concat((0 until 8).map { j =>
+          val w = slice(typedLit(planeWeights(j)), lit(1), size(col("vq")))
+          when(dotCol(col("vq"), w) >= 0, "1").otherwise("0")
+        }: _*))
+      val a = sig.select(col("vec_id").as("a_id"), col("sig"),
+        col("vq").as("av"), col("nrm").as("an"))
+      val b = sig.select(col("vec_id").as("b_id"), col("sig"),
+        col("vq").as("bv"), col("nrm").as("bn"))
+      val pairs = a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", dotCol(col("av"), col("bv")).cast(DoubleType) /
+          sqrt(col("an").cast(DoubleType) * col("bn").cast(DoubleType)))
+        .filter(col("cos") >= 0.3)
+        .select(col("a_id"), col("b_id"))
+      connectedComponents(
+        pairs.unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v"))
+        .select(col("id").as("vec_id"), col("component"))
+    }),
+
     // Interval attribution (range join): each purchase joins the SAME
     // user's session interval that contains it. The equi-join on user_id
     // carries the containment predicate, so the fan-out is per user
@@ -986,6 +1015,46 @@ object PipelineOps {
          |  UNION
          |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u""".stripMargin,
+
+    // same LSH/cosine family as q25, then the q127-style closure
+    "q132_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, i AS pos,
+         |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+         |  FROM embeddings, range(0, 64) r(i)),
+         |proj AS (
+         |  SELECT vec_id,
+         |    ${(0 until 8).map(j =>
+            s"SUM(vq * (CASE WHEN substr(md5(concat('$j','_', CAST(pos AS VARCHAR))), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) AS p$j")
+            .mkString(", ")}
+         |  FROM e GROUP BY 1),
+         |sig AS (
+         |  SELECT vec_id,
+         |    concat(${(0 until 8).map(j => s"CASE WHEN p$j >= 0 THEN '1' ELSE '0' END").mkString(", ")}) AS sig
+         |  FROM proj),
+         |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+         |cand AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT c.a_id, c.b_id, SUM(ea.vq * eb.vq) AS dot
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.a_id
+         |  JOIN e eb ON eb.vec_id = c.b_id AND eb.pos = ea.pos
+         |  GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT d.a_id, d.b_id FROM dots d
+         |  JOIN norms na ON na.vec_id = d.a_id
+         |  JOIN norms nb ON nb.vec_id = d.b_id
+         |  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.3),
+         |edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM e0
+         |  UNION ALL SELECT b_id, a_id FROM e0),
+         |reach(u, lbl) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT g.u, r.lbl FROM edges g JOIN reach r ON g.v = r.u)
+         |SELECT u AS vec_id, MIN(lbl) AS component FROM reach GROUP BY u""".stripMargin,
 
     "q128_asof_join" ->
       """WITH c AS (
