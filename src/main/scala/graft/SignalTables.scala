@@ -95,6 +95,18 @@ object SignalTables {
       .unionByName(s.read.parquet(sumPath).select(proj.map(col): _*))
   }
 
+  /** hourly rollup of the stored gauge+sum union — the compactor's
+    * downsampling job writing through the same storage path (day
+    * partitions). Dashboards re-aggregate cells instead of raw samples. */
+  def storedRollupPath(s: SparkSession, dir: String): String =
+    materialize(s, dir, "metrics_rollup_1h",
+      Storage.downsample(storedMetricsUnion(s, dir), 3600L,
+        Seq("metric_name", "service_name"), "label_eid"),
+      partitionCols = Seq("date_day"))
+
+  def storedRollup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(storedRollupPath(s, dir))
+
   /** MetricsTable over the stored union. `dayBounds` is the partition-bound
     * mirror of the query time window: a filter on the Hive partition column
     * so Catalyst prunes day directories before any row is read (SURVEY §2.2

@@ -154,7 +154,24 @@ object PromQLOps {
     // changes/resets: adjacent-sample comparison per (bucket, series)
     // (reference metrics.rs:1279-1391)
     "q125_promql_changes" -> q("""changes(click[1d])""", 86400),
-    "q126_promql_resets" -> q("""resets(view[1d])""", 86400)
+    "q126_promql_resets" -> q("""resets(view[1d])""", 86400),
+
+    // downsampling rollup: day aggregates answered FROM the stored hourly
+    // cells (sum-of-sums decimal-exact, min-of-mins, latest cell's last)
+    // — the oracle computes the same from raw samples, proving the
+    // rollup algebra is lossless for these reducers
+    "q133_rollup_reaggregate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.SignalTables.storedRollup(s, dir)
+        .withColumn("day_bucket", expr("(bucket_start div 86400) * 86400"))
+        .groupBy(col("day_bucket"), col("metric_name"), col("service_name"))
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("vsum")).cast("double").as("vsum"),
+          min(col("vmin")).as("vmin"),
+          max(col("vmax")).as("vmax"),
+          max_by(col("vlast"), col("bucket_start")).as("vlast"))
+    })
   )
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
@@ -482,6 +499,23 @@ object PromQLOps {
          |  FROM m WHERE metric_name = 'view' AND ${win(86400)})
          |SELECT bucket_start, service_name,
          |  CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS DOUBLE) AS value
-         |FROM l GROUP BY 1, 2""".stripMargin
+         |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // day aggregates straight from raw samples — must equal the rollup
+    // re-aggregation exactly (decimal sums, (ts, event_id)-ordered last)
+    "q133_rollup_reaggregate" ->
+      s"""WITH m AS ($V),
+         |r AS (
+         |  SELECT ${bkt(86400)} AS day_bucket, metric_name, service_name, value,
+         |    row_number() OVER (PARTITION BY ${bkt(86400)}, metric_name, service_name
+         |      ORDER BY timestamp DESC, event_id DESC) AS rn
+         |  FROM m)
+         |SELECT day_bucket, metric_name, service_name,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS vsum,
+         |  MIN(value) AS vmin,
+         |  MAX(value) AS vmax,
+         |  MAX(CASE WHEN rn = 1 THEN value END) AS vlast
+         |FROM r GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -69,6 +69,30 @@ object Storage {
     w.parquet(layout.path(table))
   }
 
+  /** Compactor-side downsampling: raw samples → one pre-aggregated cell
+    * per (step bucket, series) carrying the re-aggregable algebra
+    * (count / sum / min / max / last-with-tiebreak). Coarser resolutions
+    * and query-time re-aggregation derive from cells alone — at 100 TB
+    * the rollup is what dashboards scan, cutting row count by the
+    * samples-per-bucket factor. The sum is decimal-accumulated so any
+    * re-aggregation order is bit-exact; `last` carries the max
+    * (timestamp, tie) sample so per-bucket "last" re-aggregates by
+    * taking the latest cell. One shuffle (the groupBy), partial aggs
+    * map-side. */
+  def downsample(df: DataFrame, stepSec: Long,
+      seriesCols: Seq[String], tieCol: String): DataFrame =
+    df.withColumn("bucket_start",
+        expr(s"((timestamp div 1000000000) div $stepSec) * $stepSec"))
+      .groupBy((col("bucket_start") +: seriesCols.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4))).as("vsum"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        max_by(col("value"),
+          struct(col("timestamp"), col(tieCol).cast("long"))).as("vlast"))
+      .withColumn("date_day", to_date(timestamp_seconds(col("bucket_start"))))
+
   /** rewrite one closed (date_day, hour) partition: merge small files,
     * sort, atomically replace via dynamic partition overwrite. */
   def compactPartition(spark: SparkSession, layout: TableLayout, table: String,
