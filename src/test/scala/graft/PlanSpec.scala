@@ -116,4 +116,28 @@ class PlanSpec extends AnyFunSuite {
         |GROUP BY 1""".stripMargin).count()
     assert(n > 0)
   }
+
+  test("as-of join is one shuffle on the key, not a range-exploded join") {
+    val df = operators.PipelineOps.queries("q128_asof_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the union+window shape: no join operator at all, and the only
+    // wide dependencies are the hashpartitioning on user_id (clicks
+    // pre-dedup + the window) — never a BroadcastNestedLoop/cartesian
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"as-of join must not fall back to a product join:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"expected the per-user shuffle for the ordered window:\n$plan")
+  }
+
+  test("rollup day filter prunes partitions before any row is read") {
+    val df = SignalTables.storedRollup(spark, dir)
+      .filter(col("date_day") === "2024-01-05")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("date_day"),
+      s"date_day must be a partition filter on the rollup scan:\n$plan")
+    // the cells table never exposes raw samples: scan schema is the
+    // pre-aggregated algebra, not (timestamp, value) rows
+    assert(plan.contains("vsum") && !plan.contains("ReadSchema: struct<timestamp"),
+      s"rollup scan should read cells, not raw samples:\n$plan")
+  }
 }
