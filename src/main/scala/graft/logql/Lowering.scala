@@ -334,16 +334,22 @@ object Lowering {
   }
 
   /** `|= ip(...)` / `!= ip(...)`: does the line contain ANY IPv4 token in
-    * the pattern? Candidate tokens come from one regexp_extract_all pass;
-    * the membership test is an array `exists` — per-row, codegen, no
-    * join. (Tokens are matched without word boundaries, like Loki's
-    * substring line filters.) */
+    * the pattern? Candidate tokens come from one regexp_extract_all pass
+    * (digit/dot boundary guards so "1234.5.6.7" never yields a truncated
+    * "234.5.6.7" candidate); the membership test is an array `exists` —
+    * per-row, codegen, no join. `exists` is three-valued (an invalid quad
+    * like 300.1.2.3 maps to NULL), so coalesce to false: a line whose only
+    * candidates are invalid IPv4s contains no matching address — it drops
+    * under `|=` and is KEPT under `!=`. */
   private def lineIpCol(f: Stage.LineIpFilter): Column = {
     val (lo, hi) = ipv4Range(f.pattern)
-    val hitsAny = exists(
-      regexp_extract_all(col("body"),
-        lit("([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"), lit(1)),
-      tok => ipv4Num(tok).between(lo, hi))
+    val hitsAny = coalesce(
+      exists(
+        regexp_extract_all(col("body"),
+          lit("(?<![0-9.])([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})(?![0-9.])"),
+          lit(1)),
+        tok => ipv4Num(tok).between(lo, hi)),
+      lit(false))
     if (f.contains) hitsAny else !hitsAny
   }
 

@@ -51,6 +51,17 @@ object PipelineOps {
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** 8-bit hyperplane signature column over the quantized embedding —
+    * the LSH bucket key shared by q25 (ANN) and q132 (semantic dedup);
+    * must stay in lockstep with the md5-derived weights both oracles
+    * re-derive in SQL. */
+  private def lshSig(e: DataFrame): DataFrame =
+    e.withColumn("sig",
+      concat((0 until 8).map { j =>
+        val w = slice(typedLit(planeWeights(j)), lit(1), size(col("vq")))
+        when(dotCol(col("vq"), w) >= 0, "1").otherwise("0")
+      }: _*))
+
   /** hyperplane weights for LSH plane `j`: ±1 from the md5 high bit of
     * "j_pos" — same family the DuckDB oracle derives in SQL, computed once
     * at plan build (256 ≥ any embedding dim here; sliced to size at use). */
@@ -146,21 +157,8 @@ object PipelineOps {
 
     // n-gram Jaccard near-dup: pairs sharing word-3-shingles, exact Jaccard
     // over distinct shingle sets, threshold 0.5. Equi-join on shingle.
-    "q21_near_dup_jaccard" -> ((s, dir) => {
-      val ds = docShinglesStored(s, dir)
-      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = ds.as("a")
-        .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    }),
+    "q21_near_dup_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"), col("jaccard"))),
 
     // MinHash + LSH: 8 md5-salted min-hashes, 4 bands × 2 rows; candidate
     // pairs share a band bucket; verified with exact Jaccard ≥ 0.4.
@@ -244,11 +242,7 @@ object PipelineOps {
     // verification needs no re-join against the corpus.
     "q25_ann_lsh" -> ((s, dir) => {
       val e = embArr(s, dir)
-      val sig = e.withColumn("sig",
-        concat((0 until 8).map { j =>
-          val w = slice(typedLit(planeWeights(j)), lit(1), size(col("vq")))
-          when(dotCol(col("vq"), w) >= 0, "1").otherwise("0")
-        }: _*))
+      val sig = lshSig(e)
       val q = sig.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("sig"), col("vq").as("qv"), col("nrm").as("qn"))
       val n = sig.select(col("vec_id").as("n_id"), col("sig"), col("vq").as("nv"), col("nrm").as("nn"))
@@ -491,16 +485,7 @@ object PipelineOps {
     // 100 TB upgrade path: large-star/small-star two-hop contraction,
     // O(log n) rounds; the per-round join shape is identical.
     "q127_dedup_components" -> ((s, dir) => {
-      val ds = docShinglesStored(s, dir)
-      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = ds.as("a")
-        .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .filter(col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
       connectedComponents(
         pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("u", "v"))
@@ -544,11 +529,7 @@ object PipelineOps {
     // vec_id — the drop list a semantic-dedup pass feeds downstream.
     "q132_semantic_dedup" -> ((s, dir) => {
       val e = embArr(s, dir)
-      val sig = e.withColumn("sig",
-        concat((0 until 8).map { j =>
-          val w = slice(typedLit(planeWeights(j)), lit(1), size(col("vq")))
-          when(dotCol(col("vq"), w) >= 0, "1").otherwise("0")
-        }: _*))
+      val sig = lshSig(e)
       val a = sig.select(col("vec_id").as("a_id"), col("sig"),
         col("vq").as("av"), col("nrm").as("an"))
       val b = sig.select(col("vec_id").as("b_id"), col("sig"),
@@ -613,7 +594,30 @@ object PipelineOps {
       lbl = next
       round += 1
     }
+    // partial labels masquerading as components would silently split real
+    // clusters — fail loudly instead (a diameter this large means the
+    // caller wants large-star/small-star contraction, not more rounds)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
     lbl
+  }
+
+  /** exact n-gram-Jaccard near-dup pairs (q21's pipeline, shared with the
+    * q127 clustering): shingle equi-join candidates, exact Jaccard over
+    * distinct shingle sets, `doc_a < doc_b`. */
+  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val ds = docShinglesStored(s, dir)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    ds.as("a")
+      .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** q18's per-user gap sessionization (1 h gap), shared with the range

@@ -36,15 +36,14 @@ class PipelineSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L))
   }
 
-  test("connectedComponents respects the round cap") {
+  test("connectedComponents fails loudly when the round cap is hit") {
     import spark.implicits._
     // a 4-node path needs 3 propagation rounds to pull 43 down to 40;
-    // with maxRounds=1 the far end must still hold an intermediate label
+    // with maxRounds=1 partial labels must NOT be returned as converged
     val edges = Seq((40L, 41L), (41L, 42L), (42L, 43L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
-    val capped = PipelineOps.connectedComponents(edges, maxRounds = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(capped(43L) == 42L) // one hop of propagation only
+    assertThrows[IllegalStateException](
+      PipelineOps.connectedComponents(edges, maxRounds = 1))
     val full = PipelineOps.connectedComponents(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(full.values.toSet == Set(40L))

@@ -1,0 +1,72 @@
+package graft.logql
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logql.Lowering.LogsTable
+
+/** ip() lowering semantics the oracle gate can't reach (the testdata view
+  * exercises label filters; line filters need crafted bodies):
+  *  - an invalid dotted quad (octet > 255) is not an address — it never
+  *    matches `|=` and never suppresses `!=` (the NULL-polarity rule),
+  *  - candidates respect digit/dot boundaries ("1234.5.6.7" contains no
+  *    truncated "234.5.6.7"),
+  *  - range and CIDR forms bound inclusively. */
+class IpFilterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def table(bodies: Seq[String]): LogsTable = {
+    import spark.implicits._
+    val df = bodies.zipWithIndex
+      .map { case (b, i) => (i.toLong * 1000000000L, i.toLong, b) }
+      .toDF("timestamp", "event_id", "body")
+    LogsTable(df = df, promoted = Map("body" -> "body"),
+      seriesLabels = Seq.empty, hasAttrMap = false, tieBreak = Seq("event_id"))
+  }
+
+  private def run(bodies: Seq[String], q: String): Seq[String] = {
+    val Ast.LineQuery(lq) = Parser.parse(q): @unchecked
+    Lowering.lowerLineQuery(table(bodies), lq, 100,
+        newestFirst = false, projection = Seq("timestamp", "body"))
+      .collect().map(_.getString(1)).toSeq
+  }
+
+  private val bodies = Seq(
+    "conn from 10.1.2.3 ok",        // in 10.0.0.0/8
+    "conn from 11.1.2.3 ok",        // outside
+    "retry 300.1.2.3 timeout",      // invalid quad — not an address
+    "id=1234.5.6.7 done",           // no truncated 234.5.6.7 candidate
+    "no address here")
+
+  test("|= ip(CIDR) keeps only lines containing a matching address") {
+    assert(run(bodies, """{body=~".*"} |= ip("10.0.0.0/8")""")
+      == Seq("conn from 10.1.2.3 ok"))
+  }
+
+  test("!= ip(CIDR) keeps lines with no matching address, including invalid quads") {
+    assert(run(bodies, """{body=~".*"} != ip("10.0.0.0/8")""")
+      == Seq("conn from 11.1.2.3 ok", "retry 300.1.2.3 timeout",
+        "id=1234.5.6.7 done", "no address here"))
+  }
+
+  test("boundary guard: a longer number never yields a truncated candidate") {
+    assert(run(bodies, """{body=~".*"} |= ip("234.5.6.0/24")""").isEmpty)
+  }
+
+  test("range form is inclusive on both ends") {
+    val bs = Seq("a 10.0.0.5 x", "b 10.0.0.9 x", "c 10.0.0.10 x")
+    assert(run(bs, """{body=~".*"} |= ip("10.0.0.5-10.0.0.9")""")
+      == Seq("a 10.0.0.5 x", "b 10.0.0.9 x"))
+  }
+
+  test("IPv6 and malformed patterns are explicit Unsupported at plan time") {
+    assertThrows[Ast.Unsupported](run(bodies, """{body=~".*"} |= ip("::1/128")"""))
+    assertThrows[Ast.Unsupported](run(bodies, """{body=~".*"} |= ip("10.0.0.0/64")"""))
+  }
+}
