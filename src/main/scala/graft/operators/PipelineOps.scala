@@ -504,20 +504,11 @@ object PipelineOps {
       val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts_us")))
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("tus")).agg(max(col("event_id")).as("click_id"))
-        .select(col("user_id"), col("tus"), lit(0).as("side"), col("click_id"),
-          lit(null).cast(LongType).as("purchase_id"), lit(null).cast(DoubleType).as("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tus"), lit(1).as("side"),
-          lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"),
-          col("value"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus").asc, col("side").asc, col("purchase_id").asc_nulls_first)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"), col("value"))
+      asofJoin(purchases, clicks, "user_id", "tus", Seq("click_id"))
         .select(col("purchase_id"), col("user_id"), col("tus").as("purchase_tus"),
-          col("value"), col("last_click_id"))
+          col("value"), col("asof_click_id").as("last_click_id"))
     }),
 
     // Semantic dedup: embedding near-dup pairs → clusters. Candidates
@@ -601,6 +592,36 @@ object PipelineOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds")
     lbl
+  }
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` in the same key group. One union + one per-key
+    * ordered running window — a single shuffle on the key, the
+    * sorted-merge shape an as-of join compiles to at 100 TB (never a
+    * range-exploded or per-row-probe join). Right payload columns arrive
+    * as `asof_<name>` (NULL when no prior right row exists). Rows of the
+    * right frame must be unique per (key, ts) — pre-aggregate ties first,
+    * or the carried payload is nondeterministic. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val r = right.select(
+      (col(key) +: col(ts).as("_ts") +:
+        rightPayload.map(c => col(c).as(s"asof_$c"))): _*)
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_ts", col(ts)).withColumn("_side", lit(1))
+    val lAug = rightPayload.foldLeft(l)((d, c) =>
+      d.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
+    val rAug = left.columns.filterNot(_ == key).foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    // rights sort before lefts at equal ts (>= semantics); left-row order
+    // within a tie cannot affect the fill (left rows carry NULL payloads)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(
+      lAug.unionByName(rAug.select(lAug.columns.map(col): _*))) {
+      (d, c) => d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_ts", "_side")
   }
 
   /** exact n-gram-Jaccard near-dup pairs (q21's pipeline, shared with the

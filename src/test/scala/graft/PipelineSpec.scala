@@ -36,6 +36,22 @@ class PipelineSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L))
   }
 
+  test("asofJoin carries the latest right row at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 7L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 8L, "r8"))
+      .toDF("k", "ts", "tag")
+    val got = operators.PipelineOps.asofJoin(left, right, "k", "ts", Seq("tag"))
+      .select("name", "asof_tag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "p0" -> None,          // no right row at-or-before ts=5
+      "p1" -> Some("r10"),   // equal timestamp counts (>= semantics)
+      "p2" -> Some("r15"),   // latest of the two priors
+      "p3" -> None))         // right at ts=8 is after left ts=7
+  }
+
   test("connectedComponents fails loudly when the round cap is hit") {
     import spark.implicits._
     // a 4-node path needs 3 propagation rounds to pull 43 down to 40;
