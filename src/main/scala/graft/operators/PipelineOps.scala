@@ -197,18 +197,7 @@ object PipelineOps {
     // distinct tokens of the high bit of md5 hex nibble k. Emitted as a
     // 32-char bitstring (engine-portable); equal signatures = near-dup
     // cluster key.
-    "q23_simhash" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val votes = (0 until 32).map { k =>
-        sum(when(expr(s"substring(h, ${k + 1}, 1)").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1)).as(s"v$k")
-      }
-      tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          concat((0 until 32).map(k => when(col(s"v$k") >= 0, "1").otherwise("0")): _*).as("simhash"))
-    }),
+    "q23_simhash" -> ((s, dir) => simhashDf(s, dir)),
 
     // Brute-force cosine top-k (ANN baseline): query vectors = vec_id%100==0,
     // candidates = all others; vectors quantized to 1e-6 integers so dot
@@ -536,6 +525,50 @@ object PipelineOps {
         .select(col("id").as("vec_id"), col("component"))
     }),
 
+    // SimHash Hamming near-dup at the SIGNATURE level: dedupe docs to
+    // distinct fingerprints first (identical-signature docs are already
+    // one cluster, q23), band the distinct signatures (pigeonhole:
+    // distance <= 3 implies one agreeing 8-bit band), and verify the
+    // exact Hamming distance on candidates only. Pairing over signatures,
+    // not docs, is what survives a vocabulary-skewed corpus: hot band
+    // buckets hold O(distinct sigs), never O(docs); doc membership rides
+    // along as a count + canonical id.
+    // Complements the MinHash family: O(n) signatures, band equi-join,
+    // no shingle join at pair time.
+    "q134_simhash_hamming" -> ((s, dir) => {
+      val sigs = simhashDf(s, dir)
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+        // the 32-char bitstring packs into one long ONCE per distinct
+        // signature; the per-pair distance is then a single
+        // bit_count(xor) — a 32-way substring CASE chain here blows the
+        // codegen method budget and falls back to interpreted eval
+        // (measured 10x slower on the pair stream)
+        .withColumn("isig", conv(col("simhash"), 2, 10).cast(LongType))
+      val bands = sigs.select(col("simhash"), col("isig"), col("n_docs"), col("canonical_doc"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), substring(col("simhash"), 8 * b + 1, 8).as("bits"))): _*)).as("bb"))
+        .select(col("simhash"), col("isig"), col("n_docs"), col("canonical_doc"),
+          col("bb.band"), col("bb.bits"))
+      // hamming filters BEFORE the dedup: band collisions die inline and
+      // the grouping only shuffles surviving near-dup pairs (a pair can
+      // match in up to 4 bands — dedupe by the pair key, payloads are
+      // functionally dependent on it)
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+            col("x.simhash") < col("y.simhash"))
+        .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
+          expr("bit_count(x.isig ^ y.isig)").cast(LongType).as("hamming"),
+          col("x.n_docs").as("docs_a"), col("y.n_docs").as("docs_b"),
+          col("x.canonical_doc").as("canon_a"), col("y.canonical_doc").as("canon_b"))
+        .filter(col("hamming") <= 3)
+        .groupBy(col("sa"), col("sb"))
+        .agg(first(col("hamming")).as("hamming"),
+          first(col("docs_a")).as("docs_a"), first(col("docs_b")).as("docs_b"),
+          first(col("canon_a")).as("canon_a"), first(col("canon_b")).as("canon_b"))
+    }),
+
     // Interval attribution (range join): each purchase joins the SAME
     // user's session interval that contains it. The equi-join on user_id
     // carries the containment predicate, so the fan-out is per user
@@ -622,6 +655,22 @@ object PipelineOps {
       (d, c) => d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
     }
     filled.filter(col("_side") === 1).drop("_ts", "_side")
+  }
+
+  /** 32-bit SimHash bitstring per document (q23's fingerprint, shared
+    * with the q134 Hamming bucketing): bit k = majority vote of the high
+    * bit of md5 hex nibble k over distinct tokens. */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 32).map { k =>
+      sum(when(expr(s"substring(h, ${k + 1}, 1)").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$k")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 32).map(k => when(col(s"v$k") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** exact n-gram-Jaccard near-dup pairs (q21's pipeline, shared with the
@@ -1040,6 +1089,43 @@ object PipelineOps {
          |  UNION
          |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u""".stripMargin,
+
+    "q134_simhash_hamming" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |v AS (
+         |  SELECT doc_id,
+         |    ${(0 until 32).map(k =>
+            s"SUM(CASE WHEN substr(h, ${k + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$k")
+            .mkString(", ")}
+         |  FROM h GROUP BY 1),
+         |sh AS (
+         |  SELECT doc_id,
+         |    concat(${(0 until 32).map(k => s"CASE WHEN v$k >= 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+         |  FROM v),
+         |sigs AS (
+         |  SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT simhash, n_docs, canonical_doc, b AS band, substr(simhash, 8*b + 1, 8) AS bits
+         |  FROM sigs, range(0, 4) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.simhash AS sa, y.simhash AS sb,
+         |    x.n_docs AS docs_a, y.n_docs AS docs_b,
+         |    x.canonical_doc AS canon_a, y.canonical_doc AS canon_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bits = y.bits AND x.simhash < y.simhash)
+         |SELECT sa, sb,
+         |  CAST(${(0 until 32).map(k =>
+            s"(CASE WHEN substr(sa, ${k + 1}, 1) <> substr(sb, ${k + 1}, 1) THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS BIGINT) AS hamming,
+         |  docs_a, docs_b, canon_a, canon_b
+         |FROM cand
+         |WHERE ${(0 until 32).map(k =>
+            s"(CASE WHEN substr(sa, ${k + 1}, 1) <> substr(sb, ${k + 1}, 1) THEN 1 ELSE 0 END)")
+            .mkString(" + ")} <= 3""".stripMargin,
 
     // same LSH/cosine family as q25, then the q127-style closure
     "q132_semantic_dedup" ->
