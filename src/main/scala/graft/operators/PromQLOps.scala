@@ -171,8 +171,66 @@ object PromQLOps {
           min(col("vmin")).as("vmin"),
           max(col("vmax")).as("vmax"),
           max_by(col("vlast"), col("bucket_start")).as("vlast"))
+    }),
+
+    // deriv / predict_linear with EXACT least-squares closed forms
+    // (reference metrics.rs:939-1046 uses regr_slope; float accumulation
+    // order makes that engine- and partitioning-dependent at 1 ulp, which
+    // is why plain deriv was engine-only until now). Quantizing y to
+    // centi-units and taking x as ms offsets within the bucket keeps every
+    // sum an exact integer; one integral division at the end yields a
+    // fixed-point slope that is bit-identical across engines AND across
+    // Spark partitionings. One hash aggregate, no window, no sort.
+    "q135_promql_deriv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      exactFit(s, dir, "click", 86400)
+        .withColumn("fp", expr(
+          "CASE WHEN num >= 0 THEN (num * 10000000) div den" +
+            " ELSE -(((-num) * 10000000) div den) END"))
+        .select(col("bucket_start"), col("service_name"),
+          (col("fp").cast("double") / 1000000.0d).as("value"))
+    }),
+
+    // predict_linear(click[1d], 3600): value at bucket_end + 1h from the
+    // same exact sums — P = Sy·Sxx − Sx·Sxy + num·X evaluated at
+    // X = (step + t)·1000 ms, value = P / den / 100 (centi-unit descale)
+    "q136_promql_predict_linear" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val xEval = (86400L + 3600L) * 1000L
+      exactFit(s, dir, "click", 86400)
+        .withColumn("p", expr(s"sy * sxx - sx * sxy + num * ${xEval}"))
+        .withColumn("fp", expr(
+          "CASE WHEN p >= 0 THEN (p * 10000) div den" +
+            " ELSE -(((-p) * 10000) div den) END"))
+        .select(col("bucket_start"), col("service_name"),
+          (col("fp").cast("double") / 1000000.0d).as("value"))
     })
   )
+
+  /** Exact per-(bucket, series) regression sums over a metric selector:
+    * n, Σx, Σy, Σxy, Σx² as scale-0 decimals (x = ms offset in bucket,
+    * ≤ 8.64e7; y = centi-quantized value, ≤ ~33k — every product fits a
+    * long, every combined term fits decimal(38,0) / DuckDB hugeint). */
+  private def exactFit(s: SparkSession, dir: String, metric: String, step: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec = "decimal(38,0)"
+    SignalViews.metricsDf(s, dir)
+      .filter(col("metric_name") === metric &&
+        col("timestamp") >= lit(T0 * 1000000000L) && col("timestamp") < lit(T1 * 1000000000L))
+      .withColumn("bucket_start", expr(s"(timestamp div 1000000000) div $step * $step"))
+      .withColumn("x", expr("timestamp div 1000000 - bucket_start * 1000"))
+      .withColumn("y", round(col("value") * 100).cast("long"))
+      .groupBy(col("bucket_start"), col("service_name"))
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .filter(col("den") > 0) // single-sample / zero-spread windows have no slope
+  }
 
   private def lastPerBucket(metricFilter: String, step: Long): String =
     s"""SELECT * FROM (
@@ -516,6 +574,45 @@ object PromQLOps {
          |  MIN(value) AS vmin,
          |  MAX(value) AS vmax,
          |  MAX(CASE WHEN rn = 1 THEN value END) AS vlast
-         |FROM r GROUP BY 1, 2, 3""".stripMargin
+         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+
+    // exact least-squares slope from hugeint sums — the same closed form
+    // as the engine side, so the fixed-point result is bit-identical
+    "q135_promql_deriv" ->
+      s"""WITH m AS ($V),
+         |w AS (${fitW("click", 86400)}),
+         |g AS (${fitG}),
+         |d AS (SELECT bucket_start, service_name,
+         |        n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM g)
+         |SELECT bucket_start, service_name,
+         |  CAST(CASE WHEN num >= 0 THEN (num * 10000000) // den
+         |       ELSE -(((-num) * 10000000) // den) END AS DOUBLE) / 1000000.0 AS value
+         |FROM d WHERE den > 0""".stripMargin,
+
+    "q136_promql_predict_linear" ->
+      s"""WITH m AS ($V),
+         |w AS (${fitW("click", 86400)}),
+         |g AS (${fitG}),
+         |d AS (SELECT bucket_start, service_name,
+         |        sy*sxx - sx*sxy + (n*sxy - sx*sy) * ${(86400L + 3600L) * 1000L} AS p,
+         |        n*sxx - sx*sx AS den FROM g)
+         |SELECT bucket_start, service_name,
+         |  CAST(CASE WHEN p >= 0 THEN (p * 10000) // den
+         |       ELSE -(((-p) * 10000) // den) END AS DOUBLE) / 1000000.0 AS value
+         |FROM d WHERE den > 0""".stripMargin
   )
+
+  /** regression-sum CTE bodies shared by q135/q136 (x = ms offset in
+    * bucket, y = centi-quantized value; hugeint keeps every sum exact) */
+  private def fitW(metric: String, step: Long): String =
+    s"""SELECT ${bkt(step)} AS bucket_start, service_name,
+       |    timestamp//1000000 - (${bkt(step)})*1000 AS x,
+       |    CAST(round(value*100) AS BIGINT) AS y
+       |  FROM m WHERE metric_name = '$metric' AND ${win(step)}""".stripMargin
+
+  private def fitG: String =
+    """SELECT bucket_start, service_name, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT)*y) AS sxy, SUM(CAST(x AS HUGEINT)*x) AS sxx
+      |  FROM w GROUP BY 1, 2""".stripMargin
 }
