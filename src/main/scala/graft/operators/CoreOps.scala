@@ -186,6 +186,23 @@ object CoreOps {
       Tables.documents(s, dir)
         .filter(col("text").rlike("join .* merge") && col("lang").isin("en", "de"))
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // §2.4 grouping sets through the SQL surface — SURVEY notes the
+    // reference has no grouping-sets operator anywhere (DataFusion would
+    // have to provide it); here it is free via Catalyst: one Expand +
+    // one hash aggregate, no extra shuffle per set. grouping() flags
+    // disambiguate rollup NULLs from data NULLs.
+    "q137_sql_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+              |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |""".stripMargin)
     })
   )
 
@@ -292,6 +309,15 @@ object CoreOps {
 
     "q17_regex_filter" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE regexp_matches(text, 'join .* merge') AND lang IN ('en','de')""".stripMargin
+        |WHERE regexp_matches(text, 'join .* merge') AND lang IN ('en','de')""".stripMargin,
+
+    "q137_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
   )
 }

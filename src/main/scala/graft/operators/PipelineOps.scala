@@ -588,6 +588,66 @@ object PipelineOps {
           purchases("tus").between(sess("t_start"), sess("t_end")))
         .select(col("purchase_id"), col("user_id"), col("session_id"),
           col("t_start"), col("n_events"))
+    }),
+
+    // C4-style corpus-wide duplicate-span removal: chunk each doc into
+    // 10-word segments, keep only the FIRST occurrence of every segment
+    // across the whole corpus (C4 §2.2 removes all but one of any
+    // repeated three-sentence span), reassemble the survivors in order.
+    // Shape at 100 TB: one shuffle by segment hash (the window partitions
+    // by segment; a segment's occurrence list is as long as its dup
+    // count, never corpus-sized), one shuffle back by doc for the ordered
+    // reassembly. No driver-side state.
+    "q138_segment_dedup" -> ((s, dir) => {
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(ceil(size(toks)/10.0) AS INT) - 1),
+            |          i -> struct(i AS pos, concat_ws(' ', slice(toks, i*10+1, 10)) AS seg))"""
+            .stripMargin)).as("ps"))
+        .select(col("doc_id"), col("ps.pos"), col("ps.seg"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
+      segs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+          " ").as("text"))
+    }),
+
+    // Composite quality-filter chain (Gopher/C4-style document gating):
+    // per-row rules (word count, mean word length, stopword floor) plus
+    // the corpus-derived repetition signal, composed into keep/drop with
+    // the FIRST failing rule as the reject reason — the decision record a
+    // training pipeline audits. Per-row exprs + one bigram aggregate;
+    // the join is doc_id-keyed, no cross-doc state.
+    "q139_filter_chain" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .withColumn("mean_len",
+          (length(col("text")) - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok"))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in'))")).cast(LongType))
+        .select(col("doc_id"), col("n_tok"), col("mean_len"), col("n_stop"))
+      val dup = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |            i -> concat_ws(' ', toks[i], toks[i+1]))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("c") > 1, col("c")).otherwise(0L)).cast(DoubleType) /
+          sum(col("c"))).as("dupf"))
+      base.join(dup, Seq("doc_id"))
+        .withColumn("reason",
+          when(col("n_tok") < 20 || col("n_tok") > 80, "word_count")
+            .when(col("mean_len") < 3.8 || col("mean_len") > 4.9, "mean_word_len")
+            .when(col("n_stop") < 2, "stopwords")
+            .when(col("dupf") > 0.12, "repetition"))
+        .withColumn("kept", col("reason").isNull)
+        .select(col("doc_id"), col("kept"), col("reason"))
     })
   )
 
@@ -1209,6 +1269,42 @@ object PipelineOps {
         |FROM events p
         |JOIN sess ON p.user_id = sess.user_id
         |  AND epoch_us(p.ts) BETWEEN sess.t_start AND sess.t_end
-        |WHERE p.event_type = 'purchase'""".stripMargin
+        |WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "q138_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS seg
+        |  FROM t, UNNEST(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS u(i)),
+        |r AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM seg)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+        |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q139_filter_chain" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks, length(text) AS ch
+        |           FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(ch - (len(toks)-1) AS DOUBLE)/len(toks) AS mean_len,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |d AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)/sum(c) AS dupf
+        |      FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT m.doc_id,
+        |    CASE WHEN n_tok < 20 OR n_tok > 80 THEN 'word_count'
+        |         WHEN mean_len < 3.8 OR mean_len > 4.9 THEN 'mean_word_len'
+        |         WHEN n_stop < 2 THEN 'stopwords'
+        |         WHEN dupf > 0.12 THEN 'repetition' END AS reason
+        |  FROM m JOIN d ON m.doc_id = d.doc_id)
+        |SELECT doc_id, reason IS NULL AS kept, reason FROM r""".stripMargin
   )
 }

@@ -64,4 +64,42 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(full.values.toSet == Set(40L))
   }
+
+  test("segment dedup keeps exactly the first occurrence of every span") {
+    val out = PipelineOps.queries("q138_segment_dedup")(spark, "/root/testdata/sf0.001")
+    // re-chunk the OUTPUT the same way: every surviving 10-word segment
+    // must now be globally unique (C4 keep-one invariant)…
+    val resegmented = out
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(ceil(size(toks)/10.0) AS INT) - 1),
+          |          i -> concat_ws(' ', slice(toks, i*10+1, 10)))""".stripMargin)).as("seg"))
+    // …except where removal merged two partial chunks into a new 10-gram;
+    // full (10-word) segments must be unique
+    val dupFull = resegmented
+      .filter(size(split(col("seg"), " ")) === 10)
+      .groupBy("seg").count().filter(col("count") > 1).count()
+    assert(dupFull == 0, "a duplicated 10-word span survived dedup")
+    // and no document may GAIN text
+    val in = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), length(col("text")).as("lin"))
+    val grew = out.select(col("doc_id"), length(col("text")).as("lout"))
+      .join(in, "doc_id").filter(col("lout") > col("lin")).count()
+    assert(grew == 0)
+  }
+
+  test("filter chain reports the FIRST failing rule and kept = no reason") {
+    val rows = PipelineOps.queries("q139_filter_chain")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kept = r.getBoolean(r.fieldIndex("kept"))
+      val reason = Option(r.getString(r.fieldIndex("reason")))
+      assert(kept == reason.isEmpty)
+      reason.foreach(x => assert(
+        Set("word_count", "mean_word_len", "stopwords", "repetition")(x)))
+    }
+    // the chain must produce both outcomes on the corpus
+    assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)))
+  }
 }
