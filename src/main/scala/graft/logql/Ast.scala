@@ -71,7 +71,8 @@ object Ast {
     /** `|= ip("...")` / `!= ip("...")` — keep/drop lines containing an
       * IPv4 in the exact/range/CIDR pattern. IMPLEMENTED beyond the
       * reference, which parses ip() but rejects it at execution
-      * (logql.rs:674); IPv6 stays unsupported. */
+      * (logql.rs:674). Label filters also accept IPv6 (hex-string
+      * normalization); IPv6 LINE filters stay unsupported. */
     final case class LineIpFilter(contains: Boolean, pattern: String) extends Stage
   }
 

@@ -270,6 +270,15 @@ object Lowering {
         case CmpOp.Lt  => l < v
         case CmpOp.Lte => l <= v
       }
+    case LabelPredicate.IpCmp(label, eq, pattern) if pattern.contains(':') =>
+      // IPv6: both sides normalize to the full 32-nibble hex string, so
+      // the [lo, hi] range check is a plain string between — same-length
+      // hex strings order lexicographically exactly like the 128-bit
+      // values. All codegen string ops, no UDF; invalid values are NULL
+      // and drop under either polarity (Kleene, as for IPv4).
+      val (lo, hi) = ipv6Range(pattern)
+      val n = ipv6NormCol(c.resolve(label).cast("string"))
+      if (eq) n.between(lo, hi) else !n.between(lo, hi)
     case LabelPredicate.IpCmp(label, eq, pattern) =>
       // membership of the label's IPv4 value in the pattern range; a
       // non-IPv4 value is NULL and drops under either polarity
@@ -287,9 +296,9 @@ object Lowering {
 
   // ---- ip() — IPv4 exact / a-b range / CIDR ------------------------------
   // Implemented beyond the reference, which parses ip() but rejects it at
-  // execution (logql.rs:674). IPv4 only; IPv6 stays Unsupported. All
-  // plan-time: the pattern compiles to a [lo, hi] numeric range, the value
-  // side to a codegen'd split/fold — no UDF.
+  // execution (logql.rs:674). Label filters take IPv4 and IPv6; line
+  // filters are IPv4-only. All plan-time: the pattern compiles to a
+  // [lo, hi] range, the value side to a codegen'd split/fold — no UDF.
 
   private val ipv4Re = "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
 
@@ -333,6 +342,93 @@ object Lowering {
     }
   }
 
+  // ---- ip() — IPv6 exact / a-b range / CIDR ------------------------------
+
+  /** plan-time IPv6 literal → 32-nibble lowercase hex. Accepts `::`
+    * compression and an embedded IPv4 tail (`::ffff:1.2.3.4`). */
+  private def ipv6Hex(s0: String): String = {
+    val t = s0.trim.toLowerCase
+    def bad(m: String): Nothing = throw Unsupported(s"ip(): $m in '$s0'")
+    val halves = t.split("::", -1)
+    if (halves.length > 2) bad("multiple '::'")
+    def expand(part: String, mayEndV4: Boolean): Seq[String] =
+      if (part.isEmpty) Seq.empty
+      else {
+        val gs = part.split(":", -1).toSeq
+        gs.zipWithIndex.flatMap { case (g, i) =>
+          if (g.isEmpty) bad("empty group")
+          else if (g.contains('.')) {
+            if (!mayEndV4 || i != gs.length - 1) bad("embedded IPv4 not at tail")
+            val o = g.split("\\.", -1)
+            if (o.length != 4 || o.exists(x => !x.matches("[0-9]{1,3}") || x.toInt > 255))
+              bad(s"bad embedded IPv4 '$g'")
+            val v = o.map(_.toInt)
+            Seq(f"${v(0) * 256 + v(1)}%04x", f"${v(2) * 256 + v(3)}%04x")
+          } else if (!g.matches("[0-9a-f]{1,4}")) bad(s"bad hex group '$g'")
+          else Seq(("0" * (4 - g.length)) + g)
+        }
+      }
+    val groups =
+      if (halves.length == 1) expand(halves(0), mayEndV4 = true)
+      else {
+        val l = expand(halves(0), mayEndV4 = false)
+        val r = expand(halves(1), mayEndV4 = true)
+        if (l.size + r.size > 7) bad("'::' must compress at least one group")
+        l ++ Seq.fill(8 - l.size - r.size)("0000") ++ r
+      }
+    if (groups.size != 8) bad(s"${groups.size} groups")
+    groups.mkString
+  }
+
+  /** `ip("…")` IPv6 pattern → inclusive [lo, hi] as 32-nibble hex. */
+  private def ipv6Range(pattern: String): (String, String) = {
+    def hex(v: java.math.BigInteger): String = String.format("%032x", v)
+    pattern match {
+      case p if p.contains('/') =>
+        val Array(base, len) = p.split("/", 2)
+        val bits = try len.trim.toInt catch {
+          case _: NumberFormatException => throw Unsupported(s"ip(): bad CIDR length '$len'")
+        }
+        if (bits < 0 || bits > 128) throw Unsupported(s"ip(): CIDR length $bits out of [0,128]")
+        val one = java.math.BigInteger.ONE
+        val full = one.shiftLeft(128).subtract(one)
+        val mask = full.shiftLeft(128 - bits).and(full)
+        val v = new java.math.BigInteger(ipv6Hex(base), 16)
+        val lo = v.and(mask)
+        (hex(lo), hex(lo.or(mask.xor(full))))
+      case p if p.contains('-') =>
+        val Array(a, b) = p.split("-", 2)
+        val (lo, hi) = (ipv6Hex(a), ipv6Hex(b))
+        if (lo > hi) throw Unsupported(s"ip(): inverted range '$p'")
+        (lo, hi)
+      case p =>
+        val v = ipv6Hex(p); (v, v)
+    }
+  }
+
+  /** IPv6 column → 32-nibble hex, NULL when malformed. Handles `::`
+    * compression; embedded-IPv4 tails are plan-time-pattern-only (a label
+    * value in that notation normalizes to NULL, documented divergence). */
+  private def ipv6NormCol(c0: Column): Column = {
+    val v = lower(trim(c0))
+    def hexOk(p: Column): Column = p.rlike("^[0-9a-f]{1,4}$")
+    def pad(arr: Column): Column =
+      array_join(transform(arr, p => lpad(p, 4, "0")), "")
+    val halves = split(v, "::", -1)
+    val parts8 = split(v, ":", -1)
+    val okSingle = size(halves) === 1 && size(parts8) === 8 && forall(parts8, hexOk)
+    val l = element_at(halves, 1)
+    val r = element_at(halves, 2)
+    val emptyArr = array().cast("array<string>")
+    val lp = when(l === "", emptyArr).otherwise(split(l, ":", -1))
+    val rp = when(r === "", emptyArr).otherwise(split(r, ":", -1))
+    val cnt = size(lp) + size(rp)
+    val okDual = size(halves) === 2 && cnt <= 7 && forall(lp, hexOk) && forall(rp, hexOk)
+    when(okSingle, pad(parts8))
+      .when(okDual, concat(pad(lp),
+        lit("0" * 32).substr(lit(1), (lit(8) - cnt) * 4), pad(rp)))
+  }
+
   /** `|= ip(...)` / `!= ip(...)`: does the line contain ANY IPv4 token in
     * the pattern? Candidate tokens come from one regexp_extract_all pass
     * (digit/dot boundary guards so "1234.5.6.7" never yields a truncated
@@ -342,6 +438,8 @@ object Lowering {
     * candidates are invalid IPv4s contains no matching address — it drops
     * under `|=` and is KEPT under `!=`. */
   private def lineIpCol(f: Stage.LineIpFilter): Column = {
+    if (f.pattern.contains(':'))
+      throw Unsupported("ip(): IPv6 line filters unsupported (label filters support IPv6)")
     val (lo, hi) = ipv4Range(f.pattern)
     val hitsAny = coalesce(
       exists(

@@ -88,7 +88,11 @@ class CorpusSpec extends AnyFunSuite {
     // (which rejects at execution, logql.rs:674)
     """{job="api"} | addr = ip("10.0.0.1")""",
     """{job="api"} | addr != ip("10.0.0.1-10.0.0.200")""",
-    """{job="api"} |= ip("192.168.0.0/16")""")
+    """{job="api"} |= ip("192.168.0.0/16")""",
+    // IPv6 label filters (exact/range/CIDR, :: compression, v4-mapped)
+    """{job="api"} | addr = ip("2001:db8::/32")""",
+    """{job="api"} | addr != ip("::1-::ff")""",
+    """{job="api"} | addr = ip("::ffff:10.0.1.2")""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // standalone ip stage is not LogQL
