@@ -51,6 +51,46 @@ object PipelineOps {
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Multi-round Lloyd k-means over integer-quantized embeddings, fully
+    * deterministic: cosine assignment against a broadcast codebook, new
+    * centroids = per-dimension QUANTIZED means (round(sum/count) — exact
+    * integers, so the codebook is bit-identical across engines,
+    * partitionings and reruns; float k-means drifts by summation order).
+    * Seeds = the k lowest vec_ids. Pure plan composition — `iters` is
+    * fixed, so no driver-side action ever runs; each round is one
+    * O(N·k) narrow assign + one explode/agg shuffle. Cells that lose all
+    * members drop out (standard Lloyd artifact).
+    * Input needs (vec_id, vq: array<long>, nrm); returns
+    * (c_id, cv: array<long>, cn, n_members). */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    def assignTo(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotCol(col("vq"), col("cv")).cast(DoubleType) /
+          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
+        .withColumn("_crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)))
+        .filter(col("_crn") === 1)
+        .select(col("vec_id"), col("vq"), col("c_id").as("cell"))
+    def refine(members: DataFrame): DataFrame =
+      members.select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i", round(col("s").cast(DoubleType) / col("cnt")).cast(LongType))
+        .groupBy(col("cell"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+            x => x.getField("cv_i")).as("cv"),
+          max(col("cnt")).as("n_members"))
+        .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+        .select(col("cell").as("c_id"), col("cv"), col("cn"), col("n_members"))
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
+    var cents = seeds.withColumn("n_members", lit(1L))
+    for (_ <- 0 until iters)
+      cents = refine(assignTo(cents.drop("n_members")))
+    cents
+  }
+
   /** 8-bit hyperplane signature column over the quantized embedding —
     * the LSH bucket key shared by q25 (ANN) and q132 (semantic dedup);
     * must stay in lockstep with the md5-derived weights both oracles
@@ -648,6 +688,16 @@ object PipelineOps {
             .when(col("dupf") > 0.12, "repetition"))
         .withColumn("kept", col("reason").isNull)
         .select(col("doc_id"), col("kept"), col("reason"))
+    }),
+
+    // Multi-round k-means training (q122 runs ONE Lloyd step inside the
+    // IVF query path; this is the general trainer, 2 rounds here). The
+    // dump pins each surviving cell's membership count, centroid norm²
+    // and coordinate sum — scalar invariants of the full codebook.
+    "q140_kmeans_train" -> ((s, dir) => {
+      kmeansCentroids(embArr(s, dir), k = 16, iters = 2)
+        .select(col("c_id"), col("n_members"), col("cn"),
+          aggregate(col("cv"), lit(0L), (a, x) => a + x).as("vsum"))
     })
   )
 
@@ -1305,6 +1355,52 @@ object PipelineOps {
         |         WHEN n_stop < 2 THEN 'stopwords'
         |         WHEN dupf > 0.12 THEN 'repetition' END AS reason
         |  FROM m JOIN d ON m.doc_id = d.doc_id)
-        |SELECT doc_id, reason IS NULL AS kept, reason FROM r""".stripMargin
+        |SELECT doc_id, reason IS NULL AS kept, reason FROM r""".stripMargin,
+
+    "q140_kmeans_train" -> kmeansOracle(iters = 2)
   )
+
+  /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a
+    * generated CTE chain (same quantized-mean algebra, exact integers). */
+  private def kmeansOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |cents_0 AS (
+        |  SELECT vec_id AS c_id, pos, vq AS cv, 1 AS cnt FROM e WHERE vec_id < 16),
+        |cnorms_0 AS (SELECT c_id, SUM(cv*cv) AS cn FROM cents_0 GROUP BY 1)""".stripMargin
+    for (r <- 1 to iters) sb ++=
+      s""",
+         |ccos_$r AS (
+         |  SELECT v.vec_id, c.c_id,
+         |    CAST(SUM(v.vq * c.cv) AS DOUBLE)
+         |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+         |  FROM e v
+         |  JOIN cents_${r - 1} c ON c.pos = v.pos
+         |  JOIN cnorms_${r - 1} cn ON cn.c_id = c.c_id
+         |  JOIN norms vn ON vn.vec_id = v.vec_id
+         |  GROUP BY 1, 2, cn.cn, vn.nrm),
+         |members_$r AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, c_id ASC) AS crn
+         |    FROM ccos_$r) WHERE crn = 1),
+         |cents_$r AS (
+         |  SELECT m.cell AS c_id, v.pos,
+         |    CAST(round(CAST(SUM(v.vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+         |    COUNT(*) AS cnt
+         |  FROM members_$r m JOIN e v ON v.vec_id = m.vec_id
+         |  GROUP BY 1, 2),
+         |cnorms_$r AS (SELECT c_id, SUM(cv*cv) AS cn FROM cents_$r GROUP BY 1)""".stripMargin
+    sb ++=
+      s"""
+         |SELECT c_id, MAX(cnt) AS n_members,
+         |  CAST(SUM(cv*cv) AS BIGINT) AS cn, CAST(SUM(cv) AS BIGINT) AS vsum
+         |FROM cents_$iters GROUP BY 1""".stripMargin
+    sb.toString
+  }
 }

@@ -88,6 +88,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(grew == 0)
   }
 
+  test("kmeansCentroids separates two cosine clusters in 2 rounds") {
+    import spark.implicits._
+    // cluster A hugs the x-axis, cluster B the y-axis; seeds 0 and 1 are
+    // both in A, so round 1 must MOVE a centroid toward B via the
+    // quantized-mean refit before assignment stabilizes
+    val vecs = Seq(
+      (0L, Seq(1000L, 10L)), (1L, Seq(990L, 50L)), (2L, Seq(980L, 20L)),
+      (3L, Seq(10L, 1000L)), (4L, Seq(30L, 970L)), (5L, Seq(5L, 990L)))
+    val e = vecs.toDF("vec_id", "vq")
+      .withColumn("nrm", expr("aggregate(vq, 0L, (a, x) -> a + x * x)"))
+    val cents = PipelineOps.kmeansCentroids(e, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1), r.getLong(3)))).toMap
+    assert(cents.keySet == Set(0L, 1L))
+    val sizes = cents.values.map(_._2).toSeq.sorted
+    assert(sizes == Seq(3L, 3L), s"expected 3+3 membership, got $cents")
+    // one centroid must point x-ward, the other y-ward
+    val dirs = cents.values.map { case (cv, _) => cv.head > cv(1) }.toSet
+    assert(dirs == Set(true, false), s"centroids did not separate: $cents")
+  }
+
   test("filter chain reports the FIRST failing rule and kept = no reason") {
     val rows = PipelineOps.queries("q139_filter_chain")(spark, "/root/testdata/sf0.001")
       .collect()
