@@ -698,6 +698,79 @@ object PipelineOps {
       kmeansCentroids(embArr(s, dir), k = 16, iters = 2)
         .select(col("c_id"), col("n_members"), col("cn"),
           aggregate(col("cv"), lit(0L), (a, x) => a + x).as("vsum"))
+    }),
+
+    // TF-IDF-style term weighting: per-doc term counts joined against
+    // corpus-wide doc frequencies, top-3 terms per doc. The weight is the
+    // RATIO form tf·(N+1)/(df+1) in fixed point (exact integer division)
+    // rather than the log form — ln() is libm and differs by 1 ulp across
+    // engines, the ranking shape is identical. N comes from a 1-row agg
+    // broadcast, never a driver-side count.
+    "q142_tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score_fp", expr("(tf * (n_docs + 1) * 1000000) div (df + 1)"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_fp").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score_fp"), col("rank"))
+    }),
+
+    // Sequence packing (concat-and-chunk): documents are packed in
+    // doc_id order into fixed 512-token training sequences WITHIN each
+    // source shard — the per-shard running offset is a partitioned
+    // window cumsum, so no global ordering bottleneck (pack shards
+    // independently, exactly what a 100 TB packer does). Emits each
+    // doc's start offset, its sequence id, and whether it straddles a
+    // sequence boundary.
+    "q143_sequence_pack" -> ((s, dir) => {
+      val L = 512
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+        .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"start_off div $L"))
+        .withColumn("crosses", expr(s"(start_off + n_tok - 1) div $L") > col("seq_id"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("start_off"),
+          col("seq_id"), col("crosses"))
+    }),
+
+    // Embedding-outlier pruning: each label's quantized-mean centroid
+    // (exact integers, same algebra as k-means), then the 5 members with
+    // the LOWEST cosine to their own centroid — the embedding-space
+    // quality gate a curation pipeline runs per cluster/topic. Centroids
+    // are a 64-row-per-label aggregate, broadcast back; per-label rank.
+    "q144_embedding_outliers" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"),
+          v => round(v.cast(DoubleType) * 1000000).cast(LongType)).as("vq"))
+        .withColumn("nrm", aggregate(col("vq"), lit(0L), (a, x) => a + x * x))
+      val cents = e
+        .select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i", round(col("s").cast(DoubleType) / col("cnt")).cast(LongType))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+          x => x.getField("cv_i")).as("cv"))
+        .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      val cos = e.join(broadcast(cents), "label")
+        .withColumn("cos", dotCol(col("vq"), col("cv")).cast(DoubleType) /
+          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
+      val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id").asc)
+      cos.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("label").cast(LongType).as("label"), col("vec_id"),
+          col("cos"), col("rank"))
     })
   )
 
@@ -1357,7 +1430,62 @@ object PipelineOps {
         |  FROM m JOIN d ON m.doc_id = d.doc_id)
         |SELECT doc_id, reason IS NULL AS kept, reason FROM r""".stripMargin,
 
-    "q140_kmeans_train" -> kmeansOracle(iters = 2)
+    "q140_kmeans_train" -> kmeansOracle(iters = 2),
+
+    "q142_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf, df,
+        |    (tf * (n_docs + 1) * 1000000) // (df + 1) AS score_fp
+        |  FROM tf JOIN df USING(term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_fp DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, score_fp, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "q143_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS seq_id,
+        |  (start_off + n_tok - 1) // 512 > start_off // 512 AS crosses
+        |FROM o""".stripMargin,
+
+    "q144_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |cents AS (
+        |  SELECT label, pos,
+        |    CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM e GROUP BY 1, 2),
+        |cnorms AS (SELECT label, SUM(cv*cv) AS cn FROM cents GROUP BY 1),
+        |cos AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(SUM(e.vq * c.cv) AS DOUBLE)
+        |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(n.nrm AS DOUBLE)) AS cos
+        |  FROM e
+        |  JOIN cents c ON c.label = e.label AND c.pos = e.pos
+        |  JOIN cnorms cn ON cn.label = e.label
+        |  JOIN norms n ON n.vec_id = e.vec_id
+        |  GROUP BY 1, 2, cn.cn, n.nrm),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY cos ASC, vec_id ASC) AS rank FROM cos)
+        |SELECT label, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin
   )
 
   /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a

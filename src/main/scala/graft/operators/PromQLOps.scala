@@ -151,6 +151,11 @@ object PromQLOps {
     "q119_promql_vector" ->
       q("""view + vector(100)""", 86400),
 
+    // timestamp(v): latest sample's unix-seconds timestamp per series
+    // (reference promql.rs:231-233 — value is the TIME, not the sample)
+    "q141_promql_timestamp" ->
+      q("""timestamp(purchase{service_name=~"svc-[0-3]"})""", 86400),
+
     // changes/resets: adjacent-sample comparison per (bucket, series)
     // (reference metrics.rs:1279-1391)
     "q125_promql_changes" -> q("""changes(click[1d])""", 86400),
@@ -575,6 +580,15 @@ object PromQLOps {
          |  MAX(value) AS vmax,
          |  MAX(CASE WHEN rn = 1 THEN value END) AS vlast
          |FROM r GROUP BY 1, 2, 3""".stripMargin,
+
+    "q141_promql_timestamp" ->
+      s"""WITH m AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  CAST(MAX(timestamp//1000) AS DOUBLE) / 1000000.0 AS value
+         |FROM m
+         |WHERE metric_name = 'purchase' AND service_name SIMILAR TO 'svc-[0-3]'
+         |  AND ${win(86400)}
+         |GROUP BY 1, 2""".stripMargin,
 
     // exact least-squares slope from hugeint sums — the same closed form
     // as the engine side, so the fixed-point result is bit-identical

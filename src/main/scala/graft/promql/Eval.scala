@@ -278,9 +278,19 @@ object Eval {
     case "time" =>
       VecV(spine(t, tr, bucket.cast(DoubleType)))
 
+    // timestamp(v): each series' latest sample TIMESTAMP (unix seconds)
+    // in the bucket, not the sample value (reference promql.rs:231-233).
+    // µs-exact: ns div 1000 stays under 2^53, then one IEEE division.
     case "timestamp" =>
-      val v = evalVector(args.head, t, tr)
-      VecV(Vec(v.df.withColumn("value", bucket.cast(DoubleType)), v.labels))
+      args.head match {
+        case sel @ Selector(_, _, None, _, _) =>
+          val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+          val keys = bucket +: t.seriesLabels.map(col)
+          val v = df.groupBy(keys: _*)
+            .agg((max(expr("timestamp div 1000")).cast(DoubleType) / lit(1e6)).as("value"))
+          VecV(spread(sel, Vec(v, t.seriesLabels), t, tr))
+        case _ => throw Unsupported("timestamp() expects an instant selector")
+      }
 
     case "vector" =>
       args.head match {
