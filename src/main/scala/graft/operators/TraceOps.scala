@@ -90,8 +90,47 @@ object TraceOps {
       graft.SignalTables.traceById(s, dir, pointLookupId)
         .select(col("trace_id"), col("span_id"), col("timestamp"),
           col("span_name"), col("duration_nanos"))
+    }),
+
+    // TraceQL structural `>`: direct children — IMPLEMENTED BEYOND the
+    // reference subset (search_filter.rs:240-246 rejects anything but a
+    // single spanset). One semi join on (trace_id, parent link); the
+    // per-trace span list bounds the fan-out.
+    "q145_traceql_child" -> ((s, dir) => {
+      val e = TraceQL.parseExpr("""{ name = "view" } > { name = "purchase" }""")
+      TraceQL.lowerExpr(tracesWithParent(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
+    // TraceQL structural `~`: siblings of a DISTINCT matching span
+    "q146_traceql_sibling" -> ((s, dir) => {
+      val e = TraceQL.parseExpr("""{ name = "error" } ~ { name = "purchase" }""")
+      TraceQL.lowerExpr(tracesWithParent(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
     })
   )
+
+  /** spans + a deterministic HEAP-shaped hierarchy: ordering a trace's
+    * spans by (timestamp, span_id), span #i's parent is span #(i-1)/2 —
+    * a branching tree (so siblings exist), derived with one per-trace
+    * window + one self join, mirrored exactly in the oracle. The
+    * reference schema carries a real parent_span_id
+    * (iceberg/schemas.rs via Schemas.scala:30); the driver events have
+    * no span nesting, so the heap shape stands in for it. */
+  private def tracesWithParent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("trace_id"))
+      .orderBy(col("timestamp").asc, col("span_id").asc)
+    val sp = tracesDf(s, dir).withColumn("rn", row_number().over(w) - 1)
+    val parents = sp.select(col("trace_id").as("_t"), col("rn").as("_prn"),
+      col("span_id").as("parent_span_id"))
+    sp.join(parents,
+      col("trace_id") === col("_t") && col("rn") > 0 &&
+        expr("(rn - 1) div 2") === col("_prn"),
+      "left")
+      .drop("_t", "_prn")
+  }
 
   /** deterministic existing trace: user 0 on 2024-01-01 (day 19723) — the
     * md5 hex id matches the stored table's gen-2 id derivation. */
@@ -133,6 +172,39 @@ object TraceOps {
     "q91_trace_point_lookup" ->
       s"""WITH spans AS (${graft.SignalViews.tracesGen2ViewSql})
          |SELECT trace_id, span_id, timestamp, span_name, duration_nanos
-         |FROM spans WHERE trace_id = '$pointLookupId'""".stripMargin
+         |FROM spans WHERE trace_id = '$pointLookupId'""".stripMargin,
+
+    "q145_traceql_child" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2)
+         |SELECT c.trace_id, c.span_id, c.span_name, c.duration_nanos
+         |FROM wp c
+         |WHERE c.span_name = 'purchase' AND EXISTS (
+         |  SELECT 1 FROM wp p WHERE p.trace_id = c.trace_id
+         |    AND p.span_id = c.parent_span_id AND p.span_name = 'view')""".stripMargin,
+
+    "q146_traceql_sibling" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2)
+         |SELECT b.trace_id, b.span_id, b.span_name, b.duration_nanos
+         |FROM wp b
+         |WHERE b.span_name = 'purchase' AND EXISTS (
+         |  SELECT 1 FROM wp a WHERE a.trace_id = b.trace_id
+         |    AND a.parent_span_id = b.parent_span_id
+         |    AND a.span_id <> b.span_id AND a.span_name = 'error')""".stripMargin
   )
 }

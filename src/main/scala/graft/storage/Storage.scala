@@ -69,6 +69,27 @@ object Storage {
     w.parquet(layout.path(table))
   }
 
+  /** Bucketed layout for co-located joins: hash-bucket (and sort) the
+    * table by its join key at WRITE time, so every later equi join or
+    * aggregation on that key runs with NO shuffle — at 100 TB the
+    * repeated join (spans↔spans, doc↔doc-signals, fact↔fact) is where
+    * shuffle volume lives, and bucketing moves that cost to ingest,
+    * once. Registered as an external table (explicit path) so the files
+    * stay under the tenant layout. Bucket counts must match across
+    * tables that join together. */
+  def writeBucketed(df: DataFrame, layout: TableLayout, table: String,
+      bucketKey: String, buckets: Int): Unit = {
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .option("path", layout.path(table))
+      .option("compression", "zstd")
+      .format("parquet")
+      .saveAsTable(s"${layout.tenant}_${layout.dataset}_$table"
+        .replaceAll("[^A-Za-z0-9_]", "_"))
+  }
+
   /** Compactor-side downsampling: raw samples → one pre-aggregated cell
     * per (step bucket, series) carrying the re-aggregable algebra
     * (count / sum / min / max / last-with-tiebreak). Coarser resolutions

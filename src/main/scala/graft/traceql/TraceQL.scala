@@ -21,6 +21,48 @@ object TraceQL {
   final case class StrEq(selector: String, value: String, negated: Boolean) extends Cond
   final case class DurCmp(op: String, nanos: Long) extends Cond
 
+  /** structural form — IMPLEMENTED BEYOND the reference subset (which
+    * rejects anything but a single spanset, search_filter.rs:240-246):
+    * `{A} > {B}` = B-spans that are DIRECT CHILDREN of an A-span,
+    * `{A} ~ {B}` = B-spans that are SIBLINGS of a distinct A-span.
+    * Descendant `>>` needs transitive closure and stays Unsupported. */
+  sealed trait Expr
+  final case class Spanset(conds: Seq[Cond]) extends Expr
+  final case class Structural(parent: Seq[Cond], op: String, child: Seq[Cond]) extends Expr
+
+  private val structRe = """^(\{[^}]*\})\s*(>>|>|~)\s*(\{[^}]*\})$""".r
+
+  def parseExpr(q: String): Expr = q.trim match {
+    case structRe(l, op, r) =>
+      if (op == ">>")
+        throw Unsupported("TraceQL: descendant '>>' not supported (direct child '>' and sibling '~' are)")
+      Structural(parse(l), op, parse(r))
+    case t => Spanset(parse(t))
+  }
+
+  /** Lower a structural expression over a spans frame that carries
+    * `parent_span_id`. Both forms are ONE semi join keyed by
+    * (trace_id, span link) — the per-trace span list is the join's
+    * bucket, so fan-out is bounded by trace size, never corpus size. */
+  def lowerExpr(spans: DataFrame, e: Expr): DataFrame = e match {
+    case Spanset(c) => spans.filter(lower(c))
+    case Structural(p, ">", c) =>
+      val parents = spans.filter(lower(p))
+        .select(col("trace_id").as("_p_tid"), col("span_id").as("_p_sid"))
+      spans.filter(lower(c)).join(parents,
+        col("trace_id") === col("_p_tid") && col("parent_span_id") === col("_p_sid"),
+        "left_semi")
+    case Structural(p, "~", c) =>
+      val sibs = spans.filter(lower(p))
+        .select(col("trace_id").as("_p_tid"),
+          col("parent_span_id").as("_p_par"), col("span_id").as("_p_sid"))
+      spans.filter(lower(c)).join(sibs,
+        col("trace_id") === col("_p_tid") && col("parent_span_id") === col("_p_par") &&
+          col("span_id") =!= col("_p_sid"),
+        "left_semi")
+    case Structural(_, op, _) => throw Unsupported(s"TraceQL: unsupported structural '$op'")
+  }
+
   /** parse `{ ... }` conjunctive form. */
   def parse(q: String): Seq[Cond] = {
     val t = q.trim

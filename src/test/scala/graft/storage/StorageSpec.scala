@@ -204,4 +204,29 @@ class StorageSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(spark.read.parquet(s"$dir/acme/prod/logs").count() == 25)
   }
+
+  test("bucketed tables co-locate an equi join: no Exchange at query time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val facts = (0 until 500).map(i => (i.toLong % 97, s"span-$i")).toDF("trace_id", "span")
+    val dims = (0L until 97L).map(k => (k, s"meta-$k")).toDF("trace_id", "meta")
+    Storage.writeBucketed(facts, layout, "spans_bkt", "trace_id", buckets = 4)
+    Storage.writeBucketed(dims, layout, "meta_bkt", "trace_id", buckets = 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("acme_prod_spans_bkt")
+        .join(spark.table("acme_prod_meta_bkt"), "trace_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() == 500)
+      // and bucket-keyed aggregation needs no shuffle either
+      val agg = spark.table("acme_prod_spans_bkt")
+        .groupBy("trace_id").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-keyed aggregation still shuffles")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

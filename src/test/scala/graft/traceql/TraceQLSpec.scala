@@ -1,0 +1,68 @@
+package graft.traceql
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural TraceQL semantics over a crafted span tree (the oracle gate
+  * runs the heap-derived hierarchy; here the parentage is explicit):
+  *
+  *   t1: root(view) ── a(purchase), b(error), c(purchase)   [a,b,c siblings]
+  *        └ a ── d(purchase)                                 [d child of a]
+  *   t2: root(error) ── e(purchase)
+  */
+class TraceQLSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def spans = {
+    import spark.implicits._
+    Seq(
+      // trace_id, span_id, parent_span_id, span_name, status, service, dur
+      ("t1", 1L, null.asInstanceOf[java.lang.Long], "view"),
+      ("t1", 2L, java.lang.Long.valueOf(1L), "purchase"),
+      ("t1", 3L, java.lang.Long.valueOf(1L), "error"),
+      ("t1", 4L, java.lang.Long.valueOf(1L), "purchase"),
+      ("t1", 5L, java.lang.Long.valueOf(2L), "purchase"),
+      ("t2", 6L, null.asInstanceOf[java.lang.Long], "error"),
+      ("t2", 7L, java.lang.Long.valueOf(6L), "purchase"))
+      .toDF("trace_id", "span_id", "parent_span_id", "span_name")
+      .withColumn("status_code", org.apache.spark.sql.functions.lit("OK"))
+      .withColumn("service_name", org.apache.spark.sql.functions.lit("svc"))
+      .withColumn("duration_nanos", org.apache.spark.sql.functions.lit(1L))
+  }
+
+  private def ids(q: String): Set[Long] =
+    TraceQL.lowerExpr(spans, TraceQL.parseExpr(q))
+      .collect().map(_.getAs[Long]("span_id")).toSet
+
+  test("`>` selects direct children of a matching parent only") {
+    // purchases whose parent is a view: 2 and 4 (5's parent is a purchase)
+    assert(ids("""{ name = "view" } > { name = "purchase" }""") == Set(2L, 4L))
+    // purchases whose parent is an error: only 7 (t2)
+    assert(ids("""{ name = "error" } > { name = "purchase" }""") == Set(7L))
+  }
+
+  test("`~` selects siblings of a DISTINCT matching span") {
+    // purchases sharing a parent with an error span: 2 and 4 (both under
+    // root 1 with error 3); 5 and 7 have no error sibling
+    assert(ids("""{ name = "error" } ~ { name = "purchase" }""") == Set(2L, 4L))
+    // a span is not its own sibling: errors with an error sibling — none
+    assert(ids("""{ name = "error" } ~ { name = "error" }""").isEmpty)
+  }
+
+  test("roots (NULL parent) never match a structural right-hand side") {
+    assert(!ids("""{ name = "view" } > { name = "view" }""").contains(1L))
+    assert(ids("""{ name = "error" } ~ { name = "view" }""").isEmpty)
+  }
+
+  test("`>>` stays an explicit Unsupported; bare spansets still parse") {
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.parseExpr("""{ name = "a" } >> { name = "b" }"""))
+    assert(TraceQL.parseExpr("""{ name = "a" }""").isInstanceOf[TraceQL.Spanset])
+  }
+}
