@@ -59,6 +59,25 @@ object ProfileOps {
         .agg(sum(col("value")).as("total"))
     }),
 
+    // Pyroscope discovery: /profile-types with per-type sample counts,
+    // time bounds and service cardinality (reference
+    // router/endpoints/pyroscope.rs:40 + querier profile.rs:234-400 —
+    // the same distinct-discovery aggregate the logs/metrics paths run,
+    // here over the profiles signal). One hash aggregate.
+    "q147_profile_types" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+        concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+        when(col("event_type").isin("purchase", "signup"), "process_cpu:cpu:nanoseconds")
+          .when(col("event_type") === "error", "memory:alloc_space:bytes")
+          .otherwise("goroutines:count").as("profile_type"))
+        .groupBy(col("profile_type"))
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("timestamp")).as("min_ts"),
+          max(col("timestamp")).as("max_ts"),
+          countDistinct(col("service_name")).as("n_services"))
+    }),
+
     // diff flamegraph: totals of two halves of the month. ONE pass: a
     // conditional aggregate per half over a single prefix explosion — no
     // second scan and no full-outer join (a (path,depth) group with rows in
@@ -84,6 +103,15 @@ object ProfileOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_profile_types" ->
+      """SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'process_cpu:cpu:nanoseconds'
+        |            WHEN event_type = 'error' THEN 'memory:alloc_space:bytes'
+        |            ELSE 'goroutines:count' END AS profile_type,
+        |  COUNT(*) AS n_samples,
+        |  MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts,
+        |  COUNT(DISTINCT concat('svc-', user_id % 8)) AS n_services
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q62_flamegraph_fold" ->
       s"""WITH samples AS ($samplesViewSql),
          |pfx AS (

@@ -75,7 +75,7 @@ object Ast {
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "quantile_over_time", "absent_over_time",
-    "present_over_time", "holt_winters")
+    "present_over_time", "holt_winters", "double_exponential_smoothing")
 
   val scalarFuncs: Set[String] = Set(
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",

@@ -240,9 +240,11 @@ object Eval {
     // window's samples SORTED (bounded by samples-per-bucket), then one
     // linear fold inside a higher-order aggregate() — the iterative
     // smoother runs as a single expression, no driver loop, no UDAF
-    case "holt_winters" =>
+    // `double_exponential_smoothing` is the Prometheus-3 name for the
+    // same smoother (prometheus/prometheus#13500 rename)
+    case "holt_winters" | "double_exponential_smoothing" =>
       if (args.length != 3)
-        throw Unsupported(s"holt_winters expects (range-vector, sf, tf), got ${args.length} args")
+        throw Unsupported(s"$f expects (range-vector, sf, tf), got ${args.length} args")
       val sel = rangeSel(args.take(1), f)
       def hwNum(i: Int): Double = args(i) match {
         case NumLit(d) => d

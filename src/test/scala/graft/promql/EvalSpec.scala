@@ -66,6 +66,9 @@ class EvalSpec extends AnyFunSuite {
       (0L, "a", 1.0), (1000000000L, "a", 2.0), (2000000000L, "a", 4.0)))
     assert(run("holt_winters(m[4s], 0.5, 0.5)", t, TimeRange(0, 4, 4)) ==
       Seq((0L, 3.5)))
+    // the Prometheus-3 rename is an alias for the same smoother
+    assert(run("double_exponential_smoothing(m[4s], 0.5, 0.5)", t, TimeRange(0, 4, 4)) ==
+      Seq((0L, 3.5)))
     // single-sample windows drop
     val t1 = table(Seq((0L, "a", 1.0)))
     assert(run("holt_winters(m[4s], 0.5, 0.5)", t1, TimeRange(0, 4, 4)).isEmpty)
