@@ -72,7 +72,19 @@ object Lowering {
       }
     }
     private def resolvePhysical(label: String): Column =
-      table.promoted.get(label) match {
+      // `__error__`: parse-stage error status (Loki semantics; the
+      // reference parses it, logql lexer.rs:552/parser.rs:1364). After
+      // `| json` it is "JSONParserErr" where the body is not valid JSON,
+      // "" otherwise — get_json_object(body, '$') is NULL exactly on
+      // invalid JSON, so the status stays a codegen'd expression. The
+      // logfmt/unpack extractions here are total (regex first-match),
+      // so they never set an error.
+      if (label == "__error__") {
+        if (jsonParsed)
+          when(get_json_object(col("body"), "$").isNull, lit("JSONParserErr"))
+            .otherwise(lit(""))
+        else lit("")
+      } else table.promoted.get(label) match {
         case Some(phys) => col(phys)
         case None if unpacked =>
           // pack format: every key except `_entry` is a label

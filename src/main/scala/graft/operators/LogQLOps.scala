@@ -64,7 +64,29 @@ object LogQLOps {
   private val V2 = SignalViews.gen2ViewSql
   private def bkt(step: Long) = s"(timestamp//1000000000//$step)*$step"
 
+  /** logs view with MIXED body validity — error-severity rows get a '!'
+    * prefix that breaks the JSON — so `__error__` takes both values. */
+  private def mixedBodyTable(s: SparkSession, dir: String): Lowering.LogsTable = {
+    import org.apache.spark.sql.functions._
+    val t = SignalViews.logsTable(s, dir)
+    t.copy(df = t.df.withColumn("body",
+      when(col("severity_text") === "error", concat(lit("!"), col("body")))
+        .otherwise(col("body"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    // `__error__` parse-status label (Loki semantics; the reference
+    // PARSES it — logql lexer.rs:552, parser.rs:1364): after `| json` it
+    // is 'JSONParserErr' on invalid bodies, '' otherwise, and behaves as
+    // a normal label (grouping here; filters/drop work the same way)
+    "q148_logql_error_label" -> ((s, dir) => {
+      Parser.parse(
+        """sum by (__error__) (count_over_time({service_name=~"svc-.*"} | json [1w]))""") match {
+        case MetricQuery(m) => Lowering.lowerMetric(mixedBodyTable(s, dir), m)
+        case _              => throw Unsupported("expected metric query")
+      }
+    }),
+
     // §2.2 label matchers + line contains filter; newest-first + limit
     "q30_logql_line" ->
       line("""{service_name="svc-3", severity_text!="debug"} |= "\"k\": 8"""", 200),
@@ -268,6 +290,18 @@ object LogQLOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_logql_error_label" ->
+      s"""WITH logs AS ($V),
+         |mixed AS (
+         |  SELECT timestamp, service_name,
+         |    CASE WHEN severity_text = 'error' THEN '!' || body ELSE body END AS body
+         |  FROM logs)
+         |SELECT ${bkt(604800)} AS bucket_start,
+         |  CASE WHEN json_valid(body) THEN '' ELSE 'JSONParserErr' END AS __error__,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM mixed WHERE regexp_matches(service_name, '^(?:svc-.*)$$')
+         |GROUP BY 1, 2""".stripMargin,
+
     "q30_logql_line" ->
       s"""WITH logs AS ($V)
          |SELECT timestamp, service_name, severity_text, body FROM logs

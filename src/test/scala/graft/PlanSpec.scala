@@ -140,4 +140,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("vsum") && !plan.contains("ReadSchema: struct<timestamp"),
       s"rollup scan should read cells, not raw samples:\n$plan")
   }
+
+  test("grouping sets lower to one Expand + hash aggregates, no extra join") {
+    val df = operators.CoreOps.queries("q137_sql_grouping_sets")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand for grouping sets:\n$plan")
+    assert(!plan.contains("Join"), s"grouping sets must not join:\n$plan")
+  }
+
+  test("TF-IDF broadcasts the 1-row corpus count, never a driver action") {
+    val df = operators.PipelineOps.queries("q142_tfidf_topterms")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the N(docs) side must broadcast:\n$plan")
+  }
+
+  test("structural TraceQL is a semi join, not a product") {
+    val df = operators.TraceOps.queries("q145_traceql_child")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(!plan.contains("Cartesian"), s"structural match must stay keyed:\n$plan")
+  }
+
+  test("segment dedup shuffles by segment then by doc — no join in the plan") {
+    val df = operators.PipelineOps.queries("q138_segment_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(seg"),
+      s"expected the per-segment window shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"keep-first dedup needs no join:\n$plan")
+  }
 }

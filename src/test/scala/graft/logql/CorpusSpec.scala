@@ -92,7 +92,11 @@ class CorpusSpec extends AnyFunSuite {
     // IPv6 label filters (exact/range/CIDR, :: compression, v4-mapped)
     """{job="api"} | addr = ip("2001:db8::/32")""",
     """{job="api"} | addr != ip("::1-::ff")""",
-    """{job="api"} | addr = ip("::ffff:10.0.1.2")""")
+    """{job="api"} | addr = ip("::ffff:10.0.1.2")""",
+    // __error__ parse-status label (reference logql lexer.rs:552,
+    // parser.rs:1364)
+    """{app="foo"} | json | __error__ = """"",
+    """{a="b"} | json | drop __error__, method="GET"""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // standalone ip stage is not LogQL
