@@ -153,6 +153,11 @@ object Ast {
 
   /** scalar literal operand of a BinaryExpr. */
   final case class LiteralExpr(v: Double) extends MetricExpr
+  /** `vector(v)` literal — IMPLEMENTED BEYOND the reference (its docs
+    * list `... or vector(0)` fallbacks as unsupported at execution,
+    * docs/users/logql-reference.md:218-226). Only meaningful as the
+    * right side of `or`, where it fills empty grid buckets. */
+  final case class VectorLit(v: Double) extends MetricExpr
   /** label_replace over a metric expr (reference logs.rs:1102-1188). */
   final case class LabelReplaceExpr(inner: MetricExpr, dst: String,
       repl: String, src: String, regex: String) extends MetricExpr

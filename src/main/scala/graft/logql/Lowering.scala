@@ -618,8 +618,39 @@ object Lowering {
         Eval.Vec(lowerVector(table, vagg, timeRange), labels)
       case LiteralExpr(_) =>
         throw Unsupported("a bare scalar is not a LogQL metric query")
+      case VectorLit(_) =>
+        throw Unsupported("vector() literal only as the right side of `or`")
       case LabelReplaceExpr(inner, dst, repl, src, regex) =>
         Eval.labelReplace(lowerMetricVec(table, inner, timeRange), dst, repl, src, regex)
+      // `expr or vector(v)` — the Grafana no-data fallback the reference
+      // documents as unsupported (logql-reference.md:218-226). Prometheus
+      // `or` keeps right rows whose series identity is absent on the
+      // left; vector(v)'s identity is the EMPTY label set, so with a
+      // label-less left this fills exactly the empty grid buckets (anti
+      // join on bucket); with labels on the left every grid bucket gains
+      // the fallback row (identities never collide).
+      case BinaryExpr("or", l, VectorLit(v), _, _, _, _) =>
+        val lv = lowerMetricVec(table, l, timeRange)
+        val (s0, s1) = timeRange.getOrElse(
+          throw Unsupported("`or vector()` requires an explicit time range"))
+        val step = stepOf(l)
+        val b0 = s0 / 1000000000L / step * step
+        val b1 = (s1 / 1000000000L - 1) / step * step
+        var spine = table.df.sparkSession.range(1)
+          .select(explode(sequence(lit(b0), lit(b1), lit(step))).as("bucket_start"))
+          .withColumn("value", lit(v).cast(DoubleType))
+        if (lv.labels.isEmpty)
+          Eval.Vec(lv.df.unionByName(
+            spine.join(lv.df.select("bucket_start").distinct(),
+              Seq("bucket_start"), "left_anti")), Seq.empty)
+        else {
+          for (lbl <- lv.labels)
+            spine = spine.withColumn(lbl, lit(null).cast("string"))
+          Eval.Vec(lv.df.unionByName(spine), lv.labels)
+        }
+      case BinaryExpr(_, _, VectorLit(_), _, _, _, _) |
+          BinaryExpr(_, VectorLit(_), _, _, _, _, _) =>
+        throw Unsupported("vector() literal only as the right side of `or`")
       case BinaryExpr(op, lhs, rhs, bool, on, ig, grp) =>
         (lhs, rhs) match {
           case (LiteralExpr(_), LiteralExpr(_)) =>
@@ -633,6 +664,17 @@ object Lowering {
               lowerMetricVec(table, r, timeRange), bool, on, ig, grp)
         }
     }
+  }
+
+  /** the step (bucket width) a metric expr evaluates on — its range
+    * window; binaries inherit the left side's grid. */
+  private def stepOf(e: MetricExpr): Long = e match {
+    case RangeExpr(agg)                  => agg.rangeSec
+    case VectorExpr(vagg)                => vagg.inner.rangeSec
+    case LabelReplaceExpr(inner, _, _, _, _) => stepOf(inner)
+    case BinaryExpr(_, l, _, _, _, _, _) => stepOf(l)
+    case LiteralExpr(_) | VectorLit(_) =>
+      throw Unsupported("scalar expression has no bucket grid")
   }
 
   /** unwrap conversions (reference ast.rs:169-175): duration strings →

@@ -198,6 +198,14 @@ object Parser {
 
     private def metricAtom(): MetricExpr = cur match {
       case TNum(v, _) => advance(); LiteralExpr(v)
+      case TIdent("vector", _) =>
+        advance(); eatOp("(")
+        val v = cur match {
+          case TNum(d, _) => advance(); d
+          case t          => throw ParseError("vector() expects a number", t.pos)
+        }
+        eatOp(")")
+        VectorLit(v)
       case TOp("(", _) =>
         advance(); val e = metricExpr(); eatOp(")"); e
       case _ => metricAggExpr()

@@ -223,6 +223,19 @@ object LogQLOps {
       metricT("""absent_over_time({service_name="svc-0", severity_text="error"}[1d])""",
         (1704067200000000000L, 1706745600000000000L)),
 
+    // `... or vector(0)` no-data fallback — the reference documents this
+    // as unsupported at execution (logql-reference.md:218-226); here the
+    // empty grid buckets anti-join against a generated spine
+    "q149_logql_or_vector" ->
+      metricT("""sum(count_over_time({service_name="svc-1", severity_text="error"}[1d])) or vector(0)""",
+        (1704067200000000000L, 1706745600000000000L)),
+
+    // `sum without (...)` with a non-empty label list — also rejected by
+    // the reference (logql-reference.md:218-226); the remaining series
+    // labels keep the grouping
+    "q150_logql_without" ->
+      metric("""sum without (severity_text) (count_over_time({service_name=~"svc-[0-3]"}[1d]))"""),
+
     // trailing offset on a range aggregation (reference parser.rs:898):
     // yesterday's error counts on today's bucket grid
     "q102_logql_offset" ->
@@ -473,6 +486,27 @@ object LogQLOps {
          |WHERE NOT EXISTS (SELECT 1 FROM b
          |  WHERE b.bucket_start = a.bucket_start
          |    AND b.service_name = a.service_name AND b.v > 17)""".stripMargin,
+
+    "q149_logql_or_vector" ->
+      s"""WITH logs AS ($V),
+         |agg AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM logs WHERE service_name = 'svc-1' AND severity_text = 'error'
+         |  GROUP BY 1),
+         |vspine AS (
+         |  SELECT 1704067200 + i*86400 AS bucket_start, 0.0 AS value
+         |  FROM range(0, 31) r(i))
+         |SELECT bucket_start, value FROM agg
+         |UNION ALL
+         |SELECT s.bucket_start, s.value FROM vspine s
+         |WHERE NOT EXISTS (SELECT 1 FROM agg a WHERE a.bucket_start = s.bucket_start)""".stripMargin,
+
+    "q150_logql_without" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name, event_type,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE regexp_matches(service_name, '^(?:svc-[0-3])$$')
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q101_logql_absent" ->
       s"""WITH logs AS ($V),
