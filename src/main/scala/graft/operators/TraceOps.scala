@@ -103,6 +103,32 @@ object TraceOps {
           col("duration_nanos"))
     }),
 
+    // TraceQL METRICS — the reference 501s /api/metrics/query_range
+    // (tempo-api-reference.md:28-29); rate() by service over the span
+    // stream, one filter + one hash aggregate
+    "q151_traceql_metrics_rate" -> ((s, dir) => {
+      val mq = TraceQL.parseMetrics(
+        """{ name = "purchase" } | rate() by (resource.service.name)""")
+      TraceQL.lowerMetrics(tracesDf(s, dir), mq, stepSec = 86400)
+    }),
+
+    // TraceQL metrics duration quantile (exact interpolated percentile)
+    "q152_traceql_metrics_quantile" -> ((s, dir) => {
+      val mq = TraceQL.parseMetrics(
+        """{ status = "OK" } | quantile_over_time(duration, 0.9)""")
+      TraceQL.lowerMetrics(tracesDf(s, dir), mq, stepSec = 604800)
+    }),
+
+    // Tempo /api/search/tag/{tag}/values with a time window: real
+    // distinct values (tempo-api-reference.md:26 — the reference serves
+    // service.name and name; the window bounds the scan)
+    "q153_tempo_tag_values" -> ((s, dir) => {
+      tracesDf(s, dir)
+        .filter(col("timestamp") >= 1704412800000000000L &&
+          col("timestamp") < 1705017600000000000L)
+        .select(col("span_name")).distinct()
+    }),
+
     // TraceQL structural `~`: siblings of a DISTINCT matching span
     "q146_traceql_sibling" -> ((s, dir) => {
       val e = TraceQL.parseExpr("""{ name = "error" } ~ { name = "purchase" }""")
@@ -173,6 +199,24 @@ object TraceOps {
       s"""WITH spans AS (${graft.SignalViews.tracesGen2ViewSql})
          |SELECT trace_id, span_id, timestamp, span_name, duration_nanos
          |FROM spans WHERE trace_id = '$pointLookupId'""".stripMargin,
+
+    "q151_traceql_metrics_rate" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT (timestamp//1000000000//86400)*86400 AS bucket_start,
+         |  service_name AS resource_service_name,
+         |  CAST(COUNT(*) AS DOUBLE) / 86400.0 AS value
+         |FROM spans WHERE span_name = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "q152_traceql_metrics_quantile" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT (timestamp//1000000000//604800)*604800 AS bucket_start,
+         |  quantile_cont(CAST(duration_nanos AS DOUBLE), 0.9) AS value
+         |FROM spans WHERE status_code = 'OK' GROUP BY 1""".stripMargin,
+
+    "q153_tempo_tag_values" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT DISTINCT span_name FROM spans
+         |WHERE timestamp >= 1704412800000000000 AND timestamp < 1705017600000000000""".stripMargin,
 
     "q145_traceql_child" ->
       s"""WITH spans AS ($tracesViewSql),

@@ -90,6 +90,55 @@ object TraceQL {
     case other => throw Unsupported(s"TraceQL: unsupported condition '$other'")
   }
 
+  /** TraceQL METRICS (`/api/metrics/query_range`) — the reference returns
+    * a hard 501 for these (docs/users/tempo-api-reference.md:28-29);
+    * implemented beyond it: second-stage functions over a spanset, on the
+    * same fixed step-bucket grid every other signal uses. */
+  final case class MetricsQuery(conds: Seq[Cond], func: String,
+      param: Option[Double], by: Seq[String])
+
+  private val metricsRe =
+    """^(\{[^}]*\})\s*\|\s*(rate|count_over_time|min_over_time|max_over_time|avg_over_time|quantile_over_time)\s*\(\s*(?:duration\s*(?:,\s*([0-9.]+))?)?\s*\)\s*(?:by\s*\(([^)]*)\))?\s*$""".r
+
+  def parseMetrics(q: String): MetricsQuery = q.trim match {
+    case metricsRe(sel, func, param, by) =>
+      val needsDuration = Set("min_over_time", "max_over_time",
+        "avg_over_time", "quantile_over_time")(func)
+      val p = Option(param).map(_.toDouble)
+      if (func == "quantile_over_time" && p.isEmpty)
+        throw Unsupported("quantile_over_time needs (duration, q)")
+      if (!needsDuration && q.contains("duration"))
+        throw Unsupported(s"$func takes no operand")
+      MetricsQuery(parse(sel), func, p,
+        Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+    case _ => throw Unsupported(s"TraceQL metrics: cannot parse '$q'")
+  }
+
+  /** Lower a metrics query over a traces frame: one filter + one hash
+    * aggregate per step bucket (and `by` groups) — the flat shape that
+    * scales; quantiles use the exact interpolated percentile. */
+  def lowerMetrics(spans: DataFrame, mq: MetricsQuery, stepSec: Long): DataFrame = {
+    val filtered = spans.filter(lower(mq.conds))
+      .withColumn("bucket_start", expr(s"(timestamp div 1000000000) div $stepSec * $stepSec"))
+    val byCols = mq.by.map(sel =>
+      selectorCol(sel).as(sel.replaceAll("[^A-Za-z0-9]", "_")))
+    val keys = col("bucket_start") +: byCols
+    val dur = col("duration_nanos").cast(DoubleType)
+    val value = mq.func match {
+      case "count_over_time"    => count(lit(1)).cast(DoubleType)
+      case "rate"               => count(lit(1)).cast(DoubleType) / lit(stepSec.toDouble)
+      case "min_over_time"      => min(dur)
+      case "max_over_time"      => max(dur)
+      case "avg_over_time"      =>
+        // decimal-exact sum, one final IEEE division — deterministic
+        // across engines and partitionings (float avg is neither)
+        sum(col("duration_nanos").cast("decimal(38,0)")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)
+      case "quantile_over_time" => percentile(dur, lit(mq.param.get))
+    }
+    filtered.groupBy(keys: _*).agg(value.as("value"))
+  }
+
   /** Tempo `tags` logfmt: `key=value key2="quoted"` → equality conditions
     * (search_filter.rs:184-232). */
   def parseTags(tags: String): Seq[Cond] =

@@ -65,4 +65,31 @@ class TraceQLSpec extends AnyFunSuite {
       TraceQL.parseExpr("""{ name = "a" } >> { name = "b" }"""))
     assert(TraceQL.parseExpr("""{ name = "a" }""").isInstanceOf[TraceQL.Spanset])
   }
+
+  test("metrics queries parse: rate/by, duration operand rules, quantile arity") {
+    val mq = TraceQL.parseMetrics("""{ name = "a" } | rate() by (resource.service.name, name)""")
+    assert(mq.func == "rate" && mq.by == Seq("resource.service.name", "name"))
+    val q = TraceQL.parseMetrics("""{ status = "OK" } | quantile_over_time(duration, 0.95)""")
+    assert(q.param.contains(0.95))
+    // quantile needs its q; rate takes no operand; unknown funcs reject
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.parseMetrics("""{ name = "a" } | quantile_over_time(duration)"""))
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.parseMetrics("""{ name = "a" } | rate(duration)"""))
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.parseMetrics("""{ name = "a" } | histogram_over_time(duration)"""))
+  }
+
+  test("metrics lowering buckets and groups the span stream") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val withTs = spans
+      .withColumn("timestamp", col("span_id") * lit(1000000000L))
+    val mq = TraceQL.parseMetrics("""{ } | count_over_time() by (name)""")
+    val rows = TraceQL.lowerMetrics(withTs, mq, stepSec = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // span_ids 1..7 → buckets 0 (1,2,3), 4 (4,5,6,7)
+    assert(rows == Set(
+      (0L, "view", 1.0), (0L, "purchase", 1.0), (0L, "error", 1.0),
+      (4L, "purchase", 3.0), (4L, "error", 1.0)))
+  }
 }
