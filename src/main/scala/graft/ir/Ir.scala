@@ -58,6 +58,14 @@ object Ir {
     final case class Extract(source: String, parser: String, key: String,
         as: String, castTo: String) extends Stage
     final case class Select(fields: Seq[String]) extends Stage
+    /** cross-signal correlate — IMPLEMENTED BEYOND the reference, whose
+      * IR roadmap defers it ("a `correlate` join stage (the IR becomes a
+      * DAG)", docs/users/querying-ir.md:213-222). `right` is a full
+      * sub-document over its own `from`; the join is keyed equality.
+      * kind ∈ inner | left | semi | anti; for inner/left the right
+      * side's non-key columns arrive prefixed `right_`. */
+    final case class Correlate(right: Document, on: Seq[String],
+        kind: String) extends Stage
   }
 
   final case class Document(

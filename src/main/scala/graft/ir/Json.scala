@@ -13,12 +13,14 @@ object Json {
 
   private val mapper = new ObjectMapper()
 
-  def parseDocument(json: String, nowNs: Long): Document = {
-    val root = mapper.readTree(json)
+  def parseDocument(json: String, nowNs: Long): Document =
+    parseDocumentNode(mapper.readTree(json), nowNs)
+
+  private def parseDocumentNode(root: JsonNode, nowNs: Long): Document = {
     val ver = opt(root, "irVersion").map(_.asInt).getOrElse(1)
     val from = req(root, "from").asText
     val range = parseRange(req(root, "range"), nowNs)
-    val pipeline = opt(root, "pipeline").map(_.elements.asScala.toSeq.map(parseStage))
+    val pipeline = opt(root, "pipeline").map(_.elements.asScala.toSeq.map(parseStage(_, nowNs)))
       .getOrElse(Seq.empty)
     val fields = opt(root, "fields").map(_.elements.asScala.toSeq.map(_.asText))
     Document(ver, from, range, pipeline, fields)
@@ -90,7 +92,7 @@ object Json {
     }
   }
 
-  private def parseStage(n: JsonNode): Stage = {
+  private def parseStage(n: JsonNode, nowNs: Long): Stage = {
     val t = req(n, "stage").asText
     t match {
       case "filter" => Stage.Filter(parsePredicate(req(n, "predicate")))
@@ -119,6 +121,11 @@ object Json {
           opt(n, "cast").map(_.asText).getOrElse("string"))
       case "select" =>
         Stage.Select(req(n, "fields").elements.asScala.toSeq.map(_.asText))
+      case "correlate" =>
+        Stage.Correlate(
+          parseDocumentNode(req(n, "query"), nowNs),
+          req(n, "on").elements.asScala.toSeq.map(_.asText),
+          opt(n, "kind").map(_.asText).getOrElse("semi"))
       case other => throw IrError(s"unknown stage '$other'")
     }
   }

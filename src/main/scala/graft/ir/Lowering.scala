@@ -92,7 +92,8 @@ object Lowering {
       resolve(t, cols, f).isNotNull
   }
 
-  def lower(doc: Document, t: IrTable): DataFrame = {
+  def lower(doc: Document, t: IrTable,
+      tables: Map[String, IrTable] = Map.empty): DataFrame = {
     // boundary validation: relation-type inference + stage legality — a
     // malformed pipeline fails here, not deep inside Spark analysis
     // (reference validate.rs; see graft.ir.Validate)
@@ -170,6 +171,29 @@ object Lowering {
       case Stage.Select(fs) =>
         df = df.select(fs.map(f => resolve(t, cols, f).as(f)): _*)
         cols = fs.toSet
+
+      case Stage.Correlate(right, on, kind) =>
+        // cross-signal DAG join (reference roadmap, querying-ir.md:213-222):
+        // the sub-pipeline lowers recursively against its own table, keys
+        // materialize on both sides, then one equi join — semi/anti stay
+        // projection-free, inner/left prefix the right payload `right_`
+        val rt = tables.getOrElse(right.from,
+          throw IrError(s"correlate: unknown source '${right.from}'"))
+        val rightDf = lower(right, rt, tables)
+        val rcols = rightDf.columns.toSet
+        for (k <- on) if (!rcols.contains(k))
+          throw IrError(s"correlate: key '$k' not present on '${right.from}'")
+        df = on.foldLeft(df)((d, k) => d.withColumn(k, resolve(t, cols, k)))
+        kind match {
+          case "semi" => df = df.join(rightDf.select(on.map(col): _*), on, "left_semi")
+          case "anti" => df = df.join(rightDf.select(on.map(col): _*), on, "left_anti")
+          case "inner" | "left" =>
+            val renamed = rightDf.columns.foldLeft(rightDf)((d, c) =>
+              if (on.contains(c)) d else d.withColumnRenamed(c, s"right_$c"))
+            df = df.join(renamed, on, if (kind == "left") "left" else "inner")
+            cols = cols ++ renamed.columns.toSet
+          case other => throw IrError(s"correlate: unknown kind '$other'")
+        }
     }
 
     doc.fields match {

@@ -194,6 +194,19 @@ object Validate {
         fs.foreach(checkRef)
         rel = RowSet(fs.toSet, open = false,
           aggregated = rel.asInstanceOf[RowSet].aggregated)
+
+      case Stage.Correlate(_, on, kind) =>
+        // left-side legality only — the sub-document validates against
+        // its own table when it lowers (the right `from` is resolved
+        // there). Keys must resolve here; the joined relation opens for
+        // inner/left (right payload columns arrive prefixed).
+        val rs = requireRowSet("correlate")
+        if (on.isEmpty) fail("invalid query: correlate requires at least one key")
+        if (!Set("inner", "left", "semi", "anti")(kind))
+          fail(s"invalid query: unknown correlate kind '$kind'")
+        on.foreach(checkRef)
+        if (kind == "inner" || kind == "left")
+          rel = rs.copy(fields = rs.fields ++ on, open = true)
     }
 
     doc.fields.foreach { fs =>

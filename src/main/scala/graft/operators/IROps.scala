@@ -33,6 +33,11 @@ object IROps {
   private def q(doc: String): Q = (s, dir) =>
     Lowering.lower(Json.parseDocument(doc, NowNs), irTable(s, dir))
 
+  /** with the source registry, so `correlate` sub-documents resolve. */
+  private def qc(doc: String): Q = (s, dir) =>
+    Lowering.lower(Json.parseDocument(doc, NowNs), irTable(s, dir),
+      Map("events" -> irTable(s, dir)))
+
   /** logfmt-shaped view: line = "k=<k> svc=svc-<user_id%8>". */
   private def logfmtTable(s: SparkSession, dir: String): IrTable = {
     val base = irTable(s, dir)
@@ -97,10 +102,61 @@ object IROps {
           |    {"op":"gte","field":"kv","value":40},
           |    {"op":"in","field":"svc","values":["svc-1","svc-2","svc-3"]}]}},
           |  {"stage":"select","fields":["event_id","kv","svc"]}]}""".stripMargin,
-        NowNs), logfmtTable(s, dir)))
+        NowNs), logfmtTable(s, dir))),
+
+    // cross-signal correlate (semi): purchases of users who ALSO had an
+    // error in the window — the IR-as-DAG stage the reference's roadmap
+    // defers (querying-ir.md:213-222)
+    "q154_ir_correlate_semi" -> qc(
+      """{"irVersion":1,"from":"events",
+        |"range":{"start":"2024-01-01T00:00:00Z","end":"now"},
+        |"pipeline":[
+        |  {"stage":"filter","predicate":{"op":"eq","field":"event_type","value":"purchase"}},
+        |  {"stage":"correlate","kind":"semi","on":["user_id"],
+        |   "query":{"from":"events",
+        |     "range":{"start":"2024-01-01T00:00:00Z","end":"now"},
+        |     "pipeline":[
+        |       {"stage":"filter","predicate":{"op":"eq","field":"event_type","value":"error"}}]}},
+        |  {"stage":"aggregate","by":["user_id"],
+        |   "aggs":{"n":{"op":"count"},"maxv":{"op":"max","field":"value"}}}]}""".stripMargin),
+
+    // correlate (inner): right payload columns arrive `right_`-prefixed
+    // and aggregate like any field
+    "q155_ir_correlate_inner" -> qc(
+      """{"irVersion":1,"from":"events",
+        |"range":{"start":"2024-01-01T00:00:00Z","end":"now"},
+        |"pipeline":[
+        |  {"stage":"filter","predicate":{"op":"eq","field":"event_type","value":"purchase"}},
+        |  {"stage":"correlate","kind":"inner","on":["user_id"],
+        |   "query":{"from":"events",
+        |     "range":{"start":"2024-01-01T00:00:00Z","end":"now"},
+        |     "pipeline":[
+        |       {"stage":"filter","predicate":{"op":"eq","field":"event_type","value":"error"}},
+        |       {"stage":"select","fields":["user_id","value"]}]}},
+        |  {"stage":"aggregate","by":["user_id"],
+        |   "aggs":{"pairs":{"op":"count"},"max_err_value":{"op":"max","field":"right_value"}}}]}""".stripMargin)
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_ir_correlate_semi" ->
+      """SELECT user_id, COUNT(*) AS n, MAX(value) AS maxv
+        |FROM events p
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM events e
+        |    WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |      AND e.ts >= TIMESTAMP '2024-01-01 00:00:00' AND e.ts < TIMESTAMP '2024-02-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+
+    "q155_ir_correlate_inner" ->
+      """SELECT p.user_id, COUNT(*) AS pairs, MAX(e.value) AS max_err_value
+        |FROM events p
+        |JOIN events e ON e.user_id = p.user_id AND e.event_type = 'error'
+        |  AND e.ts >= TIMESTAMP '2024-01-01 00:00:00' AND e.ts < TIMESTAMP '2024-02-01 00:00:00'
+        |WHERE p.event_type = 'purchase'
+        |  AND p.ts >= TIMESTAMP '2024-01-01 00:00:00' AND p.ts < TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
     // range: [2024-01-03, now-7d) with now = 2024-02-01 → end 2024-01-25
     "q55_ir_predicate_tree" ->
       """SELECT event_id, event_type, value FROM events

@@ -108,6 +108,24 @@ class ValidateSpec extends AnyFunSuite {
       .contains("bad regex"))
   }
 
+  test("correlate legality: keys, kind, and series-side rejection") {
+    val sub = """"query":{"from":"t","range":{"start":0,"end":1},"pipeline":[]}"""
+    assert(err(doc(s"""{"stage":"correlate",$sub,"on":[],"kind":"semi"}"""))
+      .contains("at least one key"))
+    assert(err(doc(s"""{"stage":"correlate",$sub,"on":["kind"],"kind":"cross"}"""))
+      .contains("unknown correlate kind"))
+    // correlate after a step aggregation (Series) is illegal
+    assert(err(doc(s"""$stepAgg, {"stage":"correlate",$sub,"on":["kind"],"kind":"semi"}"""))
+      .contains("correlate"))
+    // semi keeps the relation closed; inner opens it for right_ payloads
+    val semi = Validate.validate(doc(
+      s"""$agg, {"stage":"correlate",$sub,"on":["kind"],"kind":"semi"}"""), table).terminal
+    assert(semi == Validate.RowSet(Set("kind", "n"), open = false, aggregated = true))
+    val inner = Validate.validate(doc(
+      s"""$agg, {"stage":"correlate",$sub,"on":["kind"],"kind":"inner"}"""), table).terminal
+    assert(inner.asInstanceOf[Validate.RowSet].open)
+  }
+
   test("valid pipelines infer the expected terminal relation") {
     val rs = Validate.validate(doc(
       s"""{"stage":"filter","predicate":{"op":"gte","field":"k","value":1}}, $agg"""),
