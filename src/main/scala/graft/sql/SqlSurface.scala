@@ -15,14 +15,22 @@ import graft.Tables
   */
 object SqlSurface {
 
+  /** server-side row cap on raw SQL results (reference `max_sql_rows`,
+    * docs/users/querying-sql.md:95-99 — default 1,000,000; the querier
+    * truncates rather than streaming unbounded selects). Applied as a
+    * plan-level limit so Catalyst can push it into TakeOrderedAndProject
+    * / CollectLimit instead of post-hoc truncation. */
+  val DefaultMaxRows = 1000000
+
   /** register the driver testdata under `<prefix>_<table>` names (the
     * tenant-pinned default schema analog) and return a runner. */
-  def session(spark: SparkSession, dir: String, prefix: String = ""): String => DataFrame = {
+  def session(spark: SparkSession, dir: String, prefix: String = "",
+      maxRows: Int = DefaultMaxRows): String => DataFrame = {
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     for (n <- names)
       Tables.load(spark, dir, n).createOrReplaceTempView(s"$prefix$n")
-    (q: String) => spark.sql(q)
+    (q: String) => spark.sql(q).limit(maxRows)
   }
 
   /** additionally register the SIGNAL views — the same surfaces the
@@ -30,11 +38,11 @@ object SqlSurface {
     * metrics against traces directly (the reference's raw-SQL surface
     * exposes its signal tables the same way, flight.rs:1196). */
   def signalSession(spark: SparkSession, dir: String,
-      prefix: String = ""): String => DataFrame = {
+      prefix: String = "", maxRows: Int = DefaultMaxRows): String => DataFrame = {
     graft.SignalViews.logsDf(spark, dir).createOrReplaceTempView(s"${prefix}logs")
     graft.SignalViews.metricsDf(spark, dir).createOrReplaceTempView(s"${prefix}metrics")
     graft.SignalViews.logsGen2Df(spark, dir).createOrReplaceTempView(s"${prefix}logs_gen2")
     graft.SignalViews.tracesGen2Df(spark, dir).createOrReplaceTempView(s"${prefix}traces")
-    session(spark, dir, prefix)
+    session(spark, dir, prefix, maxRows)
   }
 }

@@ -48,4 +48,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(n > 0)
   }
+
+  test("max_sql_rows caps unbounded selects at the plan level") {
+    val sql = SqlSurface.session(spark, dir, maxRows = 10)
+    assert(sql("SELECT event_id FROM events").count() == 10)
+    // the cap is a CollectLimit/GlobalLimit in the plan, not driver-side
+    val plan = sql("SELECT event_id FROM events")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Limit") || plan.contains("CollectLimit"),
+      s"row cap must be a plan operator:\n$plan")
+    // aggregates under the cap are unaffected
+    assert(sql("SELECT COUNT(*) AS n FROM events").head.getLong(0) == 1000L)
+  }
 }
