@@ -743,6 +743,28 @@ object PipelineOps {
           col("seq_id"), col("crosses"))
     }),
 
+    // Vocabulary building with coverage: global token frequencies, top-50
+    // vocab ranked (count desc, token asc), cumulative corpus-coverage
+    // fraction per rank — the "how big must the vocab be" curve a
+    // tokenizer pipeline reads. Scale shape: the global rank is a
+    // TakeOrdered over the token counts (never a full sort), and the
+    // running sum windows over the 50 survivors on one task.
+    "q156_vocab_coverage" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val total = toks.agg(count(lit(1)).as("_total"))
+      val top = counts.orderBy(col("n").desc, col("token").asc).limit(50)
+      val w = Window.orderBy(col("n").desc, col("token").asc)
+      top
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .withColumn("coverage", col("cum").cast(DoubleType) / col("_total"))
+        .select(col("rank"), col("token"), col("n"), col("cum"), col("coverage"))
+    }),
+
     // Embedding-outlier pruning: each label's quantized-mean centroid
     // (exact integers, same algebra as k-means), then the 5 members with
     // the LOWEST cosine to their own centroid — the embedding-space
@@ -1431,6 +1453,22 @@ object PipelineOps {
         |SELECT doc_id, reason IS NULL AS kept, reason FROM r""".stripMargin,
 
     "q140_kmeans_train" -> kmeansOracle(iters = 2),
+
+    "q156_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+        |total AS (SELECT count(*) AS total FROM toks),
+        |top AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 50),
+        |r AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+        |    SUM(n) OVER (ORDER BY n DESC, token ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM top)
+        |SELECT rank, token, n, CAST(cum AS BIGINT) AS cum,
+        |  CAST(cum AS DOUBLE) / total AS coverage
+        |FROM r CROSS JOIN total""".stripMargin,
 
     "q142_tfidf_topterms" ->
       """WITH toks AS (

@@ -114,20 +114,45 @@ object Storage {
           struct(col("timestamp"), col(tieCol).cast("long"))).as("vlast"))
       .withColumn("date_day", to_date(timestamp_seconds(col("bucket_start"))))
 
+  /** Z-order (Morton) key: interleave the low `bits` of two non-negative
+    * long columns. Sorting a compaction rewrite by this key clusters rows
+    * that are close in BOTH dimensions into the same row groups, so
+    * parquet min/max stats prune on either column — the multi-dimensional
+    * clustering a 100 TB table needs when queries filter by more than
+    * time (e.g. (time, service) or (user, day)). Pure bit arithmetic,
+    * whole-stage codegen. */
+  def zorderKey(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, "zorder bits in [1,31]")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+  }
+
   /** rewrite one closed (date_day, hour) partition: merge small files,
-    * sort, atomically replace via dynamic partition overwrite. */
+    * sort (linearly, or by a Z-order pair), atomically replace via
+    * dynamic partition overwrite. */
   def compactPartition(spark: SparkSession, layout: TableLayout, table: String,
-      dateDay: String, hourOfDay: Int, targetFiles: Int = 1): Unit = {
+      dateDay: String, hourOfDay: Int, targetFiles: Int = 1,
+      zorderBy: Option[(String, String)] = None): Unit = {
     val p = layout.path(table)
     val part = spark.read.parquet(p)
       .filter(col("date_day") === lit(dateDay) && col("hour") === hourOfDay)
     val sortCols = compactionSort.getOrElse(table, Seq("timestamp"))
+    // partition columns lead the sort: FileFormatWriter requires rows
+    // grouped by partition values and inserts its own (unstable) sort
+    // when the incoming order doesn't already satisfy that — which would
+    // silently destroy the data ordering this rewrite exists to produce
+    val sortExprs = (col("date_day") +: col("hour") +: (zorderBy match {
+      case Some((a, b)) => Seq(zorderKey(col(a).cast("long"), col(b).cast("long")))
+      case None         => sortCols.map(col)
+    })).toSeq
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       part
         .repartition(targetFiles)
-        .sortWithinPartitions(sortCols.map(col): _*)
+        .sortWithinPartitions(sortExprs: _*)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("date_day", "hour")
         .option("compression", "zstd")

@@ -205,6 +205,40 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/acme/prod/logs").count() == 25)
   }
 
+  test("zorderKey interleaves bits; z-ordered compaction sorts by it") {
+    import spark.implicits._
+    // a=101b, b=011b → interleave (a odd positions, b even): 100111b = 39
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Storage.zorderKey(col("a"), col("b"), bits = 3).as("z"))
+      .head.getLong(0)
+    assert(z == 39L)
+    // compaction with zorderBy clusters both dimensions into file order
+    val dir = Files.createTempDirectory("graft-z").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // 60 rows, one hour, shuffled (user_id, timestamp-second) grid
+    val rows = scala.util.Random.shuffle((0 until 60).toList).map { i =>
+      (t0 + (i % 10) * 60L * 1000000000L, i.toLong % 6,
+        "svc", "info", s"line $i",
+        Map("k" -> i.toString))
+    }
+    rows.toDF("timestamp", "user_id", "service_name", "severity_text", "body",
+        "log_attributes")
+      .withColumn("attr_tokens", Storage.attrTokens(Seq("log_attributes")))
+      .pipe(df => Storage.append(df, layout, "logs"))
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+      zorderBy = Some(("timestamp", "user_id")))
+    val back = spark.read.parquet(s"$dir/acme/prod/logs")
+      .filter(col("hour") === 0)
+      .select(Storage.zorderKey(col("timestamp").cast("long"), col("user_id")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(back == back.sorted, "rows must come back in z-key order")
+    assert(back.size == 60)
+  }
+
+  private implicit class Piped[A](val a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
   test("bucketed tables co-locate an equi join: no Exchange at query time") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bucket").toString
