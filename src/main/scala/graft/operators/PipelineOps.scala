@@ -765,6 +765,24 @@ object PipelineOps {
         .select(col("rank"), col("token"), col("n"), col("cum"), col("coverage"))
     }),
 
+    // Incremental dedup against a prior corpus: new documents (here the
+    // upper half of doc_ids) drop when their exact content hash already
+    // exists in the prior half — the "dedup this crawl against what we
+    // already have" shape: one anti join on the hash, no full-corpus
+    // rebuild. At 100 TB the prior side is the stored hash ledger
+    // (bucketed by hash → the join co-locates; see writeBucketed).
+    "q157_incremental_dedup" -> ((s, dir) => {
+      // the ledger keys on a content FINGERPRINT (here the 10-word-prefix
+      // hash), not the full-text hash — that is what real crawl ledgers
+      // store, and it actually fires on this corpus
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("h"))
+      val prior = docs.filter(col("doc_id") < 250).select(col("h"))
+      docs.filter(col("doc_id") >= 250)
+        .join(prior, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"))
+    }),
+
     // Embedding-outlier pruning: each label's quantized-mean centroid
     // (exact integers, same algebra as k-means), then the 5 members with
     // the LOWEST cosine to their own centroid — the embedding-space
@@ -1453,6 +1471,14 @@ object PipelineOps {
         |SELECT doc_id, reason IS NULL AS kept, reason FROM r""".stripMargin,
 
     "q140_kmeans_train" -> kmeansOracle(iters = 2),
+
+    "q157_incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h
+        |  FROM documents)
+        |SELECT doc_id, h FROM d
+        |WHERE doc_id >= 250 AND h NOT IN (SELECT h FROM d WHERE doc_id < 250)""".stripMargin,
 
     "q156_vocab_coverage" ->
       """WITH toks AS (

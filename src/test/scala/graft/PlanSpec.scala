@@ -162,6 +162,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"structural match must stay keyed:\n$plan")
   }
 
+  test("TraceQL metrics filter pushes through the view alias to the scan") {
+    val df = operators.TraceOps.queries("q151_traceql_metrics_rate")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // span_name is an alias of event_type — Catalyst must push the
+    // equality through to the parquet scan, not filter post-scan
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,purchase"),
+      s"metric filter must reach the scan:\n$plan")
+  }
+
   test("segment dedup shuffles by segment then by doc — no join in the plan") {
     val df = operators.PipelineOps.queries("q138_segment_dedup")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
