@@ -96,4 +96,32 @@ object ApiJson {
     }
     s"""{"traces":[${entries.mkString(",")}]}"""
   }
+
+  /** Tempo tag-values envelope (`/api/search/tag/{tag}/values`): the
+    * distinct-values frame is already tiny (discovery caps apply
+    * upstream); emits `{"tagValues":[…]}`. */
+  def tempoTagValues(df: DataFrame): String = {
+    val vals = df.orderBy(df.columns.map(col): _*).collect()
+      .map(r => "\"" + r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    s"""{"tagValues":[${vals.mkString(",")}]}"""
+  }
+
+  /** Pyroscope profile-types envelope: one entry per type with its time
+    * bounds, from the q147-shaped discovery frame
+    * (profile_type, n_samples, min_ts, max_ts, n_services). */
+  def profileTypes(df: DataFrame): String = {
+    val rows = df.orderBy(col("profile_type")).collect().map { r =>
+      s"""{"id":"${r.getString(0)}","samples":${r.getLong(1)},""" +
+        s""""minTime":${r.getLong(2) / 1000000L},"maxTime":${r.getLong(3) / 1000000L}}"""
+    }
+    s"""{"profileTypes":[${rows.mkString(",")}]}"""
+  }
+
+  /** TraceQL-metrics matrix envelope (`/api/metrics/query_range`
+    * response shape — the reference 501s the endpoint itself): series
+    * keyed by the `by()` columns, values as [sec, "v"] pairs in time
+    * order. Reuses the Prometheus matrix shaper — Tempo's response is
+    * deliberately Prometheus-compatible. */
+  def traceqlMetricsMatrix(df: DataFrame, byCols: Seq[String]): String =
+    promMatrix(df, byCols)
 }

@@ -66,4 +66,22 @@ class ApiSpec extends AnyFunSuite {
         """{"traceID":"t2","rootServiceName":"svc-c","startTimeUnixNano":"9000000000","durationMs":0},""" +
         """{"traceID":"t1","rootServiceName":"svc-a","startTimeUnixNano":"1000000000","durationMs":2000}]}""")
   }
+
+  test("tag-values, profile-types and traceql-metrics envelopes") {
+    import spark.implicits._
+    val tags = Seq("purchase", "a\"b").toDF("span_name")
+    assert(ApiJson.tempoTagValues(tags) == """{"tagValues":["a\"b","purchase"]}""")
+
+    val types = Seq(
+      ("process_cpu:cpu:nanoseconds", 10L, 1000000000L, 2000000000L, 3L))
+      .toDF("profile_type", "n_samples", "min_ts", "max_ts", "n_services")
+    assert(ApiJson.profileTypes(types) ==
+      """{"profileTypes":[{"id":"process_cpu:cpu:nanoseconds","samples":10,""" +
+        """"minTime":1000,"maxTime":2000}]}""")
+
+    val m = Seq((0L, "svc-a", 0.5)).toDF("bucket_start", "resource_service_name", "value")
+    assert(ApiJson.traceqlMetricsMatrix(m, Seq("resource_service_name")) ==
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"resource_service_name":"svc-a"},"values":[[0,"0.5"]]}]}}""")
+  }
 }
