@@ -10,6 +10,9 @@ object Lexer {
   final case class TStr(s: String, pos: Int) extends Tok
   final case class TNum(v: Double, pos: Int) extends Tok
   final case class TDur(seconds: Long, pos: Int) extends Tok
+  /** sub-second duration literal (ms/us/ns) — kept separate so whole-
+    * second range windows stay a plain Long of seconds. */
+  final case class TDurNs(nanos: Long, pos: Int) extends Tok
   final case class TOp(s: String, pos: Int) extends Tok // punctuation / operators
   final case class TEof(pos: Int) extends Tok
 
@@ -46,12 +49,30 @@ object Lexer {
         }
         if (!closed) throw Ast.ParseError("unterminated string", start)
         out += TStr(sb.toString, start)
+      } else if (c == '`') {
+        // Go-style raw string (reference lexer.rs backtick literals):
+        // NO escape processing — `mysql-\d+` keeps its backslash verbatim
+        val start = i
+        i += 1
+        val end = in.indexOf('`', i)
+        if (end < 0) throw Ast.ParseError("unterminated raw string", start)
+        out += TStr(in.substring(i, end), start)
+        i = end + 1
       } else if (c.isDigit) {
         val start = i
         while (i < n && (in(i).isDigit || in(i) == '.')) i += 1
         val numStr = in.substring(start, i)
+        // sub-second duration suffix FIRST — "20ms" must not lex as
+        // 20 minutes + ident "s" (ms/us/ns, integer-valued)
+        val two = if (i + 1 < n) in.substring(i, i + 2) else ""
+        if (!numStr.contains('.') && Set("ms", "us", "ns").contains(two)) {
+          val mult = two match {
+            case "ms" => 1000000L; case "us" => 1000L; case "ns" => 1L
+          }
+          out += TDurNs(numStr.toLong * mult, start)
+          i += 2
         // duration suffix? (only integers: 5m; compound 1h30m not supported)
-        if (i < n && "smhdw".contains(in(i)) && !numStr.contains('.')) {
+        } else if (i < n && "smhdw".contains(in(i)) && !numStr.contains('.')) {
           val unit = in(i); i += 1
           val mult = unit match {
             case 's' => 1L; case 'm' => 60L; case 'h' => 3600L

@@ -282,7 +282,14 @@ object Parser {
           advance(); eatOp(","); param = Some(v)
         case _ => ()
       }
-      val q = logQuery()
+      // parenthesized selector form: rate(({...} |= "x")[10s]) — the
+      // Loki-docs shape (reference corpus.rs "parenthesized selector in
+      // range"); the parens wrap the whole log pipeline
+      val q = cur match {
+        case TOp("(", _) =>
+          advance(); val inner = logQuery(); eatOp(")"); inner
+        case _ => logQuery()
+      }
       val dur = cur match {
         case TOp("[", _) =>
           advance()
@@ -580,6 +587,9 @@ object Parser {
           // durations serialize as nanoseconds)
           advance()
           LabelPredicate.NumCmp(label, numOp(opTok, cur.pos), signed(sec.toDouble * 1e9))
+        case (_, TDurNs(ns, _)) =>
+          advance()
+          LabelPredicate.NumCmp(label, numOp(opTok, cur.pos), signed(ns.toDouble))
         case (_, t) => throw ParseError("expected string or number", t.pos)
       }
     }

@@ -96,7 +96,20 @@ class CorpusSpec extends AnyFunSuite {
     // __error__ parse-status label (reference logql lexer.rs:552,
     // parser.rs:1364)
     """{app="foo"} | json | __error__ = """"",
-    """{a="b"} | json | drop __error__, method="GET"""")
+    """{a="b"} | json | drop __error__, method="GET"""",
+    // harvested Loki-docs forms (reference corpus.rs): backtick raw
+    // strings, parenthesized selectors in ranges, grouped label filters
+    // with sub-second/bytes literals, or-combined ip(), or vector(0)
+    """{name !~ `mysql-\d+`}""",
+    """rate(({job="mysql"} |= "error" != "timeout")[10s])""",
+    """avg(rate(({job="nginx"} |= "GET" | json | path="/home")[10s])) by (region)""",
+    """{app="foo"} | logfmt | ((duration >= 20ms or method="GET") and size <= 20KB)""",
+    """{container="query-frontend"} |= "metrics.go" | logfmt | duration > 10s and throughput_mb < 500""",
+    """sum(count_over_time({namespace="traefik"}[5m])) or vector(0)""",
+    """{job_name="myapp"} | logfmt | addr = ip("192.168.4.0/24") or addr = ip("10.10.15.0/24")""",
+    """{name =~ "(?s).*mysql.*"}""",
+    """sum(rate({app="foo"}[5m])) * 2""",
+    """{job="varlogs"}|json|drop __error__""")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // standalone ip stage is not LogQL

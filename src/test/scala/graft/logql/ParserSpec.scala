@@ -62,6 +62,15 @@ class ParserSpec extends AnyFunSuite {
     assert(r2.rangeSec == 604800)
   }
 
+  test("sub-second duration literals compare in nanos (20ms is not 20m)") {
+    val LineQuery(q) = Parser.parse("""{a="x"} | logfmt | lat > 20ms"""): @unchecked
+    assert(q.stages.last ==
+      Stage.LabelFilter(LabelPredicate.NumCmp("lat", CmpOp.Gt, 20000000.0)))
+    val LineQuery(q2) = Parser.parse("""{a="x"} | logfmt | lat <= 150us"""): @unchecked
+    assert(q2.stages.last ==
+      Stage.LabelFilter(LabelPredicate.NumCmp("lat", CmpOp.Lte, 150000.0)))
+  }
+
   test("vector agg with by clause, both positions") {
     val MetricQuery(VectorExpr(v1)) = Parser.parse(
       """sum by (svc) (count_over_time({a="x"}[1h]))"""): @unchecked
