@@ -150,13 +150,21 @@ object Storage {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      part
+      var w = part
         .repartition(targetFiles)
         .sortWithinPartitions(sortExprs: _*)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("date_day", "hour")
         .option("compression", "zstd")
-        .parquet(p)
+      // the rewrite must carry the SAME bloom writer options as ingest —
+      // otherwise compaction silently strips the blooms the point-lookup
+      // path depends on (the reference's rewriter keeps the table's
+      // parquet properties, rewriter.rs)
+      for (c <- bloomColumns.getOrElse(table, Seq.empty)) {
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", "50000")
+      }
+      w.parquet(p)
     } finally prev.foreach(v =>
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
   }

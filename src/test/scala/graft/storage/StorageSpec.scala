@@ -205,6 +205,37 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/acme/prod/logs").count() == 25)
   }
 
+  test("compaction preserves parquet bloom filters (footer-level check)") {
+    import scala.jdk.CollectionConverters._
+    def bloomPresent(dir: String, colPath: String): Boolean = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"no parquet files under $dir")
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.forall { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try {
+          val rg = reader.getRowGroups.get(0)
+          val col = rg.getColumns.asScala
+            .find(_.getPath.toDotString == colPath)
+            .getOrElse(fail(s"column $colPath not in $f"))
+          reader.getBloomFilterDataReader(rg).readBloomFilter(col) != null
+        } finally reader.close()
+      }
+    }
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    Storage.append(logsBatch(50, t0), layout, "logs")
+    val hourDir = s"$dir/acme/prod/logs/date_day=2024-01-01/hour=0"
+    assert(bloomPresent(hourDir, "attr_tokens.list.element"),
+      "ingest must write blooms")
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0)
+    assert(bloomPresent(hourDir, "attr_tokens.list.element"),
+      "compaction rewrite must KEEP the blooms the point-lookup path depends on")
+  }
+
   test("zorderKey interleaves bits; z-ordered compaction sorts by it") {
     import spark.implicits._
     // a=101b, b=011b → interleave (a odd positions, b even): 100111b = 39
