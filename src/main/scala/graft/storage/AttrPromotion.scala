@@ -60,9 +60,11 @@ object AttrPromotion {
     // until the new data is in place, so a crash at any point leaves
     // either the old or the new table fully intact.
     val tmp = path + "_promoting"
-    promoted.write.mode(SaveMode.Overwrite)
+    // keeps the table's bloom options — same hazard as compaction (a
+    // full-table rewrite that silently strips blooms)
+    Storage.withBloomOptions(promoted.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
-      .option("compression", "zstd")
+      .option("compression", "zstd"), table)
       .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -35,6 +35,15 @@ object Storage {
     "traces" -> Seq("trace_id", "span_id"),
     "logs" -> Seq("trace_id", "span_id", "attr_tokens.list.element"))
 
+  /** apply a table's bloom writer options (shared by every rewrite path:
+    * ingest append, compaction, promotion — a rewrite that forgets them
+    * silently strips the blooms point lookups depend on). */
+  def withBloomOptions[T](w: org.apache.spark.sql.DataFrameWriter[T],
+      table: String): org.apache.spark.sql.DataFrameWriter[T] =
+    bloomColumns.getOrElse(table, Seq.empty).foldLeft(w)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "50000"))
+
   /** derived partition columns from a Long-nanos `timestamp` column. */
   def withPartitionCols(df: DataFrame): DataFrame = {
     val ts = timestamp_micros(expr("timestamp div 1000"))
@@ -58,14 +67,10 @@ object Storage {
       alreadyPartitioned: Boolean = false,
       partitionCols: Seq[String] = Seq("date_day", "hour")): Unit = {
     val part = if (alreadyPartitioned) df else withPartitionCols(df)
-    var w = part.write
+    val w = withBloomOptions(part.write
       .mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
-      .option("compression", "zstd")
-    for (c <- bloomColumns.getOrElse(table, Seq.empty)) {
-      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", "50000")
-    }
+      .option("compression", "zstd"), table)
     w.parquet(layout.path(table))
   }
 
@@ -150,21 +155,17 @@ object Storage {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      var w = part
+      // the rewrite carries the SAME bloom writer options as ingest —
+      // otherwise compaction silently strips the blooms the point-lookup
+      // path depends on (the reference's rewriter keeps the table's
+      // parquet properties, rewriter.rs)
+      withBloomOptions(part
         .repartition(targetFiles)
         .sortWithinPartitions(sortExprs: _*)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("date_day", "hour")
-        .option("compression", "zstd")
-      // the rewrite must carry the SAME bloom writer options as ingest —
-      // otherwise compaction silently strips the blooms the point-lookup
-      // path depends on (the reference's rewriter keeps the table's
-      // parquet properties, rewriter.rs)
-      for (c <- bloomColumns.getOrElse(table, Seq.empty)) {
-        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#$c", "50000")
-      }
-      w.parquet(p)
+        .option("compression", "zstd"), table)
+        .parquet(p)
     } finally prev.foreach(v =>
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
   }
