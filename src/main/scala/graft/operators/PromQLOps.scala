@@ -209,7 +209,23 @@ object PromQLOps {
             " ELSE -(((-p) * 10000) div den) END"))
         .select(col("bucket_start"), col("service_name"),
           (col("fp").cast("double") / 1000000.0d).as("value"))
-    })
+    }),
+
+    // mad_over_time: median absolute deviation per (bucket, series) —
+    // window median, deviations re-aggregated on the same keys (no join)
+    "q158_promql_mad" -> q("""mad_over_time(view[1d])""", 86400),
+
+    // limit_ratio: deterministic hash-slice of the series set (md5 hex
+    // compared as a base-16 fraction — the same string comparison the
+    // DuckDB twin runs)
+    "q159_promql_limit_ratio" -> q("""limit_ratio(0.25, view)""", 86400),
+
+    // limitk: first k series per bucket in md5(series) order
+    "q160_promql_limitk" -> q("""limitk(3, view)""", 86400),
+
+    // sort_by_label: presentation sort by label values (hash-compare
+    // oracle checks the SET; the order itself is pinned in EvalSpec)
+    "q161_promql_sort_by_label" -> q("""sort_by_label(view, "service_name")""", 86400)
   )
 
   /** Exact per-(bucket, series) regression sums over a metric selector:
@@ -613,7 +629,39 @@ object PromQLOps {
          |SELECT bucket_start, service_name,
          |  CAST(CASE WHEN p >= 0 THEN (p * 10000) // den
          |       ELSE -(((-p) * 10000) // den) END AS DOUBLE) / 1000000.0 AS value
-         |FROM d WHERE den > 0""".stripMargin
+         |FROM d WHERE den > 0""".stripMargin,
+
+    "q158_promql_mad" ->
+      s"""WITH m AS ($V),
+         |w AS (SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |        CAST(value AS DOUBLE) AS value
+         |      FROM m WHERE metric_name = 'view' AND ${win(86400)}),
+         |md AS (SELECT bucket_start, service_name,
+         |         quantile_cont(value, 0.5) AS med
+         |       FROM w GROUP BY 1, 2)
+         |SELECT w.bucket_start, w.service_name,
+         |  quantile_cont(abs(w.value - md.med), 0.5) AS value
+         |FROM w JOIN md USING (bucket_start, service_name)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q159_promql_limit_ratio" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT bucket_start, service_name, value FROM l
+         |WHERE md5(service_name) < '40000000000000000000000000000000'""".stripMargin,
+
+    "q160_promql_limitk" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT bucket_start, service_name, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+         |    ORDER BY md5(service_name) ASC, service_name ASC) AS rk
+         |  FROM l) WHERE rk <= 3""".stripMargin,
+
+    "q161_promql_sort_by_label" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'view'", 86400)})
+         |SELECT bucket_start, service_name, value FROM l""".stripMargin
   )
 
   /** regression-sum CTE bodies shared by q135/q136 (x = ms offset in

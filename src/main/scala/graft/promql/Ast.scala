@@ -67,7 +67,7 @@ object Ast {
 
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
-    "topk", "bottomk", "quantile", "count_values")
+    "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
 
   val rangeFuncs: Set[String] = Set(
     "rate", "increase", "delta", "irate", "idelta", "deriv",
@@ -75,7 +75,8 @@ object Ast {
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "quantile_over_time", "absent_over_time",
-    "present_over_time", "holt_winters", "double_exponential_smoothing")
+    "present_over_time", "mad_over_time",
+    "holt_winters", "double_exponential_smoothing")
 
   val scalarFuncs: Set[String] = Set(
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
@@ -86,6 +87,7 @@ object Ast {
   val otherFuncs: Set[String] = Set(
     "absent", "histogram_quantile", "label_replace", "label_join",
     "scalar", "vector", "time", "timestamp", "sort", "sort_desc",
+    "sort_by_label", "sort_by_label_desc",
     "day_of_week", "day_of_month", "day_of_year", "days_in_month",
     "hour", "minute", "month", "year")
 }

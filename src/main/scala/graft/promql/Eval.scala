@@ -224,7 +224,8 @@ object Eval {
 
     case "sum_over_time" | "avg_over_time" | "min_over_time" | "max_over_time" |
         "count_over_time" | "last_over_time" | "stddev_over_time" |
-        "stdvar_over_time" | "quantile_over_time" | "present_over_time" =>
+        "stdvar_over_time" | "quantile_over_time" | "present_over_time" |
+        "mad_over_time" =>
       overTime(f, args, t, tr)
 
     case "absent" | "absent_over_time" =>
@@ -421,6 +422,21 @@ object Eval {
       val ord = if (f == "sort") col("value").asc else col("value").desc
       VecV(Vec(v.df.orderBy(ord +: v.labels.map(col(_).asc): _*), v.labels))
 
+    // sort_by_label / sort_by_label_desc (Prometheus experimental):
+    // presentation-order sort by label VALUES, value as final tie-break
+    case "sort_by_label" | "sort_by_label_desc" =>
+      val v = evalVector(args.head, t, tr)
+      val lbls = args.tail.map {
+        case StrLit(s) => s
+        case _         => throw Unsupported(s"$f needs label-name strings")
+      }
+      lbls.filterNot(v.labels.contains).foreach(l =>
+        throw Unsupported(s"$f: unknown label $l"))
+      val asc = f == "sort_by_label"
+      val ord = lbls.map(l => if (asc) col(l).asc else col(l).desc) :+
+        (if (asc) col("value").asc else col("value").desc)
+      VecV(Vec(v.df.orderBy(ord: _*), v.labels))
+
     case "histogram_quantile" =>
       val phi = args.head match {
         case NumLit(d) => d
@@ -470,6 +486,16 @@ object Eval {
                 (col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"))
             (if (f == "stddev_over_time") g.withColumn("value", sqrt(col("value"))) else g)
               .drop("_s1", "_s2", "_n")
+          case "mad_over_time" =>
+            // median absolute deviation: median(|x − median(x)|). The
+            // inner median comes from a partition window (no self-join);
+            // the deviations re-aggregate on the SAME keys, so the
+            // window's exchange is reused by the final hash aggregate.
+            val d2 = innerVec.df.withColumn("_bs", reKey)
+            val w = Window.partitionBy(col("_bs") +: innerVec.labels.map(col): _*)
+            d2.withColumn("_med", percentile(x, lit(0.5)).over(w))
+              .groupBy(col("_bs").as("bucket_start") +: innerVec.labels.map(col): _*)
+              .agg(percentile(abs(x - col("_med")), lit(0.5)).as("value"))
           case other => throw Unsupported(s"$other over a subquery")
         }
         return VecV(Vec(out, innerVec.labels))
@@ -501,6 +527,13 @@ object Eval {
           case _         => throw Unsupported("quantile_over_time needs φ")
         }
         df.groupBy(keys: _*).agg(percentile(x, lit(phi)).as("value"))
+      case "mad_over_time" =>
+        // median(|x − median(x)|): window median (no self-join), then a
+        // hash aggregate on the same keys reusing the window's exchange
+        val w = Window.partitionBy(keys: _*)
+        df.withColumn("_med", percentile(x, lit(0.5)).over(w))
+          .groupBy(keys: _*)
+          .agg(percentile(abs(x - col("_med")), lit(0.5)).as("value"))
     }
     VecV(spread(sel, Vec(out, t.seriesLabels), t, tr))
   }
@@ -593,6 +626,34 @@ object Eval {
         val w = Window.partitionBy(bucket).orderBy(ord: _*)
         Vec(pruned.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn"),
           v.labels)
+
+      // limitk / limit_ratio (Prometheus experimental aggregations):
+      // a deterministic sample of series. Prometheus picks "arbitrary but
+      // consistent" members by hashing the series labels; we hash with
+      // md5 over the label values so the pick is reproducible across
+      // engines and runs. Pure per-series filters — no global sort, no
+      // extra shuffle beyond the rank window for limitk.
+      case "limitk" =>
+        val k = scalarParam(param, t, tr, "limitk").toInt
+        val hk = md5(concat_ws("\u0001", v.labels.map(col): _*))
+        val w = Window.partitionBy(keys: _*)
+          .orderBy(hk.asc +: v.labels.map(col(_).asc): _*)
+        Vec(v.df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn"),
+          v.labels)
+      case "limit_ratio" =>
+        val r = scalarParam(param, t, tr, "limit_ratio")
+        if (r < -1 || r > 1) throw Unsupported(s"limit_ratio r must be in [-1,1]: $r")
+        // md5 hex compares lexicographically exactly as a base-16
+        // fraction (fixed 32 chars, '0'-'9' < 'a'-'f'), so `hash < r`
+        // is a plain string comparison both here and in the SQL oracle.
+        // Negative r selects the complement slice: limit_ratio(0.3, v)
+        // and limit_ratio(-0.7, v) together cover every series.
+        val hk = md5(concat_ws("\u0001", v.labels.map(col): _*))
+        val cond =
+          if (r >= 0) hk < lit(hexFraction(r))
+          else hk >= lit(hexFraction(1 + r))
+        Vec(v.df.filter(cond), v.labels)
+
       case "count_values" =>
         val lbl = param match {
           case Some(StrLit(s)) => s
@@ -606,6 +667,33 @@ object Eval {
     }
   }
 
+  /** aggregation parameter as a scalar — accepts any scalar-typed expr
+    * (so `-0.6` (= 0−0.6 after unary desugar) works for limit_ratio) */
+  private def scalarParam(p: Option[Expr], t: MetricsTable, tr: TimeRange,
+      what: String): Double = p match {
+    case Some(e) => eval(e, t, tr) match {
+      case ScalV(d) => d
+      case _        => throw Unsupported(s"$what needs a scalar parameter")
+    }
+    case None => throw Unsupported(s"$what needs a scalar parameter")
+  }
+
+  /** first 32 hex digits of fraction r ∈ [0,1] — the threshold string an
+    * md5 hex digest compares against as a base-16 fraction (limit_ratio). */
+  private def hexFraction(r: Double): String = {
+    val sb = new StringBuilder
+    var x = r
+    var i = 0
+    while (i < 32) {
+      x *= 16
+      val d = math.min(15, math.max(0, x.toInt))
+      sb.append("0123456789abcdef".charAt(d))
+      x -= d
+      i += 1
+    }
+    sb.toString
+  }
+
   // ---- binary operators -------------------------------------------------
 
   private def arith(op: String, l: Column, r: Column): Column = op match {
@@ -615,6 +703,7 @@ object Eval {
     case "/" => l / r
     case "%" => l % r
     case "^" => pow(l, r)
+    case "atan2" => atan2(l, r)
     case _   => throw Unsupported(s"operator $op")
   }
 
@@ -643,6 +732,7 @@ object Eval {
           case "/" => a / b
           case "%" => a % b
           case "^" => math.pow(a, b)
+          case "atan2" => math.atan2(a, b)
         })
 
       case (VecV(v), ScalV(s)) => VecV(vecScalar(op, v, s, boolMode, scalarOnLeft = false))

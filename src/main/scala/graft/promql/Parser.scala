@@ -107,6 +107,12 @@ object Parser {
             advance()
             val (on, ig, grp) = matchMods()
             l = Binary(o, l, powExpr(), bool = false, on, ig, grp)
+          // `atan2` is a keyword binary operator at `*` precedence in the
+          // Prometheus grammar (not a function call)
+          case TIdent("atan2", _) =>
+            advance()
+            val (on, ig, grp) = matchMods()
+            l = Binary("atan2", l, powExpr(), bool = false, on, ig, grp)
           case _ => go = false
         }
       }
@@ -197,7 +203,8 @@ object Parser {
         }
         eatOp("(")
         var param: Option[Expr] = None
-        if (Set("topk", "bottomk", "quantile", "count_values").contains(name)) {
+        if (Set("topk", "bottomk", "quantile", "count_values",
+            "limitk", "limit_ratio").contains(name)) {
           param = Some(expr()); eatOp(",")
         }
         val inner = expr()

@@ -113,4 +113,57 @@ class EvalSpec extends AnyFunSuite {
     assert(run("pi()", t, TimeRange(0, 8, 4)) ==
       Seq((0L, math.Pi), (4L, math.Pi)))
   }
+
+  test("atan2 is a keyword binary operator with java.lang.Math semantics") {
+    // vector-scalar and vector-vector forms; libm values keep this
+    // engine-only (SNIPPETS determinism rule)
+    val t = table(Seq((0L, "a", 0.5)))
+    val tr = TimeRange(0, 4, 4)
+    assert(run("m atan2 2", t, tr) == Seq((0L, math.atan2(0.5, 2.0))))
+    assert(run("m atan2 m", t, tr) == Seq((0L, math.atan2(0.5, 0.5))))
+    // same precedence tier as `*`: a + b atan2 c parses as a + (b atan2 c)
+    assert(run("1 + m atan2 2", t, tr) == Seq((0L, 1.0 + math.atan2(0.5, 2.0))))
+  }
+
+  test("mad_over_time is the median absolute deviation per window") {
+    // samples 1, 2, 4, 100: median = 3, |x−3| = {2,1,1,97} → MAD = 1.5.
+    // The outlier moves the median only one slot — the robustness MAD
+    // exists to provide (stddev here would be ≈ 42)
+    val t = table(Seq(
+      (0L, "a", 1.0), (1000000000L, "a", 2.0),
+      (2000000000L, "a", 4.0), (3000000000L, "a", 100.0)))
+    assert(run("mad_over_time(m[4s])", t, TimeRange(0, 4, 4)) == Seq((0L, 1.5)))
+  }
+
+  test("limit_ratio slices are deterministic complements") {
+    // 8 series; limit_ratio(r) keeps series with md5(labels) below the
+    // base-16 fraction of r, limit_ratio(r−1) keeps the rest: the two
+    // slices must partition the full series set exactly
+    val rows = (0 until 8).flatMap(i => Seq((0L, s"svc-$i", i.toDouble)))
+    val t = table(rows)
+    val tr = TimeRange(0, 4, 4)
+    def series(q: String): Set[String] =
+      Eval.evalVector(Parser.parse(q), t, tr).df
+        .select("service_name").collect().map(_.getString(0)).toSet
+    val all = series("m")
+    val keep = series("limit_ratio(0.4, m)")
+    val rest = series("limit_ratio(-0.6, m)")
+    assert(all.size == 8)
+    assert((keep intersect rest).isEmpty)
+    assert((keep union rest) == all)
+    // limitk picks exactly k series, a subset of the full set
+    val k2 = series("limitk(2, m)")
+    assert(k2.size == 2 && k2.subsetOf(all))
+  }
+
+  test("sort_by_label orders rows by label values without reshaping them") {
+    val t = table(Seq((0L, "b", 2.0), (0L, "a", 1.0), (0L, "c", 3.0)))
+    val tr = TimeRange(0, 4, 4)
+    def order(q: String): Seq[String] =
+      Eval.evalVector(Parser.parse(q), t, tr).df
+        .select("service_name").collect().map(_.getString(0)).toSeq
+    assert(order("""sort_by_label(m, "service_name")""") == Seq("a", "b", "c"))
+    assert(order("""sort_by_label_desc(m, "service_name")""") == Seq("c", "b", "a"))
+    intercept[Ast.Unsupported](order("""sort_by_label(m, "nope")"""))
+  }
 }
