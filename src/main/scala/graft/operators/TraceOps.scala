@@ -135,6 +135,24 @@ object TraceOps {
       TraceQL.lowerExpr(tracesWithParent(s, dir), e)
         .select(col("trace_id"), col("span_id"), col("span_name"),
           col("duration_nanos"))
+    }),
+
+    // TraceQL structural `>>` (descendant) — transitive closure via a
+    // per-trace parent-map fold, no iterative joins (oracle: recursive CTE)
+    "q162_traceql_descendant" -> ((s, dir) => {
+      val e = TraceQL.parseExpr("""{ name = "view" } >> { name = "error" }""")
+      TraceQL.lowerExpr(tracesWithParent(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
+    // TraceQL structural `<<` (ancestor) — A-span parent chains exploded
+    // to (trace, ancestor) pairs, candidates semi-joined
+    "q163_traceql_ancestor" -> ((s, dir) => {
+      val e = TraceQL.parseExpr("""{ name = "purchase" } << { name = "view" }""")
+      TraceQL.lowerExpr(tracesWithParent(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
     })
   )
 
@@ -249,6 +267,55 @@ object TraceOps {
          |WHERE b.span_name = 'purchase' AND EXISTS (
          |  SELECT 1 FROM wp a WHERE a.trace_id = b.trace_id
          |    AND a.parent_span_id = b.parent_span_id
-         |    AND a.span_id <> b.span_id AND a.span_name = 'error')""".stripMargin
+         |    AND a.span_id <> b.span_id AND a.span_name = 'error')""".stripMargin,
+
+    // ancestry closure via recursive CTE: up(b_id, cur) walks B-candidate
+    // parent chains; a row matches when some chain node is an A-span
+    "q162_traceql_descendant" ->
+      s"""WITH RECURSIVE spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2),
+         |up AS (
+         |  SELECT span_id AS b_id, trace_id, parent_span_id AS cur
+         |  FROM wp WHERE span_name = 'error' AND parent_span_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT u.b_id, u.trace_id, w.parent_span_id AS cur
+         |  FROM up u JOIN wp w
+         |    ON w.trace_id = u.trace_id AND w.span_id = u.cur
+         |  WHERE w.parent_span_id IS NOT NULL)
+         |SELECT DISTINCT c.trace_id, c.span_id, c.span_name, c.duration_nanos
+         |FROM wp c JOIN up u
+         |  ON u.trace_id = c.trace_id AND u.b_id = c.span_id
+         |JOIN wp a ON a.trace_id = u.trace_id AND a.span_id = u.cur
+         |WHERE c.span_name = 'error' AND a.span_name = 'view'""".stripMargin,
+
+    "q163_traceql_ancestor" ->
+      s"""WITH RECURSIVE spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2),
+         |up AS (
+         |  SELECT span_id AS a_id, trace_id, parent_span_id AS cur
+         |  FROM wp WHERE span_name = 'purchase' AND parent_span_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT u.a_id, u.trace_id, w.parent_span_id AS cur
+         |  FROM up u JOIN wp w
+         |    ON w.trace_id = u.trace_id AND w.span_id = u.cur
+         |  WHERE w.parent_span_id IS NOT NULL)
+         |SELECT DISTINCT b.trace_id, b.span_id, b.span_name, b.duration_nanos
+         |FROM wp b JOIN up u
+         |  ON u.trace_id = b.trace_id AND u.cur = b.span_id
+         |WHERE b.span_name = 'view'""".stripMargin
   )
 }

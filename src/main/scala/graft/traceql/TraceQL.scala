@@ -23,20 +23,18 @@ object TraceQL {
 
   /** structural form — IMPLEMENTED BEYOND the reference subset (which
     * rejects anything but a single spanset, search_filter.rs:240-246):
-    * `{A} > {B}` = B-spans that are DIRECT CHILDREN of an A-span,
-    * `{A} ~ {B}` = B-spans that are SIBLINGS of a distinct A-span.
-    * Descendant `>>` needs transitive closure and stays Unsupported. */
+    * `{A} > {B}`  = B-spans that are DIRECT CHILDREN of an A-span,
+    * `{A} ~ {B}`  = B-spans that are SIBLINGS of a distinct A-span,
+    * `{A} >> {B}` = B-spans that are DESCENDANTS of an A-span,
+    * `{A} << {B}` = B-spans that are ANCESTORS of an A-span. */
   sealed trait Expr
   final case class Spanset(conds: Seq[Cond]) extends Expr
   final case class Structural(parent: Seq[Cond], op: String, child: Seq[Cond]) extends Expr
 
-  private val structRe = """^(\{[^}]*\})\s*(>>|>|~)\s*(\{[^}]*\})$""".r
+  private val structRe = """^(\{[^}]*\})\s*(>>|<<|>|~)\s*(\{[^}]*\})$""".r
 
   def parseExpr(q: String): Expr = q.trim match {
-    case structRe(l, op, r) =>
-      if (op == ">>")
-        throw Unsupported("TraceQL: descendant '>>' not supported (direct child '>' and sibling '~' are)")
-      Structural(parse(l), op, parse(r))
+    case structRe(l, op, r) => Structural(parse(l), op, parse(r))
     case t => Spanset(parse(t))
   }
 
@@ -60,8 +58,59 @@ object TraceQL {
         col("trace_id") === col("_p_tid") && col("parent_span_id") === col("_p_par") &&
           col("span_id") =!= col("_p_sid"),
         "left_semi")
+    case Structural(p, ">>", c) =>
+      // descendant: B-spans with ANY ancestor matching A. The trace is
+      // the unit of work: one hash aggregate folds each trace's parent
+      // map + A-span set, then every candidate walks its parent chain
+      // inside a codegen'd `aggregate` fold (depth cap 64 — deeper
+      // traces are pathological). One shuffle, no iterative joins; the
+      // per-trace map bounds memory by trace size, never corpus size.
+      val byTrace = traceIndex(spans, p)
+      spans.filter(lower(c))
+        .join(byTrace, col("trace_id") === col("_t"))
+        .filter(expr(
+          """aggregate(sequence(1, 64),
+            |  struct(parent_span_id AS cur, false AS found),
+            |  (acc, i) -> IF(acc.found OR acc.cur IS NULL, acc,
+            |    struct(_pmap[acc.cur] AS cur,
+            |           array_contains(_aset, acc.cur) AS found)),
+            |  acc -> acc.found)""".stripMargin))
+        .drop("_t", "_pmap", "_aset")
+    case Structural(p, "<<", c) =>
+      // ancestor: B-spans on the parent chain of ANY A-span. Fold each
+      // A-span's chain into an id array (same depth cap), explode to
+      // (trace, ancestor-id) pairs, semi-join the candidates — closure
+      // size ≤ depth·|A| per trace.
+      val anc = traceIndex(spans, p)
+        .select(col("_t"), explode(col("_aset")).as("_a"), col("_pmap"))
+        .select(col("_t"), explode(expr(
+          // slice(array(x), 1, 0) = empty array of x's type — keeps the
+          // fold agnostic to the span-id column type
+          """aggregate(sequence(1, 64),
+            |  struct(_pmap[_a] AS cur, slice(array(_a), 1, 0) AS anc),
+            |  (acc, i) -> IF(acc.cur IS NULL, acc,
+            |    struct(_pmap[acc.cur] AS cur, array_append(acc.anc, acc.cur) AS anc)),
+            |  acc -> acc.anc)""".stripMargin)).as("_anc"))
+        .distinct()
+      spans.filter(lower(c)).join(anc,
+        col("trace_id") === col("_t") && col("span_id") === col("_anc"),
+        "left_semi")
     case Structural(_, op, _) => throw Unsupported(s"TraceQL: unsupported structural '$op'")
   }
+
+  /** per-trace structural index: parent-link map over ALL spans of the
+    * trace + the span-id set matching the A-side conditions; traces with
+    * no A-match drop before the join. `map_from_entries` over structs —
+    * NOT map_from_arrays over two collect_lists, which silently skips
+    * null parents (root spans) and misaligns the arrays. */
+  private def traceIndex(spans: DataFrame, p: Seq[Cond]): DataFrame =
+    spans
+      .groupBy(col("trace_id").as("_t"))
+      .agg(
+        map_from_entries(collect_list(struct(col("span_id"), col("parent_span_id"))))
+          .as("_pmap"),
+        collect_set(when(lower(p), col("span_id"))).as("_aset"))
+      .filter(size(col("_aset")) > 0)
 
   /** parse `{ ... }` conjunctive form. */
   def parse(q: String): Seq[Cond] = {

@@ -60,10 +60,28 @@ class TraceQLSpec extends AnyFunSuite {
     assert(ids("""{ name = "error" } ~ { name = "view" }""").isEmpty)
   }
 
-  test("`>>` stays an explicit Unsupported; bare spansets still parse") {
-    assertThrows[TraceQL.Unsupported](
-      TraceQL.parseExpr("""{ name = "a" } >> { name = "b" }"""))
+  test("`>>` selects descendants at ANY depth (child included)") {
+    // purchases under a view ancestor: 2, 4 (direct) AND 5 (depth 2 via
+    // purchase 2) — `>` would miss 5; t2's 7 has no view ancestor
+    assert(ids("""{ name = "view" } >> { name = "purchase" }""") == Set(2L, 4L, 5L))
+    // nothing above the roots
+    assert(ids("""{ name = "purchase" } >> { name = "view" }""").isEmpty)
+  }
+
+  test("`<<` selects ancestors at ANY depth, never the span itself") {
+    // ancestors of a purchase that are views: root 1 (above 2, 4, and 5)
+    assert(ids("""{ name = "purchase" } << { name = "view" }""") == Set(1L))
+    // ancestors of purchase 5 matching purchase: 2 — self (5) excluded
+    assert(ids("""{ name = "purchase" } << { name = "purchase" }""") == Set(2L))
+    // error 6 is an ancestor of purchase 7 (t2)
+    assert(ids("""{ name = "purchase" } << { name = "error" }""") == Set(6L))
+  }
+
+  test("bare spansets still parse; unknown structural ops rejected") {
     assert(TraceQL.parseExpr("""{ name = "a" }""").isInstanceOf[TraceQL.Spanset])
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.lowerExpr(spans,
+        TraceQL.Structural(Seq.empty, "!>", Seq.empty)))
   }
 
   test("metrics queries parse: rate/by, duration operand rules, quantile arity") {
