@@ -811,6 +811,56 @@ object PipelineOps {
         .filter(col("rank") <= 5)
         .select(col("label").cast(LongType).as("label"), col("vec_id"),
           col("cos"), col("rank"))
+    }),
+
+    // Sliding-window chunking (context-window prep): chunks of C=64
+    // tokens at stride S=48 (16-token overlap), last chunk short but
+    // never empty. Pure per-row explode — embarrassingly parallel, no
+    // shuffle; chunk count = 1 + ceil(max(0, n−C)/S).
+    "q164_chunk_overlap" -> ((s, dir) => {
+      val (c, st) = (64, 48)
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L),
+            expr(s"(greatest(n_tok - $c, 0L) + $st - 1) div $st"))))
+        .withColumn("start_tok", col("chunk_id") * st)
+        .withColumn("chunk_text",
+          array_join(slice(col("toks"), (col("chunk_id") * st + 1).cast("int"), lit(c)), " "))
+        .withColumn("chunk_len",
+          least(col("n_tok") - col("start_tok"), lit(c.toLong)))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("chunk_len"), col("chunk_text"))
+    }),
+
+    // Domain-mixing under a token budget: each source contributes docs
+    // in doc_id order until its 800-token budget is spent (the doc that
+    // crosses the boundary is kept — budgets are soft caps). One ordered
+    // cumsum per source partition; at 100 TB the per-source ordering key
+    // would be the stored bucketing key, so the window never re-sorts.
+    "q165_token_budget_mix" -> ((s, dir) => {
+      val budget = 800L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(expr(toksExpr)).cast(LongType))
+        .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .filter(col("prior") < budget)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("prior"))
+    }),
+
+    // Deterministic train/val/test split: md5(doc_id) compared as a
+    // base-16 fraction — 80/10/10, reproducible across engines and runs,
+    // no global shuffle (the same hex-threshold trick as limit_ratio)
+    "q166_train_split" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(h < "cccccccccccccccccccccccccccccccc", "train")
+            .when(h < "e6666666666666666666666666666666", "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"))
     })
   )
 
@@ -1549,7 +1599,48 @@ object PipelineOps {
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY label
         |    ORDER BY cos ASC, vec_id ASC) AS rank FROM cos)
-        |SELECT label, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin
+        |SELECT label, vec_id, cos, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // DuckDB list slice toks[a:b] is 1-based inclusive == Spark
+    // slice(toks, a, b-a+1); generate_series is inclusive of the stop
+    "q164_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n_tok, g.chunk_id
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |    (greatest(n_tok - 64, 0) + 47) // 48)) AS chunk_id) g)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(n_tok - chunk_id * 48, 64) AS BIGINT) AS chunk_len,
+        |  array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+        |    AS chunk_text
+        |FROM c""".stripMargin,
+
+    "q165_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prior
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, prior FROM o WHERE prior < 800""".stripMargin,
+
+    "q166_train_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccccccccccccccccccccccccccc'
+        |         THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666666666666666666666666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin
   )
 
   /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a

@@ -123,4 +123,29 @@ class PipelineSpec extends AnyFunSuite {
     // the chain must produce both outcomes on the corpus
     assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)))
   }
+
+  test("chunk_overlap covers every token with exact 16-token stride overlap") {
+    // C=64, S=48 over the sf0.001 corpus: chunk i starts at 48·i, so
+    // consecutive chunks overlap by exactly 16 tokens and their union
+    // covers [0, n_tok) — the last chunk is short but never empty
+    val rows = PipelineOps.queries("q164_chunk_overlap")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = sorted.last._3 + sorted.last._4 // start + len of last = n_tok
+      // chunks sit on the stride grid, are nonempty, and cover the doc
+      sorted.foreach { case (_, id, start, len) =>
+        assert(start == 48 * id && len > 0 && len <= 64)
+      }
+      // every consecutive pair overlaps (start_{i+1} < start_i + len_i)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) => assert(s2 < s1 + l1 && s2 == s1 + 48)
+        case _ => ()
+      }
+      // no token past the end, none missed at the end
+      assert(sorted.last._3 < n && n <= sorted.last._3 + 64)
+    }
+  }
 }
