@@ -850,6 +850,41 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("n_tok"), col("prior"))
     }),
 
+    // Importance (quality-weighted) sampling, DSIR-style: doc kept with
+    // probability p = score/100, p quantized to k/256 so the Bernoulli
+    // draw is a 2-hex-char md5 prefix compare — deterministic across
+    // engines, runs, and partitionings (no RNG state on executors).
+    // k clips at 255 (a perfect-score doc keeps w.p. 255/256).
+    "q167_importance_sample" -> ((s, dir) => {
+      queries("q27_quality_score")(s, dir)
+        .select(col("doc_id"), col("score"))
+        .withColumn("k", least(floor(col("score") * 2.56), lit(255.0)).cast(LongType))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          lpad(lower(hex(col("k"))), 2, "0"))
+    }),
+
+    // Dedup survivor policy: within each near-dup component (q127's
+    // closure) keep the highest-quality member (ties → smallest id) and
+    // record the cluster size — the keep/drop decision a dedup pass
+    // actually ships. One join + one per-component window; components
+    // are tiny, the corpus never re-sorts.
+    "q168_dedup_survivors" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
+      val comp = connectedComponents(
+        pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("u", "v"))
+        .select(col("id").as("doc_id"), col("component"))
+      val scored = queries("q27_quality_score")(s, dir).select(col("doc_id"), col("score"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      comp.join(scored, "doc_id")
+        .withColumn("rank", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("component"))))
+        .filter(col("rank") === 1)
+        .select(col("component"), col("doc_id").as("survivor"), col("score"),
+          col("n_members"))
+    }),
+
     // Deterministic train/val/test split: md5(doc_id) compared as a
     // base-16 fraction — 80/10/10, reproducible across engines and runs,
     // no global shuffle (the same hex-threshold trick as limit_ratio)
@@ -1632,6 +1667,61 @@ object PipelineOps {
         |      AS prior
         |  FROM t)
         |SELECT doc_id, source, n_tok, prior FROM o WHERE prior < 800""".stripMargin,
+
+    "q167_importance_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 50 +
+        |    CAST(len(list_filter(toks, x -> x IN ('a','the','of','and','to','in'))) AS DOUBLE)
+        |      / len(toks) * 25 +
+        |    CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 25.0 ELSE 0.0 END AS score
+        |  FROM t),
+        |k AS (SELECT doc_id, score,
+        |        CAST(least(floor(score * 2.56), 255) AS BIGINT) AS k FROM sc)
+        |SELECT doc_id, score, k FROM k
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |  < lpad(lower(hex(k)), 2, '0')""".stripMargin,
+
+    "q168_dedup_survivors" ->
+      s"""WITH RECURSIVE ds AS ($docShinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM e0
+         |  UNION ALL SELECT doc_b, doc_a FROM e0),
+         |reach(u, lbl) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u),
+         |t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 50 +
+         |    CAST(len(list_filter(toks, x -> x IN ('a','the','of','and','to','in'))) AS DOUBLE)
+         |      / len(toks) * 25 +
+         |    CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 25.0 ELSE 0.0 END AS score
+         |  FROM t),
+         |j AS (
+         |  SELECT c.component, c.doc_id, sc.score,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY sc.score DESC, c.doc_id ASC) AS rank,
+         |    COUNT(*) OVER (PARTITION BY c.component) AS n_members
+         |  FROM comp c JOIN sc ON sc.doc_id = c.doc_id)
+         |SELECT component, doc_id AS survivor, score,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM j WHERE rank = 1""".stripMargin,
 
     "q166_train_split" ->
       """SELECT doc_id, lang,
