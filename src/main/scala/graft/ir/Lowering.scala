@@ -152,10 +152,12 @@ object Lowering {
         val raw = parser match {
           case "json" => get_json_object(resolve(t, cols, src), s"$$.$key")
           case "logfmt" =>
-            // empty match → NULL (regexp_extract yields '' on miss)
-            val e = regexp_extract(resolve(t, cols, src),
-              s"(?:^|\\s)${java.util.regex.Pattern.quote(key)}=(\"[^\"]*\"|\\S+)", 1)
-            when(e === "", lit(null)).otherwise(regexp_replace(e, "^\"|\"$", ""))
+            // single-pass native tokenizer (graft.functions.LogfmtMap):
+            // N extract stages share ONE parse via codegen subexpression
+            // elimination; absent key → NULL, quotes stripped
+            val e = element_at(
+              graft.functions.LogfmtMap.logfmtMap(resolve(t, cols, src)), key)
+            regexp_replace(e, "^\"|\"$", "")
           case other => throw IrError(s"unknown parser '$other'")
         }
         val cast = castTo match {

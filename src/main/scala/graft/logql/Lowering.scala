@@ -112,10 +112,13 @@ object Lowering {
         !unpacked && keep.isEmpty
   }
 
-  /** logfmt k=v extraction: first match of `key=<bare-or-quoted>`. */
+  /** logfmt k=v extraction via the single-pass native tokenizer — every
+    * extracted label shares one parse of the body (codegen CSE); raw
+    * value (quotes kept) and '' on miss, matching the regex it replaced. */
   private def logfmtExtractCol(key: String): Column =
-    regexp_extract(col("body"),
-      s"(?:^|\\s)${java.util.regex.Pattern.quote(key)}=(\"[^\"]*\"|\\S+)", 1)
+    coalesce(
+      element_at(graft.functions.LogfmtMap.logfmtMap(col("body")), key),
+      lit(""))
 
   /** drop/keep item matcher over the label's current value (absent ⇒ NULL
     * ⇒ the conditional falls through, like every other label predicate). */

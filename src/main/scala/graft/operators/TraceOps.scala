@@ -158,22 +158,24 @@ object TraceOps {
 
   /** spans + a deterministic HEAP-shaped hierarchy: ordering a trace's
     * spans by (timestamp, span_id), span #i's parent is span #(i-1)/2 —
-    * a branching tree (so siblings exist), derived with one per-trace
-    * window + one self join, mirrored exactly in the oracle. The
-    * reference schema carries a real parent_span_id
+    * a branching tree (so siblings exist), derived with ONE per-trace
+    * window (the parent id is read out of the partition's ordered
+    * span-id array — no self join, so the four structural queries pay a
+    * single shuffle for parentage; traces are small, the duplicated
+    * array is bounded by trace size). Mirrored exactly in the oracle.
+    * The reference schema carries a real parent_span_id
     * (iceberg/schemas.rs via Schemas.scala:30); the driver events have
     * no span nesting, so the heap shape stands in for it. */
   private def tracesWithParent(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("trace_id"))
       .orderBy(col("timestamp").asc, col("span_id").asc)
-    val sp = tracesDf(s, dir).withColumn("rn", row_number().over(w) - 1)
-    val parents = sp.select(col("trace_id").as("_t"), col("rn").as("_prn"),
-      col("span_id").as("parent_span_id"))
-    sp.join(parents,
-      col("trace_id") === col("_t") && col("rn") > 0 &&
-        expr("(rn - 1) div 2") === col("_prn"),
-      "left")
-      .drop("_t", "_prn")
+    tracesDf(s, dir)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("_ids", collect_list(col("span_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("parent_span_id",
+        when(col("rn") > 0, expr("_ids[(rn - 1) div 2]")))
+      .drop("_ids")
   }
 
   /** deterministic existing trace: user 0 on 2024-01-01 (day 19723) — the
