@@ -162,6 +162,10 @@ object Ast {
   final case class LabelReplaceExpr(inner: MetricExpr, dst: String,
       repl: String, src: String, regex: String) extends MetricExpr
 
+  /** Loki 2.7 sort()/sort_desc() — presentation order over ANY metric
+    * expr (value, then labels as tie-break). */
+  final case class SortExpr(desc: Boolean, inner: MetricExpr) extends MetricExpr
+
   /** Raised for parseable-but-unsupported constructs — explicit, like the
     * reference's Unsupported errors (search_filter.rs:6-9). */
   final case class Unsupported(msg: String) extends RuntimeException(msg)

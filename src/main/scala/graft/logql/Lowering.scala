@@ -625,6 +625,13 @@ object Lowering {
         throw Unsupported("vector() literal only as the right side of `or`")
       case LabelReplaceExpr(inner, dst, repl, src, regex) =>
         Eval.labelReplace(lowerMetricVec(table, inner, timeRange), dst, repl, src, regex)
+      // sort()/sort_desc(): presentation-order pass-through — value first,
+      // labels break ties; the vector's identity is untouched
+      case SortExpr(desc, inner) =>
+        val v = lowerMetricVec(table, inner, timeRange)
+        val ord = (if (desc) col("value").desc else col("value").asc) +:
+          v.labels.map(col(_).asc)
+        Eval.Vec(v.df.orderBy(ord: _*), v.labels)
       // `expr or vector(v)` — the Grafana no-data fallback the reference
       // documents as unsupported (logql-reference.md:218-226). Prometheus
       // `or` keeps right rows whose series identity is absent on the
@@ -675,6 +682,7 @@ object Lowering {
     case RangeExpr(agg)                  => agg.rangeSec
     case VectorExpr(vagg)                => vagg.inner.rangeSec
     case LabelReplaceExpr(inner, _, _, _, _) => stepOf(inner)
+    case SortExpr(_, inner) => stepOf(inner)
     case BinaryExpr(_, l, _, _, _, _, _) => stepOf(l)
     case LiteralExpr(_) | VectorLit(_) =>
       throw Unsupported("scalar expression has no bucket grid")

@@ -70,7 +70,7 @@ object Parser {
 
     def query(): Query = cur match {
       case TIdent(name, _) if vectorFuncs.contains(name) || rangeFuncs.contains(name) ||
-          name == "label_replace" =>
+          name == "label_replace" || name == "sort" || name == "sort_desc" =>
         MetricQuery(metricExpr())
       case TOp("(", _) | TNum(_, _) => MetricQuery(metricExpr())
       case TOp("{", _) => LineQuery(logQuery())
@@ -221,6 +221,11 @@ object Parser {
         val regex = str()
         eatOp(")")
         LabelReplaceExpr(inner, dst, repl, src, regex)
+      case TIdent(f @ ("sort" | "sort_desc"), _) =>
+        advance(); eatOp("(")
+        val inner = metricExpr()
+        eatOp(")")
+        SortExpr(f == "sort_desc", inner)
       case TIdent(name, _) if vectorFuncs.contains(name) =>
         advance()
         var by = Seq.empty[String]

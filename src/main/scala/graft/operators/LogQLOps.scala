@@ -276,6 +276,11 @@ object LogQLOps {
     "q111_logql_distinct" ->
       line("""{severity_text="info"} | distinct service_name, event_type""", 100),
 
+    // sort_desc over a nested vector agg (Loki 2.7) — presentation order;
+    // the oracle checks the SET (hash compare is order-washed)
+    "q169_logql_sort" ->
+      metric("""sort_desc(sum by (service_name) (count_over_time({severity_text="error"}[1d])))"""),
+
     // duration literal in a label filter: compared in nanos (reference
     // logql.rs numeric_value — durations serialize as nanoseconds)
     "q120_logql_duration_filter" ->
@@ -332,6 +337,12 @@ object LogQLOps {
          |LIMIT 300""".stripMargin,
 
     "q32_logql_count" ->
+      s"""WITH logs AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM logs WHERE severity_text = 'error' GROUP BY 1, 2""".stripMargin,
+
+    "q169_logql_sort" ->
       s"""WITH logs AS ($V)
          |SELECT ${bkt(86400)} AS bucket_start, service_name,
          |  CAST(COUNT(*) AS DOUBLE) AS value

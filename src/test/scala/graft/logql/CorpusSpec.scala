@@ -83,6 +83,9 @@ class CorpusSpec extends AnyFunSuite {
     """{job="api"} | logfmt --keep-empty --strict""",
     // label_replace over metric exprs (reference logs.rs:1102-1188)
     """label_replace(rate({a="1"}[5m]), "d", "$1", "s", "(.*)")""",
+    // sort()/sort_desc() over any metric expr (Loki 2.7)
+    """sort(rate({a="1"}[5m]))""",
+    """sort_desc(sum by (s) (count_over_time({a="1"}[1d])))""",
     """label_replace(sum by (s) (count_over_time({a="1"}[1d])), "d", "x$1", "s", "(.+)") / on(d) label_replace(sum by (s) (count_over_time({b="2"}[1d])), "d", "x$1", "s", "(.+)")""",
     // ip() exact / range / CIDR — implemented beyond the reference
     // (which rejects at execution, logql.rs:674)
