@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.promql.Eval
@@ -207,6 +207,34 @@ object HistogramOps {
         .withColumn("fraction_le_100", col("cum100") / col("total"))
         .select(col("bucket_start"), col("service_name"), col("count"),
           col("fraction_le_100"))
+    }),
+
+    // histogram_avg + histogram_stddev (Prometheus native-histogram
+    // functions, here over stored explicit-bounds rows): avg is the exact
+    // stored-sum/count ratio (decimal-accumulated — cross-series float
+    // SUM order is engine-dependent); stddev estimates from bucket
+    // MIDPOINTS (25/75/125, overflow → its 150 lower bound, the native
+    // histogram convention) with all moments as exact integer sums — ONE
+    // hash aggregate, then closed forms
+    "q170_hist_avg_stddev" -> ((s, dir) => {
+      val rows = histRowsDf(s, dir)
+        .withColumn("bucket_start", expr(s"(timestamp div 1000000000) div $step * $step"))
+        .withColumn("counts", from_json(col("bucket_counts"), ArrayType(LongType)))
+      val mids = Seq(25L, 75L, 125L, 150L)
+      val binAggs = (0 until 4).map(i =>
+        sum(element_at(col("counts"), i + 1)).as(s"_c$i"))
+      rows.groupBy(col("bucket_start"), col("service_name"))
+        .agg(binAggs.head,
+          binAggs.tail :+ sum(col("count")).as("_n")
+            :+ sum(col("sum").cast(DecimalType(30, 4))).cast(DoubleType).as("_ds"): _*)
+        .withColumn("_s1", (0 until 4).map(i => col(s"_c$i") * mids(i)).reduce(_ + _))
+        .withColumn("_s2", (0 until 4).map(i => col(s"_c$i") * (mids(i) * mids(i))).reduce(_ + _))
+        .withColumn("avg", col("_ds") / col("_n"))
+        .withColumn("stddev",
+          sqrt((col("_s2") * col("_n") - col("_s1") * col("_s1")).cast(DoubleType))
+            / col("_n"))
+        .select(col("bucket_start"), col("service_name"),
+          col("_n").as("count"), col("avg"), col("stddev"))
     })
   )
 
@@ -336,6 +364,27 @@ object HistogramOps {
          |  CAST(t.cum AS BIGINT) AS count, h.cum / t.cum AS fraction_le_100
          |FROM cum t JOIN cum h
          |  ON t.bucket_start = h.bucket_start AND t.service_name = h.service_name
-         |WHERE t.le = '+Inf' AND h.le = '100'""".stripMargin
+         |WHERE t.le = '+Inf' AND h.le = '100'""".stripMargin,
+
+    "q170_hist_avg_stddev" ->
+      s"""WITH hist AS ($histRowsSql),
+         |g AS (
+         |  SELECT (timestamp//1000000000//$step)*$step AS bucket_start,
+         |    service_name,
+         |    ${(0 until 4).map(i =>
+             s"SUM(CAST(CAST(json_extract(bucket_counts, '$$[$i]') AS VARCHAR) AS BIGINT)) AS c$i")
+             .mkString(", ")},
+         |    SUM(CAST(count AS BIGINT)) AS n,
+         |    CAST(SUM(CAST(sum AS DECIMAL(30,4))) AS DOUBLE) AS ds
+         |  FROM hist GROUP BY 1, 2),
+         |m AS (
+         |  SELECT *,
+         |    c0*25 + c1*75 + c2*125 + c3*150 AS s1,
+         |    c0*625 + c1*5625 + c2*15625 + c3*22500 AS s2
+         |  FROM g)
+         |SELECT bucket_start, service_name, n AS count,
+         |  ds / n AS avg,
+         |  sqrt(CAST(s2*n - s1*s1 AS DOUBLE)) / n AS stddev
+         |FROM m""".stripMargin
   )
 }
