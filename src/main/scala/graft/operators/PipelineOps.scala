@@ -850,6 +850,21 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("n_tok"), col("prior"))
     }),
 
+    // BPE merge-candidate mining: global frequencies of ADJACENT token
+    // pairs — the statistic one BPE training round maximizes. zip_with
+    // over the token array forms pairs per row (no self-join); global
+    // top-20 is a TakeOrdered, never a full sort.
+    "q171_bpe_pairs" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // Importance (quality-weighted) sampling, DSIR-style: doc kept with
     // probability p = score/100, p quantized to k/256 so the Bernoulli
     // draw is a 2-hex-char md5 prefix compare — deterministic across
@@ -1667,6 +1682,16 @@ object PipelineOps {
         |      AS prior
         |  FROM t)
         |SELECT doc_id, source, n_tok, prior FROM o WHERE prior < 800""".stripMargin,
+
+    "q171_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> concat(toks[i], ' ', toks[i+1]))) AS pair
+        |  FROM t)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q167_importance_sample" ->
       """WITH t AS (
