@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.LogfmtMap
+
+/** SparkSessionExtensions entry point — registers graft's native
+  * expressions with the SQL function registry, so the pure-SQL surface
+  * (`spark.sql(...)`, `SqlSurface`, JDBC users) sees them alongside the
+  * Column API:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)   // code
+  *   --conf spark.sql.extensions=graft.GraftExtensions            // config
+  *
+  * Injection happens per-session at build time — no global registry
+  * mutation, safe with multiple concurrent sessions on a cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("logfmt_map"),
+      new ExpressionInfo(classOf[LogfmtMap].getName, "logfmt_map"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(one) => LogfmtMap(one)
+          case other => throw new IllegalArgumentException(
+            s"logfmt_map expects 1 argument, got ${other.size}")
+        }))
+  }
+}
