@@ -798,6 +798,14 @@ object Lowering {
           if (agg.func == "first_over_time") min_by(uw, ordStruct)
           else max_by(uw, ordStruct)
         filtered.groupBy(keys: _*).agg(pick.as("value"))
+      case "rate_counter" =>
+        // Prometheus-style counter rate over the unwrapped value:
+        // (last − first) / range per (bucket, series) — per-series
+        // first/last arithmetic, no cross-series float sum, one hash
+        // aggregate (Loki's rate_counter)
+        val ordStruct = struct(col("timestamp") +: table.tieBreak.map(col): _*)
+        filtered.groupBy(keys: _*)
+          .agg(((max_by(uw, ordStruct) - min_by(uw, ordStruct)) / rangeSecs).as("value"))
       case other => throw Unsupported(s"range function $other")
     }
   }

@@ -28,7 +28,7 @@ object Parser {
   private val vectorFuncs =
     Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "topk", "bottomk")
   private val rangeFuncs = Set(
-    "count_over_time", "rate", "bytes_over_time", "bytes_rate",
+    "count_over_time", "rate", "rate_counter", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "first_over_time", "last_over_time", "quantile_over_time",
     "stddev_over_time", "stdvar_over_time", "absent_over_time")

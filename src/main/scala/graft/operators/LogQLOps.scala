@@ -281,6 +281,11 @@ object LogQLOps {
     "q169_logql_sort" ->
       metric("""sort_desc(sum by (service_name) (count_over_time({severity_text="error"}[1d])))"""),
 
+    // rate_counter: Prometheus-style counter rate over the unwrapped
+    // value — (last − first)/range per (bucket, series), one hash agg
+    "q173_logql_rate_counter" ->
+      metric("""rate_counter({severity_text="info"} | json | unwrap k [1d])"""),
+
     // duration literal in a label filter: compared in nanos (reference
     // logql.rs numeric_value — durations serialize as nanoseconds)
     "q120_logql_duration_filter" ->
@@ -347,6 +352,27 @@ object LogQLOps {
          |SELECT ${bkt(86400)} AS bucket_start, service_name,
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM logs WHERE severity_text = 'error' GROUP BY 1, 2""".stripMargin,
+
+    "q173_logql_rate_counter" ->
+      s"""WITH logs AS ($V),
+         |r AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, severity_text,
+         |    event_type,
+         |    CAST(json_extract_string(body, '$$.k') AS DOUBLE) AS value,
+         |    row_number() OVER (PARTITION BY ${bkt(86400)}, service_name,
+         |      severity_text, event_type
+         |      ORDER BY timestamp DESC, event_id DESC) AS rnd,
+         |    row_number() OVER (PARTITION BY ${bkt(86400)}, service_name,
+         |      severity_text, event_type
+         |      ORDER BY timestamp ASC, event_id ASC) AS rna
+         |  FROM logs WHERE severity_text = 'info'),
+         |fl AS (
+         |  SELECT bucket_start, service_name, severity_text, event_type,
+         |    MAX(CASE WHEN rnd = 1 THEN value END) AS lastv,
+         |    MAX(CASE WHEN rna = 1 THEN value END) AS firstv
+         |  FROM r GROUP BY 1, 2, 3, 4)
+         |SELECT bucket_start, service_name, severity_text, event_type,
+         |  (lastv - firstv) / 86400.0 AS value FROM fl""".stripMargin,
 
     "q33_logql_rate" ->
       s"""WITH logs AS ($V)

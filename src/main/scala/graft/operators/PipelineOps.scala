@@ -850,6 +850,22 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("n_tok"), col("prior"))
     }),
 
+    // Int8 vector quantization (index prep): per-vector symmetric scale
+    // to [-127, 127] by the max |component|. Pure per-row array math —
+    // no window, no shuffle; the scale survives as a column so the
+    // index can dequantize.
+    "q174_embedding_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("m", expr(
+          "array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .select(col("vec_id"), col("m"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))"))
+            .as(Seq("pos", "v")))
+        .withColumn("qv", round(col("v") * 127.0d / col("m")).cast(LongType))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          col("qv"), col("m"))
+    }),
+
     // BPE merge-candidate mining: global frequencies of ADJACENT token
     // pairs — the statistic one BPE training round maximizes. zip_with
     // over the token array forms pairs per row (no self-join); global
@@ -1682,6 +1698,19 @@ object PipelineOps {
         |      AS prior
         |  FROM t)
         |SELECT doc_id, source, n_tok, prior FROM o WHERE prior < 800""".stripMargin,
+
+    "q174_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m,
+        |    embedding
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, m, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS v
+        |  FROM e, range(0, 64) r(i))
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(round(v * 127.0 / m) AS BIGINT) AS qv, m
+        |FROM x""".stripMargin,
 
     "q171_bpe_pairs" ->
       """WITH t AS (

@@ -225,7 +225,12 @@ object PromQLOps {
 
     // sort_by_label: presentation sort by label values (hash-compare
     // oracle checks the SET; the order itself is pinned in EvalSpec)
-    "q161_promql_sort_by_label" -> q("""sort_by_label(view, "service_name")""", 86400)
+    "q161_promql_sort_by_label" -> q("""sort_by_label(view, "service_name")""", 86400),
+
+    // negative offset (look-AHEAD, Prometheus ≥2.26): bucket b reads the
+    // window one day in its future — same shifted-bucket plan as positive
+    // offsets, just the opposite sign
+    "q172_promql_negative_offset" -> q("""max_over_time(purchase[1d] offset -1d)""", 86400)
   )
 
   /** Exact per-(bucket, series) regression sums over a metric selector:
@@ -661,7 +666,17 @@ object PromQLOps {
     "q161_promql_sort_by_label" ->
       s"""WITH m AS ($V),
          |l AS (${lastPerBucket("metric_name = 'view'", 86400)})
-         |SELECT bucket_start, service_name, value FROM l""".stripMargin
+         |SELECT bucket_start, service_name, value FROM l""".stripMargin,
+
+    "q172_promql_negative_offset" ->
+      s"""WITH m AS ($V)
+         |SELECT ((timestamp - ${86400L * 1000000000L})//1000000000//86400)*86400
+         |    AS bucket_start,
+         |  service_name, MAX(CAST(value AS DOUBLE)) AS value
+         |FROM m WHERE metric_name = 'purchase'
+         |  AND timestamp >= ${(T0 + 86400L) * 1000000000L}
+         |  AND timestamp < ${(T1 + 86400L) * 1000000000L}
+         |GROUP BY 1, 2""".stripMargin
   )
 
   /** regression-sum CTE bodies shared by q135/q136 (x = ms offset in

@@ -281,8 +281,11 @@ object Parser {
       while (go) {
         if (isIdent("offset")) {
           advance()
+          // negative offsets (look-ahead) are valid Prometheus since 2.26
+          val neg = isOp("-")
+          if (neg) advance()
           offset = advance() match {
-            case TDur(d, _) => d
+            case TDur(d, _) => if (neg) -d else d
             case t          => throw ParseError("expected duration after offset", t.pos)
           }
         } else if (isOp("@")) {

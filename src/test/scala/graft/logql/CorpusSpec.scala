@@ -86,6 +86,8 @@ class CorpusSpec extends AnyFunSuite {
     // sort()/sort_desc() over any metric expr (Loki 2.7)
     """sort(rate({a="1"}[5m]))""",
     """sort_desc(sum by (s) (count_over_time({a="1"}[1d])))""",
+    // rate_counter over an unwrapped value (Loki counter semantics)
+    """rate_counter({a="1"} | logfmt | unwrap v [5m])""",
     """label_replace(sum by (s) (count_over_time({a="1"}[1d])), "d", "x$1", "s", "(.+)") / on(d) label_replace(sum by (s) (count_over_time({b="2"}[1d])), "d", "x$1", "s", "(.+)")""",
     // ip() exact / range / CIDR — implemented beyond the reference
     // (which rejects at execution, logql.rs:674)
