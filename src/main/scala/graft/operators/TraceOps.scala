@@ -146,6 +146,16 @@ object TraceOps {
           col("duration_nanos"))
     }),
 
+    // TraceQL `||` disjunction inside a spanset (the reference subset
+    // rejects it) — an OR of &&-groups, still one scan + one filter
+    "q175_traceql_disjunction" -> ((s, dir) => {
+      val conds = TraceQL.parse(
+        """{ name = "error" || name = "purchase" && duration > 150ms }""")
+      tracesDf(s, dir).filter(TraceQL.lower(conds))
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
     // TraceQL structural `<<` (ancestor) — A-span parent chains exploded
     // to (trace, ancestor) pairs, candidates semi-joined
     "q163_traceql_ancestor" -> ((s, dir) => {
@@ -270,6 +280,13 @@ object TraceOps {
          |  SELECT 1 FROM wp a WHERE a.trace_id = b.trace_id
          |    AND a.parent_span_id = b.parent_span_id
          |    AND a.span_id <> b.span_id AND a.span_name = 'error')""".stripMargin,
+
+    "q175_traceql_disjunction" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT trace_id, span_id, span_name, duration_nanos
+         |FROM spans
+         |WHERE span_name = 'error'
+         |   OR (span_name = 'purchase' AND duration_nanos > 150000000)""".stripMargin,
 
     // ancestry closure via recursive CTE: up(b_id, cur) walks B-candidate
     // parent chains; a row matches when some chain node is an A-span

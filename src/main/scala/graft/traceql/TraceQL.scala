@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Supported: `{ sel = "v" && sel != "v" && duration > 100ms ... }` where
   * sel ∈ name | status | service.name | span.<attr> | resource.<attr> |
-  * .<attr>; conjunctions only.
+  * .<attr>; `&&` conjunctions and top-level `||` disjunctions (the
+  * reference subset rejects `||` — search_filter.rs:234-320).
   */
 object TraceQL {
 
@@ -20,6 +21,10 @@ object TraceQL {
   sealed trait Cond
   final case class StrEq(selector: String, value: String, negated: Boolean) extends Cond
   final case class DurCmp(op: String, nanos: Long) extends Cond
+  /** top-level `||` inside a spanset: an OR of `&&`-groups — one Cond, so
+    * every consumer (spansets, structural sides, metrics selectors) gets
+    * disjunction support without changing shape. */
+  final case class OrGroup(groups: Seq[Seq[Cond]]) extends Cond
 
   /** structural form — IMPLEMENTED BEYOND the reference subset (which
     * rejects anything but a single spanset, search_filter.rs:240-246):
@@ -112,15 +117,37 @@ object TraceQL {
         collect_set(when(lower(p), col("span_id"))).as("_aset"))
       .filter(size(col("_aset")) > 0)
 
-  /** parse `{ ... }` conjunctive form. */
+  /** parse `{ ... }`: an OR (`||`) of AND (`&&`) groups; both separators
+    * split OUTSIDE quoted strings only. */
   def parse(q: String): Seq[Cond] = {
     val t = q.trim
     if (!t.startsWith("{") || !t.endsWith("}"))
       throw Unsupported("TraceQL: expected { ... }")
     val body = t.substring(1, t.length - 1).trim
     if (body.isEmpty) return Seq.empty
-    if (body.contains("||")) throw Unsupported("TraceQL: disjunction not supported")
-    body.split("&&").toSeq.map(_.trim).map(parseCond)
+    def conj(part: String): Seq[Cond] =
+      splitTop(part, "&&").map(_.trim).map(parseCond)
+    val orParts = splitTop(body, "||").map(_.trim)
+    if (orParts.length > 1) Seq(OrGroup(orParts.map(conj)))
+    else conj(body)
+  }
+
+  /** split on a separator at quote-depth zero (values may contain it). */
+  private def splitTop(body: String, sep: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"' && (i == 0 || body.charAt(i - 1) != '\\')) {
+        inQ = !inQ; sb.append(c); i += 1
+      } else if (!inQ && body.startsWith(sep, i)) {
+        parts += sb.toString; sb.clear(); i += sep.length
+      } else { sb.append(c); i += 1 }
+    }
+    parts += sb.toString
+    parts.result()
   }
 
   private val durRe = """^duration\s*(>=|<=|>|<)\s*(\d+)(ns|us|ms|s|m|h)$""".r
@@ -225,5 +252,9 @@ object TraceQL {
         case "<"  => d < n
         case "<=" => d <= n
       }
+    case OrGroup(groups) =>
+      groups
+        .map(g => g.map(condCol).reduceOption(_ && _).getOrElse(lit(true)))
+        .reduce(_ || _)
   }
 }

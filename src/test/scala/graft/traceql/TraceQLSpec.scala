@@ -77,6 +77,22 @@ class TraceQLSpec extends AnyFunSuite {
     assert(ids("""{ name = "purchase" } << { name = "error" }""") == Set(6L))
   }
 
+  test("`||` is an OR of &&-groups; separators inside quotes don't split") {
+    // views OR purchases-under-1: 1, 2, 4, 5, 7 all match one branch
+    assert(ids("""{ name = "view" || name = "purchase" }""") == Set(1L, 2L, 4L, 5L, 7L))
+    // && binds tighter than ||
+    val conds = TraceQL.parse(
+      """{ name = "a" || name = "b" && duration > 1ms }""")
+    assert(conds.size == 1 && conds.head.isInstanceOf[TraceQL.OrGroup])
+    val g = conds.head.asInstanceOf[TraceQL.OrGroup].groups
+    assert(g.map(_.size) == Seq(1, 2))
+    // quoted values may contain the separators verbatim
+    val q = TraceQL.parse("""{ name = "a||b" && status = "x && y" }""")
+    assert(q == Seq(
+      TraceQL.StrEq("name", "a||b", negated = false),
+      TraceQL.StrEq("status", "x && y", negated = false)))
+  }
+
   test("bare spansets still parse; unknown structural ops rejected") {
     assert(TraceQL.parseExpr("""{ name = "a" }""").isInstanceOf[TraceQL.Spanset])
     assertThrows[TraceQL.Unsupported](
