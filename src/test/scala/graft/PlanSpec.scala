@@ -178,4 +178,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected the per-segment window shuffle:\n$plan")
     assert(!plan.contains("Join"), s"keep-first dedup needs no join:\n$plan")
   }
+
+  test("per-row pipeline ops (chunking, int8 quantize) have NO exchange") {
+    for (q <- Seq("q164_chunk_overlap", "q174_embedding_quantize")) {
+      val df = operators.PipelineOps.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$q must stay embarrassingly parallel (no shuffle):\n$plan")
+    }
+  }
+
+  test("trace parentage derives from ONE window — no self-join exchange pair") {
+    val df = operators.TraceOps.queries("q145_traceql_child")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one shuffle for the per-trace window, one for the structural semi
+    // join's build side at most — the old self-join shape had three
+    assert(plan.count(_ == '\n') > 0 &&
+      "Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"expected ≤2 hash exchanges (window + semi-join build):\n$plan")
+  }
 }
