@@ -59,6 +59,21 @@ object ProfileOps {
         .agg(sum(col("value")).as("total"))
     }),
 
+    // Pyroscope FOCUS view: re-root the flamegraph at a frame — keep
+    // samples whose stack contains it, trim the prefix above it, fold
+    // the subtree. Pure per-row array ops before the same one-aggregate
+    // fold; no extra shuffle vs the full flamegraph.
+    "q177_flamegraph_focus" -> ((s, dir) => {
+      val focused = samplesDf(s, dir)
+        .withColumn("_pos", array_position(col("stack"), "purchase"))
+        .filter(col("_pos") > 0)
+        .withColumn("stack",
+          expr("slice(stack, CAST(_pos AS INT), size(stack) - CAST(_pos AS INT) + 1)"))
+      prefixes(focused)
+        .groupBy(col("service_name"), col("path"), col("depth"))
+        .agg(sum(col("value")).as("total"))
+    }),
+
     // Pyroscope discovery: /profile-types with per-type sample counts,
     // time bounds and service cardinality (reference
     // router/endpoints/pyroscope.rs:40 + querier profile.rs:234-400 —
@@ -118,6 +133,21 @@ object ProfileOps {
          |  SELECT service_name,
          |    array_to_string(stack[1:d], ';') AS path, d AS depth, value
          |  FROM samples, range(1, 4) r(d)
+         |  WHERE d <= len(stack))
+         |SELECT service_name, path, CAST(depth AS INTEGER) AS depth,
+         |  CAST(SUM(value) AS BIGINT) AS total
+         |FROM pfx GROUP BY 1, 2, 3""".stripMargin,
+
+    "q177_flamegraph_focus" ->
+      s"""WITH samples AS ($samplesViewSql),
+         |f AS (
+         |  SELECT service_name,
+         |    stack[list_position(stack, 'purchase'):] AS stack, value
+         |  FROM samples WHERE list_position(stack, 'purchase') > 0),
+         |pfx AS (
+         |  SELECT service_name,
+         |    array_to_string(stack[1:d], ';') AS path, d AS depth, value
+         |  FROM f, range(1, 4) r(d)
          |  WHERE d <= len(stack))
          |SELECT service_name, path, CAST(depth AS INTEGER) AS depth,
          |  CAST(SUM(value) AS BIGINT) AS total

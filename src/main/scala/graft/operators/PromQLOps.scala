@@ -230,7 +230,11 @@ object PromQLOps {
     // negative offset (look-AHEAD, Prometheus ≥2.26): bucket b reads the
     // window one day in its future — same shifted-bucket plan as positive
     // offsets, just the opposite sign
-    "q172_promql_negative_offset" -> q("""max_over_time(purchase[1d] offset -1d)""", 86400)
+    "q172_promql_negative_offset" -> q("""max_over_time(purchase[1d] offset -1d)""", 86400),
+
+    // ts_of_max_over_time (Prometheus 3.x experimental): the sample
+    // timestamp of each window's max — one max_by hash aggregate
+    "q176_promql_ts_of_max" -> q("""ts_of_max_over_time(view[1d])""", 86400)
   )
 
   /** Exact per-(bucket, series) regression sums over a metric selector:
@@ -676,7 +680,19 @@ object PromQLOps {
          |FROM m WHERE metric_name = 'purchase'
          |  AND timestamp >= ${(T0 + 86400L) * 1000000000L}
          |  AND timestamp < ${(T1 + 86400L) * 1000000000L}
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q176_promql_ts_of_max" ->
+      s"""WITH m AS ($V),
+         |r AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |    CAST(timestamp//1000000000 AS DOUBLE) AS ts,
+         |    row_number() OVER (PARTITION BY ${bkt(86400)}, service_name
+         |      ORDER BY CAST(value AS DOUBLE) DESC, timestamp DESC,
+         |        event_id DESC) AS rn
+         |  FROM m WHERE metric_name = 'view' AND ${win(86400)})
+         |SELECT bucket_start, service_name, ts AS value FROM r
+         |WHERE rn = 1""".stripMargin
   )
 
   /** regression-sum CTE bodies shared by q135/q136 (x = ms offset in

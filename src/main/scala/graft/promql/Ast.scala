@@ -76,6 +76,7 @@ object Ast {
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "quantile_over_time", "absent_over_time",
     "present_over_time", "mad_over_time",
+    "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time",
     "holt_winters", "double_exponential_smoothing")
 
   val scalarFuncs: Set[String] = Set(

@@ -225,7 +225,8 @@ object Eval {
     case "sum_over_time" | "avg_over_time" | "min_over_time" | "max_over_time" |
         "count_over_time" | "last_over_time" | "stddev_over_time" |
         "stdvar_over_time" | "quantile_over_time" | "present_over_time" |
-        "mad_over_time" =>
+        "mad_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" |
+        "ts_of_last_over_time" =>
       overTime(f, args, t, tr)
 
     case "absent" | "absent_over_time" =>
@@ -534,6 +535,21 @@ object Eval {
         df.withColumn("_med", percentile(x, lit(0.5)).over(w))
           .groupBy(keys: _*)
           .agg(percentile(abs(x - col("_med")), lit(0.5)).as("value"))
+      // Prometheus 3.x experimental ts_of_* family: the SAMPLE TIMESTAMP
+      // (epoch seconds) of the chosen point — one max_by/min_by hash agg.
+      // Ties: max → latest sample wins, min → earliest (pinned in the
+      // oracle the same way)
+      case "ts_of_max_over_time" | "ts_of_min_over_time" | "ts_of_last_over_time" =>
+        val ts = expr("timestamp div 1000000000").cast(DoubleType)
+        val pick = f match {
+          case "ts_of_max_over_time" =>
+            max_by(ts, struct(x +: col("timestamp") +: t.tieBreak.map(col): _*))
+          case "ts_of_min_over_time" =>
+            min_by(ts, struct(x +: col("timestamp") +: t.tieBreak.map(col): _*))
+          case _ =>
+            max_by(ts, struct(col("timestamp") +: t.tieBreak.map(col): _*))
+        }
+        df.groupBy(keys: _*).agg(pick.as("value"))
     }
     VecV(spread(sel, Vec(out, t.seriesLabels), t, tr))
   }

@@ -156,6 +156,18 @@ class EvalSpec extends AnyFunSuite {
     assert(k2.size == 2 && k2.subsetOf(all))
   }
 
+  test("ts_of_* picks the chosen sample's epoch-second timestamp") {
+    // values 5 @1s, 9 @2s, 9 @3s, 1 @4s (within one 8s bucket)
+    val t = table(Seq(
+      (1000000000L, "a", 5.0), (2000000000L, "a", 9.0),
+      (3000000000L, "a", 9.0), (4000000000L, "a", 1.0)))
+    val tr = TimeRange(0, 8, 8)
+    // max tie (9 @2s vs @3s) → LATEST sample
+    assert(run("ts_of_max_over_time(m[8s])", t, tr) == Seq((0L, 3.0)))
+    assert(run("ts_of_min_over_time(m[8s])", t, tr) == Seq((0L, 4.0)))
+    assert(run("ts_of_last_over_time(m[8s])", t, tr) == Seq((0L, 4.0)))
+  }
+
   test("sort_by_label orders rows by label values without reshaping them") {
     val t = table(Seq((0L, "b", 2.0), (0L, "a", 1.0), (0L, "c", 3.0)))
     val tr = TimeRange(0, 4, 4)
