@@ -82,6 +82,8 @@ object Ast {
     case object NotContains extends LineOp // !=
     case object Regex extends LineOp       // |~  (unanchored search)
     case object NotRegex extends LineOp    // !~
+    case object Pattern extends LineOp     // |>  (whole-line pattern match)
+    case object NotPattern extends LineOp  // !>
   }
 
   /** Label-filter predicate tree (`and`/`or`/`,` over comparisons). */

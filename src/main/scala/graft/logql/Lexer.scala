@@ -16,7 +16,7 @@ object Lexer {
   final case class TOp(s: String, pos: Int) extends Tok // punctuation / operators
   final case class TEof(pos: Int) extends Tok
 
-  private val multiOps = List("|=", "|~", "!=", "!~", "=~", ">=", "<=", "==")
+  private val multiOps = List("|=", "|~", "|>", "!=", "!~", "!>", "=~", ">=", "<=", "==")
   private val singleOps = "{}(),[]|=<>+-*/%^@:".toSet
 
   def tokenize(in: String): Vector[Tok] = {

@@ -307,6 +307,10 @@ object Lowering {
     case LineOp.NotContains => !col("body").contains(f.needle)
     case LineOp.Regex       => col("body").rlike(guardRegex(f.needle))
     case LineOp.NotRegex    => !col("body").rlike(guardRegex(f.needle))
+    // `|>` / `!>` (Loki 3.x): the pattern must match the WHOLE line —
+    // compilePattern is start-anchored, the `$` closes the end
+    case LineOp.Pattern     => col("body").rlike(compilePattern(f.needle)._1 + "$")
+    case LineOp.NotPattern  => !col("body").rlike(compilePattern(f.needle)._1 + "$")
   }
 
   // ---- ip() — IPv4 exact / a-b range / CIDR ------------------------------

@@ -329,6 +329,8 @@ object Parser {
           case TOp("!=", _) => advance(); stages += lineNeedle(LineOp.NotContains)
           case TOp("|~", _) => advance(); stages += lineNeedle(LineOp.Regex)
           case TOp("!~", _) => advance(); stages += lineNeedle(LineOp.NotRegex)
+          case TOp("|>", _) => advance(); stages += lineNeedle(LineOp.Pattern)
+          case TOp("!>", _) => advance(); stages += lineNeedle(LineOp.NotPattern)
           case TOp("|", _) =>
             advance()
             cur match {

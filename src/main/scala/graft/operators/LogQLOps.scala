@@ -286,6 +286,11 @@ object LogQLOps {
     "q173_logql_rate_counter" ->
       metric("""rate_counter({severity_text="info"} | json | unwrap k [1d])"""),
 
+    // `|>` pattern line filter (Loki 3.x): whole-line template match,
+    // compiled to ONE anchored regex at plan time
+    "q178_logql_pattern_filter" ->
+      line("""{service_name="svc-2"} |> "{\"k\": 8<_>}"""", 200),
+
     // duration literal in a label filter: compared in nanos (reference
     // logql.rs numeric_value — durations serialize as nanoseconds)
     "q120_logql_duration_filter" ->
@@ -352,6 +357,14 @@ object LogQLOps {
          |SELECT ${bkt(86400)} AS bucket_start, service_name,
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM logs WHERE severity_text = 'error' GROUP BY 1, 2""".stripMargin,
+
+    "q178_logql_pattern_filter" ->
+      s"""WITH logs AS ($V)
+         |SELECT timestamp, service_name, severity_text, body FROM logs
+         |WHERE service_name = 'svc-2'
+         |  AND regexp_matches(body, '^\\{"k": 8(?:.*)\\}$$')
+         |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
+         |LIMIT 200""".stripMargin,
 
     "q173_logql_rate_counter" ->
       s"""WITH logs AS ($V),

@@ -88,6 +88,9 @@ class CorpusSpec extends AnyFunSuite {
     """sort_desc(sum by (s) (count_over_time({a="1"}[1d])))""",
     // rate_counter over an unwrapped value (Loki counter semantics)
     """rate_counter({a="1"} | logfmt | unwrap v [5m])""",
+    // |> / !> pattern line filters (Loki 3.x)
+    """{a="1"} |> "<_> error <_>"""",
+    """{a="1"} !> "ok <_>"""",
     """label_replace(sum by (s) (count_over_time({a="1"}[1d])), "d", "x$1", "s", "(.+)") / on(d) label_replace(sum by (s) (count_over_time({b="2"}[1d])), "d", "x$1", "s", "(.+)")""",
     // ip() exact / range / CIDR — implemented beyond the reference
     // (which rejects at execution, logql.rs:674)
