@@ -203,6 +203,20 @@ object CoreOps {
               |FROM lineitem_gs
               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
               |""".stripMargin)
+    }),
+
+    // CUBE: all 2^k grouping combinations in ONE Expand + hash aggregate
+    // (same plan family as q137's grouping sets — never k separate scans)
+    "q179_sql_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_cube")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+              |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+              |FROM lineitem_cube
+              |GROUP BY CUBE (l_returnflag, l_linestatus)
+              |""".stripMargin)
     })
   )
 
@@ -318,6 +332,15 @@ object CoreOps {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "q179_sql_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 }
