@@ -33,10 +33,25 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = best.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail to stderr for local analysis.
+    for ((k, v) <- results.toSeq.sortBy(_._1))
+      System.err.println(f"[bench] min   $k%-28s $v%8.3fs")
+    // The driver captures only the LAST ~2000 chars of stdout (sbt's own
+    // "[success] Total time" trailer included), so the single JSON line must
+    // stay well under that or it is truncated and unparseable. Emit rounded
+    // values and pack the queries map slowest-first under a byte budget.
+    def r3(v: Double): String = f"$v%.3f"
+    val header =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val budget = 1700 - header.length - 2
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s"\"$k\":${r3(v)}" }
+    val packed = new StringBuilder
+    for (e <- entries if packed.length + e.length + 1 <= budget) {
+      if (packed.nonEmpty) packed.append(',')
+      packed.append(e)
+    }
+    println(header + packed.toString + "}}")
     spark.stop()
   }
 }
