@@ -163,6 +163,28 @@ object TraceOps {
       TraceQL.lowerExpr(tracesWithParent(s, dir), e)
         .select(col("trace_id"), col("span_id"), col("span_name"),
           col("duration_nanos"))
+    }),
+
+    // TraceQL spanset aggregate filter `| count() >= N` — the whole
+    // matching spanset is kept or dropped per trace; one window over
+    // trace_id, no self-join (Tempo pipeline; the reference subset
+    // rejects pipelines, search_filter.rs:240-246)
+    "q180_traceql_agg_count" -> ((s, dir) => {
+      val e = TraceQL.parseExpr(
+        """{ resource.service.name = "svc-1" } | count() >= 3""")
+      TraceQL.lowerExpr(tracesDf(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
+    // TraceQL `| avg(duration) > t` — lowered to the exact integer form
+    // sum > t*count so the keep/drop never rides an IEEE division
+    "q181_traceql_agg_avg" -> ((s, dir) => {
+      val e = TraceQL.parseExpr(
+        """{ name = "purchase" } | avg(duration) > 120ms""")
+      TraceQL.lowerExpr(tracesDf(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
     })
   )
 
@@ -335,6 +357,22 @@ object TraceOps {
          |SELECT DISTINCT b.trace_id, b.span_id, b.span_name, b.duration_nanos
          |FROM wp b JOIN up u
          |  ON u.trace_id = b.trace_id AND u.cur = b.span_id
-         |WHERE b.span_name = 'view'""".stripMargin
+         |WHERE b.span_name = 'view'""".stripMargin,
+
+    "q180_traceql_agg_count" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |f AS (SELECT * FROM spans WHERE service_name = 'svc-1'),
+         |g AS (SELECT *, count(*) OVER (PARTITION BY trace_id) AS _c FROM f)
+         |SELECT trace_id, span_id, span_name, duration_nanos
+         |FROM g WHERE _c >= 3""".stripMargin,
+
+    "q181_traceql_agg_avg" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |f AS (SELECT * FROM spans WHERE span_name = 'purchase'),
+         |g AS (SELECT *,
+         |  sum(duration_nanos) OVER (PARTITION BY trace_id) AS _s,
+         |  count(*) OVER (PARTITION BY trace_id) AS _c FROM f)
+         |SELECT trace_id, span_id, span_name, duration_nanos
+         |FROM g WHERE _s > 120000000 * _c""".stripMargin
   )
 }

@@ -35,10 +35,35 @@ object TraceQL {
   sealed trait Expr
   final case class Spanset(conds: Seq[Cond]) extends Expr
   final case class Structural(parent: Seq[Cond], op: String, child: Seq[Cond]) extends Expr
+  /** spanset aggregate filter — `{...} | count() > 2`,
+    * `{...} | avg(duration) > 100ms` (also min/max/sum): the aggregate is
+    * computed over each trace's MATCHING spans and the whole spanset is
+    * kept or dropped (Tempo pipeline semantics). `threshold` is a span
+    * count for `count`, nanos otherwise. IMPLEMENTED BEYOND the reference
+    * subset (search_filter.rs:240-246 rejects pipelines). */
+  final case class AggFilter(input: Expr, func: String, op: String,
+      threshold: Long) extends Expr
 
   private val structRe = """^(\{[^}]*\})\s*(>>|<<|>|~)\s*(\{[^}]*\})$""".r
+  private val aggRe =
+    """^(.*\})\s*\|\s*(count|sum|min|max|avg)\(\s*(duration)?\s*\)\s*(>=|<=|!=|=|>|<)\s*([0-9.]+)\s*(ns|us|ms|s|m|h)?$""".r
 
   def parseExpr(q: String): Expr = q.trim match {
+    case aggRe(left, func, sel, op, v, unit) =>
+      if (func == "count") {
+        if (sel != null || unit != null)
+          throw Unsupported("TraceQL: count() takes no operand")
+        AggFilter(parseExpr(left), func, op, v.toDouble.toLong)
+      } else {
+        if (sel == null)
+          throw Unsupported(s"TraceQL: $func() aggregates need duration")
+        val mult = Option(unit).getOrElse("ns") match {
+          case "ns" => 1L; case "us" => 1000L; case "ms" => 1000000L
+          case "s" => 1000000000L; case "m" => 60L * 1000000000L
+          case "h" => 3600L * 1000000000L
+        }
+        AggFilter(parseExpr(left), func, op, math.round(v.toDouble * mult))
+      }
     case structRe(l, op, r) => Structural(parse(l), op, parse(r))
     case t => Spanset(parse(t))
   }
@@ -101,6 +126,26 @@ object TraceQL {
         col("trace_id") === col("_t") && col("span_id") === col("_anc"),
         "left_semi")
     case Structural(_, op, _) => throw Unsupported(s"TraceQL: unsupported structural '$op'")
+    case AggFilter(in, func, op, thr) =>
+      // one window over trace_id (single shuffle, no self-join); avg is
+      // lowered to the exact integer form `sum op thr*count` so the
+      // keep/drop decision never rides an IEEE division
+      val m = lowerExpr(spans, in)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("trace_id"))
+      val pass = func match {
+        case "count" => cmp(op, count(lit(1)).over(w), lit(thr))
+        case "sum"   => cmp(op, sum(col("duration_nanos")).over(w), lit(thr))
+        case "min"   => cmp(op, min(col("duration_nanos")).over(w), lit(thr))
+        case "max"   => cmp(op, max(col("duration_nanos")).over(w), lit(thr))
+        case "avg"   => cmp(op, sum(col("duration_nanos")).over(w),
+          count(lit(1)).over(w) * lit(thr))
+      }
+      m.withColumn("_pass", pass).filter(col("_pass")).drop("_pass")
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case ">" => l > r; case ">=" => l >= r; case "<" => l < r
+    case "<=" => l <= r; case "=" => l === r; case "!=" => l =!= r
   }
 
   /** per-trace structural index: parent-link map over ALL spans of the

@@ -126,4 +126,29 @@ class TraceQLSpec extends AnyFunSuite {
       (0L, "view", 1.0), (0L, "purchase", 1.0), (0L, "error", 1.0),
       (4L, "purchase", 3.0), (4L, "error", 1.0)))
   }
+
+  test("aggregate filters keep or drop the whole per-trace spanset") {
+    import org.apache.spark.sql.functions.col
+    val withDur = spans.withColumn("duration_nanos", col("span_id"))
+    def agg(q: String): Set[Long] =
+      TraceQL.lowerExpr(withDur, TraceQL.parseExpr(q))
+        .collect().map(_.getAs[Long]("span_id")).toSet
+    // purchases: t1 {2,4,5} (count 3), t2 {7} (count 1)
+    assert(agg("""{ name = "purchase" } | count() >= 2""") == Set(2L, 4L, 5L))
+    // avg durations: t1 11/3 ≈ 3.67, t2 7 — exact integer compare
+    assert(agg("""{ name = "purchase" } | avg(duration) > 3ns""") == Set(2L, 4L, 5L, 7L))
+    assert(agg("""{ name = "purchase" } | avg(duration) > 4ns""") == Set(7L))
+    assert(agg("""{ name = "purchase" } | sum(duration) <= 7ns""") == Set(7L))
+    assert(agg("""{ name = "purchase" } | max(duration) = 5ns""") == Set(2L, 4L, 5L))
+  }
+
+  test("aggregate filters compose with structural input; operand rules hold") {
+    // direct-child purchases of a view: t1 {2,4} (count 2), t2 {7} (count 1)
+    assert(ids("""{ name = "view" } > { name = "purchase" } | count() >= 2""")
+      == Set(2L, 4L))
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.parseExpr("""{ name = "a" } | count(duration) > 2"""))
+    assertThrows[TraceQL.Unsupported](
+      TraceQL.parseExpr("""{ name = "a" } | avg() > 1"""))
+  }
 }
