@@ -374,6 +374,54 @@ object PipelineOps {
         .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
     }),
 
+    // Product-quantization ANN with asymmetric distance (ADC): the
+    // 64-dim vector splits into M=4 subvectors; each subspace gets a
+    // K=16 codebook (subvectors of the 16 lowest vec_ids — the same
+    // training-free deterministic stand-in as q103; kmeansCentroids
+    // would train them offline). Encoding stores M small codes per
+    // vector — at 100 TB the ADC scan reads the 4-byte codes table, not
+    // the 256-byte vectors — and each query broadcasts an M×K distance
+    // LUT so candidate scoring is an O(M) fold, not O(dim). Squared-L2
+    // over quantized ints end-to-end: every distance and tie-break is
+    // exact integer arithmetic, bit-identical across engines.
+    "q182_ann_pq_adc" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      val M = 4; val sub = 16; val K = 16
+      val subs = e
+        .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"), col("vq"))
+        .withColumn("sv", expr(s"slice(vq, m * $sub + 1, $sub)"))
+        .drop("vq")
+      val book = subs.filter(col("vec_id") < K)
+        .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cv"))
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      val dists = subs.join(broadcast(book), Seq("m"))
+        .withColumn("d2", d2(col("sv"), col("cv")))
+      val enc = dists
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("c_id").asc)))
+        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("c_id")))),
+          x => x.getField("c_id")).as("codes"))
+      val lut = dists.filter(col("vec_id") % 100 === 0)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(transform(array_sort(collect_list(struct(col("c_id"), col("d2")))),
+          x => x.getField("d2")).as("larr"))
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("larr")))),
+          x => x.getField("larr")).as("lut"))
+        .withColumnRenamed("vec_id", "q_id")
+      val scored = enc.crossJoin(broadcast(lut))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("adist", expr(
+          "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, CAST(c AS INT) + 1)), 0L, (acc, x) -> acc + x)"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("adist"), col("rank"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1183,6 +1231,34 @@ object PipelineOps {
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM cos) WHERE rank <= 3""".stripMargin,
+
+    "q182_ann_pq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |subs AS (SELECT vec_id, pos // 16 AS m, pos % 16 AS p, vq FROM e),
+        |book AS (SELECT vec_id AS c_id, m, p, vq AS cv FROM subs WHERE vec_id < 16),
+        |d2 AS (
+        |  SELECT s.vec_id, s.m, b.c_id,
+        |    SUM((s.vq - b.cv) * (s.vq - b.cv)) AS d2
+        |  FROM subs s JOIN book b ON b.m = s.m AND b.p = s.p
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, m, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d2 ASC, c_id ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |adist AS (
+        |  SELECT qd.vec_id AS q_id, n.vec_id AS n_id,
+        |    CAST(SUM(qd.d2) AS BIGINT) AS adist
+        |  FROM enc n JOIN d2 qd ON qd.m = n.m AND qd.c_id = n.code
+        |  WHERE qd.vec_id % 100 = 0 AND qd.vec_id <> n.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, n_id, adist, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, n_id ASC) AS rank
+        |  FROM adist) WHERE rank <= 3""".stripMargin,
 
     "q122_ann_ivf_kmeans" ->
       """WITH e AS (
