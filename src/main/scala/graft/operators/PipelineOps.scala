@@ -422,6 +422,58 @@ object PipelineOps {
         .select(col("q_id"), col("vec_id").as("n_id"), col("adist"), col("rank"))
     }),
 
+    // Unigram-LM commonness scoring: corpus token frequencies joined
+    // back onto every occurrence — per-doc mean corpus frequency (high =
+    // boilerplate-ish, low = rare-garbage-ish) and the rarest token's
+    // count. Rank-free on purpose: a Zipf RANK needs a global sort of
+    // the vocabulary, the raw count doesn't — the whole pipeline is two
+    // hash aggregates and one shuffle join keyed by token, every stage
+    // partition-parallel at any corpus size. Integers end-to-end; the
+    // mean is the single final IEEE division.
+    "q183_zipf_commonness" -> ((s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      occ.join(freq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("cnt")).as("sum_freq"),
+          min(col("cnt")).as("rarest"))
+        .withColumn("mean_freq",
+          col("sum_freq").cast(DoubleType) / col("n_tok"))
+        .select(col("doc_id"), col("n_tok"), col("sum_freq"), col("rarest"),
+          col("mean_freq"))
+    }),
+
+    // Collocation mining: adjacent-pair lift in fixed point —
+    // n_ab·10⁶ div (n_a·n_b) orders pairs exactly like PMI (PMI =
+    // log lift + corpus constant) without a libm log that differs by
+    // 1 ulp across engines. Unigram + bigram counts are two hash
+    // aggregates; the scoring joins are keyed by token (broadcast-able
+    // vocab at test scale, shuffle join at corpus scale); top-50 is a
+    // TakeOrdered, never a global sort.
+    "q184_pmi_pairs" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n1"))
+      val bi = toks.select(explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |            i -> struct(toks[i] AS tok_a, toks[i+1] AS tok_b))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .select(col("p.tok_a"), col("p.tok_b"))
+        .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      bi.join(uni.select(col("tok").as("tok_a"), col("n1").as("n_a")), "tok_a")
+        .join(uni.select(col("tok").as("tok_b"), col("n1").as("n_b")), "tok_b")
+        .withColumn("lift_fp", expr("(n_ab * 1000000) div (n_a * n_b)"))
+        .orderBy(col("lift_fp").desc, col("n_ab").desc,
+          col("tok_a").asc, col("tok_b").asc)
+        .limit(50)
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("lift_fp"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1259,6 +1311,38 @@ object PipelineOps {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY adist ASC, n_id ASC) AS rank
         |  FROM adist) WHERE rank <= 3""".stripMargin,
+
+    "q183_zipf_commonness" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1)
+        |SELECT o.doc_id, count(*) AS n_tok,
+        |  CAST(SUM(f.cnt) AS BIGINT) AS sum_freq,
+        |  MIN(f.cnt) AS rarest,
+        |  CAST(SUM(f.cnt) AS DOUBLE) / count(*) AS mean_freq
+        |FROM occ o JOIN freq f ON f.tok = o.tok
+        |GROUP BY 1""".stripMargin,
+
+    "q184_pmi_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT unnest(toks) AS tok FROM toks),
+        |unic AS (SELECT tok, count(*) AS n1 FROM uni GROUP BY 1),
+        |bi AS (
+        |  -- parallel unnests zip positionally: (toks[i], toks[i+1]) pairs
+        |  SELECT unnest(toks[1:len(toks)-1]) AS tok_a,
+        |         unnest(toks[2:len(toks)]) AS tok_b
+        |  FROM toks),
+        |bic AS (
+        |  SELECT tok_a, tok_b, count(*) AS n_ab FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT b.tok_a, b.tok_b, b.n_ab, ua.n1 AS n_a, ub.n1 AS n_b,
+        |  CAST((b.n_ab * 1000000) // (ua.n1 * ub.n1) AS BIGINT) AS lift_fp
+        |FROM bic b
+        |JOIN unic ua ON ua.tok = b.tok_a
+        |JOIN unic ub ON ub.tok = b.tok_b
+        |ORDER BY lift_fp DESC, n_ab DESC, tok_a ASC, tok_b ASC
+        |LIMIT 50""".stripMargin,
 
     "q122_ann_ivf_kmeans" ->
       """WITH e AS (
