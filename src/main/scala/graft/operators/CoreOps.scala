@@ -217,6 +217,23 @@ object CoreOps {
               |FROM lineitem_cube
               |GROUP BY CUBE (l_returnflag, l_linestatus)
               |""".stripMargin)
+    }),
+
+    // ROLLUP: the hierarchical prefix subset of CUBE — (a,b,c), (a,b),
+    // (a), () — still ONE Expand + one hash aggregate. Three levels here
+    // (vs the 2-key CUBE/grouping-sets twins) so the prefix semantics are
+    // actually distinguishable from q179 in the oracle.
+    "q189_sql_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_ru")
+      s.sql("""SELECT l_returnflag, l_linestatus, l_linenumber,
+              |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+              |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+              |  CAST(grouping(l_linenumber) AS INT) AS g_ln,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+              |FROM lineitem_ru
+              |GROUP BY ROLLUP (l_returnflag, l_linestatus, l_linenumber)
+              |""".stripMargin)
     })
   )
 
@@ -341,6 +358,16 @@ object CoreOps {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q189_sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(grouping(l_linenumber) AS INT) AS g_ln,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus, l_linenumber)""".stripMargin
   )
 }

@@ -474,6 +474,187 @@ object PipelineOps {
           col("n_b"), col("lift_fp"))
     }),
 
+    // Inverted-index conjunctive search (boolean AND): the postings list
+    // IS the (term → doc, tf) hash aggregate; a k-term AND query is then
+    // one more aggregate keyed by doc — having matched k distinct terms —
+    // never a k-way self-join. Both stages shuffle by a single key
+    // (term, then doc), so the plan is two exchanges at any corpus size,
+    // and the term filter prunes the exploded rows before the first one.
+    "q185_inverted_search" -> ((s, dir) => {
+      val terms = Seq("vector", "customer", "slow")
+      val tfs = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      tfs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"),
+          min(col("tf")).as("min_tf"))
+        .filter(col("n_terms") === terms.size)
+        .select(col("doc_id"), col("sum_tf"), col("min_tf"))
+    }),
+
+    // Phrase search = positional-index adjacency: a 2-token phrase hit is
+    // a bigram posting (pos_b = pos_a + 1 collapses to the adjacent-pair
+    // derivation q184 already uses), so the whole query is one narrow
+    // per-row transform + one hash aggregate — no positions-array join.
+    "q186_phrase_search" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |            i -> struct(toks[i] AS tok_a, toks[i+1] AS tok_b))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .filter(col("p.tok_a") === "batch" && col("p.tok_b") === "batch")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_phrase"))
+    }),
+
+    // BM25 lexical ranking in FIXED POINT: idf, length normalization and
+    // tf saturation all run as integer multiply/div (k1=1.2, b=0.75 as
+    // 1e3-scaled integers; idf = (N-df+0.5)/(df+0.5) as an exact integer
+    // ratio) — bit-identical across engines and partitionings where the
+    // float formula diverges by libm ulps. Corpus stats (N, avgdl) are a
+    // 1-row agg cross-joined (broadcast), never a driver-side action; per-
+    // term df is a second small aggregate joined back on the term key.
+    "q187_bm25_rank" -> ((s, dir) => {
+      val terms = Seq("stream", "hash", "big")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast(LongType))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("tot_tok"))
+        .withColumn("avgdl_fp", expr("(tot_tok * 1000) div n_docs"))
+      val tfs = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tfs.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      tfs.join(broadcast(dfs), "tok").crossJoin(broadcast(stats))
+        .withColumn("idf_fp",
+          expr("((2 * (n_docs - dfc) + 1) * 1000000) div (2 * dfc + 1)"))
+        .withColumn("dlr_fp", expr("(dl * 1000000) div avgdl_fp"))
+        .withColumn("k_fp", expr("(1200 * (250 + (750 * dlr_fp) div 1000)) div 1000"))
+        .withColumn("term_fp", expr("(idf_fp * tf * 2200) div (tf * 1000 + k_fp)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of a lexical ranking (tf of
+    // one term) and an embedding ranking (exact integer-dot cosine against
+    // a probe vector), joined full-outer on the doc key. RRF contributions
+    // are integer 1e6/(60+rank) divisions, so the fused score is exact;
+    // each leg is a bounded top-50 (TakeOrdered) before the join, so the
+    // fusion join sees ≤100 rows no matter the corpus size.
+    "q188_rrf_hybrid" -> ((s, dir) => {
+      val lex = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") === "vector")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id").asc).limit(50)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("r_lex"))
+      val e = embArr(s, dir)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("vq").as("pq"), col("nrm").as("pn"))
+      val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("cos", dotCol(col("vq"), col("pq")).cast(DoubleType) /
+          sqrt(col("nrm").cast(DoubleType) * col("pn").cast(DoubleType)))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+        .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf_fp"))
+    }),
+
+    // Corpus-duplicated n-gram fraction (memorization / boilerplate
+    // signal): the share of a doc's distinct 5-grams that occur in some
+    // OTHER doc too. Distinct (doc, gram) pairs → per-gram doc frequency →
+    // join back on the gram key and one per-doc aggregate; fixed-point
+    // fraction. Same two-hash-aggregate shape as q183 — each stage
+    // shuffles on one key, no pairwise comparisons anywhere.
+    "q190_dup_ngram_fraction" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 5 THEN
+            |  transform(sequence(0, size(toks) - 5),
+            |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+            |ELSE array() END""".stripMargin)).as("g"))
+        .distinct()
+      val dfg = grams.groupBy(col("g")).agg(count(lit(1)).as("dfg"))
+      grams.join(dfg, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfg") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_fp", expr("(n_dup * 1000000) div n_grams"))
+    }),
+
+    // Matryoshka-style dimension-truncation recall: rank neighbors by
+    // exact cosine over the full 64 dims and over the first 16 dims only,
+    // then count the top-5 overlap per probe — the acceptance metric for
+    // shipping truncated embeddings (4× cheaper ANN) without re-embedding.
+    // Both rankings run the array-native integer-dot path; the overlap is
+    // an inner join on (probe, neighbor) of two ≤5-row-per-probe sets.
+    "q191_matryoshka_recall" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      def top5(emb: DataFrame): DataFrame = {
+        val q = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("nrm").as("qn"))
+        val n = emb.select(col("vec_id").as("n_id"), col("vq").as("nv"), col("nrm").as("nn"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+        n.join(broadcast(q), col("q_id") =!= col("n_id"))
+          .withColumn("cos", dotCol(col("qv"), col("nv")).cast(DoubleType) /
+            sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"))
+      }
+      val full = top5(e)
+      val trunc = top5(e.select(col("vec_id"), slice(col("vq"), 1, 16).as("vq"))
+        .withColumn("nrm", aggregate(col("vq"), lit(0L), (a, x) => a + x * x)))
+      val overlap = full.join(trunc, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      // zero-overlap probes still report (recall@5 = 0 is the finding)
+      full.select(col("q_id")).distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    }),
+
+    // Binary quantization + Hamming rerank: 64-dim sign bits packed into
+    // two BIGINT halves per vector (one per-row array fold — 16× smaller
+    // than int8, 256× smaller than float32), distance = popcount(xor) —
+    // integer-exact. This is the rerank primitive: at corpus scale the
+    // candidate set comes from q25's LSH buckets or q103's IVF cells;
+    // here the probe set is tiny so the scan is the broadcast side.
+    "q192_ann_hamming" -> ((s, dir) => {
+      def half(off: Int): Column = expr(
+        s"""aggregate(transform(sequence(0, 31),
+           |  i -> CASE WHEN vq[i + $off] >= 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+           |            ELSE CAST(0 AS BIGINT) END),
+           |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+      val sig = embArr(s, dir)
+        .select(col("vec_id"), half(0).as("h1"), half(32).as("h2"))
+      val q = sig.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("h1").as("q1"), col("h2").as("q2"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("n_id").asc)
+      sig.select(col("vec_id").as("n_id"), col("h1"), col("h2"))
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("ham",
+          expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("ham"), col("rank"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1343,6 +1524,158 @@ object PipelineOps {
         |JOIN unic ub ON ub.tok = b.tok_b
         |ORDER BY lift_fp DESC, n_ab DESC, tok_a ASC, tok_b ASC
         |LIMIT 50""".stripMargin,
+
+    "q185_inverted_search" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tfs AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM occ
+        |  WHERE tok IN ('vector', 'customer', 'slow') GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf, MIN(tf) AS min_tf
+        |FROM tfs GROUP BY 1 HAVING count(*) = 3""".stripMargin,
+
+    "q186_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS tok_a,
+        |         unnest(toks[2:len(toks)]) AS tok_b
+        |  FROM toks)
+        |SELECT doc_id, count(*) AS n_phrase FROM bi
+        |WHERE tok_a = 'batch' AND tok_b = 'batch' GROUP BY 1""".stripMargin,
+
+    "q187_bm25_rank" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (
+        |  SELECT count(*) AS n_docs, (CAST(SUM(dl) AS BIGINT) * 1000) // count(*) AS avgdl_fp
+        |  FROM dd),
+        |occ AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+        |tfs AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+        |  WHERE tok IN ('stream', 'hash', 'big') GROUP BY 1, 2, 3),
+        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM tfs GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.tf,
+        |    ((2 * (s.n_docs - f.dfc) + 1) * 1000000) // (2 * f.dfc + 1) AS idf_fp,
+        |    (1200 * (250 + (750 * ((t.dl * 1000000) // s.avgdl_fp)) // 1000)) // 1000 AS k_fp
+        |  FROM tfs t JOIN dfs f USING (tok) CROSS JOIN st s)
+        |SELECT doc_id,
+        |  CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT) AS score_fp,
+        |  count(*) AS n_terms
+        |FROM sc GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q188_rrf_hybrid" ->
+      """WITH lex0 AS (
+        |  SELECT doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok = 'vector' GROUP BY 1 ORDER BY tf DESC, doc_id ASC LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS INT) AS r_lex
+        |  FROM lex0),
+        |e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |dots AS (
+        |  SELECT n.vec_id, SUM(p.vq * n.vq) AS dot
+        |  FROM e n JOIN e p ON p.pos = n.pos AND p.vec_id = 0
+        |  WHERE n.vec_id <> 0 GROUP BY 1),
+        |cosd AS (
+        |  SELECT d.vec_id,
+        |    CAST(d.dot AS DOUBLE) /
+        |    sqrt(CAST(nn.nrm AS DOUBLE) * CAST(np.nrm AS DOUBLE)) AS cos
+        |  FROM dots d JOIN norms nn ON nn.vec_id = d.vec_id
+        |  CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) np(nrm)),
+        |vec0 AS (SELECT vec_id, cos FROM cosd ORDER BY cos DESC, vec_id ASC LIMIT 50),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS r_vec
+        |  FROM vec0)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+        |  CAST(COALESCE(1000000 // (60 + l.r_lex), 0) +
+        |       COALESCE(1000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf_fp
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q190_dup_ngram_fraction" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |grams AS (
+        |  -- parallel unnests zip positionally: the five staggered slices
+        |  -- line up into each 5-gram
+        |  SELECT DISTINCT doc_id, concat_ws(' ',
+        |    unnest(toks[1:len(toks)-4]), unnest(toks[2:len(toks)-3]),
+        |    unnest(toks[3:len(toks)-2]), unnest(toks[4:len(toks)-1]),
+        |    unnest(toks[5:len(toks)])) AS g
+        |  FROM toks),
+        |dfg AS (SELECT g, count(*) AS dfg FROM grams GROUP BY 1)
+        |SELECT gr.doc_id, count(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.dfg > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  (CAST(SUM(CASE WHEN f.dfg > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // count(*) AS dup_fp
+        |FROM grams gr JOIN dfg f USING (g) GROUP BY 1""".stripMargin,
+
+    "q191_matryoshka_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |normf AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |dotf AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM e q JOIN e n ON q.pos = n.pos AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+        |cosf AS (
+        |  SELECT d.q_id, d.n_id, CAST(d.dot AS DOUBLE) /
+        |    sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dotf d JOIN normf nq ON nq.vec_id = d.q_id
+        |  JOIN normf nn ON nn.vec_id = d.n_id),
+        |topf AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id ASC) AS rn FROM cosf) WHERE rn <= 5),
+        |et AS (SELECT * FROM e WHERE pos < 16),
+        |normt AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM et GROUP BY 1),
+        |dott AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM et q JOIN et n ON q.pos = n.pos AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+        |cost AS (
+        |  SELECT d.q_id, d.n_id, CAST(d.dot AS DOUBLE) /
+        |    sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dott d JOIN normt nq ON nq.vec_id = d.q_id
+        |  JOIN normt nn ON nn.vec_id = d.n_id),
+        |topt AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id ASC) AS rn FROM cost) WHERE rn <= 5),
+        |ov AS (
+        |  SELECT f.q_id, count(*) AS n_overlap
+        |  FROM topf f JOIN topt t ON t.q_id = f.q_id AND t.n_id = f.n_id
+        |  GROUP BY 1)
+        |SELECT p.q_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap
+        |FROM (SELECT DISTINCT q_id FROM topf) p
+        |LEFT JOIN ov o ON o.q_id = p.q_id""".stripMargin,
+
+    "q192_ann_hamming" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN vq >= 0 AND pos < 32
+        |      THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(SUM(CASE WHEN vq >= 0 AND pos >= 32
+        |      THEN (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS h2
+        |  FROM e GROUP BY 1),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    CAST(bit_count(xor(n.h1, q.h1)) + bit_count(xor(n.h2, q.h2)) AS BIGINT) AS ham
+        |  FROM sig n JOIN sig q ON q.vec_id % 100 = 0 AND q.vec_id <> n.vec_id)
+        |SELECT q_id, n_id, ham, rank FROM (
+        |  SELECT q_id, n_id, ham, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY ham ASC, n_id ASC) AS BIGINT) AS rank
+        |  FROM pairs) WHERE rank <= 5""".stripMargin,
 
     "q122_ann_ivf_kmeans" ->
       """WITH e AS (
