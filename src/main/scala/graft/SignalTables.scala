@@ -74,21 +74,28 @@ object SignalTables {
     * gauge+sum multi-table scan (metrics.rs:42-52,1444). Selectors on
     * metric_name push down into BOTH parquet scans; untouched kinds
     * (histogram etc.) are never read. */
-  def storedMetricsUnion(s: SparkSession, dir: String): DataFrame = {
-    // the deterministic tie-break (eid) is PROMOTED at write time —
-    // the reference's attr-promotion shape (label_<key> materialized
-    // column) — so the hot query path scans a flat column and never
-    // deserializes the attributes map
-    def promoted(df: DataFrame): DataFrame =
-      graft.storage.AttrPromotion.promote(
-        Storage.withPartitionCols(df), Seq("eid"), Seq("attributes"))
-    // metrics prune by DAY (the PromQL partition-bound mirror is date_day)
-    // — day-level dirs keep the file count and the write shuffle 24×
-    // smaller than the logs' hour layout, with identical pruning power
-    val gaugePath = materialize(s, dir, "metrics_gauge",
+  // the deterministic tie-break (eid) is PROMOTED at write time —
+  // the reference's attr-promotion shape (label_<key> materialized
+  // column) — so the hot query path scans a flat column and never
+  // deserializes the attributes map
+  private def promoted(df: DataFrame): DataFrame =
+    graft.storage.AttrPromotion.promote(
+      Storage.withPartitionCols(df), Seq("eid"), Seq("attributes"))
+
+  // metrics prune by DAY (the PromQL partition-bound mirror is date_day)
+  // — day-level dirs keep the file count and the write shuffle 24×
+  // smaller than the logs' hour layout, with identical pruning power
+  def storedMetricsGaugePath(s: SparkSession, dir: String): String =
+    materialize(s, dir, "metrics_gauge",
       promoted(SignalViews.metricsGaugeDf(s, dir)), partitionCols = Seq("date_day"))
-    val sumPath = materialize(s, dir, "metrics_sum",
+
+  def storedMetricsSumPath(s: SparkSession, dir: String): String =
+    materialize(s, dir, "metrics_sum",
       promoted(SignalViews.metricsSumDf(s, dir)), partitionCols = Seq("date_day"))
+
+  def storedMetricsUnion(s: SparkSession, dir: String): DataFrame = {
+    val gaugePath = storedMetricsGaugePath(s, dir)
+    val sumPath = storedMetricsSumPath(s, dir)
     val proj = Seq("timestamp", "metric_name", "service_name", "value",
       "label_eid", "date_day")
     s.read.parquet(gaugePath).select(proj.map(col): _*)

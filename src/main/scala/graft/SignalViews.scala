@@ -234,7 +234,18 @@ object SignalViews {
       typedLit(Map.empty[String, String]).as("scope_attributes"),
       map(lit("eid"), col("event_id").cast("string")).as("attributes"),
       lit(0).as("flags"),
-      lit("[]").as("exemplars"),
+      // exemplars: the OTLP sidecar samples that link a metric point to
+      // the trace that produced it (reference iceberg/schemas.rs stores
+      // them as a JSON string column on every metric table). Purchase
+      // points carry one exemplar whose trace_id matches the gen-2
+      // traces derivation, so exemplar→trace navigation is joinable.
+      when(col("event_type") === "purchase",
+        to_json(array(struct(
+          col("value").as("value"),
+          ts.as("timestamp"),
+          md5(concat(lit("tr-"), col("user_id"), lit("-"),
+            expr("(unix_micros(ts_us) div 1000000) div 86400"))).as("trace_id")))))
+        .otherwise("[]").as("exemplars"),
       col("value"))
   }
 

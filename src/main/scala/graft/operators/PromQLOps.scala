@@ -161,6 +161,38 @@ object PromQLOps {
     "q125_promql_changes" -> q("""changes(click[1d])""", 86400),
     "q126_promql_resets" -> q("""resets(view[1d])""", 86400),
 
+    // Exemplar query path (Prometheus /api/v1/query_exemplars shape): the
+    // stored metric tables carry the reference's `exemplars` JSON column
+    // (iceberg/schemas.rs — present on every metric schema, queried
+    // nowhere); this parses it with from_json over the STORED sum table,
+    // explodes the samples, and joins each exemplar's trace_id to the
+    // trace table aggregate — the metrics→traces pivot a Grafana exemplar
+    // panel performs. The join is keyed by trace_id (shuffle both sides
+    // at scale; the span counts are pre-aggregated so the join input is
+    // one row per trace, never the raw span set).
+    "q193_exemplar_trace_link" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val exSchema = ArrayType(StructType(Seq(
+        StructField("value", DoubleType),
+        StructField("timestamp", LongType),
+        StructField("trace_id", StringType))))
+      val ex = s.read.parquet(graft.SignalTables.storedMetricsSumPath(s, dir))
+        .filter(col("metric_name") === "purchase")
+        .select(col("service_name"),
+          explode(from_json(col("exemplars"), exSchema)).as("ex"))
+        .select(col("service_name"), col("ex.trace_id").as("trace_id"),
+          col("ex.value").as("ex_value"))
+      val spans = SignalViews.tracesGen2Df(s, dir)
+        .groupBy(col("trace_id")).agg(count(lit(1)).as("n_spans"))
+      ex.join(spans, Seq("trace_id"))
+        .groupBy(col("service_name"))
+        .agg(count(lit(1)).as("n_exemplars"),
+          countDistinct(col("trace_id")).as("n_traces"),
+          sum(col("n_spans")).as("sum_spans"),
+          sum(col("ex_value").cast(DecimalType(30, 4))).cast(DoubleType).as("sum_value"))
+    }),
+
     // downsampling rollup: day aggregates answered FROM the stored hourly
     // cells (sum-of-sums decimal-exact, min-of-mins, latest cell's last)
     // — the oracle computes the same from raw samples, proving the
@@ -588,6 +620,25 @@ object PromQLOps {
          |SELECT bucket_start, service_name,
          |  CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS DOUBLE) AS value
          |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // exemplars derived straight from events (the view's JSON round-trip
+    // must be lossless — same trace_id derivation as the traces view)
+    "q193_exemplar_trace_link" ->
+      """WITH ex AS (
+        |  SELECT concat('svc-', user_id % 8) AS service_name,
+        |    md5(concat('tr-', user_id, '-', (epoch_us(ts)//1000000)//86400)) AS trace_id,
+        |    value AS ex_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |spans AS (
+        |  SELECT md5(concat('tr-', user_id, '-', (epoch_us(ts)//1000000)//86400)) AS trace_id,
+        |    count(*) AS n_spans
+        |  FROM events GROUP BY 1)
+        |SELECT e.service_name, count(*) AS n_exemplars,
+        |  CAST(count(DISTINCT e.trace_id) AS BIGINT) AS n_traces,
+        |  CAST(SUM(s.n_spans) AS BIGINT) AS sum_spans,
+        |  CAST(SUM(CAST(e.ex_value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM ex e JOIN spans s ON s.trace_id = e.trace_id
+        |GROUP BY 1""".stripMargin,
 
     // day aggregates straight from raw samples — must equal the rollup
     // re-aggregation exactly (decimal sums, (ts, event_id)-ordered last)
