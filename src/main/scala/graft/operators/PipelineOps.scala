@@ -655,6 +655,66 @@ object PipelineOps {
         .select(col("q_id"), col("n_id"), col("ham"), col("rank"))
     }),
 
+    // Hard-negative mining for retrieval training: per probe, the
+    // neighbors ranked just BELOW the positive band (ranks 6-15 here) —
+    // similar enough to be informative, not so similar they are
+    // false negatives. Same exact-integer-dot ranking as q24; only the
+    // rank band differs, so at corpus scale this rides the same LSH/IVF
+    // candidate generation and pays nothing extra.
+    "q194_hard_negatives" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("nrm").as("qn"))
+      val n = e.select(col("vec_id").as("n_id"), col("vq").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      n.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", dotCol(col("qv"), col("nv")).cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") >= 6 && col("rank") <= 15)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
+    // Label-centroid similarity matrix (class-confusability audit):
+    // per-label centroids as QUANTIZED per-dimension means (exact
+    // integers — the q122/q140 codebook construction), then pairwise
+    // cosine between the 10 centroids. The corpus-size work is one
+    // explode + hash aggregate; the pairwise step touches only
+    // #labels² tiny rows, broadcast.
+    "q195_label_centroid_sim" -> ((s, dir) => {
+      val byDim = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(transform(col("embedding"),
+          v => round(v.cast(DoubleType) * 1000000).cast(LongType))).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i", round(col("sv").cast(DoubleType) / col("cnt")).cast(LongType))
+      val cents = byDim.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+          x => x.getField("cv_i")).as("cv"))
+        .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      val a = cents.select(col("label").as("label_a"), col("cv").as("av"), col("cn").as("an"))
+      val b = cents.select(col("label").as("label_b"), col("cv").as("bv"), col("cn").as("bn"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .withColumn("cos", dotCol(col("av"), col("bv")).cast(DoubleType) /
+          sqrt(col("an").cast(DoubleType) * col("bn").cast(DoubleType)))
+        .select(col("label_a"), col("label_b"), col("cos"))
+    }),
+
+    // Per-source corpus QA rollup: the dataset-card table — doc count,
+    // exact-duplicate share (md5 text hash), language spread per source.
+    // Two hash aggregates; the dup signal joins back on the hash key.
+    "q196_source_qa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), md5(col("text")).as("h"))
+      val hc = d.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+      d.join(hc, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("dup_fp", expr("(n_dup_docs * 1000000) div n_docs"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1676,6 +1736,58 @@ object PipelineOps {
         |  SELECT q_id, n_id, ham, CAST(row_number() OVER (PARTITION BY q_id
         |    ORDER BY ham ASC, n_id ASC) AS BIGINT) AS rank
         |  FROM pairs) WHERE rank <= 5""".stripMargin,
+
+    "q194_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |dots AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM e q JOIN e n ON q.pos = n.pos AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id % 100 = 0
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM cos) WHERE rank BETWEEN 6 AND 15""".stripMargin,
+
+    "q195_label_centroid_sim" ->
+      """WITH e AS (
+        |  SELECT label, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM e GROUP BY 1, 2),
+        |cn AS (SELECT label, SUM(cv*cv) AS cn FROM cent GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, SUM(a.cv * b.cv) AS dot
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b,
+        |  CAST(d.dot AS DOUBLE) / sqrt(CAST(ca.cn AS DOUBLE) * CAST(cb.cn AS DOUBLE)) AS cos
+        |FROM dots d JOIN cn ca ON ca.label = d.label_a
+        |JOIN cn cb ON cb.label = d.label_b""".stripMargin,
+
+    "q196_source_qa" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+        |hc AS (SELECT h, count(*) AS hc FROM d GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN c.hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  (CAST(SUM(CASE WHEN c.hc > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // count(*) AS dup_fp
+        |FROM d JOIN hc c USING (h) GROUP BY 1""".stripMargin,
 
     "q122_ann_ivf_kmeans" ->
       """WITH e AS (
