@@ -234,6 +234,25 @@ object CoreOps {
               |FROM lineitem_ru
               |GROUP BY ROLLUP (l_returnflag, l_linestatus, l_linenumber)
               |""".stripMargin)
+    }),
+
+    // §2.5 RANGE-framed window: a sliding 10-minute window defined by the
+    // ORDER-BY VALUE (seconds), not by row offsets — peers at the same
+    // second share one frame, so the result is set-deterministic where a
+    // ROWS frame would be tie-order-dependent. Decimal accumulation keeps
+    // the frame sum order-independent too. Partitioned per user — the
+    // frame never crosses the shuffle key, so each task windows its own
+    // users at any scale.
+    "q197_range_frame_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-600, 0)
+      Tables.events(s, dir)
+        .withColumn("tsec", expr("unix_micros(ts_us) div 1000000"))
+        .withColumn("cnt_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m",
+          sum(col("value").cast(DecimalType(30, 4))).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          col("cnt_10m"), col("sum_10m"))
     })
   )
 
@@ -368,6 +387,14 @@ object CoreOps {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus, l_linenumber)""".stripMargin
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus, l_linenumber)""".stripMargin,
+
+    "q197_range_frame_window" ->
+      """SELECT event_id, user_id, epoch_us(ts)//1000000 AS tsec,
+        |  count(*) OVER w AS cnt_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

@@ -715,6 +715,77 @@ object PipelineOps {
         .withColumn("dup_fp", expr("(n_dup_docs * 1000000) div n_docs"))
     }),
 
+    // Banded interval-overlap join: concurrent-session pairs across
+    // users. Each session (≥10 min long) explodes to the hour buckets it
+    // covers; candidate pairs meet in an equi-join on the bucket — never
+    // a cartesian product — then the exact overlap predicate and a ≥5 min
+    // overlap floor filter, with distinct() collapsing pairs that share
+    // several buckets. The band width bounds the per-bucket candidate
+    // set by the true concurrency, which is what makes this survive
+    // 100× more sessions.
+    "q198_interval_overlap" -> ((s, dir) => {
+      val HOUR = 3600L * 1000000L
+      val sess = sessionIntervals(s, dir)
+        .filter(col("t_end") - col("t_start") >= 600L * 1000000L)
+        .select(col("user_id"), col("session_id"), col("t_start"), col("t_end"))
+        .withColumn("b", explode(sequence(
+          expr(s"t_start div $HOUR"), expr(s"t_end div $HOUR"))))
+      val a = sess.select(col("b"), col("user_id").as("ua"),
+        col("session_id").as("sa"), col("t_start").as("as_"), col("t_end").as("ae"))
+      val bb = sess.select(col("b"), col("user_id").as("ub"),
+        col("session_id").as("sb"), col("t_start").as("bs"), col("t_end").as("be"))
+      a.join(bb, Seq("b"))
+        .filter(col("ua") < col("ub") ||
+          (col("ua") === col("ub") && col("sa") < col("sb")))
+        .withColumn("ov_us",
+          least(col("ae"), col("be")) - greatest(col("as_"), col("bs")))
+        .filter(col("ov_us") >= 300L * 1000000L)
+        .select(col("ua"), col("sa"), col("ub"), col("sb"), col("ov_us"))
+        .distinct()
+    }),
+
+    // Conversion funnel (view → click → purchase, strictly ordered): each
+    // stage is "earliest qualifying event after the previous stage" — a
+    // per-user aggregate then an equi-join on user_id feeding the next
+    // stage's aggregate. Three hash aggregates + two joins, all keyed by
+    // user_id; no window over the full event stream, no per-user sort.
+    "q199_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts_us")).as("tus"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+      val c = v.join(e.filter(col("event_type") === "click"), Seq("user_id"))
+        .filter(col("tus") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_click"))
+      val p = c.join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
+        .filter(col("tus") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2).otherwise(1))
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("stage"))
+    }),
+
+    // Retention cohorts: users keyed by first-active day, activity
+    // counted as distinct users per (cohort_day, day offset). Two hash
+    // aggregates over the distinct (user, day) set + one join on
+    // user_id — the standard D1/D7/D30 retention matrix, scale-shaped.
+    "q200_retention_cohort" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, Seq("user_id"))
+        .withColumn("offset_day", col("day") - col("cohort_day"))
+        .groupBy(col("cohort_day"), col("offset_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1777,6 +1848,58 @@ object PipelineOps {
         |  CAST(d.dot AS DOUBLE) / sqrt(CAST(ca.cn AS DOUBLE) * CAST(cb.cn AS DOUBLE)) AS cos
         |FROM dots d JOIN cn ca ON ca.label = d.label_a
         |JOIN cn cb ON cb.label = d.label_b""".stripMargin,
+
+    "q198_interval_overlap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(3600 AS BIGINT)*1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(tus) AS t_start, MAX(tus) AS t_end
+        |  FROM s GROUP BY user_id, session_id),
+        |f AS (SELECT * FROM sess WHERE t_end - t_start >= CAST(600 AS BIGINT)*1000000)
+        |SELECT a.user_id AS ua, a.session_id AS sa,
+        |  b.user_id AS ub, b.session_id AS sb,
+        |  least(a.t_end, b.t_end) - greatest(a.t_start, b.t_start) AS ov_us
+        |FROM f a JOIN f b
+        |  ON (a.user_id < b.user_id
+        |      OR (a.user_id = b.user_id AND a.session_id < b.session_id))
+        |WHERE least(a.t_end, b.t_end) - greatest(a.t_start, b.t_start)
+        |      >= CAST(300 AS BIGINT)*1000000""".stripMargin,
+
+    "q199_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT v.user_id, MIN(e.tus) AS t_click
+        |      FROM v JOIN e ON e.user_id = v.user_id
+        |        AND e.event_type = 'click' AND e.tus > v.t_view GROUP BY 1),
+        |p AS (SELECT c.user_id, MIN(e.tus) AS t_purchase
+        |      FROM c JOIN e ON e.user_id = c.user_id
+        |        AND e.event_type = 'purchase' AND e.tus > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
+
+    "q200_retention_cohort" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts)//1000000)//86400 AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS offset_day,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM days d JOIN cohort c ON c.user_id = d.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q196_source_qa" ->
       """WITH d AS (
