@@ -253,6 +253,104 @@ object CoreOps {
           sum(col("value").cast(DecimalType(30, 4))).over(w).cast(DoubleType))
         .select(col("event_id"), col("user_id"), col("tsec"),
           col("cnt_10m"), col("sum_10m"))
+    }),
+
+    // Trailing-window anomaly flag: |value − mean(1h window)| > 3σ, all in
+    // EXACT integer arithmetic so the flag is bit-identical across engines
+    // and partitionings — value quantized to cents, the z² > 9 test
+    // rewritten as (n·v − Σv)² > 9·(n·Σv² − (Σv)²), which never divides.
+    // Magnitude bound: v ≤ 5e4 cents, frame rows n ≤ ~3e3 even at 100×
+    // density → every product ≤ ~2e16, well inside BIGINT. One RANGE
+    // window per event_type partition — no self-join, no shuffle beyond
+    // the partition key.
+    "q201_anomaly_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("tsec"))
+        .rangeBetween(-3600, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(ts_us) div 1000000").as("tsec"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("v")).over(w))
+        .withColumn("s2", sum(expr("v * v")).over(w))
+        .withColumn("is_anom", expr(
+          """CAST(CASE WHEN n_1h >= 30
+            |  AND (n_1h*v - s1)*(n_1h*v - s1) > 9*(n_1h*s2 - s1*s1)
+            |  THEN 1 ELSE 0 END AS INT)""".stripMargin))
+        .select(col("event_id"), col("event_type"), col("tsec"),
+          col("n_1h"), col("is_anom"))
+    }),
+
+    // Cross-series Pearson correlation matrix over hourly event counts,
+    // zero-filled on a generated hour×type spine so silent hours count.
+    // r² is emitted in exact fixed point (ppm) via integral division of
+    // the closed-form integer sums — no float accumulate, no sqrt; the
+    // sign travels separately. Pair count is K²/2 for K series (5 here) —
+    // the join key is the hour, so the shuffle is the tiny spine, not the
+    // raw events.
+    "q202_corr_matrix" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 3600").as("hr"),
+          col("event_type"))
+      val hours = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val types = e.select(col("event_type")).distinct()
+      val cnt = e.groupBy(col("hr"), col("event_type")).agg(count(lit(1)).as("n"))
+      val full = hours.crossJoin(broadcast(types))
+        .join(cnt, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      val a = full.select(col("hr"), col("event_type").as("et_a"), col("n").as("x"))
+      val b = full.select(col("hr"), col("event_type").as("et_b"), col("n").as("y"))
+      a.join(b, Seq("hr"))
+        .filter(col("et_a") < col("et_b"))
+        .groupBy(col("et_a"), col("et_b"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sxx"),
+          sum(expr("y*y")).as("syy"))
+        .withColumn("num", expr("n*sxy - sx*sy"))
+        .withColumn("dx", expr("n*sxx - sx*sx"))
+        .withColumn("dy", expr("n*syy - sy*sy"))
+        .withColumn("r2_ppm", expr(
+          """CASE WHEN dx > 0 AND dy > 0
+            |  THEN (CAST(num AS DECIMAL(38,0)) * num * 1000000)
+            |       div (CAST(dx AS DECIMAL(38,0)) * dy)
+            |  ELSE NULL END""".stripMargin))
+        .withColumn("sgn", expr(
+          "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)"))
+        .select(col("et_a"), col("et_b"), col("n"), col("num"),
+          col("r2_ppm"), col("sgn"))
+    }),
+
+    // SQL-surface PIVOT: wide per-day matrix of per-type value sums — one
+    // Expand-free pivot aggregate (Spark lowers PIVOT to a single hash
+    // aggregate with pivot-value conditional branches; the oracle is the
+    // equivalent conditional aggregation). Cent-quantized sums keep the
+    // cells exact BIGINTs.
+    "q203_sql_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"),
+          col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        .createOrReplaceTempView("events_pv")
+      s.sql("""SELECT * FROM events_pv
+              |PIVOT (SUM(v) FOR event_type IN
+              |  ('view' AS v_view, 'click' AS v_click, 'purchase' AS v_purchase))
+              |""".stripMargin)
+    }),
+
+    // SQL-surface UNPIVOT: the wide daily rollup back to long (metric,
+    // value) form — Spark's Unpivot node is a single Expand over the
+    // aggregated (tiny) side, never a re-scan of the fact table.
+    "q204_sql_unpivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"),
+          col("user_id"), expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        .createOrReplaceTempView("events_upv")
+      s.sql("""SELECT day, metric, val FROM (
+              |  SELECT day, COUNT(*) AS n_events,
+              |    COUNT(DISTINCT user_id) AS n_users, SUM(v) AS sum_v
+              |  FROM events_upv GROUP BY day)
+              |UNPIVOT (val FOR metric IN (n_events, n_users, sum_v))
+              |""".stripMargin)
     })
   )
 
@@ -395,6 +493,84 @@ object CoreOps {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS sum_10m
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
-        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q201_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts)//1000000 AS tsec,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, tsec, v,
+        |    count(*) OVER win AS n_1h,
+        |    CAST(SUM(v) OVER win AS BIGINT) AS s1,
+        |    CAST(SUM(v*v) OVER win AS BIGINT) AS s2
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY tsec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, tsec, n_1h,
+        |  CAST(CASE WHEN n_1h >= 30
+        |    AND (n_1h*v - s1)*(n_1h*v - s1) > 9*(n_1h*s2 - s1*s1)
+        |    THEN 1 ELSE 0 END AS INT) AS is_anom
+        |FROM w""".stripMargin,
+
+    "q202_corr_matrix" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//1000000//3600 AS hr, event_type FROM events),
+        |bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |cnt AS (SELECT hr, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |f AS (
+        |  SELECT h.hr, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN cnt c ON c.hr = h.hr AND c.event_type = t.event_type),
+        |p AS (
+        |  SELECT a.hr, a.event_type AS et_a, b.event_type AS et_b,
+        |    a.n AS x, b.n AS y
+        |  FROM f a JOIN f b ON a.hr = b.hr AND a.event_type < b.event_type),
+        |agg AS (
+        |  SELECT et_a, et_b, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |d AS (
+        |  SELECT et_a, et_b, n, n*sxy - sx*sy AS num,
+        |    n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+        |  FROM agg)
+        |SELECT et_a, et_b, n, num,
+        |  CASE WHEN dx > 0 AND dy > 0
+        |    THEN CAST((num::HUGEINT * num * 1000000) // (dx::HUGEINT * dy) AS BIGINT)
+        |    ELSE NULL END AS r2_ppm,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT) AS sgn
+        |FROM d""".stripMargin,
+
+    "q203_sql_pivot" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//1000000//86400 AS day, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN v END) AS BIGINT) AS v_view,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN v END) AS BIGINT) AS v_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN v END) AS BIGINT) AS v_purchase
+        |FROM e GROUP BY day""".stripMargin,
+
+    "q204_sql_unpivot" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//1000000//86400 AS day, user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |wide AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM e GROUP BY day)
+        |SELECT day, 'n_events' AS metric, n_events AS val FROM wide
+        |UNION ALL
+        |SELECT day, 'n_users', n_users FROM wide
+        |UNION ALL
+        |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin
   )
 }

@@ -92,8 +92,74 @@ object DiscoveryOps {
         .withColumn("promote",
           col("presence_ratio") >= 0.5 && col("ndv") <= 100 && col("demanded"))
         .drop("_total")
+    }),
+
+    // HyperLogLog register table (m=256, p=8) for distinct user_id — the
+    // MERGEABLE sketch state a 1000-executor cardinality pipeline ships
+    // between stages instead of exact distinct sets. Deterministic by
+    // construction: md5-derived register index (first 2 hex nibbles) and
+    // rank rho = position of the first 1-bit in the next 48 bits, both
+    // pure string/CASE arithmetic that DuckDB reproduces bit-identically.
+    // One hash aggregate; state is ≤256 rows regardless of input size.
+    "q205_hll_registers" -> ((s, dir) =>
+      hllRegs(Tables.events(s, dir))
+        .groupBy(col("reg")).agg(max(col("rho")).as("rho"))),
+
+    // HLL estimate + the merge law that makes the sketch shippable:
+    // per-day sketches max-merged equal the global sketch, so the two
+    // integer raw estimates (alpha·m²·2^48 div S, S the exact power-sum
+    // in a 2^48 fixed point) must agree exactly. n_exact rides along as
+    // the accuracy reference.
+    "q206_hll_estimate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val withDay = hllRegs(ev)
+        .withColumn("day", expr("(unix_micros(ts_us) div 1000000) div 86400"))
+      val global = withDay.groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+      val merged = withDay.groupBy(col("day"), col("reg"))
+        .agg(max(col("rho")).as("rho"))
+        .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      hllEst(global, "est_global")
+        .crossJoin(hllEst(merged, "est_merged"))
+        .crossJoin(exact)
+        .withColumn("merge_exact",
+          (col("est_global") === col("est_merged")).cast("int"))
+        .select(col("n_exact"), col("est_global"), col("est_merged"),
+          col("merge_exact"))
     })
   )
+
+  /** Per-row HLL (reg, rho) from md5("hll:" ++ user_id): reg = first byte,
+    * rho = 1-based first-1-bit position in the following 48 bits (12 hex
+    * nibbles), 49 when they are all zero. Keeps every other event column. */
+  private def hllRegs(ev: DataFrame): DataFrame =
+    ev.withColumn("h", md5(concat(lit("hll:"), col("user_id").cast("string"))))
+      .withColumn("reg", expr(
+        "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT)"))
+      .withColumn("zn",
+        length(regexp_extract(substring(col("h"), 3, 12), "^(0*)", 1)))
+      .withColumn("fn", expr(
+        "instr('0123456789abcdef', substring(h, 3 + zn, 1)) - 1"))
+      .withColumn("rho", expr(
+        """CAST(CASE WHEN zn >= 12 THEN 49
+          |  ELSE 4*zn + (CASE WHEN fn >= 8 THEN 1 WHEN fn >= 4 THEN 2
+          |               WHEN fn >= 2 THEN 3 ELSE 4 END) END AS INT)""".stripMargin))
+
+  /** Raw HLL estimate over a (reg, rho) register table as ONE exact integer:
+    * S = Σ 2^(48−rho) over present registers + (m−present)·2^48, then
+    * alpha·m²·2^48 div (alpha_den·S) with alpha = 71827/100000 (m=256). */
+  private def hllEst(regs: DataFrame, as: String): DataFrame = {
+    // 71827·65536·2^48 precomputed so both engines divide the same literal
+    val num = (BigInt(71827) * 65536 * (BigInt(1) << 48)).toString
+    regs.agg(count(lit(1)).as("m_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - least(rho, 48))")).as("s_present"))
+      .select(expr(
+        s"""CAST(CAST('$num' AS DECIMAL(38,0)) div
+           |  (CAST(100000 AS DECIMAL(38,0)) *
+           |   (s_present + (256 - m_present) * shiftleft(CAST(1 AS BIGINT), 48)))
+           |  AS BIGINT)""".stripMargin).as(as))
+  }
 
   val oracles: Map[String, String] = Map(
     "q66_label_values" ->
@@ -151,6 +217,65 @@ object DiscoveryOps {
         |  attr IN ('k','e') AS demanded,
         |  (CAST(COUNT(v) AS DOUBLE) / total >= 0.5 AND COUNT(DISTINCT v) <= 100
         |   AND attr IN ('k','e')) AS promote
-        |FROM attrs, t GROUP BY attr, total""".stripMargin
+        |FROM attrs, t GROUP BY attr, total""".stripMargin,
+
+    "q205_hll_registers" ->
+      """WITH h AS (
+        |  SELECT DISTINCT md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) AS reg,
+        |    length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) AS zn,
+        |    strpos('0123456789abcdef', substr(h, 3 + zn, 1)) - 1 AS fn
+        |  FROM h)
+        |SELECT reg,
+        |  CAST(MAX(CASE WHEN zn >= 12 THEN 49
+        |    ELSE 4*zn + (CASE WHEN fn >= 8 THEN 1 WHEN fn >= 4 THEN 2
+        |                 WHEN fn >= 2 THEN 3 ELSE 4 END) END) AS INT) AS rho
+        |FROM r GROUP BY reg""".stripMargin,
+
+    "q206_hll_estimate" -> {
+      val num = (BigInt(71827) * 65536 * (BigInt(1) << 48)).toString
+      s"""WITH base AS (
+         |  SELECT user_id, epoch_us(ts)//1000000//86400 AS day,
+         |    md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT day,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS reg,
+         |    length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) AS zn,
+         |    strpos('0123456789abcdef', substr(h, 3 + zn, 1)) - 1 AS fn
+         |  FROM base),
+         |rr AS (
+         |  SELECT day, reg,
+         |    CASE WHEN zn >= 12 THEN 49
+         |      ELSE 4*zn + (CASE WHEN fn >= 8 THEN 1 WHEN fn >= 4 THEN 2
+         |                   WHEN fn >= 2 THEN 3 ELSE 4 END) END AS rho
+         |  FROM r),
+         |g AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY 1),
+         |md AS (
+         |  SELECT reg, MAX(rho) AS rho FROM (
+         |    SELECT day, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |eg AS (
+         |  SELECT CAST($num::HUGEINT // (100000::HUGEINT *
+         |    (CAST(SUM(1::BIGINT << (48 - least(rho, 48))) AS HUGEINT)
+         |     + (256 - COUNT(*)) * (1::BIGINT << 48))) AS BIGINT) AS est_global
+         |  FROM g),
+         |em AS (
+         |  SELECT CAST($num::HUGEINT // (100000::HUGEINT *
+         |    (CAST(SUM(1::BIGINT << (48 - least(rho, 48))) AS HUGEINT)
+         |     + (256 - COUNT(*)) * (1::BIGINT << 48))) AS BIGINT) AS est_merged
+         |  FROM md),
+         |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |       FROM events)
+         |SELECT ex.n_exact, eg.est_global, em.est_merged,
+         |  CAST(CASE WHEN eg.est_global = em.est_merged THEN 1 ELSE 0 END AS INT)
+         |    AS merge_exact
+         |FROM ex, eg, em""".stripMargin
+    }
   ).filter(_._2 != null)
 }
