@@ -337,6 +337,70 @@ object CoreOps {
               |""".stripMargin)
     }),
 
+    // Time-series gap filling on a regular 10-minute grid: last-sample
+    // reduce per (series, bucket), a generated spine (sequence — no table
+    // scan), then LOCF and linear interpolation as two windows per series
+    // partition. Interpolation runs in integer cents with the two-anchor
+    // form v_prev·(t_next−b) + v_next·(b−t_prev) div span, whose numerator
+    // is non-negative — integral division is floor==truncate in both
+    // engines, so the fill is bit-identical. The spine is |grid|·|series|
+    // rows, independent of raw volume: at 100 TB the raw reduce shrinks
+    // events to one row per bucket BEFORE the windows see them.
+    "q207_gap_fill" -> ((s, dir) => {
+      val STEP = 600L
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts_us")).as("tus"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"), col("event_id"))
+        .withColumn("b", expr(s"tus div 1000000 div $STEP * $STEP"))
+      val samp = e.groupBy(col("event_type"), col("b"))
+        .agg(max_by(col("v"), struct(col("tus"), col("event_id"))).as("v_raw"))
+      val grid = e.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+        .select(explode(sequence(col("b0"), col("b1"), lit(STEP))).as("b"))
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+        .join(samp, Seq("event_type", "b"), "left")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+      grid
+        .withColumn("v_locf", last(col("v_raw"), ignoreNulls = true).over(wPrev))
+        .withColumn("t_prev",
+          last(when(col("v_raw").isNotNull, col("b")), ignoreNulls = true).over(wPrev))
+        .withColumn("v_next", first(col("v_raw"), ignoreNulls = true).over(wNext))
+        .withColumn("t_next",
+          first(when(col("v_raw").isNotNull, col("b")), ignoreNulls = true).over(wNext))
+        .withColumn("v_interp", expr(
+          """CASE WHEN v_raw IS NOT NULL THEN v_raw
+            |  WHEN v_locf IS NOT NULL AND v_next IS NOT NULL AND t_next > t_prev
+            |  THEN (v_locf * (t_next - b) + v_next * (b - t_prev))
+            |       div (t_next - t_prev)
+            |  ELSE NULL END""".stripMargin))
+        .select(col("event_type"), col("b"), col("v_raw"), col("v_locf"),
+          col("v_interp"))
+    }),
+
+    // Time-weighted average over irregular samples (the TimescaleDB
+    // time_weight / Influx integral shape): each sample holds its value
+    // until the next sample or the day boundary, weights partition the
+    // day so Σw ≤ 86 400 s and every product stays far inside BIGINT.
+    // One lead() window per series + one hash aggregate; non-negative
+    // integral division keeps the result engine-exact.
+    "q208_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts_us")).as("tus"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"), col("event_id"))
+        .withColumn("day", expr("tus div 1000000 div 86400"))
+        .withColumn("t_next", lead(col("tus"), 1).over(w))
+        .withColumn("w_us", expr(
+          "least(coalesce(t_next, (day + 1) * 86400000000), (day + 1) * 86400000000) - tus"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(expr("v * w_us")).as("vw"),
+          sum(col("w_us")).as("wsum"))
+        .withColumn("twa_cents", expr("vw div wsum"))
+        .select(col("event_type"), col("day"), col("n"), col("twa_cents"))
+    }),
+
     // SQL-surface UNPIVOT: the wide daily rollup back to long (metric,
     // value) form — Spark's Unpivot node is a single Expand over the
     // aggregated (tiny) side, never a re-scan of the fact table.
@@ -556,6 +620,63 @@ object CoreOps {
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN v END) AS BIGINT) AS v_click,
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN v END) AS BIGINT) AS v_purchase
         |FROM e GROUP BY day""".stripMargin,
+
+    "q207_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 100) AS BIGINT) AS v, event_id,
+        |    (epoch_us(ts)//1000000//600)*600 AS b
+        |  FROM events),
+        |samp AS (
+        |  SELECT event_type, b, v AS v_raw FROM (
+        |    SELECT event_type, b, v, row_number() OVER (
+        |      PARTITION BY event_type, b ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.b
+        |  FROM (SELECT unnest(generate_series(b0, b1, 600)) AS b FROM bounds) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
+        |j AS (
+        |  SELECT g.event_type, g.b, s.v_raw FROM grid g
+        |  LEFT JOIN samp s ON s.event_type = g.event_type AND s.b = g.b),
+        |f AS (
+        |  SELECT event_type, b, v_raw,
+        |    last_value(v_raw IGNORE NULLS) OVER wp AS v_locf,
+        |    last_value(CASE WHEN v_raw IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER wp AS t_prev,
+        |    first_value(v_raw IGNORE NULLS) OVER wn AS v_next,
+        |    first_value(CASE WHEN v_raw IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER wn AS t_next
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, b, v_raw, v_locf,
+        |  CASE WHEN v_raw IS NOT NULL THEN v_raw
+        |    WHEN v_locf IS NOT NULL AND v_next IS NOT NULL AND t_next > t_prev
+        |    THEN (v_locf * (t_next - b) + v_next * (b - t_prev))
+        |         // (t_next - t_prev)
+        |    ELSE NULL END AS v_interp
+        |FROM f""".stripMargin,
+
+    "q208_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 100) AS BIGINT) AS v, event_id,
+        |    epoch_us(ts)//1000000//86400 AS day
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, day, v,
+        |    least(coalesce(lead(tus) OVER (PARTITION BY event_type
+        |            ORDER BY tus ASC, event_id ASC), (day + 1) * 86400000000),
+        |          (day + 1) * 86400000000) - tus AS w_us
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(CAST(sum(v * w_us) AS BIGINT) // CAST(sum(w_us) AS BIGINT)
+        |       AS BIGINT) AS twa_cents
+        |FROM l GROUP BY 1, 2""".stripMargin,
 
     "q204_sql_unpivot" ->
       """WITH e AS (

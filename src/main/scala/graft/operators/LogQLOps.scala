@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, count, get_json_object, lit, min, regexp_replace}
 
 import graft.SignalViews
 import graft.logql.{Lowering, Parser}
@@ -314,7 +315,22 @@ object LogQLOps {
     // ip() range form under a metric aggregation, negated polarity
     "q131_logql_ip_range_metric" ->
       metric("""sum by (service_name) (count_over_time({severity_text="error"}
-                | client_ip != ip("10.0.0.0-10.6.255.255") [1d]))""")
+                | client_ip != ip("10.0.0.0-10.6.255.255") [1d]))"""),
+
+    // Detected patterns (Loki /detected_patterns shape, Drain-lite):
+    // variable fields masked to a placeholder, lines grouped by the
+    // resulting template — count + deterministic sample id per template.
+    // One regexp_replace + one hash aggregate; the template space is
+    // bounded by the log format, not the volume, so the aggregate state
+    // stays tiny at any scale.
+    "q210_detected_patterns" -> ((s, dir) =>
+      SignalViews.logsDf(s, dir)
+        .withColumn("line", concat(col("event_type"), lit(" svc="),
+          col("service_name"), lit(" ip="), col("client_ip"), lit(" k="),
+          get_json_object(col("body"), "$.k")))
+        .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<N>"))
+        .groupBy(col("template"))
+        .agg(count(lit(1)).as("n_lines"), min(col("event_id")).as("sample_event_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -753,6 +769,19 @@ object LogQLOps {
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM logs WHERE severity_text = 'error'
          |  AND CAST(string_split(client_ip, '.')[2] AS BIGINT) >= 7
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q210_detected_patterns" ->
+      s"""WITH logs AS ($V),
+         |t AS (
+         |  SELECT event_id,
+         |    regexp_replace(
+         |      concat(event_type, ' svc=', service_name, ' ip=', client_ip,
+         |             ' k=', json_extract_string(body, '$$.k')),
+         |      '[0-9]+', '<N>', 'g') AS template
+         |  FROM logs)
+         |SELECT template, COUNT(*) AS n_lines,
+         |  MIN(event_id) AS sample_event_id
+         |FROM t GROUP BY template""".stripMargin
   )
 }

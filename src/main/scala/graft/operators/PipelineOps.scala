@@ -786,6 +786,17 @@ object PipelineOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Token frequency-of-frequencies (Zipf spectrum): how many distinct
+    // tokens occur exactly k times — the corpus-health curve used to spot
+    // boilerplate floods (fat head) and OCR noise (fat singleton tail).
+    // Two hash aggregates; the second runs over |vocab| rows only.
+    "q211_token_freq_spectrum" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .groupBy(col("freq")).agg(count(lit(1)).as("n_tokens"))),
+
     // Language-ID heuristic: stopword ratio over tokens.
     "q26_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1900,6 +1911,14 @@ object PipelineOps {
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM days d JOIN cohort c ON c.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q211_token_freq_spectrum" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (
+        |  SELECT tok, COUNT(*) AS freq FROM tok
+        |  WHERE length(tok) > 0 GROUP BY tok)
+        |SELECT freq, COUNT(*) AS n_tokens FROM f GROUP BY freq""".stripMargin,
 
     "q196_source_qa" ->
       """WITH d AS (

@@ -185,6 +185,29 @@ object TraceOps {
       TraceQL.lowerExpr(tracesDf(s, dir), e)
         .select(col("trace_id"), col("span_id"), col("span_name"),
           col("duration_nanos"))
+    }),
+
+    // Service graph (Tempo metrics-generator shape): client→server edges
+    // from parent/child span pairs, with call count, error count and the
+    // exact interpolated p50 of the server-side span duration. The
+    // parent link comes from the same single-window hierarchy the
+    // structural queries use; the edge rollup is one equi-join on
+    // (trace_id, parent_span_id) + one hash aggregate — per-trace keys,
+    // so the shuffle stays partitioned by trace at any scale.
+    "q209_service_graph" -> ((s, dir) => {
+      val svcOf = expr(
+        """CASE span_name WHEN 'view' THEN 'frontend' WHEN 'click' THEN 'api'
+          |  WHEN 'purchase' THEN 'checkout' WHEN 'signup' THEN 'auth'
+          |  ELSE 'backend' END""".stripMargin)
+      val sp = tracesWithParent(s, dir).withColumn("svc", svcOf)
+      val parents = sp.select(col("trace_id"),
+        col("span_id").as("parent_span_id"), col("svc").as("client"))
+      sp.filter(col("parent_span_id").isNotNull)
+        .join(parents, Seq("trace_id", "parent_span_id"))
+        .groupBy(col("client"), col("svc").as("server"))
+        .agg(count(lit(1)).as("n_calls"),
+          sum(when(col("status_code") === "ERROR", 1L).otherwise(0L)).as("n_errors"),
+          percentile(col("duration_nanos").cast("double"), lit(0.5)).as("p50_dur"))
     })
   )
 
@@ -373,6 +396,26 @@ object TraceOps {
          |  sum(duration_nanos) OVER (PARTITION BY trace_id) AS _s,
          |  count(*) OVER (PARTITION BY trace_id) AS _c FROM f)
          |SELECT trace_id, span_id, span_name, duration_nanos
-         |FROM g WHERE _s > 120000000 * _c""".stripMargin
+         |FROM g WHERE _s > 120000000 * _c""".stripMargin,
+
+    "q209_service_graph" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn,
+         |    CASE span_name WHEN 'view' THEN 'frontend' WHEN 'click' THEN 'api'
+         |      WHEN 'purchase' THEN 'checkout' WHEN 'signup' THEN 'auth'
+         |      ELSE 'backend' END AS svc
+         |  FROM spans),
+         |e AS (
+         |  SELECT p.svc AS client, c.svc AS server, c.status_code,
+         |    c.duration_nanos
+         |  FROM sp c JOIN sp p
+         |    ON p.trace_id = c.trace_id AND c.rn > 0 AND p.rn = (c.rn - 1) // 2)
+         |SELECT client, server, count(*) AS n_calls,
+         |  CAST(sum(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_errors,
+         |  quantile_cont(CAST(duration_nanos AS DOUBLE), 0.5) AS p50_dur
+         |FROM e GROUP BY 1, 2""".stripMargin
   )
 }
