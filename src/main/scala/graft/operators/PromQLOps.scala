@@ -26,6 +26,13 @@ object PromQLOps {
     Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
   }
 
+  /** Prometheus staleness/lookback semantics (TimeRange.lookbackSec). */
+  private def qlb(query: String, stepSec: Long, lookbackSec: Long): Q = (s, dir) => {
+    val t = SignalViews.metricsTable(s, dir)
+    Eval.evalVector(Parser.parse(query), t,
+      TimeRange(T0, T1, stepSec, lookbackSec)).df
+  }
+
   private def qh(query: String, stepSec: Long): Q = (s, dir) => {
     val t = SignalViews.histTable(s, dir)
     Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
@@ -49,6 +56,20 @@ object PromQLOps {
   val queries: Map[String, Q] = Map(
     // bare selector = last sample per (bucket, series) (reference `Last`)
     "q41_promql_instant" -> q("""purchase{service_name="svc-1"}""", 86400),
+
+    // Prometheus staleness semantics (--query.lookback-delta, extension
+    // beyond the reference's strict date_bin buckets): sparse series
+    // carry their last sample forward up to 4h across empty hourly
+    // buckets — reduce → bounded fan-out → re-reduce, never a per-step
+    // scan
+    "q212_promql_lookback" ->
+      qlb("""purchase{service_name="svc-3"}""", 3600, 14400),
+
+    // lookback under an outer aggregate: count of series present at each
+    // 10-min grid point with 30-min staleness (integer-exact cross-series
+    // agg)
+    "q213_promql_lookback_count" ->
+      qlb("""count(error)""", 600, 1800),
 
     // rate = (last-first)/range per (bucket, series)
     "q42_promql_rate" -> q("""rate(click[1d])""", 86400),
@@ -324,6 +345,34 @@ object PromQLOps {
          |fl AS (${firstLast("metric_name = 'click'", 86400)})
          |SELECT bucket_start, service_name,
          |  (lastv - firstv) / 86400.0 AS value FROM fl""".stripMargin,
+
+    "q212_promql_lookback" ->
+      s"""WITH m AS ($V),
+         |f AS (SELECT * FROM m
+         |      WHERE metric_name = 'purchase' AND service_name = 'svc-3'),
+         |grid AS (SELECT unnest(generate_series($T0, ${T1 - 1}, 3600))
+         |         AS bucket_start),
+         |cand AS (
+         |  SELECT g.bucket_start, s.service_name, s.value,
+         |    row_number() OVER (PARTITION BY g.bucket_start, s.service_name
+         |      ORDER BY s.timestamp DESC, s.event_id DESC) AS rn
+         |  FROM grid g JOIN f s
+         |    ON s.timestamp >= (g.bucket_start + 3600 - 14400) * 1000000000
+         |   AND s.timestamp <  (g.bucket_start + 3600) * 1000000000)
+         |SELECT bucket_start, service_name, value FROM cand WHERE rn = 1""".stripMargin,
+
+    "q213_promql_lookback_count" ->
+      s"""WITH m AS ($V),
+         |f AS (SELECT * FROM m WHERE metric_name = 'error'),
+         |grid AS (SELECT unnest(generate_series($T0, ${T1 - 1}, 600))
+         |         AS bucket_start),
+         |pres AS (
+         |  SELECT DISTINCT g.bucket_start, s.service_name
+         |  FROM grid g JOIN f s
+         |    ON s.timestamp >= (g.bucket_start + 600 - 1800) * 1000000000
+         |   AND s.timestamp <  (g.bucket_start + 600) * 1000000000)
+         |SELECT bucket_start, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM pres GROUP BY 1""".stripMargin,
 
     "q43_promql_max_increase" ->
       s"""WITH m AS ($V),

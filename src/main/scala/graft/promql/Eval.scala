@@ -31,7 +31,14 @@ object Eval {
       seriesLabels: Seq[String],
       tieBreak: Seq[String] = Seq.empty)
 
-  final case class TimeRange(startSec: Long, endSec: Long, stepSec: Long)
+  /** lookbackSec > 0 switches bare selectors to Prometheus staleness
+    * semantics: at each grid point the last sample within the trailing
+    * lookback window [bucket_end − lookback, bucket_end) is reported, so
+    * values carry across empty buckets for up to `lookbackSec` seconds
+    * (Prometheus --query.lookback-delta; the reference keeps strict
+    * date_bin buckets, so 0 — the default — preserves its semantics). */
+  final case class TimeRange(startSec: Long, endSec: Long, stepSec: Long,
+      lookbackSec: Long = 0)
 
   /** A lowered vector: df columns = bucket_start :: labels ::: value. */
   final case class Vec(df: DataFrame, labels: Seq[String])
@@ -142,6 +149,8 @@ object Eval {
     * a sort + row_number window: no per-partition sort, partial agg
     * map-side — the shape that survives 1 M series per bucket. */
   private def instant(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
+    if (tr.lookbackSec > 0 && pinBucket(sel, tr).isEmpty)
+      return instantLookback(sel, t, tr)
     val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
     val keys = bucket +: t.seriesLabels.map(col)
     val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
@@ -149,6 +158,45 @@ object Eval {
       df.groupBy(keys: _*)
         .agg(max_by(col("value").cast(DoubleType), ordStruct).as("value")),
       t.seriesLabels), t, tr)
+  }
+
+  /** Prometheus lookback without per-step scans: (1) reduce to the last
+    * sample per (series, own bucket) — the same map-side hash aggregate as
+    * the strict path; (2) fan each survivor forward to the ≤⌈lookback/step⌉
+    * grid buckets its window can still serve (a bounded explode of the
+    * REDUCED stream, never the raw one); (3) re-reduce per (series, grid
+    * bucket) by sample time. Two equal timestamps can't reach one grid
+    * bucket from different source buckets, so max_by(ts) alone is
+    * deterministic. The scan widens by lookbackSec so the first buckets
+    * see samples from before the query start, as Prometheus does. */
+  private def instantLookback(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
+    val lb = tr.lookbackSec
+    val off = sel.offsetSec * 1000000000L
+    val df = baseFilter(sel, t, tr.copy(startSec = tr.startSec - lb))
+      .withColumn("ts_eff", col("timestamp") + lit(off))
+      .withColumn("b_s",
+        expr(s"(ts_eff div 1000000000) div ${tr.stepSec} * ${tr.stepSec}"))
+    val keys = col("b_s") +: t.seriesLabels.map(col)
+    val ord = struct(col("ts_eff") +: t.tieBreak.map(col): _*)
+    val red = df.groupBy(keys: _*)
+      .agg(max_by(struct(col("ts_eff").as("ts"),
+        col("value").cast(DoubleType).as("v")), ord).as("lv"))
+      .select(col("b_s") +: t.seriesLabels.map(col)
+        :+ col("lv.ts").as("ts") :+ col("lv.v").as("v"): _*)
+    val k = (lb + tr.stepSec - 1) / tr.stepSec
+    val s0 = tr.startSec / tr.stepSec * tr.stepSec
+    val s1 = (tr.endSec - 1) / tr.stepSec * tr.stepSec
+    val fan = red
+      .withColumn("bucket_start",
+        explode(expr(s"sequence(b_s, b_s + ${k * tr.stepSec}, ${tr.stepSec})")))
+      .filter(col("bucket_start").between(s0, s1))
+      .filter(
+        col("ts") < (col("bucket_start") + lit(tr.stepSec)) * lit(1000000000L) &&
+        col("ts") >= (col("bucket_start") + lit(tr.stepSec - lb)) * lit(1000000000L))
+    Vec(
+      fan.groupBy(bucket +: t.seriesLabels.map(col): _*)
+        .agg(max_by(col("v"), col("ts")).as("value")),
+      t.seriesLabels)
   }
 
   // ---- functions --------------------------------------------------------
