@@ -321,6 +321,46 @@ object CoreOps {
           col("r2_ppm"), col("sgn"))
     }),
 
+    // Audience-segment overlap via packed bitmaps (§2.7 set ops at scale):
+    // each segment's user set becomes 64-bit blocks (bit_or aggregate),
+    // pair intersections are then popcount(a AND b) summed per block —
+    // the per-pair work is |users|/64 longs instead of a distinct-join
+    // row per shared member, and the block id keys the shuffle. The
+    // oracle is the INDEPENDENT naive form (distinct self-join), so the
+    // bitmap algebra itself is what gets checked.
+    "q214_segment_overlap" -> ((s, dir) => {
+      val bm = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("blk", expr("user_id div 64"))
+        .groupBy(col("event_type"), col("blk"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"))
+          .as("bits"))
+      val a = bm.select(col("blk"), col("event_type").as("seg_a"), col("bits").as("ba"))
+      val b = bm.select(col("blk"), col("event_type").as("seg_b"), col("bits").as("bb"))
+      a.join(b, Seq("blk")).filter(col("seg_a") < col("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(sum(expr("CAST(bit_count(ba & bb) AS BIGINT)")).as("n_overlap"))
+    }),
+
+    // Incremental rollup refresh: the stored hourly rollup of closed days
+    // merged with a fresh delta rollup of the open day, re-aggregated by
+    // the mergeable (count, integer-sum) algebra — the incremental-view-
+    // maintenance path a 100 TB deployment runs instead of full
+    // recompute. The oracle recomputes the rollup directly from raw
+    // events, so the merge algebra is what gets checked.
+    "q215_rollup_merge_refresh" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("(unix_micros(ts_us) div 1000000) div 3600 * 3600").as("hr"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"),
+        expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"))
+      def roll(df: DataFrame) = df.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      roll(e.filter(col("day") < 19750L))
+        .unionByName(roll(e.filter(col("day") >= 19750L)))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+    }),
+
     // SQL-surface PIVOT: wide per-day matrix of per-type value sums — one
     // Expand-free pivot aggregate (Spark lowers PIVOT to a single hash
     // aggregate with pivot-value conditional branches; the oracle is the
@@ -609,6 +649,23 @@ object CoreOps {
         |    ELSE NULL END AS r2_ppm,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT) AS sgn
         |FROM d""".stripMargin,
+
+    "q214_segment_overlap" ->
+      """WITH seg AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+        |  COUNT(*) AS n_overlap
+        |FROM seg a JOIN seg b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q215_rollup_merge_refresh" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS hr,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, hr, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sv
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q203_sql_pivot" ->
       """WITH e AS (
