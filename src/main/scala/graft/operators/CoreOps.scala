@@ -394,9 +394,12 @@ object CoreOps {
         .withColumn("b", expr(s"tus div 1000000 div $STEP * $STEP"))
       val samp = e.groupBy(col("event_type"), col("b"))
         .agg(max_by(col("v"), struct(col("tus"), col("event_id"))).as("v_raw"))
-      val grid = e.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      // bounds and the series set both derive from the REDUCED samples:
+      // the three samp consumers share one shuffle via ReusedExchange
+      // (no .persist() — executor-memory pinning leaks across queries)
+      val grid = samp.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
         .select(explode(sequence(col("b0"), col("b1"), lit(STEP))).as("b"))
-        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+        .crossJoin(broadcast(samp.select(col("event_type")).distinct()))
         .join(samp, Seq("event_type", "b"), "left")
       val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
       val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -197,4 +197,42 @@ class PlanSpec extends AnyFunSuite {
       "Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"expected ≤2 hash exchanges (window + semi-join build):\n$plan")
   }
+
+  test("anomaly z-score is one window over the series key — no join, one exchange") {
+    val df = operators.CoreOps.queries("q201_anomaly_zscore")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"z-score must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1 &&
+      plan.contains("hashpartitioning(event_type"),
+      s"expected exactly the per-series window shuffle:\n$plan")
+  }
+
+  test("HLL sketch state is bounded by m=256 regardless of input size") {
+    val rows = operators.DiscoveryOps.queries("q205_hll_registers")(spark, dir).count()
+    assert(rows <= 256, s"register table must be ≤256 rows, got $rows")
+  }
+
+  test("gap-fill auxiliary scans (bounds, series) prune to single columns") {
+    val df = operators.CoreOps.queries("q207_gap_fill")(spark, dir)
+    // Catalyst collapses the bounds/series aggregates straight onto the
+    // scan: only the wide samp reduce reads the value columns; the spine
+    // derivation reads one column each. Pin that so a regression never
+    // turns the spine into two extra full-width scans.
+    val schemas = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema"))
+      .map(_.replaceAll(".*ReadSchema: ", "")).toSeq
+    assert(schemas.size == 3, s"expected 3 scans, got:\n${schemas.mkString("\n")}")
+    assert(schemas.count(s => s.count(_ == ':') == 1) == 2,
+      s"bounds/series scans must each read exactly ONE column:\n${schemas.mkString("\n")}")
+  }
+
+  test("lookback instant is reduce -> bounded explode -> re-reduce on one scan") {
+    val df = operators.PromQLOps.queries("q212_promql_lookback")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"lookback must not rescan per step:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"expected the bounded fan-out explode:\n$plan")
+    assert(!plan.contains("Join"), s"no join in the lookback path:\n$plan")
+  }
 }
