@@ -321,6 +321,79 @@ object CoreOps {
           col("r2_ppm"), col("sgn"))
     }),
 
+    // Multi-window SLO burn rate (the Google-SRE 1h+6h alert): hourly
+    // (bad, total) pre-agg, then two RANGE-framed sliding sums per hour —
+    // never a rescan per window. Burn rates ride exact fixed point
+    // (ppm of the 1% error budget) and the page condition is the pure
+    // integer cross-multiplication bad·100 > burn_threshold·total, so
+    // the alert decision is bit-identical across engines.
+    "q216_slo_burn_rate" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 3600").as("h"),
+          (col("event_type") === "error").cast("long").as("bad"))
+        .groupBy(col("h"))
+        .agg(sum(col("bad")).as("bad_h"), count(lit(1)).as("tot_h"))
+      // the sliding window runs over the PRE-AGGREGATED hourly rows
+      // (≤ span/3600 of them), so the unpartitioned frame is a few
+      // thousand rows even at 100 TB of raw events
+      val w6 = Window.orderBy(col("h")).rangeBetween(-5, 0)
+      hourly
+        .withColumn("bad_6h", sum(col("bad_h")).over(w6))
+        .withColumn("tot_6h", sum(col("tot_h")).over(w6))
+        .withColumn("burn1_ppm", expr("(bad_h * 100000000) div tot_h"))
+        .withColumn("burn6_ppm", expr("(bad_6h * 100000000) div tot_6h"))
+        .withColumn("page", expr(
+          "CAST(CASE WHEN bad_h * 100 > 6 * tot_h AND bad_6h * 100 > 6 * tot_6h " +
+            "THEN 1 ELSE 0 END AS INT)"))
+        .select(col("h"), col("bad_h"), col("tot_h"), col("bad_6h"),
+          col("tot_6h"), col("burn1_ppm"), col("burn6_ppm"), col("page"))
+    }),
+
+    // Week-over-week spike score: hourly counts self-joined at a 168h
+    // offset (equi join on the shifted hour — no window over the whole
+    // span), ratio in exact ppm. The classic "is this hour anomalous vs
+    // the same hour last week" detector.
+    "q217_wow_spike" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts_us) div 1000000) div 3600").as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+      val prev = hourly.select(col("event_type"),
+        (col("h") + 168).as("h"), col("n").as("n_prev"))
+      hourly.join(prev, Seq("event_type", "h"))
+        .withColumn("spike_ppm", expr("(n * 1000000) div n_prev"))
+        .select(col("event_type"), col("h"), col("n"), col("n_prev"),
+          col("spike_ppm"))
+    }),
+
+    // Histogram heatmap matrix (the Grafana heatmap panel shape): value
+    // binned into fixed buckets per hour — one hash aggregate producing
+    // the (time, bin) → count grid.
+    "q218_heatmap_matrix" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 3600 * 3600").as("hr"),
+          expr("least(CAST(floor(value / 50) AS INT), 3)").as("bin"))
+        .groupBy(col("hr"), col("bin")).agg(count(lit(1)).as("n"))),
+
+    // Seasonal baseline: expected traffic per (series, hour-of-week),
+    // averaged over the weeks in the span in exact fixed point. The
+    // occurrence count comes from a generated hour spine (sequence — no
+    // second data scan), so silent hours still divide the baseline.
+    "q220_seasonal_baseline" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts_us) div 1000000) div 3600").as("h"))
+      val cnt = e.groupBy(col("event_type"),
+          expr("h % 168").as("how")).agg(count(lit(1)).as("n"))
+      val occ = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .groupBy(expr("h % 168").as("how")).agg(count(lit(1)).as("n_occ"))
+      cnt.join(occ, Seq("how"))
+        .withColumn("avg_fp", expr("(n * 1000) div n_occ"))
+        .select(col("event_type"), col("how"), col("n"), col("n_occ"),
+          col("avg_fp"))
+    }),
+
     // Audience-segment overlap via packed bitmaps (§2.7 set ops at scale):
     // each segment's user set becomes 64-bit blocks (bit_or aggregate),
     // pair intersections are then popcount(a AND b) summed per block —
@@ -652,6 +725,54 @@ object CoreOps {
         |    ELSE NULL END AS r2_ppm,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT) AS sgn
         |FROM d""".stripMargin,
+
+    "q216_slo_burn_rate" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts)//1000000//3600 AS h,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_h,
+        |    COUNT(*) AS tot_h
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT h, bad_h, tot_h,
+        |    CAST(SUM(bad_h) OVER win AS BIGINT) AS bad_6h,
+        |    CAST(SUM(tot_h) OVER win AS BIGINT) AS tot_6h
+        |  FROM hourly
+        |  WINDOW win AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT h, bad_h, tot_h, bad_6h, tot_6h,
+        |  (bad_h * 100000000) // tot_h AS burn1_ppm,
+        |  (bad_6h * 100000000) // tot_6h AS burn6_ppm,
+        |  CAST(CASE WHEN bad_h * 100 > 6 * tot_h AND bad_6h * 100 > 6 * tot_6h
+        |       THEN 1 ELSE 0 END AS INT) AS page
+        |FROM w""".stripMargin,
+
+    "q217_wow_spike" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//3600 AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.event_type, c.h, c.n, p.n AS n_prev,
+        |  (c.n * 1000000) // p.n AS spike_ppm
+        |FROM hourly c JOIN hourly p
+        |  ON p.event_type = c.event_type AND p.h = c.h - 168""".stripMargin,
+
+    "q218_heatmap_matrix" ->
+      """SELECT (epoch_us(ts)//1000000//3600)*3600 AS hr,
+        |  CAST(least(floor(value / 50), 3) AS INT) AS bin, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q220_seasonal_baseline" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//3600 AS h FROM events),
+        |cnt AS (
+        |  SELECT event_type, h % 168 AS how, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |occ AS (
+        |  SELECT h % 168 AS how, COUNT(*) AS n_occ FROM (
+        |    SELECT unnest(generate_series((SELECT min(h) FROM e),
+        |                                  (SELECT max(h) FROM e))) AS h)
+        |  GROUP BY 1)
+        |SELECT c.event_type, c.how, c.n, o.n_occ,
+        |  (c.n * 1000) // o.n_occ AS avg_fp
+        |FROM cnt c JOIN occ o ON o.how = c.how""".stripMargin,
 
     "q214_segment_overlap" ->
       """WITH seg AS (SELECT DISTINCT event_type, user_id FROM events)

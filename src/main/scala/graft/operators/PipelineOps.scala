@@ -786,6 +786,29 @@ object PipelineOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Distribution drift between two corpus slices (PSI-style, but a
+    // chi-square-shaped EXACT integer statistic — PSI's ln() is libm-
+    // divergent): doc-length histograms of two sources compared per
+    // bucket as 1e6·(a·totB − b·totA)² div ((a+b)·totA·totB). One hash
+    // aggregate over documents + a tiny bucket-level self-join.
+    "q219_corpus_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), expr("least(n_chars div 100, 5L)").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+      val tot = d.agg(sum(col("a")).as("tot_a"), sum(col("b")).as("tot_b"))
+      d.crossJoin(broadcast(tot))
+        .withColumn("drift_ppm", expr(
+          """CASE WHEN a + b > 0 AND tot_a > 0 AND tot_b > 0 THEN
+            |  (CAST(a*tot_b - b*tot_a AS DECIMAL(38,0)) * (a*tot_b - b*tot_a)
+            |   * 1000000)
+            |  div (CAST(a + b AS DECIMAL(38,0)) * tot_a * tot_b)
+            |ELSE 0 END""".stripMargin))
+        .select(col("bucket"), col("a"), col("b"), col("drift_ppm"))
+    }),
+
     // Token frequency-of-frequencies (Zipf spectrum): how many distinct
     // tokens occur exactly k times — the corpus-health curve used to spot
     // boilerplate floods (fat head) and OCR noise (fat singleton tail).
@@ -1911,6 +1934,21 @@ object PipelineOps {
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM days d JOIN cohort c ON c.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q219_corpus_drift" ->
+      """WITH d AS (
+        |  SELECT least(n_chars // 100, 5) AS bucket,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(b) AS BIGINT) AS tot_b FROM d)
+        |SELECT bucket, a, b,
+        |  CASE WHEN a + b > 0 AND tot_a > 0 AND tot_b > 0 THEN
+        |    CAST(((a*tot_b - b*tot_a)::HUGEINT * (a*tot_b - b*tot_a) * 1000000)
+        |         // ((a + b)::HUGEINT * tot_a * tot_b) AS BIGINT)
+        |  ELSE 0 END AS drift_ppm
+        |FROM d, t""".stripMargin,
 
     "q211_token_freq_spectrum" ->
       """WITH tok AS (
