@@ -18,6 +18,10 @@ import graft.functions.LogfmtMap
   * mutation, safe with multiple concurrent sessions on a cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // promotion-invariant attribute resolution for the raw surface:
+    // coalesce-of-map-probes → promoted label_<key> column (see
+    // graft.plans.PromotedAttrRule)
+    ext.injectOptimizerRule(_ => graft.plans.PromotedAttrRule)
     ext.injectFunction((
       new FunctionIdentifier("logfmt_map"),
       new ExpressionInfo(classOf[LogfmtMap].getName, "logfmt_map"),

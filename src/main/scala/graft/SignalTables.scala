@@ -48,6 +48,22 @@ object SignalTables {
   def storedLogsTable(s: SparkSession, dir: String): graft.logql.Lowering.LogsTable =
     SignalViews.logsGen2Table(s, dir).copy(df = storedLogs(s, dir))
 
+  /** stored gen-2 logs AFTER the promotion rewrite (label_region
+    * materialized) — the table PromotedAttrRule resolves raw map probes
+    * against. */
+  def storedPromotedLogsPath(s: SparkSession, dir: String): String =
+    materialize(s, dir, "logs_promoted",
+      graft.storage.AttrPromotion.promote(
+        Storage.withPartitionCols(SignalViews.logsGen2Df(s, dir)), Seq("region"))
+        .drop("hour"),
+      // day-level partitioning: the hour-pruning story is storedLogs's;
+      // this table exists for the promotion rule, and 24× fewer
+      // directories keeps its one-time write cheap
+      partitionCols = Seq("date_day"))
+
+  def storedPromotedLogs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(storedPromotedLogsPath(s, dir))
+
   /** stored traces, 256-way `prefix=XX` Hive-sharded on the first two hex
     * chars of trace_id, with bloom filters on trace_id/span_id — the
     * reference's benchmark-proven point-lookup layout

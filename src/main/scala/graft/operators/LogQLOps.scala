@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, get_json_object, lit, min, regexp_replace}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, element_at, get_json_object, lit, min, regexp_replace}
 
 import graft.SignalViews
 import graft.logql.{Lowering, Parser}
@@ -316,6 +316,27 @@ object LogQLOps {
     "q131_logql_ip_range_metric" ->
       metric("""sum by (service_name) (count_over_time({severity_text="error"}
                 | client_ip != ip("10.0.0.0-10.6.255.255") [1d]))"""),
+
+    // PromotedAttrRule end-to-end: the RAW surface probes the attribute
+    // containers with the canonical coalesce — the optimizer rule
+    // (injected per-session here via experimental.extraOptimizations,
+    // normally via GraftExtensions) resolves the promoted key to the
+    // materialized label_region column (pushdown-able), leaves the
+    // unpromoted env probe alone, and the DuckDB twin checks promotion
+    // invariance on the VALUES.
+    "q221_promoted_rule_probe" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.PromotedAttrRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.PromotedAttrRule
+      val df = graft.SignalTables.storedPromotedLogs(s, dir)
+      def probe(k: String) = coalesce(
+        element_at(col("log_attributes"), k),
+        element_at(col("resource_attributes"), k),
+        element_at(col("scope_attributes"), k))
+      df.filter(probe("region") === "r1")
+        .groupBy(probe("region").as("region"), probe("env").as("env"))
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // Detected patterns (Loki /detected_patterns shape, Drain-lite):
     // variable fields masked to a placeholder, lines grouped by the
@@ -770,6 +791,11 @@ object LogQLOps {
          |FROM logs WHERE severity_text = 'error'
          |  AND CAST(string_split(client_ip, '.')[2] AS BIGINT) >= 7
          |GROUP BY 1, 2""".stripMargin,
+
+    "q221_promoted_rule_probe" ->
+      s"""WITH v AS ($V2)
+         |SELECT region, env, COUNT(*) AS n FROM v
+         |WHERE region = 'r1' GROUP BY 1, 2""".stripMargin,
 
     "q210_detected_patterns" ->
       s"""WITH logs AS ($V),

@@ -226,6 +226,13 @@ class PlanSpec extends AnyFunSuite {
       s"bounds/series scans must each read exactly ONE column:\n${schemas.mkString("\n")}")
   }
 
+  test("promoted-rule probe pushes the rewritten label filter to the scan") {
+    val df = operators.LogQLOps.queries("q221_promoted_rule_probe")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label_region,r1)"),
+      s"the rule must turn the map probe into a pushed filter:\n$plan")
+  }
+
   test("lookback instant is reduce -> bounded explode -> re-reduce on one scan") {
     val df = operators.PromQLOps.queries("q212_promql_lookback")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
