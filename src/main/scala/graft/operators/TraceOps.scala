@@ -146,6 +146,24 @@ object TraceOps {
           col("duration_nanos"))
     }),
 
+    // negated structural `!>` (Tempo 2.3): error spans whose DIRECT
+    // parent is not a view span — one anti join on the parent link
+    "q222_traceql_not_child" -> ((s, dir) => {
+      val e = TraceQL.parseExpr("""{ name = "view" } !> { name = "error" }""")
+      TraceQL.lowerExpr(tracesWithParent(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
+    // negated structural `!>>`: error spans with NO view ancestor —
+    // complement of the q162 fold, left join keeps A-free traces
+    "q223_traceql_not_descendant" -> ((s, dir) => {
+      val e = TraceQL.parseExpr("""{ name = "view" } !>> { name = "error" }""")
+      TraceQL.lowerExpr(tracesWithParent(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
     // TraceQL `||` disjunction inside a spanset (the reference subset
     // rejects it) — an OR of &&-groups, still one scan + one filter
     "q175_traceql_disjunction" -> ((s, dir) => {
@@ -358,6 +376,52 @@ object TraceOps {
          |  ON u.trace_id = c.trace_id AND u.b_id = c.span_id
          |JOIN wp a ON a.trace_id = u.trace_id AND a.span_id = u.cur
          |WHERE c.span_name = 'error' AND a.span_name = 'view'""".stripMargin,
+
+    "q222_traceql_not_child" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2)
+         |SELECT c.trace_id, c.span_id, c.span_name, c.duration_nanos
+         |FROM wp c
+         |WHERE c.span_name = 'error' AND NOT EXISTS (
+         |  SELECT 1 FROM wp a
+         |  WHERE a.trace_id = c.trace_id AND a.span_id = c.parent_span_id
+         |    AND a.span_name = 'view')""".stripMargin,
+
+    "q223_traceql_not_descendant" ->
+      s"""WITH RECURSIVE spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2),
+         |up AS (
+         |  SELECT span_id AS b_id, trace_id, parent_span_id AS cur
+         |  FROM wp WHERE span_name = 'error' AND parent_span_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT u.b_id, u.trace_id, w.parent_span_id AS cur
+         |  FROM up u JOIN wp w
+         |    ON w.trace_id = u.trace_id AND w.span_id = u.cur
+         |  WHERE w.parent_span_id IS NOT NULL),
+         |hit AS (
+         |  SELECT DISTINCT u.trace_id, u.b_id
+         |  FROM up u JOIN wp a
+         |    ON a.trace_id = u.trace_id AND a.span_id = u.cur
+         |  WHERE a.span_name = 'view')
+         |SELECT c.trace_id, c.span_id, c.span_name, c.duration_nanos
+         |FROM wp c
+         |WHERE c.span_name = 'error' AND NOT EXISTS (
+         |  SELECT 1 FROM hit h
+         |  WHERE h.trace_id = c.trace_id AND h.b_id = c.span_id)""".stripMargin,
 
     "q163_traceql_ancestor" ->
       s"""WITH RECURSIVE spans AS ($tracesViewSql),

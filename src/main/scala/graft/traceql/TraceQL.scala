@@ -44,7 +44,7 @@ object TraceQL {
   final case class AggFilter(input: Expr, func: String, op: String,
       threshold: Long) extends Expr
 
-  private val structRe = """^(\{[^}]*\})\s*(>>|<<|>|~)\s*(\{[^}]*\})$""".r
+  private val structRe = """^(\{[^}]*\})\s*(!>>|!>|>>|<<|>|~)\s*(\{[^}]*\})$""".r
   private val aggRe =
     """^(.*\})\s*\|\s*(count|sum|min|max|avg)\(\s*(duration)?\s*\)\s*(>=|<=|!=|=|>|<)\s*([0-9.]+)\s*(ns|us|ms|s|m|h)?$""".r
 
@@ -80,6 +80,31 @@ object TraceQL {
       spans.filter(lower(c)).join(parents,
         col("trace_id") === col("_p_tid") && col("parent_span_id") === col("_p_sid"),
         "left_semi")
+    case Structural(p, "!>", c) =>
+      // negated child (Tempo 2.3 structural negation): B-spans whose
+      // parent does NOT match A — the same single join, anti instead of
+      // semi
+      val parents = spans.filter(lower(p))
+        .select(col("trace_id").as("_p_tid"), col("span_id").as("_p_sid"))
+      spans.filter(lower(c)).join(parents,
+        col("trace_id") === col("_p_tid") && col("parent_span_id") === col("_p_sid"),
+        "left_anti")
+    case Structural(p, "!>>", c) =>
+      // negated descendant: B-spans with NO ancestor matching A. Same
+      // per-trace fold as '>>' with the verdict inverted; traces with no
+      // A-match at all never enter the index, so their B-spans pass via
+      // the left join's null branch.
+      val byTrace = traceIndex(spans, p)
+      spans.filter(lower(c))
+        .join(byTrace, col("trace_id") === col("_t"), "left")
+        .filter(col("_t").isNull || !expr(
+          """aggregate(sequence(1, 64),
+            |  struct(parent_span_id AS cur, false AS found),
+            |  (acc, i) -> IF(acc.found OR acc.cur IS NULL, acc,
+            |    struct(_pmap[acc.cur] AS cur,
+            |           array_contains(_aset, acc.cur) AS found)),
+            |  acc -> acc.found)""".stripMargin))
+        .drop("_t", "_pmap", "_aset")
     case Structural(p, "~", c) =>
       val sibs = spans.filter(lower(p))
         .select(col("trace_id").as("_p_tid"),

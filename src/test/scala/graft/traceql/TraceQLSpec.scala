@@ -97,7 +97,7 @@ class TraceQLSpec extends AnyFunSuite {
     assert(TraceQL.parseExpr("""{ name = "a" }""").isInstanceOf[TraceQL.Spanset])
     assertThrows[TraceQL.Unsupported](
       TraceQL.lowerExpr(spans,
-        TraceQL.Structural(Seq.empty, "!>", Seq.empty)))
+        TraceQL.Structural(Seq.empty, "!~", Seq.empty)))
   }
 
   test("metrics queries parse: rate/by, duration operand rules, quantile arity") {
