@@ -148,6 +148,27 @@ object HistogramOps {
           ubCol.as("ub"))
     }),
 
+    // exponential-histogram histogram_fraction at an EXACT bucket edge
+    // (bound = ub of bin 3): fraction = (zero + cum≤3)/(zero + total) as
+    // one exact ppm integer — edge-aligned bounds need no interpolation,
+    // so no pow() and no float division anywhere. Same one-hash-aggregate
+    // shape as the quantile (map-side partials over the 8 bins + zero).
+    "q224_exphist_fraction" -> ((s, dir) => {
+      val rows = expHistRowsDf(s, dir)
+        .withColumn("bucket_start", expr("(timestamp div 1000000000) div 86400 * 86400"))
+        .withColumn("counts", from_json(col("positive_bucket_counts"), ArrayType(LongType)))
+      val binAggs = (0 until 8).map(i =>
+        sum(element_at(col("counts"), i + 1)).as(s"_c$i"))
+      rows.groupBy(col("bucket_start"), col("service_name"))
+        .agg(sum(col("zero_count")).as("_z"), binAggs: _*)
+        .withColumn("num", expr("_z + _c0 + _c1 + _c2 + _c3"))
+        .withColumn("den", expr("_z + _c0 + _c1 + _c2 + _c3 + _c4 + _c5 + _c6 + _c7"))
+        .filter(col("den") > 0)
+        .withColumn("frac_ppm", expr("(num * 1000000) div den"))
+        .select(col("bucket_start"), col("service_name"), col("num"),
+          col("den"), col("frac_ppm"))
+    }),
+
     // exponential-histogram quantile WITH the zero bucket: native-
     // histogram layout orders counts zero-bucket → positive buckets, so a
     // rank that lands inside the zero mass resolves to the zero threshold
@@ -289,6 +310,28 @@ object HistogramOps {
         |  (idx + 1) / 4.0 AS log2_ub,
         |  $expHistUbSql AS ub
         |FROM hit WHERE rn = 1""".stripMargin,
+
+    "q224_exphist_fraction" -> {
+      val bins = (0 until 8)
+        .map(i => s"CAST(SUM((fv + $i) % 3) AS BIGINT) AS b$i").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT (epoch_ns(ts)//1000000000//86400)*86400 AS bucket_start,
+         |    concat('svc-', user_id % 8) AS service_name,
+         |    CAST(floor(value) AS BIGINT) AS fv
+         |  FROM events),
+         |s AS (
+         |  SELECT bucket_start, service_name,
+         |    CAST(SUM(CASE WHEN fv % 4 = 0 THEN 3 ELSE 0 END) AS BIGINT) AS z,
+         |    $bins
+         |  FROM e GROUP BY 1, 2)
+         |SELECT bucket_start, service_name,
+         |  z + b0 + b1 + b2 + b3 AS num,
+         |  z + b0 + b1 + b2 + b3 + b4 + b5 + b6 + b7 AS den,
+         |  ((z + b0 + b1 + b2 + b3) * 1000000)
+         |    // (z + b0 + b1 + b2 + b3 + b4 + b5 + b6 + b7) AS frac_ppm
+         |FROM s
+         |WHERE z + b0 + b1 + b2 + b3 + b4 + b5 + b6 + b7 > 0""".stripMargin
+    },
 
     "q124_exphist_zero_bucket" ->
       s"""WITH e AS (
