@@ -786,6 +786,42 @@ object PipelineOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Curriculum bucketing: documents ranked by a difficulty proxy and
+    // cut into 5 equal-size epochs with ntile — the deterministic
+    // total-order tie-break (doc_id) makes bucket membership exact. The
+    // global sort runs over (doc_id, n_chars) pairs only; epoch stats
+    // come from one follow-up hash aggregate.
+    "q225_curriculum_ntile" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("epoch", ntile(5).over(
+          Window.orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_nc"),
+          max(col("n_chars")).as("max_nc"))),
+
+    // Largest-remainder (Hamilton) apportionment of a fixed sampling
+    // budget across sources: base = floor(B·nᵢ/N), the B−Σbase leftover
+    // seats go to the largest remainders (deterministic tie-break). All
+    // integer arithmetic; Σalloc == B exactly — the property that makes
+    // per-source sampling quotas reproducible across runs and engines.
+    "q226_largest_remainder_mix" -> ((s, dir) => {
+      val B = 1000L
+      val cnt = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("n_total"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * n) div n_total"))
+        .withColumn("rem", expr(s"($B * n) % n_total"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .withColumn("tot_base",
+          sum(col("base")).over(Window.partitionBy(lit(1))))
+        .withColumn("alloc",
+          expr(s"base + CASE WHEN rk <= $B - tot_base THEN 1 ELSE 0 END"))
+        .select(col("source"), col("n"), col("base"), col("alloc"))
+    }),
+
     // Distribution drift between two corpus slices (PSI-style, but a
     // chi-square-shaped EXACT integer statistic — PSI's ln() is libm-
     // divergent): doc-length histograms of two sources compared per
@@ -1934,6 +1970,30 @@ object PipelineOps {
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM days d JOIN cohort c ON c.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q225_curriculum_ntile" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    ntile(5) OVER (ORDER BY n_chars ASC, doc_id ASC) AS epoch
+        |  FROM documents)
+        |SELECT epoch, COUNT(*) AS n_docs, MIN(n_chars) AS min_nc,
+        |  MAX(n_chars) AS max_nc
+        |FROM r GROUP BY epoch""".stripMargin,
+
+    "q226_largest_remainder_mix" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt),
+        |q AS (
+        |  SELECT source, n, (1000 * n) // n_total AS base,
+        |    (1000 * n) % n_total AS rem
+        |  FROM cnt, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+        |    CAST(SUM(base) OVER () AS BIGINT) AS tot_base
+        |  FROM q)
+        |SELECT source, n, base,
+        |  base + CASE WHEN rk <= 1000 - tot_base THEN 1 ELSE 0 END AS alloc
+        |FROM r""".stripMargin,
 
     "q219_corpus_drift" ->
       """WITH d AS (
