@@ -786,6 +786,41 @@ object PipelineOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Peak concurrency per day (capacity planning): the classic +1/−1
+    // boundary sweep, but PARTITIONED BY DAY so no single task ever sees
+    // the whole timeline — cross-midnight sessions enter as a per-day
+    // carry-in computed with the q198 banding trick (explode to covered
+    // day starts, one hash aggregate). Within a day the running sum
+    // orders ends before starts at equal µs, so touching sessions never
+    // count as concurrent.
+    "q227_max_concurrency" -> ((s, dir) => {
+      val sess = sessionIntervals(s, dir)
+      val DAY = 86400L * 1000000L
+      val bounds = sess.select(col("t_start").as("t"), lit(1L).as("d"))
+        .unionByName(sess.select(col("t_end").as("t"), lit(-1L).as("d")))
+        .withColumn("day", expr(s"t div $DAY"))
+      val carry = sess
+        .filter(expr(s"t_end div $DAY > t_start div $DAY"))
+        .withColumn("day", explode(sequence(
+          expr(s"t_start div $DAY + 1"), expr(s"t_end div $DAY"))))
+        .groupBy(col("day")).agg(count(lit(1)).as("carry_in"))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("t").asc, col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("run", sum(col("d")).over(w))
+        .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+        // full outer: a day may hold only carried-over sessions (no
+        // boundaries), or only boundaries; the day-start level itself is
+        // the peak when the within-day sweep never rises (greatest 0)
+        .join(carry, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("carry_in"), lit(0L)).as("carry_in"),
+          (coalesce(col("carry_in"), lit(0L)) +
+            greatest(coalesce(col("max_run"), lit(0L)), lit(0L)))
+            .as("max_concurrency"))
+    }),
+
     // Curriculum bucketing: documents ranked by a difficulty proxy and
     // cut into 5 equal-size epochs with ntile — the deterministic
     // total-order tie-break (doc_id) makes bucket membership exact. The
@@ -1970,6 +2005,45 @@ object PipelineOps {
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM days d JOIN cohort c ON c.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q227_max_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(3600 AS BIGINT)*1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(tus) AS t_start, MAX(tus) AS t_end
+        |  FROM s GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT t_start AS t, CAST(1 AS BIGINT) AS d,
+        |    t_start // 86400000000 AS day FROM sess
+        |  UNION ALL
+        |  SELECT t_end, CAST(-1 AS BIGINT), t_end // 86400000000 FROM sess),
+        |runs AS (
+        |  SELECT day, MAX(run) AS max_run FROM (
+        |    SELECT day, CAST(SUM(d) OVER (PARTITION BY day ORDER BY t ASC, d ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |    FROM bounds)
+        |  GROUP BY day),
+        |carry AS (
+        |  SELECT u.day, COUNT(*) AS carry_in
+        |  FROM sess, unnest(generate_series(t_start // 86400000000 + 1,
+        |                                    t_end // 86400000000)) AS u(day)
+        |  WHERE t_end // 86400000000 > t_start // 86400000000
+        |  GROUP BY 1)
+        |SELECT coalesce(r.day, c.day) AS day,
+        |  CAST(coalesce(c.carry_in, 0) AS BIGINT) AS carry_in,
+        |  CAST(coalesce(c.carry_in, 0)
+        |       + greatest(coalesce(r.max_run, 0), 0) AS BIGINT) AS max_concurrency
+        |FROM runs r FULL OUTER JOIN carry c ON c.day = r.day""".stripMargin,
 
     "q225_curriculum_ntile" ->
       """WITH r AS (
