@@ -321,6 +321,54 @@ object CoreOps {
           col("r2_ppm"), col("sgn"))
     }),
 
+    // Ties-preserved top-k (dense_rank ≤ 3): every user in the top three
+    // DISTINCT spend levels per event type survives — the rank semantics
+    // row_number-based top-k can't express. Spend is cent-exact so rank
+    // boundaries are deterministic.
+    "q228_topk_with_ties" -> ((s, dir) => {
+      val spend = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      spend
+        .withColumn("rk", dense_rank().over(
+          Window.partitionBy(col("event_type")).orderBy(col("cents").desc)))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("user_id"), col("cents"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // Distribution position analytics: cume_dist of each user's spend
+    // within their event type — count-based, so exact; emitted as a ppm
+    // integer to keep the hash compare engine-exact.
+    "q229_cume_dist" -> ((s, dir) => {
+      val spend = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      spend
+        // floor before the cast: Spark's double→long cast truncates but
+        // DuckDB's rounds — floor() pins both to the same integer
+        .withColumn("cd_ppm", floor(cume_dist().over(
+          Window.partitionBy(col("event_type")).orderBy(col("cents").asc))
+          * 1000000).cast("long"))
+        .select(col("event_type"), col("user_id"), col("cents"), col("cd_ppm"))
+    }),
+
+    // SQL-surface FILTER clause: per-day conditional aggregates in ONE
+    // pass — idiomatic replacement for the CASE-WHEN pivot when only a
+    // few conditions are needed.
+    "q230_sql_filter_clause" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"),
+          col("event_type"), col("user_id"))
+        .createOrReplaceTempView("events_fc")
+      s.sql("""SELECT day,
+              |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+              |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+              |  COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+              |    AS n_buyers
+              |FROM events_fc GROUP BY day""".stripMargin)
+    }),
+
     // Multi-window SLO burn rate (the Google-SRE 1h+6h alert): hourly
     // (bad, total) pre-agg, then two RANGE-framed sliding sums per hour —
     // never a rescan per window. Burn rates ride exact fixed point
@@ -725,6 +773,39 @@ object CoreOps {
         |    ELSE NULL END AS r2_ppm,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT) AS sgn
         |FROM d""".stripMargin,
+
+    "q228_topk_with_ties" ->
+      """WITH spend AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, dense_rank() OVER (PARTITION BY event_type
+        |    ORDER BY cents DESC) AS rk
+        |  FROM spend)
+        |SELECT event_type, user_id, cents, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    "q229_cume_dist" ->
+      """WITH spend AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, cents,
+        |  CAST(floor(cume_dist() OVER (PARTITION BY event_type
+        |    ORDER BY cents ASC) * 1000000) AS BIGINT) AS cd_ppm
+        |FROM spend""".stripMargin,
+
+    "q230_sql_filter_clause" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//1000000//86400 AS day, event_type, user_id
+        |  FROM events)
+        |SELECT day,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+        |    AS n_buyers
+        |FROM e GROUP BY day""".stripMargin,
 
     "q216_slo_burn_rate" ->
       """WITH hourly AS (

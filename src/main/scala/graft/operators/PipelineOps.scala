@@ -786,6 +786,26 @@ object PipelineOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Fuzzy self-join (typo-tolerant dedup signal): doc-prefix pairs
+    // within levenshtein distance 2, banded by the first two characters
+    // so candidates meet in an equi-join — the edit-distance verify runs
+    // only inside a band, never all-pairs. (A 2-char shared prefix is a
+    // RECALL bound all banded fuzzy joins trade on; real pipelines add a
+    // second pass on suffix bands.) levenshtein() is integer-exact in
+    // both engines.
+    "q231_fuzzy_prefix_join" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+        .withColumn("band", substring(col("p"), 1, 2))
+      val a = d.select(col("band"), col("doc_id").as("id_a"), col("p").as("pa"))
+      val b = d.select(col("band"), col("doc_id").as("id_b"), col("p").as("pb"))
+      a.join(b, Seq("band"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
     // Peak concurrency per day (capacity planning): the classic +1/−1
     // boundary sweep, but PARTITIONED BY DAY so no single task ever sees
     // the whole timeline — cross-midnight sessions enter as a per-day
@@ -2005,6 +2025,15 @@ object PipelineOps {
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM days d JOIN cohort c ON c.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q231_fuzzy_prefix_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS p, substr(text, 1, 2) AS band
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 2""".stripMargin,
 
     "q227_max_concurrency" ->
       """WITH g AS (
