@@ -288,30 +288,42 @@ object PipelineOps {
 
     // IVF-bucketed ANN (the second scale path, alongside q25's LSH):
     // a 16-cell coarse quantizer assigns every vector to its nearest
-    // centroid (broadcast codebook — O(N·K) narrow work); each query
-    // probes its nprobe=4 nearest cells and ranks exact cosine ONLY over
-    // those cells' members. Centroids here are the 16 lowest vec_ids, a
-    // deterministic training-free stand-in for an offline k-means
-    // codebook — the query-path shape (broadcast assign → cell equi-join
-    // → in-cell exact rank) is the real IVF plan.
+    // centroid; each query probes its nprobe=4 nearest cells and ranks
+    // exact cosine ONLY over those cells' members. Centroids here are
+    // the 16 lowest vec_ids, a deterministic training-free stand-in for
+    // an offline k-means codebook — the query-path shape (broadcast
+    // assign → cell equi-join → in-cell exact rank) is the real IVF
+    // plan. Cell assignment keeps the codegen'd per-pair dot fold
+    // (broadcast codebook crossJoin) but picks cells with HASH
+    // AGGREGATES instead of a sort window: min(struct(-cos, c_id)) for
+    // top-1, sort_array(collect_list(16 small structs)) sliced to 4 for
+    // the probes. Partial aggregation collapses the ×16 blow-up map-side
+    // BEFORE the shuffle, so each embedding array crosses the wire once
+    // — the earlier row_number version shuffled every embedding 16× and
+    // sorted (a scale-killer at real N), and a map-only HOF argmin
+    // measured slower (nested lambdas leave whole-stage codegen).
     "q103_ann_ivf" -> ((s, dir) => {
       val e = embArr(s, dir)
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
-      // cell assignment: broadcast the 16-entry codebook and fold the dot
-      // per (vector, centroid) row — N·K narrow rows, no (pos) shuffle
       val ccos = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", dotCol(col("vq"), col("cv")))
-        .withColumn("ccos",
-          col("cdot").cast(DoubleType) / sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
-      val ranked = ccos.withColumn("_crn", row_number().over(wAssign))
-      val assign = ranked.filter(col("_crn") === 1)
-        .select(col("vec_id").as("n_id"), col("c_id").as("cell"),
-          col("vq").as("nv"), col("nrm").as("nn"))
-      val probes = ranked.filter(col("vec_id") % 100 === 0 && col("_crn") <= 4)
-        .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
-          col("vq").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id"), col("vq"), col("nrm"), struct(
+          (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
+            sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
+            .as("negcos"),
+          col("c_id").as("c_id")).as("sc"))
+      val assign = ccos.groupBy(col("vec_id"))
+        .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
+          first(col("nrm")).as("nn"))
+        .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
+          col("nv"), col("nn"))
+      val probes = ccos.filter(col("vec_id") % 100 === 0)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
       // nprobe=4 probing: small probe side broadcasts; each pair is unique
       // (a vector lives in exactly one cell) so no dedup pass is needed
       val cos = assign.join(broadcast(probes), Seq("cell"))
