@@ -63,14 +63,19 @@ object PipelineOps {
     * Input needs (vec_id, vq: array<long>, nrm); returns
     * (c_id, cv: array<long>, cn, n_members). */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    // nearest cell by min(struct(-cos, c_id)) hash aggregate — partial
+    // aggregation collapses the ×k blow-up map-side so each embedding
+    // array is shuffled once (a sort window would shuffle it k×)
     def assignTo(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
-        .withColumn("ccos", dotCol(col("vq"), col("cv")).cast(DoubleType) /
-          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
-        .withColumn("_crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)))
-        .filter(col("_crn") === 1)
-        .select(col("vec_id"), col("vq"), col("c_id").as("cell"))
+        .select(col("vec_id"), col("vq"), struct(
+          (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
+            sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
+            .as("negcos"),
+          col("c_id").as("c_id")).as("_sc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("_sc")).as("_best"), first(col("vq")).as("vq"))
+        .select(col("vec_id"), col("vq"), col("_best.c_id").as("cell"))
     def refine(members: DataFrame): DataFrame =
       members.select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -347,17 +352,22 @@ object PipelineOps {
     // exact rank shape of q103.
     "q122_ann_ivf_kmeans" -> ((s, dir) => {
       val e = embArr(s, dir)
-      def assign(cents: DataFrame): DataFrame = {
-        val cc = e.crossJoin(broadcast(cents))
-          .withColumn("ccos", dotCol(col("vq"), col("cv")).cast(DoubleType) /
-            sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType)))
-        cc.withColumn("_crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)))
-      }
+      // per-(vector, centroid) scores with the codegen'd dot fold; cell
+      // picks are hash aggregates over struct(-cos, c_id) so partial
+      // aggregation collapses the ×16 blow-up before any shuffle (same
+      // shape as q103)
+      def scores(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("vq"), col("nrm"), struct(
+            (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
+              sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
+              .as("negcos"),
+            col("c_id").as("c_id")).as("sc"))
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
-      val members = assign(seeds).filter(col("_crn") === 1)
-        .select(col("vec_id"), col("vq"), col("c_id").as("cell"))
+      val members = scores(seeds).groupBy(col("vec_id"))
+        .agg(min(col("sc")).as("best"), first(col("vq")).as("vq"))
+        .select(col("vec_id"), col("vq"), col("best.c_id").as("cell"))
       val refined = members
         .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -368,13 +378,19 @@ object PipelineOps {
           x => x.getField("cv_i")).as("cv"))
         .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
         .select(col("cell").as("c_id"), col("cv"), col("cn"))
-      val ranked = assign(refined)
-      val assigned = ranked.filter(col("_crn") === 1)
-        .select(col("vec_id").as("n_id"), col("c_id").as("cell"),
-          col("vq").as("nv"), col("nrm").as("nn"))
-      val probes = ranked.filter(col("vec_id") % 100 === 0 && col("_crn") <= 4)
-        .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
-          col("vq").as("qv"), col("nrm").as("qn"))
+      val sc2 = scores(refined)
+      val assigned = sc2.groupBy(col("vec_id"))
+        .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
+          first(col("nrm")).as("nn"))
+        .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
+          col("nv"), col("nn"))
+      val probes = sc2.filter(col("vec_id") % 100 === 0)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
       val cos = assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
