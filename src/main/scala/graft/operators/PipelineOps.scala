@@ -834,6 +834,127 @@ object PipelineOps {
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
 
+    // Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    // duplicate-word fraction and most-frequent-bigram mass per doc, both
+    // as exact ppm integers (integer `div`, no IEEE division), plus the
+    // keep/drop verdict. One explode + two hash aggregates; per-doc work
+    // is O(len) and fully distributed.
+    "q232_gopher_repetition" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_words", size(col("toks")).cast(LongType))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
+      val bg = t.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |            i -> concat_ws(' ', toks[i], toks[i+1]))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+      t.join(bg, Seq("doc_id"), "left")
+        .withColumn("dup_word_ppm",
+          expr("(1000000 * (n_words - n_distinct)) div n_words"))
+        .withColumn("top_bigram_ppm",
+          coalesce(expr("(1000000 * top_c) div n_bg"), lit(0L)))
+        .withColumn("kept",
+          (col("dup_word_ppm") < 700000L && col("top_bigram_ppm") < 200000L)
+            .cast(IntegerType))
+        .select(col("doc_id"), col("n_words"), col("dup_word_ppm"),
+          col("top_bigram_ppm"), col("kept"))
+    }),
+
+    // Deterministic stratified train/val/test split: the split is a pure
+    // function of doc_id (last hex digit of a salted md5 — 12/2/2
+    // buckets), so any engine, any partitioning, any rerun lands every
+    // doc in the same split; per-language shares come out as exact ppm.
+    "q233_stratified_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("h",
+          substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 32, 1))
+        .withColumn("split",
+          when(col("h").isin("c", "d"), "val")
+            .when(col("h").isin("e", "f"), "test").otherwise("train"))
+      d.groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("frac_ppm",
+          expr("(1000000 * n_docs) div (sum(n_docs) OVER (PARTITION BY lang))"))
+    }),
+
+    // Near-dup CLUSTERS (connected components over the verified q21 pair
+    // graph): min-label propagation with pointer jumping — 4 rounds of
+    // (neighbor-min ∘ label-of-label) cover chains of length ≥ 2⁴, all as
+    // fixed plan composition (no driver-side convergence loop; the
+    // oracle's recursive CTE computes the true closure, so the fixed
+    // rounds are provably enough on this graph or the gate fails).
+    // Canonical doc = cluster min, the same rule q20 uses for exact dups.
+    "q234_dup_clusters" -> ((s, dir) => {
+      val e0 = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
+      val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val nodes = sym.select(col("doc_a").as("id")).distinct()
+      var lab = nodes.withColumn("lab", col("id"))
+      for (_ <- 1 to 4) {
+        val viaNbr = sym.join(lab.select(col("id").as("doc_b"), col("lab")), "doc_b")
+          .select(col("doc_a").as("id"), col("lab"))
+        lab = lab.union(viaNbr).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        // pointer jump: every label is itself a node id, so re-resolving
+        // label -> that node's label doubles the propagation distance
+        lab = lab.as("x").join(lab.as("y"), col("x.lab") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.lab").as("lab"))
+      }
+      lab.groupBy(col("lab").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
+    }),
+
+    // Benchmark-contamination check: 4-gram overlap between the training
+    // corpus and a held-out benchmark set (doc_id % 97 == 0). Grams meet
+    // in an md5-keyed equi-join — candidates are generated per shared
+    // gram, never all-pairs, so at 100 TB this shuffles on the gram hash
+    // exactly like the dedup family.
+    "q235_contamination" -> ((s, dir) => {
+      val g8 = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 4 THEN
+            |  transform(sequence(0, size(toks) - 4),
+            |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))
+            |ELSE array() END""".stripMargin)).as("g"))
+        .distinct()
+      val bench = g8.filter(col("doc_id") % 97 === 0)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      g8.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, "g")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
+    // Offset sequence packing: documents stream into fixed 2048-token
+    // context windows in doc_id order per source — bin = starting token
+    // offset div capacity, one running-sum window + one hash aggregate.
+    // Per-source ordering keeps the window partitioned (no global sort).
+    "q236_seq_packing" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    }),
+
+    // Tokenizer fertility by language: subword-per-word ratio (the q28
+    // BPE-ish length/4 estimator) as exact ppm — the standard check that
+    // a tokenizer doesn't over-fragment some language in the mix.
+    "q239_tokenizer_fertility" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .groupBy(col("lang"))
+        .agg(sum(size(col("toks")).cast(LongType)).as("n_words"),
+          sum(expr(
+            "aggregate(toks, 0L, (acc, t) -> acc + greatest(CAST(ceil(length(t)/4.0) AS LONG), 1L))"))
+            .as("n_subwords"))
+        .withColumn("fertility_ppm", expr("(1000000 * n_subwords) div n_words"))
+    }),
+
     // Peak concurrency per day (capacity planning): the classic +1/−1
     // boundary sweep, but PARTITIONED BY DAY so no single task ever sees
     // the whole timeline — cross-midnight sessions enter as a per-day
@@ -2062,6 +2183,107 @@ object PipelineOps {
         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 2""".stripMargin,
+
+    "q232_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM t),
+        |bgs AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |    [concat_ws(' ', toks[i], toks[i+1]) FOR i IN range(1, len(toks))]
+        |    ELSE [] END) AS bg
+        |  FROM t),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+        |         CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |  (1000000 * (b.n_words - b.n_distinct)) // b.n_words AS dup_word_ppm,
+        |  coalesce((1000000 * bt.top_c) // bt.n_bg, 0) AS top_bigram_ppm,
+        |  CAST(CASE WHEN (1000000 * (b.n_words - b.n_distinct)) // b.n_words < 700000
+        |    AND coalesce((1000000 * bt.top_c) // bt.n_bg, 0) < 200000
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM base b LEFT JOIN bt ON bt.doc_id = b.doc_id""".stripMargin,
+
+    "q233_stratified_split" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 32, 1)
+        |           IN ('c', 'd') THEN 'val'
+        |         WHEN substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 32, 1)
+        |           IN ('e', 'f') THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |g AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM d GROUP BY 1, 2)
+        |SELECT lang, split, n_docs,
+        |  (1000000 * n_docs) // CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS frac_ppm
+        |FROM g""".stripMargin,
+
+    "q234_dup_clusters" ->
+      s"""WITH RECURSIVE ds AS ($docShinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |        UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM sym
+         |  UNION
+         |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(id) AS max_doc_id
+         |FROM lab GROUP BY 1""".stripMargin,
+
+    "q235_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g8 AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 4 THEN
+        |    [md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))
+        |     FOR i IN range(1, len(toks) - 2)]
+        |    ELSE [] END) AS g
+        |  FROM t)
+        |SELECT a.doc_id, b.doc_id AS bench_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM g8 a JOIN g8 b ON a.g = b.g
+        |WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q236_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, (cum - n_tok) // 2048 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q239_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_w,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      t -> greatest(CAST(ceil(length(t)/4.0) AS BIGINT), 1))) AS BIGINT) AS n_s
+        |  FROM documents)
+        |SELECT lang, CAST(sum(n_w) AS BIGINT) AS n_words,
+        |  CAST(sum(n_s) AS BIGINT) AS n_subwords,
+        |  (1000000 * CAST(sum(n_s) AS BIGINT)) // CAST(sum(n_w) AS BIGINT)
+        |    AS fertility_ppm
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q227_max_concurrency" ->
       """WITH g AS (

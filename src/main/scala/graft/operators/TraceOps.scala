@@ -164,6 +164,58 @@ object TraceOps {
           col("duration_nanos"))
     }),
 
+    // Span SELF-TIME (exclusive duration): duration minus the sum of
+    // direct children's durations, rolled up per (service, operation) —
+    // the profiler-style "where is time actually spent" view. One hash
+    // aggregate over the parent link + one left join + one rollup; all
+    // keys are per-trace so the shuffles stay narrow at scale. Durations
+    // are exact nanos longs, so sums are engine-portable.
+    "q237_span_self_time" -> ((s, dir) => {
+      val sp = tracesWithParent(s, dir)
+      val childSum = sp.filter(col("parent_span_id").isNotNull)
+        .groupBy(col("trace_id"), col("parent_span_id").as("span_id"))
+        .agg(sum(col("duration_nanos")).as("child_ns"))
+      sp.join(childSum, Seq("trace_id", "span_id"), "left")
+        .withColumn("self_ns",
+          col("duration_nanos") - coalesce(col("child_ns"), lit(0L)))
+        .groupBy(col("service_name"), col("span_name"))
+        .agg(sum(col("self_ns")).as("total_self_ns"),
+          sum(col("duration_nanos")).as("total_ns"),
+          count(lit(1)).as("n_spans"))
+    }),
+
+    // Trace CRITICAL PATH: the root-to-leaf chain with the largest
+    // cumulative duration per trace. The span hierarchy is heap-shaped
+    // (parent of rn is (rn-1) div 2), so each leaf's ancestor set is
+    // CLOSED-FORM — ((rn+1) >> k) - 1 — and the whole analysis is one
+    // explode + one equi-join + two aggregates: no iterative joins, no
+    // recursion, bounded by 41 shift terms (2⁴¹ spans per trace).
+    "q238_critical_path" -> ((s, dir) => {
+      val w = Window.partitionBy(col("trace_id"))
+      val sp = tracesWithParent(s, dir)
+        .withColumn("cnt", count(lit(1)).over(w))
+      val leaves = sp.filter(col("rn") * 2 + 1 >= col("cnt"))
+        .select(col("trace_id"), col("span_id").as("leaf_span_id"),
+          col("rn").as("lrn"))
+      val anc = leaves.select(col("trace_id"), col("leaf_span_id"),
+        explode(expr(
+          """transform(filter(transform(sequence(0, 40),
+            |                           k -> shiftright(CAST(lrn + 1 AS BIGINT), k)),
+            |                  x -> x >= 1),
+            |          x -> x - 1)""".stripMargin)).as("anc_rn"))
+      val path = anc
+        .join(sp.select(col("trace_id"), col("rn").as("anc_rn"),
+          col("duration_nanos")), Seq("trace_id", "anc_rn"))
+        .groupBy(col("trace_id"), col("leaf_span_id"))
+        .agg(sum(col("duration_nanos")).as("path_ns"),
+          count(lit(1)).as("path_len"))
+      val rk = Window.partitionBy(col("trace_id"))
+        .orderBy(col("path_ns").desc, col("leaf_span_id").asc)
+      path.withColumn("_r", row_number().over(rk)).filter(col("_r") === 1)
+        .select(col("trace_id"), col("leaf_span_id"), col("path_ns"),
+          col("path_len"))
+    }),
+
     // TraceQL `||` disjunction inside a spanset (the reference subset
     // rejects it) — an OR of &&-groups, still one scan + one filter
     "q175_traceql_disjunction" -> ((s, dir) => {
@@ -376,6 +428,54 @@ object TraceOps {
          |  ON u.trace_id = c.trace_id AND u.b_id = c.span_id
          |JOIN wp a ON a.trace_id = u.trace_id AND a.span_id = u.cur
          |WHERE c.span_name = 'error' AND a.span_name = 'view'""".stripMargin,
+
+    "q237_span_self_time" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2),
+         |cs AS (
+         |  SELECT trace_id, parent_span_id AS span_id,
+         |    CAST(sum(duration_nanos) AS BIGINT) AS child_ns
+         |  FROM wp WHERE parent_span_id IS NOT NULL GROUP BY 1, 2)
+         |SELECT w.service_name, w.span_name,
+         |  CAST(sum(w.duration_nanos - coalesce(cs.child_ns, 0)) AS BIGINT)
+         |    AS total_self_ns,
+         |  CAST(sum(w.duration_nanos) AS BIGINT) AS total_ns,
+         |  CAST(count(*) AS BIGINT) AS n_spans
+         |FROM wp w LEFT JOIN cs
+         |  ON cs.trace_id = w.trace_id AND cs.span_id = w.span_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q238_critical_path" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wc AS (SELECT *, count(*) OVER (PARTITION BY trace_id) AS cnt FROM sp),
+         |leaves AS (
+         |  SELECT trace_id, span_id AS leaf_span_id, rn AS lrn
+         |  FROM wc WHERE rn * 2 + 1 >= cnt),
+         |anc AS (
+         |  SELECT trace_id, leaf_span_id,
+         |    unnest([((lrn + 1) >> k) - 1 FOR k IN range(0, 41)
+         |            IF ((lrn + 1) >> k) >= 1]) AS anc_rn
+         |  FROM leaves),
+         |path AS (
+         |  SELECT a.trace_id, a.leaf_span_id,
+         |    CAST(sum(w.duration_nanos) AS BIGINT) AS path_ns,
+         |    CAST(count(*) AS BIGINT) AS path_len
+         |  FROM anc a JOIN wc w ON w.trace_id = a.trace_id AND w.rn = a.anc_rn
+         |  GROUP BY 1, 2)
+         |SELECT trace_id, leaf_span_id, path_ns, path_len FROM path
+         |QUALIFY row_number() OVER (PARTITION BY trace_id
+         |  ORDER BY path_ns DESC, leaf_span_id ASC) = 1""".stripMargin,
 
     "q222_traceql_not_child" ->
       s"""WITH spans AS ($tracesViewSql),
