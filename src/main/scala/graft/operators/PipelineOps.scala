@@ -879,28 +879,21 @@ object PipelineOps {
           expr("(1000000 * n_docs) div (sum(n_docs) OVER (PARTITION BY lang))"))
     }),
 
-    // Near-dup CLUSTERS (connected components over the verified q21 pair
-    // graph): min-label propagation with pointer jumping — 4 rounds of
-    // (neighbor-min ∘ label-of-label) cover chains of length ≥ 2⁴, all as
-    // fixed plan composition (no driver-side convergence loop; the
-    // oracle's recursive CTE computes the true closure, so the fixed
-    // rounds are provably enough on this graph or the gate fails).
-    // Canonical doc = cluster min, the same rule q20 uses for exact dups.
+    // Near-dup CLUSTERS — same component semantics as q127, different
+    // mechanism: q127's `connectedComponents` is Pregel-style (driver
+    // loop + convergence probe), while this is FIXED-ROUND pointer
+    // jumping — k rounds of (neighbor-min ∘ label-of-label) cover chains
+    // far beyond 2^k hops as pure plan composition, so it can live
+    // inside a single declarative plan (a view, a subquery) with no
+    // driver-side actions at all. The oracle's recursive CTE computes
+    // the true closure, so the fixed rounds are provably enough on this
+    // graph or the gate fails; PipelineSpec pins convergence on a
+    // diameter-12 path graph. Canonical doc = cluster min (q20's rule).
     "q234_dup_clusters" -> ((s, dir) => {
       val e0 = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
       val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      val nodes = sym.select(col("doc_a").as("id")).distinct()
-      var lab = nodes.withColumn("lab", col("id"))
-      for (_ <- 1 to 4) {
-        val viaNbr = sym.join(lab.select(col("id").as("doc_b"), col("lab")), "doc_b")
-          .select(col("doc_a").as("id"), col("lab"))
-        lab = lab.union(viaNbr).groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        // pointer jump: every label is itself a node id, so re-resolving
-        // label -> that node's label doubles the propagation distance
-        lab = lab.as("x").join(lab.as("y"), col("x.lab") === col("y.id"))
-          .select(col("x.id").as("id"), col("y.lab").as("lab"))
-      }
-      lab.groupBy(col("lab").as("cluster_id"))
+      pointerJumpComponents(sym, rounds = 4)
+        .groupBy(col("lab").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
     }),
 
@@ -1625,6 +1618,33 @@ object PipelineOps {
     * orchestration, not a data collect). Rounds = component diameter,
     * capped defensively; near-dup graphs are clique-like so a handful
     * converge. 100 TB upgrade path: large-star/small-star contraction. */
+  /** Fixed-round connected components by min-label propagation with
+    * POINTER JUMPING: each round takes the min label over {self} ∪
+    * neighbors, then re-resolves every label to that node's own label
+    * (label-of-label), roughly doubling the propagation distance per
+    * round — 4 rounds comfortably cover diameter-12 chains (PipelineSpec).
+    * Unlike `connectedComponents` below there is NO driver-side loop or
+    * convergence probe: the result is one composed plan, usable anywhere
+    * a DataFrame is (views, subqueries, streaming foreachBatch). The
+    * trade-off is that under-provisioned rounds silently under-merge, so
+    * callers need an external ground truth (q234's recursive-CTE oracle)
+    * or a generous round count. Input: symmetric (doc_a, doc_b) edges;
+    * output: (id, lab) with lab = component min. */
+  def pointerJumpComponents(sym: DataFrame, rounds: Int): DataFrame = {
+    val nodes = sym.select(col("doc_a").as("id")).distinct()
+    var lab = nodes.withColumn("lab", col("id"))
+    for (_ <- 1 to rounds) {
+      val viaNbr = sym.join(lab.select(col("id").as("doc_b"), col("lab")), "doc_b")
+        .select(col("doc_a").as("id"), col("lab"))
+      lab = lab.union(viaNbr).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      // pointer jump: every label is itself a node id, so re-resolving
+      // label -> that node's label doubles the propagation distance
+      lab = lab.as("x").join(lab.as("y"), col("x.lab") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lab").as("lab"))
+    }
+    lab
+  }
+
   def connectedComponents(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = edgesIn.localCheckpoint()
     var lbl = edges.select(col("u").as("id")).distinct()

@@ -291,7 +291,7 @@ object TraceOps {
     * The reference schema carries a real parent_span_id
     * (iceberg/schemas.rs via Schemas.scala:30); the driver events have
     * no span nesting, so the heap shape stands in for it. */
-  private def tracesWithParent(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tracesWithParent(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("trace_id"))
       .orderBy(col("timestamp").asc, col("span_id").asc)
     tracesDf(s, dir)

@@ -19,6 +19,20 @@ class PipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("pointerJumpComponents merges a diameter-12 path in 4 fixed rounds") {
+    import spark.implicits._
+    // worst case for min-label propagation: a single long chain where the
+    // min sits at one end — plain per-round neighbor-min would need 12
+    // rounds; pointer jumping must do it in 4
+    val und = (0L until 12L).map(i => (i, i + 1))
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("doc_a", "doc_b")
+    val got = PipelineOps.pointerJumpComponents(sym, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 13)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("connectedComponents converges on a path graph (diameter > 1)") {
     import spark.implicits._
     // path 10-11-12-13-14-15 (diameter 5), triangle 20-21-22, pair 30-31

@@ -151,4 +151,37 @@ class TraceQLSpec extends AnyFunSuite {
     assertThrows[TraceQL.Unsupported](
       TraceQL.parseExpr("""{ name = "a" } | avg() > 1"""))
   }
+
+  test("critical path matches a per-trace brute-force walk at sf0.001") {
+    // denotational check: recompute every trace's max root-to-leaf
+    // cumulative duration by walking the explicit parent links in Scala
+    // and compare against the closed-form ancestor-chain plan (q238)
+    val dir = "/root/testdata/sf0.001"
+    val sp = graft.operators.TraceOps.tracesWithParent(spark, dir)
+      .select("trace_id", "span_id", "parent_span_id", "duration_nanos")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val byTrace = sp.groupBy(_._1)
+    val expected = byTrace.map { case (tid, spans) =>
+      val dur = spans.map(s => s._2 -> s._4).toMap
+      val parent = spans.collect { case (_, id, Some(p), _) => id -> p }.toMap
+      val hasChild = parent.values.toSet
+      val leaves = spans.map(_._2).filterNot(hasChild)
+      val paths = leaves.map { leaf =>
+        val chain = Iterator.iterate(Option(leaf))(o => o.flatMap(parent.get))
+          .takeWhile(_.isDefined).map(_.get).toSeq
+        (leaf, chain.map(dur).sum, chain.length.toLong)
+      }
+      // max path_ns, ties broken by smallest leaf span id
+      val best = paths.minBy { case (l, ns, _) => (-ns, l) }
+      tid -> best
+    }
+    val got = graft.operators.TraceOps.queries("q238_critical_path")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (tid, best) => assert(got(tid) == best, s"trace $tid") }
+  }
 }
