@@ -369,6 +369,87 @@ object CoreOps {
               |FROM events_fc GROUP BY day""".stripMargin)
     }),
 
+    // Alerting-rule `for:` duration semantics (the Prometheus ruler):
+    // a rule fires only after its condition holds for N consecutive
+    // evaluation buckets. Condition = above-average daily volume as pure
+    // integer cross-multiplication (n·cnt > total — no float compare),
+    // firing intervals via gaps-and-islands (day − row_number), keep
+    // runs ≥ 3 days. One pre-agg + two narrow windows per series key —
+    // the scan reduces to per-day counts before any window runs.
+    "q240_alert_for_intervals" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val perType = Window.partitionBy(col("event_type"))
+      val firing = d
+        .withColumn("total", sum(col("n")).over(perType))
+        .withColumn("cnt", count(lit(1)).over(perType))
+        .filter(col("n") * col("cnt") > col("total"))
+        .withColumn("island", col("day") - row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day").asc)))
+      firing.groupBy(col("event_type"), col("island"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") >= 3)
+        .drop("island")
+    }),
+
+    // Count-min sketch heavy hitters: d=4 rows × w=64 buckets, bucket =
+    // md5-derived (engine-portable), estimate = min over rows of the
+    // bucket sum — always ≥ the exact count (the CMS guarantee, asserted
+    // as a column). The stream first collapses to per-user exact counts
+    // (one hash agg — the only pass over the raw data at 100 TB), the
+    // 256-cell sketch is built from those and broadcast back for the
+    // probe, so sketch cost is O(users), not O(events).
+    "q241_cms_heavy_hitters" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      val ub = perUser
+        .select(col("user_id"), col("n_exact"),
+          explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("h",
+          md5(concat(lit("cms"), col("r"), lit("|"), col("user_id").cast("string"))))
+        .withColumn("bucket", expr(
+          """CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+            |  instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 64 AS BIGINT)"""
+            .stripMargin))
+      val cells = ub.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("n_exact")).as("cell_n"))
+      ub.join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("user_id"))
+        .agg(first(col("n_exact")).as("n_exact"), min(col("cell_n")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("n_exact"))
+        .filter(col("cms_est") >= 40)
+    }),
+
+    // Recording-rule rollup equivalence: materialize 5-minute partial
+    // aggregates (decimal-exact sum + count), answer the hourly-average
+    // query from the rollup, and prove in-result that it matches the
+    // raw-scan answer bit-for-bit — the invariant that makes downsampled
+    // recording rules trustworthy. Decimal accumulation is what makes
+    // sum-of-partial-sums == direct-sum regardless of grouping order.
+    "q242_rollup_equivalence" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts_us) div 1000000) div 300").as("b5"),
+          col("value").cast(DecimalType(30, 4)).as("dv"))
+      val r5 = ev.groupBy(col("event_type"), col("b5"))
+        .agg(sum(col("dv")).as("s5"), count(lit(1)).as("n5"))
+      val fromRollup = r5.groupBy(col("event_type"), expr("b5 div 12").as("hr"))
+        .agg(sum(col("s5")).cast(DoubleType).as("rollup_sum"),
+          sum(col("n5")).as("rollup_n"))
+      val fromRaw = ev.groupBy(col("event_type"), expr("b5 div 12").as("hr"))
+        .agg(sum(col("dv")).cast(DoubleType).as("raw_sum"),
+          count(lit(1)).as("raw_n"))
+      fromRaw.join(fromRollup, Seq("event_type", "hr"))
+        .withColumn("rollup_exact",
+          (col("raw_sum") === col("rollup_sum") && col("raw_n") === col("rollup_n"))
+            .cast(IntegerType))
+        .select(col("event_type"), col("hr"), col("raw_sum"), col("raw_n"),
+          col("rollup_sum"), col("rollup_n"), col("rollup_exact"))
+    }),
+
     // Multi-window SLO burn rate (the Google-SRE 1h+6h alert): hourly
     // (bad, total) pre-agg, then two RANGE-framed sliding sums per hour —
     // never a rescan per window. Burn rates ride exact fixed point
@@ -806,6 +887,70 @@ object CoreOps {
         |  COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
         |    AS n_buyers
         |FROM e GROUP BY day""".stripMargin,
+
+    "q240_alert_for_intervals" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS rn
+        |  FROM (
+        |    SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM d)
+        |  WHERE n * cnt > total)
+        |SELECT event_type, min(day) AS start_day, max(day) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM f GROUP BY event_type, day - rn
+        |HAVING count(*) >= 3""".stripMargin,
+
+    "q241_cms_heavy_hitters" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1),
+        |ub AS (
+        |  SELECT user_id, n_exact, r,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |     strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64 AS bucket
+        |  FROM (
+        |    SELECT user_id, n_exact, unnest([0, 1, 2, 3]) AS r,
+        |      md5('cms' || CAST(unnest([0, 1, 2, 3]) AS VARCHAR) || '|' ||
+        |          CAST(user_id AS VARCHAR)) AS h
+        |    FROM pu)),
+        |cells AS (
+        |  SELECT r, bucket, CAST(sum(n_exact) AS BIGINT) AS cell_n
+        |  FROM ub GROUP BY 1, 2)
+        |SELECT u.user_id, CAST(min(u.n_exact) AS BIGINT) AS n_exact,
+        |  CAST(min(c.cell_n) AS BIGINT) AS cms_est,
+        |  CAST(min(c.cell_n) - min(u.n_exact) AS BIGINT) AS overcount
+        |FROM ub u JOIN cells c ON c.r = u.r AND c.bucket = u.bucket
+        |GROUP BY 1
+        |HAVING min(c.cell_n) >= 40""".stripMargin,
+
+    "q242_rollup_equivalence" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//300 AS b5,
+        |    CAST(value AS DECIMAL(30,4)) AS dv
+        |  FROM events),
+        |r5 AS (
+        |  SELECT event_type, b5, SUM(dv) AS s5, CAST(count(*) AS BIGINT) AS n5
+        |  FROM ev GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, b5//12 AS hr, CAST(SUM(s5) AS DOUBLE) AS rollup_sum,
+        |    CAST(SUM(n5) AS BIGINT) AS rollup_n
+        |  FROM r5 GROUP BY 1, 2),
+        |raw AS (
+        |  SELECT event_type, b5//12 AS hr, CAST(SUM(dv) AS DOUBLE) AS raw_sum,
+        |    CAST(count(*) AS BIGINT) AS raw_n
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT raw.event_type, raw.hr, raw.raw_sum, raw.raw_n,
+        |  roll.rollup_sum, roll.rollup_n,
+        |  CAST(CASE WHEN raw.raw_sum = roll.rollup_sum
+        |    AND raw.raw_n = roll.rollup_n THEN 1 ELSE 0 END AS INT) AS rollup_exact
+        |FROM raw JOIN roll ON roll.event_type = raw.event_type
+        |  AND roll.hr = raw.hr""".stripMargin,
 
     "q216_slo_burn_rate" ->
       """WITH hourly AS (

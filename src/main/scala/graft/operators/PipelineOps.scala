@@ -170,6 +170,22 @@ object PipelineOps {
   private val docShinglesSql =
     s"""SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents"""
 
+  /** verified near-dup edge set materialized ONCE per (dir, threshold) to
+    * temp parquet — iterative consumers (q234's pointer jumping) reference
+    * the result 2^rounds times in one plan, and without materialization
+    * each reference re-executes the full shingle join (measured 108 s at
+    * sf0.1 vs ~2 s materialized). Same pattern as `docShinglesStored`. */
+  private val pairCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def jaccardEdgesStored(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val path = pairCache.getOrElseUpdate(s"$dir|$threshold", {
+      val p = java.nio.file.Files.createTempDirectory("graft_dup_edges_").toString
+      jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -881,16 +897,15 @@ object PipelineOps {
 
     // Near-dup CLUSTERS — same component semantics as q127, different
     // mechanism: q127's `connectedComponents` is Pregel-style (driver
-    // loop + convergence probe), while this is FIXED-ROUND pointer
-    // jumping — k rounds of (neighbor-min ∘ label-of-label) cover chains
-    // far beyond 2^k hops as pure plan composition, so it can live
-    // inside a single declarative plan (a view, a subquery) with no
-    // driver-side actions at all. The oracle's recursive CTE computes
-    // the true closure, so the fixed rounds are provably enough on this
-    // graph or the gate fails; PipelineSpec pins convergence on a
-    // diameter-12 path graph. Canonical doc = cluster min (q20's rule).
+    // loop + per-round convergence probe), while this is FIXED-ROUND
+    // pointer jumping — k rounds of (neighbor-min ∘ label-of-label)
+    // cover chains far beyond 2^k hops with a job graph known up front
+    // (no data-dependent control flow). The oracle's recursive CTE
+    // computes the true closure, so the fixed rounds are provably enough
+    // on this graph or the gate fails; PipelineSpec pins convergence on
+    // a diameter-12 path graph. Canonical doc = cluster min (q20's rule).
     "q234_dup_clusters" -> ((s, dir) => {
-      val e0 = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
+      val e0 = jaccardEdgesStored(s, dir, 0.5)
       val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       pointerJumpComponents(sym, rounds = 4)
         .groupBy(col("lab").as("cluster_id"))
@@ -1193,7 +1208,7 @@ object PipelineOps {
     // 100 TB upgrade path: large-star/small-star two-hop contraction,
     // O(log n) rounds; the per-round join shape is identical.
     "q127_dedup_components" -> ((s, dir) => {
-      val pairs = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
+      val pairs = jaccardEdgesStored(s, dir, 0.5)
       connectedComponents(
         pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("u", "v"))
@@ -1579,7 +1594,7 @@ object PipelineOps {
     // actually ships. One join + one per-component window; components
     // are tiny, the corpus never re-sorts.
     "q168_dedup_survivors" -> ((s, dir) => {
-      val pairs = jaccardPairs(s, dir, 0.5).select(col("doc_a"), col("doc_b"))
+      val pairs = jaccardEdgesStored(s, dir, 0.5)
       val comp = connectedComponents(
         pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("u", "v"))
@@ -1623,24 +1638,35 @@ object PipelineOps {
     * neighbors, then re-resolves every label to that node's own label
     * (label-of-label), roughly doubling the propagation distance per
     * round — 4 rounds comfortably cover diameter-12 chains (PipelineSpec).
-    * Unlike `connectedComponents` below there is NO driver-side loop or
-    * convergence probe: the result is one composed plan, usable anywhere
-    * a DataFrame is (views, subqueries, streaming foreachBatch). The
-    * trade-off is that under-provisioned rounds silently under-merge, so
-    * callers need an external ground truth (q234's recursive-CTE oracle)
-    * or a generous round count. Input: symmetric (doc_a, doc_b) edges;
+    * Unlike `connectedComponents` below there is no data-dependent
+    * control flow: the round count is FIXED, so the job graph is known
+    * up front (exactly `rounds` barriers — schedulable, resumable,
+    * streaming-foreachBatch-safe) where Pregel-style CC must probe for
+    * convergence with a driver action per round. Each round's label
+    * frame is localCheckpoint-truncated: the label-of-label join triples
+    * the plan per round, and an untruncated 4-round plan re-executes the
+    * edge subplan ~3⁴ times (measured 100× slower). The trade-off is
+    * that under-provisioned rounds silently under-merge, so callers need
+    * an external ground truth (q234's recursive-CTE oracle) or a
+    * generous round count. Input: symmetric (doc_a, doc_b) edges;
     * output: (id, lab) with lab = component min. */
   def pointerJumpComponents(sym: DataFrame, rounds: Int): DataFrame = {
     val nodes = sym.select(col("doc_a").as("id")).distinct()
-    var lab = nodes.withColumn("lab", col("id"))
+    var lab = nodes.withColumn("lab", col("id")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val viaNbr = sym.join(lab.select(col("id").as("doc_b"), col("lab")), "doc_b")
-        .select(col("doc_a").as("id"), col("lab"))
-      lab = lab.union(viaNbr).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      // merge via join+least, NOT union: a Union over checkpointed frames
+      // trips constraint rewriting (LogicalRDD keeps constraints that
+      // reference pre-checkpoint attributes — key not found: id#N)
+      val nbrMin = sym.join(lab.select(col("id").as("doc_b"), col("lab").as("nl")), "doc_b")
+        .groupBy(col("doc_a").as("id")).agg(min(col("nl")).as("nbr_min"))
+      val merged = lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("lab"))
       // pointer jump: every label is itself a node id, so re-resolving
       // label -> that node's label doubles the propagation distance
-      lab = lab.as("x").join(lab.as("y"), col("x.lab") === col("y.id"))
+      lab = merged.as("x").join(merged.as("y"), col("x.lab") === col("y.id"))
         .select(col("x.id").as("id"), col("y.lab").as("lab"))
+        .localCheckpoint()
     }
     lab
   }

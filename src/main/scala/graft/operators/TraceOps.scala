@@ -216,6 +216,41 @@ object TraceOps {
           col("path_len"))
     }),
 
+    // Span WATERFALL shaping (the Tempo trace-view payload): per span,
+    // offset from trace start and tree depth. Depth needs NO parent
+    // joins — the heap-shaped hierarchy makes it popcount-style
+    // arithmetic (number of k with (rn+1)>>k ≥ 1, minus 1); offset is
+    // one min-window. A single shuffle on trace_id total.
+    "q243_span_waterfall" -> ((s, dir) => {
+      val w = Window.partitionBy(col("trace_id"))
+      tracesWithParent(s, dir)
+        .withColumn("offset_ns",
+          col("timestamp") - min(col("timestamp")).over(w))
+        .withColumn("depth", expr(
+          """CAST(size(filter(transform(sequence(0, 40),
+            |                           k -> shiftright(CAST(rn + 1 AS BIGINT), k)),
+            |                  x -> x >= 1)) - 1 AS INT)""".stripMargin))
+        .select(col("trace_id"), col("span_id"), col("parent_span_id"),
+          col("offset_ns"), col("depth"), col("duration_nanos"))
+    }),
+
+    // Apdex per service (satisfied ≤ T, tolerating ≤ 4T, else
+    // frustrated; T = 100ms): score = (2·sat + tol) / (2·total), carried
+    // as exact ppm integer cross-multiplication — one hash aggregate,
+    // bit-identical across engines.
+    "q244_apdex" -> ((s, dir) => {
+      val T = 100L * 1000000L
+      tracesDf(s, dir)
+        .groupBy(col("service_name"))
+        .agg(
+          sum(when(col("duration_nanos") <= T, 1L).otherwise(0L)).as("satisfied"),
+          sum(when(col("duration_nanos") > T && col("duration_nanos") <= 4 * T, 1L)
+            .otherwise(0L)).as("tolerating"),
+          count(lit(1)).as("total"))
+        .withColumn("apdex_ppm",
+          expr("(1000000 * (2 * satisfied + tolerating)) div (2 * total)"))
+    }),
+
     // TraceQL `||` disjunction inside a spanset (the reference subset
     // rejects it) — an OR of &&-groups, still one scan + one filter
     "q175_traceql_disjunction" -> ((s, dir) => {
@@ -476,6 +511,40 @@ object TraceOps {
          |SELECT trace_id, leaf_span_id, path_ns, path_len FROM path
          |QUALIFY row_number() OVER (PARTITION BY trace_id
          |  ORDER BY path_ns DESC, leaf_span_id ASC) = 1""".stripMargin,
+
+    "q243_span_waterfall" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn
+         |  FROM spans),
+         |wp AS (
+         |  SELECT s.*, p.span_id AS parent_span_id
+         |  FROM sp s LEFT JOIN sp p
+         |    ON p.trace_id = s.trace_id AND s.rn > 0 AND p.rn = (s.rn - 1) // 2)
+         |SELECT trace_id, span_id, parent_span_id,
+         |  CAST(timestamp - min(timestamp) OVER (PARTITION BY trace_id) AS BIGINT)
+         |    AS offset_ns,
+         |  CAST(len([k FOR k IN range(0, 41) IF ((rn + 1) >> k) >= 1]) - 1 AS INT)
+         |    AS depth,
+         |  duration_nanos
+         |FROM wp""".stripMargin,
+
+    "q244_apdex" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT service_name,
+         |  CAST(sum(CASE WHEN duration_nanos <= 100000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS satisfied,
+         |  CAST(sum(CASE WHEN duration_nanos > 100000000
+         |    AND duration_nanos <= 400000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tolerating,
+         |  CAST(count(*) AS BIGINT) AS total,
+         |  (1000000 * (2 * CAST(sum(CASE WHEN duration_nanos <= 100000000
+         |       THEN 1 ELSE 0 END) AS BIGINT)
+         |     + CAST(sum(CASE WHEN duration_nanos > 100000000
+         |       AND duration_nanos <= 400000000 THEN 1 ELSE 0 END) AS BIGINT)))
+         |  // (2 * CAST(count(*) AS BIGINT)) AS apdex_ppm
+         |FROM spans GROUP BY 1""".stripMargin,
 
     "q222_traceql_not_child" ->
       s"""WITH spans AS ($tracesViewSql),
