@@ -369,6 +369,25 @@ object CoreOps {
               |FROM events_fc GROUP BY day""".stripMargin)
     }),
 
+    // SQL GROUPING SETS with grouping() disambiguation — the general
+    // form behind ROLLUP (q191) and CUBE (q179): four explicit grouping
+    // combinations in ONE pass (Spark expands to a single Expand +
+    // hash aggregate, not four scans). Sums ride decimal accumulation.
+    "q245_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"),
+          col("event_type"), col("value"))
+        .createOrReplaceTempView("events_gs")
+      s.sql("""SELECT event_type, day,
+              |  CAST(grouping(event_type) AS INT) AS g_type,
+              |  CAST(grouping(day) AS INT) AS g_day,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+              |FROM events_gs
+              |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+              |""".stripMargin)
+    }),
+
     // Alerting-rule `for:` duration semantics (the Prometheus ruler):
     // a rule fires only after its condition holds for N consecutive
     // evaluation buckets. Condition = above-average daily volume as pure
@@ -887,6 +906,19 @@ object CoreOps {
         |  COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
         |    AS n_buyers
         |FROM e GROUP BY day""".stripMargin,
+
+    "q245_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//1000000//86400 AS day, event_type, value
+        |  FROM events)
+        |SELECT event_type, day,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  CAST(grouping(day) AS INT) AS g_day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())"""
+        .stripMargin,
 
     "q240_alert_for_intervals" ->
       """WITH d AS (
