@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.LogfmtMap
+import graft.functions.{JaroWinklerSim, LogfmtMap}
 
 /** SparkSessionExtensions entry point — registers graft's native
   * expressions with the SQL function registry, so the pure-SQL surface
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(one) => LogfmtMap(one)
           case other => throw new IllegalArgumentException(
             s"logfmt_map expects 1 argument, got ${other.size}")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_sim"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(a, b) => JaroWinklerSim(a, b)
+          case other => throw new IllegalArgumentException(
+            s"jaro_winkler_sim expects 2 arguments, got ${other.size}")
         }))
   }
 }

@@ -469,6 +469,30 @@ object CoreOps {
           col("rollup_sum"), col("rollup_n"), col("rollup_exact"))
     }),
 
+    // Exact WEIGHTED quantiles over pre-aggregated rollups — the
+    // re-aggregation a downsampled store must answer: values arrive as
+    // (bucket value, observation count), and the p50/p95 are computed by
+    // cumulative-weight rank with a pure integer rule (target rank =
+    // ceil(p·total) via (total·ppm + 999999) div 1e6, answer = min value
+    // whose running count reaches it) — no IEEE division anywhere, so
+    // the quantile is bit-identical across engines. One hash rollup +
+    // one per-type window + a min-reduce; the window partitions by
+    // event_type, never the whole table.
+    "q250_weighted_quantile" -> ((s, dir) => {
+      val rolled = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value")).cast(LongType).as("v"))
+        .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = rolled
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      cum.withColumn("p_ppm", explode(array(lit(500000L), lit(950000L))))
+        .filter(col("cum") >= expr("(total * p_ppm + 999999) div 1000000"))
+        .groupBy(col("event_type"), col("p_ppm"))
+        .agg(min(col("v")).as("wq_value"))
+    }),
+
     // Multi-window SLO burn rate (the Google-SRE 1h+6h alert): hourly
     // (bad, total) pre-agg, then two RANGE-framed sliding sums per hour —
     // never a rescan per window. Burn rates ride exact fixed point
@@ -983,6 +1007,24 @@ object CoreOps {
         |    AND raw.raw_n = roll.rollup_n THEN 1 ELSE 0 END AS INT) AS rollup_exact
         |FROM raw JOIN roll ON roll.event_type = raw.event_type
         |  AND roll.hr = raw.hr""".stripMargin,
+
+    "q250_weighted_quantile" ->
+      """WITH rolled AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM rolled),
+        |x AS (
+        |  SELECT event_type, p_ppm, v
+        |  FROM c, unnest([CAST(500000 AS BIGINT), CAST(950000 AS BIGINT)]) AS t(p_ppm)
+        |  WHERE cum >= (total * p_ppm + 999999) // 1000000)
+        |SELECT event_type, p_ppm, CAST(min(v) AS BIGINT) AS wq_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q216_slo_burn_rate" ->
       """WITH hourly AS (

@@ -850,6 +850,26 @@ object PipelineOps {
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
 
+    // Fuzzy entity resolution on Jaro-Winkler similarity — the NATIVE
+    // codegen expression (functions/JaroWinklerSim, registered for SQL as
+    // `jaro_winkler_sim`) scoring customer↔supplier name pairs against
+    // DuckDB's independent jaro_winkler_similarity implementation. The
+    // candidate side is a bounded slice (broadcastable dim), so the join
+    // is a broadcast nested loop over a pruned pair space, not an
+    // all-pairs shuffle; scores ride at 4dp so the compare is robust to
+    // last-ulp float ordering.
+    "q249_jaro_winkler" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_name"))
+      val sup = Tables.supplier(s, dir).filter(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"), col("s_name"))
+      c.crossJoin(broadcast(sup))
+        .withColumn("jw", round(
+          graft.functions.JaroWinklerSim.jaroWinkler(col("c_name"), col("s_name")), 4))
+        .filter(col("jw") >= lit(0.75))
+        .select(col("c_custkey"), col("s_suppkey"), col("jw"))
+    }),
+
     // Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
     // duplicate-word fraction and most-frequent-bigram mass per doc, both
     // as exact ppm integers (integer `div`, no IEEE division), plus the
@@ -961,6 +981,53 @@ object PipelineOps {
             "aggregate(toks, 0L, (acc, t) -> acc + greatest(CAST(ceil(length(t)/4.0) AS LONG), 1L))"))
             .as("n_subwords"))
         .withColumn("fertility_ppm", expr("(1000000 * n_subwords) div n_words"))
+    }),
+
+    // Length-bucketed batching (padding-waste minimization): docs are
+    // grouped into fixed-size batches of 32 by ASCENDING token count, so
+    // each batch pads to its own max instead of the corpus max. Batch
+    // assignment happens INSIDE coarse length bands (n_tok div 64) so the
+    // row_number window is partitioned — no single task ever sorts the
+    // whole corpus (the global-window variant is the 100 TB trap). Output
+    // is the per-batch padding audit a data loader would precompute.
+    "q247_length_batching" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("band", expr("n_tok div 64"))
+      val w = Window.partitionBy(col("band"))
+        .orderBy(col("n_tok").asc, col("doc_id").asc)
+      t.withColumn("rn", row_number().over(w).cast(LongType) - 1)
+        .withColumn("batch", expr("rn div 32"))
+        .groupBy(col("band"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"))
+        .withColumn("padding_waste", col("max_tok") * col("n_docs") - col("sum_tok"))
+    }),
+
+    // Deterministic epoch shuffle: the reproducible global training order
+    // — position = rank of a seeded hash. Two epochs materialized side by
+    // side show the orders are decorrelated but each is a permutation;
+    // verified via per-(epoch, position-block) membership checksums so
+    // the result stays small. The hash rank is computed inside 256 hash
+    // bands (prefix of the md5) with a banded offset, which is exactly
+    // how a 100 TB shuffle would write epoch-ordered shards: band =
+    // shard file, rank-within-band = position in shard.
+    "q248_epoch_shuffle" -> ((s, dir) => {
+      val epochs = Seq(0, 1)
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val byEpoch = epochs.map { ep =>
+        d.withColumn("epoch", lit(ep))
+          .withColumn("h", md5(concat(lit(s"epoch$ep|"), col("doc_id").cast("string"))))
+          .withColumn("band", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS LONG)"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("epoch"), col("band"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      byEpoch
+        .withColumn("pos_in_band", row_number().over(w).cast(LongType) - 1)
+        .groupBy(col("epoch"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id") * (col("pos_in_band") + 1)).as("order_checksum"))
     }),
 
     // Peak concurrency per day (capacity planning): the classic +1/−1
@@ -2230,6 +2297,13 @@ object PipelineOps {
         |FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 2""".stripMargin,
 
+    "q249_jaro_winkler" ->
+      """SELECT c.c_custkey, s.s_suppkey,
+        |  round(jaro_winkler_similarity(c.c_name, s.s_name), 4) AS jw
+        |FROM customer c, supplier s
+        |WHERE c.c_custkey <= 300 AND s.s_suppkey <= 100
+        |  AND round(jaro_winkler_similarity(c.c_name, s.s_name), 4) >= 0.75""".stripMargin,
+
     "q232_gopher_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |base AS (
@@ -2330,6 +2404,41 @@ object PipelineOps {
         |  (1000000 * CAST(sum(n_s) AS BIGINT)) // CAST(sum(n_w) AS BIGINT)
         |    AS fertility_ppm
         |FROM t GROUP BY 1""".stripMargin,
+
+    "q247_length_batching" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tok, n_tok // 64 AS band,
+        |    (row_number() OVER (PARTITION BY n_tok // 64
+        |       ORDER BY n_tok ASC, doc_id ASC) - 1) // 32 AS batch
+        |  FROM t)
+        |SELECT band, batch, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding_waste
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q248_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT epoch, doc_id,
+        |    md5(concat('epoch', epoch, '|', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents, unnest([0, 1]) AS e(epoch)),
+        |b AS (
+        |  SELECT epoch, doc_id,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT)
+        |      AS band, h
+        |  FROM d),
+        |r AS (
+        |  SELECT epoch, band, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY epoch, band
+        |      ORDER BY h ASC, doc_id ASC) AS BIGINT) - 1 AS pos_in_band
+        |  FROM b)
+        |SELECT epoch, band, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id * (pos_in_band + 1)) AS BIGINT) AS order_checksum
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q227_max_concurrency" ->
       """WITH g AS (

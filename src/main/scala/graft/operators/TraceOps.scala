@@ -251,6 +251,32 @@ object TraceOps {
           expr("(1000000 * (2 * satisfied + tolerating)) div (2 * total)"))
     }),
 
+    // Tail-based trace sampling (the collector policy that prunes the
+    // firehose BEFORE storage): the keep/drop verdict is per COMPLETE
+    // trace — keep every trace with an error span, every trace whose
+    // slowest span crosses the latency bound, and a deterministic 1/16
+    // hash sample of the rest. One hash aggregate per trace + a verdict
+    // projection; the decision rollup is what a sampler would emit as
+    // its own health metric. Priority error > slow > sampled mirrors
+    // OTel tail-sampling policy composition.
+    "q246_tail_sampling" -> ((s, dir) => {
+      val perTrace = tracesDf(s, dir)
+        .groupBy(col("trace_id"))
+        .agg(
+          max(when(col("status_code") === "ERROR", 1).otherwise(0)).as("has_error"),
+          max(col("duration_nanos")).as("max_span_ns"),
+          count(lit(1)).as("n_spans"))
+      perTrace
+        .withColumn("decision",
+          when(col("has_error") === 1, "error")
+            .when(col("max_span_ns") > lit(95L * 1000000L), "slow")
+            .when(substring(md5(concat(lit("tail|"), col("trace_id"))), 32, 1) === "0",
+              "sampled")
+            .otherwise("drop"))
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n_traces"), sum(col("n_spans")).as("kept_spans"))
+    }),
+
     // TraceQL `||` disjunction inside a spanset (the reference subset
     // rejects it) — an OR of &&-groups, still one scan + one filter
     "q175_traceql_disjunction" -> ((s, dir) => {
@@ -545,6 +571,25 @@ object TraceOps {
          |       AND duration_nanos <= 400000000 THEN 1 ELSE 0 END) AS BIGINT)))
          |  // (2 * CAST(count(*) AS BIGINT)) AS apdex_ppm
          |FROM spans GROUP BY 1""".stripMargin,
+
+    "q246_tail_sampling" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |t AS (
+         |  SELECT trace_id,
+         |    max(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END) AS has_error,
+         |    max(duration_nanos) AS max_span_ns,
+         |    CAST(count(*) AS BIGINT) AS n_spans
+         |  FROM spans GROUP BY 1),
+         |v AS (
+         |  SELECT CASE WHEN has_error = 1 THEN 'error'
+         |              WHEN max_span_ns > 95000000 THEN 'slow'
+         |              WHEN substr(md5(concat('tail|', trace_id)), 32, 1) = '0'
+         |                THEN 'sampled'
+         |              ELSE 'drop' END AS decision, n_spans
+         |  FROM t)
+         |SELECT decision, CAST(count(*) AS BIGINT) AS n_traces,
+         |  CAST(sum(n_spans) AS BIGINT) AS kept_spans
+         |FROM v GROUP BY 1""".stripMargin,
 
     "q222_traceql_not_child" ->
       s"""WITH spans AS ($tracesViewSql),
