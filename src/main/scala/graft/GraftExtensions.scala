@@ -22,23 +22,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // coalesce-of-map-probes → promoted label_<key> column (see
     // graft.plans.PromotedAttrRule)
     ext.injectOptimizerRule(_ => graft.plans.PromotedAttrRule)
-    ext.injectFunction((
-      new FunctionIdentifier("logfmt_map"),
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("logfmt_map"),
       new ExpressionInfo(classOf[LogfmtMap].getName, "logfmt_map"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[Expression]) =>
         children match {
           case Seq(one) => LogfmtMap(one)
           case other => throw new IllegalArgumentException(
             s"logfmt_map expects 1 argument, got ${other.size}")
-        }))
-    ext.injectFunction((
-      new FunctionIdentifier("jaro_winkler_sim"),
+        }),
+    (new FunctionIdentifier("jaro_winkler_sim"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[Expression]) =>
         children match {
           case Seq(a, b) => JaroWinklerSim(a, b)
           case other => throw new IllegalArgumentException(
             s"jaro_winkler_sim expects 2 arguments, got ${other.size}")
         }))
+
+  /** Idempotently register graft's functions + optimizer rule on an
+    * ALREADY-BUILT session. `withExtensions` only takes effect when the
+    * builder actually constructs the session; in a shared-JVM test run
+    * `getOrCreate()` may return a session another suite built first, so
+    * suites that need the SQL surface call this instead of relying on
+    * builder-time injection. Session-scoped (functionRegistry +
+    * experimentalMethods), no global state. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(graft.plans.PromotedAttrRule))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.PromotedAttrRule
   }
 }

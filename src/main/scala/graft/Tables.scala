@@ -22,6 +22,9 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Runtime conf; required before any scan that touches TIMESTAMP(NANOS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ timestamps are interpreted as UTC wall time everywhere (the
+    // oracle reads the same files as naive timestamps).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -36,9 +39,25 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
   /** events with `ts` as Long nanos plus derived `ts_us` (µs timestamp,
-    * identical to what DuckDB sees) and `ts_sec` (epoch seconds, Long). */
-  def events(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "events")
+    * identical to what DuckDB sees) and `ts_sec` (epoch seconds, Long).
+    *
+    * The driver has shipped this table with two physical layouts: parquet
+    * TIMESTAMP(NANOS) (reads as Long nanos under nanosAsLong) and
+    * TIMESTAMP(MICROS) NTZ. Both are canonicalized here to the same
+    * Long-nanos `ts` the rest of the engine assumes, so the layout change
+    * is invisible downstream. The NTZ wall time is interpreted as UTC
+    * (session tz is pinned in `load`), matching DuckDB's naive-timestamp
+    * reading of the same file. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    val nanos = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+    nanos
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
       .withColumn("ts_sec", expr("ts div 1000000000"))
+  }
 }

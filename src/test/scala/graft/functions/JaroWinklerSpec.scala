@@ -41,12 +41,15 @@ class JaroWinklerSpec extends AnyFunSuite {
   }
 
   test("codegen, interpreted, and SQL-registered paths agree") {
+    // getOrCreate may hand back a session another suite built (shared
+    // JVM), where builder-time extensions never apply — register on
+    // whatever session we actually get.
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
+    graft.GraftExtensions.register(spark)
     import spark.implicits._
     val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
       ("Customer#000000001", "Supplier#000000001"), ("", "x"))
