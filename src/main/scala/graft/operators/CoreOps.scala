@@ -34,6 +34,47 @@ object CoreOps {
     s"(epoch_ns(ts)//1000000000//$stepSec)*$stepSec"
 
   val queries: Map[String, Q] = Map(
+    // AS-OF join (each purchase ↔ the latest click at-or-before it, per
+    // user): the canonical time-series point-in-time correlation. The
+    // scalable shape is NOT a join at all — union-tag both sides, one
+    // shuffle on user_id, and a per-user ordered last(_, ignoreNulls)
+    // carry; a join+argmax would re-shuffle the click side per probe and
+    // explode on hot users. Clicks are pre-reduced per (user, µs) so the
+    // at-tie pick is deterministic; side=0 sorts clicks before an
+    // equal-timestamp purchase, mirroring the oracle's `>=` inclusivity
+    // (DuckDB executes the twin with its native ASOF LEFT JOIN).
+    "q251_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts_us")).as("t_us"),
+          col("event_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts_us")).as("t_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      val tagged = p
+        .select(col("user_id"), col("t_us"), lit(1).as("side"),
+          col("event_id"), lit(null).cast(LongType).as("click_id"))
+        .unionByName(c.select(col("user_id"), col("t_us"),
+          lit(0).as("side"), lit(null).cast(LongType).as("event_id"),
+          col("click_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("_last_click",
+          last(when(col("side") === 0,
+            struct(col("t_us").as("ct"), col("click_id").as("cid"))),
+            ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("t_us").as("purchase_us"),
+          col("_last_click.ct").as("click_us"),
+          col("_last_click.cid").as("click_id"),
+          (col("t_us") - col("_last_click.ct")).as("gap_us"))
+    }),
+
     // §2.4 IR aggregate stage: grouped count/sum/avg (TPC-H Q1 shape)
     "q01_agg_basic" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -707,6 +748,19 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q251_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us,
+        |    CAST(max(event_id) AS BIGINT) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.purchase_us, c.click_us, c.click_id,
+        |  p.purchase_us - c.click_us AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
+
     "q01_agg_basic" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  SUM(l_quantity) AS sum_qty,

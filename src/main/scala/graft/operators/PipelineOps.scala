@@ -189,6 +189,54 @@ object PipelineOps {
   // ---- queries ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    // Temperature-scaled mixture sampling (the data-mixing step of a
+    // training pipeline): per-source weights w = ⌊√n⌋ flatten the source
+    // distribution (α = 0.5 temperature), a doc-count budget B is split
+    // ∝ w, and each source is THINNED INDEPENDENTLY by a deterministic
+    // md5-threshold coin — so the sample needs no global sort, no
+    // shuffle beyond the per-source count, and is reproducible row-by-row
+    // on any partitioning/engine. The threshold compare runs on the hex
+    // DIGEST STRING (base-16 fraction), the same trick as limit_ratio;
+    // rates stay exact integer ppm (⌊sqrt⌋ is IEEE-exact in both
+    // engines). Per-source stats are a broadcast dim onto the doc scan.
+    "q253_mixture_sample" -> ((s, dir) => {
+      val B = 100L // target docs across the mixture
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val cnt = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n").cast(DoubleType))).cast(LongType))
+      val tot = cnt.agg(sum(col("w")).as("sw"))
+      val rates = cnt.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr(s"($B * w * 1000000) div (sw * n)")))
+        .withColumn("thresh", concat(
+          lpad(lower(hex(expr(
+            "least((rate_ppm * 4294967296) div 1000000, 4294967295)"))), 8, "0"),
+          lit("0" * 24)))
+      docs.join(broadcast(rates.select(col("source"), col("rate_ppm"), col("thresh"))),
+          Seq("source"))
+        .filter(md5(concat(lit("mix:"), col("doc_id").cast(StringType))) < col("thresh"))
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+    }),
+
+    // Token-budget corpus selection: within each source, take documents
+    // best-first (token count desc, doc_id tie-break) until a per-source
+    // token budget is exhausted — the greedy knapsack every "top-quality
+    // N-token mix" data recipe runs. One window per source (running sum
+    // over the total order), never a global sort; token counts are the
+    // exact integer word count so selection is engine-stable.
+    "q254_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)").as("tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tokens").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tokens", sum(col("tokens")).over(w))
+        .filter(col("cum_tokens") <= 600L)
+        .select(col("doc_id"), col("source"), col("tokens"), col("cum_tokens"))
+    }),
+
 
     // Sessionization: split each user's event stream on >1h gaps
     // (window lag + running sum — SURVEY §2.5 analytic shape).
@@ -1849,6 +1897,40 @@ object PipelineOps {
   // ---- oracles ----------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q253_mixture_sample" ->
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM cnt),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(least(1000000, (100 * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS rate_ppm,
+        |    lpad(lower(to_hex(least(
+        |      (least(1000000, (100 * w * 1000000) // (sw * n)) * 4294967296)
+        |        // 1000000, 4294967295))), 8, '0') || repeat('0', 24) AS thresh
+        |  FROM cnt, tot)
+        |SELECT d.doc_id, d.source, r.rate_ppm
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE md5('mix:' || CAST(d.doc_id AS VARCHAR)) < r.thresh""".stripMargin,
+
+    "q254_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tokens,
+        |    CAST(sum(tokens) OVER (PARTITION BY source
+        |      ORDER BY tokens DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 600""".stripMargin,
+
     "q18_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

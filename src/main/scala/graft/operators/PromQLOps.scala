@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SignalViews
 import graft.promql.{Eval, Parser}
@@ -54,6 +55,32 @@ object PromQLOps {
     s"timestamp >= ${T0 * 1000000000L} AND timestamp < ${T1 * 1000000000L}"
 
   val queries: Map[String, Q] = Map(
+    // Recording rules: a rule evaluation whose OUTPUT is re-registered as
+    // a metrics table and queried back through the same evaluator — the
+    // Prometheus recording-rule pipeline (rule_files → new series →
+    // dashboards query the recorded name). Rule `purchase_count5m` =
+    // count_over_time(purchase[5m]) at a 5-min step; the consumer query
+    // max_over_time(purchase_count5m[1h]) then runs over the RECORDED
+    // series, whose timestamps are the rule's bucket starts. Everything
+    // stays one lazy plan — the recorded vector is never collected, so
+    // at scale the rule eval fuses with the consumer's re-bucketing
+    // (integer counts → exact cross-engine compare).
+    "q252_recording_rule" -> ((s, dir) => {
+      val t = SignalViews.metricsTable(s, dir)
+      val rule = Eval.evalVector(
+        Parser.parse("""count_over_time(purchase[5m])"""),
+        t, TimeRange(T0, T1, 300))
+      val recorded = Eval.MetricsTable(
+        rule.df.select(
+          (col("bucket_start") * 1000000000L).as("timestamp"),
+          lit("purchase_count5m").as("metric_name"),
+          col("service_name"), col("value")),
+        seriesLabels = Seq("service_name"))
+      Eval.evalVector(
+        Parser.parse("""max_over_time(purchase_count5m[1h])"""),
+        recorded, TimeRange(T0, T1, 3600)).df
+    }),
+
     // bare selector = last sample per (bucket, series) (reference `Last`)
     "q41_promql_instant" -> q("""purchase{service_name="svc-1"}""", 86400),
 
@@ -335,6 +362,17 @@ object PromQLOps {
        |  GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q252_recording_rule" ->
+      s"""WITH m AS ($V),
+         |rule AS (
+         |  SELECT ${bkt(300)} AS b5, service_name,
+         |    CAST(count(*) AS DOUBLE) AS value
+         |  FROM m WHERE metric_name = 'purchase' AND ${win(300)}
+         |  GROUP BY 1, 2)
+         |SELECT (b5//3600)*3600 AS bucket_start, service_name,
+         |  MAX(value) AS value
+         |FROM rule GROUP BY 1, 2""".stripMargin,
+
     "q41_promql_instant" ->
       s"""WITH m AS ($V),
          |l AS (${lastPerBucket("metric_name = 'purchase' AND service_name = 'svc-1'", 86400)})
