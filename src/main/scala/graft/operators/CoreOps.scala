@@ -34,6 +34,27 @@ object CoreOps {
     s"(epoch_ns(ts)//1000000000//$stepSec)*$stepSec"
 
   val queries: Map[String, Q] = Map(
+    // Top-N + "other" rollup (the Grafana panel default: show the top 2
+    // series, fold the tail into one residual line so the panel never
+    // explodes at high cardinality). Counts are pre-aggregated FIRST, so
+    // the rank window runs over (days × types) rows — already reduced,
+    // tiny at any scale — and the residual fold is a second hash
+    // aggregate, never a rescan of the raw table.
+    "q255_topn_other" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"),
+          col("event_type"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      daily.withColumn("rk", row_number().over(w))
+        .withColumn("series",
+          when(col("rk") <= 2, col("event_type")).otherwise(lit("other")))
+        .groupBy(col("day"), col("series"))
+        .agg(sum(col("n")).as("n"))
+    }),
+
     // AS-OF join (each purchase ↔ the latest click at-or-before it, per
     // user): the canonical time-series point-in-time correlation. The
     // scalable shape is NOT a join at all — union-tag both sides, one
@@ -748,6 +769,19 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q255_topn_other" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts)//1000000)//86400 AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY day
+        |    ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM daily)
+        |SELECT day, CASE WHEN rk <= 2 THEN event_type ELSE 'other' END AS series,
+        |  CAST(sum(n) AS BIGINT) AS n
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
     "q251_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS purchase_us

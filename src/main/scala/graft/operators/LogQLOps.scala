@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, element_at, get_json_object, lit, min, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, element_at, expr, get_json_object, lit, min, regexp_replace, sum}
 
 import graft.SignalViews
 import graft.logql.{Lowering, Parser}
@@ -351,7 +351,35 @@ object LogQLOps {
           get_json_object(col("body"), "$.k")))
         .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<N>"))
         .groupBy(col("template"))
-        .agg(count(lit(1)).as("n_lines"), min(col("event_id")).as("sample_event_id")))
+        .agg(count(lit(1)).as("n_lines"), min(col("event_id")).as("sample_event_id"))),
+
+    // Pattern-frequency shift (incident triage: which log templates are
+    // over-represented in the suspect window vs the baseline?). Same
+    // Drain-lite templates as q210, counted once per window in ONE pass
+    // (conditional sums — no second scan, no join of two windowed
+    // subqueries), then rate shift in exact integer ppm against each
+    // window's own volume. The per-template aggregate state is bounded
+    // by the log format, so the final cross-join with the 1-row totals
+    // broadcast is trivial at any scale.
+    "q256_pattern_shift" -> ((s, dir) => {
+      val cutNs = (1704067200L + 7L * 86400L) * 1000000000L // Jan 8
+      val t = SignalViews.logsDf(s, dir)
+        .withColumn("line", concat(col("event_type"), lit(" svc="),
+          col("service_name"), lit(" ip="), col("client_ip"), lit(" k="),
+          get_json_object(col("body"), "$.k")))
+        .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<N>"))
+        .withColumn("in_a", (col("timestamp") < cutNs).cast("long"))
+      val per = t.groupBy(col("template"))
+        .agg(sum(col("in_a")).as("n_a"),
+          sum(lit(1L) - col("in_a")).as("n_b"))
+      val tot = per.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("a_ppm", expr("(n_a * 1000000) div tot_a"))
+        .withColumn("b_ppm", expr("(n_b * 1000000) div tot_b"))
+        .select(col("template"), col("n_a"), col("n_b"),
+          col("a_ppm"), col("b_ppm"),
+          (col("a_ppm") - col("b_ppm")).as("shift_ppm"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -808,6 +836,30 @@ object LogQLOps {
          |  FROM logs)
          |SELECT template, COUNT(*) AS n_lines,
          |  MIN(event_id) AS sample_event_id
-         |FROM t GROUP BY template""".stripMargin
+         |FROM t GROUP BY template""".stripMargin,
+
+    "q256_pattern_shift" ->
+      s"""WITH logs AS ($V),
+         |t AS (
+         |  SELECT
+         |    regexp_replace(
+         |      concat(event_type, ' svc=', service_name, ' ip=', client_ip,
+         |             ' k=', json_extract_string(body, '$$.k')),
+         |      '[0-9]+', '<N>', 'g') AS template,
+         |    CASE WHEN timestamp < ${(1704067200L + 7L * 86400L) * 1000000000L}
+         |      THEN 1 ELSE 0 END AS in_a
+         |  FROM logs),
+         |per AS (
+         |  SELECT template, CAST(sum(in_a) AS BIGINT) AS n_a,
+         |    CAST(sum(1 - in_a) AS BIGINT) AS n_b
+         |  FROM t GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+         |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM per)
+         |SELECT template, n_a, n_b,
+         |  (n_a * 1000000) // tot_a AS a_ppm,
+         |  (n_b * 1000000) // tot_b AS b_ppm,
+         |  (n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b AS shift_ppm
+         |FROM per, tot""".stripMargin
   )
 }

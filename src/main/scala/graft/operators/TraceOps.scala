@@ -46,6 +46,39 @@ object TraceOps {
       |FROM events""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // Per-operation latency-quantile shift (the deploy-regression
+    // report: did p50/p95 of any span move between window A and B?).
+    // Durations are ms-bucketed and pre-rolled to (span, window, ms)
+    // counts, so the quantile is the exact cumulative-weight rank walk
+    // of q250 — windows partition by (span, window), never the whole
+    // table — and the A/B comparison is a conditional-agg pivot of the
+    // tiny quantile set, not a self-join of two scans. Pure integer
+    // rank rule → bit-identical across engines.
+    "q257_latency_shift" -> ((s, dir) => {
+      val cutNs = (1704067200L + 15L * 86400L) * 1000000000L // Jan 16
+      val rolled = tracesDf(s, dir)
+        .select(col("span_name"),
+          when(col("timestamp") < cutNs, "a").otherwise("b").as("win"),
+          expr("duration_nanos div 1000000").as("ms"))
+        .groupBy(col("span_name"), col("win"), col("ms"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("span_name"), col("win"))
+        .orderBy(col("ms").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val q = rolled
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt"))
+          .over(Window.partitionBy(col("span_name"), col("win"))))
+        .withColumn("p_ppm", explode(array(lit(500000L), lit(950000L))))
+        .filter(col("cum") >= expr("(total * p_ppm + 999999) div 1000000"))
+        .groupBy(col("span_name"), col("win"), col("p_ppm"))
+        .agg(min(col("ms")).as("qms"))
+      q.groupBy(col("span_name"), col("p_ppm"))
+        .agg(max(when(col("win") === "a", col("qms"))).as("p_a_ms"),
+          max(when(col("win") === "b", col("qms"))).as("p_b_ms"))
+        .withColumn("shift_ms", col("p_b_ms") - col("p_a_ms"))
+    }),
+
     // Two-phase trace fetch: find matching trace ids (newest-first,
     // deterministic truncation), then fetch ALL their spans via semi join.
     "q59_trace_two_phase" -> ((s, dir) => {
@@ -373,6 +406,33 @@ object TraceOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q257_latency_shift" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |rolled AS (
+         |  SELECT span_name,
+         |    CASE WHEN timestamp < ${(1704067200L + 15L * 86400L) * 1000000000L}
+         |      THEN 'a' ELSE 'b' END AS win,
+         |    duration_nanos // 1000000 AS ms,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM spans GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT span_name, win, ms, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY span_name, win ORDER BY ms ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY span_name, win) AS BIGINT) AS total
+         |  FROM rolled),
+         |q AS (
+         |  SELECT span_name, win, p_ppm, CAST(min(ms) AS BIGINT) AS qms
+         |  FROM c, unnest([CAST(500000 AS BIGINT), CAST(950000 AS BIGINT)]) AS t(p_ppm)
+         |  WHERE cum >= (total * p_ppm + 999999) // 1000000
+         |  GROUP BY 1, 2, 3)
+         |SELECT span_name, p_ppm,
+         |  MAX(CASE WHEN win = 'a' THEN qms END) AS p_a_ms,
+         |  MAX(CASE WHEN win = 'b' THEN qms END) AS p_b_ms,
+         |  MAX(CASE WHEN win = 'b' THEN qms END)
+         |    - MAX(CASE WHEN win = 'a' THEN qms END) AS shift_ms
+         |FROM q GROUP BY 1, 2""".stripMargin,
+
     "q59_trace_two_phase" ->
       s"""WITH spans AS ($tracesViewSql),
          |matching AS (
