@@ -55,6 +55,26 @@ object CoreOps {
         .agg(sum(col("n")).as("n"))
     }),
 
+    // SLO burn ATTRIBUTION (after q216 pages, who is burning the
+    // budget?): per-service error counts in one hash aggregate, then the
+    // 1-row global totals broadcast back — contribution (share of all
+    // errors) and local burn (service's own error rate) in exact integer
+    // ppm. The decomposition the on-call actually pivots on, computed
+    // without a second scan.
+    "q258_burn_attribution" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .select(concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+          (col("event_type") === "error").cast("long").as("bad"))
+        .groupBy(col("service_name"))
+        .agg(sum(col("bad")).as("bad_s"), count(lit(1)).as("tot_s"))
+      val tot = per.agg(sum(col("bad_s")).as("bad_tot"), sum(col("tot_s")).as("tot_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("service_name"), col("bad_s"), col("tot_s"),
+          expr("(bad_s * 1000000) div bad_tot").as("contribution_ppm"),
+          expr("(bad_s * 1000000) div tot_s").as("burn_ppm"),
+          expr("(bad_s * tot_tot * 1000000) div (bad_tot * tot_s)").as("lift_ppm"))
+    }),
+
     // AS-OF join (each purchase ↔ the latest click at-or-before it, per
     // user): the canonical time-series point-in-time correlation. The
     // scalable shape is NOT a join at all — union-tag both sides, one
@@ -781,6 +801,22 @@ object CoreOps {
         |SELECT day, CASE WHEN rk <= 2 THEN event_type ELSE 'other' END AS series,
         |  CAST(sum(n) AS BIGINT) AS n
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q258_burn_attribution" ->
+      """WITH per AS (
+        |  SELECT concat('svc-', user_id % 8) AS service_name,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_s,
+        |    COUNT(*) AS tot_s
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(bad_s) AS BIGINT) AS bad_tot,
+        |    CAST(sum(tot_s) AS BIGINT) AS tot_tot FROM per)
+        |SELECT service_name, bad_s, tot_s,
+        |  (bad_s * 1000000) // bad_tot AS contribution_ppm,
+        |  (bad_s * 1000000) // tot_s AS burn_ppm,
+        |  (bad_s * tot_tot * 1000000) // (bad_tot * tot_s) AS lift_ppm
+        |FROM per, tot""".stripMargin,
 
     "q251_asof_join" ->
       """WITH p AS (

@@ -22,6 +22,28 @@ object DiscoveryOps {
   private val SampleN = 1000
 
   val queries: Map[String, Q] = Map(
+    // Cardinality-churn detector (the "did a deploy start minting new
+    // series?" guard every 100 TB metrics store needs): per day, the
+    // active series count and how many of those series were seen for
+    // the FIRST time that day. First-seen day is one distinct + min
+    // aggregate per series — no day-over-day self-join cascade — then
+    // actives and births meet in a tiny per-day join. Churn in exact
+    // integer ppm.
+    "q259_cardinality_churn" -> ((s, dir) => {
+      val series = SignalViews.metricsDf(s, dir)
+        .select(expr("(timestamp div 1000000000) div 86400").as("day"),
+          col("metric_name"), col("service_name"))
+        .distinct()
+      val active = series.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      val born = series.groupBy(col("metric_name"), col("service_name"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      active.join(born, Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          expr("(coalesce(n_new, 0) * 1000000) div n_active").as("churn_ppm"))
+    }),
+
     // label values with bounded result (LABEL_SCAN_LIMIT analog)
     "q66_label_values" -> ((s, dir) =>
       SignalViews.logsDf(s, dir)
@@ -162,6 +184,24 @@ object DiscoveryOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q259_cardinality_churn" ->
+      s"""WITH m AS (${SignalViews.metricsViewSql}),
+         |series AS (
+         |  SELECT DISTINCT (timestamp//1000000000)//86400 AS day,
+         |    metric_name, service_name
+         |  FROM m),
+         |active AS (
+         |  SELECT day, COUNT(*) AS n_active FROM series GROUP BY 1),
+         |born AS (
+         |  SELECT day, COUNT(*) AS n_new FROM (
+         |    SELECT metric_name, service_name,
+         |      CAST(min(day) AS BIGINT) AS day
+         |    FROM series GROUP BY 1, 2) GROUP BY 1)
+         |SELECT a.day, a.n_active,
+         |  CAST(coalesce(b.n_new, 0) AS BIGINT) AS n_new,
+         |  (coalesce(b.n_new, 0) * 1000000) // a.n_active AS churn_ppm
+         |FROM active a LEFT JOIN born b USING (day)""".stripMargin,
+
     "q66_label_values" ->
       s"""WITH logs AS ($V)
          |SELECT DISTINCT service_name FROM logs
