@@ -75,45 +75,50 @@ object CoreOps {
           expr("(bad_s * tot_tot * 1000000) div (bad_tot * tot_s)").as("lift_ppm"))
     }),
 
-    // AS-OF join (each purchase ↔ the latest click at-or-before it, per
-    // user): the canonical time-series point-in-time correlation. The
-    // scalable shape is NOT a join at all — union-tag both sides, one
-    // shuffle on user_id, and a per-user ordered last(_, ignoreNulls)
-    // carry; a join+argmax would re-shuffle the click side per probe and
-    // explode on hot users. Clicks are pre-reduced per (user, µs) so the
-    // at-tie pick is deterministic; side=0 sorts clicks before an
-    // equal-timestamp purchase, mirroring the oracle's `>=` inclusivity
-    // (DuckDB executes the twin with its native ASOF LEFT JOIN).
-    "q251_asof_join" -> ((s, dir) => {
+    // FORWARD as-of join with a tolerance (conversion attribution: each
+    // click ↔ the FIRST purchase within the following 24 h, per user) —
+    // the mirror-image of q128's backward as-of, plus the bounded match
+    // window real attribution needs. Same scalable shape: union-tag,
+    // ONE shuffle on user_id, and a per-user reverse-ordered
+    // last(_, ignoreNulls) carry (= next purchase); the tolerance is a
+    // post-carry predicate, not a second join. Purchases are pre-reduced
+    // per (user, µs) with a min-id tie pick so the nearest-match choice
+    // is deterministic; side=1 sorts purchases after an equal-timestamp
+    // click in the reverse order, mirroring the oracle's `<=`
+    // inclusivity (DuckDB executes the twin with native ASOF LEFT JOIN).
+    "q251_conversion_asof" -> ((s, dir) => {
+      val tolUs = 86400L * 1000000L // 24 h attribution window
       val ev = Tables.events(s, dir)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts_us")).as("t_us"),
-          col("event_id"))
       val c = ev.filter(col("event_type") === "click")
         .select(col("user_id"), unix_micros(col("ts_us")).as("t_us"),
           col("event_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts_us")).as("t_us"),
+          col("event_id"))
         .groupBy(col("user_id"), col("t_us"))
-        .agg(max(col("event_id")).as("click_id"))
-      val tagged = p
-        .select(col("user_id"), col("t_us"), lit(1).as("side"),
-          col("event_id"), lit(null).cast(LongType).as("click_id"))
-        .unionByName(c.select(col("user_id"), col("t_us"),
-          lit(0).as("side"), lit(null).cast(LongType).as("event_id"),
-          col("click_id")))
+        .agg(min(col("event_id")).as("purchase_id"))
+      val tagged = c
+        .select(col("user_id"), col("t_us"), lit(0).as("side"),
+          col("event_id"), lit(null).cast(LongType).as("purchase_id"))
+        .unionByName(p.select(col("user_id"), col("t_us"),
+          lit(1).as("side"), lit(null).cast(LongType).as("event_id"),
+          col("purchase_id")))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("t_us").asc, col("side").asc)
+        .orderBy(col("t_us").desc, col("side").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
-        .withColumn("_last_click",
-          last(when(col("side") === 0,
-            struct(col("t_us").as("ct"), col("click_id").as("cid"))),
+        .withColumn("_next_p",
+          last(when(col("side") === 1,
+            struct(col("t_us").as("pt"), col("purchase_id").as("pid"))),
             ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
-        .select(col("event_id"), col("user_id"),
-          col("t_us").as("purchase_us"),
-          col("_last_click.ct").as("click_us"),
-          col("_last_click.cid").as("click_id"),
-          (col("t_us") - col("_last_click.ct")).as("gap_us"))
+        .filter(col("side") === 0)
+        .withColumn("_in_tol",
+          col("_next_p").isNotNull && col("_next_p.pt") - col("t_us") <= tolUs)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("t_us").as("click_us"),
+          when(col("_in_tol"), col("_next_p.pt")).as("purchase_us"),
+          when(col("_in_tol"), col("_next_p.pid")).as("purchase_id"),
+          when(col("_in_tol"), col("_next_p.pt") - col("t_us")).as("lag_us"))
     }),
 
     // §2.4 IR aggregate stage: grouped count/sum/avg (TPC-H Q1 shape)
@@ -818,18 +823,23 @@ object CoreOps {
         |  (bad_s * tot_tot * 1000000) // (bad_tot * tot_s) AS lift_ppm
         |FROM per, tot""".stripMargin,
 
-    "q251_asof_join" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS purchase_us
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, epoch_us(ts) AS click_us,
-        |    CAST(max(event_id) AS BIGINT) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, p.purchase_us, c.click_us, c.click_id,
-        |  p.purchase_us - c.click_us AS gap_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
+    "q251_conversion_asof" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS pt,
+        |    CAST(min(event_id) AS BIGINT) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.click_id, c.user_id, c.click_us, p.pt, p.pid
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.click_us <= p.pt)
+        |SELECT click_id, user_id, click_us,
+        |  CASE WHEN pt - click_us <= 86400000000 THEN pt END AS purchase_us,
+        |  CASE WHEN pt - click_us <= 86400000000 THEN pid END AS purchase_id,
+        |  CASE WHEN pt - click_us <= 86400000000 THEN pt - click_us END AS lag_us
+        |FROM j""".stripMargin,
 
     "q01_agg_basic" ->
       s"""SELECT l_returnflag, l_linestatus,
