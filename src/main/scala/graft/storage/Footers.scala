@@ -1,0 +1,77 @@
+package graft.storage
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** Parquet footer statistics, read WITHOUT touching row data — the
+  * min/max metadata a 100 TB scan planner prunes with (the reference
+  * leans on the same stats through Iceberg manifests + parquet row-group
+  * skipping; compaction/Z-ordering exist precisely to make these ranges
+  * tight). Exposed so layout jobs can MEASURE pruning potential instead
+  * of asserting it by faith: `rangeReport` quantifies how tight each
+  * file's [min,max] is per column, and `skippableFraction` answers "what
+  * share of row groups would a point probe skip?" — footer reads only,
+  * O(files) metadata I/O, no data pages.
+  */
+object Footers {
+
+  final case class ColRange(file: String, rowGroup: Int, column: String,
+      min: Long, max: Long, rows: Long)
+
+  /** per-(file, row-group) [min,max] of integral columns (INT32/INT64
+    * physical), from footer statistics alone. */
+  def intRanges(spark: SparkSession, dir: String,
+      columns: Set[String]): Seq[ColRange] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[ColRange]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          rd.getFooter.getBlocks.asScala.zipWithIndex.foreach { case (b, i) =>
+            b.getColumns.asScala.foreach { c =>
+              val name = c.getPath.toDotString
+              val st = c.getStatistics
+              if (columns.contains(name) && st != null && !st.isEmpty &&
+                  st.hasNonNullValue) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Number, mx: java.lang.Number) =>
+                    out += ColRange(f.getPath.toString, i, name,
+                      mn.longValue(), mx.longValue(), b.getRowCount)
+                  case _ => () // non-integral column — not this report's job
+                }
+              }
+            }
+          }
+        } finally rd.close()
+      }
+    }
+    out.result()
+  }
+
+  /** share of row groups a point predicate `column = value` could skip
+    * on min/max alone, in ppm (pure metadata answer). */
+  def skippableFractionPpm(spark: SparkSession, dir: String, column: String,
+      value: Long): Long = {
+    val rs = intRanges(spark, dir, Set(column))
+    require(rs.nonEmpty, s"no footer stats for $column under $dir")
+    val skippable = rs.count(r => value < r.min || value > r.max)
+    skippable.toLong * 1000000L / rs.size
+  }
+
+  /** mean [min,max] width per row group for `column` — the tightness a
+    * clustering layout is trying to minimize. */
+  def meanRangeWidth(spark: SparkSession, dir: String, column: String): Double = {
+    val rs = intRanges(spark, dir, Set(column))
+    require(rs.nonEmpty, s"no footer stats for $column under $dir")
+    rs.map(r => (r.max - r.min).toDouble).sum / rs.size
+  }
+}
