@@ -186,9 +186,99 @@ object PipelineOps {
     s.read.parquet(path)
   }
 
+  /** per-(vector, centroid) scores with the codegen'd dot fold; cell
+    * picks are hash aggregates over struct(-cos, c_id) so partial
+    * aggregation collapses the ×k blow-up before any shuffle. */
+  private def ivfScores(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("vq"), col("nrm"), struct(
+        (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
+          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
+          .as("negcos"),
+        col("c_id").as("c_id")).as("sc"))
+
+  /** one-Lloyd-round IVF index (q122's construction, shared with the
+    * stored build): centroids (c_id, cv, cn) and postings
+    * (cell, n_id, nv, nn). Deterministic integer centroids, so the index
+    * content is identical on any engine/partitioning. */
+  private def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
+    val members = ivfScores(e, seeds).groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("best"), first(col("vq")).as("vq"))
+      .select(col("vec_id"), col("vq"), col("best.c_id").as("cell"))
+    val refined = members
+      .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("cv_i", round(col("s").cast(DoubleType) / col("cnt")).cast(LongType))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+        x => x.getField("cv_i")).as("cv"))
+      .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      .select(col("cell").as("c_id"), col("cv"), col("cn"))
+    val assigned = ivfScores(e, refined).groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
+        first(col("nrm")).as("nn"))
+      .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
+        col("nv"), col("nn"))
+    (refined, assigned)
+  }
+
+  /** the index LIFECYCLE a 100 TB ANN store actually runs: build once
+    * (write-once per sf dir, like the other stored tables), probe many.
+    * Postings are HIVE-PARTITIONED BY CELL, so a probe that visits
+    * nprobe cells reads only those directories — and because the probe
+    * side arrives as a broadcast join on the partition column, Spark
+    * prunes the cells DYNAMICALLY at runtime (DPP), the same mechanism
+    * that keeps a fact-table scan proportional to the dims that survive
+    * filtering. */
+  private val annIdxCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def storedIvfIndex(s: SparkSession, dir: String): (String, String) =
+    annIdxCache.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_ann_idx_").toString
+      val (cents, assigned) = ivfIndex(embArr(s, dir))
+      cents.write.mode("overwrite").parquet(s"$base/centroids")
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/postings")
+      (s"$base/centroids", s"$base/postings")
+    })
+
   // ---- queries ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    // ANN over a STORED index (build once / probe many): q122's IVF
+    // index persisted through the real storage path — postings
+    // hive-partitioned by cell — then probed. The probe's top-4 cells
+    // join the postings scan as a BROADCAST on the partition column, so
+    // dynamic partition pruning reads only the probed cell directories;
+    // the exact-cosine rerank then runs inside those cells alone. Same
+    // deterministic result set as the inline build (one shared oracle
+    // construction), proving index persistence changes the I/O shape,
+    // not the answer.
+    "q260_ann_stored_index" -> ((s, dir) => {
+      val (cp, pp) = storedIvfIndex(s, dir)
+      val cents = s.read.parquet(cp)
+      val post = s.read.parquet(pp)
+      val e = embArr(s, dir)
+      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val cand = post.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
     // Temperature-scaled mixture sampling (the data-mixing step of a
     // training pipeline): per-source weights w = ⌊√n⌋ flatten the source
     // distribution (α = 0.5 temperature), a doc-count budget B is split
@@ -416,38 +506,8 @@ object PipelineOps {
     // exact rank shape of q103.
     "q122_ann_ivf_kmeans" -> ((s, dir) => {
       val e = embArr(s, dir)
-      // per-(vector, centroid) scores with the codegen'd dot fold; cell
-      // picks are hash aggregates over struct(-cos, c_id) so partial
-      // aggregation collapses the ×16 blow-up before any shuffle (same
-      // shape as q103)
-      def scores(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("vq"), col("nrm"), struct(
-            (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
-              sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
-              .as("negcos"),
-            col("c_id").as("c_id")).as("sc"))
-      val seeds = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
-      val members = scores(seeds).groupBy(col("vec_id"))
-        .agg(min(col("sc")).as("best"), first(col("vq")).as("vq"))
-        .select(col("vec_id"), col("vq"), col("best.c_id").as("cell"))
-      val refined = members
-        .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-        .withColumn("cv_i", round(col("s").cast(DoubleType) / col("cnt")).cast(LongType))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
-          x => x.getField("cv_i")).as("cv"))
-        .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
-        .select(col("cell").as("c_id"), col("cv"), col("cn"))
-      val sc2 = scores(refined)
-      val assigned = sc2.groupBy(col("vec_id"))
-        .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
-          first(col("nrm")).as("nn"))
-        .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
-          col("nv"), col("nn"))
+      val (refined, assigned) = ivfIndex(e)
+      val sc2 = ivfScores(e, refined)
       val probes = sc2.filter(col("vec_id") % 100 === 0)
         .groupBy(col("vec_id"))
         .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
@@ -1896,6 +1956,70 @@ object PipelineOps {
 
   // ---- oracles ----------------------------------------------------------
 
+  private val ivfKmeansSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |ccos0 AS (
+        |  SELECT v.vec_id, c.vec_id AS c_id,
+        |    CAST(SUM(v.vq * c.vq) AS DOUBLE)
+        |      / sqrt(CAST(cn.nrm AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN e c ON c.pos = v.pos AND c.vec_id < 16
+        |  JOIN norms cn ON cn.vec_id = c.vec_id
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  GROUP BY 1, 2, cn.nrm, vn.nrm),
+        |members AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn
+        |    FROM ccos0) WHERE crn = 1),
+        |cents AS (
+        |  SELECT m.cell, v.pos,
+        |    CAST(round(CAST(SUM(v.vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM members m JOIN e v ON v.vec_id = m.vec_id
+        |  GROUP BY 1, 2),
+        |cnorms AS (SELECT cell, SUM(cv*cv) AS cn FROM cents GROUP BY 1),
+        |ccos1 AS (
+        |  SELECT v.vec_id, c.cell AS c_id,
+        |    CAST(SUM(v.vq * c.cv) AS DOUBLE)
+        |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN cents c ON c.pos = v.pos
+        |  JOIN cnorms cn ON cn.cell = c.cell
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  GROUP BY 1, 2, cn.cn, vn.nrm),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id ASC) AS crn
+        |  FROM ccos1),
+        |assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_id AS cell FROM ranked
+        |  WHERE vec_id % 100 = 0 AND crn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE p.q_id <> a.n_id),
+        |dots AS (
+        |  SELECT c.q_id, c.n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.n_id AND n.pos = q.pos
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM cos) WHERE rank <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q253_mixture_sample" ->
       """WITH cnt AS (
@@ -2619,69 +2743,12 @@ object PipelineOps {
         |    // count(*) AS dup_fp
         |FROM d JOIN hc c USING (h) GROUP BY 1""".stripMargin,
 
-    "q122_ann_ivf_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, i AS pos,
-        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
-        |  FROM embeddings, range(0, 64) r(i)),
-        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
-        |ccos0 AS (
-        |  SELECT v.vec_id, c.vec_id AS c_id,
-        |    CAST(SUM(v.vq * c.vq) AS DOUBLE)
-        |      / sqrt(CAST(cn.nrm AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
-        |  FROM e v
-        |  JOIN e c ON c.pos = v.pos AND c.vec_id < 16
-        |  JOIN norms cn ON cn.vec_id = c.vec_id
-        |  JOIN norms vn ON vn.vec_id = v.vec_id
-        |  GROUP BY 1, 2, cn.nrm, vn.nrm),
-        |members AS (
-        |  SELECT vec_id, c_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY ccos DESC, c_id ASC) AS crn
-        |    FROM ccos0) WHERE crn = 1),
-        |cents AS (
-        |  SELECT m.cell, v.pos,
-        |    CAST(round(CAST(SUM(v.vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-        |  FROM members m JOIN e v ON v.vec_id = m.vec_id
-        |  GROUP BY 1, 2),
-        |cnorms AS (SELECT cell, SUM(cv*cv) AS cn FROM cents GROUP BY 1),
-        |ccos1 AS (
-        |  SELECT v.vec_id, c.cell AS c_id,
-        |    CAST(SUM(v.vq * c.cv) AS DOUBLE)
-        |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
-        |  FROM e v
-        |  JOIN cents c ON c.pos = v.pos
-        |  JOIN cnorms cn ON cn.cell = c.cell
-        |  JOIN norms vn ON vn.vec_id = v.vec_id
-        |  GROUP BY 1, 2, cn.cn, vn.nrm),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY ccos DESC, c_id ASC) AS crn
-        |  FROM ccos1),
-        |assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, c_id AS cell FROM ranked
-        |  WHERE vec_id % 100 = 0 AND crn <= 4),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, a.n_id
-        |  FROM probes p JOIN assign a ON a.cell = p.cell
-        |  WHERE p.q_id <> a.n_id),
-        |dots AS (
-        |  SELECT c.q_id, c.n_id, SUM(q.vq * n.vq) AS dot
-        |  FROM cand c
-        |  JOIN e q ON q.vec_id = c.q_id
-        |  JOIN e n ON n.vec_id = c.n_id AND n.pos = q.pos
-        |  GROUP BY 1, 2),
-        |cos AS (
-        |  SELECT d.q_id, d.n_id,
-        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
-        |  FROM dots d
-        |  JOIN norms nq ON nq.vec_id = d.q_id
-        |  JOIN norms nn ON nn.vec_id = d.n_id)
-        |SELECT q_id, n_id, cos, rank FROM (
-        |  SELECT q_id, n_id, cos,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
-        |  FROM cos) WHERE rank <= 3""".stripMargin,
+    "q122_ann_ivf_kmeans" -> ivfKmeansSql,
+
+    // the stored-index probe returns the identical deterministic result
+    // set — persistence changes the I/O shape, not the answer
+    "q260_ann_stored_index" -> ivfKmeansSql,
+
 
     "q24_ann_cosine_topk" ->
       """WITH e AS (

@@ -129,6 +129,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected the per-user shuffle for the ordered window:\n$plan")
   }
 
+  test("stored-index ANN probe prunes postings cells dynamically (DPP)") {
+    val df = operators.PipelineOps.queries("q260_ann_stored_index")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe side broadcasts onto the postings scan's PARTITION column,
+    // so the cell directories prune at runtime — the scan must carry a
+    // dynamicpruning partition filter, not read all 16 cells
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"postings scan must be dynamically partition-pruned by the probed cells:\n$plan")
+  }
+
   test("rollup day filter prunes partitions before any row is read") {
     val df = SignalTables.storedRollup(spark, dir)
       .filter(col("date_day") === "2024-01-05")
