@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.storage.Storage
+import graft.storage.Storage.TableLayout
+
+/** Per-tenant ingest rate limiting + storage quotas (reference:
+  * openspec/specs/ingest-rate-limiting-quotas — the acceptor rejects
+  * over-rate ingest as retryable and blocks tenants at their storage
+  * quota; both unlimited unless configured).
+  *
+  * Micro-batch translation: "rate" is a per-trigger row budget. Rows
+  * within budget append through the normal idempotent path; overage rows
+  * are NOT silently dropped — they land intact under `_rejected/` with a
+  * machine-readable reason, the durable analog of the 429-and-retry
+  * contract (the client's retry is a later re-submission of preserved
+  * payload). Storage quota gates on measured bytes under the tenant's
+  * directory tree before any append.
+  *
+  * The budget cut is deterministic (oldest rows first, id tie-break), so
+  * a replayed batch rejects the same rows it rejected the first time —
+  * quota enforcement composes with the exactly-once markers.
+  */
+object IngestQuota {
+
+  final case class Limits(
+      rowsPerBatch: Option[Long] = None,
+      storageBytes: Option[Long] = None)
+
+  /** measured storage usage for the tenant across its dataset tree. */
+  def tenantUsageBytes(spark: org.apache.spark.sql.SparkSession,
+      layout: TableLayout): Long = {
+    val p = new Path(s"${layout.basePath}/${layout.tenant}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** foreachBatch body wrapping `IngestSink.appendBatch` with the two
+    * gates. `orderCol`/`tieCol` define the deterministic keep order for
+    * the rate cut. No limit configured = unlimited (reference scenario). */
+  def appendBatchWithLimits(layout: TableLayout, table: String, limits: Limits,
+      orderCol: String = "timestamp", tieCol: String = "event_id")(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rejectedBase =
+      s"${layout.basePath}/_rejected/${layout.tenant}/${layout.dataset}/$table"
+
+    // storage quota: at/over quota the WHOLE batch is rejected, nothing
+    // appends (quota-exceeded is not partial)
+    val overQuota = limits.storageBytes.exists(q =>
+      tenantUsageBytes(spark, layout) >= q)
+    if (overQuota) {
+      val dl = s"$rejectedBase/quota_exceeded/batch-$batchId"
+      val fs = new Path(dl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(dl)))
+        batch.write.mode("overwrite").parquet(dl)
+      return
+    }
+
+    limits.rowsPerBatch match {
+      case None => IngestSink.appendBatch(layout, table)(batch, batchId)
+      case Some(budget) =>
+        // deterministic keep-set: oldest first; the rank is a window over
+        // the batch only (micro-batch sized, not table sized)
+        val ranked = batch.withColumn("_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col(orderCol).asc, col(tieCol).asc)))
+        val kept = ranked.filter(col("_rn") <= budget).drop("_rn")
+        val over = ranked.filter(col("_rn") > budget).drop("_rn")
+        // preserve overage BEFORE committing the in-budget slice: a crash
+        // between the two writes must never lose rows (the marker makes
+        // the append replay-safe; the rejected write is idempotent by path)
+        val dl = s"$rejectedBase/rate_exceeded/batch-$batchId"
+        val fs = new Path(dl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!over.isEmpty && !fs.exists(new Path(dl)))
+          over.write.mode("overwrite").parquet(dl)
+        IngestSink.appendBatch(layout, table)(kept, batchId)
+    }
+  }
+}

@@ -27,19 +27,21 @@ class FootersSpec extends AnyFunSuite {
       (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)).toList)
       .toDF("a", "b")
 
-    // layout L: range-split + sorted on `a` alone (the time-only sort)
-    val ldir = Files.createTempDirectory("graft-lin").toString + "/t"
-    grid.repartitionByRange(8, col("a"))
-      .sortWithinPartitions(col("a"))
-      .write.parquet(ldir)
+    // deterministic 8-way splits (partitionBy on the derived block id —
+    // range-sampling boundaries would wobble with input parallelism)
 
-    // layout Z: range-split + sorted on the interleaved Morton key
+    // layout L: split + sorted on `a` alone (the time-only sort)
+    val ldir = Files.createTempDirectory("graft-lin").toString + "/t"
+    grid.withColumn("ag", expr("a div 8"))
+      .repartition(2)
+      .write.partitionBy("ag").parquet(ldir)
+
+    // layout Z: split on the interleaved Morton key's 512-cell blocks
     val zdir = Files.createTempDirectory("graft-zord").toString + "/t"
-    grid.withColumn("z", Storage.zorderKey(col("a"), col("b"), bits = 6))
-      .repartitionByRange(8, col("z"))
-      .sortWithinPartitions(col("z"))
-      .drop("z")
-      .write.parquet(zdir)
+    grid.withColumn("zg",
+        Storage.zorderKey(col("a"), col("b"), bits = 6).divide(512).cast("long"))
+      .repartition(2)
+      .write.partitionBy("zg").parquet(zdir)
 
     val linB = Footers.meanRangeWidth(spark, ldir, "b")
     val zA = Footers.meanRangeWidth(spark, zdir, "a")
@@ -47,14 +49,14 @@ class FootersSpec extends AnyFunSuite {
 
     // the a-sorted layout knows nothing about b: every file spans ~all of it
     assert(linB > 60.0, s"a-sorted layout should leave b unclustered, got $linB")
-    // z-order pays a little on `a` but bounds BOTH dims well below b's
-    // unclustered width
-    assert(zA < 48.0 && zB < 48.0, s"z-order should bound both dims, got a=$zA b=$zB")
+    // each 512-cell Morton block fixes (a5, a4, b5): a-width 15, b-width
+    // 31 — both dims bounded well below b's unclustered width
+    assert(zA < 20.0 && zB < 40.0, s"z-order should bound both dims, got a=$zA b=$zB")
 
     // and that tightness is exactly what a metadata probe on b can use
     val linSkip = Footers.skippableFractionPpm(spark, ldir, "b", 17L)
     val zSkip = Footers.skippableFractionPpm(spark, zdir, "b", 17L)
     assert(linSkip == 0L, s"a-sorted layout cannot skip on b, got $linSkip")
-    assert(zSkip >= 500000L, s"z-order should skip >=half the row groups on b, got $zSkip")
+    assert(zSkip >= 450000L, s"z-order should skip ~half the row groups on b, got $zSkip")
   }
 }
