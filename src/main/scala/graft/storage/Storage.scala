@@ -67,7 +67,19 @@ object Storage {
       alreadyPartitioned: Boolean = false,
       partitionCols: Seq[String] = Seq("date_day", "hour")): Unit = {
     val part = if (alreadyPartitioned) df else withPartitionCols(df)
-    val w = withBloomOptions(part.write
+    // EVERY producer honors the table's declared sort order, not just
+    // compaction (reference openspec declared-sort-orders: a declared
+    // ordering must be physically true in every file, and freshly
+    // ingested files should already row-group-skip on time ranges
+    // rather than waiting for their first rewrite). Partition columns
+    // lead the sort so FileFormatWriter doesn't inject its own.
+    val declared = compactionSort.getOrElse(table, Seq("timestamp"))
+      .filter(part.columns.contains)
+    val sorted =
+      if (declared.isEmpty) part
+      else part.sortWithinPartitions((partitionCols.filter(part.columns.contains)
+        ++ declared).map(col): _*)
+    val w = withBloomOptions(sorted.write
       .mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
       .option("compression", "zstd"), table)

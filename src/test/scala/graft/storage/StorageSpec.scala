@@ -236,6 +236,33 @@ class StorageSpec extends AnyFunSuite {
       "compaction rewrite must KEEP the blooms the point-lookup path depends on")
   }
 
+  test("ingest append honors the declared sort order in every file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-declsort").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // shuffled batch: the WRITE must produce files already in declared
+    // order (timestamp, service_name, severity_text) — the honesty
+    // invariant, so declared ordering is physically true without waiting
+    // for compaction
+    val rows = scala.util.Random.shuffle((0 until 200).toList).map { i =>
+      (t0 + (i % 40) * 7L * 1000000000L, i.toLong, s"svc-${i % 3}",
+        if (i % 2 == 0) "info" else "warn", s"line $i", Map("k" -> i.toString))
+    }
+    rows.toDF("timestamp", "event_id", "service_name", "severity_text", "body",
+        "log_attributes")
+      .pipe(df => Storage.append(df, layout, "logs"))
+    val back = spark.read.parquet(s"$dir/acme/prod/logs")
+      .select(input_file_name().as("f"), col("timestamp"), col("service_name"),
+        col("severity_text"))
+      .collect()
+      .groupBy(_.getString(0))
+    back.values.foreach { rs =>
+      val keys = rs.map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      assert(keys == keys.sorted,
+        "every appended file must satisfy the declared (timestamp, service, severity) order")
+    }
+  }
+
   test("zorderKey interleaves bits; z-ordered compaction sorts by it") {
     import spark.implicits._
     // a=101b, b=011b → interleave (a odd positions, b even): 100111b = 39
