@@ -262,6 +262,46 @@ object Storage {
     optionalTable(spark, layout, table, schema).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** newest-first LIMIT over the day-partitioned store — the dominant
+    * observability read (`ORDER BY timestamp DESC LIMIT n` over months of
+    * data). A naive TakeOrdered scans every partition; this walks day
+    * directories NEWEST FIRST, takes a per-day top-n (tiny, sorted scan
+    * of one day), and stops as soon as n rows are in hand — at 100 TB a
+    * log-tail touches one partition instead of hundreds. The per-day
+    * `count()` is deliberate driver-side admission at PARTITION
+    * granularity (bounded by days actually walked, the same file-group
+    * ordering idea as the reference's statistics-ordered TopK scans) —
+    * not a row-wise action; results stay DataFrames end to end.
+    * Returns the rows plus the days actually scanned so callers/tests
+    * can assert the early stop. */
+  def newestFirstLimit(spark: SparkSession, layout: TableLayout, table: String,
+      n: Int, order: Seq[org.apache.spark.sql.Column]): (DataFrame, Seq[String]) = {
+    val root = new Path(layout.path(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("date_day="))
+      .map(_.stripPrefix("date_day=")).sorted.reverse
+    var remaining = n.toLong
+    var scanned = Vector.empty[String]
+    var parts = Vector.empty[DataFrame]
+    val it = days.iterator
+    while (remaining > 0 && it.hasNext) {
+      val day = it.next()
+      val d = spark.read.parquet(root.toString)
+        .filter(col("date_day") === day)
+        .orderBy(order: _*).limit(n)
+        .persist()
+      remaining -= d.count()
+      scanned = scanned :+ day
+      parts = parts :+ d
+    }
+    val out =
+      if (parts.isEmpty)
+        spark.read.parquet(root.toString).orderBy(order: _*).limit(0)
+      else parts.reduce(_.unionByName(_)).orderBy(order: _*).limit(n)
+    (out, scanned)
+  }
+
   /** orphan GC (reference: the maintenance job family next to retention —
     * snapshot expiry / orphan-file removal): delete leftovers that no
     * reader references — aborted `_promoting` staging dirs, `_old` swap

@@ -236,6 +236,33 @@ class StorageSpec extends AnyFunSuite {
       "compaction rewrite must KEEP the blooms the point-lookup path depends on")
   }
 
+  test("newest-first limit stops at the newest day; result equals the global sort") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tail").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // 6 days × 20 rows
+    val rows = (0 until 120).map { i =>
+      (t0 + i * 4320L * 1000000000L, i.toLong, s"svc-${i % 3}", "info",
+        s"line $i", Map("k" -> i.toString))
+    }
+    rows.toDF("timestamp", "event_id", "service_name", "severity_text", "body",
+        "log_attributes")
+      .pipe(df => Storage.append(df, layout, "logs"))
+    val order = Seq(col("timestamp").desc, col("event_id").desc)
+
+    val (tail, scanned) = Storage.newestFirstLimit(spark, layout, "logs", 10, order)
+    assert(scanned.size == 1, s"10-row tail must touch only the newest day, got $scanned")
+    val expect = spark.read.parquet(s"$dir/acme/prod/logs")
+      .orderBy(order: _*).limit(10)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(tail.select("event_id").collect().map(_.getLong(0)).toSeq == expect)
+
+    // a limit spanning several days walks just enough of them
+    val (wide, scannedWide) = Storage.newestFirstLimit(spark, layout, "logs", 50, order)
+    assert(scannedWide.size == 3, s"50 rows = 3 newest days, got $scannedWide")
+    assert(wide.count() == 50)
+  }
+
   test("ingest append honors the declared sort order in every file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-declsort").toString
