@@ -55,6 +55,30 @@ object CoreOps {
         .agg(sum(col("n")).as("n"))
     }),
 
+    // Cross-signal incident timeline: error LOGS, error SPANS, and
+    // anomalous METRIC points merge into one per-service event stream —
+    // the on-call's first screen. Three curated projections align to a
+    // common (service, ts, signal, detail, ref) shape and UNION; each
+    // arm filters AT ITS SCAN (severity / status / threshold predicates
+    // push down independently), so at 100 TB the union reads three
+    // pre-filtered slivers, never three full signals.
+    "q261_incident_timeline" -> ((s, dir) => {
+      val logs = graft.SignalViews.logsDf(s, dir)
+        .filter(col("severity_text") === "error")
+        .select(col("service_name"), col("timestamp"), lit("log").as("signal"),
+          col("event_type").as("detail"), col("event_id").as("ref"))
+      val spans = graft.SignalViews.tracesGen2Df(s, dir)
+        .filter(col("status_code") === "ERROR")
+        .select(col("service_name"), col("timestamp"), lit("trace").as("signal"),
+          col("span_name").as("detail"),
+          col("span_id").cast(LongType).as("ref"))
+      val mets = graft.SignalViews.metricsDf(s, dir)
+        .filter(col("value") > 195.0)
+        .select(col("service_name"), col("timestamp"), lit("metric").as("signal"),
+          col("metric_name").as("detail"), col("event_id").as("ref"))
+      logs.unionByName(spans).unionByName(mets)
+    }),
+
     // SLO burn ATTRIBUTION (after q216 pages, who is burning the
     // budget?): per-service error counts in one hash aggregate, then the
     // 1-row global totals broadcast back — contribution (share of all
@@ -806,6 +830,22 @@ object CoreOps {
         |SELECT day, CASE WHEN rk <= 2 THEN event_type ELSE 'other' END AS series,
         |  CAST(sum(n) AS BIGINT) AS n
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q261_incident_timeline" ->
+      s"""WITH logs AS (${graft.SignalViews.logsViewSql}),
+         |spans AS (${graft.SignalViews.tracesGen2ViewSql}),
+         |mets AS (${graft.SignalViews.metricsViewSql})
+         |SELECT service_name, timestamp, 'log' AS signal,
+         |  event_type AS detail, event_id AS ref
+         |FROM logs WHERE severity_text = 'error'
+         |UNION ALL
+         |SELECT service_name, timestamp, 'trace' AS signal,
+         |  span_name AS detail, CAST(span_id AS BIGINT) AS ref
+         |FROM spans WHERE status_code = 'ERROR'
+         |UNION ALL
+         |SELECT service_name, timestamp, 'metric' AS signal,
+         |  metric_name AS detail, event_id AS ref
+         |FROM mets WHERE value > 195.0""".stripMargin,
 
     "q258_burn_attribution" ->
       """WITH per AS (
