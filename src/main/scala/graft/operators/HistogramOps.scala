@@ -232,11 +232,14 @@ object HistogramOps {
 
     // histogram_avg + histogram_stddev (Prometheus native-histogram
     // functions, here over stored explicit-bounds rows): avg is the exact
-    // stored-sum/count ratio (decimal-accumulated — cross-series float
-    // SUM order is engine-dependent); stddev estimates from bucket
-    // MIDPOINTS (25/75/125, overflow → its 150 lower bound, the native
-    // histogram convention) with all moments as exact integer sums — ONE
-    // hash aggregate, then closed forms
+    // stored-sum/count ratio; the per-row double `sum` is floor-quantized
+    // to integer 1/10000ths BEFORE aggregation (floor(x*1e4) is the same
+    // IEEE double op on both engines — a DECIMAL cast would round HALF_UP
+    // in Spark but half-even in DuckDB) and accumulated in DECIMAL(38,0)
+    // so the integer sum is exact at any row count; stddev estimates from
+    // bucket MIDPOINTS (25/75/125, overflow → its 150 lower bound, the
+    // native histogram convention) with all moments as exact integer sums
+    // — ONE hash aggregate, then closed forms
     "q170_hist_avg_stddev" -> ((s, dir) => {
       val rows = histRowsDf(s, dir)
         .withColumn("bucket_start", expr(s"(timestamp div 1000000000) div $step * $step"))
@@ -247,10 +250,11 @@ object HistogramOps {
       rows.groupBy(col("bucket_start"), col("service_name"))
         .agg(binAggs.head,
           binAggs.tail :+ sum(col("count")).as("_n")
-            :+ sum(col("sum").cast(DecimalType(30, 4))).cast(DoubleType).as("_ds"): _*)
+            :+ sum(floor(col("sum") * lit(10000.0)).cast(DecimalType(38, 0)))
+              .as("_dq"): _*)
         .withColumn("_s1", (0 until 4).map(i => col(s"_c$i") * mids(i)).reduce(_ + _))
         .withColumn("_s2", (0 until 4).map(i => col(s"_c$i") * (mids(i) * mids(i))).reduce(_ + _))
-        .withColumn("avg", col("_ds") / col("_n"))
+        .withColumn("avg", col("_dq").cast(DoubleType) / lit(10000.0) / col("_n"))
         .withColumn("stddev",
           sqrt((col("_s2") * col("_n") - col("_s1") * col("_s1")).cast(DoubleType))
             / col("_n"))
@@ -418,7 +422,7 @@ object HistogramOps {
              s"SUM(CAST(CAST(json_extract(bucket_counts, '$$[$i]') AS VARCHAR) AS BIGINT)) AS c$i")
              .mkString(", ")},
          |    SUM(CAST(count AS BIGINT)) AS n,
-         |    CAST(SUM(CAST(sum AS DECIMAL(30,4))) AS DOUBLE) AS ds
+         |    SUM(CAST(floor(sum * 10000.0) AS DECIMAL(38,0))) AS dq
          |  FROM hist GROUP BY 1, 2),
          |m AS (
          |  SELECT *,
@@ -426,7 +430,7 @@ object HistogramOps {
          |    c0*625 + c1*5625 + c2*15625 + c3*22500 AS s2
          |  FROM g)
          |SELECT bucket_start, service_name, n AS count,
-         |  ds / n AS avg,
+         |  CAST(dq AS DOUBLE) / 10000.0 / n AS avg,
          |  sqrt(CAST(s2*n - s1*s1 AS DOUBLE)) / n AS stddev
          |FROM m""".stripMargin
   )
