@@ -92,11 +92,19 @@ object CoreOps {
         .groupBy(col("service_name"))
         .agg(sum(col("bad")).as("bad_s"), count(lit(1)).as("tot_s"))
       val tot = per.agg(sum(col("bad_s")).as("bad_tot"), sum(col("tot_s")).as("tot_tot"))
+      // lift's numerator is bad_s * tot_tot * 1e6 — three BIGINTs whose
+      // product overflows int64 at ~1e13-row scale (Spark would wrap
+      // silently, DuckDB would raise). Widen through DECIMAL(38,0)
+      // (DuckDB twin: HUGEINT) so the integer arithmetic stays exact at
+      // 100 TB row counts; `div` on decimals yields BIGINT.
       per.crossJoin(broadcast(tot))
         .select(col("service_name"), col("bad_s"), col("tot_s"),
-          expr("(bad_s * 1000000) div bad_tot").as("contribution_ppm"),
-          expr("(bad_s * 1000000) div tot_s").as("burn_ppm"),
-          expr("(bad_s * tot_tot * 1000000) div (bad_tot * tot_s)").as("lift_ppm"))
+          expr("(CAST(bad_s AS DECIMAL(38,0)) * 1000000) div bad_tot")
+            .as("contribution_ppm"),
+          expr("(CAST(bad_s AS DECIMAL(38,0)) * 1000000) div tot_s")
+            .as("burn_ppm"),
+          expr("(CAST(bad_s AS DECIMAL(38,0)) * tot_tot * 1000000) " +
+            "div (CAST(bad_tot AS DECIMAL(38,0)) * tot_s)").as("lift_ppm"))
     }),
 
     // FORWARD as-of join with a tolerance (conversion attribution: each
@@ -858,9 +866,12 @@ object CoreOps {
         |  SELECT CAST(sum(bad_s) AS BIGINT) AS bad_tot,
         |    CAST(sum(tot_s) AS BIGINT) AS tot_tot FROM per)
         |SELECT service_name, bad_s, tot_s,
-        |  (bad_s * 1000000) // bad_tot AS contribution_ppm,
-        |  (bad_s * 1000000) // tot_s AS burn_ppm,
-        |  (bad_s * tot_tot * 1000000) // (bad_tot * tot_s) AS lift_ppm
+        |  CAST((CAST(bad_s AS HUGEINT) * 1000000) // bad_tot AS BIGINT)
+        |    AS contribution_ppm,
+        |  CAST((CAST(bad_s AS HUGEINT) * 1000000) // tot_s AS BIGINT)
+        |    AS burn_ppm,
+        |  CAST((CAST(bad_s AS HUGEINT) * tot_tot * 1000000)
+        |    // (CAST(bad_tot AS HUGEINT) * tot_s) AS BIGINT) AS lift_ppm
         |FROM per, tot""".stripMargin,
 
     "q251_conversion_asof" ->

@@ -373,9 +373,10 @@ object LogQLOps {
         .agg(sum(col("in_a")).as("n_a"),
           sum(lit(1L) - col("in_a")).as("n_b"))
       val tot = per.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+      // n_a*1e6 wraps int64 at ~9e12 rows/template — widen (oracle: HUGEINT)
       per.crossJoin(broadcast(tot))
-        .withColumn("a_ppm", expr("(n_a * 1000000) div tot_a"))
-        .withColumn("b_ppm", expr("(n_b * 1000000) div tot_b"))
+        .withColumn("a_ppm", expr("(CAST(n_a AS DECIMAL(38,0)) * 1000000) div tot_a"))
+        .withColumn("b_ppm", expr("(CAST(n_b AS DECIMAL(38,0)) * 1000000) div tot_b"))
         .select(col("template"), col("n_a"), col("n_b"),
           col("a_ppm"), col("b_ppm"),
           (col("a_ppm") - col("b_ppm")).as("shift_ppm"))
@@ -857,9 +858,10 @@ object LogQLOps {
          |  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
          |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM per)
          |SELECT template, n_a, n_b,
-         |  (n_a * 1000000) // tot_a AS a_ppm,
-         |  (n_b * 1000000) // tot_b AS b_ppm,
-         |  (n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b AS shift_ppm
+         |  CAST((CAST(n_a AS HUGEINT) * 1000000) // tot_a AS BIGINT) AS a_ppm,
+         |  CAST((CAST(n_b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS b_ppm,
+         |  CAST((CAST(n_a AS HUGEINT) * 1000000) // tot_a
+         |    - (CAST(n_b AS HUGEINT) * 1000000) // tot_b AS BIGINT) AS shift_ppm
          |FROM per, tot""".stripMargin
   )
 }

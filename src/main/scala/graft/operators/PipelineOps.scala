@@ -296,9 +296,12 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"))
         .withColumn("w", floor(sqrt(col("n").cast(DoubleType))).cast(LongType))
       val tot = cnt.agg(sum(col("w")).as("sw"))
+      // sw*n squares a corpus-sized count — wraps int64 near 1e19; widen
+      // through DECIMAL(38,0) (oracle: HUGEINT) so the ppm stays exact
       val rates = cnt.crossJoin(broadcast(tot))
         .withColumn("rate_ppm",
-          least(lit(1000000L), expr(s"($B * w * 1000000) div (sw * n)")))
+          least(lit(1000000L), expr(s"(CAST($B AS DECIMAL(38,0)) * w * 1000000)" +
+            " div (CAST(sw AS DECIMAL(38,0)) * n)")))
         .withColumn("thresh", concat(
           lpad(lower(hex(expr(
             "least((rate_ppm * 4294967296) div 1000000, 4294967295)"))), 8, "0"),
@@ -2029,10 +2032,11 @@ object PipelineOps {
         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM cnt),
         |rates AS (
         |  SELECT source,
-        |    CAST(least(1000000, (100 * w * 1000000) // (sw * n)) AS BIGINT)
-        |      AS rate_ppm,
+        |    CAST(least(1000000, (CAST(100 AS HUGEINT) * w * 1000000)
+        |      // (CAST(sw AS HUGEINT) * n)) AS BIGINT) AS rate_ppm,
         |    lpad(lower(to_hex(least(
-        |      (least(1000000, (100 * w * 1000000) // (sw * n)) * 4294967296)
+        |      (least(1000000, (CAST(100 AS HUGEINT) * w * 1000000)
+        |        // (CAST(sw AS HUGEINT) * n)) * 4294967296)
         |        // 1000000, 4294967295))), 8, '0') || repeat('0', 24) AS thresh
         |  FROM cnt, tot)
         |SELECT d.doc_id, d.source, r.rate_ppm

@@ -22,6 +22,26 @@ object Footers {
   final case class ColRange(file: String, rowGroup: Int, column: String,
       min: Long, max: Long, rows: Long)
 
+  /** total rows under `dir` from footers alone — metadata I/O only, no
+    * data pages, no Spark job. 0 for an absent/empty directory. */
+  def rowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    var total = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try total += rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally rd.close()
+      }
+    }
+    total
+  }
+
   /** per-(file, row-group) [min,max] of integral columns (INT32/INT64
     * physical), from footer statistics alone. */
   def intRanges(spark: SparkSession, dir: String,
@@ -40,13 +60,21 @@ object Footers {
             b.getColumns.asScala.foreach { c =>
               val name = c.getPath.toDotString
               val st = c.getStatistics
-              if (columns.contains(name) && st != null && !st.isEmpty &&
-                  st.hasNonNullValue) {
+              // gate on the PHYSICAL type, not the statistics' runtime
+              // class: FLOAT/DOUBLE stats are also java.lang.Number and
+              // would silently truncate through longValue()
+              val integral = {
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                val pt = c.getPrimitiveType.getPrimitiveTypeName
+                pt == INT32 || pt == INT64
+              }
+              if (integral && columns.contains(name) && st != null &&
+                  !st.isEmpty && st.hasNonNullValue) {
                 (st.genericGetMin, st.genericGetMax) match {
                   case (mn: java.lang.Number, mx: java.lang.Number) =>
                     out += ColRange(f.getPath.toString, i, name,
                       mn.longValue(), mx.longValue(), b.getRowCount)
-                  case _ => () // non-integral column — not this report's job
+                  case _ => ()
                 }
               }
             }

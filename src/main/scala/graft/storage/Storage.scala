@@ -265,13 +265,16 @@ object Storage {
   /** newest-first LIMIT over the day-partitioned store — the dominant
     * observability read (`ORDER BY timestamp DESC LIMIT n` over months of
     * data). A naive TakeOrdered scans every partition; this walks day
-    * directories NEWEST FIRST, takes a per-day top-n (tiny, sorted scan
-    * of one day), and stops as soon as n rows are in hand — at 100 TB a
-    * log-tail touches one partition instead of hundreds. The per-day
-    * `count()` is deliberate driver-side admission at PARTITION
-    * granularity (bounded by days actually walked, the same file-group
-    * ordering idea as the reference's statistics-ordered TopK scans) —
-    * not a row-wise action; results stay DataFrames end to end.
+    * directories NEWEST FIRST and stops as soon as n rows are in hand —
+    * at 100 TB a log-tail touches one partition instead of hundreds.
+    * Admission is decided from parquet FOOTER row counts
+    * (`Footers.rowCount`) — per probed day that is metadata I/O only:
+    * no Spark job runs, nothing is cached, and the per-day top-n scans
+    * execute exactly once, inside the final union. REQUIREMENT: `order`
+    * must lead with `timestamp` descending (or any key monotone in
+    * date_day) — the early stop assumes every row in a newer day
+    * partition sorts before every row in an older one; an order that
+    * crosses day boundaries would need the full TakeOrdered instead.
     * Returns the rows plus the days actually scanned so callers/tests
     * can assert the early stop. */
   def newestFirstLimit(spark: SparkSession, layout: TableLayout, table: String,
@@ -287,13 +290,15 @@ object Storage {
     val it = days.iterator
     while (remaining > 0 && it.hasNext) {
       val day = it.next()
-      val d = spark.read.parquet(root.toString)
-        .filter(col("date_day") === day)
-        .orderBy(order: _*).limit(n)
-        .persist()
-      remaining -= d.count()
+      val dayRows = graft.storage.Footers.rowCount(
+        spark, s"${root.toString}/date_day=$day")
+      if (dayRows > 0) {
+        parts = parts :+ spark.read.parquet(root.toString)
+          .filter(col("date_day") === day)
+          .orderBy(order: _*).limit(n)
+        remaining -= math.min(dayRows, n.toLong)
+      }
       scanned = scanned :+ day
-      parts = parts :+ d
     }
     val out =
       if (parts.isEmpty)

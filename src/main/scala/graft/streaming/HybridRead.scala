@@ -45,12 +45,19 @@ object HybridRead {
     * onto the cold scan with the cold schema. */
   def hotColdUnion(spark: org.apache.spark.sql.SparkSession,
       layout: TableLayout, table: String, hot: DataFrame): DataFrame = {
+    // Build the cold scan FIRST (spark.read.parquet lists files eagerly),
+    // THEN snapshot the markers: IngestSink appends files before writing
+    // the marker, so marker-snapshot >= file-snapshot guarantees a batch
+    // visible on the cold side is also dropped from the hot side even
+    // when a commit races this call. The reverse order could serve a
+    // concurrently-committing batch from both sides.
+    val coldSchema = org.apache.spark.sql.types.StructType(
+      hot.drop("_batch_id").schema.fields)
+    val cold = Storage.tableOrEmpty(spark, layout, table, coldSchema)
     val committed = committedBatches(spark, layout, table)
     val live = (if (committed.isEmpty) hot
       else hot.filter(!col("_batch_id").isin(committed.toSeq: _*)))
       .drop("_batch_id")
-    val cold = Storage.tableOrEmpty(spark, layout, table,
-      org.apache.spark.sql.types.StructType(live.schema.fields))
     // hive partition columns (date_day/hour) exist only on the cold side
     // of a first-run table; align by name and let the hot side null them
     cold.unionByName(live, allowMissingColumns = true)

@@ -55,7 +55,10 @@ object IngestQuota {
     if (overQuota) {
       val dl = s"$rejectedBase/quota_exceeded/batch-$batchId"
       val fs = new Path(dl).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(dl)))
+      // gate on the _SUCCESS marker, not bare directory existence: a crash
+      // mid-write leaves a partial directory without _SUCCESS, and replay
+      // must repair it (mode overwrite) rather than skip it
+      if (!fs.exists(new Path(dl, "_SUCCESS")))
         batch.write.mode("overwrite").parquet(dl)
       return
     }
@@ -63,8 +66,12 @@ object IngestQuota {
     limits.rowsPerBatch match {
       case None => IngestSink.appendBatch(layout, table)(batch, batchId)
       case Some(budget) =>
-        // deterministic keep-set: oldest first; the rank is a window over
-        // the batch only (micro-batch sized, not table sized)
+        // deterministic keep-set: oldest first. The unpartitioned Window
+        // funnels the batch through one task — accepted deliberately: the
+        // frame is one micro-batch (trigger-bounded, not table-sized), and
+        // a global total order is exactly what the rate cut's semantics
+        // require; a distributed top-k would still need a single ordered
+        // boundary pass for the tie-exact budget.
         val ranked = batch.withColumn("_rn",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col(orderCol).asc, col(tieCol).asc)))
@@ -72,10 +79,12 @@ object IngestQuota {
         val over = ranked.filter(col("_rn") > budget).drop("_rn")
         // preserve overage BEFORE committing the in-budget slice: a crash
         // between the two writes must never lose rows (the marker makes
-        // the append replay-safe; the rejected write is idempotent by path)
+        // the append replay-safe; the rejected write is idempotent by path).
+        // _SUCCESS gate (not bare dir existence) so replay repairs a
+        // partial overage write instead of skipping it.
         val dl = s"$rejectedBase/rate_exceeded/batch-$batchId"
         val fs = new Path(dl).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!over.isEmpty && !fs.exists(new Path(dl)))
+        if (!fs.exists(new Path(dl, "_SUCCESS")) && !over.isEmpty)
           over.write.mode("overwrite").parquet(dl)
         IngestSink.appendBatch(layout, table)(kept, batchId)
     }

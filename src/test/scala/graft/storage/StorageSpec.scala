@@ -261,6 +261,10 @@ class StorageSpec extends AnyFunSuite {
     val (wide, scannedWide) = Storage.newestFirstLimit(spark, layout, "logs", 50, order)
     assert(scannedWide.size == 3, s"50 rows = 3 newest days, got $scannedWide")
     assert(wide.count() == 50)
+
+    // admission runs on footer metadata — nothing may stay cached behind
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "newestFirstLimit must not leak persisted day frames")
   }
 
   test("ingest append honors the declared sort order in every file") {
