@@ -314,7 +314,41 @@ object PromQLOps {
 
     // ts_of_max_over_time (Prometheus 3.x experimental): the sample
     // timestamp of each window's max — one max_by hash aggregate
-    "q176_promql_ts_of_max" -> q("""ts_of_max_over_time(view[1d])""", 86400)
+    "q176_promql_ts_of_max" -> q("""ts_of_max_over_time(view[1d])""", 86400),
+
+    // corpus-surfaced grammar end-to-end: COMPOUND duration (1h30m),
+    // DEFAULT subquery resolution ([1d:] = outer step), and offset
+    // applied to a whole subquery (folded into the inner selector at
+    // parse time — evaluating at T−d is shifting every selector by d).
+    // Exact integer counts → hash-stable across engines.
+    "q262_promql_subquery_offset" -> q(
+      """max_over_time(count_over_time(click[22h7200s])[1d:] offset 1d)""", 86400),
+
+    // recording-rule COLON metric name (job:click:count1d) queried back
+    // through the evaluator, with a scientific-notation threshold and
+    // `bool` comparison — the Grafana alert-expression shape. Rule output
+    // is re-registered as a metrics table; everything stays one lazy plan.
+    "q263_promql_recording_colon" -> ((s, dir) => {
+      val t = SignalViews.metricsTable(s, dir)
+      val rule = Eval.evalVector(
+        Parser.parse("""count_over_time(click[1d])"""),
+        t, TimeRange(T0, T1, 86400))
+      val recorded = Eval.MetricsTable(
+        rule.df.select(
+          (col("bucket_start") * 1000000000L).as("timestamp"),
+          lit("job:click:count1d").as("metric_name"),
+          col("service_name"), col("value")),
+        seriesLabels = Seq("service_name"))
+      Eval.evalVector(
+        Parser.parse("""job:click:count1d > bool 2.5e1"""),
+        recorded, TimeRange(T0, T1, 86400)).df
+    }),
+
+    // rate over a SUBQUERY (docs' deriv(rate(x)[30s:5s]) nesting): inner
+    // daily counts re-bucketed per 2-day outer step, first/last by inner
+    // bucket, delta/step — one extra groupBy on an already-shuffled key
+    "q264_promql_rate_subquery" -> q(
+      """rate(count_over_time(click[1d])[2d:1d])""", 172800)
   )
 
   /** Exact per-(bucket, series) regression sums over a metric selector:
@@ -830,7 +864,49 @@ object PromQLOps {
          |        event_id DESC) AS rn
          |  FROM m WHERE metric_name = 'view' AND ${win(86400)})
          |SELECT bucket_start, service_name, ts AS value FROM r
-         |WHERE rn = 1""".stripMargin
+         |WHERE rn = 1""".stripMargin,
+
+    // subquery offset 1d: data from [T0−1d, T1−1d), buckets stamped on
+    // the query grid via the +1d shift; [1d:] default res = outer step,
+    // so the outer max_over_time re-bucket is the identity
+    "q262_promql_subquery_offset" ->
+      s"""WITH m AS ($V),
+         |c AS (
+         |  SELECT ((timestamp + 86400000000000)//1000000000//86400)*86400
+         |      AS bucket_start,
+         |    service_name, CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM m WHERE metric_name = 'click'
+         |    AND timestamp >= ${(T0 - 86400) * 1000000000L}
+         |    AND timestamp < ${(T1 - 86400) * 1000000000L}
+         |  GROUP BY 1, 2)
+         |SELECT bucket_start, service_name, value FROM c""".stripMargin,
+
+    "q263_promql_recording_colon" ->
+      s"""WITH m AS ($V),
+         |c AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |    CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM m WHERE metric_name = 'click' AND ${win(86400)}
+         |  GROUP BY 1, 2)
+         |SELECT bucket_start, service_name,
+         |  CASE WHEN value > 25 THEN 1.0 ELSE 0.0 END AS value
+         |FROM c""".stripMargin,
+
+    // rate over subquery: daily counts, then per 2-day outer bucket
+    // (last − first)/outer-step — first/last keyed by the inner bucket
+    "q264_promql_rate_subquery" ->
+      s"""WITH m AS ($V),
+         |c AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |    CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM m WHERE metric_name = 'click' AND ${win(86400)}
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT (bucket_start//172800)*172800 AS bucket_start, service_name,
+         |    (arg_max(value, bucket_start) - arg_min(value, bucket_start))
+         |      / 172800.0 AS value
+         |  FROM c GROUP BY 1, 2)
+         |SELECT bucket_start, service_name, value FROM r""".stripMargin
   )
 
   /** regression-sum CTE bodies shared by q135/q136 (x = ms offset in

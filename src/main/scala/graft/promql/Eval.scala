@@ -207,6 +207,35 @@ object Eval {
   }
 
   private def call(f: String, args: Seq[Expr], t: MetricsTable, tr: TimeRange): Value = f match {
+    // counter family / deriv over a SUBQUERY (`deriv(rate(x[5s])[30s:5s])`,
+    // the canonical docs nesting): evaluate inner at the subquery
+    // resolution, then re-reduce the resolution buckets per outer step —
+    // the same re-bucket model the _over_time subquery path uses, so one
+    // more groupBy on an already-shuffled key, no extra scan.
+    case "rate" | "increase" | "delta" | "deriv"
+        if args.lastOption.exists(_.isInstanceOf[Subquery]) =>
+      val Subquery(inner, _, res0) = args.last: @unchecked
+      val res = if (res0 == 0) tr.stepSec else res0
+      val innerVec = evalVector(inner, t, tr.copy(stepSec = res))
+      val step = tr.stepSec
+      val reKey = (col("bucket_start").divide(lit(step))).cast("long") * lit(step)
+      val keys = reKey.as("bucket_start") +: innerVec.labels.map(col)
+      val out = f match {
+        case "deriv" =>
+          innerVec.df.groupBy(keys: _*)
+            .agg(regr_slope(col("value"), col("bucket_start").cast(DoubleType))
+              .as("value"))
+        case _ =>
+          val d = innerVec.df.groupBy(keys: _*).agg(
+            max_by(col("value"), col("bucket_start")).as("_last"),
+            min_by(col("value"), col("bucket_start")).as("_first"))
+          val delta = col("_last") - col("_first")
+          // the re-bucket window IS the outer step
+          val v = if (f == "rate") delta / lit(step.toDouble) else delta
+          d.withColumn("value", v.cast(DoubleType)).drop("_first", "_last")
+      }
+      VecV(Vec(out, innerVec.labels))
+
     // counter-window reducers: ordered first/last per (bucket, series)
     // (reference metrics.rs:939-1046)
     case "rate" | "increase" | "delta" =>
@@ -501,7 +530,10 @@ object Eval {
     // subquery form: evaluate inner at resolution, then re-reduce the
     // resolution buckets per outer step (reference metrics.rs:829-909)
     args.last match {
-      case Subquery(inner, _, res) =>
+      case Subquery(inner, _, res0) =>
+        // res 0 = `[range:]` — the grammar's "default resolution", which
+        // evaluates at the outer query step
+        val res = if (res0 == 0) tr.stepSec else res0
         val innerVec = evalVector(inner, t, tr.copy(stepSec = res))
         val step = tr.stepSec
         val reKey = (col("bucket_start").divide(lit(step))).cast("long") * lit(step)

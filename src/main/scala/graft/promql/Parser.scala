@@ -13,10 +13,26 @@ import graft.logql.Lexer._
 object Parser {
 
   def parse(input: String): Expr = {
-    val p = new P(Lexer.tokenize(input))
+    // colonIdents: recording-rule metric names (job:rate:5m) are plain
+    // identifiers in the PromQL grammar
+    val p = new P(Lexer.tokenize(input, colonIdents = true))
     val e = p.expr()
     p.expectEof()
     e
+  }
+
+  /** shift every selector in `e` by `d` seconds — the denotation of
+    * `offset` applied to a SUBQUERY: evaluating the whole inner
+    * expression at T−d is exactly evaluating each of its selectors at
+    * T−d (selectors keep their own inner offsets additively). */
+  private def shiftOffset(e: Expr, d: Long): Expr = e match {
+    case s: Selector      => s.copy(offsetSec = s.offsetSec + d)
+    case Subquery(x, r, p) => Subquery(shiftOffset(x, d), r, p)
+    case Call(f, as)      => Call(f, as.map(shiftOffset(_, d)))
+    case Agg(op, p, x, b, w) => Agg(op, p.map(shiftOffset(_, d)), shiftOffset(x, d), b, w)
+    case Binary(op, l, r, b, on, ig, g) =>
+      Binary(op, shiftOffset(l, d), shiftOffset(r, d), b, on, ig, g)
+    case other => other
   }
 
   private final class P(toks: Vector[Tok]) {
@@ -165,11 +181,14 @@ object Parser {
 
     private def unary(): Expr = cur match {
       case TOp("-", _) => advance(); Binary("-", NumLit(0), unary(), bool = false)
+      case TOp("+", _) => advance(); unary() // unary + is identity
       case _           => postfix(atom())
     }
 
     /** subquery suffix `[range:res]` on any expression (selectors consume
-      * their own plain `[range]` first). */
+      * their own plain `[range]` first); `[range:]` = default resolution
+      * (resSec 0 — the evaluator substitutes its step). A subquery may
+      * carry a trailing `offset d`, folded into every inner selector. */
     private def postfix(e: Expr): Expr =
       if (isOp("[")) {
         advance()
@@ -179,13 +198,31 @@ object Parser {
         }
         val res = if (isOp(":")) {
           advance()
-          advance() match {
-            case TDur(d, _) => d
-            case t          => throw ParseError("expected resolution", t.pos)
+          cur match {
+            case TDur(d, _)   => advance(); d
+            case TOp("]", _)  => 0L // default resolution
+            case TDurNs(_, _) => throw Unsupported("sub-second subquery resolution")
+            case t            => throw ParseError("expected resolution", t.pos)
           }
         } else throw ParseError("expected ':' in subquery", cur.pos)
         eatOp("]")
-        postfix(Subquery(e, r, res))
+        var sub: Expr = Subquery(e, r, res)
+        var go = true
+        while (go) {
+          if (isIdent("offset")) {
+            advance()
+            val neg = isOp("-")
+            if (neg) advance()
+            val d = advance() match {
+              case TDur(d0, _) => if (neg) -d0 else d0
+              case t => throw ParseError("expected duration after offset", t.pos)
+            }
+            sub = shiftOffset(sub, d)
+          } else if (isOp("@")) {
+            throw Unsupported("@ modifier on a subquery")
+          } else go = false
+        }
+        postfix(sub)
       } else e
 
     private def atom(): Expr = cur match {
@@ -226,6 +263,11 @@ object Parser {
           eatOp(")")
           Call(name, args.result())
         } else selector(Some(advance().asInstanceOf[TIdent].s))
+      // Inf/NaN are NUMBER literals in the PromQL grammar (any case)
+      case TIdent(s, _) if s.equalsIgnoreCase("inf") =>
+        advance(); NumLit(Double.PositiveInfinity)
+      case TIdent(s, _) if s.equalsIgnoreCase("nan") =>
+        advance(); NumLit(Double.NaN)
       case TIdent(_, _) => selector(Some(advance().asInstanceOf[TIdent].s))
       case t            => throw ParseError("unexpected token", t.pos)
     }
@@ -269,8 +311,9 @@ object Parser {
       if (isOp("[") && !isSubquery) {
         advance()
         range = advance() match {
-          case TDur(s, _) => Some(s)
-          case t          => throw ParseError("expected duration", t.pos)
+          case TDur(s, _)   => Some(s)
+          case TDurNs(_, _) => throw Unsupported("sub-second range selector")
+          case t            => throw ParseError("expected duration", t.pos)
         }
         eatOp("]")
       }
