@@ -130,6 +130,38 @@ object SignalTables {
   def storedRollup(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(storedRollupPath(s, dir))
 
+  /** traces directory with MIXED schema vintages (reference schemas.toml
+    * v1→v2): days before Jan 15 written by a v1 writer (pre-rename
+    * `name`/`duration_nano`, no computed columns), the rest by a v2
+    * writer. Readers must go through SchemaVersions.resolveRead — this is
+    * the un-rewritten-history fixture for schema evolution. */
+  def storedMixedVersionTracesPath(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate((dir, "traces_vmix"), {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_store_").toString + "/traces_vmix"
+      val dur = floor(col("value") * 1000).cast("long")
+      // µs-truncated nanos (unix_micros(ts_us)*1000) — what the DuckDB
+      // oracle sees (TESTDATA gotcha)
+      val startNs = unix_micros(col("ts_us")) * 1000L
+      val ev = Tables.events(s, dir).select(
+        md5(col("event_id").cast("string")).as("trace_id"),
+        md5(concat(lit("s"), col("event_id").cast("string"))).as("span_id"),
+        lit("").as("parent_span_id"),
+        col("event_type").as("name"),
+        concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+        startNs.as("start_time_unix_nano"),
+        (startNs + dur).as("end_time_unix_nano"),
+        dur.as("duration_nano"),
+        expr("unix_micros(ts_us) div 1000000 div 86400").as("_day"))
+      val cutDay = 19737L // 2024-01-15
+      ev.filter(col("_day") < cutDay).drop("_day")
+        .write.mode("append").parquet(base)
+      graft.schema.SchemaVersions.upgrade(
+          ev.filter(col("_day") >= cutDay).drop("_day"), "traces", fromVersion = 1)
+        .write.mode("append").parquet(base)
+      base
+    })
+
   /** MetricsTable over the stored union. `dayBounds` is the partition-bound
     * mirror of the query time window: a filter on the Hive partition column
     * so Catalyst prunes day directories before any row is read (SURVEY §2.2

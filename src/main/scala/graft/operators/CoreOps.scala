@@ -822,6 +822,22 @@ object CoreOps {
               |  FROM events_upv GROUP BY day)
               |UNPIVOT (val FOR metric IN (n_events, n_users, sum_v))
               |""".stripMargin)
+    }),
+
+    // Schema EVOLUTION read (reference schemas.toml traces v1→v2 renames
+    // + computed fields): a stored directory whose older files were
+    // written under v1 (`name`, `duration_nano`, no partition columns)
+    // and newer files under v2, queried through the current-version
+    // resolver — the filter hits a RENAMED column and the group key is a
+    // COMPUTED one, so both evolution mechanisms are on the hot path.
+    // The resolution is scan-level coalesce (no shuffle, no rewrite);
+    // exact integer counts/sums keep the cross-engine hash stable.
+    "q265_schema_evolution" -> ((s, dir) => {
+      val path = graft.SignalTables.storedMixedVersionTracesPath(s, dir)
+      graft.schema.SchemaVersions.resolveRead(s, path, "traces")
+        .filter(col("span_name") =!= "view")
+        .groupBy(col("span_name"), col("service_name"), col("date_day"))
+        .agg(count(lit(1)).as("n"), sum(col("duration_nanos")).as("total_ns"))
     })
   )
 
@@ -1358,6 +1374,17 @@ object CoreOps {
         |UNION ALL
         |SELECT day, 'n_users', n_users FROM wide
         |UNION ALL
-        |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin
+        |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin,
+
+    // the evolution fixture derives both vintages deterministically from
+    // events, so the oracle recomputes straight from the source rows
+    "q265_schema_evolution" ->
+      """SELECT event_type AS span_name,
+        |  concat('svc-', user_id % 8) AS service_name,
+        |  CAST(ts AS DATE) AS date_day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_ns
+        |FROM events WHERE event_type <> 'view'
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }
