@@ -547,6 +547,364 @@ object Otlp {
     out.result()
   }
 
+  // ---- profiles ----------------------------------------------------------
+
+  /** one decoded OTLP profile, aligned with Schemas.profiles (reference
+    * conversion_profiles.rs + iceberg/schemas.rs:415-455): dictionary
+    * indices resolved eagerly, stack traces/samples denormalized to JSON,
+    * first span link lifted into trace_id/span_id. */
+  final case class ProfileRow(
+      profile_id: String,
+      timestamp: Long,
+      duration_nano: Long,
+      sample_type: String,
+      sample_unit: String,
+      period_type: String,
+      period_unit: String,
+      period: Long,
+      service_name: String,
+      stacktraces_json: String,
+      samples_json: String,
+      resource_attributes: Map[String, String],
+      attributes: Map[String, String],
+      trace_id: String,
+      span_id: String)
+
+  /** the resolved dictionary tables of one request. */
+  private final case class ProfDict(
+      strings: IndexedSeq[String],
+      mappingFilenameIdx: IndexedSeq[Int],
+      locations: IndexedSeq[(Int, Long, Seq[(Int, Long, Long)])], // (mappingIdx, address, lines(fnIdx, line, col))
+      functions: IndexedSeq[(Int, Int, Int)], // name/system/filename strindex
+      links: IndexedSeq[(String, String)],    // hex trace_id, span_id
+      attrs: IndexedSeq[(String, String)],    // key, value (display string)
+      stacks: IndexedSeq[Seq[Int]])           // location index lists
+
+  /** packed-or-unpacked repeated varint field: wire 2 = packed slice,
+    * wire 0 = one element. */
+  private def packedInts(r: Reader, wire: Int): Seq[Long] =
+    if (wire == 2) {
+      val s = r.readSlice()
+      val out = Seq.newBuilder[Long]
+      while (s.hasNext) out += s.readVarint()
+      out.result()
+    } else Seq(r.readVarint())
+
+  /** ExportProfilesServiceRequest bytes → rows.
+    *
+    * Proto revision pinned here: profiles v1development AFTER the
+    * dictionary redesign (the revision the reference links via
+    * opentelemetry-proto 0.32, Cargo.toml:127 — request carries a shared
+    * ProfilesDictionary; samples refer to a stack_table). The signal is
+    * explicitly unstable upstream; these field numbers are asserted by
+    * OtlpSpec's independent encoder:
+    *   ExportProfilesServiceRequest{resource_profiles=1, dictionary=2}
+    *   ProfilesDictionary{mapping_table=1, location_table=2,
+    *     function_table=3, link_table=4, string_table=5,
+    *     attribute_table=6, stack_table=7}
+    *   Profile{sample_type=1, samples=2, time_unix_nano=3,
+    *     duration_nano=4, period_type=5, period=6, profile_id=8,
+    *     attribute_indices=12}
+    *   Sample{stack_index=1, values=2, attribute_indices=3,
+    *     link_index=4, timestamps_unix_nano=5}
+    *   Stack{location_indices=1}  Link{trace_id=1, span_id=2}
+    *   Location{mapping_index=1, address=2, lines=3}
+    *   Line{function_index=1, line=2, column=3}
+    *   Function{name_strindex=1, system_name_strindex=2,
+    *     filename_strindex=3}  Mapping{filename_strindex=4}
+    *   ValueType{type_strindex=1, unit_strindex=2}
+    *   KeyValueAndUnit{key_strindex=1, value=2, unit_strindex=3}
+    */
+  def decodeProfilesRequest(bytes: Array[Byte]): Seq[ProfileRow] = {
+    // pass 1: the dictionary may follow the resource_profiles on the wire;
+    // buffer resource slices, decode the dictionary first
+    val resourceSlices = Seq.newBuilder[Reader]
+    var dict = ProfDict(IndexedSeq(""), IndexedSeq.empty, IndexedSeq.empty,
+      IndexedSeq.empty, IndexedSeq.empty, IndexedSeq.empty, IndexedSeq.empty)
+    val req = reader(bytes)
+    while (req.hasNext) {
+      val (f, w) = req.readTag()
+      (f, w) match {
+        case (1, 2) => resourceSlices += req.readSlice()
+        case (2, 2) => dict = decodeDictionary(req.readSlice())
+        case _      => req.skip(w)
+      }
+    }
+    def str(i: Long): String =
+      if (i >= 0 && i < dict.strings.length) dict.strings(i.toInt) else ""
+
+    val out = Seq.newBuilder[ProfileRow]
+    for (rp <- resourceSlices.result()) {
+      var resMap = Map.empty[String, String]
+      val scopeProfiles = Seq.newBuilder[Reader]
+      while (rp.hasNext) {
+        val (rf, rw) = rp.readTag()
+        (rf, rw) match {
+          case (1, 2) =>
+            val res = rp.readSlice()
+            while (res.hasNext) {
+              val (xf, xw) = res.readTag()
+              if (xf == 1 && xw == 2) resMap = resMap + oneKeyValue(res.readSlice())
+              else res.skip(xw)
+            }
+          case (2, 2) => scopeProfiles += rp.readSlice()
+          case _      => rp.skip(rw)
+        }
+      }
+      val serviceName = resMap.getOrElse("service.name", "")
+      for (sp <- scopeProfiles.result()) {
+        val profs = Seq.newBuilder[Reader]
+        while (sp.hasNext) {
+          val (sf, sw) = sp.readTag()
+          if (sf == 2 && sw == 2) profs += sp.readSlice() else sp.skip(sw)
+        }
+        for (p <- profs.result()) {
+          var profileId = ""
+          var timeNs = 0L; var durNs = 0L
+          var sampleType = ""; var sampleUnit = ""
+          var periodType = ""; var periodUnit = ""; var period = 0L
+          var profAttrIdx = Seq.empty[Long]
+          val sampleSlices = Seq.newBuilder[Reader]
+          while (p.hasNext) {
+            val (pf, pw) = p.readTag()
+            (pf, pw) match {
+              case (1, 2) =>
+                val vt = decodeValueType(p.readSlice())
+                sampleType = str(vt._1); sampleUnit = str(vt._2)
+              case (2, 2)  => sampleSlices += p.readSlice()
+              case (3, 0)  => timeNs = p.readVarint()
+              case (3, 1)  => timeNs = p.readFixed64()
+              case (4, 0)  => durNs = p.readVarint()
+              case (4, 1)  => durNs = p.readFixed64()
+              case (5, 2) =>
+                val vt = decodeValueType(p.readSlice())
+                periodType = str(vt._1); periodUnit = str(vt._2)
+              case (6, 0)  => period = p.readVarint()
+              case (8, 2)  => profileId = p.readBytesHex()
+              case (12, _) => profAttrIdx = profAttrIdx ++ packedInts(p, pw)
+              case _       => p.skip(pw)
+            }
+          }
+          // per-profile stack/link dedup, first-seen order (resolve_profile)
+          val stackLocal = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+          val linkLocal = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+          val sampleJsons = Seq.newBuilder[String]
+          for (s <- sampleSlices.result()) {
+            var stackIdx = 0L; var linkIdx = 0L
+            var values = Seq.empty[Long]; var tss = Seq.empty[Long]
+            var attrIdx = Seq.empty[Long]
+            while (s.hasNext) {
+              val (xf, xw) = s.readTag()
+              (xf, xw) match {
+                case (1, 0) => stackIdx = s.readVarint()
+                case (2, _) => values = values ++ packedInts(s, xw)
+                case (3, _) => attrIdx = attrIdx ++ packedInts(s, xw)
+                case (4, 0) => linkIdx = s.readVarint()
+                case (5, _) => tss = tss ++ packedInts(s, xw)
+                case _      => s.skip(xw)
+              }
+            }
+            val localStack = stackLocal.getOrElseUpdate(stackIdx, stackLocal.size)
+            // link_table[0] is the null link by convention
+            val localLink =
+              if (linkIdx > 0 && linkIdx < dict.links.length)
+                Some(linkLocal.getOrElseUpdate(linkIdx, linkLocal.size))
+              else None
+            val attrsJson = sampleAttrsJson(dict, attrIdx)
+            sampleJsons += Seq(
+              Some(s""""stacktrace_index":$localStack"""),
+              Some(s""""values":${values.mkString("[", ",", "]")}"""),
+              if (tss.nonEmpty) Some(s""""timestamps_unix_nano":${tss.mkString("[", ",", "]")}""") else None,
+              localLink.map(l => s""""link_index":$l"""),
+              attrsJson.map(a => s""""attributes":$a""")).flatten
+              .mkString("{", ",", "}")
+          }
+          val stacktracesJson = stackLocal.keys.toSeq
+            .map(si => stacktraceJson(dict, si)).mkString("[", ",", "]")
+          val firstLink = linkLocal.keys.headOption
+            .map(li => dict.links(li.toInt)).getOrElse(("", ""))
+          val profAttrs = profAttrIdx.flatMap { i =>
+            if (i > 0 && i < dict.attrs.length) Some(dict.attrs(i.toInt)) else None
+          }.toMap
+          out += ProfileRow(profileId, timeNs, durNs, sampleType, sampleUnit,
+            periodType, periodUnit, period, serviceName, stacktracesJson,
+            sampleJsons.result().mkString("[", ",", "]"), resMap, profAttrs,
+            firstLink._1, firstLink._2)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def decodeValueType(r: Reader): (Long, Long) = {
+    var t = 0L; var u = 0L
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (1, 0) => t = r.readVarint()
+        case (2, 0) => u = r.readVarint()
+        case _      => r.skip(w)
+      }
+    }
+    (t, u)
+  }
+
+  private def decodeDictionary(d: Reader): ProfDict = {
+    val strings = IndexedSeq.newBuilder[String]
+    val mappings = IndexedSeq.newBuilder[Int]
+    val locations = IndexedSeq.newBuilder[(Int, Long, Seq[(Int, Long, Long)])]
+    val functions = IndexedSeq.newBuilder[(Int, Int, Int)]
+    val links = IndexedSeq.newBuilder[(String, String)]
+    val attrs = IndexedSeq.newBuilder[(String, String)]
+    val stacks = IndexedSeq.newBuilder[Seq[Int]]
+    while (d.hasNext) {
+      val (f, w) = d.readTag()
+      (f, w) match {
+        case (1, 2) => // Mapping{filename_strindex=4}
+          val m = d.readSlice()
+          var fn = 0
+          while (m.hasNext) {
+            val (mf, mw) = m.readTag()
+            if (mf == 4 && mw == 0) fn = m.readVarint().toInt else m.skip(mw)
+          }
+          mappings += fn
+        case (2, 2) => // Location{mapping_index=1, address=2, lines=3}
+          val l = d.readSlice()
+          var mi = 0; var addr = 0L
+          val lines = Seq.newBuilder[(Int, Long, Long)]
+          while (l.hasNext) {
+            val (lf, lw) = l.readTag()
+            (lf, lw) match {
+              case (1, 0) => mi = l.readVarint().toInt
+              case (2, 0) => addr = l.readVarint()
+              case (3, 2) =>
+                val ln = l.readSlice()
+                var fi = 0; var line = 0L; var colNo = 0L
+                while (ln.hasNext) {
+                  val (nf, nw) = ln.readTag()
+                  (nf, nw) match {
+                    case (1, 0) => fi = ln.readVarint().toInt
+                    case (2, 0) => line = ln.readVarint()
+                    case (3, 0) => colNo = ln.readVarint()
+                    case _      => ln.skip(nw)
+                  }
+                }
+                lines += ((fi, line, colNo))
+              case _ => l.skip(lw)
+            }
+          }
+          locations += ((mi, addr, lines.result()))
+        case (3, 2) => // Function{name=1, system_name=2, filename=3}
+          val fn = d.readSlice()
+          var n = 0; var sn = 0; var file = 0
+          while (fn.hasNext) {
+            val (ff, fw) = fn.readTag()
+            (ff, fw) match {
+              case (1, 0) => n = fn.readVarint().toInt
+              case (2, 0) => sn = fn.readVarint().toInt
+              case (3, 0) => file = fn.readVarint().toInt
+              case _      => fn.skip(fw)
+            }
+          }
+          functions += ((n, sn, file))
+        case (4, 2) => // Link{trace_id=1 bytes, span_id=2 bytes}
+          val lk = d.readSlice()
+          var t = ""; var s = ""
+          while (lk.hasNext) {
+            val (lf, lw) = lk.readTag()
+            (lf, lw) match {
+              case (1, 2) => t = lk.readBytesHex()
+              case (2, 2) => s = lk.readBytesHex()
+              case _      => lk.skip(lw)
+            }
+          }
+          links += ((t, s))
+        case (5, 2) => strings += d.readString()
+        case (6, 2) => // KeyValueAndUnit{key_strindex=1, value=2}
+          val kv = d.readSlice()
+          var k = 0L; var v = ""
+          while (kv.hasNext) {
+            val (kf, kw) = kv.readTag()
+            (kf, kw) match {
+              case (1, 0) => k = kv.readVarint()
+              case (2, 2) => v = anyValue(kv.readSlice())
+              case _      => kv.skip(kw)
+            }
+          }
+          attrs += ((k.toString, v)) // key resolved after strings are known
+        case (7, 2) => // Stack{location_indices=1 packed}
+          val st = d.readSlice()
+          var idx = Seq.empty[Long]
+          while (st.hasNext) {
+            val (sf, sw) = st.readTag()
+            if (sf == 1) idx = idx ++ packedInts(st, sw) else st.skip(sw)
+          }
+          stacks += idx.map(_.toInt)
+        case _ => d.skip(w)
+      }
+    }
+    // string_table is used AS SENT (resolve_string: out-of-range → "");
+    // producers put "" at index 0 themselves per the proto convention
+    val strs = strings.result()
+    // second pass: attribute keys were stored as string indices
+    val resolvedAttrs = attrs.result().map { case (ki, v) =>
+      val i = ki.toLong
+      (if (i >= 0 && i < strs.length) strs(i.toInt) else "", v)
+    }
+    ProfDict(strs, mappings.result(), locations.result(), functions.result(),
+      links.result(), resolvedAttrs, stacks.result())
+  }
+
+  /** resolve one stack-table entry to its frames JSON, leaf first,
+    * expanding inlined lines — resolve_stacktrace's output shape with the
+    * reference model's serde skips (empty strings / zeros omitted). */
+  private def stacktraceJson(dict: ProfDict, stackIdx: Long): String = {
+    val locIdxs =
+      if (stackIdx >= 0 && stackIdx < dict.stacks.length) dict.stacks(stackIdx.toInt)
+      else Seq.empty[Int]
+    def str(i: Int): String =
+      if (i >= 0 && i < dict.strings.length) dict.strings(i) else ""
+    val frames = Seq.newBuilder[String]
+    for (li <- locIdxs if li >= 0 && li < dict.locations.length) {
+      val (mi, addr, lines) = dict.locations(li)
+      // mapping_table index 0 = null mapping (reference `*i > 0` filter)
+      val mappingFile =
+        if (mi > 0 && mi < dict.mappingFilenameIdx.length)
+          str(dict.mappingFilenameIdx(mi))
+        else ""
+      def field(k: String, v: String): Option[String] =
+        if (v.nonEmpty) Some(s"${jsonQuote(k)}:${jsonQuote(v)}") else None
+      def num(k: String, v: Long): Option[String] =
+        if (v != 0L) Some(s"${jsonQuote(k)}:$v") else None
+      if (lines.isEmpty) {
+        frames += (Seq(Some(s""""function_name":""""")) ++
+          Seq(num("address", addr), field("mapping_filename", mappingFile)))
+          .flatten.mkString("{", ",", "}")
+      } else for ((fi, line, colNo) <- lines) {
+        val (n, sn, file) =
+          if (fi >= 0 && fi < dict.functions.length) dict.functions(fi)
+          else (0, 0, 0)
+        frames += (Seq(Some(s""""function_name":${jsonQuote(str(n))}""")) ++
+          Seq(field("system_name", str(sn)), field("filename", str(file)),
+            num("line", line), num("column", colNo), num("address", addr),
+            field("mapping_filename", mappingFile))).flatten
+          .mkString("{", ",", "}")
+      }
+    }
+    s"""{"frames":${frames.result().mkString("[", ",", "]")}}"""
+  }
+
+  /** sample attribute indices → JSON object (None when empty); index 0 is
+    * the null attribute by convention. */
+  private def sampleAttrsJson(dict: ProfDict, idxs: Seq[Long]): Option[String] = {
+    val kvs = idxs.flatMap { i =>
+      if (i > 0 && i < dict.attrs.length) Some(dict.attrs(i.toInt)) else None
+    }.filter(_._1.nonEmpty)
+    if (kvs.isEmpty) None
+    else Some(kvs.map { case (k, v) => s"${jsonQuote(k)}:${jsonQuoteIfNeeded(v)}" }
+      .mkString("{", ",", "}"))
+  }
+
   // ---- Spark integration -------------------------------------------------
 
   /** payloads (binary `payload` column, one OTLP logs request per row) →
@@ -564,6 +922,15 @@ object Otlp {
     implicit val enc = Encoders.product[TraceRow]
     payloads.select(col("payload")).as(Encoders.BINARY)
       .flatMap(decodeTracesRequest _)
+      .toDF()
+  }
+
+  /** payloads (one OTLP profiles request per row) → profile rows in the
+    * Schemas.profiles shape. Same narrow flatMap as logs/traces. */
+  def profiles(payloads: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ProfileRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeProfilesRequest _)
       .toDF()
   }
 
