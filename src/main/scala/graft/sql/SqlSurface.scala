@@ -33,6 +33,18 @@ object SqlSurface {
     (q: String) => spark.sql(q).limit(maxRows)
   }
 
+  /** runner whose EXECUTION is wall-clock bounded (reference
+    * flight.rs:2106-2112 wraps every ticket in a timeout): the returned
+    * function materializes the capped result under QueryGuard, so a
+    * runaway scan is cancelled cluster-wide at the deadline instead of
+    * occupying executors indefinitely. */
+  def guardedSession(spark: SparkSession, dir: String, prefix: String = "",
+      maxRows: Int = DefaultMaxRows,
+      timeoutMs: Long = 30000): String => Array[org.apache.spark.sql.Row] = {
+    val run = session(spark, dir, prefix, maxRows)
+    (q: String) => QueryGuard.withTimeout(spark, timeoutMs, q)(run(q).collect())
+  }
+
   /** additionally register the SIGNAL views — the same surfaces the
     * language frontends lower to — so a SQL user joins logs against
     * metrics against traces directly (the reference's raw-SQL surface
