@@ -1,0 +1,43 @@
+package graft.api
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, GraftArrowShim, SparkSession}
+
+/** Arrow result stream — the Flight DATA PLANE without the gRPC
+  * transport (reference: src/querier/src/flight.rs serves every query
+  * result as an Arrow Flight stream of record batches; the transport
+  * itself is out of local scope per the driver contract, the byte format
+  * is not).
+  *
+  * A query result is serialized to the standard Arrow IPC stream format
+  * — schema message followed by record batches — which is byte-for-byte
+  * what a Flight `DoGet` carries in its FlightData payloads. Encoding
+  * happens ON THE EXECUTORS via Spark's own ArrowConverters (each
+  * partition emits finished batch payloads; the driver concatenates
+  * frames, it never touches rows), so the serving boundary scales with
+  * the cluster exactly as the reference's querier does. Any Arrow
+  * consumer (pyarrow, arrow-rs, a Flight server wrapping this) reads the
+  * stream as-is.
+  */
+object ArrowResult {
+
+  val DefaultMaxRecordsPerBatch = 4096L
+
+  /** the result as one Arrow IPC stream. `df` should already be limited/
+    * shaped — this is the post-query serving boundary, same place the
+    * JSON envelopes sit. */
+  def ipcStream(df: DataFrame,
+      maxRecordsPerBatch: Long = DefaultMaxRecordsPerBatch): Array[Byte] = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val batches = GraftArrowShim.toBatchBytes(df, maxRecordsPerBatch, tz)
+    val out = new ByteArrayOutputStream()
+    GraftArrowShim.writeIpcStream(out, df.schema, batches.iterator, tz)
+    out.toByteArray
+  }
+
+  /** read an IPC stream back into a DataFrame — the client half, used to
+    * prove the round trip without an external Arrow runtime. */
+  def fromIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    GraftArrowShim.fromIpcStream(spark, bytes)
+}
