@@ -170,13 +170,57 @@ object PipelineOps {
   private val docShinglesSql =
     s"""SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents"""
 
+  /** near-dup cluster labels as a recursive-CTE body (the q234 oracle's
+    * machinery, shared by the cluster-composed operators q266/q267):
+    * ends in `cl(doc_id, source, text, cluster_id)` with singletons
+    * labeled by their own doc_id. Callers prepend WITH RECURSIVE. */
+  private val clusterLabelCteSql =
+    s"""ds AS ($docShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM sym
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |cl AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)""".stripMargin
+
+  /** per-document cluster-safe split assignment (q266's body, exposed so
+    * PipelineSpec can prove the leakage guarantee itself: no near-dup
+    * edge may cross the split). Columns: doc_id, source, cluster_id,
+    * split. */
+  private[graft] def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val e0 = jaccardEdgesStored(s, dir, 0.5)
+    val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val lab = pointerJumpComponents(sym, rounds = 4)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(lab.select(col("id").as("doc_id"), col("lab")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(concat(lit("split:"), col("cluster_id").cast(StringType))),
+          1, 8) < "e6666666", "train").otherwise("eval"))
+  }
+
   /** verified near-dup edge set materialized ONCE per (dir, threshold) to
     * temp parquet — iterative consumers (q234's pointer jumping) reference
     * the result 2^rounds times in one plan, and without materialization
     * each reference re-executes the full shingle join (measured 108 s at
     * sf0.1 vs ~2 s materialized). Same pattern as `docShinglesStored`. */
   private val pairCache = scala.collection.concurrent.TrieMap[String, String]()
-  private def jaccardEdgesStored(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  private[graft] def jaccardEdgesStored(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val path = pairCache.getOrElseUpdate(s"$dir|$threshold", {
       val p = java.nio.file.Files.createTempDirectory("graft_dup_edges_").toString
       jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))
@@ -1041,6 +1085,45 @@ object PipelineOps {
       pointerJumpComponents(sym, rounds = 4)
         .groupBy(col("lab").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
+    }),
+
+    // Cluster-safe train/eval SPLIT (leakage guard): the split coin is
+    // tossed per near-dup CLUSTER, not per document, so an eval doc can
+    // never have a near-duplicate in train — the contamination mode a
+    // per-doc split (q166) cannot prevent. Composes the q234 component
+    // labels (banded candidate gen, pointer jumping) with the md5-
+    // threshold coin; singletons are their own cluster. One label join on
+    // doc_id — scales exactly as the dedup family does. PipelineSpec
+    // proves the guarantee itself: zero near-dup edges cross the split.
+    "q266_cluster_safe_split" -> ((s, dir) =>
+      clusterSafeSplit(s, dir)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))),
+
+    // Soft dedup (count-once weighting): instead of dropping duplicates,
+    // each document is down-weighted by its near-dup cluster size
+    // (weight = 1/n_members, exact integer ppm) — the standard epoch-
+    // weighting trick when hard dedup would lose coverage. Cluster sizes
+    // come from one hash aggregate over the q234 labels; the weight is a
+    // broadcast-sized dim joined back on the label.
+    "q267_softdedup_weights" -> ((s, dir) => {
+      val e0 = jaccardEdgesStored(s, dir, 0.5)
+      val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val lab = pointerJumpComponents(sym, rounds = 4)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val clustered = docs
+        .join(lab.select(col("id").as("doc_id"), col("lab")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
+      val sizes = clustered.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      clustered.join(sizes, "cluster_id")
+        .withColumn("w_ppm", expr("1000000 div n_members"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w_ppm")).as("eff_docs_ppm"),
+          sum(col("n_tok") * col("w_ppm")).as("eff_tokens_ppm"))
     }),
 
     // Benchmark-contamination check: 4-gram overlap between the training
@@ -2574,6 +2657,31 @@ object PipelineOps {
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
          |  max(id) AS max_doc_id
          |FROM lab GROUP BY 1""".stripMargin,
+
+    "q266_cluster_safe_split" ->
+      s"""WITH RECURSIVE $clusterLabelCteSql,
+         |sp AS (
+         |  SELECT *, CASE WHEN substring(md5(
+         |      concat('split:', CAST(cluster_id AS VARCHAR))), 1, 8)
+         |      < 'e6666666'
+         |    THEN 'train' ELSE 'eval' END AS split
+         |  FROM cl)
+         |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+         |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    "q267_softdedup_weights" ->
+      s"""WITH RECURSIVE $clusterLabelCteSql,
+         |szs AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY 1),
+         |w AS (
+         |  SELECT cl.source,
+         |    CAST(len(string_split(cl.text, ' ')) AS BIGINT) AS n_tok,
+         |    1000000 // s.n_members AS w_ppm
+         |  FROM cl JOIN szs s USING (cluster_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(w_ppm) AS BIGINT) AS eff_docs_ppm,
+         |  CAST(SUM(n_tok * w_ppm) AS BIGINT) AS eff_tokens_ppm
+         |FROM w GROUP BY 1""".stripMargin,
 
     "q235_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

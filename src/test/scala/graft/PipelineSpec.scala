@@ -19,6 +19,22 @@ class PipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("cluster-safe split: no near-dup edge crosses train/eval") {
+    val dir = "/root/testdata/sf0.001"
+    val sp = PipelineOps.clusterSafeSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val edges = PipelineOps.jaccardEdgesStored(spark, dir, 0.5)
+    val crossing = edges
+      .join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+      .join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(crossing.count() == 0, "a near-dup pair split across train/eval leaks eval data")
+    // and both splits are non-trivially populated
+    val bySplit = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "eval") && bySplit.values.forall(_ > 0), s"$bySplit")
+  }
+
   test("pointerJumpComponents merges a diameter-12 path in 4 fixed rounds") {
     import spark.implicits._
     // worst case for min-label propagation: a single long chain where the
