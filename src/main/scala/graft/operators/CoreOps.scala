@@ -824,6 +824,56 @@ object CoreOps {
               |""".stripMargin)
     }),
 
+    // SQL-surface PIVOT (q204's inverse): long (day, event_type) counts
+    // to a wide per-day row — Spark's PivotFirst path over an aggregated
+    // (tiny) frame, one shuffle on day; the fact scan never re-runs.
+    "q268_sql_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(expr("(unix_micros(ts_us) div 1000000) div 86400").as("day"),
+          col("event_type"))
+        .createOrReplaceTempView("events_pv")
+      s.sql("""SELECT * FROM (SELECT day, event_type FROM events_pv)
+              |PIVOT (COUNT(*) FOR event_type IN
+              |  ('click' AS click, 'view' AS view,
+              |   'purchase' AS purchase, 'error' AS error))
+              |""".stripMargin)
+    }),
+
+    // Ordered FUNNEL (view → click → purchase per user, strictly
+    // increasing times): the product/observability "conversion steps"
+    // query. ONE shuffle on user_id: each user's events fold through a
+    // sorted-array aggregate() walking the stage machine (first view,
+    // then first later click, then first later purchase) — no self-joins,
+    // no window sorts, per-user state is three longs. The fold over the
+    // ascending (t, type) array is exactly the min-chain the oracle
+    // expresses with nested conditional mins. µs domain end-to-end.
+    "q269_funnel_steps" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts_us")).as("t"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("event_type").as("et")))).as("evs"))
+        .select(expr(
+          """aggregate(evs,
+            |  named_struct('tv', CAST(NULL AS BIGINT),
+            |               'tc', CAST(NULL AS BIGINT),
+            |               'tp', CAST(NULL AS BIGINT)),
+            |  (acc, x) -> named_struct(
+            |    'tv', CASE WHEN acc.tv IS NULL AND x.et = 'view'
+            |               THEN x.t ELSE acc.tv END,
+            |    'tc', CASE WHEN acc.tc IS NULL AND acc.tv IS NOT NULL
+            |                AND x.et = 'click' AND x.t > acc.tv
+            |               THEN x.t ELSE acc.tc END,
+            |    'tp', CASE WHEN acc.tp IS NULL AND acc.tc IS NOT NULL
+            |                AND x.et = 'purchase' AND x.t > acc.tc
+            |               THEN x.t ELSE acc.tp END))""".stripMargin).as("st"))
+        .agg(
+          count(when(col("st.tv").isNotNull, 1)).as("n_view"),
+          count(when(col("st.tc").isNotNull, 1)).as("n_view_click"),
+          count(when(col("st.tp").isNotNull, 1)).as("n_full_funnel"))
+    }),
+
     // Schema EVOLUTION read (reference schemas.toml traces v1→v2 renames
     // + computed fields): a stored directory whose older files were
     // written under v1 (`name`, `duration_nano`, no partition columns)
@@ -1375,6 +1425,38 @@ object CoreOps {
         |SELECT day, 'n_users', n_users FROM wide
         |UNION ALL
         |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin,
+
+    "q268_sql_pivot" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//1000000//86400 AS day, event_type FROM events)
+        |SELECT day,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        |FROM e GROUP BY day""".stripMargin,
+
+    "q269_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN t END) AS t_view
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, v.t_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.t > v.t_view
+        |        THEN e.t END) AS t_click
+        |  FROM e JOIN v USING (user_id) GROUP BY 1, 2),
+        |p AS (
+        |  SELECT c.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.t > c.t_click
+        |        THEN e.t END) AS t_purchase
+        |  FROM e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT
+        |  CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS BIGINT) AS n_view_click,
+        |  CAST(count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_full_funnel
+        |FROM p""".stripMargin,
 
     // the evolution fixture derives both vintages deterministically from
     // events, so the oracle recomputes straight from the source rows
