@@ -252,4 +252,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected the bounded fan-out explode:\n$plan")
     assert(!plan.contains("Join"), s"no join in the lookback path:\n$plan")
   }
+
+  test("funnel is ONE shuffle on user_id — no self-joins, no window sorts") {
+    val df = operators.CoreOps.queries("q269_funnel_steps")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one exchange for the per-user fold; the final 1-row agg is a
+    // SinglePartition exchange over already-tiny data
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel must not self-join:\n$plan")
+  }
+
+  test("schema-evolution read resolves at scan level — no extra exchange") {
+    val df = operators.CoreOps.queries("q265_schema_evolution")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // mergeSchema + coalesce resolution adds projections only: the single
+    // hash exchange belongs to the final aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"version resolution must not shuffle, got $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no join in version resolution:\n$plan")
+  }
 }
