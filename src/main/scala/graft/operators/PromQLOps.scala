@@ -348,7 +348,20 @@ object PromQLOps {
     // daily counts re-bucketed per 2-day outer step, first/last by inner
     // bucket, delta/step — one extra groupBy on an already-shuffled key
     "q264_promql_rate_subquery" -> q(
-      """rate(count_over_time(click[1d])[2d:1d])""", 172800)
+      """rate(count_over_time(click[1d])[2d:1d])""", 172800),
+
+    // materialized-view REWRITE: an eligible range query answered from
+    // the stored hourly rollup cells (max of maxes — algebraically
+    // lossless), never touching raw samples; RollupRewriteSpec pins both
+    // the route (the plan reads rollup cells) and the fallback (rate /
+    // sub-cell steps / matchers return None). The oracle recomputes from
+    // raw events, proving the rewrite changes nothing but the scan size.
+    "q270_rollup_route" -> ((s, dir) => {
+      val e = Parser.parse("""max_over_time(view[1d])""")
+      graft.promql.RollupRewrite.route(s, dir, e, TimeRange(T0, T1, 86400))
+        .getOrElse(throw new IllegalStateException(
+          "max_over_time(view[1d]) must be rollup-eligible"))
+    })
   )
 
   /** Exact per-(bucket, series) regression sums over a metric selector:
@@ -891,6 +904,13 @@ object PromQLOps {
          |SELECT bucket_start, service_name,
          |  CASE WHEN value > 25 THEN 1.0 ELSE 0.0 END AS value
          |FROM c""".stripMargin,
+
+    "q270_rollup_route" ->
+      s"""WITH m AS ($V)
+         |SELECT ${bkt(86400)} AS bucket_start, service_name,
+         |  max(CAST(value AS DOUBLE)) AS value
+         |FROM m WHERE metric_name = 'view' AND ${win(86400)}
+         |GROUP BY 1, 2""".stripMargin,
 
     // rate over subquery: daily counts, then per 2-day outer bucket
     // (last − first)/outer-step — first/last keyed by the inner bucket
