@@ -824,6 +824,37 @@ object CoreOps {
               |""".stripMargin)
     }),
 
+    // Prometheus ALERT `for:` semantics (alerting rule state machine):
+    // expr = daily error count >= 5, for = 3 consecutive buckets. The
+    // condition evaluates on a DENSE (day × service) spine (a missing
+    // bucket is FALSE and resets the run — exactly why `for:` exists),
+    // then one frame-bounded window (ROWS 2 PRECEDING) counts the run:
+    // 3/3 true → firing, true but <3 → pending. The spine is generated,
+    // never scanned (30 × 8 rows broadcast onto the counts); state per
+    // series is the 3-row frame — no gaps-and-islands self-join.
+    "q271_alert_for" -> ((s, dir) => {
+      val T0 = 1704067200L
+      val spine = s.range(8).select(
+          concat(lit("svc-"), col("id")).as("service_name"))
+        .crossJoin(s.range(30).select(
+          (lit(T0) + col("id") * 86400L).as("bucket_start")))
+      val counts = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(
+          concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+          expr("(unix_micros(ts_us) div 1000000) div 86400 * 86400").as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("service_name"))
+        .orderBy(col("bucket_start").asc).rowsBetween(-2, 0)
+      spine.join(counts, Seq("service_name", "bucket_start"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("cond", (col("n") >= 5).cast(LongType))
+        .withColumn("run", sum(col("cond")).over(w))
+        .filter(col("cond") === 1)
+        .select(col("service_name"), col("bucket_start"), col("n"),
+          when(col("run") === 3, "firing").otherwise("pending").as("state"))
+    }),
+
     // SQL-surface PIVOT (q204's inverse): long (day, event_type) counts
     // to a wide per-day row — Spark's PivotFirst path over an aggregated
     // (tiny) frame, one shuffle on day; the fact scan never re-runs.
@@ -1425,6 +1456,30 @@ object CoreOps {
         |SELECT day, 'n_users', n_users FROM wide
         |UNION ALL
         |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin,
+
+    "q271_alert_for" ->
+      """WITH spine AS (
+        |  SELECT concat('svc-', s.i) AS service_name,
+        |    1704067200 + d.i * 86400 AS bucket_start
+        |  FROM range(0, 8) s(i), range(0, 30) d(i)),
+        |c AS (
+        |  SELECT concat('svc-', user_id % 8) AS service_name,
+        |    (epoch_us(ts)//1000000//86400)*86400 AS bucket_start,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT spine.service_name, spine.bucket_start,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |    CASE WHEN COALESCE(c.n, 0) >= 5 THEN 1 ELSE 0 END AS cond
+        |  FROM spine LEFT JOIN c USING (service_name, bucket_start)),
+        |r AS (
+        |  SELECT *, SUM(cond) OVER (PARTITION BY service_name
+        |    ORDER BY bucket_start
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run
+        |  FROM j)
+        |SELECT service_name, bucket_start, n,
+        |  CASE WHEN run = 3 THEN 'firing' ELSE 'pending' END AS state
+        |FROM r WHERE cond = 1""".stripMargin,
 
     "q268_sql_pivot" ->
       """WITH e AS (
