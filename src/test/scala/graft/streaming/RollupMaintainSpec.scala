@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.Storage
+import graft.storage.Storage.TableLayout
+
+/** Incremental rollup maintenance: micro-batch folds must converge to
+  * exactly the one-shot downsample of all raw rows (associativity), and
+  * marker-guarded replay must be a no-op. */
+class RollupMaintainSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val t0 = 1704067200L * 1000000000L
+
+  private def rows(specs: (Long, String, Double, Long)*): DataFrame = {
+    import spark.implicits._
+    specs.toSeq.toDF("off_s", "service_name", "value", "event_id")
+      .select((lit(t0) + col("off_s") * 1000000000L).as("timestamp"),
+        col("service_name"), col("value"), col("event_id"))
+  }
+
+  test("micro-batch folds converge to the one-shot downsample; replay is a no-op") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val fold = RollupMaintain.maintainBatch(layout, "rollup_1h", 3600L,
+      Seq("service_name"), "event_id") _
+
+    // batch 0: two services in hour 0, one in hour 1
+    val b0 = rows((100L, "a", 10.0, 1L), (200L, "a", 30.0, 2L),
+      (300L, "b", 5.0, 3L), (3700L, "a", 7.0, 4L))
+    // batch 1: LATE rows into hour 0 (merge path), plus day 2
+    val b1 = rows((50L, "a", 99.0, 5L), (400L, "b", 1.0, 6L),
+      (90000L, "a", 2.0, 7L))
+    fold(b0, 0L)
+    fold(b1, 1L)
+
+    val got = spark.read.parquet(layout.path("rollup_1h"))
+    val oneShot = Storage.downsample(b0.unionByName(b1), 3600L,
+      Seq("service_name"), "event_id")
+    val key = Seq("bucket_start", "service_name", "n", "vmin", "vmax",
+      "vlast", "tlast", "tielast")
+    def snap(df: DataFrame) =
+      df.select(key.head, key.tail.map(c => c): _*).collect().map(_.toSeq).toSet
+    assert(snap(got) == snap(oneShot),
+      "incremental cells diverged from the one-shot downsample")
+    // decimal sums too
+    def sums(df: DataFrame) = df.select(col("bucket_start"), col("service_name"),
+      col("vsum").cast("double")).collect().map(_.toSeq).toSet
+    assert(sums(got) == sums(oneShot))
+
+    // hour-0 'a' cell really merged: 3 samples, last = the (200s, id 2) row
+    val a0 = got.filter(col("bucket_start") === 1704067200L && col("service_name") === "a")
+      .select("n", "vlast").head
+    assert(a0.getLong(0) == 3L && a0.getDouble(1) == 30.0)
+
+    // replaying batch 1 must change nothing (marker guard)
+    fold(b1, 1L)
+    assert(snap(spark.read.parquet(layout.path("rollup_1h"))) == snap(oneShot))
+  }
+}
