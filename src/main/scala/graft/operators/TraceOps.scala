@@ -108,6 +108,20 @@ object TraceOps {
           col("duration_nanos"))
     }),
 
+    // TraceQL grammar breadth surfaced by the corpus: NUMERIC attr
+    // comparison with coercion (span.k >= 50 — the attr string casts,
+    // non-numeric → null → no match, Tempo semantics), unquoted
+    // intrinsic ENUM (status = error, case-insensitive) and the
+    // fully-anchored =~ regex (Tempo ≥2.2). All plain pushdown-friendly
+    // column predicates — one scan, no shuffle before the projection.
+    "q272_traceql_numeric_enum" -> ((s, dir) => {
+      val conds = TraceQL.parse(
+        """{ status = error && span.k >= 50 && name =~ "err.*" }""")
+      tracesDf(s, dir).filter(TraceQL.lower(conds))
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
     // Tempo tags logfmt search → equality conditions
     "q61_tempo_tags" -> ((s, dir) => {
       val conds = TraceQL.parseTags("""service.name=svc-3 name=purchase""")
@@ -460,6 +474,13 @@ object TraceOps {
       s"""WITH spans AS ($tracesViewSql)
          |SELECT trace_id, span_id, timestamp, status_code FROM spans
          |WHERE service_name = 'svc-3' AND span_name = 'purchase'""".stripMargin,
+
+    "q272_traceql_numeric_enum" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT trace_id, span_id, span_name, duration_nanos FROM spans
+         |WHERE upper(status_code) = 'ERROR'
+         |  AND TRY_CAST(attr_k AS DOUBLE) >= 50
+         |  AND regexp_matches(span_name, '^(?:err.*)$$')""".stripMargin,
 
     "q91_trace_point_lookup" ->
       s"""WITH spans AS (${graft.SignalViews.tracesGen2ViewSql})

@@ -20,6 +20,16 @@ object TraceQL {
 
   sealed trait Cond
   final case class StrEq(selector: String, value: String, negated: Boolean) extends Cond
+  /** numeric comparison with attr coercion (`span.http.status_code >=
+    * 400`): the attr string casts to double, non-numeric → null → no
+    * match — Tempo's coercion semantics. */
+  final case class NumCmp(selector: String, op: String, value: Double) extends Cond
+  /** fully-anchored regex matcher (`name =~ "GET /api/.*"`, Tempo ≥2.2
+    * anchors both ends). */
+  final case class ReMatch(selector: String, regex: String, negated: Boolean) extends Cond
+  /** unquoted intrinsic enum (`status = error`, `kind = server`) —
+    * case-insensitive against the stored string. */
+  final case class EnumEq(selector: String, value: String, negated: Boolean) extends Cond
   final case class DurCmp(op: String, nanos: Long) extends Cond
   /** top-level `||` inside a spanset: an OR of `&&`-groups — one Cond, so
     * every consumer (spansets, structural sides, metrics selectors) gets
@@ -222,6 +232,9 @@ object TraceQL {
 
   private val durRe = """^duration\s*(>=|<=|>|<)\s*(\d+)(ns|us|ms|s|m|h)$""".r
   private val eqRe = """^([\w.]+|\.[\w.]+)\s*(=|!=)\s*"((?:[^"\\]|\\.)*)"$""".r
+  private val reRe = """^([\w.]+|\.[\w.]+)\s*(=~|!~)\s*"((?:[^"\\]|\\.)*)"$""".r
+  private val numRe = """^([\w.]+|\.[\w.]+)\s*(>=|<=|!=|=|>|<)\s*(-?\d+(?:\.\d+)?)$""".r
+  private val enumRe = """^(status|status\.code|kind|span\.kind)\s*(=|!=)\s*([A-Za-z_]+)$""".r
 
   private def parseCond(s: String): Cond = s match {
     case durRe(op, n, unit) =>
@@ -233,6 +246,16 @@ object TraceQL {
       DurCmp(op, n.toLong * mult)
     case eqRe(sel, op, v) =>
       StrEq(sel, v.replace("\\\"", "\""), negated = op == "!=")
+    case reRe(sel, op, v) =>
+      ReMatch(sel, v.replace("\\\"", "\""), negated = op == "!~")
+    case enumRe(sel, op, v) =>
+      EnumEq(sel, v, negated = op == "!=")
+    case numRe("duration", op, n) => // bare-number duration = nanos
+      if (op == "=" || op == "!=")
+        throw Unsupported("TraceQL: duration supports ordering comparisons")
+      DurCmp(op, math.round(n.toDouble))
+    case numRe(sel, op, n) =>
+      NumCmp(sel, op, n.toDouble)
     case other => throw Unsupported(s"TraceQL: unsupported condition '$other'")
   }
 
@@ -302,6 +325,7 @@ object TraceQL {
   private def selectorCol(sel: String): Column = sel match {
     case "name" | "span.name"              => col("span_name")
     case "status" | "status.code"          => col("status_code")
+    case "kind" | "span.kind"              => col("span_kind")
     case "service.name" | "resource.service.name" => col("service_name")
     case s if s.startsWith("span.")        => element_at(col("span_attributes"), s.stripPrefix("span."))
     case s if s.startsWith("resource.")    => element_at(col("resource_attributes"), s.stripPrefix("resource."))
@@ -314,6 +338,22 @@ object TraceQL {
   private def condCol(c: Cond): Column = c match {
     case StrEq(sel, v, false) => selectorCol(sel) === v
     case StrEq(sel, v, true)  => selectorCol(sel) =!= v
+    case NumCmp(sel, op, v) =>
+      val n = selectorCol(sel).cast(DoubleType) // non-numeric → null → no match
+      op match {
+        case ">"  => n > v
+        case ">=" => n >= v
+        case "<"  => n < v
+        case "<=" => n <= v
+        case "="  => n === v
+        case "!=" => n =!= v
+      }
+    case ReMatch(sel, re, neg) =>
+      val m = selectorCol(sel).rlike("^(?:" + re + ")$") // Tempo ≥2.2 anchoring
+      if (neg) !m else m
+    case EnumEq(sel, v, neg) =>
+      val m = upper(selectorCol(sel)) === v.toUpperCase
+      if (neg) !m else m
     case DurCmp(op, n) =>
       val d = col("duration_nanos")
       op match {
