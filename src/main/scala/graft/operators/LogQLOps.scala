@@ -361,6 +361,18 @@ object LogQLOps {
     // window's own volume. The per-template aggregate state is bounded
     // by the log format, so the final cross-join with the 1-row totals
     // broadcast is trivial at any scale.
+    // Loki index-volume API (`/loki/api/v1/index/volume`, Loki ≥2.9):
+    // log VOLUME in bytes per stream label value over the range — the
+    // capacity-planning panel. One hash aggregate over octet_length;
+    // byte math (not chars) so multi-byte content reports honestly.
+    "q273_loki_volume" -> ((s, dir) => {
+      SignalViews.logsDf(s, dir)
+        .groupBy(col("service_name"),
+          expr("(timestamp div 1000000000) div 86400 * 86400").as("bucket_start"))
+        .agg(sum(expr("octet_length(body)").cast("long")).as("volume_bytes"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     "q256_pattern_shift" -> ((s, dir) => {
       val cutNs = (1704067200L + 7L * 86400L) * 1000000000L // Jan 8
       val t = SignalViews.logsDf(s, dir)
@@ -838,6 +850,14 @@ object LogQLOps {
          |SELECT template, COUNT(*) AS n_lines,
          |  MIN(event_id) AS sample_event_id
          |FROM t GROUP BY template""".stripMargin,
+
+    "q273_loki_volume" ->
+      s"""WITH logs AS ($V)
+         |SELECT service_name,
+         |  (timestamp//1000000000//86400)*86400 AS bucket_start,
+         |  CAST(SUM(strlen(body)) AS BIGINT) AS volume_bytes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM logs GROUP BY 1, 2""".stripMargin,
 
     "q256_pattern_shift" ->
       s"""WITH logs AS ($V),
