@@ -102,4 +102,39 @@ object Footers {
     require(rs.nonEmpty, s"no footer stats for $column under $dir")
     rs.map(r => (r.max - r.min).toDouble).sum / rs.size
   }
+
+  /** one partition directory's health. */
+  final case class PartitionStats(partition: String, files: Long,
+      rows: Long, bytes: Long, avgFileBytes: Long)
+
+  /** per-partition file health under a table root — file count, rows
+    * (from footers), bytes, average file size: the numbers the
+    * compaction planner decides on and the reference logs per candidate
+    * (planner.rs PartitionStats). Leaf-directory listing + footer reads
+    * only; no row data, no Spark job. */
+  def partitionReport(spark: SparkSession, tableDir: String): Seq[PartitionStats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val byPartition = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)] // files, rows, bytes
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.getParent.toString
+          .stripPrefix(root.toString).stripPrefix("/")
+        val part = if (rel.isEmpty) "." else rel
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        val rows = try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally rd.close()
+        val (pf, pr, pb) = byPartition.getOrElse(part, (0L, 0L, 0L))
+        byPartition(part) = (pf + 1, pr + rows, pb + f.getLen)
+      }
+    }
+    byPartition.toSeq.map { case (p, (nf, nr, nb)) =>
+      PartitionStats(p, nf, nr, nb, if (nf == 0) 0L else nb / nf)
+    }
+  }
 }

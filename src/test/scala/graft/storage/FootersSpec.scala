@@ -59,4 +59,30 @@ class FootersSpec extends AnyFunSuite {
     assert(linSkip == 0L, s"a-sorted layout cannot skip on b, got $linSkip")
     assert(zSkip >= 450000L, s"z-order should skip ~half the row groups on b, got $zSkip")
   }
+
+  test("partition report surfaces the planner's numbers; compaction heals them") {
+    import scala.util.chaining._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-preport").toString
+    val layout = Storage.TableLayout(dir, "acme", "prod")
+    val t0 = 1704067200L * 1000000000L
+    // 3 small appends into ONE hour = 3 small files
+    for (b <- 0 until 3)
+      Seq((t0 + b, b.toLong, "svc", "info", s"l$b", Map("k" -> "v")))
+        .toDF("timestamp", "event_id", "service_name", "severity_text",
+          "body", "log_attributes")
+        .pipe(df => Storage.append(df, layout, "logs"))
+
+    val before = Footers.partitionReport(spark, layout.path("logs"))
+    assert(before.size == 1 && before.head.files == 3 && before.head.rows == 3,
+      s"expected one 3-file partition, got $before")
+    assert(before.head.partition.contains("date_day=2024-01-01"))
+    assert(before.head.avgFileBytes > 0 &&
+      before.head.avgFileBytes * before.head.files == before.head.bytes)
+
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0)
+    val after = Footers.partitionReport(spark, layout.path("logs"))
+    assert(after.size == 1 && after.head.files == 1 && after.head.rows == 3,
+      s"compaction must leave one file with all rows, got $after")
+  }
 }
