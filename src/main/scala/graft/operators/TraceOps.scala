@@ -122,6 +122,52 @@ object TraceOps {
           col("duration_nanos"))
     }),
 
+    // APDEX from span durations (satisfied ≤ 50ms < tolerating ≤ 200ms):
+    // the SLA scoring panel — exact integer arithmetic end to end,
+    // score_ppm = (2·sat + tol)·1e6 / (2·total), one hash aggregate.
+    "q274_apdex" -> ((s, dir) => {
+      tracesDf(s, dir)
+        .groupBy(col("service_name"),
+          expr("(timestamp div 1000000000) div 86400 * 86400").as("bucket_start"))
+        .agg(
+          sum((col("duration_nanos") <= 50000000L).cast(LongType)).as("satisfied"),
+          sum((col("duration_nanos") > 50000000L &&
+            col("duration_nanos") <= 200000000L).cast(LongType)).as("tolerating"),
+          count(lit(1)).as("total"))
+        .withColumn("apdex_ppm",
+          expr("(2 * satisfied + tolerating) * 1000000 div (2 * total)"))
+    }),
+
+    // Latency heatmap: spans per (day, service, duration band) over a
+    // FIXED boundary ladder (1/10/100 ms, 1 s) — deterministic CASE
+    // labels on both engines, no float log2 boundary risk. The heatmap
+    // every tracing UI renders; one aggregate, band cardinality fixed.
+    "q275_latency_heatmap" -> ((s, dir) => {
+      tracesDf(s, dir)
+        .withColumn("band", expr(
+          """CASE WHEN duration_nanos < 1000000 THEN '<1ms'
+            |     WHEN duration_nanos < 10000000 THEN '1-10ms'
+            |     WHEN duration_nanos < 100000000 THEN '10-100ms'
+            |     WHEN duration_nanos < 1000000000 THEN '100ms-1s'
+            |     ELSE '>=1s' END""".stripMargin))
+        .groupBy(expr("(timestamp div 1000000000) div 86400 * 86400").as("bucket_start"),
+          col("service_name"), col("band"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Spanmetrics generator (the OTel collector's spanmetrics connector /
+    // Tempo metrics-generator): RED per (service, operation, day) —
+    // request count, error count, exact integer duration sum so the
+    // derived mean is reproducible. The bridge from traces to dashboards.
+    "q276_spanmetrics" -> ((s, dir) => {
+      tracesDf(s, dir)
+        .groupBy(col("service_name"), col("span_name"),
+          expr("(timestamp div 1000000000) div 86400 * 86400").as("bucket_start"))
+        .agg(count(lit(1)).as("calls"),
+          sum((col("status_code") === "ERROR").cast(LongType)).as("errors"),
+          sum(col("duration_nanos")).as("duration_sum_nanos"))
+    }),
+
     // Tempo tags logfmt search → equality conditions
     "q61_tempo_tags" -> ((s, dir) => {
       val conds = TraceQL.parseTags("""service.name=svc-3 name=purchase""")
@@ -481,6 +527,44 @@ object TraceOps {
          |WHERE upper(status_code) = 'ERROR'
          |  AND TRY_CAST(attr_k AS DOUBLE) >= 50
          |  AND regexp_matches(span_name, '^(?:err.*)$$')""".stripMargin,
+
+    "q274_apdex" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |g AS (
+         |  SELECT service_name,
+         |    (timestamp//1000000000//86400)*86400 AS bucket_start,
+         |    CAST(SUM(CASE WHEN duration_nanos <= 50000000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS satisfied,
+         |    CAST(SUM(CASE WHEN duration_nanos > 50000000
+         |      AND duration_nanos <= 200000000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tolerating,
+         |    CAST(COUNT(*) AS BIGINT) AS total
+         |  FROM spans GROUP BY 1, 2)
+         |SELECT *, (2 * satisfied + tolerating) * 1000000 // (2 * total)
+         |  AS apdex_ppm
+         |FROM g""".stripMargin,
+
+    "q275_latency_heatmap" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT (timestamp//1000000000//86400)*86400 AS bucket_start,
+         |  service_name,
+         |  CASE WHEN duration_nanos < 1000000 THEN '<1ms'
+         |       WHEN duration_nanos < 10000000 THEN '1-10ms'
+         |       WHEN duration_nanos < 100000000 THEN '10-100ms'
+         |       WHEN duration_nanos < 1000000000 THEN '100ms-1s'
+         |       ELSE '>=1s' END AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM spans GROUP BY 1, 2, 3""".stripMargin,
+
+    "q276_spanmetrics" ->
+      s"""WITH spans AS ($tracesViewSql)
+         |SELECT service_name, span_name,
+         |  (timestamp//1000000000//86400)*86400 AS bucket_start,
+         |  CAST(COUNT(*) AS BIGINT) AS calls,
+         |  CAST(SUM(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS errors,
+         |  CAST(SUM(duration_nanos) AS BIGINT) AS duration_sum_nanos
+         |FROM spans GROUP BY 1, 2, 3""".stripMargin,
 
     "q91_trace_point_lookup" ->
       s"""WITH spans AS (${graft.SignalViews.tracesGen2ViewSql})
