@@ -51,6 +51,68 @@ object Multimodal {
     }
   }
 
+  /** ======= REAL ======= container-header decode, no codec libraries:
+    * image dimensions parsed from the actual byte layout —
+    * PNG IHDR (BE32 width/height at offsets 16/20 after the 8-byte
+    * signature + chunk header), JPEG via a marker walk to the first SOF
+    * (BE16 height at +5, width at +7, skipping APPn/COM segments by
+    * their BE16 lengths), GIF logical screen descriptor (LE16 at 6/8).
+    * Unknown/truncated payloads → None, never a guess. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    val pngSig = Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length >= 24 && (0 until 8).forall(i => u8(i) == pngSig(i)))
+      Some((be32(16), be32(20)))
+    else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == '8')
+      Some((le16(6), le16(8)))
+    else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 9 <= bytes.length) {
+        if (u8(i) != 0xFF) return None
+        val marker = u8(i + 1)
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+        else {
+          val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) return Some((be16(i + 7), be16(i + 5)))
+          i += 2 + be16(i + 2)
+        }
+      }
+      None
+    } else None
+  }
+
+  /** structurally valid minimal image headers for the three containers —
+    * the FIXTURE generator (payload bodies are synthetic; the headers
+    * follow the real byte layout, so imageDims exercises the genuine
+    * parse paths). */
+  def syntheticImage(format: String, w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    format match {
+      case "png" =>
+        Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+          be32(13) ++ "IHDR".getBytes("ASCII") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 2, 0, 0, 0)
+      case "jpeg" =>
+        // SOI, APP0 (JFIF), then SOF0 — the APP0 forces the marker walk
+        Array(0xFF, 0xD8).map(_.toByte) ++
+          Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++
+          "JFIF".getBytes("ASCII") ++ Array.fill[Byte](10)(0) ++
+          Array(0xFF, 0xC0).map(_.toByte) ++ be16(11) ++ Array[Byte](8) ++
+          be16(h) ++ be16(w) ++ Array[Byte](3, 0)
+      case "gif" =>
+        "GIF89a".getBytes("ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+  }
+
   /** "resize"/"frame-sample" stub: keep every strideth 16-byte block —
     * real plumbing (binary slicing is genuine), fake media semantics. */
   def frameSample(df: DataFrame, stride: Int): DataFrame =

@@ -33,6 +33,27 @@ object MultimodalOps {
     "q64_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(mediaDs(s, dir)).toDF()),
 
+    // REAL container-header decode: dimensions parsed from the actual
+    // PNG/JPEG/GIF byte layouts (pure JVM, no codec libs) — the payload
+    // is generated with those dims baked into structurally valid
+    // headers, so the oracle's arithmetic twin proves the PARSER read
+    // the right offsets in all three containers. Per-row decode rides
+    // the same mapPartitions boundary as the feature path.
+    "q277_image_dims" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nc) =>
+          val fmt = (id % 3) match {
+            case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+          }
+          val bytes = Multimodal.syntheticImage(fmt,
+            (id % 64 + 16).toInt, (nc % 64 + 16).toInt)
+          val (w, h) = Multimodal.imageDims(bytes).getOrElse((-1, -1))
+          (id, fmt, w, h)
+        }.toDF("media_id", "format", "width", "height")
+    }),
+
     // binary frame sampling: n_frames per media by kind
     "q65_multimodal_framesample" -> ((s, dir) => {
       val media = mediaDs(s, dir).toDF()
@@ -60,6 +81,14 @@ object MultimodalOps {
         |  (strpos('0123456789abcdef', substr(h,7,1))-1)/15.0 AS f6,
         |  (strpos('0123456789abcdef', substr(h,8,1))-1)/15.0 AS f7
         |FROM media""".stripMargin,
+
+    "q277_image_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    ELSE 'gif' END AS format,
+        |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+        |  CAST(n_chars % 64 + 16 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
 
     "q65_multimodal_framesample" ->
       """WITH media AS (
