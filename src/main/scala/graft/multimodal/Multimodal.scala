@@ -113,6 +113,76 @@ object Multimodal {
     }
   }
 
+  /** WAV metadata from the RIFF chunk walk (no codec libs): find the
+    * `fmt ` chunk, read channels (LE16 at data+2) and sample rate (LE32
+    * at data+4). None for non-RIFF/truncated payloads. */
+  def wavMeta(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(bytes.slice(i, i + 4), "ASCII")
+    if (bytes.length < 20 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 8 + 8 <= bytes.length)
+        return Some((le32(i + 8 + 4), le16(i + 8 + 2))) // (sampleRate, channels)
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** MP4/ISO-BMFF metadata from the box walk: moov → mvhd (version 0:
+    * BE32 timescale at +12, BE32 duration at +16 of the box payload). */
+  def mp4Meta(bytes: Array[Byte]): Option[(Int, Long)] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int) = new String(bytes.slice(i + 4, i + 8), "ASCII")
+    def walk(from: Int, to: Int): Option[(Int, Long)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(i)
+        if (size < 8 || i + size > to) return None
+        tag(i) match {
+          case "moov" =>
+            val r = walk(i + 8, i + size)
+            if (r.isDefined) return r
+          case "mvhd" if size >= 8 + 20 && u8(i + 8) == 0 => // version 0
+            return Some((be32(i + 8 + 12), be32(i + 8 + 16).toLong & 0xFFFFFFFFL))
+          case _ => ()
+        }
+        i += size
+      }
+      None
+    }
+    if (bytes.length < 8) None else walk(0, bytes.length)
+  }
+
+  /** structurally valid WAV header fixture. */
+  def syntheticWav(sampleRate: Int, channels: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    "RIFF".getBytes("ASCII") ++ le32(36) ++ "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels * 2) ++ le16((channels * 2)) ++ le16(16) ++
+      "data".getBytes("ASCII") ++ le32(0)
+  }
+
+  /** structurally valid minimal MP4 fixture (ftyp + moov/mvhd v0). */
+  def syntheticMp4(timescale: Int, durationUnits: Long): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes("ASCII") ++
+      "isom".getBytes("ASCII") ++ be32(512)
+    val mvhdPayload = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(durationUnits.toInt) ++ Array.fill[Byte](80)(0)
+    val mvhd = be32(8 + mvhdPayload.length) ++ "mvhd".getBytes("ASCII") ++ mvhdPayload
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes("ASCII") ++ mvhd
+    ftyp ++ moov
+  }
+
   /** "resize"/"frame-sample" stub: keep every strideth 16-byte block —
     * real plumbing (binary slicing is genuine), fake media semantics. */
   def frameSample(df: DataFrame, stride: Int): DataFrame =

@@ -54,6 +54,32 @@ object MultimodalOps {
         }.toDF("media_id", "format", "width", "height")
     }),
 
+    // audio/video metadata through the same real header parsers: WAV
+    // RIFF chunk walk (sample rate, channels) and MP4 box walk
+    // (moov→mvhd timescale, duration units) — dims baked into valid
+    // structures and round-tripped against the arithmetic oracle twin.
+    "q278_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nc) =>
+          if (id % 3 == 1) { // audio
+            val rate = 8000 + (id % 8).toInt * 4000
+            val ch = 1 + (id % 2).toInt
+            val (gotRate, gotCh) = Multimodal.wavMeta(
+              Multimodal.syntheticWav(rate, ch)).getOrElse((-1, -1))
+            (id, "audio", gotRate.toLong, gotCh.toLong)
+          } else { // video
+            val ts = 1000 * (1 + (id % 4).toInt)
+            val dur = (nc % 100000) + 1
+            val (gotTs, gotDur) = Multimodal.mp4Meta(
+              Multimodal.syntheticMp4(ts, dur)).getOrElse((-1, -1L))
+            (id, "video", gotTs.toLong, gotDur)
+          }
+        }.toDF("media_id", "kind", "m1", "m2")
+    }),
+
     // binary frame sampling: n_frames per media by kind
     "q65_multimodal_framesample" -> ((s, dir) => {
       val media = mediaDs(s, dir).toDF()
@@ -89,6 +115,15 @@ object MultimodalOps {
         |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
         |  CAST(n_chars % 64 + 16 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    "q278_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 4000
+        |       ELSE 1000 * (1 + doc_id % 4) END AS BIGINT) AS m1,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+        |       ELSE (n_chars % 100000) + 1 END AS BIGINT) AS m2
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
 
     "q65_multimodal_framesample" ->
       """WITH media AS (

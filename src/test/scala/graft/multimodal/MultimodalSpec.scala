@@ -23,6 +23,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(buf).contains((456, 123)))
   }
 
+  test("WAV chunk walk and MP4 box walk round trip; junk chunks skipped") {
+    assert(Multimodal.wavMeta(Multimodal.syntheticWav(44100, 2))
+      .contains((44100, 2)))
+    // a LIST chunk before fmt must be skipped by size
+    val wav = Multimodal.syntheticWav(16000, 1)
+    val withList = wav.take(12) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array.fill[Byte](4)(9) ++
+      wav.drop(12)
+    assert(Multimodal.wavMeta(withList).contains((16000, 1)))
+    assert(Multimodal.mp4Meta(Multimodal.syntheticMp4(90000, 12345L))
+      .contains((90000, 12345L)))
+    assert(Multimodal.wavMeta("RIFFxxxxAVI ".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(Array[Byte](0, 0, 0, 1)).isEmpty)
+  }
+
   test("garbage and truncated payloads decode to None") {
     assert(Multimodal.imageDims(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)
