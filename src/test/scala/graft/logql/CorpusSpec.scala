@@ -117,7 +117,15 @@ class CorpusSpec extends AnyFunSuite {
     """{job_name="myapp"} | logfmt | addr = ip("192.168.4.0/24") or addr = ip("10.10.15.0/24")""",
     """{name =~ "(?s).*mysql.*"}""",
     """sum(rate({app="foo"}[5m])) * 2""",
-    """{job="varlogs"}|json|drop __error__""")
+    """{job="varlogs"}|json|drop __error__""",
+    // shared-lexer upgrades (round 5): single-quoted strings, compound
+    // durations, scientific-notation numbers, trailing comments
+    """{job='api'} |= 'error'""",
+    """count_over_time({job="api"}[1h30m])""",
+    """rate({job="api"}[1m30s])""",
+    """{job="api"} | json | v > 1e3""",
+    """{job="api"} | logfmt | ratio <= 2.5e-3""",
+    "sum(rate({job=\"api\"}[5m])) # error rate")
 
   private val pinnedUnsupported = Seq(
     """{job="api"} | ip "10.0.0.0/8"""",         // standalone ip stage is not LogQL
