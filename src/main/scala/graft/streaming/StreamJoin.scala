@@ -27,4 +27,23 @@ object StreamJoin {
          |p_ts <= c_ts + interval $gapSec seconds""".stripMargin))
       .select("user", "c_id", "p_id", "c_ts", "p_ts")
   }
+
+  /** LEFT OUTER variant — the funnel question "which clicks did NOT
+    * convert?" needs the unmatched side, and in streaming that answer
+    * only EXISTS once the watermark proves no matching purchase can
+    * still arrive: Spark emits the null-padded row when the purchase
+    * watermark passes c_ts + gap, i.e. when the click's join state
+    * expires. Same bounded-state proof as the inner form — the outer
+    * row is a byproduct of eviction, not extra state. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+      gapSec: Long, watermark: String): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermark)
+    val p = purchases.withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"""user = p_user AND
+         |p_ts >= c_ts AND
+         |p_ts <= c_ts + interval $gapSec seconds""".stripMargin),
+      "leftOuter")
+      .select("user", "c_id", "p_id", "c_ts", "p_ts")
+  }
 }

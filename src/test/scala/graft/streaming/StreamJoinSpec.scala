@@ -59,4 +59,36 @@ class StreamJoinSpec extends AnyFunSuite {
         s"late purchase behind the watermark must not join: $after")
     } finally q.stop()
   }
+
+  test("left-outer emits the unconverted click once the watermark proves it") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, String, Long)](spark)
+    val purchases = MemoryStream[(Timestamp, String, Long)](spark)
+    val out = StreamJoin.clickAttributionOuter(
+      clicks.toDF().toDF("c_ts", "user", "c_id"),
+      purchases.toDF().toDF("p_ts", "p_user", "p_id"),
+      gapSec = 3600, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // u1 converts; u2 never does
+      clicks.addData((t(0), "u1", 1L), (t(0), "u2", 2L))
+      purchases.addData((t(30), "u1", 100L))
+      q.processAllAvailable()
+      // push BOTH watermarks far past t0 + gap so u2's state expires
+      clicks.addData((t(600), "u9", 9L))
+      purchases.addData((t(600), "u9", 900L))
+      q.processAllAvailable()
+      // one more advance: outer results surface on state eviction
+      clicks.addData((t(700), "u8", 8L))
+      purchases.addData((t(700), "u8", 800L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer")
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 100L)), s"converted pair missing: $rows")
+      assert(rows.contains((2L, -1L)),
+        s"unconverted click must surface null-padded after eviction: $rows")
+    } finally q.stop()
+  }
 }
