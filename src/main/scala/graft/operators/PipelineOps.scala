@@ -203,9 +203,7 @@ object PipelineOps {
     * edge may cross the split). Columns: doc_id, source, cluster_id,
     * split. */
   private[graft] def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val e0 = jaccardEdgesStored(s, dir, 0.5)
-    val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val lab = pointerJumpComponents(sym, rounds = 4)
+    val lab = componentLabelsStored(s, dir, 0.5)
     Tables.documents(s, dir).select(col("doc_id"), col("source"))
       .join(lab.select(col("id").as("doc_id"), col("lab")), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
@@ -224,6 +222,25 @@ object PipelineOps {
     val path = pairCache.getOrElseUpdate(s"$dir|$threshold", {
       val p = java.nio.file.Files.createTempDirectory("graft_dup_edges_").toString
       jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** component LABELS materialized once per (dir, threshold), like the
+    * edge set above: q234/q266/q267 all fold the same pointer-jump
+    * closure, and the iterative rounds (localCheckpoint actions) are the
+    * expensive part — computing them once and reading (id, lab) parquet
+    * after is the same plan-reuse discipline, one level up. */
+  private val labelCache = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def componentLabelsStored(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val path = labelCache.getOrElseUpdate(s"$dir|$threshold", {
+      val p = java.nio.file.Files.createTempDirectory("graft_dup_labels_").toString
+      val e0 = jaccardEdgesStored(s, dir, threshold)
+      val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      pointerJumpComponents(sym, rounds = 4)
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -1080,9 +1097,7 @@ object PipelineOps {
     // on this graph or the gate fails; PipelineSpec pins convergence on
     // a diameter-12 path graph. Canonical doc = cluster min (q20's rule).
     "q234_dup_clusters" -> ((s, dir) => {
-      val e0 = jaccardEdgesStored(s, dir, 0.5)
-      val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      pointerJumpComponents(sym, rounds = 4)
+      componentLabelsStored(s, dir, 0.5)
         .groupBy(col("lab").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id"))
     }),
@@ -1108,9 +1123,7 @@ object PipelineOps {
     // come from one hash aggregate over the q234 labels; the weight is a
     // broadcast-sized dim joined back on the label.
     "q267_softdedup_weights" -> ((s, dir) => {
-      val e0 = jaccardEdgesStored(s, dir, 0.5)
-      val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      val lab = pointerJumpComponents(sym, rounds = 4)
+      val lab = componentLabelsStored(s, dir, 0.5)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("n_tok"))
       val clustered = docs
