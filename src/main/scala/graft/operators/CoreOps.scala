@@ -824,6 +824,27 @@ object CoreOps {
               |""".stripMargin)
     }),
 
+    // Markov TRANSITION MATRIX over per-user event streams (the behavior
+    // model behind "what usually follows a click?"): lead() per user in
+    // the µs domain, pair counts, and row-normalized probabilities in
+    // exact integer ppm (widened so 100 TB pair counts can't wrap). One
+    // window + two hash aggregates on already-shuffled keys.
+    "q280_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts_us")).asc, col("event_id").asc)
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      pairs.join(fromTot, "from_type")
+        .withColumn("p_ppm",
+          expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div tot"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+    }),
+
     // Prometheus ALERT `for:` semantics (alerting rule state machine):
     // expr = daily error count >= 5, for = 3 consecutive buckets. The
     // condition evaluates on a DENSE (day × service) spine (a missing
@@ -1456,6 +1477,22 @@ object CoreOps {
         |SELECT day, 'n_users', n_users FROM wide
         |UNION ALL
         |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin,
+
+    "q280_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type, to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  CAST((CAST(p.n AS HUGEINT) * 1000000) // ft.tot AS BIGINT) AS p_ppm
+        |FROM p JOIN ft USING (from_type)""".stripMargin,
 
     "q271_alert_for" ->
       """WITH spine AS (

@@ -418,6 +418,46 @@ object TraceOps {
     // structural queries use; the edge rollup is one equi-join on
     // (trace_id, parent_span_id) + one hash aggregate — per-trace keys,
     // so the shuffle stays partitioned by trace at any scale.
+    // Weighted PageRank over the q209 service graph — "which service is
+    // structurally load-bearing" (the criticality ranking SRE teams
+    // build from the dependency graph). Three unrolled rounds in EXACT
+    // integer ppm: contribution = (rank·weight) div out-weight (widened
+    // through DECIMAL so 100 TB call counts can't wrap), teleport
+    // 0.15/N and damping ·85/100 as integer divisions — bit-identical
+    // on any engine/partitioning, no float accumulation order. The
+    // graph is service-cardinality sized (broadcast everywhere).
+    "q279_service_pagerank" -> ((s, dir) => {
+      val svcOf = expr(
+        """CASE span_name WHEN 'view' THEN 'frontend' WHEN 'click' THEN 'api'
+          |  WHEN 'purchase' THEN 'checkout' WHEN 'signup' THEN 'auth'
+          |  ELSE 'backend' END""".stripMargin)
+      val sp = tracesWithParent(s, dir).withColumn("svc", svcOf)
+      val parents = sp.select(col("trace_id"),
+        col("span_id").as("parent_span_id"), col("svc").as("client"))
+      val edges = sp.filter(col("parent_span_id").isNotNull)
+        .join(parents, Seq("trace_id", "parent_span_id"))
+        .groupBy(col("client"), col("svc").as("server"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint() // referenced 3× per round — tiny (services²)
+      val nodes = edges.select(col("client").as("svc"))
+        .union(edges.select(col("server"))).distinct().localCheckpoint()
+      val nTot = nodes.agg(count(lit(1)).as("n"))
+      val outw = edges.groupBy(col("client")).agg(sum(col("w")).as("outw"))
+      var rank = nodes.crossJoin(broadcast(nTot))
+        .select(col("svc"), expr("1000000 div n").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(outw, "client")
+          .join(rank.select(col("svc").as("client"), col("r")), "client")
+          .select(col("server").as("svc"),
+            expr("(CAST(r AS DECIMAL(38,0)) * w) div outw").as("c"))
+        val inflow = contrib.groupBy(col("svc")).agg(sum(col("c")).as("inflow"))
+        rank = nodes.join(inflow, Seq("svc"), "left").crossJoin(broadcast(nTot))
+          .select(col("svc"),
+            expr("150000 div n + (85 * coalesce(inflow, 0)) div 100").as("r"))
+      }
+      rank.select(col("svc").as("service"), col("r").as("rank_ppm"))
+    }),
+
     "q209_service_graph" -> ((s, dir) => {
       val svcOf = expr(
         """CASE span_name WHEN 'view' THEN 'frontend' WHEN 'click' THEN 'api'
@@ -840,6 +880,47 @@ object TraceOps {
          |  count(*) OVER (PARTITION BY trace_id) AS _c FROM f)
          |SELECT trace_id, span_id, span_name, duration_nanos
          |FROM g WHERE _s > 120000000 * _c""".stripMargin,
+
+    "q279_service_pagerank" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |sp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trace_id
+         |    ORDER BY timestamp ASC, span_id ASC) - 1 AS rn,
+         |    CASE span_name WHEN 'view' THEN 'frontend' WHEN 'click' THEN 'api'
+         |      WHEN 'purchase' THEN 'checkout' WHEN 'signup' THEN 'auth'
+         |      ELSE 'backend' END AS svc
+         |  FROM spans),
+         |e AS (
+         |  SELECT p.svc AS client, c.svc AS server, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM sp c JOIN sp p
+         |    ON p.trace_id = c.trace_id AND c.rn > 0 AND p.rn = (c.rn - 1) // 2
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT client AS svc FROM e UNION SELECT server FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |ow AS (SELECT client, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+         |r0 AS (SELECT svc, 1000000 // n AS r FROM nodes, nn),
+         |c1 AS (SELECT e.server AS svc,
+         |    CAST(SUM((CAST(r0.r AS HUGEINT) * e.w) // o.outw) AS BIGINT) AS inflow
+         |  FROM e JOIN ow o ON o.client = e.client
+         |  JOIN r0 ON r0.svc = e.client GROUP BY 1),
+         |r1 AS (SELECT nodes.svc, 150000 // nn.n
+         |    + (85 * COALESCE(c1.inflow, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.svc = nodes.svc),
+         |c2 AS (SELECT e.server AS svc,
+         |    CAST(SUM((CAST(r1.r AS HUGEINT) * e.w) // o.outw) AS BIGINT) AS inflow
+         |  FROM e JOIN ow o ON o.client = e.client
+         |  JOIN r1 ON r1.svc = e.client GROUP BY 1),
+         |r2 AS (SELECT nodes.svc, 150000 // nn.n
+         |    + (85 * COALESCE(c2.inflow, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.svc = nodes.svc),
+         |c3 AS (SELECT e.server AS svc,
+         |    CAST(SUM((CAST(r2.r AS HUGEINT) * e.w) // o.outw) AS BIGINT) AS inflow
+         |  FROM e JOIN ow o ON o.client = e.client
+         |  JOIN r2 ON r2.svc = e.client GROUP BY 1),
+         |r3 AS (SELECT nodes.svc, 150000 // nn.n
+         |    + (85 * COALESCE(c3.inflow, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.svc = nodes.svc)
+         |SELECT svc AS service, CAST(r AS BIGINT) AS rank_ppm FROM r3""".stripMargin,
 
     "q209_service_graph" ->
       s"""WITH spans AS ($tracesViewSql),
