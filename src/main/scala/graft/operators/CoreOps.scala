@@ -824,6 +824,45 @@ object CoreOps {
               |""".stripMargin)
     }),
 
+    // CUSUM change-point detection over daily error counts (the drift
+    // alarm that catches slow regressions a threshold alert misses).
+    // The recursive s_i = max(0, s_{i-1} + (x_i − k)) folds into a
+    // CLOSED FORM two windows express exactly: s_i = S_i − min(0,
+    // min_{j≤i} S_j) with S the prefix sums of the drifts — running sum
+    // + running min per series, exact integers, no recursion, no UDAF.
+    // SELF-CALIBRATED and scale-free: the reference k is each series'
+    // own integer mean, the alarm threshold 3·⌊√k⌋ tracks the Poisson
+    // noise scale — the same query fires meaningfully at any traffic
+    // volume. Evaluated on the dense day spine (a silent day counts as
+    // drift −k, exactly what CUSUM wants).
+    "q281_cusum_changepoint" -> ((s, dir) => {
+      val T0 = 1704067200L
+      val spine = s.range(8).select(
+          concat(lit("svc-"), col("id")).as("service_name"))
+        .crossJoin(s.range(30).select(
+          (lit(T0) + col("id") * 86400L).as("bucket_start")))
+      val counts = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(
+          concat(lit("svc-"), pmod(col("user_id"), lit(8))).as("service_name"),
+          expr("(unix_micros(ts_us) div 1000000) div 86400 * 86400").as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      val dense = spine.join(counts, Seq("service_name", "bucket_start"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val kref = dense.groupBy(col("service_name"))
+        .agg(expr("sum(n) div 30").as("kref"))
+      val w = Window.partitionBy(col("service_name"))
+        .orderBy(col("bucket_start").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.join(kref, "service_name")
+        .withColumn("s_pre", sum(col("n") - col("kref")).over(w))
+        .withColumn("min_s", min(col("s_pre")).over(w))
+        .withColumn("cusum", col("s_pre") - least(lit(0L), col("min_s")))
+        .filter(col("cusum") >=
+          greatest(lit(4L), lit(3L) * expr("CAST(floor(sqrt(kref)) AS BIGINT)")))
+        .select(col("service_name"), col("bucket_start"), col("n"), col("cusum"))
+    }),
+
     // Markov TRANSITION MATRIX over per-user event streams (the behavior
     // model behind "what usually follows a click?"): lead() per user in
     // the µs domain, pair counts, and row-normalized probabilities in
@@ -1477,6 +1516,38 @@ object CoreOps {
         |SELECT day, 'n_users', n_users FROM wide
         |UNION ALL
         |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin,
+
+    "q281_cusum_changepoint" ->
+      """WITH spine AS (
+        |  SELECT concat('svc-', s.i) AS service_name,
+        |    1704067200 + d.i * 86400 AS bucket_start
+        |  FROM range(0, 8) s(i), range(0, 30) d(i)),
+        |c AS (
+        |  SELECT concat('svc-', user_id % 8) AS service_name,
+        |    (epoch_us(ts)//1000000//86400)*86400 AS bucket_start,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT spine.service_name, spine.bucket_start,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM spine LEFT JOIN c USING (service_name, bucket_start)),
+        |k AS (SELECT service_name, CAST(SUM(n) // 30 AS BIGINT) AS kref
+        |  FROM j GROUP BY 1),
+        |r AS (
+        |  SELECT j.*, k.kref,
+        |    SUM(j.n - k.kref) OVER (PARTITION BY j.service_name
+        |      ORDER BY j.bucket_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_pre
+        |  FROM j JOIN k USING (service_name)),
+        |m AS (
+        |  SELECT *,
+        |    MIN(s_pre) OVER (PARTITION BY service_name ORDER BY bucket_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_s
+        |  FROM r)
+        |SELECT service_name, bucket_start, n,
+        |  CAST(s_pre - least(0, min_s) AS BIGINT) AS cusum
+        |FROM m WHERE s_pre - least(0, min_s)
+        |  >= greatest(4, 3 * CAST(floor(sqrt(kref)) AS BIGINT))""".stripMargin,
 
     "q280_markov_transitions" ->
       """WITH e AS (
