@@ -824,6 +824,36 @@ object CoreOps {
               |""".stripMargin)
     }),
 
+    // Retention COHORTS (the product-analytics staple): users grouped by
+    // first-seen week, activity counted per (cohort, weeks-since) cell.
+    // Two hash aggregates on user_id (first-seen reduce, then distinct
+    // (user, week) activity) and one join back on user_id — no windows,
+    // no self-join over events; cohort matrix is weeks², tiny.
+    "q282_retention_cohorts" -> ((s, dir) => {
+      val wk = expr("(unix_micros(ts_us) div 1000000) div 604800")
+      val ev = Tables.events(s, dir).select(col("user_id"), wk.as("week"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ev.distinct().join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+
+    // Rolling 7-day ACTIVE USERS per day (WAU): exact distinct over a
+    // sliding window via bounded fan-out — each (user, day) serves the 7
+    // days whose trailing window contains it (explode ≤7, the reduced
+    // per-day stream, never raw events), then one distinct count per
+    // day. No HLL approximation needed; fan-out is a constant.
+    "q283_rolling_wau" -> ((s, dir) => {
+      val day = expr("(unix_micros(ts_us) div 1000000) div 86400")
+      val userDays = Tables.events(s, dir)
+        .select(col("user_id"), day.as("d")).distinct()
+      userDays
+        .withColumn("day", explode(expr("sequence(d, d + 6)")))
+        .filter(col("day") <= 19752L) // data's last day — no phantom tail
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
+
     // CUSUM change-point detection over daily error counts (the drift
     // alarm that catches slow regressions a threshold alert misses).
     // The recursive s_i = max(0, s_{i-1} + (x_i − k)) folds into a
@@ -1516,6 +1546,30 @@ object CoreOps {
         |SELECT day, 'n_users', n_users FROM wide
         |UNION ALL
         |SELECT day, 'sum_v', sum_v FROM wide""".stripMargin,
+
+    "q282_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts)//1000000//604800 AS week FROM events),
+        |f AS (SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort_week
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT f.cohort_week,
+        |  CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q283_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts)//1000000//86400 AS d
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, d + o.i AS day
+        |  FROM ud, (SELECT unnest(range(0, 7)) AS i) o
+        |  WHERE d + o.i <= 19752)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM f GROUP BY 1""".stripMargin,
 
     "q281_cusum_changepoint" ->
       """WITH spine AS (
