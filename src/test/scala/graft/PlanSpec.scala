@@ -264,6 +264,18 @@ class PlanSpec extends AnyFunSuite {
       s"funnel must not self-join:\n$plan")
   }
 
+  test("rolling WAU explodes the REDUCED (user, day) stream, never raw events") {
+    val df = operators.CoreOps.queries("q283_rolling_wau")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), s"expected the bounded fan-out:\n$plan")
+    assert(!plan.contains("Join"), s"WAU needs no join:\n$plan")
+    // the Generate must consume the distinct's aggregate output — in the
+    // printed tree the explode therefore sits ABOVE a HashAggregate
+    val genIdx = plan.indexOf("Generate explode")
+    assert(plan.indexOf("HashAggregate", genIdx) > 0,
+      s"explode must fan out the reduced stream:\n$plan")
+  }
+
   test("schema-evolution read resolves at scan level — no extra exchange") {
     val df = operators.CoreOps.queries("q265_schema_evolution")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
