@@ -68,4 +68,33 @@ class RollupMaintainSpec extends AnyFunSuite {
     fold(b1, 1L)
     assert(snap(spark.read.parquet(layout.path("rollup_1h"))) == snap(oneShot))
   }
+
+  test("tiered retention: raw samples expire, the rollup still answers the old window") {
+    import scala.util.chaining._
+    val dir = Files.createTempDirectory("graft-tier").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // raw samples across two days, written through the real storage path
+    val raw = rows((100L, "a", 10.0, 1L), (200L, "a", 30.0, 2L),
+      (90000L, "a", 2.0, 3L)) // day 2
+      .withColumn("metric_name", lit("m"))
+    Storage.append(Storage.withPartitionCols(raw), layout, "metrics_raw")
+    // rollup maintained from the same rows
+    RollupMaintain.maintainBatch(layout, "rollup_1h", 3600L,
+      Seq("metric_name", "service_name"), "event_id")(raw, 0L)
+
+    // raw tier keeps 1 day: day 1 expires
+    val dropped = Storage.applyRetention(spark, layout, "metrics_raw", "2024-01-02")
+    assert(dropped.nonEmpty, "day-1 raw partition must expire")
+    val rawDays = spark.read.parquet(layout.path("metrics_raw"))
+      .select("date_day").distinct().collect().map(_.get(0).toString).toSet
+    assert(rawDays == Set("2024-01-02"), s"raw tier must hold only the fresh day: $rawDays")
+
+    // the rollup tier still answers day 1 (the q270 rewrite's long-history source)
+    val cells = spark.read.parquet(layout.path("rollup_1h"))
+      .filter(col("date_day") === "2024-01-01")
+    assert(cells.count() == 1)
+    val c = cells.select("n", "vmax").head
+    assert(c.getLong(0) == 2L && c.getDouble(1) == 30.0,
+      "day-1 history must survive in cell form")
+  }
 }
