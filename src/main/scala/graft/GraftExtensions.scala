@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // coalesce-of-map-probes → promoted label_<key> column (see
     // graft.plans.PromotedAttrRule)
     ext.injectOptimizerRule(_ => graft.plans.PromotedAttrRule)
+    // automatic date_day partition-bound mirror for raw timestamp
+    // predicates (see graft.plans.PartitionBoundRule)
+    ext.injectOptimizerRule(_ => graft.plans.PartitionBoundRule)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }
@@ -60,7 +63,8 @@ object GraftExtensions {
       reg.registerFunction(id, info, builder)
     }
     val em = spark.experimental
-    if (!em.extraOptimizations.contains(graft.plans.PromotedAttrRule))
-      em.extraOptimizations = em.extraOptimizations :+ graft.plans.PromotedAttrRule
+    for (rule <- Seq(graft.plans.PromotedAttrRule, graft.plans.PartitionBoundRule))
+      if (!em.extraOptimizations.contains(rule))
+        em.extraOptimizations = em.extraOptimizations :+ rule
   }
 }
