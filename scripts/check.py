@@ -13,6 +13,7 @@ compares exactly.  Exit code = number of failing queries.
 import glob
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -30,15 +31,23 @@ def norm(df):
 def cell_eq(a, b):
     if a is b:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    a_f, b_f = isinstance(a, float), isinstance(b, float)
+    if a_f != b_f:
+        # int-vs-float (or str-vs-float) is a real mismatch: the driver's
+        # hash is type-sensitive, so 12345 != 12345.0 here too.
+        return False
+    if a_f and b_f:
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # IEEE-754 bit-pattern equality, same as hashing the raw doubles.
+        return struct.pack("<d", a) == struct.pack("<d", b)
     try:
         if a != a and b != b:  # NaN-ish (pandas NaT etc.)
             return True
     except Exception:
         pass
+    if type(a) is not type(b) and isinstance(a, (int, bool)) != isinstance(b, (int, bool)):
+        return False
     return a == b
 
 
@@ -69,7 +78,11 @@ def main():
             fails += 1
             continue
         if [str(t) for t in exp.dtypes] != [str(t) for t in got.dtypes]:
-            print(f"WARN {name}: dtypes exp={list(map(str, exp.dtypes))} got={list(map(str, got.dtypes))}")
+            # Dtype mismatch is a FAIL, matching the driver's hash which is
+            # type-sensitive (e.g. DuckDB HUGEINT vs Spark int64 — q170 r5).
+            print(f"FAIL {name}: dtypes exp={list(map(str, exp.dtypes))} got={list(map(str, got.dtypes))}")
+            fails += 1
+            continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             fails += 1

@@ -36,6 +36,9 @@ object Lexer {
     // a letter ("5min" is a number and an identifier, not 5 minutes) —
     // a DIGIT after is fine: that is the next compound component (1h30m).
     def unitNanos(): Long = {
+      // end-of-input is "no unit here", not an index error — a compound
+      // duration ending in bare digits ("1h30") must raise ParseError
+      if (i >= n) return -1L
       val two = if (i + 1 < n) in.substring(i, i + 2) else ""
       // sub-second units FIRST — "20ms" must not lex as 20 minutes + "s"
       if (Set("ms", "us", "ns").contains(two) &&

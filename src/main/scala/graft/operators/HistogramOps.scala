@@ -429,7 +429,7 @@ object HistogramOps {
          |    c0*25 + c1*75 + c2*125 + c3*150 AS s1,
          |    c0*625 + c1*5625 + c2*15625 + c3*22500 AS s2
          |  FROM g)
-         |SELECT bucket_start, service_name, n AS count,
+         |SELECT bucket_start, service_name, CAST(n AS BIGINT) AS count,
          |  CAST(dq AS DOUBLE) / 10000.0 / n AS avg,
          |  sqrt(CAST(s2*n - s1*s1 AS DOUBLE)) / n AS stddev
          |FROM m""".stripMargin

@@ -135,7 +135,10 @@ object TraceOps {
             col("duration_nanos") <= 200000000L).cast(LongType)).as("tolerating"),
           count(lit(1)).as("total"))
         .withColumn("apdex_ppm",
-          expr("(2 * satisfied + tolerating) * 1000000 div (2 * total)"))
+          // widened through DECIMAL(38,0) like every other ppm expression
+          // (q255/q256/q280): at ~4.6e12 spans per (service,day) the bare
+          // BIGINT product wraps silently while DuckDB raises
+          expr("(CAST(2 * satisfied + tolerating AS DECIMAL(38,0)) * 1000000) div (2 * total)"))
     }),
 
     // Latency heatmap: spans per (day, service, duration band) over a
@@ -580,8 +583,8 @@ object TraceOps {
          |      AS BIGINT) AS tolerating,
          |    CAST(COUNT(*) AS BIGINT) AS total
          |  FROM spans GROUP BY 1, 2)
-         |SELECT *, (2 * satisfied + tolerating) * 1000000 // (2 * total)
-         |  AS apdex_ppm
+         |SELECT *, CAST(CAST(2 * satisfied + tolerating AS HUGEINT) * 1000000
+         |  // (2 * total) AS BIGINT) AS apdex_ppm
          |FROM g""".stripMargin,
 
     "q275_latency_heatmap" ->

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Expression, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, LongType}
@@ -49,10 +49,17 @@ object PartitionBoundRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** one conjunct → the day bound it implies, if any. */
+  /** one conjunct → the day bound it implies, if any.
+    *
+    * The bound is wrapped `IsNull(date_day) OR bound`: frames like
+    * HybridRead.hotColdUnion carry NULL date_day on the hot (unflushed)
+    * side, where a bare `date_day >= d` would evaluate to NULL and drop
+    * the row. Partition VALUES on the file index are never null, so the
+    * IsNull arm costs nothing for directory pruning, while the predicate
+    * stays a true consequence of the timestamp window for every row. */
   private def dayBound(e: Expression, ts: Attribute, dd: Attribute): Option[Expression] = {
-    def lo(v: Long) = GreaterThanOrEqual(dd, Literal(epochDay(v), DateType))
-    def hi(v: Long) = LessThanOrEqual(dd, Literal(epochDay(v), DateType))
+    def lo(v: Long) = Or(IsNull(dd), GreaterThanOrEqual(dd, Literal(epochDay(v), DateType)))
+    def hi(v: Long) = Or(IsNull(dd), LessThanOrEqual(dd, Literal(epochDay(v), DateType)))
     e match {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
         if a.semanticEquals(ts) => Some(lo(v))

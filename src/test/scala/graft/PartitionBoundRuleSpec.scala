@@ -82,4 +82,29 @@ class PartitionBoundRuleSpec extends AnyFunSuite {
       .filter(col("timestamp") >= lo && col("date_day") === "2024-01-03")
     assert(df.count() == 4)
   }
+
+  test("NULL date_day rows (hybrid hot side) survive the injected bound") {
+    import spark.implicits._
+    // HybridRead.hotColdUnion nulls the hive partition columns on the hot
+    // (unflushed) side; a bare `date_day >= d` conjunct would evaluate to
+    // NULL and silently drop every hot row. The injected bound must be
+    // null-safe: IsNull(date_day) OR bound.
+    val cold = spark.read.parquet(tablePath)
+    val hotTs = t0 + 4L * 86400L * 1000000000L + 999L // inside the window
+    val hot = Seq((hotTs, 9999L, "svc", "info", "hot line", Map("k" -> "v")))
+      .toDF("timestamp", "event_id", "service_name", "severity_text",
+        "body", "log_attributes")
+    val frame = cold.unionByName(hot, allowMissingColumns = true)
+    val lo = t0 + 3L * 86400L * 1000000000L
+    val hi = t0 + 5L * 86400L * 1000000000L
+    val got = frame.filter(col("timestamp") >= lo && col("timestamp") < hi)
+    // 8 cold rows (2 in-window days × 4) + the 1 hot row
+    assert(got.count() == 9, "hot-side NULL date_day row was dropped by the injected bound")
+    assert(got.filter(col("event_id") === 9999L).count() == 1)
+    // and the cold scan still prunes: partition filters carry date_day
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.substring(plan.indexOf("PartitionFilters")).take(400).contains("date_day"),
+      s"null-safe bound must still reach PartitionFilters:\n$plan")
+  }
 }

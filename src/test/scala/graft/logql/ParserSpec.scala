@@ -126,6 +126,14 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseError](Parser.parse("""{a="unterminated}"""))
   }
 
+  test("compound duration ending in bare digits is a ParseError, not an index crash") {
+    // "1h30" — trailing digits with no unit must surface as a parse error
+    assertThrows[ParseError](
+      Parser.parse("""count_over_time({a="x"}[1h30])"""))
+    assertThrows[ParseError](
+      Parser.parse("""count_over_time({a="x"}[1m30"""))
+  }
+
   test("negative numbers and floats in label filters") {
     val LineQuery(q) = Parser.parse("""{a="x"} | json | k > -1.5"""): @unchecked
     val Stage.LabelFilter(LabelPredicate.NumCmp("k", CmpOp.Gt, v)) =

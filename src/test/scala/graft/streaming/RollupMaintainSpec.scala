@@ -69,6 +69,46 @@ class RollupMaintainSpec extends AnyFunSuite {
     assert(snap(spark.read.parquet(layout.path("rollup_1h"))) == snap(oneShot))
   }
 
+  test("crash-window replay folds exactly once (stage/marker failpoints)") {
+    val dir = Files.createTempDirectory("graft-rollup-crash").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    def fold(crashAt: String = "") = RollupMaintain.maintainBatch(
+      layout, "rollup_1h", 3600L, Seq("service_name"), "event_id", crashAt) _
+
+    val b0 = rows((100L, "a", 10.0, 1L), (200L, "a", 30.0, 2L))
+    val b1 = rows((50L, "a", 99.0, 3L), (300L, "b", 5.0, 4L))
+    fold()(b0, 0L)
+
+    // crash AFTER the staging write, BEFORE the marker: the table must be
+    // untouched, and a full replay must fold b1 exactly once.
+    intercept[RollupMaintain.InjectedCrash] { fold("stage")(b1, 1L) }
+    val a0 = spark.read.parquet(layout.path("rollup_1h"))
+      .filter(col("service_name") === "a").select("n").head
+    assert(a0.getLong(0) == 2L, "pre-marker crash must leave the table untouched")
+    fold()(b1, 1L)
+
+    // crash AFTER the marker, BEFORE the swap on batch 2: replay must
+    // COMPLETE the commit from staging, not re-fold (the r5 protocol
+    // would have double-counted n here).
+    val b2 = rows((500L, "a", 7.0, 5L))
+    intercept[RollupMaintain.InjectedCrash] { fold("marker")(b2, 2L) }
+    fold()(b2, 2L) // recovery path: marker present → finish swap only
+    fold()(b2, 2L) // plain replay: marker present, nothing staged → no-op
+
+    val got = spark.read.parquet(layout.path("rollup_1h"))
+    val oneShot = Storage.downsample(b0.unionByName(b1).unionByName(b2),
+      3600L, Seq("service_name"), "event_id")
+    def snap(df: DataFrame) = df.select("bucket_start", "service_name", "n",
+      "vmin", "vmax", "vlast", "tlast", "tielast").collect().map(_.toSeq).toSet
+    assert(snap(got) == snap(oneShot),
+      "crash-recovery replay diverged from the one-shot downsample")
+    // the double-count signature specifically: 'a' has exactly 4 samples
+    assert(got.filter(col("service_name") === "a").select("n").head.getLong(0) == 4L)
+    // staging fully cleaned up
+    val stRoot = new java.io.File(s"$dir/_staging/acme/prod/rollup_1h")
+    assert(!stRoot.exists || stRoot.list().isEmpty)
+  }
+
   test("tiered retention: raw samples expire, the rollup still answers the old window") {
     import scala.util.chaining._
     val dir = Files.createTempDirectory("graft-tier").toString
