@@ -61,29 +61,58 @@ object Snapshots {
       val rel = st.getPath.toString.stripPrefix(
         f.makeQualified(new Path(root)).toString).stripPrefix("/")
       val name = st.getPath.getName
-      if (!rel.startsWith("_snapshots/") && !name.startsWith(".") &&
-        !name.startsWith("_") && st.isFile)
+      // any hidden path segment (_snapshots, _compactions staging, …)
+      // keeps the whole file out of the manifest
+      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")) &&
+        st.isFile)
         out += rel
     }
     out.sorted.toSeq
   }
 
-  /** commit the table's current file set as the next snapshot version. */
+  /** commit the table's current file set as the next snapshot version.
+    *
+    * Optimistic multi-writer commit (real Iceberg's CAS snapshot swap,
+    * scoped to a filesystem): the manifest is created EXCLUSIVELY
+    * (`create(overwrite = false)`), so two writers racing to publish the
+    * same version number resolve deterministically — the loser observes
+    * the collision and retries at the next version with a fresh file
+    * listing. Snapshot history stays LINEAR: every committed version
+    * exists exactly once, and `current` is the max committed version,
+    * derived from the manifest listing (never from a racy pointer file;
+    * CURRENT is kept only as a human-readable cache). */
   def commit(spark: SparkSession, layout: Storage.TableLayout, table: String): Int = {
     val dir = snapDir(layout, table)
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir))
-    val v = current(spark, layout, table).getOrElse(0) + 1
-    writeSmall(f, new Path(s"$dir/v$v.manifest"),
-      dataFiles(spark, layout, table).mkString("\n"))
+    var v = current(spark, layout, table).getOrElse(0) + 1
+    var committed = false
+    while (!committed) {
+      // listed INSIDE the loop: a lost race means the other writer
+      // changed the table — the retry must re-list, not republish a
+      // stale view under a newer version number
+      val files = dataFiles(spark, layout, table).mkString("\n")
+      val p = new Path(s"$dir/v$v.manifest")
+      try {
+        val out = f.create(p, false) // CAS: fails if this version exists
+        try out.write(files.getBytes("UTF-8")) finally out.close()
+        committed = true
+      } catch {
+        case _: java.io.IOException if f.exists(p) => v += 1 // lost the race
+      }
+    }
     writeSmall(f, new Path(s"$dir/CURRENT"), v.toString)
     v
   }
 
   def current(spark: SparkSession, layout: Storage.TableLayout, table: String): Option[Int] = {
-    val f = fs(spark, snapDir(layout, table))
-    val p = new Path(s"${snapDir(layout, table)}/CURRENT")
-    if (f.exists(p)) Some(readSmall(f, p).trim.toInt) else None
+    val dir = snapDir(layout, table)
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return None
+    val versions = f.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+    if (versions.isEmpty) None else Some(versions.max)
   }
 
   private def manifest(spark: SparkSession, layout: Storage.TableLayout,

@@ -173,40 +173,150 @@ object Storage {
     }.reduce(_ + _)
   }
 
+  /** Another writer holds (or held) this partition's compaction. The
+    * caller retries later — detect-and-retry, the same resolution real
+    * Iceberg gives a losing optimistic commit. */
+  final class CompactionConflict(msg: String) extends RuntimeException(msg)
+
+  /** crash simulation for specs: thrown between commit-protocol steps,
+    * WITHOUT releasing the partition lock (a real crash wouldn't). */
+  final class InjectedCrash(at: String) extends RuntimeException(s"injected crash $at")
+
   /** rewrite one closed (date_day, hour) partition: merge small files,
-    * sort (linearly, or by a Z-order pair), atomically replace via
-    * dynamic partition overwrite. */
+    * sort (linearly, or by a Z-order pair), and swap the rewrite in with
+    * a commit protocol that is SAFE AGAINST A CONCURRENT INGEST APPEND
+    * to the same partition (the multi-writer case real Iceberg resolves
+    * with optimistic snapshot commits):
+    *
+    *   lock    — create `_compactions/<day>-<hour>.lock` exclusively; a
+    *             live lock means another compactor owns the partition →
+    *             CompactionConflict (retry later). A stale lock (older
+    *             than `lockMaxAgeMs`) is broken and its crashed commit
+    *             recovered first.
+    *   snapshot— list the hour dir ONCE; only those exact files are read
+    *             and only they are ever deleted.
+    *   stage   — write the compacted output to a staging dir.
+    *   intent  — journal (add staged-names, del snapshot-names); this is
+    *             the commit point.
+    *   publish — move staged files in (Spark part-file names are UUID-
+    *             unique, so nothing is overwritten), delete exactly the
+    *             snapshot files, drop staging + intent.
+    *
+    * An append racing any step only ADDS files the snapshot doesn't
+    * list, so the final state is compacted(snapshot) ∪ appends — neither
+    * side is lost, with no coordination demanded of the ingest path. A
+    * crash before the intent aborts cleanly (staging is swept); a crash
+    * after it is completed from the journal by the next compaction of
+    * the partition. `crashAt` ("staged" | "intent", specs only) aborts
+    * after the named step. */
   def compactPartition(spark: SparkSession, layout: TableLayout, table: String,
       dateDay: String, hourOfDay: Int, targetFiles: Int = 1,
-      zorderBy: Option[(String, String)] = None): Unit = {
+      zorderBy: Option[(String, String)] = None,
+      crashAt: String = "", lockMaxAgeMs: Long = 3600L * 1000L): Unit = {
     val p = layout.path(table)
-    val part = spark.read.parquet(p)
-      .filter(col("date_day") === lit(dateDay) && col("hour") === hourOfDay)
-    val sortCols = compactionSort.getOrElse(table, Seq("timestamp"))
-    // partition columns lead the sort: FileFormatWriter requires rows
-    // grouped by partition values and inserts its own (unstable) sort
-    // when the incoming order doesn't already satisfy that — which would
-    // silently destroy the data ordering this rewrite exists to produce
-    val sortExprs = (col("date_day") +: col("hour") +: (zorderBy match {
-      case Some((a, b)) => Seq(zorderKey(col(a).cast("long"), col(b).cast("long")))
-      case None         => sortCols.map(col)
-    })).toSeq
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val partDir = new Path(s"$p/date_day=$dateDay/hour=$hourOfDay")
+    val fs = partDir.getFileSystem(conf)
+    val ctl = new Path(s"$p/_compactions")
+    val lock = new Path(ctl, s"$dateDay-$hourOfDay.lock")
+    val intent = new Path(ctl, s"$dateDay-$hourOfDay.intent")
+    val staging = new Path(ctl, s"$dateDay-$hourOfDay.staging")
+
+    // ---- lock (break a stale one, recovering its crashed commit)
+    fs.mkdirs(ctl)
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      if (age < lockMaxAgeMs)
+        throw new CompactionConflict(
+          s"$table $dateDay/$hourOfDay: live compaction lock (${age}ms old)")
+      fs.delete(lock, false)
+    }
     try {
+      val out = fs.create(lock, false) // exclusive: loser gets the conflict
+      out.close()
+    } catch {
+      case _: java.io.IOException if fs.exists(lock) =>
+        throw new CompactionConflict(s"$table $dateDay/$hourOfDay: lost lock race")
+    }
+
+    var crashing = false
+    try {
+      // ---- recover a predecessor that crashed while holding the lock
+      recoverCompaction(fs, partDir, staging, intent)
+
+      if (!fs.exists(partDir)) return
+      val snapshot = fs.listStatus(partDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      if (snapshot.isEmpty) return
+
+      // ---- read EXACTLY the snapshot files (basePath keeps partition cols
+      // for pruning-compatible schema; they are dropped for the staged
+      // files — the directory re-encodes them)
+      val part = spark.read.option("basePath", p)
+        .parquet(snapshot.map(_.toString): _*)
+      val sortCols = compactionSort.getOrElse(table, Seq("timestamp"))
+      val sortExprs = zorderBy match {
+        case Some((a, b)) => Seq(zorderKey(col(a).cast("long"), col(b).cast("long")))
+        case None         => sortCols.filter(part.columns.contains).map(col)
+      }
       // the rewrite carries the SAME bloom writer options as ingest —
       // otherwise compaction silently strips the blooms the point-lookup
       // path depends on (the reference's rewriter keeps the table's
       // parquet properties, rewriter.rs)
       withBloomOptions(part
+        .drop("date_day", "hour")
         .repartition(targetFiles)
         .sortWithinPartitions(sortExprs: _*)
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("date_day", "hour")
         .option("compression", "zstd"), table)
-        .parquet(p)
-    } finally prev.foreach(v =>
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+        .parquet(staging.toString)
+      if (crashAt == "staged") { crashing = true; throw new InjectedCrash("after stage") }
+
+      // ---- intent journal: the commit point
+      val staged = fs.listStatus(staging).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+      val journal = (staged.map("add\t" + _) ++ snapshot.map("del\t" + _.getName))
+        .mkString("\n")
+      val w = fs.create(intent, true)
+      try w.write(journal.getBytes("UTF-8")) finally w.close()
+      if (crashAt == "intent") { crashing = true; throw new InjectedCrash("after intent") }
+
+      // ---- publish
+      recoverCompaction(fs, partDir, staging, intent)
+    } finally if (!crashing) fs.delete(lock, false)
+  }
+
+  /** complete (or abort) a compaction from its on-disk state: an intent
+    * journal means COMMITTED — move any still-staged adds in, delete any
+    * still-present dels, then sweep; staging without an intent means the
+    * commit never happened — sweep the staging dir and leave the
+    * partition untouched. Idempotent from any interleaving point. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      partDir: Path, staging: Path, intent: Path): Unit = {
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val journal = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+      val lines = journal.split("\n").toSeq.filter(_.nonEmpty)
+      fs.mkdirs(partDir)
+      for (l <- lines if l.startsWith("add\t")) {
+        val src = new Path(staging, l.drop(4))
+        if (fs.exists(src)) fs.rename(src, new Path(partDir, l.drop(4)))
+      }
+      for (l <- lines if l.startsWith("del\t")) {
+        val victim = new Path(partDir, l.drop(4))
+        if (fs.exists(victim)) fs.delete(victim, false)
+      }
+      if (fs.exists(staging)) fs.delete(staging, true)
+      fs.delete(intent, false)
+    } else if (fs.exists(staging)) fs.delete(staging, true)
   }
 
   /** hour partitions whose (small-)file count exceeds the threshold —

@@ -97,6 +97,72 @@ class StorageSpec extends AnyFunSuite {
     assert(Storage.partitionsNeedingCompaction(spark, layout, "logs", 2).isEmpty)
   }
 
+  test("compaction racing a concurrent append loses neither side; snapshots stay linear") {
+    val dir = Files.createTempDirectory("graft-race").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val hourDir = new java.io.File(s"$dir/acme/prod/logs/date_day=2024-01-01/hour=0")
+    def allTs = spark.read.parquet(s"$dir/acme/prod/logs")
+      .select("timestamp").collect().map(_.getLong(0)).toSet
+    def tsOf(n: Int, start: Long) =
+      (0 until n).map(i => start + i * 60L * 1000000000L).toSet
+
+    Storage.append(logsBatch(10, t0), layout, "logs")
+    Storage.append(logsBatch(10, t0 + 1000000L), layout, "logs")
+    val v1 = Snapshots.commit(spark, layout, "logs")
+
+    // compactor crashes AFTER its commit point (intent journal written,
+    // nothing published), still holding the partition lock
+    intercept[Storage.InjectedCrash] {
+      Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+        crashAt = "intent")
+    }
+    // ...and an ingest append races into the SAME hour partition. Under
+    // the old dynamic-partition-overwrite commit this batch would be
+    // wiped when the rewrite landed.
+    Storage.append(logsBatch(5, t0 + 2000000L), layout, "logs")
+
+    // a second compactor sees the live lock → detect-and-retry, never a
+    // silent second rewrite
+    intercept[Storage.CompactionConflict] {
+      Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0)
+    }
+
+    // retry with the stale lock broken: first the crashed commit is
+    // completed from its journal, then the partition (including the
+    // racing append) is compacted — union preserved at every step
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+      lockMaxAgeMs = 0L)
+    val want = tsOf(10, t0) ++ tsOf(10, t0 + 1000000L) ++ tsOf(5, t0 + 2000000L)
+    assert(allTs == want, "rows lost across the crashed-compaction race")
+    assert(hourDir.list().count(_.endsWith(".parquet")) == 1)
+
+    // crash BEFORE the commit point: the partition must be untouched and
+    // a racing append must survive the aborted rewrite's cleanup
+    intercept[Storage.InjectedCrash] {
+      Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+        crashAt = "staged")
+    }
+    Storage.append(logsBatch(3, t0 + 3000000L), layout, "logs")
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+      lockMaxAgeMs = 0L)
+    assert(allTs == want ++ tsOf(3, t0 + 3000000L))
+    assert(hourDir.list().count(_.endsWith(".parquet")) == 1)
+
+    // no control-dir residue once commits are clean
+    val ctl = new java.io.File(s"$dir/acme/prod/logs/_compactions")
+    assert(!ctl.exists || ctl.list().isEmpty)
+
+    // snapshot history is linear: every version exists exactly once and
+    // the new commit supersedes v1
+    val v2 = Snapshots.commit(spark, layout, "logs")
+    assert(v2 == v1 + 1)
+    val manifests = new java.io.File(s"$dir/acme/prod/logs/_snapshots")
+      .list().count(_.endsWith(".manifest"))
+    assert(manifests == 2)
+    // and the CAS read path serves the newest committed set
+    assert(Snapshots.read(spark, layout, "logs").count() == 28)
+  }
+
   test("compaction planning only selects closed hours past the lateness allowance") {
     val dir = Files.createTempDirectory("graft-closed").toString
     val layout = TableLayout(dir, "acme", "prod")
