@@ -33,6 +33,29 @@ object CoreOps {
   private def bucketSql(stepSec: Long): String =
     s"(epoch_ns(ts)//1000000000//$stepSec)*$stepSec"
 
+  /** Dense (service × day) spine whose day range derives from the events
+    * table's parquet FOOTER min/max (Tables.eventsDayBounds — metadata
+    * only, no job, no fixture literal). Generated, never scanned:
+    * 8 × days rows, broadcast onto the counts it densifies. Oracle twin:
+    * `svcDaySpineSql`. */
+  private def svcDaySpine(s: SparkSession, dir: String): DataFrame = {
+    val (d0, d1) = Tables.eventsDayBounds(s, dir)
+    s.range(8).select(concat(lit("svc-"), col("id")).as("service_name"))
+      .crossJoin(s.range(d1 - d0 + 1).select(
+        ((lit(d0) + col("id")) * 86400L).as("bucket_start")))
+  }
+
+  /** DuckDB spine CTE equivalent — bounds derived from the same data. */
+  private val svcDaySpineSql: String =
+    """spine AS (
+      |  SELECT concat('svc-', s.i) AS service_name,
+      |    d.day * 86400 AS bucket_start
+      |  FROM range(0, 8) s(i),
+      |    (SELECT unnest(range(
+      |       (SELECT min(epoch_us(ts)//1000000//86400) FROM events),
+      |       (SELECT max(epoch_us(ts)//1000000//86400) FROM events) + 1))
+      |     AS day) d)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Top-N + "other" rollup (the Grafana panel default: show the top 2
     // series, fold the tail into one residual line so the panel never
@@ -844,12 +867,15 @@ object CoreOps {
     // per-day stream, never raw events), then one distinct count per
     // day. No HLL approximation needed; fan-out is a constant.
     "q283_rolling_wau" -> ((s, dir) => {
+      // phantom-tail clamp derived from the DATA (footer metadata), not
+      // a fixture literal — correct on any dataset, no job to probe it
+      val lastDay = Tables.eventsDayBounds(s, dir)._2
       val day = expr("(unix_micros(ts_us) div 1000000) div 86400")
       val userDays = Tables.events(s, dir)
         .select(col("user_id"), day.as("d")).distinct()
       userDays
         .withColumn("day", explode(expr("sequence(d, d + 6)")))
-        .filter(col("day") <= 19752L) // data's last day — no phantom tail
+        .filter(col("day") <= lastDay)
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("wau"))
     }),
@@ -866,11 +892,7 @@ object CoreOps {
     // volume. Evaluated on the dense day spine (a silent day counts as
     // drift −k, exactly what CUSUM wants).
     "q281_cusum_changepoint" -> ((s, dir) => {
-      val T0 = 1704067200L
-      val spine = s.range(8).select(
-          concat(lit("svc-"), col("id")).as("service_name"))
-        .crossJoin(s.range(30).select(
-          (lit(T0) + col("id") * 86400L).as("bucket_start")))
+      val spine = svcDaySpine(s, dir)
       val counts = Tables.events(s, dir)
         .filter(col("event_type") === "error")
         .groupBy(
@@ -879,8 +901,10 @@ object CoreOps {
         .agg(count(lit(1)).as("n"))
       val dense = spine.join(counts, Seq("service_name", "bucket_start"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
+      // k = per-series integer mean over the spine's OWN day count (the
+      // spine is data-derived, so the divisor is too)
       val kref = dense.groupBy(col("service_name"))
-        .agg(expr("sum(n) div 30").as("kref"))
+        .agg(expr("sum(n) div count(1)").as("kref"))
       val w = Window.partitionBy(col("service_name"))
         .orderBy(col("bucket_start").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -923,11 +947,7 @@ object CoreOps {
     // never scanned (30 × 8 rows broadcast onto the counts); state per
     // series is the 3-row frame — no gaps-and-islands self-join.
     "q271_alert_for" -> ((s, dir) => {
-      val T0 = 1704067200L
-      val spine = s.range(8).select(
-          concat(lit("svc-"), col("id")).as("service_name"))
-        .crossJoin(s.range(30).select(
-          (lit(T0) + col("id") * 86400L).as("bucket_start")))
+      val spine = svcDaySpine(s, dir)
       val counts = Tables.events(s, dir)
         .filter(col("event_type") === "error")
         .groupBy(
@@ -1566,16 +1586,13 @@ object CoreOps {
         |f AS (
         |  SELECT user_id, d + o.i AS day
         |  FROM ud, (SELECT unnest(range(0, 7)) AS i) o
-        |  WHERE d + o.i <= 19752)
+        |  WHERE d + o.i <= (SELECT max(epoch_us(ts)//1000000//86400) FROM events))
         |SELECT CAST(day AS BIGINT) AS day,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
         |FROM f GROUP BY 1""".stripMargin,
 
     "q281_cusum_changepoint" ->
-      """WITH spine AS (
-        |  SELECT concat('svc-', s.i) AS service_name,
-        |    1704067200 + d.i * 86400 AS bucket_start
-        |  FROM range(0, 8) s(i), range(0, 30) d(i)),
+      s"""WITH $svcDaySpineSql,
         |c AS (
         |  SELECT concat('svc-', user_id % 8) AS service_name,
         |    (epoch_us(ts)//1000000//86400)*86400 AS bucket_start,
@@ -1585,7 +1602,7 @@ object CoreOps {
         |  SELECT spine.service_name, spine.bucket_start,
         |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
         |  FROM spine LEFT JOIN c USING (service_name, bucket_start)),
-        |k AS (SELECT service_name, CAST(SUM(n) // 30 AS BIGINT) AS kref
+        |k AS (SELECT service_name, CAST(SUM(n) // COUNT(*) AS BIGINT) AS kref
         |  FROM j GROUP BY 1),
         |r AS (
         |  SELECT j.*, k.kref,
@@ -1620,10 +1637,7 @@ object CoreOps {
         |FROM p JOIN ft USING (from_type)""".stripMargin,
 
     "q271_alert_for" ->
-      """WITH spine AS (
-        |  SELECT concat('svc-', s.i) AS service_name,
-        |    1704067200 + d.i * 86400 AS bucket_start
-        |  FROM range(0, 8) s(i), range(0, 30) d(i)),
+      s"""WITH $svcDaySpineSql,
         |c AS (
         |  SELECT concat('svc-', user_id % 8) AS service_name,
         |    (epoch_us(ts)//1000000//86400)*86400 AS bucket_start,

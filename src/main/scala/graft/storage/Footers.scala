@@ -85,6 +85,63 @@ object Footers {
     out.result()
   }
 
+  /** [min,max] of a TIMESTAMP (or raw INT64) column across all files
+    * under `dir`, normalized to EPOCH MICROSECONDS from footer
+    * statistics alone — no data pages, no Spark job. Unit-aware: the
+    * parquet logical-type annotation (NANOS/MICROS/MILLIS) picks the
+    * conversion, so the same caller works against both physical layouts
+    * the events table has shipped in (TESTDATA.md). A bare INT64 with no
+    * annotation is assumed to already be nanos (the engine's i64-nano
+    * convention). None when no file carries stats for the column. */
+  def timestampMicrosRange(spark: SparkSession, dir: String,
+      column: String): Option[(Long, Long)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    var acc: Option[(Long, Long)] = None
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          rd.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.foreach { c =>
+              val st = c.getStatistics
+              val isInt64 = c.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+              if (c.getPath.toDotString == column && isInt64 && st != null &&
+                  !st.isEmpty && st.hasNonNullValue) {
+                val toMicros: Long => Long = c.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.NANOS  => v => Math.floorDiv(v, 1000L)
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => v => Math.multiplyExact(v, 1000L)
+                    }
+                  case _ => v => Math.floorDiv(v, 1000L) // bare INT64 ⇒ i64 nanos
+                }
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Number, mx: java.lang.Number) =>
+                    val lo = toMicros(mn.longValue())
+                    val hi = toMicros(mx.longValue())
+                    acc = acc match {
+                      case None => Some((lo, hi))
+                      case Some((a, b)) => Some((math.min(a, lo), math.max(b, hi)))
+                    }
+                  case _ => ()
+                }
+              }
+            }
+          }
+        } finally rd.close()
+      }
+    }
+    acc
+  }
+
   /** share of row groups a point predicate `column = value` could skip
     * on min/max alone, in ppm (pure metadata answer). */
   def skippableFractionPpm(spark: SparkSession, dir: String, column: String,
