@@ -52,6 +52,48 @@ object ProfileOps {
       .withColumn("depth", size(split(col("path"), ";")))
 
   val queries: Map[String, Q] = Map(
+    // pprof INGEST → flamegraph fold, oracle-checked end to end: six
+    // deterministic gzipped pprof uploads (Pprof.fixtureUpload — content
+    // is a closed formula a DuckDB range-CTE restates independently)
+    // decode on executors (narrow flatMap), stacks reverse to root-first,
+    // and the q62 prefix fold produces node totals. Proves the decoder,
+    // not just the fold: any drift in stack order, dedup, value columns,
+    // or gzip handling breaks the hash.
+    "q288_pprof_flamegraph" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = (for (svc <- 0 until 3; up <- 0 until 2)
+        yield (graft.sources.Pprof.fixtureUpload(svc, up), s"svc-$svc"))
+        .toDF("payload", "service_name")
+      val rows = graft.sources.Pprof.profiles(payloads)
+      val stacksT = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("frames",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("function_name",
+                  org.apache.spark.sql.types.StringType))))))))
+      val samplesT = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("stacktrace_index",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("values",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+      rows.select(col("service_name"),
+          from_json(col("stacktraces_json"), stacksT).as("stacks"),
+          explode(from_json(col("samples_json"), samplesT)).as("sample"))
+        .select(col("service_name"),
+          expr("reverse(transform(stacks[sample.stacktrace_index].frames, f -> f.function_name))")
+            .as("stack"),
+          expr("aggregate(sample.values, 0L, (a, x) -> a + x)").as("value"))
+        .select(col("service_name"), col("value"),
+          explode(expr(
+            "transform(sequence(1, size(stack)), d -> array_join(slice(stack, 1, d), ';'))"))
+            .as("path"))
+        .groupBy(col("service_name"), col("path"))
+        .agg(sum(col("value")).as("total"))
+    }),
+
     // flamegraph fold: prefix-tree node totals per service
     "q62_flamegraph_fold" -> ((s, dir) => {
       prefixes(samplesDf(s, dir))
@@ -118,6 +160,22 @@ object ProfileOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent restatement of Pprof.fixtureUpload's closed formula:
+    // per (svc 0..2, upload 0..1, j 0..3) one sample of value
+    // (svc+1)*10 + j + up over stack root;mid;leaf_j
+    "q288_pprof_flamegraph" ->
+      """WITH g AS (
+        |  SELECT s.i AS svc, u.i AS up, j.i AS j,
+        |    (s.i + 1) * 10 + j.i + u.i AS value
+        |  FROM range(0, 3) s(i), range(0, 2) u(i), range(0, 4) j(i)),
+        |p AS (
+        |  SELECT concat('svc-', svc) AS service_name,
+        |    unnest(['root', 'root;mid', concat('root;mid;leaf_', j)]) AS path,
+        |    value
+        |  FROM g)
+        |SELECT service_name, path, CAST(SUM(value) AS BIGINT) AS total
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
     "q147_profile_types" ->
       """SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'process_cpu:cpu:nanoseconds'
         |            WHEN event_type = 'error' THEN 'memory:alloc_space:bytes'

@@ -101,6 +101,18 @@ object PromQLOps {
     // rate = (last-first)/range per (bucket, series)
     "q42_promql_rate" -> q("""rate(click[1d])""", 86400),
 
+    // SUB-SECOND range selector (ms dashboards): a compound 6h500ms range
+    // shorter than the day step evaluates the Prometheus trailing window
+    // (t−range, t] — the trailing 6h0.5s of each day bucket, ns-exact.
+    // Pure filter on the bucketed scan; the plan shape is unchanged.
+    "q284_promql_subsecond_range" ->
+      q("""count_over_time(click[6h500ms])""", 86400),
+
+    // SUB-SECOND subquery resolution: inner instant on a 500ms µs-domain
+    // grid (one hash aggregate), outer count re-keys µs → the day grid.
+    "q285_promql_subsecond_subquery" ->
+      q("""count_over_time(click[1d:500ms])""", 86400),
+
     // cross-series max of increase (order-independent outer agg)
     "q43_promql_max_increase" -> q("""max(increase(purchase[1d]))""", 86400),
 
@@ -430,6 +442,27 @@ object PromQLOps {
          |fl AS (${firstLast("metric_name = 'click'", 86400)})
          |SELECT bucket_start, service_name,
          |  (lastv - firstv) / 86400.0 AS value FROM fl""".stripMargin,
+
+    "q284_promql_subsecond_range" ->
+      s"""WITH m AS ($V),
+         |f AS (SELECT *, ${bkt(86400)} AS bucket_start FROM m
+         |      WHERE metric_name = 'click' AND ${win(86400)}
+         |        AND timestamp >= (${bkt(86400)} + 86400) * 1000000000
+         |          - 21600500000000)
+         |SELECT bucket_start, service_name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    "q285_promql_subsecond_subquery" ->
+      s"""WITH m AS ($V),
+         |i AS (SELECT DISTINCT (timestamp//1000//500000)*500000 AS bs,
+         |        service_name
+         |      FROM m WHERE metric_name = 'click' AND ${win(86400)}),
+         |o AS (SELECT (bs // 86400000000) * 86400 AS bucket_start,
+         |        service_name FROM i)
+         |SELECT bucket_start, service_name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM o GROUP BY 1, 2""".stripMargin,
 
     "q212_promql_lookback" ->
       s"""WITH m AS ($V),

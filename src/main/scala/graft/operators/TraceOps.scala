@@ -375,6 +375,27 @@ object TraceOps {
 
     // TraceQL `||` disjunction inside a spanset (the reference subset
     // rejects it) — an OR of &&-groups, still one scan + one filter
+    // TraceQL spanset set algebra (Tempo `{A} && {B}` — traces where BOTH
+    // sides match a span, returning the matching spans of both sides):
+    // two filters on one scan, union-dedup by span identity, one semi
+    // join on the distinct-trace intersection — per-trace bounded.
+    "q286_traceql_spanset_and" -> ((s, dir) => {
+      val e = TraceQL.parseExpr(
+        """{ name = "error" } && { name = "purchase" }""")
+      TraceQL.lowerExpr(tracesDf(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
+    // `{A} || {B}` — matching spans of either side (union-dedup only)
+    "q287_traceql_spanset_or" -> ((s, dir) => {
+      val e = TraceQL.parseExpr(
+        """{ name = "error" } || { duration > 150ms }""")
+      TraceQL.lowerExpr(tracesDf(s, dir), e)
+        .select(col("trace_id"), col("span_id"), col("span_name"),
+          col("duration_nanos"))
+    }),
+
     "q175_traceql_disjunction" -> ((s, dir) => {
       val conds = TraceQL.parse(
         """{ name = "error" || name = "purchase" && duration > 150ms }""")
@@ -664,6 +685,23 @@ object TraceOps {
          |  SELECT 1 FROM wp a WHERE a.trace_id = b.trace_id
          |    AND a.parent_span_id = b.parent_span_id
          |    AND a.span_id <> b.span_id AND a.span_name = 'error')""".stripMargin,
+
+    "q286_traceql_spanset_and" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |a AS (SELECT * FROM spans WHERE span_name = 'error'),
+         |b AS (SELECT * FROM spans WHERE span_name = 'purchase'),
+         |t AS (SELECT trace_id FROM (SELECT DISTINCT trace_id FROM a)
+         |      INTERSECT SELECT trace_id FROM (SELECT DISTINCT trace_id FROM b)),
+         |u AS (SELECT * FROM a UNION SELECT * FROM b)
+         |SELECT u.trace_id, u.span_id, u.span_name, u.duration_nanos
+         |FROM u JOIN t USING (trace_id)""".stripMargin,
+
+    "q287_traceql_spanset_or" ->
+      s"""WITH spans AS ($tracesViewSql),
+         |a AS (SELECT * FROM spans WHERE span_name = 'error'),
+         |b AS (SELECT * FROM spans WHERE duration_nanos > 150000000),
+         |u AS (SELECT * FROM a UNION SELECT * FROM b)
+         |SELECT trace_id, span_id, span_name, duration_nanos FROM u""".stripMargin,
 
     "q175_traceql_disjunction" ->
       s"""WITH spans AS ($tracesViewSql)

@@ -29,17 +29,21 @@ object Ast {
     final case class Time(sec: Long) extends AtMod
   }
 
-  /** `metric{matchers}[range] offset d @ t` — instant if `rangeSec` empty. */
+  /** `metric{matchers}[range] offset d @ t` — instant if `rangeNs` empty.
+    * Ranges are NANOSECONDS end to end, so sub-second selectors
+    * (`rate(x[500ms])`) are first-class, matching the engine's i64-nano
+    * time domain. */
   final case class Selector(
       metric: Option[String],
       matchers: Seq[LabelMatcher],
-      rangeSec: Option[Long],
+      rangeNs: Option[Long],
       offsetSec: Long = 0,
       at: Option[AtMod] = None) extends Expr
 
-  /** `expr[range:res]` — inner evaluated at resolution `resSec`, then
-    * re-reduced per outer step by an _over_time function. */
-  final case class Subquery(expr: Expr, rangeSec: Long, resSec: Long) extends Expr
+  /** `expr[range:res]` — inner evaluated at resolution `resNs` (nanos; 0
+    * = default, the outer step), then re-reduced per outer step by an
+    * _over_time function. */
+  final case class Subquery(expr: Expr, rangeNs: Long, resNs: Long) extends Expr
 
   /** Function call: rate, increase, irate, abs, clamp, absent,
     * histogram_quantile, label_replace, … */

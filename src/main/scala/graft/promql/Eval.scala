@@ -77,6 +77,43 @@ object Eval {
         expr(s"((timestamp + ${sel.offsetSec * 1000000000L}) div 1000000000) div ${tr.stepSec} * ${tr.stepSec}")
     }
 
+  /** bucket + range-window restriction for a RANGE selector: when the
+    * range is shorter than the step (`rate(x[500ms])` on a 60s grid),
+    * Prometheus evaluates the window (t−range, t] at each grid point t —
+    * in the tumbling model, the TRAILING `rangeNs` of each step bucket
+    * (the bucket's own end is the grid point). A range ≥ the step keeps
+    * the whole-bucket window. Pure filter on the already-bucketed rows:
+    * no extra shuffle, codegen-friendly. */
+  private def rangeWindowed(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
+    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+    sel.rangeNs match {
+      case Some(rns) if rns < tr.stepSec * 1000000000L && pinBucket(sel, tr).isEmpty =>
+        val tsEff = col("timestamp") + lit(sel.offsetSec * 1000000000L)
+        df.filter(tsEff >=
+          (col("bucket_start") + lit(tr.stepSec)) * lit(1000000000L) - lit(rns))
+      case _ => df
+    }
+  }
+
+  /** instant vector on a SUB-SECOND grid: bucket_start is µs-domain
+    * (resolution-aligned epoch µs), one hash aggregate — the same shape
+    * as instant(), no window. Serves `x[range:100ms]` subquery inners. */
+  private def instantMicros(sel: Selector, t: MetricsTable, tr: TimeRange,
+      resNs: Long): Vec = {
+    if (resNs % 1000 != 0 || resNs <= 0)
+      throw Unsupported(s"subquery resolution must be whole microseconds: ${resNs}ns")
+    val resUs = resNs / 1000
+    val off = sel.offsetSec * 1000000000L
+    val df = baseFilter(sel, t, tr)
+      .withColumn("bucket_start",
+        expr(s"((timestamp + $off) div 1000) div $resUs * $resUs"))
+    val keys = bucket +: t.seriesLabels.map(col)
+    val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
+    Vec(df.groupBy(keys: _*)
+      .agg(max_by(col("value").cast(DoubleType), ordStruct).as("value")),
+      t.seriesLabels)
+  }
+
   /** a pinned selector evaluates at ONE bucket; replicate its rows across
     * the query grid with a broadcast of the tiny bucket spine — no shuffle
     * (reference metrics.rs:1746-1810 re-stamps the pinned matrix the same
@@ -215,7 +252,9 @@ object Eval {
     case "rate" | "increase" | "delta" | "deriv"
         if args.lastOption.exists(_.isInstanceOf[Subquery]) =>
       val Subquery(inner, _, res0) = args.last: @unchecked
-      val res = if (res0 == 0) tr.stepSec else res0
+      if (res0 % 1000000000L != 0)
+        throw Unsupported(s"sub-second subquery resolution under $f")
+      val res = if (res0 == 0) tr.stepSec else res0 / 1000000000L
       val innerVec = evalVector(inner, t, tr.copy(stepSec = res))
       val step = tr.stepSec
       val reKey = (col("bucket_start").divide(lit(step))).cast("long") * lit(step)
@@ -240,8 +279,8 @@ object Eval {
     // (reference metrics.rs:939-1046)
     case "rate" | "increase" | "delta" =>
       val sel = rangeSel(args, f)
-      val rs = sel.rangeSec.get
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val rs = sel.rangeNs.get / 1e9 // range SECONDS (may be fractional)
+      val df = rangeWindowed(sel, t, tr)
       val keys = bucket +: t.seriesLabels.map(col)
       // deterministic first/last: max_by/min_by over (timestamp, tieBreak)
       val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
@@ -249,13 +288,13 @@ object Eval {
         max_by(col("value"), ordStruct).as("_last"),
         min_by(col("value"), ordStruct).as("_first"))
       val delta = col("_last") - col("_first")
-      val v = if (f == "rate") delta / lit(rs.toDouble) else delta
+      val v = if (f == "rate") delta / lit(rs) else delta
       VecV(spread(sel, Vec(d.withColumn("value", v.cast(DoubleType)).drop("_first", "_last"),
         t.seriesLabels), t, tr))
 
     case "irate" | "idelta" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val df = rangeWindowed(sel, t, tr)
       val ord = col("timestamp").desc +: t.tieBreak.map(col(_).desc)
       val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
       val last2 = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 2)
@@ -275,7 +314,7 @@ object Eval {
 
     case "deriv" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val df = rangeWindowed(sel, t, tr)
       val keys = bucket +: t.seriesLabels.map(col)
       val secs = (col("timestamp").cast(DoubleType)) / lit(1e9)
       VecV(spread(sel, Vec(
@@ -288,7 +327,7 @@ object Eval {
     // the shape survives 1 M series; partial agg folds the flags map-side.
     case "changes" | "resets" =>
       val sel = rangeSel(args, f)
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val df = rangeWindowed(sel, t, tr)
       val ord = col("timestamp").asc +: t.tieBreak.map(col(_).asc)
       val w = Window.partitionBy(bucket +: t.seriesLabels.map(col): _*).orderBy(ord: _*)
       val prev = lag(col("value"), 1).over(w)
@@ -308,7 +347,7 @@ object Eval {
 
     case "absent" | "absent_over_time" =>
       val inner = args match {
-        case Seq(s: Selector) => s.copy(rangeSec = None)
+        case Seq(s: Selector) => s.copy(rangeNs = None)
         case _                => throw Unsupported(s"$f expects a selector")
       }
       val present = instant(inner, t, tr).df.select(bucket).distinct()
@@ -334,7 +373,7 @@ object Eval {
       // Prometheus requires both smoothing factors strictly inside (0,1)
       if (!(sfv > 0 && sfv < 1 && tfv > 0 && tfv < 1))
         throw Unsupported(s"holt_winters smoothing factors must be in (0,1): sf=$sfv tf=$tfv")
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val df = rangeWindowed(sel, t, tr)
       val keys = bucket +: t.seriesLabels.map(col)
       val sampleStruct = struct(
         (col("timestamp") +: t.tieBreak.map(col)) :+
@@ -433,7 +472,7 @@ object Eval {
         case NumLit(d) => d
         case _         => throw Unsupported("predict_linear needs a scalar t")
       }
-      val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+      val df = rangeWindowed(sel, t, tr)
       val keys = bucket +: t.seriesLabels.map(col)
       val secs = (col("timestamp").cast(DoubleType)) / lit(1e9)
       val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
@@ -531,12 +570,28 @@ object Eval {
     // resolution buckets per outer step (reference metrics.rs:829-909)
     args.last match {
       case Subquery(inner, _, res0) =>
+        val step = tr.stepSec
         // res 0 = `[range:]` — the grammar's "default resolution", which
         // evaluates at the outer query step
-        val res = if (res0 == 0) tr.stepSec else res0
-        val innerVec = evalVector(inner, t, tr.copy(stepSec = res))
-        val step = tr.stepSec
-        val reKey = (col("bucket_start").divide(lit(step))).cast("long") * lit(step)
+        val (innerVec, reKey) =
+          if (res0 % 1000000000L == 0) {
+            val res = if (res0 == 0) tr.stepSec else res0 / 1000000000L
+            (evalVector(inner, t, tr.copy(stepSec = res)),
+              (col("bucket_start").divide(lit(step))).cast("long") * lit(step))
+          } else {
+            // SUB-SECOND resolution (`x[30s:100ms]`): the seconds grid
+            // can't carry it, so the inner instant evaluates on a
+            // µs-domain grid and the outer re-key folds µs → the seconds
+            // step grid. Composite inners would need a full µs-domain
+            // evaluator — rejected explicitly, not silently coarsened.
+            val sel = inner match {
+              case s @ Selector(_, _, None, _, _) if s.at.isEmpty => s
+              case _ => throw Unsupported(
+                "sub-second subquery resolution supports a bare selector inner")
+            }
+            (instantMicros(sel, t, tr, res0),
+              expr(s"(bucket_start div ${step * 1000000L}) * $step"))
+          }
         val keys = reKey.as("bucket_start") +: innerVec.labels.map(col)
         val x = col("value").cast(DoubleType)
         val out = f match {
@@ -583,7 +638,7 @@ object Eval {
       case _ => ()
     }
     val sel = rangeSel(args.lastOption.toSeq, f) // quantile has (phi, sel)
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+    val df = rangeWindowed(sel, t, tr)
     val keys = bucket +: t.seriesLabels.map(col)
     val x = col("value").cast(DoubleType)
     val out = f match {

@@ -193,16 +193,17 @@ object Parser {
       if (isOp("[")) {
         advance()
         val r = advance() match {
-          case TDur(d, _) => d
-          case t          => throw ParseError("expected duration", t.pos)
+          case TDur(d, _)    => d * 1000000000L
+          case TDurNs(ns, _) => ns
+          case t             => throw ParseError("expected duration", t.pos)
         }
         val res = if (isOp(":")) {
           advance()
           cur match {
-            case TDur(d, _)   => advance(); d
-            case TOp("]", _)  => 0L // default resolution
-            case TDurNs(_, _) => throw Unsupported("sub-second subquery resolution")
-            case t            => throw ParseError("expected resolution", t.pos)
+            case TDur(d, _)    => advance(); d * 1000000000L
+            case TDurNs(ns, _) => advance(); ns // sub-second resolution
+            case TOp("]", _)   => 0L // default resolution
+            case t             => throw ParseError("expected resolution", t.pos)
           }
         } else throw ParseError("expected ':' in subquery", cur.pos)
         eatOp("]")
@@ -311,9 +312,9 @@ object Parser {
       if (isOp("[") && !isSubquery) {
         advance()
         range = advance() match {
-          case TDur(s, _)   => Some(s)
-          case TDurNs(_, _) => throw Unsupported("sub-second range selector")
-          case t            => throw ParseError("expected duration", t.pos)
+          case TDur(s, _)    => Some(s * 1000000000L)
+          case TDurNs(ns, _) => Some(ns) // sub-second range selector
+          case t             => throw ParseError("expected duration", t.pos)
         }
         eatOp("]")
       }

@@ -37,7 +37,7 @@ object RollupRewrite {
       tr: Eval.TimeRange): Option[DataFrame] = e match {
     case Call(f, Seq(Selector(Some(metric), Seq(), Some(range), 0, None)))
         if reAggregable(f)
-          && tr.stepSec % CellSec == 0 && range == tr.stepSec
+          && tr.stepSec % CellSec == 0 && range == tr.stepSec * 1000000000L
           && tr.startSec % CellSec == 0 && tr.lookbackSec == 0 =>
       val cells = graft.SignalTables.storedRollup(s, dir)
         .filter(col("metric_name") === metric)

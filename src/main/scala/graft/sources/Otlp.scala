@@ -62,7 +62,7 @@ object Otlp {
   // ---- wire-level reader -------------------------------------------------
 
   /** cursor over one length-delimited slice of the payload. */
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
 
     def fail(msg: String): Nothing =
@@ -134,7 +134,7 @@ object Otlp {
     }
   }
 
-  private def reader(bytes: Array[Byte]) = new Reader(bytes, 0, bytes.length)
+  private[sources] def reader(bytes: Array[Byte]) = new Reader(bytes, 0, bytes.length)
 
   // ---- common OTLP messages ---------------------------------------------
 
@@ -169,7 +169,7 @@ object Otlp {
     out
   }
 
-  private def jsonQuote(s: String): String =
+  private[sources] def jsonQuote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -177,7 +177,7 @@ object Otlp {
       case c => c.toString
     } + "\""
 
-  private def jsonQuoteIfNeeded(s: String): String =
+  private[sources] def jsonQuoteIfNeeded(s: String): String =
     if (s.nonEmpty && (s == "true" || s == "false" ||
         s.forall(c => c.isDigit || c == '-' || c == '.' || c == 'E' || c == 'e'))) s
     else jsonQuote(s)
@@ -571,7 +571,7 @@ object Otlp {
       span_id: String)
 
   /** the resolved dictionary tables of one request. */
-  private final case class ProfDict(
+  private[sources] final case class ProfDict(
       strings: IndexedSeq[String],
       mappingFilenameIdx: IndexedSeq[Int],
       locations: IndexedSeq[(Int, Long, Seq[(Int, Long, Long)])], // (mappingIdx, address, lines(fnIdx, line, col))
@@ -582,7 +582,7 @@ object Otlp {
 
   /** packed-or-unpacked repeated varint field: wire 2 = packed slice,
     * wire 0 = one element. */
-  private def packedInts(r: Reader, wire: Int): Seq[Long] =
+  private[sources] def packedInts(r: Reader, wire: Int): Seq[Long] =
     if (wire == 2) {
       val s = r.readSlice()
       val out = Seq.newBuilder[Long]
@@ -858,7 +858,7 @@ object Otlp {
   /** resolve one stack-table entry to its frames JSON, leaf first,
     * expanding inlined lines — resolve_stacktrace's output shape with the
     * reference model's serde skips (empty strings / zeros omitted). */
-  private def stacktraceJson(dict: ProfDict, stackIdx: Long): String = {
+  private[sources] def stacktraceJson(dict: ProfDict, stackIdx: Long): String = {
     val locIdxs =
       if (stackIdx >= 0 && stackIdx < dict.stacks.length) dict.stacks(stackIdx.toInt)
       else Seq.empty[Int]
@@ -896,7 +896,7 @@ object Otlp {
 
   /** sample attribute indices → JSON object (None when empty); index 0 is
     * the null attribute by convention. */
-  private def sampleAttrsJson(dict: ProfDict, idxs: Seq[Long]): Option[String] = {
+  private[sources] def sampleAttrsJson(dict: ProfDict, idxs: Seq[Long]): Option[String] = {
     val kvs = idxs.flatMap { i =>
       if (i > 0 && i < dict.attrs.length) Some(dict.attrs(i.toInt)) else None
     }.filter(_._1.nonEmpty)

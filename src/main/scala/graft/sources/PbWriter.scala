@@ -2,7 +2,8 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
-/** Minimal protobuf writer shared by the OTLP test suites: requests are
+/** Minimal protobuf writer (public wire format) shared by the OTLP/pprof
+  * test suites and the deterministic pprof oracle fixture: requests are
   * hand-encoded against the public wire format, so decode tests prove the
   * reader against independently-constructed bytes. */
 private[sources] final class Pb {

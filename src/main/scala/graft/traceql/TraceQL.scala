@@ -53,8 +53,15 @@ object TraceQL {
     * subset (search_filter.rs:240-246 rejects pipelines). */
   final case class AggFilter(input: Expr, func: String, op: String,
       threshold: Long) extends Expr
+  /** spanset set operation — `{A} && {B}` / `{A} || {B}` (Tempo spanset
+    * algebra, distinct from `&&`/`||` INSIDE one spanset): `&&` keeps
+    * traces where BOTH sides match at least one span and returns the
+    * matching spans of both sides; `||` returns the matching spans of
+    * either side. */
+  final case class SetOp(op: String, lhs: Expr, rhs: Expr) extends Expr
 
   private val structRe = """^(\{[^}]*\})\s*(!>>|!>|>>|<<|>|~)\s*(\{[^}]*\})$""".r
+  private val setRe = """^(\{[^}]*\})\s*(&&|\|\|)\s*(\{.+)$""".r
   private val aggRe =
     """^(.*\})\s*\|\s*(count|sum|min|max|avg)\(\s*(duration)?\s*\)\s*(>=|<=|!=|=|>|<)\s*([0-9.]+)\s*(ns|us|ms|s|m|h)?$""".r
 
@@ -74,6 +81,7 @@ object TraceQL {
         }
         AggFilter(parseExpr(left), func, op, math.round(v.toDouble * mult))
       }
+    case setRe(l, op, r) => SetOp(op, Spanset(parse(l)), parseExpr(r))
     case structRe(l, op, r) => Structural(parse(l), op, parse(r))
     case t => Spanset(parse(t))
   }
@@ -161,6 +169,20 @@ object TraceQL {
         col("trace_id") === col("_t") && col("span_id") === col("_anc"),
         "left_semi")
     case Structural(_, op, _) => throw Unsupported(s"TraceQL: unsupported structural '$op'")
+    case SetOp(op, l, r) =>
+      // both sides filter the SAME scan; union-dedup by span identity,
+      // then (for &&) one semi join on the distinct-trace intersection —
+      // per-trace bounded, no cross-trace fan-out
+      val lv = lowerExpr(spans, l)
+      val rv = lowerExpr(spans, r)
+      val un = lv.unionByName(rv).dropDuplicates("trace_id", "span_id")
+      op match {
+        case "||" => un
+        case "&&" =>
+          val both = lv.select(col("trace_id")).distinct()
+            .join(rv.select(col("trace_id")).distinct(), "trace_id")
+          un.join(both, Seq("trace_id"), "left_semi")
+      }
     case AggFilter(in, func, op, thr) =>
       // one window over trace_id (single shuffle, no self-join); avg is
       // lowered to the exact integer form `sum op thr*count` so the

@@ -143,12 +143,15 @@ class PromqlCorpusSpec extends AnyFunSuite {
     "up == 1 # healthy targets",
     // metric names shadowing function names (no call parens)
     """rate{job="api"}""",
-    """sum_over_time{job="api"} > 0""")
+    """sum_over_time{job="api"} > 0""",
+    // sub-second ranges/resolutions (ms dashboards) — round 6
+    """rate(x[500ms])""",
+    """sum_over_time(x[30s:100ms])""",
+    """max_over_time(x[250ms])""",
+    """avg_over_time(x[10s:250ms])""")
 
   private val pinnedUnsupported = Seq(
     """max_over_time(x[5m:30s] @ end())""",     // @ on a subquery
-    """rate(x[500ms])""",                        // sub-second range selector
-    """sum_over_time(x[30s:100ms])""",           // sub-second subquery resolution
     """histogram_count(rate(native_hist[5m]))""", // native-histogram fns: stored-table ops instead
     """histogram_sum(rate(native_hist[5m]))""",
     """info(up)""",                              // experimental v3 info()
@@ -168,17 +171,29 @@ class PromqlCorpusSpec extends AnyFunSuite {
         s"expected an explicit rejection, got $thrown")
     }
 
+  test("sub-second range selector carries nanos") {
+    val Call(_, Seq(Selector(_, _, Some(r), _, _))) =
+      Parser.parse("rate(x[500ms])"): @unchecked
+    assert(r == 500000000L)
+  }
+
+  test("sub-second subquery resolution carries nanos") {
+    val Call(_, Seq(Subquery(_, r, res))) =
+      Parser.parse("sum_over_time(x[30s:100ms])"): @unchecked
+    assert(r == 30000000000L && res == 100000000L)
+  }
+
   // targeted shape checks for the constructs the corpus surfaced
   test("compound duration lexes to one token: 1h30m = 5400s") {
     val Call(_, Seq(Selector(_, _, Some(r), _, _))) =
       Parser.parse("increase(x[1h30m])"): @unchecked
-    assert(r == 5400L)
+    assert(r == 5400L * 1000000000L)
   }
 
   test("default-resolution subquery carries res 0") {
     val Call(_, Seq(Subquery(_, r, res))) =
       Parser.parse("sum_over_time(x[1h:])"): @unchecked
-    assert(r == 3600L && res == 0L)
+    assert(r == 3600L * 1000000000L && res == 0L)
   }
 
   test("offset after a subquery folds into every inner selector") {

@@ -7,7 +7,7 @@ import Ast._
 class PromqlParserSpec extends AnyFunSuite {
 
   test("selector with matchers and range") {
-    val Selector(Some("http_requests"), ms, Some(300), 0, None) =
+    val Selector(Some("http_requests"), ms, Some(300000000000L), 0, None) =
       Parser.parse("""http_requests{job="api", code=~"5.."}[5m]"""): @unchecked
     assert(ms == Seq(
       LabelMatcher("job", MatchOp.Eq, "api"),
@@ -20,9 +20,9 @@ class PromqlParserSpec extends AnyFunSuite {
   }
 
   test("subquery vs range selector brackets") {
-    val Subquery(Call("rate", _), 604800, 21600) =
+    val Subquery(Call("rate", _), 604800000000000L, 21600000000000L) =
       Parser.parse("rate(m[6h])[1w:6h]"): @unchecked
-    val Subquery(Selector(Some("m"), _, None, 0, None), 3600, 60) =
+    val Subquery(Selector(Some("m"), _, None, 0, None), 3600000000000L, 60000000000L) =
       Parser.parse("m[1h:1m]"): @unchecked
   }
 
@@ -77,7 +77,7 @@ class PromqlParserSpec extends AnyFunSuite {
   test("@ modifier: unix timestamp, start()/end(), either order with offset") {
     val Selector(Some("m"), _, None, 0, Some(AtMod.Time(1609746000))) =
       Parser.parse("m @ 1609746000"): @unchecked
-    val Selector(Some("m"), _, Some(300), 0, Some(AtMod.Start)) =
+    val Selector(Some("m"), _, Some(300000000000L), 0, Some(AtMod.Start)) =
       Parser.parse("m[5m] @ start()"): @unchecked
     val Selector(Some("m"), _, None, 3600, Some(AtMod.End)) =
       Parser.parse("m @ end() offset 1h"): @unchecked

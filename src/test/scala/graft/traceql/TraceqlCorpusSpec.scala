@@ -36,19 +36,23 @@ class TraceqlCorpusSpec extends AnyFunSuite {
     """{ status = error } << { name = "purchase" }""",
     """{ resource.service.name = "api" } | count() > 3""",
     """{ resource.service.name = "api" } | avg(duration) > 100ms""",
+    // spanset set algebra (round 6)
+    """{ name = "a" } && { name = "b" }""",
+    """{ name = "a" } || { duration > 150ms }""",
+    """{ name = "a" } && { name = "b" } | count() >= 2""",
     // metrics second-stage
     """{ status = error } | rate() by (resource.service.name)""")
 
   private val pinnedUnsupported = Seq(
     """{ duration = 100 }""",            // duration is an ordering compare
     """{ span.x ^ 3 }""",                // not a condition
-    """{ name = "a" } && { name = "b" }""", // spanset && spanset not in subset
     """name = "no-braces"""")
 
   for ((q, i) <- supported.zipWithIndex)
     test(f"corpus supported #$i%02d: ${q.take(60)}") {
       if (q.contains("| count") || q.contains("| avg") ||
-          q.contains(">>") || q.contains(" > {") || q.contains("<<"))
+          q.contains(">>") || q.contains(" > {") || q.contains("<<") ||
+          q.contains("} &&") || q.contains("} ||"))
         TraceQL.parseExpr(q)
       else if (q.contains("| rate"))
         TraceQL.parseMetrics(q)
