@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed batch-wise per partition.
   *
   * The Spark-side plumbing — schema, partition-parallel batch iteration,
-  * row shapes — is real; the actual media DECODE IS A STUB (this container
-  * has no image/audio codecs): `decodeStub` derives a deterministic
-  * pseudo-feature vector from the md5 of the payload. Swap `decodeStub`
-  * for a real codec (e.g. JNI/ONNX) without touching the plumbing.
+  * row shapes — is real. Container HEADERS (PNG/JPEG/GIF dims, WAV fmt,
+  * MP4 boxes) and WAV 16-bit PCM SAMPLES (`wavPcm`) are genuinely
+  * decoded from raw bytes, no codec libraries. Image pixel and video
+  * frame decode remain A STUB (this container has no JPEG/H.264
+  * codecs): `decodeStub` derives a deterministic pseudo-feature vector
+  * from the md5 of the payload. Swap `decodeStub` for a real codec
+  * (e.g. JNI/ONNX) without touching the plumbing.
   */
 object Multimodal {
 
@@ -157,6 +160,68 @@ object Multimodal {
       None
     }
     if (bytes.length < 8) None else walk(0, bytes.length)
+  }
+
+  /** decoded 16-bit PCM stats — exact integers end to end. */
+  final case class WavPcm(sampleRate: Int, channels: Int, nSamples: Long,
+      peak: Long, sumAbs: Long, sumSq: Long)
+
+  /** ======= REAL ======= WAV 16-bit PCM SAMPLE decode, zero codec deps:
+    * the RIFF chunk walk locates `fmt ` (must declare audio format 1 =
+    * linear PCM, 16 bits/sample) and `data`; the data chunk's LE16
+    * signed samples fold to exact integer statistics (count, peak =
+    * max |s|, Σ|s|, Σs²) — the feature columns an audio-quality or
+    * silence-detection pipeline filters on. Non-PCM/truncated payloads
+    * → None, never a guess. (Image pixels and video frames remain
+    * honestly stubbed — no JPEG/H.264 entropy decoding without codec
+    * libraries; PCM needs none.) */
+  def wavPcm(bytes: Array[Byte]): Option[WavPcm] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(bytes.slice(i, i + 4), "ASCII")
+    if (bytes.length < 20 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    var data: Option[(Int, Int)] = None // (offset, size)
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+        fmt = Some((le16(i + 8), le16(i + 8 + 2), le32(i + 8 + 4)))
+        bits = le16(i + 8 + 14)
+      } else if (id == "data") {
+        data = Some((i + 8, math.min(size, bytes.length - i - 8)))
+      }
+      i += 8 + size + (size & 1)
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate)), Some((off, sz))) if bits == 16 =>
+        var n = 0L; var peak = 0L; var sAbs = 0L; var sSq = 0L
+        var j = off
+        while (j + 2 <= off + sz) {
+          val s = le16(j).toShort.toLong // sign-extend
+          val a = math.abs(s)
+          n += 1; if (a > peak) peak = a; sAbs += a; sSq += s * s
+          j += 2
+        }
+        Some(WavPcm(rate, ch, n, peak, sAbs, sSq))
+      case _ => None
+    }
+  }
+
+  /** structurally valid WAV fixture WITH a PCM data chunk. */
+  def syntheticWavPcm(sampleRate: Int, channels: Int,
+      samples: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val data = samples.toArray.flatMap(le16)
+    "RIFF".getBytes("ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16) ++
+      "data".getBytes("ASCII") ++ le32(data.length) ++ data
   }
 
   /** structurally valid WAV header fixture. */

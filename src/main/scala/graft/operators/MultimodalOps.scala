@@ -80,6 +80,31 @@ object MultimodalOps {
         }.toDF("media_id", "kind", "m1", "m2")
     }),
 
+    // REAL WAV PCM sample decode (no codec libs — PCM needs none): each
+    // audio doc gets a WAV whose 64 LE16 samples follow a closed formula;
+    // the RIFF walk + sample fold produce exact integer stats (peak,
+    // Σ|s|, Σs², fixed-point RMS) and the oracle restates the formula
+    // arithmetically — any drift in chunk offsets, sign extension, or
+    // sample iteration breaks the hash. This closes the audio-feature
+    // path; pixel/video decode stays honestly stubbed.
+    "q289_wav_pcm_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val samples = (0 until 64).map(j =>
+            (((id * 997 + j * 131) % 30001) - 15000).toInt)
+          val p = Multimodal.wavPcm(
+            Multimodal.syntheticWavPcm(16000, 1, samples)).get
+          val rmsMilli = math.floor(
+            1000.0 * math.sqrt(p.sumSq.toDouble / p.nSamples)).toLong
+          (id, p.sampleRate, p.channels, p.nSamples, p.peak,
+            p.sumAbs, p.sumSq, rmsMilli)
+        }.toDF("media_id", "sample_rate", "channels", "n_samples",
+          "peak", "sum_abs", "sum_sq", "rms_milli")
+    }),
+
     // binary frame sampling: n_frames per media by kind
     "q65_multimodal_framesample" -> ((s, dir) => {
       val media = mediaDs(s, dir).toDF()
@@ -124,6 +149,22 @@ object MultimodalOps {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
         |       ELSE (n_chars % 100000) + 1 END AS BIGINT) AS m2
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+
+    "q289_wav_pcm_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, ((doc_id * 997 + j.i * 131) % 30001) - 15000 AS v
+        |  FROM documents, range(0, 64) j(i)
+        |  WHERE doc_id % 3 = 1)
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(FLOOR(1000 * SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)))
+        |    AS BIGINT) AS rms_milli
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q65_multimodal_framesample" ->
       """WITH media AS (

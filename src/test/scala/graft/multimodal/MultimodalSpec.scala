@@ -38,6 +38,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.mp4Meta(Array[Byte](0, 0, 0, 1)).isEmpty)
   }
 
+  test("WAV 16-bit PCM samples decode to exact integer stats") {
+    // mixed signs prove the LE16 sign extension: [-3, 0, 5, -32768, 32767]
+    val wav = Multimodal.syntheticWavPcm(8000, 1, Seq(-3, 0, 5, -32768, 32767))
+    val p = Multimodal.wavPcm(wav).get
+    assert(p.sampleRate == 8000 && p.channels == 1 && p.nSamples == 5L)
+    assert(p.peak == 32768L)
+    assert(p.sumAbs == 3L + 0L + 5L + 32768L + 32767L)
+    assert(p.sumSq == 9L + 25L + 32768L * 32768L + 32767L * 32767L)
+
+    // a junk chunk between fmt and data is skipped by size
+    val withJunk = wav.take(36) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array.fill[Byte](4)(7) ++
+      wav.drop(36)
+    assert(Multimodal.wavPcm(withJunk).get.sumSq == p.sumSq)
+
+    // non-PCM format (IEEE float = 3) and 8-bit PCM are rejected
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(Multimodal.wavPcm(nonPcm).isEmpty)
+    val eightBit = wav.clone(); eightBit(34) = 8
+    assert(Multimodal.wavPcm(eightBit).isEmpty)
+
+    // data chunk truncated mid-sample: the partial sample is not read
+    val cut = wav.dropRight(1)
+    assert(Multimodal.wavPcm(cut).get.nSamples == 4L)
+  }
+
   test("garbage and truncated payloads decode to None") {
     assert(Multimodal.imageDims(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)
