@@ -76,6 +76,23 @@ object ApiJson {
     s"""{"status":"success","data":{"resultType":"matrix","result":[${series.mkString(",")}]}}"""
   }
 
+  /** Prometheus instant-query "vector" envelope: one sample per series
+    * at the evaluation time (the latest bucket when several arrive). */
+  def promVector(df: DataFrame, labelCols: Seq[String], timeSec: Long): String = {
+    val metricObj = to_json(map_from_arrays(
+      array(labelCols.map(lit(_)): _*),
+      array(labelCols.map(c => col(c).cast("string")): _*)))
+    val entries = df
+      .groupBy(metricObj.as("_metric"))
+      .agg(max_by(col("value").cast("string"), col("bucket_start")).as("_v"))
+      .orderBy(col("_metric"))
+      .collect()
+    val series = entries.map { r =>
+      s"""{"metric":${r.getString(0)},"value":[$timeSec,"${r.getString(1)}"]}"""
+    }
+    s"""{"status":"success","data":{"resultType":"vector","result":[${series.mkString(",")}]}}"""
+  }
+
   /** Tempo search envelope from span rows (trace_id, span rows with
     * timestamp Long nanos, service_name, duration_nanos): one entry per
     * trace, newest-first. */

@@ -1,0 +1,227 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SignalViews
+
+/** Query-string request parsing + dispatch for the four reference
+  * routers (`src/router/src/endpoints/{logql,promql,tempo,pyroscope}.rs`
+  * — axum handlers that parse params, validate, run the query, and
+  * serialize the wire envelope). Everything EXCEPT the socket listener
+  * is here: given the raw query string a server would receive, these
+  * functions produce the exact response body (via ApiJson) or the 4xx
+  * the reference would return. Param names, defaults, and time formats
+  * follow the public Loki/Prometheus/Tempo HTTP APIs:
+  *
+  *  - Loki `query_range`: `query` (required), `start`/`end` (unix NANOS,
+  *    float seconds, or RFC3339; default end=now, start=end−1h),
+  *    `limit` (default 100), `direction` (backward|forward).
+  *  - Prometheus `query_range`: `query`/`start`/`end`/`step` all
+  *    required (Prometheus 400s on any missing); times are unix seconds
+  *    (float) or RFC3339; `step` is duration or float seconds.
+  *    `query` (instant): `time` defaults to now; served over one
+  *    lookback-delta bucket (5m, Prometheus default).
+  *  - Tempo `search`: `q` (TraceQL) or `tags` (logfmt), `limit`
+  *    (default 20), optional `start`/`end` unix seconds.
+  *
+  * Determinism: "now" is a parameter, never a clock read. */
+object Endpoints {
+
+  /** the 4xx an axum handler would reply; status + message body. */
+  final case class HttpError(status: Int, message: String)
+    extends RuntimeException(s"$status: $message")
+
+  /** application/x-www-form-urlencoded query string → params (last key
+    * wins, like axum's Query extractor for single-valued params). */
+  def parseQuery(qs: String): Map[String, String] =
+    qs.stripPrefix("?").split('&').toSeq
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private val durRe = """(\d+(?:\.\d+)?)(ms|us|ns|s|m|h|d|w|y)""".r
+
+  /** Prometheus/Loki duration string → seconds; bare numbers are float
+    * seconds. Sub-second totals are rejected where a grid step is
+    * required (the evaluation grid is whole-second). */
+  def parseDurationSec(s: String, what: String): Long = {
+    val ns = parseDurationNs(s, what)
+    if (ns % 1000000000L != 0 || ns <= 0)
+      throw HttpError(400, s"$what: sub-second or zero step unsupported: $s")
+    ns / 1000000000L
+  }
+
+  def parseDurationNs(s: String, what: String): Long =
+    if (s.isEmpty) throw HttpError(400, s"missing $what")
+    else if (s.forall(c => c.isDigit || c == '.'))
+      math.round(s.toDouble * 1e9)
+    else {
+      val ms = durRe.findAllMatchIn(s).toSeq
+      if (ms.isEmpty || ms.map(_.matched).mkString != s)
+        throw HttpError(400, s"$what: malformed duration: $s")
+      ms.map { m =>
+        val v = m.group(1).toDouble
+        val mult = m.group(2) match {
+          case "ns" => 1L; case "us" => 1000L; case "ms" => 1000000L
+          case "s" => 1000000000L; case "m" => 60L * 1000000000L
+          case "h" => 3600L * 1000000000L; case "d" => 86400L * 1000000000L
+          case "w" => 604800L * 1000000000L; case "y" => 31536000L * 1000000000L
+        }
+        math.round(v * mult)
+      }.sum
+    }
+
+  /** Loki time: all-digits = unix NANOS; with a '.' = float seconds;
+    * otherwise RFC3339. */
+  def parseLokiNs(s: String, what: String): Long =
+    try {
+      if (s.forall(_.isDigit)) s.toLong
+      else if (s.exists(_.isDigit) && s.forall(c => c.isDigit || c == '.'))
+        math.round(s.toDouble * 1e9)
+      else java.time.Instant.parse(s).toEpochMilli * 1000000L
+    } catch {
+      case _: HttpError => throw HttpError(400, s"invalid $what: $s")
+      case scala.util.control.NonFatal(_) =>
+        throw HttpError(400, s"invalid $what: $s")
+    }
+
+  /** Prometheus time: unix seconds (float) or RFC3339 → epoch seconds. */
+  def parsePromSec(s: String, what: String): Long =
+    try {
+      if (s.forall(c => c.isDigit || c == '.')) math.floor(s.toDouble).toLong
+      else java.time.Instant.parse(s).getEpochSecond
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        throw HttpError(400, s"invalid $what: $s")
+    }
+
+  private def require(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw HttpError(400, s"missing required parameter: $k"))
+
+  // ---- Loki ---------------------------------------------------------------
+
+  /** GET /loki/api/v1/query_range (reference endpoints/logql.rs). */
+  def lokiQueryRange(spark: SparkSession, dir: String, qs: String,
+      nowNs: Long): String = {
+    val p = parseQuery(qs)
+    val query = require(p, "query")
+    val endNs = p.get("end").map(parseLokiNs(_, "end")).getOrElse(nowNs)
+    val startNs = p.get("start").map(parseLokiNs(_, "start"))
+      .getOrElse(endNs - 3600L * 1000000000L)
+    if (startNs >= endNs) throw HttpError(400, "start must be before end")
+    val limit = p.get("limit").map(_.toIntOption.getOrElse(
+      throw HttpError(400, "invalid limit"))).getOrElse(100)
+    if (limit <= 0 || limit > 5000) throw HttpError(400, s"limit out of range: $limit")
+    val newestFirst = p.getOrElse("direction", "backward") match {
+      case "backward" => true
+      case "forward"  => false
+      case other      => throw HttpError(400, s"invalid direction: $other")
+    }
+    val table = SignalViews.logsTable(spark, dir)
+    val parsed =
+      try graft.logql.Parser.parse(query)
+      catch { case e: graft.logql.Ast.ParseError =>
+        throw HttpError(400, s"parse error: ${e.getMessage}") }
+    parsed match {
+      case graft.logql.Ast.LineQuery(q) =>
+        val df = graft.logql.Lowering.lowerLineQuery(table, q, limit,
+          newestFirst, timeRange = Some((startNs, endNs)))
+        ApiJson.lokiStreams(df, Seq("service_name", "severity_text"))
+      case graft.logql.Ast.MetricQuery(e) =>
+        val df = graft.logql.Lowering.lowerMetric(table, e,
+          timeRange = Some((startNs, endNs)))
+        val labels = df.columns.toSeq.filterNot(Set("bucket_start", "value"))
+        ApiJson.promMatrix(df, labels)
+    }
+  }
+
+  // ---- Prometheus ---------------------------------------------------------
+
+  /** GET /api/v1/query_range (reference endpoints/promql.rs). */
+  def promQueryRange(spark: SparkSession, dir: String, qs: String): String = {
+    val p = parseQuery(qs)
+    val query = require(p, "query")
+    val start = parsePromSec(require(p, "start"), "start")
+    val end = parsePromSec(require(p, "end"), "end")
+    if (start > end) throw HttpError(400, "start must not be after end")
+    val step = parseDurationSec(require(p, "step"), "step")
+    if ((end - start) / step > 11000)
+      throw HttpError(400, "exceeded maximum resolution of 11000 points")
+    val t = SignalViews.metricsTable(spark, dir)
+    val expr =
+      try graft.promql.Parser.parse(query)
+      catch {
+        case e: graft.promql.Ast.ParseError =>
+          throw HttpError(400, s"parse error: ${e.getMessage}")
+        case e: graft.promql.Ast.Unsupported =>
+          throw HttpError(422, e.getMessage)
+      }
+    val v = graft.promql.Eval.evalVector(expr, t,
+      // end is INCLUSIVE in the Prometheus API; the grid is exclusive
+      graft.promql.Eval.TimeRange(start, end + 1, step))
+    ApiJson.promMatrix(v.df, v.labels)
+  }
+
+  /** GET /api/v1/query — instant query over one lookback-delta bucket
+    * (5m, the Prometheus default), pinned at `time` (default: now). */
+  def promInstantQuery(spark: SparkSession, dir: String, qs: String,
+      nowSec: Long): String = {
+    val p = parseQuery(qs)
+    val query = require(p, "query")
+    val time = p.get("time").map(parsePromSec(_, "time")).getOrElse(nowSec)
+    val step = 300L
+    val b0 = time / step * step
+    val t = SignalViews.metricsTable(spark, dir)
+    val expr =
+      try graft.promql.Parser.parse(query)
+      catch {
+        case e: graft.promql.Ast.ParseError =>
+          throw HttpError(400, s"parse error: ${e.getMessage}")
+        case e: graft.promql.Ast.Unsupported =>
+          throw HttpError(422, e.getMessage)
+      }
+    val v = graft.promql.Eval.evalVector(expr, t,
+      graft.promql.Eval.TimeRange(b0, b0 + step, step))
+    ApiJson.promVector(v.df, v.labels, time)
+  }
+
+  // ---- Tempo --------------------------------------------------------------
+
+  /** GET /api/search (reference endpoints/tempo.rs): `q` = TraceQL, or
+    * `tags` = logfmt pairs (the pre-TraceQL search API). */
+  def tempoSearch(spark: SparkSession, dir: String, qs: String): String = {
+    val p = parseQuery(qs)
+    val limit = p.get("limit").map(_.toIntOption.getOrElse(
+      throw HttpError(400, "invalid limit"))).getOrElse(20)
+    var spans = SignalViews.tracesGen2Df(spark, dir)
+    for (s <- p.get("start"))
+      spans = spans.filter(col("timestamp") >= parsePromSec(s, "start") * 1000000000L)
+    for (e <- p.get("end"))
+      spans = spans.filter(col("timestamp") < parsePromSec(e, "end") * 1000000000L)
+    val filtered = (p.get("q"), p.get("tags")) match {
+      case (Some(q), _) =>
+        try graft.traceql.TraceQL.lowerExpr(spans, graft.traceql.TraceQL.parseExpr(q))
+        catch { case e: graft.traceql.TraceQL.Unsupported =>
+          throw HttpError(400, s"invalid TraceQL: ${e.getMessage}") }
+      case (None, Some(tags)) =>
+        spans.filter(graft.traceql.TraceQL.lower(
+          graft.traceql.TraceQL.parseTags(tags)))
+      case (None, None) => throw HttpError(400, "missing q or tags")
+    }
+    ApiJson.tempoSearch(filtered, limit)
+  }
+
+  /** GET /api/search/tag/{tag}/values. */
+  def tempoTagValues(spark: SparkSession, dir: String, tag: String): String = {
+    val spans = SignalViews.tracesGen2Df(spark, dir)
+    if (!spans.columns.contains(tag))
+      throw HttpError(404, s"unknown tag: $tag")
+    ApiJson.tempoTagValues(spans.select(col(tag).cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct().orderBy(col("value")))
+  }
+}

@@ -646,6 +646,30 @@ object PipelineOps {
     // hash aggregates and one shuffle join keyed by token, every stage
     // partition-parallel at any corpus size. Integers end-to-end; the
     // mean is the single final IEEE division.
+    // CCNet-style LM quality scoring, EXACT-integer form: per-token
+    // surprisal ≈ log2(N/cnt) computed as bit-length difference
+    // (floor-log2 via base-2 string length — no libm log, which differs
+    // by 1 ulp across engines; same discipline as q184's lift-ppm). A
+    // doc of mostly-rare tokens scores high average surprisal — the
+    // perplexity-proxy CCNet buckets on for corpus filtering. Two hash
+    // aggregates + a token-keyed join (broadcast-able vocab at small
+    // scale, shuffle join at corpus scale); the corpus total is a 1-row
+    // broadcast.
+    "q290_unigram_surprisal" -> ((s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("n_total"))
+      occ.join(freq, "tok").crossJoin(broadcast(total))
+        .withColumn("s_bits",
+          expr("length(conv(n_total, 10, 2)) - length(conv(cnt, 10, 2))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("s_bits")).cast(LongType).as("sum_bits"))
+        .withColumn("avg_bits_q8", expr("(sum_bits * 256) div n_tok"))
+        .select(col("doc_id"), col("n_tok"), col("sum_bits"), col("avg_bits_q8"))
+    }),
+
     "q183_zipf_commonness" -> ((s, dir) => {
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -2316,6 +2340,20 @@ object PipelineOps {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY adist ASC, n_id ASC) AS rank
         |  FROM adist) WHERE rank <= 3""".stripMargin,
+
+    "q290_unigram_surprisal" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM freq),
+        |sc AS (
+        |  SELECT o.doc_id,
+        |    length(printf('%b', t.n_total)) - length(printf('%b', f.cnt)) AS s_bits
+        |  FROM occ o JOIN freq f USING (tok), tot t)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(SUM(s_bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(s_bits) AS BIGINT) * 256 // count(*) AS avg_bits_q8
+        |FROM sc GROUP BY 1""".stripMargin,
 
     "q183_zipf_commonness" ->
       """WITH occ AS (
