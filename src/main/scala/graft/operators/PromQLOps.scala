@@ -113,6 +113,14 @@ object PromQLOps {
     "q285_promql_subsecond_subquery" ->
       q("""count_over_time(click[1d:500ms])""", 86400),
 
+    // `@` ON A SUBQUERY: the subquery evaluates ONCE — the trailing 1d
+    // window at the pinned bucket (Jan 30, the data's last day), inner
+    // at 6h resolution — and the single per-series result replicates
+    // across the grid via a broadcast spine (same shape as pinned
+    // selectors).
+    "q291_promql_subquery_at" ->
+      q("""max_over_time(click[1d:6h] @ 1706572800)""", 86400),
+
     // cross-series max of increase (order-independent outer agg)
     "q43_promql_max_increase" -> q("""max(increase(purchase[1d]))""", 86400),
 
@@ -452,6 +460,24 @@ object PromQLOps {
          |SELECT bucket_start, service_name,
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM f GROUP BY 1, 2""".stripMargin,
+
+    "q291_promql_subquery_at" ->
+      s"""WITH m AS ($V),
+         |f AS (SELECT * FROM m WHERE metric_name = 'click'
+         |      AND timestamp >= ${1706572800L * 1000000000L}
+         |      AND timestamp < ${(1706572800L + 86400L) * 1000000000L}),
+         |i AS (SELECT * FROM (
+         |    SELECT (timestamp//1000000000//21600)*21600 AS bs, service_name,
+         |      CAST(value AS DOUBLE) AS value,
+         |      row_number() OVER (PARTITION BY (timestamp//1000000000//21600),
+         |          service_name
+         |        ORDER BY timestamp DESC, event_id DESC) AS rn
+         |    FROM f) WHERE rn = 1),
+         |v AS (SELECT service_name, MAX(value) AS value FROM i GROUP BY 1),
+         |grid AS (SELECT unnest(generate_series($T0, ${T1 - 1}, 86400))
+         |         AS bucket_start)
+         |SELECT g.bucket_start, v.service_name, v.value
+         |FROM grid g, v""".stripMargin,
 
     "q285_promql_subsecond_subquery" ->
       s"""WITH m AS ($V),

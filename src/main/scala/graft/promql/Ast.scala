@@ -42,8 +42,12 @@ object Ast {
 
   /** `expr[range:res]` — inner evaluated at resolution `resNs` (nanos; 0
     * = default, the outer step), then re-reduced per outer step by an
-    * _over_time function. */
-  final case class Subquery(expr: Expr, rangeNs: Long, resNs: Long) extends Expr
+    * _over_time function. `at` pins the subquery's evaluation time: the
+    * window is the trailing `range` at that one instant, and the single
+    * result replicates across the query grid (Prometheus `@` on a
+    * subquery). */
+  final case class Subquery(expr: Expr, rangeNs: Long, resNs: Long,
+      at: Option[AtMod] = None) extends Expr
 
   /** Function call: rate, increase, irate, abs, clamp, absent,
     * histogram_quantile, label_replace, … */

@@ -143,7 +143,7 @@ object Eval {
     case sel @ Selector(_, _, None, _, _) => VecV(instant(sel, t, tr))
     case Selector(_, _, Some(_), _, _) =>
       throw Unsupported("range selector outside a range function")
-    case Subquery(_, _, _) =>
+    case _: Subquery =>
       throw Unsupported("subquery outside an _over_time function")
 
     case Call(f, args) => call(f, args, t, tr)
@@ -251,7 +251,9 @@ object Eval {
     // more groupBy on an already-shuffled key, no extra scan.
     case "rate" | "increase" | "delta" | "deriv"
         if args.lastOption.exists(_.isInstanceOf[Subquery]) =>
-      val Subquery(inner, _, res0) = args.last: @unchecked
+      val Subquery(inner, _, res0, at0) = args.last: @unchecked
+      if (at0.isDefined)
+        throw Unsupported(s"@ on a subquery under $f")
       if (res0 % 1000000000L != 0)
         throw Unsupported(s"sub-second subquery resolution under $f")
       val res = if (res0 == 0) tr.stepSec else res0 / 1000000000L
@@ -569,15 +571,34 @@ object Eval {
     // subquery form: evaluate inner at resolution, then re-reduce the
     // resolution buckets per outer step (reference metrics.rs:829-909)
     args.last match {
-      case Subquery(inner, _, res0) =>
+      case Subquery(inner, rangeNs0, res0, at0) =>
         val step = tr.stepSec
+        // `@` pins the subquery: one evaluation window — the trailing
+        // `range` ending at the pinned bucket's end — whose single
+        // result replicates across the query grid (mirrors `spread` for
+        // pinned selectors; reference metrics.rs:1746-1810).
+        val pinned: Option[Long] = at0.map {
+          case AtMod.Start   => tr.startSec / step * step
+          case AtMod.End     => (tr.endSec - 1) / step * step
+          case AtMod.Time(s) => s / step * step
+        }
+        val trEff = pinned match {
+          case Some(pb) =>
+            val rangeSec = math.max(1L, rangeNs0 / 1000000000L)
+            tr.copy(startSec = pb + step - rangeSec, endSec = pb + step)
+          case None => tr
+        }
         // res 0 = `[range:]` — the grammar's "default resolution", which
         // evaluates at the outer query step
         val (innerVec, reKey) =
           if (res0 % 1000000000L == 0) {
             val res = if (res0 == 0) tr.stepSec else res0 / 1000000000L
-            (evalVector(inner, t, tr.copy(stepSec = res)),
-              (col("bucket_start").divide(lit(step))).cast("long") * lit(step))
+            (evalVector(inner, t, trEff.copy(stepSec = res)),
+              pinned match {
+                case Some(pb) => lit(pb)
+                case None =>
+                  (col("bucket_start").divide(lit(step))).cast("long") * lit(step)
+              })
           } else {
             // SUB-SECOND resolution (`x[30s:100ms]`): the seconds grid
             // can't carry it, so the inner instant evaluates on a
@@ -589,8 +610,11 @@ object Eval {
               case _ => throw Unsupported(
                 "sub-second subquery resolution supports a bare selector inner")
             }
-            (instantMicros(sel, t, tr, res0),
-              expr(s"(bucket_start div ${step * 1000000L}) * $step"))
+            (instantMicros(sel, t, trEff, res0),
+              pinned match {
+                case Some(pb) => lit(pb)
+                case None => expr(s"(bucket_start div ${step * 1000000L}) * $step")
+              })
           }
         val keys = reKey.as("bucket_start") +: innerVec.labels.map(col)
         val x = col("value").cast(DoubleType)
@@ -634,7 +658,13 @@ object Eval {
               .agg(percentile(abs(x - col("_med")), lit(0.5)).as("value"))
           case other => throw Unsupported(s"$other over a subquery")
         }
-        return VecV(Vec(out, innerVec.labels))
+        // a pinned subquery has ONE bucket; replicate it across the
+        // query grid with a broadcast of the tiny bucket spine
+        val shaped =
+          if (pinned.isEmpty) out
+          else out.drop("bucket_start").crossJoin(
+            broadcast(spine(t, tr, lit(0.0)).df.select("bucket_start")))
+        return VecV(Vec(shaped, innerVec.labels))
       case _ => ()
     }
     val sel = rangeSel(args.lastOption.toSeq, f) // quantile has (phi, sel)

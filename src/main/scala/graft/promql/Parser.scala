@@ -27,7 +27,7 @@ object Parser {
     * T−d (selectors keep their own inner offsets additively). */
   private def shiftOffset(e: Expr, d: Long): Expr = e match {
     case s: Selector      => s.copy(offsetSec = s.offsetSec + d)
-    case Subquery(x, r, p) => Subquery(shiftOffset(x, d), r, p)
+    case Subquery(x, r, p, a) => Subquery(shiftOffset(x, d), r, p, a)
     case Call(f, as)      => Call(f, as.map(shiftOffset(_, d)))
     case Agg(op, p, x, b, w) => Agg(op, p.map(shiftOffset(_, d)), shiftOffset(x, d), b, w)
     case Binary(op, l, r, b, on, ig, g) =>
@@ -220,7 +220,17 @@ object Parser {
             }
             sub = shiftOffset(sub, d)
           } else if (isOp("@")) {
-            throw Unsupported("@ modifier on a subquery")
+            advance()
+            val at = cur match {
+              case TNum(v, _)         => advance(); AtMod.Time(v.toLong)
+              case TIdent("start", _) => advance(); eatOp("("); eatOp(")"); AtMod.Start
+              case TIdent("end", _)   => advance(); eatOp("("); eatOp(")"); AtMod.End
+              case t => throw ParseError("expected timestamp, start() or end() after @", t.pos)
+            }
+            sub = sub match {
+              case sq: Subquery => sq.copy(at = Some(at))
+              case other        => other // offset-wrapped: at folds onto the subquery
+            }
           } else go = false
         }
         postfix(sub)

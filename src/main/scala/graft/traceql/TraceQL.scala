@@ -252,7 +252,7 @@ object TraceQL {
     parts.result()
   }
 
-  private val durRe = """^duration\s*(>=|<=|>|<)\s*(\d+)(ns|us|ms|s|m|h)$""".r
+  private val durRe = """^duration\s*(>=|<=|!=|=|>|<)\s*(\d+)(ns|us|ms|s|m|h)$""".r
   private val eqRe = """^([\w.]+|\.[\w.]+)\s*(=|!=)\s*"((?:[^"\\]|\\.)*)"$""".r
   private val reRe = """^([\w.]+|\.[\w.]+)\s*(=~|!~)\s*"((?:[^"\\]|\\.)*)"$""".r
   private val numRe = """^([\w.]+|\.[\w.]+)\s*(>=|<=|!=|=|>|<)\s*(-?\d+(?:\.\d+)?)$""".r
@@ -272,9 +272,8 @@ object TraceQL {
       ReMatch(sel, v.replace("\\\"", "\""), negated = op == "!~")
     case enumRe(sel, op, v) =>
       EnumEq(sel, v, negated = op == "!=")
-    case numRe("duration", op, n) => // bare-number duration = nanos
-      if (op == "=" || op == "!=")
-        throw Unsupported("TraceQL: duration supports ordering comparisons")
+    case numRe("duration", op, n) => // bare-number duration = nanos;
+      // equality included (Tempo grammar allows `duration = 2s`)
       DurCmp(op, math.round(n.toDouble))
     case numRe(sel, op, n) =>
       NumCmp(sel, op, n.toDouble)

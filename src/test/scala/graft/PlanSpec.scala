@@ -276,6 +276,44 @@ class PlanSpec extends AnyFunSuite {
       s"explode must fan out the reduced stream:\n$plan")
   }
 
+  test("sub-second range selector adds a FILTER, not a plan change") {
+    val df = operators.PromQLOps.queries("q284_promql_subsecond_range")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // same shape as any over_time: scan → filter → partial/final agg;
+    // the trailing-window restriction must never introduce a join or a
+    // second exchange
+    assert(!plan.contains("Join"), s"no join in a range window:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"one aggregate exchange expected, got $exchanges:\n$plan")
+  }
+
+  test("TraceQL spanset && is union + semi join on trace ids — no product") {
+    val df = operators.TraceOps.queries("q286_traceql_spanset_and")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected the trace-id semi join:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"spanset algebra must never be a product:\n$plan")
+  }
+
+  test("pprof ingest is a narrow per-payload decode — no shuffle before the fold") {
+    import spark.implicits._
+    val payloads = Seq((graft.sources.Pprof.fixtureUpload(0, 0), "svc-0"))
+      .toDF("payload", "service_name")
+    val rows = graft.sources.Pprof.profiles(payloads)
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decode must be a narrow flatMap, no shuffle:\n$plan")
+  }
+
+  test("unigram surprisal: corpus total is a broadcast, never a shuffle fan-in") {
+    val df = operators.PipelineOps.queries("q290_unigram_surprisal")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the scoring join:\n$plan")
+  }
+
   test("schema-evolution read resolves at scan level — no extra exchange") {
     val df = operators.CoreOps.queries("q265_schema_evolution")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -148,10 +148,12 @@ class PromqlCorpusSpec extends AnyFunSuite {
     """rate(x[500ms])""",
     """sum_over_time(x[30s:100ms])""",
     """max_over_time(x[250ms])""",
-    """avg_over_time(x[10s:250ms])""")
+    """avg_over_time(x[10s:250ms])""",
+    // @ on a subquery — round 6
+    """max_over_time(x[5m:30s] @ end())""",
+    """sum_over_time(x[1h:5m] @ 1609746000)""")
 
   private val pinnedUnsupported = Seq(
-    """max_over_time(x[5m:30s] @ end())""",     // @ on a subquery
     """histogram_count(rate(native_hist[5m]))""", // native-histogram fns: stored-table ops instead
     """histogram_sum(rate(native_hist[5m]))""",
     """info(up)""",                              // experimental v3 info()
@@ -178,7 +180,7 @@ class PromqlCorpusSpec extends AnyFunSuite {
   }
 
   test("sub-second subquery resolution carries nanos") {
-    val Call(_, Seq(Subquery(_, r, res))) =
+    val Call(_, Seq(Subquery(_, r, res, _))) =
       Parser.parse("sum_over_time(x[30s:100ms])"): @unchecked
     assert(r == 30000000000L && res == 100000000L)
   }
@@ -191,13 +193,13 @@ class PromqlCorpusSpec extends AnyFunSuite {
   }
 
   test("default-resolution subquery carries res 0") {
-    val Call(_, Seq(Subquery(_, r, res))) =
+    val Call(_, Seq(Subquery(_, r, res, _))) =
       Parser.parse("sum_over_time(x[1h:])"): @unchecked
     assert(r == 3600L * 1000000000L && res == 0L)
   }
 
   test("offset after a subquery folds into every inner selector") {
-    val Call(_, Seq(Subquery(Call(_, Seq(sel: Selector)), _, _))) =
+    val Call(_, Seq(Subquery(Call(_, Seq(sel: Selector)), _, _, _))) =
       Parser.parse("max_over_time(count_over_time(x[5m])[1h:5m] offset 1d)"): @unchecked
     assert(sel.offsetSec == 86400L)
   }

@@ -20,9 +20,9 @@ class PromqlParserSpec extends AnyFunSuite {
   }
 
   test("subquery vs range selector brackets") {
-    val Subquery(Call("rate", _), 604800000000000L, 21600000000000L) =
+    val Subquery(Call("rate", _), 604800000000000L, 21600000000000L, None) =
       Parser.parse("rate(m[6h])[1w:6h]"): @unchecked
-    val Subquery(Selector(Some("m"), _, None, 0, None), 3600000000000L, 60000000000L) =
+    val Subquery(Selector(Some("m"), _, None, 0, None), 3600000000000L, 60000000000L, None) =
       Parser.parse("m[1h:1m]"): @unchecked
   }
 

@@ -40,11 +40,13 @@ class TraceqlCorpusSpec extends AnyFunSuite {
     """{ name = "a" } && { name = "b" }""",
     """{ name = "a" } || { duration > 150ms }""",
     """{ name = "a" } && { name = "b" } | count() >= 2""",
+    // duration equality (Tempo grammar allows it) — round 6
+    """{ duration = 2s }""",
+    """{ duration != 100 }""",
     // metrics second-stage
     """{ status = error } | rate() by (resource.service.name)""")
 
   private val pinnedUnsupported = Seq(
-    """{ duration = 100 }""",            // duration is an ordering compare
     """{ span.x ^ 3 }""",                // not a condition
     """name = "no-braces"""")
 
