@@ -95,6 +95,36 @@ object SignalViews {
       seriesLabels = Seq("service_name", "le"),
       tieBreak = Seq("event_id"))
 
+  /** events → NATIVE-histogram samples (`Eval.NativeHistTable` layout):
+    * cumulative per-series fields as a CLOSED monotone formula of the
+    * sample minute m = (tsec − Jan1)/60 — b_i = m·(1+(sid+i)%4),
+    * zero = m·(sid%2), count = zero + Σb_i = m·(20 + sid%2), sum_q =
+    * m·(1000000 + sid·12345) micro-units. Pure per-row projection (no
+    * window), monotone by construction, and exactly restatable in the
+    * DuckDB oracles. Ties (two events in one minute) carry identical
+    * cumulative values, so last-sample reduction stays deterministic. */
+  def nativeHistDf(s: SparkSession, dir: String): DataFrame = {
+    var df = Tables.events(s, dir).select(
+      (unix_micros(col("ts_us")) * 1000).as("timestamp"),
+      pmod(col("user_id"), lit(8)).as("_sid"))
+      .withColumn("metric_name", lit("native_latency"))
+      .withColumn("service_name", concat(lit("svc-"), col("_sid")))
+      .withColumn("_m", expr("(timestamp div 1000000000 - 1704067200) div 60"))
+    for (i <- 0 until 8)
+      df = df.withColumn(s"b$i", col("_m") * (lit(1L) + pmod(col("_sid") + i, lit(4))))
+    df.withColumn("zero_count", col("_m") * pmod(col("_sid"), lit(2)))
+      .withColumn("h_count",
+        (0 until 8).map(i => col(s"b$i")).reduce(_ + _) + col("zero_count"))
+      .withColumn("h_sum_q", col("_m") * (lit(1000000L) + col("_sid") * lit(12345L)))
+      .drop("_sid", "_m")
+  }
+
+  /** metricsTable + the native-histogram side table registered for
+    * `native_latency` — the full histogram_count/sum/avg/quantile path. */
+  def metricsTableWithNative(s: SparkSession, dir: String): graft.promql.Eval.MetricsTable =
+    metricsTable(s, dir).copy(nativeHist = Some(
+      graft.promql.Eval.NativeHistTable(nativeHistDf(s, dir), Set("native_latency"))))
+
   /** LogsTable wiring: promoted labels + series identity + total-order
     * tie-break (event_id exists in this view, so plans are deterministic). */
   def logsTable(s: SparkSession, dir: String): LogsTable =

@@ -105,6 +105,84 @@ object MultimodalOps {
           "peak", "sum_abs", "sum_sq", "rms_milli")
     }),
 
+    // REAL PNG pixel decode (zlib inflate + five-filter scanline
+    // reconstruction, CRC-verified — JDK-only, no codec libs): each
+    // image doc gets a standards-conformant RGB PNG whose pixels follow
+    // a closed formula and whose per-row filter cycles through ALL five
+    // filter types (None/Sub/Up/Average/Paeth); the decoder must undo
+    // the actual DEFLATE stream and predictor chain to reproduce the
+    // oracle's arithmetic restatement — any drift in inflate, filter
+    // reconstruction, or channel order breaks the hash. With q289 (WAV
+    // PCM) this closes the pixel-feature path for the one image codec
+    // decodable without entropy-coding libraries.
+    "q292_png_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+          val png = Multimodal.syntheticPng(w, h,
+            (x, y) => (((id * 31 + x * 7 + y * 13) % 256).toInt,
+                       ((id * 17 + x * 3 + y * 5) % 256).toInt,
+                       ((id * 7 + x * 11 + y * 3) % 256).toInt),
+            y => ((id + y) % 5).toInt)
+          val p = Multimodal.pngPixels(png).get
+          (id, p.width, p.height, p.nPx, p.sumR, p.sumG, p.sumB,
+            p.sumLumaMilli, p.peakLumaMilli)
+        }.toDF("media_id", "width", "height", "n_px",
+          "sum_r", "sum_g", "sum_b", "sum_luma_milli", "peak_luma_milli")
+    }),
+
+    // REAL GIF pixel decode (hand-rolled LZW — variable code width,
+    // dictionary growth, KwKwK — plus palette mapping; JDK-only): each
+    // image doc gets a standards-conformant GIF whose INDEX stream
+    // follows a closed formula and whose palette is a non-trivial
+    // channel mix, so the oracle's arithmetic twin proves both the LZW
+    // decompression and the index→color mapping. Second fully-decoded
+    // image container after PNG (q292).
+    "q296_gif_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val palette = (0 until 256).map(i =>
+        (i << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)).toArray
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 17 + 3).toInt; val h = (id % 7 + 3).toInt
+          val gif = Multimodal.syntheticGif(w, h, palette,
+            (x, y) => ((id * 23 + x * 5 + y * 11) % 256).toInt)
+          val p = Multimodal.gifPixels(gif).get
+          (id, p.width, p.height, p.nPx, p.sumR, p.sumG, p.sumB,
+            p.sumLumaMilli, p.peakLumaMilli)
+        }.toDF("media_id", "width", "height", "n_px",
+          "sum_r", "sum_g", "sum_b", "sum_luma_milli", "peak_luma_milli")
+    }),
+
+    // REAL baseline JPEG decode (markers, DQT/DHT, canonical Huffman,
+    // DC prediction, dequant, zigzag, IDCT — JDK-only): with an all-ones
+    // quant table, BLOCK-FLAT images round-trip EXACTLY (flat 8×8 block
+    // → DC-only spectrum → any conforming IDCT returns the flat value),
+    // so the full entropy-coding pipeline is oracle-checked bit-for-bit;
+    // the general AC/IDCT path is spec-verified against ImageIO. Third
+    // image container fully decoded (PNG q292, GIF q296) — only video
+    // frames remain stubbed.
+    "q298_jpeg_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+          val jpg = graft.multimodal.Jpeg.encodeGray(w, h,
+            (x, y) => ((id * 29 + (x / 8) * 7 + (y / 8) * 3) % 256).toInt)
+          val p = graft.multimodal.Jpeg.decodeGray(jpg).get
+          (id, p.width, p.height, p.nPx, p.sumR, p.sumLumaMilli,
+            p.peakLumaMilli)
+        }.toDF("media_id", "width", "height", "n_px",
+          "sum_gray", "sum_luma_milli", "peak_luma_milli")
+    }),
+
     // binary frame sampling: n_frames per media by kind
     "q65_multimodal_framesample" -> ((s, dir) => {
       val media = mediaDs(s, dir).toDF()
@@ -165,6 +243,67 @@ object MultimodalOps {
         |  CAST(FLOOR(1000 * SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)))
         |    AS BIGINT) AS rms_milli
         |FROM s GROUP BY 1""".stripMargin,
+
+    "q292_png_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS r,
+        |    (doc_id * 17 + x.i * 3 + y.i * 5) % 256 AS g,
+        |    (doc_id * 7 + x.i * 11 + y.i * 3) % 256 AS b
+        |  FROM img, range(0, 17) x(i), range(0, 15) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS sum_luma_milli,
+        |  CAST(MAX(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_luma_milli
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "q296_gif_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 17 + 3 AS w, doc_id % 7 + 3 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 23 + x.i * 5 + y.i * 11) % 256 AS v
+        |  FROM img, range(0, 20) x(i), range(0, 10) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |rgb AS (
+        |  SELECT doc_id, w, h, v AS r, (v * 7) % 256 AS g,
+        |    (v * 13) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS sum_luma_milli,
+        |  CAST(MAX(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_luma_milli
+        |FROM rgb GROUP BY 1, 2, 3""".stripMargin,
+
+    "q298_jpeg_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3) % 256 AS v
+        |  FROM img, range(0, 32) x(i), range(0, 24) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(SUM(1000 * v) AS BIGINT) AS sum_luma_milli,
+        |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     "q65_multimodal_framesample" ->
       """WITH media AS (

@@ -48,8 +48,33 @@ object PromQLOps {
     Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
   }
 
+  /** over metricsTable + the registered native-histogram side table
+    * (`native_latency`): the full Prometheus native-hist function path. */
+  private def qn(query: String, stepSec: Long): Q = (s, dir) => {
+    val t = SignalViews.metricsTableWithNative(s, dir)
+    Eval.evalVector(Parser.parse(query), t, TimeRange(T0, T1, stepSec)).df
+  }
+
   private val V = SignalViews.metricsViewSql
   private val HV = SignalViews.histViewSql
+
+  /** native-histogram oracle twin of `SignalViews.nativeHistDf`: the
+    * closed monotone formula restated over events — day bucket, sid,
+    * sample minute m. */
+  private val NH =
+    """SELECT (epoch_ns(ts)//1000000000//86400)*86400 AS bucket_start,
+      |  concat('svc-', user_id % 8) AS service_name,
+      |  user_id % 8 AS sid,
+      |  (epoch_ns(ts)//1000000000 - 1704067200)//60 AS m
+      |FROM events""".stripMargin
+
+  /** cumulative positive-bucket mass c_i = dm·Σ_{j≤i}(1+(sid+j)%4). */
+  private def nhCum(i: Int): String =
+    s"dm * (${i + 1} + ${(0 to i).map(j => s"((sid + $j) % 4)").mkString(" + ")})"
+
+  /** dyadic bucket upper bounds 2^((i+1)/4) — the SAME Java-computed
+    * literal the plan inlines, so no cross-engine pow() ulp drift. */
+  private def nhUb(i: Int): Double = math.pow(2.0, (i + 1) / 4.0)
   private def bkt(step: Long) = s"(timestamp//1000000000//$step)*$step"
   private def win(step: Long) =
     s"timestamp >= ${T0 * 1000000000L} AND timestamp < ${T1 * 1000000000L}"
@@ -120,6 +145,33 @@ object PromQLOps {
     // selectors).
     "q291_promql_subquery_at" ->
       q("""max_over_time(click[1d:6h] @ 1706572800)""", 86400),
+
+    // NATIVE-histogram functions (beyond the reference, which has none):
+    // histogram_count over rate = the observation-rate scalar extracted
+    // from the per-(bucket, series) counter delta of cumulative native
+    // samples — ONE hash aggregate (max_by − min_by per field), no
+    // window, no explode.
+    "q293_native_hist_count_rate" ->
+      qn("""histogram_count(rate(native_latency[1d]))""", 86400),
+
+    // histogram_avg over the instant native vector: sum/count of the
+    // LAST cumulative sample per (bucket, series); sum is exact
+    // micro-units divided once — bit-stable cross-engine.
+    "q294_native_hist_avg" ->
+      qn("""histogram_avg(native_latency)""", 86400),
+
+    // histogram_quantile over increase of a native histogram: the
+    // zero-bucket + 8-positive-bucket cumulative walk, target bucket's
+    // dyadic upper bound inlined at plan time (no pow() drift) — scale-
+    // invariant, so rate and increase share the integer-delta walk.
+    "q295_native_hist_quantile" ->
+      qn("""histogram_quantile(0.9, increase(native_latency[1d]))""", 86400),
+
+    // histogram_fraction with EDGE-ALIGNED bounds (0 → the 2.0 dyadic
+    // edge): pure ratio of exact integer masses incl. the zero bucket —
+    // no in-bucket interpolation, no float drift.
+    "q297_native_hist_fraction" ->
+      qn("""histogram_fraction(0, 2, rate(native_latency[1d]))""", 86400),
 
     // cross-series max of increase (order-independent outer agg)
     "q43_promql_max_increase" -> q("""max(increase(purchase[1d]))""", 86400),
@@ -439,6 +491,50 @@ object PromQLOps {
          |SELECT (b5//3600)*3600 AS bucket_start, service_name,
          |  MAX(value) AS value
          |FROM rule GROUP BY 1, 2""".stripMargin,
+
+    "q293_native_hist_count_rate" ->
+      s"""WITH nh AS ($NH)
+         |SELECT bucket_start, service_name,
+         |  CAST((MAX(m) - MIN(m)) * (20 + sid % 2) AS DOUBLE) / 86400.0 AS value
+         |FROM nh GROUP BY bucket_start, service_name, sid""".stripMargin,
+
+    "q294_native_hist_avg" ->
+      s"""WITH nh AS ($NH),
+         |l AS (SELECT bucket_start, service_name, sid, MAX(m) AS ml
+         |      FROM nh GROUP BY 1, 2, 3)
+         |SELECT bucket_start, service_name,
+         |  CAST(ml * (1000000 + sid * 12345) AS DOUBLE) / 1000000.0
+         |    / CAST(ml * (20 + sid % 2) AS DOUBLE) AS value
+         |FROM l WHERE ml * (20 + sid % 2) > 0""".stripMargin,
+
+    "q295_native_hist_quantile" ->
+      s"""WITH nh AS ($NH),
+         |d AS (SELECT bucket_start, service_name, sid, MAX(m) - MIN(m) AS dm
+         |      FROM nh GROUP BY 1, 2, 3),
+         |w AS (SELECT bucket_start, service_name,
+         |        dm * (sid % 2) AS zc,
+         |        ${(0 until 8).map(i => s"${nhCum(i)} AS c$i").mkString(", ")},
+         |        dm * (sid % 2) + ${nhCum(7)} AS total
+         |      FROM d)
+         |SELECT bucket_start, service_name,
+         |  CASE WHEN zc >= 0.9 * total THEN 0.0
+         |    ${(0 until 7).map(i =>
+              s"WHEN zc + c$i >= 0.9 * total THEN CAST(${nhUb(i)} AS DOUBLE)")
+              .mkString(" ")}
+         |    ELSE CAST(${nhUb(7)} AS DOUBLE) END AS value
+         |FROM w WHERE total > 0""".stripMargin,
+
+    "q297_native_hist_fraction" ->
+      s"""WITH nh AS ($NH),
+         |d AS (SELECT bucket_start, service_name, sid, MAX(m) - MIN(m) AS dm
+         |      FROM nh GROUP BY 1, 2, 3),
+         |w AS (SELECT bucket_start, service_name,
+         |        dm * (sid % 2) + ${nhCum(3)} AS num,
+         |        dm * (sid % 2) + ${nhCum(7)} AS total
+         |      FROM d)
+         |SELECT bucket_start, service_name,
+         |  CAST(num AS DOUBLE) / CAST(total AS DOUBLE) AS value
+         |FROM w WHERE total > 0""".stripMargin,
 
     "q41_promql_instant" ->
       s"""WITH m AS ($V),

@@ -24,12 +24,27 @@ import Ast._
   */
 object Eval {
 
+  /** Prometheus NATIVE-histogram sample table (beyond the reference —
+    * its PromQL surface carries no native-hist functions): cumulative
+    * per-series histogram samples in the stored exponential-histogram
+    * layout (fixed scale 2, 8 positive buckets; schemas.rs:322-378).
+    * Columns: timestamp Long nanos, metric_name, the host table's series
+    * labels, then `h_count` (cumulative observation count), `h_sum_q`
+    * (cumulative sum in exact integer MICRO-units — fixed-point so
+    * cross-engine compares are bit-exact), `zero_count`, and `b0`..`b7`
+    * cumulative per-bucket counts. `metrics` names the metrics served
+    * natively — the plan-time routing switch for histogram_* calls.
+    * Prometheus guarantees one sample per series per timestamp, so
+    * ordering by timestamp alone is deterministic here. */
+  final case class NativeHistTable(df: DataFrame, metrics: Set[String])
+
   /** metrics-shaped table: timestamp Long nanos, metric_name, value double,
     * label columns; tieBreak gives deterministic sample order. */
   final case class MetricsTable(
       df: DataFrame,
       seriesLabels: Seq[String],
-      tieBreak: Seq[String] = Seq.empty)
+      tieBreak: Seq[String] = Seq.empty,
+      nativeHist: Option[NativeHistTable] = None)
 
   /** lookbackSec > 0 switches bare selectors to Prometheus staleness
     * semantics: at each grid point the last sample within the trailing
@@ -85,7 +100,7 @@ object Eval {
     * the whole-bucket window. Pure filter on the already-bucketed rows:
     * no extra shuffle, codegen-friendly. */
   private def rangeWindowed(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+    val df = baseFilter(sel, t.df, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
     sel.rangeNs match {
       case Some(rns) if rns < tr.stepSec * 1000000000L && pinBucket(sel, tr).isEmpty =>
         val tsEff = col("timestamp") + lit(sel.offsetSec * 1000000000L)
@@ -104,7 +119,7 @@ object Eval {
       throw Unsupported(s"subquery resolution must be whole microseconds: ${resNs}ns")
     val resUs = resNs / 1000
     val off = sel.offsetSec * 1000000000L
-    val df = baseFilter(sel, t, tr)
+    val df = baseFilter(sel, t.df, tr)
       .withColumn("bucket_start",
         expr(s"((timestamp + $off) div 1000) div $resUs * $resUs"))
     val keys = bucket +: t.seriesLabels.map(col)
@@ -160,13 +175,13 @@ object Eval {
   /** window filter honoring `offset d`: data shifts back by the offset;
     * bucket labels stay on the query grid (reference offset handling,
     * metrics.rs:2703-2727 — date_bin origin shifting). */
-  private def baseFilter(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
+  private def baseFilter(sel: Selector, frame: DataFrame, tr: TimeRange): DataFrame = {
     val off = sel.offsetSec * 1000000000L
     val (lo, hi) = pinBucket(sel, tr) match {
       case Some(pb) => (pb * 1000000000L - off, (pb + tr.stepSec) * 1000000000L - off)
       case None     => (tr.startSec * 1000000000L - off, tr.endSec * 1000000000L - off)
     }
-    var df = t.df.filter(col("timestamp") >= lit(lo) && col("timestamp") < lit(hi))
+    var df = frame.filter(col("timestamp") >= lit(lo) && col("timestamp") < lit(hi))
     sel.metric.foreach(m => df = df.filter(col("metric_name") === m))
     for (m <- sel.matchers) {
       val c = col(m.label)
@@ -188,7 +203,7 @@ object Eval {
   private def instant(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
     if (tr.lookbackSec > 0 && pinBucket(sel, tr).isEmpty)
       return instantLookback(sel, t, tr)
-    val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+    val df = baseFilter(sel, t.df, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
     val keys = bucket +: t.seriesLabels.map(col)
     val ordStruct = struct(col("timestamp") +: t.tieBreak.map(col): _*)
     spread(sel, Vec(
@@ -209,7 +224,7 @@ object Eval {
   private def instantLookback(sel: Selector, t: MetricsTable, tr: TimeRange): Vec = {
     val lb = tr.lookbackSec
     val off = sel.offsetSec * 1000000000L
-    val df = baseFilter(sel, t, tr.copy(startSec = tr.startSec - lb))
+    val df = baseFilter(sel, t.df, tr.copy(startSec = tr.startSec - lb))
       .withColumn("ts_eff", col("timestamp") + lit(off))
       .withColumn("b_s",
         expr(s"(ts_eff div 1000000000) div ${tr.stepSec} * ${tr.stepSec}"))
@@ -406,7 +421,7 @@ object Eval {
     case "timestamp" =>
       args.head match {
         case sel @ Selector(_, _, None, _, _) =>
-          val df = baseFilter(sel, t, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+          val df = baseFilter(sel, t.df, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
           val keys = bucket +: t.seriesLabels.map(col)
           val v = df.groupBy(keys: _*)
             .agg((max(expr("timestamp div 1000")).cast(DoubleType) / lit(1e6)).as("value"))
@@ -561,10 +576,158 @@ object Eval {
         case NumLit(d) => d
         case _         => throw Unsupported("histogram_quantile needs scalar φ")
       }
-      val v = evalVector(args(1), t, tr)
-      VecV(histogramQuantile(phi, v))
+      nativeSel(args(1), t) match {
+        case Some((sel, mode)) => VecV(nativeQuantile(phi, sel, mode, t, tr))
+        case None =>
+          val v = evalVector(args(1), t, tr)
+          VecV(histogramQuantile(phi, v))
+      }
+
+    case "histogram_count" | "histogram_sum" | "histogram_avg" =>
+      VecV(nativeScalar(f, args, t, tr))
+
+    case "histogram_fraction" =>
+      args match {
+        case Seq(NumLit(lo), NumLit(hi), inner) =>
+          nativeSel(inner, t) match {
+            case Some((sel, mode)) => VecV(nativeFraction(lo, hi, sel, mode, t, tr))
+            case None =>
+              VecV(Vec(t.df.sparkSession.range(0)
+                .select(lit(0L).as("bucket_start"), lit(0.0).as("value")), Seq.empty))
+          }
+        case _ => throw Unsupported("histogram_fraction needs scalar bounds")
+      }
 
     case other => throw Unsupported(s"function $other")
+  }
+
+  // ---- native histograms ------------------------------------------------
+
+  private val nhFields: Seq[String] =
+    Seq("h_count", "h_sum_q", "zero_count") ++ (0 until 8).map(i => s"b$i")
+
+  /** the argument shapes histogram_* accept: a bare native selector
+    * (instant — the LAST cumulative sample per series per bucket) or
+    * rate/increase over a native range selector (per-field last − first,
+    * the counter delta). Anything else → None, and the caller falls back
+    * to classic-series semantics. */
+  private def nativeSel(e: Expr, t: MetricsTable): Option[(Selector, String)] = e match {
+    case s: Selector if s.rangeNs.isEmpty && isNative(s, t) => Some((s, "instant"))
+    case Call(rf @ ("rate" | "increase"), Seq(s: Selector))
+        if s.rangeNs.isDefined && isNative(s, t) => Some((s, rf))
+    case _ => None
+  }
+
+  private def isNative(s: Selector, t: MetricsTable): Boolean =
+    t.nativeHist.exists(nh => s.metric.exists(nh.metrics.contains))
+
+  /** reduce native cumulative samples to one histogram per (bucket,
+    * series): instant = the last sample's fields; rate/increase = last −
+    * first per field. ONE hash aggregate with map-side partials (max_by/
+    * min_by on timestamp — unique per series in Prometheus, so no
+    * tie-break is needed), the same no-window shape as the scalar
+    * instant/rate paths. Fields stay exact integers here; only the final
+    * scalar projection divides. */
+  private def nativeReduce(sel: Selector, mode: String, t: MetricsTable,
+      tr: TimeRange): DataFrame = {
+    if (sel.at.isDefined)
+      throw Unsupported("@ on a native-histogram selector")
+    val nh = t.nativeHist.get
+    val df = baseFilter(sel, nh.df, tr)
+      .withColumn("bucket_start", bucketExprFor(sel, tr))
+    val keys = bucket +: t.seriesLabels.map(col)
+    val aggs =
+      if (mode == "instant") nhFields.map(fd => max_by(col(fd), col("timestamp")).as(fd))
+      else nhFields.map(fd =>
+        (max_by(col(fd), col("timestamp")) - min_by(col(fd), col("timestamp"))).as(fd))
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** histogram_count/sum/avg. Over classic float series these yield the
+    * EMPTY vector (Prometheus semantics: the functions skip non-histogram
+    * samples), never an error. `h_sum_q` is micro-units, so sum/avg
+    * divide by 1e6 exactly once — integer in, one IEEE division out,
+    * bit-stable across engines. */
+  private def nativeScalar(f: String, args: Seq[Expr], t: MetricsTable,
+      tr: TimeRange): Vec = {
+    val (sel, mode) = args match {
+      case Seq(e) => nativeSel(e, t) match {
+        case Some(sm) => sm
+        case None =>
+          return Vec(t.df.sparkSession.range(0)
+            .select(lit(0L).as("bucket_start"), lit(0.0).as("value")), Seq.empty)
+      }
+      case _ => throw Unsupported(s"$f expects one argument")
+    }
+    val red = nativeReduce(sel, mode, t, tr)
+    val num: Column = f match {
+      case "histogram_count" => col("h_count").cast(DoubleType)
+      case "histogram_sum"   => col("h_sum_q").cast(DoubleType) / lit(1e6)
+      case _                 => (col("h_sum_q").cast(DoubleType) / lit(1e6)) /
+                                  col("h_count").cast(DoubleType)
+    }
+    // rate divides the delta by the range seconds; avg is scale-free
+    val v = if (mode == "rate" && f != "histogram_avg")
+      num / lit(sel.rangeNs.get / 1e9) else num
+    val base = if (f == "histogram_avg") red.filter(col("h_count") > 0) else red
+    Vec(base.select(bucket +: t.seriesLabels.map(col)
+      :+ v.cast(DoubleType).as("value"): _*), t.seriesLabels)
+  }
+
+  /** histogram_fraction over a NATIVE histogram, EDGE-ALIGNED bounds
+    * only: lo must be 0 and hi one of the dyadic bucket edges (or +Inf),
+    * so the fraction is a pure ratio of exact integer masses — no
+    * in-bucket interpolation, no cross-engine float drift (the same
+    * discipline as the stored exp-hist fraction, q224). Non-edge bounds
+    * reject explicitly rather than silently interpolating. */
+  private def nativeFraction(lo: Double, hi: Double, sel: Selector,
+      mode: String, t: MetricsTable, tr: TimeRange): Vec = {
+    if (lo != 0.0)
+      throw Unsupported(s"histogram_fraction: only lo=0 is edge-exact (got $lo)")
+    val ubs = (0 until 8).map(i => math.pow(2.0, (i + 1) / 4.0))
+    val red = nativeReduce(sel, mode, t, tr)
+    val zc = col("zero_count")
+    val cums = (0 until 8).map(i => (0 to i).map(j => col(s"b$j")).reduce(_ + _))
+    val total = zc + cums(7)
+    val num =
+      if (hi.isPosInfinity) total
+      else ubs.indexOf(hi) match {
+        case -1 => throw Unsupported(
+          s"histogram_fraction: hi=$hi is not a bucket edge (edges: ${ubs.mkString(", ")})")
+        case i  => zc + cums(i)
+      }
+    Vec(red.filter(total > 0)
+      .select(bucket +: t.seriesLabels.map(col)
+        :+ (num.cast(DoubleType) / total.cast(DoubleType)).as("value"): _*),
+      t.seriesLabels)
+  }
+
+  /** histogram_quantile over a NATIVE histogram: cumulative walk across
+    * zero bucket + the 8 positive buckets. The result is the target
+    * bucket's UPPER BOUND in the linear domain — the 8 possible values
+    * are dyadic-derived literals (2^((i+1)/4), scale 2) inlined at plan
+    * time, the same exact-domain discipline as the stored exp-hist walk
+    * (q92): no exponential interpolation, so no cross-engine pow() ulp
+    * drift. A rank inside the zero mass resolves to 0.0. Quantiles are
+    * scale-invariant, so rate and increase share the integer-delta walk. */
+  private def nativeQuantile(phi: Double, sel: Selector, mode: String,
+      t: MetricsTable, tr: TimeRange): Vec = {
+    val red = nativeReduce(sel, mode, t, tr)
+    val zc = col("zero_count")
+    val cums = (0 until 8).map(i => (0 to i).map(j => col(s"b$j")).reduce(_ + _))
+    val total = zc + cums(7)
+    val rank = lit(phi) * total
+    val posIdx = (0 until 8).foldRight(lit(7): Column) {
+      (i, els) => when(zc + cums(i) >= rank, i).otherwise(els)
+    }
+    val ubs = (0 until 8).map(i => math.pow(2.0, (i + 1) / 4.0))
+    val ubCol = (0 until 8).foldRight(lit(ubs(7)): Column) {
+      (i, els) => when(posIdx === i, ubs(i)).otherwise(els)
+    }
+    val v = when(zc >= rank, lit(0.0)).otherwise(ubCol)
+    Vec(red.filter(total > 0)
+      .select(bucket +: t.seriesLabels.map(col)
+        :+ v.cast(DoubleType).as("value"): _*), t.seriesLabels)
   }
 
   private def overTime(f: String, args: Seq[Expr], t: MetricsTable, tr: TimeRange): Value = {

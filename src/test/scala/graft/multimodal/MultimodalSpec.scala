@@ -64,6 +64,92 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavPcm(cut).get.nSamples == 4L)
   }
 
+  test("PNG pixels decode exactly through all five scanline filters") {
+    // gradient + noise pixels; every row uses a different filter type
+    def px(x: Int, y: Int) = ((x * 40 + y) % 256, (255 - x * 3 + y * 7) % 256,
+      (x * y + 13) % 256)
+    val png = Multimodal.syntheticPng(6, 10, px, y => y % 5)
+    val p = Multimodal.pngPixels(png).get
+    assert(p.width == 6 && p.height == 10 && p.channels == 3 && p.nPx == 60L)
+    val expect = for (y <- 0 until 10; x <- 0 until 6) yield px(x, y)
+    assert(p.sumR == expect.map(_._1.toLong).sum)
+    assert(p.sumG == expect.map(_._2.toLong).sum)
+    assert(p.sumB == expect.map(_._3.toLong).sum)
+    val lumas = expect.map { case (r, g, b) => 299L * r + 587L * g + 114L * b }
+    assert(p.sumLumaMilli == lumas.sum && p.peakLumaMilli == lumas.max)
+    // the fixture is a real PNG: Java's own ImageIO agrees pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 6 && img.getHeight == 10)
+    for (y <- 0 until 10; x <- 0 until 6) {
+      val rgb = img.getRGB(x, y)
+      val (r, g, b) = px(x, y)
+      assert(((rgb >> 16) & 0xFF) == r && ((rgb >> 8) & 0xFF) == g &&
+        (rgb & 0xFF) == b, s"pixel ($x,$y)")
+    }
+  }
+
+  test("PNG decode rejects corrupt, truncated, and unsupported shapes") {
+    val good = Multimodal.syntheticPng(4, 4, (x, y) => (x, y, x + y), _ => 4)
+    assert(Multimodal.pngPixels(good).isDefined)
+    // flip one IDAT byte: CRC verification must reject, not mis-decode
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5A).toByte
+    assert(Multimodal.pngPixels(corrupt).isEmpty)
+    // truncated mid-IDAT
+    assert(Multimodal.pngPixels(good.dropRight(16)).isEmpty)
+    // header-only fixture (no IDAT): decode has no pixels to return
+    assert(Multimodal.pngPixels(Multimodal.syntheticImage("png", 4, 4)).isEmpty)
+    // 16-bit depth rejected (patch IHDR depth byte + re-CRC is overkill:
+    // corrupting the depth also breaks the CRC, which is itself the point)
+    val depth = good.clone(); depth(24) = 16.toByte
+    assert(Multimodal.pngPixels(depth).isEmpty)
+  }
+
+  test("GIF pixels decode exactly through real LZW (incl. dictionary reuse)") {
+    // repetitive pattern → the encoder emits genuine multi-symbol dict
+    // codes, so the decoder's dictionary growth and KwKwK paths run
+    val palette = (0 until 256).map(i =>
+      (i << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)).toArray
+    def idx(x: Int, y: Int) = (x / 3 + y / 2) % 16 // runs of repeats
+    val gif = Multimodal.syntheticGif(24, 10, palette, idx)
+    val p = Multimodal.gifPixels(gif).get
+    assert(p.width == 24 && p.height == 10 && p.nPx == 240L)
+    val expect = for (y <- 0 until 10; x <- 0 until 24) yield palette(idx(x, y))
+    assert(p.sumR == expect.map(c => ((c >> 16) & 0xFF).toLong).sum)
+    assert(p.sumG == expect.map(c => ((c >> 8) & 0xFF).toLong).sum)
+    assert(p.sumB == expect.map(c => (c & 0xFF).toLong).sum)
+    // the fixture is a real GIF: Java's own ImageIO agrees pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img.getWidth == 24 && img.getHeight == 10)
+    for (y <- 0 until 10; x <- 0 until 24)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == palette(idx(x, y)), s"($x,$y)")
+    // KwKwK stress: aaa... from a 1-entry-effective palette pattern
+    val runs = Multimodal.syntheticGif(64, 3, palette, (_, _) => 7)
+    val pr = Multimodal.gifPixels(runs).get
+    assert(pr.nPx == 192L && pr.sumR == 192L * 7)
+    // dictionary overflow: enough distinct context to pass 4096 entries
+    val big = Multimodal.syntheticGif(200, 80, palette,
+      (x, y) => (x * 31 + y * 17 + x * y) % 256)
+    val pb = Multimodal.gifPixels(big).get
+    val bigExpect = for (y <- 0 until 80; x <- 0 until 200)
+      yield palette((x * 31 + y * 17 + x * y) % 256)
+    assert(pb.sumR == bigExpect.map(c => ((c >> 16) & 0xFF).toLong).sum)
+    val bigImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    for (y <- 0 until 80 by 7; x <- 0 until 200 by 13)
+      assert((bigImg.getRGB(x, y) & 0xFFFFFF) ==
+        palette((x * 31 + y * 17 + x * y) % 256), s"($x,$y)")
+  }
+
+  test("GIF decode rejects truncated and malformed streams") {
+    val palette = Array.tabulate(16)(i => i * 0x111111)
+    val good = Multimodal.syntheticGif(8, 8, palette, (x, y) => (x + y) % 16)
+    assert(Multimodal.gifPixels(good).isDefined)
+    assert(Multimodal.gifPixels(good.dropRight(12)).isEmpty)
+    // header-only fixture (no image data)
+    assert(Multimodal.gifPixels(Multimodal.syntheticImage("gif", 4, 4)).isEmpty)
+    assert(Multimodal.gifPixels("GIF8 but not really".getBytes).isEmpty)
+  }
+
   test("garbage and truncated payloads decode to None") {
     assert(Multimodal.imageDims(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)

@@ -151,11 +151,16 @@ class PromqlCorpusSpec extends AnyFunSuite {
     """avg_over_time(x[10s:250ms])""",
     // @ on a subquery — round 6
     """max_over_time(x[5m:30s] @ end())""",
-    """sum_over_time(x[1h:5m] @ 1609746000)""")
+    """sum_over_time(x[1h:5m] @ 1609746000)""",
+    // native-histogram functions — round 6 (registered NativeHistTable;
+    // classic float series yield the empty vector, as in Prometheus)
+    """histogram_count(rate(native_hist[5m]))""",
+    """histogram_sum(rate(native_hist[5m]))""",
+    """histogram_avg(native_hist)""",
+    """histogram_quantile(0.9, increase(native_hist[5m]))""",
+    """histogram_fraction(0, 2, rate(native_hist[5m]))""")
 
   private val pinnedUnsupported = Seq(
-    """histogram_count(rate(native_hist[5m]))""", // native-histogram fns: stored-table ops instead
-    """histogram_sum(rate(native_hist[5m]))""",
     """info(up)""",                              // experimental v3 info()
     """{job="api"} |= "error"""",                // LogQL, not PromQL
     """sum(rate(x[5m"""                          // truncated input
