@@ -148,8 +148,81 @@ object DiscoveryOps {
           (col("est_global") === col("est_merged")).cast("int"))
         .select(col("n_exact"), col("est_global"), col("est_merged"),
           col("merge_exact"))
+    }),
+
+    // KMV (bottom-k theta) sketch — a NATIVE TypedImperativeAggregate
+    // (functions/Kmv.scala): bounded ≤k-long state through partial agg +
+    // shuffle + merge, exactly the machinery a 1000-executor distinct
+    // count ships instead of distinct sets. Deterministic md5-derived
+    // 60-bit hashes make the sketch itself oracle-restatable (DuckDB
+    // row_number ≤ k), so the estimator `(k−1)·2^60 div theta` compares
+    // bit-for-bit. n_exact rides along as the accuracy reference; at
+    // sf0.001 (15 users) the exact `n < k` branch exercises, at
+    // sf0.01+ the estimator branch does.
+    "q299_kmv_distinct" -> ((s, dir) => {
+      val hashed = Tables.events(s, dir).withColumn("h", expr(KmvHash))
+      hashed.groupBy(col("event_type"))
+        .agg(graft.functions.Kmv.kmvSketch(col("h"), KmvK).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          size(col("sk")).cast(LongType).as("k_n"),
+          element_at(col("sk"), size(col("sk"))).as("theta"),
+          expr(s"""CASE WHEN size(sk) < $KmvK THEN CAST(size(sk) AS BIGINT)
+                  |  ELSE CAST(CAST('$KmvNum' AS DECIMAL(38,0))
+                  |       div element_at(sk, $KmvK) AS BIGINT) END""".stripMargin)
+            .as("est"))
+    }),
+
+    // Theta-sketch SET ALGEBRA — the capability HLL fundamentally lacks:
+    // intersect the click and purchase user sketches (θ = min of the two
+    // thetas, count common hashes < θ, scale by 2^60/θ), plus the merged
+    // union sketch proving mergeability. All three sketches are 1-row
+    // broadcast sides; the estimate arithmetic is exact integers both
+    // engines reproduce.
+    "q300_kmv_intersection" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hashed = ev.withColumn("h", expr(KmvHash))
+      def sk(t: String, n: String) =
+        hashed.filter(col("event_type") === t)
+          .agg(graft.functions.Kmv.kmvSketch(col("h"), KmvK).as(s"sk_$n"))
+      val unionSk = hashed.filter(col("event_type").isin("click", "purchase"))
+        .agg(graft.functions.Kmv.kmvSketch(col("h"), KmvK).as("sk_u"))
+      val exactInter = ev.filter(col("event_type") === "click")
+        .select("user_id").distinct()
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct())
+        .agg(count(lit(1)).as("n_exact_inter"))
+      sk("click", "a").crossJoin(sk("purchase", "b"))
+        .crossJoin(unionSk).crossJoin(exactInter)
+        .withColumn("theta_a", expr(
+          s"CASE WHEN size(sk_a) < $KmvK THEN CAST($KmvTwo60 AS BIGINT) " +
+            s"ELSE element_at(sk_a, $KmvK) END"))
+        .withColumn("theta_b", expr(
+          s"CASE WHEN size(sk_b) < $KmvK THEN CAST($KmvTwo60 AS BIGINT) " +
+            s"ELSE element_at(sk_b, $KmvK) END"))
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .withColumn("matches", expr(
+          "CAST(size(filter(array_intersect(sk_a, sk_b), x -> x < theta)) AS BIGINT)"))
+        .withColumn("est_inter", expr(
+          s"""CAST(CAST(matches AS DECIMAL(38,0)) *
+             |  CAST($KmvTwo60 AS DECIMAL(38,0)) div theta AS BIGINT)""".stripMargin))
+        .withColumn("est_union", expr(
+          s"""CASE WHEN size(sk_u) < $KmvK THEN CAST(size(sk_u) AS BIGINT)
+             |  ELSE CAST(CAST('$KmvNum' AS DECIMAL(38,0))
+             |       div element_at(sk_u, $KmvK) AS BIGINT) END""".stripMargin))
+        .select("n_exact_inter", "theta", "matches", "est_inter", "est_union")
     })
   )
+
+  /** 60-bit (15 hex nibbles — safely inside BIGINT) uniform hash both
+    * engines derive identically from md5. */
+  private val KmvK = 64
+  private val KmvHash =
+    "CAST(conv(substring(md5(concat('kmv:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+  private val KmvHashDuck =
+    "CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+  private val KmvTwo60 = (BigInt(1) << 60).toString
+  private val KmvNum = (BigInt(KmvK - 1) << 60).toString // (k−1)·2^60
 
   /** Per-row HLL (reg, rho) from md5("hll:" ++ user_id): reg = first byte,
     * rho = 1-based first-1-bit position in the following 48 bits (12 hex
@@ -316,6 +389,58 @@ object DiscoveryOps {
          |  CAST(CASE WHEN eg.est_global = em.est_merged THEN 1 ELSE 0 END AS INT)
          |    AS merge_exact
          |FROM ex, eg, em""".stripMargin
-    }
+    },
+
+    "q299_kmv_distinct" ->
+      s"""WITH hh AS (
+         |  SELECT DISTINCT event_type, $KmvHashDuck AS h FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hh),
+         |sk AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_n, MAX(h) AS theta
+         |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT s.event_type, e.n_exact, s.k_n, s.theta,
+         |  CASE WHEN s.k_n < $KmvK THEN s.k_n
+         |       ELSE CAST('$KmvNum'::HUGEINT // s.theta AS BIGINT) END AS est
+         |FROM sk s JOIN ex e ON s.event_type = e.event_type""".stripMargin,
+
+    "q300_kmv_intersection" ->
+      s"""WITH hh AS (
+         |  SELECT DISTINCT event_type, $KmvHashDuck AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM hh WHERE event_type = 'click'),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM hh WHERE event_type = 'purchase'),
+         |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT DISTINCT h FROM hh)),
+         |ta AS (SELECT CASE WHEN COUNT(*) < $KmvK THEN $KmvTwo60
+         |              ELSE MAX(h) END AS theta_a FROM ra WHERE rn <= $KmvK),
+         |tb AS (SELECT CASE WHEN COUNT(*) < $KmvK THEN $KmvTwo60
+         |              ELSE MAX(h) END AS theta_b FROM rb WHERE rn <= $KmvK),
+         |t AS (SELECT least(theta_a, theta_b) AS theta FROM ta, tb),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS matches
+         |  FROM (SELECT h FROM ra WHERE rn <= $KmvK) ia
+         |  JOIN (SELECT h FROM rb WHERE rn <= $KmvK) ib USING (h), t
+         |  WHERE h < t.theta),
+         |u AS (
+         |  SELECT CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS BIGINT)
+         |         ELSE CAST('$KmvNum'::HUGEINT // MAX(h) AS BIGINT) END AS est_union
+         |  FROM ru WHERE rn <= $KmvK),
+         |ei AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+         |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         |    INTERSECT
+         |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+         |SELECT ei.n_exact_inter, t.theta, m.matches,
+         |  CAST(m.matches::HUGEINT * $KmvTwo60 // t.theta AS BIGINT) AS est_inter,
+         |  u.est_union
+         |FROM ei, t, m, u""".stripMargin
   ).filter(_._2 != null)
 }
