@@ -1919,6 +1919,51 @@ object PipelineOps {
             .when(h < "e6666666666666666666666666666666", "val")
             .otherwise("test"))
         .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
+    // C4-style SPAN dedup with document REASSEMBLY (Raffel et al. 2020
+    // discard all-but-one of any repeated three-sentence span; here the
+    // unit is a 5-token window since the corpus is unpunctuated): every
+    // occurrence of a span whose text repeats anywhere in the corpus —
+    // except the globally first (doc_id, pos) — has its covered tokens
+    // removed, and surviving tokens are re-joined in order. Single-pass
+    // definition (coverage computed against the ORIGINAL token stream).
+    // Scale shape: the dedup key is md5(span) — fixed 16-byte shuffle
+    // key instead of arbitrary-length text — one shuffle to rank span
+    // occurrences, one explode to token coverage, one anti join, one
+    // per-doc reassembly agg (state bounded by document length).
+    "q301_c4_span_dedup" -> ((s, dir) => {
+      val W = 5
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val occ = toks
+        .withColumn("span", concat_ws(" ",
+          (0 until W).map(i => lead(col("tok"), i).over(wd)): _*))
+        .withColumn("t_last", lead(col("tok"), W - 1).over(wd))
+        .filter(col("t_last").isNotNull)
+        .withColumn("h", md5(col("span")))
+        .select(col("doc_id"), col("pos"), col("h"))
+      val ranked = occ
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      val removedPos = ranked.filter(col("cnt") >= 2 && col("rn") >= 2)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("pos"))
+        .distinct()
+      val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      val reassembled = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("kept_text"))
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
     })
   )
 
@@ -3449,7 +3494,45 @@ object PipelineOps {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666666666666666666666666666'
         |         THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q301_c4_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    CAST(unnest(range(len(string_split(text, ' ')))) AS INT) AS pos
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |        || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS span,
+        |    lead(tok, 4) OVER w AS t_last
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |occ AS (
+        |  SELECT doc_id, pos, md5(span) AS h FROM sp WHERE t_last IS NOT NULL),
+        |rk AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY h) AS cnt
+        |  FROM occ),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos + o AS pos
+        |  FROM rk, (SELECT CAST(unnest(range(0, 5)) AS INT) AS o) r
+        |  WHERE cnt >= 2 AND rn >= 2),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN rem ON t.doc_id = rem.doc_id AND t.pos = rem.pos
+        |  WHERE rem.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY 1),
+        |tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_tokens,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.kept_text, '') AS kept_text
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin
   )
 
   /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a
