@@ -186,7 +186,27 @@ object Jpeg {
   /** decode a baseline single-component JPEG to pixel stats (grayscale:
     * r = g = b = sample). Follows DQT/DHT as declared in the stream.
     * None for progressive/multi-component/malformed inputs. */
-  def decodeGray(bytes: Array[Byte]): Option[Multimodal.PixelStats] = {
+  /** decode to per-pixel stats (see [[decodeGrayPlane]] for the raw
+    * pixel plane — frame-difference metrics need the pixels, not just
+    * the folds). */
+  def decodeGray(bytes: Array[Byte]): Option[Multimodal.PixelStats] =
+    decodeGrayPlane(bytes).map { case (w, h, px) =>
+      var sumR = 0L; var sumL = 0L; var peakL = 0L
+      var j = 0
+      while (j < px.length) {
+        val v = px(j)
+        val luma = 1000L * v // gray: 299v+587v+114v
+        sumR += v; sumL += luma
+        if (luma > peakL) peakL = luma
+        j += 1
+      }
+      Multimodal.PixelStats(w, h, 1, w.toLong * h, sumR, sumR, sumR,
+        sumL, peakL)
+    }
+
+  /** the full baseline decode, returning the CROPPED row-major 8-bit
+    * pixel plane. */
+  def decodeGrayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     var i = 0
     def u8(): Int = { val v = bytes(i) & 0xFF; i += 1; v }
     def u16(): Int = { val v = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF); i += 2; v }
@@ -328,16 +348,11 @@ object Jpeg {
           pixels((by * 8 + y) * bw * 8 + bx * 8 + x) = p.toByte
         }
       }
-      // crop to w×h and fold stats
-      var sumR = 0L; var sumL = 0L; var peakL = 0L
-      for (y <- 0 until h; x <- 0 until w) {
-        val v = pixels(y * bw * 8 + x) & 0xFF
-        val luma = 1000L * v // gray: 299v+587v+114v
-        sumR += v; sumL += luma
-        if (luma > peakL) peakL = luma
-      }
-      Some(Multimodal.PixelStats(w, h, 1, w.toLong * h, sumR, sumR, sumR,
-        sumL, peakL))
+      // crop the padded block plane to w×h
+      val out = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        out(y * w + x) = pixels(y * bw * 8 + x) & 0xFF
+      Some((w, h, out))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }

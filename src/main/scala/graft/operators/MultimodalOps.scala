@@ -183,6 +183,48 @@ object MultimodalOps {
           "sum_gray", "sum_luma_milli", "peak_luma_milli")
     }),
 
+    // REAL VIDEO decode — MJPEG in AVI: the one video format whose
+    // frames need no inter-frame codec (every frame an independent
+    // baseline JPEG, which q298's decoder already handles). The RIFF
+    // container walk (avih main header, strh MJPG check, movi 00dc
+    // chunks with word alignment) and per-frame JPEG decode are both
+    // real; block-flat frames round-trip exactly, so the per-video
+    // folds — total gray mass and the frame-difference MOTION metric
+    // Σ|g_f − g_{f−1}| — are oracle-checked bit-for-bit. Video moves
+    // from "honestly stubbed" to decoded for the MJPEG class; only
+    // inter-frame codecs (H.264/VP9) remain out.
+    "q302_mjpeg_video_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 16 + 8).toInt; val h = (id % 8 + 8).toInt
+          val nf = (id % 4 + 2).toInt
+          val frames = (0 until nf).map { f =>
+            graft.multimodal.Jpeg.encodeGray(w, h, (x, y) =>
+              ((id * 29 + (x / 8) * 7 + (y / 8) * 3 + f * 19) % 256).toInt)
+          }
+          val avi = graft.multimodal.Avi.syntheticAvi(w, h, 40000L, frames)
+          val v = graft.multimodal.Avi.aviVideo(avi).get
+          val planes =
+            v.frames.map(fb => graft.multimodal.Jpeg.decodeGrayPlane(fb).get)
+          var sumGray = 0L; var motion = 0L
+          for (fi <- planes.indices) {
+            val px = planes(fi)._3
+            var j = 0
+            while (j < px.length) {
+              sumGray += px(j)
+              if (fi > 0) motion += math.abs(px(j) - planes(fi - 1)._3(j))
+              j += 1
+            }
+          }
+          (id, v.width, v.height, v.totalFrames, v.usPerFrame,
+            v.width.toLong * v.height * v.totalFrames, sumGray, motion)
+        }.toDF("media_id", "width", "height", "n_frames", "us_per_frame",
+          "n_px_total", "sum_gray", "motion_abs")
+    }),
+
     // binary frame sampling: n_frames per media by kind
     "q65_multimodal_framesample" -> ((s, dir) => {
       val media = mediaDs(s, dir).toDF()
@@ -304,6 +346,29 @@ object MultimodalOps {
         |  CAST(SUM(1000 * v) AS BIGINT) AS sum_luma_milli,
         |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "q302_mjpeg_video_stats" ->
+      """WITH vid AS (
+        |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h,
+        |    doc_id % 4 + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT doc_id, w, h, nf,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3 + f.i * 19) % 256 AS v,
+        |    CASE WHEN f.i > 0 THEN
+        |      (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3 + (f.i - 1) * 19) % 256
+        |    END AS vprev
+        |  FROM vid, range(0, 24) x(i), range(0, 16) y(i), range(0, 6) f(i)
+        |  WHERE x.i < w AND y.i < h AND f.i < nf)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(40000 AS BIGINT) AS us_per_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px_total,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
+        |    AS BIGINT) AS motion_abs
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q65_multimodal_framesample" ->
       """WITH media AS (
