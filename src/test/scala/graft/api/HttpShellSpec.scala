@@ -1,0 +1,106 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The listening HTTP shell: real sockets end to end. Every assertion
+  * goes over 127.0.0.1 with the JDK HttpClient — the body served on the
+  * wire must equal the param-layer result byte-for-byte, handler errors
+  * must surface as their HttpError status with a JSON error body, and
+  * unknown routes as 404. */
+class HttpShellSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val T0 = 1704067200L
+  private val T1 = 1706745600L
+
+  private lazy val (shell, port) = {
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
+    (sh, sh.start())
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(pathAndQuery: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health") {
+    val r = get("/health")
+    assert(r.statusCode() == 200 && r.body() == """{"status":"ok"}""")
+  }
+
+  test("loki query_range over the wire equals the param layer") {
+    val q = s"query=%7Bseverity_text%3D%22error%22%7D&start=${T0}000000000" +
+      s"&end=${T1}000000000&limit=5"
+    val r = get(s"/loki/api/v1/query_range?$q")
+    assert(r.statusCode() == 200)
+    assert(r.body() ==
+      Endpoints.lokiQueryRange(spark, dir, q, nowNs = T1 * 1000000000L))
+    assert(r.headers().firstValue("Content-Type").get == "application/json")
+  }
+
+  test("prometheus query_range and instant query over the wire") {
+    val q = "query=sum%20by%20(service_name)%20(http_requests_total)" +
+      s"&start=$T0&end=${T1 - 1}&step=1d"
+    val r = get(s"/prometheus/api/v1/query_range?$q")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.promQueryRange(spark, dir, q))
+
+    val qi = s"query=http_requests_total&time=$T0"
+    val ri = get(s"/prometheus/api/v1/query?$qi")
+    assert(ri.statusCode() == 200)
+    assert(ri.body() == Endpoints.promInstantQuery(spark, dir, qi, nowSec = T1))
+  }
+
+  test("tempo search and tag values over the wire") {
+    val q = "tags=service.name%3Dsvc-1&limit=3"
+    val r = get(s"/api/search?$q")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.tempoSearch(spark, dir, q))
+
+    val rv = get("/api/search/tag/service_name/values")
+    assert(rv.statusCode() == 200)
+    assert(rv.body() == Endpoints.tempoTagValues(spark, dir, "service_name"))
+  }
+
+  test("handler errors surface as their status with a JSON error body") {
+    // missing required query param → 400
+    val r400 = get("/loki/api/v1/query_range?limit=5")
+    assert(r400.statusCode() == 400)
+    assert(r400.body().startsWith("""{"status":"error""""))
+    // prometheus 400 on missing step
+    assert(get(s"/prometheus/api/v1/query_range?query=up&start=$T0&end=$T1")
+      .statusCode() == 400)
+    // unknown tempo tag → 404 from the handler itself
+    assert(get("/api/search/tag/nope/values").statusCode() == 404)
+    // unknown route → 404
+    assert(get("/definitely/not/a/route").statusCode() == 404)
+  }
+
+  test("shell stops cleanly") {
+    // dedicated instance so the shared one stays up for other tests
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
+    val p = sh.start()
+    assert(get("/health").statusCode() == 200) // shared one still fine
+    sh.stop()
+    intercept[java.io.IOException] {
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/health"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+  }
+}
