@@ -24,10 +24,20 @@ import org.apache.spark.sql.SparkSession
   * listener itself is a thin adapter.
   *
   * Determinism: "now" is injected at construction, never a clock read.
+  *
+  * With `ingest` set, the ACCEPTOR routes go live too (reference
+  * `src/acceptor/src/lib.rs` route table): OTLP/HTTP POST `/v1/logs`,
+  * `/v1/traces`, `/v1/metrics`, `/v1development/profiles` and the
+  * Pyroscope pprof upload `POST /ingest?name=…` — each decodes on
+  * executors through the existing wire parsers and lands through the
+  * idempotent batch sink into the stored hour layout, so a request is
+  * queryable by the GET routes immediately after the 200.
   */
-final class HttpShell(spark: SparkSession, dir: String, nowNs: Long) {
+final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
+    ingest: Option[graft.storage.Storage.TableLayout] = None) {
 
   private var server: HttpServer = _
+  private val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** bind 127.0.0.1:port (0 = ephemeral) and start serving; returns the
     * bound port. */
@@ -45,9 +55,15 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long) {
     val path = ex.getRequestURI.getPath
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val (status, body) =
-      try route(path, qs) match {
-        case Some(json) => (200, json)
-        case None       => (404, errJson("not found: " + path))
+      try {
+        val routed =
+          if (ex.getRequestMethod == "POST")
+            ingestRoute(path, qs, ex.getRequestBody.readAllBytes())
+          else route(path, qs)
+        routed match {
+          case Some(json) => (200, json)
+          case None       => (404, errJson("not found: " + path))
+        }
       } catch {
         case e: Endpoints.HttpError => (e.status, errJson(e.message))
         case e: graft.promql.Ast.Unsupported => (422, errJson(e.getMessage))
@@ -79,6 +95,48 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long) {
       Some(Endpoints.tempoTagValues(spark, dir,
         java.net.URLDecoder.decode(tag, "UTF-8")))
     case _ => None
+  }
+
+  /** POST acceptor routes (reference src/acceptor/src/lib.rs). Each
+    * wraps the request body as a 1-row payload frame so decode runs
+    * through the same executor-side wire parsers as the streaming
+    * acceptor, then lands via the idempotent batch sink (per-request
+    * batch ids). */
+  private def ingestRoute(path: String, qs: String,
+      body: Array[Byte]): Option[String] = {
+    def layout = ingest.getOrElse(
+      throw Endpoints.HttpError(503, "ingest not configured"))
+    def payloadDf = {
+      import spark.implicits._
+      spark.createDataset(Seq(body)).toDF("payload")
+    }
+    def land(table: String, rows: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.IngestSink.appendBatch(layout, table)(
+        rows, batchSeq.incrementAndGet())
+    path match {
+      case "/v1/logs" =>
+        land("logs", graft.sources.Otlp.logs(payloadDf))
+        Some("""{"partialSuccess":{}}""")
+      case "/v1/traces" =>
+        land("traces", graft.sources.Otlp.traces(payloadDf))
+        Some("""{"partialSuccess":{}}""")
+      case "/v1/metrics" =>
+        val (gauge, sum) = graft.sources.Otlp.metrics(payloadDf)
+        land("metrics_gauge", gauge)
+        land("metrics_sum", sum)
+        Some("""{"partialSuccess":{}}""")
+      case "/v1development/profiles" =>
+        land("profiles", graft.sources.Otlp.profiles(payloadDf))
+        Some("""{"partialSuccess":{}}""")
+      case "/ingest" => // Pyroscope pprof upload: ?name=<service>
+        val name = Endpoints.parseQuery(qs).get("name").filter(_.nonEmpty)
+          .getOrElse(throw Endpoints.HttpError(400, "missing name"))
+        import spark.implicits._
+        val payloads = Seq((body, name)).toDF("payload", "service_name")
+        land("profiles", graft.sources.Pprof.profiles(payloads))
+        Some("""{"status":"ok"}""")
+      case _ => None
+    }
   }
 
   private def errJson(msg: String): String = {

@@ -90,6 +90,79 @@ class HttpShellSpec extends AnyFunSuite {
     assert(get("/definitely/not/a/route").statusCode() == 404)
   }
 
+  // ---- acceptor routes ----------------------------------------------------
+
+  /** minimal OTLP logs wire payload (same encoder as OtlpSpec's). */
+  private def logsPayload(svc: String, startNs: Long, n: Int): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    class Pb {
+      val out = new ByteArrayOutputStream()
+      def varint(v: Long): Pb = {
+        var x = v
+        while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+        out.write(x.toInt); this
+      }
+      def tag(f: Int, w: Int): Pb = varint((f << 3) | w)
+      def fixed64(f: Int, v: Long): Pb = {
+        tag(f, 1); (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt)); this
+      }
+      def bytes(f: Int, b: Array[Byte]): Pb = { tag(f, 2); varint(b.length); out.write(b); this }
+      def str(f: Int, s: String): Pb = bytes(f, s.getBytes("UTF-8"))
+      def msg(f: Int)(fn: Pb => Unit): Pb = { val p = new Pb; fn(p); bytes(f, p.out.toByteArray) }
+      def result: Array[Byte] = out.toByteArray
+    }
+    val req = new Pb
+    req.msg(1) { rl =>
+      rl.msg(1)(_.msg(1) { kv => kv.str(1, "service.name"); kv.msg(2)(_.str(1, svc)) })
+      rl.msg(2) { sl =>
+        for (i <- 0 until n) sl.msg(2) { lr =>
+          lr.fixed64(1, startNs + i * 60L * 1000000000L)
+          lr.str(3, if (i % 2 == 0) "error" else "info")
+          lr.msg(5)(_.str(1, s"line $i from $svc"))
+        }
+      }
+    }
+    req.result
+  }
+
+  private def post(port: Int, pathAndQuery: String,
+      body: Array[Byte]): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /v1/logs decodes, lands in the stored layout, and replays idempotently") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-ingest").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      val r = post(p, "/v1/logs", logsPayload("svc-http", T0 * 1000000000L, 6))
+      assert(r.statusCode() == 200 && r.body() == """{"partialSuccess":{}}""")
+      val stored = spark.read.parquet(layout.path("logs"))
+      assert(stored.count() == 6)
+      assert(stored.columns.contains("date_day")) // hour layout landed
+      // a second request appends under a NEW batch id
+      assert(post(p, "/v1/logs",
+        logsPayload("svc-http2", T0 * 1000000000L, 4)).statusCode() == 200)
+      assert(spark.read.parquet(layout.path("logs")).count() == 10)
+    } finally sh.stop()
+  }
+
+  test("acceptor guardrails: 503 without ingest config, 400 on missing pprof name") {
+    // the shared read-only shell has no ingest layout
+    assert(post(port, "/v1/logs", Array[Byte](1, 2)).statusCode() == 503)
+    val base = java.nio.file.Files.createTempDirectory("graft-http-i2").toString
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      ingest = Some(graft.storage.Storage.TableLayout(base, "t", "d")))
+    val p = sh.start()
+    try {
+      assert(post(p, "/ingest", Array[Byte](1)).statusCode() == 400)
+      assert(post(p, "/not/an/ingest/route", Array[Byte](1)).statusCode() == 404)
+    } finally sh.stop()
+  }
+
   test("shell stops cleanly") {
     // dedicated instance so the shared one stays up for other tests
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
