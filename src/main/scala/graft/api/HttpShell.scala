@@ -128,6 +128,12 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       case "/v1development/profiles" =>
         land("profiles", graft.sources.Otlp.profiles(payloadDf))
         Some("""{"partialSuccess":{}}""")
+      case "/api/v1/write" => // Prometheus remote_write (snappy+proto)
+        val rows = graft.sources.PromRemoteWrite.rows(payloadDf)
+        graft.sources.PromRemoteWrite.convert(rows).foreach {
+          case (table, df) => land(table, df)
+        }
+        Some("""{}""")
       case "/ingest" => // Pyroscope pprof upload: ?name=<service>
         val name = Endpoints.parseQuery(qs).get("name").filter(_.nonEmpty)
           .getOrElse(throw Endpoints.HttpError(400, "missing name"))

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * resource grouping by job/instance :138-163, __name__ classification
   * :303-475, histogram reassembly from _bucket/_count/_sum :477-610).
   *
-  * The protobuf+snappy transport is out of local scope; the COMPUTABLE
-  * half is the row conversion: remote_write-shaped rows
-  * `(labels Map[String,String], timestamp_ms Long, value Double)` become
+  * Both halves are real: [[decodeWriteRequest]] decodes the
+  * snappy+protobuf transport (public wire format, hand-rolled walk),
+  * and the row conversion turns remote_write-shaped rows
+  * `(labels Map[String,String], timestamp_ms Long, value Double)` into
   * the per-kind stored tables from graft.schema.Schemas. All transforms
   * are per-row narrow ops except histogram reassembly, which is one hash
   * aggregate per (series, timestamp) — no shuffle beyond it, scales
@@ -135,4 +136,89 @@ object PromRemoteWrite {
     "metrics_gauge" -> toGauge(df),
     "metrics_sum" -> toSum(df),
     "metrics_histogram" -> toHistogram(df))
+
+  // ---- wire decode --------------------------------------------------------
+
+  /** one decoded remote_write sample (the row shape `convert` expects). */
+  final case class WriteRow(labels: Map[String, String], timestamp_ms: Long,
+      value: Double)
+
+  /** The remote_write TRANSPORT, now in scope: snappy block decompression
+    * (org.xerial.snappy ships with Spark) + a hand-rolled walk of the
+    * public `prometheus.WriteRequest` wire format — `timeseries=1 {
+    * labels=1 {name=1,value=2}, samples=2 {value=1(double),
+    * timestamp=2(varint ms)} }` — the same decoder discipline as
+    * [[Otlp]]. Unknown fields are skipped, so exemplars/histogram
+    * protos from newer senders pass through harmlessly. */
+  def decodeWriteRequest(compressed: Array[Byte]): Seq[WriteRow] = {
+    val raw = org.xerial.snappy.Snappy.uncompress(compressed)
+    val req = Otlp.reader(raw)
+    val out = Seq.newBuilder[WriteRow]
+    while (req.hasNext) {
+      val (f, w) = req.readTag()
+      if (f == 1 && w == 2) {
+        val ts = req.readSlice()
+        val labels = Map.newBuilder[String, String]
+        val samples = Seq.newBuilder[(Long, Double)]
+        while (ts.hasNext) {
+          val (tf, tw) = ts.readTag()
+          if (tf == 1 && tw == 2) {
+            val l = ts.readSlice()
+            var name = ""; var value = ""
+            while (l.hasNext) {
+              val (lf, lw) = l.readTag()
+              if (lf == 1 && lw == 2) name = l.readString()
+              else if (lf == 2 && lw == 2) value = l.readString()
+              else l.skip(lw)
+            }
+            if (name.nonEmpty) labels += name -> value
+          } else if (tf == 2 && tw == 2) {
+            val s = ts.readSlice()
+            var v = 0.0; var t = 0L
+            while (s.hasNext) {
+              val (sf, sw) = s.readTag()
+              if (sf == 1 && sw == 1)
+                v = java.lang.Double.longBitsToDouble(s.readFixed64())
+              else if (sf == 2 && sw == 0) t = s.readVarint()
+              else s.skip(sw)
+            }
+            samples += ((t, v))
+          } else ts.skip(tw)
+        }
+        val lm = labels.result()
+        samples.result().foreach { case (t, v) => out += WriteRow(lm, t, v) }
+      } else req.skip(w)
+    }
+    out.result()
+  }
+
+  /** payloads (binary `payload` column, one snappy+proto request per
+    * row) → remote_write rows; the same narrow executor-side flatMap as
+    * the OTLP acceptors. */
+  def rows(payloads: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[WriteRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeWriteRequest _)
+      .toDF()
+  }
+
+  /** fixture encoder (tests + oracles): series → snappy-compressed
+    * WriteRequest bytes, independently constructed so decode is proven
+    * against the public wire format, not against itself. */
+  def encodeWriteRequest(
+      series: Seq[(Map[String, String], Seq[(Long, Double)])]): Array[Byte] = {
+    val req = new Pb
+    series.foreach { case (labels, samples) =>
+      req.msg(1) { ts =>
+        labels.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          ts.msg(1) { l => l.str(1, k); l.str(2, v) }
+        }
+        samples.foreach { case (t, v) =>
+          ts.msg(2) { s => s.double(1, v); s.vint(2, t) }
+        }
+      }
+    }
+    org.xerial.snappy.Snappy.compress(req.result)
+  }
 }

@@ -150,6 +150,28 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("POST /api/v1/write: snappy+proto remote_write lands in the metric tables") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-rw").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      val wire = graft.sources.PromRemoteWrite.encodeWriteRequest(Seq(
+        (Map("__name__" -> "queue_depth", "job" -> "api", "instance" -> "i1"),
+          Seq((T0 * 1000L, 7.5))),
+        (Map("__name__" -> "http_requests_total", "job" -> "api"),
+          Seq((T0 * 1000L, 42.0)))))
+      val r = post(p, "/api/v1/write", wire)
+      assert(r.statusCode() == 200)
+      val gauge = spark.read.parquet(layout.path("metrics_gauge"))
+      assert(gauge.count() == 1)
+      assert(gauge.head().getAs[String]("metric_name") == "queue_depth")
+      val sum = spark.read.parquet(layout.path("metrics_sum"))
+      assert(sum.count() == 1)
+      assert(sum.head().getAs[String]("metric_name") == "http_requests")
+    } finally sh.stop()
+  }
+
   test("acceptor guardrails: 503 without ingest config, 400 on missing pprof name") {
     // the shared read-only shell has no ingest layout
     assert(post(port, "/v1/logs", Array[Byte](1, 2)).statusCode() == 503)

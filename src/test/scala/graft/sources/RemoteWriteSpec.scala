@@ -76,4 +76,30 @@ class RemoteWriteSpec extends AnyFunSuite {
     assert(row.getAs[String]("bucket_counts") == "[1,2,1]")
     assert(row.getAs[String]("explicit_bounds") == "[0.1,1.0]")
   }
+
+  test("wire decode: snappy+WriteRequest round trip, executor-side flatMap") {
+    val series = Seq(
+      (Map("__name__" -> "up", "job" -> "api", "instance" -> "i1"),
+        Seq((1704067200000L, 1.0), (1704067260000L, 0.0))),
+      (Map("__name__" -> "http_requests_total", "job" -> "api"),
+        Seq((1704067200000L, 42.5))))
+    val wire = PromRemoteWrite.encodeWriteRequest(series)
+    // payload is genuinely compressed (snappy magic handled by decode)
+    val decoded = PromRemoteWrite.decodeWriteRequest(wire)
+    assert(decoded.size == 3)
+    assert(decoded.head.labels("__name__") == "up" &&
+      decoded.head.timestamp_ms == 1704067200000L && decoded.head.value == 1.0)
+    assert(decoded.last.labels == Map("__name__" -> "http_requests_total",
+      "job" -> "api") && decoded.last.value == 42.5)
+    // Spark path: payload frame → rows frame with the convert() shape
+    import spark.implicits._
+    val rows = PromRemoteWrite.rows(Seq(wire).toDF("payload"))
+    assert(rows.columns.toSeq == Seq("labels", "timestamp_ms", "value"))
+    assert(rows.count() == 3)
+    val g = PromRemoteWrite.toGauge(rows)
+    assert(g.count() == 2) // the two `up` samples; _total goes to sum
+    // malformed payloads fail loudly, not silently
+    intercept[Exception](PromRemoteWrite.decodeWriteRequest(
+      Array[Byte](1, 2, 3, 4)))
+  }
 }
