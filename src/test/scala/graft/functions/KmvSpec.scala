@@ -58,6 +58,30 @@ class KmvSpec extends AnyFunSuite {
       assert(byGroup(g) == data.filter(_ % 2 == g).distinct.sorted.take(k))
   }
 
+  test("streaming aggregation: sketch state merges across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val all = Seq.fill(3000)(("s" + rnd.nextInt(2), rnd.nextLong().abs % 500))
+    val (b1, b2) = all.splitAt(1300)
+    val in = MemoryStream[(String, Long)](spark)
+    val agg = in.toDF().toDF("svc", "v")
+      .groupBy(col("svc")).agg(Kmv.kmvSketch(col("v"), 16).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      for (svc <- Seq("s0", "s1"))
+        assert(got(svc) ==
+          all.filter(_._1 == svc).map(_._2).distinct.sorted.take(16),
+          s"cross-batch sketch for $svc must equal the batch-global bottom-k")
+    } finally q.stop()
+  }
+
   test("small input returns all distinct values sorted (n < k)") {
     import spark.implicits._
     val got = Seq(3L, 1L, 3L, 2L).toDF("v")
