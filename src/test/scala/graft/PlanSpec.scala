@@ -324,4 +324,26 @@ class PlanSpec extends AnyFunSuite {
       s"version resolution must not shuffle, got $exchanges exchanges:\n$plan")
     assert(!plan.contains("Join"), s"no join in version resolution:\n$plan")
   }
+
+  test("KMV sketch aggregates with partial (map-side) combine — shuffle moves sketches") {
+    val df = operators.DiscoveryOps.queries("q299_kmv_distinct")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate lowers to ObjectHashAggregate with a
+    // partial stage BEFORE the exchange: the shuffle carries ≤k-long
+    // serialized buffers, never raw rows
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate for the sketch:\n$plan")
+    assert("partial_kmv_sketch".r.findAllIn(plan).nonEmpty,
+      s"expected a PARTIAL sketch stage before the shuffle:\n$plan")
+  }
+
+  test("C4 span dedup: fixed-width hash key shuffles, no join for span ranking") {
+    val df = operators.PipelineOps.queries("q301_c4_span_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // coverage anti join + reassembly join are the only joins; span
+    // ranking itself is a window over md5(span), never a self join
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size <= 2,
+      s"expected ≤2 joins (anti + reassembly):\n$plan")
+  }
 }
