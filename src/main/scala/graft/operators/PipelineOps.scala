@@ -1964,8 +1964,70 @@ object PipelineOps {
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_text"), lit("")).as("kept_text"))
+    }),
+
+    // Model-based quality scoring, trained IN ONE AGGREGATION PASS:
+    // least-squares fit of n_chars against (token count, stopword
+    // count) via the NORMAL EQUATIONS — the Gram matrix XᵀX and Xᵀy
+    // are nine exact integer sums, so fitting a small linear model over
+    // 100 TB is one partial-aggregating hash agg, then a 1-row Cramer
+    // solve broadcast back for scoring. Coefficients stay exact
+    // rationals (cofactor determinants over det, DECIMAL(38,0)/HUGEINT)
+    // until the final ppm rounding; residuals are y·10⁶ − ŷ_ppm so the
+    // orthogonality law Σr·x≈0 is spec-checkable. The classic
+    // quality-classifier shape (GPT-3/C4 filtering) without driver-side
+    // math.
+    "q303_quality_regressor" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("x1"),
+        expr("CAST(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT)")
+          .as("x2"),
+        col("n_chars").as("y"))
+      val gram = feats.agg(
+        count(lit(1)).as("s00"), sum("x1").as("s01"), sum("x2").as("s02"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x2 * x2")).as("s22"),
+        sum("y").as("sy0"), sum(expr("x1 * y")).as("sy1"),
+        sum(expr("x2 * y")).as("sy2"))
+      val (det, d0, d1, d2) = cramer3(n => s"CAST($n AS DECIMAL(38,0))")
+      val solved = gram.select(expr(det).as("det"), expr(d0).as("d0"),
+        expr(d1).as("d1"), expr(d2).as("d2"))
+      def ppm(n: String) = expr(
+        s"CAST(CASE WHEN $n >= 0 THEN ($n * 1000000) div det " +
+          s"ELSE -((-($n) * 1000000) div det) END AS BIGINT)")
+      feats.crossJoin(broadcast(solved))
+        .withColumn("num", expr("d0 + d1 * x1 + d2 * x2"))
+        .withColumn("yhat_ppm", ppm("num"))
+        .select(col("doc_id"), col("x1"), col("x2"), col("y"),
+          col("yhat_ppm"),
+          (col("y") * 1000000L - col("yhat_ppm")).as("resid_ppm"),
+          ppm("d0").as("beta0_ppm"), ppm("d1").as("beta1_ppm"),
+          ppm("d2").as("beta2_ppm"))
     })
   )
+
+  /** Cramer's-rule strings for the 3×3 normal equations (first-column
+    * cofactor expansion), shared by the Spark expr and the DuckDB twin
+    * via the engine-specific widening `w` (DECIMAL(38,0) / HUGEINT).
+    * Column names: Gram s00..s22 (symmetric), moments sy0..sy2. */
+  private def cramer3(w: String => String)
+      : (String, String, String, String) = {
+    def m(a: String, b: String, c: String, d: String) =
+      s"(${w(a)} * ${w(b)} - ${w(c)} * ${w(d)})"
+    val m0 = m("s11", "s22", "s12", "s12") // minor of col-0 entries
+    val m1 = m("s01", "s22", "s02", "s12")
+    val m2 = m("s01", "s12", "s02", "s11")
+    val det = s"(${w("s00")} * $m0 - ${w("s01")} * $m1 + ${w("s02")} * $m2)"
+    val det0 = s"(${w("sy0")} * $m0 - ${w("sy1")} * $m1 + ${w("sy2")} * $m2)"
+    val det1 = s"(${w("s00")} * ${m("sy1", "s22", "sy2", "s12")} " +
+      s"- ${w("s01")} * ${m("sy0", "s22", "s02", "sy2")} " +
+      s"+ ${w("s02")} * ${m("sy0", "s12", "s02", "sy1")})"
+    val det2 = s"(${w("s00")} * ${m("s11", "sy2", "s12", "sy1")} " +
+      s"- ${w("s01")} * ${m("s01", "sy2", "s12", "sy0")} " +
+      s"+ ${w("s02")} * ${m("s01", "sy1", "s11", "sy0")})"
+    (det, det0, det1, det2)
+  }
 
   /** Connected components by iterative min-label propagation over a
     * DIRECTED edge frame `(u, v)` (pass both directions for an undirected
@@ -3532,7 +3594,43 @@ object PipelineOps {
         |SELECT tot.doc_id, tot.n_tokens,
         |  coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.kept_text, '') AS kept_text
-        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
+
+    "q303_quality_regressor" -> {
+      // DuckDB SUM(BIGINT) is already HUGEINT; identity widening
+      val (det, d0, d1, d2) = cramer3(identity)
+      def ppmSql(n: String) =
+        s"CAST(CASE WHEN $n >= 0 THEN ($n * 1000000) // det " +
+          s"ELSE -((-($n) * 1000000) // det) END AS BIGINT)"
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t = 'the' OR t = 'a')) AS BIGINT) AS x2,
+         |    n_chars AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS s00, SUM(x1) AS s01,
+         |    SUM(x2) AS s02, SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+         |    SUM(x2*x2) AS s22, SUM(y) AS sy0, SUM(x1*y) AS sy1,
+         |    SUM(x2*y) AS sy2
+         |  FROM f),
+         |d AS (SELECT $det AS det, $d0 AS d0, $d1 AS d1, $d2 AS d2 FROM g),
+         |j AS (
+         |  SELECT f.doc_id, f.x1, f.x2, f.y, d.det, d.d0, d.d1, d.d2,
+         |    d.d0 + d.d1 * f.x1 + d.d2 * f.x2 AS num
+         |  FROM f, d),
+         |k AS (
+         |  SELECT doc_id, x1, x2, y, det, d0, d1, d2,
+         |    ${ppmSql("num")} AS yhat_ppm
+         |  FROM j)
+         |SELECT doc_id, x1, x2, y, yhat_ppm,
+         |  y * 1000000 - yhat_ppm AS resid_ppm,
+         |  ${ppmSql("d0")} AS beta0_ppm,
+         |  ${ppmSql("d1")} AS beta1_ppm,
+         |  ${ppmSql("d2")} AS beta2_ppm
+         |FROM k""".stripMargin
+    }
   )
 
   /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a

@@ -178,4 +178,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(sorted.last._3 < n && n <= sorted.last._3 + 64)
     }
   }
+
+  test("normal-equation regressor: residuals orthogonal to features") {
+    // An INDEPENDENT check of the Cramer solve (the DuckDB oracle shares
+    // the formula strings, so a shared algebra bug would pass it): exact
+    // least squares has Σr = Σr·x1 = Σr·x2 = 0; each yhat_ppm truncates
+    // by < 1 ppm unit, so the ppm residual moments are bounded by n and
+    // Σx respectively.
+    val dir = "/root/testdata/sf0.001"
+    val df = PipelineOps.queries("q303_quality_regressor")(spark, dir)
+    val r = df.agg(
+      sum(col("resid_ppm")).as("m0"),
+      sum(col("resid_ppm") * col("x1")).as("m1"),
+      sum(col("resid_ppm") * col("x2")).as("m2"),
+      count(lit(1)).as("n"), sum(col("x1")).as("sx1"),
+      sum(col("x2")).as("sx2")).head()
+    assert(math.abs(r.getLong(0)) <= r.getLong(3),
+      s"sum resid ${r.getLong(0)} exceeds rounding bound n=${r.getLong(3)}")
+    assert(math.abs(r.getLong(1)) <= r.getLong(4),
+      s"sum resid*x1 ${r.getLong(1)} exceeds bound ${r.getLong(4)}")
+    assert(math.abs(r.getLong(2)) <= r.getLong(5),
+      s"sum resid*x2 ${r.getLong(2)} exceeds bound ${r.getLong(5)}")
+    // the model is genuinely predictive on this corpus: residual variance
+    // is far below target variance (R² > 0.5 in ppm arithmetic)
+    val v = df.agg(
+      sum(col("resid_ppm") * col("resid_ppm")).as("ss_res"),
+      avg(col("y") * 1000000L).as("ybar"),
+      count(lit(1)).as("n")).head()
+    val ybar = v.getDouble(1)
+    val ssTot = df.select(
+      sum((col("y") * 1000000L - ybar) * (col("y") * 1000000L - ybar)))
+      .head().getDouble(0)
+    assert(v.getLong(0).toDouble < 0.5 * ssTot,
+      s"R² too low: ss_res=${v.getLong(0)} ss_tot=$ssTot")
+  }
 }
