@@ -2004,8 +2004,82 @@ object PipelineOps {
           (col("y") * 1000000L - col("yhat_ppm")).as("resid_ppm"),
           ppm("d0").as("beta0_ppm"), ppm("d1").as("beta1_ppm"),
           ppm("d2").as("beta2_ppm"))
-    })
+    }),
+
+    // BPE TOKENIZER TRAINING, fully distributed: the classic
+    // Sennrich-2016 merge loop over the distinct-word frequency table
+    // (the scale unit — corpus size only affects the initial word
+    // count, each round is one hash agg + a broadcast 1-row merge).
+    // Six unrolled rounds, deterministic tie-break (count desc, pair
+    // lexicographic), leftmost-non-overlap merge application as an
+    // array fold. Output: the ordered learned merge table — the
+    // tokenizer itself.
+    "q304_bpe_merges" -> ((s, dir) => bpeTrain(s, dir)._1),
+
+    // The vocab AFTER training: corpus frequency of every surviving
+    // symbol (merged subwords + residual characters) — what the trained
+    // tokenizer would emit, top 30 for a stable oracle.
+    "q305_bpe_vocab" -> ((s, dir) =>
+      bpeTrain(s, dir)._2
+        .select(col("cnt"), explode(col("sym")).as("symbol"))
+        .groupBy(col("symbol")).agg(sum("cnt").as("n_tokens"))
+        .orderBy(col("n_tokens").desc, col("symbol").asc)
+        .limit(30))
   )
+
+  /** One BPE training round over the `(w, cnt, sym: array<string>)`
+    * word-frequency table: count adjacent symbol pairs weighted by word
+    * frequency (one hash agg — the classic BPE scale unit is the
+    * DISTINCT-word table, not the corpus), pick the global best pair
+    * (deterministic ties: count desc, then pair lexicographic),
+    * broadcast it back, and apply the merge with a leftmost
+    * non-overlapping array fold (`aggregate`): a position merges iff
+    * the previous output element is still the raw `a` — the merged
+    * symbol a||b can never re-match `a`, so greedy-from-left needs no
+    * extra state. Returns (updated words, 1-row merge record). */
+  private def bpeRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
+    val pairs = words.select(col("cnt"), explode(expr(
+      "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1), " +
+        "(x, y) -> named_struct('a', x, 'b', y))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("n"))
+    val best = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+    val applied = words
+      .crossJoin(broadcast(best.select(col("a").as("_ma"), col("b").as("_mb"))))
+      .withColumn("sym", expr(
+        """aggregate(sym, CAST(array() AS array<string>), (acc, x) ->
+          |  CASE WHEN size(acc) = 0 THEN array(x)
+          |       WHEN element_at(acc, -1) = _ma AND x = _mb
+          |         THEN concat(slice(acc, 1, size(acc) - 1),
+          |                     array(concat(_ma, _mb)))
+          |       ELSE concat(acc, array(x)) END)""".stripMargin))
+      .drop("_ma", "_mb")
+    (applied,
+      best.select(lit(r.toLong).as("rank"), col("a"), col("b"), col("n")))
+  }
+
+  /** initial word-frequency table: distinct corpus words with counts,
+    * symbols = characters. */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", expr("filter(split(w, ''), c -> c <> '')"))
+
+  private val BpeRounds = 6
+
+  /** run the full unrolled trainer; returns (merge table, final words). */
+  private def bpeTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var words = bpeWords(s, dir)
+    var merges: DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val (w2, m) = bpeRound(words, r)
+      words = w2
+      merges = if (merges == null) m else merges.unionByName(m)
+    }
+    (merges, words)
+  }
 
   /** Cramer's-rule strings for the 3×3 normal equations (first-column
     * cofactor expansion), shared by the Spark expr and the DuckDB twin
@@ -3630,8 +3704,69 @@ object PipelineOps {
          |  ${ppmSql("d1")} AS beta1_ppm,
          |  ${ppmSql("d2")} AS beta2_ppm
          |FROM k""".stripMargin
-    }
+    },
+
+    "q304_bpe_merges" -> bpeOracle(BpeRounds,
+      (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM best$r")
+        .mkString("\n UNION ALL ")),
+
+    "q305_bpe_vocab" -> bpeOracle(BpeRounds,
+      s"""SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM (
+         |  SELECT cnt, unnest(sym) AS symbol FROM w${BpeRounds + 1})
+         |GROUP BY 1 ORDER BY n_tokens DESC, symbol LIMIT 30""".stripMargin)
   )
+
+  /** DuckDB twin of the unrolled BPE trainer. The merge application is
+    * deliberately a DIFFERENT formulation from Spark's array fold —
+    * gaps-and-islands parity over matched pair positions (greedy
+    * leftmost-non-overlap = keep every other position within each
+    * consecutive matched run) — so the cross-engine compare is an
+    * independent check of the merge semantics, not a restatement. */
+  private def bpeOracle(rounds: Int, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w1 AS MATERIALIZED (
+        |  SELECT w, cnt, string_split(w, '') AS sym FROM (
+        |    SELECT tok AS w, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |    WHERE tok <> '' GROUP BY 1) v)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |p$r AS MATERIALIZED (
+        |  SELECT w, cnt, CAST(t.i AS BIGINT) AS i,
+        |    sym[CAST(t.i + 1 AS INT)] AS a, sym[CAST(t.i + 2 AS INT)] AS b
+        |  FROM w$r, range(0, 48) t(i) WHERE t.i + 2 <= len(sym)),
+        |best$r AS MATERIALIZED (
+        |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM p$r GROUP BY 1, 2
+        |  ORDER BY n DESC, a, b LIMIT 1),
+        |sel$r AS MATERIALIZED (
+        |  SELECT w, i FROM (
+        |    SELECT w, i, (i - MIN(i) OVER (PARTITION BY w, g)) % 2 AS par
+        |    FROM (
+        |      SELECT p.w, p.i AS i,
+        |        p.i - ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.i) AS g
+        |      FROM p$r p, best$r q WHERE p.a = q.a AND p.b = q.b) runs) pr
+        |  WHERE par = 0),
+        |e$r AS MATERIALIZED (
+        |  SELECT w, cnt, sym, CAST(t.j AS BIGINT) AS j,
+        |    sym[CAST(t.j + 1 AS INT)] AS s
+        |  FROM w$r, range(0, 48) t(j) WHERE t.j < len(sym)),
+        |w${r + 1} AS MATERIALIZED (
+        |  SELECT e.w, e.cnt,
+        |    list(CASE WHEN sel.i IS NOT NULL
+        |              THEN e.s || e.sym[CAST(e.j + 2 AS INT)]
+        |              ELSE e.s END ORDER BY e.j) AS sym
+        |  FROM e$r e
+        |  LEFT JOIN sel$r sel ON sel.w = e.w AND sel.i = e.j
+        |  LEFT JOIN sel$r sel2 ON sel2.w = e.w AND sel2.i = e.j - 1
+        |  WHERE sel2.i IS NULL
+        |  GROUP BY e.w, e.cnt)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= finalSelect
+    sb.toString
+  }
 
   /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a
     * generated CTE chain (same quantized-mean algebra, exact integers). */
