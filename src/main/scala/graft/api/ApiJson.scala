@@ -134,6 +134,28 @@ object ApiJson {
     s"""{"profileTypes":[${rows.mkString(",")}]}"""
   }
 
+  /** shared Loki/Prometheus metadata envelope
+    * (`{"status":"success","data":[…]}`) for label names / label values
+    * — reference `LabelsResponse::success` (endpoints/logql.rs,
+    * promql.rs). */
+  def labelsResponse(values: Seq[String]): String =
+    s"""{"status":"success","data":[${values.map(jstr).mkString(",")}]}"""
+
+  /** Loki/Prometheus series envelope: `data` = one label-map object per
+    * distinct series. The distinct-series frame is discovery-capped
+    * upstream; shaping is distributed (to_json per row). */
+  def seriesResponse(df: DataFrame, labelCols: Seq[String]): String = {
+    val rows = df
+      .select(to_json(map_from_arrays(
+        array(labelCols.map(lit(_)): _*),
+        array(labelCols.map(c => col(c).cast("string")): _*))).as("m"))
+      .orderBy(col("m")).collect().map(_.getString(0))
+    s"""{"status":"success","data":[${rows.mkString(",")}]}"""
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** TraceQL-metrics matrix envelope (`/api/metrics/query_range`
     * response shape — the reference 501s the endpoint itself): series
     * keyed by the `by()` columns, values as [sec, "v"] pairs in time

@@ -216,6 +216,117 @@ object Endpoints {
     ApiJson.tempoSearch(filtered, limit)
   }
 
+  // ---- metadata discovery -------------------------------------------------
+
+  /** the optional start/end window every metadata route accepts
+    * (reference `metadata_window`): Loki-style times, default = all. */
+  private def metaWindow(p: Map[String, String], nowNs: Long): (Long, Long) =
+    (p.get("start").map(parseLokiNs(_, "start")).getOrElse(0L),
+      p.get("end").map(parseLokiNs(_, "end")).getOrElse(nowNs))
+
+  /** GET /loki/api/v1/labels (reference logql.rs:266): promoted label
+    * names + every gen-2 attribute key with data in the window. */
+  def lokiLabels(spark: SparkSession, dir: String, qs: String,
+      nowNs: Long): String = {
+    val (startNs, endNs) = metaWindow(parseQuery(qs), nowNs)
+    val df = SignalViews.logsGen2Df(spark, dir)
+      .filter(col("timestamp") >= startNs && col("timestamp") < endNs)
+    val attrKeys = df.select(explode(concat(
+        map_keys(col("log_attributes")),
+        map_keys(col("resource_attributes")))).as("label"))
+      .distinct().orderBy(col("label")).limit(1000)
+      .collect().map(_.getString(0)).toSeq
+    ApiJson.labelsResponse(
+      (Seq("service_name", "severity_text") ++ attrKeys).distinct.sorted)
+  }
+
+  /** GET /loki/api/v1/label/{name}/values (reference logql.rs:306):
+    * promoted columns answer from the column, everything else resolves
+    * through the gen-2 attribute maps — promotion-invariant, like the
+    * query path. */
+  def lokiLabelValues(spark: SparkSession, dir: String, name: String,
+      qs: String, nowNs: Long): String = {
+    if (name.trim.isEmpty) throw HttpError(400, "label name must not be empty")
+    val (startNs, endNs) = metaWindow(parseQuery(qs), nowNs)
+    val df = SignalViews.logsGen2Df(spark, dir)
+      .filter(col("timestamp") >= startNs && col("timestamp") < endNs)
+    val valueCol =
+      if (Seq("service_name", "severity_text", "body").contains(name)) col(name)
+      else coalesce(element_at(col("log_attributes"), name),
+        element_at(col("resource_attributes"), name))
+    val values = df.select(valueCol.cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct().orderBy(col("v")).limit(1000)
+      .collect().map(_.getString(0)).toSeq
+    ApiJson.labelsResponse(values)
+  }
+
+  /** GET /loki/api/v1/series (reference logql.rs:334 — 400 without a
+    * selector): distinct promoted-label sets of streams matching
+    * `match[]`. */
+  def lokiSeries(spark: SparkSession, dir: String, qs: String,
+      nowNs: Long): String = {
+    val p = parseQuery(qs)
+    val sel = p.get("match[]").orElse(p.get("match"))
+      .getOrElse(throw HttpError(400, "missing match[] selector"))
+    val (startNs, endNs) = metaWindow(p, nowNs)
+    val q = try graft.logql.Parser.parse(sel) match {
+      case graft.logql.Ast.LineQuery(lq) => lq
+      case _ => throw HttpError(400, "match[] must be a stream selector")
+    } catch { case e: graft.logql.Ast.ParseError =>
+      throw HttpError(400, s"parse error: ${e.getMessage}") }
+    val table = SignalViews.logsTable(spark, dir)
+    val seriesCols = Seq("service_name", "severity_text")
+    val df = graft.logql.Lowering
+      .lowerFilter(table, q, timeRange = Some((startNs, endNs)))
+      .select(seriesCols.map(col): _*).distinct().limit(1000)
+    ApiJson.seriesResponse(df, seriesCols)
+  }
+
+  /** GET /prometheus/api/v1/labels (reference promql.rs:46). */
+  def promLabels(spark: SparkSession, dir: String, qs: String): String =
+    ApiJson.labelsResponse(Seq("__name__", "service_name"))
+
+  /** GET /prometheus/api/v1/label/{name}/values. */
+  def promLabelValues(spark: SparkSession, dir: String,
+      name: String): String = {
+    val df = SignalViews.metricsDf(spark, dir)
+    val c = name match {
+      case "__name__"     => col("metric_name")
+      case "service_name" => col("service_name")
+      case other          => throw HttpError(404, s"unknown label: $other")
+    }
+    ApiJson.labelsResponse(df.select(c.as("v")).distinct()
+      .orderBy(col("v")).limit(1000).collect().map(_.getString(0)).toSeq)
+  }
+
+  /** GET /api/search/tags (reference tempo.rs:50): span tag names —
+    * the intrinsic searchable columns of the trace view. */
+  def tempoSearchTags(spark: SparkSession, dir: String): String = {
+    val cols = SignalViews.tracesGen2Df(spark, dir).columns.toSeq
+      .filterNot(Seq("timestamp", "trace_id", "span_id").contains)
+    s"""{"tagNames":[${cols.sorted.map(c => "\"" + c + "\"").mkString(",")}]}"""
+  }
+
+  /** GET /api/traces/{trace_id} (reference tempo.rs:48): single-trace
+    * fetch, spans in time order. */
+  def tempoTraceById(spark: SparkSession, dir: String,
+      traceId: String): String = {
+    val spans = SignalViews.tracesGen2Df(spark, dir)
+      .filter(col("trace_id") === traceId)
+      .orderBy(col("timestamp"), col("span_id"))
+      .select(col("span_id"), col("span_name"), col("service_name"),
+        col("status_code"), col("timestamp"), col("duration_nanos"))
+      .collect()
+    if (spans.isEmpty) throw HttpError(404, s"trace not found: $traceId")
+    val items = spans.map { r =>
+      s"""{"spanID":"${r.getString(0)}","name":"${r.getString(1)}",""" +
+        s""""serviceName":"${r.getString(2)}","status":"${r.getString(3)}",""" +
+        s""""startTimeUnixNano":"${r.getLong(4)}","durationNanos":${r.getLong(5)}}"""
+    }
+    s"""{"traceID":"$traceId","spans":[${items.mkString(",")}]}"""
+  }
+
   /** GET /api/search/tag/{tag}/values. */
   def tempoTagValues(spark: SparkSession, dir: String, tag: String): String = {
     val spans = SignalViews.tracesGen2Df(spark, dir)

@@ -77,23 +77,41 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   }
 
   private val TagValues = "^/api/search/tag/([^/]+)/values$".r
+  private val LokiLabelValues = "^/loki/api/v1/label/([^/]+)/values$".r
+  private val PromLabelValues = "^/prometheus/api/v1/label/([^/]+)/values$".r
+  private val TraceById = "^/api(?:/v2)?/traces/([^/]+)$".r
+
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   private def route(path: String, qs: String): Option[String] = path match {
     case "/health" => Some("""{"status":"ok"}""")
     // Loki (reference endpoints/logql.rs route table)
     case "/loki/api/v1/query_range" =>
       Some(Endpoints.lokiQueryRange(spark, dir, qs, nowNs))
+    case "/loki/api/v1/labels" =>
+      Some(Endpoints.lokiLabels(spark, dir, qs, nowNs))
+    case LokiLabelValues(name) =>
+      Some(Endpoints.lokiLabelValues(spark, dir, dec(name), qs, nowNs))
+    case "/loki/api/v1/series" =>
+      Some(Endpoints.lokiSeries(spark, dir, qs, nowNs))
     // Prometheus (reference endpoints/promql.rs route table)
     case "/prometheus/api/v1/query_range" =>
       Some(Endpoints.promQueryRange(spark, dir, qs))
     case "/prometheus/api/v1/query" =>
       Some(Endpoints.promInstantQuery(spark, dir, qs, nowNs / 1000000000L))
+    case "/prometheus/api/v1/labels" =>
+      Some(Endpoints.promLabels(spark, dir, qs))
+    case PromLabelValues(name) =>
+      Some(Endpoints.promLabelValues(spark, dir, dec(name)))
     // Tempo (reference endpoints/tempo.rs route table)
     case "/api/search" =>
       Some(Endpoints.tempoSearch(spark, dir, qs))
+    case "/api/search/tags" | "/api/v2/search/tags" =>
+      Some(Endpoints.tempoSearchTags(spark, dir))
     case TagValues(tag) =>
-      Some(Endpoints.tempoTagValues(spark, dir,
-        java.net.URLDecoder.decode(tag, "UTF-8")))
+      Some(Endpoints.tempoTagValues(spark, dir, dec(tag)))
+    case TraceById(id) =>
+      Some(Endpoints.tempoTraceById(spark, dir, dec(id)))
     case _ => None
   }
 

@@ -76,6 +76,41 @@ class HttpShellSpec extends AnyFunSuite {
     assert(rv.body() == Endpoints.tempoTagValues(spark, dir, "service_name"))
   }
 
+  test("metadata routes: labels, label values, series, tags, trace by id") {
+    // Loki label names include promoted + gen-2 attr keys
+    val labels = get(s"/loki/api/v1/labels")
+    assert(labels.statusCode() == 200)
+    assert(labels.body().contains("\"service_name\"") &&
+      labels.body().contains("\"env\"") && labels.body().contains("\"host\""))
+    // label values: promoted column and attr-map label both resolve
+    val sv = get("/loki/api/v1/label/service_name/values")
+    assert(sv.statusCode() == 200 && sv.body().contains("\"svc-1\""))
+    val ev = get("/loki/api/v1/label/env/values")
+    assert(ev.statusCode() == 200 && ev.body().contains("\"prod\"") &&
+      ev.body().contains("\"dev\""))
+    // series requires a selector; with one, returns label-set objects
+    assert(get("/loki/api/v1/series").statusCode() == 400)
+    val series = get("/loki/api/v1/series?" +
+      "match%5B%5D=%7Bservice_name%3D%22svc-1%22%7D")
+    assert(series.statusCode() == 200)
+    assert(series.body().contains("\"service_name\":\"svc-1\""))
+    // Prometheus metadata
+    assert(get("/prometheus/api/v1/labels").body()
+      .contains("\"__name__\""))
+    val names = get("/prometheus/api/v1/label/__name__/values")
+    assert(names.statusCode() == 200 && names.body().contains("\"error\""))
+    assert(get("/prometheus/api/v1/label/nope/values").statusCode() == 404)
+    // Tempo tags + trace-by-id (fetch a real id via the view first)
+    val tags = get("/api/search/tags")
+    assert(tags.statusCode() == 200 && tags.body().contains("\"span_name\""))
+    val id = graft.SignalViews.tracesGen2Df(spark, dir)
+      .select("trace_id").head().getString(0)
+    val tr = get(s"/api/traces/$id")
+    assert(tr.statusCode() == 200 && tr.body().contains(s""""traceID":"$id""""))
+    assert(get("/api/traces/ffffffffffffffffffffffffffffffff")
+      .statusCode() == 404)
+  }
+
   test("handler errors surface as their status with a JSON error body") {
     // missing required query param → 400
     val r400 = get("/loki/api/v1/query_range?limit=5")
