@@ -327,6 +327,73 @@ object Endpoints {
     s"""{"traceID":"$traceId","spans":[${items.mkString(",")}]}"""
   }
 
+  // ---- Pyroscope ----------------------------------------------------------
+
+  /** extract the service selector from a Pyroscope render query
+    * (`app{service_name="svc-1"}` / bare `{service_name=…}`); absent →
+    * all services merged. */
+  private def pyroService(q: String): Option[String] =
+    "service_name=\"([^\"]+)\"".r.findFirstMatchIn(q).map(_.group(1))
+
+  /** the flamebearer envelope (reference pyroscope.rs RenderResponse:
+    * names/levels/numTicks/maxSelf + single-format metadata). */
+  private def flamebearer(enc: graft.profile.Flamegraph.Encoded,
+      name: String): String = {
+    val names = enc.names.map(n =>
+      "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val levels = enc.levels.map(_.mkString("[", ",", "]"))
+    val maxSelf = enc.levels
+      .flatMap(_.grouped(4).map(q => q(2))) match {
+      case Seq() => 0L
+      case xs    => xs.max
+    }
+    s"""{"flamebearer":{"names":[${names.mkString(",")}],""" +
+      s""""levels":[${levels.mkString(",")}],""" +
+      s""""numTicks":${enc.total},"maxSelf":$maxSelf},""" +
+      s""""metadata":{"format":"single","sampleRate":100,""" +
+      s""""units":"samples","name":"${name.replace("\"", "\\\"")}"}}"""
+  }
+
+  /** GET /pyroscope/render (reference pyroscope.rs:36). */
+  def pyroscopeRender(spark: SparkSession, dir: String, qs: String): String = {
+    val p = parseQuery(qs)
+    val q = p.getOrElse("query", "")
+    val from = p.get("from").map(parseLokiNs(_, "from"))
+    val until = p.get("until").map(parseLokiNs(_, "until"))
+    val fold = graft.operators.ProfileOps
+      .flamegraphFold(spark, dir, pyroService(q), from, until)
+    flamebearer(graft.profile.Flamegraph.encodeFromFold(fold), q)
+  }
+
+  /** GET /pyroscope/profile-types (reference pyroscope.rs:40). */
+  def pyroscopeProfileTypes(spark: SparkSession, dir: String): String =
+    ApiJson.profileTypes(
+      graft.operators.ProfileOps.queries("q147_profile_types")(spark, dir))
+
+  /** GET /pyroscope/label-names + /pyroscope/label-values. */
+  def pyroscopeLabelNames(): String =
+    ApiJson.labelsResponse(Seq("service_name"))
+
+  def pyroscopeLabelValues(spark: SparkSession, dir: String,
+      label: String): String = {
+    if (label != "service_name") throw HttpError(404, s"unknown label: $label")
+    val vals = SignalViews.tracesGen2Df(spark, dir)
+      .select(col("service_name").as("v")).distinct()
+      .orderBy(col("v")).collect().map(_.getString(0)).toSeq
+    ApiJson.labelsResponse(vals)
+  }
+
+  /** GET /api/profiles/trace/{trace_id} (reference profiles_router):
+    * the flamegraph of samples correlated to one trace. */
+  def profilesByTrace(spark: SparkSession, dir: String,
+      traceId: String): String = {
+    val fold = graft.operators.ProfileOps
+      .flamegraphForTrace(spark, dir, traceId)
+    if (fold.isEmpty) throw HttpError(404, s"no profiles for trace: $traceId")
+    flamebearer(graft.profile.Flamegraph.encodeFromFold(fold),
+      s"trace:$traceId")
+  }
+
   /** GET /api/search/tag/{tag}/values. */
   def tempoTagValues(spark: SparkSession, dir: String, tag: String): String = {
     val spans = SignalViews.tracesGen2Df(spark, dir)

@@ -112,8 +112,22 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.tempoTagValues(spark, dir, dec(tag)))
     case TraceById(id) =>
       Some(Endpoints.tempoTraceById(spark, dir, dec(id)))
+    // Pyroscope (reference endpoints/pyroscope.rs route table)
+    case "/pyroscope/render" =>
+      Some(Endpoints.pyroscopeRender(spark, dir, qs))
+    case "/pyroscope/profile-types" =>
+      Some(Endpoints.pyroscopeProfileTypes(spark, dir))
+    case "/pyroscope/label-names" =>
+      Some(Endpoints.pyroscopeLabelNames())
+    case "/pyroscope/label-values" =>
+      Some(Endpoints.pyroscopeLabelValues(spark, dir,
+        Endpoints.parseQuery(qs).getOrElse("label", "")))
+    case ProfilesByTrace(id) =>
+      Some(Endpoints.profilesByTrace(spark, dir, dec(id)))
     case _ => None
   }
+
+  private val ProfilesByTrace = "^/api/profiles/trace/([^/]+)$".r
 
   /** POST acceptor routes (reference src/acceptor/src/lib.rs). Each
     * wraps the request body as a 1-row payload frame so decode runs

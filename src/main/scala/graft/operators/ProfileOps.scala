@@ -51,6 +51,26 @@ object ProfileOps {
         .as("path"))
       .withColumn("depth", size(split(col("path"), ";")))
 
+  /** public fold for the render endpoints (reference pyroscope.rs
+    * render): optional service selector + time window over the samples,
+    * then the same one-aggregate prefix fold as q62. */
+  def flamegraphFold(s: SparkSession, dir: String, service: Option[String],
+      fromNs: Option[Long], untilNs: Option[Long]): DataFrame = {
+    var df = samplesDf(s, dir)
+    service.foreach(sv => df = df.filter(col("service_name") === sv))
+    fromNs.foreach(f => df = df.filter(col("timestamp") >= f))
+    untilNs.foreach(u => df = df.filter(col("timestamp") < u))
+    prefixes(df)
+      .groupBy(col("path"), col("depth")).agg(sum(col("value")).as("total"))
+  }
+
+  /** samples correlated to one trace (reference profiles_router
+    * `/trace/{trace_id}`), folded. */
+  def flamegraphForTrace(s: SparkSession, dir: String,
+      traceId: String): DataFrame =
+    prefixes(samplesDf(s, dir).filter(col("trace_id") === traceId))
+      .groupBy(col("path"), col("depth")).agg(sum(col("value")).as("total"))
+
   val queries: Map[String, Q] = Map(
     // pprof INGEST → flamegraph fold, oracle-checked end to end: six
     // deterministic gzipped pprof uploads (Pprof.fixtureUpload — content

@@ -111,6 +111,32 @@ class HttpShellSpec extends AnyFunSuite {
       .statusCode() == 404)
   }
 
+  test("pyroscope routes: render flamebearer, profile types, labels, by-trace") {
+    val r = get("/pyroscope/render?query=app%7Bservice_name%3D%22svc-1%22%7D")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"flamebearer\"") &&
+      r.body().contains("\"numTicks\"") && r.body().contains("\"app\""))
+    // window narrows ticks
+    val all = get("/pyroscope/render").body()
+    def ticks(b: String) = "\"numTicks\":(\\d+)".r.findFirstMatchIn(b).get.group(1).toLong
+    assert(ticks(r.body()) < ticks(all) && ticks(r.body()) > 0)
+    val pt = get("/pyroscope/profile-types")
+    assert(pt.statusCode() == 200 && pt.body().contains("process_cpu:cpu:nanoseconds"))
+    assert(get("/pyroscope/label-names").body().contains("service_name"))
+    val lv = get("/pyroscope/label-values?label=service_name")
+    assert(lv.statusCode() == 200 && lv.body().contains("\"svc-3\""))
+    assert(get("/pyroscope/label-values?label=nope").statusCode() == 404)
+    // by-trace: fetch a real correlated trace id from the samples view
+    val realTid = graft.Tables.events(spark, dir)
+      .selectExpr("md5(concat('tr-', user_id, '-', " +
+        "(unix_micros(ts_us) div 1000000) div 86400))")
+      .head().getString(0)
+    val bt = get(s"/api/profiles/trace/$realTid")
+    assert(bt.statusCode() == 200 && bt.body().contains("\"flamebearer\""))
+    assert(get("/api/profiles/trace/ffffffffffffffffffffffffffffffff")
+      .statusCode() == 404)
+  }
+
   test("handler errors surface as their status with a JSON error body") {
     // missing required query param → 400
     val r400 = get("/loki/api/v1/query_range?limit=5")
