@@ -62,11 +62,22 @@ object SignalViews {
       |  concat('svc-', user_id % 8) AS service_name, value
       |FROM events""".stripMargin
 
+  /** target_info-style resource labels for PromQL `info()`: one row per
+    * service target with its deterministic env/region data labels — the
+    * mapping both engines restate as CASE arithmetic over the service
+    * ordinal. */
+  def targetInfoDf(s: SparkSession, dir: String): DataFrame =
+    s.range(8).select(
+      concat(lit("svc-"), col("id")).as("service_name"),
+      when(pmod(col("id"), lit(2)) === 0, "prod").otherwise("dev").as("env"),
+      concat(lit("r"), pmod(col("id"), lit(3))).as("region"))
+
   def metricsTable(s: SparkSession, dir: String): graft.promql.Eval.MetricsTable =
     graft.promql.Eval.MetricsTable(
       df = metricsDf(s, dir),
       seriesLabels = Seq("service_name"),
-      tieBreak = Seq("event_id"))
+      tieBreak = Seq("event_id"),
+      infoLabels = Some(targetInfoDf(s, dir)))
 
   /** events → cumulative histogram-bucket series: one row per (event, le)
     * with le ∈ {50,100,150,+Inf} and value<=le — the classic `_bucket`

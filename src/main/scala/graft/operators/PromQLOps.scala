@@ -173,6 +173,12 @@ object PromQLOps {
     "q297_native_hist_fraction" ->
       qn("""histogram_fraction(0, 2, rate(native_latency[1d]))""", 86400),
 
+    // Prometheus v3 experimental info(): resource labels from the
+    // registered target_info table grafted onto each sample via a
+    // broadcast left join on the shared identifying label — the LAST
+    // pinned-unsupported PromQL construct, now lowered.
+    "q306_promql_info" -> q("""info(error{service_name!="svc-7"})""", 86400),
+
     // cross-series max of increase (order-independent outer agg)
     "q43_promql_max_increase" -> q("""max(increase(purchase[1d]))""", 86400),
 
@@ -540,6 +546,16 @@ object PromQLOps {
       s"""WITH m AS ($V),
          |l AS (${lastPerBucket("metric_name = 'purchase' AND service_name = 'svc-1'", 86400)})
          |SELECT bucket_start, service_name, value FROM l""".stripMargin,
+
+    "q306_promql_info" ->
+      s"""WITH m AS ($V),
+         |l AS (${lastPerBucket("metric_name = 'error' AND service_name <> 'svc-7'", 86400)})
+         |SELECT bucket_start, service_name,
+         |  CASE WHEN CAST(substr(service_name, 5) AS BIGINT) % 2 = 0
+         |       THEN 'prod' ELSE 'dev' END AS env,
+         |  concat('r', CAST(substr(service_name, 5) AS BIGINT) % 3) AS region,
+         |  value
+         |FROM l""".stripMargin,
 
     "q42_promql_rate" ->
       s"""WITH m AS ($V),

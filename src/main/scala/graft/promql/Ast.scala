@@ -96,7 +96,7 @@ object Ast {
   val otherFuncs: Set[String] = Set(
     "absent", "histogram_quantile", "label_replace", "label_join",
     "histogram_count", "histogram_sum", "histogram_avg", "histogram_fraction",
-    "scalar", "vector", "time", "timestamp", "sort", "sort_desc",
+    "scalar", "vector", "time", "timestamp", "sort", "sort_desc", "info",
     "sort_by_label", "sort_by_label_desc",
     "day_of_week", "day_of_month", "day_of_year", "days_in_month",
     "hour", "minute", "month", "year")

@@ -44,7 +44,12 @@ object Eval {
       df: DataFrame,
       seriesLabels: Seq[String],
       tieBreak: Seq[String] = Seq.empty,
-      nativeHist: Option[NativeHistTable] = None)
+      nativeHist: Option[NativeHistTable] = None,
+      /** target_info-style resource labels for `info()` (Prometheus v3
+        * experimental): identifying label column(s) shared with the
+        * series labels + the data label columns to graft on. Small by
+        * construction (one row per target) — always broadcast. */
+      infoLabels: Option[DataFrame] = None)
 
   /** lookbackSec > 0 switches bare selectors to Prometheus staleness
     * semantics: at each grid point the last sample within the trailing
@@ -541,6 +546,26 @@ object Eval {
         case Seq(e1, StrLit(dst), StrLit(repl), StrLit(src), StrLit(regex)) =>
           VecV(labelReplace(evalVector(e1, t, tr), dst, repl, src, regex))
       }
+
+    // Prometheus v3 experimental info(): graft the data labels of the
+    // registered target_info table onto each sample, matched on the
+    // identifying labels both sides share. Series without a matching
+    // target pass through unchanged (left join); the target table is
+    // one row per target, so the join is always a broadcast.
+    case "info" =>
+      if (args.length != 1)
+        throw Unsupported("info(): the label-selector argument is not supported")
+      val v = evalVector(args.head, t, tr)
+      val infoDf = t.infoLabels.getOrElse(
+        throw Unsupported("info(): no target_info table registered"))
+      val keys = infoDf.columns.toSeq.filter(v.labels.contains)
+      if (keys.isEmpty)
+        throw Unsupported("info(): no identifying labels shared with target_info")
+      val dataCols = infoDf.columns.toSeq
+        .filterNot(keys.contains).filterNot(v.labels.contains)
+      val joined = v.df.join(
+        broadcast(infoDf.select((keys ++ dataCols).map(col): _*)), keys, "left")
+      VecV(Vec(joined, v.labels ++ dataCols))
 
     case "label_join" =>
       (args: @unchecked) match {

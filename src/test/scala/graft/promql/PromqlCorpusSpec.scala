@@ -158,10 +158,13 @@ class PromqlCorpusSpec extends AnyFunSuite {
     """histogram_sum(rate(native_hist[5m]))""",
     """histogram_avg(native_hist)""",
     """histogram_quantile(0.9, increase(native_hist[5m]))""",
-    """histogram_fraction(0, 2, rate(native_hist[5m]))""")
+    """histogram_fraction(0, 2, rate(native_hist[5m]))""",
+    // experimental v3 info() — round 6 (broadcast left join onto the
+    // registered target_info labels; q306)
+    """info(up)""",
+    """info(rate(http_requests_total[5m]))""")
 
   private val pinnedUnsupported = Seq(
-    """info(up)""",                              // experimental v3 info()
     """{job="api"} |= "error"""",                // LogQL, not PromQL
     """sum(rate(x[5m"""                          // truncated input
   )
