@@ -2024,7 +2024,34 @@ object PipelineOps {
         .select(col("cnt"), explode(col("sym")).as("symbol"))
         .groupBy(col("symbol")).agg(sum("cnt").as("n_tokens"))
         .orderBy(col("n_tokens").desc, col("symbol").asc)
-        .limit(30))
+        .limit(30)),
+
+    // Mixture/epochs PLANNER (the LLaMA-style data-mixture accounting
+    // every training run starts with): per-source token mass, corpus
+    // share, target weight, required tokens under a global budget
+    // (half the corpus), and the resulting epoch count — i.e. how many
+    // passes over each source the mixture implies (>1e6 ppm =
+    // oversampled). One hash agg + two broadcast 1-row totals; every
+    // figure an exact integer. Weights are a deterministic ladder of
+    // the source ordinal, normalized against the PRESENT sources so
+    // the plan is scale-invariant.
+    "q307_mixture_planner" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n"))
+        .groupBy(col("source")).agg(sum("n").as("tokens"))
+        .withColumn("weight",
+          expr("30 - CAST(substring(source, 4) AS BIGINT)"))
+      val totals = toks.agg(sum("tokens").as("total_tokens"),
+        sum("weight").as("total_weight"))
+      toks.crossJoin(broadcast(totals))
+        .withColumn("share_ppm", expr("tokens * 1000000 div total_tokens"))
+        .withColumn("budget", expr("total_tokens div 2"))
+        .withColumn("required", expr("(budget * weight) div total_weight"))
+        .withColumn("epochs_ppm", expr("required * 1000000 div tokens"))
+        .select(col("source"), col("tokens"), col("weight"),
+          col("share_ppm"), col("required"), col("epochs_ppm"))
+    })
   )
 
   /** One BPE training round over the `(w, cnt, sym: array<string>)`
@@ -3705,6 +3732,21 @@ object PipelineOps {
          |  ${ppmSql("d2")} AS beta2_ppm
          |FROM k""".stripMargin
     },
+
+    "q307_mixture_planner" ->
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |    30 - CAST(substr(source, 4) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(weight) AS BIGINT) AS total_weight FROM t)
+        |SELECT source, tokens, weight,
+        |  tokens * 1000000 // total_tokens AS share_ppm,
+        |  ((total_tokens // 2) * weight) // total_weight AS required,
+        |  (((total_tokens // 2) * weight) // total_weight) * 1000000 // tokens
+        |    AS epochs_ppm
+        |FROM t, g""".stripMargin,
 
     "q304_bpe_merges" -> bpeOracle(BpeRounds,
       (1 to BpeRounds).map(r =>
