@@ -68,6 +68,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         case e: Endpoints.HttpError => (e.status, errJson(e.message))
         case e: graft.promql.Ast.Unsupported => (422, errJson(e.getMessage))
         case e: graft.traceql.TraceQL.Unsupported => (400, errJson(e.getMessage))
+        case e: Throwable => // engine faults must answer, not kill the exchange
+          (500, errJson(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -337,6 +337,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected a PARTIAL sketch stage before the shuffle:\n$plan")
   }
 
+  test("normal-equation regressor broadcasts the 1-row solve — no driver math") {
+    val df = operators.PipelineOps.queries("q303_quality_regressor")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"Cramer solution must broadcast back for scoring:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row cross join must not plan as a cartesian product:\n$plan")
+  }
+
   test("C4 span dedup: fixed-width hash key shuffles, no join for span ranking") {
     val df = operators.PipelineOps.queries("q301_c4_span_dedup")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
