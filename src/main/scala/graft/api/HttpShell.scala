@@ -37,6 +37,12 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     ingest: Option[graft.storage.Storage.TableLayout] = None) {
 
   private var server: HttpServer = _
+  // Per-request batch ids for the idempotent sink. Seeded from the wall
+  // clock at construction so a RESTARTED shell never reuses an earlier
+  // incarnation's ids — reused ids would hit existing commit markers and
+  // silently no-op the append (the streaming path gets this from the
+  // checkpointed batchId; an HTTP acceptor has no checkpoint).
+  private val batchBase = System.currentTimeMillis() * 1000000L
   private val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** bind 127.0.0.1:port (0 = ephemeral) and start serving; returns the
@@ -146,7 +152,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     }
     def land(table: String, rows: org.apache.spark.sql.DataFrame): Unit =
       graft.streaming.IngestSink.appendBatch(layout, table)(
-        rows, batchSeq.incrementAndGet())
+        rows, batchBase + batchSeq.incrementAndGet())
     path match {
       case "/v1/logs" =>
         land("logs", graft.sources.Otlp.logs(payloadDf))

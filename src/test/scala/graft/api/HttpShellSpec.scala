@@ -211,6 +211,24 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("a RESTARTED shell never reuses batch ids against old commit markers") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-restart").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh1 = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p1 = sh1.start()
+    assert(post(p1, "/v1/logs",
+      logsPayload("svc-r1", T0 * 1000000000L, 6)).statusCode() == 200)
+    sh1.stop()
+    val sh2 = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p2 = sh2.start()
+    try {
+      assert(post(p2, "/v1/logs",
+        logsPayload("svc-r2", T0 * 1000000000L, 4)).statusCode() == 200)
+      // would be 6 if the second shell's first batch id hit sh1's marker
+      assert(spark.read.parquet(layout.path("logs")).count() == 10)
+    } finally sh2.stop()
+  }
+
   test("POST /api/v1/write: snappy+proto remote_write lands in the metric tables") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-rw").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
