@@ -96,6 +96,20 @@ object PipelineOps {
     cents
   }
 
+  /** final cluster assignment against a TRAINED codebook — the same
+    * min-struct hash-agg shape as the Lloyd step (partial aggregation
+    * collapses the ×k blow-up map-side), exposed for consumers that
+    * need (vec_id → c_id) after training. */
+  def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents.select(col("c_id"), col("cv"), col("cn"))))
+      .select(col("vec_id"), struct(
+        (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
+          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
+          .as("negcos"),
+        col("c_id").as("c_id")).as("_sc"))
+      .groupBy(col("vec_id")).agg(min(col("_sc")).as("_best"))
+      .select(col("vec_id"), col("_best.c_id").as("c_id"))
+
   /** 8-bit hyperplane signature column over the quantized embedding —
     * the LSH bucket key shared by q25 (ANN) and q132 (semantic dedup);
     * must stay in lockstep with the md5-derived weights both oracles
@@ -2046,6 +2060,31 @@ object PipelineOps {
           expr("n_bpe_tokens * 1000000 div n_chars"))
     }),
 
+    // CLUSTER-THEN-DESCRIBE corpus exploration: assign every embedding
+    // to its trained k-means cell (vec_id aligns with doc_id in the
+    // fixture), then label each cluster with its top-3 tokens by count
+    // — the semantic-browse report a curation pass runs after training
+    // the codebook. Assignment is the same broadcast-codebook hash agg
+    // as the Lloyd step; the describe half is one (cluster, token) agg
+    // + a bounded rank window.
+    "q309_cluster_topics" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      val assign = kmeansAssign(e, kmeansCentroids(e, k = 16, iters = 2))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "" && !col("tok").isin("the", "a"))
+      val counts = toks
+        .join(assign.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .groupBy(col("c_id"), col("tok")).agg(count(lit(1)).as("n"))
+      val sizes = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n_docs"))
+      counts.withColumn("rank", row_number().over(
+          Window.partitionBy(col("c_id")).orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rank") <= 3)
+        .join(sizes, Seq("c_id"))
+        .select(col("c_id"), col("n_docs"), col("rank").cast(LongType).as("rank"),
+          col("tok"), col("n"))
+    }),
+
     // Mixture/epochs PLANNER (the LLaMA-style data-mixture accounting
     // every training run starts with): per-source token mass, corpus
     // share, target weight, required tokens under a global budget
@@ -3493,6 +3532,29 @@ object PipelineOps {
 
     "q140_kmeans_train" -> kmeansOracle(iters = 2),
 
+    // assignment = the round-3 membership (members_r joins cents_{r-1},
+    // so members_3 is the argmax against the TRAINED round-2 codebook)
+    "q309_cluster_topics" -> kmeansOracle(iters = 2, loopTo = 3,
+      finalSelect =
+        """,
+          |toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |tc AS (
+          |  SELECT m.cell AS c_id, t.tok, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM members_3 m JOIN toks t ON t.doc_id = m.vec_id
+          |  WHERE t.tok <> '' AND t.tok NOT IN ('the', 'a')
+          |  GROUP BY 1, 2),
+          |sz AS (
+          |  SELECT cell AS c_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |  FROM members_3 GROUP BY 1),
+          |rk AS (
+          |  SELECT c_id, tok, n, row_number() OVER (
+          |    PARTITION BY c_id ORDER BY n DESC, tok ASC) AS rank
+          |  FROM tc)
+          |SELECT rk.c_id, sz.n_docs, CAST(rk.rank AS BIGINT) AS rank,
+          |  rk.tok, rk.n
+          |FROM rk JOIN sz ON sz.c_id = rk.c_id WHERE rk.rank <= 3""".stripMargin),
+
     "q157_incremental_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -3859,20 +3921,22 @@ object PipelineOps {
 
   /** DuckDB twin of `kmeansCentroids` with the Lloyd rounds unrolled as a
     * generated CTE chain (same quantized-mean algebra, exact integers). */
-  private def kmeansOracle(iters: Int): String = {
+  private def kmeansOracle(iters: Int, loopTo: Int = 0,
+      finalSelect: String = null): String = {
+    val rounds = if (loopTo > 0) loopTo else iters
     val sb = new StringBuilder
     sb ++=
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT vec_id, i AS pos,
         |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
         |  FROM embeddings, range(0, 64) r(i)),
-        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
-        |cents_0 AS (
+        |norms AS MATERIALIZED (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |cents_0 AS MATERIALIZED (
         |  SELECT vec_id AS c_id, pos, vq AS cv, 1 AS cnt FROM e WHERE vec_id < 16),
-        |cnorms_0 AS (SELECT c_id, SUM(cv*cv) AS cn FROM cents_0 GROUP BY 1)""".stripMargin
-    for (r <- 1 to iters) sb ++=
+        |cnorms_0 AS MATERIALIZED (SELECT c_id, SUM(cv*cv) AS cn FROM cents_0 GROUP BY 1)""".stripMargin
+    for (r <- 1 to rounds) sb ++=
       s""",
-         |ccos_$r AS (
+         |ccos_$r AS MATERIALIZED (
          |  SELECT v.vec_id, c.c_id,
          |    CAST(SUM(v.vq * c.cv) AS DOUBLE)
          |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
@@ -3881,23 +3945,23 @@ object PipelineOps {
          |  JOIN cnorms_${r - 1} cn ON cn.c_id = c.c_id
          |  JOIN norms vn ON vn.vec_id = v.vec_id
          |  GROUP BY 1, 2, cn.cn, vn.nrm),
-         |members_$r AS (
+         |members_$r AS MATERIALIZED (
          |  SELECT vec_id, c_id AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY ccos DESC, c_id ASC) AS crn
          |    FROM ccos_$r) WHERE crn = 1),
-         |cents_$r AS (
+         |cents_$r AS MATERIALIZED (
          |  SELECT m.cell AS c_id, v.pos,
          |    CAST(round(CAST(SUM(v.vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
          |    COUNT(*) AS cnt
          |  FROM members_$r m JOIN e v ON v.vec_id = m.vec_id
          |  GROUP BY 1, 2),
-         |cnorms_$r AS (SELECT c_id, SUM(cv*cv) AS cn FROM cents_$r GROUP BY 1)""".stripMargin
-    sb ++=
-      s"""
-         |SELECT c_id, MAX(cnt) AS n_members,
+         |cnorms_$r AS MATERIALIZED (SELECT c_id, SUM(cv*cv) AS cn FROM cents_$r GROUP BY 1)""".stripMargin
+    sb ++= "\n"
+    sb ++= Option(finalSelect).getOrElse(
+      s"""SELECT c_id, MAX(cnt) AS n_members,
          |  CAST(SUM(cv*cv) AS BIGINT) AS cn, CAST(SUM(cv) AS BIGINT) AS vsum
-         |FROM cents_$iters GROUP BY 1""".stripMargin
+         |FROM cents_$iters GROUP BY 1""".stripMargin)
     sb.toString
   }
 }
