@@ -327,6 +327,31 @@ object Endpoints {
     s"""{"traceID":"$traceId","spans":[${items.mkString(",")}]}"""
   }
 
+  /** GET /api/metrics/query_range — TraceQL metrics. The reference 501s
+    * this endpoint (tempo-api-reference.md: "TraceQL metrics not
+    * implemented"); here it lowers through the real TraceQL metrics
+    * path and serves the Prometheus-compatible matrix envelope Tempo
+    * defines for it. */
+  def tempoMetricsQueryRange(spark: SparkSession, dir: String,
+      qs: String): String = {
+    val p = parseQuery(qs)
+    val q = p.getOrElse("q", throw HttpError(400, "missing q"))
+    val step = p.get("step").map(parseDurationSec(_, "step")).getOrElse(60L)
+    var spans = SignalViews.tracesGen2Df(spark, dir)
+    for (s0 <- p.get("start"))
+      spans = spans.filter(
+        col("timestamp") >= parsePromSec(s0, "start") * 1000000000L)
+    for (e0 <- p.get("end"))
+      spans = spans.filter(
+        col("timestamp") < parsePromSec(e0, "end") * 1000000000L)
+    val mq = try graft.traceql.TraceQL.parseMetrics(q)
+      catch { case e: graft.traceql.TraceQL.Unsupported =>
+        throw HttpError(400, s"invalid TraceQL metrics: ${e.getMessage}") }
+    val df = graft.traceql.TraceQL.lowerMetrics(spans, mq, step)
+    ApiJson.traceqlMetricsMatrix(df,
+      df.columns.toSeq.filterNot(Set("bucket_start", "value")))
+  }
+
   // ---- Pyroscope ----------------------------------------------------------
 
   /** extract the service selector from a Pyroscope render query

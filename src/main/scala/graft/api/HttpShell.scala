@@ -112,6 +112,9 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     case PromLabelValues(name) =>
       Some(Endpoints.promLabelValues(spark, dir, dec(name)))
     // Tempo (reference endpoints/tempo.rs route table)
+    case "/api/echo" => Some("echo")
+    case "/api/metrics/query_range" =>
+      Some(Endpoints.tempoMetricsQueryRange(spark, dir, qs))
     case "/api/search" =>
       Some(Endpoints.tempoSearch(spark, dir, qs))
     case "/api/search/tags" | "/api/v2/search/tags" =>

@@ -111,6 +111,19 @@ class HttpShellSpec extends AnyFunSuite {
       .statusCode() == 404)
   }
 
+  test("traceql metrics route serves the matrix the reference 501s") {
+    val q = "q=%7B%20status%20%3D%20%22OK%22%20%7D%20%7C%20rate()%20by%20" +
+      "(resource.service.name)&step=1d" +
+      s"&start=$T0&end=$T1"
+    val r = get(s"/api/metrics/query_range?$q")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"resultType\":\"matrix\"") &&
+      r.body().contains("svc-1"))
+    assert(get("/api/metrics/query_range?q=%7Bbroken").statusCode() == 400)
+    assert(get("/api/metrics/query_range").statusCode() == 400)
+    assert(get("/api/echo").body() == "echo")
+  }
+
   test("pyroscope routes: render flamebearer, profile types, labels, by-trace") {
     val r = get("/pyroscope/render?query=app%7Bservice_name%3D%22svc-1%22%7D")
     assert(r.statusCode() == 200)
