@@ -96,6 +96,21 @@ object PipelineOps {
     cents
   }
 
+  /** each doc's DISTINCT winnowed min-hashes (the q29 fingerprint set
+    * before it folds to one hash): shingle md5s, rolling min over the
+    * 4-wide winnow window, distinct. */
+  private def winnowedMinh(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform($shinglesFromToks, x -> md5(x))"))
+          .as(Seq("pos", "h")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.currentRow, 3)
+    sh.withColumn("minh", min(col("h")).over(w))
+      .select(col("doc_id"), col("minh")).distinct()
+  }
+
   /** final cluster assignment against a TRAINED codebook — the same
     * min-struct hash-agg shape as the Lloyd step (partial aggregation
     * collapses the ×k blow-up map-side), exposed for consumers that
@@ -2060,6 +2075,29 @@ object PipelineOps {
           expr("n_bpe_tokens * 1000000 div n_chars"))
     }),
 
+    // Winnowing-based cross-document OVERLAP detection (Schleimer et
+    // al. 2003 — the MOSS algorithm): the q29 winnowed min-hash sets,
+    // bucket-joined on shared fingerprints, yield candidate
+    // plagiarism/reuse pairs with an exact shared-fingerprint count and
+    // containment ppm against the smaller document. The winnowed set is
+    // a guaranteed-density SAMPLE of each doc's shingles, so bucket
+    // sizes — and the pair fan-out — are bounded by design, unlike raw
+    // shingle joins.
+    "q310_winnow_overlap" -> ((s, dir) => {
+      val fp = winnowedMinh(s, dir)
+      val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      fp.as("x")
+        .join(fp.as("y"), col("x.minh") === col("y.minh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+        .withColumn("overlap_ppm",
+          expr("shared * 1000000 div least(n_a, n_b)"))
+    }),
+
     // CLUSTER-THEN-DESCRIBE corpus exploration: assign every embedding
     // to its trained k-means cell (vec_id aligns with doc_id in the
     // fixture), then label each cluster with its top-3 tokens by count
@@ -3300,6 +3338,32 @@ object PipelineOps {
         |    [list_min(hs[i:least(i+3, len(hs))]) FOR i IN range(1, len(hs) + 1)])),
         |    '')) AS fingerprint
         |FROM h WHERE len(hs) >= 1""".stripMargin,
+
+    "q310_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |       FOR i IN range(1, len(toks) - 1)]
+        |    ELSE [] END AS hs
+        |  FROM t),
+        |fp AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(
+        |      [list_min(hs[i:least(i+3, len(hs))]
+        |       ) FOR i IN range(1, len(hs) + 1)])) AS minh
+        |  FROM h WHERE len(hs) >= 1),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+        |p AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM fp x JOIN fp y ON x.minh = y.minh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT p.doc_a, p.doc_b, p.shared, a.n_fp AS n_a, b.n_fp AS n_b,
+        |  p.shared * 1000000 // least(a.n_fp, b.n_fp) AS overlap_ppm
+        |FROM p JOIN sz a ON a.doc_id = p.doc_a
+        |       JOIN sz b ON b.doc_id = p.doc_b""".stripMargin,
 
     "q112_repetition_signals" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
