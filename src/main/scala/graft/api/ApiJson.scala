@@ -108,7 +108,7 @@ object ApiJson {
       .limit(limit)
       .collect()
     val entries = traces.map { r =>
-      s"""{"traceID":"${r.getString(0)}","rootServiceName":"${r.getString(3)}",""" +
+      s"""{"traceID":${jstr(r.getString(0))},"rootServiceName":${jstr(r.getString(3))},""" +
         s""""startTimeUnixNano":"${r.getLong(1)}","durationMs":${r.getLong(2)}}"""
     }
     s"""{"traces":[${entries.mkString(",")}]}"""
@@ -119,7 +119,7 @@ object ApiJson {
     * upstream); emits `{"tagValues":[…]}`. */
   def tempoTagValues(df: DataFrame): String = {
     val vals = df.orderBy(df.columns.map(col): _*).collect()
-      .map(r => "\"" + r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .map(r => jstr(r.getString(0)))
     s"""{"tagValues":[${vals.mkString(",")}]}"""
   }
 
@@ -128,7 +128,7 @@ object ApiJson {
     * (profile_type, n_samples, min_ts, max_ts, n_services). */
   def profileTypes(df: DataFrame): String = {
     val rows = df.orderBy(col("profile_type")).collect().map { r =>
-      s"""{"id":"${r.getString(0)}","samples":${r.getLong(1)},""" +
+      s"""{"id":${jstr(r.getString(0))},"samples":${r.getLong(1)},""" +
         s""""minTime":${r.getLong(2) / 1000000L},"maxTime":${r.getLong(3) / 1000000L}}"""
     }
     s"""{"profileTypes":[${rows.mkString(",")}]}"""
@@ -153,8 +153,25 @@ object ApiJson {
     s"""{"status":"success","data":[${rows.mkString(",")}]}"""
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string literal with full escaping (quotes, backslashes AND
+    * control characters) — public so every endpoint that interpolates
+    * DATA-derived strings (span names, service names, …) routes through
+    * it rather than raw string concat. */
+  def jstr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
 
   /** TraceQL-metrics matrix envelope (`/api/metrics/query_range`
     * response shape — the reference 501s the endpoint itself): series

@@ -305,7 +305,7 @@ object Endpoints {
   def tempoSearchTags(spark: SparkSession, dir: String): String = {
     val cols = SignalViews.tracesGen2Df(spark, dir).columns.toSeq
       .filterNot(Seq("timestamp", "trace_id", "span_id").contains)
-    s"""{"tagNames":[${cols.sorted.map(c => "\"" + c + "\"").mkString(",")}]}"""
+    s"""{"tagNames":[${cols.sorted.map(ApiJson.jstr).mkString(",")}]}"""
   }
 
   /** GET /api/traces/{trace_id} (reference tempo.rs:48): single-trace
@@ -319,12 +319,14 @@ object Endpoints {
         col("status_code"), col("timestamp"), col("duration_nanos"))
       .collect()
     if (spans.isEmpty) throw HttpError(404, s"trace not found: $traceId")
+    // all data-derived strings through the jstr escaper — a quote or
+    // backslash in a span name must not produce invalid JSON
     val items = spans.map { r =>
-      s"""{"spanID":"${r.getString(0)}","name":"${r.getString(1)}",""" +
-        s""""serviceName":"${r.getString(2)}","status":"${r.getString(3)}",""" +
+      s"""{"spanID":${ApiJson.jstr(r.getString(0))},"name":${ApiJson.jstr(r.getString(1))},""" +
+        s""""serviceName":${ApiJson.jstr(r.getString(2))},"status":${ApiJson.jstr(r.getString(3))},""" +
         s""""startTimeUnixNano":"${r.getLong(4)}","durationNanos":${r.getLong(5)}}"""
     }
-    s"""{"traceID":"$traceId","spans":[${items.mkString(",")}]}"""
+    s"""{"traceID":${ApiJson.jstr(traceId)},"spans":[${items.mkString(",")}]}"""
   }
 
   /** GET /api/metrics/query_range — TraceQL metrics. The reference 501s

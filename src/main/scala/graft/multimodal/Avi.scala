@@ -106,6 +106,7 @@ object Avi {
     if (riffLen < 4 || 8 + riffLen > bytes.length) return None
     var w = -1; var h = -1; var usPerFrame = -1L; var total = -1
     var mjpg = false
+    var streamIdx = -1 // strl LISTs appear in stream-number order
     val frames = Vector.newBuilder[Array[Byte]]
     // walk chunks in [from, to); LIST bodies recurse
     def walk(from: Int, to: Int): Boolean = {
@@ -120,7 +121,10 @@ object Avi {
           case "LIST" =>
             if (n < 4) return false
             fourcc(body) match {
-              case "hdrl" | "strl" | "movi" =>
+              case "strl" =>
+                streamIdx += 1
+                if (!walk(body + 4, body + n)) return false
+              case "hdrl" | "movi" =>
                 if (!walk(body + 4, body + n)) return false
               case _ => () // unknown LIST kinds skipped whole
             }
@@ -131,9 +135,16 @@ object Avi {
             w = le32(body + 32).toInt
             h = le32(body + 36).toInt
           case "strh" =>
-            if (n >= 8 && fourcc(body) == "vids" && fourcc(body + 4) == "MJPG")
+            // only STREAM 0 may satisfy the MJPG-video requirement —
+            // the frame collector below takes 00dc/00db chunks only
+            if (n >= 8 && streamIdx == 0 && fourcc(body) == "vids" &&
+                fourcc(body + 4) == "MJPG")
               mjpg = true
-          case c if c.endsWith("dc") || c.endsWith("db") =>
+          case c if (c.endsWith("dc") || c.endsWith("db")) &&
+              c.startsWith("00") =>
+            // only stream 0's chunks: the strh check above binds the MJPG
+            // video stream to stream 0, so a multi-stream AVI (01dc, …)
+            // must not interleave foreign frames into the list
             frames += bytes.slice(body, body + n)
           case _ => () // strf, idx1, JUNK, …
         }

@@ -19,8 +19,8 @@ package graft.multimodal
   * guess.
   *
   * Reference surface parity: the reference ships no media decode either
-  * (multimodal payloads are opaque bytes there); this closes the image
-  * half of the decode stub with only video frames (H.264 entropy
+  * (multimodal payloads are opaque bytes there); this closes baseline
+  * JPEG, with only inter-frame video codecs (H.264/VP9 entropy
   * decoding) remaining out of local scope.
   */
 object Jpeg {

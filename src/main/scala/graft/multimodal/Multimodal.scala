@@ -8,19 +8,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed batch-wise per partition.
   *
   * The Spark-side plumbing — schema, partition-parallel batch iteration,
-  * row shapes — is real. Container HEADERS (PNG/JPEG/GIF dims, WAV fmt,
-  * MP4 boxes), WAV 16-bit PCM SAMPLES (`wavPcm`), PNG PIXELS
-  * (`pngPixels`: zlib inflate + full five-filter scanline
-  * reconstruction, CRC-verified — PNG needs no entropy codec beyond the
-  * JDK's Inflater), GIF PIXELS (`gifPixels`: hand-rolled LZW with
-  * variable code width + palette mapping) and baseline JPEG PIXELS
-  * (`Jpeg`: markers, DQT/DHT, canonical Huffman, DC prediction,
-  * dequant, IDCT) are genuinely decoded from raw bytes, no codec
-  * libraries. Only video FRAME decode remains A STUB (H.264/VP9
-  * entropy decoding is codec-library territory): `decodeStub` derives
-  * a deterministic pseudo-feature vector from the md5 of the payload.
-  * Swap `decodeStub` for a real codec (e.g. JNI/ONNX) without touching
-  * the plumbing.
+  * row shapes — is real, and so is every decoder behind it: container
+  * HEADERS (PNG/JPEG/GIF dims, WAV fmt, MP4 boxes), WAV 16-bit PCM
+  * SAMPLES (`wavPcm`), PNG PIXELS (`pngPixels`: zlib inflate + full
+  * five-filter scanline reconstruction, CRC-verified — PNG needs no
+  * entropy codec beyond the JDK's Inflater), GIF PIXELS (`gifPixels`:
+  * hand-rolled LZW with variable code width + palette mapping),
+  * baseline JPEG PIXELS (`Jpeg`: markers, DQT/DHT, canonical Huffman,
+  * DC prediction, dequant, IDCT) and MJPEG-in-AVI VIDEO (`Avi`: RIFF
+  * walk + per-frame JPEG decode) — all from raw bytes, no codec
+  * libraries. `extractFeatures` dispatches payloads to these decoders
+  * by container magic; payloads no decoder accepts (inter-frame video
+  * codecs like H.264/VP9, progressive JPEG, …) surface as null
+  * features — honest, never a guess.
   */
 object Multimodal {
 
@@ -33,29 +33,88 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       meta: Map[String, String])
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      f0: Double, f1: Double, f2: Double, f3: Double,
-      f4: Double, f5: Double, f6: Double, f7: Double)
 
-  /** ======= STUB ======= deterministic fake decode: 8 features from the
-    * first 8 md5 hex nibbles of the payload, each nibble/15.0. A real
-    * implementation would decode pixels/samples here. */
-  def decodeStub(bytes: Array[Byte]): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    (0 until 8).map(i =>
-      Character.digit(hex.charAt(i), 16).toDouble / 15.0).toArray
+  /** unified per-media feature row: `format` is the container the FULL
+    * decode succeeded as (not just a magic sniff), features are exact
+    * integers whose meaning depends on the modality —
+    * image (png/gif/jpeg): width, height, n_px, Σr, Σg, Σb, Σluma‰, peak luma‰;
+    * audio (wav): sample_rate, channels, n_samples, peak, Σ|s|, Σs², rms‰, 0;
+    * video (avi/MJPEG): width, height, n_frames, n_px_total, Σgray,
+    * Σ|frame diff| (motion), µs/frame, 0.
+    * Undecodable payloads → format and features all null — honest,
+    * never a guess. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      format: Option[String],
+      f0: Option[Long], f1: Option[Long], f2: Option[Long], f3: Option[Long],
+      f4: Option[Long], f5: Option[Long], f6: Option[Long], f7: Option[Long])
+
+  /** ======= REAL ======= dispatch a raw payload to the matching decoder
+    * by trying the full structural decode (PNG zlib+filters, GIF LZW,
+    * baseline JPEG entropy pipeline, WAV PCM fold, MJPEG-AVI RIFF walk +
+    * per-frame JPEG). Returns (format, 8 exact-integer features) on
+    * success, None when no decoder accepts the bytes. */
+  def decodeFeatures(bytes: Array[Byte]): Option[(String, Array[Long])] = {
+    def px(fmt: String, p: PixelStats) = (fmt, Array(p.width.toLong,
+      p.height.toLong, p.nPx, p.sumR, p.sumG, p.sumB,
+      p.sumLumaMilli, p.peakLumaMilli))
+    def u8(i: Int) = bytes(i) & 0xFF
+    if (bytes.length < 12) None
+    else if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      pngPixels(bytes).map(px("png", _))
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+      gifPixels(bytes).map(px("gif", _))
+    else if (u8(0) == 0xFF && u8(1) == 0xD8)
+      Jpeg.decodeGray(bytes).map(px("jpeg", _))
+    else if (new String(bytes.slice(0, 4), "ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "ASCII") == "WAVE")
+      wavPcm(bytes).map { p =>
+        val rmsMilli = math.floor(
+          1000.0 * math.sqrt(p.sumSq.toDouble / math.max(1L, p.nSamples))).toLong
+        ("wav", Array(p.sampleRate.toLong, p.channels.toLong, p.nSamples,
+          p.peak, p.sumAbs, p.sumSq, rmsMilli, 0L))
+      }
+    else if (new String(bytes.slice(0, 4), "ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "ASCII") == "AVI ")
+      Avi.aviVideo(bytes).flatMap { v =>
+        val planes = v.frames.map(Jpeg.decodeGrayPlane)
+        if (planes.exists(_.isEmpty)) None
+        else {
+          var sumGray = 0L; var motion = 0L
+          val ps = planes.map(_.get)
+          for (fi <- ps.indices) {
+            val p = ps(fi)._3
+            var j = 0
+            while (j < p.length) {
+              sumGray += p(j)
+              if (fi > 0) motion += math.abs(p(j) - ps(fi - 1)._3(j))
+              j += 1
+            }
+          }
+          Some(("avi", Array(v.width.toLong, v.height.toLong,
+            v.totalFrames.toLong, v.width.toLong * v.height * v.totalFrames,
+            sumGray, motion, v.usPerFrame, 0L)))
+        }
+      }
+    else None
   }
 
   /** partition-parallel feature extraction — the mapPartitions shape a
-    * Pandas-UDF/mapInPandas pipeline would use, one batch per partition. */
+    * Pandas-UDF/mapInPandas pipeline would use, one batch per partition;
+    * every branch is a REAL decoder (decodeFeatures), undecodable rows
+    * surface as null format + null features. */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val f = decodeStub(r.bytes)
-        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
-          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        decodeFeatures(r.bytes) match {
+          case Some((fmt, f)) =>
+            MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+              Some(fmt), Some(f(0)), Some(f(1)), Some(f(2)), Some(f(3)),
+              Some(f(4)), Some(f(5)), Some(f(6)), Some(f(7)))
+          case None =>
+            MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+              None, None, None, None, None, None, None, None, None)
+        }
       }
     }
   }
@@ -178,9 +237,7 @@ object Multimodal {
     * signed samples fold to exact integer statistics (count, peak =
     * max |s|, Σ|s|, Σs²) — the feature columns an audio-quality or
     * silence-detection pipeline filters on. Non-PCM/truncated payloads
-    * → None, never a guess. (Image pixels and video frames remain
-    * honestly stubbed — no JPEG/H.264 entropy decoding without codec
-    * libraries; PCM needs none.) */
+    * → None, never a guess. */
   def wavPcm(bytes: Array[Byte]): Option[WavPcm] = {
     def u8(i: Int) = bytes(i) & 0xFF
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -228,7 +285,7 @@ object Multimodal {
     * compression is zlib DEFLATE (`java.util.zip.Inflater`, in the JDK)
     * and its only pixel transform is the five-filter scanline predictor
     * (None/Sub/Up/Average/Paeth) — so unlike JPEG/H.264 there is no
-    * entropy coder to stub. Walks chunks verifying each CRC32 (real
+    * hand-rolled entropy coder needed. Walks chunks verifying each CRC32 (real
     * integrity check, `java.util.zip.CRC32`), concatenates IDAT,
     * inflates, reverses the per-row filter, and folds 8-bit
     * gray/RGB/RGBA pixels to exact integer channel statistics.
@@ -672,8 +729,10 @@ object Multimodal {
     ftyp ++ moov
   }
 
-  /** "resize"/"frame-sample" stub: keep every strideth 16-byte block —
-    * real plumbing (binary slicing is genuine), fake media semantics. */
+  /** content-agnostic binary BLOCK sampler: keep every strideth 16-byte
+    * block of the raw payload — a fixed-stride reservoir for payloads
+    * whose container is unknown (real MJPEG frame sampling decodes via
+    * `Avi.aviVideo` + `Jpeg.decodeGrayPlane` instead; see q302). */
   def frameSample(df: DataFrame, stride: Int): DataFrame =
     df.withColumn("sampled",
       expr(s"""aggregate(

@@ -7,11 +7,12 @@ import graft.Tables
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaRow
 
-/** Multimodal pipeline entries: the media view treats document text bytes
-  * as an opaque payload; features flow through the real mapPartitions
-  * plumbing with the stubbed decode (md5-nibble features — mirrored
-  * exactly in the DuckDB oracle, so the batch path is oracle-checked
-  * end-to-end even though the codec is fake).
+/** Multimodal pipeline entries: opaque binary payloads + typed metadata
+  * flow through the real mapPartitions plumbing into REAL decoders
+  * (PNG zlib+filters, GIF LZW, baseline JPEG, WAV PCM, MJPEG-AVI) —
+  * every oracle below is the arithmetic twin of what the decoder must
+  * reconstruct from actual encoded bytes; payloads no decoder accepts
+  * surface as null features, never a guess.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -28,10 +29,75 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
+  /** media table with REAL encoded payloads: every decodable row's bytes
+    * are a standards-conformant PNG / GIF / baseline JPEG / PCM WAV /
+    * MJPEG AVI whose content follows the same closed formulas as the
+    * per-codec queries (q292/q296/q298/q289/q302), so the dispatching
+    * decode is oracle-checkable; every 7th doc instead carries its raw
+    * text bytes — a payload NO decoder accepts — exercising the honest
+    * null-feature path. */
+  private def realMediaDs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val palette = (0 until 256).map(i =>
+      (i << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)).toArray
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .map { case (id, text, lang, source) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val bytes: Array[Byte] =
+          if (id % 7 == 0) text.getBytes("UTF-8") // undecodable payload
+          else (id % 3) match {
+            case 0 => ((id / 3) % 3) match {
+              case 0 =>
+                val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+                Multimodal.syntheticPng(w, h,
+                  (x, y) => (((id * 31 + x * 7 + y * 13) % 256).toInt,
+                             ((id * 17 + x * 3 + y * 5) % 256).toInt,
+                             ((id * 7 + x * 11 + y * 3) % 256).toInt),
+                  y => ((id + y) % 5).toInt)
+              case 1 =>
+                val w = (id % 17 + 3).toInt; val h = (id % 7 + 3).toInt
+                Multimodal.syntheticGif(w, h, palette,
+                  (x, y) => ((id * 23 + x * 5 + y * 11) % 256).toInt)
+              case _ =>
+                val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+                graft.multimodal.Jpeg.encodeGray(w, h,
+                  (x, y) => ((id * 29 + (x / 8) * 7 + (y / 8) * 3) % 256).toInt)
+            }
+            case 1 =>
+              val samples = (0 until 64).map(j =>
+                (((id * 997 + j * 131) % 30001) - 15000).toInt)
+              Multimodal.syntheticWavPcm(16000, 1, samples)
+            case _ =>
+              val w = (id % 16 + 8).toInt; val h = (id % 8 + 8).toInt
+              val nf = (id % 4 + 2).toInt
+              val frames = (0 until nf).map { f =>
+                graft.multimodal.Jpeg.encodeGray(w, h, (x, y) =>
+                  ((id * 29 + (x / 8) * 7 + (y / 8) * 3 + f * 19) % 256).toInt)
+              }
+              graft.multimodal.Avi.syntheticAvi(w, h, 40000L, frames)
+          }
+        MediaRow(id, kind, bytes, Map("lang" -> lang, "source" -> source))
+      }
+  }
+
   val queries: Map[String, Q] = Map(
-    // batch feature extraction through mapPartitions + stub decode
+    // FLAGSHIP feature extraction: mapPartitions batches dispatch each
+    // payload to the REAL decoder its magic matches (PNG/GIF/JPEG pixel
+    // stats, WAV PCM sample stats, MJPEG-AVI frame+motion stats); the
+    // oracle restates every branch arithmetically and LEFT JOINs so the
+    // undecodable rows' null format + null features are checked too.
+    // (n_bytes of an ENCODED payload is codec-output-dependent — not
+    // arithmetically restatable — so the oracle-checked projection is
+    // the feature columns.)
     "q64_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(mediaDs(s, dir)).toDF()),
+      Multimodal.extractFeatures(realMediaDs(s, dir)).toDF()
+        .select(col("media_id"), col("kind"), col("format"),
+          col("f0"), col("f1"), col("f2"), col("f3"),
+          col("f4"), col("f5"), col("f6"), col("f7"))),
 
     // REAL container-header decode: dimensions parsed from the actual
     // PNG/JPEG/GIF byte layouts (pure JVM, no codec libs) — the payload
@@ -86,7 +152,7 @@ object MultimodalOps {
     // Σ|s|, Σs², fixed-point RMS) and the oracle restates the formula
     // arithmetically — any drift in chunk offsets, sign extension, or
     // sample iteration breaks the hash. This closes the audio-feature
-    // path; pixel/video decode stays honestly stubbed.
+    // path (q64's wav branch rides the same decoder).
     "q289_wav_pcm_stats" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -165,8 +231,7 @@ object MultimodalOps {
     // → DC-only spectrum → any conforming IDCT returns the flat value),
     // so the full entropy-coding pipeline is oracle-checked bit-for-bit;
     // the general AC/IDCT path is spec-verified against ImageIO. Third
-    // image container fully decoded (PNG q292, GIF q296) — only video
-    // frames remain stubbed.
+    // image container fully decoded (PNG q292, GIF q296).
     "q298_jpeg_pixel_stats" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -190,9 +255,9 @@ object MultimodalOps {
     // chunks with word alignment) and per-frame JPEG decode are both
     // real; block-flat frames round-trip exactly, so the per-video
     // folds — total gray mass and the frame-difference MOTION metric
-    // Σ|g_f − g_{f−1}| — are oracle-checked bit-for-bit. Video moves
-    // from "honestly stubbed" to decoded for the MJPEG class; only
-    // inter-frame codecs (H.264/VP9) remain out.
+    // Σ|g_f − g_{f−1}| — are oracle-checked bit-for-bit. Video is
+    // decoded for the whole MJPEG class; only inter-frame codecs
+    // (H.264/VP9) remain out.
     "q302_mjpeg_video_stats" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -236,22 +301,105 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "q64_multimodal_features" ->
-      """WITH media AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    text, length(text) AS n_bytes, md5(text) AS h
-        |  FROM documents)
-        |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
-        |  (strpos('0123456789abcdef', substr(h,1,1))-1)/15.0 AS f0,
-        |  (strpos('0123456789abcdef', substr(h,2,1))-1)/15.0 AS f1,
-        |  (strpos('0123456789abcdef', substr(h,3,1))-1)/15.0 AS f2,
-        |  (strpos('0123456789abcdef', substr(h,4,1))-1)/15.0 AS f3,
-        |  (strpos('0123456789abcdef', substr(h,5,1))-1)/15.0 AS f4,
-        |  (strpos('0123456789abcdef', substr(h,6,1))-1)/15.0 AS f5,
-        |  (strpos('0123456789abcdef', substr(h,7,1))-1)/15.0 AS f6,
-        |  (strpos('0123456789abcdef', substr(h,8,1))-1)/15.0 AS f7
-        |FROM media""".stripMargin,
+      """WITH pngpx AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS r,
+        |    (doc_id * 17 + x.i * 3 + y.i * 5) % 256 AS g,
+        |    (doc_id * 7 + x.i * 11 + y.i * 3) % 256 AS b
+        |  FROM (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |        FROM documents
+        |        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 0
+        |          AND doc_id % 7 <> 0),
+        |    range(0, 17) x(i), range(0, 15) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |pngf AS (
+        |  SELECT doc_id, 'png' AS fmt,
+        |    CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+        |    CAST(COUNT(*) AS BIGINT) AS f2, CAST(SUM(r) AS BIGINT) AS f3,
+        |    CAST(SUM(g) AS BIGINT) AS f4, CAST(SUM(b) AS BIGINT) AS f5,
+        |    CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS f6,
+        |    CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS f7
+        |  FROM pngpx GROUP BY doc_id, w, h),
+        |gifpx AS (
+        |  SELECT doc_id, w, h, v AS r, (v * 7) % 256 AS g, (v * 13) % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, w, h,
+        |      (doc_id * 23 + x.i * 5 + y.i * 11) % 256 AS v
+        |    FROM (SELECT doc_id, doc_id % 17 + 3 AS w, doc_id % 7 + 3 AS h
+        |          FROM documents
+        |          WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 1
+        |            AND doc_id % 7 <> 0),
+        |      range(0, 20) x(i), range(0, 10) y(i)
+        |    WHERE x.i < w AND y.i < h)),
+        |giff AS (
+        |  SELECT doc_id, 'gif' AS fmt,
+        |    CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+        |    CAST(COUNT(*) AS BIGINT) AS f2, CAST(SUM(r) AS BIGINT) AS f3,
+        |    CAST(SUM(g) AS BIGINT) AS f4, CAST(SUM(b) AS BIGINT) AS f5,
+        |    CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS f6,
+        |    CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS f7
+        |  FROM gifpx GROUP BY doc_id, w, h),
+        |jpgpx AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3) % 256 AS v
+        |  FROM (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |        FROM documents
+        |        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 2
+        |          AND doc_id % 7 <> 0),
+        |    range(0, 32) x(i), range(0, 24) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |jpgf AS (
+        |  SELECT doc_id, 'jpeg' AS fmt,
+        |    CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+        |    CAST(COUNT(*) AS BIGINT) AS f2, CAST(SUM(v) AS BIGINT) AS f3,
+        |    CAST(SUM(v) AS BIGINT) AS f4, CAST(SUM(v) AS BIGINT) AS f5,
+        |    CAST(SUM(1000 * v) AS BIGINT) AS f6,
+        |    CAST(MAX(1000 * v) AS BIGINT) AS f7
+        |  FROM jpgpx GROUP BY doc_id, w, h),
+        |wavf AS (
+        |  SELECT doc_id, 'wav' AS fmt,
+        |    CAST(16000 AS BIGINT) AS f0, CAST(1 AS BIGINT) AS f1,
+        |    CAST(COUNT(*) AS BIGINT) AS f2,
+        |    CAST(MAX(ABS(v)) AS BIGINT) AS f3,
+        |    CAST(SUM(ABS(v)) AS BIGINT) AS f4,
+        |    CAST(SUM(v * v) AS BIGINT) AS f5,
+        |    CAST(FLOOR(1000 * SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)))
+        |      AS BIGINT) AS f6,
+        |    CAST(0 AS BIGINT) AS f7
+        |  FROM (SELECT doc_id, ((doc_id * 997 + j.i * 131) % 30001) - 15000 AS v
+        |        FROM documents, range(0, 64) j(i)
+        |        WHERE doc_id % 3 = 1 AND doc_id % 7 <> 0) s
+        |  GROUP BY doc_id),
+        |avipx AS (
+        |  SELECT doc_id, w, h, nf,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3 + f.i * 19) % 256 AS v,
+        |    CASE WHEN f.i > 0 THEN
+        |      (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3 + (f.i - 1) * 19) % 256
+        |    END AS vprev
+        |  FROM (SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h,
+        |          doc_id % 4 + 2 AS nf
+        |        FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 <> 0),
+        |    range(0, 24) x(i), range(0, 16) y(i), range(0, 6) f(i)
+        |  WHERE x.i < w AND y.i < h AND f.i < nf),
+        |avif AS (
+        |  SELECT doc_id, 'avi' AS fmt,
+        |    CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+        |    CAST(nf AS BIGINT) AS f2, CAST(COUNT(*) AS BIGINT) AS f3,
+        |    CAST(SUM(v) AS BIGINT) AS f4,
+        |    CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
+        |      AS BIGINT) AS f5,
+        |    CAST(40000 AS BIGINT) AS f6, CAST(0 AS BIGINT) AS f7
+        |  FROM avipx GROUP BY doc_id, w, h, nf),
+        |feat AS (
+        |  SELECT * FROM pngf UNION ALL SELECT * FROM giff
+        |  UNION ALL SELECT * FROM jpgf UNION ALL SELECT * FROM wavf
+        |  UNION ALL SELECT * FROM avif)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  f.fmt AS format,
+        |  f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
+        |FROM documents d LEFT JOIN feat f ON f.doc_id = d.doc_id""".stripMargin,
 
     "q277_image_dims" ->
       """SELECT doc_id AS media_id,

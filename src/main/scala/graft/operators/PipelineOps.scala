@@ -2018,10 +2018,28 @@ object PipelineOps {
         sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
         sum(expr("x2 * x2")).as("s22"),
         sum("y").as("sy0"), sum(expr("x1 * y")).as("sy1"),
-        sum(expr("x2 * y")).as("sy2"))
+        sum(expr("x2 * y")).as("sy2"),
+        max(greatest(col("x1"), col("x2"), abs(col("y")))).as("xmax"))
       val (det, d0, d1, d2) = cramer3(n => s"CAST($n AS DECIMAL(38,0))")
-      val solved = gram.select(expr(det).as("det"), expr(d0).as("d0"),
-        expr(d1).as("d1"), expr(d2).as("d2"))
+      // LOUD scale ceiling for the DECIMAL(38,0) Cramer chain: every
+      // determinant is ≤ 6·S³ (S = max |Gram sum|) and the ppm
+      // projection multiplies by (1 + x1 + x2)·10⁶ ≤ 3X·10⁶, so
+      // S ≤ 10⁹ with X ≤ 10⁶ bounds the worst term at 1.8·10³⁴ < 10³⁸.
+      // Beyond the ceiling non-ANSI Spark silently NULLs where the
+      // DuckDB HUGEINT twin keeps going — fail loudly instead (refit
+      // with rescaled features at that corpus size). The guard is fused
+      // into `det`, which every downstream column consumes, so column
+      // pruning can never drop it.
+      val ceilingOk = greatest(
+        Seq("s00", "s01", "s02", "s11", "s12", "s22", "sy0", "sy1", "sy2")
+          .map(c => abs(col(c))): _*) <= lit(1000000000L) &&
+        col("xmax") <= lit(1000000L)
+      val solved = gram.select(
+        when(ceilingOk, expr(det)).otherwise(raise_error(lit(
+          "q303: Gram sums exceed the DECIMAL(38,0) Cramer ceiling " +
+            "(S<=1e9, X<=1e6) — rescale features before fitting"))
+          .cast("decimal(38,0)")).as("det"),
+        expr(d0).as("d0"), expr(d1).as("d1"), expr(d2).as("d2"))
       def ppm(n: String) = expr(
         s"CAST(CASE WHEN $n >= 0 THEN ($n * 1000000) div det " +
           s"ELSE -((-($n) * 1000000) div det) END AS BIGINT)")
@@ -3940,9 +3958,15 @@ object PipelineOps {
     * independent check of the merge semantics, not a restatement. */
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val sb = new StringBuilder
+    // the position enumerators below use range(0, 48): words longer
+    // than 48 symbols would silently lose pairs vs Spark's unbounded
+    // array fold — so the bound is ASSERTED here and a longer word
+    // fails the oracle loudly instead of diverging silently.
     sb ++=
       """WITH w1 AS MATERIALIZED (
-        |  SELECT w, cnt, string_split(w, '') AS sym FROM (
+        |  SELECT CASE WHEN len(w) <= 48 THEN w
+        |    ELSE error('bpe oracle: word exceeds the 48-symbol position bound')
+        |    END AS w, cnt, string_split(w, '') AS sym FROM (
         |    SELECT tok AS w, COUNT(*) AS cnt FROM (
         |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
         |    WHERE tok <> '' GROUP BY 1) v)""".stripMargin

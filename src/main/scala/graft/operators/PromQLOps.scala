@@ -154,6 +154,13 @@ object PromQLOps {
     "q293_native_hist_count_rate" ->
       qn("""histogram_count(rate(native_latency[1d]))""", 86400),
 
+    // SUB-STEP range on a native selector: rate(native[6h]) at a 1d step
+    // deltas over the TRAILING 6h of each day bucket (the same
+    // rangeWindowed filter as the classic path) and divides by the range
+    // seconds — not the silently-inflated whole-day delta / 6h.
+    "q311_native_hist_substep_rate" ->
+      qn("""histogram_count(rate(native_latency[6h]))""", 86400),
+
     // histogram_avg over the instant native vector: sum/count of the
     // LAST cumulative sample per (bucket, series); sum is exact
     // micro-units divided once — bit-stable cross-engine.
@@ -503,6 +510,22 @@ object PromQLOps {
          |SELECT bucket_start, service_name,
          |  CAST((MAX(m) - MIN(m)) * (20 + sid % 2) AS DOUBLE) / 86400.0 AS value
          |FROM nh GROUP BY bucket_start, service_name, sid""".stripMargin,
+
+    "q311_native_hist_substep_rate" ->
+      s"""WITH nh AS (
+         |  SELECT (epoch_ns(ts)//1000000000//86400)*86400 AS bucket_start,
+         |    concat('svc-', user_id % 8) AS service_name,
+         |    user_id % 8 AS sid,
+         |    (epoch_ns(ts)//1000000000 - 1704067200)//60 AS m,
+         |    epoch_ns(ts) AS tns
+         |  FROM events),
+         |f AS (SELECT * FROM nh
+         |      WHERE tns >= (bucket_start + 86400) * 1000000000
+         |        - 21600000000000)
+         |SELECT bucket_start, service_name,
+         |  CAST((MAX(m) - MIN(m)) * (20 + sid % 2) AS DOUBLE) / 21600.0
+         |    AS value
+         |FROM f GROUP BY bucket_start, service_name, sid""".stripMargin,
 
     "q294_native_hist_avg" ->
       s"""WITH nh AS ($NH),

@@ -104,8 +104,16 @@ object Eval {
     * (the bucket's own end is the grid point). A range ≥ the step keeps
     * the whole-bucket window. Pure filter on the already-bucketed rows:
     * no extra shuffle, codegen-friendly. */
-  private def rangeWindowed(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame = {
-    val df = baseFilter(sel, t.df, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
+  private def rangeWindowed(sel: Selector, t: MetricsTable, tr: TimeRange): DataFrame =
+    rangeWindowedDf(sel, t.df, tr)
+
+  /** df-shaped form of `rangeWindowed` so the NATIVE-histogram path
+    * (whose samples live in a side table, not `t.df`) shares the exact
+    * same trailing-window semantics — a sub-step range on a native
+    * selector must narrow the delta window, not silently keep the whole
+    * bucket. */
+  private def rangeWindowedDf(sel: Selector, df0: DataFrame, tr: TimeRange): DataFrame = {
+    val df = baseFilter(sel, df0, tr).withColumn("bucket_start", bucketExprFor(sel, tr))
     sel.rangeNs match {
       case Some(rns) if rns < tr.stepSec * 1000000000L && pinBucket(sel, tr).isEmpty =>
         val tsEff = col("timestamp") + lit(sel.offsetSec * 1000000000L)
@@ -658,8 +666,11 @@ object Eval {
     if (sel.at.isDefined)
       throw Unsupported("@ on a native-histogram selector")
     val nh = t.nativeHist.get
-    val df = baseFilter(sel, nh.df, tr)
-      .withColumn("bucket_start", bucketExprFor(sel, tr))
+    // rangeWindowedDf applies the same sub-step trailing-window filter
+    // as the classic path: rate(native[6h]) at a 1d step deltas over the
+    // trailing 6h of each bucket, not the whole day (then nativeScalar
+    // divides by the RANGE seconds — window and divisor agree).
+    val df = rangeWindowedDf(sel, nh.df, tr)
     val keys = bucket +: t.seriesLabels.map(col)
     val aggs =
       if (mode == "instant") nhFields.map(fd => max_by(col(fd), col("timestamp")).as(fd))

@@ -84,4 +84,24 @@ class ApiSpec extends AnyFunSuite {
       """{"status":"success","data":{"resultType":"matrix","result":[""" +
         """{"metric":{"resource_service_name":"svc-a"},"values":[[0,"0.5"]]}]}}""")
   }
+
+  test("jstr escapes quotes, backslashes and control characters") {
+    assert(ApiJson.jstr("""a"b""") == "\"a\\\"b\"")
+    assert(ApiJson.jstr("""a\b""") == "\"a\\\\b\"")
+    assert(ApiJson.jstr("a\nb\tc\rd") == "\"a\\nb\\tc\\rd\"")
+    assert(ApiJson.jstr("a" + 1.toChar + "b") == "\"a\\u0001b\"")
+    assert(ApiJson.jstr("plain") == "\"plain\"")
+  }
+
+  test("data-derived strings in tempo envelopes survive quotes/backslashes") {
+    import spark.implicits._
+    // root service name with a quote must produce valid JSON
+    val df = Seq(("t\"1", 1000000000L, """svc\"x""", 5L))
+      .toDF("trace_id", "timestamp", "service_name", "duration_nanos")
+    val got = ApiJson.tempoSearch(df, limit = 5)
+    assert(got ==
+      """{"traces":[""" +
+        """{"traceID":"t\"1","rootServiceName":"svc\\\"x",""" +
+        """"startTimeUnixNano":"1000000000","durationMs":0}]}""")
+  }
 }

@@ -61,6 +61,32 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.aviVideo(mismatch).isEmpty)
   }
 
+  test("multi-stream AVI: foreign 01dc chunks are not mixed into the video") {
+    val frames = (0 until 2).map(frame(3L, 8, 8, _))
+    val good = Avi.syntheticAvi(8, 8, 1000L, frames)
+    // splice a second-stream video chunk (01dc) into the movi body:
+    // 8-byte header + 4-byte foreign payload, then fix the movi LIST
+    // size and the outer RIFF size
+    val moviIdx = indexOfSeq(good, "movi".getBytes("ASCII"))
+    assert(moviIdx > 0)
+    val foreign = "01dc".getBytes("ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+    val insertAt = moviIdx + 4
+    val spliced = good.take(insertAt) ++ foreign ++ good.drop(insertAt)
+    def patchLe32(arr: Array[Byte], off: Int, delta: Int): Unit = {
+      val old = (arr(off) & 0xFF) | ((arr(off + 1) & 0xFF) << 8) |
+        ((arr(off + 2) & 0xFF) << 16) | ((arr(off + 3) & 0xFF) << 24)
+      val v = old + delta
+      arr(off) = v.toByte; arr(off + 1) = (v >>> 8).toByte
+      arr(off + 2) = (v >>> 16).toByte; arr(off + 3) = (v >>> 24).toByte
+    }
+    patchLe32(spliced, moviIdx - 8 + 4, foreign.length) // movi LIST size
+    patchLe32(spliced, 4, foreign.length)               // RIFF size
+    val v = Avi.aviVideo(spliced).get
+    assert(v.totalFrames == 2 && v.frames.size == 2)
+    for (i <- 0 until 2) assert(v.frames(i).sameElements(frames(i)))
+  }
+
   test("container frames decode pixel-identically to the source JPEGs") {
     val id = 11L; val w = 23; val h = 15
     val frames = (0 until 4).map(frame(id, w, h, _))

@@ -159,4 +159,40 @@ class MultimodalSpec extends AnyFunSuite {
     // JPEG SOI with no SOF before the buffer ends
     assert(Multimodal.imageDims(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)).isEmpty)
   }
+
+  test("decodeFeatures dispatches every container to its real decoder") {
+    // png: 2x1, known pixels
+    val png = Multimodal.syntheticPng(2, 1,
+      (x, _) => if (x == 0) (10, 20, 30) else (0, 0, 255), _ => 0)
+    val Some(("png", pf)) = Multimodal.decodeFeatures(png)
+    assert(pf.toSeq == Seq(2L, 1L, 2L, 10L, 20L, 285L,
+      299L * 10 + 587 * 20 + 114 * 285, 114L * 255))
+    // gif: 1 pixel, palette-mapped
+    val gif = Multimodal.syntheticGif(1, 1, Array(0x010203), (_, _) => 0)
+    val Some(("gif", gf)) = Multimodal.decodeFeatures(gif)
+    assert(gf.toSeq == Seq(1L, 1L, 1L, 1L, 2L, 3L,
+      299L + 587 * 2 + 114 * 3, 299L + 587 * 2 + 114 * 3))
+    // jpeg: block-flat 8x8 gray 100 → exact round trip
+    val jpg = Jpeg.encodeGray(8, 8, (_, _) => 100)
+    val Some(("jpeg", jf)) = Multimodal.decodeFeatures(jpg)
+    assert(jf.toSeq == Seq(8L, 8L, 64L, 6400L, 6400L, 6400L,
+      64L * 100000, 100000L))
+    // wav: two known samples
+    val wav = Multimodal.syntheticWavPcm(8000, 1, Seq(3, -4))
+    val Some(("wav", wf)) = Multimodal.decodeFeatures(wav)
+    assert(wf.toSeq == Seq(8000L, 1L, 2L, 4L, 7L, 25L,
+      math.floor(1000 * math.sqrt(12.5)).toLong, 0L))
+    // avi: two block-flat MJPEG frames → exact gray mass + motion
+    val f0 = Jpeg.encodeGray(8, 8, (_, _) => 10)
+    val f1 = Jpeg.encodeGray(8, 8, (_, _) => 30)
+    val avi = Avi.syntheticAvi(8, 8, 40000L, Seq(f0, f1))
+    val Some(("avi", af)) = Multimodal.decodeFeatures(avi)
+    assert(af.toSeq == Seq(8L, 8L, 2L, 128L, 64L * 10 + 64 * 30,
+      64L * 20, 40000L, 0L))
+    // payloads no decoder accepts → None, never a guess
+    assert(Multimodal.decodeFeatures("plain text, definitely no magic".getBytes).isEmpty)
+    assert(Multimodal.decodeFeatures(Array[Byte](1, 2, 3)).isEmpty)
+    // RIFF/WAVE magic but truncated body → None (not a fake wav)
+    assert(Multimodal.decodeFeatures(wav.take(16)).isEmpty)
+  }
 }
