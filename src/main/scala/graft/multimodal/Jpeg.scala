@@ -1,27 +1,33 @@
 package graft.multimodal
 
 /** ======= REAL ======= baseline JPEG codec, zero codec deps: the full
-  * ISO/IEC 10918-1 baseline-sequential pipeline for single-component
-  * (grayscale) images — marker parsing, DQT/DHT table loading, canonical
-  * Huffman decode (Annex K standard tables on encode, whatever DHT
-  * declares on decode), DC differential prediction, dequantization,
-  * inverse zigzag, separable 2-D IDCT, level shift + clamp, edge crop.
+  * ISO/IEC 10918-1 baseline-sequential pipeline — marker parsing,
+  * DQT/DHT table loading, canonical Huffman decode (Annex K standard
+  * tables on encode, whatever DHT declares on decode), DC differential
+  * prediction per component, dequantization, inverse zigzag, separable
+  * 2-D IDCT, level shift + clamp, chroma upsampling (box/replication),
+  * YCbCr→RGB, edge crop. Supports single-component (grayscale) and
+  * 3-component YCbCr frames with 4:4:4 and 4:2:0 sampling (any
+  * h,v ∈ {1,2} layout whose factors divide the frame maxima).
   *
   * Exactness note for the oracle path: with an all-ones quantization
-  * table, a BLOCK-FLAT image (every 8×8 block one value v) round-trips
-  * EXACTLY — FDCT of a flat block is DC-only (DC = 8·(v−128), all AC 0)
-  * and any correct IDCT reproduces the flat value, so the decoded pixels
-  * equal the closed formula the DuckDB oracle restates. Non-flat blocks
-  * exercise the general AC/IDCT path and are spec-verified against
-  * ImageIO within ±2 (the JPEG standard permits small IDCT variance
-  * between conforming decoders). Unsupported shapes (progressive,
-  * multi-component, 16-bit DQT, restart intervals) → None, never a
-  * guess.
+  * table, a BLOCK-FLAT image (every 8×8 block one value v — for 4:2:0
+  * color, every 16×16 MCU one RGB) round-trips EXACTLY — FDCT of a flat
+  * block is DC-only (DC = 8·(v−128), all AC 0) and any correct IDCT
+  * reproduces the flat value; the color transforms are fixed-point
+  * INTEGER arithmetic on both sides (`rgbToYcbcr`/`ycbcrToRgb`,
+  * per-mille coefficients, non-negative numerators so truncating and
+  * flooring division agree), so the decoded pixels equal a closed
+  * formula the DuckDB oracle restates. Non-flat blocks exercise the
+  * general AC/IDCT path and are spec-verified against ImageIO within ±2
+  * (the JPEG standard permits small IDCT variance between conforming
+  * decoders). Unsupported shapes (progressive, 16-bit DQT, restart
+  * intervals, 2- or 4-component frames) → None, never a guess.
   *
   * Reference surface parity: the reference ships no media decode either
   * (multimodal payloads are opaque bytes there); this closes baseline
-  * JPEG, with only inter-frame video codecs (H.264/VP9 entropy
-  * decoding) remaining out of local scope.
+  * JPEG — grayscale AND color — with only inter-frame video codecs
+  * (H.264/VP9 entropy decoding) remaining out of local scope.
   */
 object Jpeg {
 
@@ -55,6 +61,33 @@ object Jpeg {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
 
+  // ---- fixed-point color transforms (shared with the SQL oracles) -------
+
+  /** JFIF RGB→YCbCr in per-mille INTEGER arithmetic with half-up
+    * rounding; every numerator is non-negative, so truncating (Spark
+    * `div`, Java `/`) and flooring (DuckDB `//`) division agree — the
+    * DuckDB twin restates these formulas verbatim. */
+  def rgbToYcbcr(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    (299 * r + 587 * g + 114 * b + 500) / 1000,
+    (128000 + 500 * b - 169 * r - 331 * g + 500) / 1000,
+    (128000 + 500 * r - 419 * g - 81 * b + 500) / 1000)
+
+  /** JFIF YCbCr→RGB, same fixed-point discipline: the +10⁶ offset keeps
+    * the numerator non-negative for all 8-bit inputs (min ≈ −180k), so
+    * the truncating division is a floor on both engines. */
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    def fx(num: Int) = ((num + 500 + 1000000) / 1000) - 1000
+    (cl(fx(1000 * y + 1402 * (cr - 128))),
+     cl(fx(1000 * y - 344 * (cb - 128) - 714 * (cr - 128))),
+     cl(fx(1000 * y + 1772 * (cb - 128))))
+  }
+
+  // ---- shared encoder machinery -----------------------------------------
+
+  private lazy val cosTab = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
   /** canonical Huffman table: encode map symbol → (code, length). */
   private def buildEncodeTable(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
     val table = new Array[(Int, Int)](256)
@@ -68,56 +101,16 @@ object Jpeg {
     table
   }
 
-  /** canonical Huffman decode state (F.2.2.3 mincode/maxcode/valptr). */
-  private final class DecodeTable(bits: Array[Int], vals: Array[Byte]) {
-    val minCode = new Array[Int](17)
-    val maxCode = new Array[Int](17)
-    val valPtr = new Array[Int](17)
-    locally {
-      var code = 0; var k = 0
-      for (len <- 1 to 16) {
-        valPtr(len) = k
-        minCode(len) = code
-        code += bits(len - 1); k += bits(len - 1)
-        maxCode(len) = if (bits(len - 1) > 0) code - 1 else -1
-        code <<= 1
-      }
-    }
-    def value(len: Int, code: Int): Int =
-      vals(valPtr(len) + code - minCode(len)) & 0xFF
-  }
+  /** entropy-coded-segment writer: bit buffer with 0xFF byte stuffing
+    * and the FDCT + run-length + Huffman coding of one 8×8 block. */
+  private final class BlockWriter(out: java.io.ByteArrayOutputStream) {
+    private var bitBuf = 0L
+    private var bitCnt = 0
+    private val dcEnc = buildEncodeTable(dcBits, dcVals)
+    private val acEnc = buildEncodeTable(acBits, acVals)
+    private val coef = new Array[Int](64)
 
-  // ---- encoder ----------------------------------------------------------
-
-  /** encode a grayscale image as a standards-conformant baseline JPEG
-    * with an all-ones quantization table and the Annex K luminance
-    * Huffman tables. `px(x, y)` returns 0-255. Real FDCT + real entropy
-    * coding; edge blocks replicate the last row/column. */
-  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xFF)
-    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
-    marker(0xD8) // SOI
-    marker(0xE0); u16(16) // APP0 JFIF
-    out.write("JFIF".getBytes("ASCII")); u8(0)
-    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
-    marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit, id 0
-    for (_ <- 0 until 64) u8(1)
-    marker(0xC0); u16(2 + 6 + 3) // SOF0: 1 component
-    u8(8); u16(h); u16(w); u8(1)
-    u8(1); u8(0x11); u8(0) // comp 1, 1x1 sampling, qtable 0
-    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
-      marker(0xC4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | 0)
-      bits.foreach(u8); vals.foreach(b => u8(b & 0xFF))
-    }
-    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
-    marker(0xDA); u16(2 + 1 + 2 + 3) // SOS
-    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
-    // entropy-coded segment with byte stuffing
-    var bitBuf = 0L; var bitCnt = 0
-    def putBits(code: Int, len: Int): Unit = {
+    private def putBits(code: Int, len: Int): Unit = {
       bitBuf = (bitBuf << len) | (code & ((1L << len) - 1)); bitCnt += len
       while (bitCnt >= 8) {
         val b = ((bitBuf >> (bitCnt - 8)) & 0xFF).toInt
@@ -125,23 +118,16 @@ object Jpeg {
         bitCnt -= 8
       }
     }
-    val dcEnc = buildEncodeTable(dcBits, dcVals)
-    val acEnc = buildEncodeTable(acBits, acVals)
-    def category(v: Int): Int = { // magnitude category (CCITT F.1.2.1.2)
+
+    private def category(v: Int): Int = { // magnitude category (F.1.2.1.2)
       var a = math.abs(v); var c = 0
       while (a != 0) { a >>= 1; c += 1 }
       c
     }
-    val cosTab = Array.tabulate(8, 8)((x, u) =>
-      math.cos((2 * x + 1) * u * math.Pi / 16.0))
-    val coef = new Array[Int](64)
-    var prevDc = 0
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    for (by <- 0 until bh; bx <- 0 until bw) {
-      // level-shifted source block, edge replication
-      val s = Array.tabulate(8, 8)((y, x) =>
-        px(math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128)
-      // separable FDCT, round to int, quantize by 1
+
+    /** FDCT (quantizer all-ones) + entropy-code one level-shifted 8×8
+      * block; returns the new DC predictor. */
+    def encodeBlock(s: Array[Array[Int]], prevDc: Int): Int = {
       for (u <- 0 until 8; v <- 0 until 8) {
         var acc = 0.0
         for (y <- 0 until 8; x <- 0 until 8)
@@ -150,8 +136,7 @@ object Jpeg {
         val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
         coef(v * 8 + u) = math.round(0.25 * cu * cv * acc).toInt
       }
-      // DC: differential, category + offset bits
-      val dc = coef(0); val diff = dc - prevDc; prevDc = dc
+      val dc = coef(0); val diff = dc - prevDc
       val cat = category(diff)
       val (dcCode, dcLen) = dcEnc(cat)
       putBits(dcCode, dcLen)
@@ -159,7 +144,6 @@ object Jpeg {
         val bitsVal = if (diff >= 0) diff else diff + (1 << cat) - 1
         putBits(bitsVal, cat)
       }
-      // AC: run-length of zeros in zigzag order
       var run = 0
       for (k <- 1 until 64) {
         val v = coef(zigzag(k))
@@ -175,38 +159,129 @@ object Jpeg {
         }
       }
       if (run > 0) { val (c, l) = acEnc(0x00); putBits(c, l) } // EOB
+      dc
     }
-    if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // pad with 1s
-    marker(0xD9) // EOI
+
+    def flush(): Unit =
+      if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // pad 1s
+  }
+
+  private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, comps: Seq[(Int, Int, Int)]): Unit = {
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    marker(0xE0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit, id 0, all ones
+    for (_ <- 0 until 64) u8(1)
+    marker(0xC0); u16(2 + 6 + 3 * comps.size) // SOF0
+    u8(8); u16(h); u16(w); u8(comps.size)
+    for ((id, hs, vs) <- comps) { u8(id); u8((hs << 4) | vs); u8(0) }
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | 0)
+      bits.foreach(u8); vals.foreach(b => u8(b & 0xFF))
+    }
+    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
+    marker(0xDA); u16(2 + 1 + 2 * comps.size + 3) // SOS
+    u8(comps.size)
+    for ((id, _, _) <- comps) { u8(id); u8(0x00) } // dc table 0, ac table 0
+    u8(0); u8(63); u8(0)
+  }
+
+  /** sample an 8×8 level-shifted block from a plane with edge
+    * replication. */
+  private def sampleBlock(plane: Array[Int], pw: Int, ph: Int,
+      x0: Int, y0: Int): Array[Array[Int]] =
+    Array.tabulate(8, 8)((y, x) =>
+      plane(math.min(y0 + y, ph - 1) * pw + math.min(x0 + x, pw - 1)) - 128)
+
+  // ---- encoders ---------------------------------------------------------
+
+  /** encode a grayscale image as a standards-conformant baseline JPEG
+    * with an all-ones quantization table and the Annex K luminance
+    * Huffman tables. `px(x, y)` returns 0-255. Real FDCT + real entropy
+    * coding; edge blocks replicate the last row/column. */
+  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)))
+    val bwr = new BlockWriter(out)
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xFF)
+    var prevDc = 0
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    for (by <- 0 until bh; bx <- 0 until bw)
+      prevDc = bwr.encodeBlock(sampleBlock(plane, w, h, bx * 8, by * 8), prevDc)
+    bwr.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** encode an RGB image as a standards-conformant baseline COLOR JPEG:
+    * 3-component YCbCr, 4:4:4 (`chroma420 = false`) or 4:2:0 (Y sampled
+    * 2×2 per MCU, chroma box-averaged over each 2×2 pixel group). The
+    * color transform is the fixed-point `rgbToYcbcr`; quantization is
+    * all-ones, so MCU-flat images round-trip exactly through
+    * [[decodeRgb]]. */
+  def encodeColor(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
+      chroma420: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val yP = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h) // full-res chroma before subsampling
+    val crF = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val (yy, cb, cr) = rgbToYcbcr(r & 0xFF, g & 0xFF, b & 0xFF)
+      yP(y * w + x) = yy; cbF(y * w + x) = cb; crF(y * w + x) = cr
+    }
+    val (cw, ch) =
+      if (chroma420) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+    def subsample(full: Array[Int]): Array[Int] =
+      if (!chroma420) full
+      else Array.tabulate(cw * ch) { i =>
+        val cx = i % cw; val cy = i / cw
+        var sum = 0; var n = 0
+        for (dy <- 0 until 2; dx <- 0 until 2) {
+          val x = cx * 2 + dx; val y = cy * 2 + dy
+          if (x < w && y < h) { sum += full(y * w + x); n += 1 }
+        }
+        (sum + n / 2) / n
+      }
+    val cbP = subsample(cbF); val crP = subsample(crF)
+    val out = new java.io.ByteArrayOutputStream()
+    val (yh, yv) = if (chroma420) (2, 2) else (1, 1)
+    writeHeaders(out, w, h, Seq((1, yh, yv), (2, 1, 1), (3, 1, 1)))
+    val bwr = new BlockWriter(out)
+    val mcusX = (w + yh * 8 - 1) / (yh * 8)
+    val mcusY = (h + yv * 8 - 1) / (yv * 8)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      for (bv <- 0 until yv; bh0 <- 0 until yh)
+        dcY = bwr.encodeBlock(
+          sampleBlock(yP, w, h, (mx * yh + bh0) * 8, (my * yv + bv) * 8), dcY)
+      dcCb = bwr.encodeBlock(sampleBlock(cbP, cw, ch, mx * 8, my * 8), dcCb)
+      dcCr = bwr.encodeBlock(sampleBlock(crP, cw, ch, mx * 8, my * 8), dcCr)
+    }
+    bwr.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }
 
   // ---- decoder ----------------------------------------------------------
 
-  /** decode a baseline single-component JPEG to pixel stats (grayscale:
-    * r = g = b = sample). Follows DQT/DHT as declared in the stream.
-    * None for progressive/multi-component/malformed inputs. */
-  /** decode to per-pixel stats (see [[decodeGrayPlane]] for the raw
-    * pixel plane — frame-difference metrics need the pixels, not just
-    * the folds). */
-  def decodeGray(bytes: Array[Byte]): Option[Multimodal.PixelStats] =
-    decodeGrayPlane(bytes).map { case (w, h, px) =>
-      var sumR = 0L; var sumL = 0L; var peakL = 0L
-      var j = 0
-      while (j < px.length) {
-        val v = px(j)
-        val luma = 1000L * v // gray: 299v+587v+114v
-        sumR += v; sumL += luma
-        if (luma > peakL) peakL = luma
-        j += 1
-      }
-      Multimodal.PixelStats(w, h, 1, w.toLong * h, sumR, sumR, sumR,
-        sumL, peakL)
-    }
+  /** one decoded component: sampling factors, sub-resolution dims, and
+    * the padded (block-aligned) plane. */
+  private final case class Comp(hs: Int, vs: Int, subW: Int, subH: Int,
+      padW: Int, plane: Array[Byte])
 
-  /** the full baseline decode, returning the CROPPED row-major 8-bit
-    * pixel plane. */
-  def decodeGrayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  /** the full baseline decode to per-component planes: 1 component
+    * (grayscale) or 3 (YCbCr), h,v sampling ∈ {1,2} with factors
+    * dividing the frame maxima (covers 4:4:4, 4:2:2, 4:2:0). Follows
+    * DQT/DHT as declared in the stream. None for progressive /
+    * restart-interval / malformed inputs. */
+  private def decodePlanes(bytes: Array[Byte]): Option[(Int, Int, Array[Comp])] = {
     var i = 0
     def u8(): Int = { val v = bytes(i) & 0xFF; i += 1; v }
     def u16(): Int = { val v = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF); i += 2; v }
@@ -216,7 +291,10 @@ object Jpeg {
       val qt = new Array[Array[Int]](4)
       val dcTabs = new Array[DecodeTable](4)
       val acTabs = new Array[DecodeTable](4)
-      var compQ = 0; var dcSel = 0; var acSel = 0
+      var nComp = 0
+      val compHs = new Array[Int](4); val compVs = new Array[Int](4)
+      val compQ = new Array[Int](4); val compIds = new Array[Int](4)
+      val dcSel = new Array[Int](4); val acSel = new Array[Int](4)
       var sos = false
       while (!sos) {
         if (i + 4 > bytes.length) return None
@@ -227,10 +305,15 @@ object Jpeg {
             val len = u16(); val end = i + len - 2
             if (u8() != 8) return None
             h = u16(); w = u16()
-            if (u8() != 1) return None // single component only
-            u8() // component id
-            if (u8() != 0x11) return None // 1x1 sampling
-            compQ = u8()
+            nComp = u8()
+            if (nComp != 1 && nComp != 3) return None
+            for (c <- 0 until nComp) {
+              compIds(c) = u8()
+              val hv = u8(); compHs(c) = hv >> 4; compVs(c) = hv & 0xF
+              compQ(c) = u8()
+              if (compHs(c) < 1 || compHs(c) > 2 ||
+                  compVs(c) < 1 || compVs(c) > 2) return None
+            }
             i = end
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
@@ -257,9 +340,14 @@ object Jpeg {
           case 0xDD => return None // restart intervals unsupported
           case 0xDA =>
             val len = u16(); val end = i + len - 2
-            if (u8() != 1) return None
-            u8() // component id
-            val sel = u8(); dcSel = sel >> 4; acSel = sel & 0xF
+            val ns = u8()
+            if (ns != nComp) return None // only the interleaved single scan
+            for (_ <- 0 until ns) {
+              val id = u8()
+              val c = compIds.indexOf(id)
+              if (c < 0 || c >= nComp) return None
+              val sel = u8(); dcSel(c) = sel >> 4; acSel(c) = sel & 0xF
+            }
             i = end
             sos = true
           case 0xD9 => return None // EOI before scan
@@ -267,9 +355,25 @@ object Jpeg {
             val len = u16(); i += len - 2
         }
       }
-      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
-      val q = qt(compQ); val dcT = dcTabs(dcSel); val acT = acTabs(acSel)
-      if (q == null || dcT == null || acT == null) return None
+      if (w <= 0 || h <= 0 || nComp <= 0 || w.toLong * h > (1L << 28)) return None
+      val maxH = (0 until nComp).map(compHs).max
+      val maxV = (0 until nComp).map(compVs).max
+      // every component's upsample factor must be integral
+      for (c <- 0 until nComp)
+        if (maxH % compHs(c) != 0 || maxV % compVs(c) != 0) return None
+      val comps = Array.tabulate(nComp) { c =>
+        val subW = (w * compHs(c) + maxH - 1) / maxH
+        val subH = (h * compVs(c) + maxV - 1) / maxV
+        val mcusX = (w + maxH * 8 - 1) / (maxH * 8)
+        val mcusY = (h + maxV * 8 - 1) / (maxV * 8)
+        val padW = mcusX * compHs(c) * 8
+        val padH = mcusY * compVs(c) * 8
+        Comp(compHs(c), compVs(c), subW, subH, padW,
+          new Array[Byte](padW * padH))
+      }
+      for (c <- 0 until nComp)
+        if (qt(compQ(c)) == null || dcTabs(dcSel(c)) == null ||
+            acTabs(acSel(c)) == null) return None
       // entropy-coded bits with unstuffing; markers end the scan
       var bitBuf = 0; var bitCnt = 0
       def nextBit(): Int = {
@@ -308,53 +412,159 @@ object Jpeg {
         else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
         else v
       }
-      val cosTab = Array.tabulate(8, 8)((x, u) =>
-        math.cos((2 * x + 1) * u * math.Pi / 16.0))
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      val pixels = new Array[Byte](bw * 8 * bh * 8)
+      val mcusX = (w + maxH * 8 - 1) / (maxH * 8)
+      val mcusY = (h + maxV * 8 - 1) / (maxV * 8)
       val coef = new Array[Int](64)
-      var prevDc = 0
-      for (by <- 0 until bh; bx <- 0 until bw) {
-        java.util.Arrays.fill(coef, 0)
-        val cat = huffDecode(dcT); if (cat < 0 || cat > 11) return None
-        val diff = receiveExtend(cat); if (diff == Int.MinValue) return None
-        prevDc += diff
-        coef(0) = prevDc * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = huffDecode(acT); if (rs < 0) return None
-          val run = rs >> 4; val size = rs & 0xF
-          if (size == 0) {
-            if (run == 15) k += 16 else eob = true
-          } else {
-            k += run
-            if (k >= 64) return None
-            val v = receiveExtend(size); if (v == Int.MinValue) return None
-            coef(zigzag(k)) = v * q(k)
-            k += 1
+      val prevDc = new Array[Int](nComp)
+      for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+        val comp = comps(c)
+        val q = qt(compQ(c)); val dcT = dcTabs(dcSel(c)); val acT = acTabs(acSel(c))
+        for (bv <- 0 until comp.vs; bh0 <- 0 until comp.hs) {
+          java.util.Arrays.fill(coef, 0)
+          val cat = huffDecode(dcT); if (cat < 0 || cat > 11) return None
+          val diff = receiveExtend(cat); if (diff == Int.MinValue) return None
+          prevDc(c) += diff
+          coef(0) = prevDc(c) * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = huffDecode(acT); if (rs < 0) return None
+            val run = rs >> 4; val size = rs & 0xF
+            if (size == 0) {
+              if (run == 15) k += 16 else eob = true
+            } else {
+              k += run
+              if (k >= 64) return None
+              val v = receiveExtend(size); if (v == Int.MinValue) return None
+              coef(zigzag(k)) = v * q(k)
+              k += 1
+            }
           }
-        }
-        // separable 2-D IDCT + level shift + clamp
-        for (y <- 0 until 8; x <- 0 until 8) {
-          var acc = 0.0
-          for (v <- 0 until 8; u <- 0 until 8) {
-            val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-            val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-            acc += cu * cv * coef(v * 8 + u) * cosTab(x)(u) * cosTab(y)(v)
+          // separable 2-D IDCT + level shift + clamp into the comp plane
+          val x0 = (mx * comp.hs + bh0) * 8
+          val y0 = (my * comp.vs + bv) * 8
+          for (y <- 0 until 8; x <- 0 until 8) {
+            var acc = 0.0
+            for (v <- 0 until 8; u <- 0 until 8) {
+              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+              acc += cu * cv * coef(v * 8 + u) * cosTab(x)(u) * cosTab(y)(v)
+            }
+            val s = math.round(0.25 * acc).toInt + 128
+            val p = math.max(0, math.min(255, s))
+            comp.plane((y0 + y) * comp.padW + x0 + x) = p.toByte
           }
-          val s = math.round(0.25 * acc).toInt + 128
-          val p = math.max(0, math.min(255, s))
-          pixels((by * 8 + y) * bw * 8 + bx * 8 + x) = p.toByte
         }
       }
-      // crop the padded block plane to w×h
-      val out = new Array[Int](w * h)
-      for (y <- 0 until h; x <- 0 until w)
-        out(y * w + x) = pixels(y * bw * 8 + x) & 0xFF
-      Some((w, h, out))
+      Some((w, h, comps))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
   }
+
+  /** canonical Huffman decode state (F.2.2.3 mincode/maxcode/valptr). */
+  private final class DecodeTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = if (bits(len - 1) > 0) code - 1 else -1
+        code <<= 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len)) & 0xFF
+  }
+
+  /** the full baseline GRAYSCALE decode, returning the CROPPED row-major
+    * 8-bit pixel plane; 3-component streams → None (use [[decodeRgb]]). */
+  def decodeGrayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePlanes(bytes).flatMap { case (w, h, comps) =>
+      if (comps.length != 1) None
+      else {
+        val c = comps(0)
+        val out = new Array[Int](w * h)
+        for (y <- 0 until h; x <- 0 until w)
+          out(y * w + x) = c.plane(y * c.padW + x) & 0xFF
+        Some((w, h, out))
+      }
+    }
+
+  /** decode a baseline single-component JPEG to pixel stats (grayscale:
+    * r = g = b = sample). */
+  def decodeGray(bytes: Array[Byte]): Option[Multimodal.PixelStats] =
+    decodeGrayPlane(bytes).map { case (w, h, px) =>
+      var sumR = 0L; var sumL = 0L; var peakL = 0L
+      var j = 0
+      while (j < px.length) {
+        val v = px(j)
+        val luma = 1000L * v // gray: 299v+587v+114v
+        sumR += v; sumL += luma
+        if (luma > peakL) peakL = luma
+        j += 1
+      }
+      Multimodal.PixelStats(w, h, 1, w.toLong * h, sumR, sumR, sumR,
+        sumL, peakL)
+    }
+
+  /** decode a baseline JPEG (grayscale OR 3-component YCbCr) to cropped
+    * row-major RGB planes: chroma upsampled by box replication (each
+    * chroma sample covers its maxH/hs × maxV/vs pixel group), then the
+    * fixed-point `ycbcrToRgb`. */
+  def decodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    decodePlanes(bytes).flatMap { case (w, h, comps) => rgbFromComps(w, h, comps) }
+
+  private def rgbFromComps(w: Int, h: Int, comps: Array[Comp])
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] = {
+      val r = new Array[Int](w * h)
+      val g = new Array[Int](w * h)
+      val b = new Array[Int](w * h)
+      if (comps.length == 1) {
+        val c = comps(0)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = c.plane(y * c.padW + x) & 0xFF
+          r(y * w + x) = v; g(y * w + x) = v; b(y * w + x) = v
+        }
+        Some((w, h, r, g, b))
+      } else if (comps.length == 3) {
+        val maxH = comps.map(_.hs).max; val maxV = comps.map(_.vs).max
+        def at(c: Comp, x: Int, y: Int): Int = {
+          // replication upsample: pixel (x,y) → chroma sample
+          val sx = math.min(x * c.hs / maxH, c.subW - 1)
+          val sy = math.min(y * c.vs / maxV, c.subH - 1)
+          c.plane(sy * c.padW + sx) & 0xFF
+        }
+        for (y <- 0 until h; x <- 0 until w) {
+          val (rr, gg, bb) = ycbcrToRgb(
+            at(comps(0), x, y), at(comps(1), x, y), at(comps(2), x, y))
+          r(y * w + x) = rr; g(y * w + x) = gg; b(y * w + x) = bb
+        }
+        Some((w, h, r, g, b))
+      } else None
+  }
+
+  /** decode any supported baseline JPEG (gray or color) to the shared
+    * exact-integer [[Multimodal.PixelStats]] fold (gray: r = g = b, so
+    * the fold degenerates to the 1000·v luma of [[decodeGray]]). */
+  def decodeStats(bytes: Array[Byte]): Option[Multimodal.PixelStats] =
+    decodePlanes(bytes).flatMap { case (w, h, comps) =>
+      rgbFromComps(w, h, comps).map { case (_, _, r, g, b) =>
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        var sumL = 0L; var peakL = 0L
+        var j = 0
+        while (j < r.length) {
+          val luma = 299L * r(j) + 587L * g(j) + 114L * b(j)
+          sumR += r(j); sumG += g(j); sumB += b(j); sumL += luma
+          if (luma > peakL) peakL = luma
+          j += 1
+        }
+        Multimodal.PixelStats(w, h, comps.length, w.toLong * h,
+          sumR, sumG, sumB, sumL, peakL)
+      }
+    }
 }

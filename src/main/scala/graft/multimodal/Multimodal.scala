@@ -64,7 +64,7 @@ object Multimodal {
     else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
       gifPixels(bytes).map(px("gif", _))
     else if (u8(0) == 0xFF && u8(1) == 0xD8)
-      Jpeg.decodeGray(bytes).map(px("jpeg", _))
+      Jpeg.decodeStats(bytes).map(px("jpeg", _)) // gray AND color baseline
     else if (new String(bytes.slice(0, 4), "ASCII") == "RIFF" &&
         new String(bytes.slice(8, 12), "ASCII") == "WAVE")
       wavPcm(bytes).map { p =>

@@ -248,6 +248,35 @@ object MultimodalOps {
           "sum_gray", "sum_luma_milli", "peak_luma_milli")
     }),
 
+    // REAL COLOR baseline JPEG (3-component YCbCr, BOTH 4:4:4 and
+    // 4:2:0): component interleave, per-component DC prediction, chroma
+    // box subsample on encode / replication upsample on decode, and
+    // fixed-point INTEGER color transforms (rgbToYcbcr/ycbcrToRgb,
+    // per-mille coefficients, non-negative numerators) — so MCU-FLAT
+    // color images round-trip exactly and the oracle restates the whole
+    // encode→decode color arithmetic in SQL. Alternating docs take the
+    // 4:2:0 path (16×16 flat MCUs) and the 4:4:4 path (8×8 tiles).
+    "q312_jpeg_color_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val c420 = ((id / 3) % 2) == 0
+          val t = if (c420) 16 else 8
+          val w = (id % 20 + 12).toInt; val h = (id % 12 + 10).toInt
+          val jpg = graft.multimodal.Jpeg.encodeColor(w, h,
+            (x, y) => (((id * 13 + (x / t) * 17 + (y / t) * 29) % 256).toInt,
+                       ((id * 7 + (x / t) * 23 + (y / t) * 31) % 256).toInt,
+                       ((id * 31 + (x / t) * 37 + (y / t) * 41) % 256).toInt),
+            c420)
+          val p = graft.multimodal.Jpeg.decodeStats(jpg).get
+          (id, if (c420) "420" else "444", p.width, p.height, p.nPx,
+            p.sumR, p.sumG, p.sumB, p.sumLumaMilli, p.peakLumaMilli)
+        }.toDF("media_id", "sampling", "width", "height", "n_px",
+          "sum_r", "sum_g", "sum_b", "sum_luma_milli", "peak_luma_milli")
+    }),
+
     // REAL VIDEO decode — MJPEG in AVI: the one video format whose
     // frames need no inter-frame codec (every frame an independent
     // baseline JPEG, which q298's decoder already handles). The RIFF
@@ -494,6 +523,46 @@ object MultimodalOps {
         |  CAST(SUM(1000 * v) AS BIGINT) AS sum_luma_milli,
         |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "q312_jpeg_color_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 20 + 12 AS w, doc_id % 12 + 10 AS h,
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 16 ELSE 8 END AS t,
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN '420' ELSE '444' END
+        |      AS sampling
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |src AS (
+        |  SELECT doc_id, w, h, sampling,
+        |    (doc_id * 13 + (x.i // t) * 17 + (y.i // t) * 29) % 256 AS r,
+        |    (doc_id * 7 + (x.i // t) * 23 + (y.i // t) * 31) % 256 AS g,
+        |    (doc_id * 31 + (x.i // t) * 37 + (y.i // t) * 41) % 256 AS b
+        |  FROM img, range(0, 32) x(i), range(0, 22) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |ycc AS (
+        |  SELECT doc_id, w, h, sampling,
+        |    (299*r + 587*g + 114*b + 500) // 1000 AS yy,
+        |    (128500 + 500*b - 169*r - 331*g) // 1000 AS cb,
+        |    (128500 + 500*r - 419*g - 81*b) // 1000 AS cr
+        |  FROM src),
+        |dec AS (
+        |  SELECT doc_id, w, h, sampling,
+        |    LEAST(255, GREATEST(0,
+        |      ((1000*yy + 1402*(cr-128) + 1000500) // 1000) - 1000)) AS r2,
+        |    LEAST(255, GREATEST(0,
+        |      ((1000*yy - 344*(cb-128) - 714*(cr-128) + 1000500) // 1000)
+        |        - 1000)) AS g2,
+        |    LEAST(255, GREATEST(0,
+        |      ((1000*yy + 1772*(cb-128) + 1000500) // 1000) - 1000)) AS b2
+        |  FROM ycc)
+        |SELECT doc_id AS media_id, sampling,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(r2) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g2) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b2) AS BIGINT) AS sum_b,
+        |  CAST(SUM(299*r2 + 587*g2 + 114*b2) AS BIGINT) AS sum_luma_milli,
+        |  CAST(MAX(299*r2 + 587*g2 + 114*b2) AS BIGINT) AS peak_luma_milli
+        |FROM dec GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q302_mjpeg_video_stats" ->
       """WITH vid AS (

@@ -56,13 +56,86 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeGray(good.dropRight(10)).isEmpty)   // truncated scan
     assert(Jpeg.decodeGray(good.take(20)).isEmpty)        // truncated headers
     assert(Jpeg.decodeGray(Array[Byte](1, 2, 3)).isEmpty) // not a JPEG
-    // a COLOR JPEG (3 components) from the JDK encoder must be rejected,
-    // not mis-decoded as gray
+    // a COLOR JPEG (3 components) from the JDK encoder must be rejected
+    // by the GRAY decoder (never mis-decoded as gray) — and accepted by
+    // the color one
     val rgb = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 8; x <- 0 until 8) rgb.setRGB(x, y, x * 1000 + y)
     val buf = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(rgb, "jpg", buf)
     assert(Jpeg.decodeGray(buf.toByteArray).isEmpty)
+    assert(Jpeg.decodeRgb(buf.toByteArray).isDefined)
+  }
+
+  test("MCU-flat COLOR images round-trip exactly through the integer transforms") {
+    // 4:4:4 flat 8x8 tiles and 4:2:0 flat 16x16 MCUs: the decoded RGB
+    // must equal the closed form ycbcrToRgb(rgbToYcbcr(src)) per pixel
+    for ((c420, t, w, h) <- Seq((false, 8, 20, 13), (true, 16, 31, 21),
+        (false, 8, 8, 8), (true, 16, 16, 16))) {
+      def src(x: Int, y: Int) = (
+        ((x / t) * 41 + (y / t) * 17 + 30) % 256,
+        ((x / t) * 23 + (y / t) * 31 + 99) % 256,
+        ((x / t) * 37 + (y / t) * 7 + 180) % 256)
+      val jpg = Jpeg.encodeColor(w, h, src, c420)
+      val (dw, dh, r, g, b) = Jpeg.decodeRgb(jpg).get
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (sr, sg, sb) = src(x, y)
+        val (yy, cb, cr) = Jpeg.rgbToYcbcr(sr, sg, sb)
+        val (er, eg, eb) = Jpeg.ycbcrToRgb(yy, cb, cr)
+        assert(r(y * w + x) == er && g(y * w + x) == eg && b(y * w + x) == eb,
+          s"($x,$y) c420=$c420 $w x $h")
+      }
+    }
+  }
+
+  test("our color fixtures are standard JPEGs: the JDK decoder agrees on flat MCUs") {
+    for (c420 <- Seq(false, true)) {
+      val t = if (c420) 16 else 8
+      val w = 32; val h = 16
+      // 4:2:0 uses a UNIFORM color: the JDK's fancy (triangular) chroma
+      // upsampler interpolates across MCU boundaries, so tiled chroma is
+      // only comparable between identical upsamplers — a uniform image
+      // is upsampling-invariant for every conforming decoder. 4:4:4 has
+      // no upsampling, so the tiled pattern compares directly.
+      def src(x: Int, y: Int) =
+        if (c420) (40, 90, 200)
+        else (((x / t) * 19 + 40) % 256, ((y / t) * 53 + 90) % 256, 200)
+      val jpg = Jpeg.encodeColor(w, h, src, c420)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      val (_, _, r, g, b) = Jpeg.decodeRgb(jpg).get
+      // flat MCUs are upsampling-invariant; only the YCbCr→RGB rounding
+      // differs between conforming decoders — allow ±2 per channel
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        assert(math.abs(((p >> 16) & 0xFF) - r(y * w + x)) <= 2, s"r($x,$y)")
+        assert(math.abs(((p >> 8) & 0xFF) - g(y * w + x)) <= 2, s"g($x,$y)")
+        assert(math.abs((p & 0xFF) - b(y * w + x)) <= 2, s"b($x,$y)")
+      }
+    }
+  }
+
+  test("JDK-encoded color JPEGs decode under our decoder (shared-file compare)") {
+    // constant-color image: chroma upsampling strategy differences
+    // vanish, so two conforming decoders of the SAME file must agree
+    // within the standard's tolerance
+    val w = 24; val h = 18
+    val img0 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img0.setRGB(x, y, 0x4080C0)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img0, "jpg", buf)
+    val jpg = buf.toByteArray
+    val (dw, dh, r, g, b) = Jpeg.decodeRgb(jpg).get
+    assert(dw == w && dh == h)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = jdk.getRGB(x, y)
+      assert(math.abs(((p >> 16) & 0xFF) - r(y * w + x)) <= 2, s"r($x,$y)")
+      assert(math.abs(((p >> 8) & 0xFF) - g(y * w + x)) <= 2, s"g($x,$y)")
+      assert(math.abs((p & 0xFF) - b(y * w + x)) <= 2, s"b($x,$y)")
+    }
   }
 }
