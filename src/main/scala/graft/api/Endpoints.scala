@@ -429,4 +429,71 @@ object Endpoints {
     ApiJson.tempoTagValues(spans.select(col(tag).cast("string").as("value"))
       .filter(col("value").isNotNull).distinct().orderBy(col("value")))
   }
+
+  // ---- Arrow results over the wire --------------------------------------
+
+  /** GET/POST /api/v1/arrow — the Flight DoGet surface over plain HTTP,
+    * no gRPC dependency: the request carries a TICKET (GET `?ticket=` /
+    * `?sql=`, or the raw POST body — exactly what a Flight client puts
+    * in its Ticket payload) and the response streams the standard Arrow
+    * IPC bytes a DoGet would carry. Ticket grammar mirrors the
+    * reference's `parse_ticket` (flight.rs:666): a recognized prefix
+    * routes to its typed query, anything else falls back to raw SQL
+    * (flight.rs:1087) guarded to SELECT/WITH (the sql_profiles
+    * read-only discipline, flight.rs:869).
+    *
+    * Supported here:
+    *  - `find_trace:{tenant}:{dataset}:{trace_id}[:{start}:{end}]` —
+    *    single-trace spans in time order; the optional unix-second
+    *    hints bracket the scan (either may be empty).
+    *  - raw SQL over the tenant dataset tables, registered as temp
+    *    views `logs`, `traces`, `metrics_gauge`, `metrics_sum` in a
+    *    per-request session (`newSession()` — the reference's
+    *    session_for_request isolation: nothing leaks into the shared
+    *    session).
+    */
+  def arrowTicket(spark: SparkSession, dir: String,
+      ticket: String): Array[Byte] = {
+    val df: DataFrame =
+      if (ticket.startsWith("find_trace:")) {
+        val parts = ticket.stripPrefix("find_trace:").split(":", 5)
+        if (parts.length != 3 && parts.length != 5)
+          throw HttpError(400, "Invalid find_trace ticket format. " +
+            "Expected: find_trace:tenant_slug:dataset_slug:trace_id[:start:end]")
+        def hint(name: String, v: String): Option[Long] =
+          if (v.isEmpty) None
+          else try Some(v.toLong) catch {
+            case _: NumberFormatException => throw HttpError(400,
+              s"Invalid find_trace ticket: $name '$v' is not a unix timestamp")
+          }
+        var spans = SignalViews.tracesGen2Df(spark, dir)
+          .filter(col("trace_id") === parts(2))
+        if (parts.length == 5) {
+          hint("start", parts(3)).foreach(s0 =>
+            spans = spans.filter(col("timestamp") >= s0 * 1000000000L))
+          hint("end", parts(4)).foreach(e0 =>
+            spans = spans.filter(col("timestamp") < e0 * 1000000000L))
+        }
+        spans.orderBy(col("timestamp"), col("span_id"))
+      } else {
+        val lowered = ticket.trim.toLowerCase(java.util.Locale.ROOT)
+        if (!(lowered.startsWith("select") || lowered.startsWith("with")))
+          throw HttpError(400,
+            "arrow tickets accept only SELECT or WITH statements " +
+              "(or a recognized ticket prefix)")
+        val sess = spark.newSession()
+        SignalViews.logsGen2Df(sess, dir).createOrReplaceTempView("logs")
+        SignalViews.tracesGen2Df(sess, dir).createOrReplaceTempView("traces")
+        SignalViews.metricsGaugeDf(sess, dir)
+          .createOrReplaceTempView("metrics_gauge")
+        SignalViews.metricsSumDf(sess, dir)
+          .createOrReplaceTempView("metrics_sum")
+        try sess.sql(ticket)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw HttpError(400, "SQL error: " + e.getMessage)
+        }
+      }
+    ArrowResult.ipcStream(df)
+  }
 }

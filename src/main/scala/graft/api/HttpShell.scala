@@ -62,6 +62,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val (status, body) =
       try {
+        if (path == "/api/v1/arrow") { arrowRoute(ex, qs); return }
         val routed =
           if (ex.getRequestMethod == "POST")
             ingestRoute(path, qs, ex.getRequestBody.readAllBytes())
@@ -82,6 +83,56 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
+  }
+
+  /** GET/POST /api/v1/arrow — Arrow IPC results over the wire (the
+    * Flight DoGet surface without a gRPC dependency; see
+    * [[Endpoints.arrowTicket]] for the ticket grammar). The ticket comes
+    * from `?ticket=` / `?sql=` on GET or the raw POST body (what a
+    * Flight client would put in its Ticket payload). The response is
+    * `application/vnd.apache.arrow.stream`, CHUNKED (length 0 →
+    * Transfer-Encoding: chunked on the JDK server), written in 64 KiB
+    * slices — the stream shape a DoGet delivers frame by frame. Errors
+    * resolve BEFORE the body starts (the plan executes inside
+    * ipcStream), so failures still answer with JSON + status. */
+  private def arrowRoute(ex: HttpExchange, qs: String): Unit = {
+    val bytes =
+      try {
+        val ticket =
+          if (ex.getRequestMethod == "POST")
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          else {
+            val p = Endpoints.parseQuery(qs)
+            p.get("ticket").orElse(p.get("sql")).getOrElse(
+              throw Endpoints.HttpError(400, "missing ticket (or sql) param"))
+          }
+        Endpoints.arrowTicket(spark, dir, ticket)
+      } catch {
+        case e: Endpoints.HttpError => respondJson(ex, e.status, errJson(e.message)); return
+        case e: Throwable =>
+          respondJson(ex, 500,
+            errJson(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          return
+      }
+    ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val os = ex.getResponseBody
+    try {
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(65536, bytes.length - off)
+        os.write(bytes, off, n)
+        off += n
+      }
+    } finally os.close()
+  }
+
+  private def respondJson(ex: HttpExchange, status: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, b.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(b) finally os.close()
   }
 
   private val TagValues = "^/api/search/tag/([^/]+)/values$".r

@@ -277,6 +277,77 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("arrow over the wire: SQL ticket streams IPC bytes that read back losslessly") {
+    val sql = "SELECT service_name, COUNT(*) AS n FROM logs " +
+      "GROUP BY service_name ORDER BY service_name"
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/arrow?sql=" +
+        java.net.URLEncoder.encode(sql, "UTF-8"))).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get ==
+      "application/vnd.apache.arrow.stream")
+    // chunked transfer: the JDK server omits Content-Length for length 0
+    assert(r.headers().firstValue("Content-Length").isEmpty)
+    val back = ArrowResult.fromIpcStream(spark, r.body())
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val direct = graft.SignalViews.logsGen2Df(spark, dir)
+      .groupBy("service_name").count()
+      .orderBy("service_name")
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    assert(back.sameElements(direct))
+  }
+
+  test("arrow find_trace ticket over the POST body (the DoGet Ticket shape)") {
+    import org.apache.spark.sql.functions.col
+    val traceId = graft.SignalViews.tracesGen2Df(spark, dir)
+      .select("trace_id").orderBy("trace_id").limit(1)
+      .collect()(0).getString(0)
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/arrow"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"find_trace:t:d:$traceId"))
+        .build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    val back = ArrowResult.fromIpcStream(spark, r.body())
+    val expect = graft.SignalViews.tracesGen2Df(spark, dir)
+      .filter(col("trace_id") === traceId)
+    assert(back.count() == expect.count() && back.count() > 0)
+    // spans arrive in time order
+    val ts = back.select("timestamp").collect().map(_.getLong(0))
+    assert(ts.sameElements(ts.sorted))
+    // time hints bracket the scan: an impossible bracket yields 0 rows
+    val r2 = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/arrow"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"find_trace:t:d:$traceId:1:2"))
+        .build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r2.statusCode() == 200)
+    assert(ArrowResult.fromIpcStream(spark, r2.body()).count() == 0)
+  }
+
+  test("arrow ticket guardrails: read-only SQL, ticket grammar, missing param") {
+    def arrowGet(q: String) = get(s"/api/v1/arrow?$q")
+    val bad = arrowGet("sql=" +
+      java.net.URLEncoder.encode("DROP TABLE logs", "UTF-8"))
+    assert(bad.statusCode() == 400)
+    assert(bad.body().contains("SELECT or WITH"))
+    val badTicket = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/arrow"))
+        .POST(HttpRequest.BodyPublishers.ofString("find_trace:only-two:parts"))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(badTicket.statusCode() == 400)
+    assert(badTicket.body().contains("find_trace"))
+    assert(arrowGet("").statusCode() == 400)
+    // bad SQL → 400 with a JSON error body, not a broken stream
+    val analysis = arrowGet("sql=" +
+      java.net.URLEncoder.encode("SELECT nope FROM logs", "UTF-8"))
+    assert(analysis.statusCode() == 400)
+    assert(analysis.headers().firstValue("Content-Type").get ==
+      "application/json")
+  }
+
   test("shell stops cleanly") {
     // dedicated instance so the shared one stays up for other tests
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
