@@ -2063,6 +2063,13 @@ object PipelineOps {
     // tokenizer itself.
     "q304_bpe_merges" -> ((s, dir) => bpeTrain(s, dir)._1),
 
+    // the PARAMETRIZED trainer past toy scale: 32 merge rounds — only
+    // viable because each round is lineage-truncated (O(R) train, 2
+    // jobs per round; the lazy chain would re-derive rounds 1…r−1 at
+    // every step, O(R²)). Same oracle construction, 32 unrolled
+    // MATERIALIZED CTE rounds.
+    "q313_bpe_merges32" -> ((s, dir) => bpeTrain(s, dir, rounds = 32)._1),
+
     // The vocab AFTER training: corpus frequency of every surviving
     // symbol (merged subwords + residual characters) — what the trained
     // tokenizer would emit, top 30 for a stable oracle.
@@ -2179,15 +2186,27 @@ object PipelineOps {
     * the previous output element is still the raw `a` — the merged
     * symbol a||b can never re-match `a`, so greedy-from-left needs no
     * extra state. Returns (updated words, 1-row merge record). */
-  private def bpeRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
+  /** one BPE merge round, LINEAR in lineage: the winning pair is
+    * localCheckpoint-ed (one job — the weighted pair-count agg), then
+    * the merge application reads THAT materialized 1-row frame and is
+    * itself localCheckpoint-ed (one job — the broadcast array fold).
+    * Round r therefore never re-executes round r−1's pair-count agg —
+    * without the truncation, evaluating round r's `best` lazily
+    * re-derives rounds 1…r−1, making an R-round train O(R²)
+    * round-evaluations. Training is exactly 2 jobs per round, so
+    * `rounds` can scale past toy vocab sizes (see q313's 32-round
+    * train). */
+  private[graft] def bpeRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
     val pairs = words.select(col("cnt"), explode(expr(
       "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1), " +
         "(x, y) -> named_struct('a', x, 'b', y))")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("cnt").as("n"))
-    val best = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+    val m = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+      .select(lit(r.toLong).as("rank"), col("a"), col("b"), col("n"))
+      .localCheckpoint()
     val applied = words
-      .crossJoin(broadcast(best.select(col("a").as("_ma"), col("b").as("_mb"))))
+      .crossJoin(broadcast(m.select(col("a").as("_ma"), col("b").as("_mb"))))
       .withColumn("sym", expr(
         """aggregate(sym, CAST(array() AS array<string>), (acc, x) ->
           |  CASE WHEN size(acc) = 0 THEN array(x)
@@ -2196,8 +2215,8 @@ object PipelineOps {
           |                     array(concat(_ma, _mb)))
           |       ELSE concat(acc, array(x)) END)""".stripMargin))
       .drop("_ma", "_mb")
-    (applied,
-      best.select(lit(r.toLong).as("rank"), col("a"), col("b"), col("n")))
+      .localCheckpoint()
+    (applied, m)
   }
 
   /** initial word-frequency table: distinct corpus words with counts,
@@ -2211,17 +2230,19 @@ object PipelineOps {
 
   private val BpeRounds = 6
 
-  /** run the full unrolled trainer; returns (merge table, final words).
-    * Materialized ONCE per dir to temp parquet (the `jaccardEdgesStored`
-    * discipline): q304/q305/q308 all consume the same trained state, and
-    * each unrolled round chains a pair-count agg + broadcast best-merge
-    * — re-deriving that chain per consumer tripled the bench cost. */
+  /** run the full trainer for `rounds` merge rounds; returns (merge
+    * table, final words). Each round is lineage-truncated
+    * (`bpeRound`), so training is O(rounds). Materialized ONCE per
+    * (dir, rounds) to temp parquet (the `jaccardEdgesStored`
+    * discipline): q304/q305/q308 all consume the same trained state,
+    * and re-deriving the chain per consumer tripled the bench cost. */
   private val bpeCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private def bpeTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (mp, wp) = bpeCache.getOrElseUpdate(dir, {
+  private def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int = BpeRounds): (DataFrame, DataFrame) = {
+    val (mp, wp) = bpeCache.getOrElseUpdate(s"$dir#$rounds", {
       var words = bpeWords(s, dir)
       var merges: DataFrame = null
-      for (r <- 1 to BpeRounds) {
+      for (r <- 1 to rounds) {
         val (w2, m) = bpeRound(words, r)
         words = w2
         merges = if (merges == null) m else merges.unionByName(m)
@@ -3926,6 +3947,11 @@ object PipelineOps {
 
     "q304_bpe_merges" -> bpeOracle(BpeRounds,
       (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM best$r")
+        .mkString("\n UNION ALL ")),
+
+    "q313_bpe_merges32" -> bpeOracle(32,
+      (1 to 32).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM best$r")
         .mkString("\n UNION ALL ")),
 

@@ -356,4 +356,26 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(plan).size <= 2,
       s"expected ≤2 joins (anti + reassembly):\n$plan")
   }
+
+  test("BPE round is lineage-truncated: round r never re-executes round r−1's agg") {
+    import spark.implicits._
+    val words = Seq(("abab", 5L), ("abc", 3L), ("ba", 2L))
+      .toDF("w", "cnt")
+      .withColumn("sym",
+        org.apache.spark.sql.functions.expr("filter(split(w, ''), c -> c <> '')"))
+    val (w1, m1) = operators.PipelineOps.bpeRound(words, 1)
+    // both outputs are materialized scans (localCheckpoint → LogicalRDD):
+    // no Aggregate survives in their plans, so chaining round 2 onto w1
+    // cannot re-derive round 1's pair-count agg
+    assert(!w1.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      w1.queryExecution.optimizedPlan.toString)
+    assert(!m1.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      m1.queryExecution.optimizedPlan.toString)
+    assert(w1.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    // and the round itself is correct: 'ab' is the winning pair
+    val m = m1.collect()(0)
+    assert(m.getString(1) == "a" && m.getString(2) == "b" && m.getLong(3) == 13L)
+    val syms = w1.orderBy("w").collect().map(_.getSeq[String](2).mkString("|"))
+    assert(syms.sameElements(Array("ab|ab", "ab|c", "b|a")))
+  }
 }
