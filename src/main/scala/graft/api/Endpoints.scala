@@ -277,10 +277,55 @@ object Endpoints {
       throw HttpError(400, s"parse error: ${e.getMessage}") }
     val table = SignalViews.logsTable(spark, dir)
     val seriesCols = Seq("service_name", "severity_text")
-    val df = graft.logql.Lowering
+    val matched = graft.logql.Lowering
       .lowerFilter(table, q, timeRange = Some((startNs, endNs)))
+    // count=estimate: answer the series COUNT from the KMV sketch — one
+    // bounded-state aggregation instead of the distinct+collect scan
+    // (the reference bounds label scans the same way, metrics.rs:58
+    // LABEL_SCAN_LIMIT)
+    if (p.get("count").contains("estimate")) {
+      val est = graft.operators.DiscoveryOps.kmvEstimate(matched,
+        concat_ws("|", seriesCols.map(col): _*))
+      return s"""{"status":"success","data":{"seriesCountEstimate":$est}}"""
+    }
+    val df = matched
       .select(seriesCols.map(col): _*).distinct().limit(1000)
     ApiJson.seriesResponse(df, seriesCols)
+  }
+
+  /** GET /loki/api/v1/index/volume — per-label log volume (the Loki
+    * volume API's vector envelope: value = [sec, "<bytes>"]), with the
+    * per-service STREAM-count estimate served from the KMV sketch
+    * rather than exact distinct (`streams` extension field). Optional
+    * `query` stream selector narrows the scan through the same LogQL
+    * lowering as `series`; `start`/`end` take the metadata-window
+    * defaults. */
+  def lokiIndexVolume(spark: SparkSession, dir: String, qs: String,
+      nowNs: Long): String = {
+    val p = parseQuery(qs)
+    val (startNs, endNs) = metaWindow(p, nowNs)
+    val logs = p.get("query").filter(_.nonEmpty) match {
+      case Some(sel) =>
+        val q = try graft.logql.Parser.parse(sel) match {
+          case graft.logql.Ast.LineQuery(lq) => lq
+          case _ => throw HttpError(400, "query must be a stream selector")
+        } catch { case e: graft.logql.Ast.ParseError =>
+          throw HttpError(400, s"parse error: ${e.getMessage}") }
+        graft.logql.Lowering.lowerFilter(SignalViews.logsTable(spark, dir), q,
+          timeRange = Some((startNs, endNs)))
+      case None =>
+        SignalViews.logsDf(spark, dir)
+          .filter(col("timestamp") >= startNs && col("timestamp") < endNs)
+    }
+    val rows = graft.operators.DiscoveryOps.lokiVolumeFrame(logs)
+      .orderBy(col("service_name")).collect()
+    val ts = nowNs / 1000000000L
+    val entries = rows.map { r =>
+      s"""{"metric":{"service_name":${ApiJson.jstr(r.getString(0))}},""" +
+        s""""value":[$ts,"${r.getLong(1)}"],"streams":${r.getLong(4)}}"""
+    }
+    s"""{"status":"success","data":{"resultType":"vector",""" +
+      s""""result":[${entries.mkString(",")}]}}"""
   }
 
   /** GET /prometheus/api/v1/labels (reference promql.rs:46). */

@@ -153,6 +153,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.lokiLabelValues(spark, dir, dec(name), qs, nowNs))
     case "/loki/api/v1/series" =>
       Some(Endpoints.lokiSeries(spark, dir, qs, nowNs))
+    case "/loki/api/v1/index/volume" =>
+      Some(Endpoints.lokiIndexVolume(spark, dir, qs, nowNs))
     // Prometheus (reference endpoints/promql.rs route table)
     case "/prometheus/api/v1/query_range" =>
       Some(Endpoints.promQueryRange(spark, dir, qs))

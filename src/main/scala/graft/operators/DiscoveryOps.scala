@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -211,8 +211,45 @@ object DiscoveryOps {
              |  ELSE CAST(CAST('$KmvNum' AS DECIMAL(38,0))
              |       div element_at(sk_u, $KmvK) AS BIGINT) END""".stripMargin))
         .select("n_exact_inter", "theta", "matches", "est_inter", "est_union")
-    })
+    }),
+
+    // Loki index-volume DISCOVERY served from the KMV sketch: per-service
+    // log volume (bytes) plus the STREAM-count estimate — the stream
+    // identity (service, severity, client_ip) is deliberately
+    // high-cardinality, exactly where the reference bounds label scans
+    // (metrics.rs:58 LABEL_SCAN_LIMIT) and where exact distinct on 100 TB
+    // is the thing you can no longer afford: the sketch ships ≤k longs
+    // per group through partial agg/shuffle/merge. n_streams_exact rides
+    // along as the accuracy reference; the oracle restates the sketch
+    // via row_number ≤ k over the same md5-derived hashes.
+    "q314_loki_volume" -> ((s, dir) =>
+      lokiVolumeFrame(graft.SignalViews.logsDf(s, dir)))
   )
+
+  /** the `/loki/api/v1/index/volume` frame over a (possibly
+    * selector-filtered) logs view: volume bytes + exact and
+    * KMV-estimated stream counts per service. */
+  def lokiVolumeFrame(logs: DataFrame): DataFrame =
+    logs.withColumn("h", expr(VolHash))
+      .groupBy(col("service_name"))
+      .agg(expr("CAST(SUM(length(body)) AS BIGINT)").as("volume_bytes"),
+        countDistinct(expr("concat(severity_text, '|', client_ip)"))
+          .as("n_streams_exact"),
+        graft.functions.Kmv.kmvSketch(col("h"), KmvK).as("sk"))
+      .select(col("service_name"), col("volume_bytes"),
+        col("n_streams_exact"),
+        size(col("sk")).cast(LongType).as("k_n"),
+        expr(KmvEstCase).as("streams_est"))
+
+  /** KMV distinct-count estimate of a string key over `df` — ONE sketch
+    * aggregation, the serving-path form (`/loki/api/v1/series` with
+    * `count=estimate`). */
+  def kmvEstimate(df: DataFrame, key: Column): Long =
+    df.select(conv(substring(md5(concat(lit("kmv:"), key)), 1, 15),
+        16, 10).cast(LongType).as("h"))
+      .agg(graft.functions.Kmv.kmvSketch(col("h"), KmvK).as("sk"))
+      .select(expr(KmvEstCase).as("est"))
+      .collect()(0).getLong(0)
 
   /** 60-bit (15 hex nibbles — safely inside BIGINT) uniform hash both
     * engines derive identically from md5. */
@@ -223,6 +260,19 @@ object DiscoveryOps {
     "CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
   private val KmvTwo60 = (BigInt(1) << 60).toString
   private val KmvNum = (BigInt(KmvK - 1) << 60).toString // (k−1)·2^60
+  /** the estimator over a sketch column `sk`: exact below k, else
+    * (k−1)·2^60 div θ. */
+  private val KmvEstCase =
+    s"""CASE WHEN size(sk) < $KmvK THEN CAST(size(sk) AS BIGINT)
+       |  ELSE CAST(CAST('$KmvNum' AS DECIMAL(38,0))
+       |       div element_at(sk, $KmvK) AS BIGINT) END""".stripMargin
+  /** stream-identity hash for the volume frame (60-bit md5). */
+  private val VolHash =
+    "CAST(conv(substring(md5(concat('vol:', service_name, '|', " +
+      "severity_text, '|', client_ip)), 1, 15), 16, 10) AS BIGINT)"
+  private val VolHashDuck =
+    "CAST(('0x' || substr(md5('vol:' || service_name || '|' || " +
+      "severity_text || '|' || client_ip), 1, 15)) AS BIGINT)"
 
   /** Per-row HLL (reg, rho) from md5("hll:" ++ user_id): reg = first byte,
     * rho = 1-based first-1-bit position in the following 48 bits (12 hex
@@ -441,6 +491,29 @@ object DiscoveryOps {
          |SELECT ei.n_exact_inter, t.theta, m.matches,
          |  CAST(m.matches::HUGEINT * $KmvTwo60 // t.theta AS BIGINT) AS est_inter,
          |  u.est_union
-         |FROM ei, t, m, u""".stripMargin
+         |FROM ei, t, m, u""".stripMargin,
+
+    "q314_loki_volume" ->
+      s"""WITH l AS (${graft.SignalViews.logsViewSql}),
+         |hh AS (SELECT DISTINCT service_name, $VolHashDuck AS h FROM l),
+         |r AS (
+         |  SELECT service_name, h,
+         |    row_number() OVER (PARTITION BY service_name ORDER BY h) AS rn
+         |  FROM hh),
+         |sk AS (
+         |  SELECT service_name, CAST(COUNT(*) AS BIGINT) AS k_n,
+         |    MAX(h) AS theta
+         |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+         |vol AS (
+         |  SELECT service_name,
+         |    CAST(SUM(length(body)) AS BIGINT) AS volume_bytes,
+         |    CAST(COUNT(DISTINCT severity_text || '|' || client_ip)
+         |      AS BIGINT) AS n_streams_exact
+         |  FROM l GROUP BY 1)
+         |SELECT v.service_name, v.volume_bytes, v.n_streams_exact, s.k_n,
+         |  CASE WHEN s.k_n < $KmvK THEN s.k_n
+         |       ELSE CAST('$KmvNum'::HUGEINT // s.theta AS BIGINT)
+         |  END AS streams_est
+         |FROM vol v JOIN sk s USING (service_name)""".stripMargin
   ).filter(_._2 != null)
 }

@@ -277,6 +277,48 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("loki index volume serves KMV stream estimates over the wire") {
+    val r = get(s"/loki/api/v1/index/volume?start=${T0}000000000&end=${T1}000000000")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.lokiIndexVolume(spark, dir,
+      s"start=${T0}000000000&end=${T1}000000000", nowNs = T1 * 1000000000L))
+    assert(r.body().contains(""""resultType":"vector""""))
+    assert(r.body().contains(""""streams":"""))
+    // the served estimates equal the oracle-checked q314 frame
+    val frame = graft.operators.DiscoveryOps
+      .lokiVolumeFrame(graft.SignalViews.logsDf(spark, dir))
+      .orderBy("service_name").collect()
+    for (row <- frame) {
+      assert(r.body().contains(
+        s""""metric":{"service_name":"${row.getString(0)}"}"""))
+      assert(r.body().contains(s""""streams":${row.getLong(4)}"""))
+    }
+    // a selector narrows the scan through the LogQL lowering
+    val rs = get("/loki/api/v1/index/volume?query=" +
+      java.net.URLEncoder.encode("""{service_name="svc-1"}""", "UTF-8") +
+      s"&start=${T0}000000000&end=${T1}000000000")
+    assert(rs.statusCode() == 200)
+    assert(rs.body().contains("svc-1") && !rs.body().contains("svc-2"))
+    // bad selector → 400
+    assert(get("/loki/api/v1/index/volume?query=%7Bnot-a-selector")
+      .statusCode() == 400)
+  }
+
+  test("loki series count=estimate answers from the sketch") {
+    val q = "match%5B%5D=" +
+      java.net.URLEncoder.encode("""{service_name=~"svc-.*"}""", "UTF-8") +
+      s"&start=${T0}000000000&end=${T1}000000000&count=estimate"
+    val r = get(s"/loki/api/v1/series?$q")
+    assert(r.statusCode() == 200)
+    val est = """"seriesCountEstimate":(\d+)""".r
+      .findFirstMatchIn(r.body()).get.group(1).toLong
+    // (service, severity) cardinality is far below k=64, so the sketch's
+    // exact branch must equal the true distinct count
+    val exact = graft.SignalViews.logsDf(spark, dir)
+      .select("service_name", "severity_text").distinct().count()
+    assert(est == exact, s"est=$est exact=$exact")
+  }
+
   test("arrow over the wire: SQL ticket streams IPC bytes that read back losslessly") {
     val sql = "SELECT service_name, COUNT(*) AS n FROM logs " +
       "GROUP BY service_name ORDER BY service_name"
