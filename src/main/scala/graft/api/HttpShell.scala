@@ -50,12 +50,22 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null) // handlers run Spark jobs; serial dispatch is the honest local mode
+    // a SMALL pool, not serial dispatch: a live-tail exchange holds its
+    // connection open for the lifetime of the tail, so the acceptor
+    // POSTs that FEED it must be dispatchable concurrently (Spark's
+    // scheduler is thread-safe; concurrent handler jobs just queue).
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) { server.stop(0); server = null }
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  def stop(): Unit = if (server != null) {
+    server.stop(0); server = null
+    if (pool != null) { pool.shutdownNow(); pool = null }
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
@@ -63,6 +73,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     val (status, body) =
       try {
         if (path == "/api/v1/arrow") { arrowRoute(ex, qs); return }
+        if (path == "/loki/api/v1/tail") { tailRoute(ex, qs); return }
         val routed =
           if (ex.getRequestMethod == "POST")
             ingestRoute(path, qs, ex.getRequestBody.readAllBytes())
@@ -125,6 +136,84 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         off += n
       }
     } finally os.close()
+  }
+
+  /** GET /loki/api/v1/tail — LIVE TAIL over the wire (the reference
+    * 501s this route; docs/users/logql-reference.md:44). A Structured
+    * Streaming query (LiveTail: the same LogQL lowering as batch line
+    * queries, narrow per-row stages only) follows the ingest landing
+    * dir for the logs table; each poll interval, newly matched lines go
+    * out as ONE chunked JSON frame in the Loki tail shape
+    * (`{"streams":[…]}` per frame, newline-delimited — the payload a
+    * websocket tail delivers per message). Existing landed files replay
+    * first, then the tail follows new acceptor POSTs. The exchange ends
+    * when the client disconnects (the next flush fails → the streaming
+    * query stops) or after `timeout_s` (default 30); either way the
+    * query and its memory sink are torn down. Requires ingest (503
+    * otherwise — there is no landing dir to follow). */
+  private def tailRoute(ex: HttpExchange, qs: String): Unit = {
+    val (q, name) =
+      try {
+        val layout = ingest.getOrElse(
+          throw Endpoints.HttpError(503, "tail requires an ingest layout"))
+        val p = Endpoints.parseQuery(qs)
+        val query = p.getOrElse("query",
+          throw Endpoints.HttpError(400, "missing query"))
+        val path = layout.path("logs")
+        new java.io.File(path).mkdirs()
+        val stream = spark.readStream
+          .schema(graft.schema.Schemas.logs).parquet(path)
+        val table = graft.logql.Lowering.LogsTable(
+          df = stream,
+          promoted = Map("service_name" -> "service_name",
+            "severity_text" -> "severity_text", "body" -> "body"),
+          seriesLabels = Seq("service_name", "severity_text"),
+          hasAttrMap = true,
+          attrMapCols = Seq("log_attributes", "resource_attributes"))
+        val sink = "tail_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        (graft.streaming.LiveTail.start(table, query, sink, triggerMs = 200), sink)
+      } catch {
+        case e: Endpoints.HttpError => respondJson(ex, e.status, errJson(e.message)); return
+        case e: graft.logql.Ast.Unsupported =>
+          respondJson(ex, 400, errJson(e.getMessage)); return
+        case e: graft.logql.Ast.ParseError =>
+          respondJson(ex, 400, errJson("parse error: " + e.getMessage)); return
+        case e: Throwable =>
+          respondJson(ex, 500,
+            errJson(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          return
+      }
+    val timeoutMs = (Endpoints.parseQuery(qs).get("timeout_s")
+      .map(_.toDouble).getOrElse(30.0) * 1000).toLong
+    try {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0L) // chunked: one frame per flush
+      val os = ex.getResponseBody
+      var sent = 0
+      val deadline = System.currentTimeMillis() + timeoutMs
+      try {
+        while (System.currentTimeMillis() < deadline) {
+          // the memory sink is a local relation in append order; frame
+          // the delta past what this exchange already delivered
+          val snap = spark.table(name).collect()
+          if (snap.length > sent) {
+            val delta = spark.createDataFrame(
+              java.util.Arrays.asList(snap.drop(sent): _*),
+              spark.table(name).schema)
+            val frame = ApiJson.lokiTailFrame(delta,
+              Seq("service_name", "severity_text")) + "\n"
+            os.write(frame.getBytes(StandardCharsets.UTF_8))
+            os.flush() // client disconnect surfaces here as IOException
+            sent = snap.length
+          }
+          Thread.sleep(100)
+        }
+      } catch { case _: java.io.IOException => () /* client went away */ }
+      finally { try os.close() catch { case _: java.io.IOException => () } }
+    } finally {
+      q.stop() // clean disconnect stops the streaming query
+      spark.catalog.dropTempView(name)
+    }
   }
 
   private def respondJson(ex: HttpExchange, status: Int, body: String): Unit = {

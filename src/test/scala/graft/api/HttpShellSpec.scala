@@ -390,6 +390,69 @@ class HttpShellSpec extends AnyFunSuite {
       "application/json")
   }
 
+  test("live tail over the wire: a POSTed log arrives as a frame; disconnect stops the query") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-tail").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      val activeBefore = spark.streams.active.length
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$p/loki/api/v1/tail?query=" +
+            java.net.URLEncoder.encode("""{service_name="svc-tail"} |= "line"""", "UTF-8") +
+            "&timeout_s=60")).GET().build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body()))
+      // POST logs while the tail request is open…
+      assert(post(p, "/v1/logs",
+        logsPayload("svc-tail", T0 * 1000000000L, 2)).statusCode() == 200)
+      // …and observe the frame arrive (readLine blocks until the flush)
+      val frame = reader.readLine()
+      assert(frame != null && frame.contains("svc-tail") &&
+        frame.contains("line 0 from svc-tail"), s"frame: $frame")
+      assert(frame.startsWith("""{"streams":["""))
+      assert(spark.streams.active.length > activeBefore) // tail query live
+      // clean disconnect: close the client side; the server notices on a
+      // later flush and stops the streaming query
+      resp.body().close()
+      var waited = 0
+      while (spark.streams.active.length > activeBefore && waited < 20000) {
+        // force frames so the server's flush path runs against the
+        // closed socket
+        post(p, "/v1/logs",
+          logsPayload("svc-tail", (T0 + waited) * 1000000000L, 1))
+        Thread.sleep(500); waited += 500
+      }
+      assert(spark.streams.active.length == activeBefore,
+        "tail streaming query must stop after client disconnect")
+    } finally sh.stop()
+  }
+
+  test("tail guardrails: 503 without ingest, 400 on bad queries") {
+    // the shared read-only shell has no ingest layout
+    assert(get("/loki/api/v1/tail?query=%7Bservice_name%3D%22a%22%7D")
+      .statusCode() == 503)
+    val base = java.nio.file.Files.createTempDirectory("graft-http-tail2").toString
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      ingest = Some(graft.storage.Storage.TableLayout(base, "t", "d")))
+    val p = sh.start()
+    try {
+      def tailGet(q: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$p/loki/api/v1/tail$q")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(tailGet("").statusCode() == 400) // missing query
+      // order-dependent stage → Unsupported → 400
+      val r = tailGet("?query=" + java.net.URLEncoder.encode(
+        """{service_name="a"} | distinct service_name""", "UTF-8"))
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("distinct"))
+    } finally sh.stop()
+  }
+
   test("shell stops cleanly") {
     // dedicated instance so the shared one stays up for other tests
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
