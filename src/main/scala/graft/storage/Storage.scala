@@ -207,8 +207,9 @@ object Storage {
     * side is lost, with no coordination demanded of the ingest path. A
     * crash before the intent aborts cleanly (staging is swept); a crash
     * after it is completed from the journal by the next compaction of
-    * the partition. `crashAt` ("staged" | "intent", specs only) aborts
-    * after the named step. */
+    * the partition. `crashAt` ("staged" | "intent" | "publish-partial",
+    * specs only) aborts after the named step — "publish-partial" dies
+    * after moving SOME but not all staged files in. */
   def compactPartition(spark: SparkSession, layout: TableLayout, table: String,
       dateDay: String, hourOfDay: Int, targetFiles: Int = 1,
       zorderBy: Option[(String, String)] = None,
@@ -284,6 +285,15 @@ object Storage {
       if (crashAt == "intent") { crashing = true; throw new InjectedCrash("after intent") }
 
       // ---- publish
+      if (crashAt == "publish-partial") {
+        // failpoint MID-publish: move only the first staged add in, then
+        // die with the intent journal still present — the next holder
+        // must complete the remaining moves + deletes idempotently
+        // (moves skip already-moved adds, deletes skip absent victims)
+        staged.headOption.foreach(nm =>
+          fs.rename(new Path(staging, nm), new Path(partDir, nm)))
+        crashing = true; throw new InjectedCrash("mid-publish")
+      }
       recoverCompaction(fs, partDir, staging, intent)
     } finally if (!crashing) fs.delete(lock, false)
   }

@@ -163,6 +163,87 @@ class StorageSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, layout, "logs").count() == 28)
   }
 
+  test("two compactors racing DIFFERENT hours commit through one snapshot CAS window") {
+    val dir = Files.createTempDirectory("graft-race2").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // two hours, several small files each
+    Storage.append(logsBatch(6, t0), layout, "logs")                    // hour 0
+    Storage.append(logsBatch(6, t0 + 1000000L), layout, "logs")
+    Storage.append(logsBatch(6, t0 + 3600L * 1000000000L), layout, "logs") // hour 1
+    Storage.append(logsBatch(6, t0 + 3600L * 1000000000L + 1000000L), layout, "logs")
+    val v0 = Snapshots.commit(spark, layout, "logs")
+
+    // each compactor rewrites its OWN hour (disjoint locks), then both
+    // race a Snapshots.commit through the same CAS window
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(0, 1).map { h =>
+      new Thread(() => {
+        try {
+          Storage.compactPartition(spark, layout, "logs", "2024-01-01", h)
+          barrier.await() // line both writers up on the CAS
+          versions.add(Snapshots.commit(spark, layout, "logs"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing compactors failed: ${errs.peek()}")
+    // the CAS loser retried at the next version: history is LINEAR —
+    // both versions committed, exactly once each, consecutively
+    val got = versions.toArray(Array.empty[Integer]).map(_.toInt).sorted
+    assert(got.sameElements(Array(v0 + 1, v0 + 2)), got.mkString(","))
+    val manifests = new java.io.File(s"$dir/acme/prod/logs/_snapshots")
+      .list().filter(_.endsWith(".manifest")).sorted
+    assert(manifests.sameElements(
+      (1 to v0 + 2).map(v => s"v$v.manifest").sorted))
+    // the newest snapshot (the retry re-listed!) serves every row once,
+    // from the two compacted files
+    val snap = Snapshots.read(spark, layout, "logs")
+    assert(snap.count() == 24)
+    assert(snap.select("timestamp").distinct().count() == 24)
+    for (h <- Seq(0, 1))
+      assert(new java.io.File(s"$dir/acme/prod/logs/date_day=2024-01-01/hour=$h")
+        .list().count(_.endsWith(".parquet")) == 1)
+    // no lock/staging/intent residue
+    val ctl = new java.io.File(s"$dir/acme/prod/logs/_compactions")
+    assert(!ctl.exists || ctl.list().isEmpty)
+  }
+
+  test("a crash MID-publish (some staged files moved) recovers idempotently") {
+    val dir = Files.createTempDirectory("graft-midpub").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    Storage.append(logsBatch(8, t0), layout, "logs")
+    Storage.append(logsBatch(8, t0 + 1000000L), layout, "logs")
+    Storage.append(logsBatch(8, t0 + 2000000L), layout, "logs")
+    val hourDir = new java.io.File(s"$dir/acme/prod/logs/date_day=2024-01-01/hour=0")
+    val before = spark.read.parquet(s"$dir/acme/prod/logs")
+      .select("timestamp").collect().map(_.getLong(0)).sorted
+
+    // targetFiles=2 → two staged files; the failpoint moves ONE in and
+    // dies with the intent journal present and the lock held
+    intercept[Storage.InjectedCrash] {
+      Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+        targetFiles = 2, crashAt = "publish-partial")
+    }
+    val ctl = new java.io.File(s"$dir/acme/prod/logs/_compactions")
+    assert(ctl.list().exists(_.endsWith(".intent")), "journal must survive")
+    assert(ctl.list().exists(_.endsWith(".staging")), "one add still staged")
+    // the torn state really is torn: old snapshot files + one new file
+    assert(hourDir.list().count(_.endsWith(".parquet")) >= 4)
+
+    // the next compactor (stale lock broken) completes the journal —
+    // remaining add moved, snapshot dels applied, staging swept — then
+    // runs its own rewrite; rows are exactly preserved, never doubled
+    Storage.compactPartition(spark, layout, "logs", "2024-01-01", 0,
+      lockMaxAgeMs = 0L)
+    val after = spark.read.parquet(s"$dir/acme/prod/logs")
+      .select("timestamp").collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(before), "mid-publish recovery lost or doubled rows")
+    assert(hourDir.list().count(_.endsWith(".parquet")) == 1)
+    assert(!ctl.exists || ctl.list().isEmpty)
+  }
+
   test("compaction planning only selects closed hours past the lateness allowance") {
     val dir = Files.createTempDirectory("graft-closed").toString
     val layout = TableLayout(dir, "acme", "prod")
