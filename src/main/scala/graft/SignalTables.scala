@@ -23,7 +23,7 @@ object SignalTables {
       df: => DataFrame,
       partitionCols: Seq[String] = Seq("date_day", "hour")): String =
     cache.getOrElseUpdate((dir, table), {
-      val base = java.nio.file.Files.createTempDirectory(s"graft_store_").toString
+      val base = graft.storage.LocalCache.dir(s"store|$dir|$table")
       val layout = Storage.TableLayout(base, "tenant0", "default")
       // one file per partition: repartition by the partition keys so each
       // directory gets a single file — the compacted shape, not a
@@ -137,8 +137,7 @@ object SignalTables {
     * the un-rewritten-history fixture for schema evolution. */
   def storedMixedVersionTracesPath(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate((dir, "traces_vmix"), {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_store_").toString + "/traces_vmix"
+      val base = graft.storage.LocalCache.dir(s"store|$dir|traces_vmix") + "/traces_vmix"
       val dur = floor(col("value") * 1000).cast("long")
       // µs-truncated nanos (unix_micros(ts_us)*1000) — what the DuckDB
       // oracle sees (TESTDATA gotcha)

@@ -189,7 +189,7 @@ object PipelineOps {
   private val shingleCache = scala.collection.concurrent.TrieMap[String, String]()
   private def docShinglesStored(s: SparkSession, dir: String): DataFrame = {
     val path = shingleCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_shingles_").toString
+      val p = graft.storage.LocalCache.dir(s"shingles|$dir")
       docShingles(s, dir).write.mode("overwrite").parquet(p)
       p
     })
@@ -249,7 +249,7 @@ object PipelineOps {
   private val pairCache = scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def jaccardEdgesStored(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val path = pairCache.getOrElseUpdate(s"$dir|$threshold", {
-      val p = java.nio.file.Files.createTempDirectory("graft_dup_edges_").toString
+      val p = graft.storage.LocalCache.dir(s"dup_edges|$dir|$threshold")
       jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(p)
       p
@@ -266,7 +266,7 @@ object PipelineOps {
   private[graft] def componentLabelsStored(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val path = labelCache.getOrElseUpdate(s"$dir|$threshold", {
-      val p = java.nio.file.Files.createTempDirectory("graft_dup_labels_").toString
+      val p = graft.storage.LocalCache.dir(s"dup_labels|$dir|$threshold")
       val e0 = jaccardEdgesStored(s, dir, threshold)
       val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       pointerJumpComponents(sym, rounds = 4)
@@ -326,7 +326,7 @@ object PipelineOps {
   private val annIdxCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private def storedIvfIndex(s: SparkSession, dir: String): (String, String) =
     annIdxCache.getOrElseUpdate(dir, {
-      val base = java.nio.file.Files.createTempDirectory("graft_ann_idx_").toString
+      val base = graft.storage.LocalCache.dir(s"ann_idx|$dir")
       val (cents, assigned) = ivfIndex(embArr(s, dir))
       cents.write.mode("overwrite").parquet(s"$base/centroids")
       assigned.write.mode("overwrite").partitionBy("cell")
@@ -2247,8 +2247,8 @@ object PipelineOps {
         words = w2
         merges = if (merges == null) m else merges.unionByName(m)
       }
-      val mdir = java.nio.file.Files.createTempDirectory("graft_bpe_merges_").toString
-      val wdir = java.nio.file.Files.createTempDirectory("graft_bpe_words_").toString
+      val mdir = graft.storage.LocalCache.dir(s"bpe_merges|$dir|$rounds")
+      val wdir = graft.storage.LocalCache.dir(s"bpe_words|$dir|$rounds")
       merges.write.mode("overwrite").parquet(mdir)
       words.write.mode("overwrite").parquet(wdir)
       (mdir, wdir)
