@@ -2100,6 +2100,38 @@ object PipelineOps {
           expr("n_bpe_tokens * 1000000 div n_chars"))
     }),
 
+    // Count-Min sketch HEAVY HITTERS (Cormode–Muthukrishnan): token
+    // frequencies estimated from a d×w = 4×512 linear sketch built in
+    // ONE native TypedImperativeAggregate pass (functions/Cms.scala) —
+    // fixed 16 KB of state through partial agg/shuffle/merge, the
+    // 1000-executor form of "what are the most frequent tokens in
+    // 100 TB" that never materializes the token→count table on the
+    // stream side. Cell positions are md5-derived plan arithmetic, so
+    // the DuckDB oracle rebuilds the EXACT counters relationally and
+    // the point estimates (min over rows — the CMS upper-bound
+    // guarantee) compare bit-for-bit; n_exact rides along as the
+    // accuracy reference.
+    "q316_cms_heavy_hitters" -> ((s, dir) => {
+      val d = 4; val w = 512
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      def cell(r: Int) =
+        s"CAST(CAST(conv(substring(md5(concat('cms$r:', tok)), 1, 15), " +
+          s"16, 10) AS BIGINT) % $w AS INT)"
+      val positions = expr((0 until d).map(cell).mkString("array(", ", ", ")"))
+      val sk = toks.agg(
+        graft.functions.Cms.cmsSketch(positions, lit(1L), d, w).as("cms"))
+      val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      cand.crossJoin(broadcast(sk))
+        .withColumn("est", expr((0 until d).map(r =>
+          s"element_at(cms, $r * $w + (${cell(r)}) + 1)")
+          .mkString("least(", ", ", ")")))
+        .select(col("tok"), col("n_exact"), col("est"))
+        .orderBy(col("est").desc, col("tok").asc)
+        .limit(15)
+    }),
+
     // Winnowing-based cross-document OVERLAP detection (Schleimer et
     // al. 2003 — the MOSS algorithm): the q29 winnowed min-hash sets,
     // bucket-joined on shared fingerprints, yield candidate
@@ -3949,6 +3981,30 @@ object PipelineOps {
       (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM best$r")
         .mkString("\n UNION ALL ")),
+
+    "q316_cms_heavy_hitters" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |pos AS MATERIALIZED (
+        |  SELECT tok, r.i AS r,
+        |    CAST(('0x' || substr(md5('cms' || r.i || ':' || tok), 1, 15))
+        |      AS BIGINT) % 512 AS c
+        |  FROM t, range(0, 4) r(i)),
+        |counters AS (
+        |  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM pos GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM t GROUP BY 1),
+        |cpos AS (SELECT DISTINCT tok, r, c FROM pos),
+        |est AS (
+        |  SELECT cp.tok, MIN(co.v) AS est
+        |  FROM cpos cp JOIN counters co USING (r, c) GROUP BY 1)
+        |SELECT c.tok, c.n_exact, e.est
+        |FROM cand c JOIN est e USING (tok)
+        |ORDER BY e.est DESC, c.tok LIMIT 15""".stripMargin,
 
     "q313_bpe_merges32" -> bpeOracle(32,
       (1 to 32).map(r =>

@@ -357,6 +357,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected ≤2 joins (anti + reassembly):\n$plan")
   }
 
+  test("CMS sketch aggregates with partial (map-side) combine — shuffle moves counters") {
+    val df = operators.PipelineOps.queries("q316_cms_heavy_hitters")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate for the sketch:\n$plan")
+    assert("partial_cms_sketch".r.findAllIn(plan).nonEmpty,
+      s"expected a PARTIAL sketch stage before the shuffle:\n$plan")
+  }
+
   test("BPE round is lineage-truncated: round r never re-executes round r−1's agg") {
     import spark.implicits._
     val words = Seq(("abab", 5L), ("abc", 3L), ("ba", 2L))
