@@ -499,6 +499,93 @@ object PipelineOps {
     // per-dimension explode), and the small query side broadcasts — at
     // 100 TB this is a map-side scan of the corpus with one shuffle for
     // the per-query top-k, not a (pos)-keyed shuffle of N·dim rows.
+    // Distributed PCA TOP COMPONENT by power iteration, exact integers
+    // end-to-end: centering never divides (c = n·v − Σv, scaled by n so
+    // no mean rounding), each of 6 fixed rounds is TWO hash aggs over
+    // the centered rows (per-vec score s = cᵀx, then per-dim fan-in
+    // y = Σ s·c — the Gram matrix is never materialized, which is the
+    // 100 TB shape: O(n·d) per round, not O(d²) state), and the
+    // renormalization is fixed-point sign-split division both engines
+    // floor identically. Rounds are localCheckpoint-truncated like the
+    // BPE trainer, so the plan stays flat. Top-PC removal ("all but the
+    // top", Mu 2018) and embedding whitening start exactly here.
+    // Long-arithmetic ceiling: |c|≤n·10⁶ and s=Σ₆₄ c·x needs
+    // 64·n·10¹² < 2⁶³ → n ≤ ~1.4e8 rows per fit; beyond that, rescale
+    // the quantization (the y fan-in is already DECIMAL(38,0)).
+    "q317_pca_top_component" -> ((s, dir) => {
+      val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
+      val dimSums = emb
+        .select(posexplode(col("vq")).as(Seq("dim", "v")))
+        .groupBy(col("dim")).agg(sum(col("v")).as("sj"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, sj))), p -> p.sj)")
+          .as("sarr"))
+      val cnt = emb.agg(count(lit(1)).as("n"))
+      val centered = emb.crossJoin(broadcast(dimSums)).crossJoin(broadcast(cnt))
+        .select(col("vec_id"),
+          expr("zip_with(vq, sarr, (v, sj) -> n * v - sj)").as("c"))
+        .localCheckpoint()
+      var x = s.range(1)
+        .select(expr("array_repeat(CAST(1000000 AS BIGINT), 64)").as("xa"))
+      for (_ <- 1 to 6) {
+        val scored = centered.crossJoin(broadcast(x))
+          .withColumn("sv", expr(
+            "aggregate(zip_with(c, xa, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+        x = scored
+          .select(posexplode(col("c")).as(Seq("dim", "cj")), col("sv"))
+          .groupBy(col("dim"))
+          .agg(sum(expr(
+            "CAST(sv AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))")).as("yj"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(dim, yj))), p -> p.yj)")
+            .as("ya"))
+          .withColumn("m", expr(
+            "aggregate(ya, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
+          .withColumn("den", expr(
+            "CAST(floor(m / 1000000) AS DECIMAL(38,0)) + 1"))
+          .select(expr(
+            "transform(ya, v -> CAST(CASE WHEN v >= 0 THEN v div den " +
+              "ELSE -((-v) div den) END AS BIGINT))").as("xa"))
+          .localCheckpoint()
+      }
+      x.select(posexplode(col("xa")).as(Seq("dim", "comp")))
+        .select(col("dim"), col("comp"))
+    }),
+
+    // Johnson–Lindenstrauss RANDOM PROJECTION (Achlioptas ±1 signs,
+    // md5-derived at plan build → literal weight arrays, the q25
+    // hyperplane discipline): 64-dim → 16-dim integer projections, then
+    // nearest neighbors of vec 0 ranked in the PROJECTED space with the
+    // exact full-dim dot riding along — the cheap first-pass filter a
+    // 100 TB ANN pipeline runs before exact re-scoring, at a quarter of
+    // the shuffle width.
+    "q318_jl_projection" -> ((s, dir) => {
+      val signs = Array.tabulate(16, 64) { (k, j) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"jl:$k:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
+      }
+      val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
+      val projExprs = (0 until 16).map(k => expr(
+        s"aggregate(zip_with(vq, array(${signs(k).mkString(", ")}), " +
+          "(v, sg) -> v * sg), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      val proj = emb.select(col("vec_id"), array(projExprs: _*).as("pr"))
+      val qp = proj.filter(col("vec_id") === 0).select(col("pr").as("qr"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("vq").as("qvq"))
+      proj.filter(col("vec_id") =!= 0)
+        .join(emb.select(col("vec_id"), col("vq")), "vec_id")
+        .crossJoin(broadcast(qp)).crossJoin(broadcast(qv))
+        .withColumn("proj_dot", expr(
+          "aggregate(zip_with(pr, qr, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+        .withColumn("exact_dot", dotCol(col("vq"), col("qvq")))
+        .orderBy(col("proj_dot").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("proj_dot"), col("exact_dot"))
+    }),
+
     "q24_ann_cosine_topk" -> ((s, dir) => {
       val e = embArr(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -3982,6 +4069,36 @@ object PipelineOps {
         s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM best$r")
         .mkString("\n UNION ALL ")),
 
+    "q317_pca_top_component" -> pcaOracle(6),
+
+    "q318_jl_projection" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, j.i AS dim,
+        |    CAST(round(CAST(embedding[CAST(j.i + 1 AS INT)] AS DOUBLE)
+        |      * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings, range(0, 64) j(i)),
+        |sg AS MATERIALIZED (
+        |  SELECT k.i AS k, j.i AS dim,
+        |    CASE WHEN CAST(('0x' ||
+        |        substr(md5('jl:' || k.i || ':' || j.i), 1, 15)) AS BIGINT)
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 16) k(i), range(0, 64) j(i)),
+        |proj AS MATERIALIZED (
+        |  SELECT e.vec_id, s.k, CAST(SUM(e.v * s.sgn) AS BIGINT) AS p
+        |  FROM e JOIN sg s USING (dim) GROUP BY 1, 2),
+        |q AS (SELECT k, p FROM proj WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT pr.vec_id, CAST(SUM(pr.p * q.p) AS BIGINT) AS proj_dot
+        |  FROM proj pr JOIN q USING (k) WHERE pr.vec_id <> 0 GROUP BY 1),
+        |ex AS (
+        |  SELECT e2.vec_id, CAST(SUM(e2.v * e0.v) AS BIGINT) AS exact_dot
+        |  FROM e e2 JOIN (SELECT dim, v FROM e WHERE vec_id = 0) e0 USING (dim)
+        |  WHERE e2.vec_id <> 0 GROUP BY 1)
+        |SELECT d.vec_id, d.proj_dot, x.exact_dot
+        |FROM dots d JOIN ex x USING (vec_id)
+        |ORDER BY d.proj_dot DESC, d.vec_id LIMIT 10""".stripMargin,
+
     "q316_cms_heavy_hitters" ->
       """WITH t AS MATERIALIZED (
         |  SELECT tok FROM (
@@ -4086,6 +4203,47 @@ object PipelineOps {
     }
     sb ++= "\n"
     sb ++= finalSelect
+    sb.toString
+  }
+
+  /** DuckDB twin of the q317 power iteration with the rounds unrolled as
+    * a generated MATERIALIZED CTE chain: same centered integers
+    * (c = n·v − Σv), same two-agg round (per-vec score, per-dim fan-in
+    * in HUGEINT ↔ Spark DECIMAL(38,0)), same sign-split fixed-point
+    * renormalization — both engines floor on non-negative operands. */
+  private def pcaOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, j.i AS dim,
+        |    CAST(round(CAST(embedding[CAST(j.i + 1 AS INT)] AS DOUBLE)
+        |      * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings, range(0, 64) j(i)),
+        |st AS MATERIALIZED (SELECT dim, SUM(v) AS sj FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        |c AS MATERIALIZED (
+        |  SELECT e.vec_id, e.dim, nn.n * e.v - st.sj AS c
+        |  FROM e JOIN st USING (dim), nn),
+        |x0 AS (SELECT j.i AS dim, CAST(1000000 AS BIGINT) AS x
+        |       FROM range(0, 64) j(i))""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |s$r AS MATERIALIZED (
+        |  SELECT c.vec_id, SUM(c.c * x.x) AS s
+        |  FROM c JOIN x${r - 1} x USING (dim) GROUP BY 1),
+        |y$r AS MATERIALIZED (
+        |  SELECT c.dim, SUM(s.s * c.c) AS y
+        |  FROM c JOIN s$r s USING (vec_id) GROUP BY 1),
+        |d$r AS (SELECT MAX(ABS(y)) // 1000000 + 1 AS den FROM y$r),
+        |x$r AS MATERIALIZED (
+        |  SELECT y.dim,
+        |    CAST(CASE WHEN y.y >= 0 THEN y.y // d.den
+        |         ELSE -((-y.y) // d.den) END AS BIGINT) AS x
+        |  FROM y$r y, d$r d)""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(dim AS INTEGER) AS dim, x AS comp " +
+      s"FROM x$rounds ORDER BY dim"
     sb.toString
   }
 
