@@ -328,6 +328,70 @@ object Endpoints {
       s""""result":[${entries.mkString(",")}]}}"""
   }
 
+  /** GET /loki/api/v1/detected_fields (reference logql.rs:373 →
+    * DetectedField wire shape: label/type/cardinality/parsers): the q68
+    * sampled field-discovery frame — deterministic ≤1000-doc sample,
+    * capped distinct counts, type inference — in the Loki envelope.
+    * `parsers` is empty by design: attributes are the
+    * structured-metadata analog (reference loki-api lib.rs:289). */
+  def lokiDetectedFields(spark: SparkSession, dir: String,
+      qs: String): String = {
+    val p = parseQuery(qs)
+    val limit = p.get("limit").map(_.toInt).getOrElse(100) // default_limit
+    val rows = graft.operators.DiscoveryOps
+      .queries("q68_detected_fields")(spark, dir)
+      .orderBy(col("field")).limit(limit).collect()
+    val fields = rows.map { r =>
+      s"""{"label":${ApiJson.jstr(r.getString(0))},""" +
+        s""""type":${ApiJson.jstr(r.getString(3))},""" +
+        s""""cardinality":${r.getLong(2)},"parsers":[]}"""
+    }
+    s"""{"fields":[${fields.mkString(",")}],"limit":$limit}"""
+  }
+
+  /** GET /prometheus/api/v1/series (reference promql.rs:244): distinct
+    * matching label sets. `match[]` takes an instant selector parsed by
+    * the PromQL parser; a matcher on a label the view doesn't carry
+    * matches nothing (Prometheus semantics), never errors. */
+  def promSeries(spark: SparkSession, dir: String, qs: String,
+      nowSec: Long): String = {
+    import graft.promql.Ast
+    val p = parseQuery(qs)
+    val sel0 = p.get("match[]").orElse(p.get("match"))
+      .getOrElse(throw HttpError(400, "missing match[] selector"))
+    val sel = (try graft.promql.Parser.parse(sel0) catch {
+      case e: Ast.ParseError => throw HttpError(400, s"parse error: ${e.getMessage}")
+    }) match {
+      case s: Ast.Selector if s.rangeNs.isEmpty => s
+      case _ => throw HttpError(400, "match[] must be an instant selector")
+    }
+    val start = p.get("start").map(parsePromSec(_, "start")).getOrElse(0L)
+    val end = p.get("end").map(parsePromSec(_, "end")).getOrElse(nowSec)
+    var df = SignalViews.metricsDf(spark, dir)
+      .filter(col("timestamp") >= start * 1000000000L &&
+        col("timestamp") < end * 1000000000L)
+    sel.metric.foreach(m => df = df.filter(col("metric_name") === m))
+    for (m <- sel.matchers) {
+      val label = if (m.label == "__name__") "metric_name" else m.label
+      if (!df.columns.contains(label)) df = df.filter(lit(false))
+      else {
+        val c = col(label)
+        df = df.filter(m.op match {
+          case Ast.MatchOp.Eq  => c === m.value
+          case Ast.MatchOp.Neq => c =!= m.value
+          case Ast.MatchOp.Re  => c.rlike("^(?:" + m.value + ")$")
+          case Ast.MatchOp.Nre => !c.rlike("^(?:" + m.value + ")$")
+        })
+      }
+    }
+    val rows = df.select(col("metric_name"), col("service_name")).distinct()
+      .orderBy(col("metric_name"), col("service_name")).limit(1000).collect()
+    val entries = rows.map(r =>
+      s"""{"__name__":${ApiJson.jstr(r.getString(0))},""" +
+        s""""service_name":${ApiJson.jstr(r.getString(1))}}""")
+    s"""{"status":"success","data":[${entries.mkString(",")}]}"""
+  }
+
   /** GET /prometheus/api/v1/labels (reference promql.rs:46). */
   def promLabels(spark: SparkSession, dir: String, qs: String): String =
     ApiJson.labelsResponse(Seq("__name__", "service_name"))

@@ -244,6 +244,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.lokiSeries(spark, dir, qs, nowNs))
     case "/loki/api/v1/index/volume" =>
       Some(Endpoints.lokiIndexVolume(spark, dir, qs, nowNs))
+    case "/loki/api/v1/detected_fields" =>
+      Some(Endpoints.lokiDetectedFields(spark, dir, qs))
     // Prometheus (reference endpoints/promql.rs route table)
     case "/prometheus/api/v1/query_range" =>
       Some(Endpoints.promQueryRange(spark, dir, qs))
@@ -253,6 +255,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.promLabels(spark, dir, qs))
     case PromLabelValues(name) =>
       Some(Endpoints.promLabelValues(spark, dir, dec(name)))
+    case "/prometheus/api/v1/series" =>
+      Some(Endpoints.promSeries(spark, dir, qs, nowNs / 1000000000L))
     // Tempo (reference endpoints/tempo.rs route table)
     case "/api/echo" => Some("echo")
     case "/api/metrics/query_range" =>

@@ -304,6 +304,35 @@ class HttpShellSpec extends AnyFunSuite {
       .statusCode() == 400)
   }
 
+  test("detected fields and prometheus series over the wire") {
+    val r = get("/loki/api/v1/detected_fields?limit=50")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.lokiDetectedFields(spark, dir, "limit=50"))
+    assert(r.body().contains(""""parsers":[]"""))
+    assert(r.body().contains(""""limit":50"""))
+    // every field entry carries a type the reference enumerates
+    assert("""\"type\":\"(string|int)\"""".r.findAllIn(r.body()).nonEmpty)
+
+    val q = "match%5B%5D=" + java.net.URLEncoder.encode(
+      """error{service_name=~"svc-[12]"}""", "UTF-8") +
+      s"&start=$T0&end=$T1"
+    val rs = get(s"/prometheus/api/v1/series?$q")
+    assert(rs.statusCode() == 200)
+    assert(rs.body() ==
+      s"""{"status":"success","data":[{"__name__":"error","service_name":"svc-1"},""" +
+        s"""{"__name__":"error","service_name":"svc-2"}]}""")
+    // unknown label matcher → empty data, never an error
+    val r2 = get("/prometheus/api/v1/series?match%5B%5D=" +
+      java.net.URLEncoder.encode("""error{nope="x"}""", "UTF-8") +
+      s"&start=$T0&end=$T1")
+    assert(r2.statusCode() == 200)
+    assert(r2.body() == """{"status":"success","data":[]}""")
+    // missing match[] → 400; range selector → 400
+    assert(get("/prometheus/api/v1/series").statusCode() == 400)
+    assert(get("/prometheus/api/v1/series?match%5B%5D=" +
+      java.net.URLEncoder.encode("error[5m]", "UTF-8")).statusCode() == 400)
+  }
+
   test("loki series count=estimate answers from the sketch") {
     val q = "match%5B%5D=" +
       java.net.URLEncoder.encode("""{service_name=~"svc-.*"}""", "UTF-8") +
