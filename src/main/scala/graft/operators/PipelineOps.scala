@@ -512,45 +512,28 @@ object PipelineOps {
     // Long-arithmetic ceiling: |c|≤n·10⁶ and s=Σ₆₄ c·x needs
     // 64·n·10¹² < 2⁶³ → n ≤ ~1.4e8 rows per fit; beyond that, rescale
     // the quantization (the y fan-in is already DECIMAL(38,0)).
-    "q317_pca_top_component" -> ((s, dir) => {
-      val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
-      val dimSums = emb
-        .select(posexplode(col("vq")).as(Seq("dim", "v")))
-        .groupBy(col("dim")).agg(sum(col("v")).as("sj"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, sj))), p -> p.sj)")
-          .as("sarr"))
-      val cnt = emb.agg(count(lit(1)).as("n"))
-      val centered = emb.crossJoin(broadcast(dimSums)).crossJoin(broadcast(cnt))
-        .select(col("vec_id"),
-          expr("zip_with(vq, sarr, (v, sj) -> n * v - sj)").as("c"))
-        .localCheckpoint()
-      var x = s.range(1)
-        .select(expr("array_repeat(CAST(1000000 AS BIGINT), 64)").as("xa"))
-      for (_ <- 1 to 6) {
-        val scored = centered.crossJoin(broadcast(x))
-          .withColumn("sv", expr(
-            "aggregate(zip_with(c, xa, (a, b) -> a * b), " +
-              "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-        x = scored
-          .select(posexplode(col("c")).as(Seq("dim", "cj")), col("sv"))
-          .groupBy(col("dim"))
-          .agg(sum(expr(
-            "CAST(sv AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))")).as("yj"))
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(dim, yj))), p -> p.yj)")
-            .as("ya"))
-          .withColumn("m", expr(
-            "aggregate(ya, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
-          .withColumn("den", expr(
-            "CAST(floor(m / 1000000) AS DECIMAL(38,0)) + 1"))
-          .select(expr(
-            "transform(ya, v -> CAST(CASE WHEN v >= 0 THEN v div den " +
-              "ELSE -((-v) div den) END AS BIGINT))").as("xa"))
-          .localCheckpoint()
-      }
-      x.select(posexplode(col("xa")).as(Seq("dim", "comp")))
-        .select(col("dim"), col("comp"))
+    "q317_pca_top_component" -> ((s, dir) =>
+      pcaComponentStored(s, dir)
+        .select(posexplode(col("xa")).as(Seq("dim", "comp")))
+        .select(col("dim"), col("comp"))),
+
+    // "All-but-the-top" (Mu 2018) DIAGNOSTIC: every embedding's centered
+    // coordinate along q317's dominant component — the quantity ABTT
+    // subtracts — ranked by magnitude to surface the vectors that
+    // dominate the top axis (what you inspect before whitening a 100 TB
+    // embedding table). Shares the trained component via the LocalCache
+    // materialization (the bpeTrain discipline); the projection itself
+    // is one broadcast fold + top-k, exact integers.
+    "q319_abtt_projection" -> ((s, dir) => {
+      val x = pcaComponentStored(s, dir)
+      val centered = pcaCentered(s, dir)
+      centered.crossJoin(broadcast(x))
+        .withColumn("proj", expr(
+          "aggregate(zip_with(c, xa, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+        .orderBy(abs(col("proj")).desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("proj"))
     }),
 
     // Johnson–Lindenstrauss RANDOM PROJECTION (Achlioptas ±1 signs,
@@ -4071,6 +4054,13 @@ object PipelineOps {
 
     "q317_pca_top_component" -> pcaOracle(6),
 
+    "q319_abtt_projection" -> pcaOracle(6,
+      """SELECT c.vec_id, CAST(SUM(c.c * x.x) AS BIGINT) AS proj
+        |FROM c JOIN x6 x USING (dim)
+        |GROUP BY 1
+        |ORDER BY ABS(CAST(SUM(c.c * x.x) AS BIGINT)) DESC, c.vec_id
+        |LIMIT 10""".stripMargin),
+
     "q318_jl_projection" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, j.i AS dim,
@@ -4206,12 +4196,67 @@ object PipelineOps {
     sb.toString
   }
 
+  /** centered integer rows for the PCA family: c = n·v − Σv (scaled by
+    * n so centering never divides). */
+  private def pcaCentered(s: SparkSession, dir: String): DataFrame = {
+    val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
+    val dimSums = emb
+      .select(posexplode(col("vq")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(sum(col("v")).as("sj"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, sj))), p -> p.sj)")
+        .as("sarr"))
+    val cnt = emb.agg(count(lit(1)).as("n"))
+    emb.crossJoin(broadcast(dimSums)).crossJoin(broadcast(cnt))
+      .select(col("vec_id"),
+        expr("zip_with(vq, sarr, (v, sj) -> n * v - sj)").as("c"))
+  }
+
+  /** the q317 power iteration, trained ONCE per dir and materialized to
+    * the LocalCache (the bpeTrain discipline — q317 and q319 share the
+    * component). 6 rounds, each two hash aggs over the checkpointed
+    * centered rows; see q317's comment for the arithmetic ceilings. */
+  private val pcaCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def pcaComponentStored(s: SparkSession, dir: String): DataFrame = {
+    val path = pcaCache.getOrElseUpdate(dir, {
+      val centered = pcaCentered(s, dir).localCheckpoint()
+      var x = s.range(1)
+        .select(expr("array_repeat(CAST(1000000 AS BIGINT), 64)").as("xa"))
+      for (_ <- 1 to 6) {
+        val scored = centered.crossJoin(broadcast(x))
+          .withColumn("sv", expr(
+            "aggregate(zip_with(c, xa, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+        x = scored
+          .select(posexplode(col("c")).as(Seq("dim", "cj")), col("sv"))
+          .groupBy(col("dim"))
+          .agg(sum(expr(
+            "CAST(sv AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))")).as("yj"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(dim, yj))), p -> p.yj)")
+            .as("ya"))
+          .withColumn("m", expr(
+            "aggregate(ya, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
+          .withColumn("den", expr(
+            "CAST(floor(m / 1000000) AS DECIMAL(38,0)) + 1"))
+          .select(expr(
+            "transform(ya, v -> CAST(CASE WHEN v >= 0 THEN v div den " +
+              "ELSE -((-v) div den) END AS BIGINT))").as("xa"))
+          .localCheckpoint()
+      }
+      val p = graft.storage.LocalCache.dir(s"pca|$dir")
+      x.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** DuckDB twin of the q317 power iteration with the rounds unrolled as
     * a generated MATERIALIZED CTE chain: same centered integers
     * (c = n·v − Σv), same two-agg round (per-vec score, per-dim fan-in
     * in HUGEINT ↔ Spark DECIMAL(38,0)), same sign-split fixed-point
     * renormalization — both engines floor on non-negative operands. */
-  private def pcaOracle(rounds: Int): String = {
+  private def pcaOracle(rounds: Int, finalSelect: String = null): String = {
     val sb = new StringBuilder
     sb ++=
       """WITH e AS MATERIALIZED (
@@ -4242,8 +4287,10 @@ object PipelineOps {
         |         ELSE -((-y.y) // d.den) END AS BIGINT) AS x
         |  FROM y$r y, d$r d)""".stripMargin
     }
-    sb ++= s"\nSELECT CAST(dim AS INTEGER) AS dim, x AS comp " +
-      s"FROM x$rounds ORDER BY dim"
+    sb ++= "\n"
+    sb ++= (if (finalSelect != null) finalSelect
+      else s"SELECT CAST(dim AS INTEGER) AS dim, x AS comp " +
+        s"FROM x$rounds ORDER BY dim")
     sb.toString
   }
 

@@ -79,6 +79,36 @@ class CmsSpec extends AnyFunSuite {
     assert(hot.getLong(1) == 50L && hot.getLong(2) >= 50L)
   }
 
+  test("streaming aggregation: counters merge across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val all = Seq.fill(2000)(("s" + rnd.nextInt(2), "tok-" + rnd.nextInt(31)))
+    val (b1, b2) = all.splitAt(900)
+    val d = 3; val w = 16
+    def cell(r: Int) =
+      s"CAST(CAST(conv(substring(md5(concat('st$r:', tok)), 1, 15), " +
+        s"16, 10) AS BIGINT) % $w AS INT)"
+    val positions = expr((0 until d).map(cell).mkString("array(", ", ", ")"))
+    val in = MemoryStream[(String, String)](spark)
+    val agg = in.toDF().toDF("svc", "tok")
+      .groupBy(col("svc")).agg(Cms.cmsSketch(positions, lit(1L), d, w).as("cms"))
+    val q = agg.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("cms_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // the cross-batch sketch equals the batch-global one (linearity)
+      val batch = all.toDF("svc", "tok")
+        .groupBy(col("svc")).agg(Cms.cmsSketch(positions, lit(1L), d, w).as("cms"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      for (svc <- Seq("s0", "s1"))
+        assert(got(svc) == batch(svc), s"cross-batch counters for $svc")
+    } finally q.stop()
+  }
+
   test("serialize/deserialize round trip preserves counters") {
     val sk = CmsSketch(
       org.apache.spark.sql.GraftShim.expression(lit(Array(0, 1))),
