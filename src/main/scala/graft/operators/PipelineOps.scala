@@ -2170,6 +2170,30 @@ object PipelineOps {
           expr("n_bpe_tokens * 1000000 div n_chars"))
     }),
 
+    // Deterministic EPOCH SHUFFLE — the data-ORDER half of a training
+    // pipeline: each epoch e permutes the corpus by md5('ep:e:doc_id'),
+    // so the order is (a) uniform, (b) different across epochs, and
+    // (c) reproducible from the seed alone — no RNG state to ship. At
+    // 100 TB the same key drives repartitionByRange + local sort (a
+    // single shuffle materializes each epoch's order); here the leading
+    // positions of two epochs are compared against the oracle's
+    // row_number restatement. Shard assignment (key-hash % 8) rides
+    // along — the file-group a writer would emit.
+    "q320_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val epochs = docs.crossJoin(
+        s.range(2).select(col("id").cast(LongType).as("epoch")))
+        .withColumn("k", md5(concat(lit("ep:"), col("epoch"), lit(":"),
+          col("doc_id"))))
+      val w = Window.partitionBy(col("epoch")).orderBy(col("k"))
+      epochs
+        .withColumn("position", row_number().over(w).cast(LongType))
+        .filter(col("position") <= 10)
+        .select(col("epoch"), col("position"), col("doc_id"),
+          expr("CAST(CAST(conv(substring(k, 1, 15), 16, 10) AS BIGINT) " +
+            "% 8 AS BIGINT)").as("shard"))
+    }),
+
     // Count-Min sketch HEAVY HITTERS (Cormode–Muthukrishnan): token
     // frequencies estimated from a d×w = 4×512 linear sketch built in
     // ONE native TypedImperativeAggregate pass (functions/Cms.scala) —
@@ -4051,6 +4075,20 @@ object PipelineOps {
       (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM best$r")
         .mkString("\n UNION ALL ")),
+
+    "q320_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT e.i AS epoch, d.doc_id,
+        |    md5('ep:' || e.i || ':' || d.doc_id) AS k
+        |  FROM documents d, range(0, 2) e(i)),
+        |r AS (
+        |  SELECT epoch, doc_id, k,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY k) AS position
+        |  FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(position AS BIGINT) AS position, doc_id,
+        |  CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 8 AS shard
+        |FROM r WHERE position <= 10""".stripMargin,
 
     "q317_pca_top_component" -> pcaOracle(6),
 
