@@ -392,6 +392,33 @@ object Endpoints {
     s"""{"status":"success","data":[${entries.mkString(",")}]}"""
   }
 
+  /** GET /prometheus/api/v1/label_stats (reference promql.rs:275 →
+    * prometheus-api LabelStat wire shape: name / distinct_estimate /
+    * presence / capped): per-attribute stats over the metric signal's
+    * attribute containers. Distinct counts come from the KMV sketch per
+    * key — one bounded-state aggregation, the same discipline as the
+    * reference's analyzer cap — with `capped` marking keys whose sketch
+    * saturated (the estimate is approximate, not an exact small
+    * count). */
+  def promLabelStats(spark: SparkSession, dir: String): String = {
+    val m = SignalViews.metricsGaugeDf(spark, dir).unionByName(
+      SignalViews.metricsSumDf(spark, dir)
+        .drop("aggregation_temporality", "is_monotonic"))
+    val total = math.max(1L, m.count())
+    val kv = m.select(explode(map_concat(
+      col("resource_attributes"), col("attributes"))).as(Seq("k", "v")))
+    val rows = graft.operators.DiscoveryOps
+      .kmvGroupStats(kv, col("k"), col("v"))
+      .orderBy(col("g")).collect()
+    val entries = rows.map { r =>
+      val presence = r.getLong(1).toDouble / total
+      s"""{"name":${ApiJson.jstr(r.getString(0))},""" +
+        s""""distinct_estimate":${r.getLong(2)},""" +
+        s""""presence":$presence,"capped":${r.getBoolean(3)}}"""
+    }
+    s"""{"status":"success","data":[${entries.mkString(",")}]}"""
+  }
+
   /** GET /prometheus/api/v1/labels (reference promql.rs:46). */
   def promLabels(spark: SparkSession, dir: String, qs: String): String =
     ApiJson.labelsResponse(Seq("__name__", "service_name"))

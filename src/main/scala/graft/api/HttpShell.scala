@@ -257,6 +257,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.promLabelValues(spark, dir, dec(name)))
     case "/prometheus/api/v1/series" =>
       Some(Endpoints.promSeries(spark, dir, qs, nowNs / 1000000000L))
+    case "/prometheus/api/v1/label_stats" =>
+      Some(Endpoints.promLabelStats(spark, dir))
     // Tempo (reference endpoints/tempo.rs route table)
     case "/api/echo" => Some("echo")
     case "/api/metrics/query_range" =>

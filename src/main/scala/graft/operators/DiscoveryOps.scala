@@ -241,6 +241,22 @@ object DiscoveryOps {
         size(col("sk")).cast(LongType).as("k_n"),
         expr(KmvEstCase).as("streams_est"))
 
+  /** per-group KMV distinct estimates of `value`: (g, present, est,
+    * capped) — presence count and the sketch in ONE bounded-state agg;
+    * `capped` marks groups whose sketch saturated (the estimate is an
+    * approximation, not an exact small count). The label_stats serving
+    * shape (reference catalog attribute stats → promql.rs:275). */
+  def kmvGroupStats(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("g"),
+        conv(substring(md5(concat(lit("kmv:"), value)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("present"),
+        graft.functions.Kmv.kmvSketch(col("h"), KmvK).as("sk"))
+      .select(col("g"), col("present"),
+        expr(KmvEstCase).as("est"),
+        (size(col("sk")) >= KmvK).as("capped"))
+
   /** KMV distinct-count estimate of a string key over `df` — ONE sketch
     * aggregation, the serving-path form (`/loki/api/v1/series` with
     * `count=estimate`). */

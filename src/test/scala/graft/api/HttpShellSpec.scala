@@ -333,6 +333,23 @@ class HttpShellSpec extends AnyFunSuite {
       java.net.URLEncoder.encode("error[5m]", "UTF-8")).statusCode() == 400)
   }
 
+  test("prometheus label_stats: presence + KMV distinct estimates per attribute") {
+    val r = get("/prometheus/api/v1/label_stats")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.promLabelStats(spark, dir))
+    // host lives in resource_attributes on EVERY metric row → presence 1
+    // and 5 exact distinct values (below the sketch cap)
+    assert(r.body().contains(
+      """{"name":"eid","""), r.body())
+    assert(r.body().contains(
+      """{"name":"host","distinct_estimate":5,"presence":1.0,"capped":false}"""))
+    // eid is per-event unique → the sketch saturates: capped, estimate > k
+    val eid = """\{"name":"eid","distinct_estimate":(\d+),"presence":1\.0,"capped":true\}""".r
+      .findFirstMatchIn(r.body())
+    assert(eid.isDefined, r.body())
+    assert(eid.get.group(1).toLong > 64)
+  }
+
   test("loki series count=estimate answers from the sketch") {
     val q = "match%5B%5D=" +
       java.net.URLEncoder.encode("""{service_name=~"svc-.*"}""", "UTF-8") +
