@@ -76,7 +76,9 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         if (path == "/loki/api/v1/tail") { tailRoute(ex, qs); return }
         val routed =
           if (ex.getRequestMethod == "POST")
-            ingestRoute(path, qs, ex.getRequestBody.readAllBytes())
+            ingestRoute(path, qs, ex.getRequestBody.readAllBytes(),
+              Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                .getOrElse(""))
           else route(path, qs)
         routed match {
           case Some(json) => (200, json)
@@ -294,7 +296,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     * acceptor, then lands via the idempotent batch sink (per-request
     * batch ids). */
   private def ingestRoute(path: String, qs: String,
-      body: Array[Byte]): Option[String] = {
+      body: Array[Byte], contentType: String = ""): Option[String] = {
     def layout = ingest.getOrElse(
       throw Endpoints.HttpError(503, "ingest not configured"))
     def payloadDf = {
@@ -304,15 +306,24 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     def land(table: String, rows: org.apache.spark.sql.DataFrame): Unit =
       graft.streaming.IngestSink.appendBatch(layout, table)(
         rows, batchBase + batchSeq.incrementAndGet())
+    // OTLP/HTTP decodes by content type (reference acceptor lib.rs:516,
+    // otlp_http_content_type_is_json :708 — protobuf is the default
+    // when no content type is present)
+    val isJson = contentType.toLowerCase(java.util.Locale.ROOT)
+      .contains("application/json")
     path match {
       case "/v1/logs" =>
-        land("logs", graft.sources.Otlp.logs(payloadDf))
+        land("logs", if (isJson) graft.sources.OtlpJson.logs(payloadDf)
+          else graft.sources.Otlp.logs(payloadDf))
         Some("""{"partialSuccess":{}}""")
       case "/v1/traces" =>
-        land("traces", graft.sources.Otlp.traces(payloadDf))
+        land("traces", if (isJson) graft.sources.OtlpJson.traces(payloadDf)
+          else graft.sources.Otlp.traces(payloadDf))
         Some("""{"partialSuccess":{}}""")
       case "/v1/metrics" =>
-        val (gauge, sum) = graft.sources.Otlp.metrics(payloadDf)
+        val (gauge, sum) =
+          if (isJson) graft.sources.OtlpJson.metrics(payloadDf)
+          else graft.sources.Otlp.metrics(payloadDf)
         land("metrics_gauge", gauge)
         land("metrics_sum", sum)
         Some("""{"partialSuccess":{}}""")

@@ -224,6 +224,37 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("POST /v1/logs with application/json decodes protojson and lands") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-json").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      val json =
+        """{"resourceLogs":[{"resource":{"attributes":[
+          |  {"key":"service.name","value":{"stringValue":"svc-json"}}]},
+          |"scopeLogs":[{"logRecords":[
+          |  {"timeUnixNano":"1704067200000000001","severityNumber":9,
+          |   "severityText":"info","body":{"stringValue":"json line"}}
+          |]}]}]}""".stripMargin
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/v1/logs"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body() == """{"partialSuccess":{}}""")
+      val stored = spark.read.parquet(layout.path("logs"))
+      assert(stored.count() == 1)
+      val row = stored.collect()(0)
+      assert(row.getAs[String]("service_name") == "svc-json")
+      assert(row.getAs[String]("body") == "json line")
+      // same route, protobuf content type (default) still decodes wire bytes
+      assert(post(p, "/v1/logs",
+        logsPayload("svc-pb", T0 * 1000000000L, 2)).statusCode() == 200)
+      assert(spark.read.parquet(layout.path("logs")).count() == 3)
+    } finally sh.stop()
+  }
+
   test("a RESTARTED shell never reuses batch ids against old commit markers") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-restart").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
