@@ -331,7 +331,12 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         land("profiles", graft.sources.Otlp.profiles(payloadDf))
         Some("""{"partialSuccess":{}}""")
       case "/api/v1/write" => // Prometheus remote_write (snappy+proto)
-        val rows = graft.sources.PromRemoteWrite.rows(payloadDf)
+        // 2.0 negotiates via the proto= content-type parameter
+        // (Prometheus 3.x; 1.0 prometheus.WriteRequest is the default)
+        val rows =
+          if (contentType.contains("io.prometheus.write.v2.Request"))
+            graft.sources.PromRemoteWrite.rowsV2(payloadDf)
+          else graft.sources.PromRemoteWrite.rows(payloadDf)
         graft.sources.PromRemoteWrite.convert(rows).foreach {
           case (table, df) => land(table, df)
         }

@@ -203,6 +203,111 @@ object PromRemoteWrite {
       .toDF()
   }
 
+  // ---- remote_write 2.0 ---------------------------------------------------
+
+  /** Prometheus remote-write 2.0 (`io.prometheus.write.v2.Request`,
+    * PROM-39 / Prometheus 3.x; negotiated via
+    * `Content-Type: application/x-protobuf;proto=io.prometheus.write.v2.Request`):
+    * label strings live ONCE in a request-level SYMBOL TABLE
+    * (`symbols = 4`) and every series carries packed uint32 REF PAIRS
+    * (`labels_refs = 1`, alternating name-ref/value-ref) instead of
+    * repeated strings — the interning that makes high-series-count
+    * writes cheap on the wire. Decoded to the SAME `WriteRow` rows as
+    * 1.0, so both protocol versions share the classification/
+    * reassembly pipeline downstream. Histograms/exemplars/metadata
+    * fields are skipped (same policy as the 1.0 walk). Two passes over
+    * the buffer: symbols first (proto field order is not guaranteed),
+    * then timeseries. */
+  def decodeWriteRequestV2(compressed: Array[Byte]): Seq[WriteRow] = {
+    val raw = org.xerial.snappy.Snappy.uncompress(compressed)
+    // pass 1: the symbol table
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val p1 = Otlp.reader(raw)
+    while (p1.hasNext) {
+      val (f, w) = p1.readTag()
+      if (f == 4 && w == 2) syms += p1.readString() else p1.skip(w)
+    }
+    def sym(i: Long): String = {
+      require(i >= 0 && i < syms.length, s"prw2: symbol ref $i out of range")
+      syms(i.toInt)
+    }
+    // pass 2: timeseries with ref pairs
+    val out = Seq.newBuilder[WriteRow]
+    val p2 = Otlp.reader(raw)
+    while (p2.hasNext) {
+      val (f, w) = p2.readTag()
+      if (f == 5 && w == 2) {
+        val ts = p2.readSlice()
+        val refs = Seq.newBuilder[Long]
+        val samples = Seq.newBuilder[(Long, Double)]
+        while (ts.hasNext) {
+          val (tf, tw) = ts.readTag()
+          if (tf == 1 && tw == 2) { // packed labels_refs
+            val r = ts.readSlice()
+            while (r.hasNext) refs += r.readVarint()
+          } else if (tf == 1 && tw == 0) { // unpacked ref (legal encoding)
+            refs += ts.readVarint()
+          } else if (tf == 2 && tw == 2) { // Sample
+            val s = ts.readSlice()
+            var v = 0.0; var t = 0L
+            while (s.hasNext) {
+              val (sf, sw) = s.readTag()
+              if (sf == 1 && sw == 1)
+                v = java.lang.Double.longBitsToDouble(s.readFixed64())
+              else if (sf == 2 && sw == 0) t = s.readVarint()
+              else s.skip(sw)
+            }
+            samples += ((t, v))
+          } else ts.skip(tw)
+        }
+        val refSeq = refs.result()
+        require(refSeq.length % 2 == 0, "prw2: odd labels_refs length")
+        val labels = refSeq.grouped(2).map { case Seq(k, v) =>
+          sym(k) -> sym(v)
+        }.filter(_._1.nonEmpty).toMap
+        samples.result().foreach { case (t, v) =>
+          out += WriteRow(labels, t, v)
+        }
+      } else p2.skip(w)
+    }
+    out.result()
+  }
+
+  /** v2 payloads → remote_write rows (same shape as [[rows]]). */
+  def rowsV2(payloads: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[WriteRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeWriteRequestV2 _)
+      .toDF()
+  }
+
+  /** fixture encoder for 2.0: builds the symbol table (index 0 = ""
+    * per spec), emits packed ref pairs — independently constructed so
+    * decode is proven against the public wire format. */
+  def encodeWriteRequestV2(
+      series: Seq[(Map[String, String], Seq[(Long, Double)])]): Array[Byte] = {
+    val symbols = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    symbols.put("", 0)
+    def ref(s: String): Int = symbols.getOrElseUpdate(s, symbols.size)
+    // intern first so the table is complete before serialization
+    val interned = series.map { case (labels, samples) =>
+      (labels.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(ref(k), ref(v)) }, samples)
+    }
+    val req = new Pb
+    symbols.keys.foreach(s => req.str(4, s))
+    interned.foreach { case (refs, samples) =>
+      req.msg(5) { ts =>
+        ts.msg(1) { packed => refs.foreach(r => packed.varint(r.toLong)) }
+        samples.foreach { case (t, v) =>
+          ts.msg(2) { s => s.double(1, v); s.vint(2, t) }
+        }
+      }
+    }
+    org.xerial.snappy.Snappy.compress(req.result)
+  }
+
   /** fixture encoder (tests + oracles): series → snappy-compressed
     * WriteRequest bytes, independently constructed so decode is proven
     * against the public wire format, not against itself. */

@@ -255,6 +255,29 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("POST /api/v1/write with the v2 content type decodes symbol-table refs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-rw2").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      val wire = graft.sources.PromRemoteWrite.encodeWriteRequestV2(Seq(
+        (Map("__name__" -> "queue_depth", "job" -> "api2", "instance" -> "i1"),
+          Seq((T0 * 1000L, 9.5)))))
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wire)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val gauge = spark.read.parquet(layout.path("metrics_gauge"))
+      assert(gauge.count() == 1)
+      assert(gauge.head().getAs[String]("service_name") == "api2")
+      assert(gauge.head().getAs[Double]("value") == 9.5)
+    } finally sh.stop()
+  }
+
   test("a RESTARTED shell never reuses batch ids against old commit markers") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-restart").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")

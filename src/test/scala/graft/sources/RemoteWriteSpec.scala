@@ -102,4 +102,32 @@ class RemoteWriteSpec extends AnyFunSuite {
     intercept[Exception](PromRemoteWrite.decodeWriteRequest(
       Array[Byte](1, 2, 3, 4)))
   }
+
+  test("remote_write 2.0: symbol-table refs decode to the same rows as 1.0") {
+    val series = Seq(
+      (Map("__name__" -> "up", "job" -> "api", "instance" -> "i1"),
+        Seq((1000L, 1.0), (2000L, 0.0))),
+      (Map("__name__" -> "http_requests_total", "job" -> "api"),
+        Seq((1000L, 42.0))))
+    val v1 = PromRemoteWrite.decodeWriteRequest(
+      PromRemoteWrite.encodeWriteRequest(series))
+    val v2 = PromRemoteWrite.decodeWriteRequestV2(
+      PromRemoteWrite.encodeWriteRequestV2(series))
+    assert(v1 == v2, s"v1:\n$v1\nv2:\n$v2")
+    assert(v2.length == 3)
+    // the v2 payload really is interned: shared strings appear ONCE
+    val raw = org.xerial.snappy.Snappy.uncompress(
+      PromRemoteWrite.encodeWriteRequestV2(series))
+    def countOccurrences(hay: Array[Byte], needle: Array[Byte]): Int =
+      (0 to hay.length - needle.length).count(i =>
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    assert(countOccurrences(raw, "api".getBytes("UTF-8")) == 1)
+    assert(countOccurrences(raw, "__name__".getBytes("UTF-8")) == 1)
+    // bad symbol refs fail loudly
+    val pb = new Pb
+    pb.str(4, "") // symbol table with only ""
+    pb.msg(5) { ts => ts.msg(1)(_.varint(7L).varint(9L)) } // refs out of range
+    intercept[Exception](PromRemoteWrite.decodeWriteRequestV2(
+      org.xerial.snappy.Snappy.compress(pb.result)))
+  }
 }
