@@ -524,6 +524,7 @@ object Otlp {
               var value = 0.0
               var flags = 0
               var attrs = Seq.empty[(String, String)]
+              val exemplars = Seq.newBuilder[String]
               while (p.hasNext) {
                 val (pf, pw) = p.readTag()
                 (pf, pw) match {
@@ -533,11 +534,31 @@ object Otlp {
                   case (6, 1) => value = p.readFixed64().toDouble // sfixed64 as_int
                   case (7, 2) => attrs = attrs :+ oneKeyValue(p.readSlice())
                   case (8, 0) => flags = p.readVarint().toInt
+                  case (5, 2) => // Exemplar { time=2 fixed64, as_double=3,
+                    // span_id=4 bytes, trace_id=5 bytes, as_int=6 sfixed64 }
+                    val ex = p.readSlice()
+                    var eT = 0L; var eV = 0.0
+                    var eTrace = ""; var eSpan = ""
+                    while (ex.hasNext) {
+                      val (ef, ew) = ex.readTag()
+                      (ef, ew) match {
+                        case (2, 1) => eT = ex.readFixed64()
+                        case (3, 1) =>
+                          eV = java.lang.Double.longBitsToDouble(ex.readFixed64())
+                        case (6, 1) => eV = ex.readFixed64().toDouble
+                        case (4, 2) => eSpan = ex.readBytesHex()
+                        case (5, 2) => eTrace = ex.readBytesHex()
+                        case _      => ex.skip(ew)
+                      }
+                    }
+                    exemplars += s"""{"value":$eV,"timestamp":$eT,""" +
+                      s""""trace_id":"$eTrace","span_id":"$eSpan"}"""
                   case _      => p.skip(pw)
                 }
               }
               out += MetricRow(ts, if (startTs != 0) startTs else ts, serviceName,
-                name, desc, unit, resMap, scopeAttrs, attrs.toMap, flags, "[]",
+                name, desc, unit, resMap, scopeAttrs, attrs.toMap, flags,
+                exemplars.result().mkString("[", ",", "]"),
                 value, kind, temporality, monotonic)
             }
           }

@@ -208,13 +208,21 @@ object OtlpJson {
 
   // ---- metrics -----------------------------------------------------------
 
+  private val exemplarArr = ArrayType(StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("spanId", StringType),
+    StructField("traceId", StringType))))
+
   private val pointArr = ArrayType(StructType(Seq(
     StructField("startTimeUnixNano", StringType),
     StructField("timeUnixNano", StringType),
     StructField("asDouble", DoubleType),
     StructField("asInt", StringType), // protojson int64 = string
     StructField("attributes", kvArr),
-    StructField("flags", IntegerType))))
+    StructField("flags", IntegerType),
+    StructField("exemplars", exemplarArr))))
 
   private val metricSchema = StructType(Seq(
     StructField("resourceMetrics", ArrayType(StructType(Seq(
@@ -238,8 +246,8 @@ object OtlpJson {
 
   /** payloads (one protojson ExportMetricsServiceRequest per row) →
     * (gauge rows, sum rows) in the Schemas.metric* shapes — the same
-    * split as `Otlp.metrics` (exemplar JSON ingest is not mapped; the
-    * column lands as `[]`, matching the wire path). */
+    * split as `Otlp.metrics`, exemplars mapped to the same JSON rows
+    * (`{"value","timestamp","trace_id","span_id"}`) as the wire path. */
   def metrics(payloads: DataFrame): (DataFrame, DataFrame) = {
     val base = payloads
       .select(from_json(col("payload").cast("string"), metricSchema).as("r"))
@@ -274,7 +282,14 @@ object OtlpJson {
           col("resource_attributes"), col("scope_attributes"),
           attrMap(col("p.attributes")).as("attributes"),
           coalesce(col("p.flags"), lit(0)).as("flags"),
-          lit("[]").as("exemplars"),
+          // same JSON shape as the wire path's hand-built exemplar rows
+          coalesce(to_json(transform(col("p.exemplars"), e => struct(
+            coalesce(e("asDouble"), e("asInt").cast("double"), lit(0.0))
+              .as("value"),
+            ns(e("timeUnixNano")).as("timestamp"),
+            coalesce(e("traceId"), lit("")).as("trace_id"),
+            coalesce(e("spanId"), lit("")).as("span_id")))), lit("[]"))
+            .as("exemplars"),
           coalesce(col("p.asDouble"), col("p.asInt").cast("double"), lit(0.0))
             .as("value"),
           col("aggregation_temporality"), col("is_monotonic"))

@@ -174,6 +174,12 @@ class OtlpJsonSpec extends AnyFunSuite {
               p.fixed64(3, 1704067260000000000L)
               p.double(4, 7.5)
               kv(p, 7, "shard", "s1")
+              p.msg(5) { ex => // Exemplar with a trace link
+                ex.fixed64(2, 1704067250000000000L)
+                ex.double(3, 3.25)
+                ex.bytes(4, Array.tabulate[Byte](8)(i => (i + 32).toByte))
+                ex.bytes(5, Array.tabulate[Byte](16)(i => (i + 64).toByte))
+              }
             }
           }
         }
@@ -198,7 +204,11 @@ class OtlpJsonSpec extends AnyFunSuite {
         |  {"name":"queue_depth","unit":"items","gauge":{"dataPoints":[
         |    {"startTimeUnixNano":"1704067200000000000",
         |     "timeUnixNano":"1704067260000000000","asDouble":7.5,
-        |     "attributes":[{"key":"shard","value":{"stringValue":"s1"}}]}]}},
+        |     "attributes":[{"key":"shard","value":{"stringValue":"s1"}}],
+        |     "exemplars":[{"timeUnixNano":"1704067250000000000",
+        |       "asDouble":3.25,
+        |       "spanId":"2021222324252627",
+        |       "traceId":"404142434445464748494a4b4c4d4e4f"}]}]}},
         |  {"name":"requests","sum":{"dataPoints":[
         |    {"timeUnixNano":"1704067260000000000","asInt":"123"}],
         |    "aggregationTemporality":2,"isMonotonic":true}}
