@@ -326,6 +326,9 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
           else graft.sources.Otlp.metrics(payloadDf)
         land("metrics_gauge", gauge)
         land("metrics_sum", sum)
+        land("metrics_histogram",
+          if (isJson) graft.sources.OtlpJson.histograms(payloadDf)
+          else graft.sources.Otlp.histograms(payloadDf))
         Some("""{"partialSuccess":{}}""")
       case "/v1development/profiles" =>
         land("profiles", graft.sources.Otlp.profiles(payloadDf))

@@ -955,6 +955,174 @@ object Otlp {
       .toDF()
   }
 
+  /** one decoded OTLP HISTOGRAM data point, aligned with
+    * Schemas.metricsHistogram (bucket_counts / explicit_bounds as JSON
+    * array strings — the reference stores them the same way,
+    * iceberg/schemas.rs histogram columns). */
+  final case class HistogramRow(
+      timestamp: Long,
+      start_timestamp: Long,
+      service_name: String,
+      metric_name: String,
+      metric_description: String,
+      metric_unit: String,
+      resource_attributes: Map[String, String],
+      scope_attributes: Map[String, String],
+      attributes: Map[String, String],
+      flags: Int,
+      exemplars: String,
+      count: Long,
+      sum: Option[Double],
+      min: Option[Double],
+      max: Option[Double],
+      bucket_counts: String,
+      explicit_bounds: String,
+      aggregation_temporality: Int)
+
+  /** ExportMetricsServiceRequest bytes → HISTOGRAM data-point rows
+    * (`Metric.histogram = 9`: HistogramDataPoint per the public
+    * metrics.proto — attributes=9, start=2/time=3 fixed64, count=4
+    * fixed64, sum=5, packed bucket_counts=6 (fixed64) and
+    * explicit_bounds=7 (double), exemplars=8, flags=10, min=11,
+    * max=12). Gauge/sum points ride [[decodeMetricsRequest]]; this walk
+    * extracts the histogram family the same way. */
+  def decodeHistogramsRequest(bytes: Array[Byte]): Seq[HistogramRow] = {
+    val out = Seq.newBuilder[HistogramRow]
+    val req = reader(bytes)
+    while (req.hasNext) {
+      val (f, w) = req.readTag()
+      if (f == 1 && w == 2) { // ResourceMetrics
+        val rm = req.readSlice()
+        var resMap = Map.empty[String, String]
+        val scopeMetrics = Seq.newBuilder[Reader]
+        while (rm.hasNext) {
+          val (rf, rw) = rm.readTag()
+          (rf, rw) match {
+            case (1, 2) => resMap = keyValues(rm.readSlice(), 1).toMap
+            case (2, 2) => scopeMetrics += rm.readSlice()
+            case _      => rm.skip(rw)
+          }
+        }
+        val serviceName = resMap.getOrElse("service.name", "")
+        for (sm <- scopeMetrics.result()) {
+          var scopeAttrs = Map.empty[String, String]
+          val metrics = Seq.newBuilder[Reader]
+          while (sm.hasNext) {
+            val (sf, sw) = sm.readTag()
+            (sf, sw) match {
+              case (1, 2) =>
+                val sc = sm.readSlice()
+                while (sc.hasNext) {
+                  val (cf, cw) = sc.readTag()
+                  if (cf == 3 && cw == 2) scopeAttrs = scopeAttrs + oneKeyValue(sc.readSlice())
+                  else sc.skip(cw)
+                }
+              case (2, 2) => metrics += sm.readSlice()
+              case _      => sm.skip(sw)
+            }
+          }
+          for (m <- metrics.result()) {
+            var name = ""; var desc = ""; var unit = ""
+            var temporality = 0
+            val points = Seq.newBuilder[Reader]
+            while (m.hasNext) {
+              val (mf, mw) = m.readTag()
+              (mf, mw) match {
+                case (1, 2) => name = m.readString()
+                case (2, 2) => desc = m.readString()
+                case (3, 2) => unit = m.readString()
+                case (9, 2) => // Histogram { data_points=1; temporality=2 }
+                  val h = m.readSlice()
+                  while (h.hasNext) {
+                    val (hf, hw) = h.readTag()
+                    (hf, hw) match {
+                      case (1, 2) => points += h.readSlice()
+                      case (2, 0) => temporality = h.readVarint().toInt
+                      case _      => h.skip(hw)
+                    }
+                  }
+                case _ => m.skip(mw)
+              }
+            }
+            for (p <- points.result()) {
+              var startTs = 0L; var ts = 0L
+              var count = 0L
+              var sum: Option[Double] = None
+              var minV: Option[Double] = None
+              var maxV: Option[Double] = None
+              var flags = 0
+              var attrs = Seq.empty[(String, String)]
+              val buckets = Seq.newBuilder[Long]
+              val bounds = Seq.newBuilder[Double]
+              val exemplars = Seq.newBuilder[String]
+              while (p.hasNext) {
+                val (pf, pw) = p.readTag()
+                (pf, pw) match {
+                  case (2, 1)  => startTs = p.readFixed64()
+                  case (3, 1)  => ts = p.readFixed64()
+                  case (4, 1)  => count = p.readFixed64()
+                  case (5, 1)  =>
+                    sum = Some(java.lang.Double.longBitsToDouble(p.readFixed64()))
+                  case (6, 2)  => // packed bucket_counts
+                    val b = p.readSlice()
+                    while (b.hasNext) buckets += b.readFixed64()
+                  case (6, 1)  => buckets += p.readFixed64()
+                  case (7, 2)  => // packed explicit_bounds
+                    val b = p.readSlice()
+                    while (b.hasNext)
+                      bounds += java.lang.Double.longBitsToDouble(b.readFixed64())
+                  case (7, 1)  =>
+                    bounds += java.lang.Double.longBitsToDouble(p.readFixed64())
+                  case (8, 2)  => // Exemplar (same shape as number points)
+                    val ex = p.readSlice()
+                    var eT = 0L; var eV = 0.0
+                    var eTrace = ""; var eSpan = ""
+                    while (ex.hasNext) {
+                      val (ef, ew) = ex.readTag()
+                      (ef, ew) match {
+                        case (2, 1) => eT = ex.readFixed64()
+                        case (3, 1) =>
+                          eV = java.lang.Double.longBitsToDouble(ex.readFixed64())
+                        case (6, 1) => eV = ex.readFixed64().toDouble
+                        case (4, 2) => eSpan = ex.readBytesHex()
+                        case (5, 2) => eTrace = ex.readBytesHex()
+                        case _      => ex.skip(ew)
+                      }
+                    }
+                    exemplars += s"""{"value":$eV,"timestamp":$eT,""" +
+                      s""""trace_id":"$eTrace","span_id":"$eSpan"}"""
+                  case (9, 2)  => attrs = attrs :+ oneKeyValue(p.readSlice())
+                  case (10, 0) => flags = p.readVarint().toInt
+                  case (11, 1) =>
+                    minV = Some(java.lang.Double.longBitsToDouble(p.readFixed64()))
+                  case (12, 1) =>
+                    maxV = Some(java.lang.Double.longBitsToDouble(p.readFixed64()))
+                  case _       => p.skip(pw)
+                }
+              }
+              out += HistogramRow(ts, if (startTs != 0) startTs else ts,
+                serviceName, name, desc, unit, resMap, scopeAttrs, attrs.toMap,
+                flags, exemplars.result().mkString("[", ",", "]"),
+                count, sum, minV, maxV,
+                buckets.result().mkString("[", ",", "]"),
+                bounds.result().mkString("[", ",", "]"),
+                temporality)
+            }
+          }
+        }
+      } else req.skip(w)
+    }
+    out.result()
+  }
+
+  /** payloads → histogram data-point rows (Schemas.metricsHistogram). */
+  def histograms(payloads: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[HistogramRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeHistogramsRequest _)
+      .toDF()
+  }
+
   /** payloads → (gauge rows, sum rows) in the Schemas.metric* shapes. */
   def metrics(payloads: DataFrame): (DataFrame, DataFrame) = {
     implicit val enc = Encoders.product[MetricRow]

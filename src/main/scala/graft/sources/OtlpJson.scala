@@ -224,6 +224,19 @@ object OtlpJson {
     StructField("flags", IntegerType),
     StructField("exemplars", exemplarArr))))
 
+  private val histPointArr = ArrayType(StructType(Seq(
+    StructField("startTimeUnixNano", StringType),
+    StructField("timeUnixNano", StringType),
+    StructField("count", StringType), // protojson uint64 = string
+    StructField("sum", DoubleType),
+    StructField("bucketCounts", ArrayType(StringType)),
+    StructField("explicitBounds", ArrayType(DoubleType)),
+    StructField("attributes", kvArr),
+    StructField("flags", IntegerType),
+    StructField("min", DoubleType),
+    StructField("max", DoubleType),
+    StructField("exemplars", exemplarArr))))
+
   private val metricSchema = StructType(Seq(
     StructField("resourceMetrics", ArrayType(StructType(Seq(
       StructField("resource", StructType(Seq(
@@ -242,7 +255,10 @@ object OtlpJson {
           StructField("sum", StructType(Seq(
             StructField("dataPoints", pointArr),
             StructField("aggregationTemporality", IntegerType),
-            StructField("isMonotonic", BooleanType))))))))))))))))))
+            StructField("isMonotonic", BooleanType)))),
+          StructField("histogram", StructType(Seq(
+            StructField("dataPoints", histPointArr),
+            StructField("aggregationTemporality", IntegerType))))))))))))))))))
 
   /** payloads (one protojson ExportMetricsServiceRequest per row) →
     * (gauge rows, sum rows) in the Schemas.metric* shapes — the same
@@ -297,4 +313,52 @@ object OtlpJson {
     (points("gauge").drop("aggregation_temporality", "is_monotonic"),
       points("sum"))
   }
+
+  /** payloads → HISTOGRAM data-point rows in the
+    * `Otlp.HistogramRow` column shape (bucket_counts/explicit_bounds as
+    * the same JSON array strings the wire path builds). */
+  def histograms(payloads: DataFrame): DataFrame =
+    payloads
+      .select(from_json(col("payload").cast("string"), metricSchema).as("r"))
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(attrMap(col("rm.resource.attributes")).as("resource_attributes"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("resource_attributes"),
+        attrMap(col("sm.scope.attributes")).as("scope_attributes"),
+        explode(col("sm.metrics")).as("m"))
+      .filter(col("m.histogram.dataPoints").isNotNull)
+      .select(col("resource_attributes"), col("scope_attributes"),
+        coalesce(col("m.name"), lit("")).as("metric_name"),
+        coalesce(col("m.description"), lit("")).as("metric_description"),
+        coalesce(col("m.unit"), lit("")).as("metric_unit"),
+        coalesce(col("m.histogram.aggregationTemporality"), lit(0))
+          .as("aggregation_temporality"),
+        explode(col("m.histogram.dataPoints")).as("p"))
+      .select(
+        ns(col("p.timeUnixNano")).as("timestamp"),
+        when(ns(col("p.startTimeUnixNano")) =!= 0L,
+          ns(col("p.startTimeUnixNano")))
+          .otherwise(ns(col("p.timeUnixNano"))).as("start_timestamp"),
+        coalesce(element_at(col("resource_attributes"), "service.name"),
+          lit("")).as("service_name"),
+        col("metric_name"), col("metric_description"), col("metric_unit"),
+        col("resource_attributes"), col("scope_attributes"),
+        attrMap(col("p.attributes")).as("attributes"),
+        coalesce(col("p.flags"), lit(0)).as("flags"),
+        coalesce(to_json(transform(col("p.exemplars"), e => struct(
+          coalesce(e("asDouble"), e("asInt").cast("double"), lit(0.0))
+            .as("value"),
+          ns(e("timeUnixNano")).as("timestamp"),
+          coalesce(e("traceId"), lit("")).as("trace_id"),
+          coalesce(e("spanId"), lit("")).as("span_id")))), lit("[]"))
+          .as("exemplars"),
+        ns(col("p.count")).as("count"),
+        col("p.sum").as("sum"),
+        col("p.min").as("min"),
+        col("p.max").as("max"),
+        coalesce(to_json(transform(col("p.bucketCounts"),
+          b => b.cast("long"))), lit("[]")).as("bucket_counts"),
+        coalesce(to_json(col("p.explicitBounds")), lit("[]"))
+          .as("explicit_bounds"),
+        col("aggregation_temporality"))
 }

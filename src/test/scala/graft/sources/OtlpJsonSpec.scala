@@ -221,6 +221,63 @@ class OtlpJsonSpec extends AnyFunSuite {
       s"sum pb:\n${sPb.collect().mkString("\n")}\njson:\n${sJs.collect().mkString("\n")}")
   }
 
+  test("histograms: protojson decodes to the same rows as protobuf") {
+    val pb = new Pb
+    pb.msg(1) { rm =>
+      rm.msg(1)(res => kv(res, 1, "service.name", "svc-h"))
+      rm.msg(2) { sm =>
+        sm.msg(2) { m =>
+          m.str(1, "latency"); m.str(3, "s")
+          m.msg(9) { h => // Histogram
+            h.msg(1) { p => // HistogramDataPoint
+              p.fixed64(2, 1704067200000000000L)
+              p.fixed64(3, 1704067260000000000L)
+              p.fixed64(4, 7L)           // count
+              p.double(5, 12.5)          // sum
+              p.msg(6) { b =>            // packed bucket_counts (fixed64)
+                Seq(1L, 4L, 2L).foreach(v =>
+                  (0 until 8).foreach(i => b.out.write(((v >>> (8 * i)) & 0xFF).toInt)))
+              }
+              p.msg(7) { b =>            // packed explicit_bounds (double)
+                Seq(0.5, 1.0).foreach { d =>
+                  val bits = java.lang.Double.doubleToLongBits(d)
+                  (0 until 8).foreach(i => b.out.write(((bits >>> (8 * i)) & 0xFF).toInt))
+                }
+              }
+              kv(p, 9, "route", "/x")
+              p.double(11, 0.1)          // min
+              p.double(12, 2.5)          // max
+            }
+            h.vint(2, 2) // cumulative
+          }
+        }
+      }
+    }
+    val json =
+      """{"resourceMetrics":[{"resource":{"attributes":[
+        |  {"key":"service.name","value":{"stringValue":"svc-h"}}]},
+        |"scopeMetrics":[{"metrics":[
+        |  {"name":"latency","unit":"s","histogram":{"dataPoints":[
+        |    {"startTimeUnixNano":"1704067200000000000",
+        |     "timeUnixNano":"1704067260000000000",
+        |     "count":"7","sum":12.5,
+        |     "bucketCounts":["1","4","2"],"explicitBounds":[0.5,1.0],
+        |     "attributes":[{"key":"route","value":{"stringValue":"/x"}}],
+        |     "min":0.1,"max":2.5}],
+        |   "aggregationTemporality":2}}
+        |]}]}]}""".stripMargin
+    val fromPb = Otlp.histograms(df(pb.result)).collect()
+    val fromJson = OtlpJson.histograms(df(json.getBytes("UTF-8"))).collect()
+    assert(fromPb.length == 1 && fromJson.length == 1)
+    assert(fromPb.toSeq == fromJson.toSeq,
+      s"pb:\n${fromPb.mkString("\n")}\njson:\n${fromJson.mkString("\n")}")
+    val r = fromPb(0)
+    assert(r.getAs[Long]("count") == 7L)
+    assert(r.getAs[String]("bucket_counts") == "[1,4,2]")
+    assert(r.getAs[String]("explicit_bounds") == "[0.5,1.0]")
+    assert(r.getAs[Double]("min") == 0.1 && r.getAs[Double]("max") == 2.5)
+  }
+
   test("malformed and empty JSON decode to zero rows, never a crash") {
     assert(OtlpJson.logs(df("not json at all".getBytes)).count() == 0)
     assert(OtlpJson.logs(df("{}".getBytes)).count() == 0)
