@@ -329,6 +329,12 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         land("metrics_histogram",
           if (isJson) graft.sources.OtlpJson.histograms(payloadDf)
           else graft.sources.Otlp.histograms(payloadDf))
+        // exponential histograms land protobuf-only (protojson senders
+        // of native histograms are rare; the JSON path rejects nothing
+        // — exp-hist entries simply do not match its schema)
+        if (!isJson)
+          land("metrics_exponential_histogram",
+            graft.sources.Otlp.expHistograms(payloadDf))
         Some("""{"partialSuccess":{}}""")
       case "/v1development/profiles" =>
         land("profiles", graft.sources.Otlp.profiles(payloadDf))

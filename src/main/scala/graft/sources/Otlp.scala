@@ -1115,6 +1115,193 @@ object Otlp {
     out.result()
   }
 
+  /** one decoded OTLP EXPONENTIAL-histogram data point, aligned with
+    * Schemas.metricsExponentialHistogram (dyadic base-2 buckets: scale,
+    * zero count/threshold, positive/negative offset + packed counts —
+    * the native-histogram storage the q92/q124/q224 quantile walks
+    * read). */
+  final case class ExpHistogramRow(
+      timestamp: Long,
+      start_timestamp: Long,
+      service_name: String,
+      metric_name: String,
+      metric_description: String,
+      metric_unit: String,
+      resource_attributes: Map[String, String],
+      scope_attributes: Map[String, String],
+      attributes: Map[String, String],
+      flags: Int,
+      exemplars: String,
+      count: Long,
+      sum: Option[Double],
+      scale: Int,
+      zero_count: Long,
+      positive_offset: Int,
+      positive_bucket_counts: String,
+      negative_offset: Int,
+      negative_bucket_counts: String,
+      zero_threshold: Double,
+      aggregation_temporality: Int)
+
+  /** ExportMetricsServiceRequest bytes → EXPONENTIAL-histogram rows
+    * (`Metric.exponential_histogram = 10`: per the public metrics.proto
+    * — attributes=1, start=2/time=3 fixed64, count=4 fixed64, sum=5,
+    * scale=6 SINT32 (zigzag), zero_count=7 fixed64, positive=8 /
+    * negative=9 Buckets{offset=1 sint32, bucket_counts=2 packed
+    * varint}, flags=10, exemplars=11, zero_threshold=14). */
+  def decodeExpHistogramsRequest(bytes: Array[Byte]): Seq[ExpHistogramRow] = {
+    def zigzag(v: Long): Int = (((v >>> 1) ^ -(v & 1)).toInt)
+    val out = Seq.newBuilder[ExpHistogramRow]
+    val req = reader(bytes)
+    while (req.hasNext) {
+      val (f, w) = req.readTag()
+      if (f == 1 && w == 2) { // ResourceMetrics
+        val rm = req.readSlice()
+        var resMap = Map.empty[String, String]
+        val scopeMetrics = Seq.newBuilder[Reader]
+        while (rm.hasNext) {
+          val (rf, rw) = rm.readTag()
+          (rf, rw) match {
+            case (1, 2) => resMap = keyValues(rm.readSlice(), 1).toMap
+            case (2, 2) => scopeMetrics += rm.readSlice()
+            case _      => rm.skip(rw)
+          }
+        }
+        val serviceName = resMap.getOrElse("service.name", "")
+        for (sm <- scopeMetrics.result()) {
+          var scopeAttrs = Map.empty[String, String]
+          val metrics = Seq.newBuilder[Reader]
+          while (sm.hasNext) {
+            val (sf, sw) = sm.readTag()
+            (sf, sw) match {
+              case (1, 2) =>
+                val sc = sm.readSlice()
+                while (sc.hasNext) {
+                  val (cf, cw) = sc.readTag()
+                  if (cf == 3 && cw == 2) scopeAttrs = scopeAttrs + oneKeyValue(sc.readSlice())
+                  else sc.skip(cw)
+                }
+              case (2, 2) => metrics += sm.readSlice()
+              case _      => sm.skip(sw)
+            }
+          }
+          for (m <- metrics.result()) {
+            var name = ""; var desc = ""; var unit = ""
+            var temporality = 0
+            val points = Seq.newBuilder[Reader]
+            while (m.hasNext) {
+              val (mf, mw) = m.readTag()
+              (mf, mw) match {
+                case (1, 2)  => name = m.readString()
+                case (2, 2)  => desc = m.readString()
+                case (3, 2)  => unit = m.readString()
+                case (10, 2) => // ExponentialHistogram { data_points=1; temporality=2 }
+                  val h = m.readSlice()
+                  while (h.hasNext) {
+                    val (hf, hw) = h.readTag()
+                    (hf, hw) match {
+                      case (1, 2) => points += h.readSlice()
+                      case (2, 0) => temporality = h.readVarint().toInt
+                      case _      => h.skip(hw)
+                    }
+                  }
+                case _ => m.skip(mw)
+              }
+            }
+            for (p <- points.result()) {
+              var startTs = 0L; var ts = 0L
+              var count = 0L
+              var sum: Option[Double] = None
+              var scale = 0
+              var zeroCount = 0L
+              var posOff = 0; var negOff = 0
+              val posCounts = Seq.newBuilder[Long]
+              val negCounts = Seq.newBuilder[Long]
+              var zeroThreshold = 0.0
+              var flags = 0
+              var attrs = Seq.empty[(String, String)]
+              val exemplars = Seq.newBuilder[String]
+              def buckets(r0: Reader): (Int, Seq[Long]) = {
+                var off = 0
+                val cs = Seq.newBuilder[Long]
+                while (r0.hasNext) {
+                  val (bf, bw) = r0.readTag()
+                  (bf, bw) match {
+                    case (1, 0) => off = zigzag(r0.readVarint())
+                    case (2, 2) => // packed varints
+                      val b = r0.readSlice()
+                      while (b.hasNext) cs += b.readVarint()
+                    case (2, 0) => cs += r0.readVarint()
+                    case _      => r0.skip(bw)
+                  }
+                }
+                (off, cs.result())
+              }
+              while (p.hasNext) {
+                val (pf, pw) = p.readTag()
+                (pf, pw) match {
+                  case (1, 2)  => attrs = attrs :+ oneKeyValue(p.readSlice())
+                  case (2, 1)  => startTs = p.readFixed64()
+                  case (3, 1)  => ts = p.readFixed64()
+                  case (4, 1)  => count = p.readFixed64()
+                  case (5, 1)  =>
+                    sum = Some(java.lang.Double.longBitsToDouble(p.readFixed64()))
+                  case (6, 0)  => scale = zigzag(p.readVarint())
+                  case (7, 1)  => zeroCount = p.readFixed64()
+                  case (8, 2)  =>
+                    val (o, cs) = buckets(p.readSlice()); posOff = o
+                    cs.foreach(posCounts += _)
+                  case (9, 2)  =>
+                    val (o, cs) = buckets(p.readSlice()); negOff = o
+                    cs.foreach(negCounts += _)
+                  case (10, 0) => flags = p.readVarint().toInt
+                  case (11, 2) =>
+                    val ex = p.readSlice()
+                    var eT = 0L; var eV = 0.0
+                    var eTrace = ""; var eSpan = ""
+                    while (ex.hasNext) {
+                      val (ef, ew) = ex.readTag()
+                      (ef, ew) match {
+                        case (2, 1) => eT = ex.readFixed64()
+                        case (3, 1) =>
+                          eV = java.lang.Double.longBitsToDouble(ex.readFixed64())
+                        case (6, 1) => eV = ex.readFixed64().toDouble
+                        case (4, 2) => eSpan = ex.readBytesHex()
+                        case (5, 2) => eTrace = ex.readBytesHex()
+                        case _      => ex.skip(ew)
+                      }
+                    }
+                    exemplars += s"""{"value":$eV,"timestamp":$eT,""" +
+                      s""""trace_id":"$eTrace","span_id":"$eSpan"}"""
+                  case (14, 1) =>
+                    zeroThreshold = java.lang.Double.longBitsToDouble(p.readFixed64())
+                  case _       => p.skip(pw)
+                }
+              }
+              out += ExpHistogramRow(ts, if (startTs != 0) startTs else ts,
+                serviceName, name, desc, unit, resMap, scopeAttrs, attrs.toMap,
+                flags, exemplars.result().mkString("[", ",", "]"),
+                count, sum, scale, zeroCount,
+                posOff, posCounts.result().mkString("[", ",", "]"),
+                negOff, negCounts.result().mkString("[", ",", "]"),
+                zeroThreshold, temporality)
+            }
+          }
+        }
+      } else req.skip(w)
+    }
+    out.result()
+  }
+
+  /** payloads → exponential-histogram rows
+    * (Schemas.metricsExponentialHistogram). */
+  def expHistograms(payloads: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ExpHistogramRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeExpHistogramsRequest _)
+      .toDF()
+  }
+
   /** payloads → histogram data-point rows (Schemas.metricsHistogram). */
   def histograms(payloads: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[HistogramRow]

@@ -183,6 +183,50 @@ class OtlpSpec extends AnyFunSuite {
     assert(df.columns.contains("duration_nanos") && df.columns.contains("is_root"))
   }
 
+  test("exponential histogram points decode: zigzag scale/offsets, packed counts") {
+    val req = new Pb
+    req.msg(1) { rm =>
+      rm.msg(1)(res => kv(res, 1, "service.name", "svc-e"))
+      rm.msg(2) { sm =>
+        sm.msg(2) { m =>
+          m.str(1, "native_latency")
+          m.msg(10) { h => // ExponentialHistogram
+            h.msg(1) { p => // ExponentialHistogramDataPoint
+              p.fixed64(3, 1704067260000000000L)
+              p.fixed64(4, 10L)      // count
+              p.double(5, 6.25)      // sum
+              p.vint(6, 3)           // scale = zigzag(3) = -2? no: sint32 2 encodes...
+              p.fixed64(7, 2L)       // zero_count
+              p.msg(8) { b =>        // positive Buckets
+                b.vint(1, 2)         // offset sint32: zigzag(2) = 1
+                b.msg(2)(pk => { pk.varint(3L); pk.varint(5L) }) // packed
+              }
+              p.msg(9) { b =>        // negative Buckets
+                b.vint(1, 1)         // zigzag(1) = -1
+                b.vint(2, 2)         // unpacked single count
+              }
+              p.double(14, 1e-9)     // zero_threshold
+            }
+            h.vint(2, 2)
+          }
+        }
+      }
+    }
+    val rows = Otlp.decodeExpHistogramsRequest(req.result)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.service_name == "svc-e" && r.metric_name == "native_latency")
+    assert(r.count == 10L && r.sum.contains(6.25))
+    assert(r.scale == zig(3), s"scale ${r.scale}") // sint32 decode
+    assert(r.zero_count == 2L)
+    assert(r.positive_offset == zig(2) && r.positive_bucket_counts == "[3,5]")
+    assert(r.negative_offset == zig(1) && r.negative_bucket_counts == "[2]")
+    assert(r.zero_threshold == 1e-9)
+    assert(r.aggregation_temporality == 2)
+  }
+
+  private def zig(encoded: Long): Int = (((encoded >>> 1) ^ -(encoded & 1)).toInt)
+
   test("unknown fields are skipped, truncated input fails at the boundary") {
     // append an unknown field (200, varint) at the request level
     val extra = new Pb
