@@ -332,9 +332,11 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         // exponential histograms land protobuf-only (protojson senders
         // of native histograms are rare; the JSON path rejects nothing
         // — exp-hist entries simply do not match its schema)
-        if (!isJson)
+        if (!isJson) {
           land("metrics_exponential_histogram",
             graft.sources.Otlp.expHistograms(payloadDf))
+          land("metrics_summary", graft.sources.Otlp.summaries(payloadDf))
+        }
         Some("""{"partialSuccess":{}}""")
       case "/v1development/profiles" =>
         land("profiles", graft.sources.Otlp.profiles(payloadDf))

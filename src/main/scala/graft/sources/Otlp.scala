@@ -1293,6 +1293,133 @@ object Otlp {
     out.result()
   }
 
+  /** one decoded OTLP SUMMARY data point (Schemas.metricsSummary). */
+  final case class SummaryRow(
+      timestamp: Long,
+      start_timestamp: Long,
+      service_name: String,
+      metric_name: String,
+      metric_description: String,
+      metric_unit: String,
+      resource_attributes: Map[String, String],
+      scope_attributes: Map[String, String],
+      attributes: Map[String, String],
+      flags: Int,
+      exemplars: String,
+      count: Long,
+      sum: Double,
+      quantile_values: String)
+
+  /** ExportMetricsServiceRequest bytes → SUMMARY rows (`Metric.summary
+    * = 11`: SummaryDataPoint — attributes=7, start=2/time=3 fixed64,
+    * count=4 fixed64, sum=5, quantile_values=6 {quantile=1, value=2},
+    * flags=8). Quantiles serialize to the JSON array the summary
+    * quantile path (q224-family) reads. */
+  def decodeSummariesRequest(bytes: Array[Byte]): Seq[SummaryRow] = {
+    val out = Seq.newBuilder[SummaryRow]
+    val req = reader(bytes)
+    while (req.hasNext) {
+      val (f, w) = req.readTag()
+      if (f == 1 && w == 2) {
+        val rm = req.readSlice()
+        var resMap = Map.empty[String, String]
+        val scopeMetrics = Seq.newBuilder[Reader]
+        while (rm.hasNext) {
+          val (rf, rw) = rm.readTag()
+          (rf, rw) match {
+            case (1, 2) => resMap = keyValues(rm.readSlice(), 1).toMap
+            case (2, 2) => scopeMetrics += rm.readSlice()
+            case _      => rm.skip(rw)
+          }
+        }
+        val serviceName = resMap.getOrElse("service.name", "")
+        for (sm <- scopeMetrics.result()) {
+          var scopeAttrs = Map.empty[String, String]
+          val metrics = Seq.newBuilder[Reader]
+          while (sm.hasNext) {
+            val (sf, sw) = sm.readTag()
+            (sf, sw) match {
+              case (1, 2) =>
+                val sc = sm.readSlice()
+                while (sc.hasNext) {
+                  val (cf, cw) = sc.readTag()
+                  if (cf == 3 && cw == 2) scopeAttrs = scopeAttrs + oneKeyValue(sc.readSlice())
+                  else sc.skip(cw)
+                }
+              case (2, 2) => metrics += sm.readSlice()
+              case _      => sm.skip(sw)
+            }
+          }
+          for (m <- metrics.result()) {
+            var name = ""; var desc = ""; var unit = ""
+            val points = Seq.newBuilder[Reader]
+            while (m.hasNext) {
+              val (mf, mw) = m.readTag()
+              (mf, mw) match {
+                case (1, 2)  => name = m.readString()
+                case (2, 2)  => desc = m.readString()
+                case (3, 2)  => unit = m.readString()
+                case (11, 2) => // Summary { data_points = 1 }
+                  val su = m.readSlice()
+                  while (su.hasNext) {
+                    val (uf, uw) = su.readTag()
+                    if (uf == 1 && uw == 2) points += su.readSlice()
+                    else su.skip(uw)
+                  }
+                case _ => m.skip(mw)
+              }
+            }
+            for (p <- points.result()) {
+              var startTs = 0L; var ts = 0L
+              var count = 0L; var sum = 0.0
+              var flags = 0
+              var attrs = Seq.empty[(String, String)]
+              val qs = Seq.newBuilder[String]
+              while (p.hasNext) {
+                val (pf, pw) = p.readTag()
+                (pf, pw) match {
+                  case (2, 1) => startTs = p.readFixed64()
+                  case (3, 1) => ts = p.readFixed64()
+                  case (4, 1) => count = p.readFixed64()
+                  case (5, 1) =>
+                    sum = java.lang.Double.longBitsToDouble(p.readFixed64())
+                  case (6, 2) => // ValueAtQuantile { quantile=1, value=2 }
+                    val q = p.readSlice()
+                    var qq = 0.0; var qv = 0.0
+                    while (q.hasNext) {
+                      val (qf, qw) = q.readTag()
+                      if (qf == 1 && qw == 1)
+                        qq = java.lang.Double.longBitsToDouble(q.readFixed64())
+                      else if (qf == 2 && qw == 1)
+                        qv = java.lang.Double.longBitsToDouble(q.readFixed64())
+                      else q.skip(qw)
+                    }
+                    qs += s"""{"quantile":$qq,"value":$qv}"""
+                  case (7, 2) => attrs = attrs :+ oneKeyValue(p.readSlice())
+                  case (8, 0) => flags = p.readVarint().toInt
+                  case _      => p.skip(pw)
+                }
+              }
+              out += SummaryRow(ts, if (startTs != 0) startTs else ts,
+                serviceName, name, desc, unit, resMap, scopeAttrs, attrs.toMap,
+                flags, "[]", count, sum,
+                qs.result().mkString("[", ",", "]"))
+            }
+          }
+        }
+      } else req.skip(w)
+    }
+    out.result()
+  }
+
+  /** payloads → summary rows (Schemas.metricsSummary). */
+  def summaries(payloads: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[SummaryRow]
+    payloads.select(col("payload")).as(Encoders.BINARY)
+      .flatMap(decodeSummariesRequest _)
+      .toDF()
+  }
+
   /** payloads → exponential-histogram rows
     * (Schemas.metricsExponentialHistogram). */
   def expHistograms(payloads: DataFrame): DataFrame = {

@@ -227,6 +227,36 @@ class OtlpSpec extends AnyFunSuite {
 
   private def zig(encoded: Long): Int = (((encoded >>> 1) ^ -(encoded & 1)).toInt)
 
+  test("summary points decode: count/sum and the quantile-value array") {
+    val req = new Pb
+    req.msg(1) { rm =>
+      rm.msg(1)(res => kv(res, 1, "service.name", "svc-s"))
+      rm.msg(2) { sm =>
+        sm.msg(2) { m =>
+          m.str(1, "rpc_latency")
+          m.msg(11) { su => // Summary
+            su.msg(1) { p =>
+              p.fixed64(3, 1704067260000000000L)
+              p.fixed64(4, 100L)
+              p.double(5, 42.5)
+              p.msg(6) { q => q.double(1, 0.5); q.double(2, 0.31) }
+              p.msg(6) { q => q.double(1, 0.99); q.double(2, 1.75) }
+              kv(p, 7, "rpc", "Get")
+            }
+          }
+        }
+      }
+    }
+    val rows = Otlp.decodeSummariesRequest(req.result)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.service_name == "svc-s" && r.metric_name == "rpc_latency")
+    assert(r.count == 100L && r.sum == 42.5)
+    assert(r.quantile_values ==
+      """[{"quantile":0.5,"value":0.31},{"quantile":0.99,"value":1.75}]""")
+    assert(r.attributes == Map("rpc" -> "Get"))
+  }
+
   test("unknown fields are skipped, truncated input fails at the boundary") {
     // append an unknown field (200, varint) at the request level
     val extra = new Pb
