@@ -100,4 +100,61 @@ class OtlpIngestE2ESpec extends AnyFunSuite {
     assert(rows.length == 3) // lines 0, 2, 4 of svc-a
     assert(rows.forall(_.getAs[String]("body").startsWith("line")))
   }
+
+  test("histogram points land in the stored layout and replay idempotently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hist-e2e").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    val req = new Pb
+    req.msg(1) { rm =>
+      rm.msg(1)(_.msg(1) { kvp =>
+        kvp.str(1, "service.name"); kvp.msg(2)(_.str(1, "svc-h"))
+      })
+      rm.msg(2) { sm =>
+        sm.msg(2) { m =>
+          m.str(1, "latency")
+          m.msg(9) { h =>
+            h.msg(1) { p =>
+              p.fixed64(3, 1704067260000000000L)
+              p.fixed64(4, 10L)
+              p.msg(6) { b =>
+                Seq(1L, 5L, 4L).foreach(v =>
+                  (0 until 8).foreach(i => b.out.write(((v >>> (8 * i)) & 0xFF).toInt)))
+              }
+              p.msg(7) { b =>
+                Seq(0.5, 1.0).foreach { d =>
+                  val bits = java.lang.Double.doubleToLongBits(d)
+                  (0 until 8).foreach(i => b.out.write(((bits >>> (8 * i)) & 0xFF).toInt))
+                }
+              }
+            }
+            h.tag(2, 0); h.varint(2)
+          }
+        }
+      }
+    }
+    val payloads = Seq(req.result).toDF("payload")
+    val hist = Otlp.histograms(payloads)
+    IngestSink.appendBatch(layout, "metrics_histogram")(hist, 1L)
+    // replaying the SAME batch id is a no-op (commit marker)
+    IngestSink.appendBatch(layout, "metrics_histogram")(hist, 1L)
+    val stored = spark.read.parquet(layout.path("metrics_histogram"))
+    assert(stored.count() == 1)
+    assert(stored.columns.contains("date_day"))
+    val r = stored.collect()(0)
+    assert(r.getAs[String]("service_name") == "svc-h")
+    assert(r.getAs[Long]("count") == 10L)
+    assert(r.getAs[String]("bucket_counts") == "[1,5,4]")
+    assert(r.getAs[String]("explicit_bounds") == "[0.5,1.0]")
+    // the stored shape is directly consumable by the quantile walk:
+    // cumulative [1,6,10], p50 rank 5 → inside the (0.5, 1.0] bucket
+    val counts = r.getAs[String]("bucket_counts").stripPrefix("[")
+      .stripSuffix("]").split(',').map(_.toLong)
+    val bounds = r.getAs[String]("explicit_bounds").stripPrefix("[")
+      .stripSuffix("]").split(',').map(_.toDouble)
+    val cum = counts.scanLeft(0L)(_ + _).tail
+    val rank = 0.5 * counts.sum
+    val idx = cum.indexWhere(_ >= rank)
+    assert(bounds(idx) == 1.0)
+  }
 }
