@@ -140,6 +140,42 @@ object Endpoints {
     }
   }
 
+  /** GET /loki/api/v1/query — Loki INSTANT query (reference
+    * logql.rs:148): evaluates the LOG query over the trailing hour
+    * ending at `time` (default now) and answers the streams envelope —
+    * the reference routes instant queries through run_log_query, so
+    * only line queries are served here; a metric query belongs on
+    * query_range. */
+  def lokiInstantQuery(spark: SparkSession, dir: String, qs: String,
+      nowNs: Long): String = {
+    val p = parseQuery(qs)
+    val query = require(p, "query")
+    val endNs = p.get("time").map(parseLokiNs(_, "time")).getOrElse(nowNs)
+    val startNs = endNs - 3600L * 1000000000L // HOUR_NS lookback
+    val limit = p.get("limit").map(_.toIntOption.getOrElse(
+      throw HttpError(400, "invalid limit"))).getOrElse(100)
+    if (limit <= 0 || limit > 5000) throw HttpError(400, s"limit out of range: $limit")
+    val newestFirst = p.getOrElse("direction", "backward") match {
+      case "backward" => true
+      case "forward"  => false
+      case other      => throw HttpError(400, s"invalid direction: $other")
+    }
+    val parsed =
+      try graft.logql.Parser.parse(query)
+      catch { case e: graft.logql.Ast.ParseError =>
+        throw HttpError(400, s"parse error: ${e.getMessage}") }
+    parsed match {
+      case graft.logql.Ast.LineQuery(q) =>
+        val df = graft.logql.Lowering.lowerLineQuery(
+          SignalViews.logsTable(spark, dir), q, limit,
+          newestFirst, timeRange = Some((startNs, endNs)))
+        ApiJson.lokiStreams(df, Seq("service_name", "severity_text"))
+      case _ =>
+        throw HttpError(400,
+          "instant query serves log queries; use query_range for metrics")
+    }
+  }
+
   // ---- Prometheus ---------------------------------------------------------
 
   /** GET /api/v1/query_range (reference endpoints/promql.rs). */

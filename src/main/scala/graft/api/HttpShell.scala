@@ -238,6 +238,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // Loki (reference endpoints/logql.rs route table)
     case "/loki/api/v1/query_range" =>
       Some(Endpoints.lokiQueryRange(spark, dir, qs, nowNs))
+    case "/loki/api/v1/query" =>
+      Some(Endpoints.lokiInstantQuery(spark, dir, qs, nowNs))
     case "/loki/api/v1/labels" =>
       Some(Endpoints.lokiLabels(spark, dir, qs, nowNs))
     case LokiLabelValues(name) =>

@@ -52,6 +52,21 @@ class HttpShellSpec extends AnyFunSuite {
     assert(r.headers().firstValue("Content-Type").get == "application/json")
   }
 
+  test("loki instant query: trailing-hour log streams at a point in time") {
+    val q = "query=%7Bseverity_text%3D%22error%22%7D" +
+      s"&time=${T1}000000000&limit=5"
+    val r = get(s"/loki/api/v1/query?$q")
+    assert(r.statusCode() == 200)
+    assert(r.body() ==
+      Endpoints.lokiInstantQuery(spark, dir, q, nowNs = T1 * 1000000000L))
+    assert(r.body().contains(""""resultType":"streams""""))
+    // a metric query on the instant route → 400 (reference routes
+    // instant through run_log_query)
+    val rm = get("/loki/api/v1/query?query=" + java.net.URLEncoder.encode(
+      """count_over_time({severity_text="error"}[5m])""", "UTF-8"))
+    assert(rm.statusCode() == 400)
+  }
+
   test("prometheus query_range and instant query over the wire") {
     val q = "query=sum%20by%20(service_name)%20(http_requests_total)" +
       s"&start=$T0&end=${T1 - 1}&step=1d"
