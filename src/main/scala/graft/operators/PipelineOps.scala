@@ -517,6 +517,17 @@ object PipelineOps {
         .select(posexplode(col("xa")).as(Seq("dim", "comp")))
         .select(col("dim"), col("comp"))),
 
+    // SECOND principal component by DEFLATED power iteration: every
+    // iterate re-orthogonalizes against the trained PC1
+    // (z ← z·(x₁ᵀx₁) − x₁·(x₁ᵀz), DECIMAL-widened exact integers, then
+    // the same fixed-point renormalization) — top-k PCA the way it runs
+    // on a cluster: O(n·d) per round, components trained one at a time,
+    // nothing d×d ever materialized. The oracle unrolls BOTH chains.
+    "q321_pca_second_component" -> ((s, dir) =>
+      pcaSecondComponentStored(s, dir)
+        .select(posexplode(col("xa")).as(Seq("dim", "comp2")))
+        .select(col("dim"), col("comp2"))),
+
     // "All-but-the-top" (Mu 2018) DIAGNOSTIC: every embedding's centered
     // coordinate along q317's dominant component — the quantity ABTT
     // subtracts — ranked by magnitude to surface the vectors that
@@ -4092,6 +4103,8 @@ object PipelineOps {
 
     "q317_pca_top_component" -> pcaOracle(6),
 
+    "q321_pca_second_component" -> pcaOracle2(6),
+
     "q319_abtt_projection" -> pcaOracle(6,
       """SELECT c.vec_id, CAST(SUM(c.c * x.x) AS BIGINT) AS proj
         |FROM c JOIN x6 x USING (dim)
@@ -4289,6 +4302,73 @@ object PipelineOps {
     s.read.parquet(path)
   }
 
+  /** renormalize a 1-row array<decimal(38,0)> column to a bounded
+    * array<bigint> iterate (max |v| ≤ 10⁶): sign-split fixed-point
+    * division both engines floor identically (the q317 discipline). */
+  private def pcaNormalize(frame: DataFrame, in: String): DataFrame =
+    frame
+      .withColumn("_m", expr(
+        s"aggregate($in, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
+      .withColumn("_den", expr(
+        "CAST(floor(_m / 1000000) AS DECIMAL(38,0)) + 1"))
+      .select(expr(
+        s"transform($in, v -> CAST(CASE WHEN v >= 0 THEN v div _den " +
+          "ELSE -((-v) div _den) END AS BIGINT))").as("xa"))
+
+  /** SECOND principal component by deflated power iteration: every
+    * iterate is re-orthogonalized against the trained first component
+    * (z ← z·(x₁ᵀx₁) − x₁·(x₁ᵀz), exact integers widened to DECIMAL,
+    * then renormalized), so the iteration converges to the dominant
+    * direction of the residual space — classic deflation, still never
+    * materializing the Gram matrix. Shares the centered rows and the
+    * stored PC1 with q317/q319. */
+  private val pca2Cache = scala.collection.concurrent.TrieMap[String, String]()
+  private def pcaSecondComponentStored(s: SparkSession, dir: String): DataFrame = {
+    val path = pca2Cache.getOrElseUpdate(dir, {
+      val centered = pcaCentered(s, dir).localCheckpoint()
+      val x1 = pcaComponentStored(s, dir).select(col("xa").as("x1"))
+      def deflate(v: DataFrame): DataFrame =
+        pcaNormalize(
+          v.crossJoin(broadcast(x1))
+            .withColumn("_p", expr(
+              "aggregate(zip_with(xa, x1, (a, b) -> a * b), " +
+                "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+            .withColumn("_n1", expr(
+              "aggregate(x1, CAST(0 AS BIGINT), (acc, t) -> acc + t * t)"))
+            .withColumn("_zd", expr(
+              "zip_with(xa, x1, (a, b) -> CAST(a AS DECIMAL(38,0)) * _n1 " +
+                "- CAST(b AS DECIMAL(38,0)) * _p)")),
+          "_zd")
+      // a start vector NOT parallel to x1: alternate signs by dim parity
+      var z = deflate(s.range(1).select(expr(
+        "transform(sequence(0, 63), " +
+          "j -> CAST(CASE WHEN j % 2 = 0 THEN 1000000 ELSE -1000000 END AS BIGINT))")
+        .as("xa")).localCheckpoint())
+        .localCheckpoint()
+      for (_ <- 1 to 6) {
+        val scored = centered.crossJoin(broadcast(z))
+          .withColumn("sv", expr(
+            "aggregate(zip_with(c, xa, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+        val v = pcaNormalize(
+          scored
+            .select(posexplode(col("c")).as(Seq("dim", "cj")), col("sv"))
+            .groupBy(col("dim"))
+            .agg(sum(expr(
+              "CAST(sv AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))")).as("yj"))
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(dim, yj))), p -> p.yj)")
+              .as("ya")),
+          "ya")
+        z = deflate(v).localCheckpoint()
+      }
+      val p = graft.storage.LocalCache.dir(s"pca2|$dir")
+      z.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** DuckDB twin of the q317 power iteration with the rounds unrolled as
     * a generated MATERIALIZED CTE chain: same centered integers
     * (c = n·v − Σv), same two-agg round (per-vec score, per-dim fan-in
@@ -4329,6 +4409,61 @@ object PipelineOps {
     sb ++= (if (finalSelect != null) finalSelect
       else s"SELECT CAST(dim AS INTEGER) AS dim, x AS comp " +
         s"FROM x$rounds ORDER BY dim")
+    sb.toString
+  }
+
+  /** DuckDB twin of the q321 deflated iteration: the full PC1 chain
+    * (x0…x6), then six deflated rounds — normalize, project onto PC1,
+    * subtract in HUGEINT, renormalize — mirroring `deflate`/
+    * `pcaNormalize` operation for operation. */
+  private def pcaOracle2(rounds: Int): String = {
+    val sb = new StringBuilder(pcaOracle(rounds,
+      "SELECT 1 AS _pc1_chain_anchor")) // reuse the shared CTE prefix
+    // drop the placeholder final select; continue the WITH chain
+    sb.setLength(sb.length - "SELECT 1 AS _pc1_chain_anchor".length)
+    sb ++=
+      s""",
+         |n1 AS (SELECT SUM(x * x) AS n FROM x$rounds),
+         |w0 AS (SELECT j.i AS dim,
+         |  CAST(CASE WHEN j.i % 2 = 0 THEN 1000000 ELSE -1000000 END AS BIGINT)
+         |    AS x
+         |  FROM range(0, 64) j(i)),
+         |p0 AS (SELECT SUM(w.x * o.x) AS p
+         |       FROM w0 w JOIN x$rounds o USING (dim)),
+         |zd0 AS (SELECT w.dim,
+         |  CAST(w.x AS HUGEINT) * n1.n - CAST(o.x AS HUGEINT) * p0.p AS y
+         |  FROM w0 w JOIN x$rounds o USING (dim), n1, p0),
+         |dz0 AS (SELECT MAX(ABS(y)) // 1000000 + 1 AS den FROM zd0),
+         |z0 AS MATERIALIZED (SELECT dim,
+         |  CAST(CASE WHEN y >= 0 THEN y // den
+         |       ELSE -((-y) // den) END AS BIGINT) AS x
+         |  FROM zd0, dz0)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |zs$r AS MATERIALIZED (
+        |  SELECT c.vec_id, SUM(c.c * z.x) AS s
+        |  FROM c JOIN z${r - 1} z USING (dim) GROUP BY 1),
+        |zy$r AS MATERIALIZED (
+        |  SELECT c.dim, SUM(s.s * c.c) AS y
+        |  FROM c JOIN zs$r s USING (vec_id) GROUP BY 1),
+        |zdn$r AS (SELECT MAX(ABS(y)) // 1000000 + 1 AS den FROM zy$r),
+        |zv$r AS (SELECT y.dim,
+        |  CAST(CASE WHEN y.y >= 0 THEN y.y // d.den
+        |       ELSE -((-y.y) // d.den) END AS BIGINT) AS x
+        |  FROM zy$r y, zdn$r d),
+        |zp$r AS (SELECT SUM(v.x * o.x) AS p
+        |         FROM zv$r v JOIN x$rounds o USING (dim)),
+        |zzd$r AS (SELECT v.dim,
+        |  CAST(v.x AS HUGEINT) * n1.n - CAST(o.x AS HUGEINT) * zp$r.p AS y
+        |  FROM zv$r v JOIN x$rounds o USING (dim), n1, zp$r),
+        |zdd$r AS (SELECT MAX(ABS(y)) // 1000000 + 1 AS den FROM zzd$r),
+        |z$r AS MATERIALIZED (SELECT dim,
+        |  CAST(CASE WHEN y >= 0 THEN y // den
+        |       ELSE -((-y) // den) END AS BIGINT) AS x
+        |  FROM zzd$r, zdd$r)""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(dim AS INTEGER) AS dim, x AS comp2 " +
+      s"FROM z$rounds ORDER BY dim"
     sb.toString
   }
 

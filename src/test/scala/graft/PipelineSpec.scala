@@ -212,4 +212,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(v.getLong(0).toDouble < 0.5 * ssTot,
       s"R² too low: ss_res=${v.getLong(0)} ss_tot=$ssTot")
   }
+
+  test("PCA components are near-orthogonal after deflation (q317 ⊥ q321)") {
+    val dir = "/root/testdata/sf0.001"
+    def comp(q: String): Array[Double] =
+      operators.PipelineOps.queries(q)(spark, dir)
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    val c1 = comp("q317_pca_top_component")
+    val c2 = comp("q321_pca_second_component")
+    assert(c1.length == 64 && c2.length == 64)
+    def norm(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    assert(norm(c1) > 0 && norm(c2) > 0, "components must be non-degenerate")
+    val cos = c1.zip(c2).map { case (a, b) => a * b }.sum / (norm(c1) * norm(c2))
+    // the deflation re-orthogonalizes every round; only the fixed-point
+    // renormalization rounding survives
+    assert(math.abs(cos) < 0.01, s"|cos| = ${math.abs(cos)}")
+  }
 }
