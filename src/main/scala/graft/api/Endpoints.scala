@@ -564,6 +564,31 @@ object Endpoints {
     flamebearer(graft.profile.Flamegraph.encodeFromFold(fold), q)
   }
 
+  /** GET /pyroscope/render-diff (reference pyroscope.rs:345): baseline
+    * (`leftFrom`/`leftUntil`) and comparison (`rightFrom`/`rightUntil`)
+    * windows fold independently, then flatten into the Pyroscope DOUBLE
+    * flamebearer (7-int level groups, camelCase leftTicks/rightTicks —
+    * aggregation.rs flatten_diff). */
+  def pyroscopeRenderDiff(spark: SparkSession, dir: String,
+      qs: String): String = {
+    val p = parseQuery(qs)
+    val q = p.getOrElse("query", "")
+    def fold(fromK: String, untilK: String) =
+      graft.operators.ProfileOps.flamegraphFold(spark, dir, pyroService(q),
+        p.get(fromK).map(parseLokiNs(_, fromK)),
+        p.get(untilK).map(parseLokiNs(_, untilK)))
+    val enc = graft.profile.Flamegraph.encodeDiffFromFolds(
+      fold("leftFrom", "leftUntil"), fold("rightFrom", "rightUntil"))
+    val names = enc.names.map(ApiJson.jstr)
+    val levels = enc.levels.map(_.mkString("[", ",", "]"))
+    s"""{"flamebearer":{"names":[${names.mkString(",")}],""" +
+      s""""levels":[${levels.mkString(",")}],""" +
+      s""""numTicks":${enc.total},"maxSelf":${enc.maxSelf}},""" +
+      s""""metadata":{"format":"double","sampleRate":100,""" +
+      s""""units":"samples","name":${ApiJson.jstr(q)}},""" +
+      s""""leftTicks":${enc.leftTicks},"rightTicks":${enc.rightTicks}}"""
+  }
+
   /** GET /pyroscope/profile-types (reference pyroscope.rs:40). */
   def pyroscopeProfileTypes(spark: SparkSession, dir: String): String =
     ApiJson.profileTypes(

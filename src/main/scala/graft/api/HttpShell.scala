@@ -278,6 +278,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // Pyroscope (reference endpoints/pyroscope.rs route table)
     case "/pyroscope/render" =>
       Some(Endpoints.pyroscopeRender(spark, dir, qs))
+    case "/pyroscope/render-diff" =>
+      Some(Endpoints.pyroscopeRenderDiff(spark, dir, qs))
     case "/pyroscope/profile-types" =>
       Some(Endpoints.pyroscopeProfileTypes(spark, dir))
     case "/pyroscope/label-names" =>

@@ -68,4 +68,78 @@ object Flamegraph {
     encodeLevels(folded.select("path", "total").collect().toSeq.map {
       case Row(path: String, total: Long) => Node(path.split(';').toSeq, total)
     })
+
+  // ---- differential ("double") encoding ----------------------------------
+
+  final case class DiffNode(path: Seq[String], left: Long, right: Long)
+  final case class EncodedDiff(names: Seq[String], levels: Seq[Seq[Long]],
+      leftTicks: Long, rightTicks: Long, total: Long, maxSelf: Long)
+
+  /** fold two windows' node totals into the Pyroscope DOUBLE flamebearer
+    * encoding (reference aggregation.rs `flatten_diff`): per level,
+    * groups of 7 ints `[leftDeltaOffset, leftTotal, leftSelf,
+    * rightDeltaOffset, rightTotal, rightSelf, nameIdx]`, with a
+    * synthetic `total` root whose ticks are the two windows' sums.
+    * Siblings sort by name for determinism (the single-format rule). */
+  def encodeDiffLevels(folded: Seq[DiffNode]): EncodedDiff = {
+    val byPath = folded.map(n => n.path -> (n.left, n.right)).toMap
+    val names = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def nameIdx(s: String): Int = names.getOrElseUpdate(s, names.size)
+    def childrenOf(p: Seq[String]): Seq[Seq[String]] =
+      byPath.keys.filter(k => k.length == p.length + 1 && k.startsWith(p))
+        .toSeq.sortBy(_.last)
+    def at(p: Seq[String]): (Long, Long) = byPath.getOrElse(p, (0L, 0L))
+    def selfOf(p: Seq[String]): (Long, Long) = {
+      val (l, r) = at(p)
+      val kids = childrenOf(p)
+      (l - kids.map(at(_)._1).sum, r - kids.map(at(_)._2).sum)
+    }
+    val roots = byPath.keys.filter(_.length == 1).toSeq.sortBy(_.last)
+    val leftTicks = roots.map(at(_)._1).sum
+    val rightTicks = roots.map(at(_)._2).sum
+    var maxSelf = 0L
+    val rootIdx = nameIdx("total")
+    val levels = Seq.newBuilder[Seq[Long]]
+    levels += Seq(0L, leftTicks, 0L, 0L, rightTicks, 0L, rootIdx.toLong)
+    // BFS blocks: (left absolute offset, right absolute offset, path);
+    // the synthetic root's children are the depth-1 paths
+    var current: Seq[(Long, Long, Seq[String])] = Seq((0L, 0L, Seq.empty))
+    while (current.nonEmpty) {
+      val next = Seq.newBuilder[(Long, Long, Seq[String])]
+      val level = Seq.newBuilder[Long]
+      var any = false
+      var prevLeftEnd = 0L
+      var prevRightEnd = 0L
+      for ((lOff, rOff, p) <- current) {
+        var lx = lOff; var rx = rOff
+        for (k <- childrenOf(p)) {
+          val (lt, rt) = at(k)
+          val (ls, rs) = selfOf(k)
+          level += (lx - prevLeftEnd) += lt += ls +=
+            (rx - prevRightEnd) += rt += rs += nameIdx(k.last).toLong
+          maxSelf = math.max(maxSelf, math.max(ls, rs))
+          next += ((lx, rx, k))
+          prevLeftEnd = lx + lt
+          prevRightEnd = rx + rt
+          lx += lt; rx += rt
+          any = true
+        }
+      }
+      if (any) levels += level.result()
+      current = if (any) next.result() else Seq.empty
+    }
+    EncodedDiff(names.keys.toSeq, levels.result(), leftTicks, rightTicks,
+      leftTicks + rightTicks, maxSelf)
+  }
+
+  /** encode a diff from two relational folds (path/total frames). */
+  def encodeDiffFromFolds(left: DataFrame, right: DataFrame): EncodedDiff = {
+    def m(df: DataFrame): Map[Seq[String], Long] =
+      df.select("path", "total").collect().toSeq.map {
+        case Row(path: String, total: Long) => path.split(';').toSeq -> total
+      }.toMap
+    val lm = m(left); val rm = m(right)
+    encodeDiffLevels((lm.keySet ++ rm.keySet).toSeq.map(p =>
+      DiffNode(p, lm.getOrElse(p, 0L), rm.getOrElse(p, 0L))))
+  }
 }

@@ -346,6 +346,26 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("pyroscope render-diff serves the double flamebearer") {
+    val cut = 1705276800L // 2024-01-15
+    val q = "query=" + java.net.URLEncoder.encode(
+      """process_cpu:cpu{service_name="svc-1"}""", "UTF-8") +
+      s"&leftFrom=${T0}000000000&leftUntil=${cut}000000000" +
+      s"&rightFrom=${cut}000000000&rightUntil=${T1}000000000"
+    val r = get(s"/pyroscope/render-diff?$q")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.pyroscopeRenderDiff(spark, dir, q))
+    assert(r.body().contains(""""format":"double""""))
+    assert(r.body().contains(""""leftTicks":"""))
+    assert(r.body().contains(""""rightTicks":"""))
+    assert(r.body().contains(""""names":["total""""))
+    // numTicks = leftTicks + rightTicks (the double-format invariant)
+    def num(key: String) = (key + """:(\d+)""").r
+      .findFirstMatchIn(r.body()).get.group(1).toLong
+    assert(num("\"numTicks\"") == num("\"leftTicks\"") + num("\"rightTicks\""))
+    assert(num("\"leftTicks\"") > 0 && num("\"rightTicks\"") > 0)
+  }
+
   test("loki index volume serves KMV stream estimates over the wire") {
     val r = get(s"/loki/api/v1/index/volume?start=${T0}000000000&end=${T1}000000000")
     assert(r.statusCode() == 200)

@@ -41,4 +41,26 @@ class FlamegraphSpec extends AnyFunSuite {
   test("empty input") {
     assert(encodeLevels(Seq.empty).total == 0)
   }
+
+  test("diff encoding: 7-int groups, synthetic total root, per-side offsets") {
+    // left: app(10){a(6){x(2)}, b(3)}  right: app(8){a(8){x(4)}} (b absent)
+    val e = encodeDiffLevels(Seq(
+      DiffNode(Seq("app"), 10, 8),
+      DiffNode(Seq("app", "a"), 6, 8),
+      DiffNode(Seq("app", "a", "x"), 2, 4),
+      DiffNode(Seq("app", "b"), 3, 0)))
+    assert(e.leftTicks == 10 && e.rightTicks == 8 && e.total == 18)
+    assert(e.names == Seq("total", "app", "a", "b", "x"))
+    // root: synthetic "total" with zero selfs
+    assert(e.levels(0) == Seq(0L, 10L, 0L, 0L, 8L, 0L, 0L))
+    // level 1: app — left self 10-6-3=1, right self 8-8-0=0
+    assert(e.levels(1) == Seq(0L, 10L, 1L, 0L, 8L, 0L, 1L))
+    // level 2: a (l 6 self 4 / r 8 self 4), then b at left off 6
+    // (deltas relative to the previous bar END per side)
+    assert(e.levels(2) == Seq(0L, 6L, 4L, 0L, 8L, 4L, 2L,
+      0L, 3L, 3L, 0L, 0L, 0L, 3L))
+    // level 3: x under a
+    assert(e.levels(3) == Seq(0L, 2L, 2L, 0L, 4L, 4L, 4L))
+    assert(e.maxSelf == 4L)
+  }
 }
