@@ -627,6 +627,130 @@ object Endpoints {
       .filter(col("value").isNotNull).distinct().orderBy(col("value")))
   }
 
+  // ---- native Query IR over the wire ------------------------------------
+
+  /** POST /api/v1/query — the native Query IR endpoint (reference
+    * query.rs:144 query_ir): a versioned JSON IR document with
+    * relative-anchor time bounds resolved against ONE server-stamped
+    * clock, validated and lowered through the real IR path
+    * (`ir/Json → Validate → Lowering`), answered in the canonical
+    * envelope — `result`/`window`/`columns`/`rows`, values in column
+    * order, types named per the IR value-type table (query.rs
+    * column_meta). `rows` and `table` share the envelope; `series` is
+    * rejected as unsupported here (the reference's own build_envelope
+    * discriminates the same way). Row count is defensively capped. */
+  def queryIr(spark: SparkSession, dir: String, body: String,
+      nowNs: Long): String = {
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = try mapper.readTree(body)
+      catch { case e: Exception =>
+        throw HttpError(400, "invalid IR document: " + e.getMessage) }
+    val resultKind = Option(root.get("result")).map(_.asText).getOrElse("rows")
+    if (resultKind != "rows" && resultKind != "table")
+      throw HttpError(400, s"unsupported result envelope '$resultKind'")
+    // the HTTP contract names the window from/to (reference QueryRange);
+    // the IR document grammar uses start/end — bridge at the boundary
+    root.get("range") match {
+      case obj: com.fasterxml.jackson.databind.node.ObjectNode
+          if obj.has("from") =>
+        obj.set[com.fasterxml.jackson.databind.JsonNode]("start", obj.get("from"))
+        obj.set[com.fasterxml.jackson.databind.JsonNode]("end", obj.get("to"))
+      case _ => ()
+    }
+    val bridged = mapper.writeValueAsString(root)
+    val doc =
+      try graft.ir.Json.parseDocument(bridged, nowNs)
+      catch {
+        case e: graft.ir.Ir.IrError => throw HttpError(400, e.getMessage)
+        case e: Exception =>
+          throw HttpError(400, "invalid IR document: " + e.getMessage)
+      }
+    val t = graft.operators.IROps.irTable(spark, dir)
+    val df =
+      try graft.ir.Lowering.lower(doc, t, Map("events" -> t))
+      catch { case e: graft.ir.Ir.IrError => throw HttpError(400, e.getMessage) }
+    def irType(dt: DataType): String = dt match {
+      case BooleanType => "bool"
+      case ByteType | ShortType | IntegerType | LongType => "int64"
+      case FloatType | DoubleType => "float64"
+      case _: TimestampType => "timestamp_ns"
+      case BinaryType => "bytes"
+      case _ => "string"
+    }
+    val schema = df.schema
+    val columns = schema.map(f =>
+      s"""{"name":${ApiJson.jstr(f.name)},"type":"${irType(f.dataType)}"}""")
+    val rows = df.limit(1000).collect().map { r =>
+      schema.indices.map { i =>
+        if (r.isNullAt(i)) "null"
+        else schema(i).dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | BooleanType => r.get(i).toString
+          case _ => ApiJson.jstr(r.get(i).toString)
+        }
+      }.mkString("[", ",", "]")
+    }
+    s"""{"result":"$resultKind",""" +
+      s""""window":{"start_ns":${doc.range.startNs},"end_ns":${doc.range.endNs}},""" +
+      s""""columns":[${columns.mkString(",")}],""" +
+      s""""rows":[${rows.mkString(",")}]}"""
+  }
+
+  // ---- ops: compaction control (reference endpoints/ops.rs) --------------
+
+  private val OpsTables = Seq("logs", "traces", "metrics_gauge",
+    "metrics_sum", "metrics_histogram", "metrics_exponential_histogram",
+    "metrics_summary", "profiles")
+
+  /** POST /api/v1/ops/compact/dry-run — the read-only preview of what
+    * `compact` would do (reference ops.rs:92 forwards to the compactor's
+    * do_action; the candidate-listing semantics are the planner's). */
+  def opsCompactDryRun(spark: SparkSession,
+      layout: graft.storage.Storage.TableLayout): String = {
+    val cands = OpsTables.flatMap { table =>
+      graft.storage.Storage
+        .partitionsNeedingCompaction(spark, layout, table)
+        .map { case (day, hour) =>
+          s"""{"table":${ApiJson.jstr(table)},"dateDay":${ApiJson.jstr(day)},""" +
+            s""""hour":$hour}"""
+        }
+    }
+    s"""{"status":"ok","candidates":[${cands.mkString(",")}]}"""
+  }
+
+  /** POST /api/v1/ops/compact — run a compaction pass now over every
+    * candidate partition (reference ops.rs:53 compact_now). */
+  def opsCompact(spark: SparkSession,
+      layout: graft.storage.Storage.TableLayout): String = {
+    val done = OpsTables.flatMap { table =>
+      graft.storage.Storage
+        .partitionsNeedingCompaction(spark, layout, table)
+        .flatMap { case (day, hour) =>
+          try {
+            graft.storage.Storage.compactPartition(spark, layout, table,
+              day, hour)
+            Some(s"""{"table":${ApiJson.jstr(table)},""" +
+              s""""dateDay":${ApiJson.jstr(day)},"hour":$hour}""")
+          } catch {
+            case _: graft.storage.Storage.CompactionConflict => None
+          }
+        }
+    }
+    s"""{"status":"ok","compacted":[${done.mkString(",")}]}"""
+  }
+
+  /** GET /api/v1/ops/compact/status — a planner snapshot: pending
+    * candidate counts per table. */
+  def opsCompactStatus(spark: SparkSession,
+      layout: graft.storage.Storage.TableLayout): String = {
+    val perTable = OpsTables.map(t => t -> graft.storage.Storage
+      .partitionsNeedingCompaction(spark, layout, t).size)
+    val counts = perTable.map { case (t, n) => s"""${ApiJson.jstr(t)}:$n""" }
+    s"""{"status":"ok","pending":${perTable.map(_._2).sum},""" +
+      s""""tables":{${counts.mkString(",")}}}"""
+  }
+
   // ---- Arrow results over the wire --------------------------------------
 
   /** GET/POST /api/v1/arrow — the Flight DoGet surface over plain HTTP,

@@ -75,11 +75,22 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         if (path == "/api/v1/arrow") { arrowRoute(ex, qs); return }
         if (path == "/loki/api/v1/tail") { tailRoute(ex, qs); return }
         val routed =
-          if (ex.getRequestMethod == "POST")
-            ingestRoute(path, qs, ex.getRequestBody.readAllBytes(),
-              Option(ex.getRequestHeaders.getFirst("Content-Type"))
-                .getOrElse(""))
-          else route(path, qs)
+          if (ex.getRequestMethod == "POST") {
+            val body = ex.getRequestBody.readAllBytes()
+            path match {
+              case "/api/v1/query" => // native Query IR (read via POST)
+                Some(Endpoints.queryIr(spark, dir,
+                  new String(body, StandardCharsets.UTF_8), nowNs))
+              case "/api/v1/ops/compact" =>
+                Some(Endpoints.opsCompact(spark, opsLayout))
+              case "/api/v1/ops/compact/dry-run" =>
+                Some(Endpoints.opsCompactDryRun(spark, opsLayout))
+              case _ =>
+                ingestRoute(path, qs, body,
+                  Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                    .getOrElse(""))
+            }
+          } else route(path, qs)
         routed match {
           case Some(json) => (200, json)
           case None       => (404, errJson("not found: " + path))
@@ -289,8 +300,17 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         Endpoints.parseQuery(qs).getOrElse("label", "")))
     case ProfilesByTrace(id) =>
       Some(Endpoints.profilesByTrace(spark, dir, dec(id)))
+    // ops (reference endpoints/ops.rs — compactor control surface)
+    case "/api/v1/ops/compact/status" =>
+      Some(Endpoints.opsCompactStatus(spark, opsLayout))
     case _ => None
   }
+
+  /** the ops routes act on the INGEST layout (there is no compactor for
+    * the read-only testdata dir). */
+  private def opsLayout: graft.storage.Storage.TableLayout =
+    ingest.getOrElse(
+      throw Endpoints.HttpError(503, "ops routes require an ingest layout"))
 
   private val ProfilesByTrace = "^/api/profiles/trace/([^/]+)$".r
 

@@ -33,13 +33,16 @@ object Json {
   }
   private def opt(n: JsonNode, k: String): Option[JsonNode] = Option(n.get(k))
 
-  /** `now-1h` / `now` / RFC3339 / integer nanos → epoch nanos. */
+  /** `now-1h` / `now` / RFC3339 / integer nanos (number OR numeric
+    * string — the reference's HTTP contract keeps time bounds as
+    * strings, query.rs QueryRange) → epoch nanos. */
   def parseTime(n: JsonNode, nowNs: Long): Long = {
     if (n.isNumber) n.asLong
     else {
       val s = n.asText
       if (s == "now") nowNs
       else if (s.startsWith("now-")) nowNs - parseDurNs(s.substring(4))
+      else if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
       else java.time.Instant.parse(s).toEpochMilli * 1000000L +
         (java.time.Instant.parse(s).getNano % 1000000L)
     }

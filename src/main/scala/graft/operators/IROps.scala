@@ -18,7 +18,7 @@ object IROps {
     * query/mod.rs:33-46): 2024-02-01T00:00:00Z. */
   private val NowNs = 1706745600L * 1000000000L
 
-  private def irTable(s: SparkSession, dir: String): IrTable =
+  private[graft] def irTable(s: SparkSession, dir: String): IrTable =
     IrTable(
       df = Tables.events(s, dir).select(
         (unix_micros(col("ts_us")) * 1000).as("ts"),

@@ -346,6 +346,80 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("native Query IR over POST /api/v1/query: canonical envelope") {
+    val doc =
+      s"""{"irVersion":1,"from":"events","result":"rows",
+         |"range":{"from":"${T0}000000000","to":"${T1}000000000"},
+         |"fields":["event_id","event_type","value"],
+         |"pipeline":[
+         |  {"stage":"filter","predicate":
+         |    {"op":"eq","field":"event_type","value":"purchase"}},
+         |  {"stage":"order","keys":[{"field":"event_id","dir":"asc"}]},
+         |  {"stage":"limit","n":3}]}""".stripMargin
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(doc)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().startsWith("""{"result":"rows","window":{"start_ns":"""))
+    assert(r.body().contains(
+      """{"name":"event_id","type":"int64"}"""))
+    assert(r.body().contains(
+      """{"name":"event_type","type":"string"}"""))
+    assert(r.body().contains(""""value":"""") == false) // rows are arrays
+    // 3 rows, every one a purchase
+    val rows = """\[(\d+),"purchase",""".r.findAllIn(r.body()).length
+    assert(rows == 3, r.body())
+    // malformed documents → 400 with a JSON error, series → 400
+    val bad = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"irVersion":1}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() == 400)
+    val series = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          doc.replace("\"rows\"", "\"series\""))).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(series.statusCode() == 400)
+    assert(series.body().contains("unsupported result envelope"))
+  }
+
+  test("ops compaction routes: dry-run plans, compact executes, status drains") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-ops").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      // two small appends into one hour → a compaction candidate
+      for (_ <- 0 until 2)
+        assert(post(p, "/v1/logs",
+          logsPayload("svc-ops", T0 * 1000000000L, 3)).statusCode() == 200)
+      val dry = post(p, "/api/v1/ops/compact/dry-run", Array.emptyByteArray)
+      assert(dry.statusCode() == 200)
+      assert(dry.body().contains(""""table":"logs""""), dry.body())
+      val st0 = get2(p, "/api/v1/ops/compact/status")
+      assert(st0.body().contains(""""pending":1"""), st0.body())
+      val run = post(p, "/api/v1/ops/compact", Array.emptyByteArray)
+      assert(run.statusCode() == 200)
+      assert(run.body().contains(""""compacted":[{"table":"logs""""), run.body())
+      // drained: status reports nothing pending; rows preserved
+      val st1 = get2(p, "/api/v1/ops/compact/status")
+      assert(st1.body().contains(""""pending":0"""), st1.body())
+      assert(spark.read.parquet(layout.path("logs")).count() == 6)
+      // a dir-less table never breaks the planner sweep
+      assert(get2(p, "/api/v1/ops/compact/status").statusCode() == 200)
+    } finally sh.stop()
+    // ops without ingest → 503
+    assert(get("/api/v1/ops/compact/status").statusCode() == 503)
+  }
+
+  private def get2(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
   test("pyroscope render-diff serves the double flamebearer") {
     val cut = 1705276800L // 2024-01-15
     val q = "query=" + java.net.URLEncoder.encode(
