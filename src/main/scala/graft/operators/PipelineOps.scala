@@ -580,6 +580,43 @@ object PipelineOps {
         .select(col("vec_id"), col("proj_dot"), col("exact_dot"))
     }),
 
+    // RECALL METER for the JL projection: top-10 neighbors of vec 0 in
+    // the 16-dim projected space vs the exact full-dim top-10 — the
+    // overlap count and recall ppm a pipeline monitors before trusting
+    // a cheap first-pass filter at 100 TB. Both rankings are exact
+    // integer dots; the overlap is a semi join of two top-k sets.
+    "q322_jl_recall" -> ((s, dir) => {
+      val signs = Array.tabulate(16, 64) { (k, j) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"jl:$k:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
+      }
+      val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
+      val projExprs = (0 until 16).map(k => expr(
+        s"aggregate(zip_with(vq, array(${signs(k).mkString(", ")}), " +
+          "(v, sg) -> v * sg), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      val proj = emb.select(col("vec_id"), array(projExprs: _*).as("pr"))
+      val qp = proj.filter(col("vec_id") === 0).select(col("pr").as("qr"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("vq").as("qvq"))
+      val projTop = proj.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qp))
+        .withColumn("proj_dot", expr(
+          "aggregate(zip_with(pr, qr, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+        .orderBy(col("proj_dot").desc, col("vec_id").asc)
+        .limit(10).select(col("vec_id"))
+      val exactTop = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("exact_dot", dotCol(col("vq"), col("qvq")))
+        .orderBy(col("exact_dot").desc, col("vec_id").asc)
+        .limit(10).select(col("vec_id"))
+      exactTop.join(projTop, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"),
+          expr("n_overlap * 1000000 div 10").as("recall_ppm"))
+    }),
+
     "q24_ann_cosine_topk" -> ((s, dir) => {
       val e = embArr(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -4139,6 +4176,36 @@ object PipelineOps {
         |SELECT d.vec_id, d.proj_dot, x.exact_dot
         |FROM dots d JOIN ex x USING (vec_id)
         |ORDER BY d.proj_dot DESC, d.vec_id LIMIT 10""".stripMargin,
+
+    "q322_jl_recall" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, j.i AS dim,
+        |    CAST(round(CAST(embedding[CAST(j.i + 1 AS INT)] AS DOUBLE)
+        |      * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings, range(0, 64) j(i)),
+        |sg AS MATERIALIZED (
+        |  SELECT k.i AS k, j.i AS dim,
+        |    CASE WHEN CAST(('0x' ||
+        |        substr(md5('jl:' || k.i || ':' || j.i), 1, 15)) AS BIGINT)
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 16) k(i), range(0, 64) j(i)),
+        |proj AS MATERIALIZED (
+        |  SELECT e.vec_id, s.k, CAST(SUM(e.v * s.sgn) AS BIGINT) AS p
+        |  FROM e JOIN sg s USING (dim) GROUP BY 1, 2),
+        |q AS (SELECT k, p FROM proj WHERE vec_id = 0),
+        |ptop AS (
+        |  SELECT pr.vec_id
+        |  FROM proj pr JOIN q USING (k) WHERE pr.vec_id <> 0
+        |  GROUP BY 1 ORDER BY SUM(pr.p * q.p) DESC, pr.vec_id LIMIT 10),
+        |etop AS (
+        |  SELECT e2.vec_id
+        |  FROM e e2 JOIN (SELECT dim, v FROM e WHERE vec_id = 0) e0 USING (dim)
+        |  WHERE e2.vec_id <> 0
+        |  GROUP BY 1 ORDER BY SUM(e2.v * e0.v) DESC, e2.vec_id LIMIT 10)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CAST(COUNT(*) AS BIGINT) * 1000000 // 10 AS recall_ppm
+        |FROM etop JOIN ptop USING (vec_id)""".stripMargin,
 
     "q316_cms_heavy_hitters" ->
       """WITH t AS MATERIALIZED (
