@@ -600,6 +600,7 @@ object Endpoints {
 
   def pyroscopeLabelValues(spark: SparkSession, dir: String,
       label: String): String = {
+    if (label.isEmpty) throw HttpError(400, "missing label")
     if (label != "service_name") throw HttpError(404, s"unknown label: $label")
     val vals = SignalViews.tracesGen2Df(spark, dir)
       .select(col("service_name").as("v")).distinct()
@@ -625,6 +626,60 @@ object Endpoints {
       throw HttpError(404, s"unknown tag: $tag")
     ApiJson.tempoTagValues(spans.select(col(tag).cast("string").as("value"))
       .filter(col("value").isNotNull).distinct().orderBy(col("value")))
+  }
+
+  /** GET /api/v1/openapi.json — the public route listing the reference
+    * serves next to /health (lib.rs:222). A minimal OpenAPI 3 document
+    * enumerating exactly what THIS shell routes, so API tooling can
+    * discover the surface; kept in one place and spec-checked against
+    * the live router (every listed path must answer non-404). */
+  def openapi(): String = {
+    def p(method: String, path: String, summary: String): (String, String) =
+      path -> s""""$method":{"summary":${ApiJson.jstr(summary)},"responses":{"200":{"description":"OK"}}}"""
+    val entries = Seq(
+      p("get", "/health", "liveness probe"),
+      p("get", "/loki/api/v1/query", "Loki instant log query"),
+      p("get", "/loki/api/v1/query_range", "Loki range query (streams or matrix)"),
+      p("get", "/loki/api/v1/labels", "Loki label names"),
+      p("get", "/loki/api/v1/label/{name}/values", "Loki label values"),
+      p("get", "/loki/api/v1/series", "Loki series discovery (count=estimate serves the KMV sketch)"),
+      p("get", "/loki/api/v1/index/volume", "per-label volume with KMV stream estimates"),
+      p("get", "/loki/api/v1/detected_fields", "sampled field discovery"),
+      p("get", "/loki/api/v1/tail", "live tail (chunked JSON frames)"),
+      p("get", "/prometheus/api/v1/query", "PromQL instant query"),
+      p("get", "/prometheus/api/v1/query_range", "PromQL range query"),
+      p("get", "/prometheus/api/v1/labels", "Prometheus label names"),
+      p("get", "/prometheus/api/v1/label/{name}/values", "Prometheus label values"),
+      p("get", "/prometheus/api/v1/series", "Prometheus series discovery"),
+      p("get", "/prometheus/api/v1/label_stats", "per-attribute presence + KMV distinct estimates"),
+      p("get", "/api/search", "Tempo trace search (TraceQL or tags)"),
+      p("get", "/api/search/tags", "Tempo tag names"),
+      p("get", "/api/search/tag/{tag}/values", "Tempo tag values"),
+      p("get", "/api/traces/{trace_id}", "single-trace fetch"),
+      p("get", "/api/metrics/query_range", "TraceQL metrics matrix"),
+      p("get", "/pyroscope/render", "flamegraph (single flamebearer)"),
+      p("get", "/pyroscope/render-diff", "differential flamegraph (double flamebearer)"),
+      p("get", "/pyroscope/profile-types", "profile type discovery"),
+      p("get", "/pyroscope/label-names", "profile label names"),
+      p("get", "/pyroscope/label-values", "profile label values"),
+      p("get", "/api/profiles/trace/{trace_id}", "profiles correlated to a trace"),
+      p("post", "/api/v1/query", "native Query IR document"),
+      p("post", "/api/v1/arrow", "Arrow IPC results for a DoGet-shaped ticket"),
+      p("post", "/v1/logs", "OTLP logs export (protobuf or protojson)"),
+      p("post", "/v1/traces", "OTLP traces export (protobuf or protojson)"),
+      p("post", "/v1/metrics", "OTLP metrics export, all five families"),
+      p("post", "/v1development/profiles", "OTLP profiles export"),
+      p("post", "/api/v1/write", "Prometheus remote_write 1.0/2.0"),
+      p("post", "/ingest", "Pyroscope pprof upload"),
+      p("post", "/api/v1/ops/compact", "run a compaction pass"),
+      p("post", "/api/v1/ops/compact/dry-run", "plan compaction candidates"),
+      p("get", "/api/v1/ops/compact/status", "compaction planner snapshot"))
+    val paths = entries.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (path, ops) =>
+        s"""${ApiJson.jstr(path)}:{${ops.map(_._2).mkString(",")}}"""
+    }
+    s"""{"openapi":"3.0.3","info":{"title":"signaldbspark",""" +
+      s""""version":"0.1.0"},"paths":{${paths.mkString(",")}}}"""
   }
 
   // ---- native Query IR over the wire ------------------------------------

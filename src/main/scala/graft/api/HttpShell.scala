@@ -246,6 +246,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
 
   private def route(path: String, qs: String): Option[String] = path match {
     case "/health" => Some("""{"status":"ok"}""")
+    case "/api/v1/openapi.json" => Some(Endpoints.openapi())
     // Loki (reference endpoints/logql.rs route table)
     case "/loki/api/v1/query_range" =>
       Some(Endpoints.lokiQueryRange(spark, dir, qs, nowNs))

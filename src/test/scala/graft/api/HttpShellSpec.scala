@@ -42,6 +42,25 @@ class HttpShellSpec extends AnyFunSuite {
     assert(r.statusCode() == 200 && r.body() == """{"status":"ok"}""")
   }
 
+  test("openapi document lists only routes the shell actually answers") {
+    val r = get("/api/v1/openapi.json")
+    assert(r.statusCode() == 200)
+    assert(r.body() == Endpoints.openapi())
+    assert(r.body().startsWith("""{"openapi":"3.0.3""""))
+    // every GET path WITHOUT template params or required params must not
+    // 404 on the live router (4xx for missing params is fine — routed)
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    val it = doc.get("paths").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val path = e.getKey
+      if (e.getValue.has("get") && !path.contains("{") && path != "/loki/api/v1/tail") {
+        val resp = get(path)
+        assert(resp.statusCode() != 404, s"$path not routed")
+      }
+    }
+  }
+
   test("loki query_range over the wire equals the param layer") {
     val q = s"query=%7Bseverity_text%3D%22error%22%7D&start=${T0}000000000" +
       s"&end=${T1}000000000&limit=5"
