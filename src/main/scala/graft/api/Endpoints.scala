@@ -858,17 +858,35 @@ object Endpoints {
             "arrow tickets accept only SELECT or WITH statements " +
               "(or a recognized ticket prefix)")
         val sess = spark.newSession()
+        // Spark SQL SELECT is not read-only-safe by default (unlike the
+        // reference's DataFusion surface, src/querier/src/flight.rs): a
+        // path-based table (`SELECT * FROM parquet.`/etc/…``) reads
+        // arbitrary local files, and reflect()/java_method() invokes
+        // arbitrary public static methods. Close both in the per-request
+        // session: no SQL-on-files, and reject reflective calls after
+        // analysis (covers subqueries).
+        sess.conf.set("spark.sql.runSQLOnFiles", "false")
         SignalViews.logsGen2Df(sess, dir).createOrReplaceTempView("logs")
         SignalViews.tracesGen2Df(sess, dir).createOrReplaceTempView("traces")
         SignalViews.metricsGaugeDf(sess, dir)
           .createOrReplaceTempView("metrics_gauge")
         SignalViews.metricsSumDf(sess, dir)
           .createOrReplaceTempView("metrics_sum")
-        try sess.sql(ticket)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            throw HttpError(400, "SQL error: " + e.getMessage)
+        val planned =
+          try sess.sql(ticket)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw HttpError(400, "SQL error: " + e.getMessage)
+          }
+        val reflective = planned.queryExecution.analyzed.collectWithSubqueries {
+          case p if p.expressions.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .CallMethodViaReflection])) => p
         }
+        if (reflective.nonEmpty)
+          throw HttpError(400,
+            "reflect()/java_method() is not permitted in arrow tickets")
+        planned
       }
     ArrowResult.ipcStream(df)
   }

@@ -165,13 +165,31 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     * query and its memory sink are torn down. Requires ingest (503
     * otherwise — there is no landing dir to follow). */
   private def tailRoute(ex: HttpExchange, qs: String): Unit = {
-    val (q, name) =
+    val (q, name, timeoutMs) =
       try {
         val layout = ingest.getOrElse(
           throw Endpoints.HttpError(503, "tail requires an ingest layout"))
         val p = Endpoints.parseQuery(qs)
         val query = p.getOrElse("query",
           throw Endpoints.HttpError(400, "missing query"))
+        // Validate timeout BEFORE the streaming query starts: a malformed
+        // value must answer 400 without ever allocating a query to leak,
+        // and a client-controlled timeout is CLAMPED (max 300 s) so a
+        // tail exchange cannot pin a pool thread indefinitely.
+        val tmo = (p.get("timeout_s").map { s =>
+          val d = try s.toDouble catch {
+            case _: NumberFormatException =>
+              throw Endpoints.HttpError(400, "bad timeout_s: " + s)
+          }
+          if (d.isNaN || d < 0)
+            throw Endpoints.HttpError(400, "bad timeout_s: " + s)
+          math.min(d, 300.0)
+        }.getOrElse(30.0) * 1000).toLong
+        // Cap concurrent tails BELOW the pool size: with a 4-thread pool,
+        // at most 2 long-held tail exchanges — ingest POSTs that feed
+        // them (and every other route) always have a dispatchable thread.
+        if (!tailSlots.tryAcquire())
+          throw Endpoints.HttpError(503, "too many concurrent tails")
         val path = layout.path("logs")
         new java.io.File(path).mkdirs()
         val stream = spark.readStream
@@ -184,7 +202,9 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
           hasAttrMap = true,
           attrMapCols = Seq("log_attributes", "resource_attributes"))
         val sink = "tail_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        (graft.streaming.LiveTail.start(table, query, sink, triggerMs = 200), sink)
+        try (graft.streaming.LiveTail.start(table, query, sink, triggerMs = 200),
+          sink, tmo)
+        catch { case e: Throwable => tailSlots.release(); throw e }
       } catch {
         case e: Endpoints.HttpError => respondJson(ex, e.status, errJson(e.message)); return
         case e: graft.logql.Ast.Unsupported =>
@@ -196,8 +216,6 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
             errJson(Option(e.getMessage).getOrElse(e.getClass.getName)))
           return
       }
-    val timeoutMs = (Endpoints.parseQuery(qs).get("timeout_s")
-      .map(_.toDouble).getOrElse(30.0) * 1000).toLong
     try {
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, 0L) // chunked: one frame per flush
@@ -226,8 +244,12 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     } finally {
       q.stop() // clean disconnect stops the streaming query
       spark.catalog.dropTempView(name)
+      tailSlots.release()
     }
   }
+
+  /** at most 2 of the 4 pool threads may be held by live tails. */
+  private val tailSlots = new java.util.concurrent.Semaphore(2)
 
   private def respondJson(ex: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)

@@ -232,7 +232,10 @@ object DiscoveryOps {
   def lokiVolumeFrame(logs: DataFrame): DataFrame =
     logs.withColumn("h", expr(VolHash))
       .groupBy(col("service_name"))
-      .agg(expr("CAST(SUM(length(body)) AS BIGINT)").as("volume_bytes"),
+      // octet_length, not length: Loki volume counts BYTES, and the
+      // repo's LogQL bytes_over_time path already uses octet semantics
+      // (LogQLOps) — character count undercounts multi-byte UTF-8.
+      .agg(expr("CAST(SUM(octet_length(body)) AS BIGINT)").as("volume_bytes"),
         countDistinct(expr("concat(severity_text, '|', client_ip)"))
           .as("n_streams_exact"),
         graft.functions.Kmv.kmvSketch(col("h"), KmvK).as("sk"))
@@ -522,7 +525,7 @@ object DiscoveryOps {
          |  FROM r WHERE rn <= $KmvK GROUP BY 1),
          |vol AS (
          |  SELECT service_name,
-         |    CAST(SUM(length(body)) AS BIGINT) AS volume_bytes,
+         |    CAST(SUM(strlen(body)) AS BIGINT) AS volume_bytes,
          |    CAST(COUNT(DISTINCT severity_text || '|' || client_ip)
          |      AS BIGINT) AS n_streams_exact
          |  FROM l GROUP BY 1)

@@ -187,9 +187,16 @@ object PipelineOps {
     * executor-memory-pinned — the .cache() it replaces leaked across
     * queries and would evict at 100 TB (VERDICT r1). */
   private val shingleCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** trained-state cache key: (dir, data version). A rewrite of the
+    * underlying tables changes the version, so every stored-state cache
+    * below retrains instead of serving a model fit on vanished data. */
+  private def vdir(dir: String): String =
+    dir + "@" + graft.storage.LocalCache.dataVersion(dir)
+
   private def docShinglesStored(s: SparkSession, dir: String): DataFrame = {
-    val path = shingleCache.getOrElseUpdate(dir, {
-      val p = graft.storage.LocalCache.dir(s"shingles|$dir")
+    val path = shingleCache.getOrElseUpdate(vdir(dir), {
+      val p = graft.storage.LocalCache.dir(s"shingles|${vdir(dir)}")
       docShingles(s, dir).write.mode("overwrite").parquet(p)
       p
     })
@@ -248,8 +255,8 @@ object PipelineOps {
     * sf0.1 vs ~2 s materialized). Same pattern as `docShinglesStored`. */
   private val pairCache = scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def jaccardEdgesStored(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val path = pairCache.getOrElseUpdate(s"$dir|$threshold", {
-      val p = graft.storage.LocalCache.dir(s"dup_edges|$dir|$threshold")
+    val path = pairCache.getOrElseUpdate(s"${vdir(dir)}|$threshold", {
+      val p = graft.storage.LocalCache.dir(s"dup_edges|${vdir(dir)}|$threshold")
       jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(p)
       p
@@ -265,8 +272,8 @@ object PipelineOps {
   private val labelCache = scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def componentLabelsStored(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val path = labelCache.getOrElseUpdate(s"$dir|$threshold", {
-      val p = graft.storage.LocalCache.dir(s"dup_labels|$dir|$threshold")
+    val path = labelCache.getOrElseUpdate(s"${vdir(dir)}|$threshold", {
+      val p = graft.storage.LocalCache.dir(s"dup_labels|${vdir(dir)}|$threshold")
       val e0 = jaccardEdgesStored(s, dir, threshold)
       val sym = e0.union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       pointerJumpComponents(sym, rounds = 4)
@@ -325,14 +332,31 @@ object PipelineOps {
     * filtering. */
   private val annIdxCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private def storedIvfIndex(s: SparkSession, dir: String): (String, String) =
-    annIdxCache.getOrElseUpdate(dir, {
-      val base = graft.storage.LocalCache.dir(s"ann_idx|$dir")
+    annIdxCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ann_idx|${vdir(dir)}")
       val (cents, assigned) = ivfIndex(embArr(s, dir))
       cents.write.mode("overwrite").parquet(s"$base/centroids")
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$base/postings")
       (s"$base/centroids", s"$base/postings")
     })
+
+  /** Achlioptas ±1 JL sign matrix (16×64), md5-derived at plan build —
+    * ONE construction shared by the q318 projection filter and the q322
+    * recall meter, so the meter can never drift from the filter it
+    * measures (VERDICT r7). */
+  private lazy val jlSigns: Array[Array[Int]] = Array.tabulate(16, 64) { (k, j) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$k:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
+  }
+
+  /** the 16 projected coordinates of `vq` under [[jlSigns]], as
+    * plan-time literal weight arrays (codegen'd integer folds). */
+  private def jlProjExprs: Seq[Column] = (0 until 16).map(k => expr(
+    s"aggregate(zip_with(vq, array(${jlSigns(k).mkString(", ")}), " +
+      "(v, sg) -> v * sg), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
 
   // ---- queries ----------------------------------------------------------
 
@@ -509,9 +533,13 @@ object PipelineOps {
     // floor identically. Rounds are localCheckpoint-truncated like the
     // BPE trainer, so the plan stays flat. Top-PC removal ("all but the
     // top", Mu 2018) and embedding whitening start exactly here.
-    // Long-arithmetic ceiling: |c|≤n·10⁶ and s=Σ₆₄ c·x needs
-    // 64·n·10¹² < 2⁶³ → n ≤ ~1.4e8 rows per fit; beyond that, rescale
-    // the quantization (the y fan-in is already DECIMAL(38,0)).
+    // Long-arithmetic ceiling: |c|≤2n·10⁶ and s=Σ₆₄ c·x needs
+    // 64·max|c|·10⁶ < 2⁶³ → max|c| ≤ 1.4e11, i.e. n ≤ ~1.4e5 rows per
+    // fit at this quantization; beyond that, rescale (the y fan-in is
+    // already DECIMAL(38,0)). The ceiling is LOUD: pcaCentered fuses a
+    // raise_error guard into the c column itself (the q303 discipline),
+    // so past it Spark fails instead of silently wrapping where the
+    // DuckDB HUGEINT twin keeps going.
     "q317_pca_top_component" -> ((s, dir) =>
       pcaComponentStored(s, dir)
         .select(posexplode(col("xa")).as(Seq("dim", "comp")))
@@ -524,7 +552,7 @@ object PipelineOps {
     // on a cluster: O(n·d) per round, components trained one at a time,
     // nothing d×d ever materialized. The oracle unrolls BOTH chains.
     "q321_pca_second_component" -> ((s, dir) =>
-      pcaSecondComponentStored(s, dir)
+      pcaComponentsStored(s, dir, 2)
         .select(posexplode(col("xa")).as(Seq("dim", "comp2")))
         .select(col("dim"), col("comp2"))),
 
@@ -555,17 +583,8 @@ object PipelineOps {
     // 100 TB ANN pipeline runs before exact re-scoring, at a quarter of
     // the shuffle width.
     "q318_jl_projection" -> ((s, dir) => {
-      val signs = Array.tabulate(16, 64) { (k, j) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"jl:$k:$j".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
-      }
       val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
-      val projExprs = (0 until 16).map(k => expr(
-        s"aggregate(zip_with(vq, array(${signs(k).mkString(", ")}), " +
-          "(v, sg) -> v * sg), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-      val proj = emb.select(col("vec_id"), array(projExprs: _*).as("pr"))
+      val proj = emb.select(col("vec_id"), array(jlProjExprs: _*).as("pr"))
       val qp = proj.filter(col("vec_id") === 0).select(col("pr").as("qr"))
       val qv = emb.filter(col("vec_id") === 0).select(col("vq").as("qvq"))
       proj.filter(col("vec_id") =!= 0)
@@ -586,17 +605,8 @@ object PipelineOps {
     // a cheap first-pass filter at 100 TB. Both rankings are exact
     // integer dots; the overlap is a semi join of two top-k sets.
     "q322_jl_recall" -> ((s, dir) => {
-      val signs = Array.tabulate(16, 64) { (k, j) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"jl:$k:$j".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
-      }
       val emb = embArr(s, dir).select(col("vec_id"), col("vq"))
-      val projExprs = (0 until 16).map(k => expr(
-        s"aggregate(zip_with(vq, array(${signs(k).mkString(", ")}), " +
-          "(v, sg) -> v * sg), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-      val proj = emb.select(col("vec_id"), array(projExprs: _*).as("pr"))
+      val proj = emb.select(col("vec_id"), array(jlProjExprs: _*).as("pr"))
       val qp = proj.filter(col("vec_id") === 0).select(col("pr").as("qr"))
       val qv = emb.filter(col("vec_id") === 0).select(col("vq").as("qvq"))
       val projTop = proj.filter(col("vec_id") =!= 0)
@@ -2413,7 +2423,7 @@ object PipelineOps {
   private val bpeCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private def bpeTrain(s: SparkSession, dir: String,
       rounds: Int = BpeRounds): (DataFrame, DataFrame) = {
-    val (mp, wp) = bpeCache.getOrElseUpdate(s"$dir#$rounds", {
+    val (mp, wp) = bpeCache.getOrElseUpdate(s"${vdir(dir)}#$rounds", {
       var words = bpeWords(s, dir)
       var merges: DataFrame = null
       for (r <- 1 to rounds) {
@@ -2421,8 +2431,8 @@ object PipelineOps {
         words = w2
         merges = if (merges == null) m else merges.unionByName(m)
       }
-      val mdir = graft.storage.LocalCache.dir(s"bpe_merges|$dir|$rounds")
-      val wdir = graft.storage.LocalCache.dir(s"bpe_words|$dir|$rounds")
+      val mdir = graft.storage.LocalCache.dir(s"bpe_merges|${vdir(dir)}|$rounds")
+      val wdir = graft.storage.LocalCache.dir(s"bpe_words|${vdir(dir)}|$rounds")
       merges.write.mode("overwrite").parquet(mdir)
       words.write.mode("overwrite").parquet(wdir)
       (mdir, wdir)
@@ -4327,91 +4337,70 @@ object PipelineOps {
     val cnt = emb.agg(count(lit(1)).as("n"))
     emb.crossJoin(broadcast(dimSums)).crossJoin(broadcast(cnt))
       .select(col("vec_id"),
-        expr("zip_with(vq, sarr, (v, sj) -> n * v - sj)").as("c"))
+        expr("zip_with(vq, sarr, (v, sj) -> n * v - sj)").as("c0"))
+      // LOUD BIGINT ceiling, fused into the column every PCA consumer
+      // reads (q303 discipline — column pruning can never drop it): the
+      // score folds compute Σ₆₄ c·x with |x| ≤ 10⁶, so max|c| must stay
+      // ≤ 2⁶³/(64·10⁶) ≈ 1.4e11 or Spark long arithmetic wraps silently
+      // while the DuckDB HUGEINT twin keeps going.
+      .select(col("vec_id"),
+        when(expr("aggregate(c0, CAST(0 AS BIGINT), " +
+            "(acc, v) -> greatest(acc, abs(v))) <= 140000000000"),
+          col("c0"))
+          .otherwise(raise_error(lit(
+            "pca: centered magnitudes exceed the BIGINT score-fold " +
+              "ceiling (max|c| <= 1.4e11; n <~ 1.4e5 rows at |v| <= 1e6) " +
+              "— rescale the quantization before fitting"))
+            .cast("array<bigint>"))
+          .as("c"))
   }
 
-  /** the q317 power iteration, trained ONCE per dir and materialized to
-    * the LocalCache (the bpeTrain discipline — q317 and q319 share the
-    * component). 6 rounds, each two hash aggs over the checkpointed
-    * centered rows; see q317's comment for the arithmetic ceilings. */
+  /** TOP-K principal components by ITERATED DEFLATION, one trained
+    * component per call: component `i` runs the same 6-round power
+    * iteration (two hash aggs per round over the checkpointed centered
+    * rows — the Gram matrix is never materialized, O(n·d) per round),
+    * with every iterate re-orthogonalized against ALL previously
+    * trained components (z ← z·(xⱼᵀxⱼ) − xⱼ·(xⱼᵀz), DECIMAL-widened
+    * exact integers, then the fixed-point renormalization). One cached
+    * parquet per (dir, data version, i) — the bpeTrain discipline; q317
+    * (i=1), q319 (i=1), and q321 (i=2) share the chain. See q317's
+    * comment for the arithmetic ceilings. */
   private val pcaCache = scala.collection.concurrent.TrieMap[String, String]()
-  private def pcaComponentStored(s: SparkSession, dir: String): DataFrame = {
-    val path = pcaCache.getOrElseUpdate(dir, {
+  private def pcaComponentsStored(s: SparkSession, dir: String, i: Int): DataFrame = {
+    require(i >= 1, s"component index must be >= 1, got $i")
+    val path = pcaCache.getOrElseUpdate(s"${vdir(dir)}#$i", {
       val centered = pcaCentered(s, dir).localCheckpoint()
-      var x = s.range(1)
-        .select(expr("array_repeat(CAST(1000000 AS BIGINT), 64)").as("xa"))
-      for (_ <- 1 to 6) {
-        val scored = centered.crossJoin(broadcast(x))
-          .withColumn("sv", expr(
-            "aggregate(zip_with(c, xa, (a, b) -> a * b), " +
-              "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-        x = scored
-          .select(posexplode(col("c")).as(Seq("dim", "cj")), col("sv"))
-          .groupBy(col("dim"))
-          .agg(sum(expr(
-            "CAST(sv AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))")).as("yj"))
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(dim, yj))), p -> p.yj)")
-            .as("ya"))
-          .withColumn("m", expr(
-            "aggregate(ya, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
-          .withColumn("den", expr(
-            "CAST(floor(m / 1000000) AS DECIMAL(38,0)) + 1"))
-          .select(expr(
-            "transform(ya, v -> CAST(CASE WHEN v >= 0 THEN v div den " +
-              "ELSE -((-v) div den) END AS BIGINT))").as("xa"))
-          .localCheckpoint()
-      }
-      val p = graft.storage.LocalCache.dir(s"pca|$dir")
-      x.write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** renormalize a 1-row array<decimal(38,0)> column to a bounded
-    * array<bigint> iterate (max |v| ≤ 10⁶): sign-split fixed-point
-    * division both engines floor identically (the q317 discipline). */
-  private def pcaNormalize(frame: DataFrame, in: String): DataFrame =
-    frame
-      .withColumn("_m", expr(
-        s"aggregate($in, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
-      .withColumn("_den", expr(
-        "CAST(floor(_m / 1000000) AS DECIMAL(38,0)) + 1"))
-      .select(expr(
-        s"transform($in, v -> CAST(CASE WHEN v >= 0 THEN v div _den " +
-          "ELSE -((-v) div _den) END AS BIGINT))").as("xa"))
-
-  /** SECOND principal component by deflated power iteration: every
-    * iterate is re-orthogonalized against the trained first component
-    * (z ← z·(x₁ᵀx₁) − x₁·(x₁ᵀz), exact integers widened to DECIMAL,
-    * then renormalized), so the iteration converges to the dominant
-    * direction of the residual space — classic deflation, still never
-    * materializing the Gram matrix. Shares the centered rows and the
-    * stored PC1 with q317/q319. */
-  private val pca2Cache = scala.collection.concurrent.TrieMap[String, String]()
-  private def pcaSecondComponentStored(s: SparkSession, dir: String): DataFrame = {
-    val path = pca2Cache.getOrElseUpdate(dir, {
-      val centered = pcaCentered(s, dir).localCheckpoint()
-      val x1 = pcaComponentStored(s, dir).select(col("xa").as("x1"))
+      val prev = (1 until i).map(j =>
+        pcaComponentsStored(s, dir, j).select(col("xa").as("xp")))
       def deflate(v: DataFrame): DataFrame =
-        pcaNormalize(
-          v.crossJoin(broadcast(x1))
-            .withColumn("_p", expr(
-              "aggregate(zip_with(xa, x1, (a, b) -> a * b), " +
-                "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-            .withColumn("_n1", expr(
-              "aggregate(x1, CAST(0 AS BIGINT), (acc, t) -> acc + t * t)"))
-            .withColumn("_zd", expr(
-              "zip_with(xa, x1, (a, b) -> CAST(a AS DECIMAL(38,0)) * _n1 " +
-                "- CAST(b AS DECIMAL(38,0)) * _p)")),
-          "_zd")
-      // a start vector NOT parallel to x1: alternate signs by dim parity
-      var z = deflate(s.range(1).select(expr(
-        "transform(sequence(0, 63), " +
-          "j -> CAST(CASE WHEN j % 2 = 0 THEN 1000000 ELSE -1000000 END AS BIGINT))")
-        .as("xa")).localCheckpoint())
-        .localCheckpoint()
+        prev.foldLeft(v) { (acc, xj) =>
+          pcaNormalize(
+            acc.crossJoin(broadcast(xj))
+              .withColumn("_p", expr(
+                "aggregate(zip_with(xa, xp, (a, b) -> a * b), " +
+                  "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+              .withColumn("_n1", expr(
+                "aggregate(xp, CAST(0 AS BIGINT), (acc, t) -> acc + t * t)"))
+              .withColumn("_zd", expr(
+                "zip_with(xa, xp, (a, b) -> CAST(a AS DECIMAL(38,0)) * _n1 " +
+                  "- CAST(b AS DECIMAL(38,0)) * _p)")),
+            "_zd")
+        }
+      // start vector: all-ones for the dominant component; for deflated
+      // components a ±1e6 square wave of period 2^(i-1) (NOT parallel to
+      // any earlier start), immediately deflated into the residual space
+      val start =
+        if (i == 1)
+          s.range(1).select(
+            expr("array_repeat(CAST(1000000 AS BIGINT), 64)").as("xa"))
+        else {
+          val blk = 1L << (i - 2)
+          s.range(1).select(expr(
+            s"transform(sequence(0, 63), j -> CAST(CASE WHEN (j div $blk) % 2 = 0 " +
+              "THEN 1000000 ELSE -1000000 END AS BIGINT))").as("xa"))
+            .localCheckpoint()
+        }
+      var z = deflate(start).localCheckpoint()
       for (_ <- 1 to 6) {
         val scored = centered.crossJoin(broadcast(z))
           .withColumn("sv", expr(
@@ -4429,12 +4418,52 @@ object PipelineOps {
           "ya")
         z = deflate(v).localCheckpoint()
       }
-      val p = graft.storage.LocalCache.dir(s"pca2|$dir")
+      val p = graft.storage.LocalCache.dir(s"pca|${vdir(dir)}|$i")
       z.write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
   }
+
+  /** the q317/q319 dominant component — component 1 of the family. */
+  private def pcaComponentStored(s: SparkSession, dir: String): DataFrame =
+    pcaComponentsStored(s, dir, 1)
+
+  /** orthogonality diagnostic for the trained top-k family: pairwise
+    * |cos|·10⁶ between stored components (exact integer dots, DOUBLE
+    * only at the final ratio) — the law PipelineSpec pins at k=3. */
+  private[graft] def pcaOrthogonalityPpm(s: SparkSession, dir: String,
+      k: Int): Seq[(Int, Int, Long)] =
+    (for {
+      a <- 1 to k; b <- (a + 1) to k
+    } yield {
+      val xa = pcaComponentsStored(s, dir, a).select(col("xa").as("va"))
+      val xb = pcaComponentsStored(s, dir, b).select(col("xa").as("vb"))
+      val row = xa.crossJoin(xb).select(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)").as("dot"),
+        expr("aggregate(va, CAST(0 AS BIGINT), (acc, t) -> acc + t * t)").as("na"),
+        expr("aggregate(vb, CAST(0 AS BIGINT), (acc, t) -> acc + t * t)").as("nb"))
+        .select(expr(
+          "CAST(round(abs(CAST(dot AS DOUBLE)) / " +
+            "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("cos_ppm"))
+        .head()
+      (a, b, row.getLong(0))
+    })
+
+  /** renormalize a 1-row array<decimal(38,0)> column to a bounded
+    * array<bigint> iterate (max |v| ≤ 10⁶): sign-split fixed-point
+    * division both engines floor identically (the q317 discipline). */
+  private def pcaNormalize(frame: DataFrame, in: String): DataFrame =
+    frame
+      .withColumn("_m", expr(
+        s"aggregate($in, CAST(0 AS DECIMAL(38,0)), (acc, v) -> greatest(acc, abs(v)))"))
+      .withColumn("_den", expr(
+        "CAST(floor(_m / 1000000) AS DECIMAL(38,0)) + 1"))
+      .select(expr(
+        s"transform($in, v -> CAST(CASE WHEN v >= 0 THEN v div _den " +
+          "ELSE -((-v) div _den) END AS BIGINT))").as("xa"))
 
   /** DuckDB twin of the q317 power iteration with the rounds unrolled as
     * a generated MATERIALIZED CTE chain: same centered integers

@@ -228,4 +228,47 @@ class PipelineSpec extends AnyFunSuite {
     // renormalization rounding survives
     assert(math.abs(cos) < 0.01, s"|cos| = ${math.abs(cos)}")
   }
+
+  test("top-k PCA (k=3): all pairs near-orthogonal under iterated deflation") {
+    // the generalized pcaComponentsStored path: component 3 deflates
+    // against BOTH trained predecessors each iterate, so every pair —
+    // including (2,3), which no hand-wired two-component path covers —
+    // must come out near-orthogonal (only fixed-point renormalization
+    // rounding survives; 10000 ppm = |cos| 0.01, the q317⊥q321 bound)
+    val pairs = PipelineOps.pcaOrthogonalityPpm(spark, "/root/testdata/sf0.001", 3)
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1, 2), (1, 3), (2, 3)))
+    pairs.foreach { case (a, b, ppm) =>
+      assert(ppm < 10000, s"components $a,$b not orthogonal: |cos| = $ppm ppm")
+    }
+  }
+
+  test("trained-state caches retrain when the underlying data is rewritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_retrain_").toString
+    try {
+      // corpus A: docs 0 and 1 are exact near-dups (same 12-word text)
+      val dup = (0 until 12).map(i => s"tok$i").mkString(" ")
+      Seq((0L, dup), (1L, dup), (2L, "entirely different words here " +
+          "that share no three gram with anything else at all"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e1 = PipelineOps.jaccardEdgesStored(spark, dir, 0.5).count()
+      assert(e1 >= 1, "corpus A must produce at least one near-dup edge")
+      // rewrite IN PLACE with a corpus that has no near-dups: the cache
+      // key carries the data version, so the next call must retrain
+      // against the new files instead of serving corpus A's edges
+      Seq((0L, (0 until 12).map(i => s"alpha$i").mkString(" ")),
+          (1L, (0 until 12).map(i => s"beta$i").mkString(" ")),
+          (2L, (0 until 12).map(i => s"gamma$i").mkString(" ")))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e2 = PipelineOps.jaccardEdgesStored(spark, dir, 0.5).count()
+      assert(e2 == 0, s"stale trained state served after a data rewrite: $e2 edges")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

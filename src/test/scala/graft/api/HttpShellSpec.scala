@@ -616,6 +616,22 @@ class HttpShellSpec extends AnyFunSuite {
     assert(analysis.statusCode() == 400)
     assert(analysis.headers().firstValue("Content-Type").get ==
       "application/json")
+    // Spark SELECT is not read-only-safe by default — the per-request
+    // session must close both escape hatches (ADVICE r7):
+    // reflect()/java_method() invokes arbitrary public static methods…
+    val refl = arrowGet("sql=" + java.net.URLEncoder.encode(
+      "SELECT java_method('java.lang.System', 'getProperty', 'user.dir')",
+      "UTF-8"))
+    assert(refl.statusCode() == 400, refl.body())
+    assert(refl.body().contains("reflect"), refl.body())
+    val refl2 = arrowGet("sql=" + java.net.URLEncoder.encode(
+      "SELECT * FROM logs WHERE body = reflect('java.lang.System', 'lineSeparator')",
+      "UTF-8"))
+    assert(refl2.statusCode() == 400, refl2.body())
+    // …and path-based tables read arbitrary local files
+    val pathSql = arrowGet("sql=" + java.net.URLEncoder.encode(
+      s"SELECT * FROM parquet.`$dir/documents.parquet`", "UTF-8"))
+    assert(pathSql.statusCode() == 400, pathSql.body())
   }
 
   test("live tail over the wire: a POSTed log arrives as a frame; disconnect stops the query") {
@@ -678,6 +694,18 @@ class HttpShellSpec extends AnyFunSuite {
         """{service_name="a"} | distinct service_name""", "UTF-8"))
       assert(r.statusCode() == 400)
       assert(r.body().contains("distinct"))
+      // malformed / negative timeout_s must answer 400 BEFORE the
+      // streaming query starts — nothing to leak (ADVICE r7: the old
+      // parse site threw after LiveTail.start, skipping q.stop())
+      val activeBefore = spark.streams.active.length
+      val q = "?query=" + java.net.URLEncoder.encode(
+        """{service_name="a"}""", "UTF-8")
+      val badT = tailGet(q + "&timeout_s=abc")
+      assert(badT.statusCode() == 400, badT.body())
+      assert(badT.body().contains("timeout_s"))
+      assert(tailGet(q + "&timeout_s=-1").statusCode() == 400)
+      assert(spark.streams.active.length == activeBefore,
+        "a rejected tail request must not leave a streaming query behind")
     } finally sh.stop()
   }
 
