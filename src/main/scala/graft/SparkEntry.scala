@@ -25,7 +25,8 @@ object SparkEntry {
       (operators.ProfileOps.queries, operators.ProfileOps.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (operators.DiscoveryOps.queries, operators.DiscoveryOps.oracles),
-      (operators.HistogramOps.queries, operators.HistogramOps.oracles)
+      (operators.HistogramOps.queries, operators.HistogramOps.oracles),
+      (operators.InteropOps.queries, operators.InteropOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -62,9 +62,12 @@ object Snapshots {
         f.makeQualified(new Path(root)).toString).stripPrefix("/")
       val name = st.getPath.getName
       // any hidden path segment (_snapshots, _compactions staging, …)
-      // keeps the whole file out of the manifest
+      // keeps the whole file out of the manifest; `metadata/` is the
+      // Iceberg metadata projection (IcebergExport) — spec-named, so not
+      // underscore-prefixed, and never a data file (vacuum must not
+      // treat exported manifests as orphans)
       if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")) &&
-        st.isFile)
+        !rel.startsWith("metadata/") && st.isFile)
         out += rel
     }
     out.sorted.toSeq
