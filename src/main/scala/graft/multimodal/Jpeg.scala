@@ -416,6 +416,15 @@ object Jpeg {
       val mcusY = (h + maxV * 8 - 1) / (maxV * 8)
       val coef = new Array[Int](64)
       val prevDc = new Array[Int](nComp)
+      // sparse IDCT scratch: typical blocks carry a handful of nonzero
+      // coefficients, so the pixel loop folds only those — gathered in
+      // index order with the SAME left-associated multiply chain as the
+      // dense sum, and since a zero coefficient's term is an exact ±0.0
+      // (cos factors are never 0, no underflow at these magnitudes),
+      // skipping it leaves every acc bit-identical to the dense loop
+      val nzIdx = new Array[Int](64)
+      val nzT = new Array[Double](64)
+      val invSqrt2 = 1.0 / math.sqrt(2)
       for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
         val comp = comps(c)
         val q = qt(compQ(c)); val dcT = dcTabs(dcSel(c)); val acT = acTabs(acSel(c))
@@ -440,19 +449,41 @@ object Jpeg {
               k += 1
             }
           }
-          // separable 2-D IDCT + level shift + clamp into the comp plane
+          // 2-D IDCT + level shift + clamp into the comp plane, folding
+          // nonzero coefficients only (bit-identical to the dense sum)
           val x0 = (mx * comp.hs + bh0) * 8
           val y0 = (my * comp.vs + bv) * 8
-          for (y <- 0 until 8; x <- 0 until 8) {
-            var acc = 0.0
-            for (v <- 0 until 8; u <- 0 until 8) {
-              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-              acc += cu * cv * coef(v * 8 + u) * cosTab(x)(u) * cosTab(y)(v)
+          var nz = 0
+          var idx = 0
+          while (idx < 64) {
+            if (coef(idx) != 0) {
+              val cu = if ((idx & 7) == 0) invSqrt2 else 1.0
+              val cv = if ((idx >> 3) == 0) invSqrt2 else 1.0
+              nzIdx(nz) = idx
+              nzT(nz) = cu * cv * coef(idx)
+              nz += 1
             }
-            val s = math.round(0.25 * acc).toInt + 128
-            val p = math.max(0, math.min(255, s))
-            comp.plane((y0 + y) * comp.padW + x0 + x) = p.toByte
+            idx += 1
+          }
+          var y = 0
+          while (y < 8) {
+            val cy = cosTab(y)
+            var x = 0
+            while (x < 8) {
+              val cx = cosTab(x)
+              var acc = 0.0
+              var j = 0
+              while (j < nz) {
+                val id = nzIdx(j)
+                acc += nzT(j) * cx(id & 7) * cy(id >> 3)
+                j += 1
+              }
+              val s = math.round(0.25 * acc).toInt + 128
+              val p = math.max(0, math.min(255, s))
+              comp.plane((y0 + y) * comp.padW + x0 + x) = p.toByte
+              x += 1
+            }
+            y += 1
           }
         }
       }
