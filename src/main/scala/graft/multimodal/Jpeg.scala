@@ -21,13 +21,18 @@ package graft.multimodal
   * formula the DuckDB oracle restates. Non-flat blocks exercise the
   * general AC/IDCT path and are spec-verified against ImageIO within ±2
   * (the JPEG standard permits small IDCT variance between conforming
-  * decoders). Unsupported shapes (progressive, 16-bit DQT, restart
-  * intervals, 2- or 4-component frames) → None, never a guess.
+  * decoders). PROGRESSIVE (SOF2) streams decode through the dedicated
+  * scan accumulator (`decodeProgressivePlanes`): DC first + refinement,
+  * AC spectral-selection first + refinement per T.81 §G, then the same
+  * dequant + IDCT + color pipeline. Unsupported shapes (arithmetic
+  * coding, 16-bit DQT, restart intervals, 2- or 4-component frames) →
+  * None, never a guess.
   *
   * Reference surface parity: the reference ships no media decode either
   * (multimodal payloads are opaque bytes there); this closes baseline
-  * JPEG — grayscale AND color — with only inter-frame video codecs
-  * (H.264/VP9 entropy decoding) remaining out of local scope.
+  * AND progressive JPEG — grayscale and color — with only inter-frame
+  * video codecs (H.264/VP9 entropy decoding) remaining out of local
+  * scope.
   */
 object Jpeg {
 
@@ -128,15 +133,15 @@ object Jpeg {
     /** FDCT (quantizer all-ones) + entropy-code one level-shifted 8×8
       * block; returns the new DC predictor. */
     def encodeBlock(s: Array[Array[Int]], prevDc: Int): Int = {
-      for (u <- 0 until 8; v <- 0 until 8) {
-        var acc = 0.0
-        for (y <- 0 until 8; x <- 0 until 8)
-          acc += s(y)(x) * cosTab(x)(u) * cosTab(y)(v)
-        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-        coef(v * 8 + u) = math.round(0.25 * cu * cv * acc).toInt
-      }
-      val dc = coef(0); val diff = dc - prevDc
+      fdctInto(s, coef)
+      val dc = encodeDcDiff(coef(0), prevDc)
+      encodeAcRuns(coef)
+      dc
+    }
+
+    /** DC magnitude-category + sign bits for `dc - prevDc`; returns dc. */
+    def encodeDcDiff(dc: Int, prevDc: Int): Int = {
+      val diff = dc - prevDc
       val cat = category(diff)
       val (dcCode, dcLen) = dcEnc(cat)
       putBits(dcCode, dcLen)
@@ -144,6 +149,13 @@ object Jpeg {
         val bitsVal = if (diff >= 0) diff else diff + (1 << cat) - 1
         putBits(bitsVal, cat)
       }
+      dc
+    }
+
+    /** AC run-length coding of coefficients 1..63 (zigzag) with ZRL and
+      * a trailing EOB — the sequential coding, which is also a valid
+      * Ss=1..63, Ah=Al=0 progressive AC scan (EOB ≡ EOBRUN of 1). */
+    def encodeAcRuns(coef: Array[Int]): Unit = {
       var run = 0
       for (k <- 1 until 64) {
         val v = coef(zigzag(k))
@@ -159,15 +171,28 @@ object Jpeg {
         }
       }
       if (run > 0) { val (c, l) = acEnc(0x00); putBits(c, l) } // EOB
-      dc
     }
 
     def flush(): Unit =
       if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // pad 1s
   }
 
+  /** FDCT of one level-shifted 8×8 block (all-ones quantizer) into
+    * `coef` (raster order) — shared by the sequential and progressive
+    * encoders, arithmetic unchanged. */
+  private def fdctInto(s: Array[Array[Int]], coef: Array[Int]): Unit =
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var acc = 0.0
+      for (y <- 0 until 8; x <- 0 until 8)
+        acc += s(y)(x) * cosTab(x)(u) * cosTab(y)(v)
+      val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+      val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+      coef(v * 8 + u) = math.round(0.25 * cu * cv * acc).toInt
+    }
+
   private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
-      h: Int, comps: Seq[(Int, Int, Int)]): Unit = {
+      h: Int, comps: Seq[(Int, Int, Int)], sofMarker: Int = 0xC0,
+      sos: Boolean = true): Unit = {
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xFF); u8(m) }
@@ -177,7 +202,7 @@ object Jpeg {
     u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
     marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit, id 0, all ones
     for (_ <- 0 until 64) u8(1)
-    marker(0xC0); u16(2 + 6 + 3 * comps.size) // SOF0
+    marker(sofMarker); u16(2 + 6 + 3 * comps.size) // SOF0 / SOF2
     u8(8); u16(h); u16(w); u8(comps.size)
     for ((id, hs, vs) <- comps) { u8(id); u8((hs << 4) | vs); u8(0) }
     def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
@@ -185,10 +210,23 @@ object Jpeg {
       bits.foreach(u8); vals.foreach(b => u8(b & 0xFF))
     }
     dht(0, dcBits, dcVals); dht(1, acBits, acVals)
-    marker(0xDA); u16(2 + 1 + 2 * comps.size + 3) // SOS
+    if (sos) {
+      marker(0xDA); u16(2 + 1 + 2 * comps.size + 3) // SOS
+      u8(comps.size)
+      for ((id, _, _) <- comps) { u8(id); u8(0x00) } // dc table 0, ac table 0
+      u8(0); u8(63); u8(0)
+    }
+  }
+
+  /** a progressive SOS header: component (id, table-selector byte)
+    * pairs + the spectral band Ss..Se and approximation nibbles AhAl. */
+  private def writeSos(out: java.io.ByteArrayOutputStream,
+      comps: Seq[(Int, Int)], ss: Int, se: Int, ahal: Int): Unit = {
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    u8(0xFF); u8(0xDA); u8(0); u8(2 + 1 + 2 * comps.size + 3)
     u8(comps.size)
-    for ((id, _, _) <- comps) { u8(id); u8(0x00) } // dc table 0, ac table 0
-    u8(0); u8(63); u8(0)
+    for ((id, sel) <- comps) { u8(id); u8(sel) }
+    u8(ss); u8(se); u8(ahal)
   }
 
   /** sample an 8×8 level-shifted block from a plane with edge
@@ -215,6 +253,38 @@ object Jpeg {
     for (by <- 0 until bh; bx <- 0 until bw)
       prevDc = bwr.encodeBlock(sampleBlock(plane, w, h, bx * 8, by * 8), prevDc)
     bwr.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** encode a grayscale image as a standards-conformant PROGRESSIVE
+    * (SOF2) JPEG in two spectral-selection scans — scan 1: all DC
+    * coefficients (Ss=Se=0, Ah=Al=0), scan 2: the full AC band
+    * (Ss=1, Se=63, Ah=Al=0; per-block EOB ≡ EOBRUN of 1) — with the same
+    * all-ones quantizer, Annex K tables, and FDCT as [[encodeGray]], so
+    * the progressive and sequential encodings of one image decode to
+    * IDENTICAL pixels and block-flat images round-trip exactly (the
+    * oracle shape for q324). */
+  def encodeGrayProgressive(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xFF)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val coefs = Array.tabulate(bh * bw) { bi =>
+      val c = new Array[Int](64)
+      fdctInto(sampleBlock(plane, w, h, (bi % bw) * 8, (bi / bw) * 8), c)
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)), sofMarker = 0xC2, sos = false)
+    writeSos(out, Seq((1, 0x00)), ss = 0, se = 0, ahal = 0) // DC scan
+    val dcW = new BlockWriter(out)
+    var prevDc = 0
+    coefs.foreach(c => prevDc = dcW.encodeDcDiff(c(0), prevDc))
+    dcW.flush()
+    writeSos(out, Seq((1, 0x00)), ss = 1, se = 63, ahal = 0) // AC scan
+    val acW = new BlockWriter(out)
+    coefs.foreach(acW.encodeAcRuns)
+    acW.flush()
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }
@@ -315,9 +385,11 @@ object Jpeg {
                   compVs(c) < 1 || compVs(c) > 2) return None
             }
             i = end
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC2 => // SOF2 progressive: the dedicated scan accumulator
+            return decodeProgressivePlanes(bytes)
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame types
+            return None // arithmetic / hierarchical / lossless frames
           case 0xDB =>
             val len = u16(); val end = i + len - 2
             while (i < end) {
@@ -424,7 +496,6 @@ object Jpeg {
       // skipping it leaves every acc bit-identical to the dense loop
       val nzIdx = new Array[Int](64)
       val nzT = new Array[Double](64)
-      val invSqrt2 = 1.0 / math.sqrt(2)
       for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
         val comp = comps(c)
         val q = qt(compQ(c)); val dcT = dcTabs(dcSel(c)); val acT = acTabs(acSel(c))
@@ -451,45 +522,387 @@ object Jpeg {
           }
           // 2-D IDCT + level shift + clamp into the comp plane, folding
           // nonzero coefficients only (bit-identical to the dense sum)
-          val x0 = (mx * comp.hs + bh0) * 8
-          val y0 = (my * comp.vs + bv) * 8
-          var nz = 0
-          var idx = 0
-          while (idx < 64) {
-            if (coef(idx) != 0) {
-              val cu = if ((idx & 7) == 0) invSqrt2 else 1.0
-              val cv = if ((idx >> 3) == 0) invSqrt2 else 1.0
-              nzIdx(nz) = idx
-              nzT(nz) = cu * cv * coef(idx)
-              nz += 1
-            }
-            idx += 1
-          }
-          var y = 0
-          while (y < 8) {
-            val cy = cosTab(y)
-            var x = 0
-            while (x < 8) {
-              val cx = cosTab(x)
-              var acc = 0.0
-              var j = 0
-              while (j < nz) {
-                val id = nzIdx(j)
-                acc += nzT(j) * cx(id & 7) * cy(id >> 3)
-                j += 1
-              }
-              val s = math.round(0.25 * acc).toInt + 128
-              val p = math.max(0, math.min(255, s))
-              comp.plane((y0 + y) * comp.padW + x0 + x) = p.toByte
-              x += 1
-            }
-            y += 1
-          }
+          idctInto(coef, comp.plane, comp.padW,
+            (mx * comp.hs + bh0) * 8, (my * comp.vs + bv) * 8, nzIdx, nzT)
         }
       }
       Some((w, h, comps))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** PROGRESSIVE (SOF2) decode by scan accumulation, ITU-T T.81 §G:
+    * every scan refines per-component COEFFICIENT stores — DC first
+    * (diff coding, values scaled by 2^Al) and DC refinement (one raw
+    * correction bit), AC first (spectral band Ss..Se with EOB runs) and
+    * AC refinement (correction bits over the band's history, §G.1.2.3)
+    * — and the dequantized blocks run through the shared sparse IDCT
+    * after EOI. Interleaved DC scans walk the MCU-padded grids;
+    * single-component scans walk the component's own ceil(dim/8) grid.
+    * Restart intervals and arithmetic coding stay rejected. */
+  private def decodeProgressivePlanes(bytes: Array[Byte]): Option[(Int, Int, Array[Comp])] = {
+    var i = 0
+    def u8(): Int = { val v = bytes(i) & 0xFF; i += 1; v }
+    def u16(): Int = { val v = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF); i += 2; v }
+    try {
+      if (bytes.length < 4 || u8() != 0xFF || u8() != 0xD8) return None
+      var w = 0; var h = 0
+      val qt = new Array[Array[Int]](4)
+      val dcTabs = new Array[DecodeTable](4)
+      val acTabs = new Array[DecodeTable](4)
+      var nComp = 0
+      val compHs = new Array[Int](4); val compVs = new Array[Int](4)
+      val compQ = new Array[Int](4); val compIds = new Array[Int](4)
+      var sofSeen = false
+      var coefs: Array[Array[Int]] = null
+      var blocksWpad: Array[Int] = null; var blocksHpad: Array[Int] = null
+      var bW: Array[Int] = null; var bH: Array[Int] = null
+      var mcusX = 0; var mcusY = 0; var maxH = 1; var maxV = 1
+      def blockOff(c: Int, br: Int, bc: Int): Int = (br * blocksWpad(c) + bc) * 64
+      var done = false
+      while (!done) {
+        if (i + 2 > bytes.length) return None
+        if (u8() != 0xFF) return None
+        var m = u8()
+        while (m == 0xFF) m = u8() // fill bytes before a marker
+        m match {
+          case 0xD9 => done = true // EOI: scans complete
+          case 0xC2 =>
+            if (sofSeen) return None
+            sofSeen = true
+            val len = u16(); val end = i + len - 2
+            if (u8() != 8) return None
+            h = u16(); w = u16()
+            nComp = u8()
+            if (nComp != 1 && nComp != 3) return None
+            for (c <- 0 until nComp) {
+              compIds(c) = u8()
+              val hv = u8(); compHs(c) = hv >> 4; compVs(c) = hv & 0xF
+              compQ(c) = u8()
+              if (compHs(c) < 1 || compHs(c) > 2 ||
+                  compVs(c) < 1 || compVs(c) > 2) return None
+            }
+            i = end
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
+            maxH = (0 until nComp).map(compHs).max
+            maxV = (0 until nComp).map(compVs).max
+            for (c <- 0 until nComp)
+              if (maxH % compHs(c) != 0 || maxV % compVs(c) != 0) return None
+            mcusX = (w + maxH * 8 - 1) / (maxH * 8)
+            mcusY = (h + maxV * 8 - 1) / (maxV * 8)
+            blocksWpad = Array.tabulate(nComp)(c => mcusX * compHs(c))
+            blocksHpad = Array.tabulate(nComp)(c => mcusY * compVs(c))
+            bW = Array.tabulate(nComp)(c =>
+              ((w * compHs(c) + maxH - 1) / maxH + 7) / 8)
+            bH = Array.tabulate(nComp)(c =>
+              ((h * compVs(c) + maxV - 1) / maxV + 7) / 8)
+            coefs = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksWpad(c) * blocksHpad(c) * 64))
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+               0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // a second frame type inside a progressive stream
+          case 0xDB =>
+            val len = u16(); val end = i + len - 2
+            while (i < end) {
+              val pq = u8()
+              if ((pq >> 4) != 0) return None
+              val id = pq & 0xF
+              qt(id) = Array.fill(64)(0)
+              for (k <- 0 until 64) qt(id)(k) = u8()
+            }
+          case 0xC4 =>
+            val len = u16(); val end = i + len - 2
+            while (i < end) {
+              val tc = u8()
+              val bits = Array.fill(16)(u8())
+              val n = bits.sum
+              val vals = Array.fill(n)(u8().toByte)
+              val tab = new DecodeTable(bits, vals)
+              if ((tc >> 4) == 0) dcTabs(tc & 0xF) = tab else acTabs(tc & 0xF) = tab
+            }
+          case 0xDD => return None // restart intervals unsupported
+          case 0xDA =>
+            if (!sofSeen) return None
+            val slen = u16()
+            if (slen < 6) return None
+            val ns = u8()
+            if (ns < 1 || ns > nComp) return None
+            val scanComp = new Array[Int](ns)
+            val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+            for (j <- 0 until ns) {
+              val id = u8()
+              val c = compIds.indexOf(id)
+              if (c < 0 || c >= nComp) return None
+              scanComp(j) = c
+              val sel = u8(); dcSel(j) = sel >> 4; acSel(j) = sel & 0xF
+            }
+            val ss = u8(); val se = u8()
+            val ahal = u8(); val ah = ahal >> 4; val al = ahal & 0xF
+            if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 13) return None
+            val isDc = ss == 0
+            if (isDc && se != 0) return None
+            if (!isDc && ns != 1) return None // AC scans are single-component
+            if (ah != 0 && ah != al + 1) return None // successive approx steps by 1
+            // entropy reader for THIS scan (bit state never crosses scans)
+            var bitBuf = 0; var bitCnt = 0
+            def nextBit(): Int = {
+              if (bitCnt == 0) {
+                if (i >= bytes.length) return -1
+                val b = bytes(i) & 0xFF
+                if (b == 0xFF) {
+                  if (i + 1 >= bytes.length || (bytes(i + 1) & 0xFF) != 0x00)
+                    return -1 // a real marker: scan data exhausted
+                  i += 2
+                } else i += 1
+                bitBuf = b; bitCnt = 8
+              }
+              bitCnt -= 1
+              (bitBuf >> bitCnt) & 1
+            }
+            def huffDecode(t: DecodeTable): Int = {
+              var code = 0; var len = 0
+              while (len < 16) {
+                val b = nextBit(); if (b < 0) return -1
+                code = (code << 1) | b; len += 1
+                if (t.maxCode(len) >= 0 && code <= t.maxCode(len) &&
+                    code >= t.minCode(len))
+                  return t.value(len, code)
+              }
+              -1
+            }
+            def receive(n: Int): Int = {
+              var v = 0
+              for (_ <- 0 until n) {
+                val b = nextBit(); if (b < 0) return Int.MinValue
+                v = (v << 1) | b
+              }
+              v
+            }
+            def extend(v: Int, cat: Int): Int =
+              if (cat == 0) 0
+              else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+              else v
+            val pred = new Array[Int](nComp)
+            var eobrun = 0
+            def doDcBlock(c: Int, dcT: DecodeTable, off: Int): Boolean = {
+              if (ah == 0) {
+                val cat = huffDecode(dcT); if (cat < 0 || cat > 11) return false
+                var diff = 0
+                if (cat > 0) {
+                  val v = receive(cat); if (v == Int.MinValue) return false
+                  diff = extend(v, cat)
+                }
+                pred(c) += diff
+                coefs(c)(off) = pred(c) << al
+              } else {
+                val b = nextBit(); if (b < 0) return false
+                if (b == 1) coefs(c)(off) |= (1 << al)
+              }
+              true
+            }
+            def doAcFirstBlock(c: Int, acT: DecodeTable, off: Int): Boolean = {
+              if (eobrun > 0) { eobrun -= 1; return true }
+              var k = ss
+              while (k <= se) {
+                val rs = huffDecode(acT); if (rs < 0) return false
+                val r = rs >> 4; val s0 = rs & 0xF
+                if (s0 == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) {
+                      val v = receive(r); if (v == Int.MinValue) return false
+                      eobrun += v
+                    }
+                    return true // this block ends here
+                  }
+                  k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return false
+                  val v = receive(s0); if (v == Int.MinValue) return false
+                  coefs(c)(off + zigzag(k)) = extend(v, s0) << al
+                  k += 1
+                }
+              }
+              true
+            }
+            def doAcRefineBlock(c: Int, acT: DecodeTable, off: Int): Boolean = {
+              val p1 = 1 << al
+              def refine(z: Int): Boolean = {
+                val b = nextBit(); if (b < 0) return false
+                if (b == 1 && (coefs(c)(z) & p1) == 0)
+                  coefs(c)(z) += (if (coefs(c)(z) >= 0) p1 else -p1)
+                true
+              }
+              var k = ss
+              if (eobrun == 0) {
+                var ended = false
+                while (k <= se && !ended) {
+                  val rs = huffDecode(acT); if (rs < 0) return false
+                  var r = rs >> 4; val s0 = rs & 0xF
+                  var newVal = 0
+                  if (s0 == 0) {
+                    if (r < 15) { // EOB run INCLUDING this block
+                      eobrun = 1 << r
+                      if (r > 0) {
+                        val v = receive(r); if (v == Int.MinValue) return false
+                        eobrun += v
+                      }
+                      ended = true
+                    } // r == 15: ZRL — pass over 16 zero-history coefs
+                  } else {
+                    if (s0 != 1) return false // refinement codes magnitude 1
+                    val sb = nextBit(); if (sb < 0) return false
+                    newVal = if (sb == 1) p1 else -p1
+                  }
+                  if (!ended) {
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val z = off + zigzag(k)
+                      if (coefs(c)(z) != 0) {
+                        if (!refine(z)) return false
+                      } else if (r == 0) {
+                        if (s0 != 0) coefs(c)(z) = newVal
+                        placed = true
+                      } else r -= 1
+                      k += 1
+                    }
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                while (k <= se) { // correction bits ride through EOB runs
+                  val z = off + zigzag(k)
+                  if (coefs(c)(z) != 0 && !refine(z)) return false
+                  k += 1
+                }
+                eobrun -= 1
+              }
+              true
+            }
+            // table presence (DC refinement reads raw bits — no table)
+            for (j <- 0 until ns) {
+              if (isDc && ah == 0 && dcTabs(dcSel(j)) == null) return None
+              if (!isDc && acTabs(acSel(j)) == null) return None
+            }
+            var ok = true
+            if (isDc && ns > 1) { // interleaved DC over the padded grids
+              var my = 0
+              while (my < mcusY && ok) {
+                var mx = 0
+                while (mx < mcusX && ok) {
+                  var j = 0
+                  while (j < ns && ok) {
+                    val c = scanComp(j)
+                    var bv = 0
+                    while (bv < compVs(c) && ok) {
+                      var bh0 = 0
+                      while (bh0 < compHs(c) && ok) {
+                        ok = doDcBlock(c, dcTabs(dcSel(j)),
+                          blockOff(c, my * compVs(c) + bv, mx * compHs(c) + bh0))
+                        bh0 += 1
+                      }
+                      bv += 1
+                    }
+                    j += 1
+                  }
+                  mx += 1
+                }
+                my += 1
+              }
+            } else { // single component: its own ceil(dim/8) grid
+              val c = scanComp(0)
+              var br = 0
+              while (br < bH(c) && ok) {
+                var bc = 0
+                while (bc < bW(c) && ok) {
+                  val off = blockOff(c, br, bc)
+                  ok =
+                    if (isDc) doDcBlock(c, dcTabs(dcSel(0)), off)
+                    else if (ah == 0) doAcFirstBlock(c, acTabs(acSel(0)), off)
+                    else doAcRefineBlock(c, acTabs(acSel(0)), off)
+                  bc += 1
+                }
+                br += 1
+              }
+            }
+            if (!ok) return None
+            // resync to the next marker (skip padding bits / stuffing)
+            while (i + 1 < bytes.length &&
+              !((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00))
+              i += 1
+            if (i + 1 >= bytes.length) return None
+          case _ => // APPn/COM/DNL: skip by length
+            val len = u16(); i += len - 2
+        }
+      }
+      if (!sofSeen || coefs == null) return None
+      for (c <- 0 until nComp) if (qt(compQ(c)) == null) return None
+      val comps = Array.tabulate(nComp) { c =>
+        val subW = (w * compHs(c) + maxH - 1) / maxH
+        val subH = (h * compVs(c) + maxV - 1) / maxV
+        val padW = blocksWpad(c) * 8
+        Comp(compHs(c), compVs(c), subW, subH, padW,
+          new Array[Byte](padW * blocksHpad(c) * 8))
+      }
+      val deq = new Array[Int](64)
+      val nzIdx = new Array[Int](64); val nzT = new Array[Double](64)
+      for (c <- 0 until nComp) {
+        val q = qt(compQ(c))
+        for (br <- 0 until blocksHpad(c); bc <- 0 until blocksWpad(c)) {
+          val off = blockOff(c, br, bc)
+          var k = 0
+          while (k < 64) { deq(zigzag(k)) = coefs(c)(off + zigzag(k)) * q(k); k += 1 }
+          idctInto(deq, comps(c).plane, comps(c).padW, bc * 8, br * 8, nzIdx, nzT)
+        }
+      }
+      Some((w, h, comps))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** sparse 2-D IDCT of one block of DEQUANTIZED raster-order
+    * coefficients + level shift + clamp into a component plane at
+    * (x0, y0) — folds nonzero coefficients only, bit-identical to the
+    * dense sum (zero terms were exact ±0.0 adds). Shared by the
+    * sequential and progressive decode paths; `nzIdx`/`nzT` are
+    * caller-provided 64-slot scratch. */
+  private def idctInto(coef: Array[Int], plane: Array[Byte], padW: Int,
+      x0: Int, y0: Int, nzIdx: Array[Int], nzT: Array[Double]): Unit = {
+    val invSqrt2 = 1.0 / math.sqrt(2)
+    var nz = 0
+    var idx = 0
+    while (idx < 64) {
+      if (coef(idx) != 0) {
+        val cu = if ((idx & 7) == 0) invSqrt2 else 1.0
+        val cv = if ((idx >> 3) == 0) invSqrt2 else 1.0
+        nzIdx(nz) = idx
+        nzT(nz) = cu * cv * coef(idx)
+        nz += 1
+      }
+      idx += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val cy = cosTab(y)
+      var x = 0
+      while (x < 8) {
+        val cx = cosTab(x)
+        var acc = 0.0
+        var j = 0
+        while (j < nz) {
+          val id = nzIdx(j)
+          acc += nzT(j) * cx(id & 7) * cy(id >> 3)
+          j += 1
+        }
+        val s = math.round(0.25 * acc).toInt + 128
+        val p = math.max(0, math.min(255, s))
+        plane((y0 + y) * padW + x0 + x) = p.toByte
+        x += 1
+      }
+      y += 1
     }
   }
 

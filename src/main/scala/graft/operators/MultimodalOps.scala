@@ -248,6 +248,32 @@ object MultimodalOps {
           "sum_gray", "sum_luma_milli", "peak_luma_milli")
     }),
 
+    // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
+    // block-flat image progressively (DC scan + spectral-selection AC
+    // scan) or sequentially, and both decode through the dispatching
+    // Jpeg entry — scan accumulation vs single-scan entropy decode —
+    // to the one closed formula the oracle restates. The web-corpus
+    // share VERDICT r7 #3 flagged now decodes instead of rejecting.
+    "q324_jpeg_progressive_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val progressive = ((id / 3) % 2) == 0
+          val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+          def v(x: Int, y: Int) =
+            ((id * 29 + (x / 8) * 7 + (y / 8) * 3) % 256).toInt
+          val jpg =
+            if (progressive) graft.multimodal.Jpeg.encodeGrayProgressive(w, h, v)
+            else graft.multimodal.Jpeg.encodeGray(w, h, v)
+          val p = graft.multimodal.Jpeg.decodeGray(jpg).get
+          (id, if (progressive) "progressive" else "baseline",
+            p.width, p.height, p.nPx, p.sumR, p.peakLumaMilli)
+        }.toDF("media_id", "coding", "width", "height", "n_px",
+          "sum_gray", "peak_luma_milli")
+    }),
+
     // REAL COLOR baseline JPEG (3-component YCbCr, BOTH 4:4:4 and
     // 4:2:0): component interleave, per-component DC prediction, chroma
     // box subsample on encode / replication upsample on decode, and
@@ -523,6 +549,24 @@ object MultimodalOps {
         |  CAST(SUM(1000 * v) AS BIGINT) AS sum_luma_milli,
         |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "q324_jpeg_progressive_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 'progressive'
+        |         ELSE 'baseline' END AS coding
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, coding,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3) % 256 AS v
+        |  FROM img, range(0, 32) x(i), range(0, 24) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id, coding,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q312_jpeg_color_pixel_stats" ->
       """WITH img AS (

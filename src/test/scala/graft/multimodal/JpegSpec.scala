@@ -138,4 +138,104 @@ class JpegSpec extends AnyFunSuite {
       assert(math.abs((p & 0xFF) - b(y * w + x)) <= 2, s"b($x,$y)")
     }
   }
+
+  // ---- progressive (SOF2) ------------------------------------------------
+
+  /** JDK progressive encode (libjpeg's simple-progression scan script:
+    * DC first with Al, spectral-selection AC firsts, then DC and AC
+    * REFINEMENT scans — all four progressive scan kinds). */
+  private def jdkProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    buf.toByteArray
+  }
+
+  private def hasSof2(jpg: Array[Byte]): Boolean =
+    jpg.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2)
+
+  test("progressive encode decodes pixel-identically to the sequential encode") {
+    // same FDCT, same quantizer, same coefficients — only the scan
+    // structure differs, so the two decodes must agree EXACTLY,
+    // including non-flat AC blocks and non-multiple-of-8 crops
+    for ((w, h) <- Seq((16, 16), (21, 13), (8, 8))) {
+      def v(x: Int, y: Int) = (x * 11 + y * 7 + (x * y) % 13) % 256
+      val seq = Jpeg.decodeGrayPlane(Jpeg.encodeGray(w, h, v)).get
+      val prog = Jpeg.encodeGrayProgressive(w, h, v)
+      assert(hasSof2(prog) && !hasSof2(Jpeg.encodeGray(w, h, v)))
+      val dec = Jpeg.decodeGrayPlane(prog).get
+      assert(dec._1 == w && dec._2 == h)
+      assert(dec._3.toSeq == seq._3.toSeq, s"$w x $h diverged")
+    }
+  }
+
+  test("our progressive stream is standard: the JDK decoder agrees on flat blocks") {
+    val w = 20; val h = 13
+    def v(x: Int, y: Int) = ((x / 8) * 41 + (y / 8) * 17 + 5) % 256
+    val jpg = Jpeg.encodeGrayProgressive(w, h, v)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == v(x, y), s"($x,$y)")
+  }
+
+  test("JDK-encoded progressive grayscale decodes under our decoder (±2)") {
+    val w = 32; val h = 24
+    def v(x: Int, y: Int) = (x * 11 + y * 7 + (x * y) % 13) % 256
+    val img0 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img0.getRaster.setSample(x, y, 0, v(x, y))
+    val jpg = jdkProgressive(img0)
+    assert(hasSof2(jpg), "JDK fixture must actually be progressive")
+    val (dw, dh, px) = Jpeg.decodeGrayPlane(jpg).get
+    assert(dw == w && dh == h)
+    // same file, two conforming decoders: per-pixel within the
+    // standard's IDCT variance
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs(px(y * w + x) - jdk.getRaster.getSample(x, y, 0)) <= 2,
+        s"($x,$y): ours=${px(y * w + x)} jdk=${jdk.getRaster.getSample(x, y, 0)}")
+  }
+
+  test("JDK-encoded progressive COLOR decodes under our decoder (uniform fixture)") {
+    // constant color so chroma-upsampler differences vanish (the JDK's
+    // fancy upsampler interpolates across MCU boundaries)
+    val w = 24; val h = 18
+    val img0 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img0.setRGB(x, y, 0x4080C0)
+    val jpg = jdkProgressive(img0)
+    assert(hasSof2(jpg))
+    val (dw, dh, r, g, b) = Jpeg.decodeRgb(jpg).get
+    assert(dw == w && dh == h)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = jdk.getRGB(x, y)
+      assert(math.abs(((p >> 16) & 0xFF) - r(y * w + x)) <= 2, s"r($x,$y)")
+      assert(math.abs(((p >> 8) & 0xFF) - g(y * w + x)) <= 2, s"g($x,$y)")
+      assert(math.abs((p & 0xFF) - b(y * w + x)) <= 2, s"b($x,$y)")
+    }
+  }
+
+  test("progressive rejections stay honest") {
+    val good = Jpeg.encodeGrayProgressive(16, 16, (x, y) => (x + y) % 256)
+    assert(Jpeg.decodeGray(good).isDefined)
+    assert(Jpeg.decodeGray(good.dropRight(6)).isEmpty) // truncated final scan
+    // progressive + restart intervals: still rejected (DRI before SOS)
+    val withDri = {
+      val out = new java.io.ByteArrayOutputStream()
+      // splice a DRI segment right after SOI
+      out.write(good, 0, 2)
+      out.write(Array[Byte](0xFF.toByte, 0xDD.toByte, 0, 4, 0, 8))
+      out.write(good, 2, good.length - 2)
+      out.toByteArray
+    }
+    assert(Jpeg.decodeGray(withDri).isEmpty)
+  }
 }
