@@ -107,7 +107,8 @@ object Endpoints {
 
   /** GET /loki/api/v1/query_range (reference endpoints/logql.rs). */
   def lokiQueryRange(spark: SparkSession, dir: String, qs: String,
-      nowNs: Long): String = {
+      nowNs: Long,
+      tableOverride: Option[graft.logql.Lowering.LogsTable] = None): String = {
     val p = parseQuery(qs)
     val query = require(p, "query")
     val endNs = p.get("end").map(parseLokiNs(_, "end")).getOrElse(nowNs)
@@ -122,7 +123,7 @@ object Endpoints {
       case "forward"  => false
       case other      => throw HttpError(400, s"invalid direction: $other")
     }
-    val table = SignalViews.logsTable(spark, dir)
+    val table = tableOverride.getOrElse(SignalViews.logsTable(spark, dir))
     val parsed =
       try graft.logql.Parser.parse(query)
       catch { case e: graft.logql.Ast.ParseError =>
@@ -147,7 +148,8 @@ object Endpoints {
     * only line queries are served here; a metric query belongs on
     * query_range. */
   def lokiInstantQuery(spark: SparkSession, dir: String, qs: String,
-      nowNs: Long): String = {
+      nowNs: Long,
+      tableOverride: Option[graft.logql.Lowering.LogsTable] = None): String = {
     val p = parseQuery(qs)
     val query = require(p, "query")
     val endNs = p.get("time").map(parseLokiNs(_, "time")).getOrElse(nowNs)
@@ -167,7 +169,7 @@ object Endpoints {
     parsed match {
       case graft.logql.Ast.LineQuery(q) =>
         val df = graft.logql.Lowering.lowerLineQuery(
-          SignalViews.logsTable(spark, dir), q, limit,
+          tableOverride.getOrElse(SignalViews.logsTable(spark, dir)), q, limit,
           newestFirst, timeRange = Some((startNs, endNs)))
         ApiJson.lokiStreams(df, Seq("service_name", "severity_text"))
       case _ =>
@@ -673,7 +675,9 @@ object Endpoints {
       p("post", "/ingest", "Pyroscope pprof upload"),
       p("post", "/api/v1/ops/compact", "run a compaction pass"),
       p("post", "/api/v1/ops/compact/dry-run", "plan compaction candidates"),
-      p("get", "/api/v1/ops/compact/status", "compaction planner snapshot"))
+      p("get", "/api/v1/ops/compact/status", "compaction planner snapshot"),
+      p("post", "/api/v1/ops/promote",
+        "promote demanded attributes into stored columns"))
     val paths = entries.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (path, ops) =>
         s"""${ApiJson.jstr(path)}:{${ops.map(_._2).mkString(",")}}"""
@@ -793,6 +797,37 @@ object Endpoints {
         }
     }
     s"""{"status":"ok","compacted":[${done.mkString(",")}]}"""
+  }
+
+  /** POST /api/v1/ops/promote — the promotion DECISION + REWRITE over
+    * the flushed query-demand stats (reference attr_promotion.rs: the
+    * compactor reads attribute_stats, scores keys, and materializes
+    * `label_<key>` columns): every attribute demanded by at least
+    * `min_queries` served queries — and not machine-generated-looking —
+    * rewrites into the stored logs table. Returns the promoted keys;
+    * an absent stats table promotes nothing. */
+  def opsPromote(spark: SparkSession,
+      layout: graft.storage.Storage.TableLayout, qs: String): String = {
+    val minQ = parseQuery(qs).get("min_queries").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException =>
+          throw HttpError(400, "bad min_queries: " + s)
+      }
+    }.getOrElse(2)
+    val statsPath = layout.path("attribute_stats")
+    val hp = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val decided =
+      if (!fs.exists(hp)) Seq.empty[String]
+      else spark.read.parquet(statsPath)
+        .groupBy(col("attr")).agg(sum(col("n_queries")).as("n"))
+        .filter(col("n") >= minQ)
+        .collect().map(_.getString(0)).toSeq
+        .filterNot(graft.storage.AttrPromotion.looksGenerated)
+        .sorted
+    if (decided.nonEmpty)
+      graft.storage.AttrPromotion.rewriteTable(spark, layout, "logs", decided)
+    s"""{"status":"ok","promoted":[${decided.map(ApiJson.jstr).mkString(",")}]}"""
   }
 
   /** GET /api/v1/ops/compact/status — a planner snapshot: pending

@@ -85,12 +85,18 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
                 Some(Endpoints.opsCompact(spark, opsLayout))
               case "/api/v1/ops/compact/dry-run" =>
                 Some(Endpoints.opsCompactDryRun(spark, opsLayout))
+              case "/api/v1/ops/promote" =>
+                Some(Endpoints.opsPromote(spark, opsLayout, qs))
               case _ =>
                 ingestRoute(path, qs, body,
                   Option(ex.getRequestHeaders.getFirst("Content-Type"))
                     .getOrElse(""))
             }
-          } else route(path, qs)
+          } else {
+            val r = route(path, qs)
+            if (r.isDefined) recordDemand(path, qs)
+            r
+          }
         routed match {
           case Some(json) => (200, json)
           case None       => (404, errJson("not found: " + path))
@@ -270,10 +276,14 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     case "/health" => Some("""{"status":"ok"}""")
     case "/api/v1/openapi.json" => Some(Endpoints.openapi())
     // Loki (reference endpoints/logql.rs route table)
+    // log-query routes serve the ACCEPTOR-LANDED store when ingest is
+    // configured (the tail route already follows it), falling back to
+    // the read-only dir otherwise — so a shell that ingests also answers
+    // for what it ingested, promoted columns resolving live
     case "/loki/api/v1/query_range" =>
-      Some(Endpoints.lokiQueryRange(spark, dir, qs, nowNs))
+      Some(Endpoints.lokiQueryRange(spark, dir, qs, nowNs, landedLogsTable))
     case "/loki/api/v1/query" =>
-      Some(Endpoints.lokiInstantQuery(spark, dir, qs, nowNs))
+      Some(Endpoints.lokiInstantQuery(spark, dir, qs, nowNs, landedLogsTable))
     case "/loki/api/v1/labels" =>
       Some(Endpoints.lokiLabels(spark, dir, qs, nowNs))
     case LokiLabelValues(name) =>
@@ -328,6 +338,65 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.opsCompactStatus(spark, opsLayout))
     case _ => None
   }
+
+  /** Query-demand recording (reference attr_promotion.rs: served
+    * queries are the promotion signal): every successfully served Loki
+    * query's unpromoted-label demand flushes to the ingest layout's
+    * advisory `attribute_stats` table. Advisory only — a recording
+    * failure never fails the serve — and self-quieting: once a key is
+    * promoted (a `label_<key>` column exists on the stored logs table),
+    * the same query stops counting demand for it, which is how the
+    * loop converges. Long-lived services would cache the schema probe;
+    * the per-request read is one parquet footer. */
+  private def recordDemand(path: String, qs: String): Unit =
+    if (ingest.isDefined &&
+      (path == "/loki/api/v1/query_range" || path == "/loki/api/v1/query"))
+      try {
+        Endpoints.parseQuery(qs).get("query").foreach { text =>
+          val layout = ingest.get
+          val promoted = promotedSet(layout)
+          val df = graft.logql.QueryDemand.demand(spark, promoted, Seq(text))
+          if (df.limit(1).count() > 0) graft.logql.QueryDemand.flush(df, layout)
+        }
+      } catch { case _: Throwable => () }
+
+  /** the acceptor-landed gen-2 logs table, rebuilt per request so a
+    * promotion rewrite between two requests changes resolution LIVE:
+    * the promoted map derives from the on-disk `label_<key>` columns. */
+  private def landedLogsTable: Option[graft.logql.Lowering.LogsTable] =
+    ingest.flatMap { layout =>
+      val p = layout.path("logs")
+      if (!new java.io.File(p).isDirectory) None
+      else try {
+        val df = spark.read.parquet(p)
+        val promotedCols = df.columns.filter(_.startsWith("label_"))
+          .map(c => c.stripPrefix("label_") -> c).toMap
+        Some(graft.logql.Lowering.LogsTable(
+          df = df,
+          promoted = Map("service_name" -> "service_name",
+            "severity_text" -> "severity_text", "body" -> "body") ++ promotedCols,
+          seriesLabels = Seq("service_name", "severity_text"),
+          hasAttrMap = true,
+          attrMapCols = Seq("log_attributes", "resource_attributes",
+            "scope_attributes").filter(df.columns.contains)))
+      } catch { case _: Throwable => None }
+    }
+
+  /** columns already served without a map probe: the stored logs
+    * table's real columns plus the keys behind its `label_<key>`
+    * materializations (base labels if nothing has landed yet). */
+  private def promotedSet(layout: graft.storage.Storage.TableLayout): Set[String] =
+    try {
+      val p = layout.path("logs")
+      if (!new java.io.File(p).isDirectory)
+        Set("service_name", "severity_text")
+      else {
+        val cols = spark.read.parquet(p).schema.fieldNames.toSet
+        cols ++ cols.collect {
+          case c if c.startsWith("label_") => c.stripPrefix("label_")
+        }
+      }
+    } catch { case _: Throwable => Set("service_name", "severity_text") }
 
   /** the ops routes act on the INGEST layout (there is no compactor for
     * the read-only testdata dir). */

@@ -4,6 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The listening HTTP shell: real sockets end to end. Every assertion
@@ -201,7 +202,8 @@ class HttpShellSpec extends AnyFunSuite {
   // ---- acceptor routes ----------------------------------------------------
 
   /** minimal OTLP logs wire payload (same encoder as OtlpSpec's). */
-  private def logsPayload(svc: String, startNs: Long, n: Int): Array[Byte] = {
+  private def logsPayload(svc: String, startNs: Long, n: Int,
+      attrs: (Int => Seq[(String, String)]) = _ => Nil): Array[Byte] = {
     import java.io.ByteArrayOutputStream
     class Pb {
       val out = new ByteArrayOutputStream()
@@ -227,6 +229,8 @@ class HttpShellSpec extends AnyFunSuite {
           lr.fixed64(1, startNs + i * 60L * 1000000000L)
           lr.str(3, if (i % 2 == 0) "error" else "info")
           lr.msg(5)(_.str(1, s"line $i from $svc"))
+          for ((k, v) <- attrs(i))
+            lr.msg(6) { kv => kv.str(1, k); kv.msg(2)(_.str(1, v)) }
         }
       }
     }
@@ -706,6 +710,89 @@ class HttpShellSpec extends AnyFunSuite {
       assert(tailGet(q + "&timeout_s=-1").statusCode() == 400)
       assert(spark.streams.active.length == activeBefore,
         "a rejected tail request must not leave a streaming query behind")
+    } finally sh.stop()
+  }
+
+  test("attribute promotion closes end-to-end over the wire") {
+    // the reference's whole adaptive-schema loop (attr_promotion.rs) in
+    // one live pass: served queries → demand stats flushed → promotion
+    // decision → table rewrite → the SAME query resolving the promoted
+    // column with identical results — and demand going quiet for it
+    val base = java.nio.file.Files.createTempDirectory("graft-http-promo").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      // 1. land logs whose region attribute only exists in the map
+      assert(post(p, "/v1/logs", logsPayload("svc-promo", T0 * 1000000000L, 6,
+        attrs = i => Seq("region" -> s"r${i % 3}"))).statusCode() == 200)
+      // 2. serve the same region-demanding query twice over the wire
+      val q = java.net.URLEncoder.encode(
+        """{service_name="svc-promo"} | region != "r0"""", "UTF-8")
+      val url = s"/loki/api/v1/query_range?query=$q&start=${T0}000000000" +
+        s"&end=${T1}000000000&limit=100"
+      def getP(u: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$u"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      // served from the LANDED store (shells with ingest answer for
+      // what they ingested); region resolves via the map probe for now
+      val served = getP(url)
+      assert(served.statusCode() == 200, served.body())
+      assert(served.body().contains("svc-promo"), served.body())
+      assert(getP(url).statusCode() == 200)
+      val stats = spark.read.parquet(layout.path("attribute_stats"))
+      val regionDemand = stats.filter(col("attr") === "region")
+        .agg(sum("n_queries")).head().getLong(0)
+      assert(regionDemand >= 2, s"demand not flushed: $regionDemand")
+      // the promoted base labels never count as demand
+      assert(stats.filter(col("attr") === "service_name").count() == 0)
+      // pre-promotion answer over the landed table (map-probe resolution)
+      import graft.logql.{Lowering, Parser}
+      import graft.logql.Ast.LineQuery
+      def landed(promoted: Map[String, String]) = Lowering.LogsTable(
+        df = spark.read.parquet(layout.path("logs")),
+        promoted = Map("service_name" -> "service_name",
+          "severity_text" -> "severity_text", "body" -> "body") ++ promoted,
+        seriesLabels = Seq("service_name", "severity_text"),
+        hasAttrMap = true, attrMapCols = Seq("log_attributes", "resource_attributes"))
+      val parsed = Parser.parse(
+        """{service_name="svc-promo"} | region != "r0"""") match {
+        case LineQuery(lq) => lq
+        case other => fail(s"unexpected $other")
+      }
+      def rows(t: Lowering.LogsTable) =
+        Lowering.lowerLineQuery(t, parsed, 100)
+          .select("timestamp", "body").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val before = rows(landed(Map.empty))
+      assert(before.nonEmpty)
+      // 3. the decision + rewrite, over the wire
+      val promoted = post(p, "/api/v1/ops/promote?min_queries=2", Array.emptyByteArray)
+      assert(promoted.statusCode() == 200, promoted.body())
+      assert(promoted.body().contains("\"region\""), promoted.body())
+      val rewritten = spark.read.parquet(layout.path("logs"))
+      assert(rewritten.columns.contains("label_region"))
+      // 4. the SAME query over the rewritten table resolves the promoted
+      // COLUMN (no map probe in the optimized plan) with identical rows
+      val afterTable = landed(Map("region" -> "label_region"))
+      val afterDf = Lowering.lowerLineQuery(afterTable, parsed, 100)
+      val plan = afterDf.queryExecution.optimizedPlan.toString
+      assert(plan.contains("label_region"), plan)
+      assert(!plan.contains("element_at"), s"map probe survived promotion:\n$plan")
+      assert(rows(afterTable) == before, "promotion changed the answer")
+      // 5. the SAME URL over the wire: byte-identical answer now served
+      // through the promoted column (the live loop, no restart), and
+      // the loop is QUIET — no new region demand records (label_region
+      // exists on the stored table)
+      val reServed = getP(url)
+      assert(reServed.statusCode() == 200)
+      assert(reServed.body() == served.body(),
+        "promotion changed the served bytes")
+      val after = spark.read.parquet(layout.path("attribute_stats"))
+        .filter(col("attr") === "region")
+        .agg(sum("n_queries")).head().getLong(0)
+      assert(after == regionDemand,
+        s"promoted key still counting demand: $regionDemand -> $after")
     } finally sh.stop()
   }
 
