@@ -528,6 +528,53 @@ object Endpoints {
       df.columns.toSeq.filterNot(Set("bucket_start", "value")))
   }
 
+  /** GET /api/metrics/query — INSTANT TraceQL metrics (reference
+    * tempo.rs:1276 route, which 501s; served here like the range
+    * variant): one evaluation bucket spanning [start, end) (defaults:
+    * the trailing hour up to `time`/now), so each series answers a
+    * single point — the shape Grafana's instant TraceQL metrics ask
+    * for. */
+  def tempoMetricsInstant(spark: SparkSession, dir: String, qs: String,
+      nowNs: Long): String = {
+    val p = parseQuery(qs)
+    val q = p.getOrElse("q", throw HttpError(400, "missing q"))
+    val endSec = p.get("time").orElse(p.get("end"))
+      .map(parsePromSec(_, "time")).getOrElse(nowNs / 1000000000L)
+    val startSec = p.get("start").map(parsePromSec(_, "start"))
+      .getOrElse(endSec - 3600L)
+    if (startSec >= endSec) throw HttpError(400, "start must be before end")
+    // rebase timestamps to the window start so the whole range is ONE
+    // evaluation bucket with the correct rate denominator (end-start),
+    // then stamp the evaluation time as the sample timestamp
+    val spans = SignalViews.tracesGen2Df(spark, dir)
+      .filter(col("timestamp") >= startSec * 1000000000L &&
+        col("timestamp") < endSec * 1000000000L)
+      .withColumn("timestamp", col("timestamp") - startSec * 1000000000L)
+    val mq = try graft.traceql.TraceQL.parseMetrics(q)
+      catch { case e: graft.traceql.TraceQL.Unsupported =>
+        throw HttpError(400, s"invalid TraceQL metrics: ${e.getMessage}") }
+    val df = graft.traceql.TraceQL.lowerMetrics(spans, mq, endSec - startSec)
+      .withColumn("bucket_start", lit(endSec))
+    ApiJson.traceqlMetricsMatrix(df,
+      df.columns.toSeq.filterNot(Set("bucket_start", "value")))
+  }
+
+  /** build/status endpoints Grafana datasource health checks probe:
+    * Prometheus `/api/v1/status/buildinfo`, Loki and Tempo equivalents.
+    * Version strings identify this engine honestly. */
+  private val BuildVersion = "0.8.0"
+  def promBuildinfo(): String =
+    s"""{"status":"success","data":{"application":"graft-signaldb",""" +
+      s""""version":${ApiJson.jstr(BuildVersion)},"revision":"",""" +
+      s""""features":{}}}"""
+  def lokiBuildinfo(): String =
+    s"""{"version":${ApiJson.jstr(BuildVersion)},"revision":"",""" +
+      s""""branch":"","buildUser":"","buildDate":"",""" +
+      s""""goVersion":""}"""
+  def tempoBuildinfo(): String =
+    s"""{"version":${ApiJson.jstr(BuildVersion)},"revision":"",""" +
+      s""""branch":""}"""
+
   // ---- Pyroscope ----------------------------------------------------------
 
   /** extract the service selector from a Pyroscope render query
@@ -640,6 +687,11 @@ object Endpoints {
       path -> s""""$method":{"summary":${ApiJson.jstr(summary)},"responses":{"200":{"description":"OK"}}}"""
     val entries = Seq(
       p("get", "/health", "liveness probe"),
+      p("get", "/ready", "readiness probe"),
+      p("get", "/api/status/buildinfo", "Tempo build info"),
+      p("get", "/loki/api/v1/status/buildinfo", "Loki build info"),
+      p("get", "/prometheus/api/v1/status/buildinfo", "Prometheus build info"),
+      p("get", "/api/metrics/query", "TraceQL metrics instant query"),
       p("get", "/loki/api/v1/query", "Loki instant log query"),
       p("get", "/loki/api/v1/query_range", "Loki range query (streams or matrix)"),
       p("get", "/loki/api/v1/labels", "Loki label names"),

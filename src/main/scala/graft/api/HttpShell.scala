@@ -309,6 +309,13 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.promLabelStats(spark, dir))
     // Tempo (reference endpoints/tempo.rs route table)
     case "/api/echo" => Some("echo")
+    case "/ready" => Some("ready")
+    case "/api/status/buildinfo" => Some(Endpoints.tempoBuildinfo())
+    case "/loki/api/v1/status/buildinfo" => Some(Endpoints.lokiBuildinfo())
+    case "/prometheus/api/v1/status/buildinfo" =>
+      Some(Endpoints.promBuildinfo())
+    case "/api/metrics/query" =>
+      Some(Endpoints.tempoMetricsInstant(spark, dir, qs, nowNs))
     case "/api/metrics/query_range" =>
       Some(Endpoints.tempoMetricsQueryRange(spark, dir, qs))
     case "/api/search" =>

@@ -713,6 +713,33 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("status surface: echo, ready, buildinfo triplet, instant TraceQL metrics") {
+    assert(get("/api/echo").body() == "echo")
+    assert(get("/ready").body() == "ready")
+    // the three Grafana datasource health probes
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prom = om.readTree(get("/prometheus/api/v1/status/buildinfo").body())
+    assert(prom.get("status").asText() == "success")
+    assert(prom.get("data").get("version").asText().nonEmpty)
+    assert(om.readTree(get("/loki/api/v1/status/buildinfo").body())
+      .get("version").asText().nonEmpty)
+    assert(om.readTree(get("/api/status/buildinfo").body())
+      .get("version").asText().nonEmpty)
+    // instant TraceQL metrics: one evaluation bucket (the reference 501s
+    // this route; we serve it like query_range)
+    val r = get("/api/metrics/query?q=" + java.net.URLEncoder.encode(
+      "{} | rate()", "UTF-8") + s"&start=$T0&time=$T1")
+    assert(r.statusCode() == 200, r.body())
+    val doc = om.readTree(r.body())
+    assert(doc.get("status").asText() == "success", r.body())
+    val result = doc.get("data").get("result")
+    assert(result.size() > 0, r.body())
+    val series = result.elements()
+    while (series.hasNext) // instant: exactly one value pair per series
+      assert(series.next().get("values").size() == 1)
+    assert(get("/api/metrics/query").statusCode() == 400) // missing q
+  }
+
   test("attribute promotion closes end-to-end over the wire") {
     // the reference's whole adaptive-schema loop (attr_promotion.rs) in
     // one live pass: served queries → demand stats flushed → promotion
