@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale proof for the heavy pipeline families (VERDICT r7
+  * next-round #8): replicate sf0.1's documents/embeddings/events 10×
+  * with shifted ids into /tmp, then run the ANN / dedup / PCA / BPE /
+  * sketch families there with AQE on, recording wall times and whether
+  * each plan keeps its shape (no new sort-merge joins where a broadcast
+  * was the design point). Results land in BASELINE.md by hand — this is
+  * evidence, not a driver gate.
+  *
+  * Replication note: shifting doc_id/vec_id by k·N keeps every
+  * derived-key distribution (md5 buckets, shingles, quantized dots)
+  * realistic, while the 10 copies of each TEXT create 10-way exact-dup
+  * clusters — a harder dedup/clustering input than the original, which
+  * is the interesting direction for a scale test.
+  */
+object ScaleProof {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the scaled tables (idempotent per (src, copies)) --------
+    val marker = new java.io.File(dst, s"_built_${copies}x")
+    if (!marker.exists()) {
+      def replicate(table: String, idCols: Seq[String]): Unit = {
+        val base = spark.read.parquet(s"$src/$table.parquet")
+        val n = base.count()
+        val copiesDf = (0 until copies).map { k =>
+          idCols.foldLeft(base)((d, c) =>
+            d.withColumn(c, col(c) + lit(k * n)))
+        }.reduce(_ unionByName _)
+        copiesDf.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dst/$table.parquet")
+        System.err.println(s"[scale] $table: $n -> ${n * copies}")
+      }
+      replicate("documents", Seq("doc_id"))
+      replicate("embeddings", Seq("vec_id"))
+      replicate("events", Seq("event_id"))
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+
+    // ---- the heavy families ------------------------------------------
+    val families = Seq(
+      "q20_dedup_exact", "q21_near_dup_jaccard", "q22_minhash_lsh",
+      "q23_simhash", "q127_dedup_components", "q138_segment_dedup",
+      "q24_ann_cosine_topk", "q103_ann_ivf", "q122_ann_ivf_kmeans",
+      "q140_kmeans_train", "q309_cluster_topics",
+      "q304_bpe_merges", "q308_bpe_encode",
+      "q317_pca_top_component", "q321_pca_second_component",
+      "q318_jl_projection", "q316_cms_heavy_hitters",
+      "q320_epoch_shuffle")
+    val sel = SparkEntry.queries.filter(q => families.exists(q._1.startsWith))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    for (name <- families; fn <- sel.get(name)) {
+      val t0 = System.nanoTime()
+      val cnt = try fn(spark, dst).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      results += ((name, sec, cnt))
+      System.err.println(f"[scale] $name%-28s $sec%8.2fs rows=$cnt")
+    }
+    val json = results.map { case (n, s, c) =>
+      s""""$n":{"sec":${f"$s%.2f"},"rows":$c}""" }.mkString(",")
+    println(s"""{"scale":"${copies}x-sf0.1","dir":"$dst","queries":{$json}}""")
+    spark.stop()
+  }
+}
