@@ -729,7 +729,15 @@ object Endpoints {
       p("post", "/api/v1/ops/compact/dry-run", "plan compaction candidates"),
       p("get", "/api/v1/ops/compact/status", "compaction planner snapshot"),
       p("post", "/api/v1/ops/promote",
-        "promote demanded attributes into stored columns"))
+        "promote demanded attributes into stored columns"),
+      p("post", "/api/v1/ops/iceberg-export",
+        "project landed tables as Iceberg v2 metadata"),
+      p("get", "/iceberg/v1/config", "Iceberg REST catalog config"),
+      p("get", "/iceberg/v1/namespaces", "Iceberg REST namespace listing"),
+      p("get", "/iceberg/v1/namespaces/{ns}/tables",
+        "Iceberg REST table listing"),
+      p("get", "/iceberg/v1/namespaces/{ns}/tables/{table}",
+        "Iceberg REST LoadTableResult"))
     val paths = entries.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (path, ops) =>
         s"""${ApiJson.jstr(path)}:{${ops.map(_._2).mkString(",")}}"""
@@ -880,6 +888,87 @@ object Endpoints {
     if (decided.nonEmpty)
       graft.storage.AttrPromotion.rewriteTable(spark, layout, "logs", decided)
     s"""{"status":"ok","promoted":[${decided.map(ApiJson.jstr).mkString(",")}]}"""
+  }
+
+  /** POST /api/v1/ops/iceberg-export — commit (if needed) and project
+    * every landed table as Iceberg v2 metadata ([[graft.storage
+    * .IcebergExport]]); the REST-catalog routes below then serve them.
+    * Returns table → exported metadata version. */
+  def opsIcebergExport(spark: SparkSession,
+      layout: graft.storage.Storage.TableLayout): String = {
+    val done = icebergTables(layout).map { t =>
+      if (graft.storage.Snapshots.current(spark, layout, t).isEmpty)
+        graft.storage.Snapshots.commit(spark, layout, t)
+      val v = graft.storage.IcebergExport.export(spark, layout, t)
+      s"""${ApiJson.jstr(t)}:$v"""
+    }
+    s"""{"status":"ok","exported":{${done.mkString(",")}}}"""
+  }
+
+  /** landed tables under the layout (dirs with at least one data file). */
+  private def icebergTables(layout: graft.storage.Storage.TableLayout): Seq[String] = {
+    val ds = new java.io.File(s"${layout.basePath}/${layout.tenant}/${layout.dataset}")
+    Option(ds.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted.toSeq
+  }
+
+  /** exported tables: those with Iceberg metadata to serve. */
+  private def exportedTables(layout: graft.storage.Storage.TableLayout): Seq[String] =
+    icebergTables(layout).filter(t =>
+      new java.io.File(layout.path(t), "metadata/version-hint.text").isFile)
+
+  // ---- Iceberg REST catalog (read-only) ----------------------------------
+  //
+  // The standard REST catalog surface (apache/iceberg
+  // rest-catalog-open-api.yaml) over the exported metadata, so a stock
+  // Iceberg REST client can discover and load graft tables: /v1/config,
+  // namespace listing (the (tenant, dataset) pair is the namespace,
+  // %1F-separated in paths per spec), table listing, and LoadTableResult
+  // with the metadata document embedded. Read-only: external COMMITS are
+  // out of scope (the CAS protocol stays ours).
+
+  def icebergConfig(): String =
+    """{"defaults":{},"overrides":{}}"""
+
+  def icebergNamespaces(layout: graft.storage.Storage.TableLayout): String =
+    s"""{"namespaces":[[${ApiJson.jstr(layout.tenant)},${ApiJson.jstr(layout.dataset)}]]}"""
+
+  /** the %1F-separated namespace path segment → parts. */
+  private def nsParts(ns: String): Seq[String] =
+    java.net.URLDecoder.decode(ns, "UTF-8").split('\u001f').toSeq
+
+  private def requireNs(layout: graft.storage.Storage.TableLayout,
+      ns: String): Unit =
+    if (nsParts(ns) != Seq(layout.tenant, layout.dataset))
+      throw HttpError(404, s"namespace not found: ${nsParts(ns).mkString(".")}")
+
+  def icebergTablesList(layout: graft.storage.Storage.TableLayout,
+      ns: String): String = {
+    requireNs(layout, ns)
+    val ids = exportedTables(layout).map(t =>
+      s"""{"namespace":[${ApiJson.jstr(layout.tenant)},${ApiJson.jstr(layout.dataset)}],""" +
+        s""""name":${ApiJson.jstr(t)}}""")
+    s"""{"identifiers":[${ids.mkString(",")}]}"""
+  }
+
+  /** GET …/tables/{table} → LoadTableResult (metadata-location + the
+    * metadata document verbatim from the exported file). */
+  def icebergLoadTable(layout: graft.storage.Storage.TableLayout,
+      ns: String, table: String): String = {
+    requireNs(layout, ns)
+    val hintFile = new java.io.File(layout.path(table), "metadata/version-hint.text")
+    if (!hintFile.isFile)
+      throw HttpError(404, s"table not found: $table (not exported?)")
+    val hint = new String(java.nio.file.Files.readAllBytes(hintFile.toPath),
+      "UTF-8").trim
+    val metaFile = new java.io.File(layout.path(table),
+      s"metadata/v$hint.metadata.json")
+    val metadata = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    s"""{"metadata-location":${ApiJson.jstr("file:" + metaFile.getAbsolutePath)},""" +
+      s""""metadata":$metadata,"config":{}}"""
   }
 
   /** GET /api/v1/ops/compact/status — a planner snapshot: pending

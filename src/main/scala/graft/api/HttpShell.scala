@@ -87,6 +87,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
                 Some(Endpoints.opsCompactDryRun(spark, opsLayout))
               case "/api/v1/ops/promote" =>
                 Some(Endpoints.opsPromote(spark, opsLayout, qs))
+              case "/api/v1/ops/iceberg-export" =>
+                Some(Endpoints.opsIcebergExport(spark, opsLayout))
               case _ =>
                 ingestRoute(path, qs, body,
                   Option(ex.getRequestHeaders.getFirst("Content-Type"))
@@ -343,6 +345,14 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // ops (reference endpoints/ops.rs — compactor control surface)
     case "/api/v1/ops/compact/status" =>
       Some(Endpoints.opsCompactStatus(spark, opsLayout))
+    // Iceberg REST catalog (read-only, over the exported metadata)
+    case "/iceberg/v1/config" => Some(Endpoints.icebergConfig())
+    case "/iceberg/v1/namespaces" =>
+      Some(Endpoints.icebergNamespaces(opsLayout))
+    case IcebergNsTables(ns) =>
+      Some(Endpoints.icebergTablesList(opsLayout, ns))
+    case IcebergTable(ns, t) =>
+      Some(Endpoints.icebergLoadTable(opsLayout, ns, dec(t)))
     case _ => None
   }
 
@@ -412,6 +422,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       throw Endpoints.HttpError(503, "ops routes require an ingest layout"))
 
   private val ProfilesByTrace = "^/api/profiles/trace/([^/]+)$".r
+  private val IcebergNsTables = "^/iceberg/v1/namespaces/([^/]+)/tables$".r
+  private val IcebergTable = "^/iceberg/v1/namespaces/([^/]+)/tables/([^/]+)$".r
 
   /** POST acceptor routes (reference src/acceptor/src/lib.rs). Each
     * wraps the request body as a 1-row payload frame so decode runs

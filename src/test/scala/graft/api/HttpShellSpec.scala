@@ -823,6 +823,52 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("Iceberg REST catalog: export over the wire, then discover and load") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-iceberg").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      def getP(u: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$u"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(post(p, "/v1/logs",
+        logsPayload("svc-ice", T0 * 1000000000L, 5)).statusCode() == 200)
+      // nothing exported yet: catalog lists the namespace but no tables
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(getP("/iceberg/v1/config").statusCode() == 200)
+      val nss = om.readTree(getP("/iceberg/v1/namespaces").body())
+      assert(nss.get("namespaces").get(0).get(0).asText() == "acme")
+      val nsSeg = java.net.URLEncoder.encode("acme\u001fprod", "UTF-8")
+      assert(om.readTree(getP(s"/iceberg/v1/namespaces/$nsSeg/tables").body())
+        .get("identifiers").size() == 0)
+      // export over the wire, then the table is discoverable + loadable
+      val exp = post(p, "/api/v1/ops/iceberg-export", Array.emptyByteArray)
+      assert(exp.statusCode() == 200, exp.body())
+      assert(exp.body().contains("\"logs\":1"), exp.body())
+      val ids = om.readTree(getP(s"/iceberg/v1/namespaces/$nsSeg/tables").body())
+        .get("identifiers")
+      assert(ids.size() == 1 && ids.get(0).get("name").asText() == "logs")
+      val load = getP(s"/iceberg/v1/namespaces/$nsSeg/tables/logs")
+      assert(load.statusCode() == 200, load.body())
+      val doc = om.readTree(load.body())
+      assert(doc.get("metadata-location").asText().endsWith("v1.metadata.json"))
+      val meta = doc.get("metadata")
+      assert(meta.get("format-version").asInt() == 2)
+      assert(meta.get("current-snapshot-id").asLong() == 1L)
+      // the LoadTableResult's metadata chain resolves to the real rows
+      val loc = new java.io.File(doc.get("metadata-location").asText()
+        .stripPrefix("file:")).getParentFile.getParent
+      val files = graft.storage.IcebergExport.readDataFiles(loc)
+      assert(files.map(_.recordCount).sum == 5)
+      // unknown namespace / unexported table → 404
+      val badNs = java.net.URLEncoder.encode("nope\u001fprod", "UTF-8")
+      assert(getP(s"/iceberg/v1/namespaces/$badNs/tables").statusCode() == 404)
+      assert(getP(s"/iceberg/v1/namespaces/$nsSeg/tables/traces")
+        .statusCode() == 404)
+    } finally sh.stop()
+  }
+
   test("shell stops cleanly") {
     // dedicated instance so the shared one stays up for other tests
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
