@@ -827,6 +827,62 @@ object PipelineOps {
         .select(col("doc_id"), col("n_tok"), col("sum_bits"), col("avg_bits_q8"))
     }),
 
+    // BIGRAM LM with STUPID BACKOFF, exact integers end-to-end — the
+    // distributed-LM design point (Brants et al. 2007 invented stupid
+    // backoff precisely so MapReduce LMs need no normalization pass):
+    // counts are two hash aggregates over the TRAIN split (even
+    // doc_ids), scoring is three token-keyed joins over the HELD-OUT
+    // split (odd doc_ids — the CCNet shape: an LM trained elsewhere
+    // scores the crawl, so unseen bigrams/OOV actually occur). Per
+    // transition, surprisal in floor-log2 bits (base-2 string length,
+    // no libm — the q290 discipline):
+    //   seen bigram:   len2(c(a)) − len2(c(a,b))
+    //   backoff (b∈V): 1 + len2(N) − len2(c(b))      (α = 1/2 → +1 bit)
+    //   OOV:           2 + len2(N)                   (p = 1/(4N) floor)
+    // At 100 TB the count tables shuffle-join by token; nothing here is
+    // driver-side and no stage needs the vocabulary in one place.
+    "q325_bigram_backoff_lm" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val uni = train.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n1"))
+      val total = uni.agg(sum(col("n1")).cast(LongType).as("n_total"))
+      def pairs(df: DataFrame) = df.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |            i -> struct(toks[i] AS tok_a, toks[i+1] AS tok_b))
+          |ELSE array() END""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.tok_a").as("tok_a"),
+          col("p.tok_b").as("tok_b"))
+      val bi = pairs(train).groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("n2"))
+      pairs(toks.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .join(bi, Seq("tok_a", "tok_b"), "left")
+        .join(uni.select(col("tok").as("tok_a"), col("n1").as("n1_a")),
+          Seq("tok_a"), "left")
+        .join(uni.select(col("tok").as("tok_b"), col("n1").as("n1_b")),
+          Seq("tok_b"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("s_bits", expr(
+          """CASE
+            |  WHEN n2 IS NOT NULL AND n1_a IS NOT NULL THEN
+            |    length(conv(n1_a, 10, 2)) - length(conv(n2, 10, 2))
+            |  WHEN n1_b IS NOT NULL THEN
+            |    1 + length(conv(n_total, 10, 2)) - length(conv(n1_b, 10, 2))
+            |  ELSE 2 + length(conv(n_total, 10, 2))
+            |END""".stripMargin))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trans"),
+          sum(when(col("n2").isNull && col("n1_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_backoff"),
+          sum(when(col("n1_b").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("s_bits")).cast(LongType).as("sum_bits"))
+        .withColumn("avg_bits_q8", expr("(sum_bits * 256) div n_trans"))
+        .select(col("doc_id"), col("n_trans"), col("n_backoff"),
+          col("n_oov"), col("sum_bits"), col("avg_bits_q8"))
+    }),
+
     "q183_zipf_commonness" -> ((s, dir) => {
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -2891,6 +2947,47 @@ object PipelineOps {
         |    length(printf('%b', t.n_total)) - length(printf('%b', f.cnt)) AS s_bits
         |  FROM occ o JOIN freq f USING (tok), tot t)
         |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(SUM(s_bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(s_bits) AS BIGINT) * 256 // count(*) AS avg_bits_q8
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    "q325_bigram_backoff_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT tok, count(*) AS n1 FROM (
+        |    SELECT unnest(toks) AS tok FROM train) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_total FROM uni),
+        |bi AS (
+        |  SELECT p['a'] AS tok_a, p['b'] AS tok_b, count(*) AS n2 FROM (
+        |    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        |      [{'a': toks[i], 'b': toks[i + 1]} FOR i IN range(1, len(toks))]
+        |      ELSE [] END) AS p FROM train) GROUP BY 1, 2),
+        |trans AS (
+        |  SELECT doc_id, p['a'] AS tok_a, p['b'] AS tok_b FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |      [{'a': toks[i], 'b': toks[i + 1]} FOR i IN range(1, len(toks))]
+        |      ELSE [] END) AS p FROM toks WHERE doc_id % 2 = 1)),
+        |sc AS (
+        |  SELECT t.doc_id, b.n2, ua.n1 AS n1_a, ub.n1 AS n1_b,
+        |    CASE
+        |      WHEN b.n2 IS NOT NULL AND ua.n1 IS NOT NULL THEN
+        |        length(printf('%b', ua.n1)) - length(printf('%b', b.n2))
+        |      WHEN ub.n1 IS NOT NULL THEN
+        |        1 + length(printf('%b', tot.n_total))
+        |          - length(printf('%b', ub.n1))
+        |      ELSE 2 + length(printf('%b', tot.n_total))
+        |    END AS s_bits
+        |  FROM trans t
+        |  LEFT JOIN bi b ON b.tok_a = t.tok_a AND b.tok_b = t.tok_b
+        |  LEFT JOIN uni ua ON ua.tok = t.tok_a
+        |  LEFT JOIN uni ub ON ub.tok = t.tok_b, tot)
+        |SELECT doc_id, count(*) AS n_trans,
+        |  CAST(SUM(CASE WHEN n2 IS NULL AND n1_b IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(CASE WHEN n1_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
         |  CAST(SUM(s_bits) AS BIGINT) AS sum_bits,
         |  CAST(SUM(s_bits) AS BIGINT) * 256 // count(*) AS avg_bits_q8
         |FROM sc GROUP BY 1""".stripMargin,
