@@ -883,6 +883,50 @@ object PipelineOps {
           col("n_oov"), col("sum_bits"), col("avg_bits_q8"))
     }),
 
+    // Hashed-n-gram LINEAR CLASSIFIER inference (the fastText serving
+    // shape): char trigrams feature-hash to B=1024 buckets (Weinberger
+    // 2009), scores are an exact-integer sparse dot against a BROADCAST
+    // (C=4 × B) weight table, winner by (score, class) with the
+    // runner-up margin as the confidence proxy. Weights derive from md5
+    // at plan build — the JL/LSH synthetic-weight discipline: the
+    // PLUMBING (hashing, broadcast dot, argmax+margin) is the operator;
+    // a trained model drops in as a parquet weight table with the same
+    // schema. At 100 TB: one narrow explode+hash, one hash agg, a
+    // broadcast join (the weight table is KB-scale), one window over
+    // doc_id — no global sorts, nothing driver-side.
+    "q326_hashed_linear_classifier" -> ((s, dir) => {
+      val B = 1024; val C = 4
+      val tri = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN length(text) >= 3 THEN
+            |  transform(sequence(1, length(text) - 2),
+            |            i -> substring(text, i, 3))
+            |ELSE array() END""".stripMargin)).as("tri"))
+      val feat = tri
+        .withColumn("bucket", expr(
+          s"CAST(CAST(conv(substring(md5(concat('clf:', tri)), 1, 15), " +
+            s"16, 10) AS BIGINT) % $B AS INT)"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val weights = s.range(C).select(col("id").cast("int").as("cls"))
+        .crossJoin(s.range(B).select(col("id").cast("int").as("bucket")))
+        .withColumn("w", expr(
+          "CAST(conv(substring(md5(concat('clfw:', cls, ':', bucket)), " +
+            "1, 15), 16, 10) AS BIGINT) % 2001 - 1000"))
+      val scores = feat.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"), col("cls"))
+        .agg(sum(col("cnt") * col("w")).as("score"))
+      val w1 = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls").asc)
+      scores
+        .withColumn("rnk", row_number().over(w1))
+        .withColumn("next_score", lead(col("score"), 1).over(w1))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("cls").as("best_class"),
+          col("score").cast(LongType).as("best_score"),
+          (col("score") - coalesce(col("next_score"), col("score")))
+            .cast(LongType).as("margin"))
+    }),
+
     "q183_zipf_commonness" -> ((s, dir) => {
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -2991,6 +3035,37 @@ object PipelineOps {
         |  CAST(SUM(s_bits) AS BIGINT) AS sum_bits,
         |  CAST(SUM(s_bits) AS BIGINT) * 256 // count(*) AS avg_bits_q8
         |FROM sc GROUP BY 1""".stripMargin,
+
+    "q326_hashed_linear_classifier" ->
+      """WITH tri AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(text) >= 3 THEN
+        |    [text[i:i+2] FOR i IN range(1, len(text) - 1)]
+        |    ELSE [] END) AS tri
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5('clf:' || tri), 1, 15)) AS BIGINT)
+        |      % 1024 AS INT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM tri GROUP BY 1, 2),
+        |weights AS (
+        |  SELECT CAST(c.i AS INT) AS cls, CAST(b.i AS INT) AS bucket,
+        |    CAST(('0x' || substr(md5('clfw:' || c.i || ':' || b.i), 1, 15))
+        |      AS BIGINT) % 2001 - 1000 AS w
+        |  FROM range(0, 4) c(i), range(0, 1024) b(i)),
+        |scores AS (
+        |  SELECT f.doc_id, w.cls, CAST(SUM(f.cnt * w.w) AS BIGINT) AS score
+        |  FROM feat f JOIN weights w USING (bucket) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT doc_id, cls, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cls ASC) AS rnk,
+        |    lead(score) OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cls ASC) AS next_score
+        |  FROM scores)
+        |SELECT doc_id, cls AS best_class, score AS best_score,
+        |  score - COALESCE(next_score, score) AS margin
+        |FROM rk WHERE rnk = 1""".stripMargin,
 
     "q183_zipf_commonness" ->
       """WITH occ AS (
