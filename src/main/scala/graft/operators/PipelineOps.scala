@@ -884,27 +884,32 @@ object PipelineOps {
     }),
 
     // Hashed-n-gram LINEAR CLASSIFIER inference (the fastText serving
-    // shape): char trigrams feature-hash to B=1024 buckets (Weinberger
-    // 2009), scores are an exact-integer sparse dot against a BROADCAST
-    // (C=4 × B) weight table, winner by (score, class) with the
-    // runner-up margin as the confidence proxy. Weights derive from md5
-    // at plan build — the JL/LSH synthetic-weight discipline: the
-    // PLUMBING (hashing, broadcast dot, argmax+margin) is the operator;
-    // a trained model drops in as a parquet weight table with the same
-    // schema. At 100 TB: one narrow explode+hash, one hash agg, a
-    // broadcast join (the weight table is KB-scale), one window over
-    // doc_id — no global sorts, nothing driver-side.
+    // shape, wordNgrams=2): word unigrams + adjacent word bigrams
+    // feature-hash to B=1024 buckets (Weinberger 2009), scores are an
+    // exact-integer sparse dot against a BROADCAST (C=4 × B) weight
+    // table, winner by (score, class) with the runner-up margin as the
+    // confidence proxy. Weights derive from md5 at plan build — the
+    // JL/LSH synthetic-weight discipline: the PLUMBING (hashing,
+    // broadcast dot, argmax+margin) is the operator; a trained model
+    // drops in as a parquet weight table with the same schema. At
+    // 100 TB: one narrow explode+hash, one hash agg, a broadcast join
+    // (the weight table is KB-scale), one window over doc_id — no
+    // global sorts, nothing driver-side. (Word features, not char
+    // trigrams, deliberately: 20× fewer feature rows per doc, and the
+    // split runs once, codegen'd, instead of a per-character lambda.)
     "q326_hashed_linear_classifier" -> ((s, dir) => {
       val B = 1024; val C = 4
-      val tri = Tables.documents(s, dir)
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(expr(
-          """CASE WHEN length(text) >= 3 THEN
-            |  transform(sequence(1, length(text) - 2),
-            |            i -> substring(text, i, 3))
-            |ELSE array() END""".stripMargin)).as("tri"))
-      val feat = tri
+          """concat(toks,
+            |  CASE WHEN size(toks) >= 2 THEN
+            |    transform(sequence(0, size(toks) - 2),
+            |              i -> concat(toks[i], ' ', toks[i + 1]))
+            |  ELSE array() END)""".stripMargin)).as("g"))
+      val feat = grams
         .withColumn("bucket", expr(
-          s"CAST(CAST(conv(substring(md5(concat('clf:', tri)), 1, 15), " +
+          s"CAST(CAST(conv(substring(md5(concat('clf:', g)), 1, 15), " +
             s"16, 10) AS BIGINT) % $B AS INT)"))
         .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
       val weights = s.range(C).select(col("id").cast("int").as("cls"))
@@ -3037,17 +3042,20 @@ object PipelineOps {
         |FROM sc GROUP BY 1""".stripMargin,
 
     "q326_hashed_linear_classifier" ->
-      """WITH tri AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(text) >= 3 THEN
-        |    [text[i:i+2] FOR i IN range(1, len(text) - 1)]
-        |    ELSE [] END) AS tri
-        |  FROM documents),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_concat(toks,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]
+        |    ELSE [] END)) AS g
+        |  FROM toks),
         |feat AS (
         |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5('clf:' || tri), 1, 15)) AS BIGINT)
+        |    CAST(CAST(('0x' || substr(md5('clf:' || g), 1, 15)) AS BIGINT)
         |      % 1024 AS INT) AS bucket,
         |    count(*) AS cnt
-        |  FROM tri GROUP BY 1, 2),
+        |  FROM grams GROUP BY 1, 2),
         |weights AS (
         |  SELECT CAST(c.i AS INT) AS cls, CAST(b.i AS INT) AS bucket,
         |    CAST(('0x' || substr(md5('clfw:' || c.i || ':' || b.i), 1, 15))

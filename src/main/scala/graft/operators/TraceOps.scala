@@ -46,6 +46,51 @@ object TraceOps {
       |FROM events""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // TAIL-BASED TRACE SAMPLING decision (the OTel tail-sampling
+    // processor's policy stack, made deterministic): per-trace facts
+    // fold in ONE hash aggregate (error flag, span count, wall =
+    // max(end) − min(start) in exact nanos); the latency policy's p95
+    // threshold is the exact k-th smallest wall (k = ceil(0.95·n), a
+    // row_number rank — no interpolated percentile, so both engines
+    // agree bit-for-bit) broadcast as one row; policies apply in
+    // priority order error → slow → probabilistic (md5(trace_id) % 100
+    // < 10 — the same deterministic-coin discipline as the split/
+    // sampling family). Output is the per-reason decision summary a
+    // sampling pipeline reports. At 100 TB: two hash aggs + a 1-row
+    // broadcast + a rank over the per-trace frame (already reduced by
+    // ~spans-per-trace), nothing driver-side.
+    "q327_tail_sampling" -> ((s, dir) => {
+      val traces = graft.SignalViews.tracesGen2Df(s, dir)
+        .groupBy(col("trace_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          max(when(col("status_code") === "ERROR", 1).otherwise(0))
+            .as("has_error"),
+          (max(col("timestamp") + col("duration_nanos"))
+            - min(col("timestamp"))).as("wall_ns"))
+      val nn = traces.agg(count(lit(1)).as("n"))
+      val thr = traces
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("wall_ns").asc, col("trace_id").asc)))
+        .crossJoin(broadcast(nn))
+        .filter(col("rn") === expr("(n * 95 + 99) div 100")) // ceil(.95n)
+        .select(col("wall_ns").as("p95_ns"))
+      traces.crossJoin(broadcast(thr))
+        .withColumn("reason", expr(
+          """CASE WHEN has_error = 1 THEN 'error'
+            |  WHEN wall_ns >= p95_ns THEN 'slow'
+            |  WHEN CAST(conv(substring(md5(concat('ts:', trace_id)), 1, 15),
+            |    16, 10) AS BIGINT) % 100 < 10 THEN 'probabilistic'
+            |  ELSE 'drop' END""".stripMargin))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_traces"),
+          sum(col("n_spans")).cast("long").as("n_spans"),
+          max(col("wall_ns")).as("max_wall_ns"))
+        .withColumn("kept", (col("reason") =!= "drop").cast("int"))
+        .select(col("reason"), col("n_traces"), col("n_spans"),
+          col("max_wall_ns"), col("kept"))
+    }),
+
     // Per-operation latency-quantile shift (the deploy-regression
     // report: did p50/p95 of any span move between window A and B?).
     // Durations are ms-bucketed and pre-rolled to (span, window, ms)
@@ -530,6 +575,34 @@ object TraceOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q327_tail_sampling" ->
+      s"""WITH spans AS (${graft.SignalViews.tracesGen2ViewSql}),
+         |traces AS (
+         |  SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    MAX(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END)
+         |      AS has_error,
+         |    MAX(timestamp + duration_nanos) - MIN(timestamp) AS wall_ns
+         |  FROM spans GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM traces),
+         |thr AS (
+         |  SELECT wall_ns AS p95_ns FROM (
+         |    SELECT wall_ns, row_number() OVER (
+         |      ORDER BY wall_ns ASC, trace_id ASC) AS rn FROM traces), nn
+         |  WHERE rn = (n * 95 + 99) // 100),
+         |dec AS (
+         |  SELECT t.*,
+         |    CASE WHEN has_error = 1 THEN 'error'
+         |      WHEN wall_ns >= thr.p95_ns THEN 'slow'
+         |      WHEN CAST(('0x' || substr(md5('ts:' || trace_id), 1, 15))
+         |        AS BIGINT) % 100 < 10 THEN 'probabilistic'
+         |      ELSE 'drop' END AS reason
+         |  FROM traces t, thr)
+         |SELECT reason, CAST(count(*) AS BIGINT) AS n_traces,
+         |  CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+         |  MAX(wall_ns) AS max_wall_ns,
+         |  CAST(CASE WHEN reason <> 'drop' THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM dec GROUP BY 1""".stripMargin,
+
     "q257_latency_shift" ->
       s"""WITH spans AS ($tracesViewSql),
          |rolled AS (
