@@ -471,6 +471,26 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
     }),
 
+    // NORMALIZED exact dedup (the RefinedWeb/Falcon "fuzzy exact"
+    // pass): lowercase, strip punctuation, collapse whitespace, THEN
+    // hash — catches trivially re-encoded copies plain md5(text)
+    // misses, still one hash aggregate (the cheapest dedup tier a
+    // pipeline runs before MinHash). Reports cluster sizes vs the raw
+    // tier: n_raw counts distinct raw texts folding into one
+    // normalized cluster, so n_raw > 1 rows are exactly the wins
+    // normalization buys. Same 100 TB shape as q20.
+    "q328_normalized_dedup" -> ((s, dir) => {
+      val norm = expr(
+        """trim(regexp_replace(regexp_replace(lower(text),
+          |  '[^a-z0-9 ]', ' '), ' +', ' '))""".stripMargin)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), md5(norm).as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(md5(col("text"))).as("n_raw"),
+          min(col("doc_id")).as("canonical_doc_id"))
+    }),
+
     // n-gram Jaccard near-dup: pairs sharing word-3-shingles, exact Jaccard
     // over distinct shingle sets, threshold 0.5. Equi-join on shingle.
     "q21_near_dup_jaccard" -> ((s, dir) =>
@@ -2851,6 +2871,14 @@ object PipelineOps {
         |  CAST(SUM(CASE WHEN prev_v IS NOT NULL AND value <> prev_v THEN 1 ELSE 0 END) AS BIGINT) AS changes,
         |  COUNT(*) AS n
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "q328_normalized_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  COUNT(*) AS n_copies,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw,
+        |  MIN(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
