@@ -377,25 +377,36 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         }
       } catch { case _: Throwable => () }
 
-  /** the acceptor-landed gen-2 logs table, rebuilt per request so a
-    * promotion rewrite between two requests changes resolution LIVE:
-    * the promoted map derives from the on-disk `label_<key>` columns. */
+  /** the acceptor-landed gen-2 logs table; a promotion rewrite (or any
+    * append) between two requests changes resolution LIVE — the table
+    * rebuilds when the data version moves (the promoted map derives
+    * from the on-disk `label_<key>` columns), and the memo keeps a
+    * stable store from paying schema inference per request. */
+  private val landedCache = scala.collection.concurrent
+    .TrieMap[String, (String, graft.logql.Lowering.LogsTable)]()
   private def landedLogsTable: Option[graft.logql.Lowering.LogsTable] =
     ingest.flatMap { layout =>
       val p = layout.path("logs")
       if (!new java.io.File(p).isDirectory) None
       else try {
-        val df = spark.read.parquet(p)
-        val promotedCols = df.columns.filter(_.startsWith("label_"))
-          .map(c => c.stripPrefix("label_") -> c).toMap
-        Some(graft.logql.Lowering.LogsTable(
-          df = df,
-          promoted = Map("service_name" -> "service_name",
-            "severity_text" -> "severity_text", "body" -> "body") ++ promotedCols,
-          seriesLabels = Seq("service_name", "severity_text"),
-          hasAttrMap = true,
-          attrMapCols = Seq("log_attributes", "resource_attributes",
-            "scope_attributes").filter(df.columns.contains)))
+        val ver = graft.storage.LocalCache.dataVersion(p)
+        landedCache.get(p) match {
+          case Some((v, t)) if v == ver => Some(t)
+          case _ =>
+            val df = spark.read.parquet(p)
+            val promotedCols = df.columns.filter(_.startsWith("label_"))
+              .map(c => c.stripPrefix("label_") -> c).toMap
+            val t = graft.logql.Lowering.LogsTable(
+              df = df,
+              promoted = Map("service_name" -> "service_name",
+                "severity_text" -> "severity_text", "body" -> "body") ++ promotedCols,
+              seriesLabels = Seq("service_name", "severity_text"),
+              hasAttrMap = true,
+              attrMapCols = Seq("log_attributes", "resource_attributes",
+                "scope_attributes").filter(df.columns.contains))
+            landedCache.put(p, (ver, t))
+            Some(t)
+        }
       } catch { case _: Throwable => None }
     }
 

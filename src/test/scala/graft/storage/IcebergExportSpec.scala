@@ -168,6 +168,40 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(native1.size < native2.size)
   }
 
+  test("string-partitioned tables export too: the 256-way prefix shard") {
+    // the traces layout partitions by prefix=XX (a STRING identity
+    // partition, not date/hour) — the exporter must map it to an
+    // identity field over a string source column with string partition
+    // values in the manifests
+    val base = java.nio.file.Files.createTempDirectory("graft_iceberg_tr").toString
+    val layout = Storage.TableLayout(base, "acme", "prod")
+    val spans = graft.SignalViews.tracesGen2Df(spark, dir)
+      .withColumn("prefix", substring(col("trace_id"), 1, 2))
+      .limit(2000)
+    Storage.append(spans, layout, "traces", alreadyPartitioned = true,
+      partitionCols = Seq("prefix"))
+    assert(Snapshots.commit(spark, layout, "traces") == 1)
+    assert(IcebergExport.export(spark, layout, "traces") == 1)
+    val loc = layout.path("traces")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(loc, "metadata/v1.metadata.json"))
+    val spec = meta.get("partition-specs").get(0).get("fields")
+    assert(spec.size() == 1)
+    assert(spec.get(0).get("name").asText() == "prefix")
+    assert(spec.get(0).get("transform").asText() == "identity")
+    // manifest partition values are the hive path's string values, and
+    // the resolved files read back to the full row set
+    val files = IcebergExport.readDataFiles(loc)
+    files.foreach { f =>
+      val fromPath = f.path.split('/').find(_.startsWith("prefix="))
+        .get.stripPrefix("prefix=")
+      assert(f.partition("prefix").toString == fromPath)
+    }
+    val viaIceberg = spark.read.option("basePath", loc)
+      .parquet(files.map(_.path): _*).count()
+    assert(viaIceberg == Snapshots.read(spark, layout, "traces").count())
+  }
+
   test("export is idempotent and survives a later commit + re-export") {
     val (layout, loc) = fixture
     // a THIRD snapshot (no new data — e.g. post-compaction commit shape)
