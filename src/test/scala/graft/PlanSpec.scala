@@ -387,4 +387,36 @@ class PlanSpec extends AnyFunSuite {
     val syms = w1.orderBy("w").collect().map(_.getSeq[String](2).mkString("|"))
     assert(syms.sameElements(Array("ab|ab", "ab|c", "b|a")))
   }
+
+  test("classifier weight table joins as a broadcast, never sort-merge") {
+    // the (4×1024) weight table is KB-scale by construction — if it ever
+    // arrives via a shuffle the plan regressed to a corpus-wide exchange
+    // on bucket
+    val df = operators.PipelineOps
+      .queries("q326_hashed_linear_classifier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"weight join regressed to a shuffle:\n$plan")
+  }
+
+  test("tail-sampling threshold is a 1-row broadcast over one trace agg") {
+    val df = operators.TraceOps.queries("q327_tail_sampling")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the p95 rank threshold and the trace-count row both broadcast;
+    // nothing in the policy CASE may turn into a cross/SMJ product
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"threshold join regressed:\n$plan")
+  }
+
+  test("bigram LM scoring plans no cartesian product and prunes documents to (doc_id, text)") {
+    val df = operators.PipelineOps.queries("q325_bigram_backoff_lm")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scan must not drag unrelated columns through three joins
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned:\n$plan")
+  }
 }
