@@ -39,15 +39,6 @@ object SignalTables {
     materialize(s, dir, "logs",
       Storage.withPartitionCols(SignalViews.logsGen2Df(s, dir)))
 
-  /** the stored logs table's LAYOUT (for snapshot/export jobs that need
-    * more than the path); materializes on first use like the path. */
-  def storedLogsLayout(s: SparkSession, dir: String): Storage.TableLayout = {
-    val p = storedLogsPath(s, dir)
-    // materialize() lays tables out as {base}/tenant0/default/{table}
-    val base = p.stripSuffix("/tenant0/default/logs")
-    Storage.TableLayout(base, "tenant0", "default")
-  }
-
   def storedLogs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(storedLogsPath(s, dir))
 

@@ -26,13 +26,25 @@ object InteropOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** export once per (process, sf dir); re-running is idempotent but
-    * re-reads parquet footers, which bench passes need not repeat. */
+    * re-reads parquet footers, which bench passes need not repeat. The
+    * table is this query's OWN stored layout (same Storage.append
+    * path), not the shared storedLogs fixture — exporting writes a
+    * `metadata/` dir under the table root, and a shared fixture's plain
+    * root reads must never have to know about it. */
   private val exported = scala.collection.concurrent.TrieMap[String, String]()
   private def icebergLogsLocation(s: SparkSession, dir: String): String =
     exported.getOrElseUpdate(dir, {
-      val layout = graft.SignalTables.storedLogsLayout(s, dir)
-      if (Snapshots.current(s, layout, "logs").isEmpty)
+      val base = graft.storage.LocalCache.dir(s"iceberg_logs|$dir")
+      val layout = graft.storage.Storage.TableLayout(base, "tenant0", "default")
+      if (Snapshots.current(s, layout, "logs").isEmpty) {
+        graft.storage.Storage.append(
+          graft.storage.Storage.withPartitionCols(
+            graft.SignalViews.logsGen2Df(s, dir))
+            .repartition(org.apache.spark.sql.functions.col("date_day"),
+              org.apache.spark.sql.functions.col("hour")),
+          layout, "logs", alreadyPartitioned = true)
         Snapshots.commit(s, layout, "logs")
+      }
       IcebergExport.export(s, layout, "logs")
       layout.path("logs")
     })
