@@ -70,6 +70,67 @@ class StreamTailSampleSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decisions agree with the batch q327 policy on real spans") {
+    // cross-surface law: the SAME spans through the batch operator's
+    // policy algebra and the streaming operator must decide identically
+    // when the streaming latency bound is set to the batch-derived p95
+    // (the coin is the same md5('ts:'||trace_id) % 100 in both)
+    import spark.implicits._
+    val spans = graft.SignalViews.tracesGen2Df(spark, "/root/testdata/sf0.001")
+      .limit(3000)
+      .select(col("trace_id"), col("timestamp"), col("duration_nanos"),
+        (col("status_code") === "ERROR").as("isError"))
+      .collect()
+      .map(r => Span(r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // batch side: per-trace facts + the exact ceil(0.95 n) rank bound
+    val traces = spans.groupBy(_.traceId).map { case (id, ss) =>
+      (id, ss.length, ss.exists(_.isError),
+        ss.map(s => s.tsNs + s.durNs).max - ss.map(_.tsNs).min)
+    }.toSeq
+    val sortedWalls = traces.map(t => (t._4, t._1)).sortBy(identity)
+    val p95 = sortedWalls((traces.size * 95 + 99) / 100 - 1)._1
+    def batchReason(hasError: Boolean, wall: Long, id: String): String =
+      if (hasError) "error"
+      else if (wall >= p95) "slow"
+      else if (StreamTailSample.coin(id) < 10) "probabilistic"
+      else "drop"
+    // streaming side over micro-batches
+    val input = MemoryStream[Span](spark)
+    val withWm = input.toDF()
+      .withColumn("eventTime", timestamp_seconds(expr("tsNs div 1000000000")))
+      .withWatermark("eventTime", "5 seconds")
+      .as[Span]
+    val out = StreamTailSample.decisions(withWm,
+      decisionWaitSec = 60, latencyThresholdNs = p95, keepPct = 10)
+    val q = out.writeStream.format("memory").queryName("tail_parity")
+      .outputMode("append").start()
+    try {
+      // one batch: testdata spans are unordered over a month of event
+      // time, so any split would strand whole traces below the advanced
+      // watermark (stateful operators DROP late input) — this law is
+      // about the policy algebra, not lateness handling
+      input.addData(spans.toIndexedSeq)
+      q.processAllAvailable()
+      // advance the watermark far past every decision_wait
+      val maxTs = spans.map(_.tsNs).max
+      input.addData(Span("wm-flush", maxTs + ns(1000), ns(1), isError = false))
+      q.processAllAvailable()
+      input.addData(Span("wm-flush2", maxTs + ns(2000), ns(1), isError = false))
+      q.processAllAvailable()
+      val got = spark.table("tail_parity").as[Decision].collect()
+        .filter(d => !d.traceId.startsWith("wm-flush"))
+        .map(d => d.traceId -> d).toMap
+      assert(got.size == traces.size,
+        s"${got.size} decisions for ${traces.size} traces")
+      traces.foreach { case (id, nSpans, hasError, wall) =>
+        val d = got(id)
+        assert(d.nSpans == nSpans && d.wallNs == wall, s"$id facts diverge")
+        assert(d.reason == batchReason(hasError, wall, id),
+          s"$id: streaming ${d.reason} != batch ${batchReason(hasError, wall, id)}")
+      }
+    } finally q.stop()
+  }
+
   test("a late span after the decision re-decides under a bumped revision") {
     import spark.implicits._
     val input = MemoryStream[Span](spark)
