@@ -49,7 +49,89 @@ object InteropOps {
       layout.path("logs")
     })
 
+  /** two-version stored-logs fixture for q330, built once per
+    * (process, sf dir) through the REAL storage ops: v1 = days ≤ 29
+    * committed; v2 adds the Jan 30 day AND a Jan 10 error-rows backfill
+    * (two appends, one commit). */
+  private val diffFixture = scala.collection.concurrent.TrieMap[String, String]()
+  private def snapshotDiffFixture(s: SparkSession, dir: String): String =
+    diffFixture.getOrElseUpdate(dir, {
+      val base = graft.storage.LocalCache.dir(s"snapdiff|$dir")
+      val layout = graft.storage.Storage.TableLayout(base, "tenant0", "default")
+      if (Snapshots.current(s, layout, "logs").isEmpty) {
+        val logs = graft.storage.Storage.withPartitionCols(
+          graft.SignalViews.logsGen2Df(s, dir))
+        graft.storage.Storage.append(
+          logs.filter(col("date_day") <= "2024-01-29")
+            .repartition(col("date_day"), col("hour")),
+          layout, "logs", alreadyPartitioned = true)
+        require(Snapshots.commit(s, layout, "logs") == 1)
+        graft.storage.Storage.append(
+          logs.filter(col("date_day") === "2024-01-30" ||
+            (col("date_day") === "2024-01-10" && col("severity_text") === "error"))
+            .repartition(col("date_day"), col("hour")),
+          layout, "logs", alreadyPartitioned = true)
+        require(Snapshots.commit(s, layout, "logs") == 2)
+      }
+      base
+    })
+
   val queries: Map[String, Q] = Map(
+    // TABLE PROFILER (the Deequ/data-profiling pass a pipeline runs
+    // before trusting a new drop): per-column row/null/distinct counts
+    // and min/max, computed in ONE scan — a single aggregate produces
+    // every stat (Spark expands the multi-distinct into one pass), then
+    // stack() pivots the wide row into the (column, stats) report.
+    // min/max surface as strings so one report row type covers every
+    // column dtype (BIGINT→string renders identically across engines;
+    // floats would not, so float columns would report quantized —
+    // documents has none). At 100 TB the exact distincts swap for the
+    // KMV sketch (q313/q314's discipline); the scan shape is the same.
+    "q329_table_profile" -> ((s, dir) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val d = graft.Tables.documents(s, dir)
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+      val stack = cols.map(c =>
+        s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      d.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stack) AS (column, n_present, n_distinct, min_str, max_str)"))
+        .select(col("column"), col("n_rows"),
+          (col("n_rows") - col("n_present")).as("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }),
+
+    // SNAPSHOT DIFF / INCREMENTAL READ (Iceberg's changelog shape): the
+    // rows appended between two committed snapshots, resolved from the
+    // MANIFEST FILE-SET DIFFERENCE — the actual incremental-read
+    // mechanism: only files in v2's manifest and not in v1's are ever
+    // read, so the consumer's cost tracks the delta, not the table (the
+    // 100 TB point — an anti-join over both versions would re-scan
+    // everything). Per-day appended counts are what an incremental
+    // consumer checkpoints on. Removals in this storage design only
+    // happen through maintenance that EXPIRES old snapshots (manifests
+    // older than a rewrite go stale by design, Snapshots doc) — there
+    // is no between-snapshot row delete to report, and the file-level
+    // diff would surface one loudly.
+    "q330_snapshot_diff" -> ((s, dir) => {
+      val loc = snapshotDiffFixture(s, dir)
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val root = layout.path("logs")
+      val v1 = Snapshots.files(s, layout, "logs", 1).toSet
+      val v2 = Snapshots.files(s, layout, "logs", 2)
+      val appended = v2.filterNot(v1.contains).map(rel => s"$root/$rel")
+      require(appended.nonEmpty, "fixture must append files between v1 and v2")
+      s.read.option("basePath", root).parquet(appended: _*)
+        .groupBy(col("date_day").cast("string").as("date_day"))
+        .agg(count(lit(1)).as("n_appended"))
+        .select(col("date_day"), col("n_appended"))
+    }),
+
     "q323_iceberg_export" -> ((s, dir) => {
       val loc = icebergLogsLocation(s, dir)
       val files = IcebergExport.readDataFiles(loc)
@@ -67,6 +149,33 @@ object InteropOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the appended slice restated from the raw view: day 30 plus the
+    // Jan 10 error backfill (UTC day derivation matches withPartitionCols)
+    "q330_snapshot_diff" ->
+      s"""WITH l AS (${graft.SignalViews.gen2ViewSql}),
+         |d AS (
+         |  SELECT strftime(make_timestamp(timestamp // 1000), '%Y-%m-%d')
+         |    AS date_day, severity_text
+         |  FROM l)
+         |SELECT date_day, CAST(COUNT(*) AS BIGINT) AS n_appended
+         |FROM d
+         |WHERE date_day = '2024-01-30'
+         |   OR (date_day = '2024-01-10' AND severity_text = 'error')
+         |GROUP BY 1""".stripMargin,
+
+    "q329_table_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column",
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+           |    - CAST(COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+    },
+
     // the manifest totals restated from the raw view: total rows, and
     // the distinct (day, hour) tuples the identity partition spec
     // materializes (UTC derivation matches Storage.withPartitionCols)

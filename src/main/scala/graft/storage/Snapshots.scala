@@ -126,6 +126,12 @@ object Snapshots {
     readSmall(f, p).split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** the data files (relative paths) a snapshot version pins — the
+    * incremental-read primitive: a consumer diffs two versions' file
+    * sets and reads only the difference (Iceberg's changelog shape). */
+  def files(spark: SparkSession, layout: Storage.TableLayout, table: String,
+      version: Int): Seq[String] = manifest(spark, layout, table, version)
+
   /** read the table AS OF a snapshot (default: CURRENT). basePath keeps
     * Hive partition columns — and partition pruning — alive on the
     * explicit file list. */
