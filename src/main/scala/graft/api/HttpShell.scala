@@ -34,7 +34,29 @@ import org.apache.spark.sql.SparkSession
   * queryable by the GET routes immediately after the 200.
   */
 final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
-    ingest: Option[graft.storage.Storage.TableLayout] = None) {
+    ingest: Option[graft.storage.Storage.TableLayout] = None,
+    /** query-API rate limit, requests/second (reference
+      * `common/ratelimit.rs` token bucket via the router's
+      * query_limiter, lib.rs:125): None = unlimited, exactly like an
+      * unset `[auth].default_limits` there. Applies to query GETs;
+      * health/readiness probes are never limited. */
+    queryRatePerSec: Option[Double] = None) {
+
+  /** token bucket: `rate` tokens/s, holding at most max(1, rate) —
+    * the burst equals one second of budget (ratelimit.rs TokenBucket,
+    * with burst pinned to rate for the single-knob surface). */
+  private final class TokenBucket(rate: Double) {
+    private val burst = math.max(1.0, rate)
+    private var tokens = burst
+    private var last = System.nanoTime()
+    def tryAcquire(): Boolean = synchronized {
+      val now = System.nanoTime()
+      tokens = math.min(burst, tokens + (now - last) / 1e9 * rate)
+      last = now
+      if (tokens >= 1.0) { tokens -= 1.0; true } else false
+    }
+  }
+  private val queryBucket = queryRatePerSec.map(new TokenBucket(_))
 
   private var server: HttpServer = _
   // Per-request batch ids for the idempotent sink. Seeded from the wall
@@ -70,6 +92,15 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    // query-API rate limit (reference lib.rs:389 behavior: limited
+    // deployments answer 429 once the bucket drains; probes exempt)
+    if (ex.getRequestMethod == "GET" && path != "/health" && path != "/ready")
+      queryBucket.foreach { b =>
+        if (!b.tryAcquire()) {
+          respondJson(ex, 429, errJson("query rate limit exceeded"))
+          return
+        }
+      }
     val (status, body) =
       try {
         if (path == "/api/v1/arrow") { arrowRoute(ex, qs); return }
@@ -95,7 +126,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
                     .getOrElse(""))
             }
           } else {
-            val r = route(path, qs)
+            val r = cachedRoute(path, qs)
             if (r.isDefined) recordDemand(path, qs)
             r
           }
@@ -265,6 +296,41 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     ex.sendResponseHeaders(status, b.length.toLong)
     val os = ex.getResponseBody
     try os.write(b) finally os.close()
+  }
+
+  /** RESULT CACHE for the query GET routes: dashboards poll the same
+    * query every few seconds, and with a deterministic `nowNs` the
+    * answer only changes when DATA changes — so entries key on
+    * (data version, path, qs) and a new ingest batch (or promotion
+    * rewrite, or export) naturally invalidates by changing the version.
+    * Bounded LRU (256 entries); ops/catalog routes are excluded (their
+    * state lives outside the versioned data dirs). Demand recording
+    * stays OUTSIDE the cache — a cached serve is still a served query. */
+  private val resultCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean = size() > 256
+      })
+  private[api] val cacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def cacheable(path: String): Boolean =
+    (path.startsWith("/loki/") || path.startsWith("/prometheus/") ||
+      path.startsWith("/api/") || path.startsWith("/pyroscope/")) &&
+      !path.startsWith("/api/v1/ops") && path != "/api/echo"
+
+  private def cachedRoute(path: String, qs: String): Option[String] = {
+    if (!cacheable(path)) return route(path, qs)
+    val ver = ingest.map(l =>
+      graft.storage.LocalCache.dataVersion(l.basePath)).getOrElse("static")
+    val key = s"$ver|$path?$qs"
+    Option(resultCache.get(key)) match {
+      case Some(hit) => cacheHits.incrementAndGet(); Some(hit)
+      case None =>
+        val r = route(path, qs)
+        r.foreach(resultCache.put(key, _))
+        r
+    }
   }
 
   private val TagValues = "^/api/search/tag/([^/]+)/values$".r

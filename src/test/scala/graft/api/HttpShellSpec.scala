@@ -869,6 +869,66 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("query results cache by data version; ingest invalidates") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-cache").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      def getP(u: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$u"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(post(p, "/v1/logs",
+        logsPayload("svc-cache", T0 * 1000000000L, 3)).statusCode() == 200)
+      val url = "/loki/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""{service_name="svc-cache"}""", "UTF-8") +
+        s"&start=${T0}000000000&end=${T1}000000000&limit=100"
+      val first = getP(url)
+      assert(first.statusCode() == 200 && first.body().contains("svc-cache"))
+      val hitsBefore = sh.cacheHits.get()
+      val second = getP(url)
+      assert(second.body() == first.body())
+      assert(sh.cacheHits.get() == hitsBefore + 1,
+        "identical poll must answer from the result cache")
+      // landing new data changes the data version: the same URL now
+      // recomputes and serves the new rows
+      assert(post(p, "/v1/logs",
+        logsPayload("svc-cache", (T0 + 7200) * 1000000000L, 2)).statusCode() == 200)
+      val third = getP(url)
+      assert(third.statusCode() == 200)
+      assert(third.body() != first.body(),
+        "a new ingest batch must invalidate the cached answer")
+    } finally sh.stop()
+  }
+
+  test("query rate limit: 429 once the bucket drains, unlimited without config") {
+    // the reference's router test verbatim (lib.rs:389): limit 2 →
+    // OK, OK, 429; no limit → 50× OK
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      queryRatePerSec = Some(2.0))
+    val p = sh.start()
+    try {
+      def echo() = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/echo"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(echo().statusCode() == 200)
+      assert(echo().statusCode() == 200)
+      val third = echo()
+      assert(third.statusCode() == 429, third.body())
+      assert(third.body().contains("rate limit"))
+      // probes are never limited
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/health"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+      // the bucket refills: a second later the route answers again
+      Thread.sleep(1100)
+      assert(echo().statusCode() == 200)
+    } finally sh.stop()
+    // unlimited without a configured limit (the shared shell): 50× OK
+    for (_ <- 0 until 50) assert(get("/api/echo").statusCode() == 200)
+  }
+
   test("shell stops cleanly") {
     // dedicated instance so the shared one stays up for other tests
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
