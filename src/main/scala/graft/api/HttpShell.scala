@@ -341,6 +341,10 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   private def route(path: String, qs: String): Option[String] = path match {
+    // the reference NESTS the Tempo router under /tempo (lib.rs:230),
+    // while stock Tempo serves the same paths bare — answer both
+    case p if p.startsWith("/tempo/api/") =>
+      route(p.stripPrefix("/tempo"), qs)
     case "/health" => Some("""{"status":"ok"}""")
     case "/api/v1/openapi.json" => Some(Endpoints.openapi())
     // Loki (reference endpoints/logql.rs route table)

@@ -715,6 +715,11 @@ class HttpShellSpec extends AnyFunSuite {
 
   test("status surface: echo, ready, buildinfo triplet, instant TraceQL metrics") {
     assert(get("/api/echo").body() == "echo")
+    // the reference nests Tempo under /tempo (its own rate-limit test
+    // hits /tempo/api/echo); stock Tempo serves the bare paths — both
+    // prefixes answer identically here
+    assert(get("/tempo/api/echo").body() == "echo")
+    assert(get("/tempo/api/search/tags").body() == get("/api/search/tags").body())
     assert(get("/ready").body() == "ready")
     // the three Grafana datasource health probes
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
