@@ -120,6 +120,19 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
                 Some(Endpoints.opsPromote(spark, opsLayout, qs))
               case "/api/v1/ops/iceberg-export" =>
                 Some(Endpoints.opsIcebergExport(spark, opsLayout))
+              // Prometheus serves query/query_range on POST too
+              // (promql.rs:41-45): Grafana posts long PromQL as a form
+              // body; merge it with the query string (body wins)
+              case "/prometheus/api/v1/query" | "/prometheus/api/v1/query_range"
+                  if Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                    .forall(_.startsWith("application/x-www-form-urlencoded")) =>
+                val form = new String(body, StandardCharsets.UTF_8)
+                val merged = if (qs.isEmpty) form
+                  else if (form.isEmpty) qs else s"$qs&$form"
+                if (path == "/prometheus/api/v1/query")
+                  Some(Endpoints.promInstantQuery(spark, dir, merged,
+                    nowNs / 1000000000L))
+                else Some(Endpoints.promQueryRange(spark, dir, merged))
               case _ =>
                 ingestRoute(path, qs, body,
                   Option(ex.getRequestHeaders.getFirst("Content-Type"))

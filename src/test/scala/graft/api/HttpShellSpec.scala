@@ -906,6 +906,33 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("Prometheus query routes accept POSTed form bodies (Grafana's long-query path)") {
+    val q = java.net.URLEncoder.encode("sum(rate(click[1d]))", "UTF-8")
+    val viaGet = get(s"/prometheus/api/v1/query?query=$q&time=$T1")
+    assert(viaGet.statusCode() == 200)
+    val viaPost = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/prometheus/api/v1/query"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(s"query=$q&time=$T1"))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(viaPost.statusCode() == 200)
+    assert(viaPost.body() == viaGet.body(), "POST form must equal GET")
+    // body params override query-string params (last wins)
+    val overridden = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/prometheus/api/v1/query_range?step=60"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"query=$q&start=$T0&end=$T1&step=86400"))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(overridden.statusCode() == 200, overridden.body())
+    assert(overridden.body() == get(
+      s"/prometheus/api/v1/query_range?query=$q&start=$T0&end=$T1&step=86400").body())
+  }
+
   test("query rate limit: 429 once the bucket drains, unlimited without config") {
     // the reference's router test verbatim (lib.rs:389): limit 2 →
     // OK, OK, 429; no limit → 50× OK
