@@ -40,23 +40,40 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       * query_limiter, lib.rs:125): None = unlimited, exactly like an
       * unset `[auth].default_limits` there. Applies to query GETs;
       * health/readiness probes are never limited. */
-    queryRatePerSec: Option[Double] = None) {
+    queryRatePerSec: Option[Double] = None,
+    /** ingest byte-rate limit, bytes/second (the ratelimit.rs `Bytes`
+      * bucket dimension the acceptors consult): the POST body's length
+      * is the token cost; None = unlimited. */
+    ingestBytesPerSec: Option[Double] = None) {
 
   /** token bucket: `rate` tokens/s, holding at most max(1, rate) —
     * the burst equals one second of budget (ratelimit.rs TokenBucket,
-    * with burst pinned to rate for the single-knob surface). */
+    * with burst pinned to rate for the single-knob surface). Buckets
+    * are PER TENANT (ratelimit.rs keys by tenant id; the x-tenant-id
+    * header selects it, absent = the shell's single default tenant). */
   private final class TokenBucket(rate: Double) {
     private val burst = math.max(1.0, rate)
     private var tokens = burst
     private var last = System.nanoTime()
-    def tryAcquire(): Boolean = synchronized {
+    def tryAcquire(cost: Double = 1.0): Boolean = synchronized {
       val now = System.nanoTime()
       tokens = math.min(burst, tokens + (now - last) / 1e9 * rate)
       last = now
-      if (tokens >= 1.0) { tokens -= 1.0; true } else false
+      if (tokens >= cost) { tokens -= cost; true } else false
     }
   }
-  private val queryBucket = queryRatePerSec.map(new TokenBucket(_))
+  private final class TenantBuckets(rate: Double) {
+    private val buckets =
+      scala.collection.concurrent.TrieMap.empty[String, TokenBucket]
+    def tryAcquire(tenant: String, cost: Double = 1.0): Boolean =
+      buckets.getOrElseUpdate(tenant, new TokenBucket(rate)).tryAcquire(cost)
+  }
+  private val queryBuckets = queryRatePerSec.map(new TenantBuckets(_))
+  private val ingestBuckets = ingestBytesPerSec.map(new TenantBuckets(_))
+
+  private def tenantOf(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("x-tenant-id"))
+      .getOrElse(ingest.map(_.tenant).getOrElse("default"))
 
   private var server: HttpServer = _
   // Per-request batch ids for the idempotent sink. Seeded from the wall
@@ -93,11 +110,13 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     val path = ex.getRequestURI.getPath
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     // query-API rate limit (reference lib.rs:389 behavior: limited
-    // deployments answer 429 once the bucket drains; probes exempt)
+    // deployments answer 429 once the TENANT's bucket drains; probes
+    // exempt; one tenant draining never affects another)
     if (ex.getRequestMethod == "GET" && path != "/health" && path != "/ready")
-      queryBucket.foreach { b =>
-        if (!b.tryAcquire()) {
-          respondJson(ex, 429, errJson("query rate limit exceeded"))
+      queryBuckets.foreach { b =>
+        if (!b.tryAcquire(tenantOf(ex))) {
+          respondJson(ex, 429, errJson(
+            s"tenant '${tenantOf(ex)}' exceeded its query request rate"))
           return
         }
       }
@@ -134,6 +153,14 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
                     nowNs / 1000000000L))
                 else Some(Endpoints.promQueryRange(spark, dir, merged))
               case _ =>
+                // ingest byte-rate limit (ratelimit.rs Bytes dimension):
+                // the request body's size is the token cost
+                ingestBuckets.foreach { b =>
+                  if (!b.tryAcquire(tenantOf(ex),
+                      math.max(1.0, body.length.toDouble)))
+                    throw Endpoints.HttpError(429,
+                      s"tenant '${tenantOf(ex)}' exceeded its ingest byte rate")
+                }
                 ingestRoute(path, qs, body,
                   Option(ex.getRequestHeaders.getFirst("Content-Type"))
                     .getOrElse(""))

@@ -947,7 +947,7 @@ class HttpShellSpec extends AnyFunSuite {
       assert(echo().statusCode() == 200)
       val third = echo()
       assert(third.statusCode() == 429, third.body())
-      assert(third.body().contains("rate limit"))
+      assert(third.body().contains("query request rate"))
       // probes are never limited
       assert(client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/health"))
@@ -956,9 +956,45 @@ class HttpShellSpec extends AnyFunSuite {
       // the bucket refills: a second later the route answers again
       Thread.sleep(1100)
       assert(echo().statusCode() == 200)
+      // buckets are PER TENANT: another tenant's bucket is full even
+      // while this one is drained
+      assert(echo().statusCode() == 200)
+      assert(echo().statusCode() == 429)
+      val other = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/echo"))
+          .header("x-tenant-id", "other").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(other.statusCode() == 200,
+        "one tenant draining its bucket must not affect another")
     } finally sh.stop()
     // unlimited without a configured limit (the shared shell): 50× OK
     for (_ <- 0 until 50) assert(get("/api/echo").statusCode() == 200)
+  }
+
+  test("ingest byte-rate limit: oversized burst answers 429, then refills") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-bytes").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val payload = logsPayload("svc-bytes", T0 * 1000000000L, 3)
+    // budget: two payloads' worth per second
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      ingest = Some(layout), ingestBytesPerSec = Some(payload.length * 2.0))
+    val p = sh.start()
+    try {
+      assert(post(p, "/v1/logs", payload).statusCode() == 200)
+      // a burst LARGER than the whole bucket can never be admitted, no
+      // matter how much time refills it — deterministic 429
+      val big = logsPayload("svc-bytes-big", T0 * 1000000000L, 40)
+      assert(big.length > payload.length * 2, "fixture must exceed the burst")
+      val rejected = post(p, "/v1/logs", big)
+      assert(rejected.statusCode() == 429, rejected.body())
+      assert(rejected.body().contains("ingest byte rate"))
+      // nothing from the rejected request landed; in-budget posts keep
+      // flowing
+      assert(spark.read.parquet(layout.path("logs")).count() == 3)
+      Thread.sleep(600)
+      assert(post(p, "/v1/logs", payload).statusCode() == 200)
+      assert(spark.read.parquet(layout.path("logs")).count() == 6)
+    } finally sh.stop()
   }
 
   test("shell stops cleanly") {
