@@ -104,9 +104,11 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   def stop(): Unit = if (server != null) {
     server.stop(0); server = null
     if (pool != null) { pool.shutdownNow(); pool = null }
+    flushSelfMetrics() // drain buffered self-monitoring points
   }
 
   private def handle(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
     val path = ex.getRequestURI.getPath
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     // query-API rate limit (reference lib.rs:389 behavior: limited
@@ -186,6 +188,9 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
+    // dogfood the request itself (long-lived arrow/tail exchanges are
+    // active_requests-shaped, not duration points — not counted here)
+    recordSelf(path, status, (System.nanoTime() - t0) / 1e6, tenantOf(ex))
   }
 
   /** GET/POST /api/v1/arrow — Arrow IPC results over the wire (the
@@ -329,6 +334,59 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
 
   /** at most 2 of the 4 pool threads may be held by live tails. */
   private val tailSlots = new java.util.concurrent.Semaphore(2)
+
+  // ---- self-monitoring (reference common/self_monitoring: services
+  // emit their own telemetry through the NORMAL ingest pipeline into
+  // the `_system` tenant / `_monitoring` dataset — dogfooding — with
+  // the anti-loop guard that `_system`'s own traffic is never counted,
+  // suppress.rs:31-42 / app_metrics.rs should_count_tenant) -----------
+
+  private val SelfTenant = "_system"
+  private val SelfDataset = "_monitoring"
+  /** buffered http.server.request.duration points; flushed as ONE
+    * batch through the idempotent sink every `SelfFlushEvery` requests
+    * and on stop() (the OTel-SDK batching shape — a Spark job per
+    * request would be absurd). */
+  private val selfBuf =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Double)]
+  private val SelfFlushEvery = 32
+
+  private def recordSelf(path: String, status: Int, durMs: Double,
+      tenant: String): Unit = if (ingest.isDefined && tenant != SelfTenant) {
+    val toFlush = selfBuf.synchronized {
+      selfBuf += ((nowNs, path, status, durMs))
+      if (selfBuf.size >= SelfFlushEvery) { val s = selfBuf.toSeq; selfBuf.clear(); Some(s) }
+      else None
+    }
+    toFlush.foreach(flushSelf)
+  }
+
+  private def flushSelf(rows: Seq[(Long, String, Int, Double)]): Unit =
+    try {
+      val layout = graft.storage.Storage.TableLayout(
+        ingest.get.basePath, SelfTenant, SelfDataset)
+      import spark.implicits._
+      val df = rows.toDF("timestamp", "route", "status", "dur_ms")
+        .selectExpr(
+          "timestamp", "timestamp AS start_timestamp",
+          "'graft-router' AS service_name",
+          "'http.server.request.duration' AS metric_name",
+          "'request wall time' AS metric_description",
+          "'ms' AS metric_unit",
+          "map('service.name', 'graft-router') AS resource_attributes",
+          "map() AS scope_attributes",
+          "map('http.route', route, 'http.status', CAST(status AS STRING)) AS attributes",
+          "0 AS flags", "CAST(NULL AS STRING) AS exemplars",
+          "dur_ms AS value")
+      graft.streaming.IngestSink.appendBatch(layout, "metrics_gauge")(
+        df, batchBase + batchSeq.incrementAndGet())
+    } catch { case _: Throwable => () } // monitoring must never fail a serve
+
+  /** drain any buffered self-metrics (stop() calls this; tests may). */
+  private[api] def flushSelfMetrics(): Unit = {
+    val s = selfBuf.synchronized { val s = selfBuf.toSeq; selfBuf.clear(); s }
+    if (s.nonEmpty) flushSelf(s)
+  }
 
   private def respondJson(ex: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)

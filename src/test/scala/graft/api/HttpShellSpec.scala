@@ -997,6 +997,39 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("self-monitoring: requests dogfood into _system/_monitoring; anti-loop holds") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-selfmon").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    def getP(u: String, tenant: Option[String] = None) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$u")).GET()
+      tenant.foreach(b.header("x-tenant-id", _))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      assert(getP("/api/echo").statusCode() == 200)
+      assert(getP("/prometheus/api/v1/labels").statusCode() == 200)
+      // the anti-loop guard: _system's own traffic is never counted
+      assert(getP("/api/echo", Some("_system")).statusCode() == 200)
+      sh.flushSelfMetrics()
+      val mon = spark.read.parquet(graft.storage.Storage
+        .TableLayout(base, "_system", "_monitoring").path("metrics_gauge"))
+      val rows = mon.filter(col("metric_name") === "http.server.request.duration")
+        .selectExpr("attributes['http.route'] AS route",
+          "attributes['http.status'] AS status", "value")
+        .collect()
+      val routes = rows.map(_.getString(0)).toSet
+      assert(routes.contains("/api/echo") &&
+        routes.contains("/prometheus/api/v1/labels"), routes.toString)
+      assert(rows.forall(_.getString(1) == "200"))
+      assert(rows.forall(_.getDouble(2) >= 0.0))
+      // exactly the two counted requests, not three
+      assert(rows.count(_.getString(0) == "/api/echo") == 1,
+        "_system traffic must not dogfood (anti-loop)")
+    } finally sh.stop()
+  }
+
   test("shell stops cleanly") {
     // dedicated instance so the shared one stays up for other tests
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L)
