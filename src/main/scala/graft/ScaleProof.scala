@@ -65,18 +65,34 @@ object ScaleProof {
       "q318_jl_projection", "q316_cms_heavy_hitters",
       "q320_epoch_shuffle")
     val sel = SparkEntry.queries.filter(q => families.exists(q._1.startsWith))
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Long, String)]
     for (name <- families; fn <- sel.get(name)) {
       val t0 = System.nanoTime()
-      val cnt = try fn(spark, dst).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
+      val (cnt, shape) = try {
+        val df = fn(spark, dst)
+        val n = df.count()
+        // plan-SHAPE record: the join strategies the 10× plan picked —
+        // a regression to a cartesian product (or an unexpected SMJ
+        // where a broadcast is the design point) shows up here, not
+        // just as a slow wall time
+        val plan = df.queryExecution.executedPlan.toString
+        def c(op: String) = plan.sliding(op.length).count(_ == op)
+        val s = s"bhj=${c("BroadcastHashJoin")},smj=${c("SortMergeJoin")}," +
+          s"bnlj=${c("BroadcastNestedLoopJoin")},cart=${c("CartesianProduct")}"
+        require(!plan.contains("CartesianProduct"),
+          s"$name regressed to a cartesian product at ${copies}x")
+        (n, s)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+        (-1L, "failed")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      results += ((name, sec, cnt))
-      System.err.println(f"[scale] $name%-28s $sec%8.2fs rows=$cnt")
+      results += ((name, sec, cnt, shape))
+      System.err.println(f"[scale] $name%-28s $sec%8.2fs rows=$cnt  $shape")
     }
-    val json = results.map { case (n, s, c) =>
-      s""""$n":{"sec":${f"$s%.2f"},"rows":$c}""" }.mkString(",")
+    val json = results.map { case (n, s, c, sh) =>
+      s""""$n":{"sec":${f"$s%.2f"},"rows":$c,"plan":"$sh"}""" }.mkString(",")
     println(s"""{"scale":"${copies}x-sf0.1","dir":"$dst","queries":{$json}}""")
     spark.stop()
   }

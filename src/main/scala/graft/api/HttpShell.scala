@@ -353,8 +353,13 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
 
   private def recordSelf(path: String, status: Int, durMs: Double,
       tenant: String): Unit = if (ingest.isDefined && tenant != SelfTenant) {
+    // wall-clock observation time, deliberately NOT the injected nowNs:
+    // monitoring points are observational (batch ids already derive
+    // from the wall clock for the same reason) — the deterministic-now
+    // discipline is for QUERY semantics, not for telemetry about the
+    // process itself
     val toFlush = selfBuf.synchronized {
-      selfBuf += ((nowNs, path, status, durMs))
+      selfBuf += ((System.currentTimeMillis() * 1000000L, path, status, durMs))
       if (selfBuf.size >= SelfFlushEvery) { val s = selfBuf.toSeq; selfBuf.clear(); Some(s) }
       else None
     }
