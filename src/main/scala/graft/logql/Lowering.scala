@@ -861,6 +861,39 @@ object Lowering {
         pruned.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= k)
           .drop("_rn")
+      case "approx_topk" =>
+        // Loki 3.3's sketch-backed top-k (logql approx_topk): per
+        // bucket, series VALUES fold into one Count-Min sketch
+        // (functions/Cms — the fixed 16 KB mergeable state), each
+        // series then probes its d cells and ranks by the ESTIMATE
+        // (min over rows, the CMS upper bound). Estimates can exceed
+        // exact values under collisions — that is the documented
+        // approx_topk contract, and why its answers may differ from
+        // topk's. Bounded state is the point: at 1 M series per bucket
+        // the sketch still ships 16 KB through the shuffle. Values are
+        // clamped to non-negative integers (a CMS is a counter sketch).
+        val k = vagg.param.getOrElse(throw Unsupported("approx_topk needs k")).toInt
+        val d = 4; val w = 512
+        val labelCols = inner.columns.filterNot(Set("bucket_start", "value")).toSeq
+        def cell(r: Int) =
+          s"CAST(CAST(conv(substring(md5(concat('cms$r:', _key)), 1, 15), " +
+            s"16, 10) AS BIGINT) % $w AS INT)"
+        val positions = expr((0 until d).map(cell).mkString("array(", ", ", ")"))
+        val keyed = inner
+          .withColumn("_key", concat_ws("|", labelCols.map(col): _*))
+          .withColumn("_w", greatest(lit(0L), round(col("value")).cast(LongType)))
+        val sk = keyed.groupBy(col("bucket_start"))
+          .agg(graft.functions.Cms.cmsSketch(positions, col("_w"), d, w).as("_cms"))
+        val est = keyed.join(sk, "bucket_start")
+          .withColumn("_est", expr((0 until d).map(r =>
+            s"element_at(_cms, $r * $w + (${cell(r)}) + 1)")
+            .mkString("least(", ", ", ")")))
+        val ord = col("_est").desc +: labelCols.map(col(_).asc)
+        val wk = Window.partitionBy(col("bucket_start")).orderBy(ord: _*)
+        est.withColumn("_rn", row_number().over(wk))
+          .filter(col("_rn") <= k)
+          .withColumn("value", col("_est").cast(DoubleType))
+          .drop("_key", "_w", "_cms", "_est", "_rn")
       case other => throw Unsupported(s"vector aggregation $other")
     }
   }

@@ -26,7 +26,8 @@ import Lexer._
 object Parser {
 
   private val vectorFuncs =
-    Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "topk", "bottomk")
+    Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "topk",
+      "bottomk", "approx_topk")
   private val rangeFuncs = Set(
     "count_over_time", "rate", "rate_counter", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
@@ -238,7 +239,9 @@ object Parser {
         }
         eatOp("(")
         cur match {
-          case TNum(v, _) if Set("topk", "bottomk", "quantile").contains(name) =>
+          case TNum(v, _)
+              if Set("topk", "bottomk", "quantile", "approx_topk")
+                .contains(name) =>
             advance(); eatOp(","); param = Some(v)
           case _ => ()
         }

@@ -167,6 +167,15 @@ object LogQLOps {
         timeRange = Some((1704844800000000000L, 1705708800000000000L)),
         stored = true),
 
+    // Loki 3.3 approx_topk: sketch-backed top-k — per bucket the series
+    // values fold into ONE Count-Min sketch (the native CmsSketch
+    // aggregate, 16 KB mergeable state) and series rank by their CMS
+    // estimate. The oracle restates the counters cell by cell, so the
+    // approximation itself is oracle-checked, not just the happy path
+    // where estimates equal truth.
+    "q331_logql_approx_topk" ->
+      metric("""approx_topk(3, count_over_time({event_type=~".+"}[1d]))"""),
+
     // ---- binary ops between metric exprs (reference logs.rs:906-1100) ---
 
     // arithmetic ratio with explicit on() match key — an equi join per
@@ -578,6 +587,37 @@ object LogQLOps {
          |  AND service_name = 'svc-2' AND region = 'r2'
          |ORDER BY timestamp DESC, service_name ASC, severity_text ASC, body ASC
          |LIMIT 500""".stripMargin,
+
+    "q331_logql_approx_topk" ->
+      s"""WITH logs AS ($V),
+         |i AS (
+         |  SELECT ${bkt(86400)} AS bucket_start, service_name, severity_text,
+         |    event_type, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM logs GROUP BY 1, 2, 3, 4),
+         |pos AS (
+         |  SELECT bucket_start, service_name, severity_text, event_type, w,
+         |    r.i AS r,
+         |    CAST(('0x' || substr(md5('cms' || r.i || ':' || service_name
+         |      || '|' || severity_text || '|' || event_type),
+         |      1, 15)) AS BIGINT) % 512 AS c
+         |  FROM i, range(0, 4) r(i)),
+         |counters AS (
+         |  SELECT bucket_start, r, c, CAST(SUM(w) AS BIGINT) AS v
+         |  FROM pos GROUP BY 1, 2, 3),
+         |est AS (
+         |  SELECT p.bucket_start, p.service_name, p.severity_text,
+         |    p.event_type, MIN(co.v) AS est
+         |  FROM (SELECT DISTINCT bucket_start, service_name, severity_text,
+         |        event_type, r, c FROM pos) p
+         |  JOIN counters co USING (bucket_start, r, c) GROUP BY 1, 2, 3, 4),
+         |rk AS (
+         |  SELECT bucket_start, service_name, severity_text, event_type, est,
+         |    row_number() OVER (PARTITION BY bucket_start ORDER BY est DESC,
+         |      service_name ASC, severity_text ASC, event_type ASC) AS rn
+         |  FROM est)
+         |SELECT bucket_start, service_name, severity_text, event_type,
+         |  CAST(est AS DOUBLE) AS value
+         |FROM rk WHERE rn <= 3""".stripMargin,
 
     "q82_logql_binary_ratio" ->
       s"""WITH logs AS ($V),
