@@ -128,6 +128,32 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(mp.getObjectProp("field-id") == 500)
   }
 
+  test("manifest-list field aliases resolve for spec-table reader names") {
+    // the writer names count fields the Java-implementation way
+    // (added_data_files_count) with the SPEC-table names as Avro
+    // aliases — a reader binding either convention must resolve. Prove
+    // it with a READER SCHEMA that uses the spec names: Avro's schema
+    // resolution maps them through the alias.
+    val (_, loc) = fixture
+    val readerSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"added_files_count","aliases":["added_data_files_count"],"type":"int"},
+        |{"name":"existing_files_count","aliases":["existing_data_files_count"],"type":"int"},
+        |{"name":"deleted_files_count","aliases":["deleted_data_files_count"],"type":"int"}
+        |]}""".stripMargin)
+    val f = new java.io.File(new java.io.File(loc, "metadata"), "snap-2.avro")
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord](
+        null, readerSchema))
+    try {
+      val rec = r.iterator().next()
+      assert(rec.get("added_files_count").asInstanceOf[Int] > 0)
+      assert(rec.get("existing_files_count").asInstanceOf[Int] > 0)
+      assert(rec.get("deleted_files_count") == 0)
+    } finally r.close()
+  }
+
   test("manifest entries: statuses, inherited sequence numbers, partition values") {
     val (_, loc) = fixture
     val files2 = IcebergExport.readDataFiles(loc)
