@@ -843,7 +843,7 @@ object Endpoints {
   def opsCompact(spark: SparkSession,
       layout: graft.storage.Storage.TableLayout): String = {
     val done = OpsTables.flatMap { table =>
-      graft.storage.Storage
+      val compacted = graft.storage.Storage
         .partitionsNeedingCompaction(spark, layout, table)
         .flatMap { case (day, hour) =>
           try {
@@ -855,6 +855,10 @@ object Endpoints {
             case _: graft.storage.Storage.CompactionConflict => None
           }
         }
+      // a rewrite invalidates previously exported Iceberg metadata —
+      // refresh it so external readers never see dangling file paths
+      if (compacted.nonEmpty) refreshIcebergIfExported(spark, layout, table)
+      compacted
     }
     s"""{"status":"ok","compacted":[${done.mkString(",")}]}"""
   }
@@ -885,8 +889,10 @@ object Endpoints {
         .collect().map(_.getString(0)).toSeq
         .filterNot(graft.storage.AttrPromotion.looksGenerated)
         .sorted
-    if (decided.nonEmpty)
+    if (decided.nonEmpty) {
       graft.storage.AttrPromotion.rewriteTable(spark, layout, "logs", decided)
+      refreshIcebergIfExported(spark, layout, "logs")
+    }
     s"""{"status":"ok","promoted":[${decided.map(ApiJson.jstr).mkString(",")}]}"""
   }
 
@@ -904,6 +910,19 @@ object Endpoints {
     }
     s"""{"status":"ok","exported":{${done.mkString(",")}}}"""
   }
+
+  /** keep the Iceberg projection COHERENT across rewrites: compaction
+    * and promotion replace data files, which would leave previously
+    * exported metadata pointing at deleted paths — if a table has been
+    * exported, re-commit and re-export after any rewriting op. A table
+    * never exported stays untouched. */
+  private def refreshIcebergIfExported(spark: SparkSession,
+      layout: graft.storage.Storage.TableLayout, table: String): Unit =
+    if (new java.io.File(layout.path(table), "metadata/version-hint.text").isFile) {
+      graft.storage.Snapshots.commit(spark, layout, table)
+      graft.storage.IcebergExport.export(spark, layout, table)
+      ()
+    }
 
   /** landed tables under the layout (dirs with at least one data file). */
   private def icebergTables(layout: graft.storage.Storage.TableLayout): Seq[String] = {

@@ -219,22 +219,33 @@ object IcebergExport {
       throw new IllegalArgumentException(
         s"no snapshots committed for $table — commit before exporting"))
     val snapDir = new File(root, "_snapshots")
-    val versions = snapDir.listFiles().toSeq.map(_.getName)
+    val allVersions = snapDir.listFiles().toSeq.map(_.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
     val metaDir = new File(root, "metadata")
     metaDir.mkdirs()
 
-    val fileSets: Map[Int, Seq[String]] = versions.map { v =>
+    val fileSets: Map[Int, Seq[String]] = allVersions.map { v =>
       v -> scala.io.Source.fromFile(new File(snapDir, s"v$v.manifest"))
         .mkString.split("\n").toSeq.filter(_.nonEmpty)
     }.toMap
-    // data sequence number of a file = the snapshot that first committed it
-    val firstSeen: Map[String, Int] = fileSets.toSeq
-      .flatMap { case (v, fs) => fs.map(_ -> v) }
+    // in-place rewrites (compaction, promotion) make manifests older
+    // than the rewrite STALE by design (Snapshots doc): their file sets
+    // reference deleted paths. Export only fully-live versions — the
+    // current one must be live, earlier ones ride along for time travel
+    // while their files survive.
+    val versions = allVersions.filter(v =>
+      fileSets(v).forall(rel => new File(root, rel).isFile))
+    require(versions.contains(current),
+      s"current snapshot v$current references missing files — commit first")
+    // data sequence number of a file = the first LIVE snapshot that
+    // carries it (stale versions are not exported, so their ids must
+    // never leak into manifest entries)
+    val firstSeen: Map[String, Int] = versions
+      .flatMap(v => fileSets(v).map(_ -> v))
       .groupMapReduce(_._1)(_._2)(math.min)
 
-    val allRels = fileSets.values.flatten.toSeq.distinct
+    val allRels = versions.flatMap(fileSets).distinct // live versions only
     val pcols = partitionCols(spark, root, allRels)
     val entrySchema = manifestEntrySchema(pcols)
     val absRoot = new File(root).getAbsolutePath

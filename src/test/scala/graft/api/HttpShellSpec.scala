@@ -828,6 +828,36 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("rewrites refresh exported Iceberg metadata: no dangling file paths") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-icecoh").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L, ingest = Some(layout))
+    val p = sh.start()
+    try {
+      // two files in one hour (a compaction candidate), then export
+      for (_ <- 0 until 2)
+        assert(post(p, "/v1/logs",
+          logsPayload("svc-icecoh", T0 * 1000000000L, 3)).statusCode() == 200)
+      assert(post(p, "/api/v1/ops/iceberg-export",
+        Array.emptyByteArray).statusCode() == 200)
+      val loc = layout.path("logs")
+      val before = graft.storage.IcebergExport.readDataFiles(loc)
+      assert(before.nonEmpty)
+      // the compaction rewrite deletes those files — the ops route must
+      // re-export so the catalog never serves dangling paths
+      val run = post(p, "/api/v1/ops/compact", Array.emptyByteArray)
+      assert(run.statusCode() == 200, run.body())
+      assert(run.body().contains(""""compacted":[{"table":"logs""""))
+      val after = graft.storage.IcebergExport.readDataFiles(loc)
+      assert(after.nonEmpty)
+      after.foreach(f => assert(new java.io.File(f.path).isFile,
+        s"exported metadata points at a deleted file: ${f.path}"))
+      assert(after.map(_.recordCount).sum == 6)
+      // the compacted layout has FEWER files than the pre-compaction one
+      assert(after.size < before.size)
+    } finally sh.stop()
+  }
+
   test("Iceberg REST catalog: export over the wire, then discover and load") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-iceberg").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
