@@ -51,6 +51,135 @@ object PipelineOps {
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Messy-URL fixture + canonicalization shared by q332/q333. The URL
+    * derives deterministically from `events` (scheme/host case noise,
+    * www. prefixes, default :443 ports, /index.html and trailing-slash
+    * variants, utm_ and fbclid tracking params, shuffled param order,
+    * fragments), then canonicalizes with pure per-row string surgery:
+    * lowercase scheme+host, strip www./default port/fragment, normalize
+    * the path, drop tracking params and SORT the survivors. Returns
+    * (event_id, url, host, canonical_url, had_junk). */
+  private def urlCanon(s: SparkSession, dir: String): DataFrame = {
+    val junkRe = "^(utm_|fbclid=|gclid=)"
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("url", expr(
+        """concat(
+          |  CASE WHEN event_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+          |  CASE WHEN event_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+          |  'Site', CAST(user_id % 40 AS STRING), '.',
+          |  CASE (user_id % 40) % 3 WHEN 0 THEN 'example.com'
+          |       WHEN 1 THEN 'shop.co.uk' ELSE 'data.org' END,
+          |  CASE WHEN event_id % 5 = 0 THEN ':443' ELSE '' END,
+          |  '/p/', event_type,
+          |  CASE WHEN event_id % 4 = 0 THEN '/index.html'
+          |       WHEN event_id % 4 = 1 THEN '/' ELSE '' END,
+          |  '?',
+          |  CASE WHEN event_id % 2 = 0 THEN concat('utm_source=feed&k=', k)
+          |       ELSE concat('k=', k) END,
+          |  CASE WHEN event_id % 3 = 1 THEN '&b=2&a=1' ELSE '' END,
+          |  CASE WHEN event_id % 7 = 0
+          |       THEN concat('&fbclid=x', CAST(event_id % 97 AS STRING))
+          |       ELSE '' END,
+          |  CASE WHEN event_id % 6 = 0
+          |       THEN concat('#sec', CAST(event_id % 5 AS STRING))
+          |       ELSE '' END)""".stripMargin))
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("scheme", lower(substring_index(col("nofrag"), "://", 1)))
+      .withColumn("rest", substring_index(col("nofrag"), "://", -1))
+      .withColumn("hostport", lower(substring_index(col("rest"), "/", 1)))
+      .withColumn("paq",
+        expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("host", regexp_replace(
+        when(col("scheme") === "https",
+          regexp_replace(col("hostport"), ":443$", ""))
+          .otherwise(regexp_replace(col("hostport"), ":80$", "")),
+        "^www\\.", ""))
+      .withColumn("rawpath", expr(
+        """CASE WHEN instr(paq, '?') > 0
+          |     THEN substring(paq, 1, instr(paq, '?') - 1)
+          |     ELSE paq END""".stripMargin))
+      .withColumn("rawq", expr(
+        """CASE WHEN instr(paq, '?') > 0
+          |     THEN substring(paq, instr(paq, '?') + 1)
+          |     ELSE '' END""".stripMargin))
+      .withColumn("p1", regexp_replace(
+        regexp_replace(col("rawpath"), "/index\\.html$", ""), "/+$", ""))
+      .withColumn("cpath", when(col("p1") === "", "/").otherwise(col("p1")))
+      .withColumn("cq", array_join(array_sort(
+        filter(split(col("rawq"), "&"),
+          x => x =!= "" && !x.rlike(junkRe))), "&"))
+      .withColumn("had_junk",
+        size(filter(split(col("rawq"), "&"), x => x.rlike(junkRe)))
+          .gt(0).cast(IntegerType))
+      .withColumn("canonical_url", expr(
+        """concat(scheme, '://', host, cpath,
+          |  CASE WHEN cq <> '' THEN concat('?', cq) ELSE '' END)"""
+          .stripMargin))
+      .select(col("event_id"), col("url"), col("host"),
+        col("canonical_url"), col("had_junk"))
+  }
+
+  /** SQL fragment for the j-th fixture anchor tag (see [[htmlDocs]]):
+    * href targets site (doc_id·7 + 13j) mod 40 with the q332 TLD mapping,
+    * anchor text cycles click-here / read-more / visit-N. The same
+    * formula parameterizes the DuckDB twin so both engines emit
+    * byte-identical HTML. */
+  private def htmlAnchorSql(j: Int): String = {
+    val m = s"(doc_id * 7 + ${13 * j}) % 40"
+    s"""'<a href="https://site', CAST($m AS STRING), '.',
+        CASE ($m) % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk'
+             ELSE 'data.org' END,
+        '/p/', CAST(doc_id % 20 AS STRING), '">',
+        CASE (doc_id + $j) % 3 WHEN 0 THEN 'click here'
+             WHEN 1 THEN 'read more'
+             ELSE concat('visit ', CAST($m AS STRING)) END,
+        '</a>'"""
+  }
+
+  /** Deterministic messy-HTML fixture shared by q335/q337/q338: each
+    * document's text wrapped in a full page — title, style and script
+    * blocks (whose content must NOT surface as text), an HTML comment,
+    * attribute-bearing tags, three anchors to other fixture sites, and
+    * an entity sampler (&amp;, &lt;, &quot;, &#39;, &nbsp;). Pure
+    * concat over `documents`, so both engines construct identical
+    * bytes. */
+  private def htmlDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("html", expr(
+      "concat('<!DOCTYPE html><html><head><title>Doc ', " +
+        "CAST(doc_id AS STRING), '</title><style>.m', " +
+        "CAST(doc_id % 7 AS STRING), " +
+        "' { color: red; } .x { font-size: 10px; }</style>" +
+        "<script>var x = ', CAST(doc_id % 11 AS STRING), " +
+        "'; if (x < 9 && x > 0) { go(\"now\"); }</script></head><body>" +
+        "<!-- build ', CAST(doc_id % 13 AS STRING), ' -->" +
+        "<h1 class=\"t\">', source, ' page</h1>" +
+        "<p id=\"b', CAST(doc_id % 5 AS STRING), '\">', text, '</p>', " +
+        htmlAnchorSql(1) + ", " + htmlAnchorSql(2) + ", " +
+        htmlAnchorSql(3) + ", " +
+        "'<div>A &amp; B &lt;tag&gt; &quot;q&quot; it&#39;s&nbsp;done" +
+        "</div></body></html>')"))
+
+  /** The extraction pipeline over a frame carrying `html`: adds `nc`
+    * (script/style/comment blocks replaced by spaces — their content
+    * must never leak into text) and `clean` (tags stripped, the five
+    * standard entities decoded — &amp; LAST so "&amp;lt;" stays a
+    * literal "&lt;" — and whitespace collapsed). Every step is a
+    * codegen'd regexp/replace chain: no shuffle, no UDF — the operator
+    * streams at scan speed. */
+  private def htmlStripped(df: DataFrame): DataFrame =
+    df.withColumn("nc", regexp_replace(regexp_replace(regexp_replace(
+        col("html"),
+        "(?s)<script[^>]*>.*?</script>", " "),
+        "(?s)<style[^>]*>.*?</style>", " "),
+        "(?s)<!--.*?-->", " "))
+      .withColumn("clean", trim(regexp_replace(expr(
+        "replace(replace(replace(replace(replace(replace(" +
+          "regexp_replace(nc, '<[^>]+>', ' '), " +
+          "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+          "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"),
+        "\\s+", " ")))
+
   /** Multi-round Lloyd k-means over integer-quantized embeddings, fully
     * deterministic: cosine assignment against a broadcast codebook, new
     * centroids = per-dimension QUANTIZED means (round(sum/count) — exact
@@ -2482,6 +2611,251 @@ object PipelineOps {
         .withColumn("epochs_ppm", expr("required * 1000000 div tokens"))
         .select(col("source"), col("tokens"), col("weight"),
           col("share_ppm"), col("required"), col("epochs_ppm"))
+    }),
+
+    // URL CANONICALIZATION + canonical-URL dedup — the first pass of any
+    // web-corpus (CommonCrawl-style) curation pipeline: the same page
+    // arrives under scheme/host case variants, www. prefixes, default
+    // ports, tracking parameters (utm_*/fbclid/gclid), shuffled query
+    // order, /index.html suffixes, trailing slashes and fragments.
+    // Canonical form = lowercased scheme+host, www./default-port/fragment
+    // stripped, /index.html and trailing slashes removed, tracking params
+    // dropped and the surviving params SORTED. Everything is per-row
+    // string surgery (codegen'd regex/split/sort — no UDF, no shuffle
+    // until the final dedup hash agg), so the operator streams at scan
+    // speed at 100 TB; the URL fixture derives deterministically from
+    // `events` so both engines build identical inputs.
+    "q332_url_canonicalize" -> ((s, dir) => {
+      urlCanon(s, dir)
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_fetches"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("event_id")).as("first_event"))
+    }),
+
+    // REGISTERED-DOMAIN rollup via a broadcast PUBLIC-SUFFIX-LIST join —
+    // the per-site quality accounting of web curation (crawl budgets,
+    // domain blocklists, per-site dedup ratios all key on the
+    // REGISTERED domain, not the host: site7.shop.co.uk must roll up to
+    // shop.co.uk, not co.uk). Suffix resolution is the real PSL
+    // algorithm at toy scale: every host emits its last-1..3 label
+    // suffixes, an equi-join against the broadcast suffix table keeps
+    // the matches, and the LONGEST match wins (one hash agg keyed by
+    // event_id); registered domain = winning suffix + one label. At
+    // 100 TB the PSL (~9k rules) broadcasts exactly like this and the
+    // per-row fan-out stays a bounded ×3.
+    "q333_registered_domain_rollup" -> ((s, dir) => {
+      val canon = urlCanon(s, dir)
+      val psl = s.sql(
+        "SELECT * FROM VALUES ('com', 1), ('org', 1), ('net', 1), " +
+          "('uk', 1), ('co.uk', 2) AS t(suffix, slabels)")
+      val sk = canon
+        .withColumn("labels", split(col("host"), "\\."))
+        .withColumn("nl", size(col("labels")))
+        .withColumn("c", explode(expr(
+          """filter(transform(sequence(1, 3),
+            |  i -> CASE WHEN i < nl THEN named_struct(
+            |         'k', i, 'sfx', array_join(slice(labels, -i, i), '.'))
+            |  END), x -> x IS NOT NULL)""".stripMargin)))
+        .join(broadcast(psl),
+          col("c.sfx") === col("suffix") && col("c.k") === col("slabels"))
+        .groupBy(col("event_id")).agg(max(col("c.k")).as("sk"))
+      canon.join(sk, Seq("event_id"))
+        .withColumn("labels", split(col("host"), "\\."))
+        .withColumn("registered",
+          expr("array_join(slice(labels, -(sk + 1), sk + 1), '.')"))
+        .groupBy(col("registered"))
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("canonical_url")).as("n_pages"),
+          count(lit(1)).as("n_fetches"),
+          sum(col("had_junk")).cast(LongType).as("junk_fetches"))
+        .withColumn("junk_ppm", expr("junk_fetches * 1000000 div n_fetches"))
+        .withColumn("dup_ppm",
+          expr("(n_fetches - n_pages) * 1000000 div n_fetches"))
+    }),
+
+    // MMR (maximal marginal relevance) DIVERSIFIED top-k — the
+    // retrieve-then-rerank shape RAG serving runs: a first-pass
+    // relevance top-20 over the whole corpus (TakeOrdered — the only
+    // data-scale stage, identical to q24's distributed scan), then the
+    // Carbonell–Goldstein greedy picks 5 results maximizing
+    // λ·rel − (1−λ)·max_sim_to_selected (λ = 1/2) over the retrieved
+    // page. The greedy is inherently sequential in k, so it unrolls as
+    // 5 plan steps over the 20-row candidate frame (localCheckpoint'ed
+    // once — O(k²) work on KB-scale data, never a collect); pairwise
+    // sims among candidates are one 20×20 broadcast join. Exact
+    // integer dots (embArr quantization) keep every cosine bit-equal
+    // across engines; ties break by vec_id.
+    "q334_mmr_diversified_topk" -> ((s, dir) => {
+      val e = embArr(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vq").as("qv"), col("nrm").as("qn"))
+      val rel = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("rel", dotCol(col("vq"), col("qv")).cast(DoubleType) /
+          sqrt(col("nrm").cast(DoubleType) * col("qn").cast(DoubleType)))
+        .select(col("vec_id").as("n_id"), col("vq"), col("nrm"), col("rel"))
+      val cand = rel.orderBy(col("rel").desc, col("n_id").asc).limit(20)
+        .localCheckpoint()
+      val a = cand.select(col("n_id").as("a_id"), col("vq").as("av"),
+        col("nrm").as("an"))
+      val b = cand.select(col("n_id").as("b_id"), col("vq").as("bv"),
+        col("nrm").as("bn"))
+      val sims = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("sim", dotCol(col("av"), col("bv")).cast(DoubleType) /
+          sqrt(col("an").cast(DoubleType) * col("bn").cast(DoubleType)))
+        .select(col("a_id"), col("b_id"), col("sim")).localCheckpoint()
+      val base = cand.select(col("n_id"), col("rel"))
+      var selected = base.orderBy(col("rel").desc, col("n_id").asc).limit(1)
+        .select(col("n_id"), col("rel"), lit(0.0).as("maxsim"),
+          lit(1).as("rank"))
+      for (i <- 2 to 5) {
+        val selIds = selected.select(col("n_id").as("s_id"))
+        val pick = base
+          .join(selIds, col("n_id") === col("s_id"), "left_anti")
+          .join(sims.join(selIds, col("b_id") === col("s_id"))
+            .select(col("a_id"), col("sim")), col("n_id") === col("a_id"))
+          .groupBy(col("n_id"), col("rel")).agg(max(col("sim")).as("maxsim"))
+          .orderBy((col("rel") - col("maxsim")).desc, col("n_id").asc).limit(1)
+          .select(col("n_id"), col("rel"), col("maxsim"), lit(i).as("rank"))
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      selected.withColumn("mmr", (col("rel") - col("maxsim")) / lit(2.0))
+        .select(col("rank"), col("n_id"), col("rel"), col("maxsim"),
+          col("mmr"))
+    }),
+
+    // HTML → TEXT EXTRACTION — the step every web corpus runs before any
+    // quality/dedup math. Script/style/comment BLOCKS go first (their
+    // content must never surface as text), then tags strip to spaces,
+    // the five standard entities decode (&amp; last), and whitespace
+    // collapses. The whole operator is a per-row codegen'd regex chain —
+    // zero shuffles, so at 100 TB it runs at parquet scan speed.
+    "q335_html_extract" -> ((s, dir) => {
+      htmlStripped(htmlDocs(s, dir))
+        .select(col("doc_id"),
+          length(col("html")).cast(LongType).as("n_html"),
+          size(regexp_extract_all(col("nc"), lit("<[^>]+>"), lit(0)))
+            .cast(LongType).as("n_tags"),
+          length(col("clean")).cast(LongType).as("n_clean"),
+          col("clean").as("clean_text"))
+    }),
+
+    // LINE-LEVEL BOILERPLATE REMOVAL (CCNet-style): a line repeated
+    // across ≥30% of a site's documents is navigation/footer template,
+    // not content — drop it everywhere and reassemble the documents.
+    // Lines key by md5 so the frequency shuffle moves fixed-width
+    // 32-byte keys, and the flagged set (tiny by construction — only
+    // template lines clear a 30% document fraction) broadcasts back
+    // onto the exploded lines. The fixture plants a per-source
+    // copyright line in every doc and a newsletter line in half.
+    "q336_boilerplate_lines" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("lines", expr(
+          """concat(
+            |  array(concat('copyright ', source, ' all rights reserved')),
+            |  transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1),
+            |    i -> array_join(slice(w, i * 8 + 1, 8), ' ')),
+            |  CASE WHEN doc_id % 2 = 0
+            |       THEN array(concat('subscribe to ', source, ' newsletter'))
+            |       ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin))
+        .select(col("doc_id"), col("source"), col("lines"))
+      val ex = lined
+        .select(col("doc_id"), col("source"),
+          posexplode(col("lines")).as(Seq("pos", "line")))
+        .withColumn("lh", md5(col("line")))
+      val ndocs = lined.groupBy("source")
+        .agg(countDistinct("doc_id").as("ndocs"))
+      val bp = ex.groupBy(col("source"), col("lh"))
+        .agg(countDistinct(col("doc_id")).as("dwith"))
+        .join(broadcast(ndocs), "source")
+        .filter(expr("dwith * 1000000 div ndocs >= 300000"))
+        .select(col("source"), col("lh"))
+      val kept = ex
+        .join(broadcast(bp.withColumn("isbp", lit(1))),
+          Seq("source", "lh"), "left_outer")
+        .filter(col("isbp").isNull)
+      val tot = lined.select(col("doc_id"),
+        size(col("lines")).cast(LongType).as("n_lines"))
+      kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(pos, line))), x -> x.line), ' | ')").as("clean_text"))
+        .join(tot, "doc_id")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_text"))
+    }),
+
+    // LINK EXTRACTION + ANCHOR-TEXT AGGREGATION — the web-graph signal
+    // used for both ranking features and anchor-text training data:
+    // pull every <a> from the raw HTML, split href/anchor, roll up per
+    // TARGET host (in-link count, distinct linking docs, distinct
+    // anchor texts, and the modal anchor via a per-host rank window —
+    // ties break lexicographically).
+    "q337_anchor_text_agg" -> ((s, dir) => {
+      val a = htmlDocs(s, dir)
+        .select(col("doc_id"), explode(regexp_extract_all(col("html"),
+          lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("atag"))
+        .withColumn("href", regexp_extract(col("atag"),
+          "<a href=\"([^\"]*)\"", 1))
+        .withColumn("anchor", regexp_extract(col("atag"), ">([^<]*)<", 1))
+        .withColumn("host",
+          substring_index(substring_index(col("href"), "://", -1), "/", 1))
+      val top = a.groupBy(col("host"), col("anchor"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("n").desc, col("anchor").asc)))
+        .filter(col("rk") === 1)
+        .select(col("host"), col("anchor").as("top_anchor"),
+          col("n").as("top_anchor_n"))
+      a.groupBy(col("host")).agg(
+          count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_src_docs"),
+          countDistinct(col("anchor")).as("n_anchor_texts"))
+        .join(top, "host")
+    }),
+
+    // PAGERANK over the host link graph, 8 damped power iterations in
+    // FIXED-POINT arithmetic (rank mass scaled to 10^12 so both engines
+    // stay in exact integers — float sums would diverge by ordering).
+    // Spark PARSES the edges out of the anchors (the DuckDB twin
+    // restates them from the fixture formula — a genuinely different
+    // formulation); each iteration is one edge⋈rank equi-join feeding a
+    // hash agg on dst, with the out-degree table and the node count
+    // broadcast. At 100 TB this is the canonical iterate: edges
+    // pre-partitioned by src, ranks re-shuffled once per round,
+    // lineage cut per round with localCheckpoint.
+    "q338_pagerank_hosts" -> ((s, dir) => {
+      val S = 1000000000000L
+      val a = htmlDocs(s, dir)
+        .select((col("doc_id") % 40).as("src"),
+          explode(regexp_extract_all(col("html"),
+            lit("<a href=\"[^\"]*\""), lit(0))).as("h"))
+        .withColumn("dst",
+          regexp_extract(col("h"), "site(\\d+)\\.", 1).cast(LongType))
+      val edges = a.filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct().localCheckpoint()
+      val outd = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      var r = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), expr(s"$S div n").as("pr")).localCheckpoint()
+      for (_ <- 1 to 8) {
+        val inflow = edges.join(broadcast(outd), "src")
+          .join(r.withColumnRenamed("node", "src"), "src")
+          .withColumn("c", expr("pr div outd"))
+          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+        r = nodes.join(inflow, Seq("node"), "left_outer")
+          .crossJoin(broadcast(nn))
+          .select(col("node"),
+            expr(s"($S div n) * 15 div 100 + " +
+              "coalesce(inflow, 0L) * 85 div 100").as("pr"))
+          .localCheckpoint()
+      }
+      r.withColumn("pr_ppm", expr(s"pr * 1000000 div $S"))
     })
   )
 
@@ -4472,8 +4846,349 @@ object PipelineOps {
          |  GROUP BY 1)
          |SELECT doc_id, n_words, n_bpe_tokens, n_chars,
          |  n_bpe_tokens * 1000000 // n_chars AS compression_ppm
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin),
+
+    "q332_url_canonicalize" ->
+      (urlCanonSql +
+        """SELECT canonical_url, count(*) AS n_fetches,
+          |  count(DISTINCT url) AS n_variants,
+          |  min(event_id) AS first_event
+          |FROM canon GROUP BY 1""".stripMargin),
+
+    "q333_registered_domain_rollup" ->
+      (urlCanonSql +
+        """, psl AS (
+          |  SELECT * FROM (VALUES ('com', 1), ('org', 1), ('net', 1),
+          |    ('uk', 1), ('co.uk', 2)) t(suffix, slabels)),
+          |sk AS (
+          |  SELECT h.event_id, max(p.slabels) AS sk
+          |  FROM (SELECT event_id, string_split(host, '.') AS l
+          |        FROM canon) h, psl p
+          |  WHERE len(h.l) > p.slabels
+          |    AND array_to_string(
+          |          h.l[len(h.l) - p.slabels + 1 : len(h.l)], '.') = p.suffix
+          |  GROUP BY 1),
+          |reg AS (
+          |  SELECT c.*, array_to_string(
+          |      c.l[len(c.l) - k.sk : len(c.l)], '.') AS registered
+          |  FROM (SELECT *, string_split(host, '.') AS l FROM canon) c
+          |  JOIN sk k USING (event_id))
+          |SELECT registered, count(DISTINCT host) AS n_hosts,
+          |  count(DISTINCT canonical_url) AS n_pages,
+          |  count(*) AS n_fetches,
+          |  CAST(SUM(had_junk) AS BIGINT) AS junk_fetches,
+          |  CAST(SUM(had_junk) AS BIGINT) * 1000000 // count(*) AS junk_ppm,
+          |  (count(*) - count(DISTINCT canonical_url)) * 1000000 // count(*)
+          |    AS dup_ppm
+          |FROM reg GROUP BY 1""".stripMargin),
+
+    "q334_mmr_diversified_topk" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS MATERIALIZED (
+        |  SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |dots AS (
+        |  SELECT n.vec_id AS n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM e q JOIN e n ON q.pos = n.pos
+        |  WHERE q.vec_id = 0 AND n.vec_id <> 0
+        |  GROUP BY 1),
+        |rel AS MATERIALIZED (
+        |  SELECT d.n_id, CAST(d.dot AS DOUBLE) /
+        |    sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS rel
+        |  FROM dots d, norms nq, norms nn
+        |  WHERE nq.vec_id = 0 AND nn.vec_id = d.n_id),
+        |cand AS MATERIALIZED (
+        |  SELECT n_id, rel FROM rel ORDER BY rel DESC, n_id ASC LIMIT 20),
+        |ce AS MATERIALIZED (
+        |  SELECT e.vec_id, e.pos, e.vq
+        |  FROM e JOIN cand c ON c.n_id = e.vec_id),
+        |sdots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.vq * b.vq) AS dot
+        |  FROM ce a JOIN ce b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |sims AS MATERIALIZED (
+        |  SELECT s.a_id, s.b_id, CAST(s.dot AS DOUBLE) /
+        |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS sim
+        |  FROM sdots s
+        |  JOIN norms na ON na.vec_id = s.a_id
+        |  JOIN norms nb ON nb.vec_id = s.b_id),
+        |s1 AS MATERIALIZED (
+        |  SELECT n_id, rel, CAST(0.0 AS DOUBLE) AS maxsim, 1 AS rank
+        |  FROM cand ORDER BY rel DESC, n_id LIMIT 1),
+        |p2 AS MATERIALIZED (
+        |  SELECT n_id, rel, maxsim, 2 AS rank FROM (
+        |    SELECT c.n_id, c.rel, max(s.sim) AS maxsim
+        |    FROM cand c JOIN sims s ON s.a_id = c.n_id
+        |    WHERE s.b_id IN (SELECT n_id FROM s1)
+        |      AND c.n_id NOT IN (SELECT n_id FROM s1)
+        |    GROUP BY 1, 2)
+        |  ORDER BY rel - maxsim DESC, n_id LIMIT 1),
+        |sel2 AS MATERIALIZED (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+        |p3 AS MATERIALIZED (
+        |  SELECT n_id, rel, maxsim, 3 AS rank FROM (
+        |    SELECT c.n_id, c.rel, max(s.sim) AS maxsim
+        |    FROM cand c JOIN sims s ON s.a_id = c.n_id
+        |    WHERE s.b_id IN (SELECT n_id FROM sel2)
+        |      AND c.n_id NOT IN (SELECT n_id FROM sel2)
+        |    GROUP BY 1, 2)
+        |  ORDER BY rel - maxsim DESC, n_id LIMIT 1),
+        |sel3 AS MATERIALIZED (
+        |  SELECT * FROM sel2 UNION ALL SELECT * FROM p3),
+        |p4 AS MATERIALIZED (
+        |  SELECT n_id, rel, maxsim, 4 AS rank FROM (
+        |    SELECT c.n_id, c.rel, max(s.sim) AS maxsim
+        |    FROM cand c JOIN sims s ON s.a_id = c.n_id
+        |    WHERE s.b_id IN (SELECT n_id FROM sel3)
+        |      AND c.n_id NOT IN (SELECT n_id FROM sel3)
+        |    GROUP BY 1, 2)
+        |  ORDER BY rel - maxsim DESC, n_id LIMIT 1),
+        |sel4 AS MATERIALIZED (
+        |  SELECT * FROM sel3 UNION ALL SELECT * FROM p4),
+        |p5 AS MATERIALIZED (
+        |  SELECT n_id, rel, maxsim, 5 AS rank FROM (
+        |    SELECT c.n_id, c.rel, max(s.sim) AS maxsim
+        |    FROM cand c JOIN sims s ON s.a_id = c.n_id
+        |    WHERE s.b_id IN (SELECT n_id FROM sel4)
+        |      AND c.n_id NOT IN (SELECT n_id FROM sel4)
+        |    GROUP BY 1, 2)
+        |  ORDER BY rel - maxsim DESC, n_id LIMIT 1),
+        |sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM p5)
+        |SELECT rank, n_id, rel, maxsim, (rel - maxsim) / 2 AS mmr
+        |FROM sel5""".stripMargin,
+
+    "q335_html_extract" ->
+      (htmlSql +
+        """, c1 AS (
+          |  SELECT doc_id, html,
+          |    regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g') AS nc
+          |  FROM h),
+          |c2 AS (
+          |  SELECT doc_id, html, nc,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |        regexp_replace(nc, '<[^>]+>', ' ', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS clean
+          |  FROM c1)
+          |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_html,
+          |  CAST(len(regexp_extract_all(nc, '<[^>]+>', 0)) AS BIGINT)
+          |    AS n_tags,
+          |  CAST(length(clean) AS BIGINT) AS n_clean, clean AS clean_text
+          |FROM c2""".stripMargin),
+
+    "q336_boilerplate_lines" ->
+      """WITH ld AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |l2 AS (
+        |  SELECT doc_id, source,
+        |    ['copyright ' || source || ' all rights reserved'] ||
+        |    [array_to_string(w[i*8+1 : i*8+8], ' ')
+        |     FOR i IN range(0, CAST(ceil(len(w) / 8.0) AS INT))] ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN ['subscribe to ' || source || ' newsletter']
+        |          ELSE []::VARCHAR[] END) AS lines
+        |  FROM ld),
+        |ex AS (
+        |  SELECT doc_id, source, u.pos, u.line, md5(u.line) AS lh
+        |  FROM l2, unnest([{'pos': i, 'line': lines[i + 1]}
+        |                   FOR i IN range(0, len(lines))]) t(u)),
+        |nd AS (
+        |  SELECT source, count(DISTINCT doc_id) AS ndocs FROM ld GROUP BY 1),
+        |bp AS (
+        |  SELECT e.source, e.lh
+        |  FROM ex e JOIN nd USING (source)
+        |  GROUP BY e.source, e.lh, nd.ndocs
+        |  HAVING count(DISTINCT e.doc_id) * 1000000 // nd.ndocs >= 300000),
+        |kept AS (
+        |  SELECT ex.* FROM ex ANTI JOIN bp USING (source, lh)),
+        |tot AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM l2)
+        |SELECT k.doc_id, t.n_lines, count(*) AS n_kept,
+        |  array_to_string(list(k.line ORDER BY k.pos), ' | ') AS clean_text
+        |FROM kept k JOIN tot t USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q337_anchor_text_agg" ->
+      (htmlSql +
+        """, atags AS (
+          |  SELECT doc_id, atag,
+          |    regexp_extract(atag, '<a href="([^"]*)"', 1) AS href,
+          |    regexp_extract(atag, '>([^<]*)<', 1) AS anchor
+          |  FROM h, unnest(regexp_extract_all(html,
+          |    '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) t(atag)),
+          |a2 AS (
+          |  SELECT doc_id, anchor,
+          |    split_part(split_part(href, '://', 2), '/', 1) AS host
+          |  FROM atags),
+          |pa AS (
+          |  SELECT host, anchor, count(*) AS n
+          |  FROM a2 GROUP BY 1, 2),
+          |top AS (
+          |  SELECT host, anchor AS top_anchor, n AS top_anchor_n,
+          |    row_number() OVER (PARTITION BY host
+          |                       ORDER BY n DESC, anchor) AS rk
+          |  FROM pa),
+          |st AS (
+          |  SELECT host, count(*) AS n_links,
+          |    count(DISTINCT doc_id) AS n_src_docs,
+          |    count(DISTINCT anchor) AS n_anchor_texts
+          |  FROM a2 GROUP BY 1)
+          |SELECT s.host, s.n_links, s.n_src_docs, s.n_anchor_texts,
+          |  t.top_anchor, t.top_anchor_n
+          |FROM st s JOIN top t ON t.host = s.host AND t.rk = 1"""
+          .stripMargin),
+
+    "q338_pagerank_hosts" -> pagerankSql
   )
+
+  /** DuckDB twin of the q338 PageRank: edges restated from the fixture
+    * FORMULA (dst = (doc_id·7 + 13j) mod 40 — Spark parses the same
+    * values back out of the HTML anchors, a different formulation), then
+    * 8 unrolled damped fixed-point iterations as MATERIALIZED CTEs. */
+  private lazy val pagerankSql: String = {
+    val iters = (1 to 8).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1000000000000 // nn.n) * 15 // 100
+         |      + COALESCE(f.inflow, 0) * 85 // 100 AS pr
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |               CAST(SUM(p.pr // o.outd) AS BIGINT) AS inflow
+         |             FROM edges e JOIN r${k - 1} p ON p.node = e.src
+         |             JOIN outd o ON o.src = e.src GROUP BY 1) f
+         |    USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id % 40 AS src, (doc_id * 7 + 13 * j) % 40 AS dst
+       |  FROM documents, unnest([1, 2, 3]) t(j)),
+       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |outd AS (SELECT src, count(*) AS outd FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, 1000000000000 // n AS pr FROM nodes, nn),
+       |$iters
+       |SELECT node, pr, pr * 1000000 // 1000000000000 AS pr_ppm
+       |FROM r8""".stripMargin
+  }
+
+  /** Shared DuckDB twin of [[htmlDocs]] — byte-identical page
+    * construction, ending in an `h` CTE with (doc_id, source, html). */
+  private lazy val htmlSql: String = {
+    def anchor(j: Int): String = {
+      val m = s"(doc_id * 7 + ${13 * j}) % 40"
+      s"""'<a href="https://site' || CAST($m AS VARCHAR) || '.' ||
+    (CASE ($m) % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk'
+          ELSE 'data.org' END) ||
+    '/p/' || CAST(doc_id % 20 AS VARCHAR) || '">' ||
+    (CASE (doc_id + $j) % 3 WHEN 0 THEN 'click here'
+          WHEN 1 THEN 'read more'
+          ELSE 'visit ' || CAST($m AS VARCHAR) END) || '</a>'"""
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    '<!DOCTYPE html><html><head><title>Doc ' ||
+       |    CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>.m' || CAST(doc_id % 7 AS VARCHAR) ||
+       |    ' { color: red; } .x { font-size: 10px; }</style>' ||
+       |    '<script>var x = ' || CAST(doc_id % 11 AS VARCHAR) ||
+       |    '; if (x < 9 && x > 0) { go("now"); }</script></head><body>' ||
+       |    '<!-- build ' || CAST(doc_id % 13 AS VARCHAR) || ' -->' ||
+       |    '<h1 class="t">' || source || ' page</h1>' ||
+       |    '<p id="b' || CAST(doc_id % 5 AS VARCHAR) || '">' || text ||
+       |    '</p>' ||
+       |    ${anchor(1)} ||
+       |    ${anchor(2)} ||
+       |    ${anchor(3)} ||
+       |    '<div>A &amp; B &lt;tag&gt; &quot;q&quot; it&#39;s&nbsp;done' ||
+       |    '</div></body></html>' AS html
+       |  FROM documents)""".stripMargin
+  }
+
+  /** shared DuckDB twin of [[urlCanon]] — the fixture construction plus
+    * the same canonicalization steps, ending in a `canon` CTE with
+    * (event_id, url, host, canonical_url, had_junk). */
+  private lazy val urlCanonSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    regexp_extract(props, '"k": (\d+)', 1) AS k
+      |  FROM events),
+      |u AS (
+      |  SELECT event_id,
+      |    (CASE WHEN event_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+      |    || '://' ||
+      |    (CASE WHEN event_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+      |    || 'Site' || CAST(user_id % 40 AS VARCHAR) || '.' ||
+      |    (CASE (user_id % 40) % 3 WHEN 0 THEN 'example.com'
+      |          WHEN 1 THEN 'shop.co.uk' ELSE 'data.org' END) ||
+      |    (CASE WHEN event_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/p/' || event_type ||
+      |    (CASE WHEN event_id % 4 = 0 THEN '/index.html'
+      |          WHEN event_id % 4 = 1 THEN '/' ELSE '' END)
+      |    || '?' ||
+      |    (CASE WHEN event_id % 2 = 0 THEN 'utm_source=feed&k=' || k
+      |          ELSE 'k=' || k END) ||
+      |    (CASE WHEN event_id % 3 = 1 THEN '&b=2&a=1' ELSE '' END) ||
+      |    (CASE WHEN event_id % 7 = 0
+      |          THEN '&fbclid=x' || CAST(event_id % 97 AS VARCHAR)
+      |          ELSE '' END) ||
+      |    (CASE WHEN event_id % 6 = 0
+      |          THEN '#sec' || CAST(event_id % 5 AS VARCHAR)
+      |          ELSE '' END) AS url
+      |  FROM ev),
+      |c1 AS (
+      |  SELECT event_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |  FROM u),
+      |c2 AS (
+      |  SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+      |    split_part(nofrag, '://', 2) AS rest FROM c1),
+      |c3 AS (
+      |  SELECT *, lower(split_part(rest, '/', 1)) AS hostport,
+      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS paq
+      |  FROM c2),
+      |c4 AS (
+      |  SELECT *, regexp_replace(
+      |      CASE WHEN scheme = 'https'
+      |           THEN regexp_replace(hostport, ':443$', '')
+      |           ELSE regexp_replace(hostport, ':80$', '') END,
+      |      '^www\.', '') AS host,
+      |    CASE WHEN strpos(paq, '?') > 0
+      |         THEN substr(paq, 1, strpos(paq, '?') - 1) ELSE paq END
+      |      AS rawpath,
+      |    CASE WHEN strpos(paq, '?') > 0
+      |         THEN substr(paq, strpos(paq, '?') + 1) ELSE '' END AS rawq
+      |  FROM c3),
+      |c5 AS (
+      |  SELECT *,
+      |    CASE WHEN regexp_replace(regexp_replace(
+      |           rawpath, '/index\.html$', ''), '/+$', '') = ''
+      |         THEN '/'
+      |         ELSE regexp_replace(regexp_replace(
+      |           rawpath, '/index\.html$', ''), '/+$', '') END AS cpath,
+      |    array_to_string(list_sort(
+      |      [p FOR p IN string_split(rawq, '&')
+      |       IF p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=)')]
+      |      ), '&') AS cq,
+      |    CASE WHEN len([p FOR p IN string_split(rawq, '&')
+      |                   IF regexp_matches(p, '^(utm_|fbclid=|gclid=)')]) > 0
+      |         THEN 1 ELSE 0 END AS had_junk
+      |  FROM c4),
+      |canon AS (
+      |  SELECT event_id, url, host,
+      |    scheme || '://' || host || cpath ||
+      |      (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
+      |    had_junk
+      |  FROM c5)
+      |""".stripMargin
 
   /** DuckDB twin of the unrolled BPE trainer. The merge application is
     * deliberately a DIFFERENT formulation from Spark's array fold —

@@ -242,6 +242,114 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalization strips junk and collapses variants (q332 laws)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.queries("q332_url_canonicalize")(spark, dir)
+      .localCheckpoint()
+    // every canonical form is junk-free and normalized
+    val bad = out.filter(
+      col("canonical_url").rlike("utm_|fbclid|gclid|#|:443|/index\\.html$") ||
+        col("canonical_url").rlike("://www\\."))
+    assert(bad.count() == 0, "a canonical URL kept junk it must strip")
+    // path/query case is preserved; only scheme+host must be lowercase
+    val schemeHostUpper = out.filter(
+      regexp_extract(col("canonical_url"), "^([^:]+://[^/]+)", 1) =!=
+        lower(regexp_extract(col("canonical_url"), "^([^:]+://[^/]+)", 1)))
+    assert(schemeHostUpper.count() == 0, "scheme/host not lowercased")
+    // the fixture is built so distinct raw variants MUST collapse
+    assert(out.filter(col("n_variants") > 1).count() > 0,
+      "no group collapsed >1 raw variant — canonicalization is a no-op")
+    // sorted query params: any ?b=2&a=1 ordering would violate this
+    val unsorted = out.filter(col("canonical_url").contains("?"))
+      .withColumn("q", substring_index(col("canonical_url"), "?", -1))
+      .withColumn("parts", split(col("q"), "&"))
+      .filter(col("parts") =!= array_sort(col("parts")))
+    assert(unsorted.count() == 0, "query params not sorted")
+  }
+
+  test("registered-domain rollup wins the LONGEST suffix (q333 law)") {
+    val dir = "/root/testdata/sf0.001"
+    val regs = PipelineOps.queries("q333_registered_domain_rollup")(spark, dir)
+      .select("registered").collect().map(_.getString(0)).toSet
+    // fixture hosts are siteN.{example.com,shop.co.uk,data.org}; for the
+    // .co.uk hosts the 2-label suffix co.uk beats uk, so registered =
+    // shop.co.uk — a naive last-2-label split would surface co.uk instead
+    assert(regs.contains("shop.co.uk"), s"expected shop.co.uk in $regs")
+    assert(!regs.contains("co.uk"),
+      "a bare public suffix surfaced as a registered domain")
+    assert(regs.exists(_.endsWith("example.com")) &&
+      regs.exists(_.endsWith("data.org")), s"missing 1-label-suffix rollups: $regs")
+  }
+
+  test("MMR picks are distinct and objective is non-increasing in rank") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = PipelineOps.queries("q334_mmr_diversified_topk")(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.length == 5, s"expected 5 picks, got ${rows.length}")
+    val ids = rows.map(_.getAs[Long]("n_id"))
+    assert(ids.distinct.length == 5, "a document was selected twice")
+    // greedy MMR: from rank 2 on, each round's best objective can only
+    // shrink (the selected set grows, so every candidate's maxsim is
+    // monotone up). Rank 1 is excluded: its maxsim is pinned to 0 over
+    // the empty set, and a NEGATIVE rank-2 maxsim can legitimately beat
+    // the rank-1 objective.
+    val mmr = rows.map(_.getAs[Double]("mmr"))
+    mmr.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, s"MMR objective increased across ranks: $a -> $b")
+    case _ => ()
+    }
+    // rank 1 is the pure-relevance argmax (maxsim = 0 by construction)
+    assert(rows.head.getAs[Double]("maxsim") == 0.0)
+  }
+
+  test("html extraction drops script/style/comment content, keeps entities") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.queries("q335_html_extract")(spark, dir)
+      .localCheckpoint()
+    // block content must never surface: script body, style body, comment
+    val leaked = out.filter(
+      col("clean_text").contains("go(") ||
+        col("clean_text").contains("color: red") ||
+        col("clean_text").contains("font-size") ||
+        col("clean_text").contains("build "))
+    assert(leaked.count() == 0, "script/style/comment content leaked into text")
+    // entities decode to their literal characters (&amp; decoded LAST)
+    val decoded = out.filter(col("clean_text").contains("A & B <tag> \"q\" it's done"))
+    assert(decoded.count() == out.count(), "entity sampler not decoded verbatim")
+    // no tag survives outside the decoded-entity literal
+    val stray = out.filter(col("clean_text").rlike("<(?!tag>)[a-zA-Z!/]"))
+    assert(stray.count() == 0, "a real tag survived extraction")
+  }
+
+  test("boilerplate removal strips template lines, keeps content (q336)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.queries("q336_boilerplate_lines")(spark, dir)
+      .localCheckpoint()
+    assert(out.filter(col("clean_text").contains("copyright") ||
+      col("clean_text").contains("newsletter")).count() == 0,
+      "a template line survived into a cleaned document")
+    // every doc lost its copyright line; even-docs lost the newsletter too
+    assert(out.filter(col("n_kept") >= col("n_lines")).count() == 0)
+    assert(out.filter(col("doc_id") % 2 === 0 &&
+      col("n_kept") > col("n_lines") - 2).count() == 0,
+      "an even doc kept one of its two template lines")
+    // and no document vanished entirely
+    assert(out.count() == Tables.documents(spark, dir).count())
+  }
+
+  test("pagerank conserves scaled mass within integer-floor slack (q338)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.queries("q338_pagerank_hosts")(spark, dir)
+      .localCheckpoint()
+    assert(out.count() == 40, "fixture graph must cover all 40 sites")
+    val mass = out.agg(sum(col("pr"))).collect()(0).getLong(0)
+    // every iteration floors per-node: mass can only leak DOWN from 10^12,
+    // and with 40 nodes x (teleport + inflow) the loss stays tiny
+    assert(mass <= 1000000000000L, s"rank mass exceeds the scale: $mass")
+    assert(mass > 990000000000L, s"rank mass leaked >1%: $mass")
+    assert(out.filter(col("pr") <= 0).count() == 0, "a node lost all rank")
+  }
+
   test("trained-state caches retrain when the underlying data is rewritten") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_retrain_").toString
