@@ -44,7 +44,17 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     /** ingest byte-rate limit, bytes/second (the ratelimit.rs `Bytes`
       * bucket dimension the acceptors consult): the POST body's length
       * is the token cost; None = unlimited. */
-    ingestBytesPerSec: Option[Double] = None) {
+    ingestBytesPerSec: Option[Double] = None,
+    /** API-key auth: sha256-hex-of-key → owning tenant (reference
+      * `common/src/auth/authenticator.rs:88` indexes config keys by
+      * hash so raw credentials never sit in memory; build entries with
+      * [[HttpShell.hashApiKey]]). None = the open single-tenant shell,
+      * exactly the pre-auth behavior. When set, every route except the
+      * `/health` and `/ready` probes demands `Authorization: Bearer
+      * <key>` plus `X-Tenant-ID`, and the key must belong to that
+      * tenant (middleware.rs:44-89 header extraction; 401/400/403
+      * split per AuthError). */
+    apiKeys: Option[Map[String, String]] = None) {
 
   /** token bucket: `rate` tokens/s, holding at most max(1, rate) —
     * the burst equals one second of budget (ratelimit.rs TokenBucket,
@@ -107,10 +117,47 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     flushSelfMetrics() // drain buffered self-monitoring points
   }
 
+  /** Reference auth subset over the request headers (middleware.rs
+    * extract_auth_headers + authenticator.rs authenticate): missing
+    * credentials and unknown keys are 401, malformed scheme/tenant 400,
+    * a real key presented for a tenant it doesn't own 403. Returns
+    * Some(status → message) on rejection, None to proceed. */
+  private def authCheck(ex: HttpExchange): Option[(Int, String)] = {
+    val keys = apiKeys.get
+    Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+      case None => Some(401 -> "Missing Authorization header")
+      case Some(a) if !a.startsWith("Bearer ") =>
+        Some(400 -> "Authorization header must use Bearer scheme")
+      case Some(a) =>
+        Option(ex.getRequestHeaders.getFirst("x-tenant-id")) match {
+          case None => Some(401 -> "Missing X-Tenant-ID header")
+          case Some(tr) =>
+            val t = tr.trim
+            if (t.isEmpty || t.length > 64 ||
+                !t.forall(c => (c < 128 && c.isLetterOrDigit) ||
+                  c == '-' || c == '_'))
+              Some(400 -> "Invalid tenant ID")
+            else keys.get(HttpShell.hashApiKey(a.stripPrefix("Bearer "))) match {
+              case None => Some(401 -> "Invalid API key")
+              case Some(owner) if owner != t =>
+                Some(403 -> s"API key does not belong to tenant '$t'")
+              case _ => None
+            }
+        }
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
     val path = ex.getRequestURI.getPath
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    // authentication first (before rate accounting, like the reference's
+    // middleware stack: auth wraps the limiter); probes stay open so
+    // orchestration health checks never need credentials
+    if (apiKeys.isDefined && path != "/health" && path != "/ready")
+      authCheck(ex).foreach { case (st, msg) =>
+        respondJson(ex, st, errJson(msg)); return
+      }
     // query-API rate limit (reference lib.rs:389 behavior: limited
     // deployments answer 429 once the TENANT's bucket drains; probes
     // exempt; one tenant draining never affects another)
@@ -696,4 +743,14 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     sb ++= "\"}"
     sb.toString
   }
+}
+
+object HttpShell {
+  /** sha256 hex of an API key — keys are stored and compared hashed
+    * (reference `authenticator.rs` hash_api_key), so neither the config
+    * map nor a heap dump ever exposes raw credentials. */
+  def hashApiKey(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 }

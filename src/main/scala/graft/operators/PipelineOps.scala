@@ -2856,6 +2856,93 @@ object PipelineOps {
           .localCheckpoint()
       }
       r.withColumn("pr_ppm", expr(s"pr * 1000000 div $S"))
+    }),
+
+    // MAIN-CONTENT EXTRACTION by LINK DENSITY (Kohlschuetter boilerpipe
+    // heuristic): a block whose text is mostly anchor text is chrome
+    // (nav/footer), not content — drop blocks with anchor-chars/text-
+    // chars > 50%. The fixture builds nav (~90% link), main (<20%) and
+    // footer (~75%) blocks per document; density math is exact integer
+    // ppm so both engines agree bit-for-bit. Per-row regex + array
+    // folds only — no shuffle, scan-speed at 100 TB.
+    "q339_main_content_extract" -> ((s, dir) => {
+      val blocks = Tables.documents(s, dir)
+        .withColumn("page", expr(
+          """concat(
+            |'<div class="nav"><a href="/">Home</a> <a href="/about">About Site',
+            |CAST(doc_id % 40 AS STRING),
+            |'</a> <a href="/products">Products</a> <a href="/contact">Contact</a></div>',
+            |'<div class="main"><h2>', source, ' article ',
+            |CAST(doc_id % 13 AS STRING), '</h2><p>', text,
+            |'</p><a href="/ref', CAST(doc_id % 9 AS STRING), '">source ',
+            |CAST(doc_id % 9 AS STRING), '</a></div>',
+            |'<div class="footer"><a href="/terms">Terms of Service</a> ',
+            |'<a href="/privacy">Privacy Policy</a> ',
+            |'<a href="/sitemap">Site Map</a> (c) ', source, '</div>')"""
+            .stripMargin))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "regexp_extract_all(page, '(?s)<div[^>]*>.*?</div>', 0)"))
+            .as(Seq("pos", "b")))
+        .withColumn("btext", trim(regexp_replace(
+          regexp_replace(col("b"), "<[^>]+>", " "), "\\s+", " ")))
+        .withColumn("achars", expr(
+          "aggregate(transform(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1), " +
+            "x -> length(x)), 0L, (a, x) -> a + x)"))
+        .withColumn("density_ppm",
+          expr("achars * 1000000 div CAST(length(btext) AS BIGINT)"))
+      blocks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("density_ppm") <= 500000, 1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "CASE WHEN density_ppm <= 500000 THEN struct(pos, btext) END)), " +
+            "x -> x.btext), ' | ')").as("main_text"))
+    }),
+
+    // ROBOTS.TXT crawl-policy filter with RFC 9309 precedence: among
+    // the rules whose path-prefix matches a URL, the LONGEST prefix
+    // wins, and an exact length tie resolves to ALLOW. The per-host
+    // rule set derives deterministically (a 2-char prefix disallow — a
+    // real REP subtlety: '/p/cl' blocks '/p/click' — plus an exact
+    // allow/disallow tie pair), rules broadcast (a real robots corpus
+    // is KBs per host), and the verdict is one hash agg keyed by URL.
+    // Spark picks the winner as max(struct(plen, allow)); the DuckDB
+    // twin uses a two-step longest-then-allow formulation.
+    "q340_robots_filter" -> ((s, dir) => {
+      val ts = "array('click','error','purchase','signup','view')"
+      val urls = urlCanon(s, dir)
+        .select(col("host"),
+          regexp_extract(col("canonical_url"), "://[^/]+(/[^?]*)", 1)
+            .as("cpath"))
+        .distinct()
+      val rules = urls.select(col("host")).distinct()
+        .withColumn("hn",
+          regexp_extract(col("host"), "site(\\d+)", 1).cast(LongType))
+        .select(col("host"), explode(expr(
+          s"""array(
+             |named_struct('allow', 1, 'prefix', '/'),
+             |named_struct('allow', 0, 'prefix', concat('/p/',
+             |  substring(element_at($ts, CAST(hn % 5 AS INT) + 1), 1, 2))),
+             |named_struct('allow', 1, 'prefix', concat('/p/',
+             |  element_at($ts, CAST((hn + 2) % 5 AS INT) + 1))),
+             |named_struct('allow', 0, 'prefix', concat('/p/',
+             |  element_at($ts, CAST((hn + 4) % 5 AS INT) + 1))),
+             |named_struct('allow', 1, 'prefix', concat('/p/',
+             |  element_at($ts, CAST((hn + 4) % 5 AS INT) + 1))))"""
+            .stripMargin)).as("r"))
+        .select(col("host"), col("r.allow").as("allow"),
+          col("r.prefix").as("prefix"),
+          length(col("r.prefix")).cast(LongType).as("plen"))
+      val verdict = urls.join(broadcast(rules), "host")
+        .filter(expr("substring(cpath, 1, plen) = prefix"))
+        .groupBy(col("host"), col("cpath"))
+        .agg(max(struct(col("plen"), col("allow"))).as("best"))
+        .withColumn("blocked", (col("best.allow") === 0).cast(IntegerType))
+      verdict.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("blocked")).cast(LongType).as("n_blocked"),
+          min(when(col("blocked") === 1, col("cpath"))).as("blocked_path"))
+        .withColumn("blocked_ppm", expr("n_blocked * 1000000 div n_urls"))
     })
   )
 
@@ -5046,7 +5133,90 @@ object PipelineOps {
           |FROM st s JOIN top t ON t.host = s.host AND t.rk = 1"""
           .stripMargin),
 
-    "q338_pagerank_hosts" -> pagerankSql
+    "q338_pagerank_hosts" -> pagerankSql,
+
+    "q339_main_content_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<div class="nav"><a href="/">Home</a> <a href="/about">About Site'
+        |    || CAST(doc_id % 40 AS VARCHAR) ||
+        |    '</a> <a href="/products">Products</a> <a href="/contact">Contact</a></div>'
+        |    || '<div class="main"><h2>' || source || ' article ' ||
+        |    CAST(doc_id % 13 AS VARCHAR) || '</h2><p>' || text ||
+        |    '</p><a href="/ref' || CAST(doc_id % 9 AS VARCHAR) || '">source ' ||
+        |    CAST(doc_id % 9 AS VARCHAR) || '</a></div>' ||
+        |    '<div class="footer"><a href="/terms">Terms of Service</a> ' ||
+        |    '<a href="/privacy">Privacy Policy</a> ' ||
+        |    '<a href="/sitemap">Site Map</a> (c) ' || source || '</div>'
+        |      AS page
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(page, '(?s)<div[^>]*>.*?</div>', 0) AS arr
+        |  FROM pg),
+        |bl AS (
+        |  SELECT doc_id, u.pos, u.b,
+        |    trim(regexp_replace(regexp_replace(u.b, '<[^>]+>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS btext
+        |  FROM b0, unnest([{'pos': i, 'b': arr[i + 1]}
+        |                   FOR i IN range(0, len(arr))]) t(u)),
+        |d AS (
+        |  SELECT doc_id, pos, btext,
+        |    CAST(list_sum([length(a)
+        |      FOR a IN regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1)])
+        |      AS BIGINT) * 1000000 // CAST(length(btext) AS BIGINT)
+        |      AS density_ppm
+        |  FROM bl)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  count(CASE WHEN density_ppm <= 500000 THEN 1 END) AS n_kept,
+        |  array_to_string(list(btext ORDER BY pos)
+        |    FILTER (WHERE density_ppm <= 500000), ' | ') AS main_text
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q340_robots_filter" ->
+      (urlCanonSql +
+        """, urls AS (
+          |  SELECT DISTINCT host,
+          |    regexp_extract(canonical_url, '://[^/]+(/[^?]*)', 1) AS cpath
+          |  FROM canon),
+          |hosts AS (
+          |  SELECT DISTINCT host,
+          |    CAST(regexp_extract(host, 'site(\d+)', 1) AS BIGINT) AS hn
+          |  FROM urls),
+          |ty AS (SELECT ['click','error','purchase','signup','view'] AS ts),
+          |rules AS (
+          |  SELECT host, u.allow, u.prefix,
+          |    CAST(length(u.prefix) AS BIGINT) AS plen
+          |  FROM (
+          |    SELECT host,
+          |      [{'allow': 1, 'prefix': '/'},
+          |       {'allow': 0, 'prefix': '/p/' ||
+          |          substr(ts[CAST(hn % 5 AS INT) + 1], 1, 2)},
+          |       {'allow': 1, 'prefix': '/p/' ||
+          |          ts[CAST((hn + 2) % 5 AS INT) + 1]},
+          |       {'allow': 0, 'prefix': '/p/' ||
+          |          ts[CAST((hn + 4) % 5 AS INT) + 1]},
+          |       {'allow': 1, 'prefix': '/p/' ||
+          |          ts[CAST((hn + 4) % 5 AS INT) + 1]}] AS rs
+          |    FROM hosts, ty) h2, unnest(h2.rs) t(u)),
+          |matched AS (
+          |  SELECT u.host, u.cpath, r.allow, r.plen
+          |  FROM urls u JOIN rules r ON r.host = u.host
+          |  WHERE substr(u.cpath, 1, CAST(r.plen AS INT)) = r.prefix),
+          |longest AS (
+          |  SELECT host, cpath, max(plen) AS bl
+          |  FROM matched GROUP BY 1, 2),
+          |best AS (
+          |  SELECT m.host, m.cpath,
+          |    CASE WHEN max(m.allow) = 0 THEN 1 ELSE 0 END AS blocked
+          |  FROM matched m JOIN longest l
+          |    ON l.host = m.host AND l.cpath = m.cpath AND m.plen = l.bl
+          |  GROUP BY 1, 2)
+          |SELECT host, count(*) AS n_urls,
+          |  CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+          |  min(CASE WHEN blocked = 1 THEN cpath END) AS blocked_path,
+          |  CAST(SUM(blocked) AS BIGINT) * 1000000 // count(*) AS blocked_ppm
+          |FROM best GROUP BY 1""".stripMargin)
   )
 
   /** DuckDB twin of the q338 PageRank: edges restated from the fixture

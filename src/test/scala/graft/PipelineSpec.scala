@@ -350,6 +350,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("pr") <= 0).count() == 0, "a node lost all rank")
   }
 
+  test("link-density extraction keeps the article, drops nav and footer") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.queries("q339_main_content_extract")(spark, dir)
+      .localCheckpoint()
+    assert(out.filter(col("n_blocks") =!= 3).count() == 0)
+    assert(out.filter(col("n_kept") =!= 1).count() == 0,
+      "exactly the main block must survive the 50% link-density gate")
+    val chrome = out.filter(col("main_text").contains("Privacy Policy") ||
+      col("main_text").contains("Terms of Service") ||
+      col("main_text").contains("Products Contact"))
+    assert(chrome.count() == 0, "nav/footer chrome leaked into main text")
+    assert(out.filter(!col("main_text").contains(" article ")).count() == 0,
+      "an article body went missing")
+  }
+
+  test("robots filter: longest match wins and exact ties resolve to allow") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.queries("q340_robots_filter")(spark, dir)
+      .localCheckpoint()
+    // the rule set can only block via the single 2-char-prefix disallow:
+    // the exact allow/disallow tie pair MUST resolve to allow (RFC 9309),
+    // so no host ever blocks more than one path
+    assert(out.filter(col("n_blocked") > 1).count() == 0,
+      "a tie-pair path was blocked — allow must win exact-length ties")
+    assert(out.filter(col("n_blocked") === 1 &&
+      !col("blocked_path").startsWith("/p/")).count() == 0)
+    assert(out.filter(col("n_blocked") === 0 &&
+      col("blocked_path").isNotNull).count() == 0)
+    // the '/' base rule keeps everything else crawlable
+    assert(out.filter(col("blocked_ppm") > 500000).count() == 0,
+      "a host blocked most of its paths — base allow rule not engaging")
+  }
+
   test("trained-state caches retrain when the underlying data is rewritten") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_retrain_").toString

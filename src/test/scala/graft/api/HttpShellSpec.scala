@@ -1001,6 +1001,59 @@ class HttpShellSpec extends AnyFunSuite {
     for (_ <- 0 until 50) assert(get("/api/echo").statusCode() == 200)
   }
 
+  test("api-key auth: 401/400/403 split per the reference middleware") {
+    // two tenants, one key each, keys stored HASHED in the shell config
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      apiKeys = Some(Map(
+        HttpShell.hashApiKey("sk-alpha-secret") -> "alpha",
+        HttpShell.hashApiKey("sk-beta-secret") -> "beta")))
+    val p = sh.start()
+    try {
+      def req(hdrs: (String, String)*) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/echo"))
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // no credentials → 401 (the UI login gate keys on this exact status)
+      val r1 = req()
+      assert(r1.statusCode() == 401 && r1.body().contains("Missing Authorization"))
+      // wrong scheme → 400
+      val r2 = req("Authorization" -> "Basic abc", "x-tenant-id" -> "alpha")
+      assert(r2.statusCode() == 400 && r2.body().contains("Bearer scheme"))
+      // key without a tenant header → 401
+      val r3 = req("Authorization" -> "Bearer sk-alpha-secret")
+      assert(r3.statusCode() == 401 && r3.body().contains("Missing X-Tenant-ID"))
+      // malformed tenant id (path traversal) → 400
+      val r4 = req("Authorization" -> "Bearer sk-alpha-secret",
+        "x-tenant-id" -> "../evil")
+      assert(r4.statusCode() == 400 && r4.body().contains("Invalid tenant ID"))
+      // unknown key → 401
+      val r5 = req("Authorization" -> "Bearer sk-wrong",
+        "x-tenant-id" -> "alpha")
+      assert(r5.statusCode() == 401 && r5.body().contains("Invalid API key"))
+      // real key presented for a tenant it does not own → 403
+      val r6 = req("Authorization" -> "Bearer sk-alpha-secret",
+        "x-tenant-id" -> "beta")
+      assert(r6.statusCode() == 403 && r6.body().contains("does not belong"))
+      // correct pair → 200, for each tenant
+      assert(req("Authorization" -> "Bearer sk-alpha-secret",
+        "x-tenant-id" -> "alpha").statusCode() == 200)
+      assert(req("Authorization" -> "Bearer sk-beta-secret",
+        "x-tenant-id" -> "beta").statusCode() == 200)
+      // probes stay open without credentials
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/health"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/ready"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+    } finally sh.stop()
+    // and the shared un-configured shell stays open (None = pre-auth shell)
+    assert(get("/api/echo").statusCode() == 200)
+  }
+
   test("ingest byte-rate limit: oversized burst answers 429, then refills") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-bytes").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
