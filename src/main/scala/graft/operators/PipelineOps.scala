@@ -2910,11 +2910,18 @@ object PipelineOps {
     // twin uses a two-step longest-then-allow formulation.
     "q340_robots_filter" -> ((s, dir) => {
       val ts = "array('click','error','purchase','signup','view')"
+      // materialize the deduped (host, path) frontier ONCE: both the
+      // verdict side and the host spine the fixture derives rules from
+      // hang off it, and without the checkpoint the full events-scan
+      // canonicalization lineage evaluates twice (in a real pipeline
+      // the rules come from a separate robots.txt corpus, so only the
+      // frontier dedup itself remains at scale)
       val urls = urlCanon(s, dir)
         .select(col("host"),
           regexp_extract(col("canonical_url"), "://[^/]+(/[^?]*)", 1)
             .as("cpath"))
         .distinct()
+        .localCheckpoint()
       val rules = urls.select(col("host")).distinct()
         .withColumn("hn",
           regexp_extract(col("host"), "site(\\d+)", 1).cast(LongType))
