@@ -737,7 +737,27 @@ object Endpoints {
       p("get", "/iceberg/v1/namespaces/{ns}/tables",
         "Iceberg REST table listing"),
       p("get", "/iceberg/v1/namespaces/{ns}/tables/{table}",
-        "Iceberg REST LoadTableResult"))
+        "Iceberg REST LoadTableResult"),
+      p("get", "/api/v1/whoami",
+        "the caller's tenant, datasets and default dataset"),
+      p("get", "/api/v1/tenants", "tenant listing (own tenant only)"),
+      p("get", "/api/v1/tenants/{tenant_id}", "tenant info"),
+      p("get", "/api/v1/tenants/{tenant_id}/tables",
+        "the tenant's landed tables"),
+      p("post", "/api/v1/manage/tenants",
+        "create a tenant (instance admin)"),
+      p("get", "/api/v1/manage/tenants/{tenant_id}/datasets",
+        "list the tenant's datasets"),
+      p("post", "/api/v1/manage/tenants/{tenant_id}/datasets",
+        "create a dataset"),
+      p("delete", "/api/v1/manage/tenants/{tenant_id}/datasets/{dataset_name}",
+        "delete a dataset (default dataset is protected)"),
+      p("get", "/api/v1/manage/tenants/{tenant_id}/api-keys",
+        "list API keys (never key material)"),
+      p("post", "/api/v1/manage/tenants/{tenant_id}/api-keys",
+        "mint a scoped API key (secret returned once)"),
+      p("delete", "/api/v1/manage/tenants/{tenant_id}/api-keys/{key_id}",
+        "revoke an API key"))
     val paths = entries.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (path, ops) =>
         s"""${ApiJson.jstr(path)}:{${ops.map(_._2).mkString(",")}}"""

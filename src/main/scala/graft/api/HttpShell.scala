@@ -54,7 +54,20 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       * <key>` plus `X-Tenant-ID`, and the key must belong to that
       * tenant (middleware.rs:44-89 header extraction; 401/400/403
       * split per AuthError). */
-    apiKeys: Option[Map[String, String]] = None) {
+    apiKeys: Option[Map[String, String]] = None,
+    /** sha256 hashes of INSTANCE-ADMIN keys (management.rs:117
+      * `is_instance_admin`): may create tenants over the management
+      * API and manage any tenant. Setting this alone also turns auth
+      * on. The reference's admin principal is a human OAuth session;
+      * sessions/OAuth are driver-scoped out, so an admin API key is
+      * the instance-admin credential here. */
+    adminApiKeys: Set[String] = Set.empty) {
+
+  /** tenant/dataset/api-key catalog behind `/api/v1/manage` — config
+    * keys from the constructor plus keys minted over the wire. */
+  private val catalog = new TenantCatalog(apiKeys.getOrElse(Map.empty),
+    adminApiKeys)
+  private def authEnabled: Boolean = apiKeys.isDefined || adminApiKeys.nonEmpty
 
   /** token bucket: `rate` tokens/s, holding at most max(1, rate) —
     * the burst equals one second of budget (ratelimit.rs TokenBucket,
@@ -119,32 +132,60 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
 
   /** Reference auth subset over the request headers (middleware.rs
     * extract_auth_headers + authenticator.rs authenticate): missing
-    * credentials and unknown keys are 401, malformed scheme/tenant 400,
-    * a real key presented for a tenant it doesn't own 403. Returns
-    * Some(status → message) on rejection, None to proceed. */
-  private def authCheck(ex: HttpExchange): Option[(Int, String)] = {
-    val keys = apiKeys.get
+    * credentials and unknown/revoked keys are 401, malformed
+    * scheme/tenant 400, a real key presented for a tenant it doesn't
+    * own 403 (admin keys act on any valid tenant, is_instance_admin).
+    * Returns the validated (tenant header, principal) or the
+    * rejection. */
+  private def authCheck(ex: HttpExchange)
+      : Either[(Int, String), (String, TenantCatalog.Principal)] =
     Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-      case None => Some(401 -> "Missing Authorization header")
+      case None => Left(401 -> "Missing Authorization header")
       case Some(a) if !a.startsWith("Bearer ") =>
-        Some(400 -> "Authorization header must use Bearer scheme")
+        Left(400 -> "Authorization header must use Bearer scheme")
       case Some(a) =>
         Option(ex.getRequestHeaders.getFirst("x-tenant-id")) match {
-          case None => Some(401 -> "Missing X-Tenant-ID header")
+          case None => Left(401 -> "Missing X-Tenant-ID header")
           case Some(tr) =>
             val t = tr.trim
             if (t.isEmpty || t.length > 64 ||
                 !t.forall(c => (c < 128 && c.isLetterOrDigit) ||
                   c == '-' || c == '_'))
-              Some(400 -> "Invalid tenant ID")
-            else keys.get(HttpShell.hashApiKey(a.stripPrefix("Bearer "))) match {
-              case None => Some(401 -> "Invalid API key")
-              case Some(owner) if owner != t =>
-                Some(403 -> s"API key does not belong to tenant '$t'")
-              case _ => None
+              Left(400 -> "Invalid tenant ID")
+            else catalog.resolve(
+                HttpShell.hashApiKey(a.stripPrefix("Bearer "))) match {
+              case None => Left(401 -> "Invalid API key")
+              case Some(p) if !p.isAdmin && !p.tenant.contains(t) =>
+                Left(403 -> s"API key does not belong to tenant '$t'")
+              case Some(p) => Right((t, p))
             }
         }
     }
+
+  /** read_scope.rs route-tree wrapping: which signal's `:read` scope a
+    * path demands (lib.rs:234-274 wraps the Tempo routers with traces,
+    * Pyroscope/profiles with profiles, Loki with logs, Prometheus with
+    * metrics). Paths outside the four signal surfaces carry no read
+    * scope — exactly the reference tree. */
+  private def readSignal(path: String): Option[String] =
+    if (path.startsWith("/loki/")) Some("logs")
+    else if (path.startsWith("/prometheus/")) Some("metrics")
+    else if (path.startsWith("/pyroscope/") ||
+      path.startsWith("/api/profiles")) Some("profiles")
+    else if (path.startsWith("/tempo/") || path.startsWith("/api/search") ||
+      path.startsWith("/api/traces") || path.startsWith("/api/v2/search") ||
+      path.startsWith("/api/v2/traces") || path.startsWith("/api/metrics/"))
+      Some("traces")
+    else None
+
+  /** acceptor can_ingest checks: which signal's `:write` scope an
+    * ingest POST demands. */
+  private def writeSignal(path: String): Option[String] = path match {
+    case "/v1/logs" => Some("logs")
+    case "/v1/traces" => Some("traces")
+    case "/v1/metrics" | "/api/v1/write" => Some("metrics")
+    case "/v1development/profiles" | "/ingest" => Some("profiles")
+    case _ => None
   }
 
   private def handle(ex: HttpExchange): Unit = {
@@ -154,10 +195,52 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // authentication first (before rate accounting, like the reference's
     // middleware stack: auth wraps the limiter); probes stay open so
     // orchestration health checks never need credentials
-    if (apiKeys.isDefined && path != "/health" && path != "/ready")
-      authCheck(ex).foreach { case (st, msg) =>
-        respondJson(ex, st, errJson(msg)); return
+    val auth: Option[(String, TenantCatalog.Principal)] =
+      if (!authEnabled || path == "/health" || path == "/ready") None
+      else authCheck(ex) match {
+        case Left((st, msg)) => respondJson(ex, st, errJson(msg)); return
+        case Right(a) => Some(a)
       }
+    // signal-scope enforcement after authentication (read_scope.rs layer
+    // + the acceptors' can_ingest checks): a SCOPED key must carry the
+    // exact `<signal>:read|write`; unscoped keys are unrestricted, and
+    // write scopes never grant read (auth/mod.rs can_read)
+    auth.foreach { case (_, p) =>
+      if (p.scopes.isDefined) {
+        val needed =
+          if (ex.getRequestMethod == "POST")
+            writeSignal(path).map(_ + ":write")
+              .orElse(readSignal(path).map(_ + ":read"))
+          else readSignal(path).map(_ + ":read")
+        needed.foreach { sc =>
+          if (!p.scopes.get.contains(sc)) {
+            respondJson(ex, 403, errJson(s"missing $sc scope")); return
+          }
+        }
+      }
+      // a dataset-bound key may only ingest into its own dataset
+      // (authenticator.rs with_api_key_restrictions dataset dimension)
+      if (ex.getRequestMethod == "POST" && writeSignal(path).isDefined)
+        p.datasetId.foreach { d =>
+          if (!ingest.exists(_.dataset == d)) {
+            respondJson(ex, 403,
+              errJson(s"API key is restricted to dataset '$d'")); return
+          }
+        }
+    }
+    // management / identity surface (method-aware, incl. DELETE)
+    if (path == "/api/v1/whoami" || path == "/api/v1/tenants" ||
+        path.startsWith("/api/v1/tenants/") ||
+        path == "/api/v1/manage/tenants" ||
+        path.startsWith("/api/v1/manage/tenants/")) {
+      val (st, bodyJson) = manageRoute(ex, path, auth)
+      if (st == 204) { // No Content: JDK server wants length -1, no body
+        ex.sendResponseHeaders(204, -1L)
+        ex.getResponseBody.close()
+      } else respondJson(ex, st, bodyJson)
+      recordSelf(path, st, (System.nanoTime() - t0) / 1e6, tenantOf(ex))
+      return
+    }
     // query-API rate limit (reference lib.rs:389 behavior: limited
     // deployments answer 429 once the TENANT's bucket drains; probes
     // exempt; one tenant draining never affects another)
@@ -728,6 +811,211 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       case _ => None
     }
   }
+
+  // ---- management + identity surface (reference endpoints/
+  // {management,tenant,session}.rs). The reference gates management
+  // behind human OAuth sessions with tenant-admin memberships; sessions
+  // and user accounts are driver-scoped out, so the adaptation is:
+  // an ADMIN key manages any tenant (is_instance_admin), an UNSCOPED
+  // tenant key manages its own tenant, and a SCOPED key (a machine
+  // ingest credential) is always 403 — the same posture as
+  // management.rs:59's "human session required" for non-admin
+  // principals. ------------------------------------------------------
+
+  private val ManageKeysR = "^/api/v1/manage/tenants/([^/]+)/api-keys$".r
+  private val ManageKeyR =
+    "^/api/v1/manage/tenants/([^/]+)/api-keys/([^/]+)$".r
+  private val ManageDsR = "^/api/v1/manage/tenants/([^/]+)/datasets$".r
+  private val ManageDs1R =
+    "^/api/v1/manage/tenants/([^/]+)/datasets/([^/]+)$".r
+  private val TenantR = "^/api/v1/tenants/([^/]+)$".r
+  private val TenantTablesR = "^/api/v1/tenants/([^/]+)/tables$".r
+
+  /** authorize_tenant (management.rs:55): admin passes anywhere; an
+    * unscoped key passes for its own tenant; everything else 403. */
+  private def manageAuthz(auth: Option[(String, TenantCatalog.Principal)],
+      tenantId: String): Option[(Int, String)] = auth match {
+    case None => Some(401 -> "Authentication required for management")
+    case Some((_, p)) if p.isAdmin => None
+    case Some((_, p)) if !p.tenant.contains(tenantId) =>
+      Some(403 -> "Tenant context does not match path")
+    case Some((_, p)) if p.scopes.isDefined =>
+      Some(403 -> "Management requires an unscoped administrative credential")
+    case _ => None
+  }
+
+  private def jopt(v: Option[String]): String =
+    v.map(ApiJson.jstr).getOrElse("null")
+
+  private def parseBody(ex: HttpExchange)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        throw Endpoints.HttpError(400, "invalid JSON body: " + e.getMessage) }
+    if (root == null || !root.isObject)
+      throw Endpoints.HttpError(400, "invalid JSON body: object expected")
+    root
+  }
+
+  private def optText(n: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText)
+
+  private def manageRoute(ex: HttpExchange, path: String,
+      auth: Option[(String, TenantCatalog.Principal)]): (Int, String) =
+    try {
+      def deny(r: Option[(Int, String)]): Unit =
+        r.foreach { case (st, m) => throw Endpoints.HttpError(st, m) }
+      def validId(raw: String): String =
+        TenantCatalog.validateId(raw) match {
+          case Right(v) => v
+          case Left(m) => throw Endpoints.HttpError(400, m)
+        }
+      (ex.getRequestMethod, path) match {
+        // ---- session.rs whoami: the caller's own tenant, datasets and
+        // default dataset; API-key principals carry no user and no
+        // memberships (whoami_returns_only_own_tenant_and_datasets)
+        case ("GET", "/api/v1/whoami") =>
+          val t = auth.map(_._1)
+            .getOrElse(ingest.map(_.tenant).getOrElse("default"))
+          val cat = catalog.getTenant(t)
+          val name = cat.map(_.name).getOrElse(t)
+          val dflt = cat.flatMap(_.defaultDataset)
+          val ds = catalog.listDatasets(t).map { case (_, n) =>
+            s"""{"id":${ApiJson.jstr(n)},"slug":${ApiJson.jstr(n)},""" +
+              s""""is_default":${dflt.contains(n)}}"""
+          }
+          200 -> (s"""{"tenant":{"id":${ApiJson.jstr(t)},""" +
+            s""""slug":${ApiJson.jstr(t)},"name":${ApiJson.jstr(name)}},""" +
+            s""""datasets":[${ds.mkString(",")}],""" +
+            s""""default_dataset":${jopt(dflt)},"memberships":[]}""")
+        // ---- tenant.rs: listing is filtered to the caller's own
+        // tenant; a foreign tenant id in the path is 403
+        case ("GET", "/api/v1/tenants") =>
+          val t = auth.map(_._1)
+            .getOrElse(ingest.map(_.tenant).getOrElse("default"))
+          200 -> (s"""{"tenants":[{"tenant_id":${ApiJson.jstr(t)},""" +
+            s""""schema":null,"custom_schemas":null,"enabled":true}],""" +
+            s""""default_tenant":${ApiJson.jstr(t)}}""")
+        case ("GET", TenantR(tid)) =>
+          val t = auth.map(_._1)
+            .getOrElse(ingest.map(_.tenant).getOrElse("default"))
+          if (tid != t && !auth.exists(_._2.isAdmin))
+            403 -> errJson("Requested tenant does not match authenticated tenant")
+          else 200 -> (s"""{"tenant_id":${ApiJson.jstr(tid)},""" +
+            """"schema":null,"custom_schemas":null,"enabled":true}""")
+        case ("GET", TenantTablesR(tid)) =>
+          val t = auth.map(_._1)
+            .getOrElse(ingest.map(_.tenant).getOrElse("default"))
+          if (tid != t && !auth.exists(_._2.isAdmin))
+            403 -> errJson("Requested tenant does not match authenticated tenant")
+          else {
+            // the tenant's landed tables (tenant_api.rs list_tables
+            // schema_type/description mapping)
+            val names = ingest.filter(_.tenant == tid).toSeq.flatMap { l =>
+              val base = new java.io.File(s"${l.basePath}/${l.tenant}/${l.dataset}")
+              Option(base.listFiles()).toSeq.flatten
+                .filter(_.isDirectory).map(_.getName).sorted
+            }
+            val tables = names.map { n =>
+              val (st, d) = n match {
+                case "traces" => ("traces", "OpenTelemetry traces and spans")
+                case "logs" => ("logs", "OpenTelemetry log entries")
+                case "metrics_gauge" =>
+                  ("metrics_gauge", "OpenTelemetry gauge metrics")
+                case "metrics_sum" =>
+                  ("metrics_sum", "OpenTelemetry sum/counter metrics")
+                case "metrics_histogram" =>
+                  ("metrics_histogram", "OpenTelemetry histogram metrics")
+                case _ => ("custom", "Custom table")
+              }
+              s"""{"name":${ApiJson.jstr(n)},"schema_type":${ApiJson.jstr(st)},""" +
+                s""""description":${ApiJson.jstr(d)}}"""
+            }
+            200 -> (s"""{"tables":[${tables.mkString(",")}],""" +
+              s""""tenant_id":${ApiJson.jstr(tid)}}""")
+          }
+        // ---- management.rs create_tenant: instance admin only
+        case ("POST", "/api/v1/manage/tenants") =>
+          if (!auth.exists(_._2.isAdmin))
+            throw Endpoints.HttpError(403, "Instance administrator required")
+          val b = parseBody(ex)
+          val id = validId(optText(b, "id").getOrElse(""))
+          val dflt = optText(b, "default_dataset").map(validId)
+          val name = optText(b, "name").map(_.trim).getOrElse("")
+          if (name.isEmpty)
+            throw Endpoints.HttpError(400, "Tenant name is required")
+          catalog.createTenant(id, name, dflt) match {
+            case Left((st, m)) => throw Endpoints.HttpError(st, m)
+            case Right(v) => 201 -> s"""{"id":${ApiJson.jstr(v)}}"""
+          }
+        case ("GET", ManageDsR(tid)) =>
+          deny(manageAuthz(auth, tid))
+          val ds = catalog.listDatasets(tid).map { case (id, n) =>
+            s"""{"id":${ApiJson.jstr(id)},"name":${ApiJson.jstr(n)}}"""
+          }
+          200 -> s"[${ds.mkString(",")}]"
+        case ("POST", ManageDsR(tid)) =>
+          deny(manageAuthz(auth, tid))
+          val name = validId(optText(parseBody(ex), "name").getOrElse(""))
+          catalog.createDataset(tid, name) match {
+            case Left((st, m)) => throw Endpoints.HttpError(st, m)
+            case Right(id) => 201 ->
+              s"""{"id":${ApiJson.jstr(id)},"name":${ApiJson.jstr(name)}}"""
+          }
+        case ("DELETE", ManageDs1R(tid, dsn)) =>
+          deny(manageAuthz(auth, tid))
+          catalog.deleteDataset(tid, dec(dsn)) match {
+            case Left((st, m)) => throw Endpoints.HttpError(st, m)
+            case Right(_) => 204 -> ""
+          }
+        case ("GET", ManageKeysR(tid)) =>
+          deny(manageAuthz(auth, tid))
+          val ks = catalog.listApiKeys(tid).map { k =>
+            s"""{"id":${ApiJson.jstr(k.id)},"name":${jopt(k.name)},""" +
+              s""""dataset_id":${jopt(k.datasetId)},""" +
+              s""""scopes":${k.scopes.map(_.map(ApiJson.jstr)
+                .mkString("[", ",", "]")).getOrElse("null")},""" +
+              s""""revoked":${k.revoked}}"""
+          }
+          200 -> s"[${ks.mkString(",")}]"
+        case ("POST", ManageKeysR(tid)) =>
+          deny(manageAuthz(auth, tid))
+          val b = parseBody(ex)
+          val scopes = Option(b.get("scopes")).filter(_.isArray)
+            .map(a => (0 until a.size()).map(a.get(_).asText))
+            .getOrElse(Seq.empty)
+          if (scopes.isEmpty ||
+            scopes.exists(!TenantCatalog.IngestScopes.contains(_)))
+            throw Endpoints.HttpError(400,
+              "At least one valid ingestion scope is required")
+          val dsId = optText(b, "dataset_id")
+          dsId.foreach { d =>
+            if (!catalog.datasetExists(tid, d))
+              throw Endpoints.HttpError(400, "Dataset does not exist")
+          }
+          val nm = optText(b, "name")
+          val (id, secret) = catalog.createApiKey(tid, nm, dsId, scopes)
+          // the raw secret appears exactly ONCE, in this 201
+          201 -> (s"""{"id":${ApiJson.jstr(id)},"key":${ApiJson.jstr(secret)},""" +
+            s""""name":${jopt(nm)},"dataset_id":${jopt(dsId)},""" +
+            s""""scopes":${scopes.map(ApiJson.jstr).mkString("[", ",", "]")}}""")
+        case ("DELETE", ManageKeyR(tid, kid)) =>
+          deny(manageAuthz(auth, tid))
+          catalog.getApiKey(dec(kid)) match {
+            case Some(k) if k.tenantId == tid =>
+              catalog.revokeApiKey(k.id); 204 -> ""
+            case _ => throw Endpoints.HttpError(404, "API key not found")
+          }
+        case _ => 404 -> errJson("not found: " + path)
+      }
+    } catch {
+      case e: Endpoints.HttpError => e.status -> errJson(e.message)
+      case e: Throwable =>
+        500 -> errJson(Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
 
   private def errJson(msg: String): String = {
     val sb = new StringBuilder("{\"status\":\"error\",\"error\":\"")

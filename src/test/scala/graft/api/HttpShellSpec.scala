@@ -1054,6 +1054,144 @@ class HttpShellSpec extends AnyFunSuite {
     assert(get("/api/echo").statusCode() == 200)
   }
 
+  test("management surface: tenant lifecycle, scoped keys go live, revocation is immediate") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-manage").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      ingest = Some(layout),
+      apiKeys = Some(Map(HttpShell.hashApiKey("sk-acme") -> "acme")),
+      adminApiKeys = Set(HttpShell.hashApiKey("sk-root")))
+    val p = sh.start()
+    def req(method: String, path: String, body: String,
+        hdrs: (String, String)*): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+      hdrs.foreach { case (k, v) => b.header(k, v) }
+      val pub = if (body == null) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body)
+      client.send(b.method(method, pub).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = Seq("Authorization" -> "Bearer sk-root", "x-tenant-id" -> "ops")
+    val acme = Seq("Authorization" -> "Bearer sk-acme", "x-tenant-id" -> "acme")
+    try {
+      // tenant creation is instance-admin only
+      val denied = req("POST", "/api/v1/manage/tenants",
+        """{"id":"globex","name":"Globex"}""", acme: _*)
+      assert(denied.statusCode() == 403 &&
+        denied.body().contains("Instance administrator required"))
+      val created = req("POST", "/api/v1/manage/tenants",
+        """{"id":"globex","name":"Globex","default_dataset":"prod"}""", admin: _*)
+      assert(created.statusCode() == 201 && created.body() == """{"id":"globex"}""")
+      // duplicate → 409; a config-backed tenant id → 409; bad id → 400
+      assert(req("POST", "/api/v1/manage/tenants",
+        """{"id":"globex","name":"Again"}""", admin: _*).statusCode() == 409)
+      val cfg = req("POST", "/api/v1/manage/tenants",
+        """{"id":"acme","name":"Acme"}""", admin: _*)
+      assert(cfg.statusCode() == 409 &&
+        cfg.body().contains("configuration-backed"))
+      assert(req("POST", "/api/v1/manage/tenants",
+        """{"id":"../evil","name":"X"}""", admin: _*).statusCode() == 400)
+      // datasets: the default landed with the tenant; add/delete around it
+      assert(req("POST", "/api/v1/manage/tenants/globex/datasets",
+        """{"name":"staging"}""", admin: _*).statusCode() == 201)
+      val ds = req("GET", "/api/v1/manage/tenants/globex/datasets", null, admin: _*)
+      assert(ds.statusCode() == 200 &&
+        ds.body().contains("\"prod\"") && ds.body().contains("\"staging\""))
+      val delDefault = req("DELETE",
+        "/api/v1/manage/tenants/globex/datasets/prod", null, admin: _*)
+      assert(delDefault.statusCode() == 409 &&
+        delDefault.body().contains("default dataset"))
+      assert(req("DELETE", "/api/v1/manage/tenants/globex/datasets/staging",
+        null, admin: _*).statusCode() == 204)
+      assert(req("DELETE", "/api/v1/manage/tenants/globex/datasets/staging",
+        null, admin: _*).statusCode() == 404)
+      // an unscoped tenant key manages its own tenant, not others
+      assert(req("GET", "/api/v1/manage/tenants/globex/api-keys",
+        null, acme: _*).statusCode() == 403)
+      // scope validation on key minting
+      assert(req("POST", "/api/v1/manage/tenants/acme/api-keys",
+        """{"scopes":[]}""", acme: _*).statusCode() == 400)
+      assert(req("POST", "/api/v1/manage/tenants/acme/api-keys",
+        """{"scopes":["root:everything"]}""", acme: _*).statusCode() == 400)
+      assert(req("POST", "/api/v1/manage/tenants/acme/api-keys",
+        """{"scopes":["logs:write"],"dataset_id":"nope"}""", acme: _*)
+        .statusCode() == 400) // dataset must exist
+      // mint a logs:write key for acme — the secret appears exactly once
+      val minted = req("POST", "/api/v1/manage/tenants/acme/api-keys",
+        """{"name":"ingester","scopes":["logs:write"]}""", acme: _*)
+      assert(minted.statusCode() == 201)
+      val mintedDoc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(minted.body())
+      val secret = mintedDoc.get("key").asText
+      val keyId = mintedDoc.get("id").asText
+      assert(secret.startsWith("sdbk_"))
+      val scoped = Seq("Authorization" -> s"Bearer $secret",
+        "x-tenant-id" -> "acme")
+      // the minted key authenticates IMMEDIATELY and may ingest logs
+      val ing = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/v1/logs"))
+        scoped.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.POST(HttpRequest.BodyPublishers.ofByteArray(
+          logsPayload("svc-scoped", T0 * 1000000000L, 3))).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      assert(ing.statusCode() == 200)
+      assert(spark.read.parquet(layout.path("logs")).count() == 3)
+      // …but not other signals, not reads, not management
+      val wrongSignal = req("POST", "/v1/traces", "x", scoped: _*)
+      assert(wrongSignal.statusCode() == 403 &&
+        wrongSignal.body().contains("missing traces:write scope"))
+      val readDenied = req("GET", "/loki/api/v1/labels", null, scoped: _*)
+      assert(readDenied.statusCode() == 403 &&
+        readDenied.body().contains("missing logs:read scope"))
+      assert(req("GET", "/api/v1/manage/tenants/acme/api-keys",
+        null, scoped: _*).statusCode() == 403)
+      // listing never exposes key material
+      val listed = req("GET", "/api/v1/manage/tenants/acme/api-keys",
+        null, acme: _*)
+      assert(listed.statusCode() == 200 &&
+        listed.body().contains("\"revoked\":false") &&
+        !listed.body().contains(secret))
+      // revocation is immediate: the key stops authenticating at all
+      assert(req("DELETE", s"/api/v1/manage/tenants/acme/api-keys/$keyId",
+        null, acme: _*).statusCode() == 204)
+      assert(req("GET", "/api/echo", null, scoped: _*).statusCode() == 401)
+      assert(req("GET", "/api/v1/manage/tenants/acme/api-keys", null, acme: _*)
+        .body().contains("\"revoked\":true"))
+      // a foreign-tenant revocation attempt cannot find the key
+      assert(req("DELETE", s"/api/v1/manage/tenants/globex/api-keys/$keyId",
+        null, admin: _*).statusCode() == 404)
+      // whoami + tenant listing stay within the caller's tenant
+      val who = req("GET", "/api/v1/whoami", null, acme: _*)
+      assert(who.statusCode() == 200 &&
+        who.body().contains(""""tenant":{"id":"acme"""") &&
+        who.body().contains(""""memberships":[]"""))
+      val tl = req("GET", "/api/v1/tenants", null, acme: _*)
+      assert(tl.statusCode() == 200 &&
+        tl.body().contains(""""tenant_id":"acme"""") &&
+        !tl.body().contains("globex"))
+      assert(req("GET", "/api/v1/tenants/globex", null, acme: _*)
+        .statusCode() == 403)
+      // the tenant's landed tables surface (tenant_api.rs list_tables)
+      val tables = req("GET", "/api/v1/tenants/acme/tables", null, acme: _*)
+      assert(tables.statusCode() == 200 &&
+        tables.body().contains(""""name":"logs"""") &&
+        tables.body().contains("OpenTelemetry log entries"))
+      // dataset-bound key: valid only for its own dataset
+      assert(req("POST", "/api/v1/manage/tenants/acme/datasets",
+        """{"name":"other"}""", acme: _*).statusCode() == 201)
+      val bound = req("POST", "/api/v1/manage/tenants/acme/api-keys",
+        """{"scopes":["logs:write"],"dataset_id":"other"}""", acme: _*)
+      assert(bound.statusCode() == 201)
+      val boundSecret = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bound.body()).get("key").asText
+      val boundIng = req("POST", "/v1/logs", "x",
+        "Authorization" -> s"Bearer $boundSecret", "x-tenant-id" -> "acme")
+      assert(boundIng.statusCode() == 403 &&
+        boundIng.body().contains("restricted to dataset"))
+    } finally sh.stop()
+  }
+
   test("ingest byte-rate limit: oversized burst answers 429, then refills") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-bytes").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
