@@ -677,6 +677,42 @@ object Endpoints {
       .filter(col("value").isNotNull).distinct().orderBy(col("value")))
   }
 
+  /** GET /api/v2/search/tag/{scoped_tag}/values (reference
+    * tempo.rs:1257 search_tag_values_v2 → tag_values_for): the tag
+    * arrives SCOPED (`resource.service.name`, `span.name`,
+    * `.service.name`); resolution strips the scope (tempo.rs:984
+    * tag_value_column), `service.name`→service_name and
+    * `name`→span_name serve distinct stored values (capped at 1000,
+    * tempo.rs:1003), `status` answers the fixed intrinsic triple
+    * without a scan, and anything else is an honest 501 (tempo.rs:1229
+    * — "saying so beats an empty list that looks like no data"). The
+    * v2 envelope repeats the scoped tag per value
+    * (`tempo-api/src/v2.rs` tagValues wire field). */
+  def tempoTagValuesV2(spark: SparkSession, dir: String,
+      scopedTag: String): String = {
+    val unscoped = (if (scopedTag.startsWith("resource."))
+        scopedTag.stripPrefix("resource.")
+      else if (scopedTag.startsWith("span.")) scopedTag.stripPrefix("span.")
+      else scopedTag).dropWhile(_ == '.')
+    def distinctOf(colName: String): Seq[String] = {
+      val spans = SignalViews.tracesGen2Df(spark, dir)
+      spans.select(col(colName).cast("string").as("value"))
+        .filter(col("value").isNotNull).distinct()
+        .orderBy(col("value")).limit(1000)
+        .collect().map(_.getString(0)).toSeq
+    }
+    val values = unscoped match {
+      case "service.name" => distinctOf("service_name")
+      case "name" => distinctOf("span_name")
+      case "status" | "intrinsic.status" => Seq("ok", "error", "unset")
+      case _ => throw HttpError(501,
+        s"tag value lookup is not implemented for tag '$scopedTag'")
+    }
+    val items = values.map(v =>
+      s"""{"tag":${ApiJson.jstr(scopedTag)},"value":${ApiJson.jstr(v)}}""")
+    s"""{"tagValues":[${items.mkString(",")}]}"""
+  }
+
   /** GET /api/v1/openapi.json — the public route listing the reference
     * serves next to /health (lib.rs:222). A minimal OpenAPI 3 document
     * enumerating exactly what THIS shell routes, so API tooling can
@@ -709,6 +745,8 @@ object Endpoints {
       p("get", "/api/search", "Tempo trace search (TraceQL or tags)"),
       p("get", "/api/search/tags", "Tempo tag names"),
       p("get", "/api/search/tag/{tag}/values", "Tempo tag values"),
+      p("get", "/api/v2/search/tag/{scoped_tag}/values",
+        "Tempo v2 scoped tag values"),
       p("get", "/api/traces/{trace_id}", "single-trace fetch"),
       p("get", "/api/metrics/query_range", "TraceQL metrics matrix"),
       p("get", "/pyroscope/render", "flamegraph (single flamebearer)"),

@@ -567,6 +567,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   }
 
   private val TagValues = "^/api/search/tag/([^/]+)/values$".r
+  private val TagValuesV2 = "^/api/v2/search/tag/([^/]+)/values$".r
   private val LokiLabelValues = "^/loki/api/v1/label/([^/]+)/values$".r
   private val PromLabelValues = "^/prometheus/api/v1/label/([^/]+)/values$".r
   private val TraceById = "^/api(?:/v2)?/traces/([^/]+)$".r
@@ -629,6 +630,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       Some(Endpoints.tempoSearchTags(spark, dir))
     case TagValues(tag) =>
       Some(Endpoints.tempoTagValues(spark, dir, dec(tag)))
+    case TagValuesV2(tag) =>
+      Some(Endpoints.tempoTagValuesV2(spark, dir, dec(tag)))
     case TraceById(id) =>
       Some(Endpoints.tempoTraceById(spark, dir, dec(id)))
     // Pyroscope (reference endpoints/pyroscope.rs route table)

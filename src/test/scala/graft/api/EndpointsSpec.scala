@@ -122,4 +122,22 @@ class EndpointsSpec extends AnyFunSuite {
     assert(intercept[HttpError](
       Endpoints.tempoTagValues(spark, dir, "nope")).status == 404)
   }
+
+  test("Tempo v2 tag values: scoped resolution, intrinsic status, honest 501") {
+    // all three scope spellings of service.name resolve to the same
+    // stored column, and the v2 envelope repeats the scoped tag
+    val r = Endpoints.tempoTagValuesV2(spark, dir, "resource.service.name")
+    assert(r.contains(""""tag":"resource.service.name","value":"svc-0""""))
+    val bare = Endpoints.tempoTagValuesV2(spark, dir, ".service.name")
+    assert(bare.contains(""""value":"svc-0""""))
+    val spanName = Endpoints.tempoTagValuesV2(spark, dir, "span.name")
+    assert(spanName.contains(""""tagValues":[{"tag":"span.name""""))
+    // intrinsic status answers the fixed triple without a scan
+    assert(Endpoints.tempoTagValuesV2(spark, dir, "status") ==
+      """{"tagValues":[{"tag":"status","value":"ok"},""" +
+        """{"tag":"status","value":"error"},{"tag":"status","value":"unset"}]}""")
+    // unindexed attribute tags are an honest 501, not an empty list
+    assert(intercept[HttpError](
+      Endpoints.tempoTagValuesV2(spark, dir, "span.http.method")).status == 501)
+  }
 }
