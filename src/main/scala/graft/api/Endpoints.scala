@@ -795,7 +795,11 @@ object Endpoints {
       p("post", "/api/v1/manage/tenants/{tenant_id}/api-keys",
         "mint a scoped API key (secret returned once)"),
       p("delete", "/api/v1/manage/tenants/{tenant_id}/api-keys/{key_id}",
-        "revoke an API key"))
+        "revoke an API key"),
+      p("get", "/.well-known/oauth-authorization-server",
+        "RFC 8414 authorization-server metadata"),
+      p("post", "/oauth/register",
+        "RFC 7591 dynamic client registration (public PKCE clients)"))
     val paths = entries.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (path, ops) =>
         s"""${ApiJson.jstr(path)}:{${ops.map(_._2).mkString(",")}}"""

@@ -64,9 +64,16 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     adminApiKeys: Set[String] = Set.empty) {
 
   /** tenant/dataset/api-key catalog behind `/api/v1/manage` — config
-    * keys from the constructor plus keys minted over the wire. */
+    * keys from the constructor plus keys minted over the wire. An
+    * ingest-configured shell persists catalog state next to its data
+    * (`_system/catalog.json`, atomic snapshot per mutation), so minted
+    * keys and created tenants survive a restart the way the
+    * reference's catalog database does; a read-only shell stays
+    * in-memory. */
   private val catalog = new TenantCatalog(apiKeys.getOrElse(Map.empty),
-    adminApiKeys)
+    adminApiKeys,
+    ingest.map(l => java.nio.file.Path.of(
+      l.basePath, "_system", "catalog.json")))
   private def authEnabled: Boolean = apiKeys.isDefined || adminApiKeys.nonEmpty
 
   /** token bucket: `rate` tokens/s, holding at most max(1, rate) —
@@ -195,6 +202,15 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // authentication first (before rate accounting, like the reference's
     // middleware stack: auth wraps the limiter); probes stay open so
     // orchestration health checks never need credentials
+    // OAuth discovery/DCR/authorize/token are PUBLIC by spec
+    // (oauth.rs:14 "Discovery, DCR, /authorize, and /token are public")
+    if (path == "/.well-known/oauth-authorization-server" ||
+        path.startsWith("/oauth/")) {
+      val (st, bodyJson) = oauthRoute(ex, path)
+      respondJson(ex, st, bodyJson)
+      recordSelf(path, st, (System.nanoTime() - t0) / 1e6, tenantOf(ex))
+      return
+    }
     val auth: Option[(String, TenantCatalog.Principal)] =
       if (!authEnabled || path == "/health" || path == "/ready") None
       else authCheck(ex) match {
@@ -1018,6 +1034,105 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       case e: Endpoints.HttpError => e.status -> errJson(e.message)
       case e: Throwable =>
         500 -> errJson(Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+
+  // ---- OAuth 2.1 authorization-server subset (reference endpoints/
+  // oauth.rs). What can exist without human login sessions is served
+  // for real: RFC 8414 metadata and RFC 7591 Dynamic Client
+  // Registration (both public and session-free by spec). The
+  // authorization-code + consent flow REQUIRES a browser login session
+  // — driver-scoped out with the rest of user accounts — so
+  // /oauth/authorize and /oauth/token answer an honest 501 in the
+  // RFC 6749 §5.2 error shape rather than pretending. ----------------
+
+  private def oauthErr(status: Int, error: String, desc: String): String =
+    s"""{"error":${ApiJson.jstr(error)},""" +
+      s""""error_description":${ApiJson.jstr(desc)}}"""
+
+  /** OAuth 2.1 / RFC 8252 §7.3 redirect-URI rule (oauth.rs:196
+    * is_valid_redirect_uri): absolute with an authority, https for any
+    * host, http only for loopback. */
+  private def validRedirectUri(u: String): Boolean =
+    try {
+      val p = java.net.URI.create(u)
+      val host = Option(p.getHost).getOrElse("")
+      p.getScheme match {
+        case "https" => host.nonEmpty
+        case "http" =>
+          Set("localhost", "127.0.0.1", "[::1]", "::1").contains(host)
+        case _ => false
+      }
+    } catch { case _: Exception => false }
+
+  private def oauthRoute(ex: HttpExchange, path: String): (Int, String) =
+    try {
+      (ex.getRequestMethod, path) match {
+        case ("GET", "/.well-known/oauth-authorization-server") =>
+          // issuer derives from the request's Host (the reference reads
+          // its configured issuer_url; a local shell IS its own issuer)
+          val host = Option(ex.getRequestHeaders.getFirst("Host"))
+            .getOrElse(s"127.0.0.1:${server.getAddress.getPort}")
+          val issuer = s"http://$host"
+          200 -> (s"""{"issuer":${ApiJson.jstr(issuer)},""" +
+            s""""authorization_endpoint":${ApiJson.jstr(issuer + "/oauth/authorize")},""" +
+            s""""token_endpoint":${ApiJson.jstr(issuer + "/oauth/token")},""" +
+            s""""registration_endpoint":${ApiJson.jstr(issuer + "/oauth/register")},""" +
+            s""""scopes_supported":${TenantCatalog.ReadScopes
+              .map(ApiJson.jstr).mkString("[", ",", "]")},""" +
+            """"response_types_supported":["code"],""" +
+            """"grant_types_supported":["authorization_code","refresh_token"],""" +
+            """"code_challenge_methods_supported":["S256"],""" +
+            """"token_endpoint_auth_methods_supported":["none"]}""")
+        case ("POST", "/oauth/register") =>
+          val b = parseBody(ex)
+          val uris = Option(b.get("redirect_uris")).filter(_.isArray)
+            .map(a => (0 until a.size()).map(a.get(_).asText))
+            .getOrElse(Seq.empty)
+          // anonymous-caller bounds (oauth.rs:216-220: the endpoint is
+          // unauthenticated, so registration size is capped)
+          if (uris.isEmpty)
+            return 400 -> oauthErr(400, "invalid_redirect_uri",
+              "at least one redirect_uri is required")
+          if (uris.length > 8)
+            return 400 -> oauthErr(400, "invalid_client_metadata",
+              "at most 8 redirect_uris are allowed")
+          if (uris.exists(_.length > 2048))
+            return 400 -> oauthErr(400, "invalid_redirect_uri",
+              "redirect_uri is too long")
+          val name = optText(b, "client_name")
+          if (name.exists(_.length > 256))
+            return 400 -> oauthErr(400, "invalid_client_metadata",
+              "client_name must be at most 256 characters")
+          val badUri = uris.find(!validRedirectUri(_))
+          if (badUri.isDefined)
+            return 400 -> oauthErr(400, "invalid_redirect_uri",
+              s"redirect_uri is not a valid absolute http(s) URL: ${badUri.get}")
+          val grants = Option(b.get("grant_types")).filter(_.isArray)
+            .map(a => (0 until a.size()).map(a.get(_).asText))
+          val c = catalog.registerOAuthClient(name, uris, grants,
+            optText(b, "scope"))
+          // public PKCE client, never a secret (oauth.rs:266)
+          201 -> (s"""{"client_id":${ApiJson.jstr(c.id)},""" +
+            c.name.map(n => s""""client_name":${ApiJson.jstr(n)},""").getOrElse("") +
+            s""""redirect_uris":${c.redirectUris.map(ApiJson.jstr)
+              .mkString("[", ",", "]")},""" +
+            c.grantTypes.map(g =>
+              s""""grant_types":${g.map(ApiJson.jstr).mkString("[", ",", "]")},""")
+              .getOrElse("") +
+            c.scope.map(s0 => s""""scope":${ApiJson.jstr(s0)},""").getOrElse("") +
+            """"token_endpoint_auth_method":"none"}""")
+        case (_, "/oauth/authorize") | (_, "/oauth/token") =>
+          501 -> oauthErr(501, "unsupported_response_type",
+            "the authorization-code flow requires browser login sessions, " +
+              "which are outside this deployment's scope")
+        case _ => 404 -> errJson("not found: " + path)
+      }
+    } catch {
+      case e: Endpoints.HttpError =>
+        e.status -> oauthErr(e.status, "invalid_client_metadata", e.message)
+      case e: Throwable =>
+        500 -> oauthErr(500, "server_error",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
     }
 
   private def errJson(msg: String): String = {

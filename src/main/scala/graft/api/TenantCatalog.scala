@@ -29,7 +29,14 @@ final class TenantCatalog(
     /** sha256 hashes of INSTANCE-ADMIN keys (the `is_instance_admin`
       * principal of management.rs:117 — may create tenants and manage
       * any tenant). */
-    adminKeyHashes: Set[String] = Set.empty) {
+    adminKeyHashes: Set[String] = Set.empty,
+    /** durable catalog state: a JSON snapshot rewritten ATOMICALLY
+      * (temp + move) after every mutation and replayed on construction,
+      * so tenants/datasets/keys minted over the wire survive a restart
+      * — the reference keeps this state in its catalog DATABASE;
+      * config-backed keys stay config and are never written here.
+      * None = in-memory (test shells, ephemeral serving). */
+    persistPath: Option[java.nio.file.Path] = None) {
 
   import TenantCatalog._
 
@@ -39,8 +46,75 @@ final class TenantCatalog(
   private val datasetsByTenant =
     mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, String]]
 
+  loadPersisted()
+
   private def newId(): String =
     java.util.UUID.randomUUID().toString.replace("-", "")
+
+  // ---- durability ---------------------------------------------------
+
+  private def loadPersisted(): Unit = persistPath.foreach { p =>
+    if (java.nio.file.Files.isRegularFile(p)) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p))
+      def arr(f: String) = {
+        val n = root.get(f)
+        if (n == null || !n.isArray) Seq.empty
+        else (0 until n.size()).map(n.get)
+      }
+      def opt(n: com.fasterxml.jackson.databind.JsonNode, f: String) =
+        Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+      arr("tenants").foreach { t =>
+        tenants.put(t.get("id").asText,
+          Tenant(t.get("id").asText, t.get("name").asText,
+            opt(t, "default_dataset")))
+      }
+      arr("datasets").foreach { d =>
+        datasetsByTenant.getOrElseUpdate(d.get("tenant").asText,
+          mutable.LinkedHashMap.empty)
+          .put(d.get("name").asText, d.get("id").asText)
+      }
+      arr("keys").foreach { k =>
+        val scopes = Option(k.get("scopes")).filterNot(_.isNull).map(a =>
+          (0 until a.size()).map(a.get(_).asText))
+        keysById.put(k.get("id").asText,
+          ApiKey(k.get("id").asText, k.get("tenant").asText,
+            k.get("hash").asText, opt(k, "name"), opt(k, "dataset_id"),
+            scopes, k.get("revoked").asBoolean))
+      }
+    }
+  }
+
+  /** serialize-then-atomic-move, called with the lock held: a crash
+    * leaves either the previous snapshot or the new one, never a torn
+    * file. */
+  private def persist(): Unit = persistPath.foreach { p =>
+    def js(s: String) = ApiJson.jstr(s)
+    def jo(s: Option[String]) = s.map(js).getOrElse("null")
+    val ts = tenants.values.map(t =>
+      s"""{"id":${js(t.id)},"name":${js(t.name)},""" +
+        s""""default_dataset":${jo(t.defaultDataset)}}""")
+    val ds = datasetsByTenant.flatMap { case (tn, m) =>
+      m.map { case (name, id) =>
+        s"""{"tenant":${js(tn)},"name":${js(name)},"id":${js(id)}}"""
+      }
+    }
+    val ks = keysById.values.map(k =>
+      s"""{"id":${js(k.id)},"tenant":${js(k.tenantId)},""" +
+        s""""hash":${js(k.hash)},"name":${jo(k.name)},""" +
+        s""""dataset_id":${jo(k.datasetId)},""" +
+        s""""scopes":${k.scopes.map(_.map(js).mkString("[", ",", "]"))
+          .getOrElse("null")},"revoked":${k.revoked}}""")
+    val body = s"""{"tenants":[${ts.mkString(",")}],""" +
+      s""""datasets":[${ds.mkString(",")}],"keys":[${ks.mkString(",")}]}"""
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Resolve a presented key hash to its principal: admin keys first,
     * then config keys (legacy unscoped), then live catalog keys —
@@ -83,6 +157,7 @@ final class TenantCatalog(
           datasetsByTenant.getOrElseUpdate(id,
             mutable.LinkedHashMap.empty).put(d, newId())
         }
+        persist()
         Right(id)
       }
     }
@@ -98,7 +173,7 @@ final class TenantCatalog(
     val ds = datasetsByTenant.getOrElseUpdate(tenant,
       mutable.LinkedHashMap.empty)
     if (ds.contains(name)) Left(409 -> "Unable to create dataset")
-    else { val id = newId(); ds.put(name, id); Right(id) }
+    else { val id = newId(); ds.put(name, id); persist(); Right(id) }
   }
 
   def deleteDataset(tenant: String,
@@ -106,7 +181,8 @@ final class TenantCatalog(
     if (tenants.get(tenant).exists(_.defaultDataset.contains(name)))
       Left(409 -> "The default dataset cannot be deleted")
     else datasetsByTenant.get(tenant) match {
-      case Some(ds) if ds.contains(name) => ds.remove(name); Right(())
+      case Some(ds) if ds.contains(name) =>
+        ds.remove(name); persist(); Right(())
       case _ => Left(404 -> "Dataset not found")
     }
   }
@@ -124,6 +200,7 @@ final class TenantCatalog(
       val id = newId()
       keysById.put(id, ApiKey(id, tenant, HttpShell.hashApiKey(secret),
         name, datasetId, Some(scopes), revoked = false))
+      persist()
       (id, secret)
     }
 
@@ -138,7 +215,68 @@ final class TenantCatalog(
     * as revoked (management.rs revoke sets revoked_at). */
   def revokeApiKey(id: String): Unit = synchronized {
     keysById.get(id).foreach(k => keysById.put(id, k.copy(revoked = true)))
+    persist()
   }
+
+  // ---- OAuth dynamic clients (RFC 7591; reference catalog
+  // register_oauth_client) -------------------------------------------
+
+  private val oauthClients = mutable.LinkedHashMap.empty[String, OAuthClient]
+
+  def registerOAuthClient(name: Option[String], redirectUris: Seq[String],
+      grantTypes: Option[Seq[String]],
+      scope: Option[String]): OAuthClient = synchronized {
+    val c = OAuthClient(newId(), name, redirectUris, grantTypes, scope)
+    oauthClients.put(c.id, c)
+    persistOAuth()
+    c
+  }
+
+  def getOAuthClient(id: String): Option[OAuthClient] =
+    synchronized(oauthClients.get(id))
+
+  /** OAuth clients persist beside the tenant state (same snapshot
+    * discipline, separate file so the two surfaces stay independently
+    * greppable). */
+  private def persistOAuth(): Unit = persistPath.foreach { p =>
+    def js(s: String) = ApiJson.jstr(s)
+    val cs = oauthClients.values.map { c =>
+      s"""{"id":${js(c.id)},"name":${c.name.map(js).getOrElse("null")},""" +
+        s""""redirect_uris":${c.redirectUris.map(js).mkString("[", ",", "]")},""" +
+        s""""grant_types":${c.grantTypes.map(_.map(js).mkString("[", ",", "]"))
+          .getOrElse("null")},""" +
+        s""""scope":${c.scope.map(js).getOrElse("null")}}"""
+    }
+    val f = p.resolveSibling("oauth_clients.json")
+    Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      s"""{"clients":[${cs.mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadOAuth(): Unit = persistPath.foreach { p =>
+    val f = p.resolveSibling("oauth_clients.json")
+    if (java.nio.file.Files.isRegularFile(f)) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(f))
+      val n = root.get("clients")
+      if (n != null && n.isArray) (0 until n.size()).map(n.get).foreach { c =>
+        def strs(f2: String) = Option(c.get(f2)).filterNot(_.isNull).map(a =>
+          (0 until a.size()).map(a.get(_).asText))
+        oauthClients.put(c.get("id").asText, OAuthClient(
+          c.get("id").asText,
+          Option(c.get("name")).filterNot(_.isNull).map(_.asText),
+          strs("redirect_uris").getOrElse(Seq.empty),
+          strs("grant_types"),
+          Option(c.get("scope")).filterNot(_.isNull).map(_.asText)))
+      }
+    }
+  }
+  loadOAuth()
 }
 
 object TenantCatalog {
@@ -167,6 +305,18 @@ object TenantCatalog {
   final case class ApiKey(id: String, tenantId: String, hash: String,
       name: Option[String], datasetId: Option[String],
       scopes: Option[Seq[String]], revoked: Boolean)
+
+  /** An RFC 7591 dynamically-registered PUBLIC client (PKCE, no
+    * secret; `token_endpoint_auth_method` is always "none" —
+    * oauth.rs:266). */
+  final case class OAuthClient(id: String, name: Option[String],
+      redirectUris: Seq[String], grantTypes: Option[Seq[String]],
+      scope: Option[String])
+
+  /** The per-signal read scopes the OAuth surface grants
+    * (auth/mod.rs:22 READ_SCOPES). */
+  val ReadScopes: Seq[String] =
+    Seq("metrics:read", "logs:read", "traces:read", "profiles:read")
 
   /** Reference `validation.rs validate_id`: trim, non-empty, ≤64 chars,
     * ASCII alphanumerics plus `-`/`_` only (the charset rules out path

@@ -1192,6 +1192,127 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
+  test("oauth: RFC 8414 metadata and RFC 7591 DCR are public; the code flow is an honest 501") {
+    // run against an AUTH-ENABLED shell: these endpoints are public by
+    // spec (oauth.rs:14), so no credentials anywhere in this test
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      apiKeys = Some(Map(HttpShell.hashApiKey("sk-x") -> "x")))
+    val p = sh.start()
+    def post(path: String, body: String): HttpResponse[String] =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val md = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$p/.well-known/oauth-authorization-server"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(md.statusCode() == 200)
+      val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(md.body())
+      assert(doc.get("issuer").asText == s"http://127.0.0.1:$p")
+      assert(doc.get("token_endpoint").asText.endsWith("/oauth/token"))
+      assert(doc.get("code_challenge_methods_supported").get(0).asText == "S256")
+      assert(doc.get("token_endpoint_auth_methods_supported").get(0).asText == "none")
+      assert(doc.get("scopes_supported").size() == 4)
+      // DCR: loopback http is allowed, a public client with no secret
+      val reg = post("/oauth/register",
+        """{"redirect_uris":["http://127.0.0.1:7777/cb","https://claude.ai/cb"],
+          |"client_name":"mcp-probe","scope":"traces:read"}""".stripMargin)
+      assert(reg.statusCode() == 201)
+      val c = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(reg.body())
+      assert(c.get("client_id").asText.nonEmpty)
+      assert(c.get("token_endpoint_auth_method").asText == "none")
+      assert(c.get("client_secret") == null, "public clients get no secret")
+      // validation ladder, RFC 6749 §5.2 error shape
+      val noUris = post("/oauth/register", """{"client_name":"x"}""")
+      assert(noUris.statusCode() == 400 &&
+        noUris.body().contains("invalid_redirect_uri"))
+      val cleartext = post("/oauth/register",
+        """{"redirect_uris":["http://evil.example.com/cb"]}""")
+      assert(cleartext.statusCode() == 400 &&
+        cleartext.body().contains("invalid_redirect_uri"))
+      val longName = post("/oauth/register",
+        s"""{"redirect_uris":["https://a.example/cb"],"client_name":"${"n" * 300}"}""")
+      assert(longName.statusCode() == 400 &&
+        longName.body().contains("invalid_client_metadata"))
+      // the session-bound flow is an honest 501, not a fake token
+      val authz = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$p/oauth/authorize?response_type=code"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(authz.statusCode() == 501)
+      val tok = post("/oauth/token", "grant_type=authorization_code")
+      assert(tok.statusCode() == 501 &&
+        tok.body().contains("error_description"))
+    } finally sh.stop()
+  }
+
+  test("catalog state survives a shell restart (atomic snapshot under _system)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-http-persist").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    def mk() = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      ingest = Some(layout),
+      apiKeys = Some(Map(HttpShell.hashApiKey("sk-acme") -> "acme")),
+      adminApiKeys = Set(HttpShell.hashApiKey("sk-root")))
+    def req(p: Int, method: String, path: String, body: String,
+        hdrs: (String, String)*): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+      hdrs.foreach { case (k, v) => b.header(k, v) }
+      val pub = if (body == null) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body)
+      client.send(b.method(method, pub).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = Seq("Authorization" -> "Bearer sk-root", "x-tenant-id" -> "ops")
+    val acme = Seq("Authorization" -> "Bearer sk-acme", "x-tenant-id" -> "acme")
+    // first incarnation: create a tenant, mint a key
+    val sh1 = mk(); val p1 = sh1.start()
+    val secret =
+      try {
+        assert(req(p1, "POST", "/api/v1/manage/tenants",
+          """{"id":"globex","name":"Globex"}""", admin: _*).statusCode() == 201)
+        val minted = req(p1, "POST", "/api/v1/manage/tenants/acme/api-keys",
+          """{"name":"survivor","scopes":["logs:write"]}""", acme: _*)
+        assert(minted.statusCode() == 201)
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(minted.body()).get("key").asText
+      } finally sh1.stop()
+    assert(new java.io.File(s"$base/_system/catalog.json").isFile)
+    // second incarnation over the same layout: the catalog replays
+    val sh2 = mk(); val p2 = sh2.start()
+    val keyId =
+      try {
+        // the minted key still authenticates
+        assert(req(p2, "GET", "/api/echo", null,
+          "Authorization" -> s"Bearer $secret", "x-tenant-id" -> "acme")
+          .statusCode() == 200)
+        // the created tenant is still taken
+        assert(req(p2, "POST", "/api/v1/manage/tenants",
+          """{"id":"globex","name":"Again"}""", admin: _*).statusCode() == 409)
+        // revoke the key in THIS incarnation
+        val listed = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(req(p2, "GET", "/api/v1/manage/tenants/acme/api-keys",
+            null, acme: _*).body())
+        val id = listed.get(0).get("id").asText
+        assert(req(p2, "DELETE",
+          s"/api/v1/manage/tenants/acme/api-keys/$id", null, acme: _*)
+          .statusCode() == 204)
+        id
+      } finally sh2.stop()
+    // third incarnation: the revocation tombstone persisted too
+    val sh3 = mk(); val p3 = sh3.start()
+    try {
+      assert(req(p3, "GET", "/api/echo", null,
+        "Authorization" -> s"Bearer $secret", "x-tenant-id" -> "acme")
+        .statusCode() == 401)
+      assert(req(p3, "GET", "/api/v1/manage/tenants/acme/api-keys",
+        null, acme: _*).body().contains(s""""id":"$keyId""""))
+    } finally sh3.stop()
+  }
+
   test("ingest byte-rate limit: oversized burst answers 429, then refills") {
     val base = java.nio.file.Files.createTempDirectory("graft-http-bytes").toString
     val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
