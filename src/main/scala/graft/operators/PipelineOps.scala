@@ -2880,23 +2880,31 @@ object PipelineOps {
             |'<a href="/privacy">Privacy Policy</a> ',
             |'<a href="/sitemap">Site Map</a> (c) ', source, '</div>')"""
             .stripMargin))
+        .withColumn("bs", expr(
+          "regexp_extract_all(page, '(?s)<div[^>]*>.*?</div>', 0)"))
+      // a document's blocks live in ONE row: strip/measure/filter as
+      // array folds, never explode + re-group — zero exchanges, so at
+      // 100 TB this runs at scan speed (document order inside the array
+      // IS the block order, no sort needed)
+      def btextOf(b: Column): Column = trim(regexp_replace(
+        regexp_replace(b, "<[^>]+>", " "), "\\s+", " "))
+      def acharsOf(b: Column): Column = aggregate(
+        transform(regexp_extract_all(b, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+          x => length(x).cast(LongType)),
+        lit(0L), (a, x) => a + x)
+      blocks
+        .withColumn("ks", filter(
+          transform(col("bs"), b =>
+            struct(btextOf(b).as("btext"), acharsOf(b).as("a"))),
+          // achars*1e6 div len <= 500000 restated multiplication-only
+          // (floor(x/y) <= k  <=>  x < (k+1)*y for positive ints)
+          x => x.getField("a") * lit(1000000L) <
+            lit(500001L) * length(x.getField("btext")).cast(LongType)))
         .select(col("doc_id"),
-          posexplode(expr(
-            "regexp_extract_all(page, '(?s)<div[^>]*>.*?</div>', 0)"))
-            .as(Seq("pos", "b")))
-        .withColumn("btext", trim(regexp_replace(
-          regexp_replace(col("b"), "<[^>]+>", " "), "\\s+", " ")))
-        .withColumn("achars", expr(
-          "aggregate(transform(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1), " +
-            "x -> length(x)), 0L, (a, x) -> a + x)"))
-        .withColumn("density_ppm",
-          expr("achars * 1000000 div CAST(length(btext) AS BIGINT)"))
-      blocks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_blocks"),
-          count(when(col("density_ppm") <= 500000, 1)).as("n_kept"),
-          expr("array_join(transform(array_sort(collect_list(" +
-            "CASE WHEN density_ppm <= 500000 THEN struct(pos, btext) END)), " +
-            "x -> x.btext), ' | ')").as("main_text"))
+          size(col("bs")).cast(LongType).as("n_blocks"),
+          size(col("ks")).cast(LongType).as("n_kept"),
+          array_join(transform(col("ks"), x => x.getField("btext")), " | ")
+            .as("main_text"))
     }),
 
     // ROBOTS.TXT crawl-policy filter with RFC 9309 precedence: among

@@ -419,4 +419,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"documents scan not pruned:\n$plan")
   }
+
+  test("main-content extraction is shuffle-free: per-row array folds, zero exchanges") {
+    val df = operators.PipelineOps.queries("q339_main_content_extract")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // a document's blocks never leave their row — no explode+regroup,
+    // so the operator runs at scan speed at any corpus size
+    assert(!plan.contains("Exchange"),
+      s"link-density extraction must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"blocks must fold as arrays, not explode:\n$plan")
+  }
+
+  test("robots filter joins the rule set as a broadcast, never sort-merge") {
+    val df = operators.PipelineOps.queries("q340_robots_filter")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-host rules are KBs; the URL frontier must stream past them
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules must broadcast onto the frontier:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"robots precedence must not shuffle-join or cross-join:\n$plan")
+  }
 }
