@@ -63,7 +63,15 @@ object ScaleProof {
       "q304_bpe_merges", "q308_bpe_encode",
       "q317_pca_top_component", "q321_pca_second_component",
       "q318_jl_projection", "q316_cms_heavy_hitters",
-      "q320_epoch_shuffle")
+      "q320_epoch_shuffle",
+      // web-corpus curation family (r8 cont): URL canonicalization +
+      // PSL rollup ride the 10× events; PageRank's per-round join and
+      // the robots broadcast are the shapes under test; q339 must stay
+      // exchange-free at any size
+      "q332_url_canonicalize", "q333_registered_domain_rollup",
+      "q336_boilerplate_lines", "q337_anchor_text_agg",
+      "q338_pagerank_hosts", "q339_main_content_extract",
+      "q340_robots_filter")
     val sel = SparkEntry.queries.filter(q => families.exists(q._1.startsWith))
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Long, String)]

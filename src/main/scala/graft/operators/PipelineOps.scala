@@ -2649,7 +2649,7 @@ object PipelineOps {
       val psl = s.sql(
         "SELECT * FROM VALUES ('com', 1), ('org', 1), ('net', 1), " +
           "('uk', 1), ('co.uk', 2) AS t(suffix, slabels)")
-      val sk = canon
+      canon
         .withColumn("labels", split(col("host"), "\\."))
         .withColumn("nl", size(col("labels")))
         .withColumn("c", explode(expr(
@@ -2659,8 +2659,14 @@ object PipelineOps {
             |  END), x -> x IS NOT NULL)""".stripMargin)))
         .join(broadcast(psl),
           col("c.sfx") === col("suffix") && col("c.k") === col("slabels"))
-        .groupBy(col("event_id")).agg(max(col("c.k")).as("sk"))
-      canon.join(sk, Seq("event_id"))
+        // the winner agg CARRIES the per-event columns (all functionally
+        // dependent on event_id), so there is no join-back of two
+        // full-corpus sides — at 10× that join planned as a sort-merge
+        // of the whole canonicalized scan against itself
+        .groupBy(col("event_id")).agg(max(col("c.k")).as("sk"),
+          first(col("host")).as("host"),
+          first(col("canonical_url")).as("canonical_url"),
+          first(col("had_junk")).as("had_junk"))
         .withColumn("labels", split(col("host"), "\\."))
         .withColumn("registered",
           expr("array_join(slice(labels, -(sk + 1), sk + 1), '.')"))
