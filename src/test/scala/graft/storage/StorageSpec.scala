@@ -385,6 +385,11 @@ class StorageSpec extends AnyFunSuite {
 
   test("newest-first limit stops at the newest day; result equals the global sort") {
     import spark.implicits._
+    // the SparkContext is shared across suites in one JVM, and other
+    // specs legitimately hold localCheckpoint state (PageRank rounds,
+    // frontier materializations) — the leak assertion below must count
+    // only what THIS operator adds
+    val preExisting = spark.sparkContext.getPersistentRDDs.keySet
     val dir = Files.createTempDirectory("graft-tail").toString
     val layout = TableLayout(dir, "acme", "prod")
     // 6 days × 20 rows
@@ -410,7 +415,8 @@ class StorageSpec extends AnyFunSuite {
     assert(wide.count() == 50)
 
     // admission runs on footer metadata — nothing may stay cached behind
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .diff(preExisting).isEmpty,
       "newestFirstLimit must not leak persisted day frames")
   }
 
