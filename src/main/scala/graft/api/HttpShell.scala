@@ -244,6 +244,19 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
           }
         }
     }
+    // query-API rate limit (reference lib.rs:389 behavior: limited
+    // deployments answer 429 once the TENANT's bucket drains; probes
+    // exempt; one tenant draining never affects another). The manage/
+    // whoami nest sits INSIDE the limited layer exactly as in the
+    // reference (lib.rs:299 query_rate_layer wraps all of /api/v1)
+    if (ex.getRequestMethod == "GET" && path != "/health" && path != "/ready")
+      queryBuckets.foreach { b =>
+        if (!b.tryAcquire(tenantOf(ex))) {
+          respondJson(ex, 429, errJson(
+            s"tenant '${tenantOf(ex)}' exceeded its query request rate"))
+          return
+        }
+      }
     // management / identity surface (method-aware, incl. DELETE)
     if (path == "/api/v1/whoami" || path == "/api/v1/tenants" ||
         path.startsWith("/api/v1/tenants/") ||
@@ -257,17 +270,6 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       recordSelf(path, st, (System.nanoTime() - t0) / 1e6, tenantOf(ex))
       return
     }
-    // query-API rate limit (reference lib.rs:389 behavior: limited
-    // deployments answer 429 once the TENANT's bucket drains; probes
-    // exempt; one tenant draining never affects another)
-    if (ex.getRequestMethod == "GET" && path != "/health" && path != "/ready")
-      queryBuckets.foreach { b =>
-        if (!b.tryAcquire(tenantOf(ex))) {
-          respondJson(ex, 429, errJson(
-            s"tenant '${tenantOf(ex)}' exceeded its query request rate"))
-          return
-        }
-      }
     val (status, body) =
       try {
         if (path == "/api/v1/arrow") { arrowRoute(ex, qs); return }
