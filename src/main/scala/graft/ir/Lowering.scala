@@ -51,10 +51,24 @@ object Lowering {
   }
 
   /** numeric comparisons coerce the field to double so promoted and
-    * unpromoted attrs compare identically (ir_planner.rs:740-776). */
+    * unpromoted attrs compare identically (ir_planner.rs:740-776).
+    * try_cast, not cast: a non-numeric string under a numeric
+    * comparison is ABSENT in the denotational semantics (Evaluator
+    * toDouble → None → Kleene unknown → row excluded), so the engine
+    * must yield NULL there too — under ANSI mode a plain cast would
+    * instead fail the whole query at runtime (found by
+    * PredicateLawSpec's randomized law). */
   private def operand(t: IrTable, cols: Set[String], field: String, v: Value): (Column, Column) = {
     val c = resolve(t, cols, field)
-    if (isNumeric(v)) (c.cast(DoubleType), litOf(v).cast(DoubleType)) else (c, litOf(v))
+    v match {
+      case _ if isNumeric(v) => (c.try_cast(DoubleType), litOf(v).cast(DoubleType))
+      // string literals compare LEXICALLY against the stringified field
+      // (Evaluator.compare Value.Str branch) — without the explicit
+      // cast, ANSI would instead coerce the literal to the numeric
+      // column's type and fail at runtime on 'error' (PredicateLawSpec)
+      case _: Value.Str => (c.cast(org.apache.spark.sql.types.StringType), litOf(v))
+      case _ => (c, litOf(v))
+    }
   }
 
   def predCol(t: IrTable, cols: Set[String], p: Predicate): Column = p match {
@@ -74,9 +88,16 @@ object Lowering {
     case Predicate.In(f, vs) =>
       val numeric = vs.forall(isNumeric)
       val c = resolve(t, cols, f)
-      if (numeric)
-        c.cast(DoubleType).isin(vs.map(v => litOf(v).cast(DoubleType)): _*)
-      else c.isin(vs.map {
+      if (numeric) {
+        // Evaluator.In: an ABSENT field is Absent, but a PRESENT value
+        // that fails numeric coercion contributes false — In is an
+        // `exists` over compares, so one unparseable value is simply
+        // "no hit", unlike Cmp where the whole comparison is unknown
+        val hits = c.try_cast(DoubleType)
+          .isin(vs.map(v => litOf(v).cast(DoubleType)): _*)
+        when(c.isNull, lit(null).cast(org.apache.spark.sql.types.BooleanType))
+          .otherwise(coalesce(hits, lit(false)))
+      } else c.cast(org.apache.spark.sql.types.StringType).isin(vs.map {
         case Value.Str(s) => s: Any
         case other        => throw IrError(s"mixed-type in() literal $other")
       }: _*)
@@ -115,7 +136,7 @@ object Lowering {
             by.map(f => resolve(t, cols, f).as(f))
         val aggCols = aggs.map { spec =>
           def f = resolve(t, cols, spec.field.getOrElse(
-            throw IrError(s"${spec.op} needs a field"))).cast(DoubleType)
+            throw IrError(s"${spec.op} needs a field"))).try_cast(DoubleType)
           (spec.op match {
             case "count"    => count(lit(1))
             case "sum"      => sum(f)
