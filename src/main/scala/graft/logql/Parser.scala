@@ -51,8 +51,17 @@ object Parser {
 
   private final class P(toks: Vector[Tok]) {
     private var i = 0
-    private def cur: Tok = toks(i)
+    // clamp past-the-end reads to the trailing TEof (ParserFuzzSpec)
+    private def cur: Tok = if (i < toks.length) toks(i) else toks.last
     private def advance(): Tok = { val t = cur; i += 1; t }
+    // bounded recursion: reject pathological nesting as a parse error
+    // instead of a StackOverflowError (ParserFuzzSpec)
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 400) throw ParseError("expression nesting too deep", cur.pos)
+      try body finally depth -= 1
+    }
     private def isOp(s: String): Boolean = cur match {
       case TOp(o, _) => o == s
       case _         => false
@@ -82,7 +91,7 @@ object Parser {
     // precedence (loosest → tightest), same ladder as PromQL:
     // or | and,unless | comparisons | +,- | *,/,% | ^ | atom
 
-    def metricExpr(): MetricExpr = orMetric()
+    def metricExpr(): MetricExpr = descend(orMetric())
 
     private def orMetric(): MetricExpr = {
       var l = andMetric()

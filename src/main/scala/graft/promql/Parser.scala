@@ -37,7 +37,19 @@ object Parser {
 
   private final class P(toks: Vector[Tok]) {
     private var i = 0
-    private def cur: Tok = toks(i)
+    // past-the-end reads clamp to the trailing TEof instead of throwing
+    // IndexOutOfBounds — some error paths advance past EOF before the
+    // grammar notices (found by ParserFuzzSpec)
+    private def cur: Tok = if (i < toks.length) toks(i) else toks.last
+    // recursive descent dies by STACK on unbounded nesting; the wire
+    // can always send 100k parens or unary minuses, so reject early
+    // with a domain error (ParserFuzzSpec deep-nesting law)
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 400) throw ParseError("expression nesting too deep", cur.pos)
+      try body finally depth -= 1
+    }
     private def advance(): Tok = { val t = cur; i += 1; t }
     private def isOp(s: String): Boolean = cur match {
       case TOp(o, _) => o == s
@@ -55,7 +67,7 @@ object Parser {
       case t       => throw ParseError("trailing input", t.pos)
     }
 
-    def expr(): Expr = orExpr()
+    def expr(): Expr = descend(orExpr())
 
     private def orExpr(): Expr = {
       var l = setExpr()
@@ -179,11 +191,11 @@ object Parser {
       (on, ig, group)
     }
 
-    private def unary(): Expr = cur match {
+    private def unary(): Expr = descend(cur match {
       case TOp("-", _) => advance(); Binary("-", NumLit(0), unary(), bool = false)
       case TOp("+", _) => advance(); unary() // unary + is identity
       case _           => postfix(atom())
-    }
+    })
 
     /** subquery suffix `[range:res]` on any expression (selectors consume
       * their own plain `[range]` first); `[range:]` = default resolution
@@ -314,8 +326,10 @@ object Parser {
       }
       var range: Option[Long] = None
       // `[dur]` is a range selector; `[dur:dur]` is a subquery suffix and
-      // belongs to postfix() — look ahead before consuming
-      val isSubquery = isOp("[") && (toks(i + 2) match {
+      // belongs to postfix() — look ahead before consuming. The
+      // lookahead must bounds-check: `m[` at EOF has no i+2 token
+      // (ParserFuzzSpec).
+      val isSubquery = isOp("[") && i + 2 < toks.length && (toks(i + 2) match {
         case TOp(":", _) => true
         case _           => false
       })
