@@ -257,7 +257,11 @@ object Multimodal {
       } else if (id == "data") {
         data = Some((i + 8, math.min(size, bytes.length - i - 8)))
       }
-      i += 8 + size + (size & 1)
+      // chunk sizes are UNTRUSTED: a crafted negative or huge value
+      // must end the walk, not march the cursor backward / wrap Int
+      // (DecoderFuzzSpec) — advance in Long and stop at the buffer end
+      val next = i.toLong + 8L + size.toLong + (size & 1).toLong
+      i = if (size < 0 || next > bytes.length) bytes.length else next.toInt
     }
     (fmt, data) match {
       case (Some((1, ch, rate)), Some((off, sz))) if bits == 16 =>

@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decoder robustness fuzz: the multimodal contract is "undecodable
+  * payloads surface as None/null, never an exception" — web corpora
+  * are full of truncated downloads and bit-rotted files, and one
+  * crashing payload must not fail a 100 TB scan. Feed every decoder
+  * (a) random bytes behind each format's REAL magic, (b) truncations
+  * of VALID files at every prefix length band, and (c) random interior
+  * bit flips of valid files. Any return is fine; any escaping
+  * exception is the failure. */
+class DecoderFuzzSpec extends AnyFunSuite {
+
+  // valid fixtures via the JDK encoder (JPEG/PNG/GIF/WAV writers)
+  private def encode(fmt: String, w: Int, h: Int,
+      rnd: scala.util.Random): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (fmt == "gif") java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt())
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def wav(n: Int, rnd: scala.util.Random): Array[Byte] = {
+    val data = Array.fill(n * 2)(rnd.nextInt(256).toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  private def probe(what: String, bytes: Array[Byte]): Unit =
+    try { Multimodal.decodeFeatures(bytes); () }
+    catch { case e: Throwable =>
+      fail(s"$what: decodeFeatures threw ${e.getClass.getSimpleName}: " +
+        s"${e.getMessage} (len=${bytes.length})")
+    }
+
+  test("random bytes behind real magics never escape as exceptions") {
+    val rnd = new scala.util.Random(7L)
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      "GIF89a".getBytes("ASCII"),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+      "RIFF????WAVE".getBytes("ASCII"),
+      "RIFF????AVI ".getBytes("ASCII"))
+    for (i <- 0 until 600) {
+      val m = magics(i % magics.length)
+      val body = Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      probe(s"magic-garbage#$i", m ++ body)
+    }
+  }
+
+  test("every truncation of valid png/gif/jpeg/wav decodes or returns None") {
+    val rnd = new scala.util.Random(11L)
+    val valids = Seq(
+      "png" -> encode("png", 9, 7, rnd),
+      "gif" -> encode("gif", 8, 6, rnd),
+      "jpeg" -> encode("jpg", 17, 13, rnd),
+      "wav" -> wav(257, rnd))
+    for ((fmt, full) <- valids) {
+      probe(s"$fmt-full", full) // sanity: the intact file must not throw
+      // every length from 0 to full: truncation can land mid-chunk,
+      // mid-Huffman-stream, mid-sample
+      for (len <- 0 until full.length)
+        probe(s"$fmt-trunc", full.take(len))
+    }
+  }
+
+  test("interior bit flips of valid files never escape as exceptions") {
+    val rnd = new scala.util.Random(13L)
+    val valids = Seq(
+      "png" -> encode("png", 9, 7, rnd),
+      "gif" -> encode("gif", 8, 6, rnd),
+      "jpeg" -> encode("jpg", 17, 13, rnd),
+      "wav" -> wav(257, rnd))
+    for ((fmt, full) <- valids; i <- 0 until 400) {
+      val b = full.clone()
+      for (_ <- 0 to rnd.nextInt(3)) {
+        val at = rnd.nextInt(b.length)
+        b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      probe(s"$fmt-flip#$i", b)
+    }
+  }
+}
