@@ -93,17 +93,43 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     }
   }
   private final class TenantBuckets(rate: Double) {
+    // BOUNDED: with auth disabled the x-tenant-id header is attacker-
+    // controlled, so an unauthenticated client could otherwise mint one
+    // bucket per random header and grow the map without limit. Past the
+    // cap every unseen tenant shares one overflow bucket (they contend
+    // for a single budget — strictly tighter, never looser).
+    private val MaxTracked = 4096
     private val buckets =
       scala.collection.concurrent.TrieMap.empty[String, TokenBucket]
-    def tryAcquire(tenant: String, cost: Double = 1.0): Boolean =
-      buckets.getOrElseUpdate(tenant, new TokenBucket(rate)).tryAcquire(cost)
+    private lazy val overflow = new TokenBucket(rate)
+    def tryAcquire(tenant: String, cost: Double = 1.0): Boolean = {
+      val b = buckets.get(tenant) match {
+        case Some(x) => x
+        case None if buckets.size >= MaxTracked => overflow
+        case None => buckets.getOrElseUpdate(tenant, new TokenBucket(rate))
+      }
+      b.tryAcquire(cost)
+    }
+    private[api] def tracked: Int = buckets.size
   }
   private val queryBuckets = queryRatePerSec.map(new TenantBuckets(_))
   private val ingestBuckets = ingestBytesPerSec.map(new TenantBuckets(_))
 
+  /** the tenant key used for RATE ACCOUNTING. With auth enabled the
+    * header was already validated by authCheck; with auth disabled it
+    * is raw attacker input, so anything failing the tenant-id grammar
+    * collapses to one shared "!invalid" key — garbage headers contend
+    * for a single bucket instead of draining the default tenant's
+    * budget or minting fresh buckets. */
   private def tenantOf(ex: HttpExchange): String =
-    Option(ex.getRequestHeaders.getFirst("x-tenant-id"))
-      .getOrElse(ingest.map(_.tenant).getOrElse("default"))
+    Option(ex.getRequestHeaders.getFirst("x-tenant-id")) match {
+      case None => ingest.map(_.tenant).getOrElse("default")
+      case Some(t) =>
+        if (t.nonEmpty && t.length <= 64 &&
+            t.forall(c => (c < 128 && c.isLetterOrDigit) ||
+              c == '-' || c == '_')) t
+        else "!invalid"
+    }
 
   private var server: HttpServer = _
   // Per-request batch ids for the idempotent sink. Seeded from the wall
@@ -233,6 +259,19 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
             respondJson(ex, 403, errJson(s"missing $sc scope")); return
           }
         }
+      }
+      // the Arrow raw-SQL route and the ops rewrite routes span every
+      // signal: no single `<signal>:read` covers cross-signal SQL, and
+      // write scopes must never grant reads or trigger rewrites — so a
+      // SCOPED key is rejected outright here, mirroring manageAuthz
+      // (admin and unscoped keys pass; read_scope.rs wraps every query
+      // surface in the reference, ops are admin-band)
+      if (!p.isAdmin && p.scopes.isDefined &&
+          (path == "/api/v1/arrow" || path == "/api/v1/ops" ||
+            path.startsWith("/api/v1/ops/"))) {
+        respondJson(ex, 403, errJson(
+          "this route requires an unscoped administrative credential"))
+        return
       }
       // a dataset-bound key may only ingest into its own dataset
       // (authenticator.rs with_api_key_restrictions dataset dimension)
@@ -422,21 +461,29 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         // them (and every other route) always have a dispatchable thread.
         if (!tailSlots.tryAcquire())
           throw Endpoints.HttpError(503, "too many concurrent tails")
-        val path = layout.path("logs")
-        new java.io.File(path).mkdirs()
-        val stream = spark.readStream
-          .schema(graft.schema.Schemas.logs).parquet(path)
-        val table = graft.logql.Lowering.LogsTable(
-          df = stream,
-          promoted = Map("service_name" -> "service_name",
-            "severity_text" -> "severity_text", "body" -> "body"),
-          seriesLabels = Seq("service_name", "severity_text"),
-          hasAttrMap = true,
-          attrMapCols = Seq("log_attributes", "resource_attributes"))
-        val sink = "tail_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        try (graft.streaming.LiveTail.start(table, query, sink, triggerMs = 200),
-          sink, tmo)
-        catch { case e: Throwable => tailSlots.release(); throw e }
+        // EVERYTHING between acquisition and handing (q, name, tmo) to
+        // the serving loop must release the slot on failure: an
+        // exception from mkdirs / readStream setup / LogsTable
+        // construction would otherwise be answered by the outer catch
+        // with the semaphore still held, and two such failures would
+        // 503 every later tail forever.
+        try {
+          tailFailpoint()
+          val path = layout.path("logs")
+          new java.io.File(path).mkdirs()
+          val stream = spark.readStream
+            .schema(graft.schema.Schemas.logs).parquet(path)
+          val table = graft.logql.Lowering.LogsTable(
+            df = stream,
+            promoted = Map("service_name" -> "service_name",
+              "severity_text" -> "severity_text", "body" -> "body"),
+            seriesLabels = Seq("service_name", "severity_text"),
+            hasAttrMap = true,
+            attrMapCols = Seq("log_attributes", "resource_attributes"))
+          val sink = "tail_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          (graft.streaming.LiveTail.start(table, query, sink, triggerMs = 200),
+            sink, tmo)
+        } catch { case e: Throwable => tailSlots.release(); throw e }
       } catch {
         case e: Endpoints.HttpError => respondJson(ex, e.status, errJson(e.message)); return
         case e: graft.logql.Ast.Unsupported =>
@@ -482,6 +529,10 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
 
   /** at most 2 of the 4 pool threads may be held by live tails. */
   private val tailSlots = new java.util.concurrent.Semaphore(2)
+  /** test failpoint: runs right after a tail slot is acquired, BEFORE
+    * the streaming query exists — the exact window where an exception
+    * once leaked the slot (ADVICE r8 #2). */
+  private[api] var tailFailpoint: () => Unit = () => ()
 
   // ---- self-monitoring (reference common/self_monitoring: services
   // emit their own telemetry through the NORMAL ingest pipeline into
@@ -570,10 +621,33 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       path.startsWith("/api/") || path.startsWith("/pyroscope/")) &&
       !path.startsWith("/api/v1/ops") && path != "/api/echo"
 
+  /** memoized served-table fingerprint: a full-tree walk per cacheable
+    * GET is O(files) on the driver, and the shell's own writes
+    * (`_system` self-monitoring flushes, `attribute_stats` demand
+    * flushes) land under basePath — excluded here so the cache stops
+    * self-invalidating. The memo refreshes after a short TTL (covers
+    * out-of-band writers) and is dropped eagerly by the shell's OWN
+    * ingest path, so an ingest batch invalidates cached answers
+    * immediately. */
+  private val ServedVerTtlNanos = 2L * 1000 * 1000 * 1000
+  @volatile private var servedVerMemo: (String, Long) = ("", Long.MinValue)
+  private def servedDataVersion(basePath: String): String = {
+    val now = System.nanoTime()
+    val (v, at) = servedVerMemo
+    if (v.nonEmpty && now - at < ServedVerTtlNanos) v
+    else {
+      val nv = graft.storage.LocalCache.dataVersion(basePath,
+        exclude = Set("_system", "attribute_stats"))
+      servedVerMemo = (nv, now)
+      nv
+    }
+  }
+  private[api] def invalidateServedVersion(): Unit =
+    servedVerMemo = ("", Long.MinValue)
+
   private def cachedRoute(path: String, qs: String): Option[String] = {
     if (!cacheable(path)) return route(path, qs)
-    val ver = ingest.map(l =>
-      graft.storage.LocalCache.dataVersion(l.basePath)).getOrElse("static")
+    val ver = ingest.map(l => servedDataVersion(l.basePath)).getOrElse("static")
     val key = s"$ver|$path?$qs"
     Option(resultCache.get(key)) match {
       case Some(hit) => cacheHits.incrementAndGet(); Some(hit)
@@ -773,9 +847,13 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       import spark.implicits._
       spark.createDataset(Seq(body)).toDF("payload")
     }
-    def land(table: String, rows: org.apache.spark.sql.DataFrame): Unit =
+    def land(table: String, rows: org.apache.spark.sql.DataFrame): Unit = {
       graft.streaming.IngestSink.appendBatch(layout, table)(
         rows, batchBase + batchSeq.incrementAndGet())
+      // landed data must be visible to the next cacheable GET at once —
+      // drop the memoized fingerprint rather than wait out its TTL
+      invalidateServedVersion()
+    }
     // OTLP/HTTP decodes by content type (reference acceptor lib.rs:516,
     // otlp_http_content_type_is_json :708 — protobuf is the default
     // when no content type is present)
@@ -1112,7 +1190,11 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
           val grants = Option(b.get("grant_types")).filter(_.isArray)
             .map(a => (0 until a.size()).map(a.get(_).asText))
           val c = catalog.registerOAuthClient(name, uris, grants,
-            optText(b, "scope"))
+            optText(b, "scope")) match {
+            case Left((st, m)) =>
+              return st -> oauthErr(st, "invalid_client_metadata", m)
+            case Right(c0) => c0
+          }
           // public PKCE client, never a secret (oauth.rs:266)
           201 -> (s"""{"client_id":${ApiJson.jstr(c.id)},""" +
             c.name.map(n => s""""client_name":${ApiJson.jstr(n)},""").getOrElse("") +

@@ -223,14 +223,25 @@ final class TenantCatalog(
 
   private val oauthClients = mutable.LinkedHashMap.empty[String, OAuthClient]
 
+  /** `/oauth/register` is PUBLIC by spec, so registration is the one
+    * unauthenticated write surface — cap how many clients an anonymous
+    * caller can persist (each registration lands on disk on ingest
+    * shells; unbounded growth is a trivial disk/memory DoS). */
+  val MaxOAuthClients = 128
+
   def registerOAuthClient(name: Option[String], redirectUris: Seq[String],
       grantTypes: Option[Seq[String]],
-      scope: Option[String]): OAuthClient = synchronized {
-    val c = OAuthClient(newId(), name, redirectUris, grantTypes, scope)
-    oauthClients.put(c.id, c)
-    persistOAuth()
-    c
-  }
+      scope: Option[String]): Either[(Int, String), OAuthClient] =
+    synchronized {
+      if (oauthClients.size >= MaxOAuthClients)
+        Left(429 -> s"client registry is full ($MaxOAuthClients clients)")
+      else {
+        val c = OAuthClient(newId(), name, redirectUris, grantTypes, scope)
+        oauthClients.put(c.id, c)
+        persistOAuth()
+        Right(c)
+      }
+    }
 
   def getOAuthClient(id: String): Option[OAuthClient] =
     synchronized(oauthClients.get(id))

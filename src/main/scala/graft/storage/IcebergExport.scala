@@ -250,6 +250,27 @@ object IcebergExport {
     val entrySchema = manifestEntrySchema(pcols)
     val absRoot = new File(root).getAbsolutePath
 
+    // Iceberg JSON schema + partition-spec fields, built ONCE (the id
+    // counter inside icebergSchema assigns column ids; a second pass
+    // would renumber) and shared by BOTH the manifest-file key-value
+    // metadata (the spec requires `schema`, `schema-id` and
+    // `partition-spec` in every manifest — stock readers validate them)
+    // and the table metadata.json written below.
+    val mapper = new ObjectMapper()
+    val dataSchema = tableSchema(spark, root, allRels)
+    val (schemaNode, topIds, lastCol) = icebergSchema(mapper, dataSchema)
+    val specFields = mapper.createArrayNode()
+    pcols.zipWithIndex.foreach { case ((name, _), i) =>
+      val f = mapper.createObjectNode()
+      f.put("name", name)
+      f.put("transform", "identity")
+      f.put("source-id", topIds(name))
+      f.put("field-id", 1000 + i)
+      specFields.add(f)
+    }
+    val schemaJson = mapper.writeValueAsString(schemaNode)
+    val specFieldsJson = mapper.writeValueAsString(specFields)
+
     def partitionRecord(rel: String): GenericRecord = {
       val ps = partitionValues(rel)
       val rec = new GenericData.Record(
@@ -281,6 +302,12 @@ object IcebergExport {
       w.setMeta("format-version", "2")
       w.setMeta("content", "data")
       w.setMeta("partition-spec-id", "0")
+      // required manifest metadata (spec "Manifests": schema is the
+      // table schema JSON at write time, partition-spec the JSON
+      // FIELDS of the spec the manifest was written with)
+      w.setMeta("schema", schemaJson)
+      w.setMeta("schema-id", "0")
+      w.setMeta("partition-spec", specFieldsJson)
       w.create(entrySchema, mf)
       var added = 0; var existing = 0
       var addedRows = 0L; var existingRows = 0L
@@ -339,10 +366,8 @@ object IcebergExport {
       v -> s"file:${lf.getAbsolutePath}"
     }.toMap
 
-    // table metadata JSON (v2 required fields per spec "Table Metadata")
-    val mapper = new ObjectMapper()
-    val dataSchema = tableSchema(spark, root, allRels)
-    val (schemaNode, topIds, lastCol) = icebergSchema(mapper, dataSchema)
+    // table metadata JSON (v2 required fields per spec "Table Metadata");
+    // schemaNode/specFields were built once above, before the manifests
     val meta = mapper.createObjectNode()
     meta.put("format-version", 2)
     meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
@@ -356,15 +381,6 @@ object IcebergExport {
     meta.put("last-column-id", lastCol)
     meta.put("current-schema-id", 0)
     meta.set("schemas", mapper.createArrayNode().add(schemaNode))
-    val specFields = mapper.createArrayNode()
-    pcols.zipWithIndex.foreach { case ((name, _), i) =>
-      val f = mapper.createObjectNode()
-      f.put("name", name)
-      f.put("transform", "identity")
-      f.put("source-id", topIds(name))
-      f.put("field-id", 1000 + i)
-      specFields.add(f)
-    }
     val spec0 = mapper.createObjectNode()
     spec0.put("spec-id", 0)
     spec0.set("fields", specFields)
@@ -451,7 +467,20 @@ object IcebergExport {
     manifestPaths.flatMap { mp =>
       val r = new DataFileReader[GenericRecord](new File(mp),
         new GenericDatumReader[GenericRecord]())
-      try r.iterator().asScala.flatMap { e =>
+      try {
+        // validate the spec-required manifest key-value metadata the way
+        // strict readers (iceberg-java, pyiceberg) do: `schema` must be a
+        // parseable JSON struct, `schema-id` / `partition-spec` present
+        val schemaMeta = Option(r.getMetaString("schema")).getOrElse(
+          throw new IllegalStateException(s"manifest $mp missing 'schema' metadata"))
+        val parsed = new ObjectMapper().readTree(schemaMeta)
+        require(parsed.get("type").asText() == "struct",
+          s"manifest $mp 'schema' metadata is not a struct schema")
+        require(r.getMetaString("schema-id") != null,
+          s"manifest $mp missing 'schema-id' metadata")
+        require(r.getMetaString("partition-spec") != null,
+          s"manifest $mp missing 'partition-spec' metadata")
+        r.iterator().asScala.flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED
         else {
@@ -471,7 +500,7 @@ object IcebergExport {
             pvals))
         }
       }.toList
-      finally r.close()
+      } finally r.close()
     }
   }
 }

@@ -46,12 +46,20 @@ object LocalCache {
     * wrong" #3: the per-dir key survived rewrites). Metadata-only walk —
     * no file contents are read — so it is cheap even on wide tables; a
     * coarser-than-necessary invalidation just retrains. */
-  def dataVersion(dir: String): String = {
+  def dataVersion(dir: String): String = dataVersion(dir, Set.empty)
+
+  /** like [[dataVersion]] but skipping any directory whose NAME is in
+    * `exclude` — lets a serving shell fingerprint only the signal
+    * tables, not its own side-channel writes (`_system`
+    * self-monitoring, `attribute_stats` demand flushes), which would
+    * otherwise self-invalidate its result cache on every flush. */
+  def dataVersion(dir: String, exclude: Set[String]): String = {
     var files = 0L; var bytes = 0L; var mtime = 0L
     def walk(f: java.io.File): Unit =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
-      else {
+      if (f.isDirectory) {
+        if (!exclude.contains(f.getName))
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+      } else {
         files += 1; bytes += f.length()
         if (f.lastModified() > mtime) mtime = f.lastModified()
       }

@@ -710,6 +710,20 @@ class HttpShellSpec extends AnyFunSuite {
       assert(tailGet(q + "&timeout_s=-1").statusCode() == 400)
       assert(spark.streams.active.length == activeBefore,
         "a rejected tail request must not leave a streaming query behind")
+      // slot-release failpoint (ADVICE r8 #2): a failure AFTER the
+      // tail slot is acquired but BEFORE the streaming query exists
+      // must release the slot. Pre-fix, each such failure leaked one
+      // of the 2 slots, so three failures would 503 every later tail.
+      sh.tailFailpoint = () => throw new RuntimeException("tail failpoint")
+      (1 to 3).foreach { _ =>
+        val f = tailGet(q)
+        assert(f.statusCode() == 500 && f.body().contains("tail failpoint"),
+          s"${f.statusCode()} ${f.body()}")
+      }
+      sh.tailFailpoint = () => ()
+      val ok = tailGet(q + "&timeout_s=0")
+      assert(ok.statusCode() == 200,
+        s"slots must survive pre-start failures, got ${ok.statusCode()}")
     } finally sh.stop()
   }
 
@@ -996,6 +1010,20 @@ class HttpShellSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(other.statusCode() == 200,
         "one tenant draining its bucket must not affect another")
+      // INVALID tenant headers collapse to ONE shared bucket (ADVICE
+      // r8 #4): an unauthenticated client cannot mint a fresh bucket
+      // per garbage header — two DIFFERENT invalid tenants contend for
+      // the same budget, while a valid unseen tenant still gets its own
+      def echoAs(t: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/echo"))
+          .header("x-tenant-id", t).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val junk1 = "x" * 65 // too long for the tenant-id grammar
+      val junk2 = "bad tenant!!" // rejected characters
+      echoAs(junk1); echoAs(junk1) // drain the shared bucket (burst 2)
+      assert(echoAs(junk2).statusCode() == 429,
+        "distinct garbage tenant headers must share one rate bucket")
+      assert(echoAs("fresh-tenant").statusCode() == 200)
     } finally sh.stop()
     // unlimited without a configured limit (the shared shell): 50× OK
     for (_ <- 0 until 50) assert(get("/api/echo").statusCode() == 200)
@@ -1146,6 +1174,25 @@ class HttpShellSpec extends AnyFunSuite {
         readDenied.body().contains("missing logs:read scope"))
       assert(req("GET", "/api/v1/manage/tenants/acme/api-keys",
         null, scoped: _*).statusCode() == 403)
+      // arrow raw SQL and the ops rewrite routes are admin-band: a
+      // SCOPED key is rejected outright — a logs:write key could
+      // otherwise SELECT across every signal via the arrow route and
+      // trigger compaction rewrites, voiding "write scopes never read"
+      val arrowScoped = req("GET",
+        "/api/v1/arrow?sql=SELECT%201%20AS%20one", null, scoped: _*)
+      assert(arrowScoped.statusCode() == 403 &&
+        arrowScoped.body().contains("unscoped administrative credential"))
+      val opsScoped = req("POST", "/api/v1/ops/compact/dry-run", "",
+        scoped: _*)
+      assert(opsScoped.statusCode() == 403 &&
+        opsScoped.body().contains("unscoped administrative credential"))
+      // …while admin and unscoped tenant keys still pass both routes
+      assert(req("GET", "/api/v1/arrow?sql=SELECT%201%20AS%20one",
+        null, admin: _*).statusCode() == 200)
+      assert(req("GET", "/api/v1/arrow?sql=SELECT%201%20AS%20one",
+        null, acme: _*).statusCode() == 200)
+      assert(req("POST", "/api/v1/ops/compact/dry-run", "", admin: _*)
+        .statusCode() == 200)
       // listing never exposes key material
       val listed = req("GET", "/api/v1/manage/tenants/acme/api-keys",
         null, acme: _*)

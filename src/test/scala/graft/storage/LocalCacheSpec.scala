@@ -33,4 +33,28 @@ class LocalCacheSpec extends AnyFunSuite {
     // a swept key is re-creatable (callers overwrite-write)
     assert(new java.io.File(LocalCache.dir("spec|sweep-old")).isDirectory)
   }
+
+  test("dataVersion excludes named directories: side-channel writes do not bump it") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dv").toFile
+    def write(rel: String, bytes: Int): Unit = {
+      val f = new java.io.File(base, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](bytes)(7))
+    }
+    write("acme/prod/logs/part-0.parquet", 16)
+    val excl = Set("_system", "attribute_stats")
+    val v0 = LocalCache.dataVersion(base.toString, excl)
+    // writes under EXCLUDED dirs (self-monitoring, demand stats) are
+    // invisible to the fingerprint — the serving shell's own flushes
+    // must not invalidate its result cache (ADVICE r8 #3)
+    write("_system/_monitoring/logs/part-0.parquet", 64)
+    write("acme/prod/attribute_stats/part-0.parquet", 32)
+    assert(LocalCache.dataVersion(base.toString, excl) == v0,
+      "excluded-dir writes must not change the fingerprint")
+    // …but the UNSCOPED fingerprint does see them,
+    assert(LocalCache.dataVersion(base.toString) != v0)
+    // and a write to a served signal table bumps the scoped one
+    write("acme/prod/logs/part-1.parquet", 16)
+    assert(LocalCache.dataVersion(base.toString, excl) != v0)
+  }
 }
