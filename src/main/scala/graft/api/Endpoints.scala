@@ -1086,7 +1086,15 @@ object Endpoints {
     *    session).
     */
   def arrowTicket(spark: SparkSession, dir: String,
-      ticket: String): Array[Byte] = {
+      ticket: String): Array[Byte] =
+    ArrowResult.ipcStream(arrowTicketDf(spark, dir, ticket))
+
+  /** the DataFrame a ticket denotes, WITHOUT executing it — shared by
+    * the HTTP arrow route (which serializes the whole IPC stream) and
+    * the Flight gRPC server (which needs the schema alone for
+    * GetFlightInfo/GetSchema and streams record batches for DoGet). */
+  def arrowTicketDf(spark: SparkSession, dir: String,
+      ticket: String): DataFrame = {
     val df: DataFrame =
       if (ticket.startsWith("find_trace:")) {
         val parts = ticket.stripPrefix("find_trace:").split(":", 5)
@@ -1145,6 +1153,6 @@ object Endpoints {
             "reflect()/java_method() is not permitted in arrow tickets")
         planned
       }
-    ArrowResult.ipcStream(df)
+    df
   }
 }

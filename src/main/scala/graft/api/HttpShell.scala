@@ -156,10 +156,24 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   }
 
   private var pool: java.util.concurrent.ExecutorService = _
+  private var flight: FlightGrpc = _
+
+  /** start the Arrow Flight gRPC listener (h2c) alongside the HTTP
+    * shell, sharing its credential catalog: with auth enabled, Flight
+    * demands the same admin-band credential as `/api/v1/arrow` (a
+    * scoped key never reads cross-signal SQL). Returns the bound
+    * port. */
+  def startFlight(port: Int = 0): Int = {
+    flight = new FlightGrpc(spark, dir,
+      if (authEnabled) Some(k => catalog.resolve(HttpShell.hashApiKey(k)))
+      else None)
+    flight.start(port)
+  }
 
   def stop(): Unit = if (server != null) {
     server.stop(0); server = null
     if (pool != null) { pool.shutdownNow(); pool = null }
+    if (flight != null) { flight.stop(); flight = null }
     flushSelfMetrics() // drain buffered self-monitoring points
   }
 

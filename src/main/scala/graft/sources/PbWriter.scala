@@ -6,7 +6,7 @@ import java.io.ByteArrayOutputStream
   * test suites and the deterministic pprof oracle fixture: requests are
   * hand-encoded against the public wire format, so decode tests prove the
   * reader against independently-constructed bytes. */
-private[sources] final class Pb {
+private[graft] final class Pb {
   val out = new ByteArrayOutputStream()
   def varint(v: Long): Pb = {
     var x = v
@@ -39,7 +39,7 @@ private[sources] final class Pb {
   def result: Array[Byte] = out.toByteArray
 }
 
-private[sources] object Pb {
+private[graft] object Pb {
   def strVal(p: Pb, field: Int, s: String): Unit =
     p.msg(field)(_.str(1, s)) // AnyValue{string_value=1}
 
