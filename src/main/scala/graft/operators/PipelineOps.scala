@@ -2538,6 +2538,74 @@ object PipelineOps {
         .limit(15)
     }),
 
+    // QUANTILE SKETCH (DDSketch-shaped, integer-exact): p50/p90/p99 of
+    // per-user inter-event gaps from a FIXED 1024-counter log-bucket
+    // histogram — floor-log2 major bucket × 16 linear sub-buckets, a
+    // ≤6.25% relative-error guarantee with every bucket boundary exact
+    // integer arithmetic both engines restate bit-for-bit (no libm
+    // log). The counters ride the SAME linear-sketch aggregate as CMS
+    // (d=1 row of w=1024 cells, functions/Cms.scala): a quantile
+    // sketch IS a one-row count sketch over log buckets, so the fixed
+    // 8 KB state flows through partial agg/shuffle/merge unchanged —
+    // the sketch trio (KMV distinct, CMS frequency, log-bucket
+    // quantiles) shares one mergeable-state extension point. The
+    // estimate is the bucket floor at rank k = (n-1)·q div 100; exact
+    // order-statistic twins ride along as the accuracy reference (at
+    // 100 TB the exact columns drop — a full sort per group — and the
+    // sketch stands alone; that is the design point).
+    "q341_sketch_quantile" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val g = Tables.events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(wUser))
+        .filter(col("gap").isNotNull && col("gap") > 0)
+        .select(col("event_type"), col("gap"))
+      // bucket(v) = v for v<16, else 16·floor_log2(v) + the linear
+      // 16th within the [2^e, 2^(e+1)) octave — all shifts, no floats
+      val e = "(length(conv(gap, 10, 2)) - 1)"
+      val bucketExpr = expr(
+        s"CASE WHEN gap < 16 THEN CAST(gap AS INT) ELSE CAST($e * 16 + " +
+          s"shiftright(gap - shiftleft(CAST(1 AS BIGINT), $e), $e - 4) " +
+          "AS INT) END")
+      val sk = g.groupBy(col("event_type")).agg(
+        graft.functions.Cms.cmsSketch(array(bucketExpr), lit(1L), 1, 1024)
+          .as("sk"))
+      val cum = sk
+        .select(col("event_type"), posexplode(col("sk")).as(Seq("bucket", "cnt")))
+        .filter(col("cnt") > 0)
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+      def pick(q: Int) = min(when(
+        col("cum") > expr(s"(n - 1) * $q div 100"), col("bucket"))).as(s"b$q")
+      val picked = cum.groupBy(col("event_type"), col("n"))
+        .agg(pick(50), pick(90), pick(99))
+      def floorOf(b: String, out: String) = expr(
+        s"CASE WHEN $b < 16 THEN CAST($b AS BIGINT) " +
+          s"ELSE shiftleft(CAST(1 AS BIGINT), CAST($b div 16 AS INT)) + " +
+          s"CAST($b % 16 AS BIGINT) * " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($b div 16 - 4 AS INT)) END")
+        .as(out)
+      val nEx = g.groupBy(col("event_type")).agg(count(lit(1)).as("n2"))
+      def exAt(q: Int) = min(when(
+        col("rn") === expr(s"(n2 - 1) * $q div 100 + 1"), col("gap")))
+        .as(s"p${q}_exact_us")
+      val ex = g
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("gap"))))
+        .join(nEx, "event_type")
+        .groupBy(col("event_type"))
+        .agg(exAt(50), exAt(90), exAt(99))
+      picked.join(ex, "event_type")
+        .select(col("event_type"), col("n"),
+          floorOf("b50", "p50_us"), floorOf("b90", "p90_us"),
+          floorOf("b99", "p99_us"),
+          col("p50_exact_us"), col("p90_exact_us"), col("p99_exact_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // Winnowing-based cross-document OVERLAP detection (Schleimer et
     // al. 2003 — the MOSS algorithm): the q29 winnowed min-hash sets,
     // bucket-joined on shared fingerprints, yield candidate
@@ -4930,6 +4998,66 @@ object PipelineOps {
         |SELECT c.tok, c.n_exact, e.est
         |FROM cand c JOIN est e USING (tok)
         |ORDER BY e.est DESC, c.tok LIMIT 15""".stripMargin,
+
+    "q341_sketch_quantile" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT event_type, gap FROM (
+        |    SELECT event_type,
+        |      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |    FROM events)
+        |  WHERE gap IS NOT NULL AND gap > 0),
+        |b AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN gap < 16 THEN CAST(gap AS INT)
+        |         ELSE CAST((length(printf('%b', gap)) - 1) * 16 +
+        |           ((gap - (CAST(1 AS BIGINT)
+        |              << (length(printf('%b', gap)) - 1)))
+        |            >> (length(printf('%b', gap)) - 5)) AS INT) END AS bucket
+        |  FROM g),
+        |c AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS BIGINT) AS cum
+        |  FROM c),
+        |picked AS (
+        |  SELECT event_type, n,
+        |    MIN(CASE WHEN cum > (n - 1) * 50 // 100 THEN bucket END) AS b50,
+        |    MIN(CASE WHEN cum > (n - 1) * 90 // 100 THEN bucket END) AS b90,
+        |    MIN(CASE WHEN cum > (n - 1) * 99 // 100 THEN bucket END) AS b99
+        |  FROM cum GROUP BY 1, 2),
+        |nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n2
+        |       FROM g GROUP BY 1),
+        |r AS (SELECT event_type, gap, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY gap) AS rn FROM g),
+        |ex AS (
+        |  SELECT r.event_type,
+        |    MIN(CASE WHEN rn = (n2 - 1) * 50 // 100 + 1 THEN gap END)
+        |      AS p50_exact_us,
+        |    MIN(CASE WHEN rn = (n2 - 1) * 90 // 100 + 1 THEN gap END)
+        |      AS p90_exact_us,
+        |    MIN(CASE WHEN rn = (n2 - 1) * 99 // 100 + 1 THEN gap END)
+        |      AS p99_exact_us
+        |  FROM r JOIN nn USING (event_type) GROUP BY 1)
+        |SELECT p.event_type, p.n,
+        |  CASE WHEN b50 < 16 THEN CAST(b50 AS BIGINT)
+        |       ELSE (CAST(1 AS BIGINT) << CAST(b50 // 16 AS INT)) +
+        |         CAST(b50 % 16 AS BIGINT) *
+        |         (CAST(1 AS BIGINT) << CAST(b50 // 16 - 4 AS INT)) END AS p50_us,
+        |  CASE WHEN b90 < 16 THEN CAST(b90 AS BIGINT)
+        |       ELSE (CAST(1 AS BIGINT) << CAST(b90 // 16 AS INT)) +
+        |         CAST(b90 % 16 AS BIGINT) *
+        |         (CAST(1 AS BIGINT) << CAST(b90 // 16 - 4 AS INT)) END AS p90_us,
+        |  CASE WHEN b99 < 16 THEN CAST(b99 AS BIGINT)
+        |       ELSE (CAST(1 AS BIGINT) << CAST(b99 // 16 AS INT)) +
+        |         CAST(b99 % 16 AS BIGINT) *
+        |         (CAST(1 AS BIGINT) << CAST(b99 // 16 - 4 AS INT)) END AS p99_us,
+        |  ex.p50_exact_us, ex.p90_exact_us, ex.p99_exact_us
+        |FROM picked p JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q313_bpe_merges32" -> bpeOracle(32,
       (1 to 32).map(r =>
