@@ -2606,6 +2606,59 @@ object PipelineOps {
         .orderBy(col("event_type"))
     }),
 
+    // EXACT-SUBSTRING duplicated spans (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // pass): every 8-word window is hashed; a window whose hash occurs
+    // ≥2 times anywhere in the corpus is duplicated; per document,
+    // overlapping/adjacent duplicated windows merge into MAXIMAL spans
+    // (island detection: a new span starts when the next duplicated
+    // start position is > 8 behind its predecessor). Emits per-doc span
+    // counts, duplicated-token mass and its ppm of the document — the
+    // cut list an ExactSubstr trimmer consumes. The suffix-array of the
+    // paper is replaced by its relational equivalent: a GROUP BY over
+    // fixed-width window hashes (md5 shuffle keys) + one per-doc
+    // ordered window — no suffix structure materializes, candidate
+    // work is bounded by the duplicated-window mass, and every stage
+    // is a hash shuffle that scales horizontally.
+    "q342_exact_substr_spans" -> ((s, dir) => {
+      val L = 8
+      val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val hashes = toks
+        .withColumn("w7", lead(col("w"), L - 1).over(wn))
+        .withColumn("h8", md5(concat_ws(" ", col("w"),
+          lead(col("w"), 1).over(wn), lead(col("w"), 2).over(wn),
+          lead(col("w"), 3).over(wn), lead(col("w"), 4).over(wn),
+          lead(col("w"), 5).over(wn), lead(col("w"), 6).over(wn),
+          col("w7"))))
+        .filter(col("w7").isNotNull) // windows fully inside the doc
+        .select(col("doc_id"), col("pos"), col("h8"))
+      val dup = hashes.groupBy(col("h8"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h8"))
+      val d = hashes.join(dup, "h8").select(col("doc_id"), col("pos"))
+      val isl = d
+        .withColumn("gap", col("pos") - lag(col("pos"), 1).over(wn))
+        .withColumn("island", sum(
+          when(col("gap").isNull || col("gap") > L, 1L).otherwise(0L))
+          .over(wn))
+      val spans = isl.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s0"), (max(col("pos")) + L).as("e0"))
+      val perDoc = spans.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0")).cast(LongType).as("dup_tokens"),
+        max(col("e0") - col("s0")).cast(LongType).as("longest_span"))
+      val nW = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_words"))
+      perDoc.join(nW, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_spans"),
+          col("dup_tokens"), col("longest_span"),
+          expr("dup_tokens * 1000000 div n_words").as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing-based cross-document OVERLAP detection (Schleimer et
     // al. 2003 — the MOSS algorithm): the q29 winnowed min-hash sets,
     // bucket-joined on shared fingerprints, yield candidate
@@ -5058,6 +5111,40 @@ object PipelineOps {
         |  ex.p50_exact_us, ex.p90_exact_us, ex.p99_exact_us
         |FROM picked p JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q342_exact_substr_spans" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id, u.pos AS pos, u.h AS h8 FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1,
+        |               'h': md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                 toks[i+3], toks[i+4], toks[i+5], toks[i+6],
+        |                 toks[i+7]))}
+        |              FOR i IN range(1, len(toks) - 6)]) AS u
+        |    FROM t WHERE len(toks) >= 8)),
+        |dup AS (SELECT h8 FROM h GROUP BY 1 HAVING COUNT(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM h JOIN dup USING (h8)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(SUM(CASE WHEN gap IS NULL OR gap > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+        |  FROM (SELECT doc_id, pos,
+        |          pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        |        FROM d)),
+        |sp AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+        |  FROM isl GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+        |    CAST(MAX(e - s) AS BIGINT) AS longest_span
+        |  FROM sp GROUP BY 1)
+        |SELECT pd.doc_id, CAST(len(t.toks) AS BIGINT) AS n_words, pd.n_spans,
+        |  pd.dup_tokens, pd.longest_span,
+        |  pd.dup_tokens * 1000000 // len(t.toks) AS dup_ppm
+        |FROM pd JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q313_bpe_merges32" -> bpeOracle(32,
       (1 to 32).map(r =>
