@@ -455,6 +455,141 @@ object Multimodal {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** GIF LZW decode (dictionary as prefix/suffix arrays): clear/EOI
+    * codes, growth to 4096 entries, the KwKwK first-use edge case, and
+    * the accept-a-missing-EOI tail once `nPx` pixels are out. Shared by
+    * the single-frame [[gifPixels]] path and the animated
+    * [[GifAnim]] decoder. Bad codes → None, never a guess. */
+  private[multimodal] def lzwDecode(mcs: Int, d: Array[Byte],
+      nPx: Int): Option[Array[Byte]] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var dictSize = eoi + 1; var codeWidth = mcs + 1
+    var bitPos = 0
+    def nextCode(): Int = {
+      if ((bitPos + codeWidth + 7) / 8 > d.length) return -1
+      var v = 0; var got = 0
+      while (got < codeWidth) {
+        val byteIx = (bitPos + got) / 8
+        if (byteIx >= d.length) return -1
+        val bit = (d(byteIx) >> ((bitPos + got) % 8)) & 1
+        v |= bit << got
+        got += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    def expand(code0: Int, out: java.io.ByteArrayOutputStream): Boolean = {
+      // walk the prefix chain; codes < clear are literals
+      var code = code0
+      val stack = new Array[Byte](4096); var sp = 0
+      while (code >= clear) {
+        if (sp >= 4096 || code >= dictSize) return false
+        stack(sp) = suffix(code); sp += 1; code = prefix(code)
+      }
+      out.write(code)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      true
+    }
+    def firstByte(code0: Int): Int = {
+      var code = code0
+      while (code >= clear) code = prefix(code)
+      code
+    }
+    val out = new java.io.ByteArrayOutputStream(nPx)
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = nextCode()
+      if (code < 0) return None
+      if (code == clear) {
+        dictSize = eoi + 1; codeWidth = mcs + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return None
+        out.write(code); prev = code
+      } else {
+        if (code < dictSize) {
+          if (!expand(code, out)) return None
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = firstByte(code).toByte
+            dictSize += 1
+          }
+        } else if (code == dictSize && dictSize < 4096) {
+          // KwKwK: the code being defined right now
+          prefix(dictSize) = prev
+          suffix(dictSize) = firstByte(prev).toByte
+          dictSize += 1
+          if (!expand(code, out)) return None
+        } else return None
+        prev = code
+        if (dictSize < 4096 && dictSize == (1 << codeWidth) && codeWidth < 12)
+          codeWidth += 1
+      }
+      if (out.size >= nPx && !done) {
+        // all pixels produced; accept a missing explicit EOI
+        val c = nextCode(); done = true
+        if (c != eoi && c != -1 && c != clear) return None
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** GIF LZW encode (greedy longest match, dict keyed (prefix, byte)):
+    * variable code width mirroring the decoder's one-behind widening
+    * boundary, clear codes on dictionary overflow. Returns the raw code
+    * bytes — the caller frames them into 255-byte sub-blocks. */
+  private[multimodal] def lzwEncode(mcs: Int, idx: Array[Byte]): Array[Byte] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeWidth = mcs + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        bits.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var dictSize = eoi + 1
+    emit(clear)
+    var prev = -1
+    var k = 0
+    while (k < idx.length) {
+      val c = idx(k) & 0xFF
+      require(c < clear, s"index $c out of the $mcs-bit code space")
+      if (prev == -1) prev = c
+      else {
+        val key = prev.toLong << 12 | c
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue
+        else {
+          emit(prev)
+          if (dictSize < 4096) {
+            dict.put(key, dictSize)
+            dictSize += 1
+            // the decoder sits one entry behind the encoder when it READS
+            // a code, so it widens at decoder-size == 1<<W — which is
+            // encoder-size − 1: mirror that exact boundary
+            if (dictSize - 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          } else {
+            emit(clear)
+            dict = new java.util.HashMap[Long, Integer]()
+            dictSize = eoi + 1; codeWidth = mcs + 1
+          }
+          prev = c
+        }
+      }
+      k += 1
+    }
+    if (prev != -1) emit(prev)
+    emit(eoi)
+    if (bitCnt > 0) bits.write((bitBuf & 0xFF).toInt)
+    bits.toByteArray
+  }
+
   /** ======= REAL ======= GIF PIXEL decode, zero codec deps: GIF's only
     * compression is LZW with variable code width — implementable by hand
     * (clear/EOI codes, dictionary growth to 4096 entries, the KwKwK
@@ -513,80 +648,7 @@ object Multimodal {
             data.write(bytes, i + 1, n); i += 1 + n
           }
           val d = data.toByteArray
-          // ---- LZW decode (dictionary as prefix/suffix arrays) ----
-          val clear = 1 << mcs; val eoi = clear + 1
-          val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
-          var dictSize = eoi + 1; var codeWidth = mcs + 1
-          var bitPos = 0
-          def nextCode(): Int = {
-            if ((bitPos + codeWidth + 7) / 8 > d.length) return -1
-            var v = 0; var got = 0
-            while (got < codeWidth) {
-              val byteIx = (bitPos + got) / 8
-              if (byteIx >= d.length) return -1
-              val bit = (d(byteIx) >> ((bitPos + got) % 8)) & 1
-              v |= bit << got
-              got += 1
-            }
-            bitPos += codeWidth
-            v
-          }
-          def expand(code0: Int, out: java.io.ByteArrayOutputStream): Boolean = {
-            // walk the prefix chain; codes < clear are literals
-            var code = code0
-            val stack = new Array[Byte](4096); var sp = 0
-            while (code >= clear) {
-              if (sp >= 4096 || code >= dictSize) return false
-              stack(sp) = suffix(code); sp += 1; code = prefix(code)
-            }
-            out.write(code)
-            while (sp > 0) { sp -= 1; out.write(stack(sp)) }
-            true
-          }
-          def firstByte(code0: Int): Int = {
-            var code = code0
-            while (code >= clear) code = prefix(code)
-            code
-          }
-          val out = new java.io.ByteArrayOutputStream(iw * ih)
-          var prev = -1
-          var done = false
-          while (!done) {
-            val code = nextCode()
-            if (code < 0) return None
-            if (code == clear) {
-              dictSize = eoi + 1; codeWidth = mcs + 1; prev = -1
-            } else if (code == eoi) {
-              done = true
-            } else if (prev == -1) {
-              if (code >= clear) return None
-              out.write(code); prev = code
-            } else {
-              if (code < dictSize) {
-                if (!expand(code, out)) return None
-                if (dictSize < 4096) {
-                  prefix(dictSize) = prev
-                  suffix(dictSize) = firstByte(code).toByte
-                  dictSize += 1
-                }
-              } else if (code == dictSize && dictSize < 4096) {
-                // KwKwK: the code being defined right now
-                prefix(dictSize) = prev
-                suffix(dictSize) = firstByte(prev).toByte
-                dictSize += 1
-                if (!expand(code, out)) return None
-              } else return None
-              prev = code
-              if (dictSize < 4096 && dictSize == (1 << codeWidth) && codeWidth < 12)
-                codeWidth += 1
-            }
-            if (out.size >= iw * ih && !done) {
-              // all pixels produced; accept a missing explicit EOI
-              val c = nextCode(); done = true
-              if (c != eoi && c != -1 && c != clear) return None
-            }
-          }
-          val idx = out.toByteArray
+          val idx = lzwDecode(mcs, d, iw * ih).getOrElse(return None)
           if (idx.length < iw * ih) return None
           var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumL = 0L; var peakL = 0L
           var k = 0
@@ -638,51 +700,14 @@ object Multimodal {
     head.write(0)                    // no LCT, not interlaced
     val mcs = math.max(2, palBits)
     head.write(mcs)
-    // ---- LZW encode (greedy longest match; dict keyed (prefix, byte)) ----
-    val clear = 1 << mcs; val eoi = clear + 1
-    val bits = new java.io.ByteArrayOutputStream()
-    var bitBuf = 0L; var bitCnt = 0
-    var codeWidth = mcs + 1
-    def emit(code: Int): Unit = {
-      bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
-      while (bitCnt >= 8) {
-        bits.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8
-      }
-    }
-    var dict = new java.util.HashMap[Long, Integer]()
-    var dictSize = eoi + 1
-    emit(clear)
-    var prev = -1
+    val idx = new Array[Byte](w * h)
+    var p = 0
     for (y <- 0 until h; x <- 0 until w) {
       val c = index(x, y)
       require(c >= 0 && c < palette.length, s"index $c out of palette")
-      if (prev == -1) prev = c
-      else {
-        val key = prev.toLong << 12 | c
-        val hit = dict.get(key)
-        if (hit != null) prev = hit.intValue
-        else {
-          emit(prev)
-          if (dictSize < 4096) {
-            dict.put(key, dictSize)
-            dictSize += 1
-            // the decoder sits one entry behind the encoder when it READS
-            // a code, so it widens at decoder-size == 1<<W — which is
-            // encoder-size − 1: mirror that exact boundary
-            if (dictSize - 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
-          } else {
-            emit(clear)
-            dict = new java.util.HashMap[Long, Integer]()
-            dictSize = eoi + 1; codeWidth = mcs + 1
-          }
-          prev = c
-        }
-      }
+      idx(p) = c.toByte; p += 1
     }
-    if (prev != -1) emit(prev)
-    emit(eoi)
-    if (bitCnt > 0) bits.write((bitBuf & 0xFF).toInt)
-    val lzw = bits.toByteArray
+    val lzw = lzwEncode(mcs, idx)
     // 255-byte sub-block framing + terminator + trailer
     val outB = new java.io.ByteArrayOutputStream()
     outB.write(head.toByteArray)

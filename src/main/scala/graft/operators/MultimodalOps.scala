@@ -345,6 +345,70 @@ object MultimodalOps {
           "n_px_total", "sum_gray", "motion_abs")
     }),
 
+    // INTER-FRAME video decode — animated GIF: frames are sub-rect
+    // DELTAS composed onto the logical-screen canvas under GIF89a
+    // Graphic Control semantics (disposal, transparency; GifAnimSpec
+    // additionally pins disposal 2/3 and the JDK cross-check). Every
+    // odd frame travels INTERLACED (4-pass row order) and every frame
+    // f≥1 is a transparent-holed patch, so the decoder must run the
+    // real LZW, de-interlace, and last-writer composition to reproduce
+    // the oracle, which restates the composition relationally: the
+    // canvas pixel at frame fv is the LAST non-transparent writer ≤ fv
+    // (arg_max over covering frames). Folds: per-video luma mass over
+    // all composed frames + the frame-difference motion metric.
+    "q343_gif_anim_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val sw = (id % 14 + 6).toInt; val sh = (id % 10 + 5).toInt
+          val nf = (id % 3 + 2).toInt; val lp = (id % 4).toInt
+          val pal = Array.tabulate(16) { k =>
+            ((((k * 37 + id) % 256).toInt << 16) |
+              (((k * 59 + 2 * id) % 256).toInt << 8) |
+              ((k * 83 + 3 * id) % 256).toInt)
+          }
+          val specs = (0 until nf).map { f =>
+            if (f == 0)
+              graft.multimodal.GifAnim.FrameSpec(0, 0, sw, sh, 1, -1,
+                ((id + 0) % 7 + 2).toInt, interlaced = false,
+                (x, y) => ((id + 3 * x + 5 * y) % 16).toInt)
+            else {
+              val lf = ((id + 2 * f) % (sw - 1)).toInt
+              val tp = ((id + 3 * f) % (sh - 1)).toInt
+              val rw = ((id + 5 * f) % (sw - lf - 1) + 1).toInt
+              val rh = ((id + 7 * f) % (sh - tp - 1) + 1).toInt
+              graft.multimodal.GifAnim.FrameSpec(lf, tp, rw, rh, 1, 0,
+                ((id + f) % 7 + 2).toInt, interlaced = f % 2 == 1,
+                (x, y) =>
+                  ((id + 7 * (lf + x) + 11 * (tp + y) + 13 * f) % 16).toInt)
+            }
+          }
+          val bytes = graft.multimodal.GifAnim.syntheticAnimatedGif(
+            sw, sh, pal, 0, lp, specs)
+          val a = graft.multimodal.GifAnim.decode(bytes).get
+          val canvases = graft.multimodal.GifAnim.compose(a)
+          def luma(rgb: Int): Long =
+            299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+          var sumLuma = 0L; var motion = 0L
+          for (fi <- canvases.indices) {
+            val c = canvases(fi)
+            var j = 0
+            while (j < c.length) {
+              sumLuma += luma(c(j))
+              if (fi > 0) motion += math.abs(luma(c(j)) - luma(canvases(fi - 1)(j)))
+              j += 1
+            }
+          }
+          (id, sw.toLong, sh.toLong, nf.toLong,
+            a.loopCount.get.toLong,
+            a.frames.map(_.delayCs.toLong).sum, sumLuma, motion)
+        }.toDF("media_id", "width", "height", "n_frames", "loop_count",
+          "total_delay_cs", "sum_luma", "motion_abs")
+    }),
+
     // binary frame sampling: n_frames per media by kind
     "q65_multimodal_framesample" -> ((s, dir) => {
       val media = mediaDs(s, dir).toDF()
@@ -630,6 +694,59 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
         |    AS BIGINT) AS motion_abs
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q343_gif_anim_stats" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id AS id, doc_id % 14 + 6 AS sw, doc_id % 10 + 5 AS sh,
+        |         doc_id % 3 + 2 AS nf, doc_id % 4 AS lp
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr0 AS (
+        |  SELECT id, sw, sh, nf, f.i AS f,
+        |    CASE WHEN f.i = 0 THEN 0 ELSE (id + 2*f.i) % (sw - 1) END AS lf,
+        |    CASE WHEN f.i = 0 THEN 0 ELSE (id + 3*f.i) % (sh - 1) END AS tp
+        |  FROM d, range(0, 4) f(i) WHERE f.i < nf),
+        |fr AS MATERIALIZED (
+        |  SELECT id, sw, sh, f, lf, tp,
+        |    CASE WHEN f = 0 THEN sw ELSE (id + 5*f) % (sw - lf - 1) + 1 END AS rw,
+        |    CASE WHEN f = 0 THEN sh ELSE (id + 7*f) % (sh - tp - 1) + 1 END AS rh
+        |  FROM fr0),
+        |px AS MATERIALIZED (
+        |  SELECT id, x.i AS x, y.i AS y
+        |  FROM d, range(0, 20) x(i), range(0, 15) y(i)
+        |  WHERE x.i < sw AND y.i < sh),
+        |wr AS MATERIALIZED (
+        |  SELECT w.id, w.f, w.x, w.y, w.idx FROM (
+        |    SELECT fr.id, fr.f, p.x, p.y,
+        |      CASE WHEN fr.f = 0 THEN (fr.id + 3*p.x + 5*p.y) % 16
+        |           ELSE (fr.id + 7*p.x + 11*p.y + 13*fr.f) % 16 END AS idx
+        |    FROM fr JOIN px p USING (id)
+        |    WHERE fr.f = 0 OR (p.x >= fr.lf AND p.x < fr.lf + fr.rw
+        |                   AND p.y >= fr.tp AND p.y < fr.tp + fr.rh)) w
+        |  WHERE w.f = 0 OR w.idx <> 0),
+        |comp AS MATERIALIZED (
+        |  SELECT w.id, fv.f AS fv, w.x, w.y, arg_max(w.idx, w.f) AS idx
+        |  FROM wr w JOIN (SELECT DISTINCT id, f FROM fr) fv
+        |    ON fv.id = w.id AND w.f <= fv.f
+        |  GROUP BY 1, 2, 3, 4),
+        |lum AS MATERIALIZED (
+        |  SELECT id, fv, x, y,
+        |    299*((idx*37 + id) % 256) + 587*((idx*59 + 2*id) % 256)
+        |      + 114*((idx*83 + 3*id) % 256) AS luma
+        |  FROM comp),
+        |sl AS (SELECT id, CAST(SUM(luma) AS BIGINT) AS sum_luma FROM lum GROUP BY 1),
+        |mot AS (
+        |  SELECT a.id, CAST(SUM(ABS(a.luma - b.luma)) AS BIGINT) AS motion_abs
+        |  FROM lum a JOIN lum b
+        |    ON a.id = b.id AND a.x = b.x AND a.y = b.y AND b.fv = a.fv - 1
+        |  GROUP BY 1),
+        |del AS (SELECT id, CAST(SUM((id + f) % 7 + 2) AS BIGINT) AS total_delay_cs
+        |        FROM fr GROUP BY 1)
+        |SELECT d.id AS media_id, CAST(d.sw AS BIGINT) AS width,
+        |  CAST(d.sh AS BIGINT) AS height, CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(d.lp AS BIGINT) AS loop_count, del.total_delay_cs,
+        |  sl.sum_luma, mot.motion_abs
+        |FROM d JOIN del USING (id) JOIN sl USING (id) JOIN mot USING (id)
+        |ORDER BY media_id""".stripMargin,
 
     "q65_multimodal_framesample" ->
       """WITH media AS (
