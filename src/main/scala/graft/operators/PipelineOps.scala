@@ -2659,6 +2659,86 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // IMAGE near-duplicate detection by PERCEPTUAL HASH (dHash): the
+    // missing IMAGE member of the dedup family (text has exact /
+    // MinHash / SimHash / semantic). Per image: REAL GIF decode
+    // (shared LZW path), luma box-downsample onto the 9×8 dHash grid,
+    // 64 gradient bits by EXACT cross-multiplied mean comparison
+    // (sum_a·n_b > sum_b·n_a — no division, so the DuckDB twin
+    // restates it bit-for-bit and the luma scale factor cancels), then
+    // the SimHash-style 4×16-bit band join finds candidates and
+    // Hamming ≤ 10 confirms — never all-pairs. Fixtures are grouped
+    // variants: same-pattern pairs land at Hamming 0–1 (dHash is
+    // brightness-shift invariant by construction), different-slope
+    // variants fall outside the threshold; both engines must agree on
+    // every marginal bit. At 100 TB the map side is a scan over image
+    // blobs and the join is banded — the same shape as q22/q134.
+    "q344_image_dhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val j = id / 3; val g = j / 3; val r = (j % 3).toInt
+          val w = (g % 7 + 12).toInt; val h = (g % 5 + 10).toInt
+          def k(x: Int, y: Int): Int = {
+            val cx = x.toLong * 16 / w; val cy = y.toLong * 16 / h
+            val v =
+              if (r == 2) (cx * (5 + g % 3) + cy * (7 + g % 5) + g) % 16
+              else {
+                val base = (cx * (2 + g % 3) + cy * (3 + g % 5) + g) % 16
+                if (r == 1 && x == (g * 5 % w).toInt && y == (g * 7 % h).toInt)
+                  (base + 1) % 16
+                else base
+              }
+            v.toInt
+          }
+          val pal = Array.tabulate(16)(i => (i * 17 << 16) | (i * 17 << 8) | (i * 17))
+          val bytes = graft.multimodal.Multimodal.syntheticGif(w, h, pal, k)
+          val a = graft.multimodal.GifAnim.decode(bytes).get
+          val f = a.frames.head
+          val cs = Array.ofDim[Long](9, 8); val cn = Array.ofDim[Long](9, 8)
+          for (y <- 0 until h; x <- 0 until w) {
+            val ci = f.indices(y * w + x) & 0xFF
+            val rgb = f.palette(ci)
+            val luma = 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            val cx = x * 9 / w; val cy = y * 8 / h
+            cs(cx)(cy) += luma; cn(cx)(cy) += 1
+          }
+          val bands = new Array[Long](4)
+          for (cy <- 0 until 8; cx <- 0 until 8) {
+            val bit =
+              if (cs(cx + 1)(cy) * cn(cx)(cy) > cs(cx)(cy) * cn(cx + 1)(cy)) 1L
+              else 0L
+            val bitpos = cy * 8 + cx
+            bands(bitpos / 16) |= bit << (bitpos % 16)
+          }
+          (id, w.toLong, h.toLong, bands(0), bands(1), bands(2), bands(3))
+        }.toDF("id", "w", "h", "b0", "b1", "b2", "b3")
+      val bandRows = hashes.select(col("id"), col("w"), col("h"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bv")))
+      val cand = bandRows.as("x")
+        .join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.w") === col("y.w") && col("x.h") === col("y.h") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+        .distinct()
+      cand
+        .join(hashes.select(col("id").as("doc_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+        .join(hashes.select(col("id").as("doc_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
+        .withColumn("hamming", expr(
+          "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+        .filter(col("hamming") <= 10)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Winnowing-based cross-document OVERLAP detection (Schleimer et
     // al. 2003 — the MOSS algorithm): the q29 winnowed min-hash sets,
     // bucket-joined on shared fingerprints, yield candidate
@@ -5145,6 +5225,53 @@ object PipelineOps {
         |  pd.dup_tokens, pd.longest_span,
         |  pd.dup_tokens * 1000000 // len(t.toks) AS dup_ppm
         |FROM pd JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q344_image_dhash_neardup" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id AS id, (doc_id // 3) // 3 AS g, (doc_id // 3) % 3 AS r
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT id, g, r, g % 7 + 12 AS w, g % 5 + 10 AS h FROM d),
+        |px AS MATERIALIZED (
+        |  SELECT id, w, h,
+        |    CASE WHEN r = 2 THEN
+        |      ((x.i*16 // w) * (5 + g % 3) + (y.i*16 // h) * (7 + g % 5) + g) % 16
+        |         WHEN r = 1 AND x.i = (g*5) % w AND y.i = (g*7) % h THEN
+        |      ((x.i*16 // w) * (2 + g % 3) + (y.i*16 // h) * (3 + g % 5) + g + 1) % 16
+        |         ELSE
+        |      ((x.i*16 // w) * (2 + g % 3) + (y.i*16 // h) * (3 + g % 5) + g) % 16
+        |    END AS k,
+        |    x.i AS x, y.i AS y
+        |  FROM dims, range(0, 18) x(i), range(0, 14) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |cells AS MATERIALIZED (
+        |  SELECT id, w, h, (x*9) // w AS cx, (y*8) // h AS cy,
+        |    CAST(SUM(k) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |bits AS MATERIALIZED (
+        |  SELECT a.id, a.w, a.h, a.cy * 8 + a.cx AS bitpos,
+        |    CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.id = b.id AND b.cx = a.cx + 1 AND b.cy = a.cy
+        |  WHERE a.cx < 8),
+        |bands AS (
+        |  SELECT id, w, h, bitpos // 16 AS band,
+        |    CAST(SUM(bit << (bitpos % 16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2, 3, 4),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.w = y.w AND x.h = y.h
+        |   AND x.id < y.id),
+        |ham AS (
+        |  SELECT c.a, c.b,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.id = c.a
+        |  JOIN bits bb ON bb.id = c.b AND bb.bitpos = ba.bitpos
+        |  GROUP BY 1, 2)
+        |SELECT a AS doc_a, b AS doc_b, hamming FROM ham
+        |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q313_bpe_merges32" -> bpeOracle(32,
       (1 to 32).map(r =>

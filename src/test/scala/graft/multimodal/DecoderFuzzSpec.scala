@@ -74,6 +74,35 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF decode+compose never escapes an exception on fuzzed input") {
+    val rnd = new scala.util.Random(17L)
+    def probeAnim(what: String, bytes: Array[Byte]): Unit =
+      try GifAnim.decode(bytes).foreach(a => { GifAnim.compose(a); () })
+      catch { case e: Throwable =>
+        fail(s"$what: GifAnim threw ${e.getClass.getSimpleName}: " +
+          s"${e.getMessage} (len=${bytes.length})")
+      }
+    val pal = Array.tabulate(8)(k => k * 0x212121)
+    val valid = GifAnim.syntheticAnimatedGif(7, 6, pal, 0, 1, Seq(
+      GifAnim.FrameSpec(0, 0, 7, 6, 1, -1, 3, interlaced = false, (x, y) => (x + y) % 8),
+      GifAnim.FrameSpec(2, 1, 4, 3, 2, 0, 5, interlaced = true, (x, y) => (x * 3 + y) % 8),
+      GifAnim.FrameSpec(1, 2, 5, 2, 3, -1, 4, interlaced = false, (x, y) => (x + 2 * y) % 8)))
+    assert(GifAnim.decode(valid).isDefined)
+    // interior bit flips: every GCE/descriptor/LZW byte is a target
+    for (i <- 0 until 500) {
+      val b = valid.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val at = rnd.nextInt(b.length)
+        b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      probeAnim(s"anim-flip#$i", b)
+    }
+    // random bytes behind the magic
+    for (i <- 0 until 300)
+      probeAnim(s"anim-garbage#$i", "GIF89a".getBytes("ASCII") ++
+        Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+  }
+
   test("interior bit flips of valid files never escape as exceptions") {
     val rnd = new scala.util.Random(13L)
     val valids = Seq(
