@@ -71,11 +71,27 @@ object ScaleProof {
       "q332_url_canonicalize", "q333_registered_domain_rollup",
       "q336_boilerplate_lines", "q337_anchor_text_agg",
       "q338_pagerank_hosts", "q339_main_content_extract",
-      "q340_robots_filter")
+      "q340_robots_filter",
+      // round-9 additions: the quantile sketch rides 10× events (its
+      // state through the shuffle must stay 8 KB per group); ExactSubstr
+      // spans ride the 10-way exact-dup cliques of the replicated text
+      // (the duplicated-window mass explodes BY DESIGN — work must stay
+      // proportional to it); dHash near-dup's band join fan-out is the
+      // shape under test; the GIF family is per-row decode, scan-bound
+      "q341_sketch_quantile", "q342_exact_substr_spans",
+      "q343_gif_anim_stats", "q344_image_dhash_neardup")
+    // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
+    // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val run = only match {
+      case Some(subs) => families.filter(f => subs.exists(f.contains))
+      case None => families
+    }
     val sel = SparkEntry.queries.filter(q => families.exists(q._1.startsWith))
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Long, String)]
-    for (name <- families; fn <- sel.get(name)) {
+    for (name <- run; fn <- sel.get(name)) {
       val t0 = System.nanoTime()
       val (cnt, shape) = try {
         val df = fn(spark, dst)
