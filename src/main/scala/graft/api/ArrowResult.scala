@@ -36,6 +36,27 @@ object ArrowResult {
     out.toByteArray
   }
 
+  /** the result as a LAZY sequence of encapsulated IPC messages: the
+    * schema message first (produced without executing the plan), then
+    * one message per record batch, pulled from the executors one
+    * partition at a time (`toLocalIterator`). This is the STREAMING
+    * half of the Flight data plane — the first message is available
+    * before the last partition has even been computed, and driver
+    * memory is bounded by one partition's encoded batches (the
+    * reference's `do_get` likewise returns a batch stream,
+    * src/querier/src/flight.rs:1392-1420). No end-of-stream marker is
+    * emitted — Flight carries messages individually; a client appends
+    * the marker itself when re-joining ([[FlightProto.joinIpcStream]]). */
+  def ipcMessages(df: DataFrame,
+      maxRecordsPerBatch: Long = DefaultMaxRecordsPerBatch): Iterator[Array[Byte]] = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val out = new ByteArrayOutputStream()
+    GraftArrowShim.writeIpcStream(out, df.schema, Iterator.empty, tz)
+    val schemaMsg = out.toByteArray.dropRight(8) // strip end-of-stream marker
+    Iterator.single(schemaMsg) ++
+      GraftArrowShim.toBatchBytesIterator(df, maxRecordsPerBatch, tz)
+  }
+
   /** read an IPC stream back into a DataFrame — the client half, used to
     * prove the round trip without an external Arrow runtime. */
   def fromIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame =

@@ -1092,9 +1092,15 @@ object Endpoints {
   /** the DataFrame a ticket denotes, WITHOUT executing it — shared by
     * the HTTP arrow route (which serializes the whole IPC stream) and
     * the Flight gRPC server (which needs the schema alone for
-    * GetFlightInfo/GetSchema and streams record batches for DoGet). */
-  def arrowTicketDf(spark: SparkSession, dir: String,
-      ticket: String): DataFrame = {
+    * GetFlightInfo/GetSchema and streams record batches for DoGet).
+    * Raw-SQL tickets carry the reference's `max_sql_rows` clamp
+    * (docs/users/querying-sql.md:95-99 — the querier truncates rather
+    * than streaming an unbounded select) as a PLAN-level limit, so
+    * `DoGet("SELECT * FROM logs")` at any scale is bounded work, not an
+    * unbounded scan-to-client. find_trace tickets are naturally bounded
+    * by one trace's span count and stay unclamped. */
+  def arrowTicketDf(spark: SparkSession, dir: String, ticket: String,
+      maxSqlRows: Int = graft.sql.SqlSurface.DefaultMaxRows): DataFrame = {
     val df: DataFrame =
       if (ticket.startsWith("find_trace:")) {
         val parts = ticket.stripPrefix("find_trace:").split(":", 5)
@@ -1151,7 +1157,7 @@ object Endpoints {
         if (reflective.nonEmpty)
           throw HttpError(400,
             "reflect()/java_method() is not permitted in arrow tickets")
-        planned
+        planned.limit(maxSqlRows)
       }
     df
   }

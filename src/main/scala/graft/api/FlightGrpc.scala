@@ -35,13 +35,26 @@ import org.apache.spark.sql.SparkSession
   *
   * Scale shape: query execution runs on a worker pool (never on a
   * Netty event loop); record batches are encoded ON THE EXECUTORS
-  * (ArrowConverters via [[ArrowResult]]) and the driver streams the
-  * already-encoded frames; DATA writes are chunked and chained on
-  * write-completion futures, so HTTP/2 flow control backpressures the
-  * response instead of buffering it wholesale.
+  * (ArrowConverters via [[ArrowResult]]) and DoGet STREAMS them — the
+  * driver pulls one partition of encoded batches at a time
+  * (`toLocalIterator`) and writes each gRPC message as its own DATA
+  * sequence, awaiting write completion (HTTP/2 flow control) before
+  * pulling the next, so driver memory is bounded by one partition's
+  * batches plus one in-flight message, never the whole result. SQL
+  * tickets additionally carry the reference's `max_sql_rows` plan-level
+  * clamp ([[Endpoints.arrowTicketDf]]). Inbound request messages are
+  * capped at [[FlightGrpc.MaxInboundBytes]] (the stock gRPC server
+  * default) — RESOURCE_EXHAUSTED beyond it.
+  *
+  * `onServed(method, grpcStatus, durMs)` fires once per RPC after the
+  * response is fully written — the hook [[HttpShell.startFlight]] uses
+  * to record semconv `rpc.server` self-monitoring rows, mirroring the
+  * reference's flight telemetry (src/querier/src/flight.rs:3150).
   */
 final class FlightGrpc(spark: SparkSession, dir: String,
-    resolve: Option[String => Option[TenantCatalog.Principal]] = None) {
+    resolve: Option[String => Option[TenantCatalog.Principal]] = None,
+    maxSqlRows: Int = graft.sql.SqlSurface.DefaultMaxRows,
+    onServed: (String, Int, Double) => Unit = (_, _, _) => ()) {
 
   import FlightGrpc._
 
@@ -103,15 +116,25 @@ final class FlightGrpc(spark: SparkSession, dir: String,
           if (h.isEndStream) dispatch(ctx)
         case d: Http2DataFrame =>
           try {
-            val buf = d.content()
-            val arr = new Array[Byte](buf.readableBytes())
-            buf.readBytes(arr)
-            body.write(arr)
+            if (!done) { // a rejected stream stops accumulating
+              val buf = d.content()
+              val arr = new Array[Byte](buf.readableBytes())
+              buf.readBytes(arr)
+              body.write(arr)
+            }
           } finally d.release()
+          // inbound message-size cap, the stock gRPC server default
+          // (4 MiB): a client cannot grow driver memory by streaming an
+          // unbounded request body before auth ever runs
+          if (!done && body.size() > MaxInboundBytes) {
+            done = true
+            trailersOnly(ctx.channel(), StatusResourceExhausted,
+              s"gRPC message exceeds the $MaxInboundBytes-byte limit")
+          }
           // Handshake is bidirectional: the client waits for our reply
           // BEFORE half-closing, so dispatch on the first complete
           // message rather than on end-of-stream
-          if (d.isEndStream ||
+          else if (d.isEndStream ||
               (path.endsWith("/Handshake") && firstFrame(body.toByteArray).isDefined))
             dispatch(ctx)
         case other =>
@@ -125,26 +148,31 @@ final class FlightGrpc(spark: SparkSession, dir: String,
       val reqPath = path
       val reqHeaders = headers
       val reqBody = body.toByteArray
-      pool.execute(() =>
-        try route(ch, reqPath, reqHeaders, reqBody)
-        catch {
-          case e: Endpoints.HttpError =>
-            trailersOnly(ch, grpcStatusOf(e.status), e.message)
-          case NonFatal(e) =>
-            trailersOnly(ch, StatusInternal,
-              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-        })
+      pool.execute { () =>
+        val t0 = System.nanoTime()
+        val status =
+          try route(ch, reqPath, reqHeaders, reqBody)
+          catch {
+            case e: Endpoints.HttpError =>
+              trailersOnly(ch, grpcStatusOf(e.status), e.message)
+            case NonFatal(e) =>
+              trailersOnly(ch, StatusInternal,
+                Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          }
+        try onServed(reqPath.stripPrefix(ServicePrefix), status,
+          (System.nanoTime() - t0) / 1e6)
+        catch { case NonFatal(_) => () } // monitoring must never fail a serve
+      }
     }
   }
 
-  /** service dispatch. Every RPC here is unary-in (the request is one
-    * message); DoGet/ListFlights/ListActions are stream-out. */
+  /** service dispatch; returns the grpc-status the response carried.
+    * Every RPC here is unary-in (the request is one message);
+    * DoGet/ListFlights/ListActions are stream-out. */
   private def route(ch: Channel, path: String,
-      headers: Map[String, String], body: Array[Byte]): Unit = {
-    if (!path.startsWith(ServicePrefix)) {
-      trailersOnly(ch, StatusUnimplemented, s"unknown service: $path")
-      return
-    }
+      headers: Map[String, String], body: Array[Byte]): Int = {
+    if (!path.startsWith(ServicePrefix))
+      return trailersOnly(ch, StatusUnimplemented, s"unknown service: $path")
     val method = path.stripPrefix(ServicePrefix)
     // auth first, exactly the HTTP shell's band for /api/v1/arrow: with
     // a catalog wired in, a credential is REQUIRED, and a SCOPED key is
@@ -153,29 +181,23 @@ final class FlightGrpc(spark: SparkSession, dir: String,
     resolve match {
       case Some(r) =>
         val auth = headers.get("authorization")
-        if (auth.isEmpty) {
-          trailersOnly(ch, StatusUnauthenticated, "missing authorization metadata")
-          return
-        }
-        if (!auth.get.startsWith("Bearer ")) {
-          trailersOnly(ch, StatusUnauthenticated, "authorization must use Bearer scheme")
-          return
-        }
+        if (auth.isEmpty)
+          return trailersOnly(ch, StatusUnauthenticated,
+            "missing authorization metadata")
+        if (!auth.get.startsWith("Bearer "))
+          return trailersOnly(ch, StatusUnauthenticated,
+            "authorization must use Bearer scheme")
         r(auth.get.stripPrefix("Bearer ")) match {
           case None =>
-            trailersOnly(ch, StatusUnauthenticated, "invalid API key")
-            return
+            return trailersOnly(ch, StatusUnauthenticated, "invalid API key")
           case Some(p) if !p.isAdmin && p.scopes.isDefined =>
-            trailersOnly(ch, StatusPermissionDenied,
+            return trailersOnly(ch, StatusPermissionDenied,
               "Flight requires an unscoped administrative credential")
-            return
           case Some(p) =>
             val tenant = headers.get("x-tenant-id")
-            if (!p.isAdmin && tenant.exists(t => !p.tenant.contains(t))) {
-              trailersOnly(ch, StatusPermissionDenied,
+            if (!p.isAdmin && tenant.exists(t => !p.tenant.contains(t)))
+              return trailersOnly(ch, StatusPermissionDenied,
                 s"API key does not belong to tenant '${tenant.get}'")
-              return
-            }
         }
       case None =>
     }
@@ -211,30 +233,37 @@ final class FlightGrpc(spark: SparkSession, dir: String,
     else throw Endpoints.HttpError(400,
       "descriptor must be CMD (a ticket string) or PATH (one signal table)")
 
-  private def doGet(ch: Channel, ticket: String): Unit = {
-    val df = Endpoints.arrowTicketDf(spark, dir, ticket)
-    val msgs = FlightProto.splitIpcStream(ArrowResult.ipcStream(df))
-    respond(ch, msgs.map(m => FlightProto.encodeData(
-      FlightProto.Data(None, m.header, m.body))))
+  /** DoGet STREAMS: each encapsulated IPC message (schema, then one per
+    * record batch pulled a partition at a time) becomes one FlightData
+    * gRPC frame, written before the next batch is pulled — the whole
+    * result is never resident on the driver. */
+  private def doGet(ch: Channel, ticket: String): Int = {
+    val df = Endpoints.arrowTicketDf(spark, dir, ticket, maxSqlRows)
+    val msgs = ArrowResult.ipcMessages(df).map { m =>
+      val im = FlightProto.splitIpcStream(m).head // one message per element
+      FlightProto.encodeData(FlightProto.Data(None, im.header, im.body))
+    }
+    respondStream(ch, msgs)
   }
 
-  private def getFlightInfo(ch: Channel, msg: Array[Byte]): Unit = {
+  private def getFlightInfo(ch: Channel, msg: Array[Byte]): Int = {
     val d = FlightProto.decodeDescriptor(msg)
     val ticket = ticketOf(d)
-    val df = Endpoints.arrowTicketDf(spark, dir, ticket)
+    val df = Endpoints.arrowTicketDf(spark, dir, ticket, maxSqlRows)
     respond(ch, Seq(FlightProto.encodeInfo(FlightProto.Info(
       schema = schemaMessage(df), descriptor = d, tickets = Seq(ticket)))))
   }
 
-  private def getSchema(ch: Channel, msg: Array[Byte]): Unit = {
+  private def getSchema(ch: Channel, msg: Array[Byte]): Int = {
     val d = FlightProto.decodeDescriptor(msg)
-    val df = Endpoints.arrowTicketDf(spark, dir, ticketOf(d))
+    val df = Endpoints.arrowTicketDf(spark, dir, ticketOf(d), maxSqlRows)
     respond(ch, Seq(FlightProto.encodeSchemaResult(schemaMessage(df))))
   }
 
-  private def listFlights(ch: Channel): Unit =
+  private def listFlights(ch: Channel): Int =
     respond(ch, SignalTablesServed.map { t =>
-      val df = Endpoints.arrowTicketDf(spark, dir, s"SELECT * FROM $t")
+      val df = Endpoints.arrowTicketDf(spark, dir, s"SELECT * FROM $t",
+        maxSqlRows)
       FlightProto.encodeInfo(FlightProto.Info(
         schema = schemaMessage(df),
         descriptor = FlightProto.Descriptor(1, Seq(t), ""),
@@ -255,53 +284,89 @@ final class FlightGrpc(spark: SparkSession, dir: String,
 
   // ---- gRPC response plumbing ----
 
-  /** headers, each message as a length-prefixed gRPC frame in chunked
-    * DATA writes chained on completion (flow-control backpressure),
-    * then grpc-status 0 trailers. */
-  private def respond(ch: Channel, messages: Seq[Array[Byte]]): Unit = {
+  /** unary/small stream-out responses: delegate to the streaming writer
+    * — one code path, no wholesale concatenation anywhere. */
+  private def respond(ch: Channel, messages: Seq[Array[Byte]]): Int =
+    respondStream(ch, messages.iterator)
+
+  /** STREAMING response writer, run on the worker pool (never a Netty
+    * event loop): headers, then each message as its own length-prefixed
+    * gRPC frame in chunked DATA writes, AWAITING each write's
+    * completion before the next chunk — HTTP/2 flow control completes
+    * the write only once the window admits it, so a slow client
+    * backpressures the iterator (and, through it, `toLocalIterator`'s
+    * partition fetches) instead of growing driver buffers. At most ONE
+    * message is resident at a time. Returns the grpc-status written
+    * (0, or INTERNAL if the client went away mid-stream). */
+  private def respondStream(ch: Channel, messages: Iterator[Array[Byte]]): Int = {
     val h = new DefaultHttp2Headers()
     h.status("200")
     h.set("content-type", "application/grpc+proto")
     h.set("grpc-encoding", "identity")
     ch.write(new DefaultHttp2HeadersFrame(h))
-    val payload = new ByteArrayOutputStream()
-    messages.foreach { m =>
-      payload.write(0) // uncompressed
-      payload.write((m.length >>> 24) & 0xFF); payload.write((m.length >>> 16) & 0xFF)
-      payload.write((m.length >>> 8) & 0xFF); payload.write(m.length & 0xFF)
-      payload.write(m)
-    }
-    val all = payload.toByteArray
     val ChunkSize = 64 * 1024
-    def writeFrom(off: Int): Unit =
-      if (off >= all.length) {
-        val t = new DefaultHttp2Headers()
-        t.set("grpc-status", "0")
-        ch.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
-      } else {
-        val n = math.min(ChunkSize, all.length - off)
-        val f: ChannelFuture = ch.writeAndFlush(new DefaultHttp2DataFrame(
-          Unpooled.wrappedBuffer(all, off, n)))
-        f.addListener((done: io.netty.util.concurrent.Future[_ >: Void]) =>
-          if (done.isSuccess) writeFrom(off + n) else ch.close())
+    try {
+      while (messages.hasNext) {
+        val m = messages.next()
+        val framed = new Array[Byte](5 + m.length)
+        framed(0) = 0 // uncompressed
+        framed(1) = ((m.length >>> 24) & 0xFF).toByte
+        framed(2) = ((m.length >>> 16) & 0xFF).toByte
+        framed(3) = ((m.length >>> 8) & 0xFF).toByte
+        framed(4) = (m.length & 0xFF).toByte
+        System.arraycopy(m, 0, framed, 5, m.length)
+        var off = 0
+        while (off < framed.length) {
+          val n = math.min(ChunkSize, framed.length - off)
+          val f: ChannelFuture = ch.writeAndFlush(new DefaultHttp2DataFrame(
+            Unpooled.wrappedBuffer(framed, off, n)))
+          f.awaitUninterruptibly()
+          if (!f.isSuccess) { ch.close(); return StatusInternal }
+          off += n
+        }
       }
-    writeFrom(0)
+    } catch {
+      // response HEADERS are already on the wire, so a lazy-iterator
+      // failure (a partition erroring mid-stream) must surface as error
+      // TRAILERS — grpc-status in a trailing HEADERS frame with NO
+      // pseudo-headers — not a second response
+      case NonFatal(e) =>
+        val status = e match {
+          case he: Endpoints.HttpError => grpcStatusOf(he.status)
+          case _ => StatusInternal
+        }
+        val t = new DefaultHttp2Headers()
+        t.set("grpc-status", status.toString)
+        t.set("grpc-message", percentEncode(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        ch.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+        return status
+    }
+    val t = new DefaultHttp2Headers()
+    t.set("grpc-status", "0")
+    ch.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+    StatusOk
   }
 
   /** trailers-only error response (legal gRPC: HEADERS with :status 200
-    * carrying grpc-status, endStream). */
-  private def trailersOnly(ch: Channel, status: Int, message: String): Unit = {
+    * carrying grpc-status, endStream); returns the status written. */
+  private def trailersOnly(ch: Channel, status: Int, message: String): Int = {
     val h = new DefaultHttp2Headers()
     h.status("200")
     h.set("content-type", "application/grpc+proto")
     h.set("grpc-status", status.toString)
     if (message.nonEmpty) h.set("grpc-message", percentEncode(message))
     ch.writeAndFlush(new DefaultHttp2HeadersFrame(h, true))
+    status
   }
 }
 
 object FlightGrpc {
   val ServicePrefix = "/arrow.flight.protocol.FlightService/"
+
+  /** inbound gRPC request-message cap — the stock gRPC server default
+    * (`grpc.max_receive_message_length`, 4 MiB). */
+  val MaxInboundBytes: Int = 4 * 1024 * 1024
 
   /** the four signal views the SQL ticket surface exposes. */
   val SignalTablesServed: Seq[String] =

@@ -166,7 +166,8 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
   def startFlight(port: Int = 0): Int = {
     flight = new FlightGrpc(spark, dir,
       if (authEnabled) Some(k => catalog.resolve(HttpShell.hashApiKey(k)))
-      else None)
+      else None,
+      onServed = recordFlight)
     flight.start(port)
   }
 
@@ -556,44 +557,65 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
 
   private val SelfTenant = "_system"
   private val SelfDataset = "_monitoring"
-  /** buffered http.server.request.duration points; flushed as ONE
-    * batch through the idempotent sink every `SelfFlushEvery` requests
-    * and on stop() (the OTel-SDK batching shape — a Spark job per
-    * request would be absurd). */
-  private val selfBuf =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Double)]
+  /** buffered request-duration points — (obsTimeNs, metric name, point
+    * attributes, ms) — flushed as ONE batch through the idempotent sink
+    * every `SelfFlushEvery` requests and on stop() (the OTel-SDK
+    * batching shape — a Spark job per request would be absurd). HTTP
+    * serves record `http.server.request.duration`; Flight RPCs record
+    * semconv `rpc.server.duration` with `rpc.*` attributes (the
+    * reference's flight telemetry, src/querier/src/flight.rs:3150). */
+  private val selfBuf = scala.collection.mutable
+    .ArrayBuffer.empty[(Long, String, Map[String, String], Double)]
   private val SelfFlushEvery = 32
 
-  private def recordSelf(path: String, status: Int, durMs: Double,
-      tenant: String): Unit = if (ingest.isDefined && tenant != SelfTenant) {
+  private def recordPoint(metric: String, attrs: Map[String, String],
+      durMs: Double): Unit = {
     // wall-clock observation time, deliberately NOT the injected nowNs:
     // monitoring points are observational (batch ids already derive
     // from the wall clock for the same reason) — the deterministic-now
     // discipline is for QUERY semantics, not for telemetry about the
     // process itself
     val toFlush = selfBuf.synchronized {
-      selfBuf += ((System.currentTimeMillis() * 1000000L, path, status, durMs))
+      selfBuf += ((System.currentTimeMillis() * 1000000L, metric, attrs, durMs))
       if (selfBuf.size >= SelfFlushEvery) { val s = selfBuf.toSeq; selfBuf.clear(); Some(s) }
       else None
     }
     toFlush.foreach(flushSelf)
   }
 
-  private def flushSelf(rows: Seq[(Long, String, Int, Double)]): Unit =
+  private def recordSelf(path: String, status: Int, durMs: Double,
+      tenant: String): Unit = if (ingest.isDefined && tenant != SelfTenant)
+    recordPoint("http.server.request.duration",
+      Map("http.route" -> path, "http.status" -> status.toString), durMs)
+
+  /** Flight RPC self-monitoring hook ([[startFlight]] wires it): OTel
+    * semconv rpc.server attributes, same pipeline, same anti-loop rule
+    * (Flight never serves `_system` traffic — tickets read signal
+    * tables only). */
+  private[api] def recordFlight(method: String, grpcStatus: Int,
+      durMs: Double): Unit = if (ingest.isDefined)
+    recordPoint("rpc.server.duration",
+      Map("rpc.system" -> "grpc",
+        "rpc.service" -> "arrow.flight.protocol.FlightService",
+        "rpc.method" -> method,
+        "rpc.grpc.status_code" -> grpcStatus.toString), durMs)
+
+  private def flushSelf(
+      rows: Seq[(Long, String, Map[String, String], Double)]): Unit =
     try {
       val layout = graft.storage.Storage.TableLayout(
         ingest.get.basePath, SelfTenant, SelfDataset)
       import spark.implicits._
-      val df = rows.toDF("timestamp", "route", "status", "dur_ms")
+      val df = rows.toDF("timestamp", "metric", "attrs", "dur_ms")
         .selectExpr(
           "timestamp", "timestamp AS start_timestamp",
           "'graft-router' AS service_name",
-          "'http.server.request.duration' AS metric_name",
+          "metric AS metric_name",
           "'request wall time' AS metric_description",
           "'ms' AS metric_unit",
           "map('service.name', 'graft-router') AS resource_attributes",
           "map() AS scope_attributes",
-          "map('http.route', route, 'http.status', CAST(status AS STRING)) AS attributes",
+          "attrs AS attributes",
           "0 AS flags", "CAST(NULL AS STRING) AS exemplars",
           "dur_ms AS value")
       graft.streaming.IngestSink.appendBatch(layout, "metrics_gauge")(

@@ -27,6 +27,24 @@ object GraftArrowShim {
     }.collect()
   }
 
+  /** encoded-batch ITERATOR: identical executor-side encoding to
+    * [[toBatchBytes]], but the driver pulls one partition at a time via
+    * `RDD.toLocalIterator` instead of collecting every batch up front —
+    * driver memory is bounded by a single partition's encoded batches
+    * regardless of total result size. Each element is one complete
+    * encapsulated IPC record-batch message (continuation marker +
+    * metadata length + flatbuffer + body), exactly what
+    * `ArrowBatchStreamWriter` appends after the schema message. */
+  def toBatchBytesIterator(df: Dataset[Row], maxRecordsPerBatch: Long,
+      timeZoneId: String): Iterator[Array[Byte]] = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = classicDf.schema
+    classicDf.queryExecution.toRdd.mapPartitions { it =>
+      ArrowConverters.toBatchIterator(it, schema, maxRecordsPerBatch,
+        timeZoneId, true, false, TaskContext.get())
+    }.toLocalIterator
+  }
+
   /** frame schema + batches as one standard Arrow IPC stream. */
   def writeIpcStream(out: java.io.OutputStream, schema: StructType,
       batches: Iterator[Array[Byte]], timeZoneId: String): Unit = {

@@ -363,6 +363,98 @@ class FlightGrpcSpec extends AnyFunSuite {
     } finally { c2.close(); s2.stop() }
   }
 
+  test("DoGet data plane is STREAMING: early partitions' messages exist before later partitions run") {
+    // a DF whose SECOND partition poisons execution: a collect-wholesale
+    // data plane throws before producing ANY message; the streaming one
+    // yields the schema and all of partition 0's batches first, because
+    // toLocalIterator runs one partition's job at a time
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val rdd = spark.sparkContext.parallelize(0 until 2, 2)
+      .mapPartitionsWithIndex { (idx, _) =>
+        if (idx == 1) throw new RuntimeException("poison partition")
+        Iterator.range(0, 1000).map(i => org.apache.spark.sql.Row(i.toLong))
+      }
+    val df = spark.createDataFrame(rdd, schema)
+    val it = ArrowResult.ipcMessages(df, maxRecordsPerBatch = 100L)
+    var got = 0
+    intercept[Exception] { it.foreach(_ => got += 1) }
+    assert(got == 11, // 1 schema + 1000/100 batches from partition 0
+      s"expected schema + partition-0 batches to stream before the poison, got $got")
+  }
+
+  test("SQL tickets carry the max_sql_rows plan-level clamp") {
+    val s2 = new FlightGrpc(spark, dir, maxSqlRows = 7)
+    val p2 = s2.start()
+    val c2 = new H2cClient(p2)
+    try {
+      val r = c2.call("DoGet",
+        FlightProto.encodeTicket("SELECT timestamp FROM logs"))
+      assert(r.status == 0, s"trailers: ${r.trailers}")
+      assert(ArrowResult.fromIpcStream(spark, reassemble(r)).count() == 7)
+    } finally { c2.close(); s2.stop() }
+  }
+
+  test("a runtime failure mid-stream surfaces as error TRAILERS after the schema message") {
+    // passes analysis (so headers + schema go out), fails in execution
+    // (ANSI cast) — the client must see a well-formed stream that ends
+    // in non-zero grpc-status trailers, not a hang or a broken frame
+    val r = client.call("DoGet", FlightProto.encodeTicket(
+      "SELECT CAST('nope' AS INT) AS x FROM logs"))
+    assert(r.headers(":status") == "200")
+    assert(r.messages.nonEmpty, "schema message must already have streamed")
+    assert(r.trailers.getOrElse("grpc-status", "-1").toInt ==
+      FlightGrpc.StatusInternal)
+  }
+
+  test("inbound messages beyond the 4 MiB gRPC cap answer RESOURCE_EXHAUSTED") {
+    val big = new Array[Byte](FlightGrpc.MaxInboundBytes + 64 * 1024)
+    java.util.Arrays.fill(big, 'a'.toByte)
+    val r = client.call("DoGet", FlightProto.encodeTicket(new String(big, "UTF-8")))
+    assert(r.status == FlightGrpc.StatusResourceExhausted, s"${r.trailers}")
+  }
+
+  test("Flight RPCs dogfood rpc.server.duration rows into _system/_monitoring") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-flight-selfmon").toString
+    val layout = graft.storage.Storage.TableLayout(base, "acme", "prod")
+    val sh = new HttpShell(spark, dir, nowNs = 1706745600L * 1000000000L,
+      ingest = Some(layout))
+    val fport = sh.startFlight()
+    val c = new H2cClient(fport)
+    try {
+      assert(c.call("DoGet",
+        FlightProto.encodeTicket("SELECT 1 AS one")).status == 0)
+      assert(c.call("DoGet",
+        FlightProto.encodeTicket("DROP TABLE logs")).status ==
+        FlightGrpc.StatusInvalidArgument)
+      // onServed fires after the response is written; poll briefly
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (rows.length < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        sh.flushSelfMetrics()
+        val p = graft.storage.Storage
+          .TableLayout(base, "_system", "_monitoring").path("metrics_gauge")
+        if (new java.io.File(p).exists())
+          rows = spark.read.parquet(p)
+            .filter(org.apache.spark.sql.functions
+              .col("metric_name") === "rpc.server.duration")
+            .selectExpr("attributes['rpc.system'] AS sys",
+              "attributes['rpc.service'] AS svc",
+              "attributes['rpc.method'] AS m",
+              "attributes['rpc.grpc.status_code'] AS code", "value")
+            .collect()
+      }
+      assert(rows.length == 2, s"expected 2 rpc rows, got ${rows.length}")
+      assert(rows.forall(_.getString(0) == "grpc"))
+      assert(rows.forall(_.getString(1) == "arrow.flight.protocol.FlightService"))
+      assert(rows.forall(_.getString(2) == "DoGet"))
+      assert(rows.map(_.getString(3)).sorted.toSeq == Seq("0", "3"))
+      assert(rows.forall(_.getDouble(4) >= 0.0))
+    } finally { c.close(); sh.stop() }
+  }
+
   test("IPC split/join round-trips byte-exactly on a multi-batch stream") {
     import spark.implicits._
     val df = spark.range(0, 20000).select(

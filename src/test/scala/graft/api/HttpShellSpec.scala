@@ -1265,7 +1265,7 @@ class HttpShellSpec extends AnyFunSuite {
       assert(doc.get("scopes_supported").size() == 4)
       // DCR: loopback http is allowed, a public client with no secret
       val reg = post("/oauth/register",
-        """{"redirect_uris":["http://127.0.0.1:7777/cb","https://claude.ai/cb"],
+        """{"redirect_uris":["http://127.0.0.1:7777/cb","https://example.com/cb"],
           |"client_name":"mcp-probe","scope":"traces:read"}""".stripMargin)
       assert(reg.statusCode() == 201)
       val c = new com.fasterxml.jackson.databind.ObjectMapper()
