@@ -51,7 +51,15 @@ object Bench {
       if (packed.nonEmpty) packed.append(',')
       packed.append(e)
     }
-    println(header + packed.toString + "}}")
+    val line = header + packed.toString + "}}"
+    // the summary line must be UN-LOSABLE in the driver's ~2 KB stdout
+    // tail: emit it before AND after spark.stop() (shutdown logging goes
+    // to stderr, but a combined-stream capture would otherwise push a
+    // single early line out of the tail window), explicitly flushed
+    println(line)
+    System.out.flush()
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -88,6 +88,10 @@ object ScaleProof {
       case Some(subs) => families.filter(f => subs.exists(f.contains))
       case None => families
     }
+    // a filter that matches NOTHING is a typo, not a clean run — fail
+    // loudly instead of printing a successful-looking zero-query proof
+    require(run.nonEmpty, s"SPARK_GRAFT_SCALE_ONLY=${only.get.mkString(",")} " +
+      "matched no scale-proof family")
     val sel = SparkEntry.queries.filter(q => families.exists(q._1.startsWith))
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Long, String)]

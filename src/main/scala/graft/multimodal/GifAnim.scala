@@ -63,6 +63,7 @@ object GifAnim {
     // pending Graphic Control Extension state (applies to next image)
     var disposal = 0; var transparent = -1; var delayCs = 0
     var nFrames = 0
+    var totalRectPx = 0L
     while (i < bytes.length) {
       u8(i) match {
         case 0x21 => // extension
@@ -147,6 +148,14 @@ object GifAnim {
             delayCs, interlaced, java.util.Arrays.copyOf(idx, iw * ih), pal)
           nFrames += 1
           if (nFrames > 4096) return None // runaway stream
+          // cumulative decode bounds: a tiny crafted stream must not be
+          // able to demand unbounded memory. Both the retained frame
+          // indices (sum of rect areas) and what compose() will retain
+          // (frames x full canvas) stay under 2^27 px, or the input is
+          // rejected as hostile rather than decoded
+          totalRectPx += iw.toLong * ih
+          if (totalRectPx > (1L << 27)) return None
+          if (nFrames.toLong * sw * sh > (1L << 27)) return None
           disposal = 0; transparent = -1; delayCs = 0 // GCE is one-shot
         case 0x3B =>
           val fs = frames.result()

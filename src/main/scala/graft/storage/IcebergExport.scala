@@ -470,16 +470,26 @@ object IcebergExport {
       try {
         // validate the spec-required manifest key-value metadata the way
         // strict readers (iceberg-java, pyiceberg) do: `schema` must be a
-        // parseable JSON struct, `schema-id` / `partition-spec` present
-        val schemaMeta = Option(r.getMetaString("schema")).getOrElse(
-          throw new IllegalStateException(s"manifest $mp missing 'schema' metadata"))
-        val parsed = new ObjectMapper().readTree(schemaMeta)
-        require(parsed.get("type").asText() == "struct",
-          s"manifest $mp 'schema' metadata is not a struct schema")
-        require(r.getMetaString("schema-id") != null,
-          s"manifest $mp missing 'schema-id' metadata")
-        require(r.getMetaString("partition-spec") != null,
-          s"manifest $mp missing 'partition-spec' metadata")
+        // parseable JSON struct, `schema-id` / `partition-spec` present.
+        // Manifests written before these keys existed (pre-r9 exports on
+        // disk) are tolerated with a WARNING rather than a hard failure —
+        // read-back of old exports keeps working; re-run export() to
+        // refresh the metadata. A PRESENT-but-malformed schema is still
+        // an error (that's corruption, not age).
+        Option(r.getMetaString("schema")) match {
+          case Some(schemaMeta) =>
+            val parsed = new ObjectMapper().readTree(schemaMeta)
+            require(parsed.get("type").asText() == "struct",
+              s"manifest $mp 'schema' metadata is not a struct schema")
+            require(r.getMetaString("schema-id") != null,
+              s"manifest $mp missing 'schema-id' metadata")
+            require(r.getMetaString("partition-spec") != null,
+              s"manifest $mp missing 'partition-spec' metadata")
+          case None =>
+            System.err.println(s"[iceberg] WARN manifest $mp predates the " +
+              "schema/schema-id/partition-spec metadata keys; re-run " +
+              "export() to refresh it")
+        }
         r.iterator().asScala.flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED

@@ -162,4 +162,19 @@ class GifAnimSpec extends AnyFunSuite {
     bad(di + 5) = 9 // width LE16 low byte: 9 > screen 4
     assert(GifAnim.decode(bad).isEmpty)
   }
+
+  test("cumulative decode bounds: a small stream cannot demand huge memory") {
+    // 3 one-pixel frames on a 2^26-px logical screen: the stream is a
+    // few hundred bytes, but compose() would retain 3 full canvases
+    // (>2^27 px). The decoder must reject it, not decode-then-OOM.
+    val huge = GifAnim.syntheticAnimatedGif(8192, 8192, pal, 0, 0,
+      (1 to 3).map(_ =>
+        GifAnim.FrameSpec(0, 0, 1, 1, 1, -1, 1, interlaced = false, (_, _) => 1)))
+    assert(GifAnim.decode(huge).isEmpty)
+    // the same frames on a small screen stay decodable
+    val small = GifAnim.syntheticAnimatedGif(4, 4, pal, 0, 0,
+      (1 to 3).map(_ =>
+        GifAnim.FrameSpec(0, 0, 1, 1, 1, -1, 1, interlaced = false, (_, _) => 1)))
+    assert(GifAnim.decode(small).exists(_.frames.length == 3))
+  }
 }
