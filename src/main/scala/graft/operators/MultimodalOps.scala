@@ -84,20 +84,73 @@ object MultimodalOps {
       }
   }
 
+  /** the STORED media table: [[realMediaDs]]'s encoded payloads written
+    * ONCE per (source dir, data version) through the partitioned append
+    * sink ([[graft.storage.Storage.append]]: zstd, sorted, date_day/hour
+    * layout) into a `media` table whose `bytes` column is a parquet
+    * BINARY column — "multimodal columns" as a STORAGE capability:
+    * queries SCAN stored encoded payloads rather than synthesizing them
+    * inside the plan. Keyed by the source data version so a rewritten
+    * documents table re-materializes; its own isolated cache dir, never
+    * a shared fixture root. Ingest timestamps are deterministic (media_id
+    * nanos past a fixed epoch) — the layout machinery is the real sink,
+    * the wall clock is not part of the fixture. */
+  private val mediaStoreLock = new Object
+  private def storedMediaPath(s: SparkSession, dir: String): String = {
+    val key = "media_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    mediaStoreLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        val df = realMediaDs(s, dir).toDF()
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+        graft.storage.Storage.append(df, layout, "media")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media")
+  }
+
+  private def storedMediaDs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    s.read.parquet(storedMediaPath(s, dir))
+      .select("media_id", "kind", "bytes", "meta").as[MediaRow]
+  }
+
   val queries: Map[String, Q] = Map(
-    // FLAGSHIP feature extraction: mapPartitions batches dispatch each
-    // payload to the REAL decoder its magic matches (PNG/GIF/JPEG pixel
-    // stats, WAV PCM sample stats, MJPEG-AVI frame+motion stats); the
-    // oracle restates every branch arithmetically and LEFT JOINs so the
-    // undecodable rows' null format + null features are checked too.
+    // FLAGSHIP feature extraction — from the STORED binary column: the
+    // payloads are read back off the media table's parquet files, then
+    // mapPartitions batches dispatch each payload to the REAL decoder
+    // its magic matches (PNG/GIF/JPEG pixel stats, WAV PCM sample
+    // stats, MJPEG-AVI frame+motion stats); the oracle restates every
+    // branch arithmetically and LEFT JOINs so the undecodable rows'
+    // null format + null features are checked too.
     // (n_bytes of an ENCODED payload is codec-output-dependent — not
     // arithmetically restatable — so the oracle-checked projection is
     // the feature columns.)
     "q64_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(realMediaDs(s, dir)).toDF()
+      Multimodal.extractFeatures(storedMediaDs(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("format"),
           col("f0"), col("f1"), col("f2"), col("f3"),
           col("f4"), col("f5"), col("f6"), col("f7"))),
+
+    // stored-binary-column container parse: image dimensions read from
+    // ENCODED bytes scanned off the media table (the same parser as
+    // q277, but the input is the STORED column, proving the binary
+    // round trip end to end at every SF); undecodable payloads (raw
+    // text bytes) honestly answer (-1,-1).
+    "q345_stored_media_dims" -> ((s, dir) => {
+      import s.implicits._
+      storedMediaDs(s, dir)
+        .filter(_.kind == "image")
+        .map { r =>
+          val d = Multimodal.imageDims(r.bytes)
+          (r.media_id, d.map(_._1).getOrElse(-1), d.map(_._2).getOrElse(-1))
+        }.toDF("media_id", "width", "height")
+    }),
 
     // REAL container-header decode: dimensions parsed from the actual
     // PNG/JPEG/GIF byte layouts (pure JVM, no codec libs) — the payload
@@ -419,6 +472,17 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q345_stored_media_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 13 + 4
+        |    WHEN (doc_id // 3) % 3 = 1 THEN doc_id % 17 + 3
+        |    ELSE doc_id % 24 + 8 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 11 + 4
+        |    WHEN (doc_id // 3) % 3 = 1 THEN doc_id % 7 + 3
+        |    ELSE doc_id % 16 + 8 END AS INT) AS height
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "q64_multimodal_features" ->
       """WITH pngpx AS (
         |  SELECT doc_id, w, h,

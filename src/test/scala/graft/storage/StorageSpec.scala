@@ -505,4 +505,57 @@ class StorageSpec extends AnyFunSuite {
         "bucket-keyed aggregation still shuffles")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("binary media column round-trips through the append sink; footer stats stay bounded on large values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-binary").toString
+    val layout = TableLayout(dir, "acme", "prod")
+    // an incompressible ~1 MiB payload (deterministic PRNG, so zstd
+    // cannot shrink it away) next to tiny and empty payloads — the
+    // media-table shape
+    def prng(n: Int, seed: Long): Array[Byte] = {
+      var x = seed; Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    val big = prng(1024 * 1024, 7L)
+    val rows = Seq((1L, prng(32, 1L)), (2L, big), (3L, Array.emptyByteArray))
+    val df = rows.toDF("media_id", "bytes")
+      .withColumn("timestamp", lit(1706745600L * 1000000000L) + col("media_id"))
+    Storage.append(df, layout, "media")
+    val back = spark.read.parquet(layout.path("media"))
+      .select("media_id", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(back(1L), rows(0)._2))
+    assert(java.util.Arrays.equals(back(2L), big), "1 MiB binary value must round-trip byte-exactly")
+    assert(back(3L).isEmpty)
+    // footer behavior: parquet must not embed the megabyte value into
+    // the column's min/max statistics — stats are truncated or dropped
+    // beyond the stats size bound, so footers stay metadata-sized at
+    // any payload size
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.jdk.CollectionConverters._
+    for (pf <- parquetFiles(new java.io.File(layout.path("media")))) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(pf.toString), conf))
+      try {
+        for (block <- reader.getFooter.getBlocks.asScala;
+             c <- block.getColumns.asScala
+             if c.getPath.toDotString == "bytes") {
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            assert(Option(st.getMaxBytes).forall(_.length <= 64 * 1024),
+              s"footer max stat for 'bytes' is ${st.getMaxBytes.length} B")
+            assert(Option(st.getMinBytes).forall(_.length <= 64 * 1024),
+              s"footer min stat for 'bytes' is ${st.getMinBytes.length} B")
+          }
+        }
+      } finally reader.close()
+    }
+  }
 }
