@@ -160,6 +160,40 @@ object PipelineOps {
         "'<div>A &amp; B &lt;tag&gt; &quot;q&quot; it&#39;s&nbsp;done" +
         "</div></body></html>')"))
 
+  /** WARC fixture payloads shared VERBATIM by the Spark plan and the
+    * DuckDB twin (both engines parse the same SQL dialect subset:
+    * concat/chr/repeat/CASE/CAST AS STRING). CRLF is spelled
+    * chr(13), chr(10) so neither engine's string-escape rules are in
+    * play. The response payload wraps the q335 HTML page (`html` col)
+    * in an HTTP response message; status varies by construction. */
+  private val warcCrlf = "chr(13), chr(10)"
+  private lazy val warcInfoPayloadSql: String =
+    s"concat('software: graft/1.0', $warcCrlf, 'pad: ', " +
+      s"repeat('x', CAST(doc_id % 50 AS INT)), $warcCrlf)"
+  private lazy val warcReqPayloadSql: String =
+    s"concat('GET /p/', CAST(doc_id % 20 AS STRING), ' HTTP/1.1', $warcCrlf, " +
+      s"'Host: site', CAST((doc_id * 7 + 13) % 40 AS STRING), '.example', " +
+      s"$warcCrlf, $warcCrlf)"
+  private lazy val warcRespPayloadSql: String =
+    s"concat('HTTP/1.1 ', CASE WHEN doc_id % 11 = 0 THEN '404 Not Found' " +
+      s"ELSE '200 OK' END, $warcCrlf, " +
+      s"'Content-Type: text/html; charset=utf-8', $warcCrlf, $warcCrlf, html)"
+
+  /** one framed WARC record over a payload COLUMN: version line, named
+    * fields (Content-Length = BYTE length via the dialect's `blen` —
+    * Spark octet_length, DuckDB strlen), blank line, payload, record
+    * separator. Same string for both engines apart from blen. */
+  private def warcRecordSql(typ: String, uriSql: String, ctype: String,
+      pcol: String, blen: String => String): String =
+    s"concat('WARC/1.0', $warcCrlf, " +
+      s"'WARC-Type: $typ', $warcCrlf, " +
+      s"'WARC-Record-ID: <urn:uuid:', CAST(doc_id AS STRING), '-$typ>', $warcCrlf, " +
+      s"'WARC-Date: 2024-01-28T00:00:00Z', $warcCrlf, " +
+      (if (uriSql.nonEmpty) s"'WARC-Target-URI: ', $uriSql, $warcCrlf, " else "") +
+      s"'Content-Type: $ctype', $warcCrlf, " +
+      s"'Content-Length: ', CAST(${blen(pcol)} AS STRING), $warcCrlf, " +
+      s"$warcCrlf, $pcol, $warcCrlf, $warcCrlf)"
+
   /** The extraction pipeline over a frame carrying `html`: adds `nc`
     * (script/style/comment blocks replaced by spaces — their content
     * must never leak into text) and `clean` (tags stripped, the five
@@ -2947,6 +2981,50 @@ object PipelineOps {
           col("clean").as("clean_text"))
     }),
 
+    // WARC CONTAINER DECODE (ISO 28500) — the on-disk format of a real
+    // web crawl: each doc becomes a 3-record WARC file (warcinfo /
+    // request / response, CRLF framing, byte-exact Content-Length), the
+    // REAL framing parser ([[graft.sources.Warc]]) walks it back, the
+    // response record's HTTP message is split, and the entity body is
+    // handed to the q335 extraction chain. The oracle restates the
+    // framing arithmetic (record count, total byte length, payload byte
+    // length, status by construction) and the clean-text chain — so a
+    // parser that misreads any offset, header or length diverges.
+    // Per-row decode: scan-bound, no shuffle (the 100 TB crawl shape).
+    "q346_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val uri = "concat('https://site', CAST((doc_id * 7 + 13) % 40 AS STRING), " +
+        "'.example/p/', CAST(doc_id % 20 AS STRING))"
+      val withWarc = htmlDocs(s, dir)
+        .withColumn("p_info", expr(warcInfoPayloadSql))
+        .withColumn("p_req", expr(warcReqPayloadSql))
+        .withColumn("p_resp", expr(warcRespPayloadSql))
+        .withColumn("warc", expr("concat(" +
+          warcRecordSql("warcinfo", "", "application/warc-fields",
+            "p_info", b => s"octet_length($b)") + ", " +
+          warcRecordSql("request", uri, "application/http;msgtype=request",
+            "p_req", b => s"octet_length($b)") + ", " +
+          warcRecordSql("response", uri, "application/http;msgtype=response",
+            "p_resp", b => s"octet_length($b)") + ")"))
+      val parsed = withWarc.select(col("doc_id"), col("warc"))
+        .as[(Long, String)]
+        .map { case (id, w) =>
+          val bytes = w.getBytes("UTF-8")
+          val recs = graft.sources.Warc.parse(bytes).getOrElse(Vector.empty)
+          val resp = recs.find(_.warcType.contains("response"))
+          val http = resp.flatMap(r => graft.sources.Warc.httpResponse(r.payload))
+          (id, recs.length.toLong, bytes.length.toLong,
+            resp.map(_.payload.length.toLong).getOrElse(-1L),
+            http.map(_._1.toLong).getOrElse(-1L),
+            http.map(h => new String(h._3, "UTF-8")).getOrElse(""))
+        }.toDF("doc_id", "n_records", "warc_len", "resp_len", "status", "html")
+      htmlStripped(parsed)
+        .select(col("doc_id"), col("n_records"), col("warc_len"),
+          col("resp_len"), col("status"),
+          length(col("clean")).cast(LongType).as("n_clean"),
+          col("clean").as("clean_text"))
+    }),
+
     // LINE-LEVEL BOILERPLATE REMOVAL (CCNet-style): a line repeated
     // across ≥30% of a site's documents is navigation/footer template,
     // not content — drop it everywhere and reassemble the documents.
@@ -5433,6 +5511,48 @@ object PipelineOps {
           |    AS n_tags,
           |  CAST(length(clean) AS BIGINT) AS n_clean, clean AS clean_text
           |FROM c2""".stripMargin),
+
+    "q346_warc_extract" -> {
+      val uri = "concat('https://site', CAST((doc_id * 7 + 13) % 40 AS STRING), " +
+        "'.example/p/', CAST(doc_id % 20 AS STRING))"
+      def blen(b: String) = s"strlen($b)"
+      htmlSql +
+        s""", p AS (
+           |  SELECT doc_id, html,
+           |    $warcInfoPayloadSql AS p_info,
+           |    $warcReqPayloadSql AS p_req,
+           |    $warcRespPayloadSql AS p_resp
+           |  FROM h),
+           |w AS (
+           |  SELECT doc_id, html, p_resp, concat(
+           |    ${warcRecordSql("warcinfo", "", "application/warc-fields", "p_info", blen)},
+           |    ${warcRecordSql("request", uri, "application/http;msgtype=request", "p_req", blen)},
+           |    ${warcRecordSql("response", uri, "application/http;msgtype=response", "p_resp", blen)}
+           |  ) AS warc FROM p),
+           |c1 AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           |      '(?s)<!--.*?-->', ' ', 'g') AS nc
+           |  FROM h),
+           |c2 AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(nc, '<[^>]+>', ' ', 'g'),
+           |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           |      '\\s+', ' ', 'g')) AS clean
+           |  FROM c1)
+           |SELECT w.doc_id, CAST(3 AS BIGINT) AS n_records,
+           |  CAST(strlen(warc) AS BIGINT) AS warc_len,
+           |  CAST(strlen(p_resp) AS BIGINT) AS resp_len,
+           |  CAST(CASE WHEN w.doc_id % 11 = 0 THEN 404 ELSE 200 END
+           |    AS BIGINT) AS status,
+           |  CAST(length(clean) AS BIGINT) AS n_clean, clean AS clean_text
+           |FROM w JOIN c2 ON w.doc_id = c2.doc_id""".stripMargin
+    },
 
     "q336_boilerplate_lines" ->
       """WITH ld AS (

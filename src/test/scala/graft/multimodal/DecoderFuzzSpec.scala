@@ -119,4 +119,66 @@ class DecoderFuzzSpec extends AnyFunSuite {
       probe(s"$fmt-flip#$i", b)
     }
   }
+
+  test("WARC framing: valid files round-trip; truncation/garbage/flips reject with None, never throw") {
+    import graft.sources.Warc
+    val crlf = "\r\n"
+    def rec(typ: String, payload: String, extra: String = ""): String = {
+      s"WARC/1.0${crlf}WARC-Type: $typ${crlf}" +
+        s"WARC-Record-ID: <urn:uuid:42-$typ>$crlf$extra" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}$crlf" +
+        crlf + payload + crlf + crlf
+    }
+    val http = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf<p>hi & bye</p>"
+    val valid = (rec("warcinfo", s"software: graft$crlf") +
+      rec("request", s"GET / HTTP/1.1$crlf$crlf",
+        s"WARC-Target-URI: https://x.example/$crlf") +
+      rec("response", http)).getBytes("UTF-8")
+    // round trip: framing, header fold to lowercase, payload bytes, http split
+    val recs = Warc.parse(valid).get
+    assert(recs.map(_.warcType.get) == Vector("warcinfo", "request", "response"))
+    assert(recs(1).targetUri.contains("https://x.example/"))
+    val (status, hdrs, body) = Warc.httpResponse(recs(2).payload).get
+    assert(status == 200 && hdrs("content-type") == "text/html")
+    assert(new String(body, "UTF-8") == "<p>hi & bye</p>")
+    // a continuation line folds into the previous header value
+    val folded = ("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      "X-Long: part one" + crlf + " part two" + crlf +
+      "Content-Length: 0" + crlf + crlf + crlf + crlf).getBytes("UTF-8")
+    assert(Warc.parse(folded).get.head.headers("x-long") == "part one part two")
+    // EVERY truncation either rejects or lands EXACTLY on a record
+    // boundary (a prefix ending at a record separator IS a shorter
+    // valid file) — and never throws
+    val b1 = rec("warcinfo", s"software: graft$crlf").getBytes("UTF-8").length
+    val b2 = b1 + rec("request", s"GET / HTTP/1.1$crlf$crlf",
+      s"WARC-Target-URI: https://x.example/$crlf").getBytes("UTF-8").length
+    for (n <- 0 until valid.length) {
+      val r = Warc.parse(java.util.Arrays.copyOf(valid, n))
+      if (n == b1 || n == b2)
+        assert(r.isDefined, s"record-boundary prefix $n must parse")
+      else assert(r.isEmpty, s"truncation at $n must reject")
+    }
+    // trailing garbage after a well-formed record rejects the file
+    assert(Warc.parse(valid ++ "junk".getBytes("UTF-8")).isEmpty)
+    // random garbage and interior bit flips never escape as exceptions
+    val rnd = new scala.util.Random(17L)
+    for (i <- 0 until 300) {
+      val g = "WARC/1.0\r\n".getBytes("UTF-8") ++
+        Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      try { Warc.parse(g); () }
+      catch { case e: Throwable => fail(s"garbage#$i threw $e") }
+    }
+    for (i <- 0 until 400) {
+      val b = valid.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      try { Warc.parse(b).foreach(_.foreach(r => Warc.httpResponse(r.payload))); () }
+      catch { case e: Throwable => fail(s"flip#$i threw $e") }
+    }
+    // Content-Length lies (short and long) reject rather than misframe
+    val lieShort = new String(valid, "ISO-8859-1")
+      .replaceFirst("Content-Length: 17", "Content-Length: 16")
+    assert(lieShort != new String(valid, "ISO-8859-1"), "fixture drifted")
+    assert(Warc.parse(lieShort.getBytes("ISO-8859-1")).isEmpty)
+  }
 }
