@@ -411,7 +411,15 @@ object IcebergExport {
         sn.put("parent-snapshot-id", p.toLong))
       sn.put("sequence-number", v)
       sn.put("timestamp-ms", ts)
-      sn.set("summary", mapper.createObjectNode().put("operation", "append"))
+      // summary: a STRING map per spec; `operation` required, the
+      // added-/total- counters are what pyiceberg surfaces per snapshot
+      val m = manifests(v)
+      sn.set("summary", mapper.createObjectNode()
+        .put("operation", "append")
+        .put("added-data-files", m.added.toString)
+        .put("added-records", m.addedRows.toString)
+        .put("total-data-files", (m.added + m.existing).toString)
+        .put("total-records", (m.addedRows + m.existingRows).toString))
       sn.put("manifest-list", listPaths(v))
       sn.put("schema-id", 0)
       snaps.add(sn)
@@ -420,7 +428,18 @@ object IcebergExport {
     }
     meta.set("snapshots", snaps)
     meta.set("snapshot-log", snapLog)
-    meta.set("metadata-log", mapper.createArrayNode())
+    // metadata-log: every EARLIER metadata.json still on disk, oldest
+    // first (spec "Table Metadata" metadata-log; empty on a first
+    // export, accumulating across incremental re-exports)
+    val metaLog = mapper.createArrayNode()
+    versions.filter(_ < current).foreach { v =>
+      val prev = new File(metaDir, s"v$v.metadata.json")
+      if (prev.exists())
+        metaLog.add(mapper.createObjectNode()
+          .put("timestamp-ms", prev.lastModified())
+          .put("metadata-file", s"file:${prev.getAbsolutePath}"))
+    }
+    meta.set("metadata-log", metaLog)
     val mf = new File(metaDir, s"v$current.metadata.json")
     java.nio.file.Files.write(mf.toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
@@ -512,5 +531,214 @@ object IcebergExport {
       }.toList
       } finally r.close()
     }
+  }
+
+  // ---- strict-reader validation mode -------------------------------------
+
+  /** spec field-ids a strict reader binds by (Iceberg spec "Manifest
+    * Lists" / "Manifests"). */
+  private val ManifestListFieldIds = Map(
+    "manifest_path" -> 500, "manifest_length" -> 501,
+    "partition_spec_id" -> 502, "content" -> 517,
+    "sequence_number" -> 515, "min_sequence_number" -> 516,
+    "added_snapshot_id" -> 503, "added_data_files_count" -> 504,
+    "existing_data_files_count" -> 505, "deleted_data_files_count" -> 506,
+    "added_rows_count" -> 512, "existing_rows_count" -> 513,
+    "deleted_rows_count" -> 514)
+  private val ManifestEntryFieldIds = Map(
+    "status" -> 0, "snapshot_id" -> 1, "sequence_number" -> 3,
+    "file_sequence_number" -> 4, "data_file" -> 2)
+  private val DataFileFieldIds = Map(
+    "content" -> 134, "file_path" -> 100, "file_format" -> 101,
+    "partition" -> 102, "record_count" -> 103,
+    "file_size_in_bytes" -> 104, "sort_order_id" -> 140)
+
+  /** STRICT-READER validation: stock readers (pyiceberg, iceberg-java,
+    * duckdb-iceberg) are not installable in this offline environment,
+    * so this encodes the checks they perform instead — everything a
+    * strict reader binds or asserts while opening the table. Walks the
+    * export fresh (shares nothing with the writer), THROWS on the first
+    * violation, and returns the list of check names performed so specs
+    * can pin coverage.
+    *
+    * Checks: v2 required metadata fields + id resolution; snapshot
+    * sequence-number monotonicity against snapshot order and
+    * `last-sequence-number`; parent lineage; summary `operation` +
+    * string-typed counters; refs/main; snapshot-log (ordered
+    * timestamps, ids resolve, last entry = current); metadata-log
+    * (files exist, ordered); manifest-list Avro field-ids per spec +
+    * `manifest_length` = actual file length + sequence bounds; manifest
+    * key-value metadata REQUIRED (no tolerance here, unlike
+    * [[readDataFiles]]); manifest-entry/data_file Avro field-ids;
+    * entry sequence inheritance bounds; data files exist with matching
+    * sizes and non-negative record counts. */
+  def validateStrict(tableLocation: String): Seq[String] = {
+    val checks = Seq.newBuilder[String]
+    def check(name: String, cond: Boolean, detail: => String = ""): Unit = {
+      if (!cond) throw new IllegalStateException(
+        s"strict-reader violation [$name] $detail")
+      checks += name
+    }
+    val mapper = new ObjectMapper()
+    val metaDir = new File(tableLocation, "metadata")
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      new File(metaDir, "version-hint.text").toPath), "UTF-8").trim
+    val meta = mapper.readTree(new File(metaDir, s"v$hint.metadata.json"))
+
+    // -- table metadata ----------------------------------------------------
+    for (f <- Seq("format-version", "table-uuid", "location",
+        "last-sequence-number", "last-updated-ms", "last-column-id",
+        "schemas", "current-schema-id", "partition-specs",
+        "default-spec-id", "last-partition-id", "sort-orders",
+        "default-sort-order-id", "snapshots", "refs", "snapshot-log",
+        "metadata-log"))
+      check(s"metadata.$f", meta.has(f), s"missing required field '$f'")
+    check("metadata.format-version", meta.get("format-version").asInt() == 2)
+    check("metadata.table-uuid",
+      scala.util.Try(java.util.UUID.fromString(
+        meta.get("table-uuid").asText())).isSuccess, "not a UUID")
+    val schemaIds = meta.get("schemas").elements().asScala
+      .map(_.get("schema-id").asInt()).toSet
+    check("metadata.current-schema-id",
+      schemaIds.contains(meta.get("current-schema-id").asInt()))
+    val specIds = meta.get("partition-specs").elements().asScala
+      .map(_.get("spec-id").asInt()).toSet
+    check("metadata.default-spec-id",
+      specIds.contains(meta.get("default-spec-id").asInt()))
+    val orderIds = meta.get("sort-orders").elements().asScala
+      .map(_.get("order-id").asInt()).toSet
+    check("metadata.default-sort-order-id",
+      orderIds.contains(meta.get("default-sort-order-id").asInt()))
+
+    // -- snapshots ---------------------------------------------------------
+    val snaps = meta.get("snapshots").elements().asScala.toList
+    val lastSeq = meta.get("last-sequence-number").asLong()
+    val ids = snaps.map(_.get("snapshot-id").asLong())
+    check("snapshots.unique-ids", ids.distinct.size == ids.size)
+    val seqs = snaps.map(_.get("sequence-number").asLong())
+    check("snapshots.sequence-monotonic",
+      seqs.zip(seqs.drop(1)).forall { case (a, b) => a < b },
+      s"sequence numbers not strictly increasing: $seqs")
+    check("snapshots.last-sequence-number",
+      seqs.isEmpty || seqs.max <= lastSeq,
+      s"snapshot sequence ${seqs.max} beyond last-sequence-number $lastSeq")
+    var seen = Set.empty[Long]
+    for (sn <- snaps) {
+      val id = sn.get("snapshot-id").asLong()
+      Option(sn.get("parent-snapshot-id")).foreach(p =>
+        check("snapshots.parent-lineage", seen.contains(p.asLong()),
+          s"snapshot $id's parent ${p.asLong()} not an earlier snapshot"))
+      seen += id
+      val summary = sn.get("summary")
+      check("snapshots.summary-operation", summary != null &&
+        Set("append", "replace", "overwrite", "delete")
+          .contains(summary.get("operation").asText()))
+      for (k <- Seq("added-data-files", "added-records",
+          "total-data-files", "total-records"))
+        check(s"snapshots.summary.$k", summary.has(k) &&
+          summary.get(k).isTextual &&
+          summary.get(k).asText().forall(_.isDigit),
+          s"summary '$k' must be a numeric STRING (spec: string map)")
+      check("snapshots.schema-id",
+        schemaIds.contains(sn.get("schema-id").asInt()))
+      check("snapshots.manifest-list-exists",
+        new File(stripScheme(sn.get("manifest-list").asText())).isFile)
+    }
+    val current = meta.get("current-snapshot-id").asLong()
+    check("refs.main", meta.get("refs").has("main") &&
+      meta.get("refs").get("main").get("snapshot-id").asLong() == current)
+    check("snapshots.current-resolves", ids.contains(current))
+
+    // -- snapshot-log / metadata-log ---------------------------------------
+    val slog = meta.get("snapshot-log").elements().asScala.toList
+    val sts = slog.map(_.get("timestamp-ms").asLong())
+    check("snapshot-log.ordered",
+      sts.zip(sts.drop(1)).forall { case (a, b) => a <= b })
+    check("snapshot-log.ids-resolve",
+      slog.forall(e => ids.contains(e.get("snapshot-id").asLong())))
+    check("snapshot-log.last-is-current",
+      slog.nonEmpty && slog.last.get("snapshot-id").asLong() == current)
+    val mlog = meta.get("metadata-log").elements().asScala.toList
+    val mts = mlog.map(_.get("timestamp-ms").asLong())
+    check("metadata-log.ordered",
+      mts.zip(mts.drop(1)).forall { case (a, b) => a <= b })
+    check("metadata-log.files-exist", mlog.forall(e =>
+      new File(stripScheme(e.get("metadata-file").asText())).isFile))
+
+    // -- manifest lists ----------------------------------------------------
+    def fieldId(f: org.apache.avro.Schema.Field): Option[Int] =
+      Option(f.getObjectProp("field-id")).map {
+        case n: Number => n.intValue()
+        case other => other.toString.toInt
+      }
+    for (sn <- snaps) {
+      val snSeq = sn.get("sequence-number").asLong()
+      val listFile = new File(stripScheme(sn.get("manifest-list").asText()))
+      val r = new DataFileReader[GenericRecord](listFile,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        for (f <- r.getSchema.getFields.asScala)
+          check("manifest-list.field-ids",
+            fieldId(f) == ManifestListFieldIds.get(f.name()),
+            s"field '${f.name()}' carries field-id ${fieldId(f)}, " +
+              s"spec requires ${ManifestListFieldIds.get(f.name())}")
+        for (rec <- r.iterator().asScala) {
+          val mPath = new File(stripScheme(rec.get("manifest_path").toString))
+          check("manifest-list.manifest-exists", mPath.isFile)
+          check("manifest-list.manifest-length",
+            rec.get("manifest_length").asInstanceOf[Long] == mPath.length(),
+            s"${mPath.getName}: recorded ${rec.get("manifest_length")}, " +
+              s"actual ${mPath.length()}")
+          val mseq = rec.get("sequence_number").asInstanceOf[Long]
+          val minSeq = rec.get("min_sequence_number").asInstanceOf[Long]
+          check("manifest-list.sequence-bounds",
+            minSeq <= mseq && mseq <= snSeq)
+          // -- the manifest itself ----------------------------------------
+          val mr = new DataFileReader[GenericRecord](mPath,
+            new GenericDatumReader[GenericRecord]())
+          try {
+            // strict mode: metadata keys REQUIRED (readDataFiles
+            // tolerates their absence for old exports; a strict reader
+            // does not)
+            check("manifest.metadata-schema",
+              mr.getMetaString("schema") != null &&
+                mapper.readTree(mr.getMetaString("schema"))
+                  .get("type").asText() == "struct")
+            check("manifest.metadata-schema-id",
+              mr.getMetaString("schema-id") != null)
+            check("manifest.metadata-partition-spec",
+              mr.getMetaString("partition-spec") != null)
+            check("manifest.metadata-content",
+              mr.getMetaString("content") == "data")
+            val es = mr.getSchema
+            for (f <- es.getFields.asScala)
+              check("manifest.entry-field-ids",
+                fieldId(f) == ManifestEntryFieldIds.get(f.name()))
+            val dfs = es.getField("data_file").schema()
+            for (f <- dfs.getFields.asScala if f.name() != "partition")
+              check("manifest.data-file-field-ids",
+                fieldId(f) == DataFileFieldIds.get(f.name()))
+            check("manifest.partition-field-id",
+              fieldId(dfs.getField("partition")) == Some(102))
+            for (e <- mr.iterator().asScala) {
+              check("manifest.entry-status",
+                Set(0, 1, 2).contains(e.get("status").asInstanceOf[Int]))
+              val eseq = Option(e.get("sequence_number"))
+                .map(_.asInstanceOf[Long]).getOrElse(snSeq)
+              check("manifest.entry-sequence-inheritance",
+                eseq >= minSeq && eseq <= snSeq)
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val p = new File(stripScheme(df.get("file_path").toString))
+              check("manifest.data-file-exists", p.isFile, p.toString)
+              check("manifest.data-file-size",
+                df.get("file_size_in_bytes").asInstanceOf[Long] == p.length())
+              check("manifest.record-count",
+                df.get("record_count").asInstanceOf[Long] >= 0L)
+            }
+          } finally mr.close()
+        }
+      } finally r.close()
+    }
+    checks.result().distinct
   }
 }

@@ -251,4 +251,107 @@ class IcebergExportSpec extends AnyFunSuite {
       "Iceberg metadata leaked into a graft snapshot manifest")
     assert(manifest.contains(".parquet"))
   }
+
+  /** independent two-export fixture for the strict-mode rows (its own
+    * layout — strict tests never mutate the shared fixture). */
+  private lazy val strictFixture: String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_iceberg_strict_").toString
+    val layout = Storage.TableLayout(base, "acme", "prod")
+    val logs = graft.SignalViews.logsGen2Df(spark, dir)
+    Storage.append(Storage.withPartitionCols(logs)
+      .filter(col("date_day") === "2024-01-29"), layout, "logs",
+      alreadyPartitioned = true)
+    assert(Snapshots.commit(spark, layout, "logs") == 1)
+    assert(IcebergExport.export(spark, layout, "logs") == 1)
+    Storage.append(Storage.withPartitionCols(logs)
+      .filter(col("date_day") === "2024-01-30"), layout, "logs",
+      alreadyPartitioned = true)
+    assert(Snapshots.commit(spark, layout, "logs") == 2)
+    assert(IcebergExport.export(spark, layout, "logs") == 2)
+    layout.path("logs")
+  }
+
+  test("strict-reader validation passes and covers the full check surface") {
+    val checks = IcebergExport.validateStrict(strictFixture).toSet
+    // one sentinel per check family — pyiceberg's open-table surface
+    for (c <- Seq("metadata.format-version", "metadata.table-uuid",
+        "metadata.current-schema-id", "snapshots.unique-ids",
+        "snapshots.sequence-monotonic", "snapshots.parent-lineage",
+        "snapshots.summary-operation", "snapshots.summary.total-records",
+        "refs.main", "snapshot-log.ordered", "snapshot-log.last-is-current",
+        "metadata-log.ordered", "metadata-log.files-exist",
+        "manifest-list.field-ids", "manifest-list.manifest-length",
+        "manifest-list.sequence-bounds", "manifest.metadata-schema",
+        "manifest.entry-field-ids", "manifest.data-file-field-ids",
+        "manifest.partition-field-id", "manifest.entry-sequence-inheritance",
+        "manifest.data-file-exists", "manifest.data-file-size"))
+      assert(checks.contains(c), s"strict walk never performed '$c'")
+  }
+
+  test("metadata-log accumulates prior metadata files; summaries carry string counters") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      new java.io.File(strictFixture, "metadata/v2.metadata.json"))
+    val mlog = meta.get("metadata-log").elements().asScala.toList
+    assert(mlog.size == 1, "second export must log the first metadata file")
+    assert(new java.io.File(mlog.head.get("metadata-file").asText()
+      .stripPrefix("file:")).isFile)
+    val sn = meta.get("snapshots").elements().asScala.toList.head
+    val summary = sn.get("summary")
+    assert(summary.get("operation").asText() == "append")
+    for (k <- Seq("added-data-files", "added-records",
+        "total-data-files", "total-records")) {
+      assert(summary.get(k).isTextual, s"summary $k must be a string (spec)")
+      assert(summary.get(k).asText().toLong >= 0L)
+    }
+    // snapshot 2 totals include snapshot 1's carried files
+    val sn2 = meta.get("snapshots").elements().asScala.toList.last
+    assert(sn2.get("summary").get("total-data-files").asText().toInt >
+      sn2.get("summary").get("added-data-files").asText().toInt ||
+      sn2.get("summary").get("total-records").asText().toLong >=
+        sn2.get("summary").get("added-records").asText().toLong)
+  }
+
+  test("strict mode rejects corrupted metadata (on a COPY, never the fixture)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def corrupted(mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      // copy only the metadata dir; manifest-list paths inside are
+      // absolute, so Avro-level checks still resolve to the originals
+      val copy = java.nio.file.Files.createTempDirectory("graft_iceberg_bad_").toString
+      val mdir = new java.io.File(copy, "metadata"); mdir.mkdirs()
+      for (f <- new java.io.File(strictFixture, "metadata").listFiles())
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(mdir, f.getName).toPath)
+      val mf = new java.io.File(mdir, "v2.metadata.json")
+      val m = mapper.readTree(mf)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      mutate(m)
+      java.nio.file.Files.write(mf.toPath, mapper.writeValueAsBytes(m))
+      copy
+    }
+    // (a) sequence numbers out of order
+    val badSeq = corrupted { m =>
+      val sns = m.get("snapshots")
+      sns.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("sequence-number", 9L)
+    }
+    val e1 = intercept[IllegalStateException](IcebergExport.validateStrict(badSeq))
+    assert(e1.getMessage.contains("sequence"))
+    // (b) a summary counter written as a NUMBER, not the spec's string
+    val badSummary = corrupted { m =>
+      m.get("snapshots").get(0).get("summary")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("added-records", 5)
+    }
+    val e2 = intercept[IllegalStateException](IcebergExport.validateStrict(badSummary))
+    assert(e2.getMessage.contains("summary"))
+    // (c) snapshot-log's last entry no longer the current snapshot
+    val badLog = corrupted { m =>
+      m.get("snapshot-log").get(1)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("snapshot-id", 1L)
+    }
+    val e3 = intercept[IllegalStateException](IcebergExport.validateStrict(badLog))
+    assert(e3.getMessage.contains("snapshot-log"))
+  }
 }
