@@ -79,7 +79,12 @@ object ScaleProof {
       // proportional to it); dHash near-dup's band join fan-out is the
       // shape under test; the GIF family is per-row decode, scan-bound
       "q341_sketch_quantile", "q342_exact_substr_spans",
-      "q343_gif_anim_stats", "q344_image_dhash_neardup")
+      "q343_gif_anim_stats", "q344_image_dhash_neardup",
+      // round-10 additions: the stored-media path exercises the
+      // write-once materialization + binary-column scan at 10× volume;
+      // WARC decode is the per-row container-framing walk (scan-bound
+      // by design — the shape a 100 TB crawl archive scan takes)
+      "q345_stored_media_dims", "q346_warc_extract")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -201,7 +201,7 @@ object PipelineOps {
     * literal "&lt;" — and whitespace collapsed). Every step is a
     * codegen'd regexp/replace chain: no shuffle, no UDF — the operator
     * streams at scan speed. */
-  private def htmlStripped(df: DataFrame): DataFrame =
+  private[graft] def htmlStripped(df: DataFrame): DataFrame =
     df.withColumn("nc", regexp_replace(regexp_replace(regexp_replace(
         col("html"),
         "(?s)<script[^>]*>.*?</script>", " "),

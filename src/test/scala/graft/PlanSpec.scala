@@ -431,6 +431,17 @@ class PlanSpec extends AnyFunSuite {
       s"blocks must fold as arrays, not explode:\n$plan")
   }
 
+  test("WARC decode is shuffle-free: per-row framing walk at scan speed") {
+    val df = operators.PipelineOps.queries("q346_warc_extract")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // a crawl archive's records never leave their row: build, parse,
+    // HTTP-split and clean all fold per document — the 100 TB WARC scan
+    // is embarrassingly parallel by construction
+    assert(!plan.contains("Exchange"),
+      s"WARC framing decode must not shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("robots filter joins the rule set as a broadcast, never sort-merge") {
     val df = operators.PipelineOps.queries("q340_robots_filter")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
