@@ -3025,6 +3025,52 @@ object PipelineOps {
           col("clean").as("clean_text"))
     }),
 
+    // CONTENT-ENCODING decode inside WARC responses: Common Crawl
+    // stores entities gzip-encoded, so the container walk must inflate
+    // before extraction. Half the fixture's responses are REALLY
+    // gzip-compressed (JDK gzip inside the typed map — compressed bytes
+    // are not SQL-expressible, so q346 keeps the framing-arithmetic
+    // oracle and THIS one checks the decoded plane: encoding label,
+    // decoded byte length = the plain html's, and the clean chain over
+    // the INFLATED body). Zip-bomb guard: [[graft.sources.Warc
+    // .MaxEntityBytes]]. Per-row decode, scan-bound.
+    "q347_warc_gzip" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = htmlDocs(s, dir).select(col("doc_id"), col("html"))
+        .as[(Long, String)]
+        .map { case (id, html) =>
+          val body = html.getBytes("UTF-8")
+          val gz = id % 2 == 0
+          val entity =
+            if (!gz) body
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(body); g.close(); bos.toByteArray
+            }
+          val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+            (if (gz) "\r\nContent-Encoding: gzip" else "") +
+            "\r\n\r\n").getBytes("UTF-8")
+          val payload = head ++ entity
+          val wh = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8")
+          val warc = wh ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+          // the REAL walk over the real bytes: frame → HTTP split →
+          // Content-Encoding inflate
+          val rec = graft.sources.Warc.parse(warc).get.head
+          val (_, hs, raw) = graft.sources.Warc.httpResponse(rec.payload).get
+          val dec = graft.sources.Warc.decodedBody(hs, raw).get
+          (id, hs.getOrElse("content-encoding", "identity"),
+            dec.length.toLong, new String(dec, "UTF-8"))
+        }.toDF("doc_id", "encoding", "n_body", "html")
+      htmlStripped(parsed)
+        .select(col("doc_id"), col("encoding"), col("n_body"),
+          length(col("clean")).cast(LongType).as("n_clean"),
+          col("clean").as("clean_text"))
+    }),
+
     // LINE-LEVEL BOILERPLATE REMOVAL (CCNet-style): a line repeated
     // across ≥30% of a site's documents is navigation/footer template,
     // not content — drop it everywhere and reassemble the documents.
@@ -5553,6 +5599,31 @@ object PipelineOps {
            |  CAST(length(clean) AS BIGINT) AS n_clean, clean AS clean_text
            |FROM w JOIN c2 ON w.doc_id = c2.doc_id""".stripMargin
     },
+
+    "q347_warc_gzip" ->
+      (htmlSql +
+        """, c1 AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g') AS nc
+          |  FROM h),
+          |c2 AS (
+          |  SELECT doc_id,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |        regexp_replace(nc, '<[^>]+>', ' ', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS clean
+          |  FROM c1)
+          |SELECT h.doc_id,
+          |  CASE WHEN h.doc_id % 2 = 0 THEN 'gzip' ELSE 'identity' END
+          |    AS encoding,
+          |  CAST(strlen(h.html) AS BIGINT) AS n_body,
+          |  CAST(length(clean) AS BIGINT) AS n_clean, clean AS clean_text
+          |FROM h JOIN c2 ON h.doc_id = c2.doc_id""".stripMargin),
 
     "q336_boilerplate_lines" ->
       """WITH ld AS (

@@ -143,4 +143,38 @@ object Warc {
     }
     None // unreachable
   }
+
+  /** decompressed entity cap: 64 MiB per response — a crafted tiny
+    * gzip member must not be able to demand unbounded executor memory
+    * (the zip-bomb guard; same posture as the image decoders'
+    * cumulative-pixel bounds). */
+  val MaxEntityBytes: Long = 1L << 26
+
+  /** decode the entity body per `Content-Encoding` (RFC 9110 §8.4):
+    * identity passes through, gzip inflates (Common Crawl stores
+    * response entities gzip-encoded). Unknown codings, corrupt/
+    * truncated gzip streams, and bodies inflating past
+    * [[MaxEntityBytes]] are None — honest rejection, never a crash. */
+  def decodedBody(headers: Map[String, String],
+      body: Array[Byte]): Option[Array[Byte]] =
+    headers.get("content-encoding").map(_.trim.toLowerCase) match {
+      case None | Some("identity") => Some(body)
+      case Some("gzip") =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(body))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = in.read(buf)
+          while (n > 0) {
+            total += n
+            if (total > MaxEntityBytes) return None
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          Some(out.toByteArray)
+        } catch { case _: java.io.IOException => None }
+      case Some(_) => None
+    }
 }

@@ -181,4 +181,40 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(lieShort != new String(valid, "ISO-8859-1"), "fixture drifted")
     assert(Warc.parse(lieShort.getBytes("ISO-8859-1")).isEmpty)
   }
+
+  test("WARC entity decoding: gzip inflates; truncation/unknown/bomb reject with None, flips never throw") {
+    import graft.sources.Warc
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val body = "hello <b>world</b> & more".getBytes("UTF-8")
+    assert(Warc.decodedBody(Map.empty, body).get.sameElements(body))
+    assert(Warc.decodedBody(Map("content-encoding" -> "identity"), body)
+      .get.sameElements(body))
+    val z = gz(body)
+    assert(Warc.decodedBody(Map("content-encoding" -> "gzip"), z)
+      .get.sameElements(body))
+    // every truncation of the gzip stream rejects (header, deflate
+    // blocks and the CRC/ISIZE trailer all fail closed) — never throws
+    for (n <- 0 until z.length)
+      assert(Warc.decodedBody(Map("content-encoding" -> "gzip"),
+        java.util.Arrays.copyOf(z, n)).isEmpty, s"gzip truncated at $n")
+    // interior bit flips: any answer, no escaping exception
+    val rnd = new scala.util.Random(23L)
+    for (i <- 0 until 300) {
+      val b = z.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      try { Warc.decodedBody(Map("content-encoding" -> "gzip"), b); () }
+      catch { case e: Throwable => fail(s"gzip-flip#$i threw $e") }
+    }
+    // unknown codings refuse honestly
+    assert(Warc.decodedBody(Map("content-encoding" -> "br"), body).isEmpty)
+    // a zip bomb (tiny stream inflating past MaxEntityBytes) is cut off
+    val bomb = gz(new Array[Byte]((Warc.MaxEntityBytes + 1024).toInt))
+    assert(bomb.length < 1024 * 1024, "bomb fixture should compress tiny")
+    assert(Warc.decodedBody(Map("content-encoding" -> "gzip"), bomb).isEmpty)
+  }
 }
