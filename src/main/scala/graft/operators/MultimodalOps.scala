@@ -116,8 +116,14 @@ object MultimodalOps {
 
   private def storedMediaDs(s: SparkSession, dir: String) = {
     import s.implicits._
+    // the feature fold never reads `meta`, so it is PRUNED from the
+    // parquet scan (ReadSchema = media_id/kind/bytes) and the encoder
+    // fed an empty literal — at 100 TB an unused stored column must
+    // never reach the decoder tasks
     s.read.parquet(storedMediaPath(s, dir))
-      .select("media_id", "kind", "bytes", "meta").as[MediaRow]
+      .select(col("media_id"), col("kind"), col("bytes"),
+        typedLit(Map.empty[String, String]).as("meta"))
+      .as[MediaRow]
   }
 
   val queries: Map[String, Q] = Map(
@@ -144,11 +150,17 @@ object MultimodalOps {
     // text bytes) honestly answer (-1,-1).
     "q345_stored_media_dims" -> ((s, dir) => {
       import s.implicits._
-      storedMediaDs(s, dir)
-        .filter(_.kind == "image")
-        .map { r =>
-          val d = Multimodal.imageDims(r.bytes)
-          (r.media_id, d.map(_._1).getOrElse(-1), d.map(_._2).getOrElse(-1))
+      // the kind predicate stays RELATIONAL (pushed to the parquet
+      // scan, bloom/stats-skippable) and only (media_id, bytes) cross
+      // the encoder boundary — a typed .filter here would drag every
+      // column through deserialization at any scale
+      s.read.parquet(storedMediaPath(s, dir))
+        .where(col("kind") === "image")
+        .select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val d = Multimodal.imageDims(bytes)
+          (id, d.map(_._1).getOrElse(-1), d.map(_._2).getOrElse(-1))
         }.toDF("media_id", "width", "height")
     }),
 
