@@ -67,7 +67,11 @@ final class FlightGrpc(spark: SparkSession, dir: String,
   def start(port: Int = 0): Int = {
     bossGroup = new NioEventLoopGroup(1)
     workGroup = new NioEventLoopGroup(2)
-    pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // streaming responses HOLD a worker for their duration (each write
+    // awaits flow control), so the pool is sized above the expected
+    // concurrent-stream count or a pair of slow readers would starve
+    // Handshake/GetSchema
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val b = new ServerBootstrap()
       .group(bossGroup, workGroup)
       .channel(classOf[NioServerSocketChannel])
