@@ -13,20 +13,20 @@ import org.apache.spark.sql.{DataFrame, GraftArrowShim, SparkSession}
   * A query result is serialized to the standard Arrow IPC stream format
   * — schema message followed by record batches — which is byte-for-byte
   * what a Flight `DoGet` carries in its FlightData payloads. Encoding
-  * happens ON THE EXECUTORS via Spark's own ArrowConverters (each
-  * partition emits finished batch payloads; the driver concatenates
-  * frames, it never touches rows), so the serving boundary scales with
-  * the cluster exactly as the reference's querier does. Any Arrow
-  * consumer (pyarrow, arrow-rs, a Flight server wrapping this) reads the
-  * stream as-is.
+  * happens ON THE EXECUTORS via Spark's own ArrowConverters; the
+  * SERVING paths consume [[ipcMessages]], which pulls one partition of
+  * encoded batches at a time (`toLocalIterator`) so driver memory stays
+  * bounded no matter the result size — the same shape as the
+  * reference's batch-streaming querier. Any Arrow consumer (pyarrow,
+  * arrow-rs, a Flight server wrapping this) reads the stream as-is.
   */
 object ArrowResult {
 
   val DefaultMaxRecordsPerBatch = 4096L
 
-  /** the result as one Arrow IPC stream. `df` should already be limited/
-    * shaped — this is the post-query serving boundary, same place the
-    * JSON envelopes sit. */
+  /** the result as one MATERIALIZED Arrow IPC stream — the
+    * whole-result convenience for byte-parity specs and small shaped
+    * results; serving paths use [[ipcMessages]] instead. */
   def ipcStream(df: DataFrame,
       maxRecordsPerBatch: Long = DefaultMaxRecordsPerBatch): Array[Byte] = {
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone

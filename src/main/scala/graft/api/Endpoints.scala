@@ -1085,6 +1085,10 @@ object Endpoints {
     *    session_for_request isolation: nothing leaks into the shared
     *    session).
     */
+  /** a ticket's COMPLETE IPC stream in one array — the materializing
+    * convenience (byte-parity specs, small results). Both serving paths
+    * stream instead: the HTTP route writes [[ArrowResult.ipcMessages]]
+    * chunk by chunk and Flight DoGet one FlightData per batch. */
   def arrowTicket(spark: SparkSession, dir: String,
       ticket: String): Array[Byte] =
     ArrowResult.ipcStream(arrowTicketDf(spark, dir, ticket))

@@ -401,12 +401,18 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     * from `?ticket=` / `?sql=` on GET or the raw POST body (what a
     * Flight client would put in its Ticket payload). The response is
     * `application/vnd.apache.arrow.stream`, CHUNKED (length 0 →
-    * Transfer-Encoding: chunked on the JDK server), written in 64 KiB
-    * slices — the stream shape a DoGet delivers frame by frame. Errors
-    * resolve BEFORE the body starts (the plan executes inside
-    * ipcStream), so failures still answer with JSON + status. */
+    * Transfer-Encoding: chunked on the JDK server), STREAMED message by
+    * message: the schema goes out first, then each record batch as its
+    * partition is computed ([[ArrowResult.ipcMessages]] /
+    * `toLocalIterator` — driver memory is bounded by one partition, the
+    * same scale shape as the Flight DoGet). Parse/analysis errors
+    * resolve BEFORE the body starts and still answer JSON + status; a
+    * RUNTIME failure mid-stream stops the body without the IPC
+    * end-of-stream marker, so a consumer can tell a truncated result
+    * from a complete one (HTTP/1.1 has no mid-body error channel —
+    * gRPC's error trailers are the richer transport, [[FlightGrpc]]). */
   private def arrowRoute(ex: HttpExchange, qs: String): Unit = {
-    val bytes =
+    val msgs =
       try {
         val ticket =
           if (ex.getRequestMethod == "POST")
@@ -416,7 +422,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
             p.get("ticket").orElse(p.get("sql")).getOrElse(
               throw Endpoints.HttpError(400, "missing ticket (or sql) param"))
           }
-        Endpoints.arrowTicket(spark, dir, ticket)
+        ArrowResult.ipcMessages(Endpoints.arrowTicketDf(spark, dir, ticket))
       } catch {
         case e: Endpoints.HttpError => respondJson(ex, e.status, errJson(e.message)); return
         case e: Throwable =>
@@ -428,12 +434,10 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     ex.sendResponseHeaders(200, 0L) // chunked
     val os = ex.getResponseBody
     try {
-      var off = 0
-      while (off < bytes.length) {
-        val n = math.min(65536, bytes.length - off)
-        os.write(bytes, off, n)
-        off += n
-      }
+      msgs.foreach(os.write)
+      // end-of-stream marker ONLY after every batch arrived — its
+      // absence marks a truncated stream
+      os.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
     } finally os.close()
   }
 
