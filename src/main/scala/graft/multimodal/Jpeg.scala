@@ -24,9 +24,11 @@ package graft.multimodal
   * decoders). PROGRESSIVE (SOF2) streams decode through the dedicated
   * scan accumulator (`decodeProgressivePlanes`): DC first + refinement,
   * AC spectral-selection first + refinement per T.81 §G, then the same
-  * dequant + IDCT + color pipeline. Unsupported shapes (arithmetic
-  * coding, 16-bit DQT, restart intervals, 2- or 4-component frames) →
-  * None, never a guess.
+  * dequant + IDCT + color pipeline. RESTART INTERVALS (DRI + RST0-7
+  * resync, §E.2.4) decode in the baseline path: byte-align, verify the
+  * cycling marker, reset DC predictors per interval. Unsupported
+  * shapes (arithmetic coding, 16-bit DQT, 2- or 4-component frames,
+  * restarts inside progressive scans) → None, never a guess.
   *
   * Reference surface parity: the reference ships no media decode either
   * (multimodal payloads are opaque bytes there); this closes baseline
@@ -257,6 +259,43 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** encode a grayscale image as a baseline JPEG WITH RESTART
+    * INTERVALS (T.81 §B.2.4.4/§E.2.4): a DRI segment declares `ri` MCUs
+    * per interval, and at each boundary the entropy stream byte-aligns
+    * (1-padded), emits the cycling RST0-7 marker, and resets the DC
+    * predictor — the resync structure real encoders emit so a corrupted
+    * scan only loses one interval. Same quantizer/tables/FDCT as
+    * [[encodeGray]], so both encodings of one image decode to IDENTICAL
+    * pixels (the q348 parity law). */
+  def encodeGrayRestart(w: Int, h: Int, px: (Int, Int) => Int,
+      ri: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF && ri > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)), sos = false)
+    out.write(0xFF); out.write(0xDD); out.write(0); out.write(4) // DRI
+    out.write((ri >>> 8) & 0xFF); out.write(ri & 0xFF)
+    writeSos(out, Seq((1, 0x00)), ss = 0, se = 63, ahal = 0)
+    val bwr = new BlockWriter(out)
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xFF)
+    var prevDc = 0
+    var mcu = 0
+    var rst = 0
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      if (mcu > 0 && mcu % ri == 0) {
+        bwr.flush()
+        out.write(0xFF); out.write(0xD0 + rst)
+        rst = (rst + 1) % 8
+        prevDc = 0
+      }
+      prevDc = bwr.encodeBlock(sampleBlock(plane, w, h, bx * 8, by * 8), prevDc)
+      mcu += 1
+    }
+    bwr.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** encode a grayscale image as a standards-conformant PROGRESSIVE
     * (SOF2) JPEG in two spectral-selection scans — scan 1: all DC
     * coefficients (Ss=Se=0, Ah=Al=0), scan 2: the full AC band
@@ -350,7 +389,7 @@ object Jpeg {
     * (grayscale) or 3 (YCbCr), h,v sampling ∈ {1,2} with factors
     * dividing the frame maxima (covers 4:4:4, 4:2:2, 4:2:0). Follows
     * DQT/DHT as declared in the stream. None for progressive /
-    * restart-interval / malformed inputs. */
+    * malformed inputs; restart intervals (DRI) decode here. */
   private def decodePlanes(bytes: Array[Byte]): Option[(Int, Int, Array[Comp])] = {
     var i = 0
     def u8(): Int = { val v = bytes(i) & 0xFF; i += 1; v }
@@ -365,6 +404,7 @@ object Jpeg {
       val compHs = new Array[Int](4); val compVs = new Array[Int](4)
       val compQ = new Array[Int](4); val compIds = new Array[Int](4)
       val dcSel = new Array[Int](4); val acSel = new Array[Int](4)
+      var restartInterval = 0 // DRI: MCUs between RSTm markers, 0 = off
       var sos = false
       while (!sos) {
         if (i + 4 > bytes.length) return None
@@ -409,7 +449,9 @@ object Jpeg {
               val tab = new DecodeTable(bits, vals)
               if ((tc >> 4) == 0) dcTabs(tc & 0xF) = tab else acTabs(tc & 0xF) = tab
             }
-          case 0xDD => return None // restart intervals unsupported
+          case 0xDD => // DRI (T.81 §B.2.4.4): restart interval in MCUs
+            val len = u16(); if (len != 4) return None
+            restartInterval = u16()
           case 0xDA =>
             val len = u16(); val end = i + len - 2
             val ns = u8()
@@ -496,7 +538,24 @@ object Jpeg {
       // skipping it leaves every acc bit-identical to the dense loop
       val nzIdx = new Array[Int](64)
       val nzT = new Array[Double](64)
+      var mcuCount = 0
+      var expectedRst = 0
       for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+        // restart boundary (T.81 §E.2.4): before each interval after the
+        // first, the entropy stream byte-aligns, an RSTm marker (m
+        // cycling 0-7) appears, and DC predictors reset — checked here
+        // at the first component of the MCU
+        if (c == 0 && restartInterval > 0 && mcuCount > 0 &&
+            mcuCount % restartInterval == 0) {
+          bitCnt = 0 // discard pad bits to the byte boundary
+          if (i + 2 > bytes.length) return None
+          if ((bytes(i) & 0xFF) != 0xFF ||
+              (bytes(i + 1) & 0xFF) != (0xD0 + expectedRst)) return None
+          i += 2
+          expectedRst = (expectedRst + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        if (c == nComp - 1) mcuCount += 1
         val comp = comps(c)
         val q = qt(compQ(c)); val dcT = dcTabs(dcSel(c)); val acT = acTabs(acSel(c))
         for (bv <- 0 until comp.vs; bh0 <- 0 until comp.hs) {

@@ -313,6 +313,37 @@ object MultimodalOps {
           "sum_gray", "sum_luma_milli", "peak_luma_milli")
     }),
 
+    // RESTART-INTERVAL JPEG (T.81 §E.2.4): each doc's image is encoded
+    // WITH a DRI segment + cycling RST0-7 resync markers (interval
+    // varying 1-5 MCUs — several full RST cycles on the larger images)
+    // and decoded by the baseline path's restart handling: byte-align,
+    // verify the cycling marker, reset DC predictors. The query also
+    // asserts in-plan that the restart encoding decodes IDENTICALLY to
+    // the plain one (the resync structure must not change pixels); the
+    // oracle restates the pixel formula AND the marker-count arithmetic
+    // floor((blocks-1)/ri).
+    "q348_jpeg_restart" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+          val ri = (id % 5 + 1).toInt
+          def v(x: Int, y: Int) =
+            ((id * 29 + (x / 8) * 7 + (y / 8) * 3) % 256).toInt
+          val p = graft.multimodal.Jpeg.decodeGray(
+            graft.multimodal.Jpeg.encodeGrayRestart(w, h, v, ri)).get
+          val plain = graft.multimodal.Jpeg.decodeGray(
+            graft.multimodal.Jpeg.encodeGray(w, h, v)).get
+          require(p == plain, s"restart decode diverged for doc $id")
+          val nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+          (id, ri.toLong, ((nBlocks - 1) / ri).toLong,
+            p.width, p.height, p.nPx, p.sumR)
+        }.toDF("media_id", "restart_interval", "n_restart_markers",
+          "width", "height", "n_px", "sum_gray")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -689,6 +720,25 @@ object MultimodalOps {
         |  CAST(SUM(1000 * v) AS BIGINT) AS sum_luma_milli,
         |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "q348_jpeg_restart" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+        |    doc_id % 5 + 1 AS ri
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, ri,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3) % 256 AS v
+        |  FROM img, range(0, 32) x(i), range(0, 24) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id,
+        |  CAST(ri AS BIGINT) AS restart_interval,
+        |  CAST((((w + 7) // 8) * ((h + 7) // 8) - 1) // ri AS BIGINT)
+        |    AS n_restart_markers,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q324_jpeg_progressive_stats" ->
       """WITH img AS (

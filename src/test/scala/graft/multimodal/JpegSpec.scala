@@ -238,4 +238,41 @@ class JpegSpec extends AnyFunSuite {
     }
     assert(Jpeg.decodeGray(withDri).isEmpty)
   }
+
+  test("restart intervals: encode+decode parity with plain baseline, JDK agreement, marker checks") {
+    // general (non-flat) content across several interval lengths,
+    // including ri=1 (a marker between every MCU, full RST0-7 cycling
+    // on the 12-block image) and non-multiple-of-8 crops
+    for ((w, h, ri) <- Seq((32, 24, 1), (32, 24, 3), (20, 13, 2), (17, 9, 5))) {
+      def v(x: Int, y: Int) = (x * 7 + y * 13 + x * y) % 256
+      val rjpg = Jpeg.encodeGrayRestart(w, h, v, ri)
+      val plain = Jpeg.encodeGray(w, h, v)
+      val pR = Jpeg.decodeGray(rjpg).get
+      val pP = Jpeg.decodeGray(plain).get
+      assert(pR == pP, s"restart decode diverged at $w x $h ri=$ri")
+      // the stream is a REAL restart-interval JPEG: the JDK decoder
+      // (independent libjpeg lineage) reads it and agrees with its own
+      // decode of the plain encoding pixel for pixel
+      val jdkR = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rjpg))
+      val jdkP = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(plain))
+      assert(jdkR.getWidth == w && jdkR.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(jdkR.getRaster.getSample(x, y, 0) ==
+          jdkP.getRaster.getSample(x, y, 0), s"JDK($x,$y) ri=$ri")
+      // and the DRI segment really is in the stream
+      assert(rjpg.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xDD))
+    }
+    // a WRONG restart marker number is a framing violation, not a guess
+    val good = Jpeg.encodeGrayRestart(32, 24, (x, y) => (x + y) % 256, 2)
+    val idx = (1 until good.length).find(i => // first real FF D0 pair
+      (good(i - 1) & 0xFF) == 0xFF && (good(i) & 0xFF) == 0xD0).get
+    val bad = good.clone()
+    bad(idx) = 0xD5.toByte // out-of-cycle marker
+    assert(Jpeg.decodeGray(bad).isEmpty)
+    // truncation inside an interval still rejects
+    assert(Jpeg.decodeGray(good.dropRight(8)).isEmpty)
+  }
 }
