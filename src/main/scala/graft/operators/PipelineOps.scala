@@ -3025,6 +3025,53 @@ object PipelineOps {
           col("clean").as("clean_text"))
     }),
 
+    // END-TO-END CRAWL → TRAINING SET: the whole ingestion pipeline as
+    // ONE plan — each doc's WARC archive carries TWO captures of the
+    // same page (the canonical URL and an /amp/ re-crawl, the classic
+    // crawl-dup case), and the flow is container decode (REAL framing
+    // walk) → HTTP status gate (404 docs drop entirely) → q335 clean
+    // chain → capture-level exact dedup (md5(clean) hash agg keeping
+    // the lexicographically-first URI) → whitespace tokenization →
+    // packing arithmetic into 64-token context windows. One narrow
+    // decode pass + one hash shuffle (the dedup) — the 100 TB shape;
+    // the oracle restates every stage.
+    "q349_crawl_to_training" -> ((s, dir) => {
+      import s.implicits._
+      val uriA = "concat('https://site', CAST((doc_id * 7 + 13) % 40 AS STRING), " +
+        "'.example/p/', CAST(doc_id % 20 AS STRING))"
+      val uriB = "concat('https://site', CAST((doc_id * 7 + 13) % 40 AS STRING), " +
+        "'.example/amp/', CAST(doc_id % 20 AS STRING))"
+      val withWarc = htmlDocs(s, dir)
+        .withColumn("p_resp", expr(warcRespPayloadSql))
+        .withColumn("warc", expr("concat(" +
+          warcRecordSql("response", uriA, "application/http;msgtype=response",
+            "p_resp", b => s"octet_length($b)") + ", " +
+          warcRecordSql("response", uriB, "application/http;msgtype=response",
+            "p_resp", b => s"octet_length($b)") + ")"))
+      val captures = withWarc.select(col("doc_id"), col("warc"))
+        .as[(Long, String)]
+        .flatMap { case (id, w) =>
+          graft.sources.Warc.parse(w.getBytes("UTF-8"))
+            .getOrElse(Vector.empty)
+            .filter(_.warcType.contains("response"))
+            .flatMap { r =>
+              graft.sources.Warc.httpResponse(r.payload).collect {
+                case (status, _, body) if status >= 200 && status < 300 =>
+                  (id, r.targetUri.getOrElse(""), new String(body, "UTF-8"))
+              }
+            }
+        }.toDF("doc_id", "uri", "html")
+      htmlStripped(captures)
+        .withColumn("chash", md5(col("clean")))
+        .groupBy(col("doc_id"), col("chash"))
+        .agg(count(lit(1)).as("n_captures"), min(col("uri")).as("kept_uri"),
+          first(col("clean")).as("clean"))
+        .withColumn("n_tokens", size(split(col("clean"), " ")).cast(LongType))
+        .withColumn("n_chunks", expr("CAST(ceil(n_tokens / 64.0) AS BIGINT)"))
+        .select(col("doc_id"), col("n_captures"), col("kept_uri"),
+          col("n_tokens"), col("n_chunks"))
+    }),
+
     // CONTENT-ENCODING decode inside WARC responses: Common Crawl
     // stores entities gzip-encoded, so the container walk must inflate
     // before extraction. Half the fixture's responses are REALLY
@@ -5599,6 +5646,32 @@ object PipelineOps {
            |  CAST(length(clean) AS BIGINT) AS n_clean, clean AS clean_text
            |FROM w JOIN c2 ON w.doc_id = c2.doc_id""".stripMargin
     },
+
+    "q349_crawl_to_training" ->
+      (htmlSql +
+        """, c1 AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g') AS nc
+          |  FROM h),
+          |c2 AS (
+          |  SELECT doc_id,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |        regexp_replace(nc, '<[^>]+>', ' ', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS clean
+          |  FROM c1)
+          |SELECT doc_id, CAST(2 AS BIGINT) AS n_captures,
+          |  'https://site' || CAST((doc_id * 7 + 13) % 40 AS VARCHAR) ||
+          |    '.example/amp/' || CAST(doc_id % 20 AS VARCHAR) AS kept_uri,
+          |  CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens,
+          |  CAST(ceil(len(string_split(clean, ' ')) / 64.0) AS BIGINT)
+          |    AS n_chunks
+          |FROM c2 WHERE doc_id % 11 <> 0""".stripMargin),
 
     "q347_warc_gzip" ->
       (htmlSql +
