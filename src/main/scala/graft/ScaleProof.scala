@@ -84,7 +84,10 @@ object ScaleProof {
       // write-once materialization + binary-column scan at 10× volume;
       // WARC decode is the per-row container-framing walk (scan-bound
       // by design — the shape a 100 TB crawl archive scan takes)
-      "q345_stored_media_dims", "q346_warc_extract", "q347_warc_gzip")
+      "q345_stored_media_dims", "q346_warc_extract", "q347_warc_gzip",
+      // the end-to-end crawl pipeline: its one shuffle is the
+      // capture-dedup hash agg — the shape under test at 10×
+      "q349_crawl_to_training")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
