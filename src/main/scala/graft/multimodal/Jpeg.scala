@@ -335,8 +335,9 @@ object Jpeg {
     * all-ones, so MCU-flat images round-trip exactly through
     * [[decodeRgb]]. */
   def encodeColor(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
-      chroma420: Boolean): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+      chroma420: Boolean, restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF &&
+      restartInterval >= 0)
     val yP = new Array[Int](w * h)
     val cbF = new Array[Int](w * h) // full-res chroma before subsampling
     val crF = new Array[Int](w * h)
@@ -361,17 +362,36 @@ object Jpeg {
     val cbP = subsample(cbF); val crP = subsample(crF)
     val out = new java.io.ByteArrayOutputStream()
     val (yh, yv) = if (chroma420) (2, 2) else (1, 1)
-    writeHeaders(out, w, h, Seq((1, yh, yv), (2, 1, 1), (3, 1, 1)))
+    if (restartInterval == 0)
+      writeHeaders(out, w, h, Seq((1, yh, yv), (2, 1, 1), (3, 1, 1)))
+    else { // DRI between the tables and the scan, as for the gray path
+      writeHeaders(out, w, h, Seq((1, yh, yv), (2, 1, 1), (3, 1, 1)),
+        sos = false)
+      out.write(0xFF); out.write(0xDD); out.write(0); out.write(4)
+      out.write((restartInterval >>> 8) & 0xFF)
+      out.write(restartInterval & 0xFF)
+      writeSos(out, Seq((1, 0x00), (2, 0x00), (3, 0x00)),
+        ss = 0, se = 63, ahal = 0)
+    }
     val bwr = new BlockWriter(out)
     val mcusX = (w + yh * 8 - 1) / (yh * 8)
     val mcusY = (h + yv * 8 - 1) / (yv * 8)
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcu = 0
+    var rst = 0
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bwr.flush()
+        out.write(0xFF); out.write(0xD0 + rst)
+        rst = (rst + 1) % 8
+        dcY = 0; dcCb = 0; dcCr = 0
+      }
       for (bv <- 0 until yv; bh0 <- 0 until yh)
         dcY = bwr.encodeBlock(
           sampleBlock(yP, w, h, (mx * yh + bh0) * 8, (my * yv + bv) * 8), dcY)
       dcCb = bwr.encodeBlock(sampleBlock(cbP, cw, ch, mx * 8, my * 8), dcCb)
       dcCr = bwr.encodeBlock(sampleBlock(crP, cw, ch, mx * 8, my * 8), dcCr)
+      mcu += 1
     }
     bwr.flush()
     out.write(0xFF); out.write(0xD9) // EOI

@@ -275,4 +275,29 @@ class JpegSpec extends AnyFunSuite {
     // truncation inside an interval still rejects
     assert(Jpeg.decodeGray(good.dropRight(8)).isEmpty)
   }
+
+  test("COLOR restart intervals decode through the shared MCU loop, 4:4:4 and 4:2:0") {
+    // general (non-flat) color content: restart and plain encodings of
+    // the same image must decode identically (all three DC predictors
+    // reset per interval), and the JDK decoder agrees with itself on
+    // both streams
+    def px(x: Int, y: Int) =
+      ((x * 11 + y * 3) % 256, (x * 5 + y * 17) % 256, (x * 7 + y * 13 + 64) % 256)
+    for ((chroma420, w, h, ri) <- Seq((false, 24, 16, 2), (true, 32, 32, 1),
+        (true, 35, 19, 3))) {
+      val rjpg = Jpeg.encodeColor(w, h, px, chroma420, restartInterval = ri)
+      val plain = Jpeg.encodeColor(w, h, px, chroma420)
+      val (wr, hr, rR, gR, bR) = Jpeg.decodeRgb(rjpg).get
+      val (wp, hp, rP, gP, bP) = Jpeg.decodeRgb(plain).get
+      assert(wr == wp && hr == hp)
+      assert(rR.sameElements(rP) && gR.sameElements(gP) && bR.sameElements(bP),
+        s"color restart diverged ($w x $h 420=$chroma420 ri=$ri)")
+      val jdkR = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rjpg))
+      val jdkP = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(plain))
+      assert(jdkR.getWidth == w && jdkR.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(jdkR.getRGB(x, y) == jdkP.getRGB(x, y),
+          s"JDK($x,$y) 420=$chroma420 ri=$ri")
+    }
+  }
 }
