@@ -26,9 +26,12 @@ package graft.multimodal
   * AC spectral-selection first + refinement per T.81 §G, then the same
   * dequant + IDCT + color pipeline. RESTART INTERVALS (DRI + RST0-7
   * resync, §E.2.4) decode in the baseline path: byte-align, verify the
-  * cycling marker, reset DC predictors per interval. Unsupported
-  * shapes (arithmetic coding, 16-bit DQT, 2- or 4-component frames,
-  * restarts inside progressive scans) → None, never a guess.
+  * cycling marker, reset DC predictors per interval. ARITHMETIC-CODED
+  * sequential frames (SOF9 + DAC conditioning, Annex D QM-coder +
+  * §F.2.4 statistical models) decode through `decodeArithScan` /
+  * [[JpegArith]]. Unsupported shapes (progressive-arithmetic SOF10,
+  * 16-bit DQT, 2- or 4-component frames, restarts inside progressive
+  * or arithmetic scans) → None, never a guess.
   *
   * Reference surface parity: the reference ships no media decode either
   * (multimodal payloads are opaque bytes there); this closes baseline
@@ -194,7 +197,7 @@ object Jpeg {
 
   private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
       h: Int, comps: Seq[(Int, Int, Int)], sofMarker: Int = 0xC0,
-      sos: Boolean = true): Unit = {
+      sos: Boolean = true, huff: Boolean = true): Unit = {
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xFF); u8(m) }
@@ -204,14 +207,21 @@ object Jpeg {
     u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
     marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit, id 0, all ones
     for (_ <- 0 until 64) u8(1)
-    marker(sofMarker); u16(2 + 6 + 3 * comps.size) // SOF0 / SOF2
+    marker(sofMarker); u16(2 + 6 + 3 * comps.size) // SOF0 / SOF2 / SOF9
     u8(8); u16(h); u16(w); u8(comps.size)
     for ((id, hs, vs) <- comps) { u8(id); u8((hs << 4) | vs); u8(0) }
     def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       marker(0xC4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | 0)
       bits.foreach(u8); vals.foreach(b => u8(b & 0xFF))
     }
-    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
+    if (huff) { dht(0, dcBits, dcVals); dht(1, acBits, acVals) }
+    else {
+      // DAC (T.81 §B.2.4.3): arithmetic conditioning — DC table 0 gets
+      // Cs = 16·U + L (defaults U=1, L=0), AC table 0 gets Cs = Kx = 5
+      marker(0xCC); u16(2 + 4)
+      u8(0x00); u8(0x10) // Tc=0 Tb=0, U=1 L=0
+      u8(0x10); u8(5)    // Tc=1 Tb=0, Kx=5
+    }
     if (sos) {
       marker(0xDA); u16(2 + 1 + 2 * comps.size + 3) // SOS
       u8(comps.size)
@@ -328,6 +338,43 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** encode a grayscale image as an ARITHMETIC-CODED extended
+    * sequential JPEG (SOF9, T.81 Annex D + §F.1.4): same all-ones
+    * quantizer and FDCT as [[encodeGray]], but the entropy layer is the
+    * adaptive QM-coder — a DAC segment declares the default
+    * conditioning (L=0, U=1, Kx=5), no Huffman tables exist, and the
+    * scan is one arithmetic-coded segment terminated per §D.1.8. Since
+    * only the entropy layer differs, both encodings of one image decode
+    * to IDENTICAL pixels (the q350 parity law). */
+  def encodeGrayArith(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)), sofMarker = 0xC9, sos = false,
+      huff = false)
+    writeSos(out, Seq((1, 0x00)), ss = 0, se = 63, ahal = 0)
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xFF)
+    val enc = new JpegArith.Encoder
+    val dcStats = JpegArith.freshStats(JpegArith.DcStatsSize)
+    val acStats = JpegArith.freshStats(JpegArith.AcStatsSize)
+    val coef = new Array[Int](64)
+    val zz = new Array[Int](64)
+    var prevDc = 0
+    var dcCtx = 0
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      fdctInto(sampleBlock(plane, w, h, bx * 8, by * 8), coef)
+      var k = 0
+      while (k < 64) { zz(k) = coef(zigzag(k)); k += 1 }
+      dcCtx = JpegArith.encodeDc(enc, dcStats, dcCtx, zz(0) - prevDc,
+        condL = 0, condU = 1)
+      prevDc = zz(0)
+      JpegArith.encodeAc(enc, acStats, zz, kx = 5)
+    }
+    out.write(enc.flush())
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** encode an RGB image as a standards-conformant baseline COLOR JPEG:
     * 3-component YCbCr, 4:4:4 (`chroma420 = false`) or 4:2:0 (Y sampled
     * 2×2 per MCU, chroma box-averaged over each 2×2 pixel group). The
@@ -425,13 +472,18 @@ object Jpeg {
       val compQ = new Array[Int](4); val compIds = new Array[Int](4)
       val dcSel = new Array[Int](4); val acSel = new Array[Int](4)
       var restartInterval = 0 // DRI: MCUs between RSTm markers, 0 = off
+      var arith = false // SOF9: arithmetic entropy coding (T.81 Annex D)
+      // DAC conditioning per table id — defaults L=0, U=1, Kx=5 (§B.2.4.3)
+      val dcCondL = Array.fill(4)(0); val dcCondU = Array.fill(4)(1)
+      val acCondKx = Array.fill(4)(5)
       var sos = false
       while (!sos) {
         if (i + 4 > bytes.length) return None
         if (u8() != 0xFF) return None
         val m = u8()
         m match {
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC9 => // SOF0 baseline / SOF9 arithmetic sequential
+            arith = m == 0xC9
             val len = u16(); val end = i + len - 2
             if (u8() != 8) return None
             h = u16(); w = u16()
@@ -447,9 +499,23 @@ object Jpeg {
             i = end
           case 0xC2 => // SOF2 progressive: the dedicated scan accumulator
             return decodeProgressivePlanes(bytes)
-          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // arithmetic / hierarchical / lossless frames
+            return None // progressive-arith / hierarchical / lossless
+          case 0xCC => // DAC: arithmetic conditioning values
+            val len = u16(); val end = i + len - 2
+            while (i < end) {
+              val tcb = u8(); val cs = u8()
+              val tb = tcb & 0xF
+              if (tb > 3) return None
+              if ((tcb >> 4) == 0) {
+                dcCondL(tb) = cs & 0xF; dcCondU(tb) = cs >> 4
+                if (dcCondL(tb) > dcCondU(tb)) return None
+              } else {
+                if (cs < 1 || cs > 63) return None
+                acCondKx(tb) = cs
+              }
+            }
           case 0xDB =>
             val len = u16(); val end = i + len - 2
             while (i < end) {
@@ -506,8 +572,20 @@ object Jpeg {
           new Array[Byte](padW * padH))
       }
       for (c <- 0 until nComp)
-        if (qt(compQ(c)) == null || dcTabs(dcSel(c)) == null ||
-            acTabs(acSel(c)) == null) return None
+        if (qt(compQ(c)) == null ||
+            (!arith && (dcTabs(dcSel(c)) == null ||
+                        acTabs(acSel(c)) == null))) return None
+      if (arith) {
+        // arithmetic scans don't mix with restart resync here (the
+        // coder would need re-init mid-stream) — honest rejection
+        if (restartInterval > 0) return None
+        val maxH2 = (0 until nComp).map(compHs).max
+        val maxV2 = (0 until nComp).map(compVs).max
+        val ok = decodeArithScan(bytes, i, comps, nComp, qt, compQ,
+          dcSel, acSel, dcCondL, dcCondU, acCondKx,
+          (w + maxH2 * 8 - 1) / (maxH2 * 8), (h + maxV2 * 8 - 1) / (maxV2 * 8))
+        return if (ok) Some((w, h, comps)) else None
+      }
       // entropy-coded bits with unstuffing; markers end the scan
       var bitBuf = 0; var bitCnt = 0
       def nextBit(): Int = {
@@ -609,6 +687,57 @@ object Jpeg {
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
+  }
+
+  /** the arithmetic-coded (SOF9) interleaved scan: one QM decoder over
+    * the entropy segment, per-table DC/AC statistics areas, per-
+    * component DC context + predictor, then the shared dequant + sparse
+    * IDCT. Fills the component planes in place; false = corrupt. */
+  private def decodeArithScan(bytes: Array[Byte], scanStart: Int,
+      comps: Array[Comp], nComp: Int, qt: Array[Array[Int]],
+      compQ: Array[Int], dcSel: Array[Int], acSel: Array[Int],
+      dcCondL: Array[Int], dcCondU: Array[Int], acCondKx: Array[Int],
+      mcusX: Int, mcusY: Int): Boolean = {
+    val dec = new JpegArith.Decoder(bytes, scanStart, bytes.length)
+    val dcStats = new Array[Array[Int]](4)
+    val acStats = new Array[Array[Int]](4)
+    for (c <- 0 until nComp) {
+      if (dcStats(dcSel(c)) == null)
+        dcStats(dcSel(c)) = JpegArith.freshStats(JpegArith.DcStatsSize)
+      if (acStats(acSel(c)) == null)
+        acStats(acSel(c)) = JpegArith.freshStats(JpegArith.AcStatsSize)
+    }
+    val dcCtx = new Array[Int](nComp)
+    val lastDc = new Array[Int](nComp)
+    val zz = new Array[Int](64)
+    val coef = new Array[Int](64)
+    val nzIdx = new Array[Int](64)
+    val nzT = new Array[Double](64)
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+      val comp = comps(c)
+      val q = qt(compQ(c))
+      val ds = dcStats(dcSel(c)); val as = acStats(acSel(c))
+      for (bv <- 0 until comp.vs; bh0 <- 0 until comp.hs) {
+        java.util.Arrays.fill(zz, 0)
+        val (diff, nctx) = JpegArith.decodeDc(dec, ds, dcCtx(c),
+          dcCondL(dcSel(c)), dcCondU(dcSel(c)))
+        if (diff == Int.MinValue) return false
+        dcCtx(c) = nctx
+        lastDc(c) += diff
+        if (!JpegArith.decodeAc(dec, as, zz, acCondKx(acSel(c))))
+          return false
+        java.util.Arrays.fill(coef, 0)
+        coef(0) = lastDc(c) * q(0)
+        var k = 1
+        while (k < 64) {
+          if (zz(k) != 0) coef(zigzag(k)) = zz(k) * q(k)
+          k += 1
+        }
+        idctInto(coef, comp.plane, comp.padW,
+          (mx * comp.hs + bh0) * 8, (my * comp.vs + bv) * 8, nzIdx, nzT)
+      }
+    }
+    true
   }
 
   /** PROGRESSIVE (SOF2) decode by scan accumulation, ITU-T T.81 §G:

@@ -344,6 +344,38 @@ object MultimodalOps {
           "width", "height", "n_px", "sum_gray")
     }),
 
+    // ARITHMETIC-CODED JPEG (T.81 Annex D QM-coder + §F.1.4 models,
+    // SOF9 + DAC): each doc's image is encoded with the adaptive
+    // arithmetic entropy coder — no Huffman tables in the file at all —
+    // and decoded by the QM decoder + §F.2.4 statistical models. The
+    // query asserts in-plan that the arithmetic encoding decodes
+    // IDENTICALLY to the Huffman baseline encoding (the entropy layer
+    // is transparent: FDCT and quantizer are shared) AND that the
+    // arithmetic FILE is smaller (no Huffman tables + adaptive coding);
+    // the oracle restates the pixel formula. Closes the last JPEG entropy-coding class (restart
+    // intervals landed as q348; only progressive-arithmetic SOF10
+    // remains honestly rejected).
+    "q350_jpeg_arith" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+          def v(x: Int, y: Int) =
+            ((id * 29 + (x / 8) * 7 + (y / 8) * 3) % 256).toInt
+          val arithJpg = graft.multimodal.Jpeg.encodeGrayArith(w, h, v)
+          val huffJpg = graft.multimodal.Jpeg.encodeGray(w, h, v)
+          val p = graft.multimodal.Jpeg.decodeGray(arithJpg).get
+          val plain = graft.multimodal.Jpeg.decodeGray(huffJpg).get
+          require(p == plain, s"arithmetic decode diverged for doc $id")
+          require(arithJpg.length < huffJpg.length,
+            s"arithmetic file not smaller for doc $id")
+          (id, p.width, p.height, p.nPx, p.sumR, p.peakLumaMilli)
+        }.toDF("media_id", "width", "height", "n_px", "sum_gray",
+          "peak_luma_milli")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -739,6 +771,22 @@ object MultimodalOps {
         |  CAST(COUNT(*) AS BIGINT) AS n_px,
         |  CAST(SUM(v) AS BIGINT) AS sum_gray
         |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q350_jpeg_arith" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3) % 256 AS v
+        |  FROM img, range(0, 32) x(i), range(0, 24) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     "q324_jpeg_progressive_stats" ->
       """WITH img AS (
