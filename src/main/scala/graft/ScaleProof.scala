@@ -87,7 +87,13 @@ object ScaleProof {
       "q345_stored_media_dims", "q346_warc_extract", "q347_warc_gzip",
       // the end-to-end crawl pipeline: its one shuffle is the
       // capture-dedup hash agg — the shape under test at 10×
-      "q349_crawl_to_training")
+      "q349_crawl_to_training",
+      // round-10 continued: arithmetic JPEG + PDF extraction are
+      // per-row decode (scan-bound); the audio fingerprint's exact-band
+      // LSH join fan-out under replicated groups is the shape under
+      // test (same class as q344's dHash banding)
+      "q350_jpeg_arith", "q351_audio_fingerprint_neardup",
+      "q352_pdf_text_extract")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

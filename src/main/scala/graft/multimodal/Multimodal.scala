@@ -278,6 +278,45 @@ object Multimodal {
     }
   }
 
+  /** the RAW 16-bit PCM samples of a WAV payload — (rate, channels,
+    * interleaved samples) — for feature extractors that need the
+    * waveform itself (e.g. the q351 audio fingerprint), same RIFF walk
+    * and honesty rules as [[wavPcm]]. Capped at 2^24 samples: a crafted
+    * header must not demand unbounded memory. */
+  def wavSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(bytes.slice(i, i + 4), "ASCII")
+    if (bytes.length < 20 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None
+    var bits = 0
+    var data: Option[(Int, Int)] = None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+        fmt = Some((le16(i + 8), le16(i + 8 + 2), le32(i + 8 + 4)))
+        bits = le16(i + 8 + 14)
+      } else if (id == "data") {
+        data = Some((i + 8, math.min(size, bytes.length - i - 8)))
+      }
+      val next = i.toLong + 8L + size.toLong + (size & 1).toLong
+      i = if (size < 0 || next > bytes.length) bytes.length else next.toInt
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate)), Some((off, sz))) if bits == 16 =>
+        val n = sz / 2
+        if (n > (1 << 24)) return None
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) { out(k) = le16(off + k * 2).toShort.toInt; k += 1 }
+        Some((rate, ch, out))
+      case _ => None
+    }
+  }
+
   /** decoded pixel stats (PNG and GIF paths) — exact integers end to
     * end. Luma is the integer BT.601 fixed-point form 299R+587G+114B
     * (milli-luma), so a fully-saturated white pixel scores 255000. */

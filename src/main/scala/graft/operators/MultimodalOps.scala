@@ -376,6 +376,106 @@ object MultimodalOps {
           "peak_luma_milli")
     }),
 
+    // AUDIO FINGERPRINT NEAR-DUP: the audio leg of the near-dup family
+    // (text MinHash q22, image dHash q344). Each doc synthesizes a
+    // WAV, round-trips it through the REAL RIFF/PCM decoder
+    // (`wavSamples`), and fingerprints the waveform with an exact
+    // integer Walsh–Hadamard transform: 16-sample frames, WHT
+    // coefficients c(f,i) = Σⱼ s[16f+j]·(−1)^popcount(i&j), one sign-of-
+    // difference bit per (frame, coefficient) à la Haitsma–Kalker —
+    // c(f,i) > c(f−1,i) — packed into four 15-bit bands (60-bit
+    // fingerprint). Amplitude-scaled copies fingerprint IDENTICALLY
+    // (WHT is linear, signs are scale-invariant); noisy copies differ
+    // in a few bits. Candidates come from an exact-band equality join
+    // (the LSH shape — never all-pairs), confirmed by xor+popcount
+    // Hamming ≤ 6. The oracle restates the synthesis, the WHT, the
+    // banding, and the join in SQL.
+    "q351_audio_fingerprint_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 9 * 9; val role = (id / 3) % 3
+          val amp = if (role == 1) 3 else 1
+          val samples = Array.tabulate(80) { j =>
+            (amp * (((g * 7 + j * 13 + (j * j) % 17) % 201) - 100) +
+              (if (role == 2 && j >= 32) (g + j) % 5 - 2 else 0L)).toInt
+          }
+          val wav = Multimodal.syntheticWavPcm(8000, 1, samples.toSeq)
+          val (_, _, pcm) = Multimodal.wavSamples(wav).get
+          val coef = Array.tabulate(5, 16) { (f, i) =>
+            var acc = 0; var j = 0
+            while (j < 16) {
+              acc += pcm(f * 16 + j) * (1 - 2 * (Integer.bitCount(i & j) & 1))
+              j += 1
+            }
+            acc
+          }
+          val bands = Array.tabulate(4) { fi =>
+            var b = 0L
+            for (i <- 1 until 16)
+              if (coef(fi + 1)(i) > coef(fi)(i)) b |= 1L << (i - 1)
+            b
+          }
+          val fp = bands.zipWithIndex.map { case (b, fi) => b << (fi * 15) }
+            .reduce(_ | _)
+          (id, bands(0), bands(1), bands(2), bands(3), fp)
+        }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+      val bandRows = fps.select(col("doc_id"), col("fp"), explode(array(
+          struct(lit(1).as("f"), col("b1").as("band")),
+          struct(lit(2).as("f"), col("b2").as("band")),
+          struct(lit(3).as("f"), col("b3").as("band")),
+          struct(lit(4).as("f"), col("b4").as("band")))).as("e"))
+        .select(col("doc_id"), col("fp"), col("e.f").as("f"),
+          col("e.band").as("band"))
+      bandRows.as("x").join(bandRows.as("y"),
+          col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("media_a"), col("y.doc_id").as("media_b"),
+          col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+        .distinct()
+        .select(col("media_a"), col("media_b"),
+          expr("bit_count(fpa ^ fpb)").cast("long").as("hamming_dist"))
+        .filter(col("hamming_dist") <= 6)
+    }),
+
+    // PDF TEXT EXTRACTION (ISO 32000-1): the other dominant crawl
+    // document format after HTML — each doc builds a REAL multi-page
+    // PDF (xref table, catalog → page tree → content streams,
+    // alternating plain and FlateDecode streams, Tj and kerned-TJ show
+    // ops, escape-bearing literals) and extracts its text back through
+    // the full document walk in `multimodal/Pdf.scala`. The in-plan
+    // require pins extraction == intended text; the oracle restates the
+    // word synthesis, page/op arithmetic, and md5 of the text.
+    "q352_pdf_text_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val vocab = Array("alpha", "bravo", "charlie", "delta", "echo",
+            "foxtrot", "go(lf)", "hotel")
+          val nw = (id % 9 + 4).toInt
+          val words = Array.tabulate(nw)(k => vocab(((id * 13 + k * 7) % 8).toInt))
+          val full = words.mkString(" ")
+          // 2-word chunks; leading space keeps concatenation == full text
+          val chunks = words.grouped(2).toVector.zipWithIndex.map {
+            case (g, m) => (if (m > 0) " " else "") + g.mkString(" ")
+          }
+          val nPages = (1 + id % 3).toInt
+          val per = (chunks.size + nPages - 1) / nPages
+          val pages = (0 until nPages).map(p =>
+            chunks.slice(p * per, (p + 1) * per))
+          val pdf = graft.multimodal.Pdf.synthetic(pages, (id / 3) % 2 == 0)
+          val t = graft.multimodal.Pdf.extractText(pdf).get
+          require(t.text == full, s"extraction diverged for doc $id")
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, t.nPages, t.nTextOps.toLong, t.text.length.toLong, md5)
+        }.toDF("media_id", "n_pages", "n_text_ops", "n_chars", "text_md5")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -787,6 +887,71 @@ object MultimodalOps {
         |  CAST(SUM(v) AS BIGINT) AS sum_gray,
         |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "q351_audio_fingerprint_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |samp AS (
+        |  SELECT doc_id,
+        |    [ CAST((CASE WHEN role = 1 THEN 3 ELSE 1 END) *
+        |        (((g * 7 + j * 13 + (j * j) % 17) % 201) - 100) +
+        |        (CASE WHEN role = 2 AND j >= 32 THEN (g + j) % 5 - 2
+        |              ELSE 0 END) AS BIGINT)
+        |      FOR j IN range(0, 80) ] AS s
+        |  FROM docs),
+        |coefs AS (
+        |  SELECT doc_id, f.i AS f, ci.i AS ci,
+        |    list_sum([ s[f.i * 16 + j + 1] *
+        |               (1 - 2 * (bit_count(ci.i & j) % 2))
+        |               FOR j IN range(0, 16) ]) AS c
+        |  FROM samp, range(0, 5) f(i), range(1, 16) ci(i)),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.ci,
+        |    CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+        |  FROM coefs a JOIN coefs b
+        |    ON a.doc_id = b.doc_id AND a.ci = b.ci AND b.f = a.f - 1
+        |  WHERE a.f >= 1),
+        |bands AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (ci - 1))) AS BIGINT)
+        |      AS band
+        |  FROM bits GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(band << ((f - 1) * 15)) AS BIGINT) AS fp
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT CAST(c.a AS BIGINT) AS media_a, CAST(c.b AS BIGINT) AS media_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming_dist
+        |FROM cand c
+        |JOIN fps fa ON fa.doc_id = c.a
+        |JOIN fps fb ON fb.doc_id = c.b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 6""".stripMargin,
+
+    "q352_pdf_text_extract" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 9 + 4 AS nw
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |wtab AS (
+        |  SELECT doc_id, nw, k.i AS k,
+        |    (['alpha','bravo','charlie','delta','echo','foxtrot',
+        |      'go(lf)','hotel'])[CAST((doc_id * 13 + k.i * 7) % 8
+        |                              AS INTEGER) + 1] AS w
+        |  FROM docs, range(0, 13) k(i) WHERE k.i < nw),
+        |texts AS (
+        |  SELECT doc_id, MAX(nw) AS nw,
+        |    string_agg(w, ' ' ORDER BY k) AS text
+        |  FROM wtab GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_pages,
+        |  CAST((nw + 1) // 2 AS BIGINT) AS n_text_ops,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM texts""".stripMargin,
 
     "q324_jpeg_progressive_stats" ->
       """WITH img AS (
