@@ -399,7 +399,7 @@ object MultimodalOps {
           val g = id / 9 * 9; val role = (id / 3) % 3
           val amp = if (role == 1) 3 else 1
           val samples = Array.tabulate(80) { j =>
-            (amp * (((g * 7 + j * 13 + (j * j) % 17) % 201) - 100) +
+            (amp * (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
               (if (role == 2 && j >= 32) (g + j) % 5 - 2 else 0L)).toInt
           }
           val wav = Multimodal.syntheticWavPcm(8000, 1, samples.toSeq)
@@ -895,7 +895,7 @@ object MultimodalOps {
         |samp AS (
         |  SELECT doc_id,
         |    [ CAST((CASE WHEN role = 1 THEN 3 ELSE 1 END) *
-        |        (((g * 7 + j * 13 + (j * j) % 17) % 201) - 100) +
+        |        (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
         |        (CASE WHEN role = 2 AND j >= 32 THEN (g + j) % 5 - 2
         |              ELSE 0 END) AS BIGINT)
         |      FOR j IN range(0, 80) ] AS s
