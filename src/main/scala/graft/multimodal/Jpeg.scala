@@ -27,11 +27,12 @@ package graft.multimodal
   * dequant + IDCT + color pipeline. RESTART INTERVALS (DRI + RST0-7
   * resync, §E.2.4) decode in the baseline path: byte-align, verify the
   * cycling marker, reset DC predictors per interval. ARITHMETIC-CODED
-  * sequential frames (SOF9 + DAC conditioning, Annex D QM-coder +
-  * §F.2.4 statistical models) decode through `decodeArithScan` /
-  * [[JpegArith]]. Unsupported shapes (progressive-arithmetic SOF10,
-  * 16-bit DQT, 2- or 4-component frames, restarts inside progressive
-  * or arithmetic scans) → None, never a guess.
+  * frames decode for BOTH orders: sequential SOF9 (DAC conditioning,
+  * Annex D QM-coder + §F.2.4 statistical models, `decodeArithScan`)
+  * and progressive SOF10 (§G.2 scan models through the progressive
+  * accumulator) — see [[JpegArith]]. Unsupported shapes (16-bit DQT,
+  * 2- or 4-component frames, hierarchical/lossless frames, restarts
+  * inside progressive or arithmetic scans) → None, never a guess.
   *
   * Reference surface parity: the reference ships no media decode either
   * (multimodal payloads are opaque bytes there); this closes baseline
@@ -375,6 +376,68 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** encode a grayscale image as a PROGRESSIVE ARITHMETIC-CODED JPEG
+    * (SOF10, T.81 §G.1.3): four scans exercising every §G arithmetic
+    * model — DC first at Al=1 (conditioned diff coding of the shifted
+    * values), AC first over the full 1..63 band at Al=1, DC refinement
+    * (one fixed-bin correction bit per block), AC refinement (§G.1.3.3
+    * correction/newly-significant coding). Statistics reset per scan;
+    * same FDCT/quantizer as every other encoder, so all four encodings
+    * of one image decode to IDENTICAL pixels. */
+  def encodeGrayProgressiveArith(w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xFF)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val coefs = Array.tabulate(bh * bw) { bi =>
+      val c = new Array[Int](64)
+      fdctInto(sampleBlock(plane, w, h, (bi % bw) * 8, (bi / bw) * 8), c)
+      c
+    }
+    val zz = new Array[Int](64)
+    def toZz(c: Array[Int]): Array[Int] = {
+      var k = 0
+      while (k < 64) { zz(k) = c(zigzag(k)); k += 1 }
+      zz
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)), sofMarker = 0xCA, sos = false,
+      huff = false)
+    // scan 1: DC first, Al=1 — diffs of the point-transformed values
+    writeSos(out, Seq((1, 0x00)), ss = 0, se = 0, ahal = 0x01)
+    val e1 = new JpegArith.Encoder
+    val ds1 = JpegArith.freshStats(JpegArith.DcStatsSize)
+    var prev = 0; var ctx = 0
+    coefs.foreach { c =>
+      val v = c(0) >> 1
+      ctx = JpegArith.encodeDc(e1, ds1, ctx, v - prev, condL = 0, condU = 1)
+      prev = v
+    }
+    out.write(e1.flush())
+    // scan 2: AC first, band 1..63, Al=1
+    writeSos(out, Seq((1, 0x00)), ss = 1, se = 63, ahal = 0x01)
+    val e2 = new JpegArith.Encoder
+    val as2 = JpegArith.freshStats(JpegArith.AcStatsSize)
+    coefs.foreach(c => JpegArith.encodeAc(e2, as2, toZz(c), kx = 5,
+      bandLo = 1, bandHi = 63, al = 1))
+    out.write(e2.flush())
+    // scan 3: DC refinement, Ah=1 Al=0 — the last DC bit, fixed bin
+    writeSos(out, Seq((1, 0x00)), ss = 0, se = 0, ahal = 0x10)
+    val e3 = new JpegArith.Encoder
+    val ds3 = JpegArith.freshStats(JpegArith.DcStatsSize)
+    coefs.foreach(c => e3.encode(ds3, JpegArith.FixedBin, c(0) & 1))
+    out.write(e3.flush())
+    // scan 4: AC refinement, Ah=1 Al=0
+    writeSos(out, Seq((1, 0x00)), ss = 1, se = 63, ahal = 0x10)
+    val e4 = new JpegArith.Encoder
+    val as4 = JpegArith.freshStats(JpegArith.AcStatsSize)
+    coefs.foreach(c => JpegArith.encodeAcRefine(e4, as4, toZz(c),
+      bandLo = 1, bandHi = 63, al = 0))
+    out.write(e4.flush())
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** encode an RGB image as a standards-conformant baseline COLOR JPEG:
     * 3-component YCbCr, 4:4:4 (`chroma420 = false`) or 4:2:0 (Y sampled
     * 2×2 per MCU, chroma box-averaged over each 2×2 pixel group). The
@@ -497,11 +560,11 @@ object Jpeg {
                   compVs(c) < 1 || compVs(c) > 2) return None
             }
             i = end
-          case 0xC2 => // SOF2 progressive: the dedicated scan accumulator
+          case 0xC2 | 0xCA => // SOF2/SOF10 progressive: scan accumulator
             return decodeProgressivePlanes(bytes)
-          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xCA | 0xCB |
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // progressive-arith / hierarchical / lossless
+            return None // hierarchical / lossless frames
           case 0xCC => // DAC: arithmetic conditioning values
             val len = u16(); val end = i + len - 2
             while (i < end) {
@@ -748,7 +811,10 @@ object Jpeg {
     * — and the dequantized blocks run through the shared sparse IDCT
     * after EOI. Interleaved DC scans walk the MCU-padded grids;
     * single-component scans walk the component's own ceil(dim/8) grid.
-    * Restart intervals and arithmetic coding stay rejected. */
+    * ARITHMETIC-CODED progressive frames (SOF10, §G.2) decode through
+    * the same scan walk with the per-scan QM decoder + §G statistical
+    * models (DC first/refine, AC first/refine — [[JpegArith]]).
+    * Restart intervals stay rejected. */
   private def decodeProgressivePlanes(bytes: Array[Byte]): Option[(Int, Int, Array[Comp])] = {
     var i = 0
     def u8(): Int = { val v = bytes(i) & 0xFF; i += 1; v }
@@ -763,6 +829,9 @@ object Jpeg {
       val compHs = new Array[Int](4); val compVs = new Array[Int](4)
       val compQ = new Array[Int](4); val compIds = new Array[Int](4)
       var sofSeen = false
+      var arith = false // SOF10: arithmetic-coded progressive (§G.1.3)
+      val dcCondL = Array.fill(4)(0); val dcCondU = Array.fill(4)(1)
+      val acCondKx = Array.fill(4)(5)
       var coefs: Array[Array[Int]] = null
       var blocksWpad: Array[Int] = null; var blocksHpad: Array[Int] = null
       var bW: Array[Int] = null; var bH: Array[Int] = null
@@ -776,9 +845,10 @@ object Jpeg {
         while (m == 0xFF) m = u8() // fill bytes before a marker
         m match {
           case 0xD9 => done = true // EOI: scans complete
-          case 0xC2 =>
+          case 0xC2 | 0xCA =>
             if (sofSeen) return None
             sofSeen = true
+            arith = m == 0xCA
             val len = u16(); val end = i + len - 2
             if (u8() != 8) return None
             h = u16(); w = u16()
@@ -807,9 +877,23 @@ object Jpeg {
               ((h * compVs(c) + maxV - 1) / maxV + 7) / 8)
             coefs = Array.tabulate(nComp)(c =>
               new Array[Int](blocksWpad(c) * blocksHpad(c) * 64))
-          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 |
                0xCB | 0xCD | 0xCE | 0xCF =>
             return None // a second frame type inside a progressive stream
+          case 0xCC => // DAC: arithmetic conditioning values
+            val len = u16(); val end = i + len - 2
+            while (i < end) {
+              val tcb = u8(); val cs = u8()
+              val tb = tcb & 0xF
+              if (tb > 3) return None
+              if ((tcb >> 4) == 0) {
+                dcCondL(tb) = cs & 0xF; dcCondU(tb) = cs >> 4
+                if (dcCondL(tb) > dcCondU(tb)) return None
+              } else {
+                if (cs < 1 || cs > 63) return None
+                acCondKx(tb) = cs
+              }
+            }
           case 0xDB =>
             val len = u16(); val end = i + len - 2
             while (i < end) {
@@ -989,8 +1073,51 @@ object Jpeg {
               }
               true
             }
+            // arithmetic scan state (§G.2): one QM decoder per scan,
+            // statistics reset at every scan start
+            val aDec = if (arith) new JpegArith.Decoder(bytes, i, bytes.length)
+                       else null
+            val aDcStats = new Array[Array[Int]](4)
+            val aAcStats = new Array[Array[Int]](4)
+            if (arith) for (j <- 0 until ns) {
+              if (isDc && aDcStats(dcSel(j)) == null)
+                aDcStats(dcSel(j)) = JpegArith.freshStats(JpegArith.DcStatsSize)
+              if (!isDc && aAcStats(acSel(j)) == null)
+                aAcStats(acSel(j)) = JpegArith.freshStats(JpegArith.AcStatsSize)
+            }
+            val aDcCtx = new Array[Int](nComp)
+            val aZz = new Array[Int](64)
+            def dcBlockA(c: Int, j: Int, off: Int): Boolean = {
+              val ds = aDcStats(dcSel(j))
+              if (ah == 0) { // DC first: sequential model + point transform
+                val (diff, nctx) = JpegArith.decodeDc(aDec, ds, aDcCtx(c),
+                  dcCondL(dcSel(j)), dcCondU(dcSel(j)))
+                if (diff == Int.MinValue) return false
+                aDcCtx(c) = nctx
+                pred(c) += diff
+                coefs(c)(off) = pred(c) << al
+              } else { // DC refinement: one fixed-bin correction bit
+                if (aDec.decode(ds, JpegArith.FixedBin) != 0)
+                  coefs(c)(off) |= (1 << al)
+              }
+              true
+            }
+            def acFirstBlockA(c: Int, j: Int, off: Int): Boolean = {
+              java.util.Arrays.fill(aZz, 0)
+              if (!JpegArith.decodeAc(aDec, aAcStats(acSel(j)), aZz,
+                acCondKx(acSel(j)), ss, se)) return false
+              var k = ss
+              while (k <= se) {
+                if (aZz(k) != 0) coefs(c)(off + zigzag(k)) = aZz(k) << al
+                k += 1
+              }
+              true
+            }
+            def acRefineBlockA(c: Int, j: Int, off: Int): Boolean =
+              JpegArith.decodeAcRefine(aDec, aAcStats(acSel(j)), coefs(c),
+                off, zigzag, ss, se, al)
             // table presence (DC refinement reads raw bits — no table)
-            for (j <- 0 until ns) {
+            if (!arith) for (j <- 0 until ns) {
               if (isDc && ah == 0 && dcTabs(dcSel(j)) == null) return None
               if (!isDc && acTabs(acSel(j)) == null) return None
             }
@@ -1007,8 +1134,10 @@ object Jpeg {
                     while (bv < compVs(c) && ok) {
                       var bh0 = 0
                       while (bh0 < compHs(c) && ok) {
-                        ok = doDcBlock(c, dcTabs(dcSel(j)),
-                          blockOff(c, my * compVs(c) + bv, mx * compHs(c) + bh0))
+                        val off = blockOff(c, my * compVs(c) + bv,
+                          mx * compHs(c) + bh0)
+                        ok = if (arith) dcBlockA(c, j, off)
+                             else doDcBlock(c, dcTabs(dcSel(j)), off)
                         bh0 += 1
                       }
                       bv += 1
@@ -1027,7 +1156,12 @@ object Jpeg {
                 while (bc < bW(c) && ok) {
                   val off = blockOff(c, br, bc)
                   ok =
-                    if (isDc) doDcBlock(c, dcTabs(dcSel(0)), off)
+                    if (arith) {
+                      if (isDc) dcBlockA(c, 0, off)
+                      else if (ah == 0) acFirstBlockA(c, 0, off)
+                      else acRefineBlockA(c, 0, off)
+                    }
+                    else if (isDc) doDcBlock(c, dcTabs(dcSel(0)), off)
                     else if (ah == 0) doAcFirstBlock(c, acTabs(acSel(0)), off)
                     else doAcRefineBlock(c, acTabs(acSel(0)), off)
                   bc += 1

@@ -367,24 +367,28 @@ private[multimodal] object JpegArith {
     }
   }
 
-  /** encode a block's AC coefficients (§F.1.4.2, zigzag order `zz(1..63)`,
-    * conditioning bound Kx). */
-  def encodeAc(enc: Encoder, stats: Array[Int], zz: Array[Int],
-      kx: Int): Unit = {
-    var ke = 63
-    while (ke > 0 && zz(ke) == 0) ke -= 1
-    var k = 1
+  /** encode a block's AC coefficients (§F.1.4.2 and its §G.1.3.2
+    * progressive generalization): zigzag order `zz`, spectral band
+    * `bandLo..bandHi` (1..63 sequential), point transform `al`
+    * (coefficients count as their magnitudes SHIFTED by al — 0
+    * sequential), conditioning bound Kx. */
+  def encodeAc(enc: Encoder, stats: Array[Int], zz: Array[Int], kx: Int,
+      bandLo: Int = 1, bandHi: Int = 63, al: Int = 0): Unit = {
+    @inline def mag(k: Int): Int = math.abs(zz(k)) >> al
+    var ke = bandHi
+    while (ke >= bandLo && mag(ke) == 0) ke -= 1
+    var k = bandLo
     while (k <= ke) {
       var se = 3 * (k - 1)
       enc.encode(stats, se, 0) // not end-of-block yet
-      while (zz(k) == 0) {
+      while (mag(k) == 0) {
         enc.encode(stats, se + 1, 0) // zero coefficient
         se += 3; k += 1
       }
       enc.encode(stats, se + 1, 1)
-      var v = zz(k)
-      if (v > 0) enc.encode(stats, FixedBin, 0)
-      else { v = -v; enc.encode(stats, FixedBin, 1) }
+      if (zz(k) > 0) enc.encode(stats, FixedBin, 0)
+      else enc.encode(stats, FixedBin, 1)
+      var v = mag(k)
       var st = se + 2 // SP (shared with X1)
       var m = 0
       v -= 1
@@ -409,20 +413,21 @@ private[multimodal] object JpegArith {
         enc.encode(stats, st, if ((m & v) != 0) 1 else 0)
       k += 1
     }
-    if (ke < 63) enc.encode(stats, 3 * ke, 1) // EOB
+    if (ke < bandHi) enc.encode(stats, 3 * (k - 1), 1) // EOB
   }
 
-  /** decode a block's AC coefficients into `zz(1..63)` (zigzag order).
-    * Returns false on a corrupt stream (overrun / magnitude overflow). */
-  def decodeAc(dec: Decoder, stats: Array[Int], zz: Array[Int],
-      kx: Int): Boolean = {
-    var k = 1
-    while (k <= 63) {
+  /** decode a block's AC coefficients into `zz(bandLo..bandHi)` (zigzag
+    * order, magnitudes BEFORE the caller's `<< al` scaling). Returns
+    * false on a corrupt stream (overrun / magnitude overflow). */
+  def decodeAc(dec: Decoder, stats: Array[Int], zz: Array[Int], kx: Int,
+      bandLo: Int = 1, bandHi: Int = 63): Boolean = {
+    var k = bandLo
+    while (k <= bandHi) {
       var se = 3 * (k - 1)
       if (dec.decode(stats, se) != 0) return true // EOB
       while (dec.decode(stats, se + 1) == 0) {
         se += 3; k += 1
-        if (k > 63) return false
+        if (k > bandHi) return false
       }
       val sign = dec.decode(stats, FixedBin)
       var st = se + 2
@@ -444,6 +449,78 @@ private[multimodal] object JpegArith {
         if (dec.decode(stats, st) != 0) v |= m
       v += 1
       zz(k) = if (sign == 1) -v else v
+      k += 1
+    }
+    true
+  }
+
+  /** encode an AC REFINEMENT scan's correction bits for one block
+    * (§G.1.3.3): `zz` holds the FINAL coefficients, the receiver's
+    * store holds them at precision al+1. Previously-nonzero
+    * coefficients send their al-bit through the SC context (SP+1 ≡
+    * se+2); newly-nonzero ones a magnitude-1 code + fixed-bin sign;
+    * EOB decisions only past the previous stage's end-of-block. */
+  def encodeAcRefine(enc: Encoder, stats: Array[Int], zz: Array[Int],
+      bandLo: Int, bandHi: Int, al: Int): Unit = {
+    @inline def mag(k: Int): Int = math.abs(zz(k)) >> al
+    var ke = bandHi
+    while (ke >= bandLo && mag(ke) == 0) ke -= 1
+    var kex = ke
+    while (kex >= bandLo && (mag(kex) >> 1) == 0) kex -= 1
+    var k = bandLo
+    while (k <= ke) {
+      var se = 3 * (k - 1)
+      if (k > kex) enc.encode(stats, se, 0) // EOB decision
+      var placed = false
+      while (!placed) {
+        val t = mag(k)
+        if (t != 0) {
+          if ((t >> 1) != 0) // previously nonzero: send the new bit
+            enc.encode(stats, se + 2, t & 1)
+          else { // newly nonzero at this precision
+            enc.encode(stats, se + 1, 1)
+            enc.encode(stats, FixedBin, if (zz(k) < 0) 1 else 0)
+          }
+          placed = true
+        } else {
+          enc.encode(stats, se + 1, 0)
+          se += 3; k += 1
+        }
+      }
+      k += 1
+    }
+    if (k <= bandHi) enc.encode(stats, 3 * (k - 1), 1) // EOB
+  }
+
+  /** decode an AC REFINEMENT scan into the coefficient STORE (raster
+    * offsets via `zig`): previously-nonzero entries absorb a correction
+    * bit (±2^al toward larger magnitude), newly-nonzero ones land as
+    * ±2^al. Returns false on overrun. */
+  def decodeAcRefine(dec: Decoder, stats: Array[Int], store: Array[Int],
+      off: Int, zig: Array[Int], bandLo: Int, bandHi: Int,
+      al: Int): Boolean = {
+    val p1 = 1 << al
+    var kex = bandHi
+    while (kex > 0 && store(off + zig(kex)) == 0) kex -= 1
+    var k = bandLo
+    while (k <= bandHi) {
+      var se = 3 * (k - 1)
+      if (k > kex && dec.decode(stats, se) != 0) return true // EOB
+      var placed = false
+      while (!placed) {
+        val z = off + zig(k)
+        if (store(z) != 0) {
+          if (dec.decode(stats, se + 2) != 0)
+            store(z) += (if (store(z) < 0) -p1 else p1)
+          placed = true
+        } else if (dec.decode(stats, se + 1) != 0) {
+          store(z) = if (dec.decode(stats, FixedBin) != 0) -p1 else p1
+          placed = true
+        } else {
+          se += 3; k += 1
+          if (k > bandHi) return false
+        }
+      }
       k += 1
     }
     true

@@ -352,27 +352,35 @@ object MultimodalOps {
     // IDENTICALLY to the Huffman baseline encoding (the entropy layer
     // is transparent: FDCT and quantizer are shared) AND that the
     // arithmetic FILE is smaller (no Huffman tables + adaptive coding);
-    // the oracle restates the pixel formula. Closes the last JPEG entropy-coding class (restart
-    // intervals landed as q348; only progressive-arithmetic SOF10
-    // remains honestly rejected).
+    // the oracle restates the pixel formula. Alternating docs take the
+    // SEQUENTIAL (SOF9) and PROGRESSIVE (SOF10, §G.1.3 — four scans:
+    // DC first/refine + AC first/refine at Al=1→0) arithmetic paths,
+    // closing the whole JPEG entropy-coding matrix (Huffman
+    // baseline/progressive/restart q298/q324/q348; arithmetic
+    // sequential/progressive here).
     "q350_jpeg_arith" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id")).as[Long]
         .map { id =>
+          val progressive = ((id / 3) % 2) == 0
           val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
           def v(x: Int, y: Int) =
             ((id * 29 + (x / 8) * 7 + (y / 8) * 3) % 256).toInt
-          val arithJpg = graft.multimodal.Jpeg.encodeGrayArith(w, h, v)
+          val arithJpg =
+            if (progressive)
+              graft.multimodal.Jpeg.encodeGrayProgressiveArith(w, h, v)
+            else graft.multimodal.Jpeg.encodeGrayArith(w, h, v)
           val huffJpg = graft.multimodal.Jpeg.encodeGray(w, h, v)
           val p = graft.multimodal.Jpeg.decodeGray(arithJpg).get
           val plain = graft.multimodal.Jpeg.decodeGray(huffJpg).get
           require(p == plain, s"arithmetic decode diverged for doc $id")
           require(arithJpg.length < huffJpg.length,
             s"arithmetic file not smaller for doc $id")
-          (id, p.width, p.height, p.nPx, p.sumR, p.peakLumaMilli)
-        }.toDF("media_id", "width", "height", "n_px", "sum_gray",
+          (id, if (progressive) "arith_progressive" else "arith_sequential",
+            p.width, p.height, p.nPx, p.sumR, p.peakLumaMilli)
+        }.toDF("media_id", "coding", "width", "height", "n_px", "sum_gray",
           "peak_luma_milli")
     }),
 
@@ -874,19 +882,21 @@ object MultimodalOps {
 
     "q350_jpeg_arith" ->
       """WITH img AS (
-        |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 'arith_progressive'
+        |         ELSE 'arith_sequential' END AS coding
         |  FROM documents WHERE doc_id % 3 = 0),
         |px AS (
-        |  SELECT doc_id, w, h,
+        |  SELECT doc_id, w, h, coding,
         |    (doc_id * 29 + (x.i // 8) * 7 + (y.i // 8) * 3) % 256 AS v
         |  FROM img, range(0, 32) x(i), range(0, 24) y(i)
         |  WHERE x.i < w AND y.i < h)
-        |SELECT doc_id AS media_id,
+        |SELECT doc_id AS media_id, coding,
         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(COUNT(*) AS BIGINT) AS n_px,
         |  CAST(SUM(v) AS BIGINT) AS sum_gray,
         |  CAST(MAX(1000 * v) AS BIGINT) AS peak_luma_milli
-        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q351_audio_fingerprint_neardup" ->
       """WITH docs AS (

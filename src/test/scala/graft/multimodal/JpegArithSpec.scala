@@ -126,16 +126,41 @@ class JpegArithSpec extends AnyFunSuite {
     assert(Jpeg.decodeGray(spliced).isEmpty, "DRI + SOF9 must reject")
   }
 
-  test("progressive-arithmetic (SOF10) stays rejected") {
-    def v(x: Int, y: Int) = (x + y) % 256
-    val jpg = Jpeg.encodeGrayArith(16, 16, v)
-    // flip SOF9 (0xC9) to SOF10 (0xCA): same payload, unsupported frame
-    val at = {
-      var k = 2
-      while (!((jpg(k) & 0xFF) == 0xFF && (jpg(k + 1) & 0xFF) == 0xC9)) k += 1
-      k + 1
+  test("SOF10 progressive-arithmetic: all four scan models round-trip") {
+    for (seed <- 1 to 8) {
+      val rng = new Rng(seed * 0x9E3779B97F4A7C15L)
+      val w = 8 + rng.int(40); val h = 8 + rng.int(32)
+      def v(x: Int, y: Int) =
+        (x * (5 + seed) + y * 11 + (x * y) % (7 + seed)) % 256
+      val prog = Jpeg.decodeGrayPlane(
+        Jpeg.encodeGrayProgressiveArith(w, h, v)).get
+      val seq = Jpeg.decodeGrayPlane(Jpeg.encodeGray(w, h, v)).get
+      assert(prog._1 == seq._1 && prog._2 == seq._2)
+      assert(java.util.Arrays.equals(prog._3, seq._3),
+        s"SOF10 pixels diverged at $w x $h (seed $seed)")
     }
-    val mutated = jpg.clone(); mutated(at) = 0xCA.toByte
-    assert(Jpeg.decodeGray(mutated).isEmpty)
+  }
+
+  test("SOF10 block-flat images round-trip exactly") {
+    for ((w, h) <- Seq((16, 16), (20, 13), (9, 25))) {
+      def v(x: Int, y: Int) = ((x / 8) * 41 + (y / 8) * 17 + 5) % 256
+      val p = Jpeg.decodeGray(Jpeg.encodeGrayProgressiveArith(w, h, v)).get
+      val expect = for (y <- 0 until h; x <- 0 until w) yield v(x, y).toLong
+      assert(p.sumR == expect.sum, s"$w x $h")
+    }
+  }
+
+  test("SOF10 truncation/garbage rejects or decodes cleanly, never crashes") {
+    def v(x: Int, y: Int) = (x * 7 + y * 3) % 256
+    val jpg = Jpeg.encodeGrayProgressiveArith(24, 16, v)
+    for (cut <- Seq(3, 12, 40, jpg.length / 2, jpg.length - 1))
+      Jpeg.decodeGray(jpg.take(cut)) // any Option; must not throw
+    val rng = new Rng(777)
+    for (_ <- 1 to 50) {
+      val mutated = jpg.clone()
+      val at = rng.int(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rng.int(8))).toByte
+      Jpeg.decodeGray(mutated) // must not throw
+    }
   }
 }
