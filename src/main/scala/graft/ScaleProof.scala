@@ -93,7 +93,11 @@ object ScaleProof {
       // LSH join fan-out under replicated groups is the shape under
       // test (same class as q344's dHash banding)
       "q350_jpeg_arith", "q351_audio_fingerprint_neardup",
-      "q352_pdf_text_extract")
+      "q352_pdf_text_extract",
+      // CDC chunk dedup: the md5 hash agg + join-back is THE dedup
+      // shuffle shape; 10× replicas multiply duplicate chunk mass.
+      // Lossless JPEG is per-row codec work, scan-bound
+      "q353_cdc_chunk_dedup", "q354_jpeg_lossless")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -147,7 +147,13 @@ object Jpeg {
 
     /** DC magnitude-category + sign bits for `dc - prevDc`; returns dc. */
     def encodeDcDiff(dc: Int, prevDc: Int): Int = {
-      val diff = dc - prevDc
+      encodeRawDiff(dc - prevDc)
+      dc
+    }
+
+    /** magnitude-category + extend bits of one difference — the DC
+      * coding primitive, also the per-sample code of LOSSLESS mode. */
+    def encodeRawDiff(diff: Int): Unit = {
       val cat = category(diff)
       val (dcCode, dcLen) = dcEnc(cat)
       putBits(dcCode, dcLen)
@@ -155,7 +161,6 @@ object Jpeg {
         val bitsVal = if (diff >= 0) diff else diff + (1 << cat) - 1
         putBits(bitsVal, cat)
       }
-      dc
     }
 
     /** AC run-length coding of coefficients 1..63 (zigzag) with ZRL and
@@ -562,9 +567,11 @@ object Jpeg {
             i = end
           case 0xC2 | 0xCA => // SOF2/SOF10 progressive: scan accumulator
             return decodeProgressivePlanes(bytes)
-          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xCB |
+          case 0xC3 => // SOF3 lossless: predictive decode (Annex H)
+            return decodeLosslessPlanes(bytes)
+          case 0xC1 | 0xC5 | 0xC6 | 0xC7 | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // hierarchical / lossless frames
+            return None // hierarchical / lossless-arithmetic frames
           case 0xCC => // DAC: arithmetic conditioning values
             val len = u16(); val end = i + len - 2
             while (i < end) {
@@ -747,6 +754,167 @@ object Jpeg {
         }
       }
       Some((w, h, comps))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** the seven lossless predictors (T.81 H.1.2.1): a = left, b = above,
+    * c = above-left. Shifts are arithmetic — both sides use the same. */
+  private def losslessPredict(sel: Int, a: Int, b: Int, c: Int): Int =
+    sel match {
+      case 1 => a
+      case 2 => b
+      case 3 => c
+      case 4 => a + b - c
+      case 5 => a + ((b - c) >> 1)
+      case 6 => b + ((a - c) >> 1)
+      case _ => (a + b) >> 1
+    }
+
+  /** prediction for sample (x, y) with the Annex H edge rules: (0,0)
+    * predicts 2^(P−1) = 128, the rest of the first line uses predictor
+    * 1 (a), the first sample of later lines predictor 2 (b). */
+  private def losslessPx(sel: Int, plane: Array[Int], w: Int,
+      x: Int, y: Int): Int =
+    if (x == 0 && y == 0) 128
+    else if (y == 0) plane(y * w + x - 1)
+    else if (x == 0) plane((y - 1) * w + x)
+    else losslessPredict(sel, plane(y * w + x - 1),
+      plane((y - 1) * w + x), plane((y - 1) * w + x - 1))
+
+  /** encode a grayscale image as a LOSSLESS JPEG (SOF3, T.81 Annex H):
+    * per-sample prediction (selector `sel` ∈ 1..7 in the scan header's
+    * Ss field) + Huffman coding of the differences with the DC-style
+    * magnitude-category code. Bit-EXACT reconstruction — arbitrary
+    * images round-trip perfectly, no block/IDCT machinery at all. */
+  def encodeGrayLossless(w: Int, h: Int, px: (Int, Int) => Int,
+      sel: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF &&
+      sel >= 1 && sel <= 7)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Seq((1, 1, 1)), sofMarker = 0xC3, sos = false)
+    writeSos(out, Seq((1, 0x00)), ss = sel, se = 0, ahal = 0)
+    val bwr = new BlockWriter(out)
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xFF)
+    for (y <- 0 until h; x <- 0 until w)
+      bwr.encodeRawDiff(plane(y * w + x) - losslessPx(sel, plane, w, x, y))
+    bwr.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** LOSSLESS (SOF3) decode: marker walk (no DQT required), DC-class
+    * Huffman table, then one predicted sample per code. Out-of-range
+    * reconstructions, bad predictors (Ss ∉ 1..7), point transforms and
+    * restart intervals reject. Returns the shared Comp shape so the
+    * gray entries dispatch transparently. */
+  private def decodeLosslessPlanes(bytes: Array[Byte]): Option[(Int, Int, Array[Comp])] = {
+    var i = 0
+    def u8(): Int = { val v = bytes(i) & 0xFF; i += 1; v }
+    def u16(): Int = { val v = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF); i += 2; v }
+    try {
+      if (bytes.length < 4 || u8() != 0xFF || u8() != 0xD8) return None
+      var w = 0; var h = 0
+      val dcTabs = new Array[DecodeTable](4)
+      var sofSeen = false
+      var dcSel0 = 0
+      var sel = 0
+      var sos = false
+      while (!sos) {
+        if (i + 4 > bytes.length) return None
+        if (u8() != 0xFF) return None
+        val m = u8()
+        m match {
+          case 0xC3 =>
+            if (sofSeen) return None
+            sofSeen = true
+            val len = u16(); val end = i + len - 2
+            if (u8() != 8) return None // 8-bit precision only
+            h = u16(); w = u16()
+            if (u8() != 1) return None // single component
+            u8() // component id
+            if (u8() != 0x11) return None // 1x1 sampling
+            u8() // quant selector: unused in lossless
+            i = end
+          case 0xC4 =>
+            val len = u16(); val end = i + len - 2
+            while (i < end) {
+              val tc = u8()
+              val bits = Array.fill(16)(u8())
+              val n = bits.sum
+              val vals = Array.fill(n)(u8().toByte)
+              val tab = new DecodeTable(bits, vals)
+              if ((tc >> 4) == 0) dcTabs(tc & 0xF) = tab
+            }
+          case 0xDD => return None // restarts out of scope for lossless
+          case 0xDA =>
+            if (!sofSeen) return None
+            val len = u16(); val end = i + len - 2
+            if (u8() != 1) return None
+            u8() // component id
+            dcSel0 = u8() >> 4
+            sel = u8() // Ss = predictor selector
+            val se = u8(); val ahal = u8()
+            if (sel < 1 || sel > 7 || se != 0 || (ahal & 0xF) != 0)
+              return None
+            i = end
+            sos = true
+          case 0xD9 => return None
+          case _ =>
+            val len = u16(); i += len - 2
+        }
+      }
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
+      if (dcTabs(dcSel0) == null) return None
+      var bitBuf = 0; var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          if (i >= bytes.length) return -1
+          var b = u8()
+          if (b == 0xFF) {
+            if (i >= bytes.length) return -1
+            val b2 = u8()
+            if (b2 != 0x00) return -1
+            b = 0xFF
+          }
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      val t = dcTabs(dcSel0)
+      def huffDecode(): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          val b = nextBit(); if (b < 0) return -1
+          code = (code << 1) | b; len += 1
+          if (t.maxCode(len) >= 0 && code <= t.maxCode(len) &&
+              code >= t.minCode(len))
+            return t.value(len, code)
+        }
+        -1
+      }
+      val plane = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cat = huffDecode(); if (cat < 0 || cat > 15) return None
+        var v = 0
+        var k = 0
+        while (k < cat) {
+          val b = nextBit(); if (b < 0) return None
+          v = (v << 1) | b
+          k += 1
+        }
+        val diff =
+          if (cat == 0) 0
+          else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+          else v
+        val s = losslessPx(sel, plane, w, x, y) + diff
+        if (s < 0 || s > 255) return None // corrupt: an honest encoder can't
+        plane(y * w + x) = s
+      }
+      val comp = Comp(1, 1, w, h, w, plane.map(_.toByte))
+      Some((w, h, Array(comp)))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }

@@ -484,6 +484,33 @@ object MultimodalOps {
         }.toDF("media_id", "n_pages", "n_text_ops", "n_chars", "text_md5")
     }),
 
+    // LOSSLESS JPEG (SOF3, T.81 Annex H): per-sample predictive coding
+    // — no DCT, no quantizer — so ARBITRARY images round-trip
+    // bit-exactly and the oracle restates the raw pixel formula with no
+    // block-flat construction at all (every other JPEG oracle needs
+    // DC-only spectra for exactness; this one doesn't). The predictor
+    // selector cycles 1..7 across docs, covering the whole Annex H
+    // predictor family; the format DICOM and raw-photo pipelines
+    // actually store.
+    "q354_jpeg_lossless" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 21 + 6).toInt; val h = (id % 13 + 6).toInt
+          val sel = (id % 7 + 1).toInt
+          def v(x: Int, y: Int) =
+            ((id * 31 + x * 37 + y * 101 + (x * y) % 29) % 256).toInt
+          val jpg = graft.multimodal.Jpeg.encodeGrayLossless(w, h, v, sel)
+          val (dw, dh, px) = graft.multimodal.Jpeg.decodeGrayPlane(jpg).get
+          var sum = 0L; var peak = 0L
+          px.foreach { p => sum += p; if (p > peak) peak = p.toLong }
+          (id, sel.toLong, dw, dh, dw.toLong * dh, sum, peak)
+        }.toDF("media_id", "predictor", "width", "height", "n_px",
+          "sum_gray", "peak_gray")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -962,6 +989,24 @@ object MultimodalOps {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  md5(text) AS text_md5
         |FROM texts""".stripMargin,
+
+    "q354_jpeg_lossless" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 21 + 6 AS w, doc_id % 13 + 6 AS h,
+        |    doc_id % 7 + 1 AS sel
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, sel,
+        |    (doc_id * 31 + x.i * 37 + y.i * 101 + (x.i * y.i) % 29) % 256
+        |      AS v
+        |  FROM img, range(0, 27) x(i), range(0, 19) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id, CAST(sel AS BIGINT) AS predictor,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(MAX(v) AS BIGINT) AS peak_gray
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q324_jpeg_progressive_stats" ->
       """WITH img AS (

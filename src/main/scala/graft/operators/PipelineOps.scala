@@ -2654,6 +2654,55 @@ object PipelineOps {
     // ordered window — no suffix structure materializes, candidate
     // work is bounded by the duplicated-window mass, and every stage
     // is a hash shuffle that scales horizontally.
+    // CONTENT-DEFINED CHUNKING dedup (Rabin-style): the sub-document
+    // dedup granularity storage and pipeline systems use — chunk
+    // boundaries fall where a rolling 8-char window hash (base-3
+    // polynomial, weights 3^t with full odd-residue mixing mod the
+    // 1/32 boundary mask) hits 0, so boundaries are CONTENT-anchored:
+    // insertions shift only the chunks they touch, and identical
+    // passages chunk identically wherever they sit. Chunk-level dedup
+    // is then one md5 hash agg + an equi join back (the canonical
+    // dedup shuffle shape — never all-pairs). FastCDC's min/max clamps
+    // are deliberately absent: they make boundaries sequential (each
+    // depends on the previous), while the pure content test keeps every
+    // position independent — embarrassingly parallel AND exactly
+    // restatable by the oracle's per-position window sum. Operates on
+    // the ASCII projection of the first 400 chars per doc.
+    "q353_cdc_chunk_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 400)
+            .as("t"))
+        .filter(length(col("t")) > 0)
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val pw = Array(1, 3, 9, 27, 81, 243, 729, 2187)
+          val out = Vector.newBuilder[(Long, String)]
+          var start = 0
+          var j = 7
+          while (j < t.length) {
+            var h = 0; var tt = 0
+            while (tt < 8) { h += t.charAt(j - 7 + tt).toInt * pw(tt); tt += 1 }
+            if (h % 32 == 0) {
+              out += ((id, t.substring(start, j + 1)))
+              start = j + 1
+            }
+            j += 1
+          }
+          if (start < t.length) out += ((id, t.substring(start)))
+          out.result()
+        }.toDF("doc_id", "chunk")
+        .withColumn("h5", md5(col("chunk")))
+      val occ = chunks.groupBy(col("h5")).agg(count(lit(1)).as("cnt"))
+      chunks.join(occ, "h5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk"))).cast("long").as("chunk_bytes"),
+          sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long")
+            .as("dup_chunks"))
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5362,6 +5411,38 @@ object PipelineOps {
         |  ex.p50_exact_us, ex.p90_exact_us, ex.p99_exact_us
         |FROM picked p JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q353_cdc_chunk_dedup" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 400) AS t
+        |  FROM documents),
+        |bounds AS MATERIALIZED (
+        |  -- 0-based index j of each chunk-final char: the 8-char window
+        |  -- ending at j has base-3 polynomial sum divisible by 32;
+        |  -- the last char is always a boundary (tail chunk)
+        |  SELECT doc_id, t, unnest(list_distinct(
+        |    [ jj - 1 FOR jj IN range(8, length(t) + 1)
+        |      IF list_sum([ord(substr(t, jj - 7 + tt, 1)) *
+        |                   ([1,3,9,27,81,243,729,2187])[tt + 1]
+        |                   FOR tt IN range(0, 8)]) % 32 = 0 ]
+        |    || [length(t) - 1])) AS j
+        |  FROM docs WHERE length(t) > 0),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    substr(t, COALESCE(lag(j) OVER w, -1) + 2,
+        |           j - COALESCE(lag(j) OVER w, -1)) AS chunk
+        |  FROM bounds
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+        |occ AS (SELECT md5(chunk) AS h5, COUNT(*) AS cnt
+        |        FROM chunks GROUP BY 1)
+        |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(length(c.chunk)) AS BIGINT) AS chunk_bytes,
+        |  CAST(SUM(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_chunks
+        |FROM chunks c JOIN occ o ON md5(c.chunk) = o.h5
+        |GROUP BY 1""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
