@@ -97,7 +97,10 @@ object ScaleProof {
       // CDC chunk dedup: the md5 hash agg + join-back is THE dedup
       // shuffle shape; 10× replicas multiply duplicate chunk mass.
       // Lossless JPEG is per-row codec work, scan-bound
-      "q353_cdc_chunk_dedup", "q354_jpeg_lossless")
+      "q353_cdc_chunk_dedup", "q354_jpeg_lossless",
+      // container family: TAR/ZIP/zstd framing walks are per-row
+      // encode+decode round trips — scan-bound like WARC (q346)
+      "q355_tar_members", "q356_zip_extract", "q357_zstd_frames")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

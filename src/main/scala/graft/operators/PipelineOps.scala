@@ -2703,6 +2703,123 @@ object PipelineOps {
             .as("dup_chunks"))
     }),
 
+    // TAR CONTAINER DECODE (POSIX ustar) — the archive format corpora
+    // and checkpoint drops actually ship in, next to WARC (q346) and
+    // ZIP (q356). Each doc becomes a real 3-member archive (directory +
+    // text + metadata) through [[graft.sources.Tar.encode]], the REAL
+    // framing parser walks it back (magic, checksum, octal sizes,
+    // prefix reassembly), and the oracle restates the 512-byte block
+    // arithmetic and the member payloads — a parser that misreads any
+    // header field or padding boundary diverges. Per-row decode:
+    // scan-bound, zero shuffles (the shape an archive unpack takes at
+    // 100 TB; TarSpec proves interop with the system tar both ways).
+    "q355_tar_members" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, text, lang, source) =>
+          val meta = s"id=$id\nlang=$lang\nsource=$source\n"
+          val tar = graft.sources.Tar.encode(Seq(
+            ("corpus/", Array.emptyByteArray, true),
+            (s"corpus/doc$id.txt", text.getBytes("UTF-8"), false),
+            (s"corpus/doc$id.meta", meta.getBytes("UTF-8"), false)))
+          val es = graft.sources.Tar.parse(tar).getOrElse(Vector.empty)
+          val txt = es.find(_.name.endsWith(".txt"))
+            .map(e => new String(e.payload, "UTF-8")).getOrElse("")
+          (id, es.length.toLong, es.count(_.typeflag == '5').toLong,
+            tar.length.toLong,
+            es.map(_.payload.length.toLong).sum, txt)
+        }.toDF("doc_id", "n_members", "n_dirs", "tar_len", "payload_bytes",
+          "text")
+        .select(col("doc_id"), col("n_members"), col("n_dirs"),
+          col("tar_len"), col("payload_bytes"),
+          md5(col("text")).as("text_md5"))
+    }),
+
+    // ZIP CONTAINER DECODE (PKWARE APPNOTE / ISO 21320-1 subset) — the
+    // container of ODF/OOXML/EPUB document corpora: EOCD signature
+    // scan, central-directory walk, local-header cross-validation,
+    // stored + REAL raw-deflate members, CRC-32 verified. The text
+    // member is genuinely deflate-compressed in the fixture (compressed
+    // bytes are not SQL-expressible — same split as q347: the oracle
+    // checks the DECODED plane and the stored-size arithmetic, ZipSpec
+    // proves wire interop with java.util.zip both directions).
+    // Per-row decode: scan-bound, zero shuffles.
+    "q356_zip_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, text, lang, source) =>
+          val meta = s"""{"id":$id,"lang":"$lang","source":"$source"}"""
+          val zip = graft.sources.ZipArc.encode(Seq(
+            (s"doc$id.txt", text.getBytes("UTF-8"), true),
+            (s"doc$id.json", meta.getBytes("UTF-8"), false)))
+          val es = graft.sources.ZipArc.parse(zip).getOrElse(Vector.empty)
+          val txt = es.find(_.method == 8)
+            .map(e => new String(e.payload, "UTF-8")).getOrElse("")
+          val storedC = es.filter(_.method == 0)
+            .map(_.compressedSize.toLong).sum
+          (id, es.length.toLong,
+            es.map(_.payload.length.toLong).sum, storedC, txt)
+        }.toDF("doc_id", "n_entries", "raw_bytes", "stored_csize", "text")
+        .select(col("doc_id"), col("n_entries"), col("raw_bytes"),
+          col("stored_csize"), md5(col("text")).as("text_md5"))
+    }),
+
+    // ZSTD FRAME WALK (RFC 8878) — the compression wrapper of real
+    // 100 TB corpus drops (.jsonl.zst / .warc.zst shards). Each doc
+    // becomes a genuine multi-frame stream (two REAL zstd frames via
+    // the library that backs parquet's zstd codec, a skippable
+    // metadata frame between them); [[graft.sources.ZstdFrame]] walks
+    // magics, header-descriptor flags, DECLARED content sizes and
+    // block framing WITHOUT decompressing — the facts an ingest
+    // planner needs to split a shard for frame-parallel decode — and
+    // then each data frame is decompressed from its own walker-derived
+    // slice (exactly that parallel-decode shape). The oracle restates
+    // the declared sizes and the decoded plane; compressed bytes are
+    // not SQL-expressible (the q347 split). Scan-bound, zero shuffles.
+    "q357_zstd_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .map { case (id, text, lang) =>
+          val half = text.length / 2
+          val parts = Seq(text.substring(0, half), text.substring(half))
+            .map(_.getBytes("UTF-8"))
+          val metaP = s"lang=$lang".getBytes("UTF-8")
+          val skip = {
+            val b = java.nio.ByteBuffer.allocate(8 + metaP.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            b.putInt(0x184D2A50); b.putInt(metaP.length); b.put(metaP)
+            b.array()
+          }
+          val stream = com.github.luben.zstd.Zstd.compress(parts(0), 3) ++
+            skip ++ com.github.luben.zstd.Zstd.compress(parts(1), 3)
+          val fs = graft.sources.ZstdFrame.parse(stream)
+            .getOrElse(Vector.empty)
+          var off = 0
+          val decoded = new StringBuilder
+          fs.foreach { f =>
+            if (!f.skippable)
+              decoded ++= new String(com.github.luben.zstd.Zstd.decompress(
+                java.util.Arrays.copyOfRange(stream, off, off + f.frameBytes),
+                f.contentSize.toInt), "UTF-8")
+            off += f.frameBytes
+          }
+          (id, fs.length.toLong, fs.count(_.skippable).toLong,
+            fs.filter(!_.skippable).map(_.contentSize).sum,
+            fs.filter(_.skippable).map(_.contentSize).sum,
+            decoded.toString)
+        }.toDF("doc_id", "n_frames", "n_skippable", "declared_bytes",
+          "skip_bytes", "text")
+        .select(col("doc_id"), col("n_frames"), col("n_skippable"),
+          col("declared_bytes"), col("skip_bytes"),
+          md5(col("text")).as("text_md5"))
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5443,6 +5560,47 @@ object PipelineOps {
         |    AS dup_chunks
         |FROM chunks c JOIN occ o ON md5(c.chunk) = o.h5
         |GROUP BY 1""".stripMargin,
+
+    // restates the ustar 512-byte block arithmetic: header block per
+    // member, payload rounded up to blocks, two end-of-archive blocks
+    "q355_tar_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    'id=' || doc_id || chr(10) || 'lang=' || lang || chr(10) ||
+        |      'source=' || source || chr(10) AS meta
+        |  FROM documents)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_members,
+        |  CAST(1 AS BIGINT) AS n_dirs,
+        |  CAST(512 * (1 + 1 + (strlen(text) + 511) // 512
+        |              + 1 + (strlen(meta) + 511) // 512 + 2)
+        |    AS BIGINT) AS tar_len,
+        |  CAST(strlen(text) + strlen(meta) AS BIGINT) AS payload_bytes,
+        |  md5(text) AS text_md5
+        |FROM m""".stripMargin,
+
+    // stored sizes and the decoded plane; deflated byte counts are
+    // implementation detail (not restated), CRC/interop live in ZipSpec
+    "q356_zip_extract" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    '{"id":' || doc_id || ',"lang":"' || lang ||
+        |      '","source":"' || source || '"}' AS meta
+        |  FROM documents)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS n_entries,
+        |  CAST(strlen(text) + strlen(meta) AS BIGINT) AS raw_bytes,
+        |  CAST(strlen(meta) AS BIGINT) AS stored_csize,
+        |  md5(text) AS text_md5
+        |FROM m""".stripMargin,
+
+    // declared content sizes (frame headers carry the exact decoded
+    // byte counts), the skippable payload size, and the decoded plane
+    "q357_zstd_frames" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(1 AS BIGINT) AS n_skippable,
+        |  CAST(strlen(text) AS BIGINT) AS declared_bytes,
+        |  CAST(5 + strlen(lang) AS BIGINT) AS skip_bytes,
+        |  md5(text) AS text_md5
+        |FROM documents""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
