@@ -100,7 +100,9 @@ object ScaleProof {
       "q353_cdc_chunk_dedup", "q354_jpeg_lossless",
       // container family: TAR/ZIP/zstd framing walks are per-row
       // encode+decode round trips — scan-bound like WARC (q346)
-      "q355_tar_members", "q356_zip_extract", "q357_zstd_frames")
+      "q355_tar_members", "q356_zip_extract", "q357_zstd_frames",
+      // FLAC codec round trip: per-row encode+decode, scan-bound
+      "q358_flac_roundtrip")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

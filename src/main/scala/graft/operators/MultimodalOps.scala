@@ -511,6 +511,52 @@ object MultimodalOps {
           "sum_gray", "peak_gray")
     }),
 
+    // FLAC (RFC 9639): the lossless audio format speech/music corpora
+    // actually ship in — REAL encode (CONSTANT/FIXED/LPC subframes,
+    // Rice coding, left/side decorrelation, STREAMINFO PCM-MD5) + REAL
+    // decode with every integrity check the spec defines (CRC-8 header,
+    // CRC-16 frame, MD5 stream). The PCM is an integer sawtooth both
+    // engines restate exactly (no libm); mono/stereo alternate per doc,
+    // multi-frame streams (block size 512). The decode VERIFIES the
+    // STREAMINFO MD5 against the reconstructed PCM, so a single wrong
+    // sample anywhere kills the row — the oracle then restates sample
+    // count, frame arithmetic and two exact PCM folds. Per-row codec:
+    // scan-bound, zero shuffles (the audio-corpus ingest shape).
+    "q358_flac_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ch = 1 + (id % 2).toInt
+          val n = 600 + (id % 5).toInt * 500
+          def l(i: Int): Int = (i % 50) * 80 - 1960 + ((id + i) % 9).toInt
+          val inter = new Array[Int](n * ch)
+          var i = 0
+          while (i < n) {
+            if (ch == 1) inter(i) = l(i)
+            else {
+              inter(2 * i) = l(i)
+              inter(2 * i + 1) = l(i) + (i % 7) - 3
+            }
+            i += 1
+          }
+          val flac = graft.multimodal.Flac.encode(inter, 16000, ch, 512)
+          val d = graft.multimodal.Flac.decode(flac).get
+          var sum = 0L; var wsum = 0L
+          var j = 0
+          while (j < d.samples.length) {
+            sum += d.samples(j)
+            wsum += d.samples(j).toLong * ((j % 97) + 1)
+            j += 1
+          }
+          (id, ch.toLong, d.samples.length.toLong, d.nFrames.toLong,
+            d.sampleRate.toLong, sum, wsum,
+            flac.length < 2 * n * ch)
+        }.toDF("doc_id", "channels", "n_samples", "n_frames",
+          "sample_rate", "sum_samples", "wsum", "compressed_ok")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -989,6 +1035,29 @@ object MultimodalOps {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  md5(text) AS text_md5
         |FROM texts""".stripMargin,
+
+    "q358_flac_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    600 + (doc_id % 5) * 500 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |pcm AS (
+        |  SELECT doc_id, ch, n, i.i AS i,
+        |    (i.i % 50) * 80 - 1960 + (doc_id + i.i) % 9 AS l,
+        |    (i.i % 50) * 80 - 1960 + (doc_id + i.i) % 9
+        |      + (i.i % 7) - 3 AS r
+        |  FROM d, range(0, 2600) i(i) WHERE i.i < n)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |  CAST(COUNT(*) * ch AS BIGINT) AS n_samples,
+        |  CAST((MAX(n) + 511) // 512 AS BIGINT) AS n_frames,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(SUM(CASE WHEN ch = 1 THEN l ELSE l + r END) AS BIGINT)
+        |    AS sum_samples,
+        |  CAST(SUM(CASE WHEN ch = 1 THEN l * ((i % 97) + 1)
+        |    ELSE l * (((2 * i) % 97) + 1) + r * (((2 * i + 1) % 97) + 1)
+        |    END) AS BIGINT) AS wsum,
+        |  true AS compressed_ok
+        |FROM pcm GROUP BY doc_id, ch""".stripMargin,
 
     "q354_jpeg_lossless" ->
       """WITH img AS (
