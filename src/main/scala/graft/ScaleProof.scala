@@ -102,7 +102,11 @@ object ScaleProof {
       // encode+decode round trips — scan-bound like WARC (q346)
       "q355_tar_members", "q356_zip_extract", "q357_zstd_frames",
       // FLAC codec round trip: per-row encode+decode, scan-bound
-      "q358_flac_roundtrip")
+      "q358_flac_roundtrip",
+      // dataloader exports: the shard packing's prefix-sum + one hash
+      // shuffle on shard_id is the shape under test; TFRecord is
+      // per-row serialize+parse, scan-bound
+      "q359_webdataset_shards", "q360_tfrecord_export")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -2820,6 +2820,102 @@ object PipelineOps {
           md5(col("text")).as("text_md5"))
     }),
 
+    // WEBDATASET SHARD PACKING — how training corpora are actually laid
+    // out for dataloaders: documents packed in id order into size-
+    // targeted .tar shards (the WebDataset convention). The global
+    // byte-offset assignment uses the SCALABLE two-pass prefix sum, not
+    // a single global window: per-bucket cumulative sums run in
+    // parallel (window partitioned by bucket), bucket totals roll up to
+    // a tiny offsets table (one row per bucket — sized so it always
+    // broadcasts; bucket width grows with the corpus), and offset+local
+    // = exact global prefix. Shard id = floor(bytes-before / target)
+    // (spanning assignment — exactly restatable, no sequential greedy
+    // state). Each shard then materializes as a REAL ustar archive via
+    // [[graft.sources.Tar.encode]] and is re-parsed as a self-check.
+    // One hash shuffle on shard_id — the packing shape at 100 TB.
+    "q359_webdataset_shards" -> ((s, dir) => {
+      import s.implicits._
+      val target = 4096L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          octet_length(col("text")).cast("long").as("sz"))
+        .withColumn("bucket", expr("doc_id div 100"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = docs
+        .withColumn("in_before", sum(col("sz")).over(wb) - col("sz"))
+      val wBuckets = Window.orderBy(col("bucket"))
+      val offsets = docs.groupBy(col("bucket"))
+        .agg(sum(col("sz")).as("btotal"))
+        .withColumn("boffset",
+          coalesce(sum(col("btotal")).over(wBuckets) - col("btotal"),
+            lit(0L)))
+        .select(col("bucket"), col("boffset"))
+      local.join(broadcast(offsets), "bucket")
+        .withColumn("shard_id",
+          ((col("boffset") + col("in_before")) / lit(target))
+            .cast("long"))
+        .select(col("shard_id"), col("doc_id"), col("text"), col("sz"))
+        .as[(Long, Long, String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val ms = it.toArray.sortBy(_._2)
+          val tar = graft.sources.Tar.encode(ms.map(m =>
+            (s"${m._2}.txt", m._3.getBytes("UTF-8"), false)).toSeq)
+          val reparsed = graft.sources.Tar.parse(tar)
+            .map(_.length).getOrElse(-1)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ms.foreach(m => md.update(m._3.getBytes("UTF-8")))
+          val hex = md.digest().map(b => f"$b%02x").mkString
+          (shard, ms.length.toLong, ms.map(_._4).sum, tar.length.toLong,
+            reparsed == ms.length, hex)
+        }.toDF("shard_id", "n_members", "payload_bytes", "tar_len",
+          "reparse_ok", "text_md5")
+    }),
+
+    // TFRECORD / tf.Example EXPORT — the other dataloader format a
+    // packed corpus leaves the engine in (next to WebDataset, q359):
+    // each doc serializes as a REAL tf.Example proto (bytes "text",
+    // packed-varint "doc_id", packed-fixed32 "quality") wrapped in
+    // TFRecord framing with MASKED CRC-32C on length and payload, then
+    // the whole stream parses BACK through the CRC-verified reader and
+    // the hand-rolled proto walker. The oracle restates the serialized
+    // RECORD LENGTH from first principles — nested varint length
+    // prefixes computed bottom-up in SQL — so one wrong byte anywhere
+    // in five levels of proto nesting diverges; quality uses exact
+    // quarter floats (no rounding). Per-row codec: scan-bound, zero
+    // shuffles (the export shape at 100 TB).
+    "q360_tfrecord_export" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val ex = graft.sources.TfRecord.writeExample(Seq(
+            "text" -> graft.sources.TfRecord.Feature(
+              Vector(text.getBytes("UTF-8")), Vector.empty, Vector.empty),
+            "doc_id" -> graft.sources.TfRecord.Feature(
+              Vector.empty, Vector.empty, Vector(id)),
+            "quality" -> graft.sources.TfRecord.Feature(
+              Vector.empty, Vector((id % 8) * 0.25f, 1.0f), Vector.empty)))
+          val out = new java.io.ByteArrayOutputStream()
+          graft.sources.TfRecord.writeRecord(out, ex)
+          val stream = out.toByteArray
+          val back = graft.sources.TfRecord.readAll(stream)
+            .flatMap(_.headOption)
+            .flatMap(graft.sources.TfRecord.parseExample)
+            .getOrElse(Vector.empty)
+          val m = back.toMap
+          val txt = m.get("text").flatMap(_.bytes.headOption)
+            .map(new String(_, "UTF-8")).getOrElse("")
+          val gotId = m.get("doc_id").flatMap(_.ints.headOption).getOrElse(-1L)
+          val q = m.get("quality").map(_.floats.map(_.toDouble).sum)
+            .getOrElse(-1.0)
+          (id, stream.length.toLong, back.length.toLong, gotId, q, txt)
+        }.toDF("doc_id", "rec_len", "n_features", "id_back", "quality",
+          "text")
+        .select(col("doc_id"), col("rec_len"), col("n_features"),
+          col("id_back"), col("quality"), md5(col("text")).as("text_md5"))
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5601,6 +5697,52 @@ object PipelineOps {
         |  CAST(5 + strlen(lang) AS BIGINT) AS skip_bytes,
         |  md5(text) AS text_md5
         |FROM documents""".stripMargin,
+
+    // restates the spanning shard assignment (window prefix sum), the
+    // ustar block arithmetic, and the in-order payload digest
+    "q359_webdataset_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, strlen(text) AS sz FROM documents),
+        |a AS (
+        |  SELECT doc_id, text, sz,
+        |    CAST((SUM(sz) OVER (ORDER BY doc_id) - sz) // 4096 AS BIGINT)
+        |      AS shard_id
+        |  FROM s)
+        |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+        |  CAST(512 * SUM(1 + (sz + 511) // 512) + 1024 AS BIGINT)
+        |    AS tar_len,
+        |  true AS reparse_ok,
+        |  md5(string_agg(text, '' ORDER BY doc_id)) AS text_md5
+        |FROM a GROUP BY shard_id""".stripMargin,
+
+    // the serialized length from first principles: varint length
+    // prefixes computed bottom-up (BytesList -> Feature -> map entry ->
+    // Features -> Example -> TFRecord 16-byte framing)
+    "q360_tfrecord_export" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, strlen(text) AS tl,
+        |    CASE WHEN doc_id < 128 THEN 1 WHEN doc_id < 16384 THEN 2
+        |         WHEN doc_id < 2097152 THEN 3 ELSE 4 END AS vi
+        |  FROM documents),
+        |x AS (SELECT *,
+        |    1 + (CASE WHEN tl < 128 THEN 1 ELSE 2 END) + tl AS bl FROM t),
+        |y AS (SELECT *,
+        |    1 + (CASE WHEN bl < 128 THEN 1 ELSE 2 END) + bl AS fb FROM x),
+        |z AS (SELECT *,
+        |    7 + (CASE WHEN fb < 128 THEN 1 ELSE 2 END) + fb AS e_text,
+        |    14 + vi AS e_id, 23 AS e_q FROM y),
+        |w AS (SELECT *,
+        |    (1 + (CASE WHEN e_text < 128 THEN 1 ELSE 2 END) + e_text)
+        |      + (2 + e_id) + (2 + e_q) AS f FROM z)
+        |SELECT doc_id,
+        |  CAST(16 + 1 + (CASE WHEN f < 128 THEN 1 ELSE 2 END) + f
+        |    AS BIGINT) AS rec_len,
+        |  CAST(3 AS BIGINT) AS n_features,
+        |  doc_id AS id_back,
+        |  CAST((doc_id % 8) * 0.25 + 1.0 AS DOUBLE) AS quality,
+        |  md5(text) AS text_md5
+        |FROM w""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
