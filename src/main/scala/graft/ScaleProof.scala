@@ -106,7 +106,9 @@ object ScaleProof {
       // dataloader exports: the shard packing's prefix-sum + one hash
       // shuffle on shard_id is the shape under test; TFRecord is
       // per-row serialize+parse, scan-bound
-      "q359_webdataset_shards", "q360_tfrecord_export")
+      "q359_webdataset_shards", "q360_tfrecord_export",
+      // APNG inter-frame composition: per-row decode, scan-bound
+      "q361_apng_anim_stats")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -557,6 +557,71 @@ object MultimodalOps {
           "sample_rate", "sum_samples", "wsum", "compressed_ok")
     }),
 
+    // APNG (W3C PNG 3rd edition animation chunks): the OTHER animated
+    // image class next to GIF89a (q343) — full 8-bit-alpha inter-frame
+    // composition. Each doc becomes a REAL 4-frame APNG exercising the
+    // whole op matrix: full-canvas base (SOURCE/NONE), a patch that is
+    // REVERTED (dispose PREVIOUS), an alpha-checkered patch blended
+    // OVER then CLEARED (dispose BACKGROUND), and a final SOURCE patch
+    // over the hole. The decoder walks chunks (CRC-verified), inflates
+    // per-frame zlib streams, reverses scanline filters and composes;
+    // the oracle restates all four composed canvases as CASE algebra
+    // over region membership — any dispose/blend/offset error diverges.
+    // Per-row decode: scan-bound, zero shuffles.
+    "q361_apng_anim_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val sw = (id % 12 + 6).toInt; val sh = (id % 8 + 5).toInt
+          def reg(f: Int): (Int, Int, Int, Int) = {
+            val lf = ((id + 2 * f) % (sw - 1)).toInt
+            val tp = ((id + 3 * f) % (sh - 1)).toInt
+            val rw = ((id + 5 * f) % (sw - lf - 1)).toInt + 1
+            val rh = ((id + 7 * f) % (sh - tp - 1)).toInt + 1
+            (lf, tp, rw, rh)
+          }
+          def m(v: Long): Int = ((v % 256 + 256) % 256).toInt
+          val f0 = graft.multimodal.Apng.FrameSpec(0, 0, sw, sh, 0, 0, 3, 100,
+            (x, y) => (m(id + 3 * x + 5 * y), m(2 * id + 7 * x + y),
+              m(x.toLong * y + id), 255))
+          val (l1, t1, w1, h1) = reg(1)
+          val f1 = graft.multimodal.Apng.FrameSpec(l1, t1, w1, h1, 2, 0, 3, 100,
+            (x, y) => (m(id + 11 * x + 13 * y), m(id + 2 * x),
+              m(3L * y + id), 255))
+          val (l2, t2, w2, h2) = reg(2)
+          val f2 = graft.multimodal.Apng.FrameSpec(l2, t2, w2, h2, 1, 1, 3, 100,
+            (x, y) => (m(5L * x + y + id), m(x + 5L * y + id), m(id + 7),
+              if ((x + y + id) % 2 == 0) 255 else 0))
+          val (l3, t3, w3, h3) = reg(3)
+          val f3 = graft.multimodal.Apng.FrameSpec(l3, t3, w3, h3, 0, 0, 3, 100,
+            (x, y) => (m(id + x + y), m(id * 3 + x), m(y + 2 * id), 255))
+          val bytes = graft.multimodal.Apng.encode(sw, sh, (id % 4).toInt,
+            Seq(f0, f1, f2, f3))
+          val a = graft.multimodal.Apng.decode(bytes).get
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var opaquePx = 0L; var motion = 0L
+          for (fi <- a.canvases.indices) {
+            val c = a.canvases(fi)
+            var j = 0
+            while (j < c.length) {
+              sumR += (c(j) >> 16) & 0xFF
+              sumG += (c(j) >> 8) & 0xFF
+              sumB += c(j) & 0xFF
+              if (((c(j) >>> 24) & 0xFF) == 255) opaquePx += 1
+              if (fi > 0)
+                motion += math.abs(((c(j) >> 16) & 0xFF) -
+                  ((a.canvases(fi - 1)(j) >> 16) & 0xFF))
+              j += 1
+            }
+          }
+          (id, sw.toLong, sh.toLong, a.canvases.length.toLong,
+            a.numPlays.toLong, sumR, sumG, sumB, opaquePx, motion)
+        }.toDF("media_id", "width", "height", "n_frames", "num_plays",
+          "sum_r", "sum_g", "sum_b", "opaque_px", "motion_r")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -1157,6 +1222,90 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
         |    AS BIGINT) AS motion_abs
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // restates the composed canvases of all four frames as CASE algebra
+    // over region membership: f0 base, f1 reverted (dispose PREVIOUS),
+    // f2 alpha-checkered OVER then cleared (dispose BACKGROUND), f3
+    // painted over the transparent hole
+    "q361_apng_anim_stats" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id AS id, doc_id % 12 + 6 AS sw, doc_id % 8 + 5 AS sh
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |rg AS MATERIALIZED (
+        |  SELECT id, f.i AS f,
+        |    (id + 2*f.i) % (sw - 1) AS lf, (id + 3*f.i) % (sh - 1) AS tp,
+        |    (id + 5*f.i) % (sw - ((id + 2*f.i) % (sw - 1)) - 1) + 1 AS rw,
+        |    (id + 7*f.i) % (sh - ((id + 3*f.i) % (sh - 1)) - 1) + 1 AS rh
+        |  FROM d, range(1, 4) f(i)),
+        |px AS MATERIALIZED (
+        |  SELECT id, x.i AS x, y.i AS y
+        |  FROM d, range(0, 18) x(i), range(0, 13) y(i)
+        |  WHERE x.i < sw AND y.i < sh),
+        |mm AS MATERIALIZED (
+        |  SELECT p.id, p.x, p.y,
+        |    MAX(CASE WHEN r.f = 1 AND p.x >= r.lf AND p.x < r.lf + r.rw
+        |             AND p.y >= r.tp AND p.y < r.tp + r.rh THEN 1 ELSE 0 END)
+        |      AS in1,
+        |    MAX(CASE WHEN r.f = 2 AND p.x >= r.lf AND p.x < r.lf + r.rw
+        |             AND p.y >= r.tp AND p.y < r.tp + r.rh THEN 1 ELSE 0 END)
+        |      AS in2,
+        |    MAX(CASE WHEN r.f = 3 AND p.x >= r.lf AND p.x < r.lf + r.rw
+        |             AND p.y >= r.tp AND p.y < r.tp + r.rh THEN 1 ELSE 0 END)
+        |      AS in3
+        |  FROM px p JOIN rg r USING (id) GROUP BY 1, 2, 3),
+        |cv AS MATERIALIZED (
+        |  SELECT m.id, m.x, m.y, fv.i AS fv,
+        |    CASE fv.i
+        |      WHEN 0 THEN (id + 3*x + 5*y) % 256
+        |      WHEN 1 THEN CASE WHEN in1 = 1 THEN (id + 11*x + 13*y) % 256
+        |                       ELSE (id + 3*x + 5*y) % 256 END
+        |      WHEN 2 THEN CASE WHEN in2 = 1 AND (x + y + id) % 2 = 0
+        |                       THEN (5*x + y + id) % 256
+        |                       ELSE (id + 3*x + 5*y) % 256 END
+        |      ELSE CASE WHEN in3 = 1 THEN (id + x + y) % 256
+        |                WHEN in2 = 1 THEN 0
+        |                ELSE (id + 3*x + 5*y) % 256 END END AS r,
+        |    CASE fv.i
+        |      WHEN 0 THEN (2*id + 7*x + y) % 256
+        |      WHEN 1 THEN CASE WHEN in1 = 1 THEN (id + 2*x) % 256
+        |                       ELSE (2*id + 7*x + y) % 256 END
+        |      WHEN 2 THEN CASE WHEN in2 = 1 AND (x + y + id) % 2 = 0
+        |                       THEN (x + 5*y + id) % 256
+        |                       ELSE (2*id + 7*x + y) % 256 END
+        |      ELSE CASE WHEN in3 = 1 THEN (id*3 + x) % 256
+        |                WHEN in2 = 1 THEN 0
+        |                ELSE (2*id + 7*x + y) % 256 END END AS g,
+        |    CASE fv.i
+        |      WHEN 0 THEN (x*y + id) % 256
+        |      WHEN 1 THEN CASE WHEN in1 = 1 THEN (3*y + id) % 256
+        |                       ELSE (x*y + id) % 256 END
+        |      WHEN 2 THEN CASE WHEN in2 = 1 AND (x + y + id) % 2 = 0
+        |                       THEN (id + 7) % 256
+        |                       ELSE (x*y + id) % 256 END
+        |      ELSE CASE WHEN in3 = 1 THEN (y + 2*id) % 256
+        |                WHEN in2 = 1 THEN 0
+        |                ELSE (x*y + id) % 256 END END AS b,
+        |    CASE WHEN fv.i = 3 AND in3 = 0 AND in2 = 1 THEN 0 ELSE 1 END
+        |      AS a
+        |  FROM mm m, range(0, 4) fv(i)),
+        |agg AS (
+        |  SELECT id, CAST(SUM(r) AS BIGINT) AS sum_r,
+        |    CAST(SUM(g) AS BIGINT) AS sum_g,
+        |    CAST(SUM(b) AS BIGINT) AS sum_b,
+        |    CAST(SUM(a) AS BIGINT) AS opaque_px
+        |  FROM cv GROUP BY 1),
+        |mot AS (
+        |  SELECT a2.id, CAST(SUM(ABS(a2.r - b2.r)) AS BIGINT) AS motion_r
+        |  FROM cv a2 JOIN cv b2
+        |    ON a2.id = b2.id AND a2.x = b2.x AND a2.y = b2.y
+        |   AND b2.fv = a2.fv - 1
+        |  GROUP BY 1)
+        |SELECT d.id AS media_id, CAST(d.sw AS BIGINT) AS width,
+        |  CAST(d.sh AS BIGINT) AS height, CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(d.id % 4 AS BIGINT) AS num_plays,
+        |  agg.sum_r, agg.sum_g, agg.sum_b, agg.opaque_px, mot.motion_r
+        |FROM d JOIN agg ON agg.id = d.id JOIN mot ON mot.id = d.id
+        |ORDER BY media_id""".stripMargin,
 
     "q343_gif_anim_stats" ->
       """WITH d AS MATERIALIZED (
