@@ -107,8 +107,9 @@ object ScaleProof {
       // shuffle on shard_id is the shape under test; TFRecord is
       // per-row serialize+parse, scan-bound
       "q359_webdataset_shards", "q360_tfrecord_export",
-      // APNG inter-frame composition: per-row decode, scan-bound
-      "q361_apng_anim_stats")
+      // APNG inter-frame composition + MPEG-1 motion compensation:
+      // per-row codec round trips, scan-bound
+      "q361_apng_anim_stats", "q362_mpeg1_motion")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

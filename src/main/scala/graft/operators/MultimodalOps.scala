@@ -622,6 +622,50 @@ object MultimodalOps {
           "sum_r", "sum_g", "sum_b", "opaque_px", "motion_r")
     }),
 
+    // MPEG-1 VIDEO (ISO 11172-2) — the INTER-FRAME codec class the
+    // family previously rejected: every doc becomes a real I+P
+    // sequence whose content translates one macroblock per frame, so
+    // P pictures carry REAL forward motion compensation (differential
+    // vectors with f-code residual bits) plus an intra refresh column
+    // for the entering content. MB-flat intra blocks keep the IDCT
+    // exact (the JPEG DC-only trick), so the oracle restates every
+    // reconstructed frame in closed form — any error in the layer walk,
+    // VLCs, DC prediction, MV reconstruction or MC addressing diverges.
+    // Per-row codec: scan-bound, zero shuffles.
+    "q362_mpeg1_motion" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 48; val h = 32
+          val nP = (id % 3).toInt + 1
+          def g(u: Int, v: Int): Int =
+            (16 + (((u % 7 + 7) % 7) * 17 + v * 29 + id) % 224).toInt
+          val frames = graft.multimodal.Mpeg1.FramePlan(intra = true,
+            (bx, by) => graft.multimodal.Mpeg1.MbIntra(g(bx, by))) +:
+            (1 to nP).map { f =>
+              graft.multimodal.Mpeg1.FramePlan(intra = false, (bx, by) =>
+                if (bx == 0) graft.multimodal.Mpeg1.MbIntra(g(bx - f, by))
+                else graft.multimodal.Mpeg1.MbMc(-16, 0))
+            }
+          val bytes = graft.multimodal.Mpeg1.encode(w, h, frames.toSeq)
+          val d = graft.multimodal.Mpeg1.decode(bytes).get
+          var sumY = 0L; var motion = 0L
+          for (fi <- d.frames.indices) {
+            val y = d.frames(fi).y
+            var j = 0
+            while (j < y.length) {
+              sumY += y(j)
+              if (fi > 0) motion += math.abs(y(j) - d.frames(fi - 1).y(j))
+              j += 1
+            }
+          }
+          (id, w.toLong, h.toLong, d.frames.length.toLong, sumY, motion)
+        }.toDF("media_id", "width", "height", "n_frames", "sum_y",
+          "motion_y")
+    }),
+
     // PROGRESSIVE (SOF2) JPEG: alternating docs encode the SAME
     // block-flat image progressively (DC scan + spectral-selection AC
     // scan) or sequentially, and both decode through the dispatching
@@ -1222,6 +1266,31 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
         |    AS BIGINT) AS motion_abs
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // restates every reconstructed frame in closed form: frame f's
+    // macroblock (bx, by) is the translating pattern at (bx - f, by)
+    "q362_mpeg1_motion" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id AS id, doc_id % 3 + 1 AS np
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |mb AS MATERIALIZED (
+        |  SELECT id, f.i AS f, bx.i AS bx, by.i AS by,
+        |    16 + ((((bx.i - f.i) % 7 + 7) % 7) * 17 + by.i * 29 + id) % 224
+        |      AS l
+        |  FROM d, range(0, 4) f(i), range(0, 3) bx(i), range(0, 2) by(i)
+        |  WHERE f.i <= np),
+        |sy AS (SELECT id, CAST(256 * SUM(l) AS BIGINT) AS sum_y
+        |       FROM mb GROUP BY 1),
+        |mo AS (
+        |  SELECT a.id, CAST(256 * SUM(ABS(a.l - b.l)) AS BIGINT) AS motion_y
+        |  FROM mb a JOIN mb b
+        |    ON a.id = b.id AND a.bx = b.bx AND a.by = b.by AND b.f = a.f - 1
+        |  GROUP BY 1)
+        |SELECT d.id AS media_id, CAST(48 AS BIGINT) AS width,
+        |  CAST(32 AS BIGINT) AS height,
+        |  CAST(d.np + 1 AS BIGINT) AS n_frames, sy.sum_y, mo.motion_y
+        |FROM d JOIN sy ON sy.id = d.id JOIN mo ON mo.id = d.id
+        |ORDER BY media_id""".stripMargin,
 
     // restates the composed canvases of all four frames as CASE algebra
     // over region membership: f0 base, f1 reverted (dispose PREVIOUS),
