@@ -109,7 +109,10 @@ object ScaleProof {
       "q359_webdataset_shards", "q360_tfrecord_export",
       // APNG inter-frame composition + MPEG-1 motion compensation:
       // per-row codec round trips, scan-bound
-      "q361_apng_anim_stats", "q362_mpeg1_motion")
+      "q361_apng_anim_stats", "q362_mpeg1_motion", "q363_tiff_decode",
+      // zstd-dict storage: the n-gram hash agg + broadcast dict is the
+      // shape under test (heavy-hitter class, q316's CMS at 100 TB)
+      "q364_zstd_dict_storage")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -622,6 +622,39 @@ object MultimodalOps {
           "sum_r", "sum_g", "sum_b", "opaque_px", "motion_r")
     }),
 
+    // TIFF 6.0 baseline — the document-scan container (archival scans,
+    // OCR corpora): both byte orders, the IFD walk, multi-strip
+    // geometry and all three baseline compressions (none / LZW §13
+    // with the early code-width change / PackBits), cycled across
+    // docs. Externally cross-checked: the JDK's independent ImageIO
+    // TIFF plugin reads our files and we read its (TiffSpec) — unlike
+    // the MPEG/arithmetic-JPEG classes this codec has a second
+    // implementation in the container. The oracle restates the pixel
+    // formula and strip arithmetic. Per-row decode: scan-bound.
+    "q363_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 19 + 12).toInt; val h = (id % 11 + 8).toInt
+          val spp = if (id % 2 == 0) 1 else 3
+          val comp = (id % 3) match { case 0 => 1; case 1 => 5; case _ => 32773 }
+          val rps = (id % 4 + 3).toInt
+          def px(x: Int, y: Int, ss: Int): Int =
+            ((id + 7 * x + 13 * y + 29 * ss) % 256).toInt
+          val bytes = graft.multimodal.Tiff.encode(w, h, spp, px, comp,
+            rps, littleEndian = id % 2 == 0)
+          val img = graft.multimodal.Tiff.decode(bytes).get
+          var sum = 0L; var peak = 0L
+          img.pixels.foreach { p => sum += p; if (p > peak) peak = p.toLong }
+          (id, img.width.toLong, img.height.toLong,
+            img.samplesPerPixel.toLong, img.compression.toLong,
+            img.nStrips.toLong, sum, peak)
+        }.toDF("media_id", "width", "height", "spp", "compression",
+          "n_strips", "sum_px", "peak_px")
+    }),
+
     // MPEG-1 VIDEO (ISO 11172-2) — the INTER-FRAME codec class the
     // family previously rejected: every doc becomes a real I+P
     // sequence whose content translates one macroblock per frame, so
@@ -1266,6 +1299,28 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
         |    AS BIGINT) AS motion_abs
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q363_tiff_decode" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id AS id, doc_id % 19 + 12 AS w, doc_id % 11 + 8 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS spp,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5 ELSE 32773 END
+        |      AS comp,
+        |    doc_id % 4 + 3 AS rps
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |px AS (
+        |  SELECT id, (id + 7*x.i + 13*y.i + 29*s.i) % 256 AS v
+        |  FROM d, range(0, 31) x(i), range(0, 19) y(i), range(0, 3) s(i)
+        |  WHERE x.i < w AND y.i < h AND s.i < spp)
+        |SELECT d.id AS media_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height, CAST(d.spp AS BIGINT) AS spp,
+        |  CAST(d.comp AS BIGINT) AS compression,
+        |  CAST((d.h + d.rps - 1) // d.rps AS BIGINT) AS n_strips,
+        |  CAST(SUM(p.v) AS BIGINT) AS sum_px,
+        |  CAST(MAX(p.v) AS BIGINT) AS peak_px
+        |FROM d JOIN px p ON p.id = d.id
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY media_id""".stripMargin,
 
     // restates every reconstructed frame in closed form: frame f's
     // macroblock (bx, by) is the translating pattern at (bx - f, by)

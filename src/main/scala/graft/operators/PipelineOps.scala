@@ -2916,6 +2916,56 @@ object PipelineOps {
           col("id_back"), col("quality"), md5(col("text")).as("text_md5"))
     }),
 
+    // ZSTD DICTIONARY-COMPRESSED SMALL-DOC STORAGE — how engines store
+    // billions of small documents: a shared dictionary amortizes the
+    // corpus's common substrings so each tiny doc compresses as if it
+    // had context. The dictionary here is a DETERMINISTIC frequency-
+    // segment build (top-16 8-grams of the ASCII projection, count
+    // desc / ngram asc — a COVER-lite both engines restate exactly;
+    // ZDICT itself is a library black box, so the selection is ours
+    // and oracle-checked). Every doc then round-trips through REAL
+    // zstd dictionary compression (ZstdCompressCtx/ZstdDecompressCtx
+    // .loadDict — the parquet codec library) and the AND-fold of the
+    // round trips rides the output rows. Scale shape: the n-gram count
+    // is one hash agg (the heavy-hitter shape — at 100 TB you cap it
+    // with the q316 CMS), top-16 is tiny, the dictionary broadcasts,
+    // and the codec pass is scan-bound.
+    "q364_zstd_dict_storage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 400)
+            .as("t"))
+        .filter(length(col("t")) >= 8)
+      val grams = docs.as[(Long, String)]
+        .flatMap { case (_, t) => t.sliding(8) }
+        .toDF("ngram")
+        .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc).limit(16)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc,
+            col("ngram").asc)))
+        .localCheckpoint()
+      val dict = grams.orderBy(col("rank")).select(col("ngram"))
+        .as[String].collect().mkString.getBytes("UTF-8")
+      val dictB = s.sparkContext.broadcast(dict)
+      val ok = docs.as[(Long, String)].map { case (_, t) =>
+        val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+        val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+        try {
+          cctx.loadDict(dictB.value); dctx.loadDict(dictB.value)
+          val raw = t.getBytes("UTF-8")
+          val comp = cctx.compress(raw)
+          java.util.Arrays.equals(dctx.decompress(comp, raw.length), raw)
+        } finally { cctx.close(); dctx.close() }
+      }.toDF("rt")
+        .agg(min(col("rt")).as("roundtrip_all"))
+      grams.crossJoin(broadcast(ok))
+        .select(col("rank").cast("long").as("rank"), col("ngram"),
+          col("cnt").cast("long").as("cnt"),
+          lit(dict.length.toLong).as("dict_len"), col("roundtrip_all"))
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5743,6 +5793,28 @@ object PipelineOps {
         |  CAST((doc_id % 8) * 0.25 + 1.0 AS DOUBLE) AS quality,
         |  md5(text) AS text_md5
         |FROM w""".stripMargin,
+
+    // restates the frequency-segment dictionary build: all 8-grams of
+    // the ASCII projection, counts, top-16 by (count desc, ngram asc)
+    "q364_zstd_dict_storage" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 400) AS t
+        |  FROM documents),
+        |ng AS MATERIALIZED (
+        |  SELECT substr(t, i.i, 8) AS ngram
+        |  FROM docs, range(1, 400) i(i)
+        |  WHERE length(t) >= 8 AND i.i <= length(t) - 7),
+        |cnts AS (SELECT ngram, COUNT(*) AS cnt FROM ng GROUP BY 1),
+        |top AS (
+        |  SELECT ngram, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS rank
+        |  FROM cnts ORDER BY cnt DESC, ngram ASC LIMIT 16)
+        |SELECT CAST(rank AS BIGINT) AS rank, ngram,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  CAST((SELECT SUM(strlen(ngram)) FROM top) AS BIGINT) AS dict_len,
+        |  true AS roundtrip_all
+        |FROM top ORDER BY rank""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
