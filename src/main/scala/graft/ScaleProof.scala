@@ -112,7 +112,9 @@ object ScaleProof {
       "q361_apng_anim_stats", "q362_mpeg1_motion", "q363_tiff_decode",
       // zstd-dict storage: the n-gram hash agg + broadcast dict is the
       // shape under test (heavy-hitter class, q316's CMS at 100 TB)
-      "q364_zstd_dict_storage")
+      "q364_zstd_dict_storage",
+      // wiki-dump ingest: per-row bzip2 + XML walk, scan-bound
+      "q365_wiki_dump_ingest")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -2966,6 +2966,54 @@ object PipelineOps {
           lit(dict.length.toLong).as("dict_len"), col("roundtrip_all"))
     }),
 
+    // WIKIPEDIA-DUMP INGEST (.xml.bz2) — the CLASSIC public text
+    // corpus drop: each doc becomes a MediaWiki XML document (article
+    // page + talk page, XML-entity-escaped body) compressed with the
+    // HAND-ROLLED bzip2 codec ([[graft.sources.Bzip2]]: RLE1, BWT +
+    // counting-sort inverse, MTF, RUNA/RUNB zero-runs, multi-group
+    // canonical Huffman, both CRC layers — cross-checked in CI against
+    // commons-compress AND the system bzip2 binary), then decompressed
+    // and page-extracted by the strict dump walker
+    // ([[graft.sources.WikiDump]]). The oracle restates titles,
+    // namespaces, page-id arithmetic and the UNESCAPED article body —
+    // a single wrong byte anywhere in the BWT/Huffman/CRC stack or the
+    // entity decode diverges. Per-row codec: scan-bound, zero shuffles.
+    "q365_wiki_dump_ingest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 300)
+            .as("t"))
+        .filter(length(col("t")) > 0)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val esc = t.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+          val xml =
+            s"""<mediawiki>
+               |  <page><title>Doc $id</title><ns>0</ns><id>$id</id><revision><id>${2 * id + 1}</id><text bytes="${t.length}">$esc</text></revision></page>
+               |  <page><title>Talk:Doc $id</title><ns>1</ns><id>${id + 1}</id><revision><id>${2 * id + 2}</id><text>reply &amp; ack $id</text></revision></page>
+               |</mediawiki>""".stripMargin
+          val bz2 = graft.sources.Bzip2.compress(xml.getBytes("UTF-8"), 1)
+          val back = graft.sources.Bzip2.decompress(bz2)
+            .map(new String(_, "UTF-8"))
+            .flatMap(graft.sources.WikiDump.pages)
+            .getOrElse(Vector.empty)
+          val article = back.find(_.ns == 0)
+          val talk = back.find(_.ns == 1)
+          (id, back.length.toLong,
+            article.map(_.title).getOrElse(""),
+            back.map(_.ns.toLong).sum,
+            back.map(_.id).sum,
+            article.map(_.text).getOrElse(""),
+            talk.map(_.text).getOrElse(""))
+        }.toDF("doc_id", "n_pages", "title", "ns_sum", "page_id_sum",
+          "article", "talk_text")
+        .select(col("doc_id"), col("n_pages"), col("title"), col("ns_sum"),
+          col("page_id_sum"), md5(col("article")).as("article_md5"),
+          col("talk_text"))
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5815,6 +5863,22 @@ object PipelineOps {
         |  CAST((SELECT SUM(strlen(ngram)) FROM top) AS BIGINT) AS dict_len,
         |  true AS roundtrip_all
         |FROM top ORDER BY rank""".stripMargin,
+
+    // restates the dump synthesis: titles, namespace and page-id
+    // arithmetic, and the UNESCAPED bodies (the parser's entity decode
+    // must return exactly the pre-escape text)
+    "q365_wiki_dump_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 300) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS n_pages,
+        |  'Doc ' || doc_id AS title,
+        |  CAST(1 AS BIGINT) AS ns_sum,
+        |  CAST(2 * doc_id + 1 AS BIGINT) AS page_id_sum,
+        |  md5(t) AS article_md5,
+        |  'reply & ack ' || doc_id AS talk_text
+        |FROM d WHERE length(t) > 0""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
