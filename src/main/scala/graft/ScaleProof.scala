@@ -114,7 +114,11 @@ object ScaleProof {
       // shape under test (heavy-hitter class, q316's CMS at 100 TB)
       "q364_zstd_dict_storage",
       // wiki-dump ingest: per-row bzip2 + XML walk, scan-bound
-      "q365_wiki_dump_ingest")
+      "q365_wiki_dump_ingest",
+      // G.711 is per-row expansion (scan-bound); Gorilla's block-key
+      // hash shuffle + per-block codec is the metrics-storage shape —
+      // 10x multiplies points per (type, day) block
+      "q366_g711_decode", "q367_gorilla_metrics")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -313,8 +313,42 @@ object Multimodal {
         var k = 0
         while (k < n) { out(k) = le16(off + k * 2).toShort.toInt; k += 1 }
         Some((rate, ch, out))
+      // G.711 telephony formats (8-bit log-companded — how speech
+      // corpora are actually stored): fmt 7 = μ-law, fmt 6 = A-law;
+      // expansion is exact integer arithmetic (ITU-T G.711 tables are
+      // closed formulas over sign/segment/mantissa)
+      case (Some((7, ch, rate)), Some((off, sz))) if bits == 8 =>
+        if (sz > (1 << 24)) return None
+        Some((rate, ch, Array.tabulate(sz)(k => muLawExpand(u8(off + k)))))
+      case (Some((6, ch, rate)), Some((off, sz))) if bits == 8 =>
+        if (sz > (1 << 24)) return None
+        Some((rate, ch, Array.tabulate(sz)(k => aLawExpand(u8(off + k)))))
       case _ => None
     }
+  }
+
+  /** ITU-T G.711 μ-law byte → 16-bit PCM (exact: ((2m+33) << s) - 33,
+    * scaled ×4 to the 16-bit domain, sign from the complemented MSB). */
+  def muLawExpand(b: Int): Int = {
+    val u = ~b & 0xFF
+    val seg = (u >> 4) & 0x7
+    val mant = u & 0xF
+    val mag = (((mant << 1) | 0x21) << seg) - 0x21
+    val v = mag << 2
+    if ((u & 0x80) != 0) -v else v
+  }
+
+  /** ITU-T G.711 A-law byte → 16-bit PCM (even bits inverted by 0x55;
+    * segment 0 is linear, higher segments shift; scaled ×8). */
+  def aLawExpand(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xFF
+    val seg = (a >> 4) & 0x7
+    val mant = a & 0xF
+    val mag =
+      if (seg == 0) (mant << 1) | 1
+      else (((mant << 1) | 0x21) << (seg - 1))
+    val v = mag << 3
+    if ((a & 0x80) != 0) v else -v
   }
 
   /** decoded pixel stats (PNG and GIF paths) — exact integers end to
@@ -771,6 +805,21 @@ object Multimodal {
       le16(1) ++ le16(channels) ++ le32(sampleRate) ++
       le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16) ++
       "data".getBytes("ASCII") ++ le32(data.length) ++ data
+  }
+
+  /** structurally valid G.711 WAV fixture: fmt tag 7 (μ-law) or 6
+    * (A-law), 8 bits per sample, raw companded bytes as the payload. */
+  def syntheticWavG711(sampleRate: Int, channels: Int, fmtTag: Int,
+      companded: Array[Byte]): Array[Byte] = {
+    require(fmtTag == 6 || fmtTag == 7)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    "RIFF".getBytes("ASCII") ++ le32(36 + companded.length) ++
+      "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ le32(16) ++
+      le16(fmtTag) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels) ++ le16(channels) ++ le16(8) ++
+      "data".getBytes("ASCII") ++ le32(companded.length) ++ companded
   }
 
   /** structurally valid WAV header fixture. */

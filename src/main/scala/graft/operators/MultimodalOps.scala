@@ -622,6 +622,42 @@ object MultimodalOps {
           "sum_r", "sum_g", "sum_b", "opaque_px", "motion_r")
     }),
 
+    // G.711 TELEPHONY AUDIO (ITU-T μ-law / A-law) — how 8 kHz speech
+    // corpora are actually stored: 8-bit log-companded samples inside
+    // WAV fmt tags 7/6. The expansion is EXACT integer arithmetic over
+    // sign/segment/mantissa (((8m+132)<<s)-132 for μ-law; the 0x55-
+    // inverted A-law segments), so the oracle restates both formulas
+    // byte for byte. Real RIFF walk end to end ([[Multimodal
+    // .wavSamples]] gained the two companded formats). Per-row decode:
+    // scan-bound, zero shuffles.
+    "q366_g711_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 400 + (id % 5).toInt * 100
+          val fmt = if (id % 2 == 0) 7 else 6
+          val companded = Array.tabulate(n)(i =>
+            ((id * 13 + i * 7) % 256).toByte)
+          val wav = graft.multimodal.Multimodal.syntheticWavG711(
+            8000, 1, fmt, companded)
+          val (rate, ch, pcm) =
+            graft.multimodal.Multimodal.wavSamples(wav).get
+          var sum = 0L; var wsum = 0L; var peak = 0L
+          var i = 0
+          while (i < pcm.length) {
+            sum += pcm(i)
+            wsum += pcm(i).toLong * ((i % 89) + 1)
+            if (math.abs(pcm(i).toLong) > peak) peak = math.abs(pcm(i).toLong)
+            i += 1
+          }
+          (id, if (fmt == 7) "mulaw" else "alaw", rate.toLong, ch.toLong,
+            pcm.length.toLong, sum, wsum, peak)
+        }.toDF("media_id", "law", "sample_rate", "channels", "n_samples",
+          "sum_pcm", "wsum_pcm", "peak_abs")
+    }),
+
     // TIFF 6.0 baseline — the document-scan container (archival scans,
     // OCR corpora): both byte orders, the IFD walk, multi-strip
     // geometry and all three baseline compressions (none / LZW §13
@@ -1299,6 +1335,41 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
         |    AS BIGINT) AS motion_abs
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // restates both ITU-T G.711 expansion formulas byte for byte
+    "q366_g711_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 400 + (doc_id % 5) * 100 AS n,
+        |    doc_id % 2 = 0 AS mu
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |pcm AS (
+        |  SELECT id, mu, i.i AS i,
+        |    CASE WHEN mu THEN
+        |      CASE WHEN (255 - (id * 13 + i.i * 7) % 256) >= 128
+        |        THEN -((((255 - (id * 13 + i.i * 7) % 256) % 16) * 8 + 132)
+        |               * (1 << (((255 - (id * 13 + i.i * 7) % 256) // 16) % 8))
+        |               - 132)
+        |        ELSE ((((255 - (id * 13 + i.i * 7) % 256) % 16) * 8 + 132)
+        |              * (1 << (((255 - (id * 13 + i.i * 7) % 256) // 16) % 8))
+        |              - 132) END
+        |    ELSE
+        |      CASE WHEN xor((id * 13 + i.i * 7) % 256, 85) >= 128 THEN 1
+        |           ELSE -1 END *
+        |      CASE WHEN (xor((id * 13 + i.i * 7) % 256, 85) // 16) % 8 = 0
+        |        THEN (xor((id * 13 + i.i * 7) % 256, 85) % 16) * 16 + 8
+        |        ELSE ((xor((id * 13 + i.i * 7) % 256, 85) % 16) * 16 + 264)
+        |             * (1 << ((xor((id * 13 + i.i * 7) % 256, 85) // 16) % 8
+        |                      - 1)) END
+        |    END AS v
+        |  FROM d, range(0, 800) i(i) WHERE i.i < n)
+        |SELECT id AS media_id,
+        |  CASE WHEN mu THEN 'mulaw' ELSE 'alaw' END AS law,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_pcm,
+        |  CAST(SUM(v * ((i % 89) + 1)) AS BIGINT) AS wsum_pcm,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+        |FROM pcm GROUP BY 1, 2""".stripMargin,
 
     "q363_tiff_decode" ->
       """WITH d AS MATERIALIZED (

@@ -3014,6 +3014,55 @@ object PipelineOps {
           col("talk_text"))
     }),
 
+    // GORILLA BLOCK COMPRESSION (VLDB'15) over the REAL event stream —
+    // THE metrics-storage codec, i.e. exactly the reference engine's
+    // data: series keyed by (event_type, day) — the time-bounded block
+    // key that keeps every block's state finite at 100 TB (the paper's
+    // 2-hour blocks; partition-by-series-and-window is the shape) —
+    // compressed with delta-of-delta timestamps and XOR'd values, then
+    // decompressed and verified BIT-exact in plan. The oracle restates
+    // the delta-of-delta CLASS census and the exact compressed
+    // timestamp bit count from lag windows — a codec that picks one
+    // wrong class for one point diverges. One hash shuffle on the
+    // block key; per-block codec work.
+    "q367_gorilla_metrics" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("ts div 1000 div 86400000000").as("day"),
+          expr("ts div 1000").as("us"), col("event_id"), col("value"))
+        .as[(String, Long, Long, Long, Double)]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key, it) =>
+          val (typ, day) = key
+          val pts = it.toArray.sortBy(r => (r._3, r._4))
+          val ts = pts.map(_._3)
+          val vs = pts.map(_._5)
+          val z = graft.storage.Gorilla.compress(ts, vs)
+          val back = graft.storage.Gorilla.decompress(z)
+          val ok = back.exists { case (t2, v2) =>
+            t2.sameElements(ts) && v2.length == vs.length &&
+              v2.indices.forall(i =>
+                java.lang.Double.doubleToLongBits(v2(i)) ==
+                  java.lang.Double.doubleToLongBits(vs(i)))
+          }
+          val classes = new Array[Long](5)
+          var prevDelta = 0L
+          var i = 1
+          while (i < ts.length) {
+            val delta = ts(i) - ts(i - 1)
+            classes(graft.storage.Gorilla.dodClass(delta - prevDelta)) += 1
+            prevDelta = delta
+            i += 1
+          }
+          val tsBits = classes.zip(graft.storage.Gorilla.ClassBits)
+            .map { case (c, b) => c * b }.sum
+          (typ, day, ts.length.toLong, classes(0), classes(1), classes(2),
+            classes(3), classes(4), tsBits, ok)
+        }.toDF("event_type", "day", "n_points", "dod0", "dod7", "dod9",
+          "dod12", "dod64", "ts_bits", "roundtrip_ok")
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5879,6 +5928,52 @@ object PipelineOps {
         |  md5(t) AS article_md5,
         |  'reply & ack ' || doc_id AS talk_text
         |FROM d WHERE length(t) > 0""".stripMargin,
+
+    // restates the delta-of-delta class census and the exact compressed
+    // timestamp bit count from lag windows over the same block key
+    "q367_gorilla_metrics" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, day,
+        |    ts_us - lag(ts_us) OVER w AS delta,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts_us, event_id)),
+        |dd AS (
+        |  SELECT event_type, day,
+        |    delta - COALESCE(lag(delta) OVER w2, 0) AS dod
+        |  FROM d WHERE delta IS NOT NULL
+        |  WINDOW w2 AS (PARTITION BY event_type, day ORDER BY rn)),
+        |cls AS (
+        |  SELECT event_type, day,
+        |    SUM(CASE WHEN dod = 0 THEN 1 ELSE 0 END) AS dod0,
+        |    SUM(CASE WHEN dod <> 0 AND dod BETWEEN -63 AND 64
+        |        THEN 1 ELSE 0 END) AS dod7,
+        |    SUM(CASE WHEN dod NOT BETWEEN -63 AND 64
+        |         AND dod BETWEEN -255 AND 256 THEN 1 ELSE 0 END) AS dod9,
+        |    SUM(CASE WHEN dod NOT BETWEEN -255 AND 256
+        |         AND dod BETWEEN -2047 AND 2048 THEN 1 ELSE 0 END) AS dod12,
+        |    SUM(CASE WHEN dod NOT BETWEEN -2047 AND 2048
+        |        THEN 1 ELSE 0 END) AS dod64
+        |  FROM dd GROUP BY 1, 2),
+        |np AS (SELECT event_type, day, COUNT(*) AS n_points
+        |       FROM e GROUP BY 1, 2)
+        |SELECT np.event_type, CAST(np.day AS BIGINT) AS day,
+        |  CAST(np.n_points AS BIGINT) AS n_points,
+        |  CAST(COALESCE(cls.dod0, 0) AS BIGINT) AS dod0,
+        |  CAST(COALESCE(cls.dod7, 0) AS BIGINT) AS dod7,
+        |  CAST(COALESCE(cls.dod9, 0) AS BIGINT) AS dod9,
+        |  CAST(COALESCE(cls.dod12, 0) AS BIGINT) AS dod12,
+        |  CAST(COALESCE(cls.dod64, 0) AS BIGINT) AS dod64,
+        |  CAST(COALESCE(cls.dod0, 0) * 1 + COALESCE(cls.dod7, 0) * 9
+        |     + COALESCE(cls.dod9, 0) * 12 + COALESCE(cls.dod12, 0) * 16
+        |     + COALESCE(cls.dod64, 0) * 68 AS BIGINT) AS ts_bits,
+        |  true AS roundtrip_ok
+        |FROM np LEFT JOIN cls
+        |  ON cls.event_type = np.event_type AND cls.day = np.day""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
