@@ -118,7 +118,9 @@ object ScaleProof {
       // G.711 is per-row expansion (scan-bound); Gorilla's block-key
       // hash shuffle + per-block codec is the metrics-storage shape —
       // 10x multiplies points per (type, day) block
-      "q366_g711_decode", "q367_gorilla_metrics")
+      "q366_g711_decode", "q367_gorilla_metrics",
+      // Avro OCF: per-row encode+decode, scan-bound
+      "q368_avro_ocf_ingest")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

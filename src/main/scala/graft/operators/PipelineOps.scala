@@ -3063,6 +3063,42 @@ object PipelineOps {
           "dod12", "dod64", "ts_bits", "roundtrip_ok")
     }),
 
+    // AVRO OBJECT CONTAINER FILE INGEST — the Hive/Kafka-era dataset
+    // interchange format: hand-rolled OCF framing (magic, metadata map,
+    // sync markers, counted blocks, null/deflate codecs) and binary
+    // record decode (zigzag varints, length-prefixed strings, LE double
+    // bits); the Avro Java reference implementation on the classpath
+    // cross-checks the wire BOTH directions (AvroOcfSpec). The oracle
+    // restates record synthesis and every decoded aggregate — exact
+    // quarter-step doubles keep the float plane bit-comparable.
+    // Per-row decode: scan-bound, zero shuffles.
+    "q368_avro_ocf_ingest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val fields = Seq(graft.sources.AvroOcf.Field("id", "long"),
+            graft.sources.AvroOcf.Field("title", "string"),
+            graft.sources.AvroOcf.Field("score", "double"),
+            graft.sources.AvroOcf.Field("kept", "boolean"))
+          val recs = (0 until 3).map(r => Seq[Any](3 * id + r,
+            s"Doc $id r$r", (id % 7) * 0.25 + r, (id + r) % 2 == 0))
+          val codec = if (id % 2 == 0) "null" else "deflate"
+          val bytes = graft.sources.AvroOcf.encode("Doc", fields, recs,
+            codec, 2)
+          val ocf = graft.sources.AvroOcf.decode(bytes).get
+          val idSum = ocf.records.map(_(0).asInstanceOf[Long]).sum
+          val scoreSum = ocf.records.map(_(2).asInstanceOf[Double]).sum
+          val nKept = ocf.records.count(_(3).asInstanceOf[Boolean])
+          val titles = ocf.records.map(_(1).asInstanceOf[String])
+            .mkString("|")
+          (id, codec, ocf.records.length.toLong, idSum, scoreSum,
+            nKept.toLong, titles)
+        }.toDF("doc_id", "codec", "n_records", "id_sum", "score_sum",
+          "n_kept", "titles")
+    }),
+
     "q342_exact_substr_spans" -> ((s, dir) => {
       val L = 8
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -5974,6 +6010,25 @@ object PipelineOps {
         |  true AS roundtrip_ok
         |FROM np LEFT JOIN cls
         |  ON cls.event_type = np.event_type AND cls.day = np.day""".stripMargin,
+
+    // restates the record synthesis and every decoded aggregate
+    "q368_avro_ocf_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT doc_id, rr.i AS r, 3 * doc_id + rr.i AS rid,
+        |    (doc_id % 7) * 0.25 + rr.i AS score,
+        |    (doc_id + rr.i) % 2 = 0 AS kept
+        |  FROM d, range(0, 3) rr(i))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'null' ELSE 'deflate' END AS codec,
+        |  CAST(3 AS BIGINT) AS n_records,
+        |  CAST(SUM(rid) AS BIGINT) AS id_sum,
+        |  CAST(SUM(score) AS DOUBLE) AS score_sum,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  string_agg('Doc ' || doc_id || ' r' || r, '|' ORDER BY r)
+        |    AS titles
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q342_exact_substr_spans" ->
       """WITH t AS MATERIALIZED (
