@@ -119,8 +119,8 @@ object ScaleProof {
       // hash shuffle + per-block codec is the metrics-storage shape —
       // 10x multiplies points per (type, day) block
       "q366_g711_decode", "q367_gorilla_metrics",
-      // Avro OCF: per-row encode+decode, scan-bound
-      "q368_avro_ocf_ingest")
+      // Avro OCF / MP3 census: per-row walks, scan-bound
+      "q368_avro_ocf_ingest", "q369_mp3_census")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -622,6 +622,34 @@ object MultimodalOps {
           "sum_r", "sum_g", "sum_b", "opaque_px", "motion_r")
     }),
 
+    // MP3 FRAME CENSUS (ISO 11172-3 framing + ID3 wrappers) — the
+    // no-decode audio-corpus census an ingest planner runs: frame
+    // boundaries, bitrate mass, duration — the q357 zstd-frame-walk
+    // role for the dominant consumer audio format. Real framing
+    // arithmetic end to end (syncsafe ID3v2 size, frame length
+    // 144·bitrate/rate + padding, ID3v1 trailer); the oracle restates
+    // the bitrate table and every length. Per-row walk: scan-bound.
+    "q369_mp3_census" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 20 + (id % 10).toInt
+          val frames = (0 until n).map(f =>
+            (((id + f) % 14).toInt + 1, (id + 3 * f) % 4 == 0))
+          val id3 = s"artist=a$id".getBytes("US-ASCII")
+          val mp3 = graft.sources.Mp3Frames.encode(frames, (id % 3).toInt,
+            id3, id3v1 = id % 2 == 0)
+          val c = graft.sources.Mp3Frames.census(mp3).get
+          (id, c.nFrames.toLong, c.sampleRate.toLong, c.bitrateSumKbps,
+            c.paddedFrames.toLong, c.totalFrameBytes,
+            c.id3v2Bytes.toLong, c.hasId3v1, mp3.length.toLong)
+        }.toDF("media_id", "n_frames", "sample_rate", "bitrate_sum",
+          "padded_frames", "frame_bytes", "id3v2_bytes", "has_id3v1",
+          "total_len")
+    }),
+
     // G.711 TELEPHONY AUDIO (ITU-T μ-law / A-law) — how 8 kHz speech
     // corpora are actually stored: 8-bit log-companded samples inside
     // WAV fmt tags 7/6. The expansion is EXACT integer arithmetic over
@@ -1335,6 +1363,31 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN vprev IS NULL THEN 0 ELSE abs(v - vprev) END)
         |    AS BIGINT) AS motion_abs
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // restates the bitrate table and the frame-length arithmetic
+    "q369_mp3_census" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 20 + doc_id % 10 AS n,
+        |    ([44100, 48000, 32000])[doc_id % 3 + 1] AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT id, n, rate,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+        |      [(id + ff.i) % 14 + 1] AS br,
+        |    CASE WHEN (id + 3 * ff.i) % 4 = 0 THEN 1 ELSE 0 END AS pad
+        |  FROM d, range(0, 30) ff(i) WHERE ff.i < n)
+        |SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(SUM(br) AS BIGINT) AS bitrate_sum,
+        |  CAST(SUM(pad) AS BIGINT) AS padded_frames,
+        |  CAST(SUM(144000 * br // rate + pad) AS BIGINT) AS frame_bytes,
+        |  CAST(10 + strlen('artist=a' || id) AS BIGINT) AS id3v2_bytes,
+        |  id % 2 = 0 AS has_id3v1,
+        |  CAST(10 + strlen('artist=a' || id)
+        |     + SUM(144000 * br // rate + pad)
+        |     + CASE WHEN id % 2 = 0 THEN 128 ELSE 0 END AS BIGINT)
+        |    AS total_len
+        |FROM f GROUP BY 1, 3, 8""".stripMargin,
 
     // restates both ITU-T G.711 expansion formulas byte for byte
     "q366_g711_decode" ->
