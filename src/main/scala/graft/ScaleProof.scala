@@ -120,7 +120,13 @@ object ScaleProof {
       // 10x multiplies points per (type, day) block
       "q366_g711_decode", "q367_gorilla_metrics",
       // Avro OCF / MP3 census: per-row walks, scan-bound
-      "q368_avro_ocf_ingest", "q369_mp3_census")
+      "q368_avro_ocf_ingest", "q369_mp3_census",
+      // round-11: incremental delta-vs-corpus dedup — the shapes under
+      // test are the exact-hash anti join and the delta↔corpus shingle
+      // candidate joins (delta side broadcast-able at test scale, SMJ
+      // on shingle keys at corpus scale — q21's documented path);
+      // base×base work must NEVER appear at any size
+      "q370_dedup_delta")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

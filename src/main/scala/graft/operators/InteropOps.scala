@@ -76,7 +76,79 @@ object InteropOps {
       base
     })
 
+  /** two-commit documents fixture for q370 (VERDICT r10 #1), built once
+    * per (process, sf dir, data version) through the REAL storage ops:
+    *   v1 = the base corpus (docs with doc_id % 3 ≠ 0) committed;
+    *   v2 = a delta append carrying, by construction, every dedup class:
+    *     fresh rows           doc_id % 3 = 0, own text
+    *     exact dups vs base   base docs % 10 = 1, text verbatim, id+10M
+    *     exact dups in delta  fresh docs % 5 = 0, text verbatim, id+20M
+    *     near dups vs base    base docs % 10 = 3, text + 3 words, id+30M
+    * Ingest timestamps are deterministic (fixed epoch + doc_id nanos;
+    * the delta lands one day later) — the layout machinery is the real
+    * sink, the wall clock is not part of the fixture. */
+  private val deltaFixture = scala.collection.concurrent.TrieMap[String, String]()
+  private def dedupDeltaFixture(s: SparkSession, dir: String): String =
+    deltaFixture.getOrElseUpdate(dir, {
+      val base = graft.storage.LocalCache.dir(
+        s"deltadedup|$dir@${graft.storage.LocalCache.dataVersion(dir)}")
+      val layout = graft.storage.Storage.TableLayout(base, "tenant0", "default")
+      if (Snapshots.current(s, layout, "docs").isEmpty) {
+        val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val epoch = 1706745600L * 1000000000L
+        graft.storage.Storage.append(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+            .withColumn("timestamp", lit(epoch) + col("doc_id")),
+          layout, "docs")
+        require(Snapshots.commit(s, layout, "docs") == 1)
+        val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val dupVsBase = docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val dupIntra = docs
+          .filter(pmod(col("doc_id"), lit(3)) === 0 && pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val nearVsBase = docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(col("text"), lit(" zulu yankee xray")).as("text"))
+        graft.storage.Storage.append(
+          fresh.unionByName(dupVsBase).unionByName(dupIntra).unionByName(nearVsBase)
+            .withColumn("timestamp", lit(epoch + 86400L * 1000000000L) + col("doc_id")),
+          layout, "docs")
+        require(Snapshots.commit(s, layout, "docs") == 2)
+      }
+      base
+    })
+
   val queries: Map[String, Q] = Map(
+    // INCREMENTAL DELTA-VS-CORPUS DEDUP (the single most common 100 TB
+    // pipeline operation: a new drop lands, dedup ONLY the delta against
+    // the committed corpus — never recompute the corpus). The delta rows
+    // are resolved from the MANIFEST FILE-SET DIFFERENCE between the two
+    // committed snapshots (q330's incremental-read primitive: only files
+    // in v2 and not in v1 are ever read for the delta side), the base
+    // corpus from v1's own manifest; [[PipelineOps.dedupDelta]] then
+    // classifies every delta row (exact hash anti-join, shingle-Jaccard
+    // candidate joins — never base×base work). The oracle restates the
+    // fixture's membership rules from raw documents and the full survivor
+    // calculus in SQL.
+    "q370_dedup_delta" -> ((s, dir) => {
+      val loc = dedupDeltaFixture(s, dir)
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val root = layout.path("docs")
+      val v1 = Snapshots.files(s, layout, "docs", 1)
+      val v1set = v1.toSet
+      val newFiles = Snapshots.files(s, layout, "docs", 2)
+        .filterNot(v1set.contains).map(rel => s"$root/$rel")
+      require(newFiles.nonEmpty, "fixture must append files between v1 and v2")
+      val base = s.read.option("basePath", root)
+        .parquet(v1.map(rel => s"$root/$rel"): _*)
+        .select(col("doc_id"), col("text"))
+      val delta = s.read.option("basePath", root).parquet(newFiles: _*)
+        .select(col("doc_id"), col("text"))
+      PipelineOps.dedupDelta(base, delta)
+    }),
     // TABLE PROFILER (the Deequ/data-profiling pass a pipeline runs
     // before trusting a new drop): per-column row/null/distinct counts
     // and min/max, computed in ONE scan — a single aggregate produces
@@ -149,6 +221,26 @@ object InteropOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // base/delta membership restated from raw documents (the fixture's
+    // construction rules), then the shared survivor calculus
+    // ([[PipelineOps.dedupDeltaOracleSql]] — one statement of the rule
+    // for both engines)
+    "q370_dedup_delta" ->
+      s"""WITH basec AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |deltac AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000000, text || ' zulu yankee xray' FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 3),
+         |${PipelineOps.dedupDeltaOracleSql("basec", "deltac")}
+         |SELECT doc_id, status FROM st""".stripMargin,
     // the appended slice restated from the raw view: day 30 plus the
     // Jan 10 error backfill (UTC day derivation matches withPartitionCols)
     "q330_snapshot_diff" ->

@@ -4023,6 +4023,116 @@ object PipelineOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL delta-vs-corpus dedup: classify every DELTA row against
+    * an already-committed corpus WITHOUT re-deduplicating the corpus
+    * against itself — the operation a 100 TB pipeline runs on every new
+    * drop (the corpus is never recomputed; work tracks the delta). Four
+    * drop reasons, reported in priority order so every delta row gets
+    * exactly one status:
+    *   exact_vs_base  — md5(text) already present in the corpus
+    *   exact_intra    — same hash as a smaller-doc_id delta row (the
+    *                    min-id holder of a corpus-absent hash survives)
+    *   near_vs_base   — word-3-shingle Jaccard ≥ 1/2 against ANY corpus
+    *                    doc (integer form 2·shared ≥ |A|+|B|−shared, no
+    *                    float plane)
+    *   near_intra     — Jaccard ≥ 1/2 against a smaller-doc_id delta row
+    *                    (greedy by id; independent of that row's own
+    *                    status, so the rule is a one-pass join, not a
+    *                    sequential scan)
+    *   survivor       — none of the above: the rows to append.
+    *
+    * Scale shape: every pairwise step is an equi join on a hash or
+    * shingle key — the delta side is small by construction (broadcasts
+    * at test scale; at corpus scale the base side of the shingle join is
+    * the persistent shingle index bucketed by `sh`, so the probe reads
+    * only matching buckets), and nothing ever joins base×base. */
+  private[graft] def dedupDelta(base: DataFrame, delta: DataFrame): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
+      .distinct()
+    val baseH = base.select(md5(col("text")).as("h")).distinct()
+    val dh = delta.select(col("doc_id"), md5(col("text")).as("h"))
+    val dSh = shingles(delta)
+    val bSh = shingles(base)
+    val dSize = dSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val bSize = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // near-dup vs corpus: candidates ONLY through shared shingles
+    val nearBase = dSh.as("d").join(bSh.as("b"), col("d.sh") === col("b.sh"))
+      .groupBy(col("d.doc_id").as("d_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(dSize.select(col("doc_id").as("d_id"), col("n_sh").as("n_d")), "d_id")
+      .join(bSize.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .filter(lit(2) * col("shared") >= col("n_d") + col("n_b") - col("shared"))
+      .select(col("d_id").as("doc_id")).distinct()
+    // near-dup intra-delta: an edge to ANY smaller-doc_id delta row drops
+    val nearIntra = dSh.as("a").join(dSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") > col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d_id"), col("b.doc_id").as("s_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(dSize.select(col("doc_id").as("d_id"), col("n_sh").as("n_d")), "d_id")
+      .join(dSize.select(col("doc_id").as("s_id"), col("n_sh").as("n_s")), "s_id")
+      .filter(lit(2) * col("shared") >= col("n_d") + col("n_s") - col("shared"))
+      .select(col("d_id").as("doc_id")).distinct()
+    val exactBase = dh.join(baseH, Seq("h"), "leftsemi")
+      .select(col("doc_id")).distinct()
+    val minPerHash = dh.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
+    val exactIntra = dh.join(minPerHash, "h")
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("doc_id")).distinct()
+    delta.select(col("doc_id"))
+      .join(exactBase.withColumn("f_eb", lit(1)), Seq("doc_id"), "left")
+      .join(exactIntra.withColumn("f_ei", lit(1)), Seq("doc_id"), "left")
+      .join(nearBase.withColumn("f_nb", lit(1)), Seq("doc_id"), "left")
+      .join(nearIntra.withColumn("f_ni", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("f_eb") === 1, "exact_vs_base")
+          .when(col("f_ei") === 1, "exact_intra")
+          .when(col("f_nb") === 1, "near_vs_base")
+          .when(col("f_ni") === 1, "near_intra")
+          .otherwise("survivor").as("status"))
+  }
+
+  /** the DuckDB twin of [[dedupDelta]]'s classification, parameterized by
+    * two CTE names that must resolve to (doc_id, text) relations. Shared
+    * with q370's oracle so the survivor rule is stated once. */
+  private[graft] def dedupDeltaOracleSql(baseRel: String, deltaRel: String): String =
+    s"""dsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM $deltaRel),
+       |bsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM $baseRel),
+       |dsz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+       |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+       |bh AS (SELECT DISTINCT md5(text) AS h FROM $baseRel),
+       |dhh AS (SELECT doc_id, md5(text) AS h FROM $deltaRel),
+       |nb AS (
+       |  SELECT DISTINCT p.d_id AS doc_id FROM (
+       |    SELECT d.doc_id AS d_id, b.doc_id AS b_id, COUNT(*) AS shared
+       |    FROM dsh d JOIN bsh b ON d.sh = b.sh GROUP BY 1, 2) p
+       |  JOIN dsz ON dsz.doc_id = p.d_id
+       |  JOIN bsz ON bsz.doc_id = p.b_id
+       |  WHERE 2 * p.shared >= dsz.n + bsz.n - p.shared),
+       |ni AS (
+       |  SELECT DISTINCT p.d_id AS doc_id FROM (
+       |    SELECT a.doc_id AS d_id, b.doc_id AS s_id, COUNT(*) AS shared
+       |    FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id > b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN dsz da ON da.doc_id = p.d_id
+       |  JOIN dsz db ON db.doc_id = p.s_id
+       |  WHERE 2 * p.shared >= da.n + db.n - p.shared),
+       |eb AS (SELECT DISTINCT doc_id FROM dhh WHERE h IN (SELECT h FROM bh)),
+       |mh AS (SELECT h, MIN(doc_id) AS min_id FROM dhh GROUP BY 1),
+       |ei AS (SELECT d.doc_id FROM dhh d JOIN mh ON mh.h = d.h
+       |       WHERE d.doc_id <> mh.min_id),
+       |st AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_vs_base'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM ei) THEN 'exact_intra'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM nb) THEN 'near_vs_base'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM ni) THEN 'near_intra'
+       |         ELSE 'survivor' END AS status
+       |  FROM $deltaRel d)""".stripMargin
+
   /** q18's per-user gap sessionization (1 h gap), shared with the range
     * join: (user_id, session_id, n_events, t_start, t_end) in epoch µs. */
   private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {

@@ -35,6 +35,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySplit.keySet == Set("train", "eval") && bySplit.values.forall(_ > 0), s"$bySplit")
   }
 
+  test("dedupDelta classifies every drop reason with the documented priority") {
+    import spark.implicits._
+    // texts with >= 5 words so the 3-word near-dup suffix keeps
+    // Jaccard >= 1/2 ((n-2)/(n+1) with n = 6 words -> 4/7... use 8)
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val t2 = "india juliett kilo lima mike november oscar papa"
+    val t3 = "quebec romeo sierra tango uniform victor whiskey xray"
+    val base = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, t3),                      // fresh -> survivor
+      (11L, t1),                      // verbatim corpus copy -> exact_vs_base
+      (12L, t3),                      // same hash as 10 -> exact_intra
+      (13L, t2 + " one two three"),   // 3 words appended -> near_vs_base
+      (14L, t3 + " four five six"),   // near-dup of smaller delta id -> near_intra
+      (15L, t1)                       // ALSO exact_vs_base (priority over
+                                      // exact_intra vs 11: same corpus hash)
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.dedupDelta(base, delta).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      10L -> "survivor", 11L -> "exact_vs_base", 12L -> "exact_intra",
+      13L -> "near_vs_base", 14L -> "near_intra", 15L -> "exact_vs_base"),
+      got.toString)
+  }
+
   test("pointerJumpComponents merges a diameter-12 path in 4 fixed rounds") {
     import spark.implicits._
     // worst case for min-label propagation: a single long chain where the
