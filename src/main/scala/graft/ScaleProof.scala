@@ -126,7 +126,12 @@ object ScaleProof {
       // candidate joins (delta side broadcast-able at test scale, SMJ
       // on shingle keys at corpus scale — q21's documented path);
       // base×base work must NEVER appear at any size
-      "q370_dedup_delta")
+      "q370_dedup_delta",
+      // audio near-dup CLUSTERS: where q351's pair list grows ~54× at
+      // 10× (quadratic within dup cliques), the cluster output must
+      // stay ~linear in inputs — that containment is the shape under
+      // test
+      "q371_audio_dup_clusters")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

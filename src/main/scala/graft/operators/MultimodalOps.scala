@@ -126,6 +126,115 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
+  /** the DuckDB twin of [[audioFingerprints]] + [[audioFpEdges]]: ends in
+    * `fps(doc_id, fp)` and `aedges(a, b, hd)` with a < b, hd ≤ 6. Shared
+    * by the q351 pair oracle and the q371 cluster oracle. */
+  private val audioFpCteSql: String =
+    """docs AS (
+      |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |samp AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    [ CAST((CASE WHEN role = 1 THEN 3 ELSE 1 END) *
+      |        (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
+      |        (CASE WHEN role = 2 AND j >= 32 THEN (g + j) % 5 - 2
+      |              ELSE 0 END) AS BIGINT)
+      |      FOR j IN range(0, 80) ] AS s
+      |  FROM docs),
+      |coefs AS MATERIALIZED (
+      |  SELECT doc_id, f.i AS f, ci.i AS ci,
+      |    list_sum([ s[f.i * 16 + j + 1] *
+      |               (1 - 2 * (bit_count(ci.i & j) % 2))
+      |               FOR j IN range(0, 16) ]) AS c
+      |  FROM samp, range(0, 5) f(i), range(1, 16) ci(i)),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.ci,
+      |    CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+      |  FROM coefs a JOIN coefs b
+      |    ON a.doc_id = b.doc_id AND a.ci = b.ci AND b.f = a.f - 1
+      |  WHERE a.f >= 1),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (ci - 1))) AS BIGINT)
+      |      AS band
+      |  FROM bits GROUP BY 1, 2),
+      |fps AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(SUM(band << ((f - 1) * 15)) AS BIGINT) AS fp
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id),
+      |aedges AS MATERIALIZED (
+      |  SELECT c.a, c.b, bit_count(xor(fa.fp, fb.fp)) AS hd
+      |  FROM cand c
+      |  JOIN fps fa ON fa.doc_id = c.a
+      |  JOIN fps fb ON fb.doc_id = c.b
+      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 6)""".stripMargin
+
+  /** q351's Walsh–Hadamard audio fingerprints (doc_id, b1..b4, fp): each
+    * doc synthesizes a WAV, round-trips the REAL RIFF/PCM decoder, and
+    * signs frame-to-frame WHT coefficient differences into four 15-bit
+    * bands (Haitsma–Kalker shape). Shared by the pair query (q351) and
+    * the cluster query (q371). */
+  private def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = id / 9 * 9; val role = (id / 3) % 3
+        val amp = if (role == 1) 3 else 1
+        val samples = Array.tabulate(80) { j =>
+          (amp * (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
+            (if (role == 2 && j >= 32) (g + j) % 5 - 2 else 0L)).toInt
+        }
+        val wav = Multimodal.syntheticWavPcm(8000, 1, samples.toSeq)
+        val (_, _, pcm) = Multimodal.wavSamples(wav).get
+        val coef = Array.tabulate(5, 16) { (f, i) =>
+          var acc = 0; var j = 0
+          while (j < 16) {
+            acc += pcm(f * 16 + j) * (1 - 2 * (Integer.bitCount(i & j) & 1))
+            j += 1
+          }
+          acc
+        }
+        val bands = Array.tabulate(4) { fi =>
+          var b = 0L
+          for (i <- 1 until 16)
+            if (coef(fi + 1)(i) > coef(fi)(i)) b |= 1L << (i - 1)
+          b
+        }
+        val fp = bands.zipWithIndex.map { case (b, fi) => b << (fi * 15) }
+          .reduce(_ | _)
+        (id, bands(0), bands(1), bands(2), bands(3), fp)
+      }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+  }
+
+  /** confirmed near-dup edges over [[audioFingerprints]]: exact-band
+    * equality candidates (the LSH shape — never all-pairs), Hamming ≤ 6
+    * confirm. Columns (media_a, media_b, hamming_dist), media_a < media_b. */
+  private def audioFpEdges(s: SparkSession, dir: String): DataFrame = {
+    val fps = audioFingerprints(s, dir)
+    val bandRows = fps.select(col("doc_id"), col("fp"), explode(array(
+        struct(lit(1).as("f"), col("b1").as("band")),
+        struct(lit(2).as("f"), col("b2").as("band")),
+        struct(lit(3).as("f"), col("b3").as("band")),
+        struct(lit(4).as("f"), col("b4").as("band")))).as("e"))
+      .select(col("doc_id"), col("fp"), col("e.f").as("f"),
+        col("e.band").as("band"))
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("media_a"), col("y.doc_id").as("media_b"),
+        col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+      .distinct()
+      .select(col("media_a"), col("media_b"),
+        expr("bit_count(fpa ^ fpb)").cast("long").as("hamming_dist"))
+      .filter(col("hamming_dist") <= 6)
+  }
+
   val queries: Map[String, Q] = Map(
     // FLAGSHIP feature extraction — from the STORED binary column: the
     // payloads are read back off the media table's parquet files, then
@@ -398,54 +507,34 @@ object MultimodalOps {
     // (the LSH shape — never all-pairs), confirmed by xor+popcount
     // Hamming ≤ 6. The oracle restates the synthesis, the WHT, the
     // banding, and the join in SQL.
-    "q351_audio_fingerprint_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val fps = Tables.documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val g = id / 9 * 9; val role = (id / 3) % 3
-          val amp = if (role == 1) 3 else 1
-          val samples = Array.tabulate(80) { j =>
-            (amp * (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
-              (if (role == 2 && j >= 32) (g + j) % 5 - 2 else 0L)).toInt
-          }
-          val wav = Multimodal.syntheticWavPcm(8000, 1, samples.toSeq)
-          val (_, _, pcm) = Multimodal.wavSamples(wav).get
-          val coef = Array.tabulate(5, 16) { (f, i) =>
-            var acc = 0; var j = 0
-            while (j < 16) {
-              acc += pcm(f * 16 + j) * (1 - 2 * (Integer.bitCount(i & j) & 1))
-              j += 1
-            }
-            acc
-          }
-          val bands = Array.tabulate(4) { fi =>
-            var b = 0L
-            for (i <- 1 until 16)
-              if (coef(fi + 1)(i) > coef(fi)(i)) b |= 1L << (i - 1)
-            b
-          }
-          val fp = bands.zipWithIndex.map { case (b, fi) => b << (fi * 15) }
-            .reduce(_ | _)
-          (id, bands(0), bands(1), bands(2), bands(3), fp)
-        }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
-      val bandRows = fps.select(col("doc_id"), col("fp"), explode(array(
-          struct(lit(1).as("f"), col("b1").as("band")),
-          struct(lit(2).as("f"), col("b2").as("band")),
-          struct(lit(3).as("f"), col("b3").as("band")),
-          struct(lit(4).as("f"), col("b4").as("band")))).as("e"))
-        .select(col("doc_id"), col("fp"), col("e.f").as("f"),
-          col("e.band").as("band"))
-      bandRows.as("x").join(bandRows.as("y"),
-          col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("media_a"), col("y.doc_id").as("media_b"),
-          col("x.fp").as("fpa"), col("y.fp").as("fpb"))
-        .distinct()
-        .select(col("media_a"), col("media_b"),
-          expr("bit_count(fpa ^ fpb)").cast("long").as("hamming_dist"))
-        .filter(col("hamming_dist") <= 6)
+    "q351_audio_fingerprint_neardup" -> ((s, dir) =>
+      audioFpEdges(s, dir)
+        .select(col("media_a"), col("media_b"), col("hamming_dist"))),
+
+    // AUDIO NEAR-DUP CLUSTERS + SURVIVORS (the q351 lesson, BASELINE.md
+    // r10: PAIR-LIST near-dup reporting is quadratic within dup
+    // clusters for ANY LSH — the operator a 100 TB pipeline exposes is
+    // clusters). The q351 band-join edge set routes through the
+    // pointer-jump connected-components closure (q127's machinery);
+    // every fingerprinted waveform lands in exactly one cluster
+    // (singletons labeled by their own id), the survivor is the min
+    // member (== the cluster label by min-propagation), and its
+    // fingerprint rides along. Output rows are ~LINEAR in inputs where
+    // q351's pairs grow quadratically within dup cliques. The oracle
+    // restates the WHT fingerprint, the band join, and the closure as
+    // a recursive CTE.
+    "q371_audio_dup_clusters" -> ((s, dir) => {
+      val edges = audioFpEdges(s, dir)
+        .select(col("media_a").as("u"), col("media_b").as("v"))
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lbl = graft.operators.PipelineOps.connectedComponents(sym)
+      audioFingerprints(s, dir).select(col("doc_id"), col("fp"))
+        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("doc_id") === col("cluster_id"), col("fp")))
+            .as("survivor_fp"))
     }),
 
     // PDF TEXT EXTRACTION (ISO 32000-1): the other dominant crawl
@@ -1178,48 +1267,31 @@ object MultimodalOps {
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q351_audio_fingerprint_neardup" ->
-      """WITH docs AS (
-        |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |samp AS (
-        |  SELECT doc_id,
-        |    [ CAST((CASE WHEN role = 1 THEN 3 ELSE 1 END) *
-        |        (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
-        |        (CASE WHEN role = 2 AND j >= 32 THEN (g + j) % 5 - 2
-        |              ELSE 0 END) AS BIGINT)
-        |      FOR j IN range(0, 80) ] AS s
-        |  FROM docs),
-        |coefs AS (
-        |  SELECT doc_id, f.i AS f, ci.i AS ci,
-        |    list_sum([ s[f.i * 16 + j + 1] *
-        |               (1 - 2 * (bit_count(ci.i & j) % 2))
-        |               FOR j IN range(0, 16) ]) AS c
-        |  FROM samp, range(0, 5) f(i), range(1, 16) ci(i)),
-        |bits AS (
-        |  SELECT a.doc_id, a.f, a.ci,
-        |    CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
-        |  FROM coefs a JOIN coefs b
-        |    ON a.doc_id = b.doc_id AND a.ci = b.ci AND b.f = a.f - 1
-        |  WHERE a.f >= 1),
-        |bands AS (
-        |  SELECT doc_id, f,
-        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (ci - 1))) AS BIGINT)
-        |      AS band
-        |  FROM bits GROUP BY 1, 2),
-        |fps AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(band << ((f - 1) * 15)) AS BIGINT) AS fp
-        |  FROM bands GROUP BY 1),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id)
-        |SELECT CAST(c.a AS BIGINT) AS media_a, CAST(c.b AS BIGINT) AS media_b,
-        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming_dist
-        |FROM cand c
-        |JOIN fps fa ON fa.doc_id = c.a
-        |JOIN fps fb ON fb.doc_id = c.b
-        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 6""".stripMargin,
+      s"""WITH $audioFpCteSql
+        |SELECT CAST(a AS BIGINT) AS media_a, CAST(b AS BIGINT) AS media_b,
+        |  CAST(hd AS BIGINT) AS hamming_dist
+        |FROM aedges""".stripMargin,
+
+    // the same fingerprint + band-join edge set, closed into components
+    // by a recursive CTE (min-reachable label == Spark's min-propagation
+    // component), singletons labeled by their own id
+    "q371_audio_dup_clusters" ->
+      s"""WITH RECURSIVE $audioFpCteSql,
+        |sym AS (SELECT a, b FROM aedges UNION ALL SELECT b, a FROM aedges),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b),
+        |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+        |mem AS (
+        |  SELECT f.doc_id, COALESCE(l.cluster_id, f.doc_id) AS cluster_id,
+        |    f.fp
+        |  FROM fps f LEFT JOIN lab l ON l.id = f.doc_id)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MAX(CASE WHEN doc_id = cluster_id THEN fp END) AS BIGINT)
+        |    AS survivor_fp
+        |FROM mem GROUP BY 1""".stripMargin,
 
     "q352_pdf_text_extract" ->
       """WITH docs AS (
