@@ -131,7 +131,13 @@ object ScaleProof {
       // 10× (quadratic within dup cliques), the cluster output must
       // stay ~linear in inputs — that containment is the shape under
       // test
-      "q371_audio_dup_clusters")
+      "q371_audio_dup_clusters",
+      // stored raw-corpus censuses: the write-once materialization +
+      // pruned binary-column scan at 10× volume (the q345 shape for the
+      // round-10 codec families); decode work rides the stored bytes
+      "q372_stored_flac_census", "q373_stored_avro_census",
+      "q374_stored_mp3_census", "q375_stored_tar_census",
+      "q376_stored_wiki_census", "q377_stored_flac_fingerprint")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -126,6 +126,115 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
+  /** the STORED raw-corpus table (the q345 storage pattern extended to
+    * the round-10 codec families): FLAC / Avro OCF / MP3 / ustar TAR /
+    * bzip2 MediaWiki payloads — the exact bytes the in-plan round-trip
+    * queries (q358/q368/q369/q355/q365) synthesize — written ONCE per
+    * (source dir, data version) through the partitioned append sink
+    * into a parquet BINARY column, plus `flacfp` rows carrying the q351
+    * waveform family FLAC-encoded (losslessly, so the stored decode
+    * feeds the same fingerprint plane). Census queries SCAN the stored
+    * bytes with the `kind` predicate kept relational (parquet prunes
+    * before any payload reaches a decoder task) and reuse the in-plan
+    * queries' oracles verbatim — the storage path (binary footer stats,
+    * pushdown, decode from disk) is what's under test. */
+  private val rawStoreLock = new Object
+  private def storedRawPath(s: SparkSession, dir: String): String = {
+    val key = "media_raw_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    rawStoreLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        import s.implicits._
+        val df = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .as[(Long, String, String, String)]
+          .flatMap { case (id, text, lang, source) =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, String, Array[Byte])]
+            if (id % 3 == 1) {
+              // q358's FLAC synthesis, byte-identical
+              val ch = 1 + (id % 2).toInt
+              val n = 600 + (id % 5).toInt * 500
+              def l(i: Int): Int = (i % 50) * 80 - 1960 + ((id + i) % 9).toInt
+              val inter = new Array[Int](n * ch)
+              var i = 0
+              while (i < n) {
+                if (ch == 1) inter(i) = l(i)
+                else { inter(2 * i) = l(i); inter(2 * i + 1) = l(i) + (i % 7) - 3 }
+                i += 1
+              }
+              out += ((id, "flac",
+                graft.multimodal.Flac.encode(inter, 16000, ch, 512)))
+              // q369's MP3 framing, byte-identical
+              val nf = 20 + (id % 10).toInt
+              val frames = (0 until nf).map(f =>
+                (((id + f) % 14).toInt + 1, (id + 3 * f) % 4 == 0))
+              val id3 = s"artist=a$id".getBytes("US-ASCII")
+              out += ((id, "mp3", graft.sources.Mp3Frames.encode(
+                frames, (id % 3).toInt, id3, id3v1 = id % 2 == 0)))
+            }
+            if (id % 3 == 0) {
+              // q368's Avro OCF, byte-identical
+              val fields = Seq(graft.sources.AvroOcf.Field("id", "long"),
+                graft.sources.AvroOcf.Field("title", "string"),
+                graft.sources.AvroOcf.Field("score", "double"),
+                graft.sources.AvroOcf.Field("kept", "boolean"))
+              val recs = (0 until 3).map(r => Seq[Any](3 * id + r,
+                s"Doc $id r$r", (id % 7) * 0.25 + r, (id + r) % 2 == 0))
+              val codec = if (id % 2 == 0) "null" else "deflate"
+              out += ((id, "avro",
+                graft.sources.AvroOcf.encode("Doc", fields, recs, codec, 2)))
+              // the q351 waveform family, FLAC-encoded (lossless — the
+              // stored decode reproduces the exact PCM the WAV path sees)
+              val g = id / 9 * 9; val role = (id / 3) % 3
+              val amp = if (role == 1) 3 else 1
+              val samples = Array.tabulate(80) { j =>
+                (amp * (((g * 7 + (g % 101) * j + j * 13 + (j * j) % 17) % 201) - 100) +
+                  (if (role == 2 && j >= 32) (g + j) % 5 - 2 else 0L)).toInt
+              }
+              out += ((id, "flacfp",
+                graft.multimodal.Flac.encode(samples, 8000, 1, 512)))
+            }
+            // q355's TAR synthesis, byte-identical (every doc)
+            val meta = s"id=$id\nlang=$lang\nsource=$source\n"
+            out += ((id, "tar", graft.sources.Tar.encode(Seq(
+              ("corpus/", Array.emptyByteArray, true),
+              (s"corpus/doc$id.txt", text.getBytes("UTF-8"), false),
+              (s"corpus/doc$id.meta", meta.getBytes("UTF-8"), false)))))
+            // q365's bzip2 MediaWiki dump, byte-identical
+            val t = text.replaceAll("[^ -~]", "").take(300)
+            if (t.nonEmpty) {
+              val esc = t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;")
+              val xml =
+                s"""<mediawiki>
+                   |  <page><title>Doc $id</title><ns>0</ns><id>$id</id><revision><id>${2 * id + 1}</id><text bytes="${t.length}">$esc</text></revision></page>
+                   |  <page><title>Talk:Doc $id</title><ns>1</ns><id>${id + 1}</id><revision><id>${2 * id + 2}</id><text>reply &amp; ack $id</text></revision></page>
+                   |</mediawiki>""".stripMargin
+              out += ((id, "wiki",
+                graft.sources.Bzip2.compress(xml.getBytes("UTF-8"), 1)))
+            }
+            out.toSeq
+          }.toDF("media_id", "kind", "bytes")
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+        graft.storage.Storage.append(df, layout, "media_raw")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media_raw")
+  }
+
+  /** one stored-scan kind, pruned relationally: only (media_id, bytes)
+    * of the requested `kind` ever cross the encoder boundary. */
+  private def storedRawKind(s: SparkSession, dir: String, kind: String) =
+    s.read.parquet(storedRawPath(s, dir))
+      .where(col("kind") === kind)
+      .select(col("media_id"), col("bytes"))
+
   /** the DuckDB twin of [[audioFingerprints]] + [[audioFpEdges]]: ends in
     * `fps(doc_id, fp)` and `aedges(a, b, hd)` with a < b, hd ≤ 6. Shared
     * by the q351 pair oracle and the q371 cluster oracle. */
@@ -173,6 +282,78 @@ object MultimodalOps {
       |  JOIN fps fb ON fb.doc_id = c.b
       |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 6)""".stripMargin
 
+  /** the q358 decoded-plane oracle, shared verbatim by the stored-FLAC
+    * census (q372): same synthesis, same aggregates. */
+  private val flacCensusSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+      |    600 + (doc_id % 5) * 500 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |pcm AS (
+      |  SELECT doc_id, ch, n, i.i AS i,
+      |    (i.i % 50) * 80 - 1960 + (doc_id + i.i) % 9 AS l,
+      |    (i.i % 50) * 80 - 1960 + (doc_id + i.i) % 9
+      |      + (i.i % 7) - 3 AS r
+      |  FROM d, range(0, 2600) i(i) WHERE i.i < n)
+      |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+      |  CAST(COUNT(*) * ch AS BIGINT) AS n_samples,
+      |  CAST((MAX(n) + 511) // 512 AS BIGINT) AS n_frames,
+      |  CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(SUM(CASE WHEN ch = 1 THEN l ELSE l + r END) AS BIGINT)
+      |    AS sum_samples,
+      |  CAST(SUM(CASE WHEN ch = 1 THEN l * ((i % 97) + 1)
+      |    ELSE l * (((2 * i) % 97) + 1) + r * (((2 * i + 1) % 97) + 1)
+      |    END) AS BIGINT) AS wsum,
+      |  true AS compressed_ok
+      |FROM pcm GROUP BY doc_id, ch""".stripMargin
+
+  /** the q369 framing-arithmetic oracle, shared verbatim by the stored
+    * MP3 census (q374). */
+  private val mp3CensusSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS id, 20 + doc_id % 10 AS n,
+      |    ([44100, 48000, 32000])[doc_id % 3 + 1] AS rate
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (
+      |  SELECT id, n, rate,
+      |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+      |      [(id + ff.i) % 14 + 1] AS br,
+      |    CASE WHEN (id + 3 * ff.i) % 4 = 0 THEN 1 ELSE 0 END AS pad
+      |  FROM d, range(0, 30) ff(i) WHERE ff.i < n)
+      |SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(SUM(br) AS BIGINT) AS bitrate_sum,
+      |  CAST(SUM(pad) AS BIGINT) AS padded_frames,
+      |  CAST(SUM(144000 * br // rate + pad) AS BIGINT) AS frame_bytes,
+      |  CAST(10 + strlen('artist=a' || id) AS BIGINT) AS id3v2_bytes,
+      |  id % 2 = 0 AS has_id3v1,
+      |  CAST(10 + strlen('artist=a' || id)
+      |     + SUM(144000 * br // rate + pad)
+      |     + CASE WHEN id % 2 = 0 THEN 128 ELSE 0 END AS BIGINT)
+      |    AS total_len
+      |FROM f GROUP BY 1, 3, 8""".stripMargin
+
+  /** the DuckDB twin of [[audioClusters]] over [[audioFpCteSql]]'s edge
+    * set — shared by q371 (WAV path) and q377 (stored-FLAC path; FLAC is
+    * lossless so the fingerprint plane is identical). */
+  private val audioClusterOracleSql: String =
+    s"""WITH RECURSIVE $audioFpCteSql,
+      |sym AS (SELECT a, b FROM aedges UNION ALL SELECT b, a FROM aedges),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM sym
+      |  UNION
+      |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b),
+      |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      |mem AS (
+      |  SELECT f.doc_id, COALESCE(l.cluster_id, f.doc_id) AS cluster_id,
+      |    f.fp
+      |  FROM fps f LEFT JOIN lab l ON l.id = f.doc_id)
+      |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(MAX(CASE WHEN doc_id = cluster_id THEN fp END) AS BIGINT)
+      |    AS survivor_fp
+      |FROM mem GROUP BY 1""".stripMargin
+
   /** q351's Walsh–Hadamard audio fingerprints (doc_id, b1..b4, fp): each
     * doc synthesizes a WAV, round-trips the REAL RIFF/PCM decoder, and
     * signs frame-to-frame WHT coefficient differences into four 15-bit
@@ -192,31 +373,42 @@ object MultimodalOps {
         }
         val wav = Multimodal.syntheticWavPcm(8000, 1, samples.toSeq)
         val (_, _, pcm) = Multimodal.wavSamples(wav).get
-        val coef = Array.tabulate(5, 16) { (f, i) =>
-          var acc = 0; var j = 0
-          while (j < 16) {
-            acc += pcm(f * 16 + j) * (1 - 2 * (Integer.bitCount(i & j) & 1))
-            j += 1
-          }
-          acc
-        }
-        val bands = Array.tabulate(4) { fi =>
-          var b = 0L
-          for (i <- 1 until 16)
-            if (coef(fi + 1)(i) > coef(fi)(i)) b |= 1L << (i - 1)
-          b
-        }
-        val fp = bands.zipWithIndex.map { case (b, fi) => b << (fi * 15) }
-          .reduce(_ | _)
-        (id, bands(0), bands(1), bands(2), bands(3), fp)
+        val (b1, b2, b3, b4, fp) = whtFingerprint(pcm)
+        (id, b1, b2, b3, b4, fp)
       }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+  }
+
+  /** the WHT sign-of-difference fingerprint over an 80-sample PCM frame
+    * sequence: four 15-bit bands + the packed 60-bit fingerprint. Shared
+    * by the WAV path ([[audioFingerprints]]) and the stored-FLAC path
+    * (q377). */
+  private def whtFingerprint(pcm: Array[Int]): (Long, Long, Long, Long, Long) = {
+    val coef = Array.tabulate(5, 16) { (f, i) =>
+      var acc = 0; var j = 0
+      while (j < 16) {
+        acc += pcm(f * 16 + j) * (1 - 2 * (Integer.bitCount(i & j) & 1))
+        j += 1
+      }
+      acc
+    }
+    val bands = Array.tabulate(4) { fi =>
+      var b = 0L
+      for (i <- 1 until 16)
+        if (coef(fi + 1)(i) > coef(fi)(i)) b |= 1L << (i - 1)
+      b
+    }
+    val fp = bands.zipWithIndex.map { case (b, fi) => b << (fi * 15) }
+      .reduce(_ | _)
+    (bands(0), bands(1), bands(2), bands(3), fp)
   }
 
   /** confirmed near-dup edges over [[audioFingerprints]]: exact-band
     * equality candidates (the LSH shape — never all-pairs), Hamming ≤ 6
     * confirm. Columns (media_a, media_b, hamming_dist), media_a < media_b. */
-  private def audioFpEdges(s: SparkSession, dir: String): DataFrame = {
-    val fps = audioFingerprints(s, dir)
+  private def audioFpEdges(s: SparkSession, dir: String): DataFrame =
+    audioFpEdgesFrom(audioFingerprints(s, dir))
+
+  private def audioFpEdgesFrom(fps: DataFrame): DataFrame = {
     val bandRows = fps.select(col("doc_id"), col("fp"), explode(array(
         struct(lit(1).as("f"), col("b1").as("band")),
         struct(lit(2).as("f"), col("b2").as("band")),
@@ -233,6 +425,26 @@ object MultimodalOps {
       .select(col("media_a"), col("media_b"),
         expr("bit_count(fpa ^ fpb)").cast("long").as("hamming_dist"))
       .filter(col("hamming_dist") <= 6)
+  }
+
+  /** cluster + survivor rollup over a fingerprint frame (doc_id, b1..b4,
+    * fp): band-join edges → pointer-jump connected components → one row
+    * per cluster (singletons labeled by their own id), survivor = min
+    * member (== the cluster label by min-propagation), its fingerprint
+    * carried via the doc_id == cluster_id pick. Shared by q371 (WAV
+    * path) and q377 (stored-FLAC path). */
+  private def audioClusters(fps: DataFrame): DataFrame = {
+    val edges = audioFpEdgesFrom(fps)
+      .select(col("media_a").as("u"), col("media_b").as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val lbl = graft.operators.PipelineOps.connectedComponents(sym)
+    fps.select(col("doc_id"), col("fp"))
+      .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("doc_id") === col("cluster_id"), col("fp")))
+          .as("survivor_fp"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -523,18 +735,116 @@ object MultimodalOps {
     // q351's pairs grow quadratically within dup cliques. The oracle
     // restates the WHT fingerprint, the band join, and the closure as
     // a recursive CTE.
-    "q371_audio_dup_clusters" -> ((s, dir) => {
-      val edges = audioFpEdges(s, dir)
-        .select(col("media_a").as("u"), col("media_b").as("v"))
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lbl = graft.operators.PipelineOps.connectedComponents(sym)
-      audioFingerprints(s, dir).select(col("doc_id"), col("fp"))
-        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"),
-          max(when(col("doc_id") === col("cluster_id"), col("fp")))
-            .as("survivor_fp"))
+    "q371_audio_dup_clusters" -> ((s, dir) =>
+      audioClusters(audioFingerprints(s, dir))),
+
+    // STORED-corpus codec censuses (q345's storage pattern for the
+    // round-10 families): each scans its kind's STORED binary column
+    // (relational kind predicate → parquet prunes before decode) and
+    // reuses the in-plan round-trip query's oracle verbatim — same
+    // decoded plane, but the bytes come off disk through footer stats
+    // and the partitioned layout, not out of the plan that made them.
+    "q372_stored_flac_census" -> ((s, dir) => {
+      import s.implicits._
+      storedRawKind(s, dir, "flac").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val d = graft.multimodal.Flac.decode(bytes).get
+          var sum = 0L; var wsum = 0L; var j = 0
+          while (j < d.samples.length) {
+            sum += d.samples(j)
+            wsum += d.samples(j).toLong * ((j % 97) + 1)
+            j += 1
+          }
+          (id, d.channels.toLong, d.samples.length.toLong, d.nFrames.toLong,
+            d.sampleRate.toLong, sum, wsum,
+            bytes.length < 2 * d.samples.length)
+        }.toDF("doc_id", "channels", "n_samples", "n_frames",
+          "sample_rate", "sum_samples", "wsum", "compressed_ok")
+    }),
+
+    "q374_stored_mp3_census" -> ((s, dir) => {
+      import s.implicits._
+      storedRawKind(s, dir, "mp3").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val c = graft.sources.Mp3Frames.census(bytes).get
+          (id, c.nFrames.toLong, c.sampleRate.toLong, c.bitrateSumKbps,
+            c.paddedFrames.toLong, c.totalFrameBytes,
+            c.id3v2Bytes.toLong, c.hasId3v1, bytes.length.toLong)
+        }.toDF("media_id", "n_frames", "sample_rate", "bitrate_sum",
+          "padded_frames", "frame_bytes", "id3v2_bytes", "has_id3v1",
+          "total_len")
+    }),
+
+    "q373_stored_avro_census" -> ((s, dir) => {
+      import s.implicits._
+      storedRawKind(s, dir, "avro").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val ocf = graft.sources.AvroOcf.decode(bytes).get
+          val idSum = ocf.records.map(_(0).asInstanceOf[Long]).sum
+          val scoreSum = ocf.records.map(_(2).asInstanceOf[Double]).sum
+          val nKept = ocf.records.count(_(3).asInstanceOf[Boolean])
+          val titles = ocf.records.map(_(1).asInstanceOf[String])
+            .mkString("|")
+          (id, ocf.codec, ocf.records.length.toLong, idSum, scoreSum,
+            nKept.toLong, titles)
+        }.toDF("doc_id", "codec", "n_records", "id_sum", "score_sum",
+          "n_kept", "titles")
+    }),
+
+    "q375_stored_tar_census" -> ((s, dir) => {
+      import s.implicits._
+      storedRawKind(s, dir, "tar").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val es = graft.sources.Tar.parse(bytes).getOrElse(Vector.empty)
+          val txt = es.find(_.name.endsWith(".txt"))
+            .map(e => new String(e.payload, "UTF-8")).getOrElse("")
+          (id, es.length.toLong, es.count(_.typeflag == '5').toLong,
+            bytes.length.toLong,
+            es.map(_.payload.length.toLong).sum, txt)
+        }.toDF("doc_id", "n_members", "n_dirs", "tar_len", "payload_bytes",
+          "text")
+        .select(col("doc_id"), col("n_members"), col("n_dirs"),
+          col("tar_len"), col("payload_bytes"),
+          md5(col("text")).as("text_md5"))
+    }),
+
+    "q376_stored_wiki_census" -> ((s, dir) => {
+      import s.implicits._
+      storedRawKind(s, dir, "wiki").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val back = graft.sources.Bzip2.decompress(bytes)
+            .map(new String(_, "UTF-8"))
+            .flatMap(graft.sources.WikiDump.pages)
+            .getOrElse(Vector.empty)
+          val article = back.find(_.ns == 0)
+          val talk = back.find(_.ns == 1)
+          (id, back.length.toLong,
+            article.map(_.title).getOrElse(""),
+            back.map(_.ns.toLong).sum,
+            back.map(_.id).sum,
+            article.map(_.text).getOrElse(""),
+            talk.map(_.text).getOrElse(""))
+        }.toDF("doc_id", "n_pages", "title", "ns_sum", "page_id_sum",
+          "article", "talk_text")
+        .select(col("doc_id"), col("n_pages"), col("title"), col("ns_sum"),
+          col("page_id_sum"), md5(col("article")).as("article_md5"),
+          col("talk_text"))
+    }),
+
+    // stored-FLAC fingerprint clusters (the end-to-end audio-corpus
+    // dedup shape: decode from STORAGE → fingerprint → cluster): the
+    // q351 waveform family decoded from the stored `flacfp` column —
+    // FLAC is lossless, so the fingerprint plane (and the oracle) is
+    // q371's exactly
+    "q377_stored_flac_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val fps = storedRawKind(s, dir, "flacfp").as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val pcm = graft.multimodal.Flac.decode(bytes).get.samples
+          val (b1, b2, b3, b4, fp) = whtFingerprint(pcm)
+          (id, b1, b2, b3, b4, fp)
+        }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+      audioClusters(fps)
     }),
 
     // PDF TEXT EXTRACTION (ISO 32000-1): the other dominant crawl
@@ -1275,23 +1585,21 @@ object MultimodalOps {
     // the same fingerprint + band-join edge set, closed into components
     // by a recursive CTE (min-reachable label == Spark's min-propagation
     // component), singletons labeled by their own id
-    "q371_audio_dup_clusters" ->
-      s"""WITH RECURSIVE $audioFpCteSql,
-        |sym AS (SELECT a, b FROM aedges UNION ALL SELECT b, a FROM aedges),
-        |reach AS (
-        |  SELECT a AS id, a AS r FROM sym
-        |  UNION
-        |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b),
-        |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
-        |mem AS (
-        |  SELECT f.doc_id, COALESCE(l.cluster_id, f.doc_id) AS cluster_id,
-        |    f.fp
-        |  FROM fps f LEFT JOIN lab l ON l.id = f.doc_id)
-        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_members,
-        |  CAST(MAX(CASE WHEN doc_id = cluster_id THEN fp END) AS BIGINT)
-        |    AS survivor_fp
-        |FROM mem GROUP BY 1""".stripMargin,
+    "q371_audio_dup_clusters" -> audioClusterOracleSql,
+
+    // the stored-corpus censuses reuse the in-plan round-trip queries'
+    // oracles VERBATIM: the stored bytes are the same synthesis, the
+    // decoded plane identical — what changed is only the storage path
+    "q372_stored_flac_census" -> flacCensusSql,
+    "q374_stored_mp3_census" -> mp3CensusSql,
+    "q373_stored_avro_census" ->
+      graft.operators.PipelineOps.oracles("q368_avro_ocf_ingest"),
+    "q375_stored_tar_census" ->
+      graft.operators.PipelineOps.oracles("q355_tar_members"),
+    "q376_stored_wiki_census" ->
+      graft.operators.PipelineOps.oracles("q365_wiki_dump_ingest"),
+    // FLAC is lossless: the stored-decode fingerprint plane is q371's
+    "q377_stored_flac_fingerprint" -> audioClusterOracleSql,
 
     "q352_pdf_text_extract" ->
       """WITH docs AS (
@@ -1314,28 +1622,7 @@ object MultimodalOps {
         |  md5(text) AS text_md5
         |FROM texts""".stripMargin,
 
-    "q358_flac_roundtrip" ->
-      """WITH d AS (
-        |  SELECT doc_id, 1 + doc_id % 2 AS ch,
-        |    600 + (doc_id % 5) * 500 AS n
-        |  FROM documents WHERE doc_id % 3 = 1),
-        |pcm AS (
-        |  SELECT doc_id, ch, n, i.i AS i,
-        |    (i.i % 50) * 80 - 1960 + (doc_id + i.i) % 9 AS l,
-        |    (i.i % 50) * 80 - 1960 + (doc_id + i.i) % 9
-        |      + (i.i % 7) - 3 AS r
-        |  FROM d, range(0, 2600) i(i) WHERE i.i < n)
-        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
-        |  CAST(COUNT(*) * ch AS BIGINT) AS n_samples,
-        |  CAST((MAX(n) + 511) // 512 AS BIGINT) AS n_frames,
-        |  CAST(16000 AS BIGINT) AS sample_rate,
-        |  CAST(SUM(CASE WHEN ch = 1 THEN l ELSE l + r END) AS BIGINT)
-        |    AS sum_samples,
-        |  CAST(SUM(CASE WHEN ch = 1 THEN l * ((i % 97) + 1)
-        |    ELSE l * (((2 * i) % 97) + 1) + r * (((2 * i + 1) % 97) + 1)
-        |    END) AS BIGINT) AS wsum,
-        |  true AS compressed_ok
-        |FROM pcm GROUP BY doc_id, ch""".stripMargin,
+    "q358_flac_roundtrip" -> flacCensusSql,
 
     "q354_jpeg_lossless" ->
       """WITH img AS (
@@ -1437,29 +1724,7 @@ object MultimodalOps {
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // restates the bitrate table and the frame-length arithmetic
-    "q369_mp3_census" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id, 20 + doc_id % 10 AS n,
-        |    ([44100, 48000, 32000])[doc_id % 3 + 1] AS rate
-        |  FROM documents WHERE doc_id % 3 = 1),
-        |f AS (
-        |  SELECT id, n, rate,
-        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
-        |      [(id + ff.i) % 14 + 1] AS br,
-        |    CASE WHEN (id + 3 * ff.i) % 4 = 0 THEN 1 ELSE 0 END AS pad
-        |  FROM d, range(0, 30) ff(i) WHERE ff.i < n)
-        |SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-        |  CAST(rate AS BIGINT) AS sample_rate,
-        |  CAST(SUM(br) AS BIGINT) AS bitrate_sum,
-        |  CAST(SUM(pad) AS BIGINT) AS padded_frames,
-        |  CAST(SUM(144000 * br // rate + pad) AS BIGINT) AS frame_bytes,
-        |  CAST(10 + strlen('artist=a' || id) AS BIGINT) AS id3v2_bytes,
-        |  id % 2 = 0 AS has_id3v1,
-        |  CAST(10 + strlen('artist=a' || id)
-        |     + SUM(144000 * br // rate + pad)
-        |     + CASE WHEN id % 2 = 0 THEN 128 ELSE 0 END AS BIGINT)
-        |    AS total_len
-        |FROM f GROUP BY 1, 3, 8""".stripMargin,
+    "q369_mp3_census" -> mp3CensusSql,
 
     // restates both ITU-T G.711 expansion formulas byte for byte
     "q366_g711_decode" ->

@@ -31,6 +31,20 @@ class PlanSpec extends AnyFunSuite {
       s"o_totalprice filter did not reach the scan:\n$plan")
   }
 
+  test("stored raw-corpus censuses push the kind predicate to the scan") {
+    // the q345 discipline for the round-11 stored codec families: the
+    // kind filter must reach the parquet scan (bytes of other kinds are
+    // row-group-skippable and never cross the decoder boundary), and the
+    // scan must read only (media_id, kind, bytes) — never the timestamp
+    // or partition payload
+    val df = operators.MultimodalOps.queries("q372_stored_flac_census")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(kind,flac)"),
+      s"kind predicate did not reach the media_raw scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("timestamp"),
+      s"media_raw scan reads more than the census needs:\n$plan")
+  }
+
   test("union-scan selectors push metric_name into BOTH stored tables") {
     val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
