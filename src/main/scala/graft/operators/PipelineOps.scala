@@ -3063,6 +3063,41 @@ object PipelineOps {
           "dod12", "dod64", "ts_bits", "roundtrip_ok")
     }),
 
+    // GORILLA BLOCKS UNDER STREAMING INGEST (VERDICT r10 #5): the same
+    // census as q367, but the blocks were built by the STREAMING
+    // maintainer ([[graft.streaming.GorillaStream]]) — the real events
+    // fed through a file-source stream in 4 micro-batches, each folding
+    // into (series, day) block revisions through the real foreachBatch
+    // path. The census decompresses the STREAM-BUILT blocks and
+    // `roundtrip_ok` asserts each block is BIT-IDENTICAL to what the
+    // batch compressor produces on the same sorted points — so the
+    // oracle is q367's verbatim: stream ≡ batch, checked at every SF.
+    "q378_gorilla_stream" -> ((s, dir) => {
+      import s.implicits._
+      val blocksDir = gorillaStreamBlocks(s, dir)
+      graft.streaming.GorillaStream.latest(s, blocksDir)
+        .select(col("event_type"), col("day"), col("block"))
+        .as[(String, Long, Array[Byte])]
+        .map { case (typ, day, block) =>
+          val (ts, vs) = graft.storage.Gorilla.decompress(block).get
+          val classes = new Array[Long](5)
+          var prevDelta = 0L
+          var i = 1
+          while (i < ts.length) {
+            val delta = ts(i) - ts(i - 1)
+            classes(graft.storage.Gorilla.dodClass(delta - prevDelta)) += 1
+            prevDelta = delta
+            i += 1
+          }
+          val tsBits = classes.zip(graft.storage.Gorilla.ClassBits)
+            .map { case (c, b) => c * b }.sum
+          val ok = graft.storage.Gorilla.compress(ts, vs).sameElements(block)
+          (typ, day, ts.length.toLong, classes(0), classes(1), classes(2),
+            classes(3), classes(4), tsBits, ok)
+        }.toDF("event_type", "day", "n_points", "dod0", "dod7", "dod9",
+          "dod12", "dod64", "ts_bits", "roundtrip_ok")
+    }),
+
     // AVRO OBJECT CONTAINER FILE INGEST — the Hive/Kafka-era dataset
     // interchange format: hand-rolled OCF framing (magic, metadata map,
     // sync markers, counted blocks, null/deflate codecs) and binary
@@ -4023,6 +4058,41 @@ object PipelineOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** q378's stream-built Gorilla block store, built ONCE per (process,
+    * dir, data version) by feeding the REAL events through a file-source
+    * stream in 4 micro-batches (maxFilesPerTrigger=1 over a 4-file
+    * staging copy) into [[graft.streaming.GorillaStream.maintainBatch]].
+    * Any micro-batching folds to the same final blocks (the maintainer's
+    * stable-merge law), so the staging split only has to be A split. */
+  private val gorillaStreamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def gorillaStreamBlocks(s: SparkSession, dir: String): String =
+    gorillaStreamCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"gorilla_stream|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val blocks = s"$base/blocks"
+      if (!marker.exists()) {
+        val stage = s"$base/stage"
+        Tables.events(s, dir)
+          .select(col("event_type"), expr("ts div 1000").as("us"),
+            col("event_id"), col("value"))
+          .repartition(4, pmod(col("event_id"), lit(4)))
+          .write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("event_type", StringType),
+            StructField("us", LongType),
+            StructField("event_id", LongType),
+            StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+        val q = graft.streaming.GorillaStream.start(stream, blocks,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        marker.createNewFile()
+      }
+      blocks
+    })
+
   /** INCREMENTAL delta-vs-corpus dedup: classify every DELTA row against
     * an already-committed corpus WITHOUT re-deduplicating the corpus
     * against itself — the operation a 100 TB pipeline runs on every new
@@ -4216,6 +4286,54 @@ object PipelineOps {
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM cos) WHERE rank <= 3""".stripMargin
+
+  /** the q367 dod-class + bit-count census oracle, shared verbatim by
+    * the stream-built-blocks census (q378): the in-plan recompress check
+    * pins stream block == batch block bit-wise, so the decoded plane is
+    * identical. */
+  private val gorillaCensusSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, day,
+      |    ts_us - lag(ts_us) OVER w AS delta,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts_us, event_id)),
+      |dd AS (
+      |  SELECT event_type, day,
+      |    delta - COALESCE(lag(delta) OVER w2, 0) AS dod
+      |  FROM d WHERE delta IS NOT NULL
+      |  WINDOW w2 AS (PARTITION BY event_type, day ORDER BY rn)),
+      |cls AS (
+      |  SELECT event_type, day,
+      |    SUM(CASE WHEN dod = 0 THEN 1 ELSE 0 END) AS dod0,
+      |    SUM(CASE WHEN dod <> 0 AND dod BETWEEN -63 AND 64
+      |        THEN 1 ELSE 0 END) AS dod7,
+      |    SUM(CASE WHEN dod NOT BETWEEN -63 AND 64
+      |         AND dod BETWEEN -255 AND 256 THEN 1 ELSE 0 END) AS dod9,
+      |    SUM(CASE WHEN dod NOT BETWEEN -255 AND 256
+      |         AND dod BETWEEN -2047 AND 2048 THEN 1 ELSE 0 END) AS dod12,
+      |    SUM(CASE WHEN dod NOT BETWEEN -2047 AND 2048
+      |        THEN 1 ELSE 0 END) AS dod64
+      |  FROM dd GROUP BY 1, 2),
+      |np AS (SELECT event_type, day, COUNT(*) AS n_points
+      |       FROM e GROUP BY 1, 2)
+      |SELECT np.event_type, CAST(np.day AS BIGINT) AS day,
+      |  CAST(np.n_points AS BIGINT) AS n_points,
+      |  CAST(COALESCE(cls.dod0, 0) AS BIGINT) AS dod0,
+      |  CAST(COALESCE(cls.dod7, 0) AS BIGINT) AS dod7,
+      |  CAST(COALESCE(cls.dod9, 0) AS BIGINT) AS dod9,
+      |  CAST(COALESCE(cls.dod12, 0) AS BIGINT) AS dod12,
+      |  CAST(COALESCE(cls.dod64, 0) AS BIGINT) AS dod64,
+      |  CAST(COALESCE(cls.dod0, 0) * 1 + COALESCE(cls.dod7, 0) * 9
+      |     + COALESCE(cls.dod9, 0) * 12 + COALESCE(cls.dod12, 0) * 16
+      |     + COALESCE(cls.dod64, 0) * 68 AS BIGINT) AS ts_bits,
+      |  true AS roundtrip_ok
+      |FROM np LEFT JOIN cls
+      |  ON cls.event_type = np.event_type AND cls.day = np.day""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q253_mixture_sample" ->
@@ -6077,49 +6195,11 @@ object PipelineOps {
 
     // restates the delta-of-delta class census and the exact compressed
     // timestamp bit count from lag windows over the same block key
-    "q367_gorilla_metrics" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
-        |    epoch_us(ts) // 86400000000 AS day
-        |  FROM events),
-        |d AS (
-        |  SELECT event_type, day,
-        |    ts_us - lag(ts_us) OVER w AS delta,
-        |    ROW_NUMBER() OVER w AS rn
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts_us, event_id)),
-        |dd AS (
-        |  SELECT event_type, day,
-        |    delta - COALESCE(lag(delta) OVER w2, 0) AS dod
-        |  FROM d WHERE delta IS NOT NULL
-        |  WINDOW w2 AS (PARTITION BY event_type, day ORDER BY rn)),
-        |cls AS (
-        |  SELECT event_type, day,
-        |    SUM(CASE WHEN dod = 0 THEN 1 ELSE 0 END) AS dod0,
-        |    SUM(CASE WHEN dod <> 0 AND dod BETWEEN -63 AND 64
-        |        THEN 1 ELSE 0 END) AS dod7,
-        |    SUM(CASE WHEN dod NOT BETWEEN -63 AND 64
-        |         AND dod BETWEEN -255 AND 256 THEN 1 ELSE 0 END) AS dod9,
-        |    SUM(CASE WHEN dod NOT BETWEEN -255 AND 256
-        |         AND dod BETWEEN -2047 AND 2048 THEN 1 ELSE 0 END) AS dod12,
-        |    SUM(CASE WHEN dod NOT BETWEEN -2047 AND 2048
-        |        THEN 1 ELSE 0 END) AS dod64
-        |  FROM dd GROUP BY 1, 2),
-        |np AS (SELECT event_type, day, COUNT(*) AS n_points
-        |       FROM e GROUP BY 1, 2)
-        |SELECT np.event_type, CAST(np.day AS BIGINT) AS day,
-        |  CAST(np.n_points AS BIGINT) AS n_points,
-        |  CAST(COALESCE(cls.dod0, 0) AS BIGINT) AS dod0,
-        |  CAST(COALESCE(cls.dod7, 0) AS BIGINT) AS dod7,
-        |  CAST(COALESCE(cls.dod9, 0) AS BIGINT) AS dod9,
-        |  CAST(COALESCE(cls.dod12, 0) AS BIGINT) AS dod12,
-        |  CAST(COALESCE(cls.dod64, 0) AS BIGINT) AS dod64,
-        |  CAST(COALESCE(cls.dod0, 0) * 1 + COALESCE(cls.dod7, 0) * 9
-        |     + COALESCE(cls.dod9, 0) * 12 + COALESCE(cls.dod12, 0) * 16
-        |     + COALESCE(cls.dod64, 0) * 68 AS BIGINT) AS ts_bits,
-        |  true AS roundtrip_ok
-        |FROM np LEFT JOIN cls
-        |  ON cls.event_type = np.event_type AND cls.day = np.day""".stripMargin,
+    "q367_gorilla_metrics" -> gorillaCensusSql,
+    // stream-built blocks are bit-identical to batch blocks (the in-plan
+    // recompress check), so the census oracle is q367's verbatim
+    "q378_gorilla_stream" -> gorillaCensusSql,
+
 
     // restates the record synthesis and every decoded aggregate
     "q368_avro_ocf_ingest" ->
