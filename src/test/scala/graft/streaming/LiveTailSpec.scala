@@ -47,6 +47,36 @@ class LiveTailSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("buffered tail: per-poll work tracks NEW rows only; state is bounded") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Line](spark)
+    val table = LogsTable(
+      df = in.toDF(),
+      promoted = Map("service_name" -> "service_name",
+        "severity_text" -> "severity_text", "body" -> "body"),
+      seriesLabels = Seq("service_name", "severity_text"))
+    val buf = new LiveTail.TailBuffer(capacity = 3)
+    val q = LiveTail.startBuffered(table, """{service_name="svc-1"}""", buf)
+    try {
+      in.addData(Line(1L, "svc-1", "info", "a"), Line(2L, "svc-1", "info", "b"))
+      q.processAllAvailable()
+      // drain DELIVERS and EVICTS: a second poll after no new data sees
+      // zero rows — the poll never re-reads delivered history
+      assert(buf.drain().map(_.getString(3)) == Seq("a", "b"))
+      assert(buf.size == 0 && buf.drain().isEmpty)
+      in.addData(Line(3L, "svc-1", "info", "c"))
+      q.processAllAvailable()
+      assert(buf.drain().map(_.getString(3)) == Seq("c"))
+      // overflow beyond capacity drops the OLDEST undelivered rows and
+      // counts them — resident state stays capped for a slow client
+      in.addData((4 to 8).map(i => Line(i.toLong, "svc-1", "info", s"x$i")): _*)
+      q.processAllAvailable()
+      assert(buf.size == 3 && buf.dropped == 2L)
+      assert(buf.drain().map(_.getString(3)) == Seq("x6", "x7", "x8"))
+    } finally q.stop()
+  }
+
   test("order-dependent stages and non-line queries are rejected up front") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
