@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight through instead of via sbt's logger:
+// the bench summary line must reach stdout WITHOUT the "[info] " prefix
+// (a parser scanning for a line that IS a JSON object never sees one
+// through LoggedOutput — BENCH_r10's "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
