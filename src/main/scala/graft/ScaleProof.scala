@@ -137,7 +137,13 @@ object ScaleProof {
       // round-10 codec families); decode work rides the stored bytes
       "q372_stored_flac_census", "q373_stored_avro_census",
       "q374_stored_mp3_census", "q375_stored_tar_census",
-      "q376_stored_wiki_census", "q377_stored_flac_fingerprint")
+      "q376_stored_wiki_census", "q377_stored_flac_fingerprint",
+      // bucketed-index delta probe: the write-time clustering must keep
+      // the corpus index scan exchange-free at 10× probe volume
+      "q379_dedup_delta_indexed",
+      // stream-built Gorilla blocks: the cogroup fold's (series, day)
+      // shuffle + per-block codec at 10× points per block
+      "q378_gorilla_stream")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -121,7 +121,62 @@ object InteropOps {
       base
     })
 
+  /** q379's BUCKETED corpus indexes, materialized once per fixture from
+    * the v1 snapshot through [[graft.storage.Storage.writeBucketed]]:
+    * the content-hash ledger bucketed on `h`, and the shingle index
+    * bucketed on `sh` with the per-doc shingle count DENORMALIZED into
+    * every row (so probe-time candidate aggregation carries it via
+    * first() — no corpus-sized sizes join at probe time, ever). Bucketed
+    * writes hash-cluster + sort at INGEST time; a probe then shuffles
+    * only its own (delta) side. Catalog registration is per process
+    * (in-memory catalog) — re-running writeBucketed over an existing
+    * fixture rewrites the same deterministic content. */
+  private val deltaIndexLock = new Object
+  private def ensureDeltaIndex(s: SparkSession, loc: String): (String, String) = {
+    val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "idx")
+    val suffix = Integer.toHexString(loc.hashCode)
+    val ledger = s"hash_ledger_$suffix"
+    val index = s"shingle_idx_$suffix"
+    deltaIndexLock.synchronized {
+      if (!s.catalog.tableExists(s"tenant0_idx_$ledger")) {
+        val base = Snapshots.read(s, graft.storage.Storage.TableLayout(
+          loc, "tenant0", "default"), "docs", Some(1))
+          .select(col("doc_id"), col("text"))
+        val bSh = PipelineOps.deltaShingles(base)
+        val bSize = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        graft.storage.Storage.writeBucketed(
+          base.select(md5(col("text")).as("h")).distinct(),
+          layout, ledger, "h", 8)
+        graft.storage.Storage.writeBucketed(
+          bSh.join(bSize, "doc_id")
+            .select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("n_b")),
+          layout, index, "sh", 8)
+      }
+    }
+    (s"tenant0_idx_$ledger", s"tenant0_idx_$index")
+  }
+
   val queries: Map[String, Q] = Map(
+    // the q370 classification against the STORED BUCKETED corpus
+    // indexes — the 100 TB probe shape made physical: the hash ledger
+    // and shingle index are bucketed (and sorted) on their join keys at
+    // write time, so the only exchanges in the probe plan are on the
+    // DELTA side (PlanSpec pins the bucketed scans); the corpus is
+    // never rescanned or reshuffled per drop. Output (and oracle) are
+    // q370's verbatim.
+    "q379_dedup_delta_indexed" -> ((s, dir) => {
+      val loc = dedupDeltaFixture(s, dir)
+      val (ledger, index) = ensureDeltaIndex(s, loc)
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val root = layout.path("docs")
+      val v1set = Snapshots.files(s, layout, "docs", 1).toSet
+      val newFiles = Snapshots.files(s, layout, "docs", 2)
+        .filterNot(v1set.contains).map(rel => s"$root/$rel")
+      val delta = s.read.option("basePath", root).parquet(newFiles: _*)
+        .select(col("doc_id"), col("text"))
+      PipelineOps.dedupDeltaFrom(delta, s.table(ledger), s.table(index))
+    }),
+
     // INCREMENTAL DELTA-VS-CORPUS DEDUP (the single most common 100 TB
     // pipeline operation: a new drop lands, dedup ONLY the delta against
     // the committed corpus — never recompute the corpus). The delta rows
@@ -220,12 +275,13 @@ object InteropOps {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // base/delta membership restated from raw documents (the fixture's
-    // construction rules), then the shared survivor calculus
-    // ([[PipelineOps.dedupDeltaOracleSql]] — one statement of the rule
-    // for both engines)
-    "q370_dedup_delta" ->
+  // base/delta membership restated from raw documents (the fixture's
+  // construction rules), then the shared survivor calculus
+  // ([[PipelineOps.dedupDeltaOracleSql]] — one statement of the rule for
+  // both engines). Shared verbatim by the bucketed-index probe (q379):
+  // the indexes hold exactly the v1 base's hashes/shingles, so the
+  // classification plane is identical.
+  private val dedupDeltaSql: String =
       s"""WITH basec AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
          |deltac AS MATERIALIZED (
@@ -240,7 +296,11 @@ object InteropOps {
          |  SELECT doc_id + 30000000, text || ' zulu yankee xray' FROM documents
          |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 3),
          |${PipelineOps.dedupDeltaOracleSql("basec", "deltac")}
-         |SELECT doc_id, status FROM st""".stripMargin,
+         |SELECT doc_id, status FROM st""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q370_dedup_delta" -> dedupDeltaSql,
+    "q379_dedup_delta_indexed" -> dedupDeltaSql,
     // the appended slice restated from the raw view: day 30 plus the
     // Jan 10 error backfill (UTC day derivation matches withPartitionCols)
     "q330_snapshot_diff" ->

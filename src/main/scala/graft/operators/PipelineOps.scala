@@ -4116,23 +4116,40 @@ object PipelineOps {
     * at test scale; at corpus scale the base side of the shingle join is
     * the persistent shingle index bucketed by `sh`, so the probe reads
     * only matching buckets), and nothing ever joins base×base. */
+  private[graft] def deltaShingles(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
+    .distinct()
+
   private[graft] def dedupDelta(base: DataFrame, delta: DataFrame): DataFrame = {
-    def shingles(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
-      .distinct()
-    val baseH = base.select(md5(col("text")).as("h")).distinct()
+    val bSh0 = deltaShingles(base)
+    val bSize = bSh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    dedupDeltaFrom(delta,
+      base.select(md5(col("text")).as("h")).distinct(),
+      bSh0.join(bSize, "doc_id")
+        .select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("n_b")))
+  }
+
+  /** [[dedupDelta]] against PRE-MATERIALIZED base-side relations — the
+    * 100 TB path, where the corpus is represented by its stored indexes
+    * and is never rescanned per drop:
+    *   baseHashes  — (h): the distinct content-hash ledger
+    *   baseShingles — (b_id, sh, n_b): the shingle index, n_b
+    *                 DENORMALIZED per row so the candidate aggregation
+    *                 carries it via first() and no corpus-sized sizes
+    *                 join ever runs at probe time.
+    * When both are stored BUCKETED on their join keys (q379's fixture),
+    * probe-time shuffles touch only the delta side. */
+  private[graft] def dedupDeltaFrom(delta: DataFrame, baseHashes: DataFrame,
+      baseShingles: DataFrame): DataFrame = {
     val dh = delta.select(col("doc_id"), md5(col("text")).as("h"))
-    val dSh = shingles(delta)
-    val bSh = shingles(base)
+    val dSh = deltaShingles(delta)
     val dSize = dSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val bSize = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // near-dup vs corpus: candidates ONLY through shared shingles
-    val nearBase = dSh.as("d").join(bSh.as("b"), col("d.sh") === col("b.sh"))
-      .groupBy(col("d.doc_id").as("d_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
+    val nearBase = dSh.as("d").join(baseShingles.as("b"), col("d.sh") === col("b.sh"))
+      .groupBy(col("d.doc_id").as("d_id"), col("b.b_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"), first(col("b.n_b")).as("n_b"))
       .join(dSize.select(col("doc_id").as("d_id"), col("n_sh").as("n_d")), "d_id")
-      .join(bSize.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
       .filter(lit(2) * col("shared") >= col("n_d") + col("n_b") - col("shared"))
       .select(col("d_id").as("doc_id")).distinct()
     // near-dup intra-delta: an edge to ANY smaller-doc_id delta row drops
@@ -4144,7 +4161,7 @@ object PipelineOps {
       .join(dSize.select(col("doc_id").as("s_id"), col("n_sh").as("n_s")), "s_id")
       .filter(lit(2) * col("shared") >= col("n_d") + col("n_s") - col("shared"))
       .select(col("d_id").as("doc_id")).distinct()
-    val exactBase = dh.join(baseH, Seq("h"), "leftsemi")
+    val exactBase = dh.join(baseHashes, Seq("h"), "leftsemi")
       .select(col("doc_id")).distinct()
     val minPerHash = dh.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
     val exactIntra = dh.join(minPerHash, "h")

@@ -45,6 +45,22 @@ class PlanSpec extends AnyFunSuite {
       s"media_raw scan reads more than the census needs:\n$plan")
   }
 
+  test("indexed delta-dedup probes BUCKETED corpus indexes (no corpus-side shuffle)") {
+    val df = operators.InteropOps.queries("q379_dedup_delta_indexed")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both stored indexes scan as bucketed relations: their side of the
+    // probe joins carries NO Exchange — at corpus scale the only data
+    // moved per drop is the delta's
+    assert(formatted.contains("Bucketed: true"),
+      s"corpus indexes not scanned as bucketed:\n$formatted")
+    val ledgerScan = formatted.linesIterator
+      .exists(l => l.contains("hash_ledger") && l.contains("Scan"))
+    val idxScan = formatted.linesIterator
+      .exists(l => l.contains("shingle_idx") && l.contains("Scan"))
+    assert(ledgerScan && idxScan, s"expected both index scans:\n$formatted")
+  }
+
   test("union-scan selectors push metric_name into BOTH stored tables") {
     val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
