@@ -185,10 +185,55 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     * own 403 (admin keys act on any valid tenant, is_instance_admin).
     * Returns the validated (tenant header, principal) or the
     * rejection. */
+  /** middleware.rs:46-48: requests without an Authorization header fall
+    * back to the browser session cookie; `X-Tenant-ID` selects the
+    * tenant and is validated against the user's memberships (instance
+    * admins may select any tenant — authenticator.rs:154-162). A
+    * `viewer` role gets the four read scopes only; member/admin are
+    * unscoped. The session's user id rides the exchange for whoami. */
+  private def sessionAuth(ex: HttpExchange)
+      : Either[(Int, String), (String, TenantCatalog.Principal)] = {
+    import scala.jdk.CollectionConverters._
+    val cookies = Option(ex.getRequestHeaders.get("Cookie"))
+      .map(_.asScala.toSeq).getOrElse(Seq.empty)
+    AuthTokens.sessionTokenFromCookies(cookies) match {
+      case None => Left(401 -> "Missing Authorization header")
+      case Some(tok) =>
+        catalog.getValidSession(AuthTokens.hashToken(tok),
+            System.currentTimeMillis()) match {
+          case None => Left(401 -> "Invalid or expired session")
+          case Some(s) =>
+            val user = catalog.getUser(s.userId).getOrElse(
+              return Left(401 -> "Session user not found"))
+            Option(ex.getRequestHeaders.getFirst("x-tenant-id")) match {
+              case None => Left(401 -> "Missing X-Tenant-ID header")
+              case Some(tr) =>
+                TenantCatalog.validateId(tr) match {
+                  case Left(_) => Left(400 -> "Invalid tenant ID")
+                  case Right(t) =>
+                    val role = catalog.getMembership(user.id, t) match {
+                      case Some(r) => r
+                      case None if user.instanceAdmin => "admin"
+                      case None =>
+                        return Left(403 ->
+                          s"User is not a member of tenant '$t'")
+                    }
+                    ex.setAttribute("session_user", user.id)
+                    val scopes =
+                      if (role == "viewer") Some(TenantCatalog.ReadScopes)
+                      else None
+                    Right((t, TenantCatalog.Principal(Some(t), scopes,
+                      datasetId = None, isAdmin = user.instanceAdmin)))
+                }
+            }
+        }
+    }
+  }
+
   private def authCheck(ex: HttpExchange)
       : Either[(Int, String), (String, TenantCatalog.Principal)] =
     Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-      case None => Left(401 -> "Missing Authorization header")
+      case None => sessionAuth(ex)
       case Some(a) if !a.startsWith("Bearer ") =>
         Left(400 -> "Authorization header must use Bearer scheme")
       case Some(a) =>
@@ -248,8 +293,20 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     if (path == "/.well-known/oauth-authorization-server" ||
         path.startsWith("/oauth/")) {
       val (st, bodyJson) = oauthRoute(ex, path)
-      respondJson(ex, st, bodyJson)
+      if (st == 302) { // Location header set by the route
+        ex.sendResponseHeaders(302, -1L)
+        ex.getResponseBody.close()
+      } else respondJson(ex, st, bodyJson)
       recordSelf(path, st, (System.nanoTime() - t0) / 1e6, tenantOf(ex))
+      return
+    }
+    // UI session login/logout is PUBLIC (session.rs router merge:
+    // login itself cannot demand a credential); it manages the cookie
+    // the auth middleware then accepts in place of auth headers
+    if (path == "/ui/session") {
+      sessionRoute(ex)
+      recordSelf(path, ex.getResponseCode,
+        (System.nanoTime() - t0) / 1e6, tenantOf(ex))
       return
     }
     val auth: Option[(String, TenantCatalog.Principal)] =
@@ -313,7 +370,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       }
     // management / identity surface (method-aware, incl. DELETE)
     if (path == "/api/v1/whoami" || path == "/api/v1/tenants" ||
-        path.startsWith("/api/v1/tenants/") ||
+        path.startsWith("/api/v1/tenants/") || path == "/users" ||
         path == "/api/v1/manage/tenants" ||
         path.startsWith("/api/v1/manage/tenants/")) {
       val (st, bodyJson) = manageRoute(ex, path, auth)
@@ -1026,10 +1083,75 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
             s"""{"id":${ApiJson.jstr(n)},"slug":${ApiJson.jstr(n)},""" +
               s""""is_default":${dflt.contains(n)}}"""
           }
-          200 -> (s"""{"tenant":{"id":${ApiJson.jstr(t)},""" +
+          // a SESSION-authenticated caller carries its user and
+          // memberships (session.rs whoami); API-key principals don't
+          val (userJson, memJson) =
+            Option(ex.getAttribute("session_user")).map(_.toString)
+              .flatMap(catalog.getUser) match {
+              case Some(u) =>
+                val ms =
+                  if (u.instanceAdmin)
+                    (catalog.configTenantIds.toSeq ++
+                      catalog.listMembershipsForUser(u.id).map(_._1))
+                      .distinct.sorted.map(tid => (tid, "admin"))
+                  else catalog.listMembershipsForUser(u.id)
+                val uj = s""""user":{"id":${ApiJson.jstr(u.id)},""" +
+                  s""""email":${ApiJson.jstr(u.email)},""" +
+                  s""""display_name":${jopt(u.displayName)},""" +
+                  s""""is_instance_admin":${u.instanceAdmin}},"""
+                (uj, ms.map { case (tid, r) =>
+                  s"""{"tenant_id":${ApiJson.jstr(tid)},""" +
+                    s""""role":${ApiJson.jstr(r)}}"""
+                }.mkString(","))
+              case None => ("", "")
+            }
+          200 -> (s"""{$userJson"tenant":{"id":${ApiJson.jstr(t)},""" +
             s""""slug":${ApiJson.jstr(t)},"name":${ApiJson.jstr(name)}},""" +
             s""""datasets":[${ds.mkString(",")}],""" +
-            s""""default_dataset":${jopt(dflt)},"memberships":[]}""")
+            s""""default_dataset":${jopt(dflt)},"memberships":[$memJson]}""")
+
+        // ---- admin.rs create_user: instance-admin only; validation
+        // order (email, password length, role, tenant existence) and
+        // status split (400/404/409/201) per the reference
+        case ("POST", "/users") =>
+          if (!auth.exists(_._2.isAdmin))
+            throw Endpoints.HttpError(403,
+              "creating users requires an instance-admin credential")
+          val b = parseBody(ex)
+          val email = optText(b, "email").map(_.trim).getOrElse("")
+          if (email.isEmpty)
+            throw Endpoints.HttpError(400, "email must not be empty")
+          val password = optText(b, "password").getOrElse("")
+          if (password.length < 12)
+            throw Endpoints.HttpError(400,
+              "password must be at least 12 characters")
+          val role = optText(b, "role").getOrElse("admin")
+          if (!TenantCatalog.MembershipRoles.contains(role))
+            throw Endpoints.HttpError(400,
+              s"invalid role '$role': expected admin, member, or viewer")
+          val tenant = optText(b, "tenant").getOrElse(
+            throw Endpoints.HttpError(400, "tenant must not be empty"))
+          if (catalog.getTenant(tenant).isEmpty &&
+              !catalog.configTenantIds.contains(tenant))
+            throw Endpoints.HttpError(404, s"Tenant '$tenant' not found")
+          val instanceAdmin =
+            Option(b.get("instance_admin")).exists(_.asBoolean(false))
+          // hash here — the plaintext never touches the catalog
+          val phc = AuthTokens.hashPassword(password)
+          val user = catalog.createUser(email,
+            optText(b, "display_name"), phc, instanceAdmin,
+            System.currentTimeMillis()) match {
+            case Left((st, m)) => throw Endpoints.HttpError(st, m)
+            case Right(u) => u
+          }
+          catalog.upsertMembership(user.id, tenant, role)
+          201 -> (s"""{"id":${ApiJson.jstr(user.id)},""" +
+            s""""email":${ApiJson.jstr(user.email)},""" +
+            user.displayName.map(d =>
+              s""""display_name":${ApiJson.jstr(d)},""").getOrElse("") +
+            s""""instance_admin":${user.instanceAdmin},""" +
+            s""""created_at":${ApiJson.jstr(
+              java.time.Instant.ofEpochMilli(user.createdAtMs).toString)}}""")
         // ---- tenant.rs: listing is filtered to the caller's own
         // tenant; a foreign tenant id in the path is 403
         case ("GET", "/api/v1/tenants") =>
@@ -1156,18 +1278,181 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         500 -> errJson(Option(e.getMessage).getOrElse(e.getClass.getName))
     }
 
-  // ---- OAuth 2.1 authorization-server subset (reference endpoints/
-  // oauth.rs). What can exist without human login sessions is served
-  // for real: RFC 8414 metadata and RFC 7591 Dynamic Client
-  // Registration (both public and session-free by spec). The
-  // authorization-code + consent flow REQUIRES a browser login session
-  // — driver-scoped out with the rest of user accounts — so
-  // /oauth/authorize and /oauth/token answer an honest 501 in the
-  // RFC 6749 §5.2 error shape rather than pretending. ----------------
+  // ---- UI browser sessions (reference endpoints/session.rs: POST/
+  // DELETE /ui/session, public — login itself cannot demand a
+  // credential). The cookie carries only an opaque high-entropy token;
+  // its sha256 digest and the session row live in the catalog. --------
+
+  private def sessionRoute(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val nowMs = System.currentTimeMillis()
+    ex.getRequestMethod match {
+      case "POST" =>
+        val (st, body, cookie) =
+          try {
+            val b = parseBody(ex)
+            val email = optText(b, "email").getOrElse("")
+            val password = optText(b, "password").getOrElse("")
+            val reqTenant = optText(b, "tenant").map(_.trim).filter(_.nonEmpty)
+            val reqDataset = optText(b, "dataset").map(_.trim).filter(_.nonEmpty)
+            // validate ids BEFORE credentials (session.rs:117-131)
+            val badId = (reqTenant.toSeq ++ reqDataset.toSeq)
+              .flatMap(TenantCatalog.validateId(_).left.toOption).headOption
+            badId match {
+              case Some(m) => (400, errJson(m), None)
+              case None =>
+                catalog.getUserByEmail(email).filterNot(_.disabled) match {
+                  case None =>
+                    (401, errJson("Invalid email or password"), None)
+                  case Some(user)
+                    if !AuthTokens.verifyPassword(password, user.passwordHash) =>
+                    (401, errJson("Invalid email or password"), None)
+                  case Some(user) =>
+                    // memberships for the picker: instance admins see
+                    // every tenant as admin (session.rs
+                    // list_session_memberships)
+                    val allMs: Seq[(String, String)] =
+                      if (user.instanceAdmin)
+                        (catalog.configTenantIds.toSeq ++
+                          catalog.listMembershipsForUser(user.id).map(_._1))
+                          .distinct.sorted.map(t => (t, "admin"))
+                      else catalog.listMembershipsForUser(user.id)
+                    val tenant: Either[(Int, String), Option[String]] =
+                      reqTenant match {
+                        case Some(t)
+                          if !user.instanceAdmin &&
+                            !allMs.exists(_._1 == t) =>
+                          Left(403 -> "User is not a member of this tenant")
+                        case Some(t) => Right(Some(t))
+                        case None => allMs match {
+                          case Seq() =>
+                            Left(403 -> "User has no tenant memberships")
+                          case Seq((only, _)) => Right(Some(only))
+                          case _ => Right(None) // UI presents a picker
+                        }
+                      }
+                    tenant match {
+                      case Left((s0, m)) => (s0, errJson(m), None)
+                      case Right(tOpt) =>
+                        val token = AuthTokens.generateSessionToken()
+                        catalog.createSession(user.id,
+                          AuthTokens.hashToken(token),
+                          nowMs + 12L * 3600 * 1000)
+                        val memJson = allMs.map { case (t, r) =>
+                          val name = catalog.getTenant(t).map(_.name).getOrElse(t)
+                          s"""{"tenant_id":${ApiJson.jstr(t)},""" +
+                            s""""name":${ApiJson.jstr(name)},""" +
+                            s""""role":${ApiJson.jstr(r)}}"""
+                        }
+                        val ds = tOpt.flatMap(t => reqDataset.orElse(
+                          catalog.getTenant(t).flatMap(_.defaultDataset)))
+                        val bodyJson =
+                          s"""{"tenant":${tOpt.map(ApiJson.jstr).getOrElse("null")},""" +
+                            s""""dataset":${ds.map(ApiJson.jstr).getOrElse("null")},""" +
+                            s""""memberships":[${memJson.mkString(",")}]}"""
+                        (200, bodyJson, Some(
+                          s"${AuthTokens.SessionCookie}=$token; HttpOnly; " +
+                            "Secure; SameSite=Strict; Path=/; Max-Age=43200"))
+                    }
+                }
+            }
+          } catch { case e: Throwable =>
+            (500, errJson(Option(e.getMessage).getOrElse("login failed")), None)
+          }
+        cookie.foreach(c => ex.getResponseHeaders.add("Set-Cookie", c))
+        respondJson(ex, st, body)
+      case "DELETE" =>
+        // revoke whatever valid session the cookie names; always clear
+        // the cookie and answer 204 (session.rs delete_session)
+        val cookies = Option(ex.getRequestHeaders.get("Cookie"))
+          .map(_.asScala.toSeq).getOrElse(Seq.empty)
+        AuthTokens.sessionTokenFromCookies(cookies).foreach { tok =>
+          catalog.getValidSession(AuthTokens.hashToken(tok), nowMs)
+            .foreach(s => catalog.revokeSession(s.id))
+        }
+        ex.getResponseHeaders.add("Set-Cookie",
+          s"${AuthTokens.SessionCookie}=; HttpOnly; SameSite=Strict; " +
+            "Path=/; Max-Age=0")
+        ex.sendResponseHeaders(204, -1L)
+        ex.getResponseBody.close()
+      case _ =>
+        respondJson(ex, 405, errJson("method not allowed"))
+    }
+  }
+
+  // ---- OAuth 2.1 authorization server (reference endpoints/oauth.rs):
+  // RFC 8414 metadata, RFC 7591 Dynamic Client Registration, the
+  // authorization-code flow with MANDATORY PKCE (S256), the consent
+  // context/decision endpoints (browser-session-authenticated), and
+  // the token endpoint (authorization_code + refresh_token grants,
+  // single-use codes, refresh rotation). The consent SCREEN itself is
+  // the UI crate's SPA page (driver-scoped out); every endpoint it
+  // calls is served here. --------------------------------------------
 
   private def oauthErr(status: Int, error: String, desc: String): String =
     s"""{"error":${ApiJson.jstr(error)},""" +
       s""""error_description":${ApiJson.jstr(desc)}}"""
+
+  /** append query params to a redirect URI, preserving any it already
+    * carries (oauth.rs:123 redirect_with_params; form-urlencoded values). */
+  private def redirectWithParams(base: String,
+      params: Seq[(String, String)]): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val sep = if (base.contains('?')) "&" else "?"
+    base + sep + params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("&")
+  }
+
+  /** resolve the consenting user from the browser session cookie; the
+    * two consent endpoints are NOT public (oauth.rs:15-16). */
+  private def oauthSessionUser(ex: HttpExchange)
+      : Either[(Int, String), TenantCatalog.User] = {
+    import scala.jdk.CollectionConverters._
+    val cookies = Option(ex.getRequestHeaders.get("Cookie"))
+      .map(_.asScala.toSeq).getOrElse(Seq.empty)
+    AuthTokens.sessionTokenFromCookies(cookies) match {
+      case None =>
+        Left(401 -> oauthErr(401, "login_required", "no active session"))
+      case Some(tok) =>
+        catalog.getValidSession(AuthTokens.hashToken(tok),
+            System.currentTimeMillis()) match {
+          case None => Left(401 -> oauthErr(401, "login_required",
+            "session is invalid or expired"))
+          case Some(s) => catalog.getUser(s.userId).toRight(
+            401 -> oauthErr(401, "login_required", "session user not found"))
+        }
+    }
+  }
+
+  /** oauth.rs:103 granted_read_scopes: absent scope grants all four
+    * read scopes; a present scope grants its read-scope intersection,
+    * and an intersection of nothing is an invalid request, never a
+    * licence to grant everything. */
+  private def grantedReadScopes(requested: Option[String]): Option[Seq[String]] =
+    requested match {
+      case None => Some(TenantCatalog.ReadScopes)
+      case Some(s) =>
+        val granted = s.split("\\s+").filter(TenantCatalog.ReadScopes.contains)
+        if (granted.isEmpty) None else Some(granted.toSeq)
+    }
+
+  /** mint an access + refresh token pair for a grant and render the
+    * RFC 6749 §5.1 response (oauth.rs issue_tokens; TTLs are the
+    * reference defaults — access 1 h, refresh 30 d). */
+  private def issueTokens(clientId: String, userId: String, tenant: String,
+      scopes: Seq[String], resource: Option[String], nowMs: Long): String = {
+    val access = AuthTokens.generateAccessToken()
+    catalog.createAccessToken(AuthTokens.hashToken(access),
+      TenantCatalog.TokenGrant(clientId, userId, tenant, scopes, resource,
+        nowMs + 3600L * 1000, revoked = false))
+    val refresh = AuthTokens.generateRefreshToken()
+    catalog.createRefreshToken(AuthTokens.hashToken(refresh),
+      TenantCatalog.TokenGrant(clientId, userId, tenant, scopes, resource,
+        nowMs + 30L * 86400 * 1000, revoked = false))
+    s"""{"access_token":${ApiJson.jstr(access)},"token_type":"Bearer",""" +
+      s""""expires_in":3600,"refresh_token":${ApiJson.jstr(refresh)},""" +
+      s""""scope":${ApiJson.jstr(scopes.mkString(" "))}}"""
+  }
 
   /** OAuth 2.1 / RFC 8252 §7.3 redirect-URI rule (oauth.rs:196
     * is_valid_redirect_uri): absolute with an authority, https for any
@@ -1245,13 +1530,196 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
               .getOrElse("") +
             c.scope.map(s0 => s""""scope":${ApiJson.jstr(s0)},""").getOrElse("") +
             """"token_endpoint_auth_method":"none"}""")
-        case (_, "/oauth/authorize") | (_, "/oauth/token") =>
-          501 -> oauthErr(501, "unsupported_response_type",
-            "the authorization-code flow requires browser login sessions, " +
-              "which are outside this deployment's scope")
+        // ---- authorization endpoint (oauth.rs:319): client and
+        // redirect_uri validate BEFORE anything redirects (errors here
+        // cannot be sent to an unverified URI → direct 400s); after
+        // that, failures report TO the redirect target per RFC 6749
+        // §4.1.2.1; a valid request bounces to the consent screen
+        case ("GET", "/oauth/authorize") =>
+          val p = Endpoints.parseQuery(
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          val clientId = p.getOrElse("client_id",
+            return 400 -> oauthErr(400, "invalid_request", "missing client_id"))
+          val client = catalog.getOAuthClient(clientId).getOrElse(
+            return 400 -> oauthErr(400, "invalid_client", "unknown client_id"))
+          val redirectUri = p.getOrElse("redirect_uri",
+            return 400 -> oauthErr(400, "invalid_request", "missing redirect_uri"))
+          if (!client.redirectUris.contains(redirectUri))
+            return 400 -> oauthErr(400, "invalid_request",
+              "redirect_uri is not registered for this client")
+          val stateParam = p.getOrElse("state", "")
+          if (!p.get("response_type").contains("code")) {
+            ex.getResponseHeaders.add("Location", redirectWithParams(
+              redirectUri, Seq("error" -> "unsupported_response_type",
+                "state" -> stateParam)))
+            return 302 -> ""
+          }
+          val pkceOk = p.get("code_challenge").exists(_.nonEmpty) &&
+            p.getOrElse("code_challenge_method", "S256") == "S256"
+          if (!pkceOk) {
+            ex.getResponseHeaders.add("Location", redirectWithParams(
+              redirectUri, Seq("error" -> "invalid_request",
+                "state" -> stateParam)))
+            return 302 -> ""
+          }
+          // hand off to the consent screen, echoing the validated
+          // request; the decision endpoint re-validates everything
+          val echo = Seq("client_id" -> clientId,
+            "redirect_uri" -> redirectUri) ++
+            p.get("code_challenge").map("code_challenge" -> _) ++
+            Seq("code_challenge_method" -> "S256") ++
+            p.get("scope").map("scope" -> _) ++
+            p.get("state").map("state" -> _) ++
+            p.get("resource").map("resource" -> _)
+          ex.getResponseHeaders.add("Location",
+            redirectWithParams("/oauth/consent", echo))
+          302 -> ""
+
+        // ---- consent context (oauth.rs:640): session-authenticated;
+        // the requesting client's name and the tenants the user may grant
+        case ("GET", "/oauth/consent/context") =>
+          val user = oauthSessionUser(ex) match {
+            case Left(e) => return e
+            case Right(u) => u
+          }
+          val p = Endpoints.parseQuery(
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          val client = p.get("client_id").flatMap(catalog.getOAuthClient)
+            .getOrElse(return 400 ->
+              oauthErr(400, "invalid_client", "unknown client_id"))
+          val tenants =
+            if (user.instanceAdmin)
+              (catalog.configTenantIds.toSeq ++
+                catalog.listMembershipsForUser(user.id).map(_._1))
+                .distinct.sorted.map(t => (t, "admin"))
+            else catalog.listMembershipsForUser(user.id)
+          200 -> (s"""{${client.name.map(n =>
+              s""""client_name":${ApiJson.jstr(n)},""").getOrElse("")}""" +
+            s""""tenants":[${tenants.map { case (t, r) =>
+              s"""{"id":${ApiJson.jstr(t)},"role":${ApiJson.jstr(r)}}"""
+            }.mkString(",")}]}""")
+
+        // ---- consent decision (oauth.rs:447): session-authenticated;
+        // nothing from the SPA is trusted — client, redirect URI, PKCE,
+        // membership, resource, and scope all re-validate; approval
+        // mints the SINGLE-USE code bound to all of them
+        case ("POST", "/oauth/authorize/decision") =>
+          val user = oauthSessionUser(ex) match {
+            case Left(e) => return e
+            case Right(u) => u
+          }
+          val b = parseBody(ex)
+          val clientId = optText(b, "client_id").getOrElse("")
+          val client = catalog.getOAuthClient(clientId).getOrElse(
+            return 400 -> oauthErr(400, "invalid_client", "unknown client_id"))
+          val redirectUri = optText(b, "redirect_uri").getOrElse("")
+          if (!client.redirectUris.contains(redirectUri))
+            return 400 -> oauthErr(400, "invalid_request",
+              "redirect_uri is not registered for this client")
+          val challenge = optText(b, "code_challenge").getOrElse("")
+          if (challenge.isEmpty ||
+              optText(b, "code_challenge_method").getOrElse("S256") != "S256")
+            return 400 -> oauthErr(400, "invalid_request",
+              "a S256 code_challenge is required")
+          val stateParam = optText(b, "state").getOrElse("")
+          val approved = Option(b.get("approved")).exists(_.asBoolean(false))
+          if (!approved) {
+            val url = redirectWithParams(redirectUri,
+              Seq("error" -> "access_denied", "state" -> stateParam))
+            return 200 -> s"""{"redirect":${ApiJson.jstr(url)}}"""
+          }
+          val tenant = optText(b, "tenant").getOrElse("")
+          val isMember = catalog.getMembership(user.id, tenant).isDefined
+          val grantable = isMember || (user.instanceAdmin &&
+            (catalog.getTenant(tenant).isDefined ||
+              catalog.configTenantIds.contains(tenant)))
+          if (!grantable)
+            return 403 -> oauthErr(403, "access_denied",
+              "not a member of the selected tenant")
+          // RFC 8707 audience binding: this shell serves no configured
+          // MCP resource, so a client-supplied resource cannot choose
+          // its own audience (oauth.rs:553 the (Some, None) arm)
+          if (optText(b, "resource").isDefined)
+            return 400 -> oauthErr(400, "invalid_target",
+              "this server does not serve a configured MCP resource")
+          val scopes = grantedReadScopes(optText(b, "scope")).getOrElse(
+            return 400 -> oauthErr(400, "invalid_scope",
+              "requested scope contains no supported read scope"))
+          val code = AuthTokens.generateAuthCode()
+          catalog.createAuthCode(AuthTokens.hashToken(code), clientId,
+            user.id, tenant, scopes, redirectUri, challenge,
+            resource = None,
+            expiresAtMs = System.currentTimeMillis() + 60000L) // 60 s TTL
+          val url = redirectWithParams(redirectUri,
+            Seq("code" -> code, "state" -> stateParam))
+          200 -> s"""{"redirect":${ApiJson.jstr(url)}}"""
+
+        // ---- token endpoint (oauth.rs:754): public clients only, form
+        // body; authorization_code (mandatory PKCE, single-use, client
+        // and redirect_uri must match the grant) + refresh_token
+        // (rotation: the presented token is single-use)
+        case ("POST", "/oauth/token") =>
+          val form = Endpoints.parseQuery(new String(
+            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          ex.getResponseHeaders.add("Cache-Control", "no-store")
+          val nowMs = System.currentTimeMillis()
+          form.getOrElse("grant_type", "") match {
+            case "authorization_code" =>
+              val code = form.getOrElse("code",
+                return 400 -> oauthErr(400, "invalid_request", "missing code"))
+              val verifier = form.getOrElse("code_verifier",
+                return 400 -> oauthErr(400, "invalid_request",
+                  "missing code_verifier"))
+              val grant = catalog.consumeAuthCode(
+                AuthTokens.hashToken(code), nowMs).getOrElse(
+                return 400 -> oauthErr(400, "invalid_grant",
+                  "authorization code is invalid or expired"))
+              val clientId = form.getOrElse("client_id",
+                return 400 -> oauthErr(400, "invalid_request",
+                  "missing client_id"))
+              if (clientId != grant.clientId)
+                return 400 -> oauthErr(400, "invalid_grant",
+                  "client_id does not match the authorization code")
+              val redirectUri = form.getOrElse("redirect_uri",
+                return 400 -> oauthErr(400, "invalid_request",
+                  "missing redirect_uri"))
+              if (redirectUri != grant.redirectUri)
+                return 400 -> oauthErr(400, "invalid_grant",
+                  "redirect_uri does not match the authorization code")
+              if (!AuthTokens.verifyPkceS256(verifier, grant.codeChallenge))
+                return 400 -> oauthErr(400, "invalid_grant",
+                  "PKCE verification failed")
+              200 -> issueTokens(grant.clientId, grant.userId,
+                grant.tenant, grant.scopes, grant.resource, nowMs)
+            case "refresh_token" =>
+              val refresh = form.getOrElse("refresh_token",
+                return 400 -> oauthErr(400, "invalid_request",
+                  "missing refresh_token"))
+              val grant = catalog.getValidRefreshToken(
+                AuthTokens.hashToken(refresh), nowMs).getOrElse(
+                return 400 -> oauthErr(400, "invalid_grant",
+                  "refresh token is invalid or expired"))
+              val clientId = form.getOrElse("client_id",
+                return 400 -> oauthErr(400, "invalid_request",
+                  "missing client_id"))
+              if (clientId != grant.clientId)
+                return 400 -> oauthErr(400, "invalid_grant",
+                  "client_id does not match the refresh token")
+              // rotate BEFORE issuing (OAuth 2.1 §4.3.1)
+              catalog.revokeRefreshToken(AuthTokens.hashToken(refresh))
+              200 -> issueTokens(grant.clientId, grant.userId,
+                grant.tenant, grant.scopes, grant.resource, nowMs)
+            case other =>
+              400 -> oauthErr(400, "unsupported_grant_type",
+                s"unsupported grant_type: $other")
+          }
         case _ => 404 -> errJson("not found: " + path)
       }
     } catch {
+      // early-exit `return`s inside by-name args (getOrElse) compile to
+      // NonLocalReturnControl — let them complete the method instead of
+      // masquerading as a 500
+      case e: scala.runtime.NonLocalReturnControl[_] => throw e
       case e: Endpoints.HttpError =>
         e.status -> oauthErr(e.status, "invalid_client_metadata", e.message)
       case e: Throwable =>

@@ -269,6 +269,220 @@ final class TenantCatalog(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // ---- human users, memberships, browser sessions, OAuth grants
+  // (reference catalog users/user_sessions/tenant_memberships/
+  // oauth_* tables — sqlite there, the same snapshot discipline as the
+  // tenant state here) ------------------------------------------------
+
+  private val users = mutable.LinkedHashMap.empty[String, User]
+  private val memberships = mutable.LinkedHashMap.empty[(String, String), String]
+  private val sessions = mutable.LinkedHashMap.empty[String, Session]
+  private val authCodes = mutable.LinkedHashMap.empty[String, CodeGrant]
+  private val accessTokens = mutable.LinkedHashMap.empty[String, TokenGrant]
+  private val refreshTokens = mutable.LinkedHashMap.empty[String, TokenGrant]
+
+  /** admin.rs create_user catalog step: unique email → conflict. The
+    * plaintext password never reaches this class (hashed at the
+    * endpoint layer, admin.rs:996 "the plaintext never touches the
+    * catalog"). */
+  def createUser(email: String, displayName: Option[String],
+      passwordHash: String, instanceAdmin: Boolean,
+      nowMs: Long): Either[(Int, String), User] = synchronized {
+    if (users.values.exists(_.email == email))
+      Left(409 -> s"a user with email '$email' already exists")
+    else {
+      val u = User(newId(), email, displayName, passwordHash,
+        instanceAdmin, nowMs, disabled = false)
+      users.put(u.id, u)
+      persistAuth()
+      Right(u)
+    }
+  }
+
+  def getUser(id: String): Option[User] = synchronized(users.get(id))
+  def getUserByEmail(email: String): Option[User] =
+    synchronized(users.values.find(_.email == email))
+
+  def upsertMembership(userId: String, tenant: String,
+      role: String): Unit = synchronized {
+    memberships.put((userId, tenant), role)
+    persistAuth()
+  }
+
+  def getMembership(userId: String, tenant: String): Option[String] =
+    synchronized(memberships.get((userId, tenant)))
+
+  def listMembershipsForUser(userId: String): Seq[(String, String)] =
+    synchronized(memberships.collect {
+      case ((u, t), role) if u == userId => (t, role)
+    }.toSeq)
+
+  def createSession(userId: String, tokenHash: String,
+      expiresAtMs: Long): Session = synchronized {
+    val s = Session(newId(), userId, tokenHash, expiresAtMs,
+      revoked = false)
+    sessions.put(s.id, s)
+    persistAuth()
+    s
+  }
+
+  def getValidSession(tokenHash: String, nowMs: Long): Option[Session] =
+    synchronized(sessions.values.find(s =>
+      s.tokenHash == tokenHash && !s.revoked && s.expiresAtMs > nowMs))
+
+  def revokeSession(id: String): Unit = synchronized {
+    sessions.get(id).foreach(s => sessions.put(id, s.copy(revoked = true)))
+    persistAuth()
+  }
+
+  def createAuthCode(codeHash: String, clientId: String, userId: String,
+      tenant: String, scopes: Seq[String], redirectUri: String,
+      codeChallenge: String, resource: Option[String],
+      expiresAtMs: Long): Unit = synchronized {
+    authCodes.put(codeHash, CodeGrant(clientId, userId, tenant, scopes,
+      redirectUri, codeChallenge, resource, expiresAtMs, consumed = false))
+    persistAuth()
+  }
+
+  /** Redeem atomically — SINGLE-USE: the first consume wins, any replay
+    * (or an expired/unknown code) returns None (oauth.rs:782
+    * consume_authorization_code). */
+  def consumeAuthCode(codeHash: String, nowMs: Long): Option[CodeGrant] =
+    synchronized {
+      authCodes.get(codeHash) match {
+        case Some(g) if !g.consumed && g.expiresAtMs > nowMs =>
+          authCodes.put(codeHash, g.copy(consumed = true))
+          persistAuth()
+          Some(g)
+        case _ => None
+      }
+    }
+
+  def createAccessToken(tokenHash: String, g: TokenGrant): Unit =
+    synchronized { accessTokens.put(tokenHash, g); persistAuth() }
+
+  def getValidAccessToken(tokenHash: String, nowMs: Long): Option[TokenGrant] =
+    synchronized(accessTokens.get(tokenHash)
+      .filter(g => !g.revoked && g.expiresAtMs > nowMs))
+
+  def createRefreshToken(tokenHash: String, g: TokenGrant): Unit =
+    synchronized { refreshTokens.put(tokenHash, g); persistAuth() }
+
+  def getValidRefreshToken(tokenHash: String, nowMs: Long): Option[TokenGrant] =
+    synchronized(refreshTokens.get(tokenHash)
+      .filter(g => !g.revoked && g.expiresAtMs > nowMs))
+
+  /** OAuth 2.1 §4.3.1 rotation: the presented refresh token is
+    * single-use. */
+  def revokeRefreshToken(tokenHash: String): Unit = synchronized {
+    refreshTokens.get(tokenHash).foreach(g =>
+      refreshTokens.put(tokenHash, g.copy(revoked = true)))
+    persistAuth()
+  }
+
+  private def persistAuth(): Unit = persistPath.foreach { p =>
+    def js(s: String) = ApiJson.jstr(s)
+    def jo(s: Option[String]) = s.map(js).getOrElse("null")
+    val us = users.values.map(u =>
+      s"""{"id":${js(u.id)},"email":${js(u.email)},""" +
+        s""""display_name":${jo(u.displayName)},""" +
+        s""""password_hash":${js(u.passwordHash)},""" +
+        s""""instance_admin":${u.instanceAdmin},""" +
+        s""""created_at_ms":${u.createdAtMs},"disabled":${u.disabled}}""")
+    val ms = memberships.map { case ((u, t), r) =>
+      s"""{"user":${js(u)},"tenant":${js(t)},"role":${js(r)}}"""
+    }
+    val ss = sessions.values.map(s =>
+      s"""{"id":${js(s.id)},"user":${js(s.userId)},""" +
+        s""""token_hash":${js(s.tokenHash)},""" +
+        s""""expires_at_ms":${s.expiresAtMs},"revoked":${s.revoked}}""")
+    def grantJson(h: String, g: CodeGrant) =
+      s"""{"hash":${js(h)},"client":${js(g.clientId)},""" +
+        s""""user":${js(g.userId)},"tenant":${js(g.tenant)},""" +
+        s""""scopes":${g.scopes.map(js).mkString("[", ",", "]")},""" +
+        s""""redirect_uri":${js(g.redirectUri)},""" +
+        s""""code_challenge":${js(g.codeChallenge)},""" +
+        s""""resource":${jo(g.resource)},""" +
+        s""""expires_at_ms":${g.expiresAtMs},"consumed":${g.consumed}}"""
+    def tokJson(h: String, g: TokenGrant) =
+      s"""{"hash":${js(h)},"client":${js(g.clientId)},""" +
+        s""""user":${js(g.userId)},"tenant":${js(g.tenant)},""" +
+        s""""scopes":${g.scopes.map(js).mkString("[", ",", "]")},""" +
+        s""""resource":${jo(g.resource)},""" +
+        s""""expires_at_ms":${g.expiresAtMs},"revoked":${g.revoked}}"""
+    val body =
+      s"""{"users":[${us.mkString(",")}],""" +
+        s""""memberships":[${ms.mkString(",")}],""" +
+        s""""sessions":[${ss.mkString(",")}],""" +
+        s""""codes":[${authCodes.map { case (h, g) => grantJson(h, g) }.mkString(",")}],""" +
+        s""""access_tokens":[${accessTokens.map { case (h, g) => tokJson(h, g) }.mkString(",")}],""" +
+        s""""refresh_tokens":[${refreshTokens.map { case (h, g) => tokJson(h, g) }.mkString(",")}]}"""
+    val f = p.resolveSibling("auth_state.json")
+    Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadAuth(): Unit = persistPath.foreach { p =>
+    val f = p.resolveSibling("auth_state.json")
+    if (java.nio.file.Files.isRegularFile(f)) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(f))
+      def arr(field: String) = {
+        val n = root.get(field)
+        if (n == null || !n.isArray) Seq.empty
+        else (0 until n.size()).map(n.get)
+      }
+      def opt(n: com.fasterxml.jackson.databind.JsonNode, field: String) =
+        Option(n.get(field)).filterNot(_.isNull).map(_.asText)
+      def strs(n: com.fasterxml.jackson.databind.JsonNode, field: String) = {
+        val a = n.get(field)
+        if (a == null || !a.isArray) Seq.empty[String]
+        else (0 until a.size()).map(a.get(_).asText)
+      }
+      arr("users").foreach { u =>
+        users.put(u.get("id").asText, User(u.get("id").asText,
+          u.get("email").asText, opt(u, "display_name"),
+          u.get("password_hash").asText,
+          u.get("instance_admin").asBoolean,
+          u.get("created_at_ms").asLong, u.get("disabled").asBoolean))
+      }
+      arr("memberships").foreach { m =>
+        memberships.put((m.get("user").asText, m.get("tenant").asText),
+          m.get("role").asText)
+      }
+      arr("sessions").foreach { s =>
+        sessions.put(s.get("id").asText, Session(s.get("id").asText,
+          s.get("user").asText, s.get("token_hash").asText,
+          s.get("expires_at_ms").asLong, s.get("revoked").asBoolean))
+      }
+      arr("codes").foreach { c =>
+        authCodes.put(c.get("hash").asText, CodeGrant(
+          c.get("client").asText, c.get("user").asText,
+          c.get("tenant").asText, strs(c, "scopes"),
+          c.get("redirect_uri").asText, c.get("code_challenge").asText,
+          opt(c, "resource"), c.get("expires_at_ms").asLong,
+          c.get("consumed").asBoolean))
+      }
+      def loadTok(field: String,
+          into: mutable.LinkedHashMap[String, TokenGrant]): Unit =
+        arr(field).foreach { t =>
+          into.put(t.get("hash").asText, TokenGrant(
+            t.get("client").asText, t.get("user").asText,
+            t.get("tenant").asText, strs(t, "scopes"),
+            opt(t, "resource"), t.get("expires_at_ms").asLong,
+            t.get("revoked").asBoolean))
+        }
+      loadTok("access_tokens", accessTokens)
+      loadTok("refresh_tokens", refreshTokens)
+    }
+  }
+  loadAuth()
+
   private def loadOAuth(): Unit = persistPath.foreach { p =>
     val f = p.resolveSibling("oauth_clients.json")
     if (java.nio.file.Files.isRegularFile(f)) {
@@ -328,6 +542,34 @@ object TenantCatalog {
     * (auth/mod.rs:22 READ_SCOPES). */
   val ReadScopes: Seq[String] =
     Seq("metrics:read", "logs:read", "traces:read", "profiles:read")
+
+  /** Tenant membership roles (catalog MembershipRole: admin, member,
+    * viewer). */
+  val MembershipRoles: Set[String] = Set("admin", "member", "viewer")
+
+  /** A human user (catalog users table; the password never persists —
+    * only its PHC hash, admin.rs:996). */
+  final case class User(id: String, email: String,
+      displayName: Option[String], passwordHash: String,
+      instanceAdmin: Boolean, createdAtMs: Long, disabled: Boolean)
+
+  /** A browser session: only the token's sha256 digest is stored
+    * (session.rs module doc). */
+  final case class Session(id: String, userId: String, tokenHash: String,
+      expiresAtMs: Long, revoked: Boolean)
+
+  /** A minted single-use authorization code's binding (oauth.rs
+    * create_authorization_code): client, user, tenant, scopes, redirect
+    * URI, PKCE challenge, audience. */
+  final case class CodeGrant(clientId: String, userId: String,
+      tenant: String, scopes: Seq[String], redirectUri: String,
+      codeChallenge: String, resource: Option[String],
+      expiresAtMs: Long, consumed: Boolean)
+
+  /** An issued access/refresh token's grant. */
+  final case class TokenGrant(clientId: String, userId: String,
+      tenant: String, scopes: Seq[String], resource: Option[String],
+      expiresAtMs: Long, revoked: Boolean)
 
   /** Reference `validation.rs validate_id`: trim, non-empty, ≤64 chars,
     * ASCII alphanumerics plus `-`/`_` only (the charset rules out path

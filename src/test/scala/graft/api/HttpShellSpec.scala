@@ -1239,7 +1239,7 @@ class HttpShellSpec extends AnyFunSuite {
     } finally sh.stop()
   }
 
-  test("oauth: RFC 8414 metadata and RFC 7591 DCR are public; the code flow is an honest 501") {
+  test("oauth: RFC 8414 metadata and RFC 7591 DCR are public; pre-redirect validation is strict") {
     // run against an AUTH-ENABLED shell: these endpoints are public by
     // spec (oauth.rs:14), so no credentials anywhere in this test
     val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
@@ -1285,15 +1285,193 @@ class HttpShellSpec extends AnyFunSuite {
         s"""{"redirect_uris":["https://a.example/cb"],"client_name":"${"n" * 300}"}""")
       assert(longName.statusCode() == 400 &&
         longName.body().contains("invalid_client_metadata"))
-      // the session-bound flow is an honest 501, not a fake token
+      // /authorize validates client_id BEFORE anything redirects
       val authz = client.send(
         HttpRequest.newBuilder(URI.create(
           s"http://127.0.0.1:$p/oauth/authorize?response_type=code"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
-      assert(authz.statusCode() == 501)
-      val tok = post("/oauth/token", "grant_type=authorization_code")
-      assert(tok.statusCode() == 501 &&
-        tok.body().contains("error_description"))
+      assert(authz.statusCode() == 400 &&
+        authz.body().contains("invalid_request"))
+      val tok = post("/oauth/token", "grant_type=password")
+      assert(tok.statusCode() == 400 &&
+        tok.body().contains("unsupported_grant_type"))
+    } finally sh.stop()
+  }
+
+  test("users, browser sessions, and the OAuth code flow end to end") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sh = new HttpShell(spark, dir, nowNs = T1 * 1000000000L,
+      apiKeys = Some(Map(HttpShell.hashApiKey("sk-acme") -> "acme")),
+      adminApiKeys = Set(HttpShell.hashApiKey("sk-root")))
+    val p = sh.start()
+    def req(method: String, path: String, body: String,
+        hdrs: (String, String)*): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+      hdrs.foreach { case (k, v) => b.header(k, v) }
+      val pub = if (body == null) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body)
+      client.send(b.method(method, pub).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = Seq("Authorization" -> "Bearer sk-root", "x-tenant-id" -> "ops")
+    try {
+      // ---- POST /users: admin-only, the reference's validation ladder
+      assert(req("POST", "/users", """{"email":"e@x.io","password":"p",
+        |"tenant":"acme"}""".stripMargin, admin: _*).statusCode() == 400)
+      assert(req("POST", "/users",
+        """{"email":"e@x.io","password":"longenough123","tenant":"nosuch"}""",
+        admin: _*).statusCode() == 404)
+      assert(req("POST", "/users",
+        """{"email":"e@x.io","password":"longenough123","tenant":"acme","role":"czar"}""",
+        admin: _*).statusCode() == 400)
+      assert(req("POST", "/users",
+        """{"email":"e@x.io","password":"longenough123","tenant":"acme"}""",
+        "Authorization" -> "Bearer sk-acme", "x-tenant-id" -> "acme")
+        .statusCode() == 403, "non-admin keys cannot create users")
+      val created = req("POST", "/users",
+        """{"email":"ada@example.com","display_name":"Ada",
+          |"password":"correct horse battery staple","tenant":"acme",
+          |"role":"member"}""".stripMargin, admin: _*)
+      assert(created.statusCode() == 201, created.body())
+      val u = om.readTree(created.body())
+      assert(u.get("email").asText == "ada@example.com" &&
+        !u.get("instance_admin").asBoolean && u.get("id").asText.nonEmpty)
+      assert(created.body().contains("created_at") &&
+        !created.body().contains("password"), "hash must never serialize")
+      assert(req("POST", "/users",
+        """{"email":"ada@example.com","password":"longenough123","tenant":"acme"}""",
+        admin: _*).statusCode() == 409, "duplicate email is a conflict")
+
+      // ---- POST /ui/session: login sets the HttpOnly cookie
+      assert(req("POST", "/ui/session",
+        """{"email":"ada@example.com","password":"wrong"}""")
+        .statusCode() == 401)
+      assert(req("POST", "/ui/session",
+        """{"email":"ghost@example.com","password":"whatever12345"}""")
+        .statusCode() == 401)
+      val login = req("POST", "/ui/session",
+        """{"email":"ada@example.com","password":"correct horse battery staple"}""")
+      assert(login.statusCode() == 200, login.body())
+      val lj = om.readTree(login.body())
+      assert(lj.get("tenant").asText == "acme", "sole membership auto-selects")
+      assert(lj.get("memberships").get(0).get("role").asText == "member")
+      val setCookie = login.headers().firstValue("Set-Cookie").get
+      assert(setCookie.startsWith("signaldb_session=sdbs_") &&
+        setCookie.contains("HttpOnly"))
+      val cookie = setCookie.split(";")(0)
+
+      // ---- the session cookie authenticates query routes (with
+      // X-Tenant-ID validated against membership)
+      val q = req("GET", "/loki/api/v1/labels", null,
+        "Cookie" -> cookie, "x-tenant-id" -> "acme")
+      assert(q.statusCode() == 200, q.body())
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Cookie" -> cookie, "x-tenant-id" -> "globex").statusCode() == 403)
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Cookie" -> cookie).statusCode() == 401)
+      // whoami carries the session's user + memberships
+      val who = req("GET", "/api/v1/whoami", null,
+        "Cookie" -> cookie, "x-tenant-id" -> "acme")
+      assert(who.statusCode() == 200)
+      val wj = om.readTree(who.body())
+      assert(wj.get("user").get("email").asText == "ada@example.com")
+      assert(wj.get("memberships").get(0).get("tenant_id").asText == "acme")
+
+      // ---- OAuth code flow: register → authorize → consent → token
+      val reg = req("POST", "/oauth/register",
+        """{"redirect_uris":["http://127.0.0.1:7777/cb"],"client_name":"probe"}""")
+      assert(reg.statusCode() == 201)
+      val clientId = om.readTree(reg.body()).get("client_id").asText
+      // RFC 7636 Appendix B PKCE pair
+      val verifier = "dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk"
+      val challenge = "E9Melhoa2OwvFrEMTJguCHaoeK1t8URWbuGJSstw-cM"
+      val cb = "http://127.0.0.1:7777/cb"
+      val cbEnc = java.net.URLEncoder.encode(cb, "UTF-8")
+      // missing PKCE → error reported TO the (validated) redirect target
+      val noPkce = req("GET", s"/oauth/authorize?response_type=code" +
+        s"&client_id=$clientId&redirect_uri=$cbEnc&state=xyz", null)
+      assert(noPkce.statusCode() == 302)
+      assert(noPkce.headers().firstValue("Location").get
+        .startsWith(s"$cb?error=invalid_request"))
+      // a valid request bounces to the consent screen with the echo
+      val authz = req("GET", s"/oauth/authorize?response_type=code" +
+        s"&client_id=$clientId&redirect_uri=$cbEnc&state=xyz" +
+        s"&code_challenge=$challenge&code_challenge_method=S256", null)
+      assert(authz.statusCode() == 302)
+      val loc = authz.headers().firstValue("Location").get
+      assert(loc.startsWith("/oauth/consent?") && loc.contains("state=xyz"))
+      // consent endpoints demand a session
+      assert(req("GET", s"/oauth/consent/context?client_id=$clientId", null)
+        .statusCode() == 401)
+      val ctx = req("GET", s"/oauth/consent/context?client_id=$clientId",
+        null, "Cookie" -> cookie)
+      assert(ctx.statusCode() == 200 && ctx.body().contains("\"acme\""))
+      // denial bounces back with access_denied, no code minted
+      val denied = req("POST", "/oauth/authorize/decision",
+        s"""{"client_id":"$clientId","redirect_uri":"$cb",
+           |"code_challenge":"$challenge","tenant":"acme","state":"xyz",
+           |"approved":false}""".stripMargin, "Cookie" -> cookie)
+      assert(denied.statusCode() == 200 &&
+        om.readTree(denied.body()).get("redirect").asText
+          .contains("error=access_denied"))
+      // a foreign tenant is not grantable
+      assert(req("POST", "/oauth/authorize/decision",
+        s"""{"client_id":"$clientId","redirect_uri":"$cb",
+           |"code_challenge":"$challenge","tenant":"globex",
+           |"approved":true}""".stripMargin, "Cookie" -> cookie)
+        .statusCode() == 403)
+      def mintCode(): String = {
+        val ok = req("POST", "/oauth/authorize/decision",
+          s"""{"client_id":"$clientId","redirect_uri":"$cb",
+             |"code_challenge":"$challenge","tenant":"acme","state":"xyz",
+             |"scope":"logs:read traces:read",
+             |"approved":true}""".stripMargin, "Cookie" -> cookie)
+        assert(ok.statusCode() == 200, ok.body())
+        val redirect = om.readTree(ok.body()).get("redirect").asText
+        assert(redirect.startsWith(s"$cb?code=sdb_ac_") &&
+          redirect.contains("state=xyz"))
+        redirect.split("code=")(1).split("&")(0)
+      }
+      // wrong verifier → invalid_grant (and burns the code: single-use)
+      val code0 = mintCode()
+      val badV = req("POST", "/oauth/token",
+        s"grant_type=authorization_code&code=$code0&code_verifier=wrong" +
+          s"&client_id=$clientId&redirect_uri=$cbEnc")
+      assert(badV.statusCode() == 400 && badV.body().contains("invalid_grant"))
+      // the real exchange
+      val code = mintCode()
+      val tok = req("POST", "/oauth/token",
+        s"grant_type=authorization_code&code=$code&code_verifier=$verifier" +
+          s"&client_id=$clientId&redirect_uri=$cbEnc")
+      assert(tok.statusCode() == 200, tok.body())
+      assert(tok.headers().firstValue("Cache-Control").get == "no-store")
+      val tj = om.readTree(tok.body())
+      assert(tj.get("access_token").asText.startsWith("sdb_at_"))
+      assert(tj.get("token_type").asText == "Bearer")
+      assert(tj.get("scope").asText == "logs:read traces:read")
+      val refresh = tj.get("refresh_token").asText
+      assert(refresh.startsWith("sdb_rt_"))
+      // codes are SINGLE-USE
+      assert(req("POST", "/oauth/token",
+        s"grant_type=authorization_code&code=$code&code_verifier=$verifier" +
+          s"&client_id=$clientId&redirect_uri=$cbEnc").statusCode() == 400)
+      // refresh rotation: the presented token works once
+      val rot = req("POST", "/oauth/token",
+        s"grant_type=refresh_token&refresh_token=$refresh&client_id=$clientId")
+      assert(rot.statusCode() == 200, rot.body())
+      assert(om.readTree(rot.body()).get("refresh_token").asText != refresh)
+      assert(req("POST", "/oauth/token",
+        s"grant_type=refresh_token&refresh_token=$refresh&client_id=$clientId")
+        .statusCode() == 400, "rotated refresh tokens must not replay")
+
+      // ---- logout revokes the session and clears the cookie
+      val out = req("DELETE", "/ui/session", null, "Cookie" -> cookie)
+      assert(out.statusCode() == 204)
+      assert(out.headers().firstValue("Set-Cookie").get.contains("Max-Age=0"))
+      assert(req("GET", s"/oauth/consent/context?client_id=$clientId",
+        null, "Cookie" -> cookie).statusCode() == 401)
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Cookie" -> cookie, "x-tenant-id" -> "acme").statusCode() == 401)
     } finally sh.stop()
   }
 
@@ -1324,10 +1502,15 @@ class HttpShellSpec extends AnyFunSuite {
         val minted = req(p1, "POST", "/api/v1/manage/tenants/acme/api-keys",
           """{"name":"survivor","scopes":["logs:write"]}""", acme: _*)
         assert(minted.statusCode() == 201)
+        // a human user persists too (auth_state.json beside the catalog)
+        assert(req(p1, "POST", "/users",
+          """{"email":"sam@example.com","password":"persist me well!","tenant":"acme"}""",
+          admin: _*).statusCode() == 201)
         new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(minted.body()).get("key").asText
       } finally sh1.stop()
     assert(new java.io.File(s"$base/_system/catalog.json").isFile)
+    assert(new java.io.File(s"$base/_system/auth_state.json").isFile)
     // second incarnation over the same layout: the catalog replays
     val sh2 = mk(); val p2 = sh2.start()
     val keyId =
@@ -1349,7 +1532,9 @@ class HttpShellSpec extends AnyFunSuite {
           .statusCode() == 204)
         id
       } finally sh2.stop()
-    // third incarnation: the revocation tombstone persisted too
+    // third incarnation: the revocation tombstone persisted too, and the
+    // user created two restarts ago still logs in (hash + membership
+    // replayed from auth_state.json)
     val sh3 = mk(); val p3 = sh3.start()
     try {
       assert(req(p3, "GET", "/api/echo", null,
@@ -1357,6 +1542,10 @@ class HttpShellSpec extends AnyFunSuite {
         .statusCode() == 401)
       assert(req(p3, "GET", "/api/v1/manage/tenants/acme/api-keys",
         null, acme: _*).body().contains(s""""id":"$keyId""""))
+      val login = req(p3, "POST", "/ui/session",
+        """{"email":"sam@example.com","password":"persist me well!"}""")
+      assert(login.statusCode() == 200, login.body())
+      assert(login.body().contains(""""tenant":"acme""""))
     } finally sh3.stop()
   }
 
