@@ -309,6 +309,34 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
         (System.nanoTime() - t0) / 1e6, tenantOf(ex))
       return
     }
+    // the UI shell (reference ui.rs): runtime-config.js is served in
+    // ALL cases — here with telemetry disabled (no [self_monitoring.
+    // frontend] config in this shell), crucially with no apiKey and
+    // never proxy-cacheable; the SPA assets themselves are the ui
+    // crate's build (driver-scoped out), so /ui serves the reference's
+    // own honest placeholder page, not a pretend app
+    if (path == "/ui/runtime-config.js") {
+      val js = "window.__SIGNALDB_RUNTIME_CONFIG__ = " +
+        """{"telemetry":{"enabled":false}};""" + "\n"
+      val bytes = js.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/javascript; charset=utf-8")
+      ex.getResponseHeaders.set("Cache-Control", "no-store")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.getResponseBody.close()
+      return
+    }
+    if (path == "/ui" || path.startsWith("/ui/")) {
+      val html = "<!doctype html><title>SignalDB UI</title>" +
+        "<body style=\"font-family:system-ui;max-width:38rem;margin:4rem auto\">" +
+        "<h1>UI not bundled</h1><p>This build has no explore UI assets; " +
+        "the API surface the UI calls is fully served.</p></body>"
+      val bytes = html.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(404, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.getResponseBody.close()
+      return
+    }
     val auth: Option[(String, TenantCatalog.Principal)] =
       if (!authEnabled || path == "/health" || path == "/ready") None
       else authCheck(ex) match {

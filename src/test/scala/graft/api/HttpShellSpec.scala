@@ -62,6 +62,19 @@ class HttpShellSpec extends AnyFunSuite {
     }
   }
 
+  test("ui shell: runtime-config.js serves uncacheable disabled telemetry; /ui is the honest placeholder") {
+    val r = get("/ui/runtime-config.js")
+    assert(r.statusCode() == 200)
+    assert(r.body() ==
+      "window.__SIGNALDB_RUNTIME_CONFIG__ = {\"telemetry\":{\"enabled\":false}};\n")
+    assert(r.headers().firstValue("Content-Type").get
+      .startsWith("application/javascript"))
+    assert(r.headers().firstValue("Cache-Control").get == "no-store")
+    assert(!r.body().contains("apiKey"), "disabled config must carry no key")
+    val ui = get("/ui")
+    assert(ui.statusCode() == 404 && ui.body().contains("UI not bundled"))
+  }
+
   test("loki query_range over the wire equals the param layer") {
     val q = s"query=%7Bseverity_text%3D%22error%22%7D&start=${T0}000000000" +
       s"&end=${T1}000000000&limit=5"
