@@ -230,12 +230,30 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     }
   }
 
+  /** authenticator.rs:184 authenticate_oauth_token: an opaque OAuth
+    * access token authenticates with the tenant and scopes FROM THE
+    * TOKEN RECORD — never from an X-Tenant-ID header, so an OAuth
+    * session cannot be pointed at a tenant it was not granted. Expired
+    * or revoked tokens are not found and surface as unauthorized. */
+  private def oauthTokenAuth(raw: String)
+      : Either[(Int, String), (String, TenantCatalog.Principal)] =
+    catalog.getValidAccessToken(AuthTokens.hashToken(raw),
+        System.currentTimeMillis()) match {
+      case None => Left(401 -> "Invalid or expired access token")
+      case Some(g) =>
+        Right((g.tenant, TenantCatalog.Principal(Some(g.tenant),
+          scopes = Some(g.scopes), datasetId = None, isAdmin = false)))
+    }
+
   private def authCheck(ex: HttpExchange)
       : Either[(Int, String), (String, TenantCatalog.Principal)] =
     Option(ex.getRequestHeaders.getFirst("Authorization")) match {
       case None => sessionAuth(ex)
       case Some(a) if !a.startsWith("Bearer ") =>
         Left(400 -> "Authorization header must use Bearer scheme")
+      case Some(a) if a.stripPrefix("Bearer ")
+          .startsWith(AuthTokens.AccessTokenPrefix) =>
+        oauthTokenAuth(a.stripPrefix("Bearer "))
       case Some(a) =>
         Option(ex.getRequestHeaders.getFirst("x-tenant-id")) match {
           case None => Left(401 -> "Missing X-Tenant-ID header")

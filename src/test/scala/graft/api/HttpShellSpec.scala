@@ -1468,6 +1468,20 @@ class HttpShellSpec extends AnyFunSuite {
       assert(req("POST", "/oauth/token",
         s"grant_type=authorization_code&code=$code&code_verifier=$verifier" +
           s"&client_id=$clientId&redirect_uri=$cbEnc").statusCode() == 400)
+      // the ACCESS TOKEN authenticates query routes with tenant and
+      // scopes from the TOKEN RECORD (authenticator.rs:184): no
+      // X-Tenant-ID needed, granted read scopes enforced, writes denied
+      val at = tj.get("access_token").asText
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Authorization" -> s"Bearer $at").statusCode() == 200)
+      assert(req("GET", "/prometheus/api/v1/labels", null,
+        "Authorization" -> s"Bearer $at").statusCode() == 403,
+        "metrics:read was not granted")
+      assert(req("POST", "/v1/logs", "{}",
+        "Authorization" -> s"Bearer $at").statusCode() == 403,
+        "read scopes never grant ingest")
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Authorization" -> "Bearer sdb_at_forged").statusCode() == 401)
       // refresh rotation: the presented token works once
       val rot = req("POST", "/oauth/token",
         s"grant_type=refresh_token&refresh_token=$refresh&client_id=$clientId")
