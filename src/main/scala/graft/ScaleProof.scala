@@ -143,7 +143,10 @@ object ScaleProof {
       "q379_dedup_delta_indexed",
       // stream-built Gorilla blocks: the cogroup fold's (series, day)
       // shuffle + per-block codec at 10× points per block
-      "q378_gorilla_stream")
+      "q378_gorilla_stream",
+      // incremental ANN index: the frozen-centroid delta append +
+      // probed union must keep the broadcast/DPP probe shape at 10×
+      "q380_ann_index_delta")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -504,6 +504,35 @@ object PipelineOps {
       (s"$base/centroids", s"$base/postings")
     })
 
+  /** q380's incremental index lifecycle, materialized once per (dir,
+    * data version): the IVF index is BUILT over the base vectors only
+    * (vec_id % 5 ≠ 0), then the delta (vec_id % 5 = 0) is APPENDED by
+    * assigning each new vector to its nearest FROZEN centroid — no
+    * retrain, O(delta × k) work, postings land as new files in their
+    * own cell-partitioned dir. The ANN twin of q370's delta dedup: when
+    * new data arrives at 100 TB, the index absorbs it without touching
+    * the corpus. */
+  private val annDeltaCache = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+  private def storedIvfDelta(s: SparkSession, dir: String): (String, String, String) =
+    annDeltaCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ann_idx_delta|${vdir(dir)}")
+      val e = embArr(s, dir)
+      val (cents, basePost) = ivfIndex(e.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+      cents.write.mode("overwrite").parquet(s"$base/centroids")
+      basePost.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/postings")
+      val frozen = s.read.parquet(s"$base/centroids")
+      ivfScores(e.filter(pmod(col("vec_id"), lit(5)) === 0), frozen)
+        .groupBy(col("vec_id"))
+        .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
+          first(col("nrm")).as("nn"))
+        .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
+          col("nv"), col("nn"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/postings_delta")
+      (s"$base/centroids", s"$base/postings", s"$base/postings_delta")
+    })
+
   /** Achlioptas ±1 JL sign matrix (16×64), md5-derived at plan build —
     * ONE construction shared by the q318 projection filter and the q322
     * recall meter, so the meter can never drift from the filter it
@@ -533,6 +562,36 @@ object PipelineOps {
     // deterministic result set as the inline build (one shared oracle
     // construction), proving index persistence changes the I/O shape,
     // not the answer.
+    // INCREMENTAL ANN INDEX MAINTENANCE (the q370 shape for vector
+    // search): the stored IVF index was built over the BASE corpus; the
+    // delta was APPENDED by nearest-frozen-centroid assignment (new
+    // postings files, no retrain); the probe searches base ∪ delta —
+    // new arrivals are immediately searchable AND searching (every
+    // query vector is itself a delta member). Probe-time work is the
+    // q260 shape: broadcast probes, DPP-pruned cell partitions.
+    "q380_ann_index_delta" -> ((s, dir) => {
+      val (cp, pp, dp) = storedIvfDelta(s, dir)
+      val cents = s.read.parquet(cp)
+      val post = s.read.parquet(pp).unionByName(s.read.parquet(dp))
+      val e = embArr(s, dir)
+      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val cand = post.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
     "q260_ann_stored_index" -> ((s, dir) => {
       val (cp, pp) = storedIvfIndex(s, dir)
       val cents = s.read.parquet(cp)
@@ -4304,6 +4363,78 @@ object PipelineOps {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM cos) WHERE rank <= 3""".stripMargin
 
+  /** q380's oracle: [[ivfKmeansSql]] with the index-construction CTEs
+    * (seed scoring, member assignment, centroid refinement) restricted
+    * to the BASE corpus (vec_id % 5 ≠ 0) — the frozen index — while
+    * assignment, probing, and ranking run over ALL vectors: the delta
+    * joins the postings through the same nearest-frozen-centroid rule
+    * the Spark side appends with, so the two lifecycles (build-then-
+    * append vs one restated computation) must agree row for row. */
+  private val annDeltaSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+        |  FROM embeddings, range(0, 64) r(i)),
+        |norms AS (SELECT vec_id, SUM(vq*vq) AS nrm FROM e GROUP BY 1),
+        |ccos0 AS (
+        |  SELECT v.vec_id, c.vec_id AS c_id,
+        |    CAST(SUM(v.vq * c.vq) AS DOUBLE)
+        |      / sqrt(CAST(cn.nrm AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN e c ON c.pos = v.pos AND c.vec_id < 16 AND c.vec_id % 5 <> 0
+        |  JOIN norms cn ON cn.vec_id = c.vec_id
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  WHERE v.vec_id % 5 <> 0
+        |  GROUP BY 1, 2, cn.nrm, vn.nrm),
+        |members AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn
+        |    FROM ccos0) WHERE crn = 1),
+        |cents AS (
+        |  SELECT m.cell, v.pos,
+        |    CAST(round(CAST(SUM(v.vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM members m JOIN e v ON v.vec_id = m.vec_id
+        |  GROUP BY 1, 2),
+        |cnorms AS (SELECT cell, SUM(cv*cv) AS cn FROM cents GROUP BY 1),
+        |ccos1 AS (
+        |  SELECT v.vec_id, c.cell AS c_id,
+        |    CAST(SUM(v.vq * c.cv) AS DOUBLE)
+        |      / sqrt(CAST(cn.cn AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
+        |  FROM e v
+        |  JOIN cents c ON c.pos = v.pos
+        |  JOIN cnorms cn ON cn.cell = c.cell
+        |  JOIN norms vn ON vn.vec_id = v.vec_id
+        |  GROUP BY 1, 2, cn.cn, vn.nrm),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id ASC) AS crn
+        |  FROM ccos1),
+        |assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_id AS cell FROM ranked
+        |  WHERE vec_id % 100 = 0 AND crn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE p.q_id <> a.n_id),
+        |dots AS (
+        |  SELECT c.q_id, c.n_id, SUM(q.vq * n.vq) AS dot
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.n_id AND n.pos = q.pos
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM cos) WHERE rank <= 3""".stripMargin
+
   /** the q367 dod-class + bit-count census oracle, shared verbatim by
     * the stream-built-blocks census (q378): the in-plan recompress check
     * pins stream block == batch block bit-wise, so the decoded plane is
@@ -5203,6 +5334,7 @@ object PipelineOps {
     // the stored-index probe returns the identical deterministic result
     // set — persistence changes the I/O shape, not the answer
     "q260_ann_stored_index" -> ivfKmeansSql,
+    "q380_ann_index_delta" -> annDeltaSql,
 
 
     "q24_ann_cosine_topk" ->
