@@ -146,7 +146,10 @@ object ScaleProof {
       "q378_gorilla_stream",
       // incremental ANN index: the frozen-centroid delta append +
       // probed union must keep the broadcast/DPP probe shape at 10×
-      "q380_ann_index_delta")
+      "q380_ann_index_delta",
+      // incremental BM25 index: stats/df merge by addition; the
+      // IN-list probe must stay pruned at 10× postings volume
+      "q381_bm25_index_delta")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

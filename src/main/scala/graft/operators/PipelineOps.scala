@@ -533,6 +533,38 @@ object PipelineOps {
       (s"$base/centroids", s"$base/postings", s"$base/postings_delta")
     })
 
+  /** q381's incremental LEXICAL index lifecycle: full-vocabulary
+    * postings (tok, doc_id, tf, dl) and corpus stats (n_docs, tot_tok)
+    * are built over the BASE corpus (doc_id % 4 ≠ 0) and stored ONCE;
+    * the delta (doc_id % 4 = 0) appends its OWN postings + stats files
+    * — BM25's df/avgdl inputs are associative sums, so the merge is a
+    * two-row stats add and a postings union, never a rebuild. Postings
+    * sort by `tok` inside each file so a probe's IN-list prunes row
+    * groups via min/max stats before any row decodes. */
+  private val bm25Cache = scala.collection.concurrent.TrieMap[String, String]()
+  private def storedBm25Index(s: SparkSession, dir: String): String =
+    bm25Cache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"bm25_idx|${vdir(dir)}")
+      def half(delta: Boolean) = {
+        val docs = Tables.documents(s, dir)
+          .filter(if (delta) pmod(col("doc_id"), lit(4)) === 0
+            else pmod(col("doc_id"), lit(4)) =!= 0)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("dl", size(col("toks")).cast(LongType))
+        val name = if (delta) "delta" else "base"
+        docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .groupBy(col("tok"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .repartition(8, col("tok")).sortWithinPartitions(col("tok"))
+          .write.mode("overwrite").parquet(s"$base/postings_$name")
+        docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
+          .write.mode("overwrite").parquet(s"$base/stats_$name")
+      }
+      half(delta = false)
+      half(delta = true)
+      base
+    })
+
   /** Achlioptas ±1 JL sign matrix (16×64), md5-derived at plan build —
     * ONE construction shared by the q318 projection filter and the q322
     * recall meter, so the meter can never drift from the filter it
@@ -562,6 +594,37 @@ object PipelineOps {
     // deterministic result set as the inline build (one shared oracle
     // construction), proving index persistence changes the I/O shape,
     // not the answer.
+    // INCREMENTAL BM25 INDEX MAINTENANCE (the q370/q380 shape for
+    // lexical retrieval): the stored postings + stats were built over
+    // the BASE corpus; the delta appended its own files; ranking runs
+    // over the UNION with the stats MERGED BY ADDITION (df, n_docs,
+    // tot_tok are associative sums, so build-then-append ≡ full
+    // rebuild exactly — the oracle is q187's verbatim). The IN-list
+    // term filter prunes the sorted postings' row groups before any
+    // row decodes; per-term df comes from the pruned rows themselves.
+    "q381_bm25_index_delta" -> ((s, dir) => {
+      val terms = Seq("stream", "hash", "big")
+      val idx = storedBm25Index(s, dir)
+      val post = s.read.parquet(s"$idx/postings_base")
+        .unionByName(s.read.parquet(s"$idx/postings_delta"))
+      val stats = s.read.parquet(s"$idx/stats_base")
+        .unionByName(s.read.parquet(s"$idx/stats_delta"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tok")).as("tot_tok"))
+        .withColumn("avgdl_fp", expr("(tot_tok * 1000) div n_docs"))
+      val tfs = post.filter(col("tok").isin(terms: _*))
+      val dfs = tfs.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      tfs.join(broadcast(dfs), "tok").crossJoin(broadcast(stats))
+        .withColumn("idf_fp",
+          expr("((2 * (n_docs - dfc) + 1) * 1000000) div (2 * dfc + 1)"))
+        .withColumn("dlr_fp", expr("(dl * 1000000) div avgdl_fp"))
+        .withColumn("k_fp", expr("(1200 * (250 + (750 * dlr_fp) div 1000)) div 1000"))
+        .withColumn("term_fp", expr("(idf_fp * tf * 2200) div (tf * 1000 + k_fp)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // INCREMENTAL ANN INDEX MAINTENANCE (the q370 shape for vector
     // search): the stored IVF index was built over the BASE corpus; the
     // delta was APPENDED by nearest-frozen-centroid assignment (new
@@ -4299,6 +4362,31 @@ object PipelineOps {
 
   // ---- oracles ----------------------------------------------------------
 
+  /** q187's exact fixed-point BM25 oracle, shared verbatim by the
+    * incremental-index probe (q381): stats/df merges are associative
+    * sums, so build-then-append equals the full restatement. */
+  private val bm25RankSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+      |st AS (
+      |  SELECT count(*) AS n_docs, (CAST(SUM(dl) AS BIGINT) * 1000) // count(*) AS avgdl_fp
+      |  FROM dd),
+      |occ AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+      |tfs AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+      |  WHERE tok IN ('stream', 'hash', 'big') GROUP BY 1, 2, 3),
+      |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM tfs GROUP BY 1),
+      |sc AS (
+      |  SELECT t.doc_id, t.tf,
+      |    ((2 * (s.n_docs - f.dfc) + 1) * 1000000) // (2 * f.dfc + 1) AS idf_fp,
+      |    (1200 * (250 + (750 * ((t.dl * 1000000) // s.avgdl_fp)) // 1000)) // 1000 AS k_fp
+      |  FROM tfs t JOIN dfs f USING (tok) CROSS JOIN st s)
+      |SELECT doc_id,
+      |  CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT) AS score_fp,
+      |  count(*) AS n_terms
+      |FROM sc GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin
+
   private val ivfKmeansSql: String =
       """WITH e AS (
         |  SELECT vec_id, i AS pos,
@@ -4828,27 +4916,8 @@ object PipelineOps {
         |SELECT doc_id, count(*) AS n_phrase FROM bi
         |WHERE tok_a = 'batch' AND tok_b = 'batch' GROUP BY 1""".stripMargin,
 
-    "q187_bm25_rank" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
-        |st AS (
-        |  SELECT count(*) AS n_docs, (CAST(SUM(dl) AS BIGINT) * 1000) // count(*) AS avgdl_fp
-        |  FROM dd),
-        |occ AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
-        |tfs AS (
-        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
-        |  WHERE tok IN ('stream', 'hash', 'big') GROUP BY 1, 2, 3),
-        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM tfs GROUP BY 1),
-        |sc AS (
-        |  SELECT t.doc_id, t.tf,
-        |    ((2 * (s.n_docs - f.dfc) + 1) * 1000000) // (2 * f.dfc + 1) AS idf_fp,
-        |    (1200 * (250 + (750 * ((t.dl * 1000000) // s.avgdl_fp)) // 1000)) // 1000 AS k_fp
-        |  FROM tfs t JOIN dfs f USING (tok) CROSS JOIN st s)
-        |SELECT doc_id,
-        |  CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT) AS score_fp,
-        |  count(*) AS n_terms
-        |FROM sc GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q187_bm25_rank" -> bm25RankSql,
+    "q381_bm25_index_delta" -> bm25RankSql,
 
     "q188_rrf_hybrid" ->
       """WITH lex0 AS (
