@@ -149,7 +149,10 @@ object ScaleProof {
       "q380_ann_index_delta",
       // incremental BM25 index: stats/df merge by addition; the
       // IN-list probe must stay pruned at 10× postings volume
-      "q381_bm25_index_delta")
+      "q381_bm25_index_delta",
+      // jsonl.gz shard ingest: per-row gunzip + declarative from_json —
+      // scan-bound like the other container walks
+      "q382_jsonl_shard_ingest")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -594,6 +594,64 @@ object PipelineOps {
     // deterministic result set as the inline build (one shared oracle
     // construction), proving index persistence changes the I/O shape,
     // not the answer.
+    // JSONL SHARD INGEST WITH SCHEMA DRIFT — the dominant LLM-corpus
+    // interchange format (.jsonl.gz shards) through the Spark-native
+    // path: each doc becomes a REAL gzipped multi-record shard whose
+    // records DRIFT (records missing quality/lang/meta, one carrying an
+    // unknown future field), the decode is gunzip (the one imperative
+    // step) → split/explode → from_json with a PERMISSIVE schema —
+    // missing fields surface as nulls, unknown fields are ignored, and
+    // no drifting record can fail the scan. All aggregates stay on the
+    // exact plane (quarter-step doubles, ordered md5 fold). Scan-bound,
+    // zero exchanges past the per-shard hash agg.
+    "q382_jsonl_shard_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .map { case (id, text, lang) =>
+          val tb = text.replaceAll("[^ -~]", "").toLowerCase
+            .replaceAll("[^a-z0-9 ]", "").take(60)
+          val n = 2 + (id % 3).toInt
+          val recs = (0 until n).map { j =>
+            val sb = new StringBuilder
+            sb ++= s"""{"id":${10 * id + j},"text":"$tb r$j""""
+            if ((id + j) % 3 != 0) sb ++= s""","quality":${(id % 8) * 0.25}"""
+            if (j == 0) sb ++= s""","lang":"$lang""""
+            if ((id + j) % 2 == 0)
+              sb ++= s""","meta":{"source":"crawl","segment":${id % 5}}"""
+            if (j == n - 1) sb ++= ""","extra_field":"future schema""""
+            sb ++= "}"
+            sb.toString
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(recs.mkString("\n").getBytes("UTF-8")); gz.close()
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          (id, new String(in.readAllBytes(), "UTF-8"))
+        }.toDF("doc_id", "txt")
+      val recSchema = StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType),
+        StructField("quality", DoubleType), StructField("lang", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("source", StringType),
+          StructField("segment", LongType))))))
+      lines.select(col("doc_id"), explode(split(col("txt"), "\n")).as("line"))
+        .withColumn("r", from_json(col("line"), recSchema))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_records"),
+          count(col("r.quality")).as("n_quality"),
+          count(col("r.meta")).as("n_meta"),
+          sum(col("r.id")).as("id_sum"),
+          sum(col("r.quality")).as("quality_sum"),
+          max(col("r.lang")).as("lang"),
+          sum(col("r.meta.segment")).as("segment_sum"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("r.id"), col("r.text")))),
+            x => x.getField("text")))).as("text_md5"))
+    }),
+
     // INCREMENTAL BM25 INDEX MAINTENANCE (the q370/q380 shape for
     // lexical retrieval): the stored postings + stats were built over
     // the BASE corpus; the delta appended its own files; ranking runs
@@ -4918,6 +4976,34 @@ object PipelineOps {
 
     "q187_bm25_rank" -> bm25RankSql,
     "q381_bm25_index_delta" -> bm25RankSql,
+
+    // restates the shard synthesis (sanitized text, drift pattern) and
+    // every aggregate; null-by-absence is preserved (SUM over CASE with
+    // no ELSE), the md5 fold is ordered by record id
+    "q382_jsonl_shard_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    substr(regexp_replace(lower(regexp_replace(text, '[^ -~]', '', 'g')),
+        |      '[^a-z0-9 ]', '', 'g'), 1, 60) AS tb,
+        |    2 + doc_id % 3 AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, tb, n, j.i AS j
+        |  FROM d, range(0, 4) j(i) WHERE j.i < n)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN (doc_id + j) % 3 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN (doc_id + j) % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_meta,
+        |  CAST(SUM(10 * doc_id + j) AS BIGINT) AS id_sum,
+        |  SUM(CASE WHEN (doc_id + j) % 3 <> 0
+        |      THEN CAST((doc_id % 8) * 0.25 AS DOUBLE) END) AS quality_sum,
+        |  MAX(CASE WHEN j = 0 THEN lang END) AS lang,
+        |  CAST(SUM(CASE WHEN (doc_id + j) % 2 = 0 THEN doc_id % 5 END)
+        |    AS BIGINT) AS segment_sum,
+        |  md5(string_agg(tb || ' r' || j, '|' ORDER BY j)) AS text_md5
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q188_rrf_hybrid" ->
       """WITH lex0 AS (
