@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming BM25 maintenance laws: the ranking over a stream-built
+  * store is invariant to micro-batching (ingest cadence can never change
+  * a search result), and replaying a batch id rewrites identical state. */
+class IndexMaintainSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val docs = Seq(
+    (1L, "stream processing with hash joins on big data"),
+    (2L, "a big big corpus needs a hash index"),
+    (3L, "nothing relevant here at all"),
+    (4L, "stream stream stream small doc"),
+    (5L, "hash hash hash hash big"))
+
+  private def ranking(dir: String) =
+    IndexMaintain.bm25(spark, dir, Seq("stream", "hash", "big"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("batching invariance: 3-batch stream store ranks identically to 1-batch") {
+    import spark.implicits._
+    val d3 = java.nio.file.Files.createTempDirectory("graft_idx3_").toString
+    val d1 = java.nio.file.Files.createTempDirectory("graft_idx1_").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = IndexMaintain.start(in.toDF().toDF("doc_id", "text"), d3)
+    try {
+      in.addData(docs(0), docs(1)); q.processAllAvailable()
+      in.addData(docs(2));          q.processAllAvailable()
+      in.addData(docs(3), docs(4)); q.processAllAvailable()
+    } finally q.stop()
+    IndexMaintain.maintainBatch(d1)(docs.toDF("doc_id", "text"), 0L)
+    val r3 = ranking(d3)
+    assert(r3 == ranking(d1), "micro-batching changed the ranking")
+    assert(r3.nonEmpty && r3.map(_._1).contains(5L))
+    // doc 3 matches no term and must be absent
+    assert(!r3.map(_._1).contains(3L))
+  }
+
+  test("replaying a batch id rewrites identical state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxr_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.drop(3).toDF("doc_id", "text"), 1L)
+    val before = ranking(dir)
+    val statsBefore = IndexMaintain.stats(spark, dir).collect()(0)
+    IndexMaintain.maintainBatch(dir)(docs.drop(3).toDF("doc_id", "text"), 1L)
+    assert(ranking(dir) == before)
+    val statsAfter = IndexMaintain.stats(spark, dir).collect()(0)
+    assert(statsAfter.getLong(0) == statsBefore.getLong(0) &&
+      statsAfter.getLong(1) == statsBefore.getLong(1),
+      "replay must not double-count corpus stats")
+  }
+}
