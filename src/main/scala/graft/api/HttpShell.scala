@@ -308,6 +308,19 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // orchestration health checks never need credentials
     // OAuth discovery/DCR/authorize/token are PUBLIC by spec
     // (oauth.rs:14 "Discovery, DCR, /authorize, and /token are public")
+    // the two SERVER-RENDERED pages that make the code flow completable
+    // by a plain browser without the SPA build: a login form and the
+    // consent screen (each a static page whose inline script drives the
+    // SAME endpoints the SPA calls — /ui/session, /oauth/consent/
+    // context, /oauth/authorize/decision)
+    if (path == "/ui/login" || path == "/oauth/consent") {
+      val html = if (path == "/ui/login") loginPageHtml else consentPageHtml
+      val bytes = html.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.getResponseBody.close()
+      return
+    }
     if (path == "/.well-known/oauth-authorization-server" ||
         path.startsWith("/oauth/")) {
       val (st, bodyJson) = oauthRoute(ex, path)
@@ -1323,6 +1336,92 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
       case e: Throwable =>
         500 -> errJson(Option(e.getMessage).getOrElse(e.getClass.getName))
     }
+
+  /** minimal server-rendered login page: posts the SAME JSON body the
+    * SPA sends to POST /ui/session, then follows `?next=` (default /ui).
+    * No framework, no build step — the page exists so the session and
+    * consent flows are completable by a plain browser. */
+  private val loginPageHtml: String =
+    """<!doctype html><title>Sign in</title>
+      |<body style="font-family:system-ui;max-width:24rem;margin:4rem auto">
+      |<h1>Sign in</h1>
+      |<form id="f"><label>Email<br><input id="email" type="email" required
+      | style="width:100%"></label><br><br>
+      |<label>Password<br><input id="pw" type="password" required
+      | style="width:100%"></label><br><br>
+      |<button>Sign in</button> <span id="err" style="color:#b00"></span></form>
+      |<script>
+      |document.getElementById('f').addEventListener('submit', async (e) => {
+      |  e.preventDefault();
+      |  const r = await fetch('/ui/session', {method: 'POST',
+      |    headers: {'Content-Type': 'application/json'},
+      |    body: JSON.stringify({
+      |      email: document.getElementById('email').value,
+      |      password: document.getElementById('pw').value})});
+      |  if (r.ok) {
+      |    const next = new URLSearchParams(location.search).get('next');
+      |    location.href = next || '/ui';
+      |  } else {
+      |    const b = await r.json().catch(() => ({}));
+      |    document.getElementById('err').textContent =
+      |      b.error || ('sign-in failed (' + r.status + ')');
+      |  }
+      |});
+      |</script>""".stripMargin
+
+  /** the consent screen (reference: the SPA's /oauth/consent page): reads
+    * the authorize echo from its own query string, loads the context
+    * (client name + grantable tenants) over the session cookie — a 401
+    * bounces to the login page with `next` back here — and posts the
+    * decision, navigating to the returned redirect. */
+  private val consentPageHtml: String =
+    """<!doctype html><title>Authorize access</title>
+      |<body style="font-family:system-ui;max-width:28rem;margin:4rem auto">
+      |<h1>Authorize access</h1>
+      |<p id="who">Loading…</p>
+      |<label>Grant access to tenant<br><select id="tenant" style="width:100%">
+      |</select></label><br><br>
+      |<button id="approve">Approve</button>
+      |<button id="deny">Deny</button> <span id="err" style="color:#b00"></span>
+      |<script>
+      |const q = new URLSearchParams(location.search);
+      |(async () => {
+      |  const r = await fetch('/oauth/consent/context?client_id=' +
+      |    encodeURIComponent(q.get('client_id') || ''));
+      |  if (r.status === 401) {
+      |    location.href = '/ui/login?next=' +
+      |      encodeURIComponent(location.pathname + location.search);
+      |    return;
+      |  }
+      |  const ctx = await r.json();
+      |  document.getElementById('who').textContent =
+      |    (ctx.client_name || 'A client') + ' requests read access.';
+      |  for (const t of (ctx.tenants || [])) {
+      |    const o = document.createElement('option');
+      |    o.value = t.id; o.textContent = t.id + ' (' + t.role + ')';
+      |    document.getElementById('tenant').appendChild(o);
+      |  }
+      |})();
+      |async function decide(approved) {
+      |  const r = await fetch('/oauth/authorize/decision', {method: 'POST',
+      |    headers: {'Content-Type': 'application/json'},
+      |    body: JSON.stringify({
+      |      client_id: q.get('client_id'), redirect_uri: q.get('redirect_uri'),
+      |      code_challenge: q.get('code_challenge'),
+      |      code_challenge_method: q.get('code_challenge_method'),
+      |      scope: q.get('scope') || undefined,
+      |      state: q.get('state') || undefined,
+      |      resource: q.get('resource') || undefined,
+      |      tenant: document.getElementById('tenant').value,
+      |      approved})});
+      |  const b = await r.json().catch(() => ({}));
+      |  if (r.ok && b.redirect) location.href = b.redirect;
+      |  else document.getElementById('err').textContent =
+      |    b.error_description || b.error || ('failed (' + r.status + ')');
+      |}
+      |document.getElementById('approve').onclick = () => decide(true);
+      |document.getElementById('deny').onclick = () => decide(false);
+      |</script>""".stripMargin
 
   // ---- UI browser sessions (reference endpoints/session.rs: POST/
   // DELETE /ui/session, public — login itself cannot demand a

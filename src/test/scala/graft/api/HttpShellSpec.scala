@@ -73,6 +73,19 @@ class HttpShellSpec extends AnyFunSuite {
     assert(!r.body().contains("apiKey"), "disabled config must carry no key")
     val ui = get("/ui")
     assert(ui.statusCode() == 404 && ui.body().contains("UI not bundled"))
+    // the two server-rendered pages that complete the session/consent
+    // flows in a plain browser: they drive the SAME endpoints the SPA
+    // calls, so page presence + endpoint references are the contract
+    val login = get("/ui/login")
+    assert(login.statusCode() == 200 &&
+      login.headers().firstValue("Content-Type").get.startsWith("text/html"))
+    assert(login.body().contains("fetch('/ui/session'") &&
+      login.body().contains("type=\"password\""))
+    val consent = get("/oauth/consent?client_id=x")
+    assert(consent.statusCode() == 200)
+    assert(consent.body().contains("/oauth/consent/context") &&
+      consent.body().contains("/oauth/authorize/decision") &&
+      consent.body().contains("/ui/login?next="))
   }
 
   test("loki query_range over the wire equals the param layer") {
