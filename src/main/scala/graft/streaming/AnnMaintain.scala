@@ -58,16 +58,13 @@ object AnnMaintain {
       .foreachBatch(maintainBatch(dir, centroidsPath) _).start()
   }
 
-  /** all stream-appended postings. */
-  def postings(spark: SparkSession, dir: String): DataFrame = {
-    val root = new Path(s"$dir/postings")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath.toString)
-        .filter(_.contains("batch-"))
-    if (dirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
-    else spark.read.schema(postingsSchema).parquet(dirs: _*)
-  }
+  /** all LIVE stream-appended postings ([[BatchStore]] rule). */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    BatchStore.read(spark, s"$dir/postings", postingsSchema)
+
+  /** fold the per-batch postings dirs into one compacted generation,
+    * clustered by cell for probe pruning. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    BatchStore.compact(spark, s"$dir/postings", postingsSchema,
+      _.sortWithinPartitions(col("cell")))
 }

@@ -52,29 +52,24 @@ object IndexMaintain {
       .foreachBatch(maintainBatch(dir) _).start()
   }
 
-  private def batchDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.toString)
-      .filter(_.contains("batch-"))
+  /** fold the accumulated per-batch dirs into ONE compacted generation —
+    * the maintenance pass that keeps an append-only store from drowning
+    * in small files at 100 TB (the [[BatchStore]] live-dir rule makes
+    * every intermediate crash state read-consistent). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    BatchStore.compact(spark, s"$dir/postings", postingsSchema,
+      _.sortWithinPartitions(col("tok")))
+    BatchStore.compact(spark, s"$dir/stats", statsSchema,
+      _.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tot_tok")).as("tot_tok")))
   }
 
-  def postings(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = batchDirs(spark, s"$dir/postings")
-    if (dirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
-    else spark.read.schema(postingsSchema).parquet(dirs: _*)
-  }
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    BatchStore.read(spark, s"$dir/postings", postingsSchema)
 
-  def stats(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = batchDirs(spark, s"$dir/stats")
-    val all =
-      if (dirs.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
-      else spark.read.schema(statsSchema).parquet(dirs: _*)
-    all.agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tok")).as("tot_tok"))
-  }
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    BatchStore.read(spark, s"$dir/stats", statsSchema)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tok")).as("tot_tok"))
 
   /** the q187/q381 exact fixed-point BM25 ranking over the maintained
     * store: per-term df from the pruned postings themselves, corpus

@@ -78,5 +78,10 @@ class AnnMaintainSpec extends AnyFunSuite {
     assert(state(dir) == before)
     assert(AnnMaintain.postings(spark, dir).count() == 4,
       "replay must not duplicate postings")
+    // compaction folds the batch dirs and changes nothing a probe sees
+    AnnMaintain.compact(spark, dir)
+    assert(state(dir) == before)
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).toSet == Set("compact-1"))
   }
 }

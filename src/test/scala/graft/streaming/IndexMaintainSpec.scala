@@ -46,6 +46,34 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(!r3.map(_._1).contains(3L))
   }
 
+  test("compaction folds batch dirs without changing the ranking; leftovers stay invisible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxc_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(2).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.slice(2, 3).toDF("doc_id", "text"), 1L)
+    IndexMaintain.maintainBatch(dir)(docs.drop(3).toDF("doc_id", "text"), 2L)
+    val before = ranking(dir)
+    IndexMaintain.compact(spark, dir)
+    assert(ranking(dir) == before, "compaction changed the ranking")
+    def liveNames(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles().map(_.getName).toSet
+    assert(liveNames("postings") == Set("compact-2") &&
+      liveNames("stats") == Set("compact-2"))
+    // a crash between a compact's write and its deletes leaves folded
+    // batch dirs behind — the live rule must make them INVISIBLE
+    IndexMaintain.maintainBatch(dir)(docs.take(2).toDF("doc_id", "text"), 0L)
+    assert(ranking(dir) == before, "a folded leftover was double-counted")
+    // batches NEWER than the generation still fold in
+    IndexMaintain.maintainBatch(dir)(
+      Seq((9L, "big hash stream big")).toDF("doc_id", "text"), 3L)
+    val after = ranking(dir)
+    assert(after != before && after.map(_._1).contains(9L))
+    // and a second compact folds generation + newer batches again
+    IndexMaintain.compact(spark, dir)
+    assert(ranking(dir) == after)
+    assert(liveNames("postings") == Set("compact-3"))
+  }
+
   test("replaying a batch id rewrites identical state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idxr_").toString
