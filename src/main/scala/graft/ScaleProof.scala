@@ -152,7 +152,10 @@ object ScaleProof {
       "q381_bm25_index_delta",
       // jsonl.gz shard ingest: per-row gunzip + declarative from_json —
       // scan-bound like the other container walks
-      "q382_jsonl_shard_ingest")
+      "q382_jsonl_shard_ingest",
+      // stream-built indexes: the streaming maintainers + compaction at
+      // 10× ingest volume, probed through the same batch shapes
+      "q383_bm25_index_stream", "q384_ann_index_stream")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -565,6 +565,67 @@ object PipelineOps {
       base
     })
 
+  /** q383's stream-built BM25 store: the real documents fed through a
+    * 4-micro-batch file stream into [[graft.streaming.IndexMaintain]],
+    * then COMPACTED — the oracle-gated proof that the streaming
+    * maintainer + compaction produce exactly the batch index's ranking
+    * (BM25's stats are associative sums; IndexMaintainSpec pins the law,
+    * this pins it against DuckDB at every SF). */
+  private val bm25StreamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def streamedBm25Store(s: SparkSession, dir: String): String =
+    bm25StreamCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"bm25_stream|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      if (!marker.exists()) {
+        val stage = s"$base/stage"
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.IndexMaintain.start(stream, store,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        graft.streaming.IndexMaintain.compact(s, store)
+        marker.createNewFile()
+      }
+      store
+    })
+
+  /** q384's stream-built ANN delta: the base IVF index is q380's stored
+    * build; the DELTA vectors arrive through a 2-micro-batch file stream
+    * into [[graft.streaming.AnnMaintain]] (frozen-centroid assignment),
+    * then compact — probes over base ∪ stream-built postings must equal
+    * q380's batch lifecycle row for row. */
+  private val annStreamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def streamedAnnDelta(s: SparkSession, dir: String): String =
+    annStreamCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ann_stream|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      if (!marker.exists()) {
+        val (cp, _, _) = storedIvfDelta(s, dir)
+        val stage = s"$base/stage"
+        embArr(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
+          .repartition(2, pmod(col("vec_id"), lit(2)))
+          .write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("vec_id", LongType),
+            StructField("vq", ArrayType(LongType)),
+            StructField("nrm", LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.AnnMaintain.start(stream, store, cp,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        graft.streaming.AnnMaintain.compact(s, store)
+        marker.createNewFile()
+      }
+      store
+    })
+
   /** Achlioptas ±1 JL sign matrix (16×64), md5-derived at plan build —
     * ONE construction shared by the q318 projection filter and the q322
     * recall meter, so the meter can never drift from the filter it
@@ -681,6 +742,47 @@ object PipelineOps {
         .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
         .orderBy(col("score_fp").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // STREAM-BUILT BM25 INDEX (q381's online half, oracle-gated): the
+    // documents arrived through 4 real micro-batches of the streaming
+    // maintainer and were COMPACTED; ranking over the maintained store
+    // must equal the one-shot batch index — BM25's sufficient
+    // statistics are associative sums, so the oracle is q187's verbatim.
+    "q383_bm25_index_stream" -> ((s, dir) => {
+      val store = streamedBm25Store(s, dir)
+      graft.streaming.IndexMaintain.bm25(s, store,
+        Seq("stream", "hash", "big"))
+    }),
+
+    // STREAM-BUILT ANN DELTA (q380's online half, oracle-gated): the
+    // delta vectors arrived through real micro-batches of the streaming
+    // maintainer (frozen-centroid assignment) and were compacted; the
+    // probe over base ∪ stream-built postings must equal q380's batch
+    // lifecycle — the oracle is q380's verbatim.
+    "q384_ann_index_stream" -> ((s, dir) => {
+      val (cp, pp, _) = storedIvfDelta(s, dir)
+      val store = streamedAnnDelta(s, dir)
+      val cents = s.read.parquet(cp)
+      val post = s.read.parquet(pp)
+        .unionByName(graft.streaming.AnnMaintain.postings(s, store))
+      val e = embArr(s, dir)
+      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val cand = post.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
     }),
 
     // INCREMENTAL ANN INDEX MAINTENANCE (the q370 shape for vector
@@ -4976,6 +5078,10 @@ object PipelineOps {
 
     "q187_bm25_rank" -> bm25RankSql,
     "q381_bm25_index_delta" -> bm25RankSql,
+    // stream-built store ≡ batch index (associative stats): q187's oracle
+    "q383_bm25_index_stream" -> bm25RankSql,
+    // stream-built delta postings ≡ batch append: q380's oracle
+    "q384_ann_index_stream" -> annDeltaSql,
 
     // restates the shard synthesis (sanitized text, drift pattern) and
     // every aggregate; null-by-absence is preserved (SUM over CASE with
