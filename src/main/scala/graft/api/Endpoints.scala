@@ -799,7 +799,23 @@ object Endpoints {
       p("get", "/.well-known/oauth-authorization-server",
         "RFC 8414 authorization-server metadata"),
       p("post", "/oauth/register",
-        "RFC 7591 dynamic client registration (public PKCE clients)"))
+        "RFC 7591 dynamic client registration (public PKCE clients)"),
+      p("get", "/oauth/authorize",
+        "authorization endpoint (PKCE S256 mandatory)"),
+      p("get", "/oauth/consent",
+        "server-rendered consent screen"),
+      p("get", "/oauth/consent/context",
+        "consent context: client name + grantable tenants (session)"),
+      p("post", "/oauth/authorize/decision",
+        "record consent; mints the single-use authorization code (session)"),
+      p("post", "/oauth/token",
+        "token endpoint: authorization_code (PKCE) + refresh_token"),
+      p("post", "/ui/session", "browser login (sets the session cookie)"),
+      p("delete", "/ui/session", "logout (revokes the session)"),
+      p("get", "/ui/login", "server-rendered login page"),
+      p("get", "/ui/runtime-config.js", "UI runtime configuration script"),
+      p("post", "/users",
+        "create a human user with a tenant membership (instance admin)"))
     val paths = entries.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (path, ops) =>
         s"""${ApiJson.jstr(path)}:{${ops.map(_._2).mkString(",")}}"""
