@@ -65,7 +65,11 @@ object LiveTail {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(buf.offer)
+        // tail(capacity), not collect(): a pathological batch (a bulk
+        // backfill matching the tail) materializes at most the buffer
+        // cap on the driver — and a tail wants the LIVE EDGE, so the
+        // clipped rows are exactly the ones eviction would drop anyway
+        batch.tail(buf.capacity).foreach(buf.offer)
       }
       .start()
   }

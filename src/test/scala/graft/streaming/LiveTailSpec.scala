@@ -68,12 +68,21 @@ class LiveTailSpec extends AnyFunSuite {
       in.addData(Line(3L, "svc-1", "info", "c"))
       q.processAllAvailable()
       assert(buf.drain().map(_.getString(3)) == Seq("c"))
-      // overflow beyond capacity drops the OLDEST undelivered rows and
-      // counts them — resident state stays capped for a slow client
+      // a single batch larger than the cap CLIPS at the batch (tail(n):
+      // only the live edge ever reaches the driver) — resident state
+      // stays capped for a slow client
       in.addData((4 to 8).map(i => Line(i.toLong, "svc-1", "info", s"x$i")): _*)
       q.processAllAvailable()
-      assert(buf.size == 3 && buf.dropped == 2L)
+      assert(buf.size == 3)
       assert(buf.drain().map(_.getString(3)) == Seq("x6", "x7", "x8"))
+      // slow-client overflow ACROSS batches evicts the oldest undelivered
+      // rows and counts them
+      in.addData((9 to 11).map(i => Line(i.toLong, "svc-1", "info", s"y$i")): _*)
+      q.processAllAvailable()
+      in.addData((12 to 13).map(i => Line(i.toLong, "svc-1", "info", s"y$i")): _*)
+      q.processAllAvailable()
+      assert(buf.size == 3 && buf.dropped == 2L, s"${buf.size}/${buf.dropped}")
+      assert(buf.drain().map(_.getString(3)) == Seq("y11", "y12", "y13"))
     } finally q.stop()
   }
 
