@@ -782,6 +782,10 @@ object Endpoints {
       p("get", "/api/v1/tenants/{tenant_id}", "tenant info"),
       p("get", "/api/v1/tenants/{tenant_id}/tables",
         "the tenant's landed tables"),
+      p("get", "/api/v1/tenants/{tenant_id}/schemas",
+        "the tenant's available table schemas (configured default set)"),
+      p("get", "/api/v1/schemas/available",
+        "every table schema type this deployment can create"),
       p("post", "/api/v1/manage/tenants",
         "create a tenant (instance admin)"),
       p("get", "/api/v1/manage/tenants/{tenant_id}/datasets",

@@ -70,7 +70,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     * keys and created tenants survive a restart the way the
     * reference's catalog database does; a read-only shell stays
     * in-memory. */
-  private val catalog = new TenantCatalog(apiKeys.getOrElse(Map.empty),
+  private[api] val catalog = new TenantCatalog(apiKeys.getOrElse(Map.empty),
     adminApiKeys,
     ingest.map(l => java.nio.file.Path.of(
       l.basePath, "_system", "catalog.json")))
@@ -234,15 +234,35 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     * access token authenticates with the tenant and scopes FROM THE
     * TOKEN RECORD — never from an X-Tenant-ID header, so an OAuth
     * session cannot be pointed at a tenant it was not granted. Expired
-    * or revoked tokens are not found and surface as unauthorized. */
+    * or revoked tokens are not found and surface as unauthorized. The
+    * token's USER and their CURRENT membership in the token's tenant
+    * are re-resolved on every request (authenticator.rs:214-238) — a
+    * deleted user or revoked membership loses access immediately, not
+    * at token expiry. */
+  private def tokenUserCheck(g: TenantCatalog.TokenGrant)
+      : Option[(Int, String)] =
+    catalog.getUser(g.userId) match {
+      case None => Some(401 -> "Access token user not found")
+      case Some(u) =>
+        catalog.getMembership(u.id, g.tenant) match {
+          case Some(_) => None
+          case None if u.instanceAdmin => None
+          case None => Some(403 ->
+            s"Token user is not a member of tenant '${g.tenant}'")
+        }
+    }
+
   private def oauthTokenAuth(raw: String)
       : Either[(Int, String), (String, TenantCatalog.Principal)] =
     catalog.getValidAccessToken(AuthTokens.hashToken(raw),
         System.currentTimeMillis()) match {
       case None => Left(401 -> "Invalid or expired access token")
-      case Some(g) =>
-        Right((g.tenant, TenantCatalog.Principal(Some(g.tenant),
-          scopes = Some(g.scopes), datasetId = None, isAdmin = false)))
+      case Some(g) => tokenUserCheck(g) match {
+        case Some(rej) => Left(rej)
+        case None =>
+          Right((g.tenant, TenantCatalog.Principal(Some(g.tenant),
+            scopes = Some(g.scopes), datasetId = None, isAdmin = false)))
+      }
     }
 
   private def authCheck(ex: HttpExchange)
@@ -430,6 +450,7 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     // management / identity surface (method-aware, incl. DELETE)
     if (path == "/api/v1/whoami" || path == "/api/v1/tenants" ||
         path.startsWith("/api/v1/tenants/") || path == "/users" ||
+        path == "/api/v1/schemas/available" ||
         path == "/api/v1/manage/tenants" ||
         path.startsWith("/api/v1/manage/tenants/")) {
       val (st, bodyJson) = manageRoute(ex, path, auth)
@@ -1085,6 +1106,27 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
     "^/api/v1/manage/tenants/([^/]+)/datasets/([^/]+)$".r
   private val TenantR = "^/api/v1/tenants/([^/]+)$".r
   private val TenantTablesR = "^/api/v1/tenants/([^/]+)/tables$".r
+  private val TenantSchemasR = "^/api/v1/tenants/([^/]+)/schemas$".r
+
+  /** the configured default schema set (tenant_api.rs
+    * get_available_table_schemas / iceberg_schemas.rs all_from_config
+    * with every family enabled): name = schema_type = table_name, with
+    * the reference's fixed descriptions. */
+  private val availableSchemas: Seq[(String, String)] = Seq(
+    "traces" -> "OpenTelemetry traces and spans",
+    "logs" -> "OpenTelemetry log entries",
+    "metrics_gauge" -> "OpenTelemetry gauge metrics",
+    "metrics_sum" -> "OpenTelemetry sum/counter metrics",
+    "metrics_histogram" -> "OpenTelemetry histogram metrics",
+    "metrics_exponential_histogram" ->
+      "OpenTelemetry exponential histogram metrics",
+    "metrics_summary" -> "OpenTelemetry summary metrics",
+    "profiles" -> "OpenTelemetry profiles")
+
+  private def schemaInfoJson: String = availableSchemas.map { case (n, d) =>
+    s"""{"name":${ApiJson.jstr(n)},"schema_type":${ApiJson.jstr(n)},""" +
+      s""""description":${ApiJson.jstr(d)}}"""
+  }.mkString(",")
 
   /** authorize_tenant (management.rs:55): admin passes anywhere; an
     * unscoped key passes for its own tenant; everything else 403. */
@@ -1257,6 +1299,22 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
             200 -> (s"""{"tables":[${tables.mkString(",")}],""" +
               s""""tenant_id":${ApiJson.jstr(tid)}}""")
           }
+        // ---- tenant.rs:153 list_tenant_schemas: the AVAILABLE table
+        // schemas for a tenant (the configured default set — what
+        // create_default_tables would land), same TableInfo shape as
+        // /tables but config-derived rather than filesystem-derived; a
+        // foreign tenant id in the path is 403 (forbidden_tenant)
+        case ("GET", TenantSchemasR(tid)) =>
+          val t = auth.map(_._1)
+            .getOrElse(ingest.map(_.tenant).getOrElse("default"))
+          if (tid != t && !auth.exists(_._2.isAdmin))
+            403 -> errJson("Requested tenant does not match authenticated tenant")
+          else 200 -> (s"""{"tables":[$schemaInfoJson],""" +
+            s""""tenant_id":${ApiJson.jstr(tid)}}""")
+        // ---- tenant.rs:191 list_available_schemas: every table schema
+        // type this deployment can create (default configuration)
+        case ("GET", "/api/v1/schemas/available") =>
+          200 -> s"""{"schemas":[$schemaInfoJson]}"""
         // ---- management.rs create_tenant: instance admin only
         case ("POST", "/api/v1/manage/tenants") =>
           if (!auth.exists(_._2.isAdmin))
@@ -1850,6 +1908,12 @@ final class HttpShell(spark: SparkSession, dir: String, nowNs: Long,
               if (clientId != grant.clientId)
                 return 400 -> oauthErr(400, "invalid_grant",
                   "client_id does not match the refresh token")
+              // the user and their CURRENT membership are re-checked on
+              // every rotation (authenticator.rs:214-238) — a deleted
+              // user or revoked membership cannot keep access alive
+              // indefinitely through the refresh chain
+              tokenUserCheck(grant).foreach { case (_, m) =>
+                return 400 -> oauthErr(400, "invalid_grant", m) }
               // rotate BEFORE issuing (OAuth 2.1 §4.3.1)
               catalog.revokeRefreshToken(AuthTokens.hashToken(refresh))
               200 -> issueTokens(grant.clientId, grant.userId,

@@ -281,17 +281,23 @@ final class TenantCatalog(
   private val accessTokens = mutable.LinkedHashMap.empty[String, TokenGrant]
   private val refreshTokens = mutable.LinkedHashMap.empty[String, TokenGrant]
 
-  /** admin.rs create_user catalog step: unique email → conflict. The
-    * plaintext password never reaches this class (hashed at the
-    * endpoint layer, admin.rs:996 "the plaintext never touches the
-    * catalog"). */
+  /** emails are CANONICALIZED (trim + lowercase) on both create and
+    * lookup, like the reference's admin.rs — 'Ada@x.io' and 'ada@x.io'
+    * are the same account, and login works on any case variant. */
+  private def canonEmail(email: String): String = email.trim.toLowerCase
+
+  /** admin.rs create_user catalog step: unique (canonical) email →
+    * conflict. The plaintext password never reaches this class (hashed
+    * at the endpoint layer, admin.rs:996 "the plaintext never touches
+    * the catalog"). */
   def createUser(email: String, displayName: Option[String],
       passwordHash: String, instanceAdmin: Boolean,
       nowMs: Long): Either[(Int, String), User] = synchronized {
-    if (users.values.exists(_.email == email))
-      Left(409 -> s"a user with email '$email' already exists")
+    val e = canonEmail(email)
+    if (users.values.exists(_.email == e))
+      Left(409 -> s"a user with email '$e' already exists")
     else {
-      val u = User(newId(), email, displayName, passwordHash,
+      val u = User(newId(), e, displayName, passwordHash,
         instanceAdmin, nowMs, disabled = false)
       users.put(u.id, u)
       persistAuth()
@@ -300,8 +306,10 @@ final class TenantCatalog(
   }
 
   def getUser(id: String): Option[User] = synchronized(users.get(id))
-  def getUserByEmail(email: String): Option[User] =
-    synchronized(users.values.find(_.email == email))
+  def getUserByEmail(email: String): Option[User] = {
+    val e = canonEmail(email)
+    synchronized(users.values.find(_.email == e))
+  }
 
   def upsertMembership(userId: String, tenant: String,
       role: String): Unit = synchronized {
@@ -311,6 +319,15 @@ final class TenantCatalog(
 
   def getMembership(userId: String, tenant: String): Option[String] =
     synchronized(memberships.get((userId, tenant)))
+
+  /** revoke a membership: OAuth access/refresh tokens granted for this
+    * (user, tenant) lose access at their NEXT use — the authenticator
+    * re-resolves the membership per request (authenticator.rs:214-238),
+    * so nothing needs to hunt down issued tokens. */
+  def removeMembership(userId: String, tenant: String): Unit = synchronized {
+    memberships.remove((userId, tenant))
+    persistAuth()
+  }
 
   def listMembershipsForUser(userId: String): Seq[(String, String)] =
     synchronized(memberships.collect {

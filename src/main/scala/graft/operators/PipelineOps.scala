@@ -4370,6 +4370,10 @@ object PipelineOps {
         val q = graft.streaming.GorillaStream.start(stream, blocks,
           org.apache.spark.sql.streaming.Trigger.AvailableNow())
         q.awaitTermination()
+        // AvailableNow terminated ⇒ every batch is committed; fold the
+        // store to its latest revisions (the maintenance pass a
+        // long-running deployment runs continuously)
+        graft.streaming.GorillaStream.compact(s, blocks, Long.MaxValue)
         marker.createNewFile()
       }
       blocks

@@ -63,8 +63,10 @@ object AnnMaintain {
     BatchStore.read(spark, s"$dir/postings", postingsSchema)
 
   /** fold the per-batch postings dirs into one compacted generation,
-    * clustered by cell for probe pruning. */
-  def compact(spark: SparkSession, dir: String): Unit =
+    * clustered by cell for probe pruning; `upTo` bounds the fold to
+    * committed batches. */
+  def compact(spark: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Unit =
     BatchStore.compact(spark, s"$dir/postings", postingsSchema,
-      _.sortWithinPartitions(col("cell")))
+      _.sortWithinPartitions(col("cell")), upTo)
 }

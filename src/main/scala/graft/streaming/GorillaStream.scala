@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -21,7 +20,11 @@ import graft.storage.Gorilla
   *      decompress them (per-block cost — a block is one day of one
   *      series, finite by the time-keyed partitioning);
   *   3. merge old + new points and recompress → a NEW REVISION row.
-  * Work per batch is O(batch + touched blocks), never O(history).
+  * Work per batch is O(batch + touched blocks), never O(history): the
+  * block store lives under the [[BatchStore]] live-dir rule, and
+  * [[compact]] periodically folds committed batches to the latest
+  * revision per key — the read-back in step 2 scans the newest
+  * generation plus the batches since it, not every dir ever written.
   *
   * Revisions make LATE POINTS honest (the StreamTailSample pattern): a
   * point for an already-written day lands as a higher revision of that
@@ -54,22 +57,38 @@ object GorillaStream {
   private val usPerDay = 86400000000L
 
   /** all committed block revisions from batches strictly before
-    * `beforeBatch` (Long.MaxValue = everything). */
+    * `beforeBatch` (Long.MaxValue = everything), resolved through the
+    * [[BatchStore]] live-dir rule: the newest COMPLETE compacted
+    * generation below `beforeBatch` plus the batch dirs newer than it —
+    * per-read work is O(live dirs), never O(batches ever written). A
+    * generation's id never exceeds the committed batch id [[compact]]
+    * was bounded by, so a replayed batch `n` (> committed) still
+    * reconstructs exactly the pre-`n` state. */
   private def revisions(spark: SparkSession, dir: String,
-      beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val root = new Path(s"$dir/batches")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch-") &&
-          p.getName.stripPrefix("batch-").toLong < beforeBatch)
-        .map(_.toString)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        blockSchema)
-    else spark.read.schema(blockSchema).parquet(dirs: _*)
-  }
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    BatchStore.read(spark, s"$dir/batches", blockSchema, beforeBatch)
+
+  /** fold the live batch dirs with id ≤ `upToBatch` into one compacted
+    * generation holding only the LATEST revision per (event_type, day)
+    * — superseded revisions are physically dropped; `latest()` output
+    * is unchanged by construction. REPLAY SAFETY: `upToBatch` must not
+    * exceed the stream's last COMMITTED batch id (after an
+    * AvailableNow termination, any id is committed) — the maintainer's
+    * read-back folds batches < n, and a compacted generation at
+    * g ≤ committed < n is exactly that prefix. */
+  def compact(spark: SparkSession, dir: String, upToBatch: Long): Unit =
+    BatchStore.compact(spark, s"$dir/batches", blockSchema, { df =>
+      val top = df.groupBy(col("event_type"), col("day"))
+        .agg(max(col("revision")).as("revision"))
+      df.join(top, Seq("event_type", "day", "revision"))
+        .select(col("event_type"), col("day"), col("revision"),
+          col("n_points"), col("max_us"), col("block"))
+    }, upTo = upToBatch)
+
+  /** batch dirs currently live in the store — the O(live dirs) probe
+    * for specs (reading cost is proportional to this, not history). */
+  def liveDirCount(spark: SparkSession, dir: String): Int =
+    BatchStore.liveDirs(spark, s"$dir/batches").size
 
   /** latest revision per (event_type, day). */
   def latest(spark: SparkSession, dir: String,

@@ -55,13 +55,15 @@ object IndexMaintain {
   /** fold the accumulated per-batch dirs into ONE compacted generation —
     * the maintenance pass that keeps an append-only store from drowning
     * in small files at 100 TB (the [[BatchStore]] live-dir rule makes
-    * every intermediate crash state read-consistent). */
-  def compact(spark: SparkSession, dir: String): Unit = {
+    * every intermediate crash state read-consistent). `upTo` bounds the
+    * fold to batches a concurrent maintainer has already committed. */
+  def compact(spark: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Unit = {
     BatchStore.compact(spark, s"$dir/postings", postingsSchema,
-      _.sortWithinPartitions(col("tok")))
+      _.sortWithinPartitions(col("tok")), upTo)
     BatchStore.compact(spark, s"$dir/stats", statsSchema,
       _.agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("tot_tok")).as("tot_tok")))
+        sum(col("tot_tok")).as("tot_tok")), upTo)
   }
 
   def postings(spark: SparkSession, dir: String): DataFrame =

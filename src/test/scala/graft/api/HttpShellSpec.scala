@@ -1200,6 +1200,32 @@ class HttpShellSpec extends AnyFunSuite {
         readDenied.body().contains("missing logs:read scope"))
       assert(req("GET", "/api/v1/manage/tenants/acme/api-keys",
         null, scoped: _*).statusCode() == 403)
+      // ---- tenant.rs:153/:191 schema discovery: the tenant's available
+      // schema set (configured defaults, NOT landed tables) and the
+      // deployment-wide schema types; a foreign tenant id is 403
+      val schemas = req("GET", "/api/v1/tenants/acme/schemas", null, acme: _*)
+      assert(schemas.statusCode() == 200, schemas.body())
+      val sj = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(schemas.body())
+      assert(sj.get("tenant_id").asText == "acme")
+      val names = (0 until sj.get("tables").size())
+        .map(i => sj.get("tables").get(i).get("name").asText)
+      assert(names == Seq("traces", "logs", "metrics_gauge", "metrics_sum",
+        "metrics_histogram", "metrics_exponential_histogram",
+        "metrics_summary", "profiles"))
+      assert(sj.get("tables").get(1).get("schema_type").asText == "logs" &&
+        sj.get("tables").get(1).get("description").asText ==
+          "OpenTelemetry log entries")
+      assert(req("GET", "/api/v1/tenants/globex/schemas", null, acme: _*)
+        .statusCode() == 403, "foreign tenant schemas must be forbidden")
+      assert(req("GET", "/api/v1/tenants/globex/schemas", null, admin: _*)
+        .statusCode() == 200, "instance admin reads any tenant's schemas")
+      val avail = req("GET", "/api/v1/schemas/available", null, acme: _*)
+      assert(avail.statusCode() == 200)
+      val aj = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(avail.body())
+      assert(aj.get("schemas").size() == 8 &&
+        aj.get("schemas").get(0).get("name").asText == "traces")
       // arrow raw SQL and the ops rewrite routes are admin-band: a
       // SCOPED key is rejected outright — a logs:write key could
       // otherwise SELECT across every signal via the arrow route and
@@ -1367,6 +1393,11 @@ class HttpShellSpec extends AnyFunSuite {
       assert(req("POST", "/users",
         """{"email":"ada@example.com","password":"longenough123","tenant":"acme"}""",
         admin: _*).statusCode() == 409, "duplicate email is a conflict")
+      // emails are canonicalized (trim + lowercase) on create AND lookup
+      // — a case/whitespace variant is the SAME account, not a new one
+      assert(req("POST", "/users",
+        """{"email":" ADA@Example.COM ","password":"longenough123","tenant":"acme"}""",
+        admin: _*).statusCode() == 409, "case variant must hit the same account")
 
       // ---- POST /ui/session: login sets the HttpOnly cookie
       assert(req("POST", "/ui/session",
@@ -1375,6 +1406,10 @@ class HttpShellSpec extends AnyFunSuite {
       assert(req("POST", "/ui/session",
         """{"email":"ghost@example.com","password":"whatever12345"}""")
         .statusCode() == 401)
+      // login works on any case variant of the canonical email
+      assert(req("POST", "/ui/session",
+        """{"email":"ADA@EXAMPLE.COM","password":"correct horse battery staple"}""")
+        .statusCode() == 200)
       val login = req("POST", "/ui/session",
         """{"email":"ada@example.com","password":"correct horse battery staple"}""")
       assert(login.statusCode() == 200, login.body())
@@ -1503,6 +1538,26 @@ class HttpShellSpec extends AnyFunSuite {
       assert(req("POST", "/oauth/token",
         s"grant_type=refresh_token&refresh_token=$refresh&client_id=$clientId")
         .statusCode() == 400, "rotated refresh tokens must not replay")
+
+      // ---- revoked membership kills LIVE tokens at next use: the
+      // authenticator re-resolves the user's CURRENT membership per
+      // request (authenticator.rs:214-238) — neither the unexpired
+      // access token nor the refresh chain survives the revocation
+      val refresh2 = om.readTree(rot.body()).get("refresh_token").asText
+      val adaId = u.get("id").asText
+      sh.catalog.removeMembership(adaId, "acme")
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Authorization" -> s"Bearer $at").statusCode() == 403,
+        "access token must lose access when the membership is revoked")
+      val deadRot = req("POST", "/oauth/token",
+        s"grant_type=refresh_token&refresh_token=$refresh2&client_id=$clientId")
+      assert(deadRot.statusCode() == 400 &&
+        deadRot.body().contains("invalid_grant"),
+        "refresh rotation must re-check the membership")
+      // restoring the membership restores the (still unexpired) token
+      sh.catalog.upsertMembership(adaId, "acme", "member")
+      assert(req("GET", "/loki/api/v1/labels", null,
+        "Authorization" -> s"Bearer $at").statusCode() == 200)
 
       // ---- logout revokes the session and clears the cookie
       val out = req("DELETE", "/ui/session", null, "Cookie" -> cookie)

@@ -96,4 +96,47 @@ class GorillaStreamSpec extends AnyFunSuite {
     assert(blk.sameElements(batchBlock(
       Seq((10L, 1L, 1.0), (20L, 2L, 2.0), (15L, 3L, 5.0)))))
   }
+
+  test("compaction bounds reads to O(live dirs); replay stays exactly-once across it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gorcompact_").toString
+    def pt(us: Long, id: Long, v: Double) =
+      Seq(("click", us, id, v)).toDF("event_type", "us", "event_id", "value")
+    // 6 batches, each revising the same day-0 block
+    for (i <- 0L until 6L)
+      GorillaStream.maintainBatch(dir)(pt(10L * (i + 1), i + 1, i.toDouble), i)
+    assert(GorillaStream.liveDirCount(spark, dir) == 6)
+    val before = GorillaStream.latest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Array[Byte]]("block").toSeq)).toSet
+    // compact only COMMITTED batches (pretend batch 5 is the last
+    // committed id is 4 — batch 5 might still replay)
+    GorillaStream.compact(spark, dir, upToBatch = 4L)
+    assert(GorillaStream.liveDirCount(spark, dir) == 2,
+      "compact-4 + batch-5 is the live set — reads are O(live), not O(history)")
+    assert(GorillaStream.latest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Array[Byte]]("block").toSeq)).toSet == before,
+      "compaction changed latest()")
+    // replaying the UNCOMMITTED batch 5 after the compaction folds the
+    // generation (g=4 < 5) as its pre-state: identical rewrite
+    GorillaStream.maintainBatch(dir)(pt(60L, 6L, 5.0), 5L)
+    assert(GorillaStream.latest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Array[Byte]]("block").toSeq)).toSet == before,
+      "replay across a compaction changed stored state")
+    // the final full-history block still equals the batch compressor's
+    val blk = GorillaStream.latest(spark, dir).collect()(0)
+      .getAs[Array[Byte]]("block")
+    assert(blk.sameElements(batchBlock(
+      (0L until 6L).map(i => (10L * (i + 1), i + 1, i.toDouble)))))
+    // a new batch after compaction revises on top; a second compact folds all
+    GorillaStream.maintainBatch(dir)(pt(70L, 7L, 9.0), 6L)
+    GorillaStream.compact(spark, dir, upToBatch = 6L)
+    assert(GorillaStream.liveDirCount(spark, dir) == 1)
+    val fin = GorillaStream.latest(spark, dir).collect()(0)
+    assert(fin.getAs[Array[Byte]]("block").sameElements(batchBlock(
+      (0L until 6L).map(i => (10L * (i + 1), i + 1, i.toDouble)) :+
+        (70L, 7L, 9.0))))
+  }
 }

@@ -74,6 +74,44 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(liveNames("postings") == Set("compact-3"))
   }
 
+  test("a partial generation (no _SUCCESS) never masks its sources; the next compact sweeps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxpart_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.drop(3).toDF("doc_id", "text"), 1L)
+    val before = ranking(dir)
+    // crash MID-compact: the generation dir exists on disk but its job
+    // never committed (no _SUCCESS) — readers must keep the sources live
+    assert(new java.io.File(s"$dir/postings/compact-1").mkdirs())
+    assert(ranking(dir) == before,
+      "a partial generation masked the batches it failed to fold")
+    // the next compact folds the REAL live set and sweeps the partial dir
+    IndexMaintain.compact(spark, dir)
+    assert(ranking(dir) == before)
+    val names = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).toSet
+    assert(names == Set("compact-1"))
+    assert(new java.io.File(s"$dir/postings/compact-1/_SUCCESS").exists())
+  }
+
+  test("the sweep never deletes a batch appended after the fold's snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxrace_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.slice(3, 4).toDF("doc_id", "text"), 1L)
+    // a concurrent maintainer lands batch 5 between the fold's snapshot
+    // and its sweep — emulated by bounding the fold at upTo=1: batch-5
+    // is above the generation id and must survive the sweep untouched
+    IndexMaintain.maintainBatch(dir)(docs.drop(4).toDF("doc_id", "text"), 5L)
+    val before = ranking(dir)
+    IndexMaintain.compact(spark, dir, upTo = 1L)
+    assert(ranking(dir) == before,
+      "the bounded fold lost a concurrently appended batch")
+    val names = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).toSet
+    assert(names == Set("compact-1", "batch-5"))
+  }
+
   test("replaying a batch id rewrites identical state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idxr_").toString
