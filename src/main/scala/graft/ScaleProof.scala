@@ -155,7 +155,15 @@ object ScaleProof {
       "q382_jsonl_shard_ingest",
       // stream-built indexes: the streaming maintainers + compaction at
       // 10× ingest volume, probed through the same batch shapes
-      "q383_bm25_index_stream", "q384_ann_index_stream")
+      "q383_bm25_index_stream", "q384_ann_index_stream",
+      // round-12: retention-delete index lifecycle — the tombstone
+      // anti-join and negative-stats fold at 10× index volume; the
+      // postings compact must stay a fold, never corpus-sized probe work
+      "q385_bm25_retention_delete",
+      // centroid refresh: retrain + full re-assignment is the one
+      // O(index) maintenance job by design — the shape under test is
+      // the broadcast assignment (no SMJ, no cartesian) at 10×
+      "q386_ann_centroid_refresh")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

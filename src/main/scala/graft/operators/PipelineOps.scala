@@ -485,6 +485,12 @@ object PipelineOps {
     (refined, assigned)
   }
 
+  /** the q122 one-Lloyd trainer alone — shared with
+    * [[graft.streaming.AnnMaintain.refresh]] so a centroid refresh and a
+    * from-scratch build train EXACTLY the same construction (seeds =
+    * vec_id < 16, integer-rounded means). */
+  private[graft] def ivfCentroids(e: DataFrame): DataFrame = ivfIndex(e)._1
+
   /** the index LIFECYCLE a 100 TB ANN store actually runs: build once
     * (write-once per sf dir, like the other stored tables), probe many.
     * Postings are HIVE-PARTITIONED BY CELL, so a probe that visits
@@ -565,6 +571,55 @@ object PipelineOps {
       base
     })
 
+  /** q385's retention-delete lifecycle: the documents land through the
+    * REAL storage path with deterministic timestamps splitting them
+    * across two days (even doc_id → 2024-02-01, odd → 2024-02-02); the
+    * BM25 index is maintained over both days; then retention expires
+    * day 1 — the doomed doc_ids are read from the expiring partitions
+    * through the real table scan BEFORE the drop, tombstone the index
+    * ([[graft.streaming.IndexMaintain.deleteDocs]]: postings
+    * anti-joined, corpus stats corrected by a negative addend), and
+    * compaction physically purges the dead postings. Ranking afterwards
+    * must equal a from-scratch build over the SURVIVING table — the
+    * q381 append≡rebuild law extended to deletes. */
+  private val bm25TombCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def storedBm25Retention(s: SparkSession, dir: String): String =
+    bm25TombCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"bm25_tomb|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val idx = s"$base/index"
+      if (!marker.exists()) {
+        val layout = graft.storage.Storage.TableLayout(
+          s"$base/store", "tenant0", "default")
+        val epoch = 1706745600L * 1000000000L // 2024-02-01T00:00Z
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .withColumn("timestamp", lit(epoch) +
+            pmod(col("doc_id"), lit(2)) * lit(86400L * 1000000000L) +
+            col("doc_id"))
+        graft.storage.Storage.append(docs, layout, "docs")
+        // maintain the index as the days arrived (one batch per day)
+        graft.streaming.IndexMaintain.maintainBatch(idx)(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(col("doc_id"), col("text")), 0L)
+        graft.streaming.IndexMaintain.maintainBatch(idx)(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .select(col("doc_id"), col("text")), 1L)
+        // REAL retention: the doomed partitions name their doc_ids (read
+        // executes inside deleteDocs, before the physical drop)
+        val doomed = s.read.parquet(layout.path("docs"))
+          .filter(col("date_day") < "2024-02-02").select(col("doc_id"))
+        graft.streaming.IndexMaintain.deleteDocs(s, idx, doomed, 0L)
+        val dropped = graft.storage.Storage.applyRetention(
+          s, layout, "docs", "2024-02-02")
+        require(dropped == Seq("2024-02-01"),
+          s"retention dropped $dropped, expected exactly 2024-02-01")
+        // physical removal: the compaction applies the tombstones
+        graft.streaming.IndexMaintain.compact(s, idx)
+        marker.createNewFile()
+      }
+      idx
+    })
+
   /** q383's stream-built BM25 store: the real documents fed through a
     * 4-micro-batch file stream into [[graft.streaming.IndexMaintain]],
     * then COMPACTED — the oracle-gated proof that the streaming
@@ -624,6 +679,36 @@ object PipelineOps {
         marker.createNewFile()
       }
       store
+    })
+
+  /** q386's refreshed ANN store: the index was BUILT incrementally under
+    * STALE centroids (base assigned batch 0, delta appended batch 1,
+    * both against the base-only bootstrap — q380's lifecycle), then
+    * [[graft.streaming.AnnMaintain.refresh]] retrained over base ∪
+    * delta with the SHARED q122 trainer and swapped centroids +
+    * re-assigned postings in as one atomic generation. Because the
+    * trainer is deterministic in the vector set alone, the refreshed
+    * store must be INDISTINGUISHABLE from a from-scratch build over all
+    * vectors — the oracle is q122/q260's verbatim. */
+  private val annRefreshCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def refreshedAnnStore(s: SparkSession, dir: String): (String, String) =
+    annRefreshCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ann_refresh|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      val boot = s"$base/centroids0"
+      if (!marker.exists()) {
+        val e = embArr(s, dir)
+        val (cents0, _) = ivfIndex(e.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+        cents0.write.mode("overwrite").parquet(boot)
+        graft.streaming.AnnMaintain.maintainBatch(store, boot)(
+          e.filter(pmod(col("vec_id"), lit(5)) =!= 0), 0L)
+        graft.streaming.AnnMaintain.maintainBatch(store, boot)(
+          e.filter(pmod(col("vec_id"), lit(5)) === 0), 1L)
+        graft.streaming.AnnMaintain.refresh(s, store, boot, ivfCentroids)
+        marker.createNewFile()
+      }
+      (boot, store)
     })
 
   /** Achlioptas ±1 JL sign matrix (16×64), md5-derived at plan build —
@@ -744,6 +829,20 @@ object PipelineOps {
         .limit(20)
     }),
 
+    // RETENTION-AWARE INDEX DELETES (the lifecycle gap at 100 TB: when
+    // retention drops partitions, the maintained indexes must stop
+    // serving the dead postings WITHOUT a rebuild). The fixture expires
+    // a whole day through the real retention path; the expired doc_ids
+    // tombstone the index (reads anti-join; corpus stats corrected by a
+    // negative associative addend; compaction physically purges the
+    // dead rows). The oracle is a FULL REBUILD over the surviving
+    // table — build-then-delete must equal never-having-indexed them.
+    "q385_bm25_retention_delete" -> ((s, dir) => {
+      val idx = storedBm25Retention(s, dir)
+      graft.streaming.IndexMaintain.bm25(s, idx,
+        Seq("stream", "hash", "big"))
+    }),
+
     // STREAM-BUILT BM25 INDEX (q381's online half, oracle-gated): the
     // documents arrived through 4 real micro-batches of the streaming
     // maintainer and were COMPACTED; ranking over the maintained store
@@ -796,6 +895,37 @@ object PipelineOps {
       val (cp, pp, dp) = storedIvfDelta(s, dir)
       val cents = s.read.parquet(cp)
       val post = s.read.parquet(pp).unionByName(s.read.parquet(dp))
+      val e = embArr(s, dir)
+      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val cand = post.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
+    // ANN CENTROID REFRESH (the drift-maintenance batch job): the store
+    // was built incrementally under STALE base-only centroids, then
+    // refreshed — retrain over base ∪ delta (shared q122 trainer),
+    // re-assign every posting, swap centroids + postings as ONE atomic
+    // generation (the postings generation's _SUCCESS is the commit
+    // point; a crash at any step leaves probes on the old consistent
+    // pair). Probes against the refreshed store must be byte-identical
+    // to a from-scratch build over all vectors — oracle = q122/q260's.
+    "q386_ann_centroid_refresh" -> ((s, dir) => {
+      val (boot, store) = refreshedAnnStore(s, dir)
+      val cents = graft.streaming.AnnMaintain.currentCentroids(s, store, boot)
+      val post = graft.streaming.AnnMaintain.postings(s, store)
       val e = embArr(s, dir)
       val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
         .groupBy(col("vec_id"))
@@ -4526,13 +4656,16 @@ object PipelineOps {
 
   // ---- oracles ----------------------------------------------------------
 
-  /** q187's exact fixed-point BM25 oracle, shared verbatim by the
-    * incremental-index probe (q381): stats/df merges are associative
-    * sums, so build-then-append equals the full restatement. */
-  private val bm25RankSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+  /** q187's exact fixed-point BM25 oracle over `documents WHERE <pred>`
+    * — the one statement of the ranking rule for every index lifecycle:
+    * build-then-append (q381), stream-built (q383), and
+    * delete-then-rank (q385, pred = the survivors) all restate as a
+    * full rebuild over the corpus that SHOULD be visible. */
+  private def bm25RankSqlWhere(pred: String): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE $pred),""".stripMargin + "\n" +
+    """dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
       |st AS (
       |  SELECT count(*) AS n_docs, (CAST(SUM(dl) AS BIGINT) * 1000) // count(*) AS avgdl_fp
       |  FROM dd),
@@ -4550,6 +4683,8 @@ object PipelineOps {
       |  CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT) AS score_fp,
       |  count(*) AS n_terms
       |FROM sc GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private val bm25RankSql: String = bm25RankSqlWhere("TRUE")
 
   private val ivfKmeansSql: String =
       """WITH e AS (
@@ -5084,6 +5219,9 @@ object PipelineOps {
     "q381_bm25_index_delta" -> bm25RankSql,
     // stream-built store ≡ batch index (associative stats): q187's oracle
     "q383_bm25_index_stream" -> bm25RankSql,
+    // delete≡rebuild: the survivors are exactly the odd doc_ids (the
+    // even day expired through retention)
+    "q385_bm25_retention_delete" -> bm25RankSqlWhere("doc_id % 2 = 1"),
     // stream-built delta postings ≡ batch append: q380's oracle
     "q384_ann_index_stream" -> annDeltaSql,
 
@@ -5599,6 +5737,9 @@ object PipelineOps {
     // the stored-index probe returns the identical deterministic result
     // set — persistence changes the I/O shape, not the answer
     "q260_ann_stored_index" -> ivfKmeansSql,
+    // refresh ≡ rebuild: retraining over base ∪ delta with the shared
+    // trainer makes the refreshed store a from-scratch build
+    "q386_ann_centroid_refresh" -> ivfKmeansSql,
     "q380_ann_index_delta" -> annDeltaSql,
 
 

@@ -34,7 +34,9 @@ object AnnMaintain {
   def maintainBatch(dir: String, centroidsPath: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(centroidsPath)
+    // assignment follows the CURRENT centroid generation — after a
+    // refresh, new arrivals must land in the cells probes now search
+    val cents = currentCentroids(spark, dir, centroidsPath)
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     batch.crossJoin(broadcast(cents))
@@ -58,15 +60,149 @@ object AnnMaintain {
       .foreachBatch(maintainBatch(dir, centroidsPath) _).start()
   }
 
-  /** all LIVE stream-appended postings ([[BatchStore]] rule). */
+  // ---- deletes (tombstones): the IndexMaintain discipline without a
+  // stats store — a retention drop tombstones the dead vector ids;
+  // reads anti-join, compaction applies physically and purges
+  // tombstones whose covered batches folded.
+
+  private val TombstoneR = "^del-(\\d+)-c(-?\\d+)$".r
+  private val tombSchema = StructType(Seq(StructField("n_id", LongType)))
+
+  private def tombstoneDirs(spark: SparkSession, dir: String)
+      : Seq[(Path, Long, Long)] = {
+    val root = new Path(s"$dir/tombstones")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
+      p.getName match {
+        case TombstoneR(id, cov) => Some((p, id.toLong, cov.toLong))
+        case _ => None
+      })
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = tombstoneDirs(spark, dir).map(_._1.toString)
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+    else spark.read.schema(tombSchema).parquet(dirs: _*)
+  }
+
+  /** delete vectors from the maintained postings (the retention hook). */
+  def deleteVecs(spark: SparkSession, dir: String, vecIds: DataFrame,
+      deleteId: Long): Unit = {
+    val covers = BatchStore.liveDirs(spark, s"$dir/postings")
+      .map(d => new Path(d).getName.split("-").last.toLong)
+      .sorted.lastOption.getOrElse(-1L)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tombstoneDirs(spark, dir).filter(_._2 == deleteId)
+      .foreach(t => fs.delete(t._1, true))
+    vecIds.select(col("n_id").cast(LongType)).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$dir/tombstones/del-$deleteId-c$covers")
+  }
+
+  /** all LIVE stream-appended postings ([[BatchStore]] rule), minus the
+    * tombstoned vectors. */
   def postings(spark: SparkSession, dir: String): DataFrame =
     BatchStore.read(spark, s"$dir/postings", postingsSchema)
+      .join(tombstones(spark, dir), Seq("n_id"), "left_anti")
+
+  // ---- centroid refresh (drift maintenance) -----------------------------
+  // The stream path NEVER mutates what probes broadcast; retraining on
+  // drift is this batch job: retrain centroids over base ∪ accumulated
+  // delta (the postings carry their vectors), re-assign every posting
+  // under the new centroids, and land both as ONE generation `<gen>` —
+  // `centroids-<gen>` is written first but only becomes current when
+  // its matching postings `compact-<gen>` commits (the postings
+  // generation's _SUCCESS is the single commit point), so probes always
+  // see a centroid set and an assignment that agree, at every crash
+  // point.
+
+  private def complete(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
+    fs.exists(new Path(p, "_SUCCESS"))
+
+  /** the centroids probes and maintainers must use: the newest refresh
+    * generation whose postings generation also committed, else the
+    * bootstrap set at `bootstrapPath`. */
+  def currentCentroidsPath(spark: SparkSession, dir: String,
+      bootstrapPath: String): String = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val CentR = "^centroids-(\\d+)$".r
+    val gens =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
+        p.getName match {
+          case CentR(g) if complete(fs, p) &&
+            complete(fs, new Path(s"$dir/postings/compact-$g")) =>
+            Some((g.toLong, p.toString))
+          case _ => None
+        })
+    gens.sortBy(_._1).lastOption.map(_._2).getOrElse(bootstrapPath)
+  }
+
+  def currentCentroids(spark: SparkSession, dir: String,
+      bootstrapPath: String): DataFrame =
+    spark.read.parquet(currentCentroidsPath(spark, dir, bootstrapPath))
+
+  /** retrain the centroids over every live vector in the store and
+    * re-assign all postings under them, swapped in atomically as one
+    * generation. `train` maps (vec_id, vq, nrm) to centroids
+    * (c_id, cv, cn) — the caller supplies the trainer (e.g. the
+    * one-Lloyd IVF construction the batch index uses) so refresh and
+    * from-scratch builds can share it exactly. Tombstoned vectors are
+    * excluded from both training and the new generation; covered
+    * tombstones are purged with it. */
+  def refresh(spark: SparkSession, dir: String, bootstrapPath: String,
+      train: DataFrame => DataFrame): Unit = {
+    val live = BatchStore.liveDirs(spark, s"$dir/postings")
+    if (live.isEmpty) return
+    val gen = live.map(d => new Path(d).getName.split("-").last.toLong).max
+    val vecs = postings(spark, dir)
+      .select(col("n_id").as("vec_id"), col("nv").as("vq"), col("nn").as("nrm"))
+    train(vecs).write.mode("overwrite").parquet(s"$dir/centroids-$gen")
+    val cents = spark.read.parquet(s"$dir/centroids-$gen")
+    val tombs = tombstoneDirs(spark, dir)
+    val dead = tombstones(spark, dir)
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    BatchStore.compact(spark, s"$dir/postings", postingsSchema, { df =>
+      df.join(dead, Seq("n_id"), "left_anti")
+        .select(col("n_id"), col("nv"), col("nn"))
+        .crossJoin(broadcast(cents))
+        .select(col("n_id"), col("nv"), col("nn"), struct(
+          (-(dot(col("nv"), col("cv")).cast(DoubleType) /
+            sqrt(col("cn").cast(DoubleType) * col("nn").cast(DoubleType))))
+            .as("negcos"),
+          col("c_id").as("c_id")).as("sc"))
+        .groupBy(col("n_id"))
+        .agg(min(col("sc")).as("best"), first(col("nv")).as("nv"),
+          first(col("nn")).as("nn"))
+        .select(col("n_id"), col("best.c_id").as("cell"),
+          col("nv"), col("nn"))
+        .sortWithinPartitions(col("cell"))
+    }, upTo = Long.MaxValue, force = true)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
+  }
 
   /** fold the per-batch postings dirs into one compacted generation,
     * clustered by cell for probe pruning; `upTo` bounds the fold to
-    * committed batches. */
+    * committed batches. Tombstoned postings are physically dropped and
+    * fully-covered tombstones purged. */
   def compact(spark: SparkSession, dir: String,
-      upTo: Long = Long.MaxValue): Unit =
+      upTo: Long = Long.MaxValue): Unit = {
+    val tombs = tombstoneDirs(spark, dir)
+    val dead = tombstones(spark, dir)
+    val folded = BatchStore.liveDirs(spark, s"$dir/postings")
+      .map(d => new Path(d).getName.split("-").last.toLong).filter(_ <= upTo)
     BatchStore.compact(spark, s"$dir/postings", postingsSchema,
-      _.sortWithinPartitions(col("cell")), upTo)
+      _.join(dead, Seq("n_id"), "left_anti").sortWithinPartitions(col("cell")),
+      upTo, force = tombs.nonEmpty)
+    if (folded.length >= 2 || (folded.nonEmpty && tombs.nonEmpty)) {
+      val gen = folded.max
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
+    }
+  }
 }

@@ -77,10 +77,13 @@ private[streaming] object BatchStore {
     * appended after the fold's snapshot (its id is above the
     * generation's by the batch-counter monotonicity). */
   def compact(spark: SparkSession, dir: String, schema: StructType,
-      shape: DataFrame => DataFrame, upTo: Long = Long.MaxValue): Unit = {
+      shape: DataFrame => DataFrame, upTo: Long = Long.MaxValue,
+      force: Boolean = false): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = liveDirs(spark, dir).filter(d => id(new Path(d).getName) <= upTo)
-    if (dirs.length <= 1) return
+    // a single live dir normally needs no fold; `force` reshapes it
+    // anyway (a pending tombstone set must land physically)
+    if (dirs.isEmpty || (dirs.length == 1 && !force)) return
     val gen = dirs.map(d => id(new Path(d).getName)).max
     shape(spark.read.schema(schema).parquet(dirs: _*))
       .write.mode("overwrite").parquet(s"$dir/compact-$gen")

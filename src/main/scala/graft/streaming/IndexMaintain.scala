@@ -52,25 +52,120 @@ object IndexMaintain {
       .foreachBatch(maintainBatch(dir) _).start()
   }
 
+  // ---- deletes (tombstones) ---------------------------------------------
+  // Retention drops documents; the index must stop serving their
+  // postings WITHOUT a rebuild. A delete writes
+  //   tombstones/del-<id>-c<covers>   the dead doc_ids; `covers` = the
+  //                                   max postings batch id visible at
+  //                                   delete time, so a purge can prove
+  //                                   every batch the tombstone could
+  //                                   kill has been folded
+  //   stats_adj/batch-<id>            ONE negative stats row (-n_docs,
+  //                                   -Σdl) — corpus stats are
+  //                                   associative sums, so a delete is
+  //                                   just another addend; its own
+  //                                   BatchStore (own id space) so
+  //                                   delete ids can never collide with
+  //                                   (or mask) stream batch ids.
+  // Reads anti-join the live tombstones; [[compact]] applies them
+  // physically to the postings generation and purges the tombstones
+  // whose coverage folded. Every crash point is read-consistent: a
+  // tombstone is either live (anti-joined) or its targets are gone.
+
+  private val TombstoneR = "^del-(\\d+)-c(-?\\d+)$".r
+
+  private def tombstoneDirs(spark: SparkSession, dir: String)
+      : Seq[(Path, Long, Long)] = {
+    val root = new Path(s"$dir/tombstones")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
+      p.getName match {
+        case TombstoneR(id, cov) => Some((p, id.toLong, cov.toLong))
+        case _ => None
+      })
+  }
+
+  private val tombSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  private def tombstones(spark: SparkSession, dir: String,
+      except: Long = -1L): DataFrame = {
+    val dirs = tombstoneDirs(spark, dir).filter(_._2 != except).map(_._1.toString)
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+    else spark.read.schema(tombSchema).parquet(dirs: _*)
+  }
+
+  /** delete documents from the maintained index (the retention hook):
+    * tombstone their postings and subtract their corpus-stats
+    * contribution. Only docs still VISIBLE are counted (a doc already
+    * tombstoned by an earlier delete, or never indexed, must not
+    * re-subtract); re-running the same `deleteId` before any new
+    * appends overwrites its own dirs with identical content. */
+  def deleteDocs(spark: SparkSession, dir: String, docIds: DataFrame,
+      deleteId: Long): Unit = {
+    val dead = docIds.select(col("doc_id").cast(LongType)).distinct()
+    val covers = BatchStore.liveDirs(spark, s"$dir/postings")
+      .map(d => new Path(d).getName.split("-").last.toLong)
+      .sorted.lastOption.getOrElse(-1L)
+    val visible = BatchStore.read(spark, s"$dir/postings", postingsSchema)
+      .join(tombstones(spark, dir, except = deleteId), Seq("doc_id"), "left_anti")
+      .join(dead, Seq("doc_id"))
+      .select(col("doc_id"), col("dl")).distinct()
+      .cache()
+    try {
+      // drop a stale same-id tombstone first (replay) so `covers` in the
+      // dir name stays current
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tombstoneDirs(spark, dir).filter(_._2 == deleteId)
+        .foreach(t => fs.delete(t._1, true))
+      visible.select(col("doc_id"))
+        .write.mode("overwrite")
+        .parquet(s"$dir/tombstones/del-$deleteId-c$covers")
+      visible.agg((-count(lit(1))).as("n_docs"),
+          coalesce(-sum(col("dl")), lit(0L)).as("tot_tok"))
+        .write.mode("overwrite").parquet(s"$dir/stats_adj/batch-$deleteId")
+    } finally visible.unpersist()
+  }
+
   /** fold the accumulated per-batch dirs into ONE compacted generation —
     * the maintenance pass that keeps an append-only store from drowning
     * in small files at 100 TB (the [[BatchStore]] live-dir rule makes
     * every intermediate crash state read-consistent). `upTo` bounds the
-    * fold to batches a concurrent maintainer has already committed. */
+    * fold to batches a concurrent maintainer has already committed.
+    * Tombstoned postings are PHYSICALLY dropped from the new
+    * generation; a tombstone is purged once every batch it covers has
+    * folded (crash between fold and purge is safe — the anti-join is a
+    * no-op on already-purged rows). */
   def compact(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit = {
+    val tombs = tombstoneDirs(spark, dir)
+    val dead = tombstones(spark, dir)
+    val folded = BatchStore.liveDirs(spark, s"$dir/postings")
+      .map(d => new Path(d).getName.split("-").last.toLong).filter(_ <= upTo)
     BatchStore.compact(spark, s"$dir/postings", postingsSchema,
-      _.sortWithinPartitions(col("tok")), upTo)
+      _.join(dead, Seq("doc_id"), "left_anti").sortWithinPartitions(col("tok")),
+      upTo, force = tombs.nonEmpty)
+    if (folded.length >= 2 || (folded.nonEmpty && tombs.nonEmpty)) {
+      val gen = folded.max
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
+    }
     BatchStore.compact(spark, s"$dir/stats", statsSchema,
       _.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("tot_tok")).as("tot_tok")), upTo)
+    BatchStore.compact(spark, s"$dir/stats_adj", statsSchema,
+      _.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tot_tok")).as("tot_tok")))
   }
 
   def postings(spark: SparkSession, dir: String): DataFrame =
     BatchStore.read(spark, s"$dir/postings", postingsSchema)
+      .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
 
   def stats(spark: SparkSession, dir: String): DataFrame =
     BatchStore.read(spark, s"$dir/stats", statsSchema)
+      .unionByName(BatchStore.read(spark, s"$dir/stats_adj", statsSchema))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tok")).as("tot_tok"))
 
   /** the q187/q381 exact fixed-point BM25 ranking over the maintained

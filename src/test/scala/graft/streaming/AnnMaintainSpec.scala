@@ -84,4 +84,80 @@ class AnnMaintainSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/postings").listFiles()
       .map(_.getName).toSet == Set("compact-1"))
   }
+
+  test("centroid refresh recovers recall on a drifted corpus; the swap is atomic") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annref_").toString
+    val cp = mkCentroids(base) // bootstrap: e1/e2 only — blind to drift
+    val dir = s"$base/idx"
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(vecs), 0L)
+    // drift: new arrivals cluster around e3, a direction the bootstrap
+    // centroids cannot separate (id 14 < 16 seeds the refresh trainer)
+    val drift = Seq(
+      (14L, Seq(45L, 55L, 1000000L, 0L)),
+      (16L, Seq(100L, 0L, 1000000L, 0L)),
+      (17L, Seq(0L, 100L, 1000000L, 0L)),
+      (18L, Seq(60L, 40L, 1000000L, 0L)),
+      (19L, Seq(40L, 60L, 1000000L, 0L)))
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(drift), 1L)
+    val all = vecs ++ drift
+    val qv = Seq(0L, 0L, 1000000L, 0L) // a drift-direction query
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val bruteTop2 = all.sortBy(v => (-cos(qv, v._2), v._1)).take(2).map(_._1).toSet
+    def recallAt2(): Double = {
+      val cents = AnnMaintain.currentCentroids(spark, dir, cp)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val cell = cents.minBy(c => (-cos(qv, c._2), c._1))._1 // nprobe=1
+      val got = AnnMaintain.postings(spark, dir)
+        .filter(col("cell") === cell).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](2)))
+        .sortBy(v => (-cos(qv, v._2), v._1)).take(2).map(_._1).toSet
+      got.intersect(bruteTop2).size / 2.0
+    }
+    assert(recallAt2() == 0.5,
+      "the drifted fixture must lose recall under stale centroids")
+    AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroids)
+    assert(recallAt2() == 1.0, "refresh must recover the drifted neighbors")
+    // the swap landed as ONE generation: refreshed centroids current,
+    // postings a single re-assigned compacted generation
+    assert(AnnMaintain.currentCentroidsPath(spark, dir, cp)
+      .endsWith("/centroids-1"))
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).toSet == Set("compact-1"))
+    // a crash between the centroid write and the postings commit leaves
+    // an ORPHAN centroid generation — it must never become current
+    spark.read.parquet(s"$dir/centroids-1").write
+      .mode("overwrite").parquet(s"$dir/centroids-9")
+    assert(AnnMaintain.currentCentroidsPath(spark, dir, cp)
+      .endsWith("/centroids-1"),
+      "an orphan centroid generation (no matching postings) became current")
+  }
+
+  test("tombstoned vectors vanish at read, then physically at compaction") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annd_").toString
+    val cp = mkCentroids(base)
+    val dir = s"$base/idx"
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(vecs.take(2)), 0L)
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(vecs.drop(2)), 1L)
+    AnnMaintain.deleteVecs(spark, dir,
+      Seq(10L, 13L).toDF("n_id"), deleteId = 0L)
+    // invisible BEFORE compaction (read-side anti-join) but still on disk
+    assert(state(dir) == Set((12L, 0L), (11L, 1L)))
+    assert(spark.read.parquet(s"$dir/postings/batch-0").count() == 2,
+      "pre-compaction the raw batch files still hold the dead rows")
+    // compaction applies physically and purges the covered tombstone
+    AnnMaintain.compact(spark, dir)
+    assert(state(dir) == Set((12L, 0L), (11L, 1L)))
+    assert(spark.read.parquet(s"$dir/postings/compact-1").count() == 2,
+      "the generation must not contain tombstoned rows")
+    assert(!new java.io.File(s"$dir/tombstones").exists() ||
+      new java.io.File(s"$dir/tombstones").listFiles().isEmpty,
+      "a fully-covered tombstone must be purged")
+  }
 }

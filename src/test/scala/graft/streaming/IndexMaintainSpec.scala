@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming BM25 maintenance laws: the ranking over a stream-built
@@ -110,6 +111,41 @@ class IndexMaintainSpec extends AnyFunSuite {
     val names = new java.io.File(s"$dir/postings").listFiles()
       .map(_.getName).toSet
     assert(names == Set("compact-1", "batch-5"))
+  }
+
+  test("delete ≡ rebuild: tombstones hide postings and correct stats; compaction purges physically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxdel_").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_idxsurv_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.drop(3).toDF("doc_id", "text"), 1L)
+    // the oracle: an index that NEVER saw docs 1 and 5
+    IndexMaintain.maintainBatch(rebuilt)(
+      docs.filter(d => d._1 != 1L && d._1 != 5L).toDF("doc_id", "text"), 0L)
+    def stat(d: String) = IndexMaintain.stats(spark, d).collect()(0)
+    IndexMaintain.deleteDocs(spark, dir, Seq(1L, 5L).toDF("doc_id"), 0L)
+    // invisible BEFORE compaction: ranking and corpus stats both match
+    // the rebuild, while the raw batch files still hold the dead rows
+    assert(ranking(dir) == ranking(rebuilt), "delete≡rebuild pre-compaction")
+    assert(stat(dir).getLong(0) == stat(rebuilt).getLong(0) &&
+      stat(dir).getLong(1) == stat(rebuilt).getLong(1),
+      "stats must subtract the deleted docs' contribution")
+    assert(spark.read.parquet(s"$dir/postings/batch-0")
+      .filter(col("doc_id") === 1L).count() > 0)
+    // compaction drops the dead postings physically, purges the tombstone
+    IndexMaintain.compact(spark, dir)
+    assert(ranking(dir) == ranking(rebuilt), "delete≡rebuild post-compaction")
+    assert(spark.read.parquet(s"$dir/postings/compact-1")
+      .filter(col("doc_id").isin(1L, 5L)).count() == 0,
+      "the generation must not contain tombstoned rows")
+    assert(!new java.io.File(s"$dir/tombstones").exists() ||
+      new java.io.File(s"$dir/tombstones").listFiles().isEmpty,
+      "a fully-covered tombstone must be purged")
+    // deleting an ALREADY-DELETED doc must not re-subtract its stats
+    IndexMaintain.deleteDocs(spark, dir, Seq(5L, 3L).toDF("doc_id"), 1L)
+    assert(stat(dir).getLong(0) == stat(rebuilt).getLong(0) - 1L,
+      "only the still-visible doc may subtract")
+    assert(ranking(dir).forall(_._1 != 3L))
   }
 
   test("replaying a batch id rewrites identical state") {
