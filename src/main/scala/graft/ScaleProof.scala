@@ -163,7 +163,14 @@ object ScaleProof {
       // centroid refresh: retrain + full re-assignment is the one
       // O(index) maintenance job by design — the shape under test is
       // the broadcast assignment (no SMJ, no cartesian) at 10×
-      "q386_ann_centroid_refresh")
+      "q386_ann_centroid_refresh",
+      // stored jsonl.gz shards: per-row gunzip over the stored binary
+      // column, scan-bound like the other container walks
+      "q387_jsonl_stored_shards",
+      // the end-to-end corpus-drop pipeline: its build-side shuffles
+      // must stay delta-sized (the bucketed-index probe shape); the
+      // probe itself is an index scan + broadcast joins
+      "q388_corpus_drop_pipeline")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

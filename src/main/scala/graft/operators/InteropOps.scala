@@ -156,7 +156,182 @@ object InteropOps {
     (s"tenant0_idx_$ledger", s"tenant0_idx_$index")
   }
 
+  /** minimal JSON string escaper for the drop shards — the decoded text
+    * must be byte-identical to the original (its hash and shingles are
+    * matched against the stored corpus indexes). */
+  private def jesc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  /** q388's END-TO-END incremental corpus-drop pipeline — the operation
+    * a training-data team runs weekly, composed from the round-11
+    * primitives and executed ONCE per (process, dir, data version):
+    *
+    *   commit 1   the base corpus (doc_id % 3 ≠ 0) lands through
+    *              `Storage.append` + `Snapshots.commit`; its bucketed
+    *              dedup indexes (hash ledger, shingle index) are
+    *              materialized write-time-clustered (q379's fixture);
+    *              the BM25 index sees the corpus as batch 0.
+    *   the drop   arrives as STORED jsonl.gz shards (q387's landing
+    *              shape): multi-record gzipped lines in a parquet
+    *              binary column, records carrying the upstream quality
+    *              score — except the drifted ones (doc_id % 7 = 0),
+    *              which omit it.
+    *   pipeline   decode (permissive from_json — drift can't fail the
+    *              scan) → QUALITY GATE (quality ≥ 0.5 and ≥ 5 tokens;
+    *              a missing score fails closed) → `dedupDeltaFrom`
+    *              against the stored bucketed indexes (delta-sized
+    *              shuffles only) → survivors appended to the corpus as
+    *              commit 2 → BM25 postings/stats delta append (batch 1).
+    *
+    * The drop reuses the q370 membership rules (fresh / exact dup vs
+    * base / exact dup intra / near dup vs base) so the survivor
+    * calculus is stated once. The probe (the q-entry) ranks over the
+    * maintained index: new docs must be searchable, gated/dropped docs
+    * absent — the oracle rebuilds the whole pipeline relationally from
+    * raw documents. */
+  private val dropFixture = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def corpusDropFixture(s: SparkSession, dir: String): (String, String) =
+    dropFixture.getOrElseUpdate(dir, {
+      val loc = graft.storage.LocalCache.dir(
+        s"corpusdrop|$dir@${graft.storage.LocalCache.dataVersion(dir)}")
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val idx = s"$loc/bm25_idx"
+      val marker = new java.io.File(loc, "_pipeline_done")
+      if (!marker.exists()) {
+        import s.implicits._
+        val epoch = 1706745600L * 1000000000L
+        val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // ---- commit 1: the corpus
+        graft.storage.Storage.append(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+            .withColumn("timestamp", lit(epoch) + col("doc_id")),
+          layout, "docs")
+        require(Snapshots.commit(s, layout, "docs") == 1)
+        val (ledger, index) = ensureDeltaIndex(s, loc)
+        val base = Snapshots.read(s, layout, "docs", Some(1))
+          .select(col("doc_id"), col("text"))
+        graft.streaming.IndexMaintain.maintainBatch(idx)(base, 0L)
+        // ---- the drop: q370's four membership classes, landed as
+        // stored jsonl.gz shards
+        val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val dupVsBase = docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val dupIntra = docs
+          .filter(pmod(col("doc_id"), lit(3)) === 0 && pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val nearVsBase = docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(col("text"), lit(" zulu yankee xray")).as("text"))
+        val delta = fresh.unionByName(dupVsBase).unionByName(dupIntra)
+          .unionByName(nearVsBase)
+        val shards = delta
+          .withColumn("shard_id", pmod(col("doc_id"), lit(32)))
+          .groupBy(col("shard_id"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+            .as("rows"))
+          .as[(Long, Seq[(Long, String)])]
+          .map { case (sid, rows) =>
+            val lines = rows.map { case (did, text) =>
+              val sb = new StringBuilder
+              sb ++= s"""{"id":$did,"text":"${jesc(text)}""""
+              if (did % 7 != 0) sb ++= s""","quality":${(did % 8) * 0.25}"""
+              if (did % 5 == 0) sb ++= ""","extra_field":"future schema""""
+              sb ++= "}"
+              sb.toString
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+            (sid, bos.toByteArray)
+          }.toDF("shard_id", "shard")
+        graft.storage.Storage.append(
+          shards.withColumn("timestamp",
+            lit(epoch + 86400L * 1000000000L) + col("shard_id")),
+          layout, "drop_shards")
+        // ---- the pipeline run: decode → gate → dedup → commit 2 → index
+        val recSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("quality",
+            org.apache.spark.sql.types.DoubleType)))
+        val recs = s.read.parquet(layout.path("drop_shards"))
+          .select(col("shard_id"), col("shard"))
+          .as[(Long, Array[Byte])]
+          .map { case (sid, gz) =>
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(gz))
+            (sid, new String(in.readAllBytes(), "UTF-8"))
+          }.toDF("shard_id", "txt")
+          .select(explode(split(col("txt"), "\n")).as("line"))
+          .select(from_json(col("line"), recSchema).as("r"))
+          .select(col("r.id").as("doc_id"), col("r.text").as("text"),
+            col("r.quality").as("quality"))
+        val gated = recs.filter(
+          coalesce(col("quality"), lit(-1.0)) >= 0.5 &&
+            size(split(col("text"), " ")) >= 5)
+        val status = PipelineOps.dedupDeltaFrom(
+          gated.select(col("doc_id"), col("text")),
+          s.table(ledger), s.table(index))
+        val surv = gated
+          .join(status.filter(col("status") === "survivor"), Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        graft.storage.Storage.append(
+          surv.withColumn("timestamp",
+            lit(epoch + 86400L * 1000000000L) + col("doc_id")),
+          layout, "docs")
+        require(Snapshots.commit(s, layout, "docs") == 2)
+        graft.streaming.IndexMaintain.maintainBatch(idx)(surv, 1L)
+        // the pipeline's own counters — what the weekly run reports
+        recs.agg(count(lit(1)).as("n_delta"))
+          .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
+          .crossJoin(surv.agg(count(lit(1)).as("n_new_docs")))
+          .write.mode("overwrite").parquet(s"$loc/pipeline_stats")
+        marker.createNewFile()
+      }
+      (loc, idx)
+    })
+
   val queries: Map[String, Q] = Map(
+    // END-TO-END INCREMENTAL CORPUS DROP (the round-11 primitives
+    // composed into the weekly operation): stored jsonl.gz shards →
+    // permissive decode → quality gate → delta-vs-corpus dedup against
+    // the BUCKETED stored indexes → survivor append (commit 2) → BM25
+    // delta maintenance → this probe. New docs must rank (is_new = 1
+    // rows present), dropped/gated docs must be ABSENT from the index —
+    // the oracle rebuilds every stage relationally, so one wrongly
+    // indexed duplicate shifts df/stats and hash-mismatches.
+    "q388_corpus_drop_pipeline" -> ((s, dir) => {
+      val (loc, idx) = corpusDropFixture(s, dir)
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val root = layout.path("docs")
+      val v1set = Snapshots.files(s, layout, "docs", 1).toSet
+      val newFiles = Snapshots.files(s, layout, "docs", 2)
+        .filterNot(v1set.contains).map(rel => s"$root/$rel")
+      require(newFiles.nonEmpty, "the pipeline must have appended survivors")
+      val newIds = s.read.option("basePath", root).parquet(newFiles: _*)
+        .select(col("doc_id"), lit(1L).as("is_new"))
+      val stats = s.read.parquet(s"$loc/pipeline_stats")
+      graft.streaming.IndexMaintain.bm25(s, idx, Seq("stream", "hash", "big"))
+        .join(newIds, Seq("doc_id"), "left")
+        .withColumn("is_new", coalesce(col("is_new"), lit(0L)))
+        .crossJoin(broadcast(stats))
+    }),
+
     // the q370 classification against the STORED BUCKETED corpus
     // indexes — the 100 TB probe shape made physical: the hash ledger
     // and shingle index are bucketed (and sorted) on their join keys at
@@ -298,7 +473,74 @@ object InteropOps {
          |${PipelineOps.dedupDeltaOracleSql("basec", "deltac")}
          |SELECT doc_id, status FROM st""".stripMargin
 
+  /** q388's oracle: every pipeline stage rebuilt relationally from raw
+    * documents — drop membership, the quality gate (missing score fails
+    * closed), the survivor calculus (shared with q370/q379), then the
+    * exact fixed-point BM25 over base ∪ survivors, plus the pipeline's
+    * own counters. */
+  private val corpusDropSql: String =
+    s"""WITH basec AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |deltac0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000000, text || ' zulu yankee xray' FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 3),
+       |gated AS MATERIALIZED (
+       |  SELECT doc_id, text FROM deltac0
+       |  WHERE doc_id % 7 <> 0
+       |    AND doc_id % 8 >= 2
+       |    AND len(string_split(text, ' ')) >= 5),
+       |${PipelineOps.dedupDeltaOracleSql("basec", "gated")},
+       |surv AS MATERIALIZED (
+       |  SELECT g.doc_id, g.text FROM gated g
+       |  JOIN st ON st.doc_id = g.doc_id WHERE st.status = 'survivor'),
+       |corpus AS MATERIALIZED (
+       |  SELECT doc_id, text, CAST(0 AS BIGINT) AS is_new FROM basec
+       |  UNION ALL
+       |  SELECT doc_id, text, CAST(1 AS BIGINT) AS is_new FROM surv),
+       |bd AS (
+       |  SELECT doc_id, is_new, string_split(text, ' ') AS toks FROM corpus),
+       |bdd AS (SELECT doc_id, is_new, CAST(len(toks) AS BIGINT) AS dl, toks
+       |        FROM bd),
+       |bst AS (
+       |  SELECT count(*) AS n_docs,
+       |    (CAST(SUM(dl) AS BIGINT) * 1000) // count(*) AS avgdl_fp
+       |  FROM bdd),
+       |bocc AS (SELECT doc_id, dl, unnest(toks) AS tok FROM bdd),
+       |btfs AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM bocc
+       |  WHERE tok IN ('stream', 'hash', 'big') GROUP BY 1, 2, 3),
+       |bdfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM btfs GROUP BY 1),
+       |bsc AS (
+       |  SELECT t.doc_id, t.tf,
+       |    ((2 * (s.n_docs - f.dfc) + 1) * 1000000) // (2 * f.dfc + 1) AS idf_fp,
+       |    (1200 * (250 + (750 * ((t.dl * 1000000) // s.avgdl_fp)) // 1000)) // 1000 AS k_fp
+       |  FROM btfs t JOIN bdfs f USING (tok) CROSS JOIN bst s),
+       |rank AS (
+       |  SELECT doc_id,
+       |    CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT)
+       |      AS score_fp,
+       |    count(*) AS n_terms
+       |  FROM bsc GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20),
+       |counts AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deltac0) AS n_delta,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM gated) AS n_gated,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_new_docs)
+       |SELECT r.doc_id, r.score_fp, r.n_terms, d.is_new,
+       |       c.n_delta, c.n_gated, c.n_new_docs
+       |FROM rank r
+       |JOIN bdd d ON d.doc_id = r.doc_id
+       |CROSS JOIN counts c""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q388_corpus_drop_pipeline" -> corpusDropSql,
     "q370_dedup_delta" -> dedupDeltaSql,
     "q379_dedup_delta_indexed" -> dedupDeltaSql,
     // the appended slice restated from the raw view: day 30 plus the

@@ -711,6 +711,91 @@ object PipelineOps {
       (boot, store)
     })
 
+  /** q382/q387's shard ENCODE half: each doc becomes one REAL gzipped
+    * multi-record jsonl shard whose records DRIFT (records missing
+    * quality/lang/meta, one carrying an unknown future field) —
+    * (doc_id, shard bytes). */
+  private def jsonlGzShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val tb = text.replaceAll("[^ -~]", "").toLowerCase
+          .replaceAll("[^a-z0-9 ]", "").take(60)
+        val n = 2 + (id % 3).toInt
+        val recs = (0 until n).map { j =>
+          val sb = new StringBuilder
+          sb ++= s"""{"id":${10 * id + j},"text":"$tb r$j""""
+          if ((id + j) % 3 != 0) sb ++= s""","quality":${(id % 8) * 0.25}"""
+          if (j == 0) sb ++= s""","lang":"$lang""""
+          if ((id + j) % 2 == 0)
+            sb ++= s""","meta":{"source":"crawl","segment":${id % 5}}"""
+          if (j == n - 1) sb ++= ""","extra_field":"future schema""""
+          sb ++= "}"
+          sb.toString
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(recs.mkString("\n").getBytes("UTF-8")); gz.close()
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "shard")
+  }
+
+  /** q382/q387's shard INGEST half over (doc_id, shard gz-bytes): gunzip
+    * (the one imperative step) → split/explode → from_json with a
+    * PERMISSIVE schema — missing fields surface as nulls, unknown
+    * fields are ignored, no drifting record can fail the scan. All
+    * aggregates stay on the exact plane (quarter-step doubles, ordered
+    * md5 fold). Scan-bound, zero exchanges past the per-shard hash agg. */
+  private def jsonlShardIngest(s: SparkSession, shards: DataFrame): DataFrame = {
+    import s.implicits._
+    val lines = shards.as[(Long, Array[Byte])].map { case (id, gz) =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz))
+      (id, new String(in.readAllBytes(), "UTF-8"))
+    }.toDF("doc_id", "txt")
+    val recSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("quality", DoubleType), StructField("lang", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("source", StringType),
+        StructField("segment", LongType))))))
+    lines.select(col("doc_id"), explode(split(col("txt"), "\n")).as("line"))
+      .withColumn("r", from_json(col("line"), recSchema))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_records"),
+        count(col("r.quality")).as("n_quality"),
+        count(col("r.meta")).as("n_meta"),
+        sum(col("r.id")).as("id_sum"),
+        sum(col("r.quality")).as("quality_sum"),
+        max(col("r.lang")).as("lang"),
+        sum(col("r.meta.segment")).as("segment_sum"),
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("r.id"), col("r.text")))),
+          x => x.getField("text")))).as("text_md5"))
+  }
+
+  /** q387's stored shard table: [[jsonlGzShards]] written ONCE per (dir,
+    * data version) through the partitioned append sink (zstd, date_day/
+    * hour layout, deterministic timestamps) — the shard bytes a corpus
+    * distribution actually ships, landed as a binary column. */
+  private val jsonlStoreCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def storedJsonlShards(s: SparkSession, dir: String): String =
+    jsonlStoreCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"jsonl_store|${vdir(dir)}")
+      val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        graft.storage.Storage.append(
+          jsonlGzShards(s, dir).withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("doc_id")),
+          layout, "shards")
+        marker.createNewFile()
+      }
+      layout.path("shards")
+    })
+
   /** Achlioptas ±1 JL sign matrix (16×64), md5-derived at plan build —
     * ONE construction shared by the q318 projection filter and the q322
     * recall meter, so the meter can never drift from the filter it
@@ -750,53 +835,20 @@ object PipelineOps {
     // no drifting record can fail the scan. All aggregates stay on the
     // exact plane (quarter-step doubles, ordered md5 fold). Scan-bound,
     // zero exchanges past the per-shard hash agg.
-    "q382_jsonl_shard_ingest" -> ((s, dir) => {
-      import s.implicits._
-      val lines = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"))
-        .as[(Long, String, String)]
-        .map { case (id, text, lang) =>
-          val tb = text.replaceAll("[^ -~]", "").toLowerCase
-            .replaceAll("[^a-z0-9 ]", "").take(60)
-          val n = 2 + (id % 3).toInt
-          val recs = (0 until n).map { j =>
-            val sb = new StringBuilder
-            sb ++= s"""{"id":${10 * id + j},"text":"$tb r$j""""
-            if ((id + j) % 3 != 0) sb ++= s""","quality":${(id % 8) * 0.25}"""
-            if (j == 0) sb ++= s""","lang":"$lang""""
-            if ((id + j) % 2 == 0)
-              sb ++= s""","meta":{"source":"crawl","segment":${id % 5}}"""
-            if (j == n - 1) sb ++= ""","extra_field":"future schema""""
-            sb ++= "}"
-            sb.toString
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(recs.mkString("\n").getBytes("UTF-8")); gz.close()
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
-          (id, new String(in.readAllBytes(), "UTF-8"))
-        }.toDF("doc_id", "txt")
-      val recSchema = StructType(Seq(
-        StructField("id", LongType), StructField("text", StringType),
-        StructField("quality", DoubleType), StructField("lang", StringType),
-        StructField("meta", StructType(Seq(
-          StructField("source", StringType),
-          StructField("segment", LongType))))))
-      lines.select(col("doc_id"), explode(split(col("txt"), "\n")).as("line"))
-        .withColumn("r", from_json(col("line"), recSchema))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_records"),
-          count(col("r.quality")).as("n_quality"),
-          count(col("r.meta")).as("n_meta"),
-          sum(col("r.id")).as("id_sum"),
-          sum(col("r.quality")).as("quality_sum"),
-          max(col("r.lang")).as("lang"),
-          sum(col("r.meta.segment")).as("segment_sum"),
-          md5(concat_ws("|", transform(
-            array_sort(collect_list(struct(col("r.id"), col("r.text")))),
-            x => x.getField("text")))).as("text_md5"))
-    }),
+    "q382_jsonl_shard_ingest" -> ((s, dir) =>
+      jsonlShardIngest(s, jsonlGzShards(s, dir))),
+
+    // STORED jsonl.gz SHARDS (the q372 stored-census pattern for the
+    // dominant LLM-corpus interchange format): q382's gzipped
+    // multi-record shards land ONCE through the partitioned append sink
+    // as a parquet BINARY column; the ingest then SCANS the stored
+    // bytes — gunzip → split → permissive from_json — with the scan
+    // pruned to (doc_id, shard) (PlanSpec pins the ReadSchema; the
+    // layout's timestamp/partition columns never reach the decoder).
+    // Oracle = q382's verbatim: storage must not change one byte.
+    "q387_jsonl_stored_shards" -> ((s, dir) =>
+      jsonlShardIngest(s, s.read.parquet(storedJsonlShards(s, dir))
+        .select(col("doc_id"), col("shard")))),
 
     // INCREMENTAL BM25 INDEX MAINTENANCE (the q370/q380 shape for
     // lexical retrieval): the stored postings + stats were built over
@@ -4686,6 +4738,33 @@ object PipelineOps {
 
   private val bm25RankSql: String = bm25RankSqlWhere("TRUE")
 
+  /** the q382/q387 shard-ingest oracle: the drift rules restated
+    * relationally from raw documents. */
+  private val jsonlShardOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    substr(regexp_replace(lower(regexp_replace(text, '[^ -~]', '', 'g')),
+      |      '[^a-z0-9 ]', '', 'g'), 1, 60) AS tb,
+      |    2 + doc_id % 3 AS n
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, tb, n, j.i AS j
+      |  FROM d, range(0, 4) j(i) WHERE j.i < n)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_records,
+      |  CAST(SUM(CASE WHEN (doc_id + j) % 3 <> 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN (doc_id + j) % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_meta,
+      |  CAST(SUM(10 * doc_id + j) AS BIGINT) AS id_sum,
+      |  SUM(CASE WHEN (doc_id + j) % 3 <> 0
+      |      THEN CAST((doc_id % 8) * 0.25 AS DOUBLE) END) AS quality_sum,
+      |  MAX(CASE WHEN j = 0 THEN lang END) AS lang,
+      |  CAST(SUM(CASE WHEN (doc_id + j) % 2 = 0 THEN doc_id % 5 END)
+      |    AS BIGINT) AS segment_sum,
+      |  md5(string_agg(tb || ' r' || j, '|' ORDER BY j)) AS text_md5
+      |FROM r GROUP BY 1""".stripMargin
+
   private val ivfKmeansSql: String =
       """WITH e AS (
         |  SELECT vec_id, i AS pos,
@@ -5228,31 +5307,10 @@ object PipelineOps {
     // restates the shard synthesis (sanitized text, drift pattern) and
     // every aggregate; null-by-absence is preserved (SUM over CASE with
     // no ELSE), the md5 fold is ordered by record id
-    "q382_jsonl_shard_ingest" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    substr(regexp_replace(lower(regexp_replace(text, '[^ -~]', '', 'g')),
-        |      '[^a-z0-9 ]', '', 'g'), 1, 60) AS tb,
-        |    2 + doc_id % 3 AS n
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, lang, tb, n, j.i AS j
-        |  FROM d, range(0, 4) j(i) WHERE j.i < n)
-        |SELECT doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_records,
-        |  CAST(SUM(CASE WHEN (doc_id + j) % 3 <> 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_quality,
-        |  CAST(SUM(CASE WHEN (doc_id + j) % 2 = 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_meta,
-        |  CAST(SUM(10 * doc_id + j) AS BIGINT) AS id_sum,
-        |  SUM(CASE WHEN (doc_id + j) % 3 <> 0
-        |      THEN CAST((doc_id % 8) * 0.25 AS DOUBLE) END) AS quality_sum,
-        |  MAX(CASE WHEN j = 0 THEN lang END) AS lang,
-        |  CAST(SUM(CASE WHEN (doc_id + j) % 2 = 0 THEN doc_id % 5 END)
-        |    AS BIGINT) AS segment_sum,
-        |  md5(string_agg(tb || ' r' || j, '|' ORDER BY j)) AS text_md5
-        |FROM r GROUP BY 1""".stripMargin,
-
+    // storage must not change one byte: the stored-shard scan shares
+    // the in-plan synthesis' oracle verbatim
+    "q387_jsonl_stored_shards" -> jsonlShardOracleSql,
+    "q382_jsonl_shard_ingest" -> jsonlShardOracleSql,
     "q188_rrf_hybrid" ->
       """WITH lex0 AS (
         |  SELECT doc_id, count(*) AS tf FROM (

@@ -45,6 +45,20 @@ class PlanSpec extends AnyFunSuite {
       s"media_raw scan reads more than the census needs:\n$plan")
   }
 
+  test("stored jsonl.gz shard ingest reads only (doc_id, shard)") {
+    // the stored-shard scan must prune to the id + binary column — the
+    // layout's timestamp/partition payload never reaches the gunzip
+    // tasks (at 100 TB an unused stored column is real decode-path I/O)
+    val df = operators.PipelineOps.queries("q387_jsonl_stored_shards")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("shard")).getOrElse("")
+    assert(readSchema.contains("doc_id:bigint") &&
+      readSchema.contains("shard:binary") &&
+      !readSchema.contains("timestamp"),
+      s"stored shard scan reads more than (doc_id, shard):\n$plan")
+  }
+
   test("indexed delta-dedup probes BUCKETED corpus indexes (no corpus-side shuffle)") {
     val df = operators.InteropOps.queries("q379_dedup_delta_indexed")(spark, dir)
     val formatted = df.queryExecution.explainString(
