@@ -34,9 +34,16 @@ object ScaleProof {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- build the scaled tables (idempotent per (src, copies)) --------
-    val marker = new java.io.File(dst, s"_built_${copies}x")
+    // SPARK_GRAFT_SCALE_TABLES narrows which tables replicate (comma
+    // list) — a 100× documents-only proof must not pay for a 1B-row
+    // events rewrite it never reads
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents", "embeddings", "events"))
+    val marker = new java.io.File(dst,
+      s"_built_${copies}x_${tables.toSeq.sorted.mkString("_")}")
     if (!marker.exists()) {
-      def replicate(table: String, idCols: Seq[String]): Unit = {
+      def replicate(table: String, idCols: Seq[String]): Unit = if (tables(table)) {
         val base = spark.read.parquet(s"$src/$table.parquet")
         val n = base.count()
         val copiesDf = (0 until copies).map { k =>
@@ -170,7 +177,10 @@ object ScaleProof {
       // the end-to-end corpus-drop pipeline: its build-side shuffles
       // must stay delta-sized (the bucketed-index probe shape); the
       // probe itself is an index scan + broadcast joins
-      "q388_corpus_drop_pipeline")
+      "q388_corpus_drop_pipeline",
+      // retention-masked bucketed indexes: the dead-key anti-joins must
+      // stay co-located (no corpus-side exchange) at 10×
+      "q389_dedup_index_retention")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -139,21 +139,77 @@ object InteropOps {
     val index = s"shingle_idx_$suffix"
     deltaIndexLock.synchronized {
       if (!s.catalog.tableExists(s"tenant0_idx_$ledger")) {
-        val base = Snapshots.read(s, graft.storage.Storage.TableLayout(
-          loc, "tenant0", "default"), "docs", Some(1))
-          .select(col("doc_id"), col("text"))
-        val bSh = PipelineOps.deltaShingles(base)
-        val bSize = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        graft.storage.Storage.writeBucketed(
-          base.select(md5(col("text")).as("h")).distinct(),
-          layout, ledger, "h", 8)
-        graft.storage.Storage.writeBucketed(
-          bSh.join(bSize, "doc_id")
-            .select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("n_b")),
-          layout, index, "sh", 8)
+        // an index already on disk re-registers WITHOUT re-derivation —
+        // it may outlive the snapshot it was built from (retention)
+        if (new java.io.File(layout.path(ledger), "_SUCCESS").exists()) {
+          graft.storage.Storage.registerBucketed(
+            s, layout, ledger, "h STRING", "h", 8)
+          graft.storage.Storage.registerBucketed(
+            s, layout, index, "b_id BIGINT, sh STRING, n_b BIGINT", "sh", 8)
+        } else {
+          val base = Snapshots.read(s, graft.storage.Storage.TableLayout(
+            loc, "tenant0", "default"), "docs", Some(1))
+            .select(col("doc_id"), col("text"))
+          val bSh = PipelineOps.deltaShingles(base)
+          val bSize = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+          graft.storage.Storage.writeBucketed(
+            base.select(md5(col("text")).as("h")).distinct(),
+            layout, ledger, "h", 8)
+          graft.storage.Storage.writeBucketed(
+            bSh.join(bSize, "doc_id")
+              .select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("n_b")),
+            layout, index, "sh", 8)
+        }
       }
     }
     (s"tenant0_idx_$ledger", s"tenant0_idx_$index")
+  }
+
+  /** q389's retired-key sidecars for the bucketed dedup indexes: when
+    * retention expires corpus rows, the write-time-clustered indexes
+    * must stop matching against the retired content WITHOUT a rebuild.
+    * The retention job records what it dropped (the audit at
+    * `retired_docs/` — written BEFORE the physical drop); the sidecars
+    * derive from audit + surviving table and are BUCKETED ON THE SAME
+    * KEYS as the indexes they mask, so the anti-join is co-located
+    * (exchange-free) exactly like the probe joins:
+    *   hash_ledger_dead (h)     — hashes whose EVERY holder retired (a
+    *                              hash also held by a survivor stays)
+    *   shingle_idx_dead (b_id, sh) — the retired docs' index rows.
+    * Re-registration in a fresh session recomputes from the persisted
+    * audit (deterministic), never from the retired rows. */
+  private def ensureRetentionDead(s: SparkSession, loc: String): (String, String) = {
+    val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "idx")
+    val suffix = Integer.toHexString(loc.hashCode)
+    val deadH = s"hash_ledger_dead_$suffix"
+    val deadSh = s"shingle_idx_dead_$suffix"
+    deltaIndexLock.synchronized {
+      if (!s.catalog.tableExists(s"tenant0_idx_$deadH")) {
+        if (new java.io.File(layout.path(deadH), "_SUCCESS").exists()) {
+          graft.storage.Storage.registerBucketed(
+            s, layout, deadH, "h STRING", "h", 8)
+          graft.storage.Storage.registerBucketed(
+            s, layout, deadSh, "b_id BIGINT, sh STRING", "sh", 8)
+        } else {
+          val doomed = s.read.parquet(s"$loc/retired_docs")
+          // survivors = the LIVE table (retention already dropped the
+          // doomed partitions; the audit holds what they contained)
+          val survivors = s.read.parquet(graft.storage.Storage
+              .TableLayout(loc, "tenant0", "default").path("docs"))
+            .select(col("doc_id"), col("text"))
+          graft.storage.Storage.writeBucketed(
+            doomed.select(md5(col("text")).as("h")).distinct()
+              .join(survivors.select(md5(col("text")).as("h")).distinct(),
+                Seq("h"), "left_anti"),
+            layout, deadH, "h", 8)
+          graft.storage.Storage.writeBucketed(
+            PipelineOps.deltaShingles(doomed)
+              .select(col("doc_id").as("b_id"), col("sh")),
+            layout, deadSh, "sh", 8)
+        }
+      }
+    }
+    (s"tenant0_idx_$deadH", s"tenant0_idx_$deadSh")
   }
 
   /** minimal JSON string escaper for the drop shards — the decoded text
@@ -306,7 +362,79 @@ object InteropOps {
       (loc, idx)
     })
 
+  /** q389's fixture: the base corpus lands across two days (even
+    * doc_id → 2024-02-01, odd → 2024-02-02) and commits; its bucketed
+    * indexes are built; then retention expires day 1 THROUGH THE REAL
+    * PATH — the job audits the doomed partitions' rows first (the
+    * read executes before the drop), derives the dead-key sidecars,
+    * and only then deletes the partitions. */
+  private val retFixture = scala.collection.concurrent.TrieMap[String, String]()
+  private def retentionIndexFixture(s: SparkSession, dir: String): String =
+    retFixture.getOrElseUpdate(dir, {
+      val loc = graft.storage.LocalCache.dir(
+        s"dropret|$dir@${graft.storage.LocalCache.dataVersion(dir)}")
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val marker = new java.io.File(loc, "_retention_done")
+      if (!marker.exists()) {
+        val epoch = 1706745600L * 1000000000L // 2024-02-01T00:00Z
+        val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        graft.storage.Storage.append(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+            .withColumn("timestamp", lit(epoch) +
+              pmod(col("doc_id"), lit(2)) * lit(86400L * 1000000000L) +
+              col("doc_id")),
+          layout, "docs")
+        require(Snapshots.commit(s, layout, "docs") == 1)
+        ensureDeltaIndex(s, loc)
+        // the retention job: audit the doomed rows, derive the dead-key
+        // sidecars, THEN drop the partitions
+        s.read.parquet(layout.path("docs"))
+          .filter(col("date_day") < "2024-02-02")
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$loc/retired_docs")
+        val dropped = graft.storage.Storage.applyRetention(
+          s, layout, "docs", "2024-02-02")
+        require(dropped == Seq("2024-02-01"),
+          s"retention dropped $dropped, expected exactly 2024-02-01")
+        ensureRetentionDead(s, loc)
+        marker.createNewFile()
+      }
+      loc
+    })
+
   val queries: Map[String, Q] = Map(
+    // RETENTION-AWARE BUCKETED-INDEX DELETES (the q385 lifecycle for
+    // the dedup indexes): retention expired half the corpus; the
+    // stored bucketed ledger/shingle indexes are masked by DEAD-KEY
+    // sidecar tables bucketed on the SAME keys, so the masking
+    // anti-joins are co-located (no corpus-side exchange) and the
+    // probe keeps q379's delta-only shuffle shape. A delta doc that
+    // duplicates a RETIRED doc must now classify as if that doc never
+    // existed — the oracle restates the calculus against the SURVIVING
+    // corpus only.
+    "q389_dedup_index_retention" -> ((s, dir) => {
+      val loc = retentionIndexFixture(s, dir)
+      val (ledger, index) = ensureDeltaIndex(s, loc)
+      val (deadH, deadSh) = ensureRetentionDead(s, loc)
+      val ledgerLive = s.table(ledger)
+        .join(s.table(deadH), Seq("h"), "left_anti")
+      val indexLive = s.table(index)
+        .join(s.table(deadSh), Seq("sh", "b_id"), "left_anti")
+      val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(3)) === 0 && pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(col("text"), lit(" zulu yankee xray")).as("text")))
+      PipelineOps.dedupDeltaFrom(delta, ledgerLive, indexLive)
+    }),
+
     // END-TO-END INCREMENTAL CORPUS DROP (the round-11 primitives
     // composed into the weekly operation): stored jsonl.gz shards →
     // permissive decode → quality gate → delta-vs-corpus dedup against
@@ -539,7 +667,29 @@ object InteropOps {
        |JOIN bdd d ON d.doc_id = r.doc_id
        |CROSS JOIN counts c""".stripMargin
 
+  /** q389's oracle: the fixture's base corpus is even/odd-day split and
+    * the even day retired, so the surviving corpus is the odd half —
+    * the delta calculus restated against it alone. */
+  private val retentionDedupSql: String =
+    s"""WITH basec AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 2 = 1),
+       |deltac AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000000, text || ' zulu yankee xray' FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 3),
+       |${PipelineOps.dedupDeltaOracleSql("basec", "deltac")}
+       |SELECT doc_id, status FROM st""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q389_dedup_index_retention" -> retentionDedupSql,
     "q388_corpus_drop_pipeline" -> corpusDropSql,
     "q370_dedup_delta" -> dedupDeltaSql,
     "q379_dedup_delta_indexed" -> dedupDeltaSql,

@@ -107,6 +107,24 @@ object Storage {
         .replaceAll("[^A-Za-z0-9_]", "_"))
   }
 
+  /** register an EXISTING bucketed table (written earlier by
+    * [[writeBucketed]], possibly by another process) in this session's
+    * catalog without rewriting a byte — the path for indexes whose
+    * SOURCE data has since been retired (a retention-maintained dedup
+    * index outlives the rows it was derived from, so re-registration
+    * can never require re-derivation). The DDL restates the bucketing
+    * spec; the files' bucket layout is what writeBucketed produced. */
+  def registerBucketed(spark: SparkSession, layout: TableLayout,
+      table: String, schemaDdl: String, bucketKey: String,
+      buckets: Int): Unit = {
+    val name = s"${layout.tenant}_${layout.dataset}_$table"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl) USING parquet " +
+        s"CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) " +
+        s"INTO $buckets BUCKETS LOCATION '${layout.path(table)}'")
+  }
+
   /** Compactor-side downsampling: raw samples → one pre-aggregated cell
     * per (step bucket, series) carrying the re-aggregable algebra
     * (count / sum / min / max / last-with-tiebreak). Coarser resolutions

@@ -75,6 +75,21 @@ class PlanSpec extends AnyFunSuite {
     assert(ledgerScan && idxScan, s"expected both index scans:\n$formatted")
   }
 
+  test("retention-masked dedup indexes stay bucketed: dead-key anti-joins are co-located") {
+    val df = operators.InteropOps.queries("q389_dedup_index_retention")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // all four stored relations (live indexes + dead-key sidecars) scan
+    // bucketed; the masking anti-joins run on the shared bucket keys so
+    // the corpus side still moves nothing at probe time
+    assert(formatted.contains("Bucketed: true"),
+      s"retention-masked indexes not scanned as bucketed:\n$formatted")
+    for (t <- Seq("hash_ledger_dead", "shingle_idx_dead"))
+      assert(formatted.linesIterator.exists(l =>
+        l.contains(t) && l.contains("Scan")),
+        s"expected a bucketed $t scan:\n$formatted")
+  }
+
   test("union-scan selectors push metric_name into BOTH stored tables") {
     val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
