@@ -31,9 +31,13 @@ object AnnMaintain {
   /** foreachBatch body: assign a micro-batch of vectors — columns
     * (vec_id, vq: array<long>, nrm: long) — to the frozen centroids at
     * `centroidsPath` — columns (c_id, cv, cn) — and append postings. */
-  def maintainBatch(dir: String, centroidsPath: String)(
+  def maintainBatch(dir: String, centroidsPath: String,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // in-stream self-compaction (replay-safe: batches < n are committed)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(spark, dir, upTo = batchId - 1)
     // assignment follows the CURRENT centroid generation — after a
     // refresh, new arrivals must land in the cells probes now search
     val cents = currentCentroids(spark, dir, centroidsPath)
@@ -54,10 +58,11 @@ object AnnMaintain {
   }
 
   def start(vectors: DataFrame, dir: String, centroidsPath: String,
-      trigger: Trigger = Trigger.ProcessingTime(500)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(500),
+      compactEvery: Int = 0): StreamingQuery = {
     require(vectors.isStreaming, "AnnMaintain needs a streaming source")
     vectors.writeStream.outputMode("append").trigger(trigger)
-      .foreachBatch(maintainBatch(dir, centroidsPath) _).start()
+      .foreachBatch(maintainBatch(dir, centroidsPath, compactEvery) _).start()
   }
 
   // ---- deletes (tombstones): the IndexMaintain discipline without a

@@ -114,8 +114,16 @@ object GorillaStream {
   }
 
   /** foreachBatch body: fold a micro-batch of points — columns
-    * (event_type, us, event_id, value) — into the block store. */
-  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    * (event_type, us, event_id, value) — into the block store. With
+    * `compactEvery` > 0 the maintainer SELF-COMPACTS every that many
+    * batches, bounding live-dir count for a stream that runs forever:
+    * when batch `n` executes, every batch < n is committed by the
+    * engine, so folding up to n−1 is replay-safe — a replayed batch n
+    * reads the generation as exactly its pre-`n` state. */
+  def maintainBatch(dir: String, compactEvery: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(batch.sparkSession, dir, upToBatch = batchId - 1)
     val spark = batch.sparkSession
     import spark.implicits._
     val pts = batch
@@ -152,14 +160,16 @@ object GorillaStream {
   }
 
   /** start maintaining blocks from a streaming points frame (columns
-    * event_type, us, event_id, value). */
+    * event_type, us, event_id, value); `compactEvery` > 0 turns on
+    * in-stream self-compaction. */
   def start(points: DataFrame, dir: String,
-      trigger: Trigger = Trigger.ProcessingTime(500)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(500),
+      compactEvery: Int = 0): StreamingQuery = {
     require(points.isStreaming, "GorillaStream needs a streaming source")
     points.writeStream
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch(maintainBatch(dir) _)
+      .foreachBatch(maintainBatch(dir, compactEvery) _)
       .start()
   }
 }

@@ -31,8 +31,14 @@ object IndexMaintain {
     StructField("n_docs", LongType), StructField("tot_tok", LongType)))
 
   /** foreachBatch body: fold a micro-batch of documents — columns
-    * (doc_id, text) — into the index store at `dir`. */
-  def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    * (doc_id, text) — into the index store at `dir`. With
+    * `compactEvery` > 0 the maintainer self-compacts every that many
+    * batches (replay-safe: when batch n runs, batches < n are
+    * committed, and the fold is bounded at n−1). */
+  def maintainBatch(dir: String, compactEvery: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(batch.sparkSession, dir, upTo = batchId - 1)
     val docs = batch
       .select(col("doc_id").cast(LongType), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
@@ -46,10 +52,11 @@ object IndexMaintain {
   }
 
   def start(docs: DataFrame, dir: String,
-      trigger: Trigger = Trigger.ProcessingTime(500)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(500),
+      compactEvery: Int = 0): StreamingQuery = {
     require(docs.isStreaming, "IndexMaintain needs a streaming source")
     docs.writeStream.outputMode("append").trigger(trigger)
-      .foreachBatch(maintainBatch(dir) _).start()
+      .foreachBatch(maintainBatch(dir, compactEvery) _).start()
   }
 
   // ---- deletes (tombstones) ---------------------------------------------

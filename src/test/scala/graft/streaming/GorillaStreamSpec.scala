@@ -97,6 +97,30 @@ class GorillaStreamSpec extends AnyFunSuite {
       Seq((10L, 1L, 1.0), (20L, 2L, 2.0), (15L, 3L, 5.0)))))
   }
 
+  test("in-stream self-compaction keeps the live set bounded without changing blocks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gorself_").toString
+    val in = MemoryStream[(String, Long, Long, Double)](spark)
+    val q = GorillaStream.start(
+      in.toDF().toDF("event_type", "us", "event_id", "value"), dir,
+      compactEvery = 2)
+    try {
+      for (i <- 0L until 6L) {
+        in.addData(("click", 10L * (i + 1), i + 1, i.toDouble))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 6 batches with compactEvery=2: the maintainer folded en route —
+    // far fewer live dirs than batches ever written
+    assert(GorillaStream.liveDirCount(spark, dir) <= 3,
+      s"self-compaction did not bound the live set: " +
+        s"${GorillaStream.liveDirCount(spark, dir)} dirs")
+    val blk = GorillaStream.latest(spark, dir).collect()(0)
+      .getAs[Array[Byte]]("block")
+    assert(blk.sameElements(batchBlock(
+      (0L until 6L).map(i => (10L * (i + 1), i + 1, i.toDouble)))))
+  }
+
   test("compaction bounds reads to O(live dirs); replay stays exactly-once across it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gorcompact_").toString

@@ -75,6 +75,23 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(liveNames("postings") == Set("compact-3"))
   }
 
+  test("in-stream self-compaction bounds the store without changing the ranking") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxself_").toString
+    val d1 = java.nio.file.Files.createTempDirectory("graft_idxself1_").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = IndexMaintain.start(in.toDF().toDF("doc_id", "text"), dir,
+      compactEvery = 2)
+    try for (d <- docs) {
+      in.addData(d); q.processAllAvailable()
+    } finally q.stop()
+    IndexMaintain.maintainBatch(d1)(docs.toDF("doc_id", "text"), 0L)
+    assert(ranking(dir) == ranking(d1),
+      "self-compaction changed the ranking")
+    assert(new java.io.File(s"$dir/postings").listFiles().length <= 3,
+      "self-compaction did not bound the postings dirs")
+  }
+
   test("a partial generation (no _SUCCESS) never masks its sources; the next compact sweeps it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idxpart_").toString
