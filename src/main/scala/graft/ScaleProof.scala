@@ -180,7 +180,16 @@ object ScaleProof {
       "q388_corpus_drop_pipeline",
       // retention-masked bucketed indexes: the dead-key anti-joins must
       // stay co-located (no corpus-side exchange) at 10×
-      "q389_dedup_index_retention")
+      "q389_dedup_index_retention",
+      // video near-dup clusters: the q371 containment law for the
+      // fourth modality — cluster output must stay ~linear in inputs
+      // while the band-join fan-out rides the replica cliques; decode
+      // work is per-row over the stored binary column
+      "q390_video_dup_clusters",
+      // ANN retention deletes: the tombstone anti-join + compacted
+      // purge at 10× index volume; probe shape must stay q380's
+      // broadcast/DPP with delta-sized shuffles only
+      "q391_ann_retention_delete")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -235,6 +235,102 @@ object MultimodalOps {
       .where(col("kind") === kind)
       .select(col("media_id"), col("bytes"))
 
+  /** q390's video fixture: each lane doc (doc_id % 3 == 1) becomes one
+    * REAL MPEG-1 sequence (1 I + 3 P pictures, 64×64 = 4×4 macroblocks)
+    * whose content translates one macroblock right per frame behind an
+    * intra refresh column — q362's motion scheme over GROUP-determined
+    * content, so the replica roles form near-dup cliques: role 0 the
+    * original, role 1 a uniform brightness lift (+8 — difference signs,
+    * and therefore the perceptual hash, are INVARIANT under a uniform
+    * offset), role 2 a small last-frame edit (the f=3 refresh column
+    * re-authored, flipping at most two hash bits). MB-flat intra blocks
+    * keep the IDCT exact (q362's closed-form trick), so the oracle can
+    * restate every reconstructed frame arithmetically. */
+  private[graft] def videoPlan(id: Long): (Int, Int, Seq[graft.multimodal.Mpeg1.FramePlan]) = {
+    import graft.multimodal.Mpeg1.{FramePlan, MbIntra, MbMc}
+    val g = id / 9 * 9; val role = (id / 3) % 3
+    def base(u: Int, by: Int): Int = {
+      val u7 = ((u % 7) + 7) % 7
+      (16L + (u7.toLong * 31 + by * 23 + (g % 101) * (u7 + 2 * by + 1) +
+        g * 7) % 224).toInt
+    }
+    val off = if (role == 1) 8 else 0
+    val frames = FramePlan(intra = true,
+      (bx, by) => MbIntra(base(bx, by) + off)) +:
+      (1 to 3).map { f =>
+        FramePlan(intra = false, (bx, by) =>
+          if (bx == 0) MbIntra(base(bx - f, by) + off +
+            (if (role == 2 && f == 3) by % 3 else 0))
+          else MbMc(-16, 0))
+      }
+    (64, 64, frames)
+  }
+
+  /** the STORED video table (the q372 storage pattern for the
+    * inter-frame codec): every lane doc's MPEG-1 bytes land ONCE per
+    * (source dir, data version) through the partitioned append sink as
+    * a parquet BINARY column; q390 scans them back off disk. */
+  private val videoStoreLock = new Object
+  private def storedVideoPath(s: SparkSession, dir: String): String = {
+    val key = "media_video_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    videoStoreLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        import s.implicits._
+        val df = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val (w, h, frames) = videoPlan(id)
+            (id, "mpeg", graft.multimodal.Mpeg1.encode(w, h, frames))
+          }.toDF("media_id", "kind", "bytes")
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+        graft.storage.Storage.append(df, layout, "media_video")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media_video")
+  }
+
+  /** per-frame perceptual hash over the DECODED pictures (the video leg
+    * of the near-dup family): motion compensation reconstructs frames
+    * 1–3, each 16×16 macroblock's luma is sampled at its center
+    * (MB-flat content — the sample IS the block value), horizontal
+    * neighbor differences sign into one 12-bit band per frame (the
+    * dHash shape over the macroblock grid), and the four frame bands
+    * pack into a 60-bit fingerprint — the frame-sampled signature a
+    * video-corpus dedup keys on. Shares q371's band/cluster machinery:
+    * columns (doc_id, b1..b4, fp). */
+  private def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the kind predicate stays RELATIONAL (pushed to the parquet scan)
+    // and only (media_id, bytes) cross the encoder boundary
+    s.read.parquet(storedVideoPath(s, dir))
+      .where(col("kind") === "mpeg")
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val d = graft.multimodal.Mpeg1.decode(bytes).get
+        val bands = Array.tabulate(4) { f =>
+          val y = d.frames(f).y
+          var band = 0L
+          for (by <- 0 until 4; c <- 0 until 3) {
+            val l = y((by * 16 + 8) * d.width + c * 16 + 8)
+            val r = y((by * 16 + 8) * d.width + (c + 1) * 16 + 8)
+            if (r > l) band |= 1L << (by * 3 + c)
+          }
+          band
+        }
+        val fp = bands.zipWithIndex.map { case (b, f) => b << (f * 15) }
+          .reduce(_ | _)
+        (id, bands(0), bands(1), bands(2), bands(3), fp)
+      }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+  }
+
   /** the DuckDB twin of [[audioFingerprints]] + [[audioFpEdges]]: ends in
     * `fps(doc_id, fp)` and `aedges(a, b, hd)` with a < b, hd ≤ 6. Shared
     * by the q351 pair oracle and the q371 cluster oracle. */
@@ -281,6 +377,63 @@ object MultimodalOps {
       |  JOIN fps fa ON fa.doc_id = c.a
       |  JOIN fps fb ON fb.doc_id = c.b
       |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 6)""".stripMargin
+
+  /** the DuckDB twin of [[videoFingerprints]] + [[audioClusters]]:
+    * restates the reconstructed MPEG-1 planes in q362's closed form
+    * (content translates one MB per frame behind the refresh column;
+    * role 1 lifts brightness uniformly, role 2 re-authors the f=3
+    * refresh column), the per-frame gradient-sign hash, the band join,
+    * and the connected-components closure as a recursive CTE. */
+  private val videoClusterOracleSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |mb AS MATERIALIZED (
+      |  SELECT doc_id, f.i AS f, bx.i AS bx, by.i AS by,
+      |    16 + ((((bx.i - f.i) % 7 + 7) % 7) * 31 + by.i * 23
+      |          + (g % 101) * ((((bx.i - f.i) % 7 + 7) % 7) + 2 * by.i + 1)
+      |          + g * 7) % 224
+      |      + CASE WHEN role = 1 THEN 8 ELSE 0 END
+      |      + CASE WHEN role = 2 AND f.i = 3 AND bx.i = 0
+      |             THEN by.i % 3 ELSE 0 END AS l
+      |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 4) by(i)),
+      |vbits AS (
+      |  SELECT a.doc_id, a.f, a.by * 3 + a.bx AS pos,
+      |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM mb a JOIN mb b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.by = b.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 3),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS band
+      |  FROM vbits GROUP BY 1, 2),
+      |fps AS MATERIALIZED (
+      |  SELECT doc_id, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id),
+      |aedges AS MATERIALIZED (
+      |  SELECT c.a, c.b
+      |  FROM cand c JOIN fps fa ON fa.doc_id = c.a
+      |  JOIN fps fb ON fb.doc_id = c.b
+      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 6),
+      |sym AS (SELECT a, b FROM aedges UNION ALL SELECT b, a FROM aedges),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM sym
+      |  UNION
+      |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b),
+      |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      |mem AS (
+      |  SELECT f.doc_id, COALESCE(l.cluster_id, f.doc_id) AS cluster_id,
+      |    f.fp
+      |  FROM fps f LEFT JOIN lab l ON l.id = f.doc_id)
+      |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(MAX(CASE WHEN doc_id = cluster_id THEN fp END) AS BIGINT)
+      |    AS survivor_fp
+      |FROM mem GROUP BY 1""".stripMargin
 
   /** the q358 decoded-plane oracle, shared verbatim by the stored-FLAC
     * census (q372): same synthesis, same aggregates. */
@@ -737,6 +890,23 @@ object MultimodalOps {
     // a recursive CTE.
     "q371_audio_dup_clusters" -> ((s, dir) =>
       audioClusters(audioFingerprints(s, dir))),
+
+    // VIDEO NEAR-DUP CLUSTERS from STORED MPEG-1 — closing the modality
+    // matrix (text MinHash q22, image dHash q344, audio WHT q371/q377:
+    // video was the one modality without a near-dup family). The stored
+    // sequences decode through the REAL inter-frame decoder (motion
+    // compensation reconstructs frames 1–3 from the I picture), each
+    // sampled frame hashes into a 12-bit gradient-sign band (dHash over
+    // the macroblock grid), candidates come from an exact frame-band
+    // equality join (the LSH shape — never all-pairs), xor+popcount
+    // Hamming ≤ 6 confirms, and the q371 closure rolls clusters +
+    // survivors (sub-linear output in replicas — the 100 TB shape).
+    // Brightness-lifted replicas hash identically; small edits land at
+    // Hamming ≤ 2. The oracle restates the decoded planes (q362's
+    // closed form), the hash, the band join, and the closure as a
+    // recursive CTE.
+    "q390_video_dup_clusters" -> ((s, dir) =>
+      audioClusters(videoFingerprints(s, dir))),
 
     // STORED-corpus codec censuses (q345's storage pattern for the
     // round-10 families): each scans its kind's STORED binary column
@@ -1586,6 +1756,7 @@ object MultimodalOps {
     // by a recursive CTE (min-reachable label == Spark's min-propagation
     // component), singletons labeled by their own id
     "q371_audio_dup_clusters" -> audioClusterOracleSql,
+    "q390_video_dup_clusters" -> videoClusterOracleSql,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
     // oracles VERBATIM: the stored bytes are the same synthesis, the

@@ -711,6 +711,55 @@ object PipelineOps {
       (boot, store)
     })
 
+  /** q391's ANN retention-delete lifecycle (q385's law for vector
+    * search): the quantized vectors land through the REAL storage path
+    * across two days (even vec_id → 2024-02-01, odd → 2024-02-02);
+    * centroids train ONCE over every arrival (the shared q122 trainer —
+    * training preceded the drop, so the oracle's centroid construction
+    * still sees every vector) and the maintainer appends both days as
+    * postings batches; then retention expires day 1 — the doomed
+    * partitions name their vec_ids BEFORE the physical drop, those ids
+    * tombstone the store (probes anti-join), and compaction purges the
+    * dead postings physically. Probing afterwards must rank exactly as
+    * an index whose postings never held day 1 at all. */
+  private val annTombCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def storedAnnRetention(s: SparkSession, dir: String): (String, String) =
+    annTombCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ann_tomb|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"; val boot = s"$base/centroids0"
+      if (!marker.exists()) {
+        val layout = graft.storage.Storage.TableLayout(
+          s"$base/tbl", "tenant0", "default")
+        val epoch = 1706745600L * 1000000000L // 2024-02-01T00:00Z
+        val e = embArr(s, dir)
+        graft.storage.Storage.append(
+          e.withColumn("timestamp", lit(epoch) +
+            pmod(col("vec_id"), lit(2)) * lit(86400L * 1000000000L) +
+            col("vec_id")),
+          layout, "vecs")
+        ivfCentroids(e).write.mode("overwrite").parquet(boot)
+        graft.streaming.AnnMaintain.maintainBatch(store, boot)(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
+        graft.streaming.AnnMaintain.maintainBatch(store, boot)(
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), 1L)
+        // REAL retention: the doomed partitions name their vec_ids (the
+        // read executes inside deleteVecs, before the physical drop)
+        val doomed = s.read.parquet(layout.path("vecs"))
+          .filter(col("date_day") < "2024-02-02")
+          .select(col("vec_id").as("n_id"))
+        graft.streaming.AnnMaintain.deleteVecs(s, store, doomed, 0L)
+        val dropped = graft.storage.Storage.applyRetention(
+          s, layout, "vecs", "2024-02-02")
+        require(dropped == Seq("2024-02-01"),
+          s"retention dropped $dropped, expected exactly 2024-02-01")
+        // physical removal: compaction applies the tombstones
+        graft.streaming.AnnMaintain.compact(s, store)
+        marker.createNewFile()
+      }
+      (boot, store)
+    })
+
   /** q382/q387's shard ENCODE half: each doc becomes one REAL gzipped
     * multi-record jsonl shard whose records DRIFT (records missing
     * quality/lang/meta, one carrying an unknown future field) —
@@ -980,6 +1029,38 @@ object PipelineOps {
       val post = graft.streaming.AnnMaintain.postings(s, store)
       val e = embArr(s, dir)
       val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val cand = post.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
+    // ANN RETENTION DELETES, ORACLE-GATED (q385's lifecycle for vector
+    // search — closing the index-delete law across all three families:
+    // BM25 q385, bucketed dedup q389, ANN here): the maintained store
+    // was built over two days of arrivals, REAL retention expired day 1,
+    // the doomed vec_ids tombstoned the store and compaction purged
+    // them. Probes (day-2 survivors) against the surviving index must
+    // rank exactly as an index whose postings never held day 1 — the
+    // oracle keeps the FULL centroid construction (training preceded
+    // the drop) but restricts the candidate set to survivors.
+    "q391_ann_retention_delete" -> ((s, dir) => {
+      val (boot, store) = storedAnnRetention(s, dir)
+      val cents = s.read.parquet(boot)
+      val post = graft.streaming.AnnMaintain.postings(s, store)
+      val e = embArr(s, dir)
+      val probes = ivfScores(e.filter(pmod(col("vec_id"), lit(100)) === 1), cents)
         .groupBy(col("vec_id"))
         .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
           first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
@@ -4829,6 +4910,26 @@ object PipelineOps {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM cos) WHERE rank <= 3""".stripMargin
 
+  /** q391's oracle: [[ivfKmeansSql]]'s construction UNCHANGED through
+    * the centroid refinement (training preceded the retention drop, so
+    * every vector participates in seeds, membership, and means), with
+    * the CANDIDATE set restricted to the surviving day (odd vec_id) and
+    * the probes drawn from the survivors — build-then-delete must equal
+    * an index whose postings never held the dropped day. */
+  private val annTombSql: String = {
+    val assignAnchor =
+      "assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE crn = 1),"
+    val probeAnchor = "WHERE vec_id % 100 = 0 AND crn <= 4),"
+    require(ivfKmeansSql.contains(assignAnchor) &&
+      ivfKmeansSql.contains(probeAnchor),
+      "annTombSql: ivfKmeansSql anchor text drifted")
+    ivfKmeansSql
+      .replace(assignAnchor,
+        "assign AS (SELECT vec_id AS n_id, c_id AS cell FROM ranked\n" +
+          "  WHERE crn = 1 AND vec_id % 2 = 1),")
+      .replace(probeAnchor, "WHERE vec_id % 100 = 1 AND crn <= 4),")
+  }
+
   /** q380's oracle: [[ivfKmeansSql]] with the index-construction CTEs
     * (seed scoring, member assignment, centroid refinement) restricted
     * to the BASE corpus (vec_id % 5 ≠ 0) — the frozen index — while
@@ -5799,6 +5900,7 @@ object PipelineOps {
     // trainer makes the refreshed store a from-scratch build
     "q386_ann_centroid_refresh" -> ivfKmeansSql,
     "q380_ann_index_delta" -> annDeltaSql,
+    "q391_ann_retention_delete" -> annTombSql,
 
 
     "q24_ann_cosine_topk" ->

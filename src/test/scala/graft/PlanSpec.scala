@@ -45,6 +45,20 @@ class PlanSpec extends AnyFunSuite {
       s"media_raw scan reads more than the census needs:\n$plan")
   }
 
+  test("stored video scan pushes the kind predicate and prunes to (media_id, bytes)") {
+    // the q372 discipline for the video near-dup family: the mpeg kind
+    // filter reaches the parquet scan, and the decoder tasks see only
+    // the id + binary column — never the timestamp/partition payload
+    val df = operators.MultimodalOps.queries("q390_video_dup_clusters")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(kind,mpeg)"),
+      s"kind predicate did not reach the media_video scan:\n$plan")
+    val readSchema = plan.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("bytes:binary")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("timestamp"),
+      s"media_video scan reads more than the fingerprint needs:\n$plan")
+  }
+
   test("stored jsonl.gz shard ingest reads only (doc_id, shard)") {
     // the stored-shard scan must prune to the id + binary column — the
     // layout's timestamp/partition payload never reaches the gunzip
