@@ -203,34 +203,44 @@ object ScaleProof {
     require(run.nonEmpty, s"SPARK_GRAFT_SCALE_ONLY=${only.get.mkString(",")} " +
       "matched no scale-proof family")
     val sel = SparkEntry.queries.filter(q => families.exists(q._1.startsWith))
+    // SPARK_GRAFT_SCALE_REPEAT=2 runs each family a second time in the
+    // SAME process: the first pass pays any write-once fixture/index
+    // build (the LocalCache is per-process), the repeat isolates the
+    // steady-state probe cost — the number a build-once/probe-many
+    // index family is actually judged on
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "1").toInt
     val results = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Long, String)]
+      .empty[(String, Double, Double, Long, String)]
     for (name <- run; fn <- sel.get(name)) {
-      val t0 = System.nanoTime()
-      val (cnt, shape) = try {
-        val df = fn(spark, dst)
-        val n = df.count()
-        // plan-SHAPE record: the join strategies the 10× plan picked —
-        // a regression to a cartesian product (or an unexpected SMJ
-        // where a broadcast is the design point) shows up here, not
-        // just as a slow wall time
-        val plan = df.queryExecution.executedPlan.toString
-        def c(op: String) = plan.sliding(op.length).count(_ == op)
-        val s = s"bhj=${c("BroadcastHashJoin")},smj=${c("SortMergeJoin")}," +
-          s"bnlj=${c("BroadcastNestedLoopJoin")},cart=${c("CartesianProduct")}"
-        require(!plan.contains("CartesianProduct"),
-          s"$name regressed to a cartesian product at ${copies}x")
-        (n, s)
-      } catch { case e: Throwable =>
-        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
-        (-1L, "failed")
+      var cnt = -1L; var shape = "failed"
+      val secs = (0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, dst)
+          cnt = df.count()
+          // plan-SHAPE record: the join strategies the scaled plan
+          // picked — a regression to a cartesian product (or an
+          // unexpected SMJ where a broadcast is the design point) shows
+          // up here, not just as a slow wall time
+          val plan = df.queryExecution.executedPlan.toString
+          def c(op: String) = plan.sliding(op.length).count(_ == op)
+          shape = s"bhj=${c("BroadcastHashJoin")},smj=${c("SortMergeJoin")}," +
+            s"bnlj=${c("BroadcastNestedLoopJoin")},cart=${c("CartesianProduct")}"
+          require(!plan.contains("CartesianProduct"),
+            s"$name regressed to a cartesian product at ${copies}x")
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      results += ((name, sec, cnt, shape))
-      System.err.println(f"[scale] $name%-28s $sec%8.2fs rows=$cnt  $shape")
+      val warm = if (secs.length > 1) secs.tail.min else secs.head
+      results += ((name, secs.head, warm, cnt, shape))
+      System.err.println(f"[scale] $name%-28s ${secs.head}%8.2fs " +
+        f"(warm $warm%.2fs) rows=$cnt  $shape")
     }
-    val json = results.map { case (n, s, c, sh) =>
-      s""""$n":{"sec":${f"$s%.2f"},"rows":$c,"plan":"$sh"}""" }.mkString(",")
+    val json = results.map { case (n, s, w, c, sh) =>
+      s""""$n":{"sec":${f"$s%.2f"},"warm_sec":${f"$w%.2f"},"rows":$c,"plan":"$sh"}""" }
+      .mkString(",")
     println(s"""{"scale":"${copies}x-sf0.1","dir":"$dst","queries":{$json}}""")
     spark.stop()
   }

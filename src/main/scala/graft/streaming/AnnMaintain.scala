@@ -26,7 +26,8 @@ object AnnMaintain {
 
   private val postingsSchema = StructType(Seq(
     StructField("n_id", LongType), StructField("cell", LongType),
-    StructField("nv", ArrayType(LongType)), StructField("nn", LongType)))
+    StructField("nv", ArrayType(LongType)), StructField("nn", LongType),
+    StructField("src", LongType)))
 
   /** foreachBatch body: assign a micro-batch of vectors — columns
     * (vec_id, vq: array<long>, nrm: long) — to the frozen centroids at
@@ -54,6 +55,9 @@ object AnnMaintain {
         first(col("nrm")).as("nn"))
       .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
         col("nv"), col("nn"))
+      // src = the batch that wrote the row: a tombstone kills only rows
+      // whose source existed at delete time (src ≤ its covers)
+      .withColumn("src", lit(batchId))
       .write.mode("overwrite").parquet(s"$dir/postings/batch-$batchId")
   }
 
@@ -85,11 +89,26 @@ object AnnMaintain {
       })
   }
 
+  /** live tombstone rows with their coverage bound — (n_id, covers). */
   private def tombstones(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = tombstoneDirs(spark, dir).map(_._1.toString)
-    if (dirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-    else spark.read.schema(tombSchema).parquet(dirs: _*)
+    val ds = tombstoneDirs(spark, dir)
+    if (ds.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+      .withColumn("covers", lit(-1L))
+    else ds.map { case (p, _, cov) =>
+      spark.read.schema(tombSchema).parquet(p.toString)
+        .withColumn("covers", lit(cov))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `post` minus the rows a tombstone may legitimately kill: only rows
+    * whose source batch existed at delete time (src ≤ covers) — a
+    * vector re-appended AFTER a delete resurfaces instead of being
+    * silently killed by the older tombstone. */
+  private def antiTomb(post: DataFrame, tomb: DataFrame): DataFrame = {
+    val t = tomb.withColumnRenamed("n_id", "_t_key")
+    post.join(t, post("n_id") === t("_t_key") && post("src") <= t("covers"),
+      "left_anti")
   }
 
   /** delete vectors from the maintained postings (the retention hook). */
@@ -109,8 +128,8 @@ object AnnMaintain {
   /** all LIVE stream-appended postings ([[BatchStore]] rule), minus the
     * tombstoned vectors. */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    BatchStore.read(spark, s"$dir/postings", postingsSchema)
-      .join(tombstones(spark, dir), Seq("n_id"), "left_anti")
+    antiTomb(BatchStore.read(spark, s"$dir/postings", postingsSchema),
+      tombstones(spark, dir)).drop("src")
 
   // ---- centroid refresh (drift maintenance) -----------------------------
   // The stream path NEVER mutates what probes broadcast; retraining on
@@ -172,19 +191,19 @@ object AnnMaintain {
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     BatchStore.compact(spark, s"$dir/postings", postingsSchema, { df =>
-      df.join(dead, Seq("n_id"), "left_anti")
-        .select(col("n_id"), col("nv"), col("nn"))
+      antiTomb(df, dead)
+        .select(col("n_id"), col("nv"), col("nn"), col("src"))
         .crossJoin(broadcast(cents))
-        .select(col("n_id"), col("nv"), col("nn"), struct(
+        .select(col("n_id"), col("nv"), col("nn"), col("src"), struct(
           (-(dot(col("nv"), col("cv")).cast(DoubleType) /
             sqrt(col("cn").cast(DoubleType) * col("nn").cast(DoubleType))))
             .as("negcos"),
           col("c_id").as("c_id")).as("sc"))
         .groupBy(col("n_id"))
         .agg(min(col("sc")).as("best"), first(col("nv")).as("nv"),
-          first(col("nn")).as("nn"))
+          first(col("nn")).as("nn"), first(col("src")).as("src"))
         .select(col("n_id"), col("best.c_id").as("cell"),
-          col("nv"), col("nn"))
+          col("nv"), col("nn"), col("src"))
         .sortWithinPartitions(col("cell"))
     }, upTo = Long.MaxValue, force = true)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -202,7 +221,7 @@ object AnnMaintain {
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => new Path(d).getName.split("-").last.toLong).filter(_ <= upTo)
     BatchStore.compact(spark, s"$dir/postings", postingsSchema,
-      _.join(dead, Seq("n_id"), "left_anti").sortWithinPartitions(col("cell")),
+      df => antiTomb(df, dead).sortWithinPartitions(col("cell")),
       upTo, force = tombs.nonEmpty)
     if (folded.length >= 2 || (folded.nonEmpty && tombs.nonEmpty)) {
       val gen = folded.max

@@ -26,7 +26,8 @@ object IndexMaintain {
 
   private val postingsSchema = StructType(Seq(
     StructField("tok", StringType), StructField("doc_id", LongType),
-    StructField("dl", LongType), StructField("tf", LongType)))
+    StructField("dl", LongType), StructField("tf", LongType),
+    StructField("src", LongType)))
   private val statsSchema = StructType(Seq(
     StructField("n_docs", LongType), StructField("tot_tok", LongType)))
 
@@ -45,6 +46,9 @@ object IndexMaintain {
     docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      // src = the batch that wrote the row: a tombstone kills only rows
+      // whose source existed at delete time (src ≤ its covers)
+      .withColumn("src", lit(batchId))
       .sortWithinPartitions(col("tok")) // row-group stats prune IN-list probes
       .write.mode("overwrite").parquet(s"$dir/postings/batch-$batchId")
     docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
@@ -74,10 +78,13 @@ object IndexMaintain {
   //                                   BatchStore (own id space) so
   //                                   delete ids can never collide with
   //                                   (or mask) stream batch ids.
-  // Reads anti-join the live tombstones; [[compact]] applies them
-  // physically to the postings generation and purges the tombstones
-  // whose coverage folded. Every crash point is read-consistent: a
-  // tombstone is either live (anti-joined) or its targets are gone.
+  // Reads anti-join the live tombstones BOUNDED BY COVERAGE (a
+  // tombstone kills only postings whose source batch existed at delete
+  // time — src ≤ covers — so a document re-appended after a delete
+  // resurfaces); [[compact]] applies them physically to the postings
+  // generation and purges the tombstones whose coverage folded. Every
+  // crash point is read-consistent: a tombstone is either live
+  // (anti-joined) or its targets are gone.
 
   private val TombstoneR = "^del-(\\d+)-c(-?\\d+)$".r
 
@@ -95,12 +102,28 @@ object IndexMaintain {
 
   private val tombSchema = StructType(Seq(StructField("doc_id", LongType)))
 
+  /** live tombstone rows with their coverage bound — (doc_id, covers). */
   private def tombstones(spark: SparkSession, dir: String,
       except: Long = -1L): DataFrame = {
-    val dirs = tombstoneDirs(spark, dir).filter(_._2 != except).map(_._1.toString)
-    if (dirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-    else spark.read.schema(tombSchema).parquet(dirs: _*)
+    val ds = tombstoneDirs(spark, dir).filter(_._2 != except)
+    if (ds.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+      .withColumn("covers", lit(-1L))
+    else ds.map { case (p, _, cov) =>
+      spark.read.schema(tombSchema).parquet(p.toString)
+        .withColumn("covers", lit(cov))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `post` minus the rows a tombstone may legitimately kill: only rows
+    * whose source batch existed at delete time (src ≤ covers) — a
+    * document re-appended AFTER a delete resurfaces instead of being
+    * silently killed by the older tombstone. */
+  private def antiTomb(post: DataFrame, tomb: DataFrame,
+      key: String): DataFrame = {
+    val t = tomb.withColumnRenamed(key, "_t_key")
+    post.join(t, post(key) === t("_t_key") && post("src") <= t("covers"),
+      "left_anti")
   }
 
   /** delete documents from the maintained index (the retention hook):
@@ -115,8 +138,9 @@ object IndexMaintain {
     val covers = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => new Path(d).getName.split("-").last.toLong)
       .sorted.lastOption.getOrElse(-1L)
-    val visible = BatchStore.read(spark, s"$dir/postings", postingsSchema)
-      .join(tombstones(spark, dir, except = deleteId), Seq("doc_id"), "left_anti")
+    val visible = antiTomb(
+        BatchStore.read(spark, s"$dir/postings", postingsSchema),
+        tombstones(spark, dir, except = deleteId), "doc_id")
       .join(dead, Seq("doc_id"))
       .select(col("doc_id"), col("dl")).distinct()
       .cache()
@@ -151,7 +175,7 @@ object IndexMaintain {
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => new Path(d).getName.split("-").last.toLong).filter(_ <= upTo)
     BatchStore.compact(spark, s"$dir/postings", postingsSchema,
-      _.join(dead, Seq("doc_id"), "left_anti").sortWithinPartitions(col("tok")),
+      df => antiTomb(df, dead, "doc_id").sortWithinPartitions(col("tok")),
       upTo, force = tombs.nonEmpty)
     if (folded.length >= 2 || (folded.nonEmpty && tombs.nonEmpty)) {
       val gen = folded.max
@@ -167,8 +191,8 @@ object IndexMaintain {
   }
 
   def postings(spark: SparkSession, dir: String): DataFrame =
-    BatchStore.read(spark, s"$dir/postings", postingsSchema)
-      .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
+    antiTomb(BatchStore.read(spark, s"$dir/postings", postingsSchema),
+      tombstones(spark, dir), "doc_id").drop("src")
 
   def stats(spark: SparkSession, dir: String): DataFrame =
     BatchStore.read(spark, s"$dir/stats", statsSchema)

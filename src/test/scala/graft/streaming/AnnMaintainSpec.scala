@@ -138,6 +138,24 @@ class AnnMaintainSpec extends AnyFunSuite {
       "an orphan centroid generation (no matching postings) became current")
   }
 
+  test("a vector re-appended after a delete resurfaces (tombstones are source-bounded)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annre_").toString
+    val cp = mkCentroids(base)
+    val dir = s"$base/idx"
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(vecs), 0L)
+    AnnMaintain.deleteVecs(spark, dir, Seq(10L).toDF("n_id"), deleteId = 0L)
+    assert(!state(dir).exists(_._1 == 10L), "deleted vector still served")
+    // the vector returns in a LATER batch — a tombstone covers only the
+    // postings that existed at delete time, never the re-append
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(vecs.take(1)), 1L)
+    assert(state(dir).exists(_._1 == 10L),
+      "re-appended vector was killed by the older tombstone")
+    AnnMaintain.compact(spark, dir)
+    assert(state(dir) == Set((10L, 0L), (11L, 1L), (12L, 0L), (13L, 1L)),
+      "compaction dropped the re-appended vector")
+  }
+
   test("tombstoned vectors vanish at read, then physically at compaction") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_annd_").toString

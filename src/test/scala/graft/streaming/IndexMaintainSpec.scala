@@ -165,6 +165,30 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(ranking(dir).forall(_._1 != 3L))
   }
 
+  test("a document re-appended after a delete resurfaces (tombstones are source-bounded)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxre_").toString
+    IndexMaintain.maintainBatch(dir)(docs.toDF("doc_id", "text"), 0L)
+    IndexMaintain.deleteDocs(spark, dir, Seq(5L).toDF("doc_id"), 0L)
+    assert(ranking(dir).forall(_._1 != 5L), "deleted doc still served")
+    // the doc returns in a LATER batch — a tombstone covers only the
+    // postings that existed at delete time, never the re-append
+    IndexMaintain.maintainBatch(dir)(
+      docs.filter(_._1 == 5L).toDF("doc_id", "text"), 1L)
+    assert(ranking(dir).exists(_._1 == 5L),
+      "re-appended doc was killed by the older tombstone")
+    // stats: −1 from the delete, +1 from the re-append — net = full corpus
+    val st = IndexMaintain.stats(spark, dir).collect()(0)
+    assert(st.getLong(0) == docs.length.toLong,
+      "stats must net out after delete + re-append")
+    // compaction keeps the re-appended postings and purges the tombstone
+    IndexMaintain.compact(spark, dir)
+    assert(ranking(dir).exists(_._1 == 5L),
+      "compaction dropped the re-appended doc")
+    assert(!new java.io.File(s"$dir/tombstones").exists() ||
+      new java.io.File(s"$dir/tombstones").listFiles().isEmpty)
+  }
+
   test("replaying a batch id rewrites identical state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idxr_").toString
