@@ -189,7 +189,11 @@ object ScaleProof {
       // ANN retention deletes: the tombstone anti-join + compacted
       // purge at 10× index volume; probe shape must stay q380's
       // broadcast/DPP with delta-sized shuffles only
-      "q391_ann_retention_delete")
+      "q391_ann_retention_delete",
+      // incremental video dedup: the corpus band index must scan
+      // exchange-free (bucketed) at 10× drop volume — the corpus is
+      // decoded at index build only, never per drop
+      "q392_video_dedup_delta")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -246,24 +246,54 @@ object MultimodalOps {
     * re-authored, flipping at most two hash bits). MB-flat intra blocks
     * keep the IDCT exact (q362's closed-form trick), so the oracle can
     * restate every reconstructed frame arithmetically. */
-  private[graft] def videoPlan(id: Long): (Int, Int, Seq[graft.multimodal.Mpeg1.FramePlan]) = {
+  /** the shared MPEG-1 frame builder behind q390's corpus and q392's
+    * delta drop: group-`g` content (gradient mixing constant `mix`)
+    * translating one MB right per frame behind an intra refresh column,
+    * uniformly lifted by `off`, with `lastEdit(by)` added to the f=3
+    * refresh column (0 = untouched). The content polynomial is
+    * QUADRATIC in the translated column (adjacent-cell differences vary
+    * with cell AND group, so gradient-sign patterns are diverse across
+    * groups — distinct groups hash apart instead of collapsing into one
+    * wrap-dominated sign plane). */
+  private def videoFrames(g: Long, mix: Int, off: Int, lastEdit: Int => Int)
+      : Seq[graft.multimodal.Mpeg1.FramePlan] = {
     import graft.multimodal.Mpeg1.{FramePlan, MbIntra, MbMc}
-    val g = id / 9 * 9; val role = (id / 3) % 3
     def base(u: Int, by: Int): Int = {
       val u7 = ((u % 7) + 7) % 7
-      (16L + (u7.toLong * 31 + by * 23 + (g % 101) * (u7 + 2 * by + 1) +
-        g * 7) % 224).toInt
+      (16L + (13L * u7 * u7 + u7.toLong * ((g % 97) + mix) + 29L * by +
+        by.toLong * u7 * ((g % 89) % 13 + 3) +
+        (g % 101) * (by + 2) + g * 7) % 224).toInt
     }
-    val off = if (role == 1) 8 else 0
-    val frames = FramePlan(intra = true,
+    FramePlan(intra = true,
       (bx, by) => MbIntra(base(bx, by) + off)) +:
       (1 to 3).map { f =>
         FramePlan(intra = false, (bx, by) =>
           if (bx == 0) MbIntra(base(bx - f, by) + off +
-            (if (role == 2 && f == 3) by % 3 else 0))
+            (if (f == 3) lastEdit(by) else 0))
           else MbMc(-16, 0))
       }
-    (64, 64, frames)
+  }
+
+  private[graft] def videoPlan(id: Long): (Int, Int, Seq[graft.multimodal.Mpeg1.FramePlan]) = {
+    val g = id / 9 * 9; val role = (id / 3) % 3
+    (64, 64, videoFrames(g, mix = 7, off = if (role == 1) 8 else 0,
+      lastEdit = if (role == 2) by => by % 3 else _ => 0))
+  }
+
+  /** q392's delta drop, one new video per corpus lane doc (delta ids
+    * shift by +50,000,000): against each role-0 corpus doc an EXACT
+    * re-encode (brightness +4 — the gradient-sign fingerprint is
+    * invariant), against each role-1 doc a NEAR duplicate (a different
+    * last-frame edit, ≤ 2 hash bits), against each role-2 doc genuinely
+    * NEW content (a different gradient mixing plane). */
+  private[graft] def deltaVideoPlan(did: Long): (Int, Int, Seq[graft.multimodal.Mpeg1.FramePlan]) = {
+    val id = did - 50000000L
+    val g = id / 9 * 9; val cls = (id / 3) % 3
+    cls match {
+      case 0 => (64, 64, videoFrames(g, mix = 7, off = 4, _ => 0))
+      case 1 => (64, 64, videoFrames(g, mix = 7, off = 0, by => (by + 1) % 3))
+      case _ => (64, 64, videoFrames(g, mix = 19, off = 0, _ => 0))
+    }
   }
 
   /** the STORED video table (the q372 storage pattern for the
@@ -305,6 +335,27 @@ object MultimodalOps {
     * pack into a 60-bit fingerprint — the frame-sampled signature a
     * video-corpus dedup keys on. Shares q371's band/cluster machinery:
     * columns (doc_id, b1..b4, fp). */
+  /** decode an MPEG-1 payload and hash each reconstructed frame's
+    * macroblock grid into a 12-bit gradient-sign band (sampling each
+    * 16×16 block's luma at its center — MB-flat content, the sample IS
+    * the block value); returns (b1..b4, packed 60-bit fp). */
+  private def videoFp(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val d = graft.multimodal.Mpeg1.decode(bytes).get
+    val bands = Array.tabulate(4) { f =>
+      val y = d.frames(f).y
+      var band = 0L
+      for (by <- 0 until 4; c <- 0 until 3) {
+        val l = y((by * 16 + 8) * d.width + c * 16 + 8)
+        val r = y((by * 16 + 8) * d.width + (c + 1) * 16 + 8)
+        if (r > l) band |= 1L << (by * 3 + c)
+      }
+      band
+    }
+    val fp = bands.zipWithIndex.map { case (b, f) => b << (f * 15) }
+      .reduce(_ | _)
+    (bands(0), bands(1), bands(2), bands(3), fp)
+  }
+
   private def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the kind predicate stays RELATIONAL (pushed to the parquet scan)
@@ -314,21 +365,62 @@ object MultimodalOps {
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val d = graft.multimodal.Mpeg1.decode(bytes).get
-        val bands = Array.tabulate(4) { f =>
-          val y = d.frames(f).y
-          var band = 0L
-          for (by <- 0 until 4; c <- 0 until 3) {
-            val l = y((by * 16 + 8) * d.width + c * 16 + 8)
-            val r = y((by * 16 + 8) * d.width + (c + 1) * 16 + 8)
-            if (r > l) band |= 1L << (by * 3 + c)
-          }
-          band
-        }
-        val fp = bands.zipWithIndex.map { case (b, f) => b << (f * 15) }
-          .reduce(_ | _)
-        (id, bands(0), bands(1), bands(2), bands(3), fp)
+        val (b1, b2, b3, b4, fp) = videoFp(bytes)
+        (id, b1, b2, b3, b4, fp)
       }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+  }
+
+  /** q392's arriving drop, fingerprinted in flight: the delta videos
+    * encode → decode → hash inside the probe plan (new data has no
+    * stored copy yet — the corpus side is what must never be re-read). */
+  private def deltaVideoFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val did = id + 50000000L
+        val (w, h, frames) = deltaVideoPlan(did)
+        val (b1, b2, b3, b4, fp) =
+          videoFp(graft.multimodal.Mpeg1.encode(w, h, frames))
+        (did, b1, b2, b3, b4, fp)
+      }.toDF("did", "b1", "b2", "b3", "b4", "fp")
+  }
+
+  /** the STORED corpus band index behind q392 (the q379 discipline for
+    * perceptual hashes): every corpus video's four frame bands land ONCE
+    * as (bk = f·2¹⁵ + band, doc_id, fp) rows, write-time CLUSTERED on
+    * the band key — at probe time the index scan is exchange-free and
+    * only the delta's rows shuffle. Corpus videos are decoded at index
+    * BUILD time only; re-registration in a fresh session binds the
+    * on-disk bucketed layout without re-deriving a byte. */
+  private val videoIdxLock = new Object
+  private def videoBandIndex(s: SparkSession, dir: String): DataFrame = {
+    val key = "video_band_idx:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "tenant0", "vidx")
+    val suffix = Integer.toHexString(base.hashCode & 0x7fffffff)
+    val table = s"video_band_idx_$suffix"
+    videoIdxLock.synchronized {
+      if (!s.catalog.tableExists(s"tenant0_vidx_$table")) {
+        if (new java.io.File(layout.path(table), "_SUCCESS").exists()) {
+          graft.storage.Storage.registerBucketed(s, layout, table,
+            "bk BIGINT, doc_id BIGINT, fp BIGINT", "bk", 8)
+        } else {
+          val fps = videoFingerprints(s, dir)
+          val bands = fps.select(col("doc_id"), col("fp"), explode(array(
+              struct(lit(0L).as("f"), col("b1").as("band")),
+              struct(lit(1L).as("f"), col("b2").as("band")),
+              struct(lit(2L).as("f"), col("b3").as("band")),
+              struct(lit(3L).as("f"), col("b4").as("band")))).as("e"))
+            .select((col("e.f") * 32768 + col("e.band")).as("bk"),
+              col("doc_id"), col("fp"))
+          graft.storage.Storage.writeBucketed(bands, layout, table, "bk", 8)
+        }
+      }
+    }
+    s.table(s"tenant0_vidx_$table")
   }
 
   /** the DuckDB twin of [[audioFingerprints]] + [[audioFpEdges]]: ends in
@@ -388,15 +480,19 @@ object MultimodalOps {
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
       |  FROM documents WHERE doc_id % 3 = 1),
-      |mb AS MATERIALIZED (
-      |  SELECT doc_id, f.i AS f, bx.i AS bx, by.i AS by,
-      |    16 + ((((bx.i - f.i) % 7 + 7) % 7) * 31 + by.i * 23
-      |          + (g % 101) * ((((bx.i - f.i) % 7 + 7) % 7) + 2 * by.i + 1)
-      |          + g * 7) % 224
-      |      + CASE WHEN role = 1 THEN 8 ELSE 0 END
-      |      + CASE WHEN role = 2 AND f.i = 3 AND bx.i = 0
-      |             THEN by.i % 3 ELSE 0 END AS l
+      |cells AS (
+      |  SELECT doc_id, g, role, f.i AS f, bx.i AS bx, by.i AS by,
+      |    (((bx.i - f.i) % 7 + 7) % 7) AS u7
       |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 4) by(i)),
+      |mb AS MATERIALIZED (
+      |  SELECT doc_id, f, bx, by,
+      |    16 + (13 * u7 * u7 + u7 * ((g % 97) + 7) + 29 * by
+      |          + by * u7 * ((g % 89) % 13 + 3)
+      |          + (g % 101) * (by + 2) + g * 7) % 224
+      |      + CASE WHEN role = 1 THEN 8 ELSE 0 END
+      |      + CASE WHEN role = 2 AND f = 3 AND bx = 0
+      |             THEN by % 3 ELSE 0 END AS l
+      |  FROM cells),
       |vbits AS (
       |  SELECT a.doc_id, a.f, a.by * 3 + a.bx AS pos,
       |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
@@ -418,7 +514,7 @@ object MultimodalOps {
       |  SELECT c.a, c.b
       |  FROM cand c JOIN fps fa ON fa.doc_id = c.a
       |  JOIN fps fb ON fb.doc_id = c.b
-      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 6),
+      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 2),
       |sym AS (SELECT a, b FROM aedges UNION ALL SELECT b, a FROM aedges),
       |reach AS (
       |  SELECT a AS id, a AS r FROM sym
@@ -434,6 +530,85 @@ object MultimodalOps {
       |  CAST(MAX(CASE WHEN doc_id = cluster_id THEN fp END) AS BIGINT)
       |    AS survivor_fp
       |FROM mem GROUP BY 1""".stripMargin
+
+  /** q392's DuckDB twin: both content planes restated in closed form —
+    * the corpus exactly as q390's oracle, the delta with its class
+    * transforms (role 0 → +4 brightness, role 1 → the (by+1)%3
+    * last-frame edit, role 2 → the 37-mix fresh plane) — then the same
+    * per-frame hash on each side, the band-equality candidate join, the
+    * Hamming confirm, and the exact/near/new classification. */
+  private val videoDeltaOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |cells AS (
+      |  SELECT doc_id, g, role, f.i AS f, bx.i AS bx, by.i AS by,
+      |    (((bx.i - f.i) % 7 + 7) % 7) AS u7
+      |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 4) by(i)),
+      |cmb AS MATERIALIZED (
+      |  SELECT doc_id, f, bx, by,
+      |    16 + (13 * u7 * u7 + u7 * ((g % 97) + 7) + 29 * by
+      |          + by * u7 * ((g % 89) % 13 + 3)
+      |          + (g % 101) * (by + 2) + g * 7) % 224
+      |      + CASE WHEN role = 1 THEN 8 ELSE 0 END
+      |      + CASE WHEN role = 2 AND f = 3 AND bx = 0
+      |             THEN by % 3 ELSE 0 END AS l
+      |  FROM cells),
+      |dmb AS MATERIALIZED (
+      |  SELECT doc_id + 50000000 AS did, f, bx, by,
+      |    16 + (13 * u7 * u7
+      |          + u7 * ((g % 97) + (CASE WHEN role = 2 THEN 19 ELSE 7 END))
+      |          + 29 * by + by * u7 * ((g % 89) % 13 + 3)
+      |          + (g % 101) * (by + 2)
+      |          + g * 7) % 224
+      |      + CASE WHEN role = 0 THEN 4 ELSE 0 END
+      |      + CASE WHEN role = 1 AND f = 3 AND bx = 0
+      |             THEN (by + 1) % 3 ELSE 0 END AS l
+      |  FROM cells),
+      |cbits AS (
+      |  SELECT a.doc_id, a.f, a.by * 3 + a.bx AS pos,
+      |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM cmb a JOIN cmb b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.by = b.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 3),
+      |cbands AS MATERIALIZED (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS band
+      |  FROM cbits GROUP BY 1, 2),
+      |cfps AS MATERIALIZED (
+      |  SELECT doc_id, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+      |  FROM cbands GROUP BY 1),
+      |dbits AS (
+      |  SELECT a.did, a.f, a.by * 3 + a.bx AS pos,
+      |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM dmb a JOIN dmb b ON a.did = b.did AND a.f = b.f
+      |    AND a.by = b.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 3),
+      |dbands AS MATERIALIZED (
+      |  SELECT did, f,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS band
+      |  FROM dbits GROUP BY 1, 2),
+      |dfps AS MATERIALIZED (
+      |  SELECT did, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+      |  FROM dbands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT d.did, c.doc_id
+      |  FROM dbands d JOIN cbands c ON d.f = c.f AND d.band = c.band),
+      |edges AS (
+      |  SELECT n.did, n.doc_id, bit_count(xor(df.fp, cf.fp)) AS hd
+      |  FROM cand n
+      |  JOIN dfps df ON df.did = n.did
+      |  JOIN cfps cf ON cf.doc_id = n.doc_id
+      |  WHERE bit_count(xor(df.fp, cf.fp)) <= 2),
+      |best AS (
+      |  SELECT did, MIN(hd) AS min_hd, MIN(doc_id) AS dup_of
+      |  FROM edges GROUP BY 1)
+      |SELECT d.did,
+      |  CASE WHEN b.min_hd = 0 THEN 'exact'
+      |       WHEN b.min_hd IS NOT NULL THEN 'near'
+      |       ELSE 'new' END AS status,
+      |  CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of
+      |FROM dfps d LEFT JOIN best b ON b.did = d.did""".stripMargin
 
   /** the q358 decoded-plane oracle, shared verbatim by the stored-FLAC
     * census (q372): same synthesis, same aggregates. */
@@ -561,7 +736,7 @@ object MultimodalOps {
   private def audioFpEdges(s: SparkSession, dir: String): DataFrame =
     audioFpEdgesFrom(audioFingerprints(s, dir))
 
-  private def audioFpEdgesFrom(fps: DataFrame): DataFrame = {
+  private def audioFpEdgesFrom(fps: DataFrame, maxHd: Long = 6): DataFrame = {
     val bandRows = fps.select(col("doc_id"), col("fp"), explode(array(
         struct(lit(1).as("f"), col("b1").as("band")),
         struct(lit(2).as("f"), col("b2").as("band")),
@@ -577,7 +752,7 @@ object MultimodalOps {
       .distinct()
       .select(col("media_a"), col("media_b"),
         expr("bit_count(fpa ^ fpb)").cast("long").as("hamming_dist"))
-      .filter(col("hamming_dist") <= 6)
+      .filter(col("hamming_dist") <= maxHd)
   }
 
   /** cluster + survivor rollup over a fingerprint frame (doc_id, b1..b4,
@@ -586,8 +761,8 @@ object MultimodalOps {
     * member (== the cluster label by min-propagation), its fingerprint
     * carried via the doc_id == cluster_id pick. Shared by q371 (WAV
     * path) and q377 (stored-FLAC path). */
-  private def audioClusters(fps: DataFrame): DataFrame = {
-    val edges = audioFpEdgesFrom(fps)
+  private def audioClusters(fps: DataFrame, maxHd: Long = 6): DataFrame = {
+    val edges = audioFpEdgesFrom(fps, maxHd)
       .select(col("media_a").as("u"), col("media_b").as("v"))
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val lbl = graft.operators.PipelineOps.connectedComponents(sym)
@@ -905,8 +1080,49 @@ object MultimodalOps {
     // Hamming ≤ 2. The oracle restates the decoded planes (q362's
     // closed form), the hash, the band join, and the closure as a
     // recursive CTE.
+    // (confirm threshold 2, not the audio family's 6: the video hash is
+    // 48 bits against audio's 60, and the designed within-cluster edits
+    // stay ≤ 2 bits — a looser bound percolates unrelated groups into
+    // giant clusters once the corpus carries thousands of groups, the
+    // failure mode a 100 TB near-dup metric must not have)
     "q390_video_dup_clusters" -> ((s, dir) =>
-      audioClusters(videoFingerprints(s, dir))),
+      audioClusters(videoFingerprints(s, dir), maxHd = 2)),
+
+    // INCREMENTAL VIDEO DEDUP — q370/q379's delta-vs-corpus shape for
+    // perceptual media: when a drop of new videos lands, classify ONLY
+    // the drop against the STORED corpus band index (write-time
+    // clustered on the band key, so the corpus side of the probe join
+    // is exchange-free and the corpus is never re-fingerprinted — at
+    // 100 TB re-decoding the archive per drop is the thing this
+    // operator exists to avoid). The drop fingerprints in flight
+    // (encode → REAL decode → hash inside the plan), candidates come
+    // from band equality, Hamming ≤ 6 confirms, and each delta video
+    // classifies exact (hd = 0) / near (0 < hd ≤ 6) / new, carrying the
+    // min corpus match. The oracle restates both content planes, the
+    // hashes, and the classification.
+    "q392_video_dedup_delta" -> ((s, dir) => {
+      val idx = videoBandIndex(s, dir)
+      val delta = deltaVideoFingerprints(s, dir)
+      val dbands = delta.select(col("did"), col("fp").as("dfp"), explode(array(
+          struct(lit(0L).as("f"), col("b1").as("band")),
+          struct(lit(1L).as("f"), col("b2").as("band")),
+          struct(lit(2L).as("f"), col("b3").as("band")),
+          struct(lit(3L).as("f"), col("b4").as("band")))).as("e"))
+        .select(col("did"), col("dfp"),
+          (col("e.f") * 32768 + col("e.band")).as("bk"))
+      val cand = dbands.join(idx, Seq("bk"))
+        .select(col("did"), col("dfp"), col("doc_id"), col("fp")).distinct()
+        .withColumn("hd", expr("bit_count(dfp ^ fp)").cast("long"))
+        .filter(col("hd") <= 2) // q390's video confirm threshold
+      val best = cand.groupBy(col("did"))
+        .agg(min(col("hd")).as("min_hd"), min(col("doc_id")).as("dup_of"))
+      delta.select(col("did")).join(best, Seq("did"), "left")
+        .select(col("did"),
+          when(col("min_hd") === 0, "exact")
+            .when(col("min_hd").isNotNull, "near")
+            .otherwise("new").as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+    }),
 
     // STORED-corpus codec censuses (q345's storage pattern for the
     // round-10 families): each scans its kind's STORED binary column
@@ -1757,6 +1973,7 @@ object MultimodalOps {
     // component), singletons labeled by their own id
     "q371_audio_dup_clusters" -> audioClusterOracleSql,
     "q390_video_dup_clusters" -> videoClusterOracleSql,
+    "q392_video_dedup_delta" -> videoDeltaOracleSql,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
     // oracles VERBATIM: the stored bytes are the same synthesis, the

@@ -59,6 +59,20 @@ class PlanSpec extends AnyFunSuite {
       s"media_video scan reads more than the fingerprint needs:\n$plan")
   }
 
+  test("incremental video dedup probes a BUCKETED corpus band index (no corpus-side shuffle)") {
+    val df = operators.MultimodalOps.queries("q392_video_dedup_delta")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the corpus side of the probe join scans the write-time-clustered
+    // index with NO Exchange above it — at 100 TB the only rows moved
+    // per drop are the delta's
+    assert(formatted.contains("Bucketed: true"),
+      s"corpus band index not scanned as bucketed:\n$formatted")
+    assert(formatted.linesIterator.exists(l =>
+      l.contains("video_band_idx") && l.contains("Scan")),
+      s"expected the stored band-index scan:\n$formatted")
+  }
+
   test("stored jsonl.gz shard ingest reads only (doc_id, shard)") {
     // the stored-shard scan must prune to the id + binary column — the
     // layout's timestamp/partition payload never reaches the gunzip

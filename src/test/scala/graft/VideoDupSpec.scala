@@ -14,19 +14,24 @@ class VideoDupSpec extends AnyFunSuite {
   private def oracleL(id: Long, f: Int, bx: Int, by: Int): Int = {
     val g = id / 9 * 9; val role = (id / 3) % 3
     val u7 = (((bx - f) % 7) + 7) % 7
-    (16L + (u7.toLong * 31 + by * 23 + (g % 101) * (u7 + 2 * by + 1) +
-      g * 7) % 224).toInt +
+    (16L + (13L * u7 * u7 + u7.toLong * ((g % 97) + 7) + 29L * by +
+      by.toLong * u7 * ((g % 89) % 13 + 3) +
+      (g % 101) * (by + 2) + g * 7) % 224).toInt +
       (if (role == 1) 8 else 0) +
       (if (role == 2 && f == 3 && bx == 0) by % 3 else 0)
   }
 
-  private def decodePlanes(id: Long): Vector[Array[Int]] = {
-    val (w, h, frames) = operators.MultimodalOps.videoPlan(id)
+  private def planesOf(plan: (Int, Int, Seq[graft.multimodal.Mpeg1.FramePlan]))
+      : Vector[Array[Int]] = {
+    val (w, h, frames) = plan
     val d = graft.multimodal.Mpeg1.decode(
       graft.multimodal.Mpeg1.encode(w, h, frames)).get
     assert(d.width == 64 && d.height == 64 && d.frames.length == 4)
     d.frames.map(_.y)
   }
+
+  private def decodePlanes(id: Long): Vector[Array[Int]] =
+    planesOf(operators.MultimodalOps.videoPlan(id))
 
   /** the q390 per-frame 12-bit gradient-sign bands off a decoded plane. */
   private def bands(planes: Vector[Array[Int]]): Array[Long] =
@@ -59,6 +64,25 @@ class VideoDupSpec extends AnyFunSuite {
       val b0 = bands(decodePlanes(g + 1))
       val b1 = bands(decodePlanes(g + 4))
       assert(b0.sameElements(b1), s"group $g: brightness changed the hash")
+    }
+  }
+
+  test("q392 delta classes: exact re-encode hashes identically; near edit stays in the last band") {
+    for (g <- Seq(0L, 36L, 90L, 153L)) {
+      val corpus0 = bands(decodePlanes(g + 1)) // corpus role 0
+      // class 0 (from the role-0 doc): +4 brightness — hash-identical
+      val exact = bands(planesOf(
+        operators.MultimodalOps.deltaVideoPlan(50000000L + g + 1)))
+      assert(exact.sameElements(corpus0), s"group $g: exact class moved the hash")
+      // class 1 (from the role-1 doc): un-lifted content with a
+      // different last-frame edit — frames 0-2 identical to role 0's
+      // plane, last band within 2 bits
+      val near = bands(planesOf(
+        operators.MultimodalOps.deltaVideoPlan(50000000L + g + 4)))
+      assert(near(0) == corpus0(0) && near(1) == corpus0(1) &&
+        near(2) == corpus0(2), s"group $g: near class moved an untouched frame")
+      assert(java.lang.Long.bitCount(near(3) ^ corpus0(3)) <= 2,
+        s"group $g: near edit exceeded the bit budget")
     }
   }
 
