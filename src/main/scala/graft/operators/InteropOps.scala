@@ -450,9 +450,15 @@ object InteropOps {
       val v1set = Snapshots.files(s, layout, "docs", 1).toSet
       val newFiles = Snapshots.files(s, layout, "docs", 2)
         .filterNot(v1set.contains).map(rel => s"$root/$rel")
-      require(newFiles.nonEmpty, "the pipeline must have appended survivors")
-      val newIds = s.read.option("basePath", root).parquet(newFiles: _*)
-        .select(col("doc_id"), lit(1L).as("is_new"))
+      // a drop where EVERYTHING deduplicated away appends no files —
+      // a legitimate weekly outcome (the 10× scale fixture hits it by
+      // construction: id-shifted replicas put every drop text into the
+      // corpus); the probe then reports is_new = 0 everywhere
+      val newIds =
+        if (newFiles.isEmpty)
+          s.range(0).select(col("id").as("doc_id"), lit(1L).as("is_new"))
+        else s.read.option("basePath", root).parquet(newFiles: _*)
+          .select(col("doc_id"), lit(1L).as("is_new"))
       val stats = s.read.parquet(s"$loc/pipeline_stats")
       graft.streaming.IndexMaintain.bm25(s, idx, Seq("stream", "hash", "big"))
         .join(newIds, Seq("doc_id"), "left")
