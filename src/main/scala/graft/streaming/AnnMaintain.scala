@@ -208,6 +208,19 @@ object AnnMaintain {
     }, upTo = Long.MaxValue, force = true)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
+    // once this generation's postings committed, every OTHER centroid
+    // dir is superseded (its postings generation was swept by the
+    // fold) or an orphan from a crashed refresh — purge them so a
+    // long-lived store carries one centroid set per LIVE generation,
+    // not one per refresh ever run; the bootstrap set lives outside
+    // `dir` and is never touched (single-maintainer convention, as for
+    // compaction)
+    val CentR = "^centroids-(\\d+)$".r
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .foreach(p => p.getName match {
+        case CentR(g) if g.toLong != gen => fs.delete(p, true)
+        case _ => ()
+      })
   }
 
   /** fold the per-batch postings dirs into one compacted generation,

@@ -136,6 +136,20 @@ class AnnMaintainSpec extends AnyFunSuite {
     assert(AnnMaintain.currentCentroidsPath(spark, dir, cp)
       .endsWith("/centroids-1"),
       "an orphan centroid generation (no matching postings) became current")
+    // a second refresh after more arrivals supersedes the old
+    // generation AND purges its centroid set — a long-lived store
+    // carries one centroid dir per live generation, not one per
+    // refresh ever run
+    AnnMaintain.maintainBatch(dir, cp)(
+      withNorm(Seq((20L, Seq(0L, 0L, 900000L, 100000L)))), 2L)
+    AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroids)
+    assert(AnnMaintain.currentCentroidsPath(spark, dir, cp)
+      .endsWith("/centroids-2"))
+    val centDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("centroids-")).toSet
+    assert(centDirs == Set("centroids-2"),
+      s"superseded centroid generations must be purged, found $centDirs")
   }
 
   test("a vector re-appended after a delete resurfaces (tombstones are source-bounded)") {
