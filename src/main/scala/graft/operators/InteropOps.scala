@@ -575,7 +575,15 @@ object InteropOps {
       val manifestPartitions = files
         .map(f => (f.partition("date_day"), f.partition("hour")))
         .distinct.size.toLong
-      s.read.option("basePath", loc).parquet(files.map(_.path): _*)
+      // the manifest names hundreds of hour-partition files; give the
+      // scan an EXPLICIT schema (one footer read) so it never runs
+      // schema inference over every file it was just handed — the
+      // metadata walk, not the footers, is the source of truth for an
+      // Iceberg read
+      val schema = s.read.option("basePath", loc)
+        .parquet(files.head.path).schema
+      s.read.option("basePath", loc).schema(schema)
+        .parquet(files.map(_.path): _*)
         .groupBy(col("service_name"))
         .agg(count(lit(1)).as("n_rows"))
         .select(col("service_name"), col("n_rows"),
