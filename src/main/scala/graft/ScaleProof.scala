@@ -193,7 +193,11 @@ object ScaleProof {
       // incremental video dedup: the corpus band index must scan
       // exchange-free (bucketed) at 10× drop volume — the corpus is
       // decoded at index build only, never per drop
-      "q392_video_dedup_delta")
+      "q392_video_dedup_delta",
+      // the composed retention sweep: every delete path (BM25/ANN
+      // tombstones, bucketed masks) at 10× index volume; the probe's
+      // counters stay broadcast 1-row totals
+      "q393_retention_sweep")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -402,6 +402,89 @@ object InteropOps {
       loc
     })
 
+  /** q393's fixture — the NIGHTLY RETENTION SWEEP composed end to end
+    * (q388's drop-side twin): documents AND vectors land through the
+    * real storage path across two days (even ids → day 1, odd →
+    * day 2) with all three index families maintained over them — the
+    * BM25 postings store (one batch per day), the frozen-centroid ANN
+    * store (one batch per day), and the bucketed dedup indexes (over
+    * commit 1). Then ONE retention event drives every delete path:
+    * the job audits the doomed partitions (retired_docs, written
+    * BEFORE the drop), tombstones the BM25 docs and the ANN vectors,
+    * physically drops the day from BOTH tables through applyRetention,
+    * derives the bucketed dead-key sidecars from the audit, and
+    * compacts both maintained stores so the tombstones apply
+    * physically. */
+  private val sweepFixture = scala.collection.concurrent.TrieMap[String, (String, String, String, String)]()
+  private def retentionSweepFixture(s: SparkSession, dir: String)
+      : (String, String, String, String) =
+    sweepFixture.getOrElseUpdate(dir, {
+      val loc = graft.storage.LocalCache.dir(
+        s"retsweep|$dir@${graft.storage.LocalCache.dataVersion(dir)}")
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val idx = s"$loc/bm25_idx"; val ann = s"$loc/ann_idx"
+      val boot = s"$loc/centroids0"
+      val marker = new java.io.File(loc, "_sweep_done")
+      if (!marker.exists()) {
+        val epoch = 1706745600L * 1000000000L // 2024-02-01T00:00Z
+        val dayNs = 86400L * 1000000000L
+        val docs = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        graft.storage.Storage.append(
+          docs.withColumn("timestamp", lit(epoch) +
+            pmod(col("doc_id"), lit(2)) * lit(dayNs) + col("doc_id")),
+          layout, "docs")
+        require(Snapshots.commit(s, layout, "docs") == 1)
+        ensureDeltaIndex(s, loc) // bucketed dedup indexes over commit 1
+        // BM25 maintained as the days arrived
+        graft.streaming.IndexMaintain.maintainBatch(idx)(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0L)
+        graft.streaming.IndexMaintain.maintainBatch(idx)(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), 1L)
+        // ANN: quantized vectors land + maintain per day against
+        // centroids trained over every arrival (training precedes the
+        // sweep, exactly like q391)
+        val e = graft.Tables.embeddings(s, dir)
+          .select(col("vec_id"), transform(col("embedding"),
+            v => round(v.cast("double") * 1000000).cast("long")).as("vq"))
+          .withColumn("nrm",
+            expr("aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        graft.storage.Storage.append(
+          e.withColumn("timestamp", lit(epoch) +
+            pmod(col("vec_id"), lit(2)) * lit(dayNs) + col("vec_id")),
+          layout, "vecs")
+        PipelineOps.ivfCentroids(e).write.mode("overwrite").parquet(boot)
+        graft.streaming.AnnMaintain.maintainBatch(ann, boot)(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
+        graft.streaming.AnnMaintain.maintainBatch(ann, boot)(
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), 1L)
+        // ---- the sweep: audit → tombstone every index → drop → compact
+        s.read.parquet(layout.path("docs"))
+          .filter(col("date_day") < "2024-02-02")
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$loc/retired_docs")
+        graft.streaming.IndexMaintain.deleteDocs(s, idx,
+          s.read.parquet(s"$loc/retired_docs").select(col("doc_id")), 0L)
+        graft.streaming.AnnMaintain.deleteVecs(s, ann,
+          s.read.parquet(layout.path("vecs"))
+            .filter(col("date_day") < "2024-02-02")
+            .select(col("vec_id").as("n_id")), 0L)
+        val droppedDocs = graft.storage.Storage.applyRetention(
+          s, layout, "docs", "2024-02-02")
+        val droppedVecs = graft.storage.Storage.applyRetention(
+          s, layout, "vecs", "2024-02-02")
+        require(droppedDocs == Seq("2024-02-01") &&
+          droppedVecs == Seq("2024-02-01"),
+          s"sweep dropped $droppedDocs / $droppedVecs, expected 2024-02-01")
+        ensureRetentionDead(s, loc) // bucketed dead-key sidecars
+        graft.streaming.IndexMaintain.compact(s, idx)
+        graft.streaming.AnnMaintain.compact(s, ann)
+        marker.createNewFile()
+      }
+      (loc, idx, ann, boot)
+    })
+
   val queries: Map[String, Q] = Map(
     // RETENTION-AWARE BUCKETED-INDEX DELETES (the q385 lifecycle for
     // the dedup indexes): retention expired half the corpus; the
@@ -464,6 +547,31 @@ object InteropOps {
         .join(newIds, Seq("doc_id"), "left")
         .withColumn("is_new", coalesce(col("is_new"), lit(0L)))
         .crossJoin(broadcast(stats))
+    }),
+
+    // THE NIGHTLY RETENTION SWEEP, COMPOSED (q388's drop-side twin —
+    // the operation a platform runs when data ages out): one retention
+    // event drives every delete path the index layer has — BM25
+    // tombstones (q385), ANN tombstones (q391), bucketed dead-key
+    // masks (q389) — followed by compaction of both maintained stores,
+    // and ONE probe proves the whole sweep: the BM25 ranking over the
+    // surviving index must equal a from-scratch build over the
+    // surviving day, riding the sweep's own counters (survivors,
+    // retired, fully-dead hashes, live ANN postings) as broadcast
+    // 1-row totals the oracle restates relationally.
+    "q393_retention_sweep" -> ((s, dir) => {
+      val (loc, idx, ann, _) = retentionSweepFixture(s, dir)
+      val (deadH, _) = ensureRetentionDead(s, loc)
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val counters = s.read.parquet(layout.path("docs"))
+        .agg(count(lit(1)).as("n_surviving"))
+        .crossJoin(s.read.parquet(s"$loc/retired_docs")
+          .agg(count(lit(1)).as("n_retired")))
+        .crossJoin(s.table(deadH).agg(count(lit(1)).as("n_dead_hashes")))
+        .crossJoin(graft.streaming.AnnMaintain.postings(s, ann)
+          .agg(count(lit(1)).as("n_ann_live")))
+      graft.streaming.IndexMaintain.bm25(s, idx, Seq("stream", "hash", "big"))
+        .crossJoin(broadcast(counters))
     }),
 
     // the q370 classification against the STORED BUCKETED corpus
@@ -704,6 +812,33 @@ object InteropOps {
 
   val oracles: Map[String, String] = Map(
     "q389_dedup_index_retention" -> retentionDedupSql,
+    // build-then-sweep ≡ never-having-indexed-day-1: the ranking is the
+    // shared fixed-point BM25 rebuilt over the survivors; the counters
+    // restate the sweep's own audit relationally (dead hashes = retired
+    // texts no survivor still holds — the q389 sidecar rule)
+    "q393_retention_sweep" ->
+      s"""SELECT r.doc_id, r.score_fp, r.n_terms,
+         |  c.n_surviving, c.n_retired, c.n_dead_hashes, c.n_ann_live
+         |FROM (
+         |${PipelineOps.bm25RankSqlWhere("doc_id % 3 <> 0 AND doc_id % 2 = 1")}
+         |) r CROSS JOIN (
+         |  SELECT
+         |    CAST((SELECT count(*) FROM documents
+         |          WHERE doc_id % 3 <> 0 AND doc_id % 2 = 1) AS BIGINT)
+         |      AS n_surviving,
+         |    CAST((SELECT count(*) FROM documents
+         |          WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0) AS BIGINT)
+         |      AS n_retired,
+         |    CAST((SELECT count(*) FROM (
+         |      SELECT DISTINCT md5(text) FROM documents
+         |      WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0
+         |      EXCEPT
+         |      SELECT DISTINCT md5(text) FROM documents
+         |      WHERE doc_id % 3 <> 0 AND doc_id % 2 = 1)) AS BIGINT)
+         |      AS n_dead_hashes,
+         |    CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)
+         |      AS BIGINT) AS n_ann_live
+         |) c""".stripMargin,
     "q388_corpus_drop_pipeline" -> corpusDropSql,
     "q370_dedup_delta" -> dedupDeltaSql,
     "q379_dedup_delta_indexed" -> dedupDeltaSql,

@@ -4794,7 +4794,7 @@ object PipelineOps {
     * build-then-append (q381), stream-built (q383), and
     * delete-then-rank (q385, pred = the survivors) all restate as a
     * full rebuild over the corpus that SHOULD be visible. */
-  private def bm25RankSqlWhere(pred: String): String =
+  private[operators] def bm25RankSqlWhere(pred: String): String =
     s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |  WHERE $pred),""".stripMargin + "\n" +
