@@ -97,10 +97,24 @@ object Snapshots {
       val files = dataFiles(spark, layout, table).mkString("\n")
       val p = new Path(s"$dir/v$v.manifest")
       try {
-        val out = f.create(p, false) // CAS: fails if this version exists
+        // the CAS: create-fails-if-exists. Hadoop's RawLocalFileSystem
+        // implements create(overwrite = false) as CHECK-then-create —
+        // two aligned writers can both slip through the window — so on
+        // the local scheme the exclusive create goes through NIO's
+        // atomic O_EXCL createFile first (the file is then OURS to
+        // write); object-store schemes keep the FileSystem-level
+        // conditional create
+        val scheme = p.toUri.getScheme
+        val out =
+          if (scheme == null || scheme == "file") {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(p.toUri.getPath)) // atomic; throws if exists
+            f.create(p, true)
+          } else f.create(p, false)
         try out.write(files.getBytes("UTF-8")) finally out.close()
         committed = true
       } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1 // lost the race
         case _: java.io.IOException if f.exists(p) => v += 1 // lost the race
       }
     }
