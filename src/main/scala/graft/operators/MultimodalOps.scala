@@ -359,7 +359,10 @@ object MultimodalOps {
   private def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the kind predicate stays RELATIONAL (pushed to the parquet scan)
-    // and only (media_id, bytes) cross the encoder boundary
+    // and only (media_id, bytes) cross the encoder boundary; the
+    // append-sink files give the decode its splits (measured: a decode
+    // repartition changes nothing — the cost is the per-row inter-frame
+    // decode itself, scan-bound by design)
     s.read.parquet(storedVideoPath(s, dir))
       .where(col("kind") === "mpeg")
       .select(col("media_id"), col("bytes"))
