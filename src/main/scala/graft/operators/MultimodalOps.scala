@@ -255,15 +255,19 @@ object MultimodalOps {
     * with cell AND group, so gradient-sign patterns are diverse across
     * groups — distinct groups hash apart instead of collapsing into one
     * wrap-dominated sign plane). */
+  /** the content polynomial shared by the frame builder and the
+    * delta-class constructions (the oracle restates it verbatim). */
+  private def videoBase(g: Long, mix: Int, u: Int, by: Int): Int = {
+    val u7 = ((u % 7) + 7) % 7
+    (16L + (13L * u7 * u7 + u7.toLong * ((g % 97) + mix) + 29L * by +
+      by.toLong * u7 * ((g % 89) % 13 + 3) +
+      (g % 101) * (by + 2) + g * 7) % 224).toInt
+  }
+
   private def videoFrames(g: Long, mix: Int, off: Int, lastEdit: Int => Int)
       : Seq[graft.multimodal.Mpeg1.FramePlan] = {
     import graft.multimodal.Mpeg1.{FramePlan, MbIntra, MbMc}
-    def base(u: Int, by: Int): Int = {
-      val u7 = ((u % 7) + 7) % 7
-      (16L + (13L * u7 * u7 + u7.toLong * ((g % 97) + mix) + 29L * by +
-        by.toLong * u7 * ((g % 89) % 13 + 3) +
-        (g % 101) * (by + 2) + g * 7) % 224).toInt
-    }
+    def base(u: Int, by: Int): Int = videoBase(g, mix, u, by)
     FramePlan(intra = true,
       (bx, by) => MbIntra(base(bx, by) + off)) +:
       (1 to 3).map { f =>
@@ -283,15 +287,27 @@ object MultimodalOps {
   /** q392's delta drop, one new video per corpus lane doc (delta ids
     * shift by +50,000,000): against each role-0 corpus doc an EXACT
     * re-encode (brightness +4 — the gradient-sign fingerprint is
-    * invariant), against each role-1 doc a NEAR duplicate (a different
-    * last-frame edit, ≤ 2 hash bits), against each role-2 doc genuinely
-    * NEW content (a different gradient mixing plane). */
+    * invariant), against each role-1 doc a NEAR duplicate (the f=3
+    * refresh cell at row 1 re-authored to the OTHER side of its right
+    * neighbor, so exactly ONE hash bit flips — every near delta is
+    * deterministically near, never accidentally exact), against each
+    * role-2 doc genuinely NEW content (a different gradient mixing
+    * plane). */
   private[graft] def deltaVideoPlan(did: Long): (Int, Int, Seq[graft.multimodal.Mpeg1.FramePlan]) = {
     val id = did - 50000000L
     val g = id / 9 * 9; val cls = (id / 3) % 3
     cls match {
       case 0 => (64, 64, videoFrames(g, mix = 7, off = 4, _ => 0))
-      case 1 => (64, 64, videoFrames(g, mix = 7, off = 0, by => (by + 1) % 3))
+      case 1 =>
+        // the f=3 refresh column has u = -3 (u7 = 4); its right
+        // neighbor reconstructs u = -2 (u7 = 5). Target the row-1 cell
+        // across the sign boundary: 250 kills an up-gradient (right
+        // neighbor ≤ 239 < 250), 1 creates one (right neighbor ≥ 16)
+        val right = videoBase(g, 7, -2, 1)
+        val left = videoBase(g, 7, -3, 1)
+        val target = if (right > left) 250 else 1
+        (64, 64, videoFrames(g, mix = 7, off = 0,
+          by => if (by == 1) target - left else 0))
       case _ => (64, 64, videoFrames(g, mix = 19, off = 0, _ => 0))
     }
   }
@@ -559,14 +575,24 @@ object MultimodalOps {
       |  FROM cells),
       |dmb AS MATERIALIZED (
       |  SELECT doc_id + 50000000 AS did, f, bx, by,
-      |    16 + (13 * u7 * u7
-      |          + u7 * ((g % 97) + (CASE WHEN role = 2 THEN 19 ELSE 7 END))
-      |          + 29 * by + by * u7 * ((g % 89) % 13 + 3)
-      |          + (g % 101) * (by + 2)
-      |          + g * 7) % 224
-      |      + CASE WHEN role = 0 THEN 4 ELSE 0 END
-      |      + CASE WHEN role = 1 AND f = 3 AND bx = 0
-      |             THEN (by + 1) % 3 ELSE 0 END AS l
+      |    CASE WHEN role = 1 AND f = 3 AND bx = 0 AND by = 1 THEN
+      |      CASE WHEN
+      |        16 + (325 + 5 * ((g % 97) + 7) + 29
+      |              + 5 * ((g % 89) % 13 + 3) + (g % 101) * 3
+      |              + g * 7) % 224
+      |        >
+      |        16 + (208 + 4 * ((g % 97) + 7) + 29
+      |              + 4 * ((g % 89) % 13 + 3) + (g % 101) * 3
+      |              + g * 7) % 224
+      |      THEN 250 ELSE 1 END
+      |    ELSE
+      |      16 + (13 * u7 * u7
+      |            + u7 * ((g % 97) + (CASE WHEN role = 2 THEN 19 ELSE 7 END))
+      |            + 29 * by + by * u7 * ((g % 89) % 13 + 3)
+      |            + (g % 101) * (by + 2)
+      |            + g * 7) % 224
+      |        + CASE WHEN role = 0 THEN 4 ELSE 0 END
+      |    END AS l
       |  FROM cells),
       |cbits AS (
       |  SELECT a.doc_id, a.f, a.by * 3 + a.bx AS pos,

@@ -74,15 +74,16 @@ class VideoDupSpec extends AnyFunSuite {
       val exact = bands(planesOf(
         operators.MultimodalOps.deltaVideoPlan(50000000L + g + 1)))
       assert(exact.sameElements(corpus0), s"group $g: exact class moved the hash")
-      // class 1 (from the role-1 doc): un-lifted content with a
-      // different last-frame edit — frames 0-2 identical to role 0's
-      // plane, last band within 2 bits
+      // class 1 (from the role-1 doc): un-lifted content with the f=3
+      // refresh cell re-authored across its sign boundary — frames 0-2
+      // identical to role 0's plane, EXACTLY one bit flips in the last
+      // band (deterministically near, never accidentally exact)
       val near = bands(planesOf(
         operators.MultimodalOps.deltaVideoPlan(50000000L + g + 4)))
       assert(near(0) == corpus0(0) && near(1) == corpus0(1) &&
         near(2) == corpus0(2), s"group $g: near class moved an untouched frame")
-      assert(java.lang.Long.bitCount(near(3) ^ corpus0(3)) <= 2,
-        s"group $g: near edit exceeded the bit budget")
+      assert(java.lang.Long.bitCount(near(3) ^ corpus0(3)) == 1,
+        s"group $g: near edit must flip exactly one bit")
     }
   }
 
