@@ -13,9 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional filter (substring) + iteration count for profiling:
-    //   sbt "runMain graft.Bench q31" / SPARK_GRAFT_ITERS=3
-    val filter = args.headOption.getOrElse("")
+    // optional filter (comma-separated substrings, contains-any) +
+    // iteration count for profiling:
+    //   sbt "runMain graft.Bench q31,q103" / SPARK_GRAFT_ITERS=3
+    val filters = args.headOption.getOrElse("").split(',').toSeq
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     // warmup: touch every table once so the first timed query doesn't pay
     // file listing + codegen init
@@ -23,7 +24,8 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     // interleaved passes (min per query): a transient machine stall in one
     // pass hits different queries than in the next, so the min filters it
-    val sel = SparkEntry.queries.toSeq.sortBy(_._1).filter(_._1.contains(filter))
+    val sel = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => filters.exists(q._1.contains))
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (pass <- 1 to iters; (name, fn) <- sel) {
       val t0 = System.nanoTime()

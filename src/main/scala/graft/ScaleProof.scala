@@ -221,8 +221,14 @@ object ScaleProof {
       .empty[(String, Double, Double, Long, String)]
     for (name <- run; fn <- sel.get(name)) {
       var cnt = -1L; var shape = "failed"
-      val secs = (0 until repeat).map { _ =>
+      // per-iteration success tracking: a repeat that FAILS after a
+      // green first pass must mark the family failed and keep its
+      // (typically short) elapsed time out of the warm minimum —
+      // otherwise a steady-state regression masquerades as a fast warm
+      // time under a stale success shape
+      val iters = (0 until repeat).map { _ =>
         val t0 = System.nanoTime()
+        var ok = false
         try {
           val df = fn(spark, dst)
           cnt = df.count()
@@ -236,12 +242,17 @@ object ScaleProof {
             s"bnlj=${c("BroadcastNestedLoopJoin")},cart=${c("CartesianProduct")}"
           require(!plan.contains("CartesianProduct"),
             s"$name regressed to a cartesian product at ${copies}x")
+          ok = true
         } catch { case e: Throwable =>
           System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val warm = if (secs.length > 1) secs.tail.min else secs.head
+      if (iters.exists(!_._2)) { shape = "failed"; cnt = -1L }
+      val secs = iters.map(_._1)
+      val warmOk = iters.tail.filter(_._2).map(_._1)
+      val warm = if (iters.length > 1 && warmOk.nonEmpty) warmOk.min
+                 else secs.head
       results += ((name, secs.head, warm, cnt, shape))
       System.err.println(f"[scale] $name%-28s ${secs.head}%8.2fs " +
         f"(warm $warm%.2fs) rows=$cnt  $shape")

@@ -105,14 +105,28 @@ object Snapshots {
         // write); object-store schemes keep the FileSystem-level
         // conditional create
         val scheme = p.toUri.getScheme
-        val out =
-          if (scheme == null || scheme == "file") {
-            java.nio.file.Files.createFile(
-              java.nio.file.Paths.get(p.toUri.getPath)) // atomic; throws if exists
-            f.create(p, true)
-          } else f.create(p, false)
-        try out.write(files.getBytes("UTF-8")) finally out.close()
-        committed = true
+        var claimed = false // the exclusive create succeeded: p is OURS
+        try {
+          val out =
+            if (scheme == null || scheme == "file") {
+              java.nio.file.Files.createFile(
+                java.nio.file.Paths.get(p.toUri.getPath)) // atomic; throws if exists
+              claimed = true
+              f.create(p, true)
+            } else f.create(p, false)
+          try out.write(files.getBytes("UTF-8")) finally out.close()
+          committed = true
+        } catch {
+          // a failure AFTER we won the exclusive create (f.create threw,
+          // or the write died) must not leave the empty/partial manifest
+          // behind — it would become the max committed version and serve
+          // an empty snapshot, and the lost-race handler below would then
+          // misread our own claim as a race. The file is ours (O_EXCL),
+          // so deleting before propagating is safe.
+          case e: Throwable if claimed =>
+            try f.delete(p, false) catch { case _: java.io.IOException => () }
+            throw e
+        }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => v += 1 // lost the race
         case _: java.io.IOException if f.exists(p) => v += 1 // lost the race

@@ -104,10 +104,15 @@ object AnnMaintain {
   /** `post` minus the rows a tombstone may legitimately kill: only rows
     * whose source batch existed at delete time (src ≤ covers) — a
     * vector re-appended AFTER a delete resurfaces instead of being
-    * silently killed by the older tombstone. */
+    * silently killed by the older tombstone. Postings written before the
+    * `src` column existed read back as NULL; treat missing src as
+    * always-covered (the old unconditional-kill semantics) so legacy
+    * stores keep honoring their tombstones instead of the NULL condition
+    * silently keeping every deleted row. */
   private def antiTomb(post: DataFrame, tomb: DataFrame): DataFrame = {
     val t = tomb.withColumnRenamed("n_id", "_t_key")
-    post.join(t, post("n_id") === t("_t_key") && post("src") <= t("covers"),
+    post.join(t, post("n_id") === t("_t_key") &&
+        coalesce(post("src"), lit(Long.MinValue)) <= t("covers"),
       "left_anti")
   }
 
@@ -181,6 +186,9 @@ object AnnMaintain {
       train: DataFrame => DataFrame): Unit = {
     val live = BatchStore.liveDirs(spark, s"$dir/postings")
     if (live.isEmpty) return
+    // captured BEFORE the swap: the one generation a concurrent probe
+    // can be holding — it gets a grace window (see purge below)
+    val prevCurrent = currentCentroidsPath(spark, dir, bootstrapPath)
     val gen = live.map(d => new Path(d).getName.split("-").last.toLong).max
     val vecs = postings(spark, dir)
       .select(col("n_id").as("vec_id"), col("nv").as("vq"), col("nn").as("nrm"))
@@ -210,15 +218,21 @@ object AnnMaintain {
     tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
     // once this generation's postings committed, every OTHER centroid
     // dir is superseded (its postings generation was swept by the
-    // fold) or an orphan from a crashed refresh — purge them so a
-    // long-lived store carries one centroid set per LIVE generation,
-    // not one per refresh ever run; the bootstrap set lives outside
-    // `dir` and is never touched (single-maintainer convention, as for
-    // compaction)
+    // fold) or an orphan from a crashed refresh — purge all EXCEPT the
+    // generation that was current when this refresh began. That one
+    // gets a one-refresh grace window: a concurrent probe that already
+    // resolved currentCentroidsPath to it must be able to finish its
+    // broadcast read (the maintenance path never mutates what probes
+    // are reading). Orphans were never current, so no probe holds
+    // them; the previous grace dir stops being protected at the NEXT
+    // refresh, so a long-lived store carries at most two centroid
+    // dirs. The bootstrap set lives outside `dir` and is never touched
+    // (single-maintainer convention, as for compaction).
     val CentR = "^centroids-(\\d+)$".r
     fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .foreach(p => p.getName match {
-        case CentR(g) if g.toLong != gen => fs.delete(p, true)
+        case CentR(g) if g.toLong != gen && p.toString != prevCurrent =>
+          fs.delete(p, true)
         case _ => ()
       })
   }

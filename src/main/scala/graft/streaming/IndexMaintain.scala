@@ -118,11 +118,17 @@ object IndexMaintain {
   /** `post` minus the rows a tombstone may legitimately kill: only rows
     * whose source batch existed at delete time (src ≤ covers) — a
     * document re-appended AFTER a delete resurfaces instead of being
-    * silently killed by the older tombstone. */
+    * silently killed by the older tombstone. Postings written before the
+    * `src` column existed read back as NULL; they predate every tombstone,
+    * so they must keep the old unconditional-kill semantics (treat missing
+    * src as always-covered) — a NULL here would otherwise make the join
+    * condition NULL and the left_anti KEEP the row, silently un-applying
+    * every existing tombstone on a legacy store. */
   private def antiTomb(post: DataFrame, tomb: DataFrame,
       key: String): DataFrame = {
     val t = tomb.withColumnRenamed(key, "_t_key")
-    post.join(t, post(key) === t("_t_key") && post("src") <= t("covers"),
+    post.join(t, post(key) === t("_t_key") &&
+        coalesce(post("src"), lit(Long.MinValue)) <= t("covers"),
       "left_anti")
   }
 

@@ -137,9 +137,10 @@ class AnnMaintainSpec extends AnyFunSuite {
       .endsWith("/centroids-1"),
       "an orphan centroid generation (no matching postings) became current")
     // a second refresh after more arrivals supersedes the old
-    // generation AND purges its centroid set — a long-lived store
-    // carries one centroid dir per live generation, not one per
-    // refresh ever run
+    // generation, purges ORPHANS immediately (never current, no probe
+    // can hold them), and keeps the previously-current set for a
+    // one-refresh grace window — a concurrent probe that resolved it
+    // before the swap must be able to finish its broadcast read
     AnnMaintain.maintainBatch(dir, cp)(
       withNorm(Seq((20L, Seq(0L, 0L, 900000L, 100000L)))), 2L)
     AnnMaintain.refresh(spark, dir, cp,
@@ -148,8 +149,23 @@ class AnnMaintainSpec extends AnyFunSuite {
       .endsWith("/centroids-2"))
     val centDirs = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("centroids-")).toSet
-    assert(centDirs == Set("centroids-2"),
-      s"superseded centroid generations must be purged, found $centDirs")
+    assert(centDirs == Set("centroids-1", "centroids-2"),
+      s"expected the orphan purged and the previous current kept for " +
+        s"grace, found $centDirs")
+    // the grace window is ONE refresh: the third refresh drops
+    // centroids-1 (no probe started after gen-2 committed can hold it)
+    // and protects centroids-2 in its place — a long-lived store
+    // carries at most two centroid dirs, never one per refresh ever run
+    AnnMaintain.maintainBatch(dir, cp)(
+      withNorm(Seq((21L, Seq(0L, 0L, 850000L, 150000L)))), 3L)
+    AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroids)
+    assert(AnnMaintain.currentCentroidsPath(spark, dir, cp)
+      .endsWith("/centroids-3"))
+    val centDirs3 = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("centroids-")).toSet
+    assert(centDirs3 == Set("centroids-2", "centroids-3"),
+      s"the grace window must slide: expected {2,3}, found $centDirs3")
   }
 
   test("a vector re-appended after a delete resurfaces (tombstones are source-bounded)") {
@@ -168,6 +184,27 @@ class AnnMaintainSpec extends AnyFunSuite {
     AnnMaintain.compact(spark, dir)
     assert(state(dir) == Set((10L, 0L), (11L, 1L), (12L, 0L), (13L, 1L)),
       "compaction dropped the re-appended vector")
+  }
+
+  test("a legacy store (postings written before `src` existed) keeps honoring tombstones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annleg_").toString
+    val cp = mkCentroids(base)
+    val dir = s"$base/idx"
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(vecs), 0L)
+    // simulate a pre-`src` on-disk store: NULL src must read as
+    // always-covered, not NULL-poison the anti-join into keeping
+    // every deleted vector (IndexMaintainSpec has the BM25 twin)
+    val stripped = spark.read.parquet(s"$dir/postings/batch-0").drop("src")
+    val rows = stripped.collect().toIndexedSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), stripped.schema)
+      .write.mode("overwrite").parquet(s"$dir/postings/batch-0")
+    AnnMaintain.deleteVecs(spark, dir, Seq(10L).toDF("n_id"), deleteId = 0L)
+    assert(!state(dir).exists(_._1 == 10L),
+      "tombstone stopped applying on a legacy (src-less) store")
+    AnnMaintain.compact(spark, dir)
+    assert(state(dir) == Set((11L, 1L), (12L, 0L), (13L, 1L)))
   }
 
   test("tombstoned vectors vanish at read, then physically at compaction") {

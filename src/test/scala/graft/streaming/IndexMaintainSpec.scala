@@ -189,6 +189,31 @@ class IndexMaintainSpec extends AnyFunSuite {
       new java.io.File(s"$dir/tombstones").listFiles().isEmpty)
   }
 
+  test("a legacy store (postings written before `src` existed) keeps honoring tombstones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxleg_").toString
+    IndexMaintain.maintainBatch(dir)(docs.toDF("doc_id", "text"), 0L)
+    // simulate a pre-`src` on-disk store: rewrite the batch without the
+    // column; it reads back NULL under the current schema. NULL must
+    // mean always-covered (the old unconditional-kill semantics) — a
+    // NULL-poisoned join condition would silently KEEP every deleted
+    // row and the next compact would purge the tombstone, making the
+    // loss of the delete permanent.
+    val stripped = spark.read.parquet(s"$dir/postings/batch-0").drop("src")
+    val rows = stripped.collect().toIndexedSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), stripped.schema)
+      .write.mode("overwrite").parquet(s"$dir/postings/batch-0")
+    IndexMaintain.deleteDocs(spark, dir, Seq(5L).toDF("doc_id"), 0L)
+    assert(ranking(dir).forall(_._1 != 5L),
+      "tombstone stopped applying on a legacy (src-less) store")
+    // compaction physically drops the dead rows, same as a new store
+    IndexMaintain.compact(spark, dir)
+    assert(ranking(dir).forall(_._1 != 5L))
+    assert(spark.read.parquet(s"$dir/postings/compact-0")
+      .filter(col("doc_id") === 5L).count() == 0)
+  }
+
   test("replaying a batch id rewrites identical state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idxr_").toString
