@@ -197,7 +197,12 @@ object ScaleProof {
       // the composed retention sweep: every delete path (BM25/ANN
       // tombstones, bucketed masks) at 10× index volume; the probe's
       // counters stay broadcast 1-row totals
-      "q393_retention_sweep")
+      "q393_retention_sweep",
+      // video index lifecycle: the maintained band index (append +
+      // retention mask) must keep the corpus side exchange-free —
+      // the dead-key anti-join and the probe joins are co-located on
+      // the bucketed band key; corpus decoded at build only
+      "q394_video_index_lifecycle")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -118,6 +118,22 @@ class PlanSpec extends AnyFunSuite {
         s"expected a bucketed $t scan:\n$formatted")
   }
 
+  test("video index lifecycle: corpus, delta, and dead sidecar all scan bucketed") {
+    val df = operators.MultimodalOps.queries("q394_video_index_lifecycle")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the maintained index's three relations share the band-key
+    // bucketing, so the retention anti-join and both probe joins are
+    // co-located — the corpus side moves nothing at probe time, and
+    // was never re-decoded after build
+    assert(formatted.contains("Bucketed: true"),
+      s"lifecycle index not scanned as bucketed:\n$formatted")
+    for (t <- Seq("video_lx_corpus", "video_lx_delta", "video_lx_dead"))
+      assert(formatted.linesIterator.exists(l =>
+        l.contains(t) && l.contains("Scan")),
+        s"expected a bucketed $t scan:\n$formatted")
+  }
+
   test("union-scan selectors push metric_name into BOTH stored tables") {
     val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
