@@ -15,15 +15,19 @@ package graft.multimodal
   * grammar below carries conformance):
   *
   *  - pictures: I and P (no B/D);
-  *  - P macroblocks: MOTION-COMPENSATED-NOT-CODED, INTRA, and SKIPPED —
-  *    the coded-residual path would need the coded_block_pattern VLC
-  *    (table B.3), which is not transcribed here; its codes REJECT
-  *    loudly rather than misparse;
+  *  - P macroblocks: ALL of table B.2b — intra (± quant), MC-not-coded,
+  *    SKIPPED, and the CODED-residual types ('1' MC+coded, '01' coded,
+  *    '00010'/'00001' their quant forms) with the full
+  *    coded_block_pattern VLC (table B.3, all 63 values; the two
+  *    codespace points outside the table reject), non-intra
+  *    dequantisation against the loadable non-intra matrix, and
+  *    residual-add reconstruction with saturation;
   *  - dct coefficients: intra DC via the full size tables (B.5a/B.5b),
   *    AC via END-OF-BLOCK, the (0,±1) code and the spec's ESCAPE form
   *    (6-bit run + 8/16-bit level — every run/level pair is expressible
-  *    this way, and the encoder uses it exclusively); the remaining
-  *    B.5 VLC tail rejects loudly;
+  *    this way, and the encoder uses it exclusively); dct_coeff_first
+  *    accepts '1s' and the escape form; the remaining B.5 VLC tail
+  *    rejects loudly;
   *  - macroblock_address_increment: codes 1..15 + macroblock_stuffing +
   *    macroblock_escape; the 16..33 tail rejects loudly;
   *  - motion codes 0 and ±1 — with forward_f up to 16 every
@@ -48,6 +52,21 @@ object Mpeg1 {
   final case class MbMc(dxPel: Int, dyPel: Int) extends MbPlan
   /** skipped macroblock (P only): zero vector, copy co-located. */
   case object MbSkip extends MbPlan
+  /** forward MC + CODED residual (P only, macroblock_type '1', or
+    * '00010' with `requant`): a DC-only non-intra residual on all four
+    * luma blocks (coded_block_pattern 60) adds `addY` to every luma pel
+    * of the prediction. Oddification (mismatch control) quantises the
+    * reachable exact offsets: with the slice's qscale 8, `addY` must be
+    * odd with |addY| ≥ 3; with `requant` (the type carries its own
+    * quantiser_scale, 16), `addY` ≡ ±2 (mod 4) with |addY| ≥ 6 — the
+    * reconstruction 8·|addY|−1 rounds to |addY| exactly. */
+  final case class MbMcCoded(dxPel: Int, dyPel: Int, addY: Int,
+      requant: Boolean = false) extends MbPlan
+  /** CODED residual without a forward vector (P only, macroblock_type
+    * '01', or '00001' with `requant`): the prediction is the co-located
+    * macroblock (zero vector, motion predictors reset), plus the same
+    * DC-only luma residual as [[MbMcCoded]]. */
+  final case class MbCoded(addY: Int, requant: Boolean = false) extends MbPlan
 
   final case class FramePlan(intra: Boolean, mb: (Int, Int) => MbPlan)
 
@@ -153,6 +172,85 @@ object Mpeg1 {
     }
   }
 
+  /** coded_block_pattern VLC (ISO 11172-2 table B.3): cbp →
+    * (code, length). cbp = 32·Y0 + 16·Y1 + 8·Y2 + 4·Y3 + 2·Cb + Cr;
+    * value 0 has no code (a macroblock with no coded blocks uses a
+    * not-coded type), and the two 9-bit points '000000000'/'000000001'
+    * are outside the table — they reject. */
+  private[multimodal] val CbpCodes: Map[Int, (Int, Int)] = Map(
+    60 -> ((0x7, 3)),
+    4 -> ((0xD, 4)), 8 -> ((0xC, 4)), 16 -> ((0xB, 4)), 32 -> ((0xA, 4)),
+    12 -> ((0x13, 5)), 48 -> ((0x12, 5)), 20 -> ((0x11, 5)),
+    40 -> ((0x10, 5)), 28 -> ((0xF, 5)), 44 -> ((0xE, 5)),
+    52 -> ((0xD, 5)), 56 -> ((0xC, 5)), 1 -> ((0xB, 5)),
+    61 -> ((0xA, 5)), 2 -> ((0x9, 5)), 62 -> ((0x8, 5)),
+    24 -> ((0xF, 6)), 36 -> ((0xE, 6)), 3 -> ((0xD, 6)), 63 -> ((0xC, 6)),
+    5 -> ((0x17, 7)), 9 -> ((0x16, 7)), 17 -> ((0x15, 7)),
+    33 -> ((0x14, 7)), 6 -> ((0x13, 7)), 10 -> ((0x12, 7)),
+    18 -> ((0x11, 7)), 34 -> ((0x10, 7)),
+    7 -> ((0x1F, 8)), 11 -> ((0x1E, 8)), 19 -> ((0x1D, 8)),
+    35 -> ((0x1C, 8)), 13 -> ((0x1B, 8)), 49 -> ((0x1A, 8)),
+    21 -> ((0x19, 8)), 41 -> ((0x18, 8)), 14 -> ((0x17, 8)),
+    50 -> ((0x16, 8)), 22 -> ((0x15, 8)), 42 -> ((0x14, 8)),
+    15 -> ((0x13, 8)), 51 -> ((0x12, 8)), 23 -> ((0x11, 8)),
+    43 -> ((0x10, 8)), 25 -> ((0xF, 8)), 37 -> ((0xE, 8)),
+    26 -> ((0xD, 8)), 38 -> ((0xC, 8)), 29 -> ((0xB, 8)),
+    45 -> ((0xA, 8)), 53 -> ((0x9, 8)), 57 -> ((0x8, 8)),
+    30 -> ((0x7, 8)), 46 -> ((0x6, 8)), 54 -> ((0x5, 8)),
+    58 -> ((0x4, 8)),
+    31 -> ((0x7, 9)), 47 -> ((0x6, 9)), 55 -> ((0x5, 9)),
+    59 -> ((0x4, 9)), 27 -> ((0x3, 9)), 39 -> ((0x2, 9)))
+
+  private val CbpDecode: Map[(Int, Int), Int] =
+    CbpCodes.map { case (v, (c, l)) => ((l, c), v) }
+
+  private def putCbp(bw: BW, cbp: Int): Unit = {
+    val (code, len) = CbpCodes(cbp)
+    bw.put(code.toLong, len)
+  }
+
+  private def readCbp(br: BR): Int = {
+    var code = 0; var len = 0
+    while (len < 9) {
+      code = (code << 1) | br.readBit(); len += 1
+      CbpDecode.get((len, code)) match {
+        case Some(v) => return v
+        case None => ()
+      }
+    }
+    throw Trunc // '000000000'/'000000001': outside table B.3
+  }
+
+  /** the level a DC-only non-intra residual must carry so the
+    * reconstruction adds exactly `addY` to every pel (see [[MbMcCoded]]
+    * for the reachable sets): rec = 8·|addY|−1, which the IDCT's
+    * round(rec/8) maps to |addY|. */
+  private def residualLevel(addY: Int, q: Int): Int = {
+    val a = math.abs(addY)
+    val lvl = q match {
+      case 8 =>
+        require(a >= 3 && a % 2 == 1,
+          s"qscale 8 reaches odd offsets >= 3, not $addY")
+        (a - 1) / 2
+      case 16 =>
+        require(a >= 6 && a % 4 == 2,
+          s"qscale 16 reaches offsets === 2 (mod 4) >= 6, not $addY")
+        (a - 2) / 4
+      case _ => throw new IllegalArgumentException(s"unsupported qscale $q")
+    }
+    require(lvl >= 1 && lvl <= 127, s"residual level $lvl out of 8-bit escape range")
+    if (addY > 0) lvl else -lvl
+  }
+
+  /** DC-only non-intra residual block: dct_coeff_first as the spec's
+    * ESCAPE form (run 0, 8-bit level), then EOB. */
+  private def putResidualBlock(bw: BW, level: Int): Unit = {
+    bw.put(1, 6)                        // '000001' escape
+    bw.put(0, 6)                        // run 0
+    bw.put((level & 0xFF).toLong, 8)    // level in -127..127, never 0/-128
+    bw.put(2, 2)                        // EOB
+  }
+
   /** differential motion component with forward_f = 16: any delta in
     * ±16 is code ±1 + 4 residual bits; zero is '1'. */
   private def putMotion(bw: BW, delta: Int): Unit = {
@@ -203,6 +301,7 @@ object Mpeg1 {
         var dcPredY = 1024; var dcPredCb = 1024; var dcPredCr = 1024
         var mvPredX = 0; var mvPredY = 0
         var pendingInc = 1
+        var curQ = 8 // quantizer_scale persists across macroblocks
         for (bx <- 0 until mbW) {
           fp.mb(bx, row) match {
             case MbSkip =>
@@ -240,6 +339,31 @@ object Mpeg1 {
               putMotion(bw, dx - mvPredX)
               putMotion(bw, dy - mvPredY)
               mvPredX = dx; mvPredY = dy
+              dcPredY = 1024; dcPredCb = 1024; dcPredCr = 1024
+            case MbMcCoded(dx, dy, addY, requant) =>
+              require(!fp.intra, "coded P macroblocks only in P pictures")
+              require(pendingInc <= 15)
+              putAddrInc(bw, pendingInc); pendingInc = 1
+              if (requant) { bw.put(2, 5); bw.put(16, 5); curQ = 16 } // '00010' + qscale
+              else bw.put(1, 1)                                       // '1'
+              val lvl = residualLevel(addY, curQ)
+              putMotion(bw, dx - mvPredX)
+              putMotion(bw, dy - mvPredY)
+              mvPredX = dx; mvPredY = dy
+              putCbp(bw, 60) // all four luma blocks coded, chroma not
+              for (_ <- 0 until 4) putResidualBlock(bw, lvl)
+              dcPredY = 1024; dcPredCb = 1024; dcPredCr = 1024
+            case MbCoded(addY, requant) =>
+              require(!fp.intra, "coded P macroblocks only in P pictures")
+              require(pendingInc <= 15)
+              putAddrInc(bw, pendingInc); pendingInc = 1
+              if (requant) { bw.put(1, 5); bw.put(16, 5); curQ = 16 } // '00001' + qscale
+              else bw.put(1, 2)                                       // '01'
+              val lvl = residualLevel(addY, curQ)
+              putCbp(bw, 60)
+              for (_ <- 0 until 4) putResidualBlock(bw, lvl)
+              // no forward vector: zero-vector prediction, predictors reset
+              mvPredX = 0; mvPredY = 0
               dcPredY = 1024; dcPredCb = 1024; dcPredCr = 1024
           }
         }
@@ -293,7 +417,15 @@ object Mpeg1 {
       while (k < 64) { intraQ(Zigzag(k)) = br.read(8); k += 1 }
       if (intraQ.exists(_ == 0)) return None
     }
-    if (br.read(1) == 1) { var k = 0; while (k < 64) { br.read(8); k += 1 } }
+    // load_non_intra_quantiser_matrix (zigzag order; default all 16) —
+    // the coded-residual path dequantises with it, so it must be
+    // captured, not skipped
+    val nonIntraQ = Array.fill(64)(16)
+    if (br.read(1) == 1) {
+      var k = 0
+      while (k < 64) { nonIntraQ(Zigzag(k)) = br.read(8); k += 1 }
+      if (nonIntraQ.exists(_ == 0)) return None
+    }
     val mbW = w / 16; val mbH = h / 16
     val frames = Vector.newBuilder[Frame]
     var prev: Frame = null
@@ -337,7 +469,7 @@ object Mpeg1 {
               br.nextStartCode()
               anySlice = true
               decodeSlice(br, nsc, cur, prev, mbW, mbH, w, h, ptype,
-                fullPel, fwdF, fwdRBits, intraQ, covered)
+                fullPel, fwdF, fwdRBits, intraQ, nonIntraQ, covered)
                 .getOrElse(return None)
             } else sliceDone = true
           }
@@ -450,9 +582,21 @@ object Mpeg1 {
     }
   }
 
-  /** dct_coeff_next subset: EOB '10', (0,±1) '11s', escape '000001'. */
-  private def readAcInto(br: BR, zz: Array[Int]): Unit = {
-    var k = 0 // index of the last written coefficient (0 = DC)
+  /** the ESCAPE form's run + level (6-bit run, 8/16-bit level). */
+  private def readEscRunLevel(br: BR): (Int, Int) = {
+    val run = br.read(6)
+    var level = br.read(8)
+    level = if (level >= 128) level - 256 else level
+    if (level == 0) level = br.read(8)                    // 128..255
+    else if (level == -128) level = br.read(8) - 256      // -256..-129
+    if (level == 0) throw Trunc
+    (run, level)
+  }
+
+  /** dct_coeff_next subset: EOB '10', (0,±1) '11s', escape '000001';
+    * `k0` = index of the last written coefficient. */
+  private def readAcInto(br: BR, zz: Array[Int], k0: Int = 0): Unit = {
+    var k = k0
     var eob = false
     while (!eob) {
       if (br.readBit() == 1) {
@@ -472,17 +616,55 @@ object Mpeg1 {
           else { zeros += 1; if (zeros > 5) throw Trunc }
         }
         if (zeros != 5) throw Trunc // other B.5 codes: subset reject
-        val run = br.read(6)
-        var level = br.read(8)
-        level = if (level >= 128) level - 256 else level
-        if (level == 0) level = br.read(8)                    // 128..255
-        else if (level == -128) level = br.read(8) - 256      // -256..-129
-        if (level == 0) throw Trunc
+        val (run, level) = readEscRunLevel(br)
         k += run + 1
         if (k > 63) throw Trunc
         zz(k) = level
       }
     }
+  }
+
+  /** one CODED non-intra block: dct_coeff_first ('1s' = (0,±1) — EOB
+    * cannot be first — or the escape form), then dct_coeff_next to EOB,
+    * dequantised with the non-intra reconstruction
+    * rec = ((2·QFS + Sign(QFS)) · W · QS) / 16 (truncating toward
+    * zero), mismatch-controlled and clamped to ±2048. Returns the
+    * raster-order coefficient block. */
+  private def readNonIntraBlock(br: BR, qScale: Int,
+      nonIntraQ: Array[Int]): Array[Int] = {
+    val zz = new Array[Int](64)
+    var k0 = 0
+    if (br.readBit() == 1) {
+      zz(0) = if (br.readBit() == 1) -1 else 1 // '1s': run 0, level ±1
+    } else {
+      var zeros = 1
+      var one = false
+      while (!one) {
+        if (br.readBit() == 1) one = true
+        else { zeros += 1; if (zeros > 5) throw Trunc }
+      }
+      if (zeros != 5) throw Trunc // remaining B.5 first-codes: subset reject
+      val (run, level) = readEscRunLevel(br)
+      if (run > 63) throw Trunc
+      zz(run) = level
+      k0 = run
+    }
+    readAcInto(br, zz, k0)
+    val coef = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      val lvl = zz(k)
+      if (lvl != 0) {
+        val s = if (lvl > 0) 1 else -1
+        var v = ((2 * lvl + s) * qScale * nonIntraQ(Zigzag(k))) / 16
+        if (v != 0 && (v & 1) == 0) v -= (if (v > 0) 1 else -1)
+        if (v > 2047) v = 2047
+        if (v < -2048) v = -2048
+        coef(Zigzag(k)) = v
+      }
+      k += 1
+    }
+    coef
   }
 
   private def copyMb(cur: Frame, prev: Frame, bx: Int, by: Int,
@@ -571,9 +753,40 @@ object Mpeg1 {
     }
   }
 
+  /** IDCT of a dequantised RESIDUAL block, ADDED to the prediction
+    * already in the plane and clamped to 0..255 (the coded P-macroblock
+    * reconstruction). */
+  private def addIdctInto(coef: Array[Int], plane: Array[Int], pw: Int,
+      x0: Int, y0: Int): Unit = {
+    val invSqrt2 = 1.0 / math.sqrt(2)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var idx = 0
+        while (idx < 64) {
+          val c = coef(idx)
+          if (c != 0) {
+            val u = idx & 7; val v = idx >> 3
+            val cu = if (u == 0) invSqrt2 else 1.0
+            val cv = if (v == 0) invSqrt2 else 1.0
+            acc += cu * cv * c * cosTab(x)(u) * cosTab(y)(v)
+          }
+          idx += 1
+        }
+        val s = math.round(0.25 * acc).toInt
+        val p = (y0 + y) * pw + x0 + x
+        plane(p) = math.max(0, math.min(255, plane(p) + s))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   private def decodeSlice(br: BR, sliceRow: Int, cur: Frame, prev: Frame,
       mbW: Int, mbH: Int, w: Int, h: Int, ptype: Int, fullPel: Boolean,
-      fwdF: Int, fwdRBits: Int, intraQ: Array[Int],
+      fwdF: Int, fwdRBits: Int, intraQ: Array[Int], nonIntraQ: Array[Int],
       covered: Array[Boolean]): Option[Unit] = {
     if (sliceRow > mbH) return None
     var qScale = br.read(5)
@@ -606,21 +819,21 @@ object Mpeg1 {
       if (mbAddr < 0 || mbAddr >= mbW * mbH || covered(mbAddr)) return None
       covered(mbAddr) = true
       val bx = mbAddr % mbW; val by = mbAddr / mbW
-      // ---- macroblock type ----
-      var intra = false; var mc = false; var quant = false
+      // ---- macroblock type (table B.2a for I, B.2b for P) ----
+      var intra = false; var mc = false; var quant = false; var coded = false
       if (ptype == 1) {
         if (br.readBit() == 1) intra = true
         else if (br.readBit() == 1) { intra = true; quant = true }
         else return None
       } else {
-        if (br.readBit() == 1) return None         // '1' MC+coded: CBP tail
-        else if (br.readBit() == 1) return None    // '01' coded: CBP tail
-        else if (br.readBit() == 1) mc = true      // '001' MC, not coded
+        if (br.readBit() == 1) { mc = true; coded = true } // '1' MC + coded
+        else if (br.readBit() == 1) coded = true           // '01' coded, no MC
+        else if (br.readBit() == 1) mc = true              // '001' MC, not coded
         else if (br.readBit() == 1) {
-          if (br.readBit() == 1) intra = true      // '00011'
-          else return None                         // '00010' MC+coded+quant
+          if (br.readBit() == 1) intra = true              // '00011'
+          else { mc = true; coded = true; quant = true }   // '00010'
         }
-        else if (br.readBit() == 1) return None    // '00001' coded+quant
+        else if (br.readBit() == 1) { coded = true; quant = true } // '00001'
         else if (br.readBit() == 1) { intra = true; quant = true } // '000001'
         else return None
       }
@@ -628,11 +841,37 @@ object Mpeg1 {
         qScale = br.read(5)
         if (qScale == 0) return None
       }
-      if (mc) {
-        mvX = readMotion(br, fwdRBits, fwdF, mvX)
-        mvY = readMotion(br, fwdRBits, fwdF, mvY)
-        copyMb(cur, prev, bx, by, mvX, mvY, w, h, fullPel)
+      if (!intra && ptype == 2) {
+        // prediction: forward vectors when present, else the co-located
+        // macroblock with a zero vector (types '01'/'00001' — their
+        // motion predictors also reset, §2.4.4.2)
+        if (mc) {
+          mvX = readMotion(br, fwdRBits, fwdF, mvX)
+          mvY = readMotion(br, fwdRBits, fwdF, mvY)
+          copyMb(cur, prev, bx, by, mvX, mvY, w, h, fullPel)
+        } else {
+          mvX = 0; mvY = 0
+          copyMb(cur, prev, bx, by, 0, 0, w, h, fullPel = true)
+        }
         dcPredY = 1024; dcPredCb = 1024; dcPredCr = 1024
+        if (coded) {
+          val cbp = readCbp(br)
+          var blk = 0
+          while (blk < 6) {
+            if ((cbp & (32 >> blk)) != 0) {
+              val coef = readNonIntraBlock(br, qScale, nonIntraQ)
+              if (blk < 4) {
+                val x0 = bx * 16 + (blk & 1) * 8
+                val y0 = by * 16 + (blk >> 1) * 8
+                addIdctInto(coef, cur.y, w, x0, y0)
+              } else {
+                val pl = if (blk == 4) cur.cb else cur.cr
+                addIdctInto(coef, pl, w / 2, bx * 8, by * 8)
+              }
+            }
+            blk += 1
+          }
+        }
       } else {
         // intra macroblock: six DC(+escape-AC) blocks
         var blk = 0

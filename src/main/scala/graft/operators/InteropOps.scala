@@ -291,8 +291,21 @@ object InteropOps {
           .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(10)) === 3)
           .select((col("doc_id") + 30000000L).as("doc_id"),
             concat(col("text"), lit(" zulu yankee xray")).as("text"))
+        // the fifth class: GENUINELY novel texts at ANY replication
+        // factor — the id is baked into the text, so an id-shifted 10×
+        // replica is a new document, not a dup of its source copy. The
+        // `stream` token makes the accepted ones findable by the probe:
+        // both weekly outcomes (all-dup AND new-docs-appended) are
+        // proven at every scale, where the replica-built 10× fixture
+        // previously degenerated to the all-dup outcome alone.
+        val salted = docs
+          .filter(pmod(col("doc_id"), lit(10)) === 4)
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            concat(lit("fresh stream arrival notice number "),
+              md5(col("doc_id").cast("string").cast("binary")),
+              lit(" batch "), col("doc_id").cast("string")).as("text"))
         val delta = fresh.unionByName(dupVsBase).unionByName(dupIntra)
-          .unionByName(nearVsBase)
+          .unionByName(nearVsBase).unionByName(salted)
         val shards = delta
           .withColumn("shard_id", pmod(col("doc_id"), lit(32)))
           .groupBy(col("shard_id"))
@@ -741,7 +754,13 @@ object InteropOps {
        |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
        |  UNION ALL
        |  SELECT doc_id + 30000000, text || ' zulu yankee xray' FROM documents
-       |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 3),
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 40000000,
+       |    'fresh stream arrival notice number '
+       |      || md5(CAST(doc_id AS VARCHAR))
+       |      || ' batch ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 10 = 4),
        |gated AS MATERIALIZED (
        |  SELECT doc_id, text FROM deltac0
        |  WHERE doc_id % 7 <> 0

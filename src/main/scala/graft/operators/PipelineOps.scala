@@ -4522,13 +4522,18 @@ object PipelineOps {
     while (!converged && round < maxRounds) {
       val nbr = edges.join(lbl.select(col("id").as("v"), col("component").as("nc")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
+      // the convergence flag rides the SAME join that computes the next
+      // labels and materializes with the checkpoint — a separate
+      // next⋈prev check was one more join job per round, pure driver
+      // latency on an iteration whose data is small by then
       val next = lbl.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component")).as("_chg"))
         .localCheckpoint()
-      converged = next.join(lbl.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev")).isEmpty
-      lbl = next
+      val anyChg = next.agg(max(col("_chg"))).first()
+      converged = anyChg.isNullAt(0) || !anyChg.getBoolean(0)
+      lbl = next.drop("_chg")
       round += 1
     }
     // partial labels masquerading as components would silently split real

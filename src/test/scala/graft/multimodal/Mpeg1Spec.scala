@@ -199,6 +199,102 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(Mpeg1.decode(flipped).isEmpty)
   }
 
+  test("coded P macroblocks: MC+residual and zero-vector residual reconstruct exactly") {
+    val w = 64; val h = 32
+    def g(bx: Int, by: Int) = 20 + (bx * 37 + by * 51) % 200
+    val p = Mpeg1.FramePlan(intra = false, (bx, by) => bx match {
+      case 0 => Mpeg1.MbIntra(g(bx, by))
+      // '1': forward MC one MB left + DC-only residual (+5 per pel)
+      case 1 => Mpeg1.MbMcCoded(-16, 0, 5)
+      // '01': co-located prediction + residual, sign varying by row
+      case 2 => Mpeg1.MbCoded(if (by == 0) 3 else -3)
+      // '00001': coded + its own quantizer_scale (16 → offsets ≡ 2 mod 4)
+      case _ => Mpeg1.MbCoded(6, requant = true)
+    })
+    val d = Mpeg1.decode(Mpeg1.encode(w, h, Seq(flatI(w, h, g), p))).get
+    val y1 = d.frames(1).y
+    for (py <- 0 until h; px <- 0 until w) {
+      val bx = px / 16; val by = py / 16
+      val want = bx match {
+        case 0 => g(0, by)
+        case 1 => g(0, by) + 5
+        case 2 => g(2, by) + (if (by == 0) 3 else -3)
+        case _ => g(3, by) + 6
+      }
+      assert(y1(py * w + px) == want, s"($px,$py)")
+    }
+    // cbp 60 codes luma only: chroma stays the prediction
+    assert(d.frames(1).cb.forall(_ == 128) && d.frames(1).cr.forall(_ == 128))
+  }
+
+  test("coded residuals saturate at 0 and 255") {
+    val w = 32; val h = 16
+    def g(bx: Int, by: Int) = if (bx == 0) 252 else 2
+    val p = Mpeg1.FramePlan(intra = false, (bx, _) =>
+      if (bx == 0) Mpeg1.MbCoded(9) else Mpeg1.MbCoded(-5))
+    val d = Mpeg1.decode(Mpeg1.encode(w, h, Seq(flatI(w, h, g), p))).get
+    val y1 = d.frames(1).y
+    for (py <- 0 until h; px <- 0 until w)
+      assert(y1(py * w + px) == (if (px < 16) 255 else 0), s"($px,$py)")
+  }
+
+  test("table B.3 is a prefix-free code over exactly cbp 1..63") {
+    val codes = Mpeg1.CbpCodes
+    assert(codes.keySet == (1 to 63).toSet, "cbp 0 has no code; 1..63 all do")
+    // no code is a prefix of another (progressive decode is unambiguous)
+    for ((v1, (c1, l1)) <- codes; (v2, (c2, l2)) <- codes
+         if v1 != v2 && l1 <= l2)
+      assert(c1 != (c2 >> (l2 - l1)), s"code($v1) prefixes code($v2)")
+    // Kraft sum: the two rejected 9-bit points are the ONLY unused space
+    val kraft = codes.values.map { case (_, l) => math.pow(2, -l) }.sum
+    assert(math.abs(kraft - (1.0 - 2.0 * math.pow(2, -9))) < 1e-12)
+  }
+
+  test("hand-built: chroma-only cbp residual lands on Cr alone; out-of-table cbp rejects") {
+    val w = 16; val h = 16
+    def base(): BitBuf = {
+      val b = new BitBuf
+      b.start(0xB3)
+      b.put(w, 12); b.put(h, 12); b.put(1, 4); b.put(3, 4)
+      b.put(0x3FFFF, 18); b.put(1, 1); b.put(0, 10); b.put(0, 1)
+      b.put(0, 1); b.put(0, 1)
+      // I picture: one flat MB (DC predictors stay 1024 → luma 128)
+      b.start(0x00); b.put(0, 10); b.put(1, 3); b.put(0xFFFF, 16); b.put(0, 1)
+      b.start(0x01); b.put(8, 5); b.put(0, 1)
+      b.put(1, 1); b.put(1, 1) // inc 1, intra
+      for (blk <- 0 until 6) {
+        if (blk < 4) b.put(4, 3) else b.put(0, 2) // dc size 0
+        b.put(2, 2) // EOB
+      }
+      // P picture header, full-pel f_code 1
+      b.start(0x00); b.put(1, 10); b.put(2, 3); b.put(0xFFFF, 16)
+      b.put(1, 1); b.put(1, 3); b.put(0, 1)
+      b.start(0x01); b.put(8, 5); b.put(0, 1)
+      b.put(1, 1)    // inc 1
+      b.put(1, 2)    // '01' coded, no MC
+      b
+    }
+    // cbp = 1 (Cr only, code '01011'): dct_coeff_first '1s' level +1 →
+    // rec (2+1)·8·16/16 = 24 → oddified 23 → DC-only IDCT round(23/8) = 3
+    val ok = base()
+    ok.put(0xB, 5)           // cbp 1
+    ok.put(1, 1); ok.put(0, 1) // '1s': (0, +1)
+    ok.put(2, 2)             // EOB
+    ok.start(0xB7)
+    val d = Mpeg1.decode(ok.bytes).get
+    assert(d.frames(1).y.forall(_ == 128), "luma must stay the prediction")
+    assert(d.frames(1).cb.forall(_ == 128), "cb is not in cbp 1")
+    assert(d.frames(1).cr.forall(_ == 131), "cr must carry the +3 residual")
+    // the two codespace points outside table B.3 reject loudly
+    for (tail <- Seq(0, 1)) {
+      val bad = base()
+      bad.put(tail, 9) // '000000000' / '000000001'
+      bad.put(2, 2)
+      bad.start(0xB7)
+      assert(Mpeg1.decode(bad.bytes).isEmpty, s"cbp point $tail must reject")
+    }
+  }
+
   test("bit-flip fuzz never crashes") {
     val w = 48; val h = 32
     def g(bx: Int, by: Int) = 16 + (bx * 77 + by * 13) % 224
@@ -206,7 +302,13 @@ class Mpeg1Spec extends AnyFunSuite {
       Seq(flatI(w, h, g), Mpeg1.FramePlan(intra = false,
         (bx, by) => if (bx == 2) Mpeg1.MbIntra(55)
                     else if (bx == 0) Mpeg1.MbMc(16, 0)
-                    else Mpeg1.MbMc(0, if (by == 0) 16 else -16))))
+                    else Mpeg1.MbMc(0, if (by == 0) 16 else -16)),
+        // coded-residual P frame: the CBP + dct_coeff_first grammar is
+        // inside the fuzz surface too
+        Mpeg1.FramePlan(intra = false,
+          (bx, by) => if (bx == 0) Mpeg1.MbCoded(if (by == 0) 3 else -3)
+                      else if (bx == 1) Mpeg1.MbMcCoded(-16, 0, 7)
+                      else Mpeg1.MbMcCoded(-16, 0, 6, requant = true))))
     assert(Mpeg1.decode(bytes).nonEmpty)
     var seed = 3L
     for (_ <- 1 to 400) {
