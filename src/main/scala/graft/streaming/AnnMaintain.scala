@@ -120,7 +120,7 @@ object AnnMaintain {
   def deleteVecs(spark: SparkSession, dir: String, vecIds: DataFrame,
       deleteId: Long): Unit = {
     val covers = BatchStore.liveDirs(spark, s"$dir/postings")
-      .map(d => new Path(d).getName.split("-").last.toLong)
+      .map(d => BatchStore.genOf(new Path(d).getName))
       .sorted.lastOption.getOrElse(-1L)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     tombstoneDirs(spark, dir).filter(_._2 == deleteId)
@@ -150,21 +150,28 @@ object AnnMaintain {
   private def complete(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
     fs.exists(new Path(p, "_SUCCESS"))
 
+  private val CentR = "^centroids-(\\d+(?:\\.\\d+)?)$".r
+  private def centOrd(tail: String): (Long, Long) = {
+    val dot = tail.indexOf('.')
+    if (dot < 0) (tail.toLong, 0L)
+    else (tail.substring(0, dot).toLong, tail.substring(dot + 1).toLong)
+  }
+
   /** the centroids probes and maintainers must use: the newest refresh
-    * generation whose postings generation also committed, else the
-    * bootstrap set at `bootstrapPath`. */
+    * generation whose postings generation (same `gen[.sub]` tail —
+    * see [[BatchStore.nextTarget]]) also committed, else the bootstrap
+    * set at `bootstrapPath`. */
   def currentCentroidsPath(spark: SparkSession, dir: String,
       bootstrapPath: String): String = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val CentR = "^centroids-(\\d+)$".r
     val gens =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
         p.getName match {
           case CentR(g) if complete(fs, p) &&
             complete(fs, new Path(s"$dir/postings/compact-$g")) =>
-            Some((g.toLong, p.toString))
+            Some((centOrd(g), p.toString))
           case _ => None
         })
     gens.sortBy(_._1).lastOption.map(_._2).getOrElse(bootstrapPath)
@@ -183,22 +190,37 @@ object AnnMaintain {
     * excluded from both training and the new generation; covered
     * tombstones are purged with it. */
   def refresh(spark: SparkSession, dir: String, bootstrapPath: String,
-      train: DataFrame => DataFrame): Unit = {
-    val live = BatchStore.liveDirs(spark, s"$dir/postings")
-    if (live.isEmpty) return
+      train: DataFrame => DataFrame, attempts: Int = 3): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // captured BEFORE the swap: the one generation a concurrent probe
     // can be holding — it gets a grace window (see purge below)
     val prevCurrent = currentCentroidsPath(spark, dir, bootstrapPath)
-    val gen = live.map(d => new Path(d).getName.split("-").last.toLong).max
-    val vecs = postings(spark, dir)
-      .select(col("n_id").as("vec_id"), col("nv").as("vq"), col("nn").as("nrm"))
-    train(vecs).write.mode("overwrite").parquet(s"$dir/centroids-$gen")
-    val cents = spark.read.parquet(s"$dir/centroids-$gen")
+    // the generation tail the postings fold will commit as — centroids
+    // are named by the SAME tail, so pairing survives re-shapes of an
+    // already-committed generation (compact-7 → compact-7.1)
+    val tail = BatchStore.nextTarget(spark, s"$dir/postings",
+      force = true).getOrElse(return)._3
+    val centDst = new Path(s"$dir/centroids-$tail")
+    // create-once per tail: (gen, sub) advances on every committed fold
+    // and the trainer is deterministic over the same live snapshot, so
+    // an existing dir (a racing refresher's, or a crashed one's orphan)
+    // carries the content this refresh would produce — never rewrite a
+    // dir a probe may be reading
+    if (!fs.exists(centDst)) {
+      val vecs = postings(spark, dir)
+        .select(col("n_id").as("vec_id"), col("nv").as("vq"),
+          col("nn").as("nrm"))
+      val staging = new Path(s"$dir/tmp-cent-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      train(vecs).write.mode("overwrite").parquet(staging.toString)
+      if (!fs.rename(staging, centDst)) fs.delete(staging, true) // lost
+    }
+    val cents = spark.read.parquet(centDst.toString)
     val tombs = tombstoneDirs(spark, dir)
     val dead = tombstones(spark, dir)
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    BatchStore.compact(spark, s"$dir/postings", postingsSchema, { df =>
+    val won = BatchStore.compact(spark, s"$dir/postings", postingsSchema, { df =>
       antiTomb(df, dead)
         .select(col("n_id"), col("nv"), col("nn"), col("src"))
         .crossJoin(broadcast(cents))
@@ -214,7 +236,21 @@ object AnnMaintain {
           col("nv"), col("nn"), col("src"))
         .sortWithinPartitions(col("cell"))
     }, upTo = Long.MaxValue, force = true)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // side effects are WINNER-ONLY (the CAS decides): a losing racer
+    // purging tombstones or centroid dirs would act on state it never
+    // committed
+    if (!won) return
+    if (!complete(fs, new Path(s"$dir/postings/compact-$tail"))) {
+      // a batch landed between the target computation and the fold: the
+      // committed generation is newer than the centroid set we paired
+      // with, so its cells don't match any servable centroid set.
+      // Re-run against the advanced store (bounded — the window is the
+      // fold itself; the store stays read-consistent throughout, only
+      // probe pruning is stale until a refresh pairs).
+      if (attempts > 1) refresh(spark, dir, bootstrapPath, train, attempts - 1)
+      return
+    }
+    val gen = centOrd(tail)._1
     tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
     // once this generation's postings committed, every OTHER centroid
     // dir is superseded (its postings generation was swept by the
@@ -226,12 +262,10 @@ object AnnMaintain {
     // are reading). Orphans were never current, so no probe holds
     // them; the previous grace dir stops being protected at the NEXT
     // refresh, so a long-lived store carries at most two centroid
-    // dirs. The bootstrap set lives outside `dir` and is never touched
-    // (single-maintainer convention, as for compaction).
-    val CentR = "^centroids-(\\d+)$".r
+    // dirs. The bootstrap set lives outside `dir` and is never touched.
     fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .foreach(p => p.getName match {
-        case CentR(g) if g.toLong != gen && p.toString != prevCurrent =>
+        case CentR(g) if g != tail && p.toString != prevCurrent =>
           fs.delete(p, true)
         case _ => ()
       })
@@ -246,11 +280,12 @@ object AnnMaintain {
     val tombs = tombstoneDirs(spark, dir)
     val dead = tombstones(spark, dir)
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
-      .map(d => new Path(d).getName.split("-").last.toLong).filter(_ <= upTo)
-    BatchStore.compact(spark, s"$dir/postings", postingsSchema,
+      .map(d => BatchStore.genOf(new Path(d).getName)).filter(_ <= upTo)
+    // tombstone purge is WINNER-ONLY (see IndexMaintain.compact)
+    val won = BatchStore.compact(spark, s"$dir/postings", postingsSchema,
       df => antiTomb(df, dead).sortWithinPartitions(col("cell")),
       upTo, force = tombs.nonEmpty)
-    if (folded.length >= 2 || (folded.nonEmpty && tombs.nonEmpty)) {
+    if (won && folded.nonEmpty) {
       val gen = folded.max
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))

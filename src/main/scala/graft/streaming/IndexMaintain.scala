@@ -142,7 +142,7 @@ object IndexMaintain {
       deleteId: Long): Unit = {
     val dead = docIds.select(col("doc_id").cast(LongType)).distinct()
     val covers = BatchStore.liveDirs(spark, s"$dir/postings")
-      .map(d => new Path(d).getName.split("-").last.toLong)
+      .map(d => BatchStore.genOf(new Path(d).getName))
       .sorted.lastOption.getOrElse(-1L)
     val visible = antiTomb(
         BatchStore.read(spark, s"$dir/postings", postingsSchema),
@@ -179,11 +179,15 @@ object IndexMaintain {
     val tombs = tombstoneDirs(spark, dir)
     val dead = tombstones(spark, dir)
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
-      .map(d => new Path(d).getName.split("-").last.toLong).filter(_ <= upTo)
-    BatchStore.compact(spark, s"$dir/postings", postingsSchema,
+      .map(d => BatchStore.genOf(new Path(d).getName)).filter(_ <= upTo)
+    // tombstone purge is WINNER-ONLY: the CAS inside BatchStore.compact
+    // decides which of two racing maintainers committed the fold — a
+    // loser purging tombstones whose postings it never folded would
+    // resurrect deleted docs
+    val won = BatchStore.compact(spark, s"$dir/postings", postingsSchema,
       df => antiTomb(df, dead, "doc_id").sortWithinPartitions(col("tok")),
       upTo, force = tombs.nonEmpty)
-    if (folded.length >= 2 || (folded.nonEmpty && tombs.nonEmpty)) {
+    if (won && folded.nonEmpty) {
       val gen = folded.max
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))

@@ -103,13 +103,15 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/postings/compact-1").mkdirs())
     assert(ranking(dir) == before,
       "a partial generation masked the batches it failed to fold")
-    // the next compact folds the REAL live set and sweeps the partial dir
+    // the next compact folds the REAL live set — into the next sub
+    // number (a stranded name is never reused: renaming into it cannot
+    // be made atomic against a racer) — and sweeps the partial dir
     IndexMaintain.compact(spark, dir)
     assert(ranking(dir) == before)
     val names = new java.io.File(s"$dir/postings").listFiles()
       .map(_.getName).toSet
-    assert(names == Set("compact-1"))
-    assert(new java.io.File(s"$dir/postings/compact-1/_SUCCESS").exists())
+    assert(names == Set("compact-1.1"))
+    assert(new java.io.File(s"$dir/postings/compact-1.1/_SUCCESS").exists())
   }
 
   test("the sweep never deletes a batch appended after the fold's snapshot") {

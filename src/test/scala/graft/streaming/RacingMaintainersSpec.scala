@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single-maintainer convention is ENFORCED, not assumed (the
+  * round-12 racing-compactors lesson, applied to the index stores):
+  * a generation swap is a rename-CAS, so of two racing folds exactly
+  * one commits and every winner-only side effect (source sweep,
+  * tombstone purge, centroid purge) happens exactly once. The store
+  * must be read-consistent at every interleaving — the laws here run
+  * the races repeatedly and assert the end state equals the
+  * single-maintainer outcome. */
+class RacingMaintainersSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val docs = Seq(
+    (1L, "stream processing with hash joins on big data"),
+    (2L, "a big big corpus needs a hash index"),
+    (3L, "nothing relevant here at all"),
+    (4L, "stream stream stream small doc"),
+    (5L, "hash hash hash hash big"))
+
+  private def ranking(dir: String) =
+    IndexMaintain.bm25(spark, dir, Seq("stream", "hash", "big"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def race(bodies: (() => Unit)*): Seq[Option[Throwable]] = {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new Array[Option[Throwable]](bodies.length)
+    val ts = bodies.zipWithIndex.map { case (b, i) =>
+      new Thread(() => {
+        gate.await()
+        errs(i) = try { b(); None } catch { case t: Throwable => Some(t) }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    errs.toSeq
+  }
+
+  test("racing BM25 compacts: one wins, ranking and purge equal the solo outcome") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_race_idx${round}_").toString
+      val solo = java.nio.file.Files
+        .createTempDirectory(s"graft_race_solo${round}_").toString
+      for (d <- Seq(dir, solo)) {
+        IndexMaintain.maintainBatch(d)(docs.take(3).toDF("doc_id", "text"), 0L)
+        IndexMaintain.maintainBatch(d)(docs.drop(3).toDF("doc_id", "text"), 1L)
+        IndexMaintain.deleteDocs(spark, d, Seq(5L).toDF("doc_id"), 0L)
+      }
+      IndexMaintain.compact(spark, solo)
+      val errs = race(
+        () => IndexMaintain.compact(spark, dir),
+        () => IndexMaintain.compact(spark, dir))
+      // a loser may fail mid-fold when the winner sweeps its sources
+      // out from under it — it must never corrupt the store
+      assert(errs.count(_.isEmpty) >= 1, s"both racers failed: $errs")
+      assert(ranking(dir) == ranking(solo),
+        "racing compacts diverged from the single-maintainer ranking")
+      val stats = IndexMaintain.stats(spark, dir).collect()(0)
+      val sstats = IndexMaintain.stats(spark, solo).collect()(0)
+      assert(stats.getLong(0) == sstats.getLong(0) &&
+        stats.getLong(1) == sstats.getLong(1))
+      // exactly one complete postings generation serves
+      val names = new java.io.File(s"$dir/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("compact-")).toSeq
+      assert(names.count(n => new java.io.File(
+        s"$dir/postings/$n/_SUCCESS").exists()) == 1,
+        s"expected one committed generation, found $names")
+      // the tombstone was purged exactly once (by the winner)
+      assert(!new java.io.File(s"$dir/tombstones").exists() ||
+        new java.io.File(s"$dir/tombstones").listFiles().isEmpty)
+    }
+  }
+
+  test("racing re-shapes of a committed generation advance the sub number, never rewrite in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_sub_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.drop(3).toDF("doc_id", "text"), 1L)
+    IndexMaintain.compact(spark, dir) // → compact-1
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_race_rb_").toString
+    IndexMaintain.maintainBatch(rebuilt)(
+      docs.filter(_._1 != 5L).toDF("doc_id", "text"), 0L)
+    // new tombstones force a re-shape of the already-committed generation
+    IndexMaintain.deleteDocs(spark, dir, Seq(5L).toDF("doc_id"), 0L)
+    val errs = race(
+      () => IndexMaintain.compact(spark, dir),
+      () => IndexMaintain.compact(spark, dir))
+    assert(errs.count(_.isEmpty) >= 1)
+    assert(ranking(dir) == ranking(rebuilt),
+      "re-shape race diverged from delete≡rebuild")
+    val complete = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(n => n.startsWith("compact-") &&
+        new java.io.File(s"$dir/postings/$n/_SUCCESS").exists()).toSeq
+    // compact-1 was superseded by compact-1.<sub>, not rewritten in
+    // place — a reader holding the old path mid-race never saw a
+    // half-deleted generation
+    assert(complete.length == 1 && complete.head.startsWith("compact-1."),
+      s"expected one re-shaped generation above compact-1, got $complete")
+    assert(spark.read.parquet(s"$dir/postings/${complete.head}")
+      .filter(col("doc_id") === 5L).count() == 0,
+      "the re-shape must have applied the tombstone physically")
+  }
+
+  test("racing ANN centroid refreshes: one generation commits, pairing holds, at most two centroid dirs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_race_ann_").toString
+    Seq((0L, Seq(1000000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000000L, 0L, 0L)))
+      .toDF("c_id", "cv")
+      .withColumn("cn", expr(
+        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    val cp = s"$base/centroids"
+    val dir = s"$base/idx"
+    def withNorm(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("vec_id", "vq").withColumn("nrm", expr(
+        "aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (10L, Seq(900000L, 100000L, 0L, 0L)),
+      (11L, Seq(100000L, 900000L, 0L, 0L)),
+      (12L, Seq(0L, 100000L, 900000L, 0L)),
+      (13L, Seq(0L, 0L, 950000L, 50000L)))), 0L)
+    val errs = race(
+      () => AnnMaintain.refresh(spark, dir, cp,
+        graft.operators.PipelineOps.ivfCentroids),
+      () => AnnMaintain.refresh(spark, dir, cp,
+        graft.operators.PipelineOps.ivfCentroids))
+    assert(errs.count(_.isEmpty) >= 1, s"both refreshes failed: $errs")
+    // the current centroid path pairs with a committed postings
+    // generation of the SAME tail — never a mismatch
+    val cur = AnnMaintain.currentCentroidsPath(spark, dir, cp)
+    assert(cur != cp, "refresh never committed")
+    val tail = new java.io.File(cur).getName.stripPrefix("centroids-")
+    assert(new java.io.File(s"$dir/postings/compact-$tail/_SUCCESS").exists(),
+      s"current centroids $tail have no committed postings twin")
+    // every posting's cell references a centroid of the current set
+    val cells = AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    val cids = spark.read.parquet(cur)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cids), s"cells $cells not in centroid set $cids")
+    assert(AnnMaintain.postings(spark, dir).count() == 4)
+    val centDirs = new java.io.File(base, "idx").listFiles()
+      .map(_.getName).filter(_.startsWith("centroids-")).toSeq
+    assert(centDirs.size <= 2, s"centroid dirs not bounded: $centDirs")
+  }
+}
