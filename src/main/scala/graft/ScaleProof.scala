@@ -202,7 +202,10 @@ object ScaleProof {
       // retention mask) must keep the corpus side exchange-free —
       // the dead-key anti-join and the probe joins are co-located on
       // the bucketed band key; corpus decoded at build only
-      "q394_video_index_lifecycle")
+      "q394_video_index_lifecycle",
+      // coded-residual MPEG-1 round trip: per-row codec work,
+      // scan-bound like the other container/codec walks
+      "q395_mpeg1_residual_roundtrip")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

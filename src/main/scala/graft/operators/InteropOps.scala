@@ -556,7 +556,13 @@ object InteropOps {
         else s.read.option("basePath", root).parquet(newFiles: _*)
           .select(col("doc_id"), lit(1L).as("is_new"))
       val stats = s.read.parquet(s"$loc/pipeline_stats")
+      // TWO probe planes: the original-corpus terms (old docs must keep
+      // serving), and a term only the drop's novel class carries — at
+      // 10× the replica-saturated top-20 of the first plane can't show
+      // a new doc, so the second plane is what PROVES the appended docs
+      // are searchable at every scale
       graft.streaming.IndexMaintain.bm25(s, idx, Seq("stream", "hash", "big"))
+        .unionByName(graft.streaming.IndexMaintain.bm25(s, idx, Seq("arrival")))
         .join(newIds, Seq("doc_id"), "left")
         .withColumn("is_new", coalesce(col("is_new"), lit(0L)))
         .crossJoin(broadcast(stats))
@@ -785,19 +791,29 @@ object InteropOps {
        |bocc AS (SELECT doc_id, dl, unnest(toks) AS tok FROM bdd),
        |btfs AS (
        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM bocc
-       |  WHERE tok IN ('stream', 'hash', 'big') GROUP BY 1, 2, 3),
+       |  WHERE tok IN ('stream', 'hash', 'big', 'arrival') GROUP BY 1, 2, 3),
        |bdfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM btfs GROUP BY 1),
        |bsc AS (
-       |  SELECT t.doc_id, t.tf,
+       |  SELECT t.doc_id, t.tok, t.tf,
        |    ((2 * (s.n_docs - f.dfc) + 1) * 1000000) // (2 * f.dfc + 1) AS idf_fp,
        |    (1200 * (250 + (750 * ((t.dl * 1000000) // s.avgdl_fp)) // 1000)) // 1000 AS k_fp
        |  FROM btfs t JOIN bdfs f USING (tok) CROSS JOIN bst s),
-       |rank AS (
+       |rank1 AS (
        |  SELECT doc_id,
        |    CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT)
        |      AS score_fp,
        |    count(*) AS n_terms
-       |  FROM bsc GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20),
+       |  FROM bsc WHERE tok IN ('stream', 'hash', 'big')
+       |  GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20),
+       |rank2 AS (
+       |  SELECT doc_id,
+       |    CAST(SUM((idf_fp * tf * 2200) // (tf * 1000 + k_fp)) AS BIGINT)
+       |      AS score_fp,
+       |    count(*) AS n_terms
+       |  FROM bsc WHERE tok = 'arrival'
+       |  GROUP BY 1 ORDER BY score_fp DESC, doc_id ASC LIMIT 20),
+       |rank AS (
+       |  SELECT * FROM rank1 UNION ALL SELECT * FROM rank2),
        |counts AS (
        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deltac0) AS n_delta,
        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM gated) AS n_gated,

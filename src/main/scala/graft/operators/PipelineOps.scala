@@ -461,8 +461,8 @@ object PipelineOps {
     * stored build): centroids (c_id, cv, cn) and postings
     * (cell, n_id, nv, nn). Deterministic integer centroids, so the index
     * content is identical on any engine/partitioning. */
-  private def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
-    val seeds = e.filter(col("vec_id") < 16)
+  private def ivfIndex(e: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
+    val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
     val members = ivfScores(e, seeds).groupBy(col("vec_id"))
       .agg(min(col("sc")).as("best"), first(col("vq")).as("vq"))
@@ -490,6 +490,16 @@ object PipelineOps {
     * from-scratch build train EXACTLY the same construction (seeds =
     * vec_id < 16, integer-rounded means). */
   private[graft] def ivfCentroids(e: DataFrame): DataFrame = ivfIndex(e)._1
+
+  /** the q122 trainer with a SCALABLE cell count — the fixed-k quadratic
+    * q380's 100× row measured: with k frozen at 16, cell size grows
+    * O(N) and a probe set that scales with the corpus costs O(N²/k).
+    * A refresh at N vectors passes k ∝ √N here, restoring O(N·√N)
+    * total probe work; construction is q122's exactly (seeds =
+    * vec_id < k, one Lloyd round, integer-rounded means), so
+    * refresh-at-k and a from-scratch build at k train identically. */
+  private[graft] def ivfCentroidsK(k: Int): DataFrame => DataFrame =
+    e => ivfIndex(e, k)._1
 
   /** the index LIFECYCLE a 100 TB ANN store actually runs: build once
     * (write-once per sf dir, like the other stored tables), probe many.

@@ -168,6 +168,38 @@ class AnnMaintainSpec extends AnyFunSuite {
       s"the grace window must slide: expected {2,3}, found $centDirs3")
   }
 
+  test("refresh accepts a different k than bootstrap (the k ∝ √N scale path)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annk_").toString
+    val cp = mkCentroids(base) // bootstrap k = 2
+    val dir = s"$base/idx"
+    // vectors spanning THREE directions — k=2 must merge two of them
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (0L, Seq(1000000L, 0L, 0L, 0L)),
+      (1L, Seq(0L, 1000000L, 0L, 0L)),
+      (2L, Seq(0L, 0L, 1000000L, 0L)),
+      (10L, Seq(900000L, 100000L, 0L, 0L)),
+      (11L, Seq(100000L, 900000L, 0L, 0L)),
+      (12L, Seq(0L, 100000L, 900000L, 0L)))), 0L)
+    assert(AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().count() == 2)
+    // refresh trains k = 3 (the grown-k mitigation: a production
+    // refresh passes k ∝ √N while bootstrap stays small)
+    AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroidsK(3))
+    val cents = AnnMaintain.currentCentroids(spark, dir, cp)
+    assert(cents.count() == 3, "refresh must honor the grown k")
+    val cells = AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().count()
+    assert(cells == 3, s"re-assignment must use all 3 grown cells, got $cells")
+    // each direction pair lands in its own cell
+    val byCell = AnnMaintain.postings(spark, dir)
+      .select(col("cell"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).toSet).toSet
+    assert(byCell == Set(Set(0L, 10L), Set(1L, 11L), Set(2L, 12L)),
+      s"grown-k refresh mis-assigned: $byCell")
+  }
+
   test("a vector re-appended after a delete resurfaces (tombstones are source-bounded)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_annre_").toString
