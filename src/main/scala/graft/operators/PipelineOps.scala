@@ -477,6 +477,10 @@ object PipelineOps {
         x => x.getField("cv_i")).as("cv"))
       .withColumn("cn", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
       .select(col("cell").as("c_id"), col("cv"), col("cn"))
+      // k tiny rows, but the lineage above is a full Lloyd round over
+      // the corpus — materialize once: every caller broadcasts the
+      // centroids into at least two joins (assignment + probe)
+      .localCheckpoint()
     val assigned = ivfScores(e, refined).groupBy(col("vec_id"))
       .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
         first(col("nrm")).as("nn"))
@@ -2546,11 +2550,14 @@ object PipelineOps {
         col("vq").as("av"), col("nrm").as("an"))
       val b = sig.select(col("vec_id").as("b_id"), col("sig"),
         col("vq").as("bv"), col("nrm").as("bn"))
+      // materialized once: the symmetric union below would otherwise
+      // evaluate the LSH self-join twice (the audioClusters lesson)
       val pairs = a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
         .withColumn("cos", dotCol(col("av"), col("bv")).cast(DoubleType) /
           sqrt(col("an").cast(DoubleType) * col("bn").cast(DoubleType)))
         .filter(col("cos") >= 0.3)
         .select(col("a_id"), col("b_id"))
+        .localCheckpoint()
       connectedComponents(
         pairs.unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v"))
@@ -3840,7 +3847,11 @@ object PipelineOps {
     // + a bounded rank window.
     "q309_cluster_topics" -> ((s, dir) => {
       val e = embArr(s, dir)
+      // materialized once: the (vec_id, cell) frame is tiny but its
+      // lineage carries two Lloyd iterations, and it feeds BOTH the
+      // token counts and the cluster sizes below
       val assign = kmeansAssign(e, kmeansCentroids(e, k = 16, iters = 2))
+        .localCheckpoint()
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "" && !col("tok").isin("the", "a"))
