@@ -725,6 +725,33 @@ object PipelineOps {
       (boot, store)
     })
 
+  /** q396's GROWN-k refreshed store: the q386 lifecycle, except the
+    * refresh passes a LARGER k than bootstrap (32 vs 16 — the
+    * production knob: at N vectors a refresh passes k ∝ √N so probe
+    * cost stays O(N/√N), RefreshProof's 100× measurement). The refresh
+    * must equal a from-scratch k=32 build — the oracle is the q122
+    * construction with k as a literal. */
+  private val annGrownCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def grownAnnStore(s: SparkSession, dir: String): (String, String) =
+    annGrownCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ann_grown|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      val boot = s"$base/centroids0"
+      if (!marker.exists()) {
+        val e = embArr(s, dir)
+        val (cents0, _) = ivfIndex(e.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+        cents0.write.mode("overwrite").parquet(boot)
+        graft.streaming.AnnMaintain.maintainBatch(store, boot)(
+          e.filter(pmod(col("vec_id"), lit(5)) =!= 0), 0L)
+        graft.streaming.AnnMaintain.maintainBatch(store, boot)(
+          e.filter(pmod(col("vec_id"), lit(5)) === 0), 1L)
+        graft.streaming.AnnMaintain.refresh(s, store, boot, ivfCentroidsK(32))
+        marker.createNewFile()
+      }
+      (boot, store)
+    })
+
   /** q391's ANN retention-delete lifecycle (q385's law for vector
     * search): the quantized vectors land through the REAL storage path
     * across two days (even vec_id → 2024-02-01, odd → 2024-02-02);
@@ -1069,6 +1096,35 @@ object PipelineOps {
     // rank exactly as an index whose postings never held day 1 — the
     // oracle keeps the FULL centroid construction (training preceded
     // the drop) but restricts the candidate set to survivors.
+    // GROWN-k CENTROID REFRESH, ORACLE-GATED (the scale knob that kills
+    // q380's fixed-k quadratic, as a correctness law, not just a
+    // measurement): the maintained store bootstrapped at k=16 is
+    // refreshed with the q122 trainer at k=32; probes against the
+    // refreshed store must rank exactly as a from-scratch k=32 build —
+    // same construction, different k, indistinguishable result.
+    "q396_ann_refresh_grown_k" -> ((s, dir) => {
+      val (boot, store) = grownAnnStore(s, dir)
+      val cents = graft.streaming.AnnMaintain.currentCentroids(s, store, boot)
+      val post = graft.streaming.AnnMaintain.postings(s, store)
+      val e = embArr(s, dir)
+      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
+        .groupBy(col("vec_id"))
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
+          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
+          col("qv"), col("qn"))
+        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val cand = post.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotCol(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          sqrt(col("qn").cast(DoubleType) * col("nn").cast(DoubleType)))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }),
+
     "q391_ann_retention_delete" -> ((s, dir) => {
       val (boot, store) = storedAnnRetention(s, dir)
       val cents = s.read.parquet(boot)
@@ -4872,8 +4928,8 @@ object PipelineOps {
       |  md5(string_agg(tb || ' r' || j, '|' ORDER BY j)) AS text_md5
       |FROM r GROUP BY 1""".stripMargin
 
-  private val ivfKmeansSql: String =
-      """WITH e AS (
+  private def ivfKmeansSqlK(k: Int): String =
+      s"""WITH e AS (
         |  SELECT vec_id, i AS pos,
         |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
         |  FROM embeddings, range(0, 64) r(i)),
@@ -4883,7 +4939,7 @@ object PipelineOps {
         |    CAST(SUM(v.vq * c.vq) AS DOUBLE)
         |      / sqrt(CAST(cn.nrm AS DOUBLE) * CAST(vn.nrm AS DOUBLE)) AS ccos
         |  FROM e v
-        |  JOIN e c ON c.pos = v.pos AND c.vec_id < 16
+        |  JOIN e c ON c.pos = v.pos AND c.vec_id < $k
         |  JOIN norms cn ON cn.vec_id = c.vec_id
         |  JOIN norms vn ON vn.vec_id = v.vec_id
         |  GROUP BY 1, 2, cn.nrm, vn.nrm),
@@ -4935,6 +4991,8 @@ object PipelineOps {
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM cos) WHERE rank <= 3""".stripMargin
+
+  private val ivfKmeansSql: String = ivfKmeansSqlK(16)
 
   /** q391's oracle: [[ivfKmeansSql]]'s construction UNCHANGED through
     * the centroid refinement (training preceded the retention drop, so
@@ -5925,6 +5983,8 @@ object PipelineOps {
     // refresh ≡ rebuild: retraining over base ∪ delta with the shared
     // trainer makes the refreshed store a from-scratch build
     "q386_ann_centroid_refresh" -> ivfKmeansSql,
+    // grown-k refresh == from-scratch k=32 build, the same construction
+    "q396_ann_refresh_grown_k" -> ivfKmeansSqlK(32),
     "q380_ann_index_delta" -> annDeltaSql,
     "q391_ann_retention_delete" -> annTombSql,
 
