@@ -724,10 +724,35 @@ object Mpeg1 {
   private val cosTab: Array[Array[Double]] =
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
 
+  /** true iff every AC coefficient is zero — the dominant block class
+    * in I-picture-heavy streams; its IDCT is one constant. */
+  private def dcOnly(coef: Array[Int]): Boolean = {
+    var idx = 1
+    while (idx < 64) { if (coef(idx) != 0) return false; idx += 1 }
+    true
+  }
+
   /** IDCT of one dequantised block into a plane (no level shift —
     * MPEG intra blocks carry the full 0..255 range). */
   private def idctInto(coef: Array[Int], plane: Array[Int], pw: Int,
       x0: Int, y0: Int): Unit = {
+    if (dcOnly(coef)) {
+      // exact fast path: every pel is round(DC/8). Equality with the
+      // general fold (whose (1/√2)² is one ulp BELOW 0.5) needs DC/8 to
+      // never sit on a rounding half-point — and it can't: reachable
+      // DC-only coefficients are multiples of 8 (intra DC = pred +
+      // 8·diff), odd (every nonzero dequantised coefficient is
+      // mismatch-controlled odd), or the −2048 clamp — never ≡ 4
+      // (mod 8), so both paths round identically on every legal stream.
+      val s = math.max(0, math.min(255, math.round(0.25 * (coef(0) / 2.0)).toInt))
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { plane((y0 + y) * pw + x0 + x) = s; x += 1 }
+        y += 1
+      }
+      return
+    }
     val invSqrt2 = 1.0 / math.sqrt(2)
     var y = 0
     while (y < 8) {
@@ -758,6 +783,21 @@ object Mpeg1 {
     * reconstruction). */
   private def addIdctInto(coef: Array[Int], plane: Array[Int], pw: Int,
       x0: Int, y0: Int): Unit = {
+    if (dcOnly(coef)) {
+      // exact by the same reachability argument as idctInto's fast path
+      val s = math.round(0.25 * (coef(0) / 2.0)).toInt
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val p = (y0 + y) * pw + x0 + x
+          plane(p) = math.max(0, math.min(255, plane(p) + s))
+          x += 1
+        }
+        y += 1
+      }
+      return
+    }
     val invSqrt2 = 1.0 / math.sqrt(2)
     var y = 0
     while (y < 8) {
