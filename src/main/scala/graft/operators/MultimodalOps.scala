@@ -372,7 +372,11 @@ object MultimodalOps {
     (bands(0), bands(1), bands(2), bands(3), fp)
   }
 
-  private def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
+  // private[graft]: PlanSpec pins the kind pushdown + pruned ReadSchema
+  // on THIS frame — the plan that executes when audioClusters
+  // checkpoints it (the final q390 plan reads the checkpointed RDD, so
+  // the parquet scan is no longer visible there)
+  private[graft] def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the kind predicate stays RELATIONAL (pushed to the parquet scan)
     // and only (media_id, bytes) cross the encoder boundary; the

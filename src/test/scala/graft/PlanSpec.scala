@@ -48,8 +48,11 @@ class PlanSpec extends AnyFunSuite {
   test("stored video scan pushes the kind predicate and prunes to (media_id, bytes)") {
     // the q372 discipline for the video near-dup family: the mpeg kind
     // filter reaches the parquet scan, and the decoder tasks see only
-    // the id + binary column — never the timestamp/partition payload
-    val df = operators.MultimodalOps.queries("q390_video_dup_clusters")(spark, dir)
+    // the id + binary column — never the timestamp/partition payload.
+    // Asserted on the fingerprint frame itself: q390 checkpoints it
+    // (decode-once), so the final cluster plan reads an RDD and the
+    // parquet scan executes in the checkpoint job this frame describes.
+    val df = operators.MultimodalOps.videoFingerprints(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(kind,mpeg)"),
       s"kind predicate did not reach the media_video scan:\n$plan")
