@@ -205,7 +205,11 @@ object ScaleProof {
       "q394_video_index_lifecycle",
       // coded-residual MPEG-1 round trip: per-row codec work,
       // scan-bound like the other container/codec walks
-      "q395_mpeg1_residual_roundtrip")
+      "q395_mpeg1_residual_roundtrip",
+      // grown-k refresh: train + atomic full re-assignment at 10×
+      // volume — the one O(index) maintenance job; probe must keep the
+      // broadcast shape (no SMJ, no cartesian)
+      "q396_ann_refresh_grown_k")
     // SPARK_GRAFT_SCALE_ONLY=q341,q342 narrows to matching families —
     // same contract as Verify's SPARK_GRAFT_ONLY (substring match)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
