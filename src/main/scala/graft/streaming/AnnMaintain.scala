@@ -158,22 +158,35 @@ object AnnMaintain {
   }
 
   /** the centroids probes and maintainers must use: the newest refresh
-    * generation whose postings generation (same `gen[.sub]` tail —
-    * see [[BatchStore.nextTarget]]) also committed, else the bootstrap
-    * set at `bootstrapPath`. */
+    * generation whose PAIRING postings generation committed, else the
+    * bootstrap set at `bootstrapPath`. Pairing is (gen, sub) ORDER, not
+    * exact-tail equality: a centroid set written at tail T stays
+    * current as long as some complete postings generation ≥ T exists,
+    * because non-refresh folds (tombstone re-shapes compact-G →
+    * compact-G.S, plain batch folds) PRESERVE the cell space — only a
+    * newer refresh (which writes its own newer centroid dir) changes
+    * it. Exact-tail pairing stranded the centroid set whenever a
+    * tombstone compact superseded its fold, silently dropping probes
+    * back to bootstrap centroids against refreshed cells. */
   def currentCentroidsPath(spark: SparkSession, dir: String,
       bootstrapPath: String): String = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
-        p.getName match {
-          case CentR(g) if complete(fs, p) &&
-            complete(fs, new Path(s"$dir/postings/compact-$g")) =>
-            Some((centOrd(g), p.toString))
-          case _ => None
-        })
+    if (!fs.exists(root)) return bootstrapPath
+    val postRoot = new Path(s"$dir/postings")
+    val committed: Seq[(Long, Long)] =
+      if (!fs.exists(postRoot)) Seq.empty
+      else fs.listStatus(postRoot).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("compact-") && complete(fs, p))
+        .map(p => centOrd(p.getName.stripPrefix("compact-")))
+    val newest = committed.sorted.lastOption
+    val gens = fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
+      p.getName match {
+        case CentR(g) if complete(fs, p) &&
+          newest.exists(n => Ordering[(Long, Long)].lteq(centOrd(g), n)) =>
+          Some((centOrd(g), p.toString))
+        case _ => None
+      })
     gens.sortBy(_._1).lastOption.map(_._2).getOrElse(bootstrapPath)
   }
 
@@ -205,7 +218,13 @@ object AnnMaintain {
     // and the trainer is deterministic over the same live snapshot, so
     // an existing dir (a racing refresher's, or a crashed one's orphan)
     // carries the content this refresh would produce — never rewrite a
-    // dir a probe may be reading
+    // dir a probe may be reading. EXCEPT when tombstones are pending:
+    // the tail does not encode tombstone state, so a crashed
+    // refresher's orphan at this tail may have trained on vectors that
+    // have since been deleted — delete the orphan (it was never
+    // current, so no probe holds it) and retrain over the live set.
+    if (fs.exists(centDst) && tombstoneDirs(spark, dir).nonEmpty)
+      fs.delete(centDst, true)
     if (!fs.exists(centDst)) {
       val vecs = postings(spark, dir)
         .select(col("n_id").as("vec_id"), col("nv").as("vq"),
@@ -213,7 +232,11 @@ object AnnMaintain {
       val staging = new Path(s"$dir/tmp-cent-" +
         java.util.UUID.randomUUID().toString.take(8))
       train(vecs).write.mode("overwrite").parquet(staging.toString)
-      if (!fs.rename(staging, centDst)) fs.delete(staging, true) // lost
+      // same CAS primitive as the postings fold — a plain
+      // FileSystem.rename on the local scheme copies INTO an existing
+      // destination and claims success
+      if (!BatchStore.casRename(fs, staging, centDst))
+        fs.delete(staging, true) // lost to a racing refresher
     }
     val cents = spark.read.parquet(centDst.toString)
     val tombs = tombstoneDirs(spark, dir)
@@ -267,6 +290,10 @@ object AnnMaintain {
       .foreach(p => p.getName match {
         case CentR(g) if g != tail && p.toString != prevCurrent =>
           fs.delete(p, true)
+        // stranded centroid staging from a crashed refresher — nothing
+        // else ever sweeps the index root (a live racer's staging is
+        // safe to kill: its rename then fails and it loses, by design)
+        case n if n.startsWith("tmp-cent-") => fs.delete(p, true)
         case _ => ()
       })
   }

@@ -47,6 +47,35 @@ private[streaming] object BatchStore {
 
   private def id(n: String) = genOf(n)
 
+  /** the CAS primitive: atomically rename `src` onto `dst`, failing
+    * (false) when `dst` already exists. Hadoop's RawLocalFileSystem
+    * rename is NOT that — on a failed renameTo it falls back to
+    * FileUtil.copy, which copies the source INTO an existing
+    * destination directory and returns true, so a racing loser would
+    * claim victory and nest its staging inside the winner's committed
+    * generation. On the local scheme the rename therefore goes through
+    * NIO's ATOMIC_MOVE (kernel rename(2): ENOTEMPTY/EEXIST on an
+    * occupied destination); object-store schemes keep FileSystem.rename,
+    * whose HDFS semantics already return false on an existing
+    * destination. */
+  private[streaming] def casRename(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Boolean = {
+    val scheme = dst.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(src.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+        case _: java.nio.file.FileSystemException => false
+      }
+    } else fs.rename(src, dst)
+  }
+
   /** a generation dir is only trusted once its job committed — the
     * `_SUCCESS` marker is the commit record; a partial dir from a crash
     * mid-write must not mask the sources it failed to fold. */
@@ -139,11 +168,12 @@ private[streaming] object BatchStore {
     // a single live dir normally needs no fold; `force` reshapes it
     // anyway (a pending tombstone set must land physically)
     if (dirs.isEmpty || (dirs.length == 1 && !force)) return false
-    val gen = dirs.map(d => id(new Path(d).getName)).max
-    val onDisk = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("compact-") && id(n) == gen)
-    val sub = if (onDisk.isEmpty) 0L else onDisk.map(subOf).max + 1
-    val dstName = if (sub == 0) s"compact-$gen" else s"compact-$gen.$sub"
+    // one computation of the target (shared with callers that pair side
+    // state by the tail — AnnMaintain.refresh); a racer advancing the
+    // store between the two listings is settled by the CAS below
+    val (gen, sub, tail) = nextTarget(spark, dir, upTo, force)
+      .getOrElse(return false)
+    val dstName = s"compact-$tail"
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // staging keeps the "<gen>[.<sub>]" tail so a stranded dir's sweep
     // bound parses the same way as a committed one's
@@ -155,7 +185,7 @@ private[streaming] object BatchStore {
         shape(spark.read.schema(schema).parquet(dirs: _*))
           .write.mode("overwrite").parquet(staging.toString)
         // the CAS: atomic dir rename, fails if the destination exists
-        fs.rename(staging, dst)
+        casRename(fs, staging, dst)
       } catch {
         // a racing winner may sweep our sources mid-fold; if a complete
         // generation at or above ours now exists, we simply lost

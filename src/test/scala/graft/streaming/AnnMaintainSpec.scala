@@ -168,6 +168,42 @@ class AnnMaintainSpec extends AnyFunSuite {
       s"the grace window must slide: expected {2,3}, found $centDirs3")
   }
 
+  test("a tombstone re-shape after a refresh keeps serving the refreshed centroids") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annrs_").toString
+    val cp = mkCentroids(base)
+    val dir = s"$base/idx"
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (0L, Seq(1000000L, 0L, 0L, 0L)),
+      (1L, Seq(0L, 1000000L, 0L, 0L)),
+      (2L, Seq(0L, 0L, 1000000L, 0L)),
+      (10L, Seq(900000L, 100000L, 0L, 0L)),
+      (11L, Seq(100000L, 900000L, 0L, 0L)),
+      (12L, Seq(0L, 100000L, 900000L, 0L)))), 0L)
+    AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroidsK(3))
+    val refreshed = AnnMaintain.currentCentroidsPath(spark, dir, cp)
+    assert(refreshed.endsWith("/centroids-0"))
+    // retention expires a vector; compaction re-shapes the committed
+    // generation (compact-0 → compact-0.1). The centroid pairing is
+    // (gen, sub) ORDER, not exact-tail equality — an exact-tail rule
+    // stranded the refreshed set here, silently dropping probes back
+    // to bootstrap centroids against refreshed cell ids.
+    AnnMaintain.deleteVecs(spark, dir, Seq(12L).toDF("n_id"), deleteId = 0L)
+    AnnMaintain.compact(spark, dir)
+    assert(AnnMaintain.currentCentroidsPath(spark, dir, cp) == refreshed,
+      "the re-shape stranded the refreshed centroid generation")
+    // every served cell still references the refreshed (k=3) set
+    val cells = AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    val cids = spark.read.parquet(refreshed)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cids), s"cells $cells reference ids outside $cids")
+    assert(AnnMaintain.postings(spark, dir).count() == 5 &&
+      !state(dir).exists(_._1 == 12L),
+      "the tombstoned vector must be gone, the other five served")
+  }
+
   test("refresh accepts a different k than bootstrap (the k ∝ √N scale path)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_annk_").toString

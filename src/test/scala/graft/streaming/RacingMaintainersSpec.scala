@@ -45,6 +45,35 @@ class RacingMaintainersSpec extends AnyFunSuite {
     errs.toSeq
   }
 
+  test("casRename refuses an occupied destination instead of copying into it") {
+    // Hadoop's RawLocalFileSystem.rename falls back to FileUtil.copy
+    // INTO an existing destination directory and returns true — a
+    // racing loser would claim victory and nest its staging inside the
+    // winner's committed generation. The CAS primitive must fail.
+    val root = java.nio.file.Files.createTempDirectory("graft_cas_").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(name: String, content: String): org.apache.hadoop.fs.Path = {
+      val d = new java.io.File(root, name); d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-0").toPath, content.getBytes("UTF-8"))
+      new org.apache.hadoop.fs.Path(d.toString)
+    }
+    val winner = mk("stage-a", "winner")
+    val loser = mk("stage-b", "loser")
+    val dst = new org.apache.hadoop.fs.Path(root, "compact-1")
+    assert(BatchStore.casRename(fs, winner, dst), "first rename must win")
+    assert(!BatchStore.casRename(fs, loser, dst), "occupied dst must refuse")
+    // the committed generation is untouched: exactly the winner's file,
+    // no nested directory from the loser
+    val files = new java.io.File(root, "compact-1").listFiles().map(_.getName).toSet
+    assert(files == Set("part-0"), s"winner dir polluted: $files")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "compact-1/part-0").toPath)) == "winner")
+    assert(new java.io.File(root, "stage-b").exists(),
+      "the loser keeps its staging (its caller deletes it)")
+  }
+
   test("racing BM25 compacts: one wins, ranking and purge equal the solo outcome") {
     import spark.implicits._
     for (round <- 1 to 3) {
