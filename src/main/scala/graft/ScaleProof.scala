@@ -203,6 +203,9 @@ object ScaleProof {
       // the dead-key anti-join and the probe joins are co-located on
       // the bucketed band key; corpus decoded at build only
       "q394_video_index_lifecycle",
+      // the stream-built twin: maintained store probes must stay
+      // broadcast-shaped and flat in index volume, like q394's
+      "q397_video_index_stream",
       // coded-residual MPEG-1 round trip: per-row codec work,
       // scan-bound like the other container/codec walks
       "q395_mpeg1_residual_roundtrip",
@@ -263,7 +266,11 @@ object ScaleProof {
       if (iters.exists(!_._2)) { shape = "failed"; cnt = -1L }
       val secs = iters.map(_._1)
       val warmOk = iters.tail.filter(_._2).map(_._1)
-      val warm = if (iters.length > 1 && warmOk.nonEmpty) warmOk.min
+      // repeat mode with NO successful warm iteration has no warm
+      // measurement — report -1 rather than echoing the cold first pass
+      // (itself possibly a failure) as a number a BENCH comparison could
+      // mistake for a converged floor
+      val warm = if (iters.length > 1) { if (warmOk.nonEmpty) warmOk.min else -1.0 }
                  else secs.head
       results += ((name, secs.head, warm, cnt, shape))
       System.err.println(f"[scale] $name%-28s ${secs.head}%8.2fs " +

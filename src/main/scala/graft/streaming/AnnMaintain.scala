@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * At 100 TB: O(batch × k) work per fold, index never touched, the
   * probe side stays q260/q380's broadcast/DPP shape. Centroid REFRESH
   * (retraining on drift) is a batch maintenance job by design — the
-  * stream path must never mutate what probes broadcast. */
+  * stream path must never mutate what probes broadcast.
+  *
+  * Store lifecycle laws shared with the other maintainers: see
+  * `src/main/scala/graft/streaming/README.md`. */
 object AnnMaintain {
 
   private val postingsSchema = StructType(Seq(
@@ -59,6 +62,8 @@ object AnnMaintain {
       // whose source existed at delete time (src ≤ its covers)
       .withColumn("src", lit(batchId))
       .write.mode("overwrite").parquet(s"$dir/postings/batch-$batchId")
+    // self-describing store: stamp the layout version this writer speaks
+    BatchStore.stampFormat(spark, s"$dir/postings")
   }
 
   def start(vectors: DataFrame, dir: String, centroidsPath: String,
@@ -74,47 +79,14 @@ object AnnMaintain {
   // reads anti-join, compaction applies physically and purges
   // tombstones whose covered batches folded.
 
-  private val TombstoneR = "^del-(\\d+)-c(-?\\d+)$".r
-  private val tombSchema = StructType(Seq(StructField("n_id", LongType)))
+  // tombstone mechanics (dir layout, coverage bound, NULL-src legacy
+  // rule, anti-join) live in [[Tombstones]], shared with IndexMaintain
+  // and BandMaintain
+  private def tombstones(spark: SparkSession, dir: String): DataFrame =
+    Tombstones.rows(spark, dir, "n_id")
 
-  private def tombstoneDirs(spark: SparkSession, dir: String)
-      : Seq[(Path, Long, Long)] = {
-    val root = new Path(s"$dir/tombstones")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
-      p.getName match {
-        case TombstoneR(id, cov) => Some((p, id.toLong, cov.toLong))
-        case _ => None
-      })
-  }
-
-  /** live tombstone rows with their coverage bound — (n_id, covers). */
-  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
-    val ds = tombstoneDirs(spark, dir)
-    if (ds.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-      .withColumn("covers", lit(-1L))
-    else ds.map { case (p, _, cov) =>
-      spark.read.schema(tombSchema).parquet(p.toString)
-        .withColumn("covers", lit(cov))
-    }.reduce(_ unionByName _)
-  }
-
-  /** `post` minus the rows a tombstone may legitimately kill: only rows
-    * whose source batch existed at delete time (src ≤ covers) — a
-    * vector re-appended AFTER a delete resurfaces instead of being
-    * silently killed by the older tombstone. Postings written before the
-    * `src` column existed read back as NULL; treat missing src as
-    * always-covered (the old unconditional-kill semantics) so legacy
-    * stores keep honoring their tombstones instead of the NULL condition
-    * silently keeping every deleted row. */
-  private def antiTomb(post: DataFrame, tomb: DataFrame): DataFrame = {
-    val t = tomb.withColumnRenamed("n_id", "_t_key")
-    post.join(t, post("n_id") === t("_t_key") &&
-        coalesce(post("src"), lit(Long.MinValue)) <= t("covers"),
-      "left_anti")
-  }
+  private def antiTomb(post: DataFrame, tomb: DataFrame): DataFrame =
+    Tombstones.antiTomb(post, tomb, "n_id")
 
   /** delete vectors from the maintained postings (the retention hook). */
   def deleteVecs(spark: SparkSession, dir: String, vecIds: DataFrame,
@@ -122,12 +94,7 @@ object AnnMaintain {
     val covers = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => BatchStore.genOf(new Path(d).getName))
       .sorted.lastOption.getOrElse(-1L)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    tombstoneDirs(spark, dir).filter(_._2 == deleteId)
-      .foreach(t => fs.delete(t._1, true))
-    vecIds.select(col("n_id").cast(LongType)).distinct()
-      .write.mode("overwrite")
-      .parquet(s"$dir/tombstones/del-$deleteId-c$covers")
+    Tombstones.write(spark, dir, vecIds, "n_id", deleteId, covers)
   }
 
   /** all LIVE stream-appended postings ([[BatchStore]] rule), minus the
@@ -157,38 +124,82 @@ object AnnMaintain {
     else (tail.substring(0, dot).toLong, tail.substring(dot + 1).toLong)
   }
 
-  /** the centroids probes and maintainers must use: the newest refresh
-    * generation whose PAIRING postings generation committed, else the
-    * bootstrap set at `bootstrapPath`. Pairing is (gen, sub) ORDER, not
-    * exact-tail equality: a centroid set written at tail T stays
-    * current as long as some complete postings generation ≥ T exists,
-    * because non-refresh folds (tombstone re-shapes compact-G →
-    * compact-G.S, plain batch folds) PRESERVE the cell space — only a
-    * newer refresh (which writes its own newer centroid dir) changes
-    * it. Exact-tail pairing stranded the centroid set whenever a
-    * tombstone compact superseded its fold, silently dropping probes
-    * back to bootstrap centroids against refreshed cells. */
-  def currentCentroidsPath(spark: SparkSession, dir: String,
-      bootstrapPath: String): String = {
+  // ---- centroid-space pairing --------------------------------------------
+  // Which centroid set a generation's `cell` ids were assigned against is
+  // RECORDED, not inferred: every committed postings generation carries a
+  // `_space-<tail>` sidecar (written into the staging dir before the
+  // commit CAS, so it is atomically part of the generation) naming the
+  // centroids-<tail> dir of its cell space — `_space-bootstrap` for the
+  // frozen bootstrap set. Order-based inference (r13: "any complete
+  // generation ≥ T pairs with centroids-T") had a live failure: a refresh
+  // that commits centroids-T but then LOSES its postings fold (or
+  // crashes before it) leaves an orphan whose order pairing a later
+  // PLAIN fold at generation ≥ T satisfies — probes then prune old-space
+  // cells with new-space centroids, silent recall collapse. With the
+  // sidecar, a plain fold stamps the space it actually preserved and the
+  // orphan stays inert until a refresh genuinely pairs with it.
+  private val SpaceR = "^_space-(.+)$".r
+
+  /** newest complete postings generation: its (gen, sub) order and its
+    * recorded space marker (None = legacy markerless generation). */
+  private def newestGen(spark: SparkSession, dir: String)
+      : Option[((Long, Long), Option[String])] = {
+    val postRoot = new Path(s"$dir/postings")
+    val fs = postRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(postRoot)) return None
+    fs.listStatus(postRoot).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("compact-") && complete(fs, p))
+      .sortBy(p => centOrd(p.getName.stripPrefix("compact-")))
+      .lastOption.map { p =>
+        val mark = fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .collectFirst { case SpaceR(m) => m }
+        (centOrd(p.getName.stripPrefix("compact-")), mark)
+      }
+  }
+
+  /** the centroid-space identity of the store's live cells: Some(tail)
+    * of a `centroids-<tail>` dir, None = bootstrap space. Read from the
+    * newest committed generation's `_space` sidecar; legacy markerless
+    * generations (pre-r14 stores) fall back to the r13 order-based
+    * pairing, which is exact for any store every generation of which was
+    * written by a completed maintainer (the orphan hazard needs a
+    * crashed/defeated refresh, which also leaves no marker to misread). */
+  private def liveSpace(spark: SparkSession, dir: String): Option[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return bootstrapPath
-    val postRoot = new Path(s"$dir/postings")
-    val committed: Seq[(Long, Long)] =
-      if (!fs.exists(postRoot)) Seq.empty
-      else fs.listStatus(postRoot).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("compact-") && complete(fs, p))
-        .map(p => centOrd(p.getName.stripPrefix("compact-")))
-    val newest = committed.sorted.lastOption
-    val gens = fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
-      p.getName match {
-        case CentR(g) if complete(fs, p) &&
-          newest.exists(n => Ordering[(Long, Long)].lteq(centOrd(g), n)) =>
-          Some((centOrd(g), p.toString))
-        case _ => None
-      })
-    gens.sortBy(_._1).lastOption.map(_._2).getOrElse(bootstrapPath)
+    if (!fs.exists(root)) return None
+    newestGen(spark, dir) match {
+      case None => None
+      case Some((_, Some("bootstrap"))) => None
+      case Some((_, Some(m))) => Some(m)
+      case Some((newest, None)) =>
+        fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
+          p.getName match {
+            case CentR(g) if complete(fs, p) &&
+              Ordering[(Long, Long)].lteq(centOrd(g), newest) =>
+              Some((centOrd(g), g))
+            case _ => None
+          }).sortBy(_._1).lastOption.map(_._2)
+    }
   }
+
+  /** the centroids probes and maintainers must use: the set the newest
+    * committed postings generation RECORDS as its cell space, else the
+    * bootstrap set at `bootstrapPath`. */
+  def currentCentroidsPath(spark: SparkSession, dir: String,
+      bootstrapPath: String): String =
+    liveSpace(spark, dir) match {
+      case Some(m) =>
+        val cd = new Path(s"$dir/centroids-$m")
+        val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a marked space whose centroid dir is gone (hand-pruned store)
+        // degrades to bootstrap — stale pruning, never wrong pairing.
+        // Qualified form: the refresh purge compares this against
+        // listStatus paths, which carry the scheme.
+        if (fs.exists(cd) && complete(fs, cd)) fs.makeQualified(cd).toString
+        else bootstrapPath
+      case None => bootstrapPath
+    }
 
   def currentCentroids(spark: SparkSession, dir: String,
       bootstrapPath: String): DataFrame =
@@ -223,7 +234,7 @@ object AnnMaintain {
     // refresher's orphan at this tail may have trained on vectors that
     // have since been deleted — delete the orphan (it was never
     // current, so no probe holds it) and retrain over the live set.
-    if (fs.exists(centDst) && tombstoneDirs(spark, dir).nonEmpty)
+    if (fs.exists(centDst) && Tombstones.dirs(spark, dir).nonEmpty)
       fs.delete(centDst, true)
     if (!fs.exists(centDst)) {
       val vecs = postings(spark, dir)
@@ -239,7 +250,7 @@ object AnnMaintain {
         fs.delete(staging, true) // lost to a racing refresher
     }
     val cents = spark.read.parquet(centDst.toString)
-    val tombs = tombstoneDirs(spark, dir)
+    val tombs = Tombstones.dirs(spark, dir)
     val dead = tombstones(spark, dir)
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
@@ -258,7 +269,10 @@ object AnnMaintain {
         .select(col("n_id"), col("best.c_id").as("cell"),
           col("nv"), col("nn"), col("src"))
         .sortWithinPartitions(col("cell"))
-    }, upTo = Long.MaxValue, force = true)
+      // the generation RECORDS the centroid space its cells were
+      // assigned against — even if the fold commits at a later tail
+      // than planned (a batch raced in), the pairing stays correct
+    }, upTo = Long.MaxValue, force = true, sidecars = Seq(s"_space-$tail"))
     // side effects are WINNER-ONLY (the CAS decides): a losing racer
     // purging tombstones or centroid dirs would act on state it never
     // committed
@@ -304,14 +318,17 @@ object AnnMaintain {
     * fully-covered tombstones purged. */
   def compact(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit = {
-    val tombs = tombstoneDirs(spark, dir)
+    val tombs = Tombstones.dirs(spark, dir)
     val dead = tombstones(spark, dir)
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => BatchStore.genOf(new Path(d).getName)).filter(_ <= upTo)
+    // a plain fold PRESERVES the cell space — stamp the space the live
+    // cells are in so the pairing never has to be inferred from order
+    val space = liveSpace(spark, dir).getOrElse("bootstrap")
     // tombstone purge is WINNER-ONLY (see IndexMaintain.compact)
     val won = BatchStore.compact(spark, s"$dir/postings", postingsSchema,
       df => antiTomb(df, dead).sortWithinPartitions(col("cell")),
-      upTo, force = tombs.nonEmpty)
+      upTo, force = tombs.nonEmpty, sidecars = Seq(s"_space-$space"))
     if (won && folded.nonEmpty) {
       val gen = folded.max
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

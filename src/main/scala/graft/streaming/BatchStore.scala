@@ -26,7 +26,13 @@ import org.apache.spark.sql.types.StructType
   * `upTo` bounds which batches a fold may consume — the replay-safety
   * knob for maintainers whose batches READ BACK prior state
   * (GorillaStream): compact only batches the stream has committed, so a
-  * replayed batch `n` still reconstructs exactly the pre-`n` state. */
+  * replayed batch `n` still reconstructs exactly the pre-`n` state.
+  *
+  * The full lifecycle laws shared by every maintainer on this store
+  * (live-dir rule, snapshot-bound folds, rename-CAS, winner-gated
+  * effects, coverage-bounded tombstones, recorded pairing, grace
+  * windows, format versioning) are stated once in
+  * `src/main/scala/graft/streaming/README.md`. */
 private[streaming] object BatchStore {
 
   /** generation id of a store dir name: "batch-7" → 7, "compact-7" → 7,
@@ -69,9 +75,18 @@ private[streaming] object BatchStore {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         true
       } catch {
+        // the two rename-race signatures (EEXIST / ENOTEMPTY): a winner
+        // holds the destination, report a clean defeat
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.DirectoryNotEmptyException => false
-        case _: java.nio.file.FileSystemException => false
+        // anything else (EACCES, EIO, AtomicMoveNotSupported, …) is a
+        // FAULT, not a race: report defeat only when a winner is actually
+        // present at the destination, otherwise rethrow — swallowing it
+        // would silently end all maintenance with no error ever surfaced
+        case e: java.nio.file.FileSystemException =>
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dst.toUri.getPath))) false
+          else throw e
       }
     } else fs.rename(src, dst)
   }
@@ -82,6 +97,56 @@ private[streaming] object BatchStore {
   private def complete(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     fs.exists(new Path(p, "_SUCCESS"))
 
+  // ---- store format version ----------------------------------------------
+  // The store layout has evolved twice (the `src` posting column, the
+  // generation sidecar markers), and both times the hazard was the same:
+  // an old-layout store read under new-layout assumptions misreads
+  // SILENTLY (round 13's NULL-src un-deletion). The format stamp makes
+  // the class detectable: every maintainer write stamps `_format-v<N>`
+  // at the store root, and every read REFUSES a store stamped with a
+  // version newer than it understands — a loud error instead of a silent
+  // misread. An unstamped store is v1 (pre-stamp legacy) and stays
+  // readable: v2 readers handle v1 rows (the coalesce-on-src rule).
+  val FormatVersion = 2
+  private val FormatR = "^_format-v(\\d+)$".r
+
+  /** refuse to read a store from the future. Called with the root
+    * listing every reader already pays for. */
+  private def checkFormat(dir: String, names: Seq[String]): Unit =
+    names.foreach {
+      case FormatR(v) if v.toLong > FormatVersion =>
+        throw new IllegalStateException(
+          s"store $dir is format v$v but this build reads at most " +
+          s"v$FormatVersion — refusing to misread it; upgrade the reader")
+      case _ => ()
+    }
+
+  /** create an empty marker file — via NIO on the local scheme, because
+    * ChecksumFileSystem's create() drops a `.crc` twin beside every
+    * marker (noise in a dir whose entry names carry meaning). */
+  private def touch(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val f = java.nio.file.Paths.get(p.toUri.getPath)
+      if (!java.nio.file.Files.exists(f)) java.nio.file.Files.createFile(f)
+    } else fs.create(p, true).close()
+  }
+
+  /** stamp the store root with this build's format version (idempotent;
+    * never downgrades an existing stamp). Maintainers call it on their
+    * write paths so any store they touch is self-describing. */
+  def stampFormat(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    checkFormat(dir, names) // never write into a future-version store
+    if (!names.exists(n => n match {
+      case FormatR(v) => v.toLong >= FormatVersion
+      case _ => false
+    })) touch(fs, new Path(root, s"_format-v$FormatVersion"))
+  }
+
   /** live dirs whose id is strictly below `before` (Long.MaxValue =
     * everything): the newest COMPLETE generation below `before`, plus
     * batch dirs newer than it (and below `before`). */
@@ -90,7 +155,9 @@ private[streaming] object BatchStore {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val all = fs.listStatus(root).toSeq.map(_.getPath)
+    val listed = fs.listStatus(root).toSeq.map(_.getPath)
+    checkFormat(dir, listed.map(_.getName))
+    val all = listed
       .filter { p =>
         val n = p.getName
         (n.startsWith("batch-") || n.startsWith("compact-")) && id(n) < before
@@ -141,6 +208,21 @@ private[streaming] object BatchStore {
     * that must pair side state with the fold (AnnMaintain's centroid
     * generations) names that state by the same tail BEFORE calling
     * [[compact]]. */
+  /** (gen, sub, "gen[.sub]") for a fold over exactly `dirs` — gen is the
+    * max id IN THE SNAPSHOT (the fold consumes these dirs and no others,
+    * so the sweep bound can never exceed what was folded); only the
+    * re-shape `sub` comes from a fresh listing, because it merely picks
+    * an unused NAME at this generation — a racer claiming the same name
+    * is settled by the commit CAS, never by the listing. */
+  private def targetFor(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      dirs: Seq[String]): (Long, Long, String) = {
+    val gen = dirs.map(d => id(new Path(d).getName)).max
+    val onDisk = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("compact-") && id(n) == gen)
+    val sub = if (onDisk.isEmpty) 0L else onDisk.map(subOf).max + 1
+    (gen, sub, if (sub == 0) s"$gen" else s"$gen.$sub")
+  }
+
   def nextTarget(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue, force: Boolean = false)
       : Option[(Long, Long, String)] = {
@@ -148,31 +230,36 @@ private[streaming] object BatchStore {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = liveDirs(spark, dir).filter(d => id(new Path(d).getName) <= upTo)
     if (dirs.isEmpty || (dirs.length == 1 && !force)) return None
-    val gen = dirs.map(d => id(new Path(d).getName)).max
-    // the target sub sits above EVERY on-disk dir at this generation —
-    // the live one (a re-shape of an already-committed generation never
-    // rewrites it in place, so readers always have a complete
-    // generation) and any stranded partial from a crashed pre-CAS
-    // writer (its name is never reused; the winner's sweep removes it)
-    val onDisk = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("compact-") && id(n) == gen)
-    val sub = if (onDisk.isEmpty) 0L else onDisk.map(subOf).max + 1
-    Some((gen, sub, if (sub == 0) s"$gen" else s"$gen.$sub"))
+    Some(targetFor(fs, dir, dirs))
   }
 
+  /** test failpoint: runs inside [[compact]] right after the fold
+    * snapshot is taken — the window where round 13's TOCTOU lost a
+    * concurrently-appended batch (the sweep bound came from a SECOND
+    * listing that saw the batch; the fold didn't). */
+  private[streaming] var foldFailpoint: () => Unit = () => ()
+
+  /** optional `sidecars`: empty marker files created inside the staged
+    * generation BEFORE the commit CAS, so they are atomically part of
+    * the committed dir (AnnMaintain names its centroid space this way —
+    * the pairing travels with the generation instead of being inferred
+    * from commit order). Names must not collide with parquet outputs;
+    * the `_`-prefix convention keeps Spark readers ignoring them. */
   def compact(spark: SparkSession, dir: String, schema: StructType,
       shape: DataFrame => DataFrame, upTo: Long = Long.MaxValue,
-      force: Boolean = false): Boolean = {
+      force: Boolean = false, sidecars: Seq[String] = Nil): Boolean = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stampFormat(spark, dir)
     val dirs = liveDirs(spark, dir).filter(d => id(new Path(d).getName) <= upTo)
     // a single live dir normally needs no fold; `force` reshapes it
     // anyway (a pending tombstone set must land physically)
     if (dirs.isEmpty || (dirs.length == 1 && !force)) return false
-    // one computation of the target (shared with callers that pair side
-    // state by the tail — AnnMaintain.refresh); a racer advancing the
-    // store between the two listings is settled by the CAS below
-    val (gen, sub, tail) = nextTarget(spark, dir, upTo, force)
-      .getOrElse(return false)
+    foldFailpoint() // test hook: a batch appended right here must survive
+    // the target is computed from the SAME snapshot the fold consumes
+    // (round-13 ADVICE: a second liveDirs listing here let a batch
+    // appended between the listings raise the sweep bound without being
+    // folded — the winner sweep then deleted it, silent data loss)
+    val (gen, sub, tail) = targetFor(fs, dir, dirs)
     val dstName = s"compact-$tail"
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // staging keeps the "<gen>[.<sub>]" tail so a stranded dir's sweep
@@ -184,6 +271,7 @@ private[streaming] object BatchStore {
       try {
         shape(spark.read.schema(schema).parquet(dirs: _*))
           .write.mode("overwrite").parquet(staging.toString)
+        sidecars.foreach(n => touch(fs, new Path(staging, n)))
         // the CAS: atomic dir rename, fails if the destination exists
         casRename(fs, staging, dst)
       } catch {

@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   *
   * The batching-invariance law (IndexMaintainSpec): ANY micro-batching
   * of the same document set yields a store whose BM25 ranking is
-  * row-identical — ingest cadence can never change a search result. */
+  * row-identical — ingest cadence can never change a search result.
+  *
+  * Store lifecycle laws shared with the other maintainers: see
+  * `src/main/scala/graft/streaming/README.md`. */
 object IndexMaintain {
 
   private val postingsSchema = StructType(Seq(
@@ -53,6 +56,8 @@ object IndexMaintain {
       .write.mode("overwrite").parquet(s"$dir/postings/batch-$batchId")
     docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
       .write.mode("overwrite").parquet(s"$dir/stats/batch-$batchId")
+    // self-describing store: stamp the layout version this writer speaks
+    BatchStore.stampFormat(batch.sparkSession, s"$dir/postings")
   }
 
   def start(docs: DataFrame, dir: String,
@@ -86,51 +91,15 @@ object IndexMaintain {
   // crash point is read-consistent: a tombstone is either live
   // (anti-joined) or its targets are gone.
 
-  private val TombstoneR = "^del-(\\d+)-c(-?\\d+)$".r
-
-  private def tombstoneDirs(spark: SparkSession, dir: String)
-      : Seq[(Path, Long, Long)] = {
-    val root = new Path(s"$dir/tombstones")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
-      p.getName match {
-        case TombstoneR(id, cov) => Some((p, id.toLong, cov.toLong))
-        case _ => None
-      })
-  }
-
-  private val tombSchema = StructType(Seq(StructField("doc_id", LongType)))
-
-  /** live tombstone rows with their coverage bound — (doc_id, covers). */
+  // tombstone mechanics (dir layout, coverage bound, NULL-src legacy
+  // rule, anti-join) live in [[Tombstones]], shared with AnnMaintain
+  // and BandMaintain
   private def tombstones(spark: SparkSession, dir: String,
-      except: Long = -1L): DataFrame = {
-    val ds = tombstoneDirs(spark, dir).filter(_._2 != except)
-    if (ds.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-      .withColumn("covers", lit(-1L))
-    else ds.map { case (p, _, cov) =>
-      spark.read.schema(tombSchema).parquet(p.toString)
-        .withColumn("covers", lit(cov))
-    }.reduce(_ unionByName _)
-  }
+      except: Long = -1L): DataFrame =
+    Tombstones.rows(spark, dir, "doc_id", except)
 
-  /** `post` minus the rows a tombstone may legitimately kill: only rows
-    * whose source batch existed at delete time (src ≤ covers) — a
-    * document re-appended AFTER a delete resurfaces instead of being
-    * silently killed by the older tombstone. Postings written before the
-    * `src` column existed read back as NULL; they predate every tombstone,
-    * so they must keep the old unconditional-kill semantics (treat missing
-    * src as always-covered) — a NULL here would otherwise make the join
-    * condition NULL and the left_anti KEEP the row, silently un-applying
-    * every existing tombstone on a legacy store. */
   private def antiTomb(post: DataFrame, tomb: DataFrame,
-      key: String): DataFrame = {
-    val t = tomb.withColumnRenamed(key, "_t_key")
-    post.join(t, post(key) === t("_t_key") &&
-        coalesce(post("src"), lit(Long.MinValue)) <= t("covers"),
-      "left_anti")
-  }
+      key: String): DataFrame = Tombstones.antiTomb(post, tomb, key)
 
   /** delete documents from the maintained index (the retention hook):
     * tombstone their postings and subtract their corpus-stats
@@ -151,14 +120,8 @@ object IndexMaintain {
       .select(col("doc_id"), col("dl")).distinct()
       .cache()
     try {
-      // drop a stale same-id tombstone first (replay) so `covers` in the
-      // dir name stays current
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      tombstoneDirs(spark, dir).filter(_._2 == deleteId)
-        .foreach(t => fs.delete(t._1, true))
-      visible.select(col("doc_id"))
-        .write.mode("overwrite")
-        .parquet(s"$dir/tombstones/del-$deleteId-c$covers")
+      Tombstones.write(spark, dir, visible.select(col("doc_id")),
+        "doc_id", deleteId, covers)
       visible.agg((-count(lit(1))).as("n_docs"),
           coalesce(-sum(col("dl")), lit(0L)).as("tot_tok"))
         .write.mode("overwrite").parquet(s"$dir/stats_adj/batch-$deleteId")
@@ -176,7 +139,7 @@ object IndexMaintain {
     * no-op on already-purged rows). */
   def compact(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit = {
-    val tombs = tombstoneDirs(spark, dir)
+    val tombs = Tombstones.dirs(spark, dir)
     val dead = tombstones(spark, dir)
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => BatchStore.genOf(new Path(d).getName)).filter(_ <= upTo)
@@ -187,11 +150,8 @@ object IndexMaintain {
     val won = BatchStore.compact(spark, s"$dir/postings", postingsSchema,
       df => antiTomb(df, dead, "doc_id").sortWithinPartitions(col("tok")),
       upTo, force = tombs.nonEmpty)
-    if (won && folded.nonEmpty) {
-      val gen = folded.max
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      tombs.filter(_._3 <= gen).foreach(t => fs.delete(t._1, true))
-    }
+    if (won && folded.nonEmpty)
+      Tombstones.purgeCovered(spark, dir, tombs, folded.max)
     BatchStore.compact(spark, s"$dir/stats", statsSchema,
       _.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("tot_tok")).as("tot_tok")), upTo)

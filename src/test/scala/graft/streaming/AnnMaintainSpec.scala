@@ -82,7 +82,7 @@ class AnnMaintainSpec extends AnyFunSuite {
     AnnMaintain.compact(spark, dir)
     assert(state(dir) == before)
     assert(new java.io.File(s"$dir/postings").listFiles()
-      .map(_.getName).toSet == Set("compact-1"))
+      .map(_.getName).filterNot(_.startsWith("_")).toSet == Set("compact-1"))
   }
 
   test("centroid refresh recovers recall on a drifted corpus; the swap is atomic") {
@@ -128,7 +128,7 @@ class AnnMaintainSpec extends AnyFunSuite {
     assert(AnnMaintain.currentCentroidsPath(spark, dir, cp)
       .endsWith("/centroids-1"))
     assert(new java.io.File(s"$dir/postings").listFiles()
-      .map(_.getName).toSet == Set("compact-1"))
+      .map(_.getName).filterNot(_.startsWith("_")).toSet == Set("compact-1"))
     // a crash between the centroid write and the postings commit leaves
     // an ORPHAN centroid generation — it must never become current
     spark.read.parquet(s"$dir/centroids-1").write

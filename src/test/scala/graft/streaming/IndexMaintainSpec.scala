@@ -57,7 +57,8 @@ class IndexMaintainSpec extends AnyFunSuite {
     IndexMaintain.compact(spark, dir)
     assert(ranking(dir) == before, "compaction changed the ranking")
     def liveNames(sub: String) =
-      new java.io.File(s"$dir/$sub").listFiles().map(_.getName).toSet
+      new java.io.File(s"$dir/$sub").listFiles().map(_.getName)
+        .filterNot(_.startsWith("_")).toSet // _format stamp is metadata
     assert(liveNames("postings") == Set("compact-2") &&
       liveNames("stats") == Set("compact-2"))
     // a crash between a compact's write and its deletes leaves folded
@@ -88,7 +89,8 @@ class IndexMaintainSpec extends AnyFunSuite {
     IndexMaintain.maintainBatch(d1)(docs.toDF("doc_id", "text"), 0L)
     assert(ranking(dir) == ranking(d1),
       "self-compaction changed the ranking")
-    assert(new java.io.File(s"$dir/postings").listFiles().length <= 3,
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .count(!_.getName.startsWith("_")) <= 3,
       "self-compaction did not bound the postings dirs")
   }
 
@@ -109,7 +111,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     IndexMaintain.compact(spark, dir)
     assert(ranking(dir) == before)
     val names = new java.io.File(s"$dir/postings").listFiles()
-      .map(_.getName).toSet
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
     assert(names == Set("compact-1.1"))
     assert(new java.io.File(s"$dir/postings/compact-1.1/_SUCCESS").exists())
   }
@@ -128,7 +130,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(ranking(dir) == before,
       "the bounded fold lost a concurrently appended batch")
     val names = new java.io.File(s"$dir/postings").listFiles()
-      .map(_.getName).toSet
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
     assert(names == Set("compact-1", "batch-5"))
   }
 

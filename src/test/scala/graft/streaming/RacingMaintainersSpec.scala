@@ -141,6 +141,135 @@ class RacingMaintainersSpec extends AnyFunSuite {
       "the re-shape must have applied the tombstone physically")
   }
 
+  test("a batch appended after the fold snapshot is never folded-away NOR swept (r13 TOCTOU)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_toctou_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(2).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.slice(2, 4).toDF("doc_id", "text"), 1L)
+    // the round-13 bug window: a batch landing between the fold's source
+    // snapshot and the sweep-bound computation was counted in the bound
+    // (gen=2) but not in the fold — the winner sweep then deleted it.
+    // The failpoint lands batch-2 exactly there; it must survive intact.
+    BatchStore.foldFailpoint = () => {
+      BatchStore.foldFailpoint = () => () // one-shot
+      IndexMaintain.maintainBatch(dir)(docs.drop(4).toDF("doc_id", "text"), 2L)
+    }
+    try IndexMaintain.compact(spark, dir)
+    finally BatchStore.foldFailpoint = () => ()
+    // the committed generation's id comes from the folded snapshot (1),
+    // so batch-2 sits above it and is live alongside it
+    assert(new java.io.File(s"$dir/postings/batch-2").exists(),
+      "the concurrently-appended batch was swept — data loss")
+    val gens = new java.io.File(s"$dir/postings").listFiles().map(_.getName)
+      .filter(n => n.startsWith("compact-") &&
+        new java.io.File(s"$dir/postings/$n/_SUCCESS").exists()).toSeq
+    assert(gens == Seq("compact-1"), s"unexpected generations: $gens")
+    // every document — including batch-2's — is served, now and after
+    // the NEXT fold picks the batch up
+    def served = IndexMaintain.postings(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served == docs.map(_._1).toSet, s"lost docs: served=$served")
+    IndexMaintain.compact(spark, dir)
+    assert(served == docs.map(_._1).toSet, "follow-up fold lost the batch")
+  }
+
+  test("casRename surfaces a non-race filesystem fault instead of reporting defeat") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cas_fault_").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // missing source + empty destination is a FAULT (nothing won): the
+    // old blanket FileSystemException→false turned every I/O error into
+    // a silent "lost the race", ending maintenance with no error at all
+    intercept[java.nio.file.FileSystemException] {
+      BatchStore.casRename(fs,
+        new org.apache.hadoop.fs.Path(root, "no-such-staging"),
+        new org.apache.hadoop.fs.Path(root, "compact-9"))
+    }
+    // …but the same fault WITH a winner at the destination is a defeat
+    new java.io.File(root, "compact-9").mkdirs()
+    assert(!BatchStore.casRename(fs,
+      new org.apache.hadoop.fs.Path(root, "no-such-staging"),
+      new org.apache.hadoop.fs.Path(root, "compact-9")))
+  }
+
+  test("store format stamp: writers stamp v2, readers refuse a future version, legacy reads fine") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(2).toDF("doc_id", "text"), 0L)
+    assert(new java.io.File(s"$dir/postings/_format-v2").exists(),
+      "write path must stamp the store format")
+    // a store from the future must refuse loudly, not misread silently
+    val fut = java.nio.file.Files.createTempDirectory("graft_fmt_fut_").toString
+    IndexMaintain.maintainBatch(fut)(docs.take(2).toDF("doc_id", "text"), 0L)
+    new java.io.File(s"$fut/postings/_format-v99").createNewFile()
+    val e = intercept[IllegalStateException] {
+      IndexMaintain.postings(spark, s"$fut").count()
+    }
+    assert(e.getMessage.contains("v99"), s"unhelpful refusal: ${e.getMessage}")
+    intercept[IllegalStateException] { IndexMaintain.compact(spark, fut) }
+    // an UNSTAMPED store is v1 legacy: readable, and the first fold
+    // upgrades the stamp in place (v2 readers read v1 rows)
+    val leg = java.nio.file.Files.createTempDirectory("graft_fmt_leg_").toString
+    IndexMaintain.maintainBatch(leg)(docs.take(2).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(leg)(docs.slice(2, 4).toDF("doc_id", "text"), 1L)
+    new java.io.File(s"$leg/postings/_format-v2").delete()
+    assert(IndexMaintain.postings(spark, leg).count() > 0)
+    IndexMaintain.compact(spark, leg)
+    assert(new java.io.File(s"$leg/postings/_format-v2").exists())
+  }
+
+  test("an orphaned centroid set from a failed refresh is never activated by a plain fold") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_orphan_").toString
+    Seq((0L, Seq(1000000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000000L, 0L, 0L)))
+      .toDF("c_id", "cv")
+      .withColumn("cn", expr(
+        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    val cp = s"$base/centroids"
+    val dir = s"$base/idx"
+    def withNorm(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("vec_id", "vq").withColumn("nrm", expr(
+        "aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (10L, Seq(900000L, 100000L, 0L, 0L)),
+      (11L, Seq(100000L, 900000L, 0L, 0L)))), 0L)
+    // simulate a refresh that CAS-committed its centroid set and then
+    // crashed (or lost the postings fold): the orphan sits at exactly
+    // the tail the next fold will commit as — the r13 order-based
+    // pairing would hand it to probes the moment ANY complete
+    // generation ≥ its tail appears, in a DIFFERENT cell space
+    val tail = BatchStore.nextTarget(spark, s"$dir/postings",
+      force = true).get._3
+    Seq((100L, Seq(0L, 0L, 1000000L, 0L)), (101L, Seq(0L, 0L, 0L, 1000000L)))
+      .toDF("c_id", "cv")
+      .withColumn("cn", expr(
+        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .write.mode("overwrite").parquet(s"$dir/centroids-$tail")
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (12L, Seq(950000L, 50000L, 0L, 0L)))), 1L)
+    AnnMaintain.compact(spark, dir) // plain fold: preserves bootstrap space
+    assert(AnnMaintain.currentCentroidsPath(spark, dir, cp) == cp,
+      "a space-preserving fold activated an orphaned centroid set")
+    val cells = AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(Set(0L, 1L)),
+      s"cells $cells escaped the bootstrap space")
+    // a REAL refresh then pairs explicitly and purges the orphan
+    AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroids)
+    val cur = AnnMaintain.currentCentroidsPath(spark, dir, cp)
+    assert(cur != cp, "refresh never committed")
+    val cids = spark.read.parquet(cur)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    val cells2 = AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cells2.subsetOf(cids), s"post-refresh pairing broken: $cells2 vs $cids")
+    assert(!new java.io.File(s"$dir/centroids-$tail").exists() ||
+      cur.endsWith(s"centroids-$tail"),
+      "the orphan outlived the refresh purge")
+  }
+
   test("racing ANN centroid refreshes: one generation commits, pairing holds, at most two centroid dirs") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_race_ann_").toString
