@@ -563,6 +563,63 @@ object MultimodalOps {
     (s.table(t(corpus)), s.table(t(delta)), s.table(t(dead)))
   }
 
+  /** q397's STREAM-BUILT video band index: q394's lifecycle replayed
+    * through [[graft.streaming.BandMaintain]] micro-batches — corpus
+    * fingerprints arrive as a 2-batch file stream (decode once, in the
+    * ingest plan), drop-1 survivors append as the next batch after
+    * classifying against the maintained store, the retention cohort
+    * lands as a coverage-bounded tombstone delete, and compaction
+    * applies it physically. The probe must then serve q394's answers
+    * verbatim (the oracle IS q394's) — batch ≡ stream for the video
+    * index, the law text (q383) and vectors (q384) already carry. */
+  private val videoStreamCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def streamedVideoStore(s: SparkSession, dir: String): String = {
+    val key = dir + "@" + graft.storage.LocalCache.dataVersion(dir)
+    videoStreamCache.getOrElseUpdate(key, {
+      val base = graft.storage.LocalCache.dir(s"video_stream|$key")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      if (!marker.exists()) {
+        import org.apache.spark.sql.types._
+        val stage = s"$base/stage"
+        // fingerprint the corpus ONCE (the expensive decode), stage as
+        // two files so the store provably assembles across micro-batches
+        videoFingerprints(s, dir)
+          .repartition(2, pmod(col("doc_id"), lit(2)))
+          .write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("b1", LongType), StructField("b2", LongType),
+            StructField("b3", LongType), StructField("b4", LongType),
+            StructField("fp", LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.BandMaintain.start(stream, store,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        // drop 1: classify against the MAINTAINED store; survivors
+        // append as the next batch (ids are +50M — never in the corpus)
+        val d1 = deltaVideoFingerprints(s, dir)
+        val matched = bandRows(d1, "did")
+          .join(graft.streaming.BandMaintain.bands(s, store), Seq("bk"))
+          .select(col("did"), col("dfp"), col("fp")).distinct()
+          .filter(expr("bit_count(dfp ^ fp)").cast("long") <= 2)
+          .select(col("did")).distinct()
+        graft.streaming.BandMaintain.maintainBatch(store)(
+          d1.join(matched, Seq("did"), "left_anti")
+            .withColumnRenamed("did", "doc_id"), 2L)
+        // retention: the expired corpus cohort tombstones the index
+        graft.streaming.BandMaintain.deleteDocs(s, store,
+          s.read.parquet(stage)
+            .filter(pmod(expr("doc_id div 9"), lit(3)) === 0)
+            .select(col("doc_id")), 0L)
+        graft.streaming.BandMaintain.compact(s, store)
+        marker.createNewFile()
+      }
+      store
+    })
+  }
+
   /** the DuckDB twin of [[audioFingerprints]] + [[audioFpEdges]]: ends in
     * `fps(doc_id, fp)` and `aedges(a, b, hd)` with a < b, hd ≤ 6. Shared
     * by the q351 pair oracle and the q371 cluster oracle. */
@@ -1445,6 +1502,35 @@ object MultimodalOps {
       // the left side only needs the probe IDS — deriving them from the
       // documents table avoids a second full encode→decode→hash pass
       // over the probe drop (the ids are doc_id + 90M by construction)
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + 90000000L).as("did"))
+        .join(best, Seq("did"), "left")
+        .select(col("did"),
+          when(col("min_hd") === 0, "exact")
+            .when(col("min_hd").isNotNull, "near")
+            .otherwise("new").as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+    }),
+
+    // VIDEO INDEX STREAMING MAINTAINER (VERDICT r13 #3): q394's
+    // lifecycle — build, survivor append, retention, compaction —
+    // replayed through BandMaintain micro-batches; the probe over the
+    // stream-built store must serve q394's classifications VERBATIM
+    // (the oracle is q394's). The store side stays exchange-free at
+    // probe time: the (small) probe band rows broadcast into the
+    // bk-clustered store scan, and the corpus was decoded exactly once,
+    // at ingest.
+    "q397_video_index_stream" -> ((s, dir) => {
+      val store = streamedVideoStore(s, dir)
+      val idx = graft.streaming.BandMaintain.bands(s, store)
+      val pbands = bandRows(probeVideoFingerprints(s, dir), "did")
+      val cand = idx.join(broadcast(pbands), Seq("bk"))
+        .select(col("did"), col("dfp"), col("doc_id"), col("fp")).distinct()
+        .withColumn("hd", expr("bit_count(dfp ^ fp)").cast("long"))
+        .filter(col("hd") <= 2) // q390's video confirm threshold
+      val best = cand.groupBy(col("did"))
+        .agg(min(col("hd")).as("min_hd"), min(col("doc_id")).as("dup_of"))
       Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 1)
         .select((col("doc_id") + 90000000L).as("did"))
@@ -2351,6 +2437,9 @@ object MultimodalOps {
     "q390_video_dup_clusters" -> videoClusterOracleSql,
     "q392_video_dedup_delta" -> videoDeltaOracleSql,
     "q394_video_index_lifecycle" -> videoLifecycleOracleSql,
+    // batch ≡ stream: the stream-built band store serves the SAME
+    // lifecycle answers — q394's oracle verbatim
+    "q397_video_index_stream" -> videoLifecycleOracleSql,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
     // oracles VERBATIM: the stored bytes are the same synthesis, the
