@@ -14,7 +14,16 @@ import graft.streaming.AnnMaintain
   * probe work. This main builds the store over the replicated
   * embeddings, measures warm probe time and recall@10 (vs exact brute
   * force on a probe sample) BEFORE and AFTER the refresh, and prints one
-  * JSON line for BASELINE.md. Evidence, not a driver gate. */
+  * JSON line for BASELINE.md. Evidence, not a driver gate.
+  *
+  * Round 14 composes the RETENTION SWEEP into the same lifecycle
+  * (VERDICT r13 #6, the q391 × q396 cross): after the fixed-k probe, a
+  * 10 % cohort is tombstoned (deleteVecs) and physically purged
+  * (compact), the refresh then trains at k = ⌈√N_live⌉ over the
+  * SURVIVORS, and the post-refresh probe must (a) restore the fast
+  * probe class q391's fixed-k store cannot reach, (b) serve ZERO
+  * deleted neighbors, and (c) hold recall against a brute-force oracle
+  * computed over the survivors — delete ≡ rebuild, through a refresh. */
 object RefreshProof {
 
   private def dot(a: Column, b: Column): Column =
@@ -101,11 +110,13 @@ object RefreshProof {
       (best, rows)
     }
 
-    // exact brute-force top-10 for a probe SAMPLE (recall oracle)
+    // exact brute-force top-10 for a probe SAMPLE (recall oracle);
+    // `pool` restricts the corpus side — post-sweep recall is judged
+    // against the SURVIVORS (a deleted vector is not a valid neighbor)
     val sample = probes.filter(col("vec_id") < 20000)
       .select(col("vec_id").as("p_id"), col("vq").as("pv"), col("nrm").as("pn"))
-    val exact = broadcast(sample).join(
-        e.select(col("vec_id").as("n_id"), col("vq").as("nv"),
+    def exactOver(pool: DataFrame): DataFrame = broadcast(sample).join(
+        pool.select(col("vec_id").as("n_id"), col("vq").as("nv"),
           col("nrm").as("nn")),
         col("n_id") =!= col("p_id"))
       .select(col("p_id"), struct(
@@ -118,31 +129,55 @@ object RefreshProof {
       .select(col("p_id"), explode(col("top")).as("t"))
       .select(col("p_id"), col("t.nid").as("n_id"))
       .localCheckpoint()
-    val nExact = exact.count()
-    def recall(): Double = {
+    def recallVs(exact: DataFrame, nExact: Long): Double = {
       val hit = annTop10().join(exact, Seq("p_id", "n_id")).count()
       hit.toDouble / nExact
     }
+    val exactAll = exactOver(e)
+    val nExactAll = exactAll.count()
 
     val (warmBefore, rowsBefore) = timeWarm(annTop10 _)
-    val recallBefore = recall()
+    val recallBefore = recallVs(exactAll, nExactAll)
 
-    // ---- the refresh: k grows to ~√N ---------------------------------
-    val k1 = math.ceil(math.sqrt(n.toDouble)).toInt
+    // ---- the retention sweep (q391's lifecycle, composed in) --------
+    // a 10 % age cohort expires: tombstone, then physically purge. The
+    // probe cohort (vec_id % 100 == 0) is disjoint by construction.
+    val deadPred = pmod(col("vec_id"), lit(10)) === 3
+    val tSweep = System.nanoTime()
+    AnnMaintain.deleteVecs(spark, dir,
+      e.filter(deadPred).select(col("vec_id").as("n_id")), 0L)
+    AnnMaintain.compact(spark, dir)
+    val sweepSec = (System.nanoTime() - tSweep) / 1e9
+    val survivors = e.filter(!deadPred)
+    val nLive = survivors.count()
+    // the fixed-k store still pays the O(N²/k) probe — q391's class
+    val (warmSwept, _) = timeWarm(annTop10 _)
+
+    // ---- the refresh: k grows to ~√N_live, trained over SURVIVORS ----
+    val k1 = math.ceil(math.sqrt(nLive.toDouble)).toInt
     val t0 = System.nanoTime()
     AnnMaintain.refresh(spark, dir, cp,
       graft.operators.PipelineOps.ivfCentroidsK(k1))
     val refreshSec = (System.nanoTime() - t0) / 1e9
 
     val (warmAfter, rowsAfter) = timeWarm(annTop10 _)
-    val recallAfter = recall()
+    val exactLive = exactOver(survivors)
+    val recallAfter = recallVs(exactLive, exactLive.count())
     val kAfter = AnnMaintain.currentCentroids(spark, dir, cp).count()
+    // delete ≡ rebuild, through the refresh: no deleted vector is ever
+    // served, and none survived the physical purge or the retrain
+    val deadServed = annTop10().filter(pmod(col("n_id"), lit(10)) === 3).count()
+    val deadStored = AnnMaintain.postings(spark, dir)
+      .filter(pmod(col("n_id"), lit(10)) === 3).count()
 
     def r3(v: Double) = f"$v%.3f"
-    val line = s"""{"metric":"refresh_proof","n":$n,"k0":16,"k1":$kAfter,""" +
-      s""""probe_warm_before":${r3(warmBefore)},"probe_warm_after":${r3(warmAfter)},""" +
+    val line = s"""{"metric":"refresh_proof","n":$n,"n_live":$nLive,"k0":16,"k1":$kAfter,""" +
+      s""""probe_warm_before":${r3(warmBefore)},"probe_warm_post_sweep":${r3(warmSwept)},""" +
+      s""""probe_warm_after":${r3(warmAfter)},""" +
       s""""recall10_before":${r3(recallBefore)},"recall10_after":${r3(recallAfter)},""" +
-      s""""refresh_sec":${r3(refreshSec)},"probe_rows":[$rowsBefore,$rowsAfter]}"""
+      s""""sweep_sec":${r3(sweepSec)},"refresh_sec":${r3(refreshSec)},""" +
+      s""""dead_served":$deadServed,"dead_stored":$deadStored,""" +
+      s""""probe_rows":[$rowsBefore,$rowsAfter]}"""
     // deliberately printed before AND after spark.stop() — Bench's
     // un-losable-stdout-tail trick: a combined-stream capture would
     // otherwise push a single early line out of the tail window

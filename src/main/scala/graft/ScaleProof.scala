@@ -209,6 +209,11 @@ object ScaleProof {
       // coded-residual MPEG-1 round trip: per-row codec work,
       // scan-bound like the other container/codec walks
       "q395_mpeg1_residual_roundtrip",
+      // H.264 intra round trip + near-dup pairs: per-row codec work
+      // off the stored kind-pruned scan; the pair join must stay a
+      // band-key equi-join (never all-pairs)
+      "q398_h264_intra_roundtrip",
+      "q399_h264_dedup_pairs",
       // grown-k refresh: train + atomic full re-assignment at 10×
       // volume — the one O(index) maintenance job; probe must keep the
       // broadcast shape (no SMJ, no cartesian)

@@ -342,6 +342,82 @@ object MultimodalOps {
     layout.path("media_video")
   }
 
+  /** H.264 intra-only encode plan (the q390 group/role structure for the
+    * %3==0 cohort): 64×48, 4 IDR frames, per-MB flat luma from a closed
+    * formula — role 0 the group plane, role 1 a +4 brightness lift
+    * (gradient signs invariant → near-dup), role 2 re-authored. MB
+    * class walks I_4x4 and all three I_16x16 prediction modes. */
+  private[graft] def h264Plan(id: Long)
+      : (Int, Int, Seq[graft.multimodal.H264.FramePlan]) = {
+    import graft.multimodal.H264
+    val g = id / 9 * 9; val role = (id / 3) % 3
+    def v(f: Int, bx: Int, by: Int): Int =
+      if (role == 2) (16 + (17 * bx * bx + bx * ((g % 89) + 5) +
+        31 * by + by * bx * ((g % 83) % 11 + 2) + (g % 103) * (by + 3) +
+        g * 13 + f * (17 + (g % 5))) % 224).toInt
+      else (16 + (13 * bx * bx + bx * ((g % 97) + 7) + 29 * by +
+        by * bx * ((g % 89) % 13 + 3) + (g % 101) * (by + 2) + g * 7 +
+        f * (11 + (g % 3))) % 224).toInt + (if (role == 1) 4 else 0)
+    val frames = (0 until 4).map { f =>
+      H264.FramePlan { (bx, by) =>
+        (bx + by + f) % 4 match {
+          case 0 => H264.MbI4(v(f, bx, by))
+          case 1 if by > 0 => H264.MbI16(v(f, bx, by), mode = 0)
+          case 2 if bx > 0 => H264.MbI16(v(f, bx, by), mode = 1)
+          case _ => H264.MbI16(v(f, bx, by), mode = 2)
+        }
+      }
+    }
+    (64, 48, frames)
+  }
+
+  private val h264StoreLock = new Object
+  private def storedH264Path(s: SparkSession, dir: String): String = {
+    val key = "media_h264_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    h264StoreLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        import s.implicits._
+        val df = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val (w, h, frames) = h264Plan(id)
+            (id, "h264", graft.multimodal.H264.encode(w, h, frames))
+          }.toDF("media_id", "kind", "bytes")
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+        graft.storage.Storage.append(df, layout, "media_h264")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media_h264")
+  }
+
+  /** decode a stored H.264 payload and hash each reconstructed frame's
+    * MB grid into a 9-bit gradient-sign band (center-sampled 16×16
+    * blocks, horizontal neighbor signs — the [[videoFp]] shape on the
+    * 4×3 grid); four frame bands pack into one fingerprint. */
+  private def h264Fp(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val d = graft.multimodal.H264.decode(bytes).get
+    val bands = Array.tabulate(4) { f =>
+      val y = d.frames(f).y
+      var band = 0L
+      for (by <- 0 until 3; c <- 0 until 3) {
+        val l = y((by * 16 + 8) * d.width + c * 16 + 8)
+        val r = y((by * 16 + 8) * d.width + (c + 1) * 16 + 8)
+        if (r > l) band |= 1L << (by * 3 + c)
+      }
+      band
+    }
+    val fp = bands.zipWithIndex.map { case (b, f) => b << (f * 15) }
+      .reduce(_ | _)
+    (bands(0), bands(1), bands(2), bands(3), fp)
+  }
+
   /** per-frame perceptual hash over the DECODED pictures (the video leg
     * of the near-dup family): motion compensation reconstructs frames
     * 1–3, each 16×16 macroblock's luma is sampled at its center
@@ -816,6 +892,28 @@ object MultimodalOps {
       |       ELSE 'new' END AS status,
       |  CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of
       |FROM dfps d LEFT JOIN best b ON b.did = d.did""".stripMargin
+
+  /** the shared mb-plane CTE of the two H.264 oracles: the closed
+    * per-MB luma values of [[h264Plan]] over the %3==0 cohort — role 0
+    * the group plane, role 1 its +4 lift, role 2 re-authored. */
+  private val h264MbCteSql: String =
+    """docs AS (
+      |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |mb AS MATERIALIZED (
+      |  SELECT doc_id, f.i AS f, bx.i AS bx, by.i AS by,
+      |    CASE WHEN role = 2
+      |      THEN 16 + (17 * bx.i * bx.i + bx.i * ((g % 89) + 5)
+      |        + 31 * by.i + by.i * bx.i * ((g % 83) % 11 + 2)
+      |        + (g % 103) * (by.i + 3) + g * 13
+      |        + f.i * (17 + (g % 5))) % 224
+      |      ELSE 16 + (13 * bx.i * bx.i + bx.i * ((g % 97) + 7)
+      |        + 29 * by.i + by.i * bx.i * ((g % 89) % 13 + 3)
+      |        + (g % 101) * (by.i + 2) + g * 7
+      |        + f.i * (11 + (g % 3))) % 224
+      |        + CASE WHEN role = 1 THEN 4 ELSE 0 END END AS v
+      |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i))"""
+      .stripMargin
 
   /** q394's DuckDB twin — the whole index lifecycle restated: the
     * corpus plane (q390's), drop 1 with its class transforms (q392's
@@ -1540,6 +1638,75 @@ object MultimodalOps {
             .when(col("min_hd").isNotNull, "near")
             .otherwise("new").as("status"),
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+    }),
+
+    // H.264 INTRA ROUND TRIP (VERDICT r13 #5 — the dominant real-crawl
+    // codec's tractable core): per doc a 4-frame IDR stream (Baseline,
+    // CAVLC, I_4x4 + all three I_16x16 prediction modes, levels through
+    // the prefix-14/15/16 escapes) is encoded, STORED, scanned back and
+    // decoded; flat-MB content makes every reconstruction step exact
+    // (the encoder asserts its levels hit the target residuals), so the
+    // oracle restates all four luma planes and the inter-frame delta
+    // mass in closed form. Kind predicate pushed to the stored scan.
+    "q398_h264_intra_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(storedH264Path(s, dir))
+        .where(col("kind") === "h264")
+        .select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val d = graft.multimodal.H264.decode(bytes).get
+          var sumY = 0L; var dm = 0L
+          for (fi <- d.frames.indices) {
+            val y = d.frames(fi).y
+            var j = 0
+            while (j < y.length) {
+              sumY += y(j)
+              if (fi > 0) dm += math.abs(y(j) - d.frames(fi - 1).y(j))
+              j += 1
+            }
+          }
+          (id, d.width.toLong, d.height.toLong, d.frames.length.toLong,
+            sumY, dm)
+        }.toDF("media_id", "width", "height", "n_frames", "sum_y",
+          "delta_mass")
+    }),
+
+    // H.264 NEAR-DUP PAIRS over the stored corpus (q351's band-join
+    // discipline on the new codec): decode → per-frame gradient-sign
+    // band → band-equality candidates → Hamming confirm. Role-1 docs
+    // are brightness-lifted re-encodes of their group's role-0 content
+    // (sign-invariant → hd 0); role-2 docs are re-authored. Never
+    // all-pairs: candidates come from the band join alone.
+    "q399_h264_dedup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val fps = s.read.parquet(storedH264Path(s, dir))
+        .where(col("kind") === "h264")
+        .select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val (b1, b2, b3, b4, fp) = h264Fp(bytes)
+          (id, b1, b2, b3, b4, fp)
+        }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+        .localCheckpoint() // decode once: both join sides read this
+      val bands = fps.select(col("doc_id"), col("fp"), explode(array(
+          struct(lit(0L).as("f"), col("b1").as("band")),
+          struct(lit(1L).as("f"), col("b2").as("band")),
+          struct(lit(2L).as("f"), col("b3").as("band")),
+          struct(lit(3L).as("f"), col("b4").as("band")))).as("e"))
+        .select(col("doc_id"), col("fp"), col("e.f").as("f"),
+          col("e.band").as("band"))
+      val x = bands.select(col("doc_id").as("a"), col("fp").as("fa"),
+        col("f"), col("band"))
+      val y = bands.select(col("doc_id").as("b"), col("fp").as("fb"),
+        col("f"), col("band"))
+      x.join(y, Seq("f", "band")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("bit_count(fa ^ fb)").cast("long").as("hd"))
+        .distinct()
+        .filter(col("hd") <= 2) // q390's video confirm threshold
+        .select(col("a").as("media_a"), col("b").as("media_b"),
+          col("hd").as("hamming_dist"))
     }),
 
     // STORED-corpus codec censuses (q345's storage pattern for the
@@ -2440,6 +2607,55 @@ object MultimodalOps {
     // batch ≡ stream: the stream-built band store serves the SAME
     // lifecycle answers — q394's oracle verbatim
     "q397_video_index_stream" -> videoLifecycleOracleSql,
+
+    // the H.264 intra round trip: every reconstruction step is exact by
+    // construction (flat MBs, encoder-asserted levels), so the oracle
+    // restates all four luma planes and the inter-frame delta mass from
+    // the same closed per-MB formulas the encoder planned
+    "q398_h264_intra_roundtrip" ->
+      s"""WITH $h264MbCteSql,
+        |dm AS (
+        |  SELECT a.doc_id, SUM(ABS(a.v - b.v)) AS dmass
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.bx = a.bx
+        |    AND b.by = a.by AND b.f = a.f - 1
+        |  WHERE a.f >= 1 GROUP BY 1)
+        |SELECT CAST(m.doc_id AS BIGINT) AS media_id,
+        |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(SUM(m.v) * 256 AS BIGINT) AS sum_y,
+        |  CAST(MAX(d.dmass) * 256 AS BIGINT) AS delta_mass
+        |FROM mb m JOIN dm d ON d.doc_id = m.doc_id
+        |GROUP BY m.doc_id""".stripMargin,
+
+    // the H.264 near-dup pairs: center-sampled MB grid = the closed
+    // per-MB formula, gradient-sign bands, band-equality candidates,
+    // Hamming confirm — q351's oracle shape on the new codec
+    "q399_h264_dedup_pairs" ->
+      s"""WITH $h264MbCteSql,
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.by, a.bx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 3),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (by * 3 + bx))) AS BIGINT)
+        |      AS band
+        |  FROM bits GROUP BY 1, 2),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT CAST(c.a AS BIGINT) AS media_a, CAST(c.b AS BIGINT) AS media_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming_dist
+        |FROM cand c
+        |JOIN fps fa ON fa.doc_id = c.a
+        |JOIN fps fb ON fb.doc_id = c.b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2""".stripMargin,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
     // oracles VERBATIM: the stored bytes are the same synthesis, the
