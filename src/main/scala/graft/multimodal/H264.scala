@@ -423,6 +423,10 @@ object H264 {
   private def decodeSlice(r: BR, sps: Sps, tc: Array[Int]): Frame = {
     val mbw = sps.mbw; val mbh = sps.mbh
     val width = mbw * 16; val height = mbh * 16
+    // per-4x4 Intra4x4PredMode grid for the most-probable-mode rule
+    // (8.3.1.1): neighbors outside the picture or in non-I_4x4 MBs
+    // predict as DC (2)
+    val pm = Array.fill(mbw * 4 * mbh * 4)(2)
     rej(r.ue() != 0) // first_mb_in_slice: one slice per picture
     val st = r.ue(); rej(st != 7 && st != 2) // I slices only
     rej(r.ue() != 0) // pps id
@@ -459,12 +463,16 @@ object H264 {
         for (b <- 0 until 16) {
           val bx = mbx * 4 + BlkX(b); val by = mby * 4 + BlkY(b)
           val x0 = bx * 4; val y0 = by * 4
-          // prediction mode: most probable is DC(2) whenever neighbors
-          // are ≤ DC; subset accepts only V/H/DC
+          // most-probable mode = min of the tracked neighbor modes
+          // (8.3.1.1); subset accepts only V/H/DC after resolution
+          val mp = math.min(
+            if (bx > 0) pm(by * (mbw * 4) + bx - 1) else 2,
+            if (by > 0) pm((by - 1) * (mbw * 4) + bx) else 2)
           val mode = modes(b) match {
-            case -1 => 2 // in-subset streams: most probable is always DC
-            case m => val mm = if (m < 2) m else m + 1; rej(mm > 2); mm
+            case -1 => mp
+            case m => val mm = if (m < mp) m else m + 1; rej(mm > 2); mm
           }
+          pm(by * (mbw * 4) + bx) = mode
           val hasL = x0 > 0; val hasT = y0 > 0
           val (level, pos, n) =
             if (cbp == 15) readBlock(r, nCof(bx, by)) else (0, 0, 0)

@@ -182,32 +182,6 @@ private[streaming] object BatchStore {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  /** fold the live dirs with id ≤ `upTo` into one `compact-<maxId>`
-    * generation; `shape` rewrites the unioned frame (sort order,
-    * re-aggregation, latest-revision-per-key) before it lands.
-    *
-    * The swap is a CAS, so the single-maintainer convention is ENFORCED,
-    * not assumed (the racing-compactors snapshot bug of round 12, applied
-    * to the stores): the fold lands in a staging dir (`tmp-compact-…`,
-    * invisible to [[liveDirs]]) and is RENAMED into place — directory
-    * rename is kernel-atomic and fails when the destination exists, so of
-    * two racing folds at the same generation exactly one commits; the
-    * loser deletes its staging and reports defeat. Racing folds at
-    * DIFFERENT generations both commit and the live-dir rule already
-    * serves only the newest. Returns true iff THIS call committed its
-    * generation — sweeping sources, purging tombstones, and any other
-    * winner-only side effect must be gated on it.
-    *
-    * Write-then-rename-then-sweep; the sweep deletes ONLY dirs at or
-    * below the new generation id — the folded sources, stale
-    * generations, stranded staging dirs, and leftovers from a crashed
-    * predecessor — never a batch dir appended after the fold's snapshot
-    * (its id is above the generation's by batch-counter monotonicity). */
-  /** the generation a fold started now would commit as — (gen, sub,
-    * "gen[.sub]") — or None when there is nothing to fold. A caller
-    * that must pair side state with the fold (AnnMaintain's centroid
-    * generations) names that state by the same tail BEFORE calling
-    * [[compact]]. */
   /** (gen, sub, "gen[.sub]") for a fold over exactly `dirs` — gen is the
     * max id IN THE SNAPSHOT (the fold consumes these dirs and no others,
     * so the sweep bound can never exceed what was folded); only the
@@ -223,6 +197,12 @@ private[streaming] object BatchStore {
     (gen, sub, if (sub == 0) s"$gen" else s"$gen.$sub")
   }
 
+  /** the generation a fold started now would commit as — (gen, sub,
+    * "gen[.sub]") — or None when there is nothing to fold. A caller
+    * that must pair side state with the fold (AnnMaintain's centroid
+    * generations) names that state by the same tail BEFORE calling
+    * [[compact]]; a batch racing in between moves the committed tail,
+    * which the caller detects post-hoc and retries. */
   def nextTarget(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue, force: Boolean = false)
       : Option[(Long, Long, String)] = {
@@ -239,7 +219,30 @@ private[streaming] object BatchStore {
     * listing that saw the batch; the fold didn't). */
   private[streaming] var foldFailpoint: () => Unit = () => ()
 
-  /** optional `sidecars`: empty marker files created inside the staged
+  /** fold the live dirs with id ≤ `upTo` into one `compact-<maxId>`
+    * generation; `shape` rewrites the unioned frame (sort order,
+    * re-aggregation, latest-revision-per-key) before it lands.
+    *
+    * The swap is a CAS, so the single-maintainer convention is ENFORCED,
+    * not assumed (the racing-compactors snapshot bug of round 12, applied
+    * to the stores): the fold lands in a staging dir (`tmp-…`, invisible
+    * to [[liveDirs]]) and is RENAMED into place — directory rename is
+    * kernel-atomic and fails when the destination exists, so of two
+    * racing folds at the same target exactly one commits; the loser
+    * deletes its staging and reports defeat. Racing folds at DIFFERENT
+    * generations both commit and the live-dir rule already serves only
+    * the newest. Returns true iff THIS call committed its generation —
+    * sweeping sources, purging tombstones, and any other winner-only
+    * side effect must be gated on it.
+    *
+    * Write-then-rename-then-sweep; the sweep deletes ONLY dirs at or
+    * below the committed (gen, sub) — the folded sources, stale
+    * generations, stranded staging, leftovers of a crashed predecessor —
+    * never a batch appended after the fold's snapshot (its id is above
+    * `gen` by batch-counter monotonicity, and `gen` comes from the
+    * snapshot itself — the r13 TOCTOU fix).
+    *
+    * Optional `sidecars`: empty marker files created inside the staged
     * generation BEFORE the commit CAS, so they are atomically part of
     * the committed dir (AnnMaintain names its centroid space this way —
     * the pairing travels with the generation instead of being inferred
