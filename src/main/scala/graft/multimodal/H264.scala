@@ -23,10 +23,13 @@ package graft.multimodal
   *    pic_order_cnt_type 2, no cropping, no VUI; dimensions must be
   *    multiples of 16. PPS: CAVLC only (entropy_coding_mode 0 — CABAC
   *    rejects), one slice group, deblocking-control present.
-  *  - Slices: I only (slice_type 7), one slice per picture,
-  *    disable_deblocking_filter_idc MUST be 1 (in-loop deblocking is
-  *    out of subset; streams that enable it reject — reconstruction
-  *    here is bit-exact, never approximated).
+  *  - Slices: I (slice_type 7/2) and ALL-SKIP P (slice_type 5/0 whose
+  *    single mb_skip_run covers the picture — the static-scene inter
+  *    class; every P_Skip predictor is (0,0) there, reconstruction =
+  *    the reference verbatim; any non-skipped P macroblock rejects).
+  *    One slice per picture, disable_deblocking_filter_idc MUST be 1
+  *    (in-loop deblocking is out of subset; streams that enable it
+  *    reject — reconstruction here is bit-exact, never approximated).
   *  - Macroblocks: I_NxN (Intra_4x4, modes V/H/DC; modes 3..8 reject)
   *    and I_16x16 with CBP luma 0, CBP chroma 0 (mb_type 1..3 — V/H/DC;
   *    plane mode, AC-coded and chroma-coded I_16x16 types, and I_PCM
@@ -42,7 +45,11 @@ package graft.multimodal
   *    the full 16-entry total_zeros table for TotalCoeff = 1
   *    (prefix-free, Kraft 511/512 — the spec table is deliberately
   *    incomplete by one 9-bit point; H264Spec pins both), run_before
-  *    never occurs at TotalCoeff 1.
+  *    never occurs at TotalCoeff 1. The coefficient may sit at ANY
+  *    scan position: reconstruction runs the REAL integer transforms
+  *    (dequant v-matrix → 4x4 inverse, DC Hadamard → 8.5.10 scaling),
+  *    which H264Spec proves equal to the encoder's closed-form DC
+  *    solvers on DC-only blocks over the whole level range.
   *
   * Strictness contract (H264FuzzSpec law): unknown NAL types, VLC
   * prefixes outside the grammar, out-of-subset syntax values and
@@ -60,7 +67,12 @@ object H264 {
     * CBP luma 15 when any residual is nonzero). */
   final case class MbI4(yVal: Int) extends MbPlan
 
-  final case class FramePlan(mb: (Int, Int) => MbPlan)
+  /** a frame: intra MBs from `mb`, or — with `skipAll` — a P slice whose
+    * single mb_skip_run covers the whole picture (the static-scene
+    * inter-frame class: every P_Skip motion predictor collapses to
+    * (0,0), reconstruction = the reference frame verbatim). */
+  final case class FramePlan(mb: (Int, Int) => MbPlan,
+      skipAll: Boolean = false)
 
   final case class Frame(y: Array[Int], cb: Array[Int], cr: Array[Int])
   final case class Decoded(width: Int, height: Int, frames: Vector[Frame])
@@ -194,6 +206,94 @@ object H264 {
     * `slope` ≈ dz/dr of the chain (25.6 for the I16 DC path — two
     * rounding stages — 6.4 for the I4 path), used only to seed the
     * scan window. `rec` is monotone in z, so the window is sound. */
+  // ---- normative inverse transforms (8.5.10 / 8.5.12) ---------------------
+  // The decoder reconstructs through the REAL integer transforms, so a
+  // conforming TC≤1 stream with its coefficient at ANY scan position
+  // decodes per spec; the closed forms above are the encoder's level
+  // solvers for the DC-only case and must agree with this path on it
+  // (H264Spec pins the equivalence over the full level range).
+
+  /** dequantise a scan-ordered 4x4 luma residual block into the raster
+    * d-matrix at QP 24: d = c · levelScale(24%6, i, j) << (24/6 − 4). */
+  private def dequant4x4(coeffs: Array[Int]): Array[Int] = {
+    val d = new Array[Int](16)
+    var k = 0
+    while (k < 16) {
+      val r = Zig4(k)
+      d(r) = coeffs(k) * levelScale(EncQp % 6, r / 4, r % 4)
+      k += 1
+    }
+    d
+  }
+
+  /** the 4x4 integer inverse transform incl. the final (x+32)>>6. */
+  private def invTransform4x4(d: Array[Int]): Array[Int] = {
+    val e = new Array[Int](16); val f = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val p0 = d(i * 4); val p1 = d(i * 4 + 1)
+      val p2 = d(i * 4 + 2); val p3 = d(i * 4 + 3)
+      val a = p0 + p2; val b = p0 - p2
+      val c = (p1 >> 1) - p3; val t = p1 + (p3 >> 1)
+      e(i * 4) = a + t; e(i * 4 + 1) = b + c
+      e(i * 4 + 2) = b - c; e(i * 4 + 3) = a - t
+      i += 1
+    }
+    var j = 0
+    while (j < 4) {
+      val p0 = e(j); val p1 = e(4 + j); val p2 = e(8 + j); val p3 = e(12 + j)
+      val a = p0 + p2; val b = p0 - p2
+      val c = (p1 >> 1) - p3; val t = p1 + (p3 >> 1)
+      f(j) = a + t; f(4 + j) = b + c; f(8 + j) = b - c; f(12 + j) = a - t
+      j += 1
+    }
+    var k = 0
+    while (k < 16) { f(k) = (f(k) + 32) >> 6; k += 1 }
+    f
+  }
+
+  /** the luma-DC 4x4 inverse Hadamard (±1 butterfly, no rounding). */
+  private def invHadamard4x4(c: Array[Int]): Array[Int] = {
+    val e = new Array[Int](16); val f = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val p0 = c(i * 4); val p1 = c(i * 4 + 1)
+      val p2 = c(i * 4 + 2); val p3 = c(i * 4 + 3)
+      val a = p0 + p2; val b = p0 - p2; val cc = p1 - p3; val t = p1 + p3
+      e(i * 4) = a + t; e(i * 4 + 1) = b + cc
+      e(i * 4 + 2) = b - cc; e(i * 4 + 3) = a - t
+      i += 1
+    }
+    var j = 0
+    while (j < 4) {
+      val p0 = e(j); val p1 = e(4 + j); val p2 = e(8 + j); val p3 = e(12 + j)
+      val a = p0 + p2; val b = p0 - p2; val cc = p1 - p3; val t = p1 + p3
+      f(j) = a + t; f(4 + j) = b + cc; f(8 + j) = b - cc; f(12 + j) = a - t
+      j += 1
+    }
+    f
+  }
+
+  /** 8.5.10 luma-DC scaling at QP 24 (< 36 branch). */
+  private def dcScaleY(f: Int): Int =
+    (f * levelScale(EncQp % 6, 0, 0) + (1 << (5 - EncQp / 6))) >>
+      (6 - EncQp / 6)
+
+  /** equivalence hooks for H264Spec: the general transform path on a
+    * DC-only block must equal the encoder's closed-form solvers. */
+  private[multimodal] def generalI4(z: Int): Array[Int] = {
+    val c = new Array[Int](16); c(0) = z
+    invTransform4x4(dequant4x4(c))
+  }
+  private[multimodal] def generalI16(z: Int): Array[Int] = {
+    val c = new Array[Int](16); c(0) = z
+    invHadamard4x4(Array.tabulate(16)(k => c.apply(Zig4.indexOf(k))))
+      .map(f => invTransform4x4(
+        { val d = new Array[Int](16); d(0) = dcScaleY(f); d })(0))
+  }
+  private[multimodal] def closedI4(z: Int): Int = recI4(z)
+  private[multimodal] def closedI16(z: Int): Int = recI16(z)
+
   private def solveLevel(r: Int, rec: Int => Int, slope: Double): Int = {
     if (r == 0) return 0
     val guess = math.round(r * slope).toInt
@@ -264,12 +364,33 @@ object H264 {
     pps.put(0, 1); pps.put(0, 1) // constrained_intra, redundant_pic_cnt
     pps.stop(); nal(3, 8, pps.bytes)
 
+    var prevRec: Array[Int] = null
+    var frameNum = 0
     for ((fp, fi) <- frames.zipWithIndex) {
+      if (fp.skipAll) {
+        // P slice, one mb_skip_run over the whole picture: every
+        // P_Skip predictor is (0,0) → reconstruction = reference frame
+        require(prevRec != null, "a skip frame needs a reference")
+        val w = new BW
+        w.ue(0) // first_mb_in_slice
+        w.ue(5) // slice_type P (all)
+        w.ue(0) // pps id
+        w.put(frameNum.toLong, 4) // frame_num
+        w.put(0, 1) // num_ref_idx_active_override_flag
+        w.put(0, 1) // ref_pic_list_modification_flag_l0
+        w.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+        w.se(0) // slice_qp_delta
+        w.ue(1) // disable_deblocking_filter_idc = 1 (subset)
+        w.ue(mbw * mbh) // mb_skip_run covering the picture
+        w.stop(); nal(2, 1, w.bytes)
+        frameNum = (frameNum + 1) % 16
+        // prevRec stays: the skip frame IS the reference content
+      } else {
       val w = new BW
       w.ue(0) // first_mb_in_slice
       w.ue(7) // slice_type I (all)
       w.ue(0) // pps id
-      w.put(0, 4) // frame_num (log2=4)
+      w.put(0, 4) // frame_num (log2=4; IDR resets to 0)
       w.ue(fi % 2) // idr_pic_id
       w.put(0, 1); w.put(0, 1) // dec_ref_pic_marking (IDR)
       w.se(0) // slice_qp_delta
@@ -343,6 +464,9 @@ object H264 {
           }
       }
       w.stop(); nal(3, 5, w.bytes)
+      prevRec = rec
+      frameNum = 1 // the IDR reset: the next P counts from 1
+      }
     }
     out.toByteArray
   }
@@ -420,6 +544,27 @@ object H264 {
     (level, tz, 1)
   }
 
+  /** non-IDR P slice, subset: ONE mb_skip_run covering the picture —
+    * the static-scene inter class. In an all-skip picture every P_Skip
+    * motion predictor is (0,0) (left/top neighbors carry zero MVs, the
+    * picture edges force the zero cases of 8.4.1.1), so reconstruction
+    * is the reference picture verbatim. Any non-skipped macroblock,
+    * list modification, or marking op is out of subset and rejects. */
+  private def decodeSkipSlice(r: BR, sps: Sps, prev: Option[Frame]): Frame = {
+    rej(r.ue() != 0) // first_mb_in_slice: one slice per picture
+    val st = r.ue(); rej(st != 5 && st != 0) // P slices only
+    rej(r.ue() != 0) // pps id
+    r.bits(4) // frame_num
+    rej(r.bit1() != 0) // num_ref_idx_active_override_flag
+    rej(r.bit1() != 0) // ref_pic_list_modification_flag_l0
+    rej(r.bit1() != 0) // adaptive_ref_pic_marking_mode_flag
+    rej(r.se() != 0) // slice_qp_delta (subset: QP stays 24)
+    rej(r.ue() != 1) // deblocking MUST be disabled (subset)
+    rej(r.ue() != sps.mbw * sps.mbh) // whole-picture skip run, or reject
+    rej(prev.isEmpty) // a P frame needs a decoded reference
+    prev.get
+  }
+
   private def decodeSlice(r: BR, sps: Sps, tc: Array[Int]): Frame = {
     val mbw = sps.mbw; val mbh = sps.mbh
     val width = mbw * 16; val height = mbh * 16
@@ -476,9 +621,11 @@ object H264 {
           val hasL = x0 > 0; val hasT = y0 > 0
           val (level, pos, n) =
             if (cbp == 15) readBlock(r, nCof(bx, by)) else (0, 0, 0)
-          rej(pos != 0 && level != 0) // subset content: DC position only
           tc(by * (mbw * 4) + bx) = n
-          val res = recI4(level)
+          // the REAL transform chain: scan-placed coefficient →
+          // dequant → 4x4 integer inverse (any position, not just DC)
+          val coeffs = new Array[Int](16); coeffs(pos) = level
+          val res = invTransform4x4(dequant4x4(coeffs))
           var yy = 0
           while (yy < 4) { var xx = 0
             while (xx < 4) {
@@ -493,7 +640,8 @@ object H264 {
                   else if (hasT) (sT + 2) >> 2
                   else 128
               }
-              rec((y0 + yy) * width + x0 + xx) = clip(pred + res)
+              rec((y0 + yy) * width + x0 + xx) =
+                clip(pred + res(yy * 4 + xx))
               xx += 1 }
             yy += 1 }
         }
@@ -502,8 +650,15 @@ object H264 {
         rej(r.ue() != 0) // intra_chroma_pred_mode: DC only (subset)
         rej(r.se() != 0) // mb_qp_delta
         val (level, pos, _) = readBlock(r, nCof(mbx * 4, mby * 4))
-        rej(pos != 0 && level != 0) // DC-only content
-        val res = recI16(level)
+        // the REAL chain: scan-placed DC coefficient → inverse Hadamard
+        // → 8.5.10 scaling → per-4x4 DC-only inverse transform
+        val dcScan = new Array[Int](16); dcScan(pos) = level
+        val dcRaster = new Array[Int](16)
+        for (k <- 0 until 16) dcRaster(Zig4(k)) = dcScan(k)
+        val res4 = invHadamard4x4(dcRaster).map { f =>
+          val d = new Array[Int](16); d(0) = dcScaleY(f)
+          invTransform4x4(d)(0) // DC-only: uniform over the 4x4
+        }
         val x0 = mbx * 16; val y0 = mby * 16
         val hasL = mbx > 0; val hasT = mby > 0
         var yy = 0
@@ -520,7 +675,9 @@ object H264 {
                 else if (hasT) (sT + 8) >> 4
                 else 128
             }
-            rec((y0 + yy) * width + x0 + xx) = clip(pred + res)
+            // block (x4, y4)'s DC sits at Hadamard raster y4*4 + x4
+            rec((y0 + yy) * width + x0 + xx) =
+              clip(pred + res4((yy / 4) * 4 + (xx / 4)))
             xx += 1 }
           yy += 1 }
         // AC blocks are uncoded (CBP luma 0): their TotalCoeff is 0
@@ -569,7 +726,11 @@ object H264 {
           case 5 =>
             rej(sps.isEmpty || !havePps)
             frames :+= decodeSlice(r, sps.get, tcGrid)
-          case _ => throw Reject // SEI, AUD, non-IDR slices… out of subset
+          case 1 =>
+            rej(sps.isEmpty || !havePps)
+            rej((hdr >> 5) == 0) // subset: P slices are reference pictures
+            frames :+= decodeSkipSlice(r, sps.get, frames.lastOption)
+          case _ => throw Reject // SEI, AUD, B slices… out of subset
         }
       }
       rej(frames.isEmpty)

@@ -359,7 +359,11 @@ object MultimodalOps {
         by * bx * ((g % 89) % 13 + 3) + (g % 101) * (by + 2) + g * 7 +
         f * (11 + (g % 3))) % 224).toInt + (if (role == 1) 4 else 0)
     val frames = (0 until 4).map { f =>
-      H264.FramePlan { (bx, by) =>
+      // even groups ship frame 2 as an ALL-SKIP P slice (the
+      // static-scene inter class): it reconstructs as frame 1 verbatim
+      if (g % 2 == 0 && f == 2)
+        H264.FramePlan((_, _) => H264.MbI16(0), skipAll = true)
+      else H264.FramePlan { (bx, by) =>
         (bx + by + f) % 4 match {
           case 0 => H264.MbI4(v(f, bx, by))
           case 1 if by > 0 => H264.MbI16(v(f, bx, by), mode = 0)
@@ -901,18 +905,24 @@ object MultimodalOps {
       |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
       |  FROM documents WHERE doc_id % 3 = 0),
       |mb AS MATERIALIZED (
-      |  SELECT doc_id, f.i AS f, bx.i AS bx, by.i AS by,
+      |  SELECT doc_id, f, bx.i AS bx, by.i AS by,
       |    CASE WHEN role = 2
       |      THEN 16 + (17 * bx.i * bx.i + bx.i * ((g % 89) + 5)
       |        + 31 * by.i + by.i * bx.i * ((g % 83) % 11 + 2)
       |        + (g % 103) * (by.i + 3) + g * 13
-      |        + f.i * (17 + (g % 5))) % 224
+      |        + ef * (17 + (g % 5))) % 224
       |      ELSE 16 + (13 * bx.i * bx.i + bx.i * ((g % 97) + 7)
       |        + 29 * by.i + by.i * bx.i * ((g % 89) % 13 + 3)
       |        + (g % 101) * (by.i + 2) + g * 7
-      |        + f.i * (11 + (g % 3))) % 224
+      |        + ef * (11 + (g % 3))) % 224
       |        + CASE WHEN role = 1 THEN 4 ELSE 0 END END AS v
-      |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i))"""
+      |  FROM (
+      |    SELECT doc_id, g, role, f.i AS f,
+      |      -- even groups ship frame 2 as an all-skip P slice: it
+      |      -- reconstructs as frame 1 verbatim
+      |      CASE WHEN g % 2 = 0 AND f.i = 2 THEN 1 ELSE f.i END AS ef
+      |    FROM docs, range(0, 4) f(i)) fr,
+      |    range(0, 4) bx(i), range(0, 3) by(i))"""
       .stripMargin
 
   /** q394's DuckDB twin — the whole index lifecycle restated: the

@@ -50,6 +50,17 @@ class H264Spec extends AnyFunSuite {
     assert(d.frames(0).y.toSeq == flatPlane(w, h, g).toSeq)
   }
 
+  test("the general transform path equals the closed-form solvers on DC-only blocks") {
+    for (z <- -3000 to 3000) {
+      val g4 = H264.generalI4(z)
+      assert(g4.forall(_ == H264.closedI4(z)),
+        s"I4 general/closed mismatch at z=$z: ${g4.toSeq} vs ${H264.closedI4(z)}")
+      val g16 = H264.generalI16(z)
+      assert(g16.length == 16 && g16.forall(_ == H264.closedI16(z)),
+        s"I16 general/closed mismatch at z=$z")
+    }
+  }
+
   test("total_zeros (TotalCoeff=1) is prefix-free with Kraft mass 511/512") {
     val codes = H264.TotalZeros1.map { case (c, n) =>
       String.format("%" + n + "s", Integer.toBinaryString(c)).replace(' ', '0')
@@ -166,6 +177,42 @@ class H264Spec extends AnyFunSuite {
     // truncation at every byte boundary: Option, never a crash
     for (cut <- 1 until good.length by 7)
       H264.decode(good.take(cut)) // must not throw
+  }
+
+  test("all-skip P slices copy the reference exactly; partial skips and orphan P reject") {
+    val w = 48; val h = 32
+    def g(bx: Int, by: Int): Int = 30 + bx * 19 + by * 41
+    val plan = H264.FramePlan((bx, by) => H264.MbI16(g(bx, by)))
+    val skip = H264.FramePlan((_, _) => H264.MbI16(0), skipAll = true)
+    def g2(bx: Int, by: Int): Int = 200 - bx * 13 - by * 7
+    val plan2 = H264.FramePlan((bx, by) => H264.MbI4(g2(bx, by)))
+    // I P P I P: skips copy through; a new IDR resets the chain
+    val d = H264.decode(H264.encode(w, h,
+      Seq(plan, skip, skip, plan2, skip))).get
+    assert(d.frames.length == 5)
+    assert(d.frames(0).y.toSeq == flatPlane(w, h, g).toSeq)
+    assert(d.frames(1).y.toSeq == d.frames(0).y.toSeq)
+    assert(d.frames(2).y.toSeq == d.frames(0).y.toSeq)
+    assert(d.frames(3).y.toSeq == flatPlane(w, h, g2).toSeq)
+    assert(d.frames(4).y.toSeq == d.frames(3).y.toSeq)
+    // a P slice with no decoded reference rejects
+    val lone = H264.encode(w, h, Seq(plan, skip))
+    val sc = Seq(0, 0, 0, 1).map(_.toByte)
+    val idx = (0 to lone.length - 4).filter(i => lone.slice(i, i + 4).toSeq == sc)
+    assert(idx.length == 4) // SPS PPS IDR P
+    val noRef = (lone.take(idx(2)).toSeq ++ lone.drop(idx(3)).toSeq).toArray
+    assert(H264.decode(noRef).isEmpty, "orphan P frame must reject")
+    // a partial skip run (not the whole picture) rejects: patch the
+    // run count by re-encoding at a larger geometry, then truncating
+    // the SPS dims — geometry mismatch surfaces as a loud None
+    val bigger = H264.encode(64, 48, Seq(
+      H264.FramePlan((bx, by) => H264.MbI16(g(bx, by))), skip))
+    val spsSmall = H264.encode(w, h, Seq(plan)).slice(idx(0), idx(1))
+    val frankenstein = (spsSmall.toSeq ++
+      bigger.drop((0 to bigger.length - 4)
+        .filter(i => bigger.slice(i, i + 4).toSeq == sc)(1)).toSeq).toArray
+    assert(H264.decode(frankenstein).isEmpty,
+      "a skip run not covering the picture must reject")
   }
 
   test("bit-flip fuzz never crashes and mostly rejects") {
