@@ -214,6 +214,8 @@ object ScaleProof {
       // band-key equi-join (never all-pairs)
       "q398_h264_intra_roundtrip",
       "q399_h264_dedup_pairs",
+      // cross-codec dedup: MPEG-1 and H.264 decode into one band join
+      "q400_crosscodec_dedup",
       // grown-k refresh: train + atomic full re-assignment at 10×
       // volume — the one O(index) maintenance job; probe must keep the
       // broadcast shape (no SMJ, no cartesian)

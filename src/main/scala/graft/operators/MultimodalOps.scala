@@ -401,6 +401,71 @@ object MultimodalOps {
     layout.path("media_h264")
   }
 
+  /** q400's CROSS-CODEC store: the same flat-MB scene planes land once
+    * as MPEG-1 (role 0) and once as H.264 (role 1) — byte streams from
+    * two different codecs whose DECODED planes are pel-identical, the
+    * shape a crawl corpus takes when content is re-encoded; role 2 is a
+    * re-authored H.264 scene. Both encoders reconstruct flat MBs
+    * exactly, so the dedup fingerprint (and the oracle) is one closed
+    * formula regardless of codec. */
+  private[graft] def crossCodecPlane(id: Long)(f: Int, bx: Int, by: Int): Int = {
+    val g = id / 9 * 9; val role = (id / 3) % 3
+    if (role == 2) (20 + (19 * bx * bx + bx * ((g % 79) + 3) + 37 * by +
+      by * bx * ((g % 73) % 7 + 2) + (g % 107) * (by + 2) + g * 11 +
+      f * (13 + (g % 7))) % 216).toInt
+    else (20 + (11 * bx * bx + bx * ((g % 93) + 5) + 23 * by +
+      by * bx * ((g % 87) % 11 + 2) + (g % 99) * (by + 4) + g * 5 +
+      f * (7 + (g % 9))) % 216).toInt
+  }
+
+  private val crossCodecLock = new Object
+  private def storedCrossCodecPath(s: SparkSession, dir: String): String = {
+    val key = "media_xcodec_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    crossCodecLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        import s.implicits._
+        val df = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val role = (id / 3) % 3
+            val v = crossCodecPlane(id) _
+            if (role == 0) {
+              val frames = (0 until 4).map(f =>
+                graft.multimodal.Mpeg1.FramePlan(intra = true,
+                  (bx, by) => graft.multimodal.Mpeg1.MbIntra(v(f, bx, by))))
+              (id, "mpeg", graft.multimodal.Mpeg1.encode(64, 48, frames))
+            } else {
+              val frames = (0 until 4).map(f =>
+                graft.multimodal.H264.FramePlan((bx, by) =>
+                  graft.multimodal.H264.MbI16(v(f, bx, by))))
+              (id, "h264", graft.multimodal.H264.encode(64, 48, frames))
+            }
+          }.toDF("media_id", "kind", "bytes")
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+        graft.storage.Storage.append(df, layout, "media_xcodec")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media_xcodec")
+  }
+
+  /** codec-dispatching luma decode for the cross-codec fingerprint. */
+  private def lumaFrames(kind: String, bytes: Array[Byte])
+      : (Int, Vector[Array[Int]]) = kind match {
+    case "mpeg" =>
+      val d = graft.multimodal.Mpeg1.decode(bytes).get
+      (d.width, d.frames.map(_.y))
+    case _ =>
+      val d = graft.multimodal.H264.decode(bytes).get
+      (d.width, d.frames.map(_.y))
+  }
+
   /** decode a stored H.264 payload and hash each reconstructed frame's
     * MB grid into a 9-bit gradient-sign band (center-sampled 16×16
     * blocks, horizontal neighbor signs — the [[videoFp]] shape on the
@@ -1719,6 +1784,56 @@ object MultimodalOps {
           col("hd").as("hamming_dist"))
     }),
 
+    // CROSS-CODEC NEAR-DUP (the codec-agnostic dedup a crawl corpus
+    // needs): the same scene stored as MPEG-1 and as H.264 — different
+    // byte streams, different entropy coders — must dedup, because the
+    // fingerprint hashes the DECODED planes, which both codecs
+    // reconstruct exactly. Role-0 (MPEG) ↔ role-1 (H.264) pairs confirm
+    // at hd 0; the oracle is one closed plane formula regardless of
+    // codec, plus the role → kind mapping.
+    "q400_crosscodec_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = s.read.parquet(storedCrossCodecPath(s, dir))
+        .select(col("media_id"), col("kind"), col("bytes"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, kind, bytes) =>
+          val (width, frames) = lumaFrames(kind, bytes)
+          val bands = Array.tabulate(4) { f =>
+            val y = frames(f)
+            var band = 0L
+            for (by <- 0 until 3; c <- 0 until 3) {
+              val l = y((by * 16 + 8) * width + c * 16 + 8)
+              val r = y((by * 16 + 8) * width + (c + 1) * 16 + 8)
+              if (r > l) band |= 1L << (by * 3 + c)
+            }
+            band
+          }
+          val fp = bands.zipWithIndex.map { case (b, f) => b << (f * 15) }
+            .reduce(_ | _)
+          (id, kind, bands(0), bands(1), bands(2), bands(3), fp)
+        }.toDF("doc_id", "kind", "b1", "b2", "b3", "b4", "fp")
+        .localCheckpoint() // decode once: both join sides read this
+      val bands = fps.select(col("doc_id"), col("kind"), col("fp"),
+          explode(array(
+            struct(lit(0L).as("f"), col("b1").as("band")),
+            struct(lit(1L).as("f"), col("b2").as("band")),
+            struct(lit(2L).as("f"), col("b3").as("band")),
+            struct(lit(3L).as("f"), col("b4").as("band")))).as("e"))
+        .select(col("doc_id"), col("kind"), col("fp"),
+          col("e.f").as("f"), col("e.band").as("band"))
+      val x = bands.select(col("doc_id").as("a"), col("kind").as("kind_a"),
+        col("fp").as("fa"), col("f"), col("band"))
+      val y = bands.select(col("doc_id").as("b"), col("kind").as("kind_b"),
+        col("fp").as("fb"), col("f"), col("band"))
+      x.join(y, Seq("f", "band")).filter(col("a") < col("b"))
+        .select(col("a"), col("kind_a"), col("b"), col("kind_b"),
+          expr("bit_count(fa ^ fb)").cast("long").as("hd"))
+        .distinct()
+        .filter(col("hd") <= 2)
+        .select(col("a").as("media_a"), col("b").as("media_b"),
+          col("kind_a"), col("kind_b"), col("hd").as("hamming_dist"))
+    }),
+
     // STORED-corpus codec censuses (q345's storage pattern for the
     // round-10 families): each scans its kind's STORED binary column
     // (relational kind predicate → parquet prunes before decode) and
@@ -2665,6 +2780,54 @@ object MultimodalOps {
         |FROM cand c
         |JOIN fps fa ON fa.doc_id = c.a
         |JOIN fps fb ON fb.doc_id = c.b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2""".stripMargin,
+
+    // cross-codec dedup: ONE closed plane formula serves both codecs
+    // (each reconstructs flat MBs exactly); kinds come from the role
+    "q400_crosscodec_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role,
+        |    CASE WHEN (doc_id // 3) % 3 = 0 THEN 'mpeg' ELSE 'h264' END
+        |      AS kind
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |mb AS MATERIALIZED (
+        |  SELECT doc_id, kind, f.i AS f, bx.i AS bx, by.i AS by,
+        |    CASE WHEN role = 2
+        |      THEN 20 + (19 * bx.i * bx.i + bx.i * ((g % 79) + 3)
+        |        + 37 * by.i + by.i * bx.i * ((g % 73) % 7 + 2)
+        |        + (g % 107) * (by.i + 2) + g * 11
+        |        + f.i * (13 + (g % 7))) % 216
+        |      ELSE 20 + (11 * bx.i * bx.i + bx.i * ((g % 93) + 5)
+        |        + 23 * by.i + by.i * bx.i * ((g % 87) % 11 + 2)
+        |        + (g % 99) * (by.i + 4) + g * 5
+        |        + f.i * (7 + (g % 9))) % 216 END AS v
+        |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i)),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.by, a.bx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 3),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (by * 3 + bx))) AS BIGINT)
+        |      AS band
+        |  FROM bits GROUP BY 1, 2),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT CAST(c.a AS BIGINT) AS media_a, CAST(c.b AS BIGINT) AS media_b,
+        |  da.kind AS kind_a, db.kind AS kind_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming_dist
+        |FROM cand c
+        |JOIN fps fa ON fa.doc_id = c.a
+        |JOIN fps fb ON fb.doc_id = c.b
+        |JOIN docs da ON da.doc_id = c.a
+        |JOIN docs db ON db.doc_id = c.b
         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2""".stripMargin,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
