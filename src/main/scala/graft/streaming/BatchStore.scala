@@ -128,7 +128,10 @@ private[streaming] object BatchStore {
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
       val f = java.nio.file.Paths.get(p.toUri.getPath)
-      if (!java.nio.file.Files.exists(f)) java.nio.file.Files.createFile(f)
+      // racing stampers are both right — an existing marker is success,
+      // not a fault (create-if-absent must be idempotent under a race)
+      try java.nio.file.Files.createFile(f)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     } else fs.create(p, true).close()
   }
 
