@@ -67,6 +67,20 @@ class BandMaintainSpec extends AnyFunSuite {
     assert(gens == Set("compact-1"), s"fold did not bound the store: $gens")
   }
 
+  test("in-stream self-compaction bounds the store without changing the probe view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandsc_").toString
+    val flat = java.nio.file.Files.createTempDirectory("graft_bandfl_").toString
+    for ((chunk, i) <- fps.grouped(1).zipWithIndex) {
+      BandMaintain.maintainBatch(dir, compactEvery = 2)(toDF(chunk), i.toLong)
+      BandMaintain.maintainBatch(flat)(toDF(chunk), i.toLong)
+    }
+    assert(state(dir) == state(flat),
+      "self-compaction changed what a probe sees")
+    assert(new java.io.File(s"$dir/bands").listFiles()
+      .count(!_.getName.startsWith("_")) <= 3,
+      "self-compaction did not bound the live dirs")
+  }
+
   test("delete ≡ rebuild: tombstones hide immediately, purge physically; re-appends resurface") {
     val dir = java.nio.file.Files.createTempDirectory("graft_banddel_").toString
     val rebuilt = java.nio.file.Files.createTempDirectory("graft_bandrb_").toString
