@@ -394,6 +394,8 @@ object MultimodalOps {
           }.toDF("media_id", "kind", "bytes")
           .withColumn("timestamp",
             lit(1706745600L * 1000000000L) + col("media_id"))
+          // 16 files: the stored-bytes scan is the decode's split source
+          .repartition(16, pmod(col("media_id"), lit(16)))
         graft.storage.Storage.append(df, layout, "media_h264")
         marker.createNewFile()
       }
@@ -448,6 +450,8 @@ object MultimodalOps {
           }.toDF("media_id", "kind", "bytes")
           .withColumn("timestamp",
             lit(1706745600L * 1000000000L) + col("media_id"))
+          // 16 files: the stored-bytes scan is the decode's split source
+          .repartition(16, pmod(col("media_id"), lit(16)))
         graft.storage.Storage.append(df, layout, "media_xcodec")
         marker.createNewFile()
       }
