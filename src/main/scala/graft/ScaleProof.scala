@@ -216,6 +216,9 @@ object ScaleProof {
       "q399_h264_dedup_pairs",
       // cross-codec dedup: MPEG-1 and H.264 decode into one band join
       "q400_crosscodec_dedup",
+      // the codec migration: retire the MPEG originals from the
+      // maintained index, probes must still dedup via the H.264 twins
+      "q401_crosscodec_index_migrate",
       // grown-k refresh: train + atomic full re-assignment at 10×
       // volume — the one O(index) maintenance job; probe must keep the
       // broadcast shape (no SMJ, no cartesian)

@@ -470,6 +470,70 @@ object MultimodalOps {
       (d.width, d.frames.map(_.y))
   }
 
+  /** q401's probe plane: for most groups the CORPUS scene (the role-0/1
+    * formula of [[crossCodecPlane]]); every third group ((g/9) % 3 == 2)
+    * is re-authored — those probes must classify `new`. */
+  private[graft] def crossCodecProbePlane(pid: Long)(f: Int, bx: Int, by: Int): Int = {
+    val id = pid - 70000000L
+    val g = id / 9 * 9
+    if ((id / 9) % 3 == 2)
+      (24 + (23 * bx * bx + bx * ((g % 71) + 9) + 41 * by +
+        by * bx * ((g % 67) % 9 + 4) + (g % 109) * (by + 5) + g * 17 +
+        f * (19 + (g % 11))) % 208).toInt
+    else crossCodecPlane(g)(f, bx, by) // g is a role-0 id: the scene plane
+  }
+
+  /** q401's MAINTAINED cross-codec index, through a CODEC MIGRATION:
+    * the mixed-codec fingerprints land as batch 0 of a [[BandMaintain]]
+    * store; the MPEG originals (role 0) are then RETIRED — the
+    * transcode-and-drop-originals migration a long-lived corpus runs —
+    * via coverage-bounded tombstones, applied physically by compaction.
+    * Dedup continuity must hold: content whose MPEG encoding was
+    * deleted still dedups through its H.264 twin. */
+  private val xcodecIdxLock = new Object
+  private val xcodecIdxCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def crossCodecIndexStore(s: SparkSession, dir: String): String = {
+    val key = dir + "@" + graft.storage.LocalCache.dataVersion(dir)
+    xcodecIdxCache.getOrElseUpdate(key, {
+      val base = graft.storage.LocalCache.dir(s"xcodec_idx|$key")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      if (!marker.exists()) xcodecIdxLock.synchronized {
+        if (!marker.exists()) {
+          import s.implicits._
+          val fps = s.read.parquet(storedCrossCodecPath(s, dir))
+            .select(col("media_id"), col("kind"), col("bytes"))
+            .as[(Long, String, Array[Byte])]
+            .map { case (id, kind, bytes) =>
+              val (width, frames) = lumaFrames(kind, bytes)
+              val bands = Array.tabulate(4) { f =>
+                val y = frames(f)
+                var band = 0L
+                for (by <- 0 until 3; c <- 0 until 3) {
+                  val l = y((by * 16 + 8) * width + c * 16 + 8)
+                  val r = y((by * 16 + 8) * width + (c + 1) * 16 + 8)
+                  if (r > l) band |= 1L << (by * 3 + c)
+                }
+                band
+              }
+              (id, bands(0), bands(1), bands(2), bands(3),
+                bands.zipWithIndex.map { case (b, f) => b << (f * 15) }
+                  .reduce(_ | _))
+            }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+          graft.streaming.BandMaintain.maintainBatch(store)(fps, 0L)
+          // the migration: retire every MPEG original (role 0 ⇔ id%9==0)
+          graft.streaming.BandMaintain.deleteDocs(s, store,
+            fps.filter(pmod(col("doc_id"), lit(9)) === 0)
+              .select(col("doc_id")), 0L)
+          graft.streaming.BandMaintain.compact(s, store)
+          marker.createNewFile()
+        }
+      }
+      store
+    })
+  }
+
   /** decode a stored H.264 payload and hash each reconstructed frame's
     * MB grid into a 9-bit gradient-sign band (center-sampled 16×16
     * blocks, horizontal neighbor signs — the [[videoFp]] shape on the
@@ -1838,6 +1902,49 @@ object MultimodalOps {
           col("kind_a"), col("kind_b"), col("hd").as("hamming_dist"))
     }),
 
+    // CROSS-CODEC INDEX MIGRATION (q400 × q394): the maintained band
+    // index holds BOTH codecs' fingerprints; the MPEG originals are
+    // then retired (tombstone + physical compaction — the
+    // transcode-and-drop-originals migration). Probes re-encode the
+    // corpus scenes as H.264: they must STILL classify `exact`, now
+    // against the H.264 twins (dedup continuity through a codec
+    // migration); re-authored probe groups classify `new`. The oracle
+    // restates the live (post-migration) index and the classification.
+    "q401_crosscodec_index_migrate" -> ((s, dir) => {
+      import s.implicits._
+      val store = crossCodecIndexStore(s, dir)
+      val idx = graft.streaming.BandMaintain.bands(s, store)
+      val probes = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val pid = id + 70000000L
+          val v = crossCodecProbePlane(pid) _
+          val frames = (0 until 4).map(f =>
+            graft.multimodal.H264.FramePlan((bx, by) =>
+              graft.multimodal.H264.MbI16(v(f, bx, by))))
+          val (b1, b2, b3, b4, fp) =
+            h264Fp(graft.multimodal.H264.encode(64, 48, frames))
+          (pid, b1, b2, b3, b4, fp)
+        }.toDF("did", "b1", "b2", "b3", "b4", "fp")
+      // bandRows' bk = f·2¹⁵ + band is exactly BandMaintain's key
+      val cand = idx.join(broadcast(bandRows(probes, "did")), Seq("bk"))
+        .select(col("did"), col("dfp"), col("doc_id"), col("fp")).distinct()
+        .withColumn("hd", expr("bit_count(dfp ^ fp)").cast("long"))
+        .filter(col("hd") <= 2)
+      val best = cand.groupBy(col("did"))
+        .agg(min(col("hd")).as("min_hd"), min(col("doc_id")).as("dup_of"))
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 70000000L).as("did"))
+        .join(best, Seq("did"), "left")
+        .select(col("did"),
+          when(col("min_hd") === 0, "exact")
+            .when(col("min_hd").isNotNull, "near")
+            .otherwise("new").as("status"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+    }),
+
     // STORED-corpus codec censuses (q345's storage pattern for the
     // round-10 families): each scans its kind's STORED binary column
     // (relational kind predicate → parquet prunes before decode) and
@@ -2833,6 +2940,89 @@ object MultimodalOps {
         |JOIN docs da ON da.doc_id = c.a
         |JOIN docs db ON db.doc_id = c.b
         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2""".stripMargin,
+
+    // the cross-codec migration: live index = corpus minus the retired
+    // MPEG originals; probes re-encode the scenes (every third group
+    // re-authored); one plane formula serves all of it
+    "q401_crosscodec_index_migrate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |mb AS MATERIALIZED (
+        |  SELECT doc_id, role, f.i AS f, bx.i AS bx, by.i AS by,
+        |    CASE WHEN role = 2
+        |      THEN 20 + (19 * bx.i * bx.i + bx.i * ((g % 79) + 3)
+        |        + 37 * by.i + by.i * bx.i * ((g % 73) % 7 + 2)
+        |        + (g % 107) * (by.i + 2) + g * 11
+        |        + f.i * (13 + (g % 7))) % 216
+        |      ELSE 20 + (11 * bx.i * bx.i + bx.i * ((g % 93) + 5)
+        |        + 23 * by.i + by.i * bx.i * ((g % 87) % 11 + 2)
+        |        + (g % 99) * (by.i + 4) + g * 5
+        |        + f.i * (7 + (g % 9))) % 216 END AS v
+        |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i)),
+        |bits AS (
+        |  SELECT a.doc_id, a.role, a.f, a.by, a.bx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 3),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, role, f,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (by * 3 + bx))) AS BIGINT)
+        |      AS band
+        |  FROM bits GROUP BY 1, 2, 3),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id, role, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+        |  FROM bands GROUP BY 1, 2),
+        |pdocs AS (
+        |  SELECT doc_id, doc_id + 70000000 AS did, (doc_id // 9) * 9 AS g,
+        |    (doc_id // 9) % 3 AS pgr
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |pmb AS MATERIALIZED (
+        |  SELECT did, f.i AS f, bx.i AS bx, by.i AS by,
+        |    CASE WHEN pgr = 2
+        |      THEN 24 + (23 * bx.i * bx.i + bx.i * ((g % 71) + 9)
+        |        + 41 * by.i + by.i * bx.i * ((g % 67) % 9 + 4)
+        |        + (g % 109) * (by.i + 5) + g * 17
+        |        + f.i * (19 + (g % 11))) % 208
+        |      ELSE 20 + (11 * bx.i * bx.i + bx.i * ((g % 93) + 5)
+        |        + 23 * by.i + by.i * bx.i * ((g % 87) % 11 + 2)
+        |        + (g % 99) * (by.i + 4) + g * 5
+        |        + f.i * (7 + (g % 9))) % 216 END AS v
+        |  FROM pdocs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i)),
+        |pbits AS (
+        |  SELECT a.did, a.f, a.by, a.bx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM pmb a JOIN pmb b ON b.did = a.did AND b.f = a.f
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 3),
+        |pbands AS MATERIALIZED (
+        |  SELECT did, f,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (by * 3 + bx))) AS BIGINT)
+        |      AS band
+        |  FROM pbits GROUP BY 1, 2),
+        |pfps AS MATERIALIZED (
+        |  SELECT did, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+        |  FROM pbands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT p.did, b.doc_id
+        |  FROM pbands p JOIN bands b ON p.f = b.f AND p.band = b.band
+        |  WHERE b.role <> 0),
+        |conf AS (
+        |  SELECT c.did, c.doc_id, bit_count(xor(pf.fp, lf.fp)) AS hd
+        |  FROM cand c
+        |  JOIN pfps pf ON pf.did = c.did
+        |  JOIN fps lf ON lf.doc_id = c.doc_id
+        |  WHERE bit_count(xor(pf.fp, lf.fp)) <= 2),
+        |best AS (
+        |  SELECT did, MIN(hd) AS min_hd, MIN(doc_id) AS dup_of
+        |  FROM conf GROUP BY 1)
+        |SELECT CAST(p.did AS BIGINT) AS did,
+        |  CASE WHEN b.min_hd = 0 THEN 'exact'
+        |       WHEN b.min_hd IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS status,
+        |  CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of
+        |FROM pdocs p LEFT JOIN best b ON b.did = p.did""".stripMargin,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
     // oracles VERBATIM: the stored bytes are the same synthesis, the
