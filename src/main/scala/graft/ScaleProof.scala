@@ -219,6 +219,8 @@ object ScaleProof {
       // the codec migration: retire the MPEG originals from the
       // maintained index, probes must still dedup via the H.264 twins
       "q401_crosscodec_index_migrate",
+      // stream-built exact-dedup ledger: probe = one hash equi-join
+      "q402_dedup_ledger_stream",
       // grown-k refresh: train + atomic full re-assignment at 10×
       // volume — the one O(index) maintenance job; probe must keep the
       // broadcast shape (no SMJ, no cartesian)

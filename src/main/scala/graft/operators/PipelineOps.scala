@@ -634,6 +634,41 @@ object PipelineOps {
       idx
     })
 
+  /** q402's stream-built EXACT-DEDUP LEDGER: the documents fed through
+    * a 3-micro-batch file stream into
+    * [[graft.streaming.LedgerMaintain]], then a retention cohort
+    * (doc_id % 7 == 3) tombstoned and physically compacted — the
+    * always-current twin of q379's bucketed batch ledger. */
+  private val ledgerStreamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def streamedLedgerStore(s: SparkSession, dir: String): String =
+    ledgerStreamCache.getOrElseUpdate(vdir(dir), {
+      val base = graft.storage.LocalCache.dir(s"ledger_stream|${vdir(dir)}")
+      val marker = new java.io.File(base, "_done")
+      val store = s"$base/store"
+      if (!marker.exists()) {
+        val stage = s"$base/stage"
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .repartition(3, pmod(col("doc_id"), lit(3)))
+          .write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.LedgerMaintain.start(stream, store,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        // retention: an age cohort expires; its hashes stop serving
+        // unless another live doc carries the same content
+        graft.streaming.LedgerMaintain.deleteDocs(s, store,
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(7)) === 3)
+            .select(col("doc_id")), 0L)
+        graft.streaming.LedgerMaintain.compact(s, store)
+        marker.createNewFile()
+      }
+      store
+    })
+
   /** q383's stream-built BM25 store: the real documents fed through a
     * 4-micro-batch file stream into [[graft.streaming.IndexMaintain]],
     * then COMPACTED — the oracle-gated proof that the streaming
@@ -994,6 +1029,27 @@ object PipelineOps {
       val store = streamedBm25Store(s, dir)
       graft.streaming.IndexMaintain.bm25(s, store,
         Seq("stream", "hash", "big"))
+    }),
+
+    // STREAM-BUILT EXACT-DEDUP LEDGER (q379's online half — the last
+    // maintained index without a streaming twin): the corpus hashes
+    // arrived through 3 real micro-batches, a retention cohort was
+    // tombstoned and physically compacted, and a delta drop classifies
+    // against the LIVE ledger — deleted-then-rearriving content
+    // resurfaces as new unless another live holder carries it. The
+    // oracle restates the live hash set and the classification.
+    "q402_dedup_ledger_stream" -> ((s, dir) => {
+      val store = streamedLedgerStore(s, dir)
+      val ledger = graft.streaming.LedgerMaintain.ledger(s, store)
+        .select(col("h")).distinct().withColumn("hit", lit(1))
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 80000000L).as("did"),
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" novel"))).as("t"))
+        .withColumn("h", md5(col("t"))).drop("t")
+        .join(ledger, Seq("h"), "left")
+        .select(col("did"),
+          when(col("hit").isNotNull, "dup").otherwise("new").as("status"))
     }),
 
     // STREAM-BUILT ANN DELTA (q380's online half, oracle-gated): the
@@ -5483,6 +5539,21 @@ object PipelineOps {
     "q381_bm25_index_delta" -> bm25RankSql,
     // stream-built store ≡ batch index (associative stats): q187's oracle
     "q383_bm25_index_stream" -> bm25RankSql,
+
+    // the stream-built ledger: live hashes = corpus minus the retention
+    // cohort; delta rows classify by membership
+    "q402_dedup_ledger_stream" ->
+      """WITH live AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 7 <> 3),
+        |delta AS (
+        |  SELECT doc_id + 80000000 AS did,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |         ELSE text || ' novel' END AS t
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT CAST(d.did AS BIGINT) AS did,
+        |  CASE WHEN l.h IS NOT NULL THEN 'dup' ELSE 'new' END AS status
+        |FROM delta d LEFT JOIN live l ON l.h = md5(d.t)""".stripMargin,
     // delete≡rebuild: the survivors are exactly the odd doc_ids (the
     // even day expired through retention)
     "q385_bm25_retention_delete" -> bm25RankSqlWhere("doc_id % 2 = 1"),
