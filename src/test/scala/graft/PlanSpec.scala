@@ -137,6 +137,23 @@ class PlanSpec extends AnyFunSuite {
         s"expected a bucketed $t scan:\n$formatted")
   }
 
+  test("maintained-index probes broadcast the probe side (q397/q401/q402)") {
+    // the stream-built stores' probe joins: small probe rows broadcast
+    // into the key-clustered store scan — never a cartesian, never a
+    // store-side broadcast (the store is the big side at 100 TB)
+    for (q <- Seq("q397_video_index_stream", "q401_crosscodec_index_migrate",
+        "q402_dedup_ledger_stream")) {
+      val df = (operators.MultimodalOps.queries ++
+        operators.PipelineOps.queries)(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q probe lost its broadcast shape:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q regressed to a product join:\n$plan")
+    }
+  }
+
   test("union-scan selectors push metric_name into BOTH stored tables") {
     val df = operators.PromQLOps.queries("q88_promql_union_scan")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
