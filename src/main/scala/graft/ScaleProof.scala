@@ -221,6 +221,9 @@ object ScaleProof {
       "q401_crosscodec_index_migrate",
       // stream-built exact-dedup ledger: probe = one hash equi-join
       "q402_dedup_ledger_stream",
+      // fully stream-maintained delta dedup: both corpus indexes are
+      // stream twins; classification must stay shingle-join-bounded
+      "q403_dedup_delta_stream_indexed",
       // grown-k refresh: train + atomic full re-assignment at 10×
       // volume — the one O(index) maintenance job; probe must keep the
       // broadcast shape (no SMJ, no cartesian)

@@ -165,6 +165,48 @@ object InteropOps {
     (s"tenant0_idx_$ledger", s"tenant0_idx_$index")
   }
 
+  /** q403's STREAM-BUILT twins of [[ensureDeltaIndex]]'s two corpus
+    * indexes: the v1 snapshot's documents arrive through 2 real
+    * micro-batches feeding BOTH maintainers per batch (one pass over
+    * the stream — hash ledger and shingle index stay in lockstep), then
+    * compact. The q370/q379 classification over these stores must be
+    * row-identical — batch ≡ stream for the whole delta-dedup probe. */
+  private val streamIdxCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def streamedDeltaIndexes(s: SparkSession, loc: String)
+      : (String, String) =
+    streamIdxCache.getOrElseUpdate(loc, {
+      val base = graft.storage.LocalCache.dir(s"delta_idx_stream|$loc")
+      val marker = new java.io.File(base, "_done")
+      val hdir = s"$base/hash"; val sdir = s"$base/shingle"
+      if (!marker.exists()) {
+        import org.apache.spark.sql.types._
+        val stage = s"$base/stage"
+        Snapshots.read(s, graft.storage.Storage.TableLayout(
+            loc, "tenant0", "default"), "docs", Some(1))
+          .select(col("doc_id"), col("text"))
+          .repartition(2, pmod(col("doc_id"), lit(2)))
+          .write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val body: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, id) => {
+            graft.streaming.LedgerMaintain.maintainBatch(hdir)(b, id)
+            graft.streaming.ShingleMaintain.maintainBatch(sdir)(b, id)
+          }
+        val q = stream.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(body).start()
+        q.awaitTermination()
+        graft.streaming.LedgerMaintain.compact(s, hdir)
+        graft.streaming.ShingleMaintain.compact(s, sdir)
+        marker.createNewFile()
+      }
+      (hdir, sdir)
+    })
+
   /** q389's retired-key sidecars for the bucketed dedup indexes: when
     * retention expires corpus rows, the write-time-clustered indexes
     * must stop matching against the retired content WITHOUT a rebuild.
@@ -613,6 +655,29 @@ object InteropOps {
       PipelineOps.dedupDeltaFrom(delta, s.table(ledger), s.table(index))
     }),
 
+    // FULLY STREAM-MAINTAINED delta dedup (q379's online half — both
+    // corpus indexes now have streaming twins): the hash ledger and
+    // shingle index were built by micro-batches of LedgerMaintain +
+    // ShingleMaintain in lockstep and compacted; the SAME probe over
+    // them must serve q370's classification verbatim. The bucketed
+    // batch indexes (q379) stay the exchange-free probe path; this is
+    // the always-current twin with the identical answers.
+    "q403_dedup_delta_stream_indexed" -> ((s, dir) => {
+      val loc = dedupDeltaFixture(s, dir)
+      val (hdir, sdir) = streamedDeltaIndexes(s, loc)
+      val layout = graft.storage.Storage.TableLayout(loc, "tenant0", "default")
+      val root = layout.path("docs")
+      val v1set = Snapshots.files(s, layout, "docs", 1).toSet
+      val newFiles = Snapshots.files(s, layout, "docs", 2)
+        .filterNot(v1set.contains).map(rel => s"$root/$rel")
+      val delta = s.read.option("basePath", root).parquet(newFiles: _*)
+        .select(col("doc_id"), col("text"))
+      PipelineOps.dedupDeltaFrom(delta,
+        graft.streaming.LedgerMaintain.ledger(s, hdir)
+          .select(col("h")).distinct(),
+        graft.streaming.ShingleMaintain.index(s, sdir))
+    }),
+
     // INCREMENTAL DELTA-VS-CORPUS DEDUP (the single most common 100 TB
     // pipeline operation: a new drop lands, dedup ONLY the delta against
     // the committed corpus — never recompute the corpus). The delta rows
@@ -877,6 +942,8 @@ object InteropOps {
     "q388_corpus_drop_pipeline" -> corpusDropSql,
     "q370_dedup_delta" -> dedupDeltaSql,
     "q379_dedup_delta_indexed" -> dedupDeltaSql,
+    // batch ≡ stream for the whole delta-dedup probe: same oracle
+    "q403_dedup_delta_stream_indexed" -> dedupDeltaSql,
     // the appended slice restated from the raw view: day 30 plus the
     // Jan 10 error backfill (UTC day derivation matches withPartitionCols)
     "q330_snapshot_diff" ->
