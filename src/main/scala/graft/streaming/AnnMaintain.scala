@@ -39,6 +39,11 @@ object AnnMaintain {
       compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // format gate FIRST: a future-version store must refuse BEFORE any
+    // side effect — stamping after the batch write would land a live
+    // this-version dir inside a store a newer reader serves under newer
+    // assumptions (the r14 ADVICE ordering hazard)
+    BatchStore.stampFormat(spark, s"$dir/postings")
     // in-stream self-compaction (replay-safe: batches < n are committed)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(spark, dir, upTo = batchId - 1)
@@ -62,8 +67,6 @@ object AnnMaintain {
       // whose source existed at delete time (src ≤ its covers)
       .withColumn("src", lit(batchId))
       .write.mode("overwrite").parquet(s"$dir/postings/batch-$batchId")
-    // self-describing store: stamp the layout version this writer speaks
-    BatchStore.stampFormat(spark, s"$dir/postings")
   }
 
   def start(vectors: DataFrame, dir: String, centroidsPath: String,
@@ -172,14 +175,49 @@ object AnnMaintain {
       case None => None
       case Some((_, Some("bootstrap"))) => None
       case Some((_, Some(m))) => Some(m)
-      case Some((newest, None)) =>
-        fs.listStatus(root).toSeq.map(_.getPath).flatMap(p =>
-          p.getName match {
-            case CentR(g) if complete(fs, p) &&
-              Ordering[(Long, Long)].lteq(centOrd(g), newest) =>
-              Some((centOrd(g), g))
-            case _ => None
-          }).sortBy(_._1).lastOption.map(_._2)
+      case Some((newest, None)) => legacyOrderSpace(fs, dir, newest)
+    }
+  }
+
+  /** pre-sidecar (r13) order-based pairing for a MARKERLESS generation:
+    * the newest complete centroids-<g> dir with g at or below the
+    * generation's own ord. Exact for legacy stores every generation of
+    * which a completed maintainer wrote (the orphan hazard needs a
+    * crashed refresh, which postdates the sidecar mechanism). */
+  private def legacyOrderSpace(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, newest: (Long, Long)): Option[String] =
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath).flatMap(p =>
+      p.getName match {
+        case CentR(g) if complete(fs, p) &&
+          Ordering[(Long, Long)].lteq(centOrd(g), newest) =>
+          Some((centOrd(g), g))
+        case _ => None
+      }).sortBy(_._1).lastOption.map(_._2)
+
+  /** the centroid space of the FOLD SNAPSHOT `snap` (the dirs a plain
+    * compact actually consumes): the `_space` sidecar of the snapshot's
+    * own generation dir. Deriving the stamp from an independent earlier
+    * listing re-opened the TOCTOU the snapshot-bound fold closed — a
+    * refresh committing between that listing and the snapshot would get
+    * its new-space generation re-shaped under the OLD space's stamp
+    * (probes then pair refreshed cells with stale centroids, silent
+    * recall collapse). From the snapshot itself the stamp can never
+    * disagree with the cells it describes. No generation in the
+    * snapshot (batch dirs only) means no refresh ever committed —
+    * bootstrap space. */
+  private def spaceOfSnapshot(spark: SparkSession, dir: String,
+      snap: Seq[String]): String = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snap.map(new Path(_)).filter(_.getName.startsWith("compact-"))
+      .sortBy(p => centOrd(p.getName.stripPrefix("compact-")))
+      .lastOption match {
+      case None => "bootstrap"
+      case Some(p) =>
+        fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .collectFirst { case SpaceR(m) => m }
+          .orElse(legacyOrderSpace(fs, dir,
+            centOrd(p.getName.stripPrefix("compact-"))))
+          .getOrElse("bootstrap")
     }
   }
 
@@ -272,7 +310,7 @@ object AnnMaintain {
       // the generation RECORDS the centroid space its cells were
       // assigned against — even if the fold commits at a later tail
       // than planned (a batch raced in), the pairing stays correct
-    }, upTo = Long.MaxValue, force = true, sidecars = Seq(s"_space-$tail"))
+    }, upTo = Long.MaxValue, force = true, sidecars = _ => Seq(s"_space-$tail"))
     // side effects are WINNER-ONLY (the CAS decides): a losing racer
     // purging tombstones or centroid dirs would act on state it never
     // committed
@@ -312,23 +350,33 @@ object AnnMaintain {
       })
   }
 
+  /** test failpoint: runs at [[compact]] entry — the window where the
+    * r14 pre-fold liveSpace read went stale (a refresh committing
+    * between it and the fold snapshot re-stamped the refresh's
+    * new-space generation under the old space). */
+  private[streaming] var compactFailpoint: () => Unit = () => ()
+
   /** fold the per-batch postings dirs into one compacted generation,
     * clustered by cell for probe pruning; `upTo` bounds the fold to
     * committed batches. Tombstoned postings are physically dropped and
     * fully-covered tombstones purged. */
   def compact(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit = {
+    compactFailpoint()
     val tombs = Tombstones.dirs(spark, dir)
     val dead = tombstones(spark, dir)
     val folded = BatchStore.liveDirs(spark, s"$dir/postings")
       .map(d => BatchStore.genOf(new Path(d).getName)).filter(_ <= upTo)
-    // a plain fold PRESERVES the cell space — stamp the space the live
-    // cells are in so the pairing never has to be inferred from order
-    val space = liveSpace(spark, dir).getOrElse("bootstrap")
+    // a plain fold PRESERVES the cell space — stamp the space of the
+    // generation the fold ACTUALLY consumes (derived from the fold's own
+    // snapshot inside BatchStore.compact, never from this method's
+    // earlier listings: a refresh committing in between must not get its
+    // new-space generation re-stamped under the old space)
     // tombstone purge is WINNER-ONLY (see IndexMaintain.compact)
     val won = BatchStore.compact(spark, s"$dir/postings", postingsSchema,
       df => antiTomb(df, dead).sortWithinPartitions(col("cell")),
-      upTo, force = tombs.nonEmpty, sidecars = Seq(s"_space-$space"))
+      upTo, force = tombs.nonEmpty,
+      sidecars = snap => Seq(s"_space-${spaceOfSnapshot(spark, dir, snap)}"))
     if (won && folded.nonEmpty) {
       val gen = folded.max
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -42,6 +42,8 @@ object BandMaintain {
     * that many batches (replay-safe: bounded at batchId − 1). */
   def maintainBatch(dir: String, compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
+    // format gate FIRST: refuse a future-version store before any write
+    BatchStore.stampFormat(batch.sparkSession, s"$dir/bands")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(batch.sparkSession, dir, upTo = batchId - 1)
     batch.select(col("doc_id").cast(LongType), col("fp").cast(LongType),
@@ -57,8 +59,6 @@ object BandMaintain {
       .withColumn("src", lit(batchId))
       .sortWithinPartitions(col("bk")) // row-group stats prune bk probes
       .write.mode("overwrite").parquet(s"$dir/bands/batch-$batchId")
-    // self-describing store: stamp the layout version this writer speaks
-    BatchStore.stampFormat(batch.sparkSession, s"$dir/bands")
   }
 
   def start(fps: DataFrame, dir: String,

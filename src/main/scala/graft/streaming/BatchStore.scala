@@ -249,11 +249,19 @@ private[streaming] object BatchStore {
     * generation BEFORE the commit CAS, so they are atomically part of
     * the committed dir (AnnMaintain names its centroid space this way —
     * the pairing travels with the generation instead of being inferred
-    * from commit order). Names must not collide with parquet outputs;
-    * the `_`-prefix convention keeps Spark readers ignoring them. */
+    * from commit order). The callback receives THE FOLD'S OWN SNAPSHOT
+    * (the exact dirs being folded) so the sidecar can describe what the
+    * generation actually preserves — a name computed from an earlier,
+    * independent listing can be stale by the time the snapshot is taken
+    * (the r14 ADVICE TOCTOU: a refresh committing between AnnMaintain's
+    * liveSpace read and this snapshot made a plain fold stamp the OLD
+    * space on NEW-space cells). Names must not collide with parquet
+    * outputs; the `_`-prefix convention keeps Spark readers ignoring
+    * them. */
   def compact(spark: SparkSession, dir: String, schema: StructType,
       shape: DataFrame => DataFrame, upTo: Long = Long.MaxValue,
-      force: Boolean = false, sidecars: Seq[String] = Nil): Boolean = {
+      force: Boolean = false,
+      sidecars: Seq[String] => Seq[String] = _ => Nil): Boolean = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     stampFormat(spark, dir)
     val dirs = liveDirs(spark, dir).filter(d => id(new Path(d).getName) <= upTo)
@@ -277,7 +285,7 @@ private[streaming] object BatchStore {
       try {
         shape(spark.read.schema(schema).parquet(dirs: _*))
           .write.mode("overwrite").parquet(staging.toString)
-        sidecars.foreach(n => touch(fs, new Path(staging, n)))
+        sidecars(dirs).foreach(n => touch(fs, new Path(staging, n)))
         // the CAS: atomic dir rename, fails if the destination exists
         casRename(fs, staging, dst)
       } catch {

@@ -41,6 +41,10 @@ object IndexMaintain {
     * committed, and the fold is bounded at n−1). */
   def maintainBatch(dir: String, compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
+    // format gate FIRST: refuse a future-version store BEFORE any side
+    // effect — stamping after the write would land a live this-version
+    // batch dir a newer reader then serves under newer assumptions
+    BatchStore.stampFormat(batch.sparkSession, s"$dir/postings")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(batch.sparkSession, dir, upTo = batchId - 1)
     val docs = batch
@@ -56,8 +60,6 @@ object IndexMaintain {
       .write.mode("overwrite").parquet(s"$dir/postings/batch-$batchId")
     docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
       .write.mode("overwrite").parquet(s"$dir/stats/batch-$batchId")
-    // self-describing store: stamp the layout version this writer speaks
-    BatchStore.stampFormat(batch.sparkSession, s"$dir/postings")
   }
 
   def start(docs: DataFrame, dir: String,

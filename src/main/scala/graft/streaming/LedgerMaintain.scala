@@ -34,13 +34,14 @@ object LedgerMaintain {
     * (doc_id, text) — into the ledger at `dir`. */
   def maintainBatch(dir: String, compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
+    // format gate FIRST: refuse a future-version store before any write
+    BatchStore.stampFormat(batch.sparkSession, s"$dir/ledger")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(batch.sparkSession, dir, upTo = batchId - 1)
     batch.select(md5(col("text")).as("h"), col("doc_id").cast(LongType))
       .withColumn("src", lit(batchId))
       .sortWithinPartitions(col("h")) // row-group stats prune hash probes
       .write.mode("overwrite").parquet(s"$dir/ledger/batch-$batchId")
-    BatchStore.stampFormat(batch.sparkSession, s"$dir/ledger")
   }
 
   def start(docs: DataFrame, dir: String,

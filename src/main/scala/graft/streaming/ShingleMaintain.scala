@@ -33,6 +33,8 @@ object ShingleMaintain {
     * (doc_id, text) — into the shingle index at `dir`. */
   def maintainBatch(dir: String, compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
+    // format gate FIRST: refuse a future-version store before any write
+    BatchStore.stampFormat(batch.sparkSession, s"$dir/shingles")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(batch.sparkSession, dir, upTo = batchId - 1)
     val sh = graft.operators.PipelineOps.deltaShingles(
@@ -43,7 +45,6 @@ object ShingleMaintain {
       .withColumn("src", lit(batchId))
       .sortWithinPartitions(col("sh")) // row-group stats prune probes
       .write.mode("overwrite").parquet(s"$dir/shingles/batch-$batchId")
-    BatchStore.stampFormat(batch.sparkSession, s"$dir/shingles")
   }
 
   def start(docs: DataFrame, dir: String,

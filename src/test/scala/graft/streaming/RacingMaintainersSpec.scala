@@ -312,4 +312,85 @@ class RacingMaintainersSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("centroids-")).toSeq
     assert(centDirs.size <= 2, s"centroid dirs not bounded: $centDirs")
   }
+
+  test("a future-format store refuses BEFORE any write lands (no side effects)") {
+    import spark.implicits._
+    // the r14 ordering hazard: maintainBatch wrote the batch dir first
+    // and only then hit the format gate — a v2 writer pointed at a
+    // v3-stamped store landed a live v2-format dir a v3 reader would
+    // serve under v3 assumptions. The gate must run first: refusal with
+    // ZERO dirs written.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_pre_").toString
+    new java.io.File(s"$dir/postings").mkdirs()
+    new java.io.File(s"$dir/postings/_format-v99").createNewFile()
+    intercept[IllegalStateException] {
+      IndexMaintain.maintainBatch(dir)(docs.take(2).toDF("doc_id", "text"), 0L)
+    }
+    assert(new java.io.File(s"$dir/postings").listFiles().map(_.getName).toSet
+      == Set("_format-v99"),
+      "a future-version store took a write before refusing")
+    assert(!new java.io.File(s"$dir/stats").exists(),
+      "the stats store took a write before the postings-format refusal")
+    // representative second family: the ledger maintainer shares the gate
+    val led = java.nio.file.Files.createTempDirectory("graft_fmt_pre_l_").toString
+    new java.io.File(s"$led/ledger").mkdirs()
+    new java.io.File(s"$led/ledger/_format-v99").createNewFile()
+    intercept[IllegalStateException] {
+      LedgerMaintain.maintainBatch(led)(docs.take(2).toDF("doc_id", "text"), 0L)
+    }
+    assert(new java.io.File(s"$led/ledger").listFiles().map(_.getName).toSet
+      == Set("_format-v99"))
+  }
+
+  test("a plain fold stamps the space of the generation it ACTUALLY folds (refresh racing in)") {
+    import spark.implicits._
+    // r14 ADVICE (medium): compact() read the centroid space from a
+    // listing taken BEFORE BatchStore.compact's fold snapshot. A refresh
+    // committing in that window got its new-space generation re-shaped
+    // under the OLD space's stamp — probes then paired refreshed cells
+    // with bootstrap centroids (silent recall collapse). The stamp now
+    // derives from the fold's own snapshot; this drives the exact
+    // interleaving through the entry failpoint.
+    val base = java.nio.file.Files.createTempDirectory("graft_space_race_").toString
+    Seq((0L, Seq(1000000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000000L, 0L, 0L)))
+      .toDF("c_id", "cv")
+      .withColumn("cn", expr(
+        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    val cp = s"$base/centroids"
+    val dir = s"$base/idx"
+    def withNorm(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("vec_id", "vq").withColumn("nrm", expr(
+        "aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (10L, Seq(900000L, 100000L, 0L, 0L)),
+      (11L, Seq(100000L, 900000L, 0L, 0L)),
+      (12L, Seq(0L, 100000L, 900000L, 0L)),
+      (13L, Seq(0L, 0L, 950000L, 50000L)))), 0L)
+    // in the hazard window: a refresh commits (new space + re-assigned
+    // generation), then a batch lands in the NEW space — the outer
+    // fold's snapshot is [new-space generation, new-space batch]
+    AnnMaintain.compactFailpoint = () => {
+      AnnMaintain.compactFailpoint = () => () // one-shot
+      AnnMaintain.refresh(spark, dir, cp,
+        graft.operators.PipelineOps.ivfCentroids)
+      AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+        (14L, Seq(0L, 0L, 1000000L, 0L)))), 1L)
+    }
+    try AnnMaintain.compact(spark, dir)
+    finally AnnMaintain.compactFailpoint = () => ()
+    // the fold must have preserved the refresh's pairing: probes still
+    // resolve the refreshed centroid set, and every cell is one of its
+    // centroid ids — a bootstrap stamp here is the recall collapse
+    val cur = AnnMaintain.currentCentroidsPath(spark, dir, cp)
+    assert(cur != cp,
+      "the plain fold re-stamped the refreshed generation as bootstrap")
+    val cids = spark.read.parquet(cur)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    val cells = AnnMaintain.postings(spark, dir)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cids),
+      s"cells $cells escaped the refreshed space $cids")
+    assert(AnnMaintain.postings(spark, dir).count() == 5)
+  }
 }
