@@ -375,6 +375,24 @@ object MultimodalOps {
     (64, 48, frames)
   }
 
+  /** split count for a stored-media write. The stored-bytes scan is the
+    * decode's split source (parquet never splits one binary cell across
+    * tasks), so the file count decides decode parallelism for the life
+    * of the store. A literal (16 in round 14) was right for one box at
+    * one SF and wrong everywhere else; the count is instead derived:
+    * every executor slot gets a file (`defaultParallelism` floor, so a
+    * bigger cluster reading the same store still saturates at write
+    * time), no file holds more than `rowsPerFile` decodable items (the
+    * store-size ceiling — at 100 TB the file count grows with the data,
+    * not the writer's core count), and never more files than rows (a
+    * tiny corpus must not write empty files). */
+  private def mediaSplits(s: SparkSession, nRows: Long,
+      rowsPerFile: Long = 4096): Int = {
+    val par = s.sparkContext.defaultParallelism.toLong
+    val bySize = (nRows + rowsPerFile - 1) / rowsPerFile
+    math.max(1L, math.min(nRows, math.max(par, bySize))).toInt
+  }
+
   private val h264StoreLock = new Object
   private def storedH264Path(s: SparkSession, dir: String): String = {
     val key = "media_h264_store:" + dir + "@" +
@@ -385,17 +403,19 @@ object MultimodalOps {
       val marker = new java.io.File(base, "_stored")
       if (!marker.exists()) {
         import s.implicits._
-        val df = Tables.documents(s, dir)
+        val ids = Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(3)) === 0)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+        val k = mediaSplits(s, ids.count())
+        val df = ids.as[Long]
           .map { id =>
             val (w, h, frames) = h264Plan(id)
             (id, "h264", graft.multimodal.H264.encode(w, h, frames))
           }.toDF("media_id", "kind", "bytes")
           .withColumn("timestamp",
             lit(1706745600L * 1000000000L) + col("media_id"))
-          // 16 files: the stored-bytes scan is the decode's split source
-          .repartition(16, pmod(col("media_id"), lit(16)))
+          // the stored-bytes scan is the decode's split source
+          .repartition(k, pmod(col("media_id"), lit(k)))
         graft.storage.Storage.append(df, layout, "media_h264")
         marker.createNewFile()
       }
@@ -430,9 +450,11 @@ object MultimodalOps {
       val marker = new java.io.File(base, "_stored")
       if (!marker.exists()) {
         import s.implicits._
-        val df = Tables.documents(s, dir)
+        val ids = Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(3)) === 0)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+        val k = mediaSplits(s, ids.count())
+        val df = ids.as[Long]
           .map { id =>
             val role = (id / 3) % 3
             val v = crossCodecPlane(id) _
@@ -450,8 +472,8 @@ object MultimodalOps {
           }.toDF("media_id", "kind", "bytes")
           .withColumn("timestamp",
             lit(1706745600L * 1000000000L) + col("media_id"))
-          // 16 files: the stored-bytes scan is the decode's split source
-          .repartition(16, pmod(col("media_id"), lit(16)))
+          // the stored-bytes scan is the decode's split source
+          .repartition(k, pmod(col("media_id"), lit(k)))
         graft.storage.Storage.append(df, layout, "media_xcodec")
         marker.createNewFile()
       }
