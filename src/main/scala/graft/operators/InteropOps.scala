@@ -191,11 +191,12 @@ object InteropOps {
           .schema(StructType(Seq(StructField("doc_id", LongType),
             StructField("text", StringType))))
           .option("maxFilesPerTrigger", "1").parquet(stage)
-        val body: (org.apache.spark.sql.DataFrame, Long) => Unit =
-          (b, id) => {
-            graft.streaming.LedgerMaintain.maintainBatch(hdir)(b, id)
-            graft.streaming.ShingleMaintain.maintainBatch(sdir)(b, id)
-          }
+        // lockstep dual-store feed — crash between the two appends is
+        // covered by the multi-store feed law (LockstepFeed scaladoc /
+        // README law 10): torn window per-store consistent, replay heals
+        val body = graft.streaming.LockstepFeed.body(
+          graft.streaming.LedgerMaintain.maintainBatch(hdir) _,
+          graft.streaming.ShingleMaintain.maintainBatch(sdir) _) _
         val q = stream.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch(body).start()
