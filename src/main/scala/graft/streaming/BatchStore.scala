@@ -222,6 +222,14 @@ private[streaming] object BatchStore {
     * listing that saw the batch; the fold didn't). */
   private[streaming] var foldFailpoint: () => Unit = () => ()
 
+  /** test failpoint observing the two remaining commit stages —
+    * "staged" (fold + sidecars written, the CAS has not renamed) and
+    * "committed" (CAS renamed, the winner sweep has not run) — so specs
+    * can run READER probes inside each window: the live-dir rule's
+    * read-consistency claim is that a probe at any of these points
+    * serves the same complete view (RacingMaintainersSpec). */
+  private[streaming] var commitFailpoint: String => Unit = _ => ()
+
   /** fold the live dirs with id ≤ `upTo` into one `compact-<maxId>`
     * generation; `shape` rewrites the unioned frame (sort order,
     * re-aggregation, latest-revision-per-key) before it lands.
@@ -286,6 +294,7 @@ private[streaming] object BatchStore {
         shape(spark.read.schema(schema).parquet(dirs: _*))
           .write.mode("overwrite").parquet(staging.toString)
         sidecars(dirs).foreach(n => touch(fs, new Path(staging, n)))
+        commitFailpoint("staged")
         // the CAS: atomic dir rename, fails if the destination exists
         casRename(fs, staging, dst)
       } catch {
@@ -306,6 +315,7 @@ private[streaming] object BatchStore {
       if (fs.exists(staging)) fs.delete(staging, true)
       return false
     }
+    commitFailpoint("committed")
     // winner-only sweep. A crashed predecessor's partial generation
     // always sorts at or below (gen, sub): its fold snapshot was a
     // subset of ours (batch dirs only grow); same for stranded staging.

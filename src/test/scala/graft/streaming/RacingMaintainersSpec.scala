@@ -393,4 +393,89 @@ class RacingMaintainersSpec extends AnyFunSuite {
       s"cells $cells escaped the refreshed space $cids")
     assert(AnnMaintain.postings(spark, dir).count() == 5)
   }
+
+  test("reads during a fold serve the same complete view at every commit stage") {
+    import spark.implicits._
+    // the live-dir rule's READ-consistency claim, probed from inside
+    // the fold: at "snapshot" (sources live, staging invisible),
+    // "staged" (fold written, CAS not renamed) and "committed" (CAS
+    // renamed, sources not yet swept) a reader must serve the identical
+    // document set and ranking — a probe never sees a partial
+    // generation or a double-counted source.
+    val dir = java.nio.file.Files.createTempDirectory("graft_read_fold_").toString
+    IndexMaintain.maintainBatch(dir)(docs.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintain.maintainBatch(dir)(docs.slice(3, 5).toDF("doc_id", "text"), 1L)
+    def served() = IndexMaintain.postings(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val expectedDocs = served()
+    val expectedRank = ranking(dir)
+    val seenDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    val seenRank = scala.collection.mutable.Map[String, Seq[(Long, Long, Long)]]()
+    def probe(stage: String): Unit = {
+      seenDocs(stage) = served(); seenRank(stage) = ranking(dir)
+    }
+    BatchStore.foldFailpoint = () => probe("snapshot")
+    BatchStore.commitFailpoint = st => probe(st)
+    try IndexMaintain.compact(spark, dir)
+    finally {
+      BatchStore.foldFailpoint = () => ()
+      BatchStore.commitFailpoint = _ => ()
+    }
+    assert(Set("snapshot", "staged", "committed").subsetOf(seenDocs.keySet),
+      s"commit stages not all observed: ${seenDocs.keySet}")
+    seenDocs.foreach { case (st, s) =>
+      assert(s == expectedDocs, s"stage $st served $s, expected $expectedDocs") }
+    seenRank.foreach { case (st, r) =>
+      assert(r == expectedRank, s"stage $st ranking drifted") }
+    assert(served() == expectedDocs, "post-sweep view drifted")
+    assert(ranking(dir) == expectedRank, "post-sweep ranking drifted")
+  }
+
+  test("probes during a centroid refresh always see an agreeing (centroids, postings) pair") {
+    import spark.implicits._
+    // the generation-swap read law: at every commit stage of a refresh
+    // a probe resolving (currentCentroidsPath, postings) gets a pair
+    // that AGREES — every served cell id is a centroid of the served
+    // set. Before the CAS that is the bootstrap pair; after it, the
+    // refreshed pair; never a mix.
+    val base = java.nio.file.Files.createTempDirectory("graft_read_refresh_").toString
+    Seq((0L, Seq(1000000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000000L, 0L, 0L)))
+      .toDF("c_id", "cv")
+      .withColumn("cn", expr(
+        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    val cp = s"$base/centroids"
+    val dir = s"$base/idx"
+    def withNorm(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("vec_id", "vq").withColumn("nrm", expr(
+        "aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    AnnMaintain.maintainBatch(dir, cp)(withNorm(Seq(
+      (10L, Seq(900000L, 100000L, 0L, 0L)),
+      (11L, Seq(100000L, 900000L, 0L, 0L)),
+      (12L, Seq(0L, 100000L, 900000L, 0L)),
+      (13L, Seq(0L, 0L, 950000L, 50000L)))), 0L)
+    val agree = scala.collection.mutable.Map[String, Boolean]()
+    def probe(stage: String): Unit = {
+      val cur = AnnMaintain.currentCentroidsPath(spark, dir, cp)
+      val cids = spark.read.parquet(cur)
+        .select(col("c_id")).collect().map(_.getLong(0)).toSet
+      val cells = AnnMaintain.postings(spark, dir)
+        .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+      agree(stage) = cells.subsetOf(cids)
+    }
+    BatchStore.foldFailpoint = () => probe("snapshot")
+    BatchStore.commitFailpoint = st => probe(st)
+    try AnnMaintain.refresh(spark, dir, cp,
+      graft.operators.PipelineOps.ivfCentroids)
+    finally {
+      BatchStore.foldFailpoint = () => ()
+      BatchStore.commitFailpoint = _ => ()
+    }
+    assert(Set("snapshot", "staged", "committed").subsetOf(agree.keySet),
+      s"commit stages not all observed: ${agree.keySet}")
+    agree.foreach { case (st, ok) =>
+      assert(ok, s"stage $st served a disagreeing (centroids, postings) pair") }
+    probe("final")
+    assert(agree("final"), "post-refresh pair disagrees")
+  }
 }
