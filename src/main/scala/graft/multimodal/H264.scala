@@ -23,13 +23,22 @@ package graft.multimodal
   *    pic_order_cnt_type 2, no cropping, no VUI; dimensions must be
   *    multiples of 16. PPS: CAVLC only (entropy_coding_mode 0 — CABAC
   *    rejects), one slice group, deblocking-control present.
-  *  - Slices: I (slice_type 7/2) and ALL-SKIP P (slice_type 5/0 whose
-  *    single mb_skip_run covers the picture — the static-scene inter
-  *    class; every P_Skip predictor is (0,0) there, reconstruction =
-  *    the reference verbatim; any non-skipped P macroblock rejects).
-  *    One slice per picture, disable_deblocking_filter_idc MUST be 1
-  *    (in-loop deblocking is out of subset; streams that enable it
-  *    reject — reconstruction here is bit-exact, never approximated).
+  *  - Slices: I (slice_type 7/2) and MOTION-COMPENSATED P (slice_type
+  *    5/0): mb_skip_run-interleaved P_Skip macroblocks (motion = the
+  *    normative 8.4.1.1 predictor over the real neighbor state) and
+  *    P_L0_16x16 macroblocks with se(v) mvd against the 8.4.1.3 median
+  *    predictor, single reference (the previous decoded picture),
+  *    INTEGER-PEL vectors only (a resolved mv with a fractional
+  *    component rejects — the 6-tap half-pel / quarter-pel
+  *    interpolation is the stated cut), edge-clamped reference fetch
+  *    per 8.4.2.2.1, and CBP 0 or luma-15 TC≤1 residuals (other inter
+  *    codepoints, 16x8/8x16/8x8 partitions, ref_idx > 0 and intra-in-P
+  *    macroblock types reject). One slice per picture,
+  *    disable_deblocking_filter_idc MUST be 1 (in-loop deblocking is
+  *    out of subset; streams that enable it reject — reconstruction
+  *    here is bit-exact, never approximated). Slice data must end in
+  *    valid rbsp_trailing_bits: payload past the last macroblock
+  *    rejects.
   *  - Macroblocks: I_NxN (Intra_4x4, modes V/H/DC; modes 3..8 reject)
   *    and I_16x16 with CBP luma 0, CBP chroma 0 (mb_type 1..3 — V/H/DC;
   *    plane mode, AC-coded and chroma-coded I_16x16 types, and I_PCM
@@ -41,7 +50,11 @@ package graft.multimodal
   *    carries ≤ 1 coefficient; nC ≥ 2 rejects), level_prefix with the
   *    suffixLength-0 escapes (prefix 14 → 4-bit suffix, prefix 15 →
   *    12-bit suffix, prefix 16 → 13-bit extended escape — levels to
-  *    ±6159 reach every flat-residual step of both dequant chains),
+  *    ±6159, which covers EVERY flat residual of the 4x4 luma chain
+  *    (|residual| ≤ 255 needs |z| ≤ 1632) but bounds the I_16x16 DC
+  *    chain at |residual| ≤ 241 at QP 24 (z ≈ 25.6·r); a larger
+  *    I_16x16 residual has no in-range level and encode() rejects
+  *    with a clear message),
   *    the full 16-entry total_zeros table for TotalCoeff = 1
   *    (prefix-free, Kraft 511/512 — the spec table is deliberately
   *    incomplete by one 9-bit point; H264Spec pins both), run_before
@@ -67,12 +80,25 @@ object H264 {
     * CBP luma 15 when any residual is nonzero). */
   final case class MbI4(yVal: Int) extends MbPlan
 
-  /** a frame: intra MBs from `mb`, or — with `skipAll` — a P slice whose
-    * single mb_skip_run covers the whole picture (the static-scene
-    * inter-frame class: every P_Skip motion predictor collapses to
-    * (0,0), reconstruction = the reference frame verbatim). */
+  sealed trait PMbPlan
+  /** P_Skip: motion = the 8.4.1.1 predictor over the neighbor state,
+    * no residual — reconstruction copies the reference at that vector. */
+  case object PSkip extends PMbPlan
+  /** P_L0_16x16 with INTEGER-PEL motion (dx, dy) in pels into the
+    * reference — pred(x, y) = ref(x + dx, y + dy), edge-clamped per
+    * 8.4.2.2.1 — plus an optional flat luma residual `dLuma` added
+    * after motion compensation (CBP luma 15, one DC level per 4x4). */
+  final case class PMove(dx: Int, dy: Int, dLuma: Int = 0) extends PMbPlan
+
+  /** a frame: intra MBs from `mb`; or a P slice — `skipAll` puts one
+    * mb_skip_run over the whole picture (the static-scene inter class:
+    * every predictor collapses to (0,0), reconstruction = the
+    * reference verbatim), `pmb` plans each macroblock as [[PSkip]] or
+    * [[PMove]] (the moving-scene class: real vectors, real skip-run
+    * interleaving, residuals on top of motion). */
   final case class FramePlan(mb: (Int, Int) => MbPlan,
-      skipAll: Boolean = false)
+      skipAll: Boolean = false,
+      pmb: Option[(Int, Int) => PMbPlan] = None)
 
   final case class Frame(y: Array[Int], cb: Array[Int], cr: Array[Int])
   final case class Decoded(width: Int, height: Int, frames: Vector[Frame])
@@ -102,6 +128,61 @@ object H264 {
   /** luma 4x4 block Z-scan: blkIdx → (x4, y4) in 4x4-block units. */
   private val BlkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
   private val BlkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+
+  // ---- motion prediction (8.4.1) ------------------------------------------
+
+  private def med3(a: Int, b: Int, c: Int): Int =
+    math.max(math.min(a, b), math.min(math.max(a, b), c))
+
+  /** per-picture 16x16 motion state in QUARTER-PEL units, shared by
+    * encoder and decoder so both resolve identical vectors. Specialized
+    * to this subset's P pictures: every macroblock is inter with
+    * ref_idx 0 and a 16x16 partition, so neighbor availability (raster
+    * order + picture bounds) IS the 8.4.1.3 refIdx-match test. */
+  private final class MvGrid(mbw: Int, mbh: Int) {
+    private val mx = new Array[Int](mbw * mbh)
+    private val my = new Array[Int](mbw * mbh)
+    def set(x: Int, y: Int, vx: Int, vy: Int): Unit = {
+      mx(y * mbw + x) = vx; my(y * mbw + x) = vy
+    }
+    private def vx(x: Int, y: Int) = mx(y * mbw + x)
+    private def vy(x: Int, y: Int) = my(y * mbw + x)
+
+    /** 8.4.1.3: the P_L0_16x16 median predictor at MB (x, y) — C is
+      * the above-right neighbor, replaced by above-left D when outside
+      * the picture. */
+    def pred(x: Int, y: Int): (Int, Int) = {
+      val hasA = x > 0
+      val hasB = y > 0
+      val hasC = y > 0 && x + 1 < mbw
+      val hasD = y > 0 && x > 0
+      val cSrc: Option[(Int, Int)] =
+        if (hasC) Some((x + 1, y - 1))
+        else if (hasD) Some((x - 1, y - 1)) else None
+      val (ax, ay) = if (hasA) (vx(x - 1, y), vy(x - 1, y)) else (0, 0)
+      val (bx, by) = if (hasB) (vx(x, y - 1), vy(x, y - 1)) else (0, 0)
+      val (cx, cy) = cSrc.map { case (nx, ny) => (vx(nx, ny), vy(nx, ny)) }
+        .getOrElse((0, 0))
+      val mA = hasA; val mB = hasB; val mC = cSrc.isDefined
+      // clause 1: B and C (after D substitution) unavailable, A not
+      if (!mB && !mC && mA) (ax, ay)
+      else if ((if (mA) 1 else 0) + (if (mB) 1 else 0) +
+        (if (mC) 1 else 0) == 1) {
+        // clause 2: exactly one neighbor matches the reference
+        if (mA) (ax, ay) else if (mB) (bx, by) else (cx, cy)
+      } else (med3(ax, bx, cx), med3(ay, by, cy))
+    }
+
+    /** 8.4.1.1: the P_Skip vector at MB (x, y) — (0,0) when the left
+      * or top neighbor is unavailable or carries a zero vector, else
+      * the 16x16 predictor. */
+    def skipMv(x: Int, y: Int): (Int, Int) = {
+      if (x == 0 || y == 0) (0, 0)
+      else if ((vx(x - 1, y) == 0 && vy(x - 1, y) == 0) ||
+        (vx(x, y - 1) == 0 && vy(x, y - 1) == 0)) (0, 0)
+      else pred(x, y)
+    }
+  }
 
   // ---- total_zeros, TotalCoeff = 1 (Table 9-7 column 1) ------------------
   // value → (code, bits); prefix-free, Kraft 511/512 (H264Spec law)
@@ -367,10 +448,13 @@ object H264 {
     var prevRec: Array[Int] = null
     var frameNum = 0
     for ((fp, fi) <- frames.zipWithIndex) {
-      if (fp.skipAll) {
-        // P slice, one mb_skip_run over the whole picture: every
-        // P_Skip predictor is (0,0) → reconstruction = reference frame
-        require(prevRec != null, "a skip frame needs a reference")
+      // skipAll is the all-PSkip special case of the general P plan
+      // (one trailing mb_skip_run over the picture — identical bits)
+      val pPlan: Option[(Int, Int) => PMbPlan] =
+        if (fp.skipAll) Some((_, _) => PSkip) else fp.pmb
+      if (pPlan.isDefined) {
+        require(prevRec != null, "a P frame needs a reference")
+        val plan = pPlan.get
         val w = new BW
         w.ue(0) // first_mb_in_slice
         w.ue(5) // slice_type P (all)
@@ -381,10 +465,52 @@ object H264 {
         w.put(0, 1) // adaptive_ref_pic_marking_mode_flag
         w.se(0) // slice_qp_delta
         w.ue(1) // disable_deblocking_filter_idc = 1 (subset)
-        w.ue(mbw * mbh) // mb_skip_run covering the picture
+        val rec = new Array[Int](width * height)
+        val grid = new MvGrid(mbw, mbh)
+        def clip(v: Int) = math.max(0, math.min(255, v))
+        // motion-compensated copy, edge-clamped fetch (8.4.2.2.1), with
+        // the flat residual added after — EXACTLY the decoder's chain
+        def mc(mbx: Int, mby: Int, dx: Int, dy: Int, dl: Int): Unit = {
+          var yy = 0
+          while (yy < 16) {
+            var xx = 0
+            while (xx < 16) {
+              val sy = math.max(0, math.min(height - 1, mby * 16 + yy + dy))
+              val sx = math.max(0, math.min(width - 1, mbx * 16 + xx + dx))
+              rec((mby * 16 + yy) * width + mbx * 16 + xx) =
+                clip(prevRec(sy * width + sx) + dl)
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        var run = 0
+        for (mby <- 0 until mbh; mbx <- 0 until mbw) plan(mbx, mby) match {
+          case PSkip =>
+            val (mvx, mvy) = grid.skipMv(mbx, mby)
+            mc(mbx, mby, mvx / 4, mvy / 4, 0) // int-pel by induction
+            grid.set(mbx, mby, mvx, mvy)
+            run += 1
+          case PMove(dx, dy, dl) =>
+            w.ue(run); run = 0
+            w.ue(0) // mb_type P_L0_16x16 (one ref → no ref_idx_l0 bits)
+            val (px, py) = grid.pred(mbx, mby)
+            w.se(dx * 4 - px) // mvd_l0 x (quarter-pel units)
+            w.se(dy * 4 - py) // mvd_l0 y
+            if (dl == 0) w.ue(0) // coded_block_pattern 0, inter column
+            else {
+              w.ue(11) // coded_block_pattern 15, inter column
+              w.se(0) // mb_qp_delta
+              val z = solveLevel(dl, recI4, 6.4) // throws if inexact
+              for (_ <- 0 until 16) writeBlock(w, z)
+            }
+            mc(mbx, mby, dx, dy, dl)
+            grid.set(mbx, mby, dx * 4, dy * 4)
+        }
+        if (run > 0) w.ue(run) // the trailing skip run
         w.stop(); nal(2, 1, w.bytes)
         frameNum = (frameNum + 1) % 16
-        // prevRec stays: the skip frame IS the reference content
+        prevRec = rec
       } else {
       val w = new BW
       w.ue(0) // first_mb_in_slice
@@ -544,13 +670,31 @@ object H264 {
     (level, tz, 1)
   }
 
-  /** non-IDR P slice, subset: ONE mb_skip_run covering the picture —
-    * the static-scene inter class. In an all-skip picture every P_Skip
-    * motion predictor is (0,0) (left/top neighbors carry zero MVs, the
-    * picture edges force the zero cases of 8.4.1.1), so reconstruction
-    * is the reference picture verbatim. Any non-skipped macroblock,
-    * list modification, or marking op is out of subset and rejects. */
-  private def decodeSkipSlice(r: BR, sps: Sps, prev: Option[Frame]): Frame = {
+  /** rbsp_trailing_bits (7.3.2.11): the stop bit, zero padding to the
+    * byte boundary, then nothing but zero bytes (trailing zero_words
+    * are legal padding). Anything else — e.g. slice payload appended
+    * past the last macroblock — rejects the stream: acceptance must
+    * prove the WHOLE slice was consumed, not a prefix. */
+  private def rbspStop(r: BR): Unit = {
+    rej(r.bit1() != 1)
+    while (r.bit != 0) rej(r.bit1() != 0)
+    while (!r.eof) rej(r.bits(8) != 0)
+  }
+
+  /** non-IDR P slice: mb_skip_run-interleaved P_Skip macroblocks
+    * (motion = the 8.4.1.1 predictor over the real neighbor state —
+    * the all-skip picture degenerates to a verbatim reference copy,
+    * because edges and zero-vector neighbors force (0,0) everywhere)
+    * and P_L0_16x16 macroblocks: mvd against the 8.4.1.3 median
+    * predictor, single reference (the previous decoded picture),
+    * integer-pel vectors only (fractional rejects — interpolation is
+    * the stated cut), edge-clamped fetch per 8.4.2.2.1, CBP 0 or
+    * luma-15 TC≤1 residuals. Other partitions, intra-in-P types, list
+    * modification and marking ops reject. */
+  private def decodePSlice(r: BR, sps: Sps, prev: Option[Frame],
+      tc: Array[Int]): Frame = {
+    val mbw = sps.mbw; val mbh = sps.mbh
+    val width = mbw * 16; val height = mbh * 16
     rej(r.ue() != 0) // first_mb_in_slice: one slice per picture
     val st = r.ue(); rej(st != 5 && st != 0) // P slices only
     rej(r.ue() != 0) // pps id
@@ -560,9 +704,86 @@ object H264 {
     rej(r.bit1() != 0) // adaptive_ref_pic_marking_mode_flag
     rej(r.se() != 0) // slice_qp_delta (subset: QP stays 24)
     rej(r.ue() != 1) // deblocking MUST be disabled (subset)
-    rej(r.ue() != sps.mbw * sps.mbh) // whole-picture skip run, or reject
     rej(prev.isEmpty) // a P frame needs a decoded reference
-    prev.get
+    val ref = prev.get.y
+    java.util.Arrays.fill(tc, 0)
+    val rec = new Array[Int](width * height)
+    val grid = new MvGrid(mbw, mbh)
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    def nCof(bx: Int, by: Int): Int = {
+      val hasL = bx > 0; val hasT = by > 0
+      val nA = if (hasL) tc(by * (mbw * 4) + bx - 1) else 0
+      val nB = if (hasT) tc((by - 1) * (mbw * 4) + bx) else 0
+      if (hasL && hasT) (nA + nB + 1) >> 1
+      else if (hasL) nA else if (hasT) nB else 0
+    }
+    // motion-compensated 16x16 copy, reference fetch edge-clamped
+    def mcMb(mbx: Int, mby: Int, dx: Int, dy: Int): Unit = {
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) {
+          val sy = math.max(0, math.min(height - 1, mby * 16 + yy + dy))
+          val sx = math.max(0, math.min(width - 1, mbx * 16 + xx + dx))
+          rec((mby * 16 + yy) * width + mbx * 16 + xx) = ref(sy * width + sx)
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    var mb = 0; val total = mbw * mbh
+    while (mb < total) {
+      val run = r.ue() // mb_skip_run
+      rej(run > total - mb)
+      var k = 0
+      while (k < run) {
+        val mbx = mb % mbw; val mby = mb / mbw
+        val (mvx, mvy) = grid.skipMv(mbx, mby)
+        mcMb(mbx, mby, mvx / 4, mvy / 4) // int-pel by induction
+        grid.set(mbx, mby, mvx, mvy)
+        mb += 1; k += 1
+      }
+      if (mb < total) {
+        val mbx = mb % mbw; val mby = mb / mbw
+        rej(r.ue() != 0) // mb_type: P_L0_16x16 only (single ref → no
+        //                  ref_idx_l0 bits; splits / intra-in-P reject)
+        val (px, py) = grid.pred(mbx, mby)
+        val mvx = px + r.se() // mvd_l0, quarter-pel units
+        val mvy = py + r.se()
+        rej((mvx & 3) != 0 || (mvy & 3) != 0) // integer-pel subset
+        mcMb(mbx, mby, mvx / 4, mvy / 4)
+        val cbp = r.ue() match {
+          case 0 => 0; case 11 => 15 // Table 9-4 inter column, in-subset
+          case _ => throw Reject
+        }
+        if (cbp == 15) {
+          rej(r.se() != 0) // mb_qp_delta
+          for (b <- 0 until 16) {
+            val bx = mbx * 4 + BlkX(b); val by = mby * 4 + BlkY(b)
+            val (level, pos, n) = readBlock(r, nCof(bx, by))
+            tc(by * (mbw * 4) + bx) = n
+            val coeffs = new Array[Int](16); coeffs(pos) = level
+            val res = invTransform4x4(dequant4x4(coeffs))
+            val x0 = bx * 4; val y0 = by * 4
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                val i = (y0 + yy) * width + x0 + xx
+                rec(i) = clip(rec(i) + res(yy * 4 + xx))
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+        }
+        grid.set(mbx, mby, mvx, mvy)
+        mb += 1
+      }
+    }
+    rbspStop(r)
+    val cw = width / 2; val ch = height / 2
+    Frame(rec, Array.fill(cw * ch)(128), Array.fill(cw * ch)(128))
   }
 
   private def decodeSlice(r: BR, sps: Sps, tc: Array[Int]): Frame = {
@@ -685,6 +906,7 @@ object H264 {
           tc((mby * 4 + BlkY(b)) * (mbw * 4) + mbx * 4 + BlkX(b)) = 0
       } else throw Reject // plane/AC/chroma-coded I_16x16, I_PCM, P/B types
     }
+    rbspStop(r) // the slice must END here: appended payload rejects
     // subset chroma: never coded, DC-predicted from flat-128 recon = 128
     val cw = width / 2; val ch = height / 2
     Frame(rec, Array.fill(cw * ch)(128), Array.fill(cw * ch)(128))
@@ -729,7 +951,7 @@ object H264 {
           case 1 =>
             rej(sps.isEmpty || !havePps)
             rej((hdr >> 5) == 0) // subset: P slices are reference pictures
-            frames :+= decodeSkipSlice(r, sps.get, frames.lastOption)
+            frames :+= decodePSlice(r, sps.get, frames.lastOption, tcGrid)
           case _ => throw Reject // SEI, AUD, B slices… out of subset
         }
       }

@@ -217,4 +217,28 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(bomb.length < 1024 * 1024, "bomb fixture should compress tiny")
     assert(Warc.decodedBody(Map("content-encoding" -> "gzip"), bomb).isEmpty)
   }
+
+  test("H.264 motion-P streams: every truncation and random flip returns None or a frame, never throws") {
+    val base = H264.encode(64, 48, Seq(
+      H264.FramePlan((bx, by) => H264.MbI16(40 + bx * 13 + by * 17)),
+      H264.FramePlan((_, _) => H264.MbI16(0), pmb = Some((bx, by) =>
+        if ((bx + by) % 3 == 0) H264.PSkip else H264.PMove(16, -16, 4))),
+      H264.FramePlan((_, _) => H264.MbI16(0), skipAll = true)))
+    assert(H264.decode(base).isDefined)
+    // every prefix: truncation can land mid-NAL, mid-VLC, mid-escape
+    for (n <- 0 until base.length) {
+      try { H264.decode(java.util.Arrays.copyOf(base, n)); () }
+      catch { case e: Throwable =>
+        fail(s"h264 truncated at $n threw ${e.getClass.getSimpleName}") }
+    }
+    // interior bit flips: any answer, no escaping exception
+    val rnd = new scala.util.Random(29L)
+    for (i <- 0 until 300) {
+      val b = base.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      try { H264.decode(b); () }
+      catch { case e: Throwable => fail(s"h264-flip#$i threw $e") }
+    }
+  }
 }

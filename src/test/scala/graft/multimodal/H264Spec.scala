@@ -215,6 +215,158 @@ class H264Spec extends AnyFunSuite {
       "a skip run not covering the picture must reject")
   }
 
+  // ---- motion-compensated P slices ---------------------------------------
+
+  /** independent model of the subset's P-frame semantics, written from
+    * the spec text (8.4.1.1 / 8.4.1.3 / 8.4.2.2.1) so encoder and
+    * decoder are cross-checked against a THIRD derivation, not just
+    * each other: per-MB integer-pel motion state, median predictor
+    * with C→D substitution, skip-vector zero cases, edge-clamped
+    * fetch, flat residual add. */
+  private def modelP(w: Int, h: Int, prev: Array[Int],
+      plan: (Int, Int) => H264.PMbPlan): Array[Int] = {
+    val mbw = w / 16; val mbh = h / 16
+    def med(a: Int, b: Int, c: Int) =
+      math.max(math.min(a, b), math.min(math.max(a, b), c))
+    val mvs = Array.fill(mbw * mbh)((0, 0))
+    def mv(x: Int, y: Int) = mvs(y * mbw + x)
+    def predMv(x: Int, y: Int): (Int, Int) = {
+      val hasA = x > 0; val hasB = y > 0
+      val hasC = y > 0 && x + 1 < mbw; val hasD = y > 0 && x > 0
+      val a = if (hasA) mv(x - 1, y) else (0, 0)
+      val b = if (hasB) mv(x, y - 1) else (0, 0)
+      val c = if (hasC) mv(x + 1, y - 1)
+        else if (hasD) mv(x - 1, y - 1) else (0, 0)
+      val mC = hasC || hasD
+      if (!hasB && !mC && hasA) a
+      else if (Seq(hasA, hasB, mC).count(identity) == 1) {
+        if (hasA) a else if (hasB) b else c
+      } else (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
+    }
+    def skipMv(x: Int, y: Int): (Int, Int) =
+      if (x == 0 || y == 0) (0, 0)
+      else if (mv(x - 1, y) == ((0, 0)) || mv(x, y - 1) == ((0, 0))) (0, 0)
+      else predMv(x, y)
+    val out = new Array[Int](w * h)
+    for (mby <- 0 until mbh; mbx <- 0 until mbw) {
+      val (dx, dy, dl) = plan(mbx, mby) match {
+        case H264.PSkip =>
+          val (sx, sy) = skipMv(mbx, mby)
+          mvs(mby * mbw + mbx) = (sx, sy); (sx / 4, sy / 4, 0)
+        case H264.PMove(px, py, d) =>
+          mvs(mby * mbw + mbx) = (px * 4, py * 4); (px, py, d)
+      }
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val sy = math.max(0, math.min(h - 1, mby * 16 + yy + dy))
+        val sx = math.max(0, math.min(w - 1, mbx * 16 + xx + dx))
+        out((mby * 16 + yy) * w + mbx * 16 + xx) =
+          math.max(0, math.min(255, prev(sy * w + sx) + dl))
+      }
+    }
+    out
+  }
+
+  test("motion P frames decode exactly: translation, skips with live predictors, residuals, edge clamp") {
+    val w = 64; val h = 48
+    def base(bx: Int, by: Int): Int = 30 + bx * 19 + by * 23
+    val plans: Seq[(Int, Int) => H264.PMbPlan] = Seq(
+      // scene slides right one MB; the top row holds still as skips
+      (bx, by) => if (by == 0) H264.PSkip else H264.PMove(-16, 0),
+      // diagonal move with a flat residual — corner MBs exercise the
+      // edge-clamped reference fetch
+      (_, _) => H264.PMove(16, 16, 5),
+      // checkerboard of skips between moving macroblocks: interior
+      // skip predictors see LIVE nonzero neighbor vectors
+      (bx, by) => if ((bx + by) % 2 == 0) H264.PSkip
+        else H264.PMove(-16, -16),
+      // negative residual on a still frame (mv 0, cbp 15)
+      (_, _) => H264.PMove(0, 0, -7))
+    val frames = H264.FramePlan((bx, by) => H264.MbI16(base(bx, by))) +:
+      plans.map(p => H264.FramePlan((_, _) => H264.MbI16(0), pmb = Some(p)))
+    val d = H264.decode(H264.encode(w, h, frames)).get
+    assert(d.frames.length == 5)
+    var expect = flatPlane(w, h, base)
+    assert(d.frames(0).y.toSeq == expect.toSeq)
+    for ((p, f) <- plans.zipWithIndex) {
+      expect = modelP(w, h, expect, p)
+      assert(d.frames(f + 1).y.toSeq == expect.toSeq,
+        s"P frame ${f + 1} mismatch vs the independent model")
+    }
+  }
+
+  test("an all-PSkip plan emits the identical bitstream as skipAll") {
+    val w = 48; val h = 32
+    val i = H264.FramePlan((bx, by) => H264.MbI16(40 + bx * 9 + by * 5))
+    val a = H264.encode(w, h, Seq(i,
+      H264.FramePlan((_, _) => H264.MbI16(0), skipAll = true)))
+    val b = H264.encode(w, h, Seq(i,
+      H264.FramePlan((_, _) => H264.MbI16(0), pmb = Some((_, _) => H264.PSkip))))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("fractional motion vectors and trailing slice payload reject; zero padding is legal") {
+    val w = 48; val h = 32
+    val i = H264.FramePlan((bx, by) => H264.MbI16(60 + bx * 7 + by * 3))
+    val good = H264.encode(w, h, Seq(i,
+      H264.FramePlan((_, _) => H264.MbI16(0),
+        pmb = Some((bx, _) => if (bx == 0) H264.PMove(-16, 0) else H264.PSkip))))
+    assert(H264.decode(good).isDefined)
+    // trailing zero bytes after rbsp_trailing_bits are legal padding…
+    assert(H264.decode(good :+ 0.toByte).isDefined)
+    // …but any nonzero payload past the last macroblock rejects: the
+    // decoder must prove it consumed the WHOLE slice, not a prefix
+    assert(H264.decode(good :+ 0x40.toByte).isEmpty,
+      "appended slice payload must reject")
+    // a hand-built P slice whose resolved vector is fractional rejects
+    // (quarter-pel interpolation is the stated cut)
+    val iOnly = H264.encode(w, h, Seq(i))
+    val pw = new H264.BW
+    pw.ue(0); pw.ue(5); pw.ue(0) // first_mb, slice_type P, pps
+    pw.put(1, 4) // frame_num
+    pw.put(0, 1); pw.put(0, 1); pw.put(0, 1)
+    pw.se(0); pw.ue(1)
+    pw.ue(0) // mb_skip_run 0
+    pw.ue(0) // P_L0_16x16
+    pw.se(1); pw.se(0) // mvd = (1, 0): quarter-pel, out of subset
+    pw.ue(0) // cbp 0
+    pw.ue(w / 16 * (h / 16) - 1) // the rest skips
+    pw.stop()
+    val frac = iOnly ++ Array[Byte](0, 0, 0, 1, (2 << 5 | 1).toByte) ++
+      H264.escape(pw.bytes)
+    assert(H264.decode(frac).isEmpty, "fractional mv must reject")
+    // out-of-subset inter CBP codepoint (e.g. codeNum 1 → cbp 1) rejects
+    val cw2 = new H264.BW
+    cw2.ue(0); cw2.ue(5); cw2.ue(0)
+    cw2.put(1, 4)
+    cw2.put(0, 1); cw2.put(0, 1); cw2.put(0, 1)
+    cw2.se(0); cw2.ue(1)
+    cw2.ue(0); cw2.ue(0) // no skips; P_L0_16x16
+    cw2.se(0); cw2.se(0) // mvd (0,0)
+    cw2.ue(1) // cbp codeNum 1 = inter cbp 16: chroma-coded, out of subset
+    cw2.ue(w / 16 * (h / 16) - 1)
+    cw2.stop()
+    val badCbp = iOnly ++ Array[Byte](0, 0, 0, 1, (2 << 5 | 1).toByte) ++
+      H264.escape(cw2.bytes)
+    assert(H264.decode(badCbp).isEmpty, "out-of-subset inter cbp must reject")
+  }
+
+  test("motion-P bit-flip fuzz never crashes and mostly rejects") {
+    val base = H264.encode(64, 48, Seq(
+      H264.FramePlan((bx, by) => H264.MbI16(30 + bx * 11 + by * 13)),
+      H264.FramePlan((_, _) => H264.MbI16(0), pmb = Some((bx, by) =>
+        if ((bx + by) % 2 == 0) H264.PSkip else H264.PMove(-16, 16, 3)))))
+    assert(H264.decode(base).isDefined)
+    val rnd = new scala.util.Random(43)
+    var rejected = 0
+    for (_ <- 1 to 400) {
+      val b = base.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      if (H264.decode(b).isEmpty) rejected += 1 // and never crashes
+    }
+    assert(rejected > 200, s"fuzz too permissive: only $rejected/400 rejected")
+  }
+
   test("bit-flip fuzz never crashes and mostly rejects") {
     val base = H264.encode(48, 32, Seq(
       H264.FramePlan((bx, by) => if ((bx + by) % 2 == 0)
