@@ -423,6 +423,74 @@ object MultimodalOps {
     layout.path("media_h264")
   }
 
+  /** H.264 MOTION encode plan (the %3==2 cohort): a MOVING scene — the
+    * top MB row static, lower rows sliding right one MB per frame (the
+    * leftmost column replicates through the edge-clamped reference
+    * fetch), and a flat residual landing on row 1 in the last frame.
+    * Role 0 intra-codes every frame (4 IDRs of the per-frame planes);
+    * role 1 encodes THE SAME planes as I + 3 motion-compensated P
+    * frames (PSkip top row, PMove(−16, 0) movers, the residual as CBP-15
+    * TC≤1 blocks) — different bytes, different slice types, identical
+    * decoded planes: the translated duplicate q405 must still catch.
+    * Role 2 re-authors the scene (no dup). */
+  private[graft] def h264MotionPlan(id: Long)
+      : (Int, Int, Seq[graft.multimodal.H264.FramePlan]) = {
+    import graft.multimodal.H264
+    val g = id / 9 * 9; val role = (id / 3) % 3
+    def base(bx: Int, by: Int): Int =
+      if (role == 2) (25 + (23 * bx * bx + bx * ((g % 77) + 6) + 33 * by +
+        by * bx * ((g % 71) % 7 + 3) + (g % 105) * (by + 1) + g * 9) % 176).toInt
+      else (25 + (11 * bx * bx + bx * ((g % 91) + 4) + 27 * by +
+        by * bx * ((g % 85) % 9 + 2) + (g % 95) * (by + 2) + g * 3) % 176).toInt
+    def dl(bx: Int): Int = 1 + ((g / 9 + bx) % 7).toInt
+    def v(f: Int, bx: Int, by: Int): Int =
+      if (by == 0) base(bx, 0)
+      else base(math.max(bx - f, 0), by) +
+        (if (f == 3 && by == 1) dl(bx) else 0)
+    val frames =
+      if (role == 1)
+        H264.FramePlan((bx, by) => H264.MbI16(v(0, bx, by))) +:
+          (1 to 3).map { f =>
+            H264.FramePlan((_, _) => H264.MbI16(0), pmb = Some((bx, by) =>
+              if (by == 0) H264.PSkip
+              else H264.PMove(-16, 0,
+                if (f == 3 && by == 1) dl(bx) else 0)))
+          }
+      else (0 until 4).map(f =>
+        H264.FramePlan((bx, by) => H264.MbI16(v(f, bx, by))))
+    (64, 48, frames)
+  }
+
+  private val h264MotionLock = new Object
+  private def storedH264MotionPath(s: SparkSession, dir: String): String = {
+    val key = "media_h264p_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    h264MotionLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id"))
+        val k = mediaSplits(s, ids.count())
+        val df = ids.as[Long]
+          .map { id =>
+            val (w, h, frames) = h264MotionPlan(id)
+            (id, "h264", graft.multimodal.H264.encode(w, h, frames))
+          }.toDF("media_id", "kind", "bytes")
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+          // the stored-bytes scan is the decode's split source
+          .repartition(k, pmod(col("media_id"), lit(k)))
+        graft.storage.Storage.append(df, layout, "media_h264p")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media_h264p")
+  }
+
   /** q400's CROSS-CODEC store: the same flat-MB scene planes land once
     * as MPEG-1 (role 0) and once as H.264 (role 1) — byte streams from
     * two different codecs whose DECODED planes are pel-identical, the
@@ -1078,6 +1146,38 @@ object MultimodalOps {
       |      CASE WHEN g % 2 = 0 AND f.i = 2 THEN 1 ELSE f.i END AS ef
       |    FROM docs, range(0, 4) f(i)) fr,
       |    range(0, 4) bx(i), range(0, 3) by(i))"""
+      .stripMargin
+
+  /** the shared mb-plane CTE of the two MOTION H.264 oracles: the
+    * closed per-MB luma values of [[h264MotionPlan]] over the %3==2
+    * cohort — top row static, lower rows sliding right one MB per
+    * frame with left-column replication (the decoder's edge-clamped
+    * reference fetch), the last frame's row-1 flat residual. One
+    * formula serves intra-coded role 0 and motion-coded role 1 (their
+    * planes are identical by construction); role 2 re-authors. */
+  private val h264MotionCteSql: String =
+    """docs AS (
+      |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |cells AS (
+      |  SELECT doc_id, g, role, f.i AS f, bx.i AS bx, by.i AS by,
+      |    -- the moving scene's SOURCE column: static on the top row,
+      |    -- slid right f MBs below it, left edge replicating
+      |    CASE WHEN by.i = 0 THEN bx.i
+      |         ELSE GREATEST(bx.i - f.i, 0) END AS sx
+      |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i)),
+      |mb AS MATERIALIZED (
+      |  SELECT doc_id, f, bx, by,
+      |    (CASE WHEN role = 2
+      |      THEN 25 + (23 * sx * sx + sx * ((g % 77) + 6) + 33 * by
+      |        + by * sx * ((g % 71) % 7 + 3) + (g % 105) * (by + 1)
+      |        + g * 9) % 176
+      |      ELSE 25 + (11 * sx * sx + sx * ((g % 91) + 4) + 27 * by
+      |        + by * sx * ((g % 85) % 9 + 2) + (g % 95) * (by + 2)
+      |        + g * 3) % 176 END)
+      |    + CASE WHEN f = 3 AND by = 1 THEN 1 + ((g // 9 + bx) % 7)
+      |           ELSE 0 END AS v
+      |  FROM cells)"""
       .stripMargin
 
   /** q394's DuckDB twin — the whole index lifecycle restated: the
@@ -1965,6 +2065,76 @@ object MultimodalOps {
             .when(col("min_hd").isNotNull, "near")
             .otherwise("new").as("status"),
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+    }),
+
+    // MOTION-COMPENSATED H.264 round-trip census (the moving-scene
+    // inter class — real vectors, skip-run interleaving, residual-on-
+    // motion): decode the stored streams (role 0 all-intra, role 1
+    // I + 3 motion P frames of the SAME planes, role 2 re-authored)
+    // and census each; the oracle restates the moving planes in one
+    // closed form, so a P-frame reconstruction error of even one pel
+    // hash-mismatches.
+    "q404_h264_motion_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(storedH264MotionPath(s, dir))
+        .where(col("kind") === "h264")
+        .select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val d = graft.multimodal.H264.decode(bytes).get
+          var sumY = 0L; var dm = 0L
+          for (fi <- d.frames.indices) {
+            val y = d.frames(fi).y
+            var j = 0
+            while (j < y.length) {
+              sumY += y(j)
+              if (fi > 0) dm += math.abs(y(j) - d.frames(fi - 1).y(j))
+              j += 1
+            }
+          }
+          (id, d.width.toLong, d.height.toLong, d.frames.length.toLong,
+            sumY, dm)
+        }.toDF("media_id", "width", "height", "n_frames", "sum_y",
+          "delta_mass")
+    }),
+
+    // MOTION-RECODED NEAR-DUP (q399's band discipline on moving
+    // content): role-1 docs carry the SAME scene as their group's
+    // role-0 doc but stored through motion compensation instead of
+    // intra coding — different byte streams, different slice types,
+    // identical decoded planes. Dedup fingerprints the DECODED planes,
+    // so the motion-recoded duplicate still collides at hd 0; the
+    // re-authored role-2 docs do not. Candidates come from the band
+    // join alone — never all-pairs.
+    "q405_h264_motion_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = s.read.parquet(storedH264MotionPath(s, dir))
+        .where(col("kind") === "h264")
+        .select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val (b1, b2, b3, b4, fp) = h264Fp(bytes)
+          (id, b1, b2, b3, b4, fp)
+        }.toDF("doc_id", "b1", "b2", "b3", "b4", "fp")
+        .localCheckpoint() // decode once: both join sides read this
+      val bands = fps.select(col("doc_id"), col("fp"), explode(array(
+          struct(lit(0L).as("f"), col("b1").as("band")),
+          struct(lit(1L).as("f"), col("b2").as("band")),
+          struct(lit(2L).as("f"), col("b3").as("band")),
+          struct(lit(3L).as("f"), col("b4").as("band")))).as("e"))
+        .select(col("doc_id"), col("fp"), col("e.f").as("f"),
+          col("e.band").as("band"))
+      val x = bands.select(col("doc_id").as("a"), col("fp").as("fa"),
+        col("f"), col("band"))
+      val y = bands.select(col("doc_id").as("b"), col("fp").as("fb"),
+        col("f"), col("band"))
+      x.join(y, Seq("f", "band")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("bit_count(fa ^ fb)").cast("long").as("hd"))
+        .distinct()
+        .filter(col("hd") <= 2)
+        .select(col("a").as("media_a"), col("b").as("media_b"),
+          col("hd").as("hamming_dist"))
     }),
 
     // STORED-corpus codec censuses (q345's storage pattern for the
@@ -3045,6 +3215,58 @@ object MultimodalOps {
         |       ELSE 'new' END AS status,
         |  CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of
         |FROM pdocs p LEFT JOIN best b ON b.did = p.did""".stripMargin,
+
+    // the MOVING planes in closed form (h264MotionPlan): top row
+    // static, lower rows sliding right one MB per frame (the left
+    // column replicates — the edge-clamped fetch), the last frame's
+    // row-1 residual; role 2 re-authors. Motion-compensated decode
+    // must land on these planes exactly.
+    "q404_h264_motion_roundtrip" ->
+      s"""WITH $h264MotionCteSql,
+        |dm AS (
+        |  SELECT a.doc_id, SUM(ABS(a.v - b.v)) AS dmass
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.bx = a.bx
+        |    AND b.by = a.by AND b.f = a.f - 1
+        |  WHERE a.f >= 1 GROUP BY 1)
+        |SELECT CAST(m.doc_id AS BIGINT) AS media_id,
+        |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(SUM(m.v) * 256 AS BIGINT) AS sum_y,
+        |  CAST(MAX(d.dmass) * 256 AS BIGINT) AS delta_mass
+        |FROM mb m JOIN dm d ON d.doc_id = m.doc_id
+        |GROUP BY m.doc_id""".stripMargin,
+
+    // the motion-recoded near-dup pairs: one closed plane formula
+    // serves intra-coded role 0 AND motion-coded role 1 (their planes
+    // are identical by construction), so the role-0↔role-1 pair
+    // confirms at hd 0 through the band join — q399's oracle shape on
+    // moving content
+    "q405_h264_motion_dedup" ->
+      s"""WITH $h264MotionCteSql,
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.by, a.bx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 3),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (by * 3 + bx))) AS BIGINT)
+        |      AS band
+        |  FROM bits GROUP BY 1, 2),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(band << (f * 15)) AS BIGINT) AS fp
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.f = y.f AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT CAST(c.a AS BIGINT) AS media_a, CAST(c.b AS BIGINT) AS media_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming_dist
+        |FROM cand c
+        |JOIN fps fa ON fa.doc_id = c.a
+        |JOIN fps fb ON fb.doc_id = c.b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2""".stripMargin,
 
     // the stored-corpus censuses reuse the in-plan round-trip queries'
     // oracles VERBATIM: the stored bytes are the same synthesis, the
