@@ -21,8 +21,14 @@ package graft.multimodal
   *    law-tested structurally and by fuzz.
   *  - SPS: profile 66 (Baseline), 4:2:0, 8-bit, frame_mbs_only,
   *    pic_order_cnt_type 2, no cropping, no VUI; dimensions must be
-  *    multiples of 16. PPS: CAVLC only (entropy_coding_mode 0 — CABAC
-  *    rejects), one slice group, deblocking-control present.
+  *    multiples of 16. PPS: entropy_coding_mode 0 (CAVLC) or 1 —
+  *    CABAC I slices decode through the clause-9.3 engine in
+  *    [[H264Cabac]] (normative state machine / renormalization /
+  *    terminate; the context INIT CONSTANTS are the stated cut — see
+  *    that file's scaladoc); CABAC P slices reject. One slice group,
+  *    deblocking-control present. Unlike the CAVLC residual subset,
+  *    the CABAC residual path is FULL: any significance map, any
+  *    levels, reconstructed through the real transforms.
   *  - Slices: I (slice_type 7/2) and MOTION-COMPENSATED P (slice_type
   *    5/0): mb_skip_run-interleaved P_Skip macroblocks (motion = the
   *    normative 8.4.1.1 predictor over the real neighbor state) and
@@ -212,6 +218,8 @@ object H264 {
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     /** rbsp_trailing_bits: stop bit + alignment zeros. */
     def stop(): Unit = { put(1, 1); if (n > 0) put(0, 8 - n) }
+    /** cabac_alignment_one_bits: '1's to the byte boundary (7.3.4). */
+    def align1(): Unit = while (n != 0) put(1, 1)
     def bytes: Array[Byte] = out.toByteArray
   }
 
@@ -407,9 +415,80 @@ object H264 {
     w.put(c.toLong, n)
   }
 
-  def encode(width: Int, height: Int, frames: Seq[FramePlan]): Array[Byte] = {
+  // ---- shared intra-MB decision (CAVLC and CABAC emitters) ---------------
+
+  private sealed trait IntraDec
+  private final case class DecI16(mode: Int, z: Int) extends IntraDec
+  private final case class DecI4(zs: Array[Int]) extends IntraDec
+
+  /** resolve one intra macroblock of the plan against the running
+    * reconstruction: compute the prediction, solve the exact level(s),
+    * write the MB's reconstruction into `rec`, and return what either
+    * entropy coder needs to emit. Decisions are entropy-independent,
+    * so CAVLC and CABAC streams of one plan reconstruct identically. */
+  private def decideIntraMb(plan: MbPlan, rec: Array[Int], width: Int,
+      mbx: Int, mby: Int): IntraDec = {
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    plan match {
+      case MbI16(g0, mode) =>
+        val g = clip(g0)
+        val pred = mode match {
+          case 0 => require(mby > 0, "V needs a top neighbor")
+            rec((mby * 16 - 1) * width + mbx * 16) // flat top row
+          case 1 => require(mbx > 0, "H needs a left neighbor")
+            rec(mby * 16 * width + mbx * 16 - 1)
+          case 2 =>
+            val hasL = mbx > 0; val hasT = mby > 0
+            def sumT = (0 until 16).map(i =>
+              rec((mby * 16 - 1) * width + mbx * 16 + i)).sum
+            def sumL = (0 until 16).map(i =>
+              rec((mby * 16 + i) * width + mbx * 16 - 1)).sum
+            if (hasL && hasT) (sumT + sumL + 16) >> 5
+            else if (hasL) (sumL + 8) >> 4
+            else if (hasT) (sumT + 8) >> 4
+            else 128
+        }
+        val z = solveLevel(g - pred, recI16, 25.6)
+        require(clip(pred + recI16(z)) == g, "inexact I16 reconstruction")
+        var y = mby * 16
+        while (y < mby * 16 + 16) {
+          var x = mbx * 16
+          while (x < mbx * 16 + 16) { rec(y * width + x) = g; x += 1 }
+          y += 1
+        }
+        DecI16(mode, z)
+      case MbI4(g0) =>
+        val g = clip(g0)
+        // per-4x4 DC predictions walk the Z-scan with running recon
+        val zs = new Array[Int](16)
+        for (b <- 0 until 16) {
+          val x0 = mbx * 16 + BlkX(b) * 4; val y0 = mby * 16 + BlkY(b) * 4
+          val hasL = x0 > 0; val hasT = y0 > 0
+          def sT = (0 until 4).map(i => rec((y0 - 1) * width + x0 + i)).sum
+          def sL = (0 until 4).map(i => rec((y0 + i) * width + x0 - 1)).sum
+          val pred =
+            if (hasL && hasT) (sT + sL + 4) >> 3
+            else if (hasL) (sL + 2) >> 2
+            else if (hasT) (sT + 2) >> 2
+            else 128
+          zs(b) = solveLevel(g - pred, recI4, 6.4)
+          require(clip(pred + recI4(zs(b))) == g, "inexact I4 reconstruction")
+          // write this block's recon so later blocks predict from it
+          var yy = y0
+          while (yy < y0 + 4) { var xx = x0
+            while (xx < x0 + 4) { rec(yy * width + xx) = g; xx += 1 }
+            yy += 1 }
+        }
+        DecI4(zs)
+    }
+  }
+
+  def encode(width: Int, height: Int, frames: Seq[FramePlan],
+      cabac: Boolean = false): Array[Byte] = {
     require(width % 16 == 0 && height % 16 == 0 && frames.nonEmpty,
       "subset: dimensions multiples of 16")
+    require(!cabac || frames.forall(f => !f.skipAll && f.pmb.isEmpty),
+      "subset: CABAC streams are intra-only (CABAC P slices not coded)")
     val mbw = width / 16; val mbh = height / 16
     val out = new java.io.ByteArrayOutputStream()
     def nal(refIdc: Int, typ: Int, rbsp: Array[Byte]): Unit = {
@@ -434,7 +513,7 @@ object H264 {
     // PPS
     val pps = new BW
     pps.ue(0); pps.ue(0) // pps id, sps id
-    pps.put(0, 1) // entropy_coding_mode = CAVLC
+    pps.put(if (cabac) 1 else 0, 1) // entropy_coding_mode
     pps.put(0, 1) // bottom_field_pic_order_in_frame_present
     pps.ue(0) // num_slice_groups_minus1
     pps.ue(0); pps.ue(0) // num_ref_idx defaults
@@ -522,79 +601,341 @@ object H264 {
       w.se(0) // slice_qp_delta
       w.ue(1) // disable_deblocking_filter_idc = 1 (subset)
       val rec = Array.fill(width * height)(0)
-      def flat16(mbx: Int, mby: Int, v: Int): Unit = {
-        var y = mby * 16
-        while (y < mby * 16 + 16) {
-          var x = mbx * 16
-          while (x < mbx * 16 + 16) { rec(y * width + x) = v; x += 1 }
-          y += 1
-        }
-      }
-      def clip(v: Int) = math.max(0, math.min(255, v))
-      for (mby <- 0 until mbh; mbx <- 0 until mbw) fp.mb(mbx, mby) match {
-        case MbI16(g0, mode) =>
-          val g = clip(g0)
-          val pred = mode match {
-            case 0 => require(mby > 0, "V needs a top neighbor")
-              rec((mby * 16 - 1) * width + mbx * 16) // flat top row
-            case 1 => require(mbx > 0, "H needs a left neighbor")
-              rec(mby * 16 * width + mbx * 16 - 1)
-            case 2 =>
-              val hasL = mbx > 0; val hasT = mby > 0
-              def sumT = (0 until 16).map(i =>
-                rec((mby * 16 - 1) * width + mbx * 16 + i)).sum
-              def sumL = (0 until 16).map(i =>
-                rec((mby * 16 + i) * width + mbx * 16 - 1)).sum
-              if (hasL && hasT) (sumT + sumL + 16) >> 5
-              else if (hasL) (sumL + 8) >> 4
-              else if (hasT) (sumT + 8) >> 4
-              else 128
-          }
-          val z = solveLevel(g - pred, recI16, 25.6)
-          require(clip(pred + recI16(z)) == g, "inexact I16 reconstruction")
-          w.ue(1 + mode) // I_16x16_<mode>_0_0
-          w.ue(0) // intra_chroma_pred_mode DC
-          w.se(0) // mb_qp_delta
-          writeBlock(w, z) // Intra16x16DCLevel; CBP 0 → no AC, no chroma
-          flat16(mbx, mby, g)
-        case MbI4(g0) =>
-          val g = clip(g0)
-          // per-4x4 DC predictions walk the Z-scan with running recon
-          val zs = new Array[Int](16)
-          for (b <- 0 until 16) {
-            val x0 = mbx * 16 + BlkX(b) * 4; val y0 = mby * 16 + BlkY(b) * 4
-            val hasL = x0 > 0; val hasT = y0 > 0
-            def sT = (0 until 4).map(i => rec((y0 - 1) * width + x0 + i)).sum
-            def sL = (0 until 4).map(i => rec((y0 + i) * width + x0 - 1)).sum
-            val pred =
-              if (hasL && hasT) (sT + sL + 4) >> 3
-              else if (hasL) (sL + 2) >> 2
-              else if (hasT) (sT + 2) >> 2
-              else 128
-            zs(b) = solveLevel(g - pred, recI4, 6.4)
-            require(clip(pred + recI4(zs(b))) == g, "inexact I4 reconstruction")
-            // write this block's recon so later blocks predict from it
-            var yy = y0
-            while (yy < y0 + 4) { var xx = x0
-              while (xx < x0 + 4) { rec(yy * width + xx) = g; xx += 1 }
-              yy += 1 }
-          }
-          w.ue(0) // I_NxN
-          for (_ <- 0 until 16) w.put(1, 1) // prev_intra4x4_pred_mode (DC)
-          w.ue(0) // intra_chroma_pred_mode DC
-          val cbp = if (zs.exists(_ != 0)) 15 else 0
-          w.ue(if (cbp == 15) 2 else 3) // me(v), Table 9-4 intra column
-          if (cbp == 15) {
+      // decisions first (entropy-independent), then emit through the
+      // chosen coder — both streams reconstruct the same plan
+      val decs = (for (mby <- 0 until mbh; mbx <- 0 until mbw)
+        yield decideIntraMb(fp.mb(mbx, mby), rec, width, mbx, mby))
+        .toIndexedSeq
+      if (!cabac) {
+        for (dec <- decs) dec match {
+          case DecI16(mode, z) =>
+            w.ue(1 + mode) // I_16x16_<mode>_0_0
+            w.ue(0) // intra_chroma_pred_mode DC
             w.se(0) // mb_qp_delta
-            for (b <- 0 until 16) writeBlock(w, zs(b))
-          }
+            writeBlock(w, z) // Intra16x16DCLevel; CBP 0 → no AC/chroma
+          case DecI4(zs) =>
+            w.ue(0) // I_NxN
+            for (_ <- 0 until 16) w.put(1, 1) // prev_intra4x4_pred_mode
+            w.ue(0) // intra_chroma_pred_mode DC
+            val cbp = if (zs.exists(_ != 0)) 15 else 0
+            w.ue(if (cbp == 15) 2 else 3) // me(v), Table 9-4 intra column
+            if (cbp == 15) {
+              w.se(0) // mb_qp_delta
+              for (b <- 0 until 16) writeBlock(w, zs(b))
+            }
+        }
+        w.stop()
+        nal(3, 5, w.bytes)
+      } else {
+        w.align1() // cabac_alignment_one_bits
+        nal(3, 5, w.bytes ++ encodeCabacMbs(mbw, mbh, decs))
       }
-      w.stop(); nal(3, 5, w.bytes)
       prevRec = rec
       frameNum = 1 // the IDR reset: the next P counts from 1
       }
     }
     out.toByteArray
+  }
+
+  // ---- CABAC I-slice macroblock layer -------------------------------------
+  // The clause 9.3 binarizations and context models for this intra
+  // subset over the [[H264Cabac]] engine (whose scaladoc states the
+  // init-constant cut). Context indices follow the spec's ctxIdx
+  // numbering: mb_type 3..10, mb_qp_delta 60..63, intra_chroma 64..67,
+  // intra4x4 modes 68/69, CBP luma 73..76 / chroma 77..84,
+  // coded_block_flag 85+catOff, significant/last 105/166+catOff,
+  // coeff_abs_level_minus1 227+catOff, end_of_slice = terminate.
+  // ctxBlockCat offsets: Intra16x16DCLevel (cat 0) cbf+0/sig+0/lvl+0,
+  // LumaLevel4x4 (cat 2) cbf+8/sig+29/lvl+20. Unlike the CAVLC subset
+  // (whose nC tables bound TotalCoeff ≤ 1), the CABAC residual path is
+  // FULL: any significance map, any levels — the UEG0 suffix has no
+  // table bound — reconstructed through the real transforms.
+
+  private val NCtx = 277
+
+  /** per-slice neighbor-conditioned context state shared by the CABAC
+    * encoder and decoder (both sides must walk identical models). */
+  private final class CabacMbState(mbw: Int, mbh: Int) {
+    val isI4 = new Array[Boolean](mbw * mbh)
+    val cbpLuma = new Array[Int](mbw * mbh)
+    val dcCbf = Array.fill(mbw * mbh)(-1) // -1 = MB has no DC block
+    val cbf4 = new Array[Int](mbw * 4 * mbh * 4)
+
+    /** mb_type bin0 inc: neighbors that are available and not I_NxN. */
+    def mbTypeInc(mbx: Int, mby: Int): Int =
+      (if (mbx > 0 && !isI4(mby * mbw + mbx - 1)) 1 else 0) +
+        (if (mby > 0 && !isI4((mby - 1) * mbw + mbx)) 1 else 0)
+
+    /** CBP-luma bin inc for 8x8 `i8` (x8 = i8 & 1, y8 = i8 >> 1):
+      * condTermN = neighbor 8x8's cbp bit == 0 (9.3.3.1.1.4);
+      * unavailable → 0. */
+    def cbpLumaInc(mbx: Int, mby: Int, i8: Int, cur: Int): Int = {
+      val x8 = i8 & 1; val y8 = i8 >> 1
+      def bit(mb: Int, j8: Int): Int = (cbpLuma(mb) >> j8) & 1
+      val condA =
+        if (x8 == 1) 1 - ((cur >> (y8 * 2)) & 1) // left 8x8, same MB
+        else if (mbx > 0) 1 - bit(mby * mbw + mbx - 1, y8 * 2 + 1)
+        else 0
+      val condB =
+        if (y8 == 1) 1 - ((cur >> x8) & 1) // top 8x8, same MB
+        else if (mby > 0) 1 - bit((mby - 1) * mbw + mbx, 2 + x8)
+        else 0
+      condA + 2 * condB
+    }
+
+    /** coded_block_flag inc for a luma 4x4 at grid (bx, by): neighbor
+      * block cbf; outside the picture → 1 (the intra rule). */
+    def cbfInc4(mbw4: Int, bx: Int, by: Int): Int = {
+      val a = if (bx > 0) cbf4(by * mbw4 + bx - 1) else 1
+      val b = if (by > 0) cbf4((by - 1) * mbw4 + bx) else 1
+      a + 2 * b
+    }
+
+    /** coded_block_flag inc for an I16 DC block: neighbor MB's DC cbf;
+      * outside → 1 (intra); neighbor without a DC block → 0. */
+    def cbfIncDc(mbx: Int, mby: Int): Int = {
+      def of(mb: Int): Int = { val v = dcCbf(mb); if (v < 0) 0 else v }
+      val a = if (mbx > 0) of(mby * mbw + mbx - 1) else 1
+      val b = if (mby > 0) of((mby - 1) * mbw + mbx) else 1
+      a + 2 * b
+    }
+  }
+
+  private def lvlCatOff(cat: Int) = if (cat == 0) 0 else 20
+  private def sigCatOff(cat: Int) = if (cat == 0) 0 else 29
+  private def cbfCatOff(cat: Int) = if (cat == 0) 0 else 8
+
+  /** CABAC-encode one residual block (scan-ordered coefficients):
+    * coded_block_flag, significance map, reverse-scan UEG0 levels with
+    * the numEq1/numGt1 context schedule, bypass signs. */
+  private def writeResCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctxs,
+      cat: Int, cbfInc: Int, coeffs: Array[Int]): Unit = {
+    val nz = coeffs.exists(_ != 0)
+    e.decision(cx, 85 + cbfCatOff(cat) + cbfInc, if (nz) 1 else 0)
+    if (!nz) return
+    val last = (15 to 0 by -1).find(coeffs(_) != 0).get
+    var i = 0
+    while (i < 15 && i <= last) {
+      val sig = coeffs(i) != 0
+      e.decision(cx, 105 + sigCatOff(cat) + i, if (sig) 1 else 0)
+      if (sig)
+        e.decision(cx, 166 + sigCatOff(cat) + i, if (i == last) 1 else 0)
+      i += 1
+    }
+    var numEq1 = 0; var numGt1 = 0
+    var j = last
+    while (j >= 0) {
+      if (coeffs(j) != 0) {
+        val am1 = math.abs(coeffs(j)) - 1
+        val inc0 = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
+        val incG = 5 + math.min(4, numGt1)
+        val prefix = math.min(am1, 14)
+        var b = 0
+        while (b < prefix) {
+          e.decision(cx,
+            227 + lvlCatOff(cat) + (if (b == 0) inc0 else incG), 1)
+          b += 1
+        }
+        if (prefix < 14)
+          e.decision(cx,
+            227 + lvlCatOff(cat) + (if (prefix == 0) inc0 else incG), 0)
+        else {
+          var suf = am1 - 14; var k = 0
+          while (suf >= (1 << k)) { e.bypass(1); suf -= (1 << k); k += 1 }
+          e.bypass(0)
+          var kk = k - 1
+          while (kk >= 0) { e.bypass((suf >> kk) & 1); kk -= 1 }
+        }
+        e.bypass(if (coeffs(j) < 0) 1 else 0)
+        if (am1 == 0) numEq1 += 1 else numGt1 += 1
+      }
+      j -= 1
+    }
+  }
+
+  /** decode dual of [[writeResCabac]]; returns the scan-ordered block
+    * (all-zero when coded_block_flag is 0). */
+  private def readResCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctxs,
+      cat: Int, cbfInc: Int): Array[Int] = {
+    val coeffs = new Array[Int](16)
+    if (d.decision(cx, 85 + cbfCatOff(cat) + cbfInc) == 0) return coeffs
+    val sig = new Array[Boolean](16)
+    var last = -1
+    var i = 0
+    while (i < 15 && last < 0) {
+      if (d.decision(cx, 105 + sigCatOff(cat) + i) == 1) {
+        sig(i) = true
+        if (d.decision(cx, 166 + sigCatOff(cat) + i) == 1) last = i
+      }
+      i += 1
+    }
+    if (last < 0) { sig(15) = true; last = 15 }
+    var numEq1 = 0; var numGt1 = 0
+    var j = last
+    while (j >= 0) {
+      if (sig(j)) {
+        val inc0 = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
+        val incG = 5 + math.min(4, numGt1)
+        var prefix = 0
+        while (prefix < 14 && d.decision(cx,
+          227 + lvlCatOff(cat) + (if (prefix == 0) inc0 else incG)) == 1)
+          prefix += 1
+        var am1 = prefix
+        if (prefix == 14) {
+          var k = 0
+          while (d.bypass() == 1) { k += 1; rej(k > 30) }
+          var suf = 0; var kk = 0
+          while (kk < k) { suf = (suf << 1) | d.bypass(); kk += 1 }
+          am1 = 14 + ((1 << k) - 1) + suf
+        }
+        coeffs(j) = if (d.bypass() == 1) -(am1 + 1) else am1 + 1
+        if (am1 == 0) numEq1 += 1 else numGt1 += 1
+      }
+      j -= 1
+    }
+    coeffs
+  }
+
+  /** CABAC-encode the I-slice macroblock layer for the decided MBs —
+    * returns the byte-aligned arithmetic payload to append after the
+    * cabac_alignment_one_bits. */
+  private def encodeCabacMbs(mbw: Int, mbh: Int,
+      decs: IndexedSeq[IntraDec]): Array[Byte] = {
+    val e = new H264Cabac.Enc
+    val cx = new H264Cabac.Ctxs(NCtx)
+    val st = new CabacMbState(mbw, mbh)
+    for (mb <- decs.indices) {
+      val mbx = mb % mbw; val mby = mb / mbw
+      val incT = st.mbTypeInc(mbx, mby)
+      decs(mb) match {
+        case DecI16(mode, z) =>
+          e.decision(cx, 3 + incT, 1) // not I_NxN
+          e.terminate(0) // not I_PCM
+          e.decision(cx, 6, 0) // CBP luma 0 (AC-coded I16 out of subset)
+          e.decision(cx, 7, 0) // CBP chroma 0
+          e.decision(cx, 9, (mode >> 1) & 1)
+          e.decision(cx, 10, mode & 1)
+          e.decision(cx, 64, 0) // intra_chroma_pred_mode DC
+          e.decision(cx, 60, 0) // mb_qp_delta 0
+          val dc = new Array[Int](16); dc(0) = z
+          writeResCabac(e, cx, 0, st.cbfIncDc(mbx, mby), dc)
+          st.isI4(mb) = false; st.cbpLuma(mb) = 0
+          st.dcCbf(mb) = if (z != 0) 1 else 0
+          // I16 AC blocks are uncoded: their cbf is 0
+          for (b <- 0 until 16)
+            st.cbf4((mby * 4 + BlkY(b)) * (mbw * 4) + mbx * 4 + BlkX(b)) = 0
+        case DecI4(zs) =>
+          e.decision(cx, 3 + incT, 0) // I_NxN
+          for (_ <- 0 until 16) e.decision(cx, 68, 1) // most-probable (DC)
+          e.decision(cx, 64, 0) // intra_chroma_pred_mode DC
+          val cbp = if (zs.exists(_ != 0)) 15 else 0
+          for (i8 <- 0 until 4)
+            e.decision(cx, 73 + st.cbpLumaInc(mbx, mby, i8, cbp),
+              (cbp >> i8) & 1)
+          e.decision(cx, 77, 0) // CBP chroma 0
+          if (cbp == 15) {
+            e.decision(cx, 60, 0) // mb_qp_delta 0
+            for (b <- 0 until 16) {
+              val bx = mbx * 4 + BlkX(b); val by = mby * 4 + BlkY(b)
+              val coeffs = new Array[Int](16); coeffs(0) = zs(b)
+              writeResCabac(e, cx, 2, st.cbfInc4(mbw * 4, bx, by), coeffs)
+              st.cbf4(by * (mbw * 4) + bx) = if (zs(b) != 0) 1 else 0
+            }
+          } else for (b <- 0 until 16)
+            st.cbf4((mby * 4 + BlkY(b)) * (mbw * 4) + mbx * 4 + BlkX(b)) = 0
+          st.isI4(mb) = true; st.cbpLuma(mb) = cbp; st.dcCbf(mb) = -1
+      }
+      e.terminate(if (mb == decs.length - 1) 1 else 0) // end_of_slice
+    }
+    e.flush()
+  }
+
+  /** CABAC I-slice decoder: same header as the CAVLC slice, then
+    * cabac_alignment_one_bits and the arithmetic macroblock layer.
+    * Reconstruction is the shared intra chain — the two entropy
+    * coders MUST land on identical planes (H264CabacSpec law). */
+  private def decodeSliceCabac(r: BR, sps: Sps): Frame = {
+    val mbw = sps.mbw; val mbh = sps.mbh
+    val width = mbw * 16; val height = mbh * 16
+    val pm = Array.fill(mbw * 4 * mbh * 4)(2)
+    rej(r.ue() != 0) // first_mb_in_slice: one slice per picture
+    val st0 = r.ue(); rej(st0 != 7 && st0 != 2) // I slices only
+    rej(r.ue() != 0) // pps id
+    r.bits(4) // frame_num
+    r.ue() // idr_pic_id
+    r.bit1(); r.bit1() // dec_ref_pic_marking
+    rej(r.se() != 0) // slice_qp_delta (subset: QP stays 24)
+    rej(r.ue() != 1) // deblocking MUST be disabled (subset)
+    while (r.bit != 0) rej(r.bit1() != 1) // cabac_alignment_one_bits
+    val d = new H264Cabac.Dec(() => r.bit1())
+    val cx = new H264Cabac.Ctxs(NCtx)
+    val st = new CabacMbState(mbw, mbh)
+    val rec = new Array[Int](width * height)
+    var mb = 0; val total = mbw * mbh
+    var ended = false
+    while (mb < total) {
+      rej(ended) // end_of_slice before the last macroblock
+      val mbx = mb % mbw; val mby = mb / mbw
+      val incT = st.mbTypeInc(mbx, mby)
+      if (d.decision(cx, 3 + incT) == 1) { // I_16x16 (or I_PCM)
+        rej(d.terminate() != 0) // I_PCM out of subset
+        rej(d.decision(cx, 6) != 0) // AC-coded I16 out of subset
+        rej(d.decision(cx, 7) != 0) // chroma-coded I16 out of subset
+        val mode = (d.decision(cx, 9) << 1) | d.decision(cx, 10)
+        rej(mode > 2) // plane mode out of subset
+        rej(d.decision(cx, 64) != 0) // chroma pred: DC only
+        rej(d.decision(cx, 60) != 0) // nonzero mb_qp_delta out of subset
+        val dc = readResCabac(d, cx, 0, st.cbfIncDc(mbx, mby))
+        reconI16Mb(rec, width, mbx, mby, mode, dc)
+        st.isI4(mb) = false; st.cbpLuma(mb) = 0
+        st.dcCbf(mb) = if (dc.exists(_ != 0)) 1 else 0
+        for (b <- 0 until 16) {
+          val bx = mbx * 4 + BlkX(b); val by = mby * 4 + BlkY(b)
+          st.cbf4(by * (mbw * 4) + bx) = 0
+          pm(by * (mbw * 4) + bx) = 2
+        }
+      } else { // I_NxN
+        val flags = (0 until 16).map { _ =>
+          if (d.decision(cx, 68) == 1) -1
+          else d.decision(cx, 69) | (d.decision(cx, 69) << 1) |
+            (d.decision(cx, 69) << 2) // FL bins, LSB first
+        }
+        rej(d.decision(cx, 64) != 0) // chroma pred: DC only
+        var cbp = 0
+        for (i8 <- 0 until 4)
+          cbp |= d.decision(cx, 73 + st.cbpLumaInc(mbx, mby, i8, cbp)) << i8
+        rej(cbp != 0 && cbp != 15) // partial luma CBP out of subset
+        rej(d.decision(cx, 77) != 0) // chroma CBP out of subset
+        if (cbp == 15) rej(d.decision(cx, 60) != 0) // mb_qp_delta 0
+        for (b <- 0 until 16) {
+          val bx = mbx * 4 + BlkX(b); val by = mby * 4 + BlkY(b)
+          val mp = math.min(
+            if (bx > 0) pm(by * (mbw * 4) + bx - 1) else 2,
+            if (by > 0) pm((by - 1) * (mbw * 4) + bx) else 2)
+          val mode = flags(b) match {
+            case -1 => mp
+            case m => val mm = if (m < mp) m else m + 1; rej(mm > 2); mm
+          }
+          pm(by * (mbw * 4) + bx) = mode
+          val coeffs =
+            if (cbp == 15) readResCabac(d, cx, 2, st.cbfInc4(mbw * 4, bx, by))
+            else new Array[Int](16)
+          st.cbf4(by * (mbw * 4) + bx) =
+            if (coeffs.exists(_ != 0)) 1 else 0
+          reconI4Block(rec, width, bx * 4, by * 4, mode,
+            invTransform4x4(dequant4x4(coeffs)))
+        }
+        st.isI4(mb) = true; st.cbpLuma(mb) = cbp; st.dcCbf(mb) = -1
+      }
+      ended = d.terminate() == 1
+      mb += 1
+    }
+    rej(!ended) // the last macroblock must carry end_of_slice = 1
+    // post-terminate bits are the encoder flush + padding; CABAC's
+    // 9-bit read-ahead makes a CAVLC-style trailing check inapplicable
+    // (truncation still rejects: a short stream throws inside a read)
+    val cw = width / 2; val ch = height / 2
+    Frame(rec, Array.fill(cw * ch)(128), Array.fill(cw * ch)(128))
   }
 
   // ---- decoder -------------------------------------------------------------
@@ -618,11 +959,11 @@ object H264 {
     Sps(mbw, mbh)
   }
 
-  private final case class Pps(qp: Int)
+  private final case class Pps(qp: Int, cabac: Boolean)
 
   private def parsePps(r: BR): Pps = {
     rej(r.ue() != 0); rej(r.ue() != 0)
-    rej(r.bit1() != 0) // CABAC out of subset
+    val cabac = r.bit1() == 1 // entropy_coding_mode
     r.bit1()
     rej(r.ue() != 0) // slice groups out of subset
     r.ue(); r.ue(); r.bit1(); r.bits(2)
@@ -630,7 +971,7 @@ object H264 {
     rej(r.bit1() != 1) // deblocking control must be present…
     r.bit1(); r.bit1()
     rej(qp != EncQp) // …and the subset quantises at exactly QP 24
-    Pps(qp)
+    Pps(qp, cabac)
   }
 
   /** CAVLC residual block, TotalCoeff ≤ 1 (subset): returns (level,
@@ -668,6 +1009,74 @@ object H264 {
       rej(len == 9 && tz < 0)
     }
     (level, tz, 1)
+  }
+
+  /** reconstruct one Intra_4x4 block: mode-predicted (V/H/DC with the
+    * availability rules) plus the inverse-transformed residual. Shared
+    * by the CAVLC and CABAC slice decoders. */
+  private def reconI4Block(rec: Array[Int], width: Int, x0: Int, y0: Int,
+      mode: Int, res: Array[Int]): Unit = {
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    val hasL = x0 > 0; val hasT = y0 > 0
+    var yy = 0
+    while (yy < 4) {
+      var xx = 0
+      while (xx < 4) {
+        val pred = mode match {
+          case 0 => rej(!hasT); rec((y0 - 1) * width + x0 + xx)
+          case 1 => rej(!hasL); rec((y0 + yy) * width + x0 - 1)
+          case _ =>
+            def sT = (0 until 4).map(i => rec((y0 - 1) * width + x0 + i)).sum
+            def sL = (0 until 4).map(i => rec((y0 + i) * width + x0 - 1)).sum
+            if (hasL && hasT) (sT + sL + 4) >> 3
+            else if (hasL) (sL + 2) >> 2
+            else if (hasT) (sT + 2) >> 2
+            else 128
+        }
+        rec((y0 + yy) * width + x0 + xx) = clip(pred + res(yy * 4 + xx))
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** reconstruct one Intra_16x16 macroblock from its SCAN-ORDERED DC
+    * coefficient block: inverse Hadamard → 8.5.10 scaling → per-4x4
+    * DC-only inverse transforms, mode-predicted per pel. Shared by the
+    * CAVLC and CABAC slice decoders. */
+  private def reconI16Mb(rec: Array[Int], width: Int, mbx: Int, mby: Int,
+      mode: Int, dcScan: Array[Int]): Unit = {
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    val dcRaster = new Array[Int](16)
+    for (k <- 0 until 16) dcRaster(Zig4(k)) = dcScan(k)
+    val res4 = invHadamard4x4(dcRaster).map { f =>
+      val d = new Array[Int](16); d(0) = dcScaleY(f)
+      invTransform4x4(d)(0) // DC-only: uniform over the 4x4
+    }
+    val x0 = mbx * 16; val y0 = mby * 16
+    val hasL = mbx > 0; val hasT = mby > 0
+    var yy = 0
+    while (yy < 16) {
+      var xx = 0
+      while (xx < 16) {
+        val pred = mode match {
+          case 0 => rej(!hasT); rec((y0 - 1) * width + x0 + xx)
+          case 1 => rej(!hasL); rec((y0 + yy) * width + x0 - 1)
+          case _ =>
+            def sT = (0 until 16).map(i => rec((y0 - 1) * width + x0 + i)).sum
+            def sL = (0 until 16).map(i => rec((y0 + i) * width + x0 - 1)).sum
+            if (hasL && hasT) (sT + sL + 16) >> 5
+            else if (hasL) (sL + 8) >> 4
+            else if (hasT) (sT + 8) >> 4
+            else 128
+        }
+        // block (x4, y4)'s DC sits at Hadamard raster y4*4 + x4
+        rec((y0 + yy) * width + x0 + xx) =
+          clip(pred + res4((yy / 4) * 4 + (xx / 4)))
+        xx += 1
+      }
+      yy += 1
+    }
   }
 
   /** rbsp_trailing_bits (7.3.2.11): the stop bit, zero padding to the
@@ -839,32 +1248,14 @@ object H264 {
             case m => val mm = if (m < mp) m else m + 1; rej(mm > 2); mm
           }
           pm(by * (mbw * 4) + bx) = mode
-          val hasL = x0 > 0; val hasT = y0 > 0
           val (level, pos, n) =
             if (cbp == 15) readBlock(r, nCof(bx, by)) else (0, 0, 0)
           tc(by * (mbw * 4) + bx) = n
           // the REAL transform chain: scan-placed coefficient →
           // dequant → 4x4 integer inverse (any position, not just DC)
           val coeffs = new Array[Int](16); coeffs(pos) = level
-          val res = invTransform4x4(dequant4x4(coeffs))
-          var yy = 0
-          while (yy < 4) { var xx = 0
-            while (xx < 4) {
-              val pred = mode match {
-                case 0 => rej(!hasT); rec((y0 - 1) * width + x0 + xx)
-                case 1 => rej(!hasL); rec((y0 + yy) * width + x0 - 1)
-                case _ =>
-                  def sT = (0 until 4).map(i => rec((y0 - 1) * width + x0 + i)).sum
-                  def sL = (0 until 4).map(i => rec((y0 + i) * width + x0 - 1)).sum
-                  if (hasL && hasT) (sT + sL + 4) >> 3
-                  else if (hasL) (sL + 2) >> 2
-                  else if (hasT) (sT + 2) >> 2
-                  else 128
-              }
-              rec((y0 + yy) * width + x0 + xx) =
-                clip(pred + res(yy * 4 + xx))
-              xx += 1 }
-            yy += 1 }
+          reconI4Block(rec, width, x0, y0, mode,
+            invTransform4x4(dequant4x4(coeffs)))
         }
       } else if (mbType >= 1 && mbType <= 3) { // I_16x16_<V|H|DC>_0_0
         val mode = mbType - 1
@@ -874,33 +1265,7 @@ object H264 {
         // the REAL chain: scan-placed DC coefficient → inverse Hadamard
         // → 8.5.10 scaling → per-4x4 DC-only inverse transform
         val dcScan = new Array[Int](16); dcScan(pos) = level
-        val dcRaster = new Array[Int](16)
-        for (k <- 0 until 16) dcRaster(Zig4(k)) = dcScan(k)
-        val res4 = invHadamard4x4(dcRaster).map { f =>
-          val d = new Array[Int](16); d(0) = dcScaleY(f)
-          invTransform4x4(d)(0) // DC-only: uniform over the 4x4
-        }
-        val x0 = mbx * 16; val y0 = mby * 16
-        val hasL = mbx > 0; val hasT = mby > 0
-        var yy = 0
-        while (yy < 16) { var xx = 0
-          while (xx < 16) {
-            val pred = mode match {
-              case 0 => rej(!hasT); rec((y0 - 1) * width + x0 + xx)
-              case 1 => rej(!hasL); rec((y0 + yy) * width + x0 - 1)
-              case _ =>
-                def sT = (0 until 16).map(i => rec((y0 - 1) * width + x0 + i)).sum
-                def sL = (0 until 16).map(i => rec((y0 + i) * width + x0 - 1)).sum
-                if (hasL && hasT) (sT + sL + 16) >> 5
-                else if (hasL) (sL + 8) >> 4
-                else if (hasT) (sT + 8) >> 4
-                else 128
-            }
-            // block (x4, y4)'s DC sits at Hadamard raster y4*4 + x4
-            rec((y0 + yy) * width + x0 + xx) =
-              clip(pred + res4((yy / 4) * 4 + (xx / 4)))
-            xx += 1 }
-          yy += 1 }
+        reconI16Mb(rec, width, mbx, mby, mode, dcScan)
         // AC blocks are uncoded (CBP luma 0): their TotalCoeff is 0
         for (b <- 0 until 16)
           tc((mby * 4 + BlkY(b)) * (mbw * 4) + mbx * 4 + BlkX(b)) = 0
@@ -931,7 +1296,7 @@ object H264 {
         nals += bytes.slice(start, end)
       }
       var sps: Option[Sps] = None
-      var havePps = false
+      var pps: Option[Pps] = None
       var frames = Vector.empty[Frame]
       var tcGrid: Array[Int] = null
       for (nal <- nals.result()) {
@@ -944,12 +1309,14 @@ object H264 {
           case 7 =>
             val s = parseSps(r); sps = Some(s)
             tcGrid = new Array[Int](s.mbw * 4 * s.mbh * 4)
-          case 8 => rej(sps.isEmpty); parsePps(r); havePps = true
+          case 8 => rej(sps.isEmpty); pps = Some(parsePps(r))
           case 5 =>
-            rej(sps.isEmpty || !havePps)
-            frames :+= decodeSlice(r, sps.get, tcGrid)
+            rej(sps.isEmpty || pps.isEmpty)
+            frames :+= (if (pps.get.cabac) decodeSliceCabac(r, sps.get)
+              else decodeSlice(r, sps.get, tcGrid))
           case 1 =>
-            rej(sps.isEmpty || !havePps)
+            rej(sps.isEmpty || pps.isEmpty)
+            rej(pps.get.cabac) // CABAC P slices out of subset
             rej((hdr >> 5) == 0) // subset: P slices are reference pictures
             frames :+= decodePSlice(r, sps.get, frames.lastOption, tcGrid)
           case _ => throw Reject // SEI, AUD, B slices… out of subset

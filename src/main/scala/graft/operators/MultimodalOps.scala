@@ -461,6 +461,69 @@ object MultimodalOps {
     (64, 48, frames)
   }
 
+  /** H.264 CABAC encode plan (the %9==0 sub-cohort): [[h264Plan]]'s
+    * group/role scene structure, all four frames intra (CABAC P slices
+    * are out of subset), ENTROPY-CODED WITH CABAC — the arithmetic
+    * engine, context models and binarizations of clause 9.3 (the
+    * init-constant cut is stated in [[graft.multimodal.H264Cabac]]).
+    * Same closed plane formula as the CAVLC store, so the oracle pins
+    * the whole arithmetic path: one mis-decoded bin anywhere shifts a
+    * level and hash-mismatches the census. */
+  private[graft] def h264CabacPlan(id: Long)
+      : (Int, Int, Seq[graft.multimodal.H264.FramePlan]) = {
+    import graft.multimodal.H264
+    val g = id / 9 * 9; val role = (id / 3) % 3
+    def v(f: Int, bx: Int, by: Int): Int =
+      if (role == 2) (16 + (17 * bx * bx + bx * ((g % 89) + 5) +
+        31 * by + by * bx * ((g % 83) % 11 + 2) + (g % 103) * (by + 3) +
+        g * 13 + f * (17 + (g % 5))) % 224).toInt
+      else (16 + (13 * bx * bx + bx * ((g % 97) + 7) + 29 * by +
+        by * bx * ((g % 89) % 13 + 3) + (g % 101) * (by + 2) + g * 7 +
+        f * (11 + (g % 3))) % 224).toInt + (if (role == 1) 4 else 0)
+    val frames = (0 until 4).map { f =>
+      H264.FramePlan { (bx, by) =>
+        (bx + by + f) % 4 match {
+          case 0 => H264.MbI4(v(f, bx, by))
+          case 1 if by > 0 => H264.MbI16(v(f, bx, by), mode = 0)
+          case 2 if bx > 0 => H264.MbI16(v(f, bx, by), mode = 1)
+          case _ => H264.MbI16(v(f, bx, by), mode = 2)
+        }
+      }
+    }
+    (64, 48, frames)
+  }
+
+  private val h264CabacLock = new Object
+  private def storedH264CabacPath(s: SparkSession, dir: String): String = {
+    val key = "media_h264c_store:" + dir + "@" +
+      graft.storage.LocalCache.dataVersion(dir)
+    val base = graft.storage.LocalCache.dir(key)
+    val layout = graft.storage.Storage.TableLayout(base, "default", "media")
+    h264CabacLock.synchronized {
+      val marker = new java.io.File(base, "_stored")
+      if (!marker.exists()) {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select(col("doc_id"))
+        val k = mediaSplits(s, ids.count())
+        val df = ids.as[Long]
+          .map { id =>
+            val (w, h, frames) = h264CabacPlan(id)
+            (id, "h264",
+              graft.multimodal.H264.encode(w, h, frames, cabac = true))
+          }.toDF("media_id", "kind", "bytes")
+          .withColumn("timestamp",
+            lit(1706745600L * 1000000000L) + col("media_id"))
+          // the stored-bytes scan is the decode's split source
+          .repartition(k, pmod(col("media_id"), lit(k)))
+        graft.storage.Storage.append(df, layout, "media_h264c")
+        marker.createNewFile()
+      }
+    }
+    layout.path("media_h264c")
+  }
+
   private val h264MotionLock = new Object
   private def storedH264MotionPath(s: SparkSession, dir: String): String = {
     val key = "media_h264p_store:" + dir + "@" +
@@ -2137,6 +2200,37 @@ object MultimodalOps {
           col("hd").as("hamming_dist"))
     }),
 
+    // CABAC ROUND-TRIP census: the stored streams are entropy-coded
+    // with the clause-9.3 arithmetic engine (context models, UEG0
+    // levels, end-of-slice terminates; the init-constant cut is stated
+    // in H264Cabac) over the SAME closed plane formula as the CAVLC
+    // store — the DuckDB oracle therefore pins the whole arithmetic
+    // decode path: one mis-decoded bin shifts a level and the census
+    // hash-mismatches.
+    "q406_h264_cabac_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(storedH264CabacPath(s, dir))
+        .where(col("kind") === "h264")
+        .select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val d = graft.multimodal.H264.decode(bytes).get
+          var sumY = 0L; var dm = 0L
+          for (fi <- d.frames.indices) {
+            val y = d.frames(fi).y
+            var j = 0
+            while (j < y.length) {
+              sumY += y(j)
+              if (fi > 0) dm += math.abs(y(j) - d.frames(fi - 1).y(j))
+              j += 1
+            }
+          }
+          (id, d.width.toLong, d.height.toLong, d.frames.length.toLong,
+            sumY, dm)
+        }.toDF("media_id", "width", "height", "n_frames", "sum_y",
+          "delta_mass")
+    }),
+
     // STORED-corpus codec censuses (q345's storage pattern for the
     // round-10 families): each scans its kind's STORED binary column
     // (relational kind predicate → parquet prunes before decode) and
@@ -3215,6 +3309,38 @@ object MultimodalOps {
         |       ELSE 'new' END AS status,
         |  CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of
         |FROM pdocs p LEFT JOIN best b ON b.did = p.did""".stripMargin,
+
+    // the CABAC census: h264Plan's formula (no skip aliasing — all
+    // four frames intra) over the %9==0 sub-cohort
+    "q406_h264_cabac_roundtrip" ->
+      """WITH docs AS (
+        |  SELECT doc_id, (doc_id // 9) * 9 AS g, (doc_id // 3) % 3 AS role
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |mb AS MATERIALIZED (
+        |  SELECT doc_id, f.i AS f, bx.i AS bx, by.i AS by,
+        |    CASE WHEN role = 2
+        |      THEN 16 + (17 * bx.i * bx.i + bx.i * ((g % 89) + 5)
+        |        + 31 * by.i + by.i * bx.i * ((g % 83) % 11 + 2)
+        |        + (g % 103) * (by.i + 3) + g * 13
+        |        + f.i * (17 + (g % 5))) % 224
+        |      ELSE 16 + (13 * bx.i * bx.i + bx.i * ((g % 97) + 7)
+        |        + 29 * by.i + by.i * bx.i * ((g % 89) % 13 + 3)
+        |        + (g % 101) * (by.i + 2) + g * 7
+        |        + f.i * (11 + (g % 3))) % 224
+        |        + CASE WHEN role = 1 THEN 4 ELSE 0 END END AS v
+        |  FROM docs, range(0, 4) f(i), range(0, 4) bx(i), range(0, 3) by(i)),
+        |dm AS (
+        |  SELECT a.doc_id, SUM(ABS(a.v - b.v)) AS dmass
+        |  FROM mb a JOIN mb b ON b.doc_id = a.doc_id AND b.bx = a.bx
+        |    AND b.by = a.by AND b.f = a.f - 1
+        |  WHERE a.f >= 1 GROUP BY 1)
+        |SELECT CAST(m.doc_id AS BIGINT) AS media_id,
+        |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(SUM(m.v) * 256 AS BIGINT) AS sum_y,
+        |  CAST(MAX(d.dmass) * 256 AS BIGINT) AS delta_mass
+        |FROM mb m JOIN dm d ON d.doc_id = m.doc_id
+        |GROUP BY m.doc_id""".stripMargin,
 
     // the MOVING planes in closed form (h264MotionPlan): top row
     // static, lower rows sliding right one MB per frame (the left
