@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, must be set at session build: the generated-code
+      // cache defaults to 100 entries, but a sweep of 400+ distinct
+      // queries emits thousands of codegen units — by the time a query
+      // re-runs, its entries are long evicted and every pass re-pays
+      // Janino compilation. Sized to hold the whole inventory; scale-
+      // independent (any long-lived session re-running plans benefits).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

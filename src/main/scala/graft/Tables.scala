@@ -19,13 +19,27 @@ object Tables {
   /** Epoch seconds for 2024-01-01T00:00:00Z — start of the events range. */
   val EventsEpochStart: Long = 1704067200L
 
+  /** Inferred parquet schema per physical path. The testdata is immutable
+    * within a run, so the footer-derived schema never changes for a given
+    * path — but without this cache EVERY `load` call pays a driver-side
+    * footer read for schema inference (a sweep of 400+ queries re-infers
+    * the same six schemas ~1000×). Metadata only: the scan itself still
+    * reads the files. Keyed by full path so the events table's two
+    * physical layouts (TIMESTAMP(NANOS) vs MICROS NTZ) stay distinct
+    * per sf dir. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Runtime conf; required before any scan that touches TIMESTAMP(NANOS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NTZ timestamps are interpreted as UTC wall time everywhere (the
     // oracle reads the same files as naive timestamps).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
   }
 
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")

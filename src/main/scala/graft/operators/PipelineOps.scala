@@ -226,19 +226,15 @@ object PipelineOps {
     * Input needs (vec_id, vq: array<long>, nrm); returns
     * (c_id, cv: array<long>, cn, n_members). */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    // nearest cell by min(struct(-cos, c_id)) hash aggregate — partial
-    // aggregation collapses the ×k blow-up map-side so each embedding
-    // array is shuffled once (a sort window would shuffle it k×)
+    // nearest cell = argmin over the centroid ARRAY inside one projection
+    // (scoreArr): the k centroids fold to a single broadcast row, so an
+    // assignment round is exchange-free — no ×k row blow-up, no hash
+    // aggregate (guide §2.4, remove shuffles outright; was crossJoin ×k +
+    // groupBy(vec_id) min(struct), one exchange per Lloyd round)
     def assignTo(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("vq"), struct(
-          (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
-            sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
-            .as("negcos"),
-          col("c_id").as("c_id")).as("_sc"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("_sc")).as("_best"), first(col("vq")).as("vq"))
-        .select(col("vec_id"), col("vq"), col("_best.c_id").as("cell"))
+      e.crossJoin(broadcast(centsArr(cents)))
+        .select(col("vec_id"), col("vq"),
+          element_at(scoreArr, 1).getField("c_id").as("cell"))
     def refine(members: DataFrame): DataFrame =
       members.select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -274,19 +270,49 @@ object PipelineOps {
       .select(col("doc_id"), col("minh")).distinct()
   }
 
-  /** final cluster assignment against a TRAINED codebook — the same
-    * min-struct hash-agg shape as the Lloyd step (partial aggregation
-    * collapses the ×k blow-up map-side), exposed for consumers that
-    * need (vec_id → c_id) after training. */
-  def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents.select(col("c_id"), col("cv"), col("cn"))))
-      .select(col("vec_id"), struct(
-        (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
-          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
+  /** the k-or-fewer centroid rows folded to ONE (c_id, cv, cn)-struct
+    * array row, for broadcasting into an exchange-free scoreArr
+    * projection (the codebook is k rows by construction, never
+    * corpus-sized — the same bound the old broadcast crossJoin relied
+    * on). */
+  private def centsArr(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(
+      struct(col("c_id"), col("cv"), col("cn"))).as("_cents"))
+
+  /** per-row ASCENDING (negcos, c_id) score array against the broadcast
+    * `_cents` array — element 1 is the nearest cell (≡ the former
+    * min(struct(negcos, c_id)) hash aggregate: array_sort uses the same
+    * struct ordering), a slice(…, 1, n) is the n nearest (≡ the former
+    * sort_array(collect_list)). Input row needs (vq, nrm). */
+  private def scoreArr: Column =
+    array_sort(transform(col("_cents"), c =>
+      struct(
+        (-(dotCol(col("vq"), c.getField("cv")).cast(DoubleType) /
+          sqrt(c.getField("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
           .as("negcos"),
-        col("c_id").as("c_id")).as("_sc"))
-      .groupBy(col("vec_id")).agg(min(col("_sc")).as("_best"))
-      .select(col("vec_id"), col("_best.c_id").as("c_id"))
+        c.getField("c_id").as("c_id"))))
+
+  /** probe construction shared by the IVF family: each probe vector's
+    * nprobe=4 nearest cells via the broadcast scoreArr slice — an
+    * exchange-free projection + explode (was a ×k crossJoin feeding a
+    * collect_list hash aggregate per probe query; the slice of the
+    * ascending array ≡ the former slice(sort_array(collect_list(sc)),
+    * 1, 4)). Output (q_id, qv, qn, cell), one row per probed cell. */
+  private def probeTop4(probeVecs: DataFrame, cents: DataFrame): DataFrame =
+    probeVecs.crossJoin(broadcast(centsArr(cents)))
+      .select(col("vec_id").as("q_id"), col("vq").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(scoreArr, 1, 4)).as("_c"))
+      .withColumn("cell", col("_c.c_id")).drop("_c")
+
+  /** final cluster assignment against a TRAINED codebook — the scoreArr
+    * argmin projection (exchange-free; was a ×k crossJoin + min-struct
+    * hash aggregate), exposed for consumers that need (vec_id → c_id)
+    * after training. */
+  def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centsArr(cents)))
+      .select(col("vec_id"),
+        element_at(scoreArr, 1).getField("c_id").as("c_id"))
 
   /** 8-bit hyperplane signature column over the quantized embedding —
     * the LSH bucket key shared by q25 (ANN) and q132 (semantic dedup);
@@ -449,14 +475,6 @@ object PipelineOps {
   /** per-(vector, centroid) scores with the codegen'd dot fold; cell
     * picks are hash aggregates over struct(-cos, c_id) so partial
     * aggregation collapses the ×k blow-up before any shuffle. */
-  private def ivfScores(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("vq"), col("nrm"), struct(
-        (-(dotCol(col("vq"), col("cv")).cast(DoubleType) /
-          sqrt(col("cn").cast(DoubleType) * col("nrm").cast(DoubleType))))
-          .as("negcos"),
-        col("c_id").as("c_id")).as("sc"))
-
   /** one-Lloyd-round IVF index (q122's construction, shared with the
     * stored build): centroids (c_id, cv, cn) and postings
     * (cell, n_id, nv, nn). Deterministic integer centroids, so the index
@@ -464,9 +482,9 @@ object PipelineOps {
   private def ivfIndex(e: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
     val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("vq").as("cv"), col("nrm").as("cn"))
-    val members = ivfScores(e, seeds).groupBy(col("vec_id"))
-      .agg(min(col("sc")).as("best"), first(col("vq")).as("vq"))
-      .select(col("vec_id"), col("vq"), col("best.c_id").as("cell"))
+    val members = e.crossJoin(broadcast(centsArr(seeds)))
+      .select(col("vec_id"), col("vq"),
+        element_at(scoreArr, 1).getField("c_id").as("cell"))
     val refined = members
       .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
@@ -481,11 +499,10 @@ object PipelineOps {
       // the corpus — materialize once: every caller broadcasts the
       // centroids into at least two joins (assignment + probe)
       .localCheckpoint()
-    val assigned = ivfScores(e, refined).groupBy(col("vec_id"))
-      .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
-        first(col("nrm")).as("nn"))
-      .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
-        col("nv"), col("nn"))
+    val assigned = e.crossJoin(broadcast(centsArr(refined)))
+      .select(col("vec_id").as("n_id"),
+        element_at(scoreArr, 1).getField("c_id").as("cell"),
+        col("vq").as("nv"), col("nrm").as("nn"))
     (refined, assigned)
   }
 
@@ -542,12 +559,11 @@ object PipelineOps {
       basePost.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$base/postings")
       val frozen = s.read.parquet(s"$base/centroids")
-      ivfScores(e.filter(pmod(col("vec_id"), lit(5)) === 0), frozen)
-        .groupBy(col("vec_id"))
-        .agg(min(col("sc")).as("best"), first(col("vq")).as("nv"),
-          first(col("nrm")).as("nn"))
-        .select(col("vec_id").as("n_id"), col("best.c_id").as("cell"),
-          col("nv"), col("nn"))
+      e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .crossJoin(broadcast(centsArr(frozen)))
+        .select(col("vec_id").as("n_id"),
+          element_at(scoreArr, 1).getField("c_id").as("cell"),
+          col("vq").as("nv"), col("nrm").as("nn"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$base/postings_delta")
       (s"$base/centroids", s"$base/postings", s"$base/postings_delta")
@@ -1064,13 +1080,7 @@ object PipelineOps {
       val post = s.read.parquet(pp)
         .unionByName(graft.streaming.AnnMaintain.postings(s, store))
       val e = embArr(s, dir)
-      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), cents)
       val cand = post.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1094,13 +1104,7 @@ object PipelineOps {
       val cents = s.read.parquet(cp)
       val post = s.read.parquet(pp).unionByName(s.read.parquet(dp))
       val e = embArr(s, dir)
-      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), cents)
       val cand = post.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1125,13 +1129,7 @@ object PipelineOps {
       val cents = graft.streaming.AnnMaintain.currentCentroids(s, store, boot)
       val post = graft.streaming.AnnMaintain.postings(s, store)
       val e = embArr(s, dir)
-      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), cents)
       val cand = post.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1163,13 +1161,7 @@ object PipelineOps {
       val cents = graft.streaming.AnnMaintain.currentCentroids(s, store, boot)
       val post = graft.streaming.AnnMaintain.postings(s, store)
       val e = embArr(s, dir)
-      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), cents)
       val cand = post.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1186,13 +1178,7 @@ object PipelineOps {
       val cents = s.read.parquet(boot)
       val post = graft.streaming.AnnMaintain.postings(s, store)
       val e = embArr(s, dir)
-      val probes = ivfScores(e.filter(pmod(col("vec_id"), lit(100)) === 1), cents)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(pmod(col("vec_id"), lit(100)) === 1), cents)
       val cand = post.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1209,13 +1195,7 @@ object PipelineOps {
       val cents = s.read.parquet(cp)
       val post = s.read.parquet(pp)
       val e = embArr(s, dir)
-      val probes = ivfScores(e.filter(col("vec_id") % 100 === 0), cents)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), cents)
       val cand = post.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1528,14 +1508,13 @@ object PipelineOps {
     // an offline k-means codebook — the query-path shape (broadcast
     // assign → cell equi-join → in-cell exact rank) is the real IVF
     // plan. Cell assignment keeps the codegen'd per-pair dot fold
-    // (broadcast codebook crossJoin) but picks cells with HASH
-    // AGGREGATES instead of a sort window: min(struct(-cos, c_id)) for
-    // top-1, sort_array(collect_list(16 small structs)) sliced to 4 for
-    // the probes. Partial aggregation collapses the ×16 blow-up map-side
-    // BEFORE the shuffle, so each embedding array crosses the wire once
-    // — the earlier row_number version shuffled every embedding 16× and
-    // sorted (a scale-killer at real N), and a map-only HOF argmin
-    // measured slower (nested lambdas leave whole-stage codegen).
+    // (broadcast codebook crossJoin) + min(struct(-cos, c_id)) hash
+    // aggregates: for THIS single-round, inline-cents shape the r15
+    // scoreArr projection measured SLOWER isolated (1.257 vs 0.995 s —
+    // nested lambdas leave whole-stage codegen and there is only one
+    // exchange to save), while every multi-round/multi-consumer IVF
+    // path (q122/q140/q309/q380/q384) measured faster with it —
+    // empirics per shape, not one rule.
     "q103_ann_ivf" -> ((s, dir) => {
       val e = embArr(s, dir)
       val cents = e.filter(col("vec_id") < 16)
@@ -1582,14 +1561,7 @@ object PipelineOps {
     "q122_ann_ivf_kmeans" -> ((s, dir) => {
       val e = embArr(s, dir)
       val (refined, assigned) = ivfIndex(e)
-      val sc2 = ivfScores(e, refined)
-      val probes = sc2.filter(col("vec_id") % 100 === 0)
-        .groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(col("sc"))), 1, 4).as("top4"),
-          first(col("vq")).as("qv"), first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("q_id"), explode(col("top4")).as("_c"),
-          col("qv"), col("qn"))
-        .withColumn("cell", col("_c.c_id")).drop("_c")
+      val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), refined)
       val cos = assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("dot", dotCol(col("qv"), col("nv")))
@@ -1766,23 +1738,30 @@ object PipelineOps {
           s"CAST(CAST(conv(substring(md5(concat('clf:', g)), 1, 15), " +
             s"16, 10) AS BIGINT) % $B AS INT)"))
         .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      val weights = s.range(C).select(col("id").cast("int").as("cls"))
-        .crossJoin(s.range(B).select(col("id").cast("int").as("bucket")))
-        .withColumn("w", expr(
-          "CAST(conv(substring(md5(concat('clfw:', cls, ':', bucket)), " +
-            "1, 15), 16, 10) AS BIGINT) % 2001 - 1000"))
-      val scores = feat.join(broadcast(weights), "bucket")
-        .groupBy(col("doc_id"), col("cls"))
-        .agg(sum(col("cnt") * col("w")).as("score"))
-      val w1 = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("cls").asc)
-      scores
-        .withColumn("rnk", row_number().over(w1))
-        .withColumn("next_score", lead(col("score"), 1).over(w1))
-        .filter(col("rnk") === 1)
-        .select(col("doc_id"), col("cls").as("best_class"),
-          col("score").cast(LongType).as("best_score"),
-          (col("score") - coalesce(col("next_score"), col("score")))
+      // the weight table pivots to ONE row per bucket (w[cls] array), so
+      // the sparse dot is C sums in a single doc-keyed hash aggregate and
+      // the winner/margin fall out of a 4-struct array_sort projection —
+      // r15: was a ×C join blow-up + (doc, cls) aggregate + rank/lead
+      // window (two more exchanges and a sort; guide §2.3/§2.4). The
+      // margin always has a runner-up: every doc scores all C classes.
+      val weights = s.range(B).select(col("id").cast("int").as("bucket"))
+        .withColumn("ws", expr(
+          s"transform(sequence(0, ${C - 1}), cls -> " +
+            "CAST(conv(substring(md5(concat('clfw:', cls, ':', bucket)), " +
+            "1, 15), 16, 10) AS BIGINT) % 2001 - 1000)"))
+      val clsSums = (0 until C).map(c =>
+        sum(col("cnt") * element_at(col("ws"), c + 1)).as(s"s$c"))
+      val sums = feat.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(clsSums.head, clsSums.tail: _*)
+      val ranked = array_sort(array((0 until C).map(c =>
+        struct((-col(s"s$c")).as("negscore"), lit(c).as("cls"))): _*))
+      sums
+        .withColumn("_r", ranked)
+        .select(col("doc_id"),
+          col("_r")(0).getField("cls").as("best_class"),
+          (-col("_r")(0).getField("negscore")).cast(LongType).as("best_score"),
+          (col("_r")(1).getField("negscore") - col("_r")(0).getField("negscore"))
             .cast(LongType).as("margin"))
     }),
 
@@ -1946,8 +1925,12 @@ object PipelineOps {
             |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
             |ELSE array() END""".stripMargin)).as("g"))
         .distinct()
-      val dfg = grams.groupBy(col("g")).agg(count(lit(1)).as("dfg"))
-      grams.join(dfg, "g")
+      // gram document-frequency as ONE unordered count window over g —
+      // r15: the groupBy + join-back form evaluated the explode+distinct
+      // subtree twice (guide §2.4: duplicated subtrees); a g group is as
+      // large as that gram's doc frequency, never corpus-sized
+      grams
+        .withColumn("dfg", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("dfg") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -3234,9 +3217,14 @@ object PipelineOps {
         s"CAST(CAST(conv(substring(md5(concat('cms$r:', tok)), 1, 15), " +
           s"16, 10) AS BIGINT) % $w AS INT)"
       val positions = expr((0 until d).map(cell).mkString("array(", ", ", ")"))
-      val sk = toks.agg(
-        graft.functions.Cms.cmsSketch(positions, lit(1L), d, w).as("cms"))
       val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      // the sketch folds the EXACT-COUNTED vocabulary, not the raw token
+      // stream — r15: cell values are sums of counts either way (CMS
+      // updates are associative), but hashing d cells per DISTINCT token
+      // instead of per occurrence cuts the md5 work by the corpus'
+      // mean token frequency (guide §2.3: aggregate before you shuffle)
+      val sk = cand.agg(
+        graft.functions.Cms.cmsSketch(positions, col("n_exact"), d, w).as("cms"))
       cand.crossJoin(broadcast(sk))
         .withColumn("est", expr((0 until d).map(r =>
           s"element_at(cms, $r * $w + (${cell(r)}) + 1)")
@@ -3823,9 +3811,16 @@ object PipelineOps {
           col("w7"))))
         .filter(col("w7").isNotNull) // windows fully inside the doc
         .select(col("doc_id"), col("pos"), col("h8"))
-      val dup = hashes.groupBy(col("h8"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h8"))
-      val d = hashes.join(dup, "h8").select(col("doc_id"), col("pos"))
+      // duplicated-window detection as ONE unordered count window over
+      // h8 — r15: the groupBy + join-back form evaluated the whole
+      // `hashes` subtree (posexplode + 7 lead windows + md5) TWICE, once
+      // per join side (guide §2.4: duplicated subtrees); the window form
+      // computes it once and shuffles by h8 once, and an h8 group is as
+      // small as its duplicate count at any corpus size
+      val d = hashes
+        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h8"))))
+        .filter(col("c") >= 2)
+        .select(col("doc_id"), col("pos"))
       val isl = d
         .withColumn("gap", col("pos") - lag(col("pos"), 1).over(wn))
         .withColumn("island", sum(
@@ -3936,7 +3931,11 @@ object PipelineOps {
     // sizes — and the pair fan-out — are bounded by design, unlike raw
     // shingle joins.
     "q310_winnow_overlap" -> ((s, dir) => {
-      val fp = winnowedMinh(s, dir)
+      // materialized once — r15: the fingerprint set feeds THREE
+      // consumers (both self-join sides + the size table), so the
+      // shingle/md5/winnow subtree evaluated 3× without the checkpoint;
+      // the winnowed set is a bounded-density sample, never corpus-sized
+      val fp = winnowedMinh(s, dir).localCheckpoint()
       val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       fp.as("x")
         .join(fp.as("y"), col("x.minh") === col("y.minh") &&
@@ -4300,7 +4299,10 @@ object PipelineOps {
         .select(col("doc_id"), col("source"),
           posexplode(col("lines")).as(Seq("pos", "line")))
         .withColumn("lh", md5(col("line")))
-      val ndocs = lined.groupBy("source")
+      // per-source doc counts don't need the line arrays at all — r15:
+      // deriving them from `lined` re-evaluated the whole line-building
+      // expression a second time (guide §2.3: project before the work)
+      val ndocs = Tables.documents(s, dir).groupBy("source")
         .agg(countDistinct("doc_id").as("ndocs"))
       val bp = ex.groupBy(col("source"), col("lh"))
         .agg(countDistinct(col("doc_id")).as("dwith"))
@@ -4311,8 +4313,13 @@ object PipelineOps {
         .join(broadcast(bp.withColumn("isbp", lit(1))),
           Seq("source", "lh"), "left_outer")
         .filter(col("isbp").isNull)
-      val tot = lined.select(col("doc_id"),
-        size(col("lines")).cast(LongType).as("n_lines"))
+      // total line count in closed form (1 copyright line + the 8-word
+      // chunks + the even-doc subscribe line) — r15: size(lines) off
+      // `lined` was a third evaluation of the line-building expression
+      val tot = Tables.documents(s, dir).select(col("doc_id"),
+        expr("CAST(1 + CAST(ceil(size(split(text, ' ')) / 8.0) AS INT) + " +
+          "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("n_lines"))
       kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           expr("array_join(transform(array_sort(collect_list(" +
@@ -4372,16 +4379,22 @@ object PipelineOps {
           regexp_extract(col("h"), "site(\\d+)\\.", 1).cast(LongType))
       val edges = a.filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct().localCheckpoint()
-      val outd = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+      // out-degree attaches to the edge list ONCE, outside the loop —
+      // r15: it is loop-invariant, so joining it per round paid 8
+      // broadcast joins for one (guide §1.2: don't recompute what you
+      // throw away); the rank side is ≤ |nodes| rows and broadcasts
+      val edgesD = edges.join(broadcast(
+          edges.groupBy("src").agg(count(lit(1)).as("outd"))), "src")
+        .localCheckpoint()
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
         .localCheckpoint()
       val nn = nodes.agg(count(lit(1)).as("n"))
       var r = nodes.crossJoin(broadcast(nn))
         .select(col("node"), expr(s"$S div n").as("pr")).localCheckpoint()
-      for (_ <- 1 to 8) {
-        val inflow = edges.join(broadcast(outd), "src")
-          .join(r.withColumnRenamed("node", "src"), "src")
+      for (i <- 1 to 8) {
+        val inflow = edgesD
+          .join(broadcast(r.withColumnRenamed("node", "src")), "src")
           .withColumn("c", expr("pr div outd"))
           .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
         r = nodes.join(inflow, Seq("node"), "left_outer")
@@ -4389,7 +4402,11 @@ object PipelineOps {
           .select(col("node"),
             expr(s"($S div n) * 15 div 100 + " +
               "coalesce(inflow, 0L) * 85 div 100").as("pr"))
-          .localCheckpoint()
+        // lineage cut every SECOND round: one checkpoint job buys two
+        // rounds of truncation (plans stay O(1); r15 — per-round
+        // checkpoints were half the round latency, and at 100 TB the
+        // same halving applies to the checkpoint I/O)
+        if (i % 2 == 0) r = r.localCheckpoint()
       }
       r.withColumn("pr_ppm", expr(s"pr * 1000000 div $S"))
     }),
@@ -4715,8 +4732,12 @@ object PipelineOps {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
       .withColumn("h", md5(col("tok")))
+    // high-bit test per hex nibble: over [0-9a-f], ascii(c) >= 56 ('8')
+    // selects exactly {8,9,a..f} — one byte compare instead of an 8-way
+    // string IN list (r15: 8 string equalities × 32 nibbles per token row
+    // was the hot expression of the simhash family)
     val votes = (0 until 32).map { k =>
-      sum(when(expr(s"substring(h, ${k + 1}, 1)").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+      sum(when(expr(s"ascii(substring(h, ${k + 1}, 1)) >= 56"), 1)
         .otherwise(-1)).as(s"v$k")
     }
     tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
