@@ -718,6 +718,9 @@ object InteropOps {
     // KMV sketch (q313/q314's discipline); the scan shape is the same.
     "q329_table_profile" -> ((s, dir) => {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      // (r15: a pre-agg spread of the one-split scan measured SLOWER
+      // here — the countDistinct expand shuffles right after anyway, so
+      // the extra exchange only added latency; left as a plain scan)
       val d = graft.Tables.documents(s, dir)
       val aggs = count(lit(1)).as("n_rows") +:
         cols.flatMap(c => Seq(

@@ -17,6 +17,17 @@ import graft.multimodal.Multimodal.MediaRow
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** spread a small scan across the session's cores before per-row codec
+    * work — a tiny parquet file is ONE split, and a map with no exchange
+    * below it runs the whole encode/decode pass on a single task (r15;
+    * the stored-media layouts solve this at WRITE time via the derived
+    * file count, in-plan synthesis must spread at READ time; guide §2.5
+    * input skew). Hash on the dense id, not round-robin — a keyless
+    * repartition pays a local sort (SPARK-23207), and the id has far
+    * more distinct values than partitions so the hash spreads evenly. */
+  private[operators] def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private def mediaDs(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir).select(
@@ -1723,9 +1734,9 @@ object MultimodalOps {
     // image container fully decoded (PNG q292, GIF q296).
     "q298_jpeg_pixel_stats" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
           val jpg = graft.multimodal.Jpeg.encodeGray(w, h,
@@ -1748,9 +1759,9 @@ object MultimodalOps {
     // floor((blocks-1)/ri).
     "q348_jpeg_restart" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
           val ri = (id % 5 + 1).toInt
@@ -1784,9 +1795,9 @@ object MultimodalOps {
     // sequential/progressive here).
     "q350_jpeg_arith" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val progressive = ((id / 3) % 2) == 0
           val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
@@ -2416,9 +2427,9 @@ object MultimodalOps {
     // scan-bound, zero shuffles (the audio-corpus ingest shape).
     "q358_flac_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val ch = 1 + (id % 2).toInt
           val n = 600 + (id % 5).toInt * 500
@@ -2525,7 +2536,7 @@ object MultimodalOps {
       import s.implicits._
       Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).transform(df => spread(s, df)).as[Long]
         .map { id =>
           val n = 20 + (id % 10).toInt
           val frames = (0 until n).map(f =>
@@ -2707,9 +2718,9 @@ object MultimodalOps {
     // share VERDICT r7 #3 flagged now decodes instead of rejecting.
     "q324_jpeg_progressive_stats" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val progressive = ((id / 3) % 2) == 0
           val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
@@ -2735,9 +2746,9 @@ object MultimodalOps {
     // 4:2:0 path (16×16 flat MCUs) and the 4:4:4 path (8×8 tiles).
     "q312_jpeg_color_pixel_stats" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val c420 = ((id / 3) % 2) == 0
           val t = if (c420) 16 else 8
@@ -2766,9 +2777,9 @@ object MultimodalOps {
     // (H.264/VP9) remain out.
     "q302_mjpeg_video_stats" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 2)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val w = (id % 16 + 8).toInt; val h = (id % 8 + 8).toInt
           val nf = (id % 4 + 2).toInt

@@ -1586,31 +1586,42 @@ object PipelineOps {
     "q182_ann_pq_adc" -> ((s, dir) => {
       val e = embArr(s, dir)
       val M = 4; val sub = 16; val K = 16
-      val subs = e
-        .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"), col("vq"))
-        .withColumn("sv", expr(s"slice(vq, m * $sub + 1, $sub)"))
-        .drop("vq")
-      val book = subs.filter(col("vec_id") < K)
-        .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cv"))
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-      val dists = subs.join(broadcast(book), Seq("m"))
-        .withColumn("d2", d2(col("sv"), col("cv")))
-      val enc = dists
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("c_id").asc)))
-        .filter(col("rn") === 1)
-        .groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("c_id")))),
-          x => x.getField("c_id")).as("codes"))
-      val lut = dists.filter(col("vec_id") % 100 === 0)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(transform(array_sort(collect_list(struct(col("c_id"), col("d2")))),
-          x => x.getField("d2")).as("larr"))
-        .groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("larr")))),
-          x => x.getField("larr")).as("lut"))
-        .withColumnRenamed("vec_id", "q_id")
+      // the M×K codebook folds to ONE broadcast row (book[m][c] = the
+      // c-th training subvector — c_id is dense 0..K-1 by construction,
+      // so the by-c_id sort order IS the array index); encode and LUT
+      // are then single projections — r15: was an explode-to-(vec, m)
+      // join ×K, a row_number window and four collect_list aggregates
+      // (7 exchanges of the subvector stream → the codebook broadcast
+      // alone; the d2 arithmetic per pair is unchanged)
+      val book1 = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("c_id"),
+          explode(expr(s"sequence(0, ${M - 1})")).as("m"), col("vq"))
+        .withColumn("cv", expr(s"slice(vq, m * $sub + 1, $sub)"))
+        .groupBy(col("m"))
+        .agg(transform(array_sort(collect_list(struct(col("c_id"), col("cv")))),
+          x => x.getField("cv")).as("cvs"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("cvs")))),
+          x => x.getField("cvs")).as("book"))
+      // each row's M subvectors slice ONCE and zip against the book's
+      // per-subspace candidate lists (cbs index = c_id)
+      val svArrSql = s"transform(sequence(0, ${M - 1}), m -> slice(vq, m * $sub + 1, $sub))"
+      val d2Sql = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a2, x) -> a2 + x)"
+      // nearest code per subspace: ascending (d2, c) struct sort, element
+      // 1 — identical tie-break to the former (d2 asc, c_id asc) window
+      val enc = e.crossJoin(broadcast(book1))
+        .select(col("vec_id"), expr(
+          s"zip_with($svArrSql, book, (sv, cbs) -> " +
+            s"CAST(element_at(array_sort(transform(sequence(0, ${K - 1}), c -> " +
+            s"named_struct('d', aggregate(zip_with(sv, element_at(cbs, CAST(c AS INT) + 1), " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (a2, x) -> a2 + x), 'c', c))), 1).c AS BIGINT))")
+          .as("codes"))
+      val lut = e.filter(col("vec_id") % 100 === 0)
+        .crossJoin(broadcast(book1))
+        .select(col("vec_id").as("q_id"), expr(
+          s"zip_with($svArrSql, book, (sv, cbs) -> " +
+            s"transform(cbs, cv -> $d2Sql))")
+          .as("lut"))
       val scored = enc.crossJoin(broadcast(lut))
         .filter(col("q_id") =!= col("vec_id"))
         .withColumn("adist", expr(
@@ -3444,8 +3455,8 @@ object PipelineOps {
     // not SQL-expressible (the q347 split). Scan-bound, zero shuffles.
     "q357_zstd_frames" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"))
+      MultimodalOps.spread(s, Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang")))
         .as[(Long, String, String)]
         .map { case (id, text, lang) =>
           val half = text.length / 2
@@ -3647,6 +3658,12 @@ object PipelineOps {
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 300)
             .as("t"))
         .filter(length(col("t")) > 0)
+        // the documents scan is one small file = ONE task, and nothing
+        // below shuffles — without this spread the per-row bzip2
+        // round-trip serializes on a single core (r15; guide §2.5
+        // input-skew: repartition immediately after the read when the
+        // downstream work is per-row CPU, not the scan)
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .map { case (id, t) =>
           val esc = t.replace("&", "&amp;").replace("<", "&lt;")
@@ -3858,9 +3875,12 @@ object PipelineOps {
     // blobs and the join is banded — the same shape as q22/q134.
     "q344_image_dhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val hashes = Tables.documents(s, dir)
+      // spread: the GIF decode is per-row work over a one-split scan
+      // (r15; guide §2.5); checkpoint: `hashes` feeds FOUR consumers
+      // (both band-join sides + both attach-backs), so the decode ran 4×
+      val hashes = MultimodalOps.spread(s, Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           val j = id / 3; val g = j / 3; val r = (j % 3).toInt
           val w = (g % 7 + 12).toInt; val h = (g % 5 + 10).toInt
@@ -3899,6 +3919,7 @@ object PipelineOps {
           }
           (id, w.toLong, h.toLong, bands(0), bands(1), bands(2), bands(3))
         }.toDF("id", "w", "h", "b0", "b1", "b2", "b3")
+        .localCheckpoint()
       val bandRows = hashes.select(col("id"), col("w"), col("h"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("band", "bv")))
