@@ -42,6 +42,19 @@ object Tables {
     spark.read.schema(sch).parquet(path)
   }
 
+  /** spread a one-split scan across the session's cores before heavy
+    * per-row projections (r15; guide §2.5 input skew). The testdata
+    * tables are single small parquet files — one row group, ONE scan
+    * task — so any expensive map-side expression chain (JSON extraction,
+    * md5 ids, codec work) otherwise runs on a single core until the
+    * first exchange. Hash on a dense unique key, not round-robin: a
+    * keyless repartition pays a local sort (SPARK-23207), and the key
+    * has far more distinct values than partitions so the hash spreads
+    * evenly. Column pruning still narrows what crosses the exchange;
+    * the heavy projection itself evaluates above it, on all cores. */
+  def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col(key))
+
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")

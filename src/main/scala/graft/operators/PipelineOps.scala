@@ -61,7 +61,9 @@ object PipelineOps {
     * (event_id, url, host, canonical_url, had_junk). */
   private def urlCanon(s: SparkSession, dir: String): DataFrame = {
     val junkRe = "^(utm_|fbclid=|gclid=)"
-    Tables.events(s, dir)
+    // spread: ~15 regex/split ops per row over a one-split scan, with no
+    // exchange until each caller's first aggregate (r15; guide §2.5)
+    Tables.spread(s, Tables.events(s, dir), "event_id")
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
       .withColumn("url", expr(
         """concat(
@@ -145,6 +147,9 @@ object PipelineOps {
     * concat over `documents`, so both engines construct identical
     * bytes. */
   private def htmlDocs(s: SparkSession, dir: String): DataFrame =
+    // (r15: a pre-synthesis spread measured SLOWER for every consumer —
+    // q335/q337/q338 re-shuffle immediately and the fixture build is
+    // cheaper than the extra exchange; left as a plain scan)
     Tables.documents(s, dir).withColumn("html", expr(
       "concat('<!DOCTYPE html><html><head><title>Doc ', " +
         "CAST(doc_id AS STRING), '</title><style>.m', " +
@@ -259,6 +264,9 @@ object PipelineOps {
     * before it folds to one hash): shingle md5s, rolling min over the
     * 4-wide winnow window, distinct. */
   private def winnowedMinh(s: SparkSession, dir: String): DataFrame = {
+    // (r15: a pre-explode spread measured slightly SLOWER here — the
+    // doc_id window right below reshuffles anyway, so the extra exchange
+    // only added latency)
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
@@ -386,7 +394,11 @@ object PipelineOps {
   private def docShinglesStored(s: SparkSession, dir: String): DataFrame = {
     val path = shingleCache.getOrElseUpdate(vdir(dir), {
       val p = graft.storage.LocalCache.dir(s"shingles|${vdir(dir)}")
-      docShingles(s, dir).write.mode("overwrite").parquet(p)
+      // the stored layout is every reader's split source (the media-store
+      // lesson): one file = one scan task for every shingle self-join
+      // (r15; spread by doc_id so a doc's shingles stay co-located)
+      Tables.spread(s, docShingles(s, dir), "doc_id")
+        .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
@@ -858,8 +870,10 @@ object PipelineOps {
     * (doc_id, shard bytes). */
   private def jsonlGzShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), col("lang"))
+    // spread: per-row regex scrub + gzip over a one-split scan, and the
+    // gunzip map downstream inherits the layout (r15; guide §2.5)
+    Tables.spread(s, Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang")), "doc_id")
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         val tb = text.replaceAll("[^ -~]", "").toLowerCase
@@ -1736,7 +1750,7 @@ object PipelineOps {
     // split runs once, codegen'd, instead of a per-character lambda.)
     "q326_hashed_linear_classifier" -> ((s, dir) => {
       val B = 1024; val C = 4
-      val grams = Tables.documents(s, dir)
+      val grams = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(expr(
           """concat(toks,
@@ -2813,7 +2827,7 @@ object PipelineOps {
     // broadcast, never a driver-side count.
     "q142_tfidf_topterms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tf = docs
+      val tf = Tables.spread(s, docs, "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -3984,7 +3998,7 @@ object PipelineOps {
       // token counts and the cluster sizes below
       val assign = kmeansAssign(e, kmeansCentroids(e, k = 16, iters = 2))
         .localCheckpoint()
-      val toks = Tables.documents(s, dir)
+      val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "" && !col("tok").isin("the", "a"))
       val counts = toks
@@ -4750,7 +4764,7 @@ object PipelineOps {
     * with the q134 Hamming bucketing): bit k = majority vote of the high
     * bit of md5 hex nibble k over distinct tokens. */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.spread(s, Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
       .withColumn("h", md5(col("tok")))
     // high-bit test per hex nibble: over [0-9a-f], ascii(c) >= 56 ('8')
