@@ -4275,7 +4275,11 @@ object PipelineOps {
     // .MaxEntityBytes]]. Per-row decode, scan-bound.
     "q347_warc_gzip" -> ((s, dir) => {
       import s.implicits._
-      val parsed = htmlDocs(s, dir).select(col("doc_id"), col("html"))
+      // spread: per-row gzip + WARC/HTTP walk over a one-split scan
+      // (r15; guide §2.5 — scoped HERE, not in htmlDocs: the other html
+      // consumers reshuffle immediately and measured slower with it)
+      val parsed = Tables.spread(s,
+        htmlDocs(s, dir).select(col("doc_id"), col("html")), "doc_id")
         .as[(Long, String)]
         .map { case (id, html) =>
           val body = html.getBytes("UTF-8")
