@@ -25,8 +25,15 @@ object MultimodalOps {
     * input skew). Hash on the dense id, not round-robin — a keyless
     * repartition pays a local sort (SPARK-23207), and the id has far
     * more distinct values than partitions so the hash spreads evenly. */
-  private[operators] def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  private[operators] def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    // split-aware (r16, VERDICT #3): a many-split scan (the 100 TB case)
+    // already parallelizes — repartitioning it again would be a pure-
+    // overhead full shuffle, so this no-ops unless the scan has fewer
+    // splits than cores. Partition-count probe is plan metadata, no job.
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, col("doc_id"))
+  }
 
   private def mediaDs(s: SparkSession, dir: String) = {
     import s.implicits._

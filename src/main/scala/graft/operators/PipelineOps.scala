@@ -40,7 +40,15 @@ object PipelineOps {
     * per-row array fold, so dot products stay exact integer sums without
     * ever exploding to (vec, pos) rows. */
   private def embArr(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    // spread BELOW the quantization (r16): the embeddings scan is one
+    // split locally, and every consumer's per-row work — the vq/nrm
+    // transforms here plus the interpreted higher-order dot products of
+    // scoreArr/lshSig above — otherwise runs on a single core until the
+    // first exchange (q309's Lloyd stages measured ~500 ms single-task).
+    // The exchange carries the raw (vec_id, embedding) row only; repeated
+    // references inside one query (Lloyd rounds, assign) share the one
+    // exchange via ReuseExchange. Split-aware: no-ops on many-split scans.
+    Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
       .select(col("vec_id"),
         transform(col("embedding"),
           v => round(v.cast(DoubleType) * 1000000).cast(LongType)).as("vq"))
@@ -4704,22 +4712,40 @@ object PipelineOps {
 
   def connectedComponents(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = edgesIn.localCheckpoint()
+    // no checkpoint on the seed labels (r16): round 1 references this
+    // frame twice, but both references are the IDENTICAL distinct
+    // exchange over the checkpointed edges, so ReuseExchange computes it
+    // once inside round 1's job — the eager checkpoint here was one more
+    // driver-latency job per query on a frame that is read exactly once
     var lbl = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+      .withColumn("component", col("id"))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // (r16: a union-into-one-groupBy round — self ∪ neighbor labels,
+      // single aggregate — was measured here and REVERTED: floors came
+      // out consistently worse than the join form, e.g. q127 1.00 s vs
+      // 0.75, q309 2.49 vs 1.91.)
       val nbr = edges.join(lbl.select(col("id").as("v"), col("component").as("nc")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
       // the convergence flag rides the SAME join that computes the next
       // labels and materializes with the checkpoint — a separate
       // next⋈prev check was one more join job per round, pure driver
       // latency on an iteration whose data is small by then
-      val next = lbl.join(nbr, Seq("id"), "left")
+      val merged = lbl.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component")).as("_chg"))
-        .localCheckpoint()
+      // (r16: a per-round POINTER JUMP — label-of-label join — was
+      // measured here and REMOVED: these graphs are clique-like, so the
+      // jump's two extra exchanges per round bought no round reduction;
+      // q390 floor 2.15 s with jump vs 1.46 s without, q400 1.24 vs
+      // 0.92. pointerJumpComponents above keeps the jump for the
+      // fixed-round callers that need diameter coverage.)
+      // LAZY checkpoint (r16): the convergence aggregate below is the
+      // materializing action, so each round runs ONE job where the eager
+      // checkpoint + separate agg ran two.
+      val next = merged.localCheckpoint(false)
       val anyChg = next.agg(max(col("_chg"))).first()
       converged = anyChg.isNullAt(0) || !anyChg.getBoolean(0)
       lbl = next.drop("_chg")
