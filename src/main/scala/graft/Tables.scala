@@ -37,8 +37,13 @@ object Tables {
     // oracle reads the same files as naive timestamps).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // keyed by (path, mtime, length) — ADVICE r15: a path regenerated
+    // in-process (proof runs / tests rewriting fixture dirs) must not
+    // read with a stale schema; the stat is far cheaper than the footer
+    val f = new java.io.File(path)
+    val key = s"$path@${f.lastModified}:${f.length}"
+    val sch = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }
 

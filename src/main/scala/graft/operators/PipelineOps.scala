@@ -492,9 +492,6 @@ object PipelineOps {
     s.read.parquet(path)
   }
 
-  /** per-(vector, centroid) scores with the codegen'd dot fold; cell
-    * picks are hash aggregates over struct(-cos, c_id) so partial
-    * aggregation collapses the ×k blow-up before any shuffle. */
   /** one-Lloyd-round IVF index (q122's construction, shared with the
     * stored build): centroids (c_id, cv, cn) and postings
     * (cell, n_id, nv, nn). Deterministic integer centroids, so the index
@@ -1630,11 +1627,14 @@ object PipelineOps {
       val d2Sql = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
         "0L, (a2, x) -> a2 + x)"
       // nearest code per subspace: ascending (d2, c) struct sort, element
-      // 1 — identical tie-break to the former (d2 asc, c_id asc) window
+      // 1 — identical tie-break to the former (d2 asc, c_id asc) window.
+      // Candidate range is size(cbs) — NOT the literal K — so a training
+      // set missing some vec_id < K shrinks the codebook instead of
+      // scoring a NULL-distance phantom code (ADVICE r15).
       val enc = e.crossJoin(broadcast(book1))
         .select(col("vec_id"), expr(
           s"zip_with($svArrSql, book, (sv, cbs) -> " +
-            s"CAST(element_at(array_sort(transform(sequence(0, ${K - 1}), c -> " +
+            "CAST(element_at(array_sort(transform(sequence(0, size(cbs) - 1), c -> " +
             s"named_struct('d', aggregate(zip_with(sv, element_at(cbs, CAST(c AS INT) + 1), " +
             "(x, y) -> (x - y) * (x - y)), 0L, (a2, x) -> a2 + x), 'c', c))), 1).c AS BIGINT))")
           .as("codes"))
@@ -1921,6 +1921,7 @@ object PipelineOps {
         .filter(col("tok") === "vector")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("doc_id").asc).limit(50)
+        // unpartitioned rank frame is the limit(50) output — bounded
         .withColumn("r_lex", row_number().over(
           Window.orderBy(col("tf").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("r_lex"))
@@ -1931,6 +1932,7 @@ object PipelineOps {
         .withColumn("cos", dotCol(col("vq"), col("pq")).cast(DoubleType) /
           sqrt(col("nrm").cast(DoubleType) * col("pn").cast(DoubleType)))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        // unpartitioned rank frame is the limit(50) output — bounded
         .withColumn("r_vec", row_number().over(
           Window.orderBy(col("cos").desc, col("vec_id").asc)))
         .select(col("vec_id").as("doc_id"), col("r_vec"))
@@ -2429,18 +2431,42 @@ object PipelineOps {
     }),
 
     // Curriculum bucketing: documents ranked by a difficulty proxy and
-    // cut into 5 equal-size epochs with ntile — the deterministic
-    // total-order tie-break (doc_id) makes bucket membership exact. The
-    // global sort runs over (doc_id, n_chars) pairs only; epoch stats
-    // come from one follow-up hash aggregate.
-    "q225_curriculum_ntile" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("epoch", ntile(5).over(
-          Window.orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+    // cut into 5 equal-size epochs with ntile semantics — the
+    // deterministic total-order tie-break (doc_id) makes bucket
+    // membership exact. r16 (VERDICT window audit): the single global
+    // ntile window — the one corpus-sized unpartitioned window in the
+    // inventory — is replaced by the q359 two-pass prefix-sum rank: a
+    // per-n_chars partitioned row_number runs in parallel, per-value
+    // counts roll up to a tiny offsets frame (one row per DISTINCT
+    // n_chars — bounded by the length domain, not the corpus), and
+    // offset + local = the exact global rank. Epoch = ntile's own
+    // bucket arithmetic over (rank, N): the first N%5 buckets take
+    // ceil(N/5) rows, the rest floor(N/5) — bit-identical to ntile(5),
+    // which the DuckDB oracle still computes natively.
+    "q225_curriculum_ntile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val local = d.withColumn("lr", row_number().over(
+        Window.partitionBy(col("n_chars")).orderBy(col("doc_id").asc)))
+      // one row per distinct n_chars value — the only unpartitioned
+      // window left runs over this value-domain-bounded frame
+      val offs = d.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col("n_chars").asc))
+            - col("cnt"), lit(0L)))
+        .select(col("n_chars"), col("off"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      local.join(offs, Seq("n_chars")).crossJoin(broadcast(tot))
+        .withColumn("r", col("off") + col("lr"))
+        .withColumn("epoch", expr(
+          """CASE WHEN r <= (n_total div 5 + 1) * (n_total % 5)
+            |     THEN (r - 1) div (n_total div 5 + 1) + 1
+            |     ELSE (n_total % 5) +
+            |          (r - (n_total div 5 + 1) * (n_total % 5) - 1)
+            |            div (n_total div 5) + 1 END""".stripMargin))
         .groupBy(col("epoch"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_nc"),
-          max(col("n_chars")).as("max_nc"))),
+          max(col("n_chars")).as("max_nc"))
+    }),
 
     // Largest-remainder (Hamilton) apportionment of a fixed sampling
     // budget across sources: base = floor(B·nᵢ/N), the B−Σbase leftover
@@ -2455,6 +2481,8 @@ object PipelineOps {
       cnt.crossJoin(broadcast(tot))
         .withColumn("base", expr(s"($B * n) div n_total"))
         .withColumn("rem", expr(s"($B * n) % n_total"))
+        // unpartitioned rank frame = one row per SOURCE (already
+        // aggregated) — bounded by source cardinality, never the corpus
         .withColumn("rk", row_number().over(
           Window.orderBy(col("rem").desc, col("source").asc)))
         .withColumn("tot_base",
@@ -3637,6 +3665,7 @@ object PipelineOps {
         .toDF("ngram")
         .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ngram").asc).limit(16)
+        // unpartitioned rank frame is the limit(16) output — bounded
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc,
             col("ngram").asc)))
@@ -4413,9 +4442,12 @@ object PipelineOps {
     // restates them from the fixture formula — a genuinely different
     // formulation); each iteration is one edge⋈rank equi-join feeding a
     // hash agg on dst, with the out-degree table and the node count
-    // broadcast. At 100 TB this is the canonical iterate: edges
-    // pre-partitioned by src, ranks re-shuffled once per round,
-    // lineage cut per round with localCheckpoint.
+    // broadcast. The rank vector is one row per HOST (a registered-
+    // domain-bounded set, orders of magnitude below the page corpus),
+    // which is why the per-round broadcast is safe; a PAGE-level graph
+    // would swap the broadcast hint for a shuffle join on src and the
+    // rest of the iterate is unchanged. Lineage cut every second round
+    // with localCheckpoint.
     "q338_pagerank_hosts" -> ((s, dir) => {
       val S = 1000000000000L
       val a = htmlDocs(s, dir)

@@ -18,12 +18,7 @@ import graft.storage.Storage.TableLayout
 class PartitionBoundRuleSpec extends AnyFunSuite {
 
   private lazy val spark = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.TestSpark.session
     GraftExtensions.register(s)
     s
   }

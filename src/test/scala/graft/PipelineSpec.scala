@@ -12,12 +12,7 @@ import graft.operators.PipelineOps
   * exercises multi-round propagation). */
 class PipelineSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("cluster-safe split: no near-dup edge crosses train/eval") {
     val dir = "/root/testdata/sf0.001"

@@ -11,15 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // plan assertions read PushedFilters verbatim — don't truncate them
-    .config("spark.sql.maxMetadataStringLength", "4000")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // plan assertions read PushedFilters verbatim — maxMetadataStringLength
+  // is raised in the shared session so they are not truncated
+  private lazy val spark = graft.TestSpark.session
 
   private val dir = "/root/testdata/sf0.001"
 

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ONE SparkSession for the whole sbt-test JVM (r16, VERDICT #2).
+  *
+  * Every suite used to carry its own `SparkSession.builder()…local[2]…`
+  * block — but `Test / fork := true` runs all suites sequentially in one
+  * JVM and `getOrCreate()` reuses the first active session, so the
+  * WHOLE 104-file suite silently ran on 2 cores with 2 shuffle
+  * partitions (whichever suite touched Spark first won). This object
+  * makes the sharing explicit and sizes the session for the test box:
+  * 8 cores (tiny fixtures gain nothing past that — task overhead
+  * dominates), 4 shuffle partitions, and the codegen cache sized so
+  * 870+ distinct specs don't evict each other's compiled plans.
+  *
+  * Suites that genuinely need a PRIVATE session (extension injection:
+  * GraftExtensionsSpec, PromotedRuleSpec) still build their own and
+  * clear the default session around it.
+  */
+object TestSpark {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master(s"local[${math.min(8, Runtime.getRuntime.availableProcessors())}]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.maxMetadataStringLength", "4000")
+    .config("spark.sql.codegen.cache.maxEntries", "8192")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

@@ -8,11 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ApiSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("loki streams envelope: one stream per label set, newest first") {
     import spark.implicits._

@@ -15,13 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * unauthenticated query strings. */
 class HttpFuzzSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private lazy val (shell, port) = {
     val sh = new HttpShell(spark, "/root/testdata/sf0.001",

@@ -14,13 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * unknown routes as 404. */
 class HttpShellSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val dir = "/root/testdata/sf0.001"
   private val T0 = 1704067200L

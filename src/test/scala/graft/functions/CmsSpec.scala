@@ -10,11 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * CMS guarantee that a point estimate never undercounts. */
 class CmsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("buffer adds weighted positions; merge is elementwise addition") {
     val a = new CmsBuffer(2, 4)

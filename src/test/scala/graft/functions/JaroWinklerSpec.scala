@@ -44,11 +44,7 @@ class JaroWinklerSpec extends AnyFunSuite {
     // getOrCreate may hand back a session another suite built (shared
     // JVM), where builder-time extensions never apply — register on
     // whatever session we actually get.
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.TestSpark.session
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),

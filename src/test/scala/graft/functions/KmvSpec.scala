@@ -11,11 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct values. */
 class KmvSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("buffer caps at k, dedupes, evicts the max") {
     val b = new KmvBuffer(3)

@@ -11,11 +11,7 @@ import LogfmtMap.logfmtMap
   * codegen paths agreeing). */
 class LogfmtSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def parsed(line: String): Map[String, String] = {
     import spark.implicits._

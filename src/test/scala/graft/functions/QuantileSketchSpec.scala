@@ -12,11 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * its DuckDB oracle share — integer shifts only, no libm. */
 class QuantileSketchSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val e = "(length(conv(v, 10, 2)) - 1)"
   private val bucketSql =

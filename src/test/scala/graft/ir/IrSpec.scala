@@ -12,12 +12,7 @@ import Ir._
   */
 class IrSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   // hand-made rows with absent fields and mixed types (predicate.rs:300-345
   // asserts absent-field exclusion under both p and not p)

@@ -14,12 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PredicateLawSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   // rows chosen for collision pressure: duplicate v values, k absent /
   // zero / huge, a kind value shared with the literal pool, and one row

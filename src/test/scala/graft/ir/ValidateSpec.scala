@@ -11,11 +11,7 @@ import Ir._
   */
 class ValidateSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def table: Lowering.IrTable = {
     import spark.implicits._

@@ -14,12 +14,7 @@ import graft.logql.Lowering.LogsTable
   *  - range and CIDR forms bound inclusively. */
 class IpFilterSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def table(bodies: Seq[String]): LogsTable = {
     import spark.implicits._

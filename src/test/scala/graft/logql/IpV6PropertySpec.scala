@@ -11,12 +11,7 @@ import graft.logql.Lowering.LogsTable
   * filter matches all spellings of the same address. */
 class IpV6PropertySpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   /** expanded 4-nibble form. */
   private def expand(gs: Vector[Int]): String = gs.map(g => f"$g%04x").mkString(":")

@@ -13,12 +13,7 @@ import graft.storage.Storage.TableLayout
   * aggregate per attribute and flush to the advisory table. */
 class QueryDemandSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val promoted = Set("service_name", "severity_text", "body")
 

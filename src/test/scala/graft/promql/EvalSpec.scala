@@ -12,11 +12,7 @@ import Eval.{MetricsTable, TimeRange}
   */
 class EvalSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def table(rows: Seq[(Long, String, Double)]): MetricsTable = {
     import spark.implicits._

@@ -9,12 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * two content types are indistinguishable downstream of the acceptor. */
 class OtlpJsonSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def df(payload: Array[Byte]) = {
     import spark.implicits._

@@ -13,11 +13,7 @@ class OtlpSourceSpec extends AnyFunSuite {
 
   import Pb.{kv, strVal}
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def logsRequest(svc: String, n: Int, t0: Long): Array[Byte] = {
     val req = new Pb

@@ -10,11 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OtlpSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   import Pb.{kv, strVal}
 

@@ -14,12 +14,7 @@ import graft.profile.Flamegraph
   * resolve into one dictionary shape and one serializer. */
 class PprofSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val t0 = 1704067200L * 1000000000L
 

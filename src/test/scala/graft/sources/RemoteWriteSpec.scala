@@ -11,11 +11,7 @@ import graft.schema.Schemas
   */
 class RemoteWriteSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def batch = {
     import spark.implicits._

@@ -8,11 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * prompt return, session still healthy afterwards. */
 class QueryGuardSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("a fast action passes its result through") {
     val n = QueryGuard.withTimeout(spark, 30000, "small count") {

@@ -16,12 +16,7 @@ import graft.storage.Storage.TableLayout
   * position must carry over between cycles. */
 class CompactionSchedulerSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def cand(tenant: String, day: String, hour: Int) =
     Candidate(TableLayout("/tmp/x", tenant, "prod"), "logs", day, hour)

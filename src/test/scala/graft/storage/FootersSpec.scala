@@ -14,11 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class FootersSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("z-order layout tightens secondary-dimension footer ranges") {
     import spark.implicits._

@@ -11,12 +11,7 @@ import graft.streaming.IngestSink
 
 class StorageSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def logsBatch(n: Int, startNs: Long) = {
     import spark.implicits._

@@ -10,12 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * replay rewrites identical state; frozen centroids are never touched. */
 class AnnMaintainSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def mkCentroids(dir: String): String = {
     import spark.implicits._

@@ -12,12 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * third maintainer should add NO new lifecycle semantics. */
 class BandMaintainSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   // fingerprints: (doc_id, b1..b4, fp); docs 1/2 share band b1=7 and
   // are near (hd(fp)=1), doc 3 is isolated

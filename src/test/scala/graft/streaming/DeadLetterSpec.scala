@@ -13,12 +13,7 @@ import graft.storage.Storage.TableLayout
   * never wedges the stream. Healthy batches are untouched. */
 class DeadLetterSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("a poison batch dead-letters after maxAttempts and then succeeds") {
     import spark.implicits._

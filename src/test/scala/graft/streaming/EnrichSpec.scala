@@ -13,12 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EnrichSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   case class Ev(service: String, ts: Long, v: Double)
 

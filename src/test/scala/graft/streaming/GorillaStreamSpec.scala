@@ -14,12 +14,7 @@ import graft.storage.Gorilla
   * rewrites identical state. */
 class GorillaStreamSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val day0 = 86400000000L // one day in µs
 

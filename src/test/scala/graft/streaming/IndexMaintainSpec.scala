@@ -10,12 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * a search result), and replaying a batch id rewrites identical state. */
 class IndexMaintainSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val docs = Seq(
     (1L, "stream processing with hash joins on big data"),

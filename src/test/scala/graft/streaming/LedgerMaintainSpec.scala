@@ -11,12 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * transparency. */
 class LedgerMaintainSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   // docs 2 and 4 share content: a hash with two holders
   private val docs = Seq(

@@ -14,11 +14,7 @@ final case class Line(timestamp: Long, service_name: String,
 
 class LiveTailSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("tail applies the LogQL pipeline to a stream, appending matches") {
     implicit val sq = spark.sqlContext

@@ -14,12 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * replay must heal every store to the uninterrupted outcome. */
 class LockstepFeedSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))

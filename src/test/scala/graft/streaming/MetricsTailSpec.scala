@@ -9,12 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * buckets and series keep their own rows. */
 class MetricsTailSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("metrics tail emits the latest sample per (bucket, series)") {
     import spark.implicits._

@@ -21,12 +21,7 @@ import graft.storage.Storage.TableLayout
   */
 class OtlpIngestE2ESpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   /** minimal wire encoder (same as OtlpSpec's). */
   private final class Pb {

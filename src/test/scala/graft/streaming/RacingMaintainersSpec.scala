@@ -14,12 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * single-maintainer outcome. */
 class RacingMaintainersSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val docs = Seq(
     (1L, "stream processing with hash joins on big data"),

@@ -11,12 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * landing is idempotent under replay. */
 class RecordingRuleSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("closed windows record the batch rule's rows; open windows stay out") {
     import spark.implicits._

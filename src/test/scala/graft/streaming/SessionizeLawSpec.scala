@@ -18,12 +18,7 @@ import Sessionize.{Event, Session}
   * timeout path — both emission paths are load-bearing here. */
 class SessionizeLawSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   /** the denotation: sort per user, split on gap, count events. */
   private def fold(events: Seq[Event], gapSec: Long): Set[Session] =

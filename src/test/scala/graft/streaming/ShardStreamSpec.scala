@@ -11,12 +11,7 @@ import graft.sources.{Tar, TfRecord}
   * contribute zero rows without stalling. */
 class ShardStreamSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def tarShard(dir: java.io.File, name: String,
       docs: Seq[(String, String)]): Unit = {

@@ -12,12 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * not global-history dedup. */
 class StreamDedupSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("duplicates within the watermark drop, expired content passes again") {
     import spark.implicits._

@@ -11,12 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * dropped instead of growing state forever. */
 class StreamJoinSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def t(min: Int) =
     Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")

@@ -12,12 +12,7 @@ import StreamNearDup.Doc
   * hamming threshold, and no false flags for distant signatures. */
 class StreamNearDupSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("near signatures match within and across batches; far ones don't") {
     import spark.implicits._

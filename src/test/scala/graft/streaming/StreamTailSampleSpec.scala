@@ -14,12 +14,7 @@ import StreamTailSample.{Decision, Span}
   * under a bumped revision. */
 class StreamTailSampleSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private def ns(sec: Long): Long = sec * 1000000000L
 

@@ -10,12 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * malformed-archive-never-stalls rule, all over real files on disk. */
 class WarcStreamSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private val crlf = "\r\n"
   private def rec(typ: String, payload: String, extra: String = ""): String =

@@ -16,12 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class WindowedRollupSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   test("watermarked tumbling counts: in-window events aggregate, state is bounded") {
     import spark.implicits._
