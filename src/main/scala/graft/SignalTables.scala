@@ -46,7 +46,10 @@ object SignalTables {
     * the in-memory view, but with partition columns present so the
     * time-window partition-bound mirror prunes directories. */
   def storedLogsTable(s: SparkSession, dir: String): graft.logql.Lowering.LogsTable =
-    SignalViews.logsGen2Table(s, dir).copy(df = storedLogs(s, dir))
+    // stored table: real map columns read back from parquet — no static
+    // label expressions, so resolution stays element_at over the maps
+    SignalViews.logsGen2Table(s, dir).copy(df = storedLogs(s, dir),
+      attrExprs = Map.empty)
 
   /** stored gen-2 logs AFTER the promotion rewrite (label_region
     * materialized) — the table PromotedAttrRule resolves raw map probes

@@ -169,22 +169,43 @@ object SignalViews {
     * `attr_tokens` holds k=v tokens over log+resource attrs for the
     * bloom-filtered containment conjunct (reference schema/mod.rs:40-53).
     */
-  def logsGen2Df(s: SparkSession, dir: String): DataFrame = {
+  /** the gen-2 label VALUE expressions over raw events columns — ONE
+    * definition feeds both the attribute maps below and the
+    * `attrExprs` resolution hints in [[logsGen2Table]], so the two can
+    * never drift. */
+  private def gen2LabelExprs: Map[String, org.apache.spark.sql.Column] = Map(
+    "k" -> get_json_object(col("props"), "$.k"),
+    "event_type" -> col("event_type"),
+    "region" -> concat(lit("r"), pmod(col("user_id"), lit(3))),
+    "plan" -> when(pmod(col("user_id"), lit(4)) === 0,
+      concat(lit("pro-"), pmod(expr("user_id div 4"), lit(2)))),
+    "host" -> concat(lit("host-"), pmod(col("user_id"), lit(5))),
+    "env" -> when(pmod(col("user_id"), lit(2)) === 0, "prod").otherwise("dev"))
+
+  def logsGen2Df(s: SparkSession, dir: String): DataFrame =
+    logsGen2DfInternal(s, dir, resolutionCols = false)
+
+  private def logsGen2DfInternal(s: SparkSession, dir: String,
+      resolutionCols: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
+    val lv = gen2LabelExprs
     val ts = unix_micros(col("ts_us")) * 1000
     val traceId = md5(col("event_id").cast("string"))
     val logAttrs = map_filter(
       map(
-        lit("k"), get_json_object(col("props"), "$.k"),
-        lit("event_type"), col("event_type"),
-        lit("region"), concat(lit("r"), pmod(col("user_id"), lit(3))),
-        lit("plan"), when(pmod(col("user_id"), lit(4)) === 0,
-          concat(lit("pro-"), pmod(expr("user_id div 4"), lit(2))))),
+        lit("k"), lv("k"),
+        lit("event_type"), lv("event_type"),
+        lit("region"), lv("region"),
+        lit("plan"), lv("plan")),
       (_, v) => v.isNotNull)
     val resAttrs = map(
-      lit("host"), concat(lit("host-"), pmod(col("user_id"), lit(5))),
-      lit("env"), when(pmod(col("user_id"), lit(2)) === 0, "prod").otherwise("dev"))
-    Tables.events(s, dir).select(
+      lit("host"), lv("host"),
+      lit("env"), lv("env"))
+    // spread BELOW the per-row chain (r16): md5 ids, json extraction,
+    // map building and attrTokens all run above the first exchange, and
+    // the events scan is one split locally — q109/q110 measured a
+    // 1.0-1.2 s single-task stage here. Split-aware: no-op at scale.
+    val cols = Seq(
       ts.as("timestamp"),
       ts.as("observed_timestamp"),
       traceId.as("trace_id"),
@@ -202,7 +223,16 @@ object SignalViews {
       typedLit(Map.empty[String, String]).as("scope_attributes"),
       logAttrs.as("log_attributes"),
       lit("graft").as("scope_name"),
-      lit("1").as("scope_version"))
+      lit("1").as("scope_version")) ++
+      // hidden per-label resolution columns (table frame only — the
+      // stored/fixture writers call logsGen2Df, which omits them):
+      // each is the label's OWN defining expression, so a matcher
+      // resolves to plain arithmetic the optimizer can push to the
+      // scan instead of the full map build
+      (if (resolutionCols)
+        gen2LabelExprs.toSeq.map { case (l, c) => c.as(s"_lv_$l") }
+      else Nil)
+    Tables.spread(s, Tables.events(s, dir), "event_id").select(cols: _*)
       .withColumn("attr_tokens",
         graft.storage.Storage.attrTokens(Seq("log_attributes", "resource_attributes")))
   }
@@ -308,7 +338,7 @@ object SignalViews {
     * priority order, trace_id tie-break (unique per row). */
   def logsGen2Table(s: SparkSession, dir: String): LogsTable =
     LogsTable(
-      df = logsGen2Df(s, dir),
+      df = logsGen2DfInternal(s, dir, resolutionCols = true),
       promoted = Map(
         "service_name" -> "service_name",
         "severity_text" -> "severity_text",
@@ -316,5 +346,8 @@ object SignalViews {
       seriesLabels = Seq("service_name", "severity_text"),
       hasAttrMap = true,
       attrMapCols = Seq("log_attributes", "resource_attributes", "scope_attributes"),
-      tieBreak = Seq("trace_id"))
+      tieBreak = Seq("trace_id"),
+      // view-backed resolution hints: the same gen2LabelExprs the maps
+      // are built from, exposed as hidden _lv_ columns of the frame
+      attrExprs = gen2LabelExprs.keys.map(l => l -> col(s"_lv_$l")).toMap)
 }

@@ -16,6 +16,19 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // generated-code cache sized to the query inventory (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // manifest-listed reads (q323/q330: hundreds of EXPLICIT file
+      // paths) must not trigger a distributed listing job — one task
+      // per local file costs ~60 ms of task deserialization to run a
+      // microsecond stat. Driver-side listing is right for local-FS
+      // layouts up to this bound; object-store deployments would lower
+      // it back toward the 32 default.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // post-shuffle coalescing floor: the default 1 MB folds every
+      // CPU-dense small shuffle (windows over traces, pair joins) onto
+      // ONE task at local fixture sizes. 64 KB keeps those parallel;
+      // at scale partitions sit near the 64 MB advisory target and this
+      // floor is never the binding constraint.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

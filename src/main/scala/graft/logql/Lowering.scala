@@ -40,7 +40,17 @@ object Lowering {
         * ir_planner.rs:152-225 SchemaResolver) */
       attrMapCols: Seq[String] = Seq("log_attributes"),
       /** extra columns appended to ORDER BY for a total (deterministic) order */
-      tieBreak: Seq[String] = Seq.empty) {
+      tieBreak: Seq[String] = Seq.empty,
+      /** statically known label-value expressions for VIEW-backed gen-2
+        * tables (r16): bit-identical to the element_at container coalesce
+        * by construction of the view, but a matcher over one resolves to
+        * the label's own defining expression instead of inlining the
+        * WHOLE attribute-map build (json parse + map_filter, which
+        * blocks SimplifyExtractValueOps) into a pushed-down filter —
+        * q109's {env="prod"} selector measured a 1.7 s single-task scan
+        * stage that way. Storage-backed tables (real map columns, no
+        * static definition) leave this empty and resolve via the maps. */
+      attrExprs: Map[String, Column] = Map.empty) {
     /** `attr_tokens` present → equality matchers on unpromoted labels can
       * add a bloom-eligible containment conjunct (schema/mod.rs:40-53). */
     def hasAttrTokens: Boolean = hasAttrMap && df.columns.contains("attr_tokens")
@@ -94,12 +104,18 @@ object Lowering {
         case None if logfmtParsed =>
           logfmtExtractCol(label)
         case None if table.hasAttrMap =>
-          // generation-2 path: coalesce across attribute containers in
-          // priority order (record attrs shadow resource/scope attrs)
-          val present = table.attrMapCols.filter(table.df.columns.contains)
-          if (present.isEmpty)
-            throw Unsupported(s"label '$label' is not resolvable on this table")
-          coalesce(present.map(m => element_at(col(m), label)): _*)
+          table.attrExprs.get(label) match {
+            // view-backed table: the label's defining expression (exact
+            // same value as the container coalesce below — see attrExprs)
+            case Some(c) => c
+            case None =>
+              // generation-2 path: coalesce across attribute containers in
+              // priority order (record attrs shadow resource/scope attrs)
+              val present = table.attrMapCols.filter(table.df.columns.contains)
+              if (present.isEmpty)
+                throw Unsupported(s"label '$label' is not resolvable on this table")
+              coalesce(present.map(m => element_at(col(m), label)): _*)
+          }
         case None =>
           throw Unsupported(s"label '$label' is not resolvable on this table")
       }
@@ -107,7 +123,12 @@ object Lowering {
       * containment conjunct: label resolves from the attribute maps (not a
       * promoted column, not a parser extraction, not a format override). */
     def tokenEligible(label: String): Boolean =
-      table.hasAttrTokens && !overrides.contains(label) &&
+      // attrExprs set ⟺ view-backed table: there the containment
+      // conjunct has no storage bloom/stats to trigger — it only inlines
+      // the whole token-array build into the pushed-down filter (r16;
+      // stored tables keep the conjunct, that is what it exists for)
+      table.attrExprs.isEmpty &&
+        table.hasAttrTokens && !overrides.contains(label) &&
         !table.promoted.contains(label) && !jsonParsed && !logfmtParsed &&
         !unpacked && keep.isEmpty
   }

@@ -2168,7 +2168,10 @@ object PipelineOps {
     // second pass on suffix bands.) levenshtein() is integer-exact in
     // both engines.
     "q231_fuzzy_prefix_join" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      // spread (r16): the band self-join's probe side ran as ONE task
+      // (1.17 s measured — the per-pair levenshtein(16) dominates);
+      // split-aware, no-op on a many-split scan
+      val d = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
         .withColumn("band", substring(col("p"), 1, 2))
       val a = d.select(col("band"), col("doc_id").as("id_a"), col("p").as("pa"))

@@ -26,6 +26,13 @@ object TestSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.maxMetadataStringLength", "4000")
     .config("spark.sql.codegen.cache.maxEntries", "8192")
+    // manifest-listed reads (q323/q330: hundreds of EXPLICIT file
+    // paths) must not trigger a distributed listing job — one task
+    // per local file costs ~60 ms of task deserialization to run a
+    // microsecond stat. Driver-side listing is right for local-FS
+    // layouts up to this bound; object-store deployments would lower
+    // it back toward the 32 default.
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
