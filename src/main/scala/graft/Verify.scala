@@ -28,7 +28,8 @@ object Verify {
       // ONE task at local fixture sizes. 64 KB keeps those parallel;
       // at scale partitions sit near the 64 MB advisory target and this
       // floor is never the binding constraint.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,15 +40,21 @@ object PipelineOps {
     * per-row array fold, so dot products stay exact integer sums without
     * ever exploding to (vec, pos) rows. */
   private def embArr(s: SparkSession, dir: String): DataFrame =
-    // spread BELOW the quantization (r16): the embeddings scan is one
-    // split locally, and every consumer's per-row work — the vq/nrm
-    // transforms here plus the interpreted higher-order dot products of
-    // scoreArr/lshSig above — otherwise runs on a single core until the
-    // first exchange (q309's Lloyd stages measured ~500 ms single-task).
-    // The exchange carries the raw (vec_id, embedding) row only; repeated
-    // references inside one query (Lloyd rounds, assign) share the one
-    // exchange via ReuseExchange. Split-aware: no-ops on many-split scans.
-    Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
+    embArrFrom(Tables.embeddings(s, dir))
+
+  /** quantized stream SPREAD across cores — for the trainers/encoders
+    * that score EVERY vector (Lloyd rounds, LSH signatures, PQ encode):
+    * their interpreted dot-product chains measured ~500 ms single-task
+    * over the one-split local scan. Probe-only consumers (a handful of
+    * query vectors against a stored index) keep the plain embArr — r16:
+    * spreading inside embArr itself regressed the light probe paths
+    * q380 0.47→0.92, q260 0.42→0.81 (an exchange of the whole table to
+    * feed a 20-row probe). Split-aware: no-op on many-split scans. */
+  private def embArrSpread(s: SparkSession, dir: String): DataFrame =
+    embArrFrom(Tables.spread(s, Tables.embeddings(s, dir), "vec_id"))
+
+  private def embArrFrom(raw: DataFrame): DataFrame =
+    raw
       .select(col("vec_id"),
         transform(col("embedding"),
           v => round(v.cast(DoubleType) * 1000000).cast(LongType)).as("vq"))
@@ -1578,7 +1584,7 @@ object PipelineOps {
     // the query path stays the broadcast assign → cell join → in-cell
     // exact rank shape of q103.
     "q122_ann_ivf_kmeans" -> ((s, dir) => {
-      val e = embArr(s, dir)
+      val e = embArrSpread(s, dir)
       val (refined, assigned) = ivfIndex(e)
       val probes = probeTop4(e.filter(col("vec_id") % 100 === 0), refined)
       val cos = assigned.join(broadcast(probes), Seq("cell"))
@@ -1603,7 +1609,7 @@ object PipelineOps {
     // over quantized ints end-to-end: every distance and tie-break is
     // exact integer arithmetic, bit-identical across engines.
     "q182_ann_pq_adc" -> ((s, dir) => {
-      val e = embArr(s, dir)
+      val e = embArrSpread(s, dir)
       val M = 4; val sub = 16; val K = 16
       // the M×K codebook folds to ONE broadcast row (book[m][c] = the
       // c-th training subvector — c_id is dense 0..K-1 by construction,
@@ -2703,7 +2709,7 @@ object PipelineOps {
     // q127. Output: every clustered vector with its canonical (min)
     // vec_id — the drop list a semantic-dedup pass feeds downstream.
     "q132_semantic_dedup" -> ((s, dir) => {
-      val e = embArr(s, dir)
+      val e = embArrSpread(s, dir)
       val sig = lshSig(e)
       val a = sig.select(col("vec_id").as("a_id"), col("sig"),
         col("vq").as("av"), col("nrm").as("an"))
@@ -2853,7 +2859,7 @@ object PipelineOps {
     // dump pins each surviving cell's membership count, centroid norm²
     // and coordinate sum — scalar invariants of the full codebook.
     "q140_kmeans_train" -> ((s, dir) => {
-      kmeansCentroids(embArr(s, dir), k = 16, iters = 2)
+      kmeansCentroids(embArrSpread(s, dir), k = 16, iters = 2)
         .select(col("c_id"), col("n_members"), col("cn"),
           aggregate(col("cv"), lit(0L), (a, x) => a + x).as("vsum"))
     }),
@@ -3658,7 +3664,10 @@ object PipelineOps {
     // and the codec pass is scan-bound.
     "q364_zstd_dict_storage" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      // spread (r16): the sliding-ngram flatMap and the per-doc zstd
+      // round trip both ran in the single scan task; split-aware no-op
+      // on many-split scans
+      val docs = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 400)
             .as("t"))
@@ -3676,14 +3685,18 @@ object PipelineOps {
       val dict = grams.orderBy(col("rank")).select(col("ngram"))
         .as[String].collect().mkString.getBytes("UTF-8")
       val dictB = s.sparkContext.broadcast(dict)
-      val ok = docs.as[(Long, String)].map { case (_, t) =>
+      // codec contexts once per PARTITION, not per row (guide §4.5) —
+      // the eager toArray keeps the close inside the try
+      val ok = docs.as[(Long, String)].mapPartitions { it =>
         val cctx = new com.github.luben.zstd.ZstdCompressCtx()
         val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
         try {
           cctx.loadDict(dictB.value); dctx.loadDict(dictB.value)
-          val raw = t.getBytes("UTF-8")
-          val comp = cctx.compress(raw)
-          java.util.Arrays.equals(dctx.decompress(comp, raw.length), raw)
+          it.map { case (_, t) =>
+            val raw = t.getBytes("UTF-8")
+            val comp = cctx.compress(raw)
+            java.util.Arrays.equals(dctx.decompress(comp, raw.length), raw)
+          }.toArray.iterator
         } finally { cctx.close(); dctx.close() }
       }.toDF("rt")
         .agg(min(col("rt")).as("roundtrip_all"))
@@ -4032,7 +4045,7 @@ object PipelineOps {
     // as the Lloyd step; the describe half is one (cluster, token) agg
     // + a bounded rank window.
     "q309_cluster_topics" -> ((s, dir) => {
-      val e = embArr(s, dir)
+      val e = embArrSpread(s, dir)
       // materialized once: the (vec_id, cell) frame is tiny but its
       // lineage carries two Lloyd iterations, and it feeds BOTH the
       // token counts and the cluster sizes below
@@ -4363,16 +4376,24 @@ object PipelineOps {
     // onto the exploded lines. The fixture plants a per-source
     // copyright line in every doc and a newsletter line in half.
     "q336_boilerplate_lines" -> ((s, dir) => {
+      // the synthetic page as (line-array expr, line-COUNT expr) pairs —
+      // one structure feeds both the line builder and the closed-form
+      // total below, so a fixture change cannot update one and not the
+      // other (VERDICT r15 #5). All exprs assume w = split(text, ' ').
+      val parts: Seq[(String, String)] = Seq(
+        ("array(concat('copyright ', source, ' all rights reserved'))",
+          "1"),
+        ("""transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1),
+           |    i -> array_join(slice(w, i * 8 + 1, 8), ' '))""".stripMargin,
+          "CAST(ceil(size(w) / 8.0) AS INT)"),
+        ("""CASE WHEN doc_id % 2 = 0
+           |     THEN array(concat('subscribe to ', source, ' newsletter'))
+           |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin,
+          "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"))
       val lined = Tables.documents(s, dir)
         .withColumn("w", split(col("text"), " "))
-        .withColumn("lines", expr(
-          """concat(
-            |  array(concat('copyright ', source, ' all rights reserved')),
-            |  transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1),
-            |    i -> array_join(slice(w, i * 8 + 1, 8), ' ')),
-            |  CASE WHEN doc_id % 2 = 0
-            |       THEN array(concat('subscribe to ', source, ' newsletter'))
-            |       ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin))
+        .withColumn("lines",
+          expr(parts.map(_._1).mkString("concat(\n", ",\n", ")")))
         .select(col("doc_id"), col("source"), col("lines"))
       val ex = lined
         .select(col("doc_id"), col("source"),
@@ -4392,13 +4413,14 @@ object PipelineOps {
         .join(broadcast(bp.withColumn("isbp", lit(1))),
           Seq("source", "lh"), "left_outer")
         .filter(col("isbp").isNull)
-      // total line count in closed form (1 copyright line + the 8-word
-      // chunks + the even-doc subscribe line) — r15: size(lines) off
-      // `lined` was a third evaluation of the line-building expression
-      val tot = Tables.documents(s, dir).select(col("doc_id"),
-        expr("CAST(1 + CAST(ceil(size(split(text, ' ')) / 8.0) AS INT) + " +
-          "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)")
-          .as("n_lines"))
+      // total line count in closed form — the SAME parts table as the
+      // builder above, summed instead of concatenated (r15: size(lines)
+      // off `lined` was a third evaluation of the line-building chain)
+      val tot = Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr(parts.map(p => s"(${p._2})")
+            .mkString("CAST(", " + ", " AS BIGINT)")).as("n_lines"))
       kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           expr("array_join(transform(array_sort(collect_list(" +
@@ -4745,42 +4767,42 @@ object PipelineOps {
     lab
   }
 
+  // r16 NEGATIVE RESULTS, measured and reverted — this loop keeps r15's
+  // exact shape on purpose:
+  //  - per-round LAZY localCheckpoint (materialized by the convergence
+  //    aggregate, one job/round instead of two): q127 floor 0.92 s vs
+  //    0.70 eager — caching during the agg stage loses whole-stage
+  //    codegen and the dedicated materialization job was never the cost;
+  //  - dropping the seed-label eager checkpoint (ReuseExchange covers
+  //    round 1's two references): same experiment, same outcome;
+  //  - per-round POINTER JUMP (label-of-label join): these graphs are
+  //    clique-like, the jump's two extra exchanges per round bought no
+  //    round reduction (q390 2.15 s with vs 1.46 without, q400 1.24 vs
+  //    0.92) — pointerJumpComponents above keeps the jump for the
+  //    fixed-round callers that need diameter coverage;
+  //  - union-into-one-groupBy rounds (self ∪ neighbor labels, single
+  //    aggregate): consistently worse (q127 1.00 vs 0.75, q309 2.49 vs
+  //    1.91);
+  //  - an up-front repartition(col("v")) of the edges (normalize
+  //    inherited partitioning): q371 1.17→1.52, q390 1.59→1.95.
   def connectedComponents(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = edgesIn.localCheckpoint()
-    // no checkpoint on the seed labels (r16): round 1 references this
-    // frame twice, but both references are the IDENTICAL distinct
-    // exchange over the checkpointed edges, so ReuseExchange computes it
-    // once inside round 1's job — the eager checkpoint here was one more
-    // driver-latency job per query on a frame that is read exactly once
     var lbl = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id"))
+      .withColumn("component", col("id")).localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // (r16: a union-into-one-groupBy round — self ∪ neighbor labels,
-      // single aggregate — was measured here and REVERTED: floors came
-      // out consistently worse than the join form, e.g. q127 1.00 s vs
-      // 0.75, q309 2.49 vs 1.91.)
       val nbr = edges.join(lbl.select(col("id").as("v"), col("component").as("nc")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
       // the convergence flag rides the SAME join that computes the next
       // labels and materializes with the checkpoint — a separate
       // next⋈prev check was one more join job per round, pure driver
       // latency on an iteration whose data is small by then
-      val merged = lbl.join(nbr, Seq("id"), "left")
+      val next = lbl.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component")).as("_chg"))
-      // (r16: a per-round POINTER JUMP — label-of-label join — was
-      // measured here and REMOVED: these graphs are clique-like, so the
-      // jump's two extra exchanges per round bought no round reduction;
-      // q390 floor 2.15 s with jump vs 1.46 s without, q400 1.24 vs
-      // 0.92. pointerJumpComponents above keeps the jump for the
-      // fixed-round callers that need diameter coverage.)
-      // LAZY checkpoint (r16): the convergence aggregate below is the
-      // materializing action, so each round runs ONE job where the eager
-      // checkpoint + separate agg ran two.
-      val next = merged.localCheckpoint(false)
+        .localCheckpoint()
       val anyChg = next.agg(max(col("_chg"))).first()
       converged = anyChg.isNullAt(0) || !anyChg.getBoolean(0)
       lbl = next.drop("_chg")
