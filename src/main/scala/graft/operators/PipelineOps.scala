@@ -61,7 +61,13 @@ object PipelineOps {
       .withColumn("nrm", aggregate(col("vq"), lit(0L), (a, x) => a + x * x))
 
   /** exact integer dot product of two quantized arrays (whole-stage
-    * codegen fold; order-independent by construction). */
+    * codegen fold; order-independent by construction).
+    * (r16 negative result: an index fold — aggregate(sequence(1,size),
+    * acc + a[i]*b[i]) — avoids zip_with's per-evaluation pair array but
+    * RE-EVALUATES the operand expressions per element inside the lambda;
+    * where b is a sliced literal (lshSig's planes) that meant 64 slice
+    * evaluations per dot — q25 regressed 0.47→3.30 s. zip_with
+    * evaluates its arguments exactly once.) */
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
@@ -2710,7 +2716,10 @@ object PipelineOps {
     // vec_id — the drop list a semantic-dedup pass feeds downstream.
     "q132_semantic_dedup" -> ((s, dir) => {
       val e = embArrSpread(s, dir)
-      val sig = lshSig(e)
+      // materialized once (r16): the signature frame feeds BOTH sides of
+      // the bucket self-join, and the 8-plane interpreted dot chain was
+      // evaluated twice without it
+      val sig = lshSig(e).localCheckpoint()
       val a = sig.select(col("vec_id").as("a_id"), col("sig"),
         col("vq").as("av"), col("nrm").as("an"))
       val b = sig.select(col("vec_id").as("b_id"), col("sig"),
@@ -4390,7 +4399,11 @@ object PipelineOps {
            |     THEN array(concat('subscribe to ', source, ' newsletter'))
            |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin,
           "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"))
-      val lined = Tables.documents(s, dir)
+      // spread (r16): the line build + md5 ran as ONE scan task; and the
+      // exploded frame feeds BOTH the boilerplate vote and the kept-line
+      // rollup — materialize it once instead of rebuilding the lines
+      // twice (two ~420 ms single-task stages measured)
+      val lined = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .withColumn("w", split(col("text"), " "))
         .withColumn("lines",
           expr(parts.map(_._1).mkString("concat(\n", ",\n", ")")))
@@ -4399,6 +4412,7 @@ object PipelineOps {
         .select(col("doc_id"), col("source"),
           posexplode(col("lines")).as(Seq("pos", "line")))
         .withColumn("lh", md5(col("line")))
+        .localCheckpoint()
       // per-source doc counts don't need the line arrays at all — r15:
       // deriving them from `lined` re-evaluated the whole line-building
       // expression a second time (guide §2.3: project before the work)
